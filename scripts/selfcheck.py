@@ -1,0 +1,102 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate (SURVEY.md §5.2).
+
+Usage: python3 scripts/selfcheck.py [verify_out_dir] [sf_dir]
+
+Reads Verify.scala's output (<name>.parquet per query + oracle_sql.json),
+runs each oracle SQL in DuckDB over the same sf tables, sorts columns by
+name (the driver does this before hashing), and compares cell-by-cell.
+Reports exact-match status and max float deviation per query.
+"""
+import sys, os, json, glob, math
+import duckdb
+
+out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/verify_out"
+sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+
+con = duckdb.connect()
+for p in glob.glob(f"{sf_dir}/*.parquet"):
+    name = os.path.basename(p)[:-8]
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+
+def norm(v):
+    if isinstance(v, float):
+        return v
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    if isinstance(v, list):
+        return tuple(norm(x) for x in v)
+    return v
+
+def cmp_cell(a, b):
+    """-> (exact, absdiff or None)"""
+    a, b = norm(a), norm(b)
+    if isinstance(a, float) and isinstance(b, float):
+        if a == b or (math.isnan(a) and math.isnan(b)):
+            return True, 0.0
+        return False, abs(a - b)
+    if isinstance(a, tuple) and isinstance(b, tuple):
+        if len(a) != len(b):
+            return False, None
+        ex, mx = True, 0.0
+        for x, y in zip(a, b):
+            e, d = cmp_cell(x, y)
+            ex = ex and e
+            if d is None and not e:
+                return False, None
+            mx = max(mx, d or 0.0)
+        return ex, mx
+    return (a == b), None
+
+n_pass = n_fail = 0
+for name in sorted(oracle):
+    sql = oracle[name]
+    res_path = f"{out_dir}/{name}"
+    if not os.path.isdir(res_path):
+        print(f"FAIL {name}: no spark result dir")
+        n_fail += 1
+        continue
+    try:
+        duck = con.execute(sql).fetch_arrow_table()
+    except Exception as e:
+        print(f"FAIL {name}: oracle sql error: {e}")
+        n_fail += 1
+        continue
+    spark = con.execute(
+        f"SELECT * FROM read_parquet('{res_path}/*.parquet')").fetch_arrow_table()
+    dcols, scols = sorted(duck.column_names), sorted(spark.column_names)
+    if dcols != scols:
+        print(f"FAIL {name}: column mismatch duck={dcols} spark={scols}")
+        n_fail += 1
+        continue
+    if duck.num_rows != spark.num_rows:
+        print(f"FAIL {name}: rows duck={duck.num_rows} spark={spark.num_rows}")
+        n_fail += 1
+        continue
+    drows = duck.select(dcols).to_pylist()
+    srows = spark.select(scols).to_pylist()
+    bad = 0
+    maxdiff = 0.0
+    first_bad = None
+    for i, (dr, sr) in enumerate(zip(drows, srows)):
+        for c in dcols:
+            ex, diff = cmp_cell(dr[c], sr[c])
+            if not ex:
+                bad += 1
+                if diff is not None:
+                    maxdiff = max(maxdiff, diff)
+                if first_bad is None:
+                    first_bad = (i, c, dr[c], sr[c])
+    if bad == 0:
+        print(f"PASS {name}: {duck.num_rows} rows exact")
+        n_pass += 1
+    else:
+        print(f"FAIL {name}: {bad} bad cells, maxdiff={maxdiff:.3e}, first={first_bad}")
+        n_fail += 1
+
+print(f"\n{n_pass} pass / {n_fail} fail")
+sys.exit(1 if n_fail else 0)

@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions.udf
+import org.locationtech.jts.geom._
+import org.locationtech.jts.io.{WKBReader, WKBWriter, WKTReader, WKTWriter}
+
+/** JTS-backed geometry functions over WKB `BinaryType` columns
+  * (SURVEY.md §2 blocks A4–A6, B1–B16).
+  *
+  * Representation decision (SURVEY.md §1.2): geometry travels as WKB bytes —
+  * portable at rest (GeoParquet), comparable in the DuckDB oracle as hex, and
+  * exactly what the reference stores in parquet. Planar math only; the
+  * reference does no reprojection.
+  *
+  * All functions are null-safe (null in → null out) and registered both as
+  * Scala `Column` helpers and SQL names (`spark.udf.register`), so C37 SQL
+  * queries and DataFrame programs share one implementation.
+  *
+  * Scale note: these are Scala UDFs (no codegen). That is fine for round 1
+  * correctness; the hot ones (st_x/st_y/envelope/intersects-bbox) are slated
+  * to become Catalyst Expressions with doGenCode (SURVEY.md §4.3) once the
+  * oracle corpus is green.
+  */
+object GeoFunctions extends Serializable {
+
+  // JTS toolbox objects are cheap but not thread-safe for readers/writers →
+  // per-thread instances. GeometryFactory is thread-safe.
+  @transient private lazy val gf = new GeometryFactory(new PrecisionModel(), 0)
+  private def reader = new WKBReader(gf)
+  // 2D, little-endian, no SRID — one canonical byte form so WKB hex hashes
+  // are stable across engines and rounds.
+  private def writer = new WKBWriter(2, 2, false)
+  private def wktReader = new WKTReader(gf)
+  private def wktWriter = new WKTWriter(2)
+
+  def toWkb(g: Geometry): Array[Byte] = writer.write(g)
+  def fromWkb(b: Array[Byte]): Geometry = reader.read(b)
+
+  // ---- scalar implementations (null-safe) --------------------------------
+  private def g1[R](f: Geometry => R): Array[Byte] => R =
+    (b: Array[Byte]) => if (b == null) null.asInstanceOf[R] else f(fromWkb(b))
+  private def g2[R](f: (Geometry, Geometry) => R): (Array[Byte], Array[Byte]) => R =
+    (a: Array[Byte], b: Array[Byte]) =>
+      if (a == null || b == null) null.asInstanceOf[R] else f(fromWkb(a), fromWkb(b))
+
+  val stPointF: (Double, Double) => Array[Byte] =
+    (x, y) => toWkb(gf.createPoint(new Coordinate(x, y)))
+  val stXF: Array[Byte] => java.lang.Double = g1(g => g.getCoordinate.x)
+  val stYF: Array[Byte] => java.lang.Double = g1(g => g.getCoordinate.y)
+  val stGeometryTypeF: Array[Byte] => String = g1(_.getGeometryType)
+  val stAreaF: Array[Byte] => java.lang.Double = g1(_.getArea)
+  val stLengthF: Array[Byte] => java.lang.Double = g1(_.getLength)
+  val stNPointsF: Array[Byte] => java.lang.Integer = g1(_.getNumPoints)
+  val stCentroidF: Array[Byte] => Array[Byte] = g1(g => toWkb(g.getCentroid))
+  val stConvexHullF: Array[Byte] => Array[Byte] = g1(g => toWkb(g.convexHull()))
+  val stDistanceF: (Array[Byte], Array[Byte]) => java.lang.Double = g2(_.distance(_))
+  val stContainsF: (Array[Byte], Array[Byte]) => java.lang.Boolean = g2(_.contains(_))
+  val stWithinF: (Array[Byte], Array[Byte]) => java.lang.Boolean = g2(_.within(_))
+  val stIntersectsF: (Array[Byte], Array[Byte]) => java.lang.Boolean = g2(_.intersects(_))
+  val stDisjointF: (Array[Byte], Array[Byte]) => java.lang.Boolean = g2(_.disjoint(_))
+  val stUnionF: (Array[Byte], Array[Byte]) => Array[Byte] = g2((a, b) => toWkb(a.union(b)))
+  val stIntersectionF: (Array[Byte], Array[Byte]) => Array[Byte] =
+    g2((a, b) => toWkb(a.intersection(b)))
+  val stDWithinF: (Array[Byte], Array[Byte], Double) => java.lang.Boolean =
+    (a, b, r) => if (a == null || b == null) null else fromWkb(a).distance(fromWkb(b)) <= r
+  val stBufferF: (Array[Byte], Double) => Array[Byte] =
+    (b, d) => if (b == null) null else toWkb(fromWkb(b).buffer(d))
+  val stAsTextF: Array[Byte] => String = g1(g => wktWriter.write(g))
+  val stGeomFromTextF: String => Array[Byte] =
+    (s: String) => if (s == null) null else toWkb(wktReader.read(s))
+  // envelope as (xmin, ymin, xmax, ymax)
+  val stEnvelopeF: Array[Byte] => (Double, Double, Double, Double) = g1 { g =>
+    val e = g.getEnvelopeInternal
+    (e.getMinX, e.getMinY, e.getMaxX, e.getMaxY)
+  }
+
+  // ---- Column API ---------------------------------------------------------
+  val st_point = udf(stPointF)
+  val st_x = udf(stXF)
+  val st_y = udf(stYF)
+  val st_geometrytype = udf(stGeometryTypeF)
+  val st_area = udf(stAreaF)
+  val st_length = udf(stLengthF)
+  val st_npoints = udf(stNPointsF)
+  val st_centroid = udf(stCentroidF)
+  val st_convexhull = udf(stConvexHullF)
+  val st_distance = udf(stDistanceF)
+  val st_contains = udf(stContainsF)
+  val st_within = udf(stWithinF)
+  val st_intersects = udf(stIntersectsF)
+  val st_disjoint = udf(stDisjointF)
+  val st_union = udf(stUnionF)
+  val st_intersection = udf(stIntersectionF)
+  val st_dwithin = udf(stDWithinF)
+  val st_buffer = udf(stBufferF)
+  val st_astext = udf(stAsTextF)
+  val st_geomfromtext = udf(stGeomFromTextF)
+  // struct<xmin,ymin,xmax,ymax> with stable field names
+  val st_envelope = udf(stEnvelopeF)
+  def stEnvelopeStruct(c: Column): Column = {
+    val e = st_envelope(c)
+    org.apache.spark.sql.functions.struct(
+      e("_1").as("xmin"), e("_2").as("ymin"), e("_3").as("xmax"), e("_4").as("ymax"))
+  }
+
+  private var registered = false
+  def register(spark: SparkSession): Unit = synchronized {
+    // spark.udf.register is idempotent per name; guard just avoids log spam.
+    spark.udf.register("st_point", stPointF)
+    spark.udf.register("st_x", stXF)
+    spark.udf.register("st_y", stYF)
+    spark.udf.register("st_geometrytype", stGeometryTypeF)
+    spark.udf.register("st_area", stAreaF)
+    spark.udf.register("st_length", stLengthF)
+    spark.udf.register("st_perimeter", stLengthF)
+    spark.udf.register("st_npoints", stNPointsF)
+    spark.udf.register("st_centroid", stCentroidF)
+    spark.udf.register("st_convexhull", stConvexHullF)
+    spark.udf.register("st_distance", stDistanceF)
+    spark.udf.register("st_contains", stContainsF)
+    spark.udf.register("st_within", stWithinF)
+    spark.udf.register("st_intersects", stIntersectsF)
+    spark.udf.register("st_disjoint", stDisjointF)
+    spark.udf.register("st_union", stUnionF)
+    spark.udf.register("st_intersection", stIntersectionF)
+    spark.udf.register("st_dwithin", stDWithinF)
+    spark.udf.register("st_buffer", stBufferF)
+    spark.udf.register("st_astext", stAsTextF)
+    spark.udf.register("st_geomfromtext", stGeomFromTextF)
+    registered = true
+  }
+}

@@ -1,13 +1,38 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Queries are contributed by per-block registries (SURVEY.md §2):
+  * Relational (C), LLM pipeline (E), geometry (A/B), streaming (D).
+  */
 object SparkEntry {
+
+  private val blocks: Seq[QueryBlock] = Seq(
+    graft.queries.Relational)
+
+  private lazy val all: Map[String, QueryDef] =
+    blocks.flatMap(_.queries).toMap
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+  def entry(spark: SparkSession): DataFrame = {
+    Graft.prepare(spark)
+    all("c14_pricing_summary").fn(spark, "/root/testdata/sf0.001")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map { case (name, q) =>
+      name -> ((s: SparkSession, dir: String) => {
+        Graft.prepare(s)
+        q.fn(s, dir)
+      })
+    }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] =
+    all.collect { case (name, QueryDef(_, Some(sql))) => name -> sql }
 }

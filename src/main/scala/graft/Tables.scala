@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Testdata table access (TESTDATA.md): 10 parquet tables per scale-factor
+  * dir. Plain `spark.read.parquet` — Catalyst's vectorized reader, predicate
+  * pushdown and column pruning all apply (SURVEY.md §4.2); nothing custom.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** `events.ts` is TIMESTAMP(NANOS) in parquet, which Spark's vectorized
+    * reader rejects outright ([PARQUET_TYPE_ILLEGAL]). We read nanos as a
+    * long (session conf below) and truncate to microseconds with exact
+    * integer division (`div`, not `/` — ns-epoch values exceed double's 2^53
+    * mantissa). This is the documented ns→µs delta of SURVEY.md §1.2; every
+    * declared oracle query buckets or formats ts at ≥second granularity.
+    */
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events")
+      df.withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+    else df
+  }
+
+  /** Register every table as a temp view named after itself (C37 SQL entry
+    * point; also what pairs 1:1 with the DuckDB oracle's view names).
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+}

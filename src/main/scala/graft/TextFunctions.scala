@@ -1,0 +1,154 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.udf
+
+/** Deterministic text-pipeline primitives (SURVEY.md §2 block E).
+  *
+  * Everything here is pure Scala with an owned hash family (FNV-1a 64) so
+  * results are reproducible across engines, rounds and JVMs — the MinHash /
+  * SimHash goldens depend on that (SURVEY.md §7 hard-part 2). No third-party
+  * deps beyond the Spark classpath.
+  */
+object TextFunctions extends Serializable {
+
+  // ---- owned 64-bit hash (FNV-1a), basis of every sketch below -----------
+  final val FnvOffset = 0xcbf29ce484222325L
+  final val FnvPrime = 0x100000001b3L
+
+  def fnv1a64(s: String): Long = {
+    var h = FnvOffset
+    var i = 0
+    while (i < s.length) {
+      h ^= s.charAt(i).toLong
+      h *= FnvPrime
+      i += 1
+    }
+    h
+  }
+
+  /** MinHash permutation family: h_i(x) = (a_i * x + b_i) mod p, fixed
+    * (a,b) derived from the seed by splitmix64 — deterministic, documented,
+    * independently re-implementable in the committed python golden script.
+    */
+  final val MersennePrime = (1L << 61) - 1
+  def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+  def hashParams(k: Int): Array[(Long, Long)] =
+    (0 until k).map { i =>
+      val a = (splitmix64(2 * i + 1).abs % (MersennePrime - 1)) + 1
+      val b = splitmix64(2 * i + 2).abs % MersennePrime
+      (a, b)
+    }.toArray
+
+  /** Character shingles (k consecutive chars) of whitespace-normalized text. */
+  def shingles(text: String, k: Int): Array[String] = {
+    val norm = text.toLowerCase.replaceAll("\\s+", " ").trim
+    if (norm.length < k) Array(norm)
+    else norm.sliding(k).toArray
+  }
+
+  /** MinHash signature over char-shingles. */
+  def minhash(text: String, numPerm: Int, shingleK: Int): Array[Long] = {
+    val params = hashParams(numPerm)
+    val sig = Array.fill(numPerm)(Long.MaxValue)
+    shingles(text, shingleK).foreach { sh =>
+      val x = fnv1a64(sh) & Long.MaxValue // non-negative
+      var i = 0
+      while (i < numPerm) {
+        val (a, b) = params(i)
+        // (a*x+b) mod p via unsigned 128-free reduction: values < 2^63, use
+        // BigInt-free Math.multiplyHigh trick is overkill at this k; use
+        // modular arithmetic on longs via Math.floorMod of 128-bit product.
+        val hi = Math.multiplyHigh(a, x)
+        val lo = a * x
+        // reduce (hi,lo) mod 2^61-1: standard Mersenne fold
+        val prod = ((lo & MersennePrime) + ((lo >>> 61) | (hi << 3))) // < ~2^62
+        val folded = (prod & MersennePrime) + (prod >>> 61)
+        val hx = (folded + b) % MersennePrime
+        if (hx < sig(i)) sig(i) = hx
+        i += 1
+      }
+    }
+    sig
+  }
+
+  /** 64-bit SimHash over whitespace tokens. */
+  def simhash64(text: String): Long = {
+    val counts = new Array[Int](64)
+    text.toLowerCase.split("\\s+").foreach { tok =>
+      if (tok.nonEmpty) {
+        val h = fnv1a64(tok)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** Rolling-hash document fingerprint (polynomial, base 257 mod 2^64). */
+  def fingerprint64(text: String): Long = {
+    var h = 0L
+    val norm = text.toLowerCase.replaceAll("\\s+", " ").trim
+    var i = 0
+    while (i < norm.length) { h = h * 257L + norm.charAt(i).toLong; i += 1 }
+    h
+  }
+
+  /** n-gram heuristic language ID for {en,fr,es,de,zh} (SURVEY.md §2 E6).
+    * CJK codepoints → zh; otherwise vote by language marker tokens/digraphs.
+    * Capability demo (documents.lang is ground truth for evaluation; the
+    * heuristic itself is GOLDEN-tested, not oracle-paired).
+    */
+  private val markers: Map[String, Set[String]] = Map(
+    "en" -> Set("the", "and", "of", "to", "a", "in", "is", "that", "it", "for"),
+    "fr" -> Set("le", "la", "les", "de", "des", "et", "un", "une", "est", "que"),
+    "es" -> Set("el", "la", "los", "las", "de", "y", "un", "una", "es", "que"),
+    "de" -> Set("der", "die", "das", "und", "ein", "eine", "ist", "nicht", "mit", "zu"))
+
+  def langId(text: String): String = {
+    if (text == null || text.isEmpty) return "und"
+    if (text.exists(c => Character.UnicodeScript.of(c) == Character.UnicodeScript.HAN)) return "zh"
+    val toks = text.toLowerCase.split("\\s+")
+    val scores = markers.view.mapValues(m => toks.count(m.contains)).toMap
+    val (best, n) = scores.maxBy { case (l, c) => (c, -l.head.toInt) }
+    if (n == 0) "en" else best
+  }
+
+  // ---- registration -------------------------------------------------------
+  val minhash128F: String => Array[Long] = (t: String) =>
+    if (t == null) null else minhash(t, 128, 5)
+  val simhashF: String => java.lang.Long = (t: String) =>
+    if (t == null) null else simhash64(t)
+  val fingerprintF: String => java.lang.Long = (t: String) =>
+    if (t == null) null else fingerprint64(t)
+  val langIdF: String => String = langId _
+  val hash64F: String => java.lang.Long = (t: String) =>
+    if (t == null) null else fnv1a64(t)
+
+  val minhash128 = udf(minhash128F)
+  val simhash = udf(simhashF)
+  val fingerprint = udf(fingerprintF)
+  val lang_id = udf(langIdF)
+  val hash64 = udf(hash64F)
+
+  def register(spark: SparkSession): Unit = {
+    spark.udf.register("minhash128", minhash128F)
+    spark.udf.register("simhash64", simhashF)
+    spark.udf.register("fingerprint64", fingerprintF)
+    spark.udf.register("lang_id", langIdF)
+    spark.udf.register("hash64", hash64F)
+  }
+}

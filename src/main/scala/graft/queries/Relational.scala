@@ -1,0 +1,441 @@
+package graft.queries
+
+import graft.{Graft, QueryBlock, QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational core (SURVEY.md §2 block C): the capabilities the reference
+  * reaches through pandas, re-expressed as declarative DataFrame programs so
+  * Catalyst plans them (pushdown, pruning, join selection, AQE — §4.2).
+  *
+  * Every query: totally ordered output, aliased columns matching the oracle
+  * SQL, order-independent double arithmetic (Graft.sumD2/avgD2 decimal trick)
+  * so the driver's hash compare sees bit-identical values from both engines.
+  */
+object Relational extends QueryBlock {
+  import Graft._
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  val queries: Map[String, QueryDef] = Map(
+    // C14/C5 — flagship: TPC-H Q1-style pricing summary (BASELINE B1).
+    "c14_pricing_summary" -> QueryDef(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") <= lit("2024-09-01").cast("timestamp"))
+        li.groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            sumD2(col("l_quantity")).as("sum_qty"),
+            sumD2(col("l_extendedprice")).as("sum_base_price"),
+            sum(dec2(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec2(col("l_discount"))))
+              .cast("double").as("sum_disc_price"),
+            avgD2(col("l_quantity")).as("avg_qty"),
+            avgD2(col("l_discount")).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(l_quantity) AS avg_qty,
+        CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(l_discount) AS avg_disc,
+        count(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '2024-09-01'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""")),
+
+    // C1 — raw parquet scan, full fidelity (ms timestamps are µs-safe).
+    "c01_scan_orders" -> QueryDef(
+      (s, dir) => t(s, dir, "orders").orderBy(col("o_orderkey")),
+      Some("SELECT * FROM orders ORDER BY o_orderkey")),
+
+    // C4 — projection / rename / computed columns.
+    "c04_project" -> QueryDef(
+      (s, dir) =>
+        t(s, dir, "orders").select(
+          col("o_orderkey"),
+          col("o_totalprice").as("price"),
+          (dec4(col("o_totalprice")) * lit(2).cast("decimal(18,4)")).cast("double").as("price2"),
+          upper(col("o_orderpriority")).as("prio_uc"),
+          year(col("o_orderdate")).as("o_year"))
+          .orderBy(col("o_orderkey")),
+      Some("""SELECT o_orderkey, o_totalprice AS price,
+        CAST(CAST(o_totalprice AS DECIMAL(18,4)) * CAST(2 AS DECIMAL(18,4)) AS DOUBLE) AS price2,
+        upper(o_orderpriority) AS prio_uc,
+        CAST(extract(year FROM o_orderdate) AS INT) AS o_year
+        FROM orders ORDER BY o_orderkey""")),
+
+    // C5 — filters: IN-list, BETWEEN, LIKE, null-safe.
+    "c05_filter" -> QueryDef(
+      (s, dir) =>
+        t(s, dir, "part")
+          .filter(col("p_type").isin("ECONOMY", "SMALL") &&
+            col("p_size").between(5, 40) &&
+            col("p_brand").like("Brand#1%") &&
+            col("p_retailprice").isNotNull)
+          .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_size"))
+          .orderBy(col("p_partkey")),
+      Some("""SELECT p_partkey, p_name, p_brand, p_size FROM part
+        WHERE p_type IN ('ECONOMY','SMALL') AND p_size BETWEEN 5 AND 40
+          AND p_brand LIKE 'Brand#1%' AND p_retailprice IS NOT NULL
+        ORDER BY p_partkey""")),
+
+    // C6 — CASE/WHEN, coalesce, nullif, cast.
+    "c06_conditional" -> QueryDef(
+      (s, dir) =>
+        t(s, dir, "orders").select(
+          col("o_orderkey"),
+          when(col("o_totalprice") > 300000, "big")
+            .when(col("o_totalprice") > 100000, "mid")
+            .otherwise("small").as("bucket"),
+          coalesce(nullif(col("o_orderstatus"), lit("O")), lit("open")).as("status_x"),
+          col("o_totalprice").cast("long").as("price_floor"))
+          .orderBy(col("o_orderkey")),
+      Some("""SELECT o_orderkey,
+        CASE WHEN o_totalprice > 300000 THEN 'big'
+             WHEN o_totalprice > 100000 THEN 'mid' ELSE 'small' END AS bucket,
+        coalesce(nullif(o_orderstatus,'O'), 'open') AS status_x,
+        CAST(trunc(o_totalprice) AS BIGINT) AS price_floor
+        FROM orders ORDER BY o_orderkey""")),
+
+    // C7/C15 — three-way equi-join + count distinct (BASELINE B2).
+    "c07_join_agg" -> QueryDef(
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders")
+        val l = t(s, dir, "lineitem")
+        c.join(o, col("c_custkey") === col("o_custkey"))
+          .join(l, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(
+            countDistinct(col("o_orderkey")).as("n_orders"),
+            sum(dec2(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec2(col("l_discount"))))
+              .cast("double").as("revenue"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""SELECT c_mktsegment, count(DISTINCT o_orderkey) AS n_orders,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        FROM customer JOIN orders ON c_custkey=o_custkey JOIN lineitem ON l_orderkey=o_orderkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // C8 — broadcast dim join (region 5 / nation 25 rows: classic star probe).
+    "c08_broadcast_join" -> QueryDef(
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val n = broadcast(t(s, dir, "nation"))
+        val r = broadcast(t(s, dir, "region"))
+        c.join(n, col("c_nationkey") === col("n_nationkey"))
+          .join(r, col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"))
+          .agg(count(lit(1)).as("n_cust"), sumD2(col("c_acctbal")).as("sum_bal"))
+          .orderBy(col("r_name"))
+      },
+      Some("""SELECT r_name, count(*) AS n_cust,
+        CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        FROM customer JOIN nation ON c_nationkey=n_nationkey
+        JOIN region ON n_regionkey=r_regionkey
+        GROUP BY r_name ORDER BY r_name""")),
+
+    // C9 — semi + anti join via IN / NOT IN subqueries (BASELINE B8).
+    "c09_semi_anti" -> QueryDef(
+      (s, dir) => {
+        val p = t(s, dir, "part")
+        val l = t(s, dir, "lineitem")
+        val discounted = l.filter(col("l_discount") > 0.05).select(col("l_partkey"))
+        val taxed = l.filter(col("l_tax") > 0.07).select(col("l_partkey"))
+        p.join(discounted, col("p_partkey") === discounted("l_partkey"), "left_semi")
+          .join(taxed, col("p_partkey") === taxed("l_partkey"), "left_anti")
+          .agg(count(lit(1)).as("n"))
+      },
+      Some("""SELECT count(*) AS n FROM part
+        WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_discount>0.05)
+          AND p_partkey NOT IN (SELECT l_partkey FROM lineitem WHERE l_tax>0.07)""")),
+
+    // C10 — cross join (small fixture).
+    "c10_cross_join" -> QueryDef(
+      (s, dir) => {
+        val r = t(s, dir, "region").select(col("r_name"))
+        val r2 = t(s, dir, "region").select(col("r_name").as("r_name2"))
+        r.crossJoin(r2).orderBy(col("r_name"), col("r_name2"))
+      },
+      Some("""SELECT a.r_name AS r_name, b.r_name AS r_name2
+        FROM region a CROSS JOIN region b ORDER BY r_name, r_name2""")),
+
+    // C11 — theta (non-equi) join: BNL on purpose; tiny build side.
+    "c11_theta_join" -> QueryDef(
+      (s, dir) => {
+        val sup = t(s, dir, "supplier")
+        val c = t(s, dir, "customer")
+        sup.join(c, col("c_acctbal") > col("s_acctbal"))
+          .groupBy(col("s_suppkey"))
+          .agg(count(lit(1)).as("n_richer"))
+          .orderBy(col("s_suppkey"))
+      },
+      Some("""SELECT s_suppkey, count(*) AS n_richer
+        FROM supplier JOIN customer ON c_acctbal > s_acctbal
+        GROUP BY s_suppkey ORDER BY s_suppkey""")),
+
+    // C15 — multi count-distinct.
+    "c15_multi_distinct" -> QueryDef(
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            countDistinct(col("l_partkey")).as("nd_part"),
+            countDistinct(col("l_suppkey")).as("nd_supp"),
+            count(lit(1)).as("n"))
+          .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS nd_part,
+        count(DISTINCT l_suppkey) AS nd_supp, count(*) AS n
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // C20 — ROLLUP with grouping() disambiguation (BASELINE B4 + grouping ids).
+    "c20_rollup" -> QueryDef(
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val c = t(s, dir, "customer")
+        val n = broadcast(t(s, dir, "nation"))
+        o.join(c, col("o_custkey") === col("c_custkey"))
+          .join(n, col("c_nationkey") === col("n_nationkey"))
+          .rollup(col("n_name"), col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), sumD4(col("o_totalprice")).as("sum_price"))
+          .orderBy(col("n_name").asc_nulls_first, col("o_orderstatus").asc_nulls_first)
+      },
+      Some("""SELECT n_name, o_orderstatus, count(*) AS n,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        FROM orders JOIN customer ON o_custkey=c_custkey JOIN nation ON c_nationkey=n_nationkey
+        GROUP BY ROLLUP(n_name, o_orderstatus)
+        ORDER BY n_name NULLS FIRST, o_orderstatus NULLS FIRST""")),
+
+    // C21/C8 — ranking window over broadcast-joined dims (BASELINE B3).
+    "c21_rank_window" -> QueryDef(
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val n = broadcast(t(s, dir, "nation"))
+        val w = Window.partitionBy(col("c_nationkey"))
+          .orderBy(col("c_acctbal").desc, col("c_custkey"))
+        c.join(n, col("c_nationkey") === col("n_nationkey"))
+          .select(col("n_name"), col("c_name"), col("c_acctbal"),
+            row_number().over(w).as("rn"))
+          .filter(col("rn") <= 3)
+          .orderBy(col("n_name"), col("rn"))
+      },
+      Some("""SELECT * FROM (SELECT n_name, c_name, c_acctbal,
+        row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) rn
+        FROM customer JOIN nation ON c_nationkey=n_nationkey) WHERE rn<=3
+        ORDER BY n_name, rn""")),
+
+    // C22 — lag/lead analytics.
+    "c22_lag_lead" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        t(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+            lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+            lead(col("o_totalprice"), 1).over(w).as("next_price"))
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice,
+        lag(o_totalprice, 1) OVER w AS prev_price,
+        lead(o_totalprice, 1) OVER w AS next_price
+        FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        ORDER BY o_custkey, o_orderkey""")),
+
+    // C23 — aggregate window with a running frame (decimal = exact).
+    "c23_running_sum" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"),
+            sum(dec4(col("o_totalprice"))).over(w).cast("double").as("running_spend"))
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (PARTITION BY o_custkey
+          ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+        FROM orders ORDER BY o_custkey, o_orderkey""")),
+
+    // C24 — global multi-key sort with synthesized NULLS FIRST/LAST.
+    "c24_sort_nulls" -> QueryDef(
+      (s, dir) =>
+        t(s, dir, "orders")
+          .select(col("o_orderkey"),
+            nullif(col("o_orderstatus"), lit("O")).as("status_n"))
+          .orderBy(col("status_n").asc_nulls_first, col("o_orderkey").desc),
+      Some("""SELECT o_orderkey, nullif(o_orderstatus,'O') AS status_n
+        FROM orders ORDER BY status_n NULLS FIRST, o_orderkey DESC""")),
+
+    // C25 — global top-k → TakeOrderedAndProject (BASELINE B5).
+    "c25_topk" -> QueryDef(
+      (s, dir) =>
+        t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(100),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""")),
+
+    // C26 — set operations.
+    "c26_set_ops" -> QueryDef(
+      (s, dir) => {
+        val withOrders = t(s, dir, "orders").select(col("o_custkey").as("k")).distinct()
+        val all = t(s, dir, "customer").select(col("c_custkey").as("k"))
+        val never = all.except(withOrders).withColumn("src", lit("never"))
+        val both = all.intersect(withOrders).withColumn("src", lit("both"))
+        never.unionByName(both).orderBy(col("src"), col("k"))
+      },
+      Some("""WITH w AS (SELECT DISTINCT o_custkey AS k FROM orders),
+        a AS (SELECT c_custkey AS k FROM customer)
+        SELECT k, 'never' AS src FROM (SELECT k FROM a EXCEPT SELECT k FROM w)
+        UNION ALL
+        SELECT k, 'both' AS src FROM (SELECT k FROM a INTERSECT SELECT k FROM w)
+        ORDER BY src, k""")),
+
+    // C27/C15 — string functions over documents (BASELINE B7 + extras).
+    "c27_strings" -> QueryDef(
+      (s, dir) =>
+        t(s, dir, "documents")
+          .groupBy(col("lang"))
+          .agg(
+            countDistinct(col("source")).as("nd_source"),
+            (sum(length(col("text"))).cast("double") / count(lit(1))).as("avg_len"),
+            max(upper(substring(col("text"), 1, 8))).as("max_head"))
+          .orderBy(col("lang")),
+      Some("""SELECT lang, count(DISTINCT source) AS nd_source,
+        CAST(sum(length(text)) AS DOUBLE) / count(*) AS avg_len,
+        max(upper(substr(text,1,8))) AS max_head
+        FROM documents GROUP BY lang ORDER BY lang""")),
+
+    // C27b — scalar string fns incl. regex + levenshtein.
+    "c27_string_scalars" -> QueryDef(
+      (s, dir) =>
+        t(s, dir, "part").select(
+          col("p_partkey"),
+          concat(col("p_brand"), lit(":"), col("p_type")).as("brand_type"),
+          lower(col("p_name")).as("name_lc"),
+          lpad(col("p_size").cast("string"), 4, "0").as("size_pad"),
+          regexp_extract(col("p_brand"), "#(\\d+)", 1).cast("int").as("brand_num"),
+          regexp_replace(col("p_name"), "[aeiou]", "_").as("name_novowel"),
+          instr(col("p_type"), "A").as("a_pos"),
+          translate(col("p_type"), "AEO", "aeo").as("type_tr"),
+          levenshtein(col("p_brand"), col("p_type")).as("lev"))
+          .orderBy(col("p_partkey")),
+      Some("""SELECT p_partkey,
+        p_brand || ':' || p_type AS brand_type,
+        lower(p_name) AS name_lc,
+        lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+        CAST(regexp_extract(p_brand, '#(\d+)', 1) AS INT) AS brand_num,
+        regexp_replace(p_name, '[aeiou]', '_', 'g') AS name_novowel,
+        CAST(strpos(p_type, 'A') AS INT) AS a_pos,
+        CAST(translate(p_type, 'AEO', 'aeo') AS VARCHAR) AS type_tr,
+        CAST(levenshtein(p_brand, p_type) AS INT) AS lev
+        FROM part ORDER BY p_partkey""")),
+
+    // C28 — date/time kitchen sink (ms-precision tables only; µs-safe).
+    "c28_datetime" -> QueryDef(
+      (s, dir) =>
+        t(s, dir, "orders").select(
+          col("o_orderkey"),
+          date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+          year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          date_add(col("o_orderdate").cast("date"), 30).as("due_date"),
+          datediff(lit("2002-01-01").cast("date"), col("o_orderdate").cast("date")).as("age_days"))
+          .orderBy(col("o_orderkey")),
+      Some("""SELECT o_orderkey,
+        CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        CAST(extract(year FROM o_orderdate) AS INT) AS yr,
+        CAST(extract(month FROM o_orderdate) AS INT) AS mo,
+        CAST(extract(day FROM o_orderdate) AS INT) AS dom,
+        CAST(o_orderdate AS DATE) + 30 AS due_date,
+        CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INT) AS age_days
+        FROM orders ORDER BY o_orderkey""")),
+
+    // C29 — math functions (transcendentals rounded: libm ulps differ).
+    "c29_math" -> QueryDef(
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .filter(col("l_orderkey") <= 1000)
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            abs(col("l_quantity") * -1).as("abs_q"),
+            floor(col("l_extendedprice")).as("floor_p"),
+            ceil(col("l_extendedprice")).as("ceil_p"),
+            round(sqrt(col("l_quantity")), 6).as("sqrt_q"),
+            round(pow(col("l_quantity"), 2.0), 6).as("q_sq"),
+            round(log(col("l_extendedprice")), 6).as("ln_p"),
+            round(log10(col("l_extendedprice")), 6).as("log10_p"),
+            round(exp(col("l_discount")), 6).as("exp_d"),
+            pmod(col("l_orderkey"), lit(7)).as("mod7"),
+            signum(col("l_discount") - 0.05).as("sgn"),
+            greatest(col("l_tax"), col("l_discount")).as("gt"),
+            least(col("l_tax"), col("l_discount")).as("lt"))
+          .orderBy(col("l_orderkey"), col("l_linenumber")),
+      Some("""SELECT l_orderkey, l_linenumber,
+        abs(l_quantity * -1) AS abs_q,
+        floor(l_extendedprice) AS floor_p,
+        ceil(l_extendedprice) AS ceil_p,
+        round(sqrt(l_quantity), 6) AS sqrt_q,
+        round(pow(l_quantity, 2.0), 6) AS q_sq,
+        round(ln(l_extendedprice), 6) AS ln_p,
+        round(log10(l_extendedprice), 6) AS log10_p,
+        round(exp(l_discount), 6) AS exp_d,
+        CAST(l_orderkey % 7 AS BIGINT) AS mod7,
+        CAST(sign(l_discount - 0.05) AS DOUBLE) AS sgn,
+        greatest(l_tax, l_discount) AS gt,
+        least(l_tax, l_discount) AS lt
+        FROM lineitem WHERE l_orderkey <= 1000
+        ORDER BY l_orderkey, l_linenumber""")),
+
+    // C32/C28 — JSON extraction + hourly bucketing on events (BASELINE B6).
+    // events.ts is ns in parquet → hour-truncated and output as string on
+    // both sides (SURVEY.md §1.2 timestamp-precision delta).
+    "c32_json_events" -> QueryDef(
+      (s, dir) =>
+        t(s, dir, "events")
+          .groupBy(
+            date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("w"),
+            col("event_type"))
+          .agg(
+            count(lit(1)).as("n"),
+            sumD2(col("value")).as("sum_value"),
+            sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"))
+          .orderBy(col("w"), col("event_type")),
+      Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS w, event_type,
+        count(*) AS n,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        sum(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS sum_k
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // C33 — deterministic hash functions.
+    "c33_hashes" -> QueryDef(
+      (s, dir) =>
+        t(s, dir, "documents").select(
+          col("doc_id"),
+          md5(col("text")).as("md5_hex"),
+          sha2(col("text"), 256).as("sha256_hex"))
+          .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, md5(text) AS md5_hex, sha256(text) AS sha256_hex
+        FROM documents ORDER BY doc_id""")),
+
+    // C34 — explode with position (Generate / UNNEST WITH ORDINALITY).
+    "c34_explode" -> QueryDef(
+      (s, dir) =>
+        t(s, dir, "documents")
+          .filter(col("doc_id") < 50)
+          .select(col("doc_id"), posexplode(split(col("text"), " ")))
+          .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("tok"))
+          .orderBy(col("doc_id"), col("pos")),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+          FROM documents WHERE doc_id < 50)
+        SELECT doc_id, CAST(p AS INT) AS pos, toks[CAST(p AS INT)] AS tok
+        FROM t, UNNEST(generate_series(1, len(toks))) AS u(p)
+        ORDER BY doc_id, pos"""))
+  )
+}
