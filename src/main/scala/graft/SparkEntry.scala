@@ -10,7 +10,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private val blocks: Seq[QueryBlock] = Seq(
-    graft.queries.Relational)
+    graft.queries.Relational,
+    graft.queries.Relational2,
+    graft.queries.LlmPipeline)
 
   private lazy val all: Map[String, QueryDef] =
     blocks.flatMap(_.queries).toMap

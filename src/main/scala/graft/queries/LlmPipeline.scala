@@ -1,0 +1,336 @@
+package graft.queries
+
+import graft.{Graft, QueryBlock, QueryDef, Tables, TextFunctions}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** LLM-data-pipeline operators (SURVEY.md §2 block E): dedup, embedding
+  * similarity / KNN, tokenization, n-grams, TF-IDF, sentiment, similarity
+  * joins, multimodal ingest, corpus profiling.
+  *
+  * Scale notes (100 TB design point, SURVEY §7):
+  *  - every similarity join here is join-shaped (pair generation via a key:
+  *    LSH band, shared token, length bucket) — never a materialized
+  *    cartesian; the only cross joins broadcast a bounded query set;
+  *  - embedding math runs in codegen'd higher-order functions
+  *    (aggregate/zip_with), not UDFs;
+  *  - dedup/TF-IDF are partial+final hash aggregates — the stock
+  *    HashAggregateExec path.
+  */
+object LlmPipeline extends QueryBlock {
+  import Graft._
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+  private val scratch = "/tmp/graft_fixtures"
+
+  /** Spark-side cosine similarity between two array<float> columns, written
+    * as a sequential double fold so DuckDB's list_sum over the same casts
+    * reproduces it bit-for-bit.
+    */
+  private def cosineExpr(a: String, b: String): String =
+    s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+        CAST(0 AS DOUBLE), (s, v) -> s + v)
+      / (sqrt(aggregate($a, CAST(0 AS DOUBLE), (s, x) -> s + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+       * sqrt(aggregate($b, CAST(0 AS DOUBLE), (s, x) -> s + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"""
+
+  /** DuckDB-side cosine with the same op order. */
+  private def duckCosine(a: String, b: String): String =
+    s"""list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"""
+
+  val queries: Map[String, QueryDef] = Map(
+    // E1 — exact dedup: canonical keeper (min doc_id) + multiplicity per
+    // distinct text. Partial+final hash agg; at 100 TB group on sha2(text)
+    // instead of raw text to bound shuffle width (same result).
+    "e01_exact_dedup" -> QueryDef(
+      (s, dir) =>
+        t(s, dir, "documents")
+          .groupBy(sha2(col("text"), 256).as("h"))
+          .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+          .select(col("keep_id"), col("n_copies"))
+          .orderBy(col("keep_id")),
+      Some("""SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        FROM documents GROUP BY sha256(text) ORDER BY keep_id""")),
+
+    // E3 — brute-force cosine top-10 against query vector 0 (BASELINE B9).
+    "e03_cosine_topk" -> QueryDef(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("q"))
+        emb.crossJoin(broadcast(q))
+          .select(col("vec_id"), expr(cosineExpr("embedding", "q")).as("sim"))
+          .orderBy(col("sim").desc, col("vec_id"))
+          .limit(10)
+      },
+      Some(s"""WITH q AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id, ${duckCosine("embedding", "q")} AS sim
+        FROM embeddings CROSS JOIN q
+        ORDER BY sim DESC, vec_id LIMIT 10""")),
+
+    // E4 — KNN join: 5 query vectors -> 3 nearest corpus vectors each.
+    // Broadcast the bounded query side; scores stay distributed. The 100 TB
+    // corpus-vs-corpus variant batches the probe side (SURVEY §4.3).
+    "e04_knn_join" -> QueryDef(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("q"))
+        val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+        emb.crossJoin(broadcast(q))
+          .select(col("qid"), col("vec_id"), expr(cosineExpr("embedding", "q")).as("sim"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("qid"), col("rk"), col("vec_id"), col("sim"))
+          .orderBy(col("qid"), col("rk"))
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS qid, embedding AS q FROM embeddings WHERE vec_id < 5),
+        scored AS (SELECT qid, vec_id, ${duckCosine("embedding", "q")} AS sim
+          FROM embeddings CROSS JOIN q),
+        ranked AS (SELECT qid, vec_id, sim,
+          CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS INT) AS rk
+          FROM scored)
+        SELECT qid, rk, vec_id, sim FROM ranked WHERE rk <= 3 ORDER BY qid, rk""")),
+
+    // E5 — tokenize/normalize: codegen'd split/lower, no UDF.
+    "e05_tokenize" -> QueryDef(
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).as("n_tok"),
+            size(array_distinct(split(lower(col("text")), " "))).as("n_distinct_tok"),
+            element_at(split(col("text"), " "), 1).as("first_tok"),
+            length(col("text")).as("n_char"))
+          .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+        CAST(len(string_split(text, ' ')) AS INT) AS n_tok,
+        CAST(len(list_distinct(string_split(lower(text), ' '))) AS INT) AS n_distinct_tok,
+        string_split(text, ' ')[1] AS first_tok,
+        CAST(length(text) AS INT) AS n_char
+        FROM documents ORDER BY doc_id""")),
+
+    // E6 — quality signals: stopword ratio (literal list), word stats,
+    // language filter. All codegen'd higher-order fns.
+    "e06_text_quality" -> QueryDef(
+      (s, dir) =>
+        t(s, dir, "documents")
+          .filter(col("lang") === "en")
+          .select(col("doc_id"), split(lower(col("text")), " ").as("toks"), col("n_chars"))
+          .select(col("doc_id"),
+            size(col("toks")).as("n_tok"),
+            expr("size(filter(toks, x -> x IN ('the','and','of','to','a','in','is','value','data')))").as("n_stop"),
+            expr("CAST(size(filter(toks, x -> x IN ('the','and','of','to','a','in','is','value','data'))) AS DOUBLE) / size(toks)").as("stop_ratio"),
+            expr("CAST(n_chars AS DOUBLE) / size(toks)").as("chars_per_tok"))
+          .orderBy(col("doc_id")),
+      Some("""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks, n_chars
+          FROM documents WHERE lang = 'en')
+        SELECT doc_id,
+          CAST(len(toks) AS INT) AS n_tok,
+          CAST(len(list_filter(toks, x -> list_contains(['the','and','of','to','a','in','is','value','data'], x))) AS INT) AS n_stop,
+          CAST(len(list_filter(toks, x -> list_contains(['the','and','of','to','a','in','is','value','data'], x))) AS DOUBLE) / len(toks) AS stop_ratio,
+          CAST(n_chars AS DOUBLE) / len(toks) AS chars_per_tok
+        FROM t ORDER BY doc_id""")),
+
+    // E7 — word bigrams via transform(sequence(...)) — guard the
+    // single-token case (Spark's sequence(1,0) is DESCENDING, not empty).
+    "e07_ngrams" -> QueryDef(
+      (s, dir) =>
+        t(s, dir, "documents")
+          .filter(col("doc_id") < 20)
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .select(col("doc_id"),
+            expr("""CASE WHEN size(toks) < 2 THEN array()
+              ELSE transform(sequence(1, size(toks) - 1),
+                i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))) END""").as("bigrams"))
+          .orderBy(col("doc_id")),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+          FROM documents WHERE doc_id < 20)
+        SELECT doc_id,
+          list_transform(generate_series(1, len(toks) - 1),
+            i -> toks[i] || ' ' || toks[i + 1]) AS bigrams
+        FROM t ORDER BY doc_id""")),
+
+    // E8 — TF-IDF, pure relational (explode -> tf; df join; smooth idf).
+    // ln() may differ in the last ulp across libm builds -> round 6dp.
+    "e08_tfidf" -> QueryDef(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val nDocs = docs.select(countDistinct(col("doc_id")).as("n_docs"))
+        val toks = docs.select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+        val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        tf.join(df, "tok").crossJoin(broadcast(nDocs))
+          .filter(col("doc_id") < 30)
+          .select(col("doc_id"), col("tok"), col("tf"),
+            round(col("tf") * (log((col("n_docs") + 1.0) / (col("df") + 1.0)) + 1.0), 6).as("tfidf"))
+          .orderBy(col("doc_id"), col("tok"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+        tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+        df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+        SELECT doc_id, tf.tok AS tok, tf,
+          round(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 6) AS tfidf
+        FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+        WHERE doc_id < 30 ORDER BY doc_id, tok""")),
+
+    // E9 — lexicon sentiment: token explode ⋈ broadcast lexicon, exact
+    // decimal mean. The lexicon is a committed literal (same in oracle).
+    "e09_sentiment" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val lex = Seq(("fast", 1.0), ("slow", -1.0), ("small", -0.5),
+          ("agg", 0.5), ("join", 0.75), ("scan", -0.25)).toDF("tok", "polarity")
+        val toks = t(s, dir, "documents")
+          .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+        toks.join(broadcast(lex), "tok")
+          .groupBy(col("doc_id"))
+          .agg((sum(dec2(col("polarity"))).cast("double") / count(lit(1))).as("sentiment"),
+            count(lit(1)).as("n_hits"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH lex AS (SELECT * FROM (VALUES ('fast', 1.0), ('slow', -1.0), ('small', -0.5),
+          ('agg', 0.5), ('join', 0.75), ('scan', -0.25)) AS t(tok, polarity)),
+        toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents)
+        SELECT doc_id,
+          CAST(sum(CAST(polarity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS sentiment,
+          count(*) AS n_hits
+        FROM toks JOIN lex ON toks.tok = lex.tok
+        GROUP BY doc_id ORDER BY doc_id""")),
+
+    // E10 — string-similarity self-join with the scale-path prefilter
+    // (length band) before the expensive levenshtein verify.
+    "e10_string_sim_join" -> QueryDef(
+      (s, dir) => {
+        val types = t(s, dir, "part").select(col("p_type")).distinct()
+        val a = types.select(col("p_type").as("ta"))
+        val b = types.select(col("p_type").as("tb"))
+        a.join(b, col("ta") < col("tb") &&
+            abs(length(col("ta")) - length(col("tb"))) <= 4 &&
+            levenshtein(col("ta"), col("tb")) <= 4)
+          .select(col("ta"), col("tb"), levenshtein(col("ta"), col("tb")).as("dist"))
+          .orderBy(col("ta"), col("tb"))
+      },
+      Some("""WITH t AS (SELECT DISTINCT p_type FROM part)
+        SELECT a.p_type AS ta, b.p_type AS tb,
+          CAST(levenshtein(a.p_type, b.p_type) AS INT) AS dist
+        FROM t a JOIN t b ON a.p_type < b.p_type
+          AND abs(length(a.p_type) - length(b.p_type)) <= 4
+          AND levenshtein(a.p_type, b.p_type) <= 4
+        ORDER BY ta, tb""")),
+
+    // E11 — Jaccard token-set join, pair generation BY SHARED TOKEN (the
+    // join-shaped scale path — no cartesian), exact integer counts.
+    "e11_jaccard_join" -> QueryDef(
+      (s, dir) => {
+        val docs = t(s, dir, "documents").filter(col("doc_id") < 100)
+        val toks = docs
+          .select(col("doc_id"), explode(array_distinct(split(lower(col("text")), " "))).as("tok"))
+        val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+        val pairs = toks.select(col("doc_id").as("d1"), col("tok"))
+          .join(toks.select(col("doc_id").as("d2"), col("tok")), "tok")
+          .filter(col("d1") < col("d2"))
+          .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter"))
+        pairs
+          .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), "d1")
+          .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2")), "d2")
+          .select(col("d1"), col("d2"),
+            (col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter"))).as("jaccard"))
+          .filter(col("jaccard") >= 0.8)
+          .orderBy(col("d1"), col("d2"))
+      },
+      Some("""WITH toks AS (SELECT DISTINCT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS tok
+          FROM documents WHERE doc_id < 100),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+        pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+          FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+          GROUP BY d1, d2)
+        SELECT d1, d2,
+          CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) AS jaccard
+        FROM pairs JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+        WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= 0.8
+        ORDER BY d1, d2""")),
+
+    // E12 — multimodal binary ingest: deterministic blob fixtures written
+    // from document texts, read back through the binaryFile source.
+    "e12_binary_ingest" -> QueryDef(
+      (s, dir) => {
+        val blobDir = s"$scratch/blobs"
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(blobDir))
+        t(s, dir, "documents").filter(col("doc_id") < 5)
+          .select(col("doc_id"), col("text")).collect()
+          .foreach { r =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(f"$blobDir/doc${r.getLong(0)}%03d.bin"),
+              r.getString(1).getBytes("UTF-8"))
+          }
+        s.read.format("binaryFile").load(blobDir)
+          .select(
+            regexp_extract(col("path"), "([^/]+)$", 1).as("fname"),
+            length(col("content")).as("n_bytes"),
+            sha2(col("content"), 256).as("sha"))
+          .orderBy(col("fname"))
+      },
+      Some(s"""SELECT regexp_extract(filename, '([^/]+)$$', 1) AS fname,
+        CAST(size AS INT) AS n_bytes,
+        sha256(decode(content)) AS sha
+        FROM read_blob('$scratch/blobs/*.bin') ORDER BY fname""")),
+
+    // E13 — corpus quality profile: one pass per lang.
+    "e13_quality_profile" -> QueryDef(
+      (s, dir) =>
+        t(s, dir, "documents")
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            countDistinct(col("text")).as("n_distinct"),
+            sum(when(col("text").isNull, 1).otherwise(0)).as("n_null"),
+            round(expr("percentile(n_chars, 0.5)"), 6).as("len_p50"),
+            (sum(col("n_chars")).cast("double") / count(lit(1))).as("len_avg"))
+          .orderBy(col("lang")),
+      Some("""SELECT lang, count(*) AS n_docs, count(DISTINCT text) AS n_distinct,
+        sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS n_null,
+        round(quantile_cont(n_chars, 0.5), 6) AS len_p50,
+        CAST(sum(n_chars) AS DOUBLE) / count(*) AS len_avg
+        FROM documents GROUP BY lang ORDER BY lang""")),
+
+    // E2 — MinHash-LSH near-dup candidates (no SQL oracle — owned hash
+    // family; GOLDEN/PROP covered in ScalaTest; driver records rows>0).
+    // Pipeline: shingle -> 128-perm minhash -> 32 bands of 4 -> band-key
+    // equi-join -> estimated-similarity filter. Join-shaped: scales.
+    "e02_minhash_pairs" -> QueryDef(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), TextFunctions.minhash128(col("text")).as("sig"))
+        val bands = docs.select(col("doc_id"), col("sig"),
+          posexplode(expr("transform(sequence(0, 31), b -> sha2(cast(slice(sig, b * 4 + 1, 4) AS STRING), 256))")))
+          .select(col("doc_id"), col("sig"), col("pos").as("band"), col("col").as("bkey"))
+        val cands = bands.alias("a")
+          .join(bands.alias("b"),
+            col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+            col("a.sig").as("s1"), col("b.sig").as("s2"))
+          .distinct()
+        cands
+          .select(col("d1"), col("d2"),
+            expr("CAST(size(filter(zip_with(s1, s2, (x, y) -> x = y), v -> v)) AS DOUBLE) / 128").as("est_jaccard"))
+          .filter(col("est_jaccard") >= 0.5)
+          .orderBy(col("d1"), col("d2"))
+      },
+      None),
+
+    // E14 — sketches: approx vs exact side by side (PROP-tested bounds; not
+    // oracle-able — sketch internals differ across engines by design).
+    "e14_approx_distinct" -> QueryDef(
+      (s, dir) =>
+        t(s, dir, "documents")
+          .groupBy(col("lang"))
+          .agg(
+            countDistinct(col("source")).as("exact_nd"),
+            approx_count_distinct(col("source")).as("approx_nd"))
+          .orderBy(col("lang")),
+      None)
+  )
+}

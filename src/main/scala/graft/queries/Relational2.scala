@@ -1,0 +1,279 @@
+package graft.queries
+
+import graft.{Graft, QueryBlock, QueryDef, Tables}
+import graft.operators.AsOfJoin
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational core, part 2 (SURVEY.md §2 block C leftovers): file-format
+  * round-trips, as-of join, exact statistics, percentiles, collect,
+  * first/last, full ranking-function set, array/map functions, raw SQL entry.
+  *
+  * Cross-engine float determinism notes:
+  *  - statistics (C16) are computed from exact decimal power sums and a
+  *    double formula written with IDENTICAL operation order in both dialects
+  *    → bit-identical, no rounding slop;
+  *  - percentiles (C17) round 6dp — interpolation op order is engine-internal;
+  *  - embeddings float32 values cast exactly to double on both sides.
+  */
+object Relational2 extends QueryBlock {
+  import Graft._
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  /** Deterministic scratch dir for file round-trip queries; the oracle SQL
+    * reads the same absolute paths after Verify has written them.
+    */
+  private val scratch = "/tmp/graft_fixtures"
+
+  val queries: Map[String, QueryDef] = Map(
+    // C2a — CSV sink + scan round-trip (schema declared, not inferred: at
+    // 100 TB you never infer schemas twice).
+    "c02_csv_roundtrip" -> QueryDef(
+      (s, dir) => {
+        val out = s"$scratch/part_csv"
+        t(s, dir, "part").select(col("p_partkey"), col("p_name"), col("p_retailprice"))
+          .coalesce(1).write.mode("overwrite").option("header", "true").csv(out)
+        s.read.option("header", "true")
+          .schema("p_partkey LONG, p_name STRING, p_retailprice DOUBLE")
+          .csv(out)
+          .agg(count(lit(1)).as("n"), sumD2(col("p_retailprice")).as("sum_price"),
+            max(col("p_name")).as("max_name"))
+      },
+      Some(s"""SELECT count(*) AS n,
+        CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        max(p_name) AS max_name
+        FROM read_csv('$scratch/part_csv/*.csv', header=true)""")),
+
+    // C2b — JSON lines sink + scan round-trip.
+    "c02_json_roundtrip" -> QueryDef(
+      (s, dir) => {
+        val out = s"$scratch/orders_json"
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+          .coalesce(1).write.mode("overwrite").json(out)
+        s.read.schema("o_orderkey LONG, o_orderstatus STRING, o_totalprice DOUBLE")
+          .json(out)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), sumD4(col("o_totalprice")).as("sum_price"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some(s"""SELECT o_orderstatus, count(*) AS n,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        FROM read_json('$scratch/orders_json/*.json', format='newline_delimited')
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // C3 — partitioned parquet sink; re-read must reproduce source aggregates.
+    // Oracle aggregates the SOURCE table: equality proves the round-trip.
+    "c03_partitioned_sink" -> QueryDef(
+      (s, dir) => {
+        val out = s"$scratch/li_by_flag"
+        t(s, dir, "lineitem")
+          .write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+        s.read.parquet(out)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"), sumD2(col("l_quantity")).as("sum_qty"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag, count(*) AS n,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // C13 — as-of join: for each purchase event, the latest click event of
+    // the same user at ts <= purchase ts. Union+window plan (AsOfJoin), one
+    // shuffle; DuckDB oracles with native ASOF JOIN on exact integer micros.
+    "c13_asof_join" -> QueryDef(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("click_ts"),
+            col("event_id").as("click_id"), col("value").as("click_value"))
+        AsOfJoin.asOf(purchases, clicks,
+            partitionCols = Seq("user_id"),
+            leftTs = "ts", rightTs = "click_ts",
+            rightVals = Seq("click_id", "click_value"))
+          .select(col("event_id"), col("user_id"), col("click_id"), col("click_value"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH p AS (SELECT user_id, event_id, epoch_ns(ts)//1000 AS ts_us, value
+          FROM events WHERE event_type = 'purchase'),
+        c AS (SELECT user_id, epoch_ns(ts)//1000 AS ts_us, event_id AS click_id,
+            value AS click_value
+          FROM events WHERE event_type = 'click')
+        SELECT p.event_id, p.user_id, c.click_id, c.click_value
+        FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts_us <= p.ts_us
+        ORDER BY p.event_id""")),
+
+    // C16 — stddev/variance/corr/covar from exact decimal power sums; the
+    // double formula below is written with identical op order in both
+    // dialects, so results are bit-identical (no rounding needed).
+    "c16_stats" -> QueryDef(
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).cast("double").as("n"),
+            sum(dec2(col("l_quantity"))).cast("double").as("sx"),
+            sum(dec2(col("l_extendedprice"))).cast("double").as("sy"),
+            sum(dec2(col("l_quantity")) * dec2(col("l_quantity"))).cast("double").as("sxx"),
+            sum(dec2(col("l_extendedprice")) * dec2(col("l_extendedprice"))).cast("double").as("syy"),
+            sum(dec2(col("l_quantity")) * dec2(col("l_extendedprice"))).cast("double").as("sxy"))
+          .select(col("l_returnflag"),
+            expr("(sxx - sx*sx/n)/(n-1)").as("var_qty"),
+            expr("sqrt((sxx - sx*sx/n)/(n-1))").as("stddev_qty"),
+            expr("(syy - sy*sy/n)/n").as("var_pop_price"),
+            expr("(sxy - sx*sy/n)/(n-1)").as("covar_qp"),
+            expr("(sxy - sx*sy/n)/sqrt((sxx - sx*sx/n)*(syy - sy*sy/n))").as("corr_qp"))
+          .orderBy(col("l_returnflag")),
+      Some("""WITH s AS (SELECT l_returnflag,
+          CAST(count(*) AS DOUBLE) AS n,
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag,
+          (sxx - sx*sx/n)/(n-1) AS var_qty,
+          sqrt((sxx - sx*sx/n)/(n-1)) AS stddev_qty,
+          (syy - sy*sy/n)/n AS var_pop_price,
+          (sxy - sx*sy/n)/(n-1) AS covar_qp,
+          (sxy - sx*sy/n)/sqrt((sxx - sx*sx/n)*(syy - sy*sy/n)) AS corr_qp
+        FROM s ORDER BY l_returnflag""")),
+
+    // C17 — exact percentiles (linear interpolation), rounded 6dp.
+    "c17_percentile" -> QueryDef(
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            round(expr("percentile(l_extendedprice, 0.25)"), 6).as("p25"),
+            round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
+            round(expr("percentile(l_extendedprice, 0.75)"), 6).as("p75"))
+          .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+        round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+        round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+        round(quantile_cont(l_extendedprice, 0.75), 6) AS p75
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // C18 — collect_set, canonicalized by sorting (bare collect order is
+    // partition-nondeterministic — SURVEY §2 C18).
+    "c18_collect" -> QueryDef(
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(sort_array(collect_set(col("l_quantity"))).as("qtys"))
+          .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag, list_sort(list(DISTINCT l_quantity)) AS qtys
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // C19 — first/last/nth over an explicitly ordered frame.
+    "c19_first_last" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        t(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"),
+            first(col("o_totalprice")).over(w).as("first_price"),
+            last(col("o_totalprice")).over(w).as("last_price"),
+            nth_value(col("o_totalprice"), 2).over(w).as("second_price"))
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+        first_value(o_totalprice) OVER w AS first_price,
+        last_value(o_totalprice) OVER w AS last_price,
+        nth_value(o_totalprice, 2) OVER w AS second_price
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        ORDER BY o_custkey, o_orderkey""")),
+
+    // C21b — remaining ranking functions: dense_rank, ntile, percent_rank,
+    // cume_dist (row_number/rank covered by c21_rank_window).
+    "c21_rank_full" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("c_acctbal").desc, col("c_custkey"))
+        t(s, dir, "customer")
+          .filter(col("c_custkey") < 500)
+          .select(col("c_mktsegment"), col("c_custkey"),
+            dense_rank().over(w).as("drnk"),
+            ntile(4).over(w).as("quartile"),
+            round(percent_rank().over(w), 6).as("prnk"),
+            round(cume_dist().over(w), 6).as("cdist"))
+          .orderBy(col("c_mktsegment"), col("c_custkey"))
+      },
+      Some("""SELECT c_mktsegment, c_custkey,
+        CAST(dense_rank() OVER w AS INT) AS drnk,
+        CAST(ntile(4) OVER w AS INT) AS quartile,
+        round(percent_rank() OVER w, 6) AS prnk,
+        round(cume_dist() OVER w, 6) AS cdist
+        FROM customer WHERE c_custkey < 500
+        WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+        ORDER BY c_mktsegment, c_custkey""")),
+
+    // C30 — array + higher-order functions over embeddings (float32 casts
+    // to double exactly; sequential fold order matches DuckDB's list_sum).
+    "c30_arrays" -> QueryDef(
+      (s, dir) =>
+        t(s, dir, "embeddings")
+          .select(col("vec_id"),
+            size(col("embedding")).as("dim"),
+            col("embedding").getItem(0).cast("double").as("e0"),
+            element_at(col("embedding"), -1).cast("double").as("e_last"),
+            expr("aggregate(embedding, CAST(0 AS DOUBLE), (s, x) -> s + CAST(x AS DOUBLE))").as("sum_e"),
+            expr("aggregate(embedding, CAST(-1e300 AS DOUBLE), (s, x) -> greatest(s, CAST(x AS DOUBLE)))").as("max_e"),
+            expr("size(filter(embedding, x -> x > 0))").as("n_pos"),
+            expr("CAST(sort_array(transform(embedding, x -> CAST(x AS DOUBLE)))[0] AS DOUBLE)").as("min_e"))
+          .orderBy(col("vec_id")),
+      Some("""SELECT vec_id,
+        CAST(len(embedding) AS INT) AS dim,
+        CAST(embedding[1] AS DOUBLE) AS e0,
+        CAST(embedding[-1] AS DOUBLE) AS e_last,
+        list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum') AS sum_e,
+        list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'max') AS max_e,
+        CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
+        list_sort(list_transform(embedding, x -> CAST(x AS DOUBLE)))[1] AS min_e
+        FROM embeddings ORDER BY vec_id""")),
+
+    // C31 — map construction + element access (scalar outputs: DuckDB map
+    // extraction returns a list, so both sides emit unwrapped scalars).
+    "c31_maps" -> QueryDef(
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .filter(col("l_orderkey") <= 200)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            map(lit("qty"), col("l_quantity"), lit("disc"), col("l_discount")).as("m"))
+          .select(col("l_orderkey"), col("l_linenumber"),
+            element_at(col("m"), "qty").as("m_qty"),
+            element_at(col("m"), "disc").as("m_disc"),
+            size(map_keys(col("m"))).as("n_keys"))
+          .orderBy(col("l_orderkey"), col("l_linenumber")),
+      Some("""WITH t AS (SELECT l_orderkey, l_linenumber,
+          map(['qty','disc'], [l_quantity, l_discount]) AS m
+          FROM lineitem WHERE l_orderkey <= 200)
+        SELECT l_orderkey, l_linenumber,
+          m['qty'][1] AS m_qty, m['disc'][1] AS m_disc,
+          CAST(len(map_keys(m)) AS INT) AS n_keys
+        FROM t ORDER BY l_orderkey, l_linenumber""")),
+
+    // C37 — SQL entry point: the same text planned by Catalyst over temp
+    // views (proves the registered-view path the DuckDB oracle mirrors).
+    "c37_sql_entry" -> QueryDef(
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""SELECT n_name, count(*) AS n_supp,
+          CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+          FROM supplier JOIN nation ON s_nationkey = n_nationkey
+          GROUP BY n_name ORDER BY n_name""")
+      },
+      Some("""SELECT n_name, count(*) AS n_supp,
+        CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY n_name"""))
+  )
+}
