@@ -46,6 +46,14 @@ object GeoFunctions extends Serializable {
 
   val stPointF: (Double, Double) => Array[Byte] =
     (x, y) => toWkb(gf.createPoint(new Coordinate(x, y)))
+  /** Axis-aligned rectangle (xmin ymin, xmax ymin, xmax ymax, xmin ymax),
+    * CCW closed ring — the canonical bbox geometry (SURVEY.md §4.3).
+    */
+  val stMakeBoxF: (Double, Double, Double, Double) => Array[Byte] =
+    (xmin, ymin, xmax, ymax) => toWkb(gf.createPolygon(Array(
+      new Coordinate(xmin, ymin), new Coordinate(xmax, ymin),
+      new Coordinate(xmax, ymax), new Coordinate(xmin, ymax),
+      new Coordinate(xmin, ymin))))
   val stXF: Array[Byte] => java.lang.Double = g1(g => g.getCoordinate.x)
   val stYF: Array[Byte] => java.lang.Double = g1(g => g.getCoordinate.y)
   val stGeometryTypeF: Array[Byte] => String = g1(_.getGeometryType)
@@ -77,6 +85,7 @@ object GeoFunctions extends Serializable {
 
   // ---- Column API ---------------------------------------------------------
   val st_point = udf(stPointF)
+  val st_makebox = udf(stMakeBoxF)
   val st_x = udf(stXF)
   val st_y = udf(stYF)
   val st_geometrytype = udf(stGeometryTypeF)
@@ -108,6 +117,7 @@ object GeoFunctions extends Serializable {
   def register(spark: SparkSession): Unit = synchronized {
     // spark.udf.register is idempotent per name; guard just avoids log spam.
     spark.udf.register("st_point", stPointF)
+    spark.udf.register("st_makebox", stMakeBoxF)
     spark.udf.register("st_x", stXF)
     spark.udf.register("st_y", stYF)
     spark.udf.register("st_geometrytype", stGeometryTypeF)

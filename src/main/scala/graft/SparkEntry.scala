@@ -12,7 +12,8 @@ object SparkEntry {
   private val blocks: Seq[QueryBlock] = Seq(
     graft.queries.Relational,
     graft.queries.Relational2,
-    graft.queries.LlmPipeline)
+    graft.queries.LlmPipeline,
+    graft.queries.Geometry)
 
   private lazy val all: Map[String, QueryDef] =
     blocks.flatMap(_.queries).toMap

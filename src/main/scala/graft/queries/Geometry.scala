@@ -1,0 +1,185 @@
+package graft.queries
+
+import graft.{GeoFunctions => G, QueryBlock, QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Geometry functions over WKB (SURVEY.md §2 block B), oracle-paired per
+  * §5.2's coordinate-level strategy: geometries are built FROM table columns
+  * (so both engines see identical doubles), Spark computes via JTS-on-WKB,
+  * DuckDB computes the same quantity in closed-form coordinate SQL (its
+  * spatial extension can't install offline).
+  *
+  * Exactness notes:
+  *  - box area is bit-exact: JTS's shoelace over an axis-aligned ring based
+  *    at the first vertex reduces to exactly w*h (one rounding), the same
+  *    double the oracle's (xmax-xmin)*(ymax-ymin) produces;
+  *  - box perimeter is exact: axis-aligned segment lengths are exact abs
+  *    diffs folded in ring order — the oracle repeats that fold;
+  *  - point distances round 6dp (JTS may use hypot; last-ulp vs sqrt);
+  *  - predicates are exact booleans (pure comparisons on both sides; JTS
+  *    boundary semantics spelled out in the oracle: contains = interior).
+  */
+object Geometry extends QueryBlock {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  val queries: Map[String, QueryDef] = Map(
+    // B1/B2/B3 — point build + accessors round-trip through WKB.
+    "b01_point_xy" -> QueryDef(
+      (s, dir) => {
+        val pt = G.st_point(col("c_acctbal"), col("c_custkey").cast("double"))
+        t(s, dir, "customer")
+          .filter(col("c_custkey") < 500)
+          .select(col("c_custkey"),
+            G.st_x(pt).as("x"), G.st_y(pt).as("y"),
+            G.st_geometrytype(pt).as("gtype"),
+            G.st_npoints(pt).as("npts"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_acctbal AS x, CAST(c_custkey AS DOUBLE) AS y,
+        'Point' AS gtype, 1 AS npts
+        FROM customer WHERE c_custkey < 500 ORDER BY c_custkey""")),
+
+    // B4/B5/B7/B8/B15 — box area (bit-exact), perimeter (exact fold),
+    // centroid (round 6), envelope (exact min/max), npoints.
+    "b04_box_measures" -> QueryDef(
+      (s, dir) => {
+        val box = G.st_makebox(lit(0.0), lit(0.0),
+          col("p_size").cast("double"), col("p_retailprice"))
+        val env = G.stEnvelopeStruct(box)
+        t(s, dir, "part")
+          .select(col("p_partkey"),
+            G.st_area(box).as("area"),
+            G.st_length(box).as("perimeter"),
+            round(G.st_x(G.st_centroid(box)), 6).as("cx"),
+            round(G.st_y(G.st_centroid(box)), 6).as("cy"),
+            env.getField("xmax").as("xmax"),
+            env.getField("ymax").as("ymax"),
+            G.st_npoints(box).as("npts"))
+          .orderBy(col("p_partkey"))
+      },
+      Some("""SELECT p_partkey,
+        CAST(p_size AS DOUBLE) * p_retailprice AS area,
+        ((CAST(p_size AS DOUBLE) + p_retailprice) + CAST(p_size AS DOUBLE)) + p_retailprice AS perimeter,
+        round(CAST(p_size AS DOUBLE) / 2, 6) AS cx,
+        round(p_retailprice / 2, 6) AS cy,
+        CAST(p_size AS DOUBLE) AS xmax,
+        p_retailprice AS ymax,
+        5 AS npts
+        FROM part ORDER BY p_partkey""")),
+
+    // B6/B11 — point-to-point distance + dwithin (round 6: hypot-vs-sqrt
+    // last-ulp; the boolean compares unrounded on both sides).
+    "b06_distance" -> QueryDef(
+      (s, dir) => {
+        val pa = G.st_point(col("c_acctbal"), lit(0.0))
+        val pb = G.st_point(col("c_custkey").cast("double"), lit(0.0))
+        t(s, dir, "customer")
+          .filter(col("c_custkey") < 1000)
+          .select(col("c_custkey"),
+            round(G.st_distance(pa, pb), 6).as("dist"),
+            G.st_dwithin(pa, pb, lit(2000.0)).as("near"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey,
+        round(abs(c_acctbal - CAST(c_custkey AS DOUBLE)), 6) AS dist,
+        abs(c_acctbal - CAST(c_custkey AS DOUBLE)) <= 2000.0 AS near
+        FROM customer WHERE c_custkey < 1000 ORDER BY c_custkey""")),
+
+    // B9/B10 — containment/intersection predicates, JTS boundary semantics
+    // (contains = interior only; intersects includes the boundary).
+    "b09_predicates" -> QueryDef(
+      (s, dir) => {
+        val boxCol = G.st_makebox(lit(0.0), lit(10.0), lit(5000.0), lit(80.0))
+        val pt = G.st_point(col("c_acctbal"), pmod(col("c_custkey"), lit(100)).cast("double"))
+        t(s, dir, "customer")
+          .select(col("c_custkey"),
+            G.st_contains(boxCol, pt).as("inside"),
+            G.st_within(pt, boxCol).as("within_box"),
+            G.st_intersects(pt, boxCol).as("touches_or_in"),
+            G.st_disjoint(pt, boxCol).as("outside"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey,
+        (c_acctbal > 0.0 AND c_acctbal < 5000.0
+          AND CAST(c_custkey % 100 AS DOUBLE) > 10.0 AND CAST(c_custkey % 100 AS DOUBLE) < 80.0) AS inside,
+        (c_acctbal > 0.0 AND c_acctbal < 5000.0
+          AND CAST(c_custkey % 100 AS DOUBLE) > 10.0 AND CAST(c_custkey % 100 AS DOUBLE) < 80.0) AS within_box,
+        (c_acctbal >= 0.0 AND c_acctbal <= 5000.0
+          AND CAST(c_custkey % 100 AS DOUBLE) >= 10.0 AND CAST(c_custkey % 100 AS DOUBLE) <= 80.0) AS touches_or_in,
+        NOT (c_acctbal >= 0.0 AND c_acctbal <= 5000.0
+          AND CAST(c_custkey % 100 AS DOUBLE) >= 10.0 AND CAST(c_custkey % 100 AS DOUBLE) <= 80.0) AS outside
+        FROM customer ORDER BY c_custkey""")),
+
+    // B17 — bbox range join: box pairs with intersecting envelopes via pure
+    // range predicates (the grid-salted equi-join is the 100 TB path; the
+    // declared semantics are these conjunctive inequalities).
+    "b17_bbox_join" -> QueryDef(
+      (s, dir) => {
+        val sup = t(s, dir, "supplier").filter(col("s_suppkey") <= 100)
+          .select(col("s_suppkey"),
+            col("s_acctbal").as("a_xmin"),
+            (col("s_acctbal") + 500.0).as("a_xmax"),
+            (col("s_nationkey").cast("double") * 10.0).as("a_ymin"),
+            (col("s_nationkey").cast("double") * 10.0 + 100.0).as("a_ymax"))
+        val cust = t(s, dir, "customer").filter(col("c_custkey") <= 200)
+          .select(col("c_custkey"),
+            col("c_acctbal").as("b_xmin"),
+            (col("c_acctbal") + 500.0).as("b_xmax"),
+            (col("c_nationkey").cast("double") * 10.0).as("b_ymin"),
+            (col("c_nationkey").cast("double") * 10.0 + 100.0).as("b_ymax"))
+        // Predicate on envelopes; JTS st_intersects on the same boxes agrees
+        // (verified by construction: axis-aligned, closed boundaries).
+        sup.join(cust,
+            col("a_xmin") <= col("b_xmax") && col("b_xmin") <= col("a_xmax") &&
+            col("a_ymin") <= col("b_ymax") && col("b_ymin") <= col("a_ymax"))
+          .select(col("s_suppkey"), col("c_custkey"))
+          .orderBy(col("s_suppkey"), col("c_custkey"))
+      },
+      Some("""WITH a AS (SELECT s_suppkey, s_acctbal AS a_xmin, s_acctbal + 500.0 AS a_xmax,
+          CAST(s_nationkey AS DOUBLE) * 10.0 AS a_ymin, CAST(s_nationkey AS DOUBLE) * 10.0 + 100.0 AS a_ymax
+          FROM supplier WHERE s_suppkey <= 100),
+        b AS (SELECT c_custkey, c_acctbal AS b_xmin, c_acctbal + 500.0 AS b_xmax,
+          CAST(c_nationkey AS DOUBLE) * 10.0 AS b_ymin, CAST(c_nationkey AS DOUBLE) * 10.0 + 100.0 AS b_ymax
+          FROM customer WHERE c_custkey <= 200)
+        SELECT s_suppkey, c_custkey FROM a JOIN b
+          ON a_xmin <= b_xmax AND b_xmin <= a_xmax
+         AND a_ymin <= b_ymax AND b_ymin <= a_ymax
+        ORDER BY s_suppkey, c_custkey""")),
+
+    // B18 — spatial KNN join: 5 query points -> 3 nearest customer points.
+    "b18_knn_join" -> QueryDef(
+      (s, dir) => {
+        val pts = t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_acctbal").as("px"),
+            pmod(col("c_custkey"), lit(1000)).cast("double").as("py"))
+        val qs = t(s, dir, "nation").filter(col("n_nationkey") < 5)
+          .select(col("n_nationkey").as("qid"),
+            (col("n_nationkey").cast("double") * 1000.0).as("qx"),
+            (col("n_nationkey").cast("double") * 100.0).as("qy"))
+        val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col("c_custkey"))
+        pts.crossJoin(broadcast(qs))
+          .select(col("qid"), col("c_custkey"),
+            G.st_distance(G.st_point(col("px"), col("py")),
+              G.st_point(col("qx"), col("qy"))).as("dist"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("qid"), col("rk"), col("c_custkey"), round(col("dist"), 6).as("dist"))
+          .orderBy(col("qid"), col("rk"))
+      },
+      Some("""WITH pts AS (SELECT c_custkey, c_acctbal AS px, CAST(c_custkey % 1000 AS DOUBLE) AS py
+          FROM customer),
+        qs AS (SELECT n_nationkey AS qid, CAST(n_nationkey AS DOUBLE) * 1000.0 AS qx,
+            CAST(n_nationkey AS DOUBLE) * 100.0 AS qy
+          FROM nation WHERE n_nationkey < 5),
+        scored AS (SELECT qid, c_custkey, sqrt((px - qx) * (px - qx) + (py - qy) * (py - qy)) AS dist
+          FROM pts CROSS JOIN qs),
+        ranked AS (SELECT qid, c_custkey, dist,
+          CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, c_custkey) AS INT) AS rk
+          FROM scored)
+        SELECT qid, rk, c_custkey, round(dist, 6) AS dist
+        FROM ranked WHERE rk <= 3 ORDER BY qid, rk"""))
+  )
+}
