@@ -13,7 +13,8 @@ object SparkEntry {
     graft.queries.Relational,
     graft.queries.Relational2,
     graft.queries.LlmPipeline,
-    graft.queries.Geometry)
+    graft.queries.Geometry,
+    graft.queries.Streaming)
 
   private lazy val all: Map[String, QueryDef] =
     blocks.flatMap(_.queries).toMap

@@ -1,0 +1,191 @@
+package graft.queries
+
+import graft.{Graft, QueryBlock, QueryDef, Tables}
+import graft.streaming.EventStreams
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming operators (SURVEY.md §2 block D), ORACLE-B harness: each query
+  * is a genuine Structured Streaming job (file source -> stateful transforms
+  * -> memory sink) run to completion with AvailableNow; the FINAL table is
+  * what the driver hash-compares against a batch DuckDB query.
+  *
+  * Event time is the ns-truncated-to-µs `ts` (SURVEY §1.2); oracles that
+  * depend on time arithmetic (session gaps, sliding windows) compute on
+  * epoch_ns(ts)//1000 so both engines see identical integers.
+  */
+object Streaming extends QueryBlock {
+  import Graft._
+
+  private def fmt(c: org.apache.spark.sql.Column) =
+    date_format(c, "yyyy-MM-dd HH:mm:ss")
+
+  val queries: Map[String, QueryDef] = Map(
+    // D1 — file stream source scan: per-type counts of the full stream.
+    "d01_stream_scan" -> QueryDef(
+      (s, dir) => {
+        val agg = EventStreams.events(s, dir)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sumD2(col("value")).as("sum_value"))
+        EventStreams.runToTable(s, agg, "d01_sink").orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, count(*) AS n,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // D2 — tumbling event-time window (1 hour).
+    "d02_tumbling_window" -> QueryDef(
+      (s, dir) => {
+        val agg = EventStreams.events(s, dir)
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"), sumD2(col("value")).as("sum_value"))
+        EventStreams.runToTable(s, agg, "d02_sink")
+          .select(fmt(col("window.start")).as("w"), col("event_type"), col("n"), col("sum_value"))
+          .orderBy(col("w"), col("event_type"))
+      },
+      Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS w, event_type,
+        count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // D3 — sliding window (2h length, 30min slide): every event lands in
+    // exactly 4 epoch-aligned windows; the oracle enumerates them.
+    "d03_sliding_window" -> QueryDef(
+      (s, dir) => {
+        val agg = EventStreams.events(s, dir)
+          .groupBy(window(col("ts"), "2 hours", "30 minutes"))
+          .agg(count(lit(1)).as("n"))
+        EventStreams.runToTable(s, agg, "d03_sink")
+          .select(fmt(col("window.start")).as("w"), col("n"))
+          .orderBy(col("w"))
+      },
+      Some("""WITH e AS (SELECT (epoch_ns(ts)//1000)//1800000000*1800000000 AS slide_floor_us FROM events),
+        w AS (SELECT make_timestamp(slide_floor_us - i*1800000000) AS w_start
+          FROM e, UNNEST(generate_series(CAST(0 AS BIGINT), CAST(3 AS BIGINT))) AS u(i))
+        SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS w, count(*) AS n
+        FROM w GROUP BY 1 ORDER BY 1""")),
+
+    // D4 — session window, 10-minute gap, per user (first 30 users to keep
+    // the result bounded). Oracle: gaps-and-islands over µs integers.
+    "d04_session_window" -> QueryDef(
+      (s, dir) => {
+        val agg = EventStreams.events(s, dir)
+          .filter(col("user_id") < 30)
+          .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n"))
+        EventStreams.runToTable(s, agg, "d04_sink")
+          .select(fmt(col("session_window.start")).as("sess_start"), col("user_id"), col("n"))
+          .orderBy(col("user_id"), col("sess_start"))
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_ns(ts)//1000 AS ts_us FROM events WHERE user_id < 30),
+        flagged AS (SELECT user_id, ts_us,
+          CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) > 600000000
+               OR lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) IS NULL
+            THEN 1 ELSE 0 END AS new_sess
+          FROM e),
+        sess AS (SELECT user_id, ts_us,
+          sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us) AS sess_id
+          FROM flagged)
+        SELECT strftime(make_timestamp(min(ts_us)), '%Y-%m-%d %H:%M:%S') AS sess_start,
+          user_id, count(*) AS n
+        FROM sess GROUP BY user_id, sess_id ORDER BY user_id, sess_start""")),
+
+    // D6 — streaming dedup on a projected key (event_id is unique, so the
+    // demo key is (user_id, event_type)); final counts oracle as DISTINCT.
+    "d06_stream_dedup" -> QueryDef(
+      (s, dir) => {
+        val agg = EventStreams.events(s, dir)
+          .select(col("user_id"), col("event_type"))
+          .dropDuplicates("user_id", "event_type")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_users"))
+        EventStreams.runToTable(s, agg, "d06_sink").orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, count(*) AS n_users
+        FROM (SELECT DISTINCT user_id, event_type FROM events)
+        GROUP BY event_type ORDER BY event_type""")),
+
+    // D7 — stream-static join: stream side shuffles nothing extra, static
+    // dim broadcasts (customer keyed by user_id).
+    "d07_stream_static_join" -> QueryDef(
+      (s, dir) => {
+        val dim = broadcast(Tables(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment")))
+        val agg = EventStreams.events(s, dir)
+          .filter(col("event_type") === "purchase")
+          .join(dim, col("user_id") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"), sumD2(col("value")).as("sum_value"))
+        EventStreams.runToTable(s, agg, "d07_sink").orderBy(col("c_mktsegment"))
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events JOIN customer ON user_id = c_custkey
+        WHERE event_type = 'purchase'
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // D8 — stream-stream inner join with watermarks + event-time bound:
+    // clicks within 1 hour before each purchase, per user.
+    "d08_stream_stream_join" -> QueryDef(
+      (s, dir) => {
+        val purchases = EventStreams.events(s, dir)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+            col("event_id").as("p_id"))
+          .withWatermark("p_ts", "2 hours")
+        val clicks = EventStreams.events(s, dir)
+          .filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+            col("event_id").as("c_id"))
+          .withWatermark("c_ts", "2 hours")
+        val joined = purchases.join(clicks,
+          col("p_user") === col("c_user") &&
+            col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+            col("c_ts") <= col("p_ts"))
+        // Append-mode pair stream; aggregate AFTER the sink (batch post-op)
+        // so the streaming part is pure join.
+        EventStreams.runToTable(s, joined.select(col("p_id"), col("c_id")),
+            "d08_sink", mode = "append")
+          .groupBy().agg(count(lit(1)).as("n_pairs"))
+      },
+      Some("""SELECT count(*) AS n_pairs
+        FROM (SELECT p.event_id FROM
+          (SELECT user_id, event_id, epoch_ns(ts)//1000 AS ts_us FROM events WHERE event_type='purchase') p
+          JOIN
+          (SELECT user_id, event_id, epoch_ns(ts)//1000 AS ts_us FROM events WHERE event_type='click') c
+          ON p.user_id = c.user_id
+         AND c.ts_us >= p.ts_us - 3600000000 AND c.ts_us <= p.ts_us)""")),
+
+    // D9 — arbitrary stateful processing: per-user running totals via
+    // flatMapGroupsWithState (update mode; AvailableNow => final state).
+    "d09_stateful_counters" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val typed = EventStreams.events(s, dir)
+          .select(col("user_id"), col("value"))
+          .as[(Long, Double)]
+        val agg = typed
+          .groupByKey(_._1)
+          .flatMapGroupsWithState[(Long, Double), (Long, Long, Double)](
+            OutputMode.Update, GroupStateTimeout.NoTimeout) {
+            (user: Long, rows: Iterator[(Long, Double)], state: GroupState[(Long, Double)]) =>
+              val (n0, cents0) = state.getOption.getOrElse((0L, 0.0))
+              var n = n0
+              var cents = cents0
+              rows.foreach { case (_, v) =>
+                n += 1
+                // exact integer cents: value is a 2-decimal double
+                cents += math.rint(v * 100)
+              }
+              state.update((n, cents))
+              Iterator((user, n, cents / 100))
+          }
+          .toDF("user_id", "n_events", "sum_value")
+        EventStreams.runToTable(s, agg, "d09_sink", mode = "update")
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id, count(*) AS n_events,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY user_id ORDER BY user_id"""))
+  )
+}

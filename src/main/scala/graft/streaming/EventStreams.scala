@@ -1,0 +1,54 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured-Streaming plumbing for the D block (SURVEY.md §2).
+  *
+  * Sources are file streams over the bounded `events` parquet; every query
+  * runs `Trigger.AvailableNow` to completion into a memory sink and the
+  * final table is compared against a batch DuckDB oracle (ORACLE-B harness,
+  * SURVEY §5.2). On a real deployment the same code reads an unbounded
+  * directory/Kafka source — nothing in the query bodies is bounded-input
+  * specific.
+  */
+object EventStreams {
+
+  /** Streaming read of the events table. Schema is declared (file streams
+    * require it); ns timestamps arrive as longs (nanosAsLong) and are
+    * truncated to µs with exact integer division, mirroring Tables.scala.
+    */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The file stream source only accepts directories; stage the bounded
+    // events file into a per-sf scratch dir via symlink (an unbounded
+    // deployment would already have a directory of arriving files here).
+    val streamDir = java.nio.file.Paths.get(
+      s"/tmp/graft_stream/${dir.replaceAll("[^A-Za-z0-9.]", "_")}")
+    java.nio.file.Files.createDirectories(streamDir)
+    val link = streamDir.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(link))
+      java.nio.file.Files.createSymbolicLink(
+        link, java.nio.file.Paths.get(s"$dir/events.parquet"))
+    s.readStream
+      .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+      .parquet(streamDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Run a streaming aggregation to completion; return the final table. */
+  def runToTable(s: SparkSession, df: DataFrame, name: String,
+      mode: String = "complete"): DataFrame = {
+    val ckpt = java.nio.file.Files.createTempDirectory(s"graft_ckpt_$name").toString
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
+}
