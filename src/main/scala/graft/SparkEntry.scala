@@ -14,6 +14,7 @@ object SparkEntry {
     graft.queries.Relational2,
     graft.queries.LlmPipeline,
     graft.queries.Geometry,
+    graft.queries.GeoIO,
     graft.queries.Streaming)
 
   private lazy val all: Map[String, QueryDef] =

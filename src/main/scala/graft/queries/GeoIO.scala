@@ -1,0 +1,62 @@
+package graft.queries
+
+import graft.{GeoFunctions => G, QueryBlock, QueryDef, Tables}
+import graft.geo.GeoParquet
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** GeoParquet I/O round-trips (SURVEY.md §2 A1/A2): write a WKB dataset
+  * with `geo` footer metadata, read it back through the footer-aware
+  * reader, recompute coordinates; the oracle computes the same values
+  * straight from the source table — equality proves the round-trip was
+  * lossless (non-geo columns AND geometry bytes).
+  */
+object GeoIO extends QueryBlock {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+  private val scratch = "/tmp/graft_fixtures"
+
+  val queries: Map[String, QueryDef] = Map(
+    // A1/A2 — point dataset round-trip (+ CRS carry-through A7, asserted in
+    // ScalaTest; here the data path).
+    "a01_geoparquet_points" -> QueryDef(
+      (s, dir) => {
+        val out = s"$scratch/geo_points"
+        val src = t(s, dir, "customer")
+          .filter(col("c_custkey") < 1000)
+          .select(col("c_custkey"), col("c_acctbal"),
+            G.st_point(col("c_acctbal"), col("c_custkey").cast("double")).as("geometry"))
+        GeoParquet.write(src, out, Seq("geometry"))
+        GeoParquet.read(s, out)
+          .select(col("c_custkey"), col("c_acctbal"),
+            G.st_x(col("geometry")).as("x"), G.st_y(col("geometry")).as("y"),
+            G.st_geometrytype(col("geometry")).as("gtype"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_acctbal, c_acctbal AS x, CAST(c_custkey AS DOUBLE) AS y,
+        'Point' AS gtype
+        FROM customer WHERE c_custkey < 1000 ORDER BY c_custkey""")),
+
+    // A2 — polygon dataset round-trip; measures recomputed after re-read
+    // (area is bit-exact for axis-aligned boxes — Geometry.scala notes).
+    "a02_geoparquet_polygons" -> QueryDef(
+      (s, dir) => {
+        val out = s"$scratch/geo_boxes"
+        val src = t(s, dir, "part")
+          .filter(col("p_partkey") < 500)
+          .select(col("p_partkey"),
+            G.st_makebox(lit(0.0), lit(0.0),
+              col("p_size").cast("double"), col("p_retailprice")).as("geometry"))
+        GeoParquet.write(src, out, Seq("geometry"))
+        GeoParquet.read(s, out)
+          .select(col("p_partkey"),
+            G.st_area(col("geometry")).as("area"),
+            G.st_npoints(col("geometry")).as("npts"),
+            G.st_geometrytype(col("geometry")).as("gtype"))
+          .orderBy(col("p_partkey"))
+      },
+      Some("""SELECT p_partkey, CAST(p_size AS DOUBLE) * p_retailprice AS area,
+        5 AS npts, 'Polygon' AS gtype
+        FROM part WHERE p_partkey < 500 ORDER BY p_partkey"""))
+  )
+}
