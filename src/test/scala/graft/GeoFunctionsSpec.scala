@@ -1,0 +1,100 @@
+package graft
+
+import org.locationtech.jts.geom.Coordinate
+import org.scalatest.funsuite.AnyFunSuite
+
+/** GOLDEN + PROP tier for the JTS-backed geometry kernel (SURVEY.md §5.2):
+  * known-vector WKB bytes, codec round-trips, and the geometric invariants
+  * that aren't DuckDB-oracle-able (buffer/hull/overlay are
+  * discretization-defined).
+  */
+class GeoFunctionsSpec extends AnyFunSuite {
+  import GeoFunctions._
+
+  private def hex(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
+
+  test("WKB golden vector: POINT(1 2), little-endian, 2D, no SRID") {
+    // 01 = NDR, 01000000 = Point, then two LE doubles.
+    assert(hex(stPointF(1.0, 2.0)) ===
+      "0101000000" + "000000000000f03f" + "0000000000000040")
+  }
+
+  test("WKB golden vector: POINT(-0.5 0) exercises sign bit") {
+    assert(hex(stPointF(-0.5, 0.0)) ===
+      "0101000000" + "000000000000e0bf" + "0000000000000000")
+  }
+
+  test("PROP: wkb decode∘encode = id over a coordinate sweep") {
+    for (xi <- -30 to 30 by 7; yi <- -20 to 20 by 9) {
+      val (x, y) = (xi / 10.0, yi / 10.0)
+      val g = fromWkb(stPointF(x, y))
+      assert(g.getCoordinate.x === x && g.getCoordinate.y === y)
+    }
+  }
+
+  test("WKT round-trip preserves geometry") {
+    val wkt = "POLYGON ((0 0, 10 0, 10 5, 0 5, 0 0))"
+    assert(stAsTextF(stGeomFromTextF(wkt)) === wkt)
+  }
+
+  test("box constructor: area, perimeter, envelope, npoints") {
+    val box = stMakeBoxF(1.0, 2.0, 4.0, 6.0)
+    assert(stAreaF(box) === 12.0)
+    assert(stLengthF(box) === 14.0)
+    assert(stEnvelopeF(box) === ((1.0, 2.0, 4.0, 6.0)))
+    assert(stNPointsF(box) === 5)
+    assert(stGeometryTypeF(box) === "Polygon")
+  }
+
+  test("predicates: interior vs boundary semantics") {
+    val box = stMakeBoxF(0, 0, 10, 10)
+    val inside = stPointF(5, 5)
+    val boundary = stPointF(0, 5)
+    val outside = stPointF(11, 5)
+    assert(stContainsF(box, inside) === true)
+    assert(stContainsF(box, boundary) === false) // boundary is not interior
+    assert(stIntersectsF(box, boundary) === true)
+    assert(stDisjointF(box, outside) === true)
+    assert(stWithinF(inside, box) === true)
+  }
+
+  test("PROP: buffer(g, d>0) contains g; hull contains all vertices") {
+    val line = stGeomFromTextF("LINESTRING (0 0, 4 1, 7 5)")
+    for (d <- Seq(0.5, 1.0, 2.5)) {
+      assert(stContainsF(stBufferF(line, d), line) === true)
+    }
+    val cloud = stGeomFromTextF("MULTIPOINT ((0 0), (4 1), (2 7), (9 3), (5 5))")
+    val hull = stConvexHullF(cloud)
+    assert(stContainsF(hull, cloud) === true)
+  }
+
+  test("PROP: overlay area bounds — area(a∩b) <= min(area a, area b) <= area(a∪b)") {
+    val a = stMakeBoxF(0, 0, 10, 10)
+    val b = stMakeBoxF(5, 5, 15, 15)
+    val ai = stAreaF(stIntersectionF(a, b))
+    val au = stAreaF(stUnionF(a, b))
+    assert(ai === 25.0)
+    assert(au === 175.0)
+    assert(ai <= math.min(stAreaF(a), stAreaF(b)))
+    assert(au >= math.max(stAreaF(a), stAreaF(b)))
+  }
+
+  test("distance and dwithin agree") {
+    val a = stPointF(0, 0)
+    val b = stPointF(3, 4)
+    assert(stDistanceF(a, b) === 5.0)
+    assert(stDWithinF(a, b, 5.0) === true)
+    assert(stDWithinF(a, b, 4.999) === false)
+  }
+
+  test("null safety: null in -> null out") {
+    assert(stXF(null) === null)
+    assert(stAreaF(null) === null)
+    assert(stContainsF(null, stPointF(0, 0)) === null)
+  }
+
+  test("centroid of rectangle is its center") {
+    val c = fromWkb(stCentroidF(stMakeBoxF(0, 0, 8, 4)))
+    assert(c.getCoordinate.equals2D(new Coordinate(4, 2)))
+  }
+}

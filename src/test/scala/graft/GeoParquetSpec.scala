@@ -1,0 +1,68 @@
+package graft
+
+import graft.geo.{GeoColumnMeta, GeoParquet, GeoParquetMetadata}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** A-block unit tier: metadata codec byte-fixture (A3), footer presence,
+  * CRS carry-through (A7), column Metadata attach (A1).
+  */
+class GeoParquetSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("GOLDEN: geo metadata JSON is byte-stable") {
+    val m = GeoParquetMetadata(
+      primaryColumn = "geometry",
+      columns = Map("geometry" -> GeoColumnMeta(
+        geometryTypes = Seq("Point"),
+        bbox = Some((0.0, 1.0, 10.0, 11.0)))))
+    assert(m.toJson ===
+      """{"version":"1.0.0","primary_column":"geometry","columns":{"geometry":{"encoding":"WKB","geometry_types":["Point"],"crs":"OGC:CRS84","bbox":[0.0,1.0,10.0,11.0]}}}""")
+  }
+
+  test("metadata JSON round-trips") {
+    val m = GeoParquetMetadata(
+      primaryColumn = "geom",
+      columns = Map("geom" -> GeoColumnMeta(
+        geometryTypes = Seq("Point", "Polygon"), crs = "EPSG:4326",
+        bbox = Some((-1.5, -2.5, 3.5, 4.5)))))
+    assert(GeoParquetMetadata.fromJson(m.toJson) === m)
+  }
+
+  test("write injects footer geo key; read re-attaches column metadata + CRS") {
+    val out = "/tmp/graft_test/geo_spec"
+    val df = TestSpark.spark.range(10).toDF("id")
+      .select(col("id"), GeoFunctions.st_point(col("id").cast("double"),
+        lit(2.0) * col("id").cast("double")).as("geometry"))
+    GeoParquet.write(df, out, Seq("geometry"), crs = "EPSG:3857")
+
+    val meta = GeoParquet.readMetadata(spark, out)
+    assert(meta.isDefined)
+    assert(meta.get.primaryColumn === "geometry")
+    val cm = meta.get.columns("geometry")
+    assert(cm.encoding === "WKB")
+    assert(cm.crs === "EPSG:3857")
+    assert(cm.geometryTypes === Seq("Point"))
+    assert(cm.bbox === Some((0.0, 0.0, 9.0, 18.0)))
+
+    val back = GeoParquet.read(spark, out)
+    val fieldMeta = back.schema("geometry").metadata
+    assert(fieldMeta.getString("geo.encoding") === "WKB")
+    assert(fieldMeta.getString("geo.crs") === "EPSG:3857")
+    // data intact
+    assert(back.count() === 10)
+    assert(back.select(GeoFunctions.st_y(col("geometry")))
+      .collect().map(_.getDouble(0)).sorted.toSeq === (0 until 10).map(_ * 2.0))
+  }
+
+  test("footer rewrite preserves row-group statistics pushdown") {
+    val out = "/tmp/graft_test/geo_spec2"
+    val df = spark.range(1000).toDF("id")
+      .select(col("id"), GeoFunctions.st_point(col("id").cast("double"), lit(0.0)).as("geometry"))
+    GeoParquet.write(df, out, Seq("geometry"))
+    val plan = spark.read.parquet(out).filter(col("id") > 990)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,990)]"))
+    assert(spark.read.parquet(out).filter(col("id") > 990).count() === 9)
+  }
+}

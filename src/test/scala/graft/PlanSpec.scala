@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** EXPLAIN-level assertions for the 100 TB design claims (SURVEY.md §4.2,
+  * §5.3): what Catalyst must be doing for these plans to scale — pushdown
+  * reaching the parquet scan, pruned read schemas, broadcast joins on dims,
+  * TakeOrderedAndProject for top-k, partial+final aggregation.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.sfDir
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("C5 filter pushes predicates into the parquet scan") {
+    val plan = planOf("c05_filter")
+    assert(plan.contains("PushedFilters:"))
+    assert(plan.contains("In(p_type,"))
+    assert(plan.contains("GreaterThanOrEqual(p_size,5)"))
+  }
+
+  test("C4 projection prunes the read schema to selected columns") {
+    val plan = planOf("c04_project")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("p_name")) // orders table: no part cols at all
+    assert(readSchema.contains("o_orderkey"))
+    assert(!readSchema.contains("o_custkey")) // unprojected column pruned
+  }
+
+  test("C8 dim joins choose BroadcastHashJoin, not shuffle") {
+    val plan = planOf("c08_broadcast_join")
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("C25 top-k plans TakeOrderedAndProject (no global sort)") {
+    val plan = planOf("c25_topk")
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
+  test("C14 aggregate is partial+final (map-side combine)") {
+    val plan = planOf("c14_pricing_summary")
+    assert(plan.contains("HashAggregate"))
+    assert(plan.split("HashAggregate").length >= 3) // partial + final
+  }
+
+  test("C9 semi/anti subqueries become semi/anti joins") {
+    val plan = planOf("c09_semi_anti")
+    assert(plan.contains("LeftSemi"))
+    assert(plan.contains("LeftAnti"))
+  }
+
+  test("E3 cosine top-k broadcasts the query vector and take-orders") {
+    val plan = planOf("e03_cosine_topk")
+    assert(plan.contains("TakeOrderedAndProject"))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"))
+  }
+
+  test("whole-stage codegen covers the pricing-summary pipeline") {
+    // AQE prints placeholder plans until executed; run it, then inspect the
+    // final adaptive plan.
+    val df = SparkEntry.queries("c14_pricing_summary")(spark, dir)
+    df.collect()
+    // codegen'd stages print as "*(n) Operator" in the final adaptive plan
+    assert(df.queryExecution.executedPlan.toString.contains("*(1)"))
+  }
+}

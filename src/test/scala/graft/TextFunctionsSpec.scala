@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** GOLDEN + PROP tier for the owned text-sketch kernel (SURVEY.md §7
+  * hard-part 2: determinism comes from owning the hash family, documented
+  * here against public FNV-1a test vectors).
+  */
+class TextFunctionsSpec extends AnyFunSuite {
+  import TextFunctions._
+
+  test("FNV-1a 64 public test vectors") {
+    assert(fnv1a64("") === 0xcbf29ce484222325L)
+    assert(fnv1a64("a") === 0xaf63dc4c8601ec8cL)
+    assert(fnv1a64("abc") === 0xe71fa2190541574bL)
+  }
+
+  test("splitmix64 is deterministic and spread") {
+    assert(splitmix64(0) !== splitmix64(1))
+    assert(splitmix64(42) === splitmix64(42))
+  }
+
+  test("shingles: normalization collapses whitespace, lowercases") {
+    assert(shingles("A  b\tC", 3).toSeq === Seq("a b", " b ", "b c"))
+    assert(shingles("ab", 5).toSeq === Seq("ab")) // shorter than k
+  }
+
+  test("PROP: minhash(x) == minhash(x) and estimated J(x,x) = 1") {
+    val s = minhash("the quick brown fox jumps over the lazy dog", 128, 5)
+    val s2 = minhash("the quick brown fox jumps over the lazy dog", 128, 5)
+    assert(s.toSeq === s2.toSeq)
+  }
+
+  test("PROP: minhash similarity tracks Jaccard of shingle sets") {
+    val a = "spark makes distributed dataframes fast and reliable for analytics"
+    val b = "spark makes distributed dataframes fast and reliable for analysis"
+    val c = "completely different text about cooking pasta with tomato sauce"
+    def est(x: String, y: String): Double = {
+      val (sx, sy) = (minhash(x, 128, 5), minhash(y, 128, 5))
+      sx.zip(sy).count { case (u, v) => u == v } / 128.0
+    }
+    def trueJ(x: String, y: String): Double = {
+      val (sx, sy) = (shingles(x, 5).toSet, shingles(y, 5).toSet)
+      sx.intersect(sy).size.toDouble / sx.union(sy).size
+    }
+    assert(math.abs(est(a, b) - trueJ(a, b)) < 0.15) // 128 perms ≈ ±0.09 sd
+    assert(est(a, b) > 0.6)
+    assert(est(a, c) < 0.2)
+  }
+
+  test("simhash: similar texts have small hamming distance") {
+    val a = simhash64("spark distributed dataframe engine for large analytics")
+    val b = simhash64("spark distributed dataframe engine for huge analytics")
+    val c = simhash64("recipe for chocolate cake with vanilla frosting")
+    assert(hamming64(a, b) < hamming64(a, c))
+    assert(hamming64(a, a) === 0)
+  }
+
+  test("fingerprint64 deterministic, whitespace-normalized") {
+    assert(fingerprint64("a  b") === fingerprint64("A B"))
+    assert(fingerprint64("ab") !== fingerprint64("ba"))
+  }
+
+  test("langId heuristics") {
+    assert(langId("the cat and the dog is in a house") === "en")
+    assert(langId("le chat et la maison est une merveille") === "fr")
+    assert(langId("el perro y la casa es una maravilla") === "es")
+    assert(langId("der Hund und die Katze ist nicht zu Hause") === "de")
+    assert(langId("中文文本") === "zh")
+    assert(langId("") === "und")
+  }
+}
