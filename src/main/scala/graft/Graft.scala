@@ -44,26 +44,54 @@ object Graft {
   // --- Oracle-exact arithmetic helpers (SURVEY.md §5.2) -------------------
   //
   // Double sums are order-dependent; Spark (partial+final over 32 partitions)
-  // and DuckDB (8 threads) would disagree in the last ulps. Summing in
-  // decimal is exact and order-independent, so both engines produce
-  // bit-identical results; we cast back to double for a stable output schema.
-  // Testdata prices/discounts are exact 2-decimal doubles (o_totalprice 4dp),
-  // so the decimal cast is lossless.
+  // and DuckDB (8 threads) would disagree in the last ulps. Fixed-point
+  // money columns (2dp; o_totalprice 4dp) are summed as exact integer cents
+  // instead: codegen'd long adds, order-independent, and ~6x faster than
+  // decimal aggregation (measured: 5 decimal sums over 600k rows = 745 ms
+  // vs 177 ms as longs). The final /100.0 is one double division written
+  // identically in the DuckDB oracle — bit-identical results.
+  //
+  // Overflow bound: |cents| sums stay exact below 2^63 and convert to
+  // double identically on both engines. Squared-cents power sums (c16) can
+  // exceed that at bench scale — those keep the decimal path (dec2/dec4).
 
-  /** Exact 2-decimal reading of a money-like double column. */
+  // floor(x*100 + 0.5) rather than round(): Spark's Round on DoubleType
+  // allocates a BigDecimal per row; floor is a codegen'd Math.floor. The
+  // +0.5 shift rounds half-up (exact ties cannot occur for fixed-point
+  // data), correct for negatives too. Spark's floor(double) is LongType.
+
+  /** Exact integer cents of a 2-decimal double column. */
+  def cents2(c: Column): Column = floor(c * 100 + lit(0.5))
+
+  /** Exact integer ten-thousandths of a 4-decimal double column. */
+  def cents4(c: Column): Column = floor(c * 10000 + lit(0.5))
+
+  /** Exact 2-decimal reading of a money-like double column (decimal path,
+    * for power sums whose cents form could overflow long).
+    */
   def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
 
-  /** Exact 4-decimal reading (o_totalprice). */
+  /** Exact 4-decimal reading (decimal path). */
   def dec4(c: Column): Column = c.cast(DecimalType(18, 4))
 
   /** Order-independent exact sum of a 2-decimal double column → double. */
-  def sumD2(c: Column): Column = sum(dec2(c)).cast("double")
+  def sumD2(c: Column): Column = sum(cents2(c)).cast("double") / lit(100.0)
 
   /** Order-independent exact sum of a 4-decimal double column → double. */
-  def sumD4(c: Column): Column = sum(dec4(c)).cast("double")
+  def sumD4(c: Column): Column = sum(cents4(c)).cast("double") / lit(10000.0)
 
-  /** Exact average of a 2-decimal double column: decimal sum, one double
-    * division — bit-identical across engines.
+  /** Exact average of a 2-decimal double column: cents sum, two double
+    * divisions — bit-identical across engines.
     */
-  def avgD2(c: Column): Column = sum(dec2(c)).cast("double") / count(c)
+  def avgD2(c: Column): Column = (sum(cents2(c)).cast("double") / lit(100.0)) / count(c)
+
+  /** Oracle-side SQL for sumD2/sumD4/avgD2 (DuckDB dialect; hugeint sums
+    * convert to the same doubles as Spark's longs).
+    */
+  def sqlSumD2(x: String): String =
+    s"CAST(sum(CAST(floor(($x)*100 + 0.5) AS BIGINT)) AS DOUBLE) / CAST(100 AS DOUBLE)"
+  def sqlSumD4(x: String): String =
+    s"CAST(sum(CAST(floor(($x)*10000 + 0.5) AS BIGINT)) AS DOUBLE) / CAST(10000 AS DOUBLE)"
+  def sqlAvgD2(x: String): String =
+    s"(${sqlSumD2(x)}) / count($x)"
 }

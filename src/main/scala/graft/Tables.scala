@@ -21,7 +21,10 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
+    // Guarded on LongType: a re-staged copy of events (Bench layout cache)
+    // already holds µs timestamps and needs no conversion.
+    if (name == "events" &&
+        df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       df.withColumn("ts",
         org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))

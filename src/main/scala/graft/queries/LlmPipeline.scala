@@ -186,15 +186,15 @@ object LlmPipeline extends QueryBlock {
           .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
         toks.join(broadcast(lex), "tok")
           .groupBy(col("doc_id"))
-          .agg((sum(dec2(col("polarity"))).cast("double") / count(lit(1))).as("sentiment"),
+          .agg(((sum(cents2(col("polarity"))).cast("double") / lit(100.0)) / count(lit(1))).as("sentiment"),
             count(lit(1)).as("n_hits"))
           .orderBy(col("doc_id"))
       },
-      Some("""WITH lex AS (SELECT * FROM (VALUES ('fast', 1.0), ('slow', -1.0), ('small', -0.5),
+      Some(s"""WITH lex AS (SELECT * FROM (VALUES ('fast', 1.0), ('slow', -1.0), ('small', -0.5),
           ('agg', 0.5), ('join', 0.75), ('scan', -0.25)) AS t(tok, polarity)),
         toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents)
         SELECT doc_id,
-          CAST(sum(CAST(polarity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS sentiment,
+          (${sqlSumD2("polarity")}) / count(*) AS sentiment,
           count(*) AS n_hits
         FROM toks JOIN lex ON toks.tok = lex.tok
         GROUP BY doc_id ORDER BY doc_id""")),

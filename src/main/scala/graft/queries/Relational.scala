@@ -28,19 +28,19 @@ object Relational extends QueryBlock {
           .agg(
             sumD2(col("l_quantity")).as("sum_qty"),
             sumD2(col("l_extendedprice")).as("sum_base_price"),
-            sum(dec2(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec2(col("l_discount"))))
-              .cast("double").as("sum_disc_price"),
+            (sum(cents2(col("l_extendedprice")) * (lit(100L) - cents2(col("l_discount"))))
+              .cast("double") / lit(10000.0)).as("sum_disc_price"),
             avgD2(col("l_quantity")).as("avg_qty"),
             avgD2(col("l_discount")).as("avg_disc"),
             count(lit(1)).as("count_order"))
           .orderBy(col("l_returnflag"), col("l_linestatus"))
       },
-      Some("""SELECT l_returnflag, l_linestatus,
-        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
-        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(l_quantity) AS avg_qty,
-        CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(l_discount) AS avg_disc,
+      Some(s"""SELECT l_returnflag, l_linestatus,
+        ${sqlSumD2("l_quantity")} AS sum_qty,
+        ${sqlSumD2("l_extendedprice")} AS sum_base_price,
+        CAST(sum(CAST(floor((l_extendedprice)*100 + 0.5) AS BIGINT) * (100 - CAST(floor((l_discount)*100 + 0.5) AS BIGINT))) AS DOUBLE) / CAST(10000 AS DOUBLE) AS sum_disc_price,
+        ${sqlAvgD2("l_quantity")} AS avg_qty,
+        ${sqlAvgD2("l_discount")} AS avg_disc,
         count(*) AS count_order
         FROM lineitem WHERE l_shipdate <= TIMESTAMP '2024-09-01'
         GROUP BY l_returnflag, l_linestatus
@@ -57,12 +57,12 @@ object Relational extends QueryBlock {
         t(s, dir, "orders").select(
           col("o_orderkey"),
           col("o_totalprice").as("price"),
-          (dec4(col("o_totalprice")) * lit(2).cast("decimal(18,4)")).cast("double").as("price2"),
+          (col("o_totalprice") * lit(2)).as("price2"), // *2 is exact in ieee754
           upper(col("o_orderpriority")).as("prio_uc"),
           year(col("o_orderdate")).as("o_year"))
           .orderBy(col("o_orderkey")),
       Some("""SELECT o_orderkey, o_totalprice AS price,
-        CAST(CAST(o_totalprice AS DECIMAL(18,4)) * CAST(2 AS DECIMAL(18,4)) AS DOUBLE) AS price2,
+        o_totalprice * 2 AS price2,
         upper(o_orderpriority) AS prio_uc,
         CAST(extract(year FROM o_orderdate) AS INT) AS o_year
         FROM orders ORDER BY o_orderkey""")),
@@ -101,22 +101,28 @@ object Relational extends QueryBlock {
         FROM orders ORDER BY o_orderkey""")),
 
     // C7/C15 — three-way equi-join + count distinct (BASELINE B2).
+    // Build side chosen explicitly: customer⋈orders is the bounded dim-ish
+    // side (150k narrow rows); lineitem is the fact probe. Left to size
+    // estimates, Spark broadcasts single-column lineitem (600k keys) and
+    // pays a serial driver-side relation build — measured 2x slower.
     "c07_join_agg" -> QueryDef(
       (s, dir) => {
         val c = t(s, dir, "customer")
         val o = t(s, dir, "orders")
         val l = t(s, dir, "lineitem")
-        c.join(o, col("c_custkey") === col("o_custkey"))
-          .join(l, col("l_orderkey") === col("o_orderkey"))
+        val co = broadcast(
+          c.join(o, col("c_custkey") === col("o_custkey"))
+            .select(col("c_mktsegment"), col("o_orderkey")))
+        l.join(co, col("l_orderkey") === col("o_orderkey"))
           .groupBy(col("c_mktsegment"))
           .agg(
             countDistinct(col("o_orderkey")).as("n_orders"),
-            sum(dec2(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec2(col("l_discount"))))
-              .cast("double").as("revenue"))
+            (sum(cents2(col("l_extendedprice")) * (lit(100L) - cents2(col("l_discount"))))
+              .cast("double") / lit(10000.0)).as("revenue"))
           .orderBy(col("c_mktsegment"))
       },
       Some("""SELECT c_mktsegment, count(DISTINCT o_orderkey) AS n_orders,
-        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        CAST(sum(CAST(floor((l_extendedprice)*100 + 0.5) AS BIGINT) * (100 - CAST(floor((l_discount)*100 + 0.5) AS BIGINT))) AS DOUBLE) / CAST(10000 AS DOUBLE) AS revenue
         FROM customer JOIN orders ON c_custkey=o_custkey JOIN lineitem ON l_orderkey=o_orderkey
         GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
 
@@ -132,8 +138,8 @@ object Relational extends QueryBlock {
           .agg(count(lit(1)).as("n_cust"), sumD2(col("c_acctbal")).as("sum_bal"))
           .orderBy(col("r_name"))
       },
-      Some("""SELECT r_name, count(*) AS n_cust,
-        CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+      Some(s"""SELECT r_name, count(*) AS n_cust,
+        ${sqlSumD2("c_acctbal")} AS sum_bal
         FROM customer JOIN nation ON c_nationkey=n_nationkey
         JOIN region ON n_regionkey=r_regionkey
         GROUP BY r_name ORDER BY r_name""")),
@@ -203,8 +209,8 @@ object Relational extends QueryBlock {
           .agg(count(lit(1)).as("n"), sumD4(col("o_totalprice")).as("sum_price"))
           .orderBy(col("n_name").asc_nulls_first, col("o_orderstatus").asc_nulls_first)
       },
-      Some("""SELECT n_name, o_orderstatus, count(*) AS n,
-        CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+      Some(s"""SELECT n_name, o_orderstatus, count(*) AS n,
+        ${sqlSumD4("o_totalprice")} AS sum_price
         FROM orders JOIN customer ON o_custkey=c_custkey JOIN nation ON c_nationkey=n_nationkey
         GROUP BY ROLLUP(n_name, o_orderstatus)
         ORDER BY n_name NULLS FIRST, o_orderstatus NULLS FIRST""")),
@@ -252,12 +258,12 @@ object Relational extends QueryBlock {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         t(s, dir, "orders")
           .select(col("o_custkey"), col("o_orderkey"),
-            sum(dec4(col("o_totalprice"))).over(w).cast("double").as("running_spend"))
+            (sum(cents4(col("o_totalprice"))).over(w).cast("double") / lit(10000.0)).as("running_spend"))
           .orderBy(col("o_custkey"), col("o_orderkey"))
       },
       Some("""SELECT o_custkey, o_orderkey,
-        CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (PARTITION BY o_custkey
-          ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+        CAST(sum(CAST(floor((o_totalprice)*10000 + 0.5) AS BIGINT)) OVER (PARTITION BY o_custkey
+          ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / CAST(10000 AS DOUBLE) AS running_spend
         FROM orders ORDER BY o_custkey, o_orderkey""")),
 
     // C24 — global multi-key sort with synthesized NULLS FIRST/LAST.
@@ -407,10 +413,10 @@ object Relational extends QueryBlock {
             sumD2(col("value")).as("sum_value"),
             sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"))
           .orderBy(col("w"), col("event_type")),
-      Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS w, event_type,
+      Some(s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS w, event_type,
         count(*) AS n,
-        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
-        sum(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS sum_k
+        ${sqlSumD2("value")} AS sum_value,
+        sum(CAST(json_extract_string(props,'$$.k') AS BIGINT)) AS sum_k
         FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
 
     // C33 — deterministic hash functions.

@@ -42,7 +42,7 @@ object Relational2 extends QueryBlock {
             max(col("p_name")).as("max_name"))
       },
       Some(s"""SELECT count(*) AS n,
-        CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        ${sqlSumD2("p_retailprice")} AS sum_price,
         max(p_name) AS max_name
         FROM read_csv('$scratch/part_csv/*.csv', header=true)""")),
 
@@ -59,7 +59,7 @@ object Relational2 extends QueryBlock {
           .orderBy(col("o_orderstatus"))
       },
       Some(s"""SELECT o_orderstatus, count(*) AS n,
-        CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        ${sqlSumD4("o_totalprice")} AS sum_price
         FROM read_json('$scratch/orders_json/*.json', format='newline_delimited')
         GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
@@ -75,8 +75,8 @@ object Relational2 extends QueryBlock {
           .agg(count(lit(1)).as("n"), sumD2(col("l_quantity")).as("sum_qty"))
           .orderBy(col("l_returnflag"))
       },
-      Some("""SELECT l_returnflag, count(*) AS n,
-        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      Some(s"""SELECT l_returnflag, count(*) AS n,
+        ${sqlSumD2("l_quantity")} AS sum_qty
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     // C13 — as-of join: for each purchase event, the latest click event of
@@ -266,13 +266,13 @@ object Relational2 extends QueryBlock {
     "c37_sql_entry" -> QueryDef(
       (s, dir) => {
         Tables.registerAll(s, dir)
-        s.sql("""SELECT n_name, count(*) AS n_supp,
-          CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        s.sql(s"""SELECT n_name, count(*) AS n_supp,
+          ${sqlSumD2("s_acctbal")} AS sum_bal
           FROM supplier JOIN nation ON s_nationkey = n_nationkey
           GROUP BY n_name ORDER BY n_name""")
       },
-      Some("""SELECT n_name, count(*) AS n_supp,
-        CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+      Some(s"""SELECT n_name, count(*) AS n_supp,
+        ${sqlSumD2("s_acctbal")} AS sum_bal
         FROM supplier JOIN nation ON s_nationkey = n_nationkey
         GROUP BY n_name ORDER BY n_name"""))
   )

@@ -30,8 +30,8 @@ object Streaming extends QueryBlock {
           .agg(count(lit(1)).as("n"), sumD2(col("value")).as("sum_value"))
         EventStreams.runToTable(s, agg, "d01_sink").orderBy(col("event_type"))
       },
-      Some("""SELECT event_type, count(*) AS n,
-        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      Some(s"""SELECT event_type, count(*) AS n,
+        ${sqlSumD2("value")} AS sum_value
         FROM events GROUP BY event_type ORDER BY event_type""")),
 
     // D2 — tumbling event-time window (1 hour).
@@ -44,8 +44,8 @@ object Streaming extends QueryBlock {
           .select(fmt(col("window.start")).as("w"), col("event_type"), col("n"), col("sum_value"))
           .orderBy(col("w"), col("event_type"))
       },
-      Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS w, event_type,
-        count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      Some(s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS w, event_type,
+        count(*) AS n, ${sqlSumD2("value")} AS sum_value
         FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
 
     // D3 — sliding window (2h length, 30min slide): every event lands in
@@ -118,8 +118,8 @@ object Streaming extends QueryBlock {
           .agg(count(lit(1)).as("n"), sumD2(col("value")).as("sum_value"))
         EventStreams.runToTable(s, agg, "d07_sink").orderBy(col("c_mktsegment"))
       },
-      Some("""SELECT c_mktsegment, count(*) AS n,
-        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      Some(s"""SELECT c_mktsegment, count(*) AS n,
+        ${sqlSumD2("value")} AS sum_value
         FROM events JOIN customer ON user_id = c_custkey
         WHERE event_type = 'purchase'
         GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
