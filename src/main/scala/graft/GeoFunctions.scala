@@ -74,6 +74,16 @@ object GeoFunctions extends Serializable {
     (a, b, r) => if (a == null || b == null) null else fromWkb(a).distance(fromWkb(b)) <= r
   val stBufferF: (Array[Byte], Double) => Array[Byte] =
     (b, d) => if (b == null) null else toWkb(fromWkb(b).buffer(d))
+  // B16: SRID carried in the JTS user-data-free way — EWKB-style embedding
+  // is deliberately avoided (canonical WKB stays 2D/no-SRID for stable
+  // hashes); SRID travels on the geometry object and in geo metadata.
+  val stSridF: Array[Byte] => java.lang.Integer = g1(_.getSRID)
+  val stSetSridF: (Array[Byte], Int) => Array[Byte] =
+    (b, srid) => if (b == null) null else {
+      val g = fromWkb(b); g.setSRID(srid)
+      // re-encode including SRID so st_srid round-trips
+      new WKBWriter(2, 2, true).write(g)
+    }
   val stAsTextF: Array[Byte] => String = g1(g => wktWriter.write(g))
   val stGeomFromTextF: String => Array[Byte] =
     (s: String) => if (s == null) null else toWkb(wktReader.read(s))
@@ -138,6 +148,8 @@ object GeoFunctions extends Serializable {
     spark.udf.register("st_buffer", stBufferF)
     spark.udf.register("st_astext", stAsTextF)
     spark.udf.register("st_geomfromtext", stGeomFromTextF)
+    spark.udf.register("st_srid", stSridF)
+    spark.udf.register("st_setsrid", stSetSridF)
     registered = true
   }
 }

@@ -27,9 +27,7 @@ object Graft {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    GeoFunctionRegistry.registerAll(spark)
-    TextFunctionRegistry.registerAll(spark)
-    spark
+    prepare(spark)
   }
 
   /** Ensure engine function registration on a session we did not build
@@ -38,6 +36,8 @@ object Graft {
   def prepare(spark: SparkSession): SparkSession = {
     GeoFunctionRegistry.registerAll(spark)
     TextFunctionRegistry.registerAll(spark)
+    graft.functions.CosineSimilarity.register(spark)
+    graft.plans.SpatialFilterRule.register(spark)
     spark
   }
 

@@ -37,9 +37,18 @@ object GeoParquet {
       path: String,
       geometryColumns: Seq[String],
       crs: String = GeoParquetMetadata.DefaultCrs,
-      computeStats: Boolean = true): Unit = {
+      computeStats: Boolean = true,
+      addBboxColumn: Boolean = false): Unit = {
     require(geometryColumns.nonEmpty, "at least one geometry column")
-    df.write.mode("overwrite").parquet(path)
+    // GeoParquet 1.1 covering-column pattern: a per-row envelope struct
+    // whose parquet min/max stats let spatial filters skip row groups
+    // (rewritten into range predicates by plans.SpatialFilterRule).
+    val out =
+      if (addBboxColumn)
+        df.withColumn("__bbox",
+          GeoFunctions.stEnvelopeStruct(col(geometryColumns.head)))
+      else df
+    out.write.mode("overwrite").parquet(path)
 
     // One distributed aggregate pass for geometry_types + bbox per column.
     val colMeta: Map[String, GeoColumnMeta] =

@@ -1,0 +1,83 @@
+package graft.plans
+
+import graft.GeoFunctions
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.DoubleType
+
+/** Bbox pushdown rewrite (SURVEY.md §4.3): spatial predicates over WKB are
+  * black-box UDFs — Catalyst cannot push them into the parquet scan, so a
+  * spatial filter alone reads every row group. GeoParquet datasets written
+  * with a `__bbox` covering column (GeoParquet 1.1 pattern; GeoParquet.write
+  * `addBboxColumn`) carry per-row envelopes whose min/max parquet statistics
+  * CAN skip row groups.
+  *
+  * This rule rewrites
+  *   Filter(st_intersects(geom, LITERAL_WKB), scan-with-__bbox)
+  * into
+  *   Filter(st_intersects(...) AND __bbox-range-conjunction, ...)
+  * keeping the exact predicate (the bbox test is necessary, not sufficient)
+  * while handing the planner sargable range predicates that reach the scan
+  * (`PushedFilters: [GreaterThanOrEqual(__bbox.xmax, ...)]` — asserted in
+  * SpatialRuleSpec). Also handles st_within(geom, lit), st_contains(lit,
+  * geom) and either argument order for st_intersects.
+  *
+  * Registered via `spark.experimental.extraOptimizations` (Graft.prepare).
+  * That batch runs after predicate pushdown, which is fine: FileSourceStrategy
+  * re-collects filters sitting above the relation at physical planning, so
+  * conjuncts added here still reach the scan.
+  */
+object SpatialFilterRule extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
+    case f @ Filter(cond, child) =>
+      child.output.find(_.name == "__bbox") match {
+        case Some(bbox) if !cond.references.contains(bbox) =>
+          val extras = cond.collect { case u: ScalaUDF => bboxConjunct(u, bbox) }.flatten
+          if (extras.isEmpty) f
+          else Filter(And(cond, extras.reduce(And)), child)
+        case _ => f
+      }
+  }
+
+  /** geometry-literal envelope -> range conjunction on the __bbox struct. */
+  private def bboxConjunct(u: ScalaUDF, bbox: Attribute): Option[Expression] = {
+    val name = u.udfName.getOrElse("")
+    val args = u.children
+    val geomLit: Option[Array[Byte]] = name match {
+      case "st_intersects" => args.collectFirst {
+        case Literal(b: Array[Byte], _) => b
+      }
+      case "st_within" => args(1) match { // geom WITHIN literal region
+        case Literal(b: Array[Byte], _) => Some(b)
+        case _ => None
+      }
+      case "st_contains" => args.head match { // literal region CONTAINS geom
+        case Literal(b: Array[Byte], _) => Some(b)
+        case _ => None
+      }
+      case _ => None
+    }
+    geomLit.map { wkb =>
+      val env = GeoFunctions.fromWkb(wkb).getEnvelopeInternal
+      def fld(i: Int, n: String) = GetStructField(bbox, i, Some(n))
+      def d(v: Double) = Literal(v, DoubleType)
+      // envelope overlap: row.xmin <= q.xmax AND row.xmax >= q.xmin AND …
+      And(
+        And(LessThanOrEqual(fld(0, "xmin"), d(env.getMaxX)),
+          GreaterThanOrEqual(fld(2, "xmax"), d(env.getMinX))),
+        And(LessThanOrEqual(fld(1, "ymin"), d(env.getMaxY)),
+          GreaterThanOrEqual(fld(3, "ymax"), d(env.getMinY))))
+    }
+  }
+
+  private var injected = false
+  def register(spark: SparkSession): Unit = synchronized {
+    if (!spark.experimental.extraOptimizations.contains(SpatialFilterRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ SpatialFilterRule
+    injected = true
+  }
+}

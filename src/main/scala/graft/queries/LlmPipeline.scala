@@ -24,15 +24,13 @@ object LlmPipeline extends QueryBlock {
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
   private val scratch = "/tmp/graft_fixtures"
 
-  /** Spark-side cosine similarity between two array<float> columns, written
-    * as a sequential double fold so DuckDB's list_sum over the same casts
-    * reproduces it bit-for-bit.
+  /** Spark-side cosine similarity: the fused codegen'd Catalyst expression
+    * (graft.functions.CosineSimilarity) — one loop instead of the 3-pass
+    * aggregate∘zip_with HOF chain, same sequential fold per accumulator, so
+    * DuckDB's list_sum over the same casts reproduces it bit-for-bit.
     */
   private def cosineExpr(a: String, b: String): String =
-    s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-        CAST(0 AS DOUBLE), (s, v) -> s + v)
-      / (sqrt(aggregate($a, CAST(0 AS DOUBLE), (s, x) -> s + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
-       * sqrt(aggregate($b, CAST(0 AS DOUBLE), (s, x) -> s + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"""
+    s"cosine_sim($a, $b)"
 
   /** DuckDB-side cosine with the same op order. */
   private def duckCosine(a: String, b: String): String =

@@ -79,6 +79,28 @@ object Relational2 extends QueryBlock {
         ${sqlSumD2("l_quantity")} AS sum_qty
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // C12 — range/interval join: lineitems shipped within [o_orderdate,
+    // o_orderdate + 90 days) of their order. Equi key + range predicate —
+    // the equi part keys the shuffle, the range is a cheap post-filter
+    // (no BNL at any scale).
+    "c12_range_join" -> QueryDef(
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderdate"),
+            (col("o_orderdate") + expr("INTERVAL 90 DAYS")).as("o_end"))
+        val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+        l.join(o, col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") >= col("o_orderdate") && col("l_shipdate") < col("o_end"))
+          .groupBy(col("o_orderkey"))
+          .agg(count(lit(1)).as("n_in_window"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, count(*) AS n_in_window
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          AND l_shipdate >= o_orderdate
+          AND l_shipdate < o_orderdate + INTERVAL 90 DAY
+        GROUP BY o_orderkey ORDER BY o_orderkey""")),
+
     // C13 — as-of join: for each purchase event, the latest click event of
     // the same user at ts <= purchase ts. Union+window plan (AsOfJoin), one
     // shuffle; DuckDB oracles with native ASOF JOIN on exact integer micros.

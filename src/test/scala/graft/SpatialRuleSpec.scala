@@ -1,0 +1,50 @@
+package graft
+
+import graft.geo.GeoParquet
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** §4.3 bbox pushdown: the SpatialFilterRule must turn an opaque spatial
+  * UDF predicate into scan-reaching range filters on the __bbox covering
+  * column — same rows, but with PushedFilters the parquet reader can use
+  * for row-group skipping at 100 TB.
+  */
+class SpatialRuleSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("st_intersects(geom, lit) gains pushdown-able __bbox range predicates") {
+    val out = "/tmp/graft_test/spatial_rule"
+    val df = spark.range(1000).toDF("id")
+      .select(col("id"),
+        GeoFunctions.st_point(col("id").cast("double"), (col("id") * 2).cast("double"))
+          .as("geometry"))
+    GeoParquet.write(df, out, Seq("geometry"), addBboxColumn = true)
+
+    val queryBox = GeoFunctions.stMakeBoxF(100.0, 0.0, 110.0, 1000.0)
+    val q = GeoParquet.read(spark, out)
+      .filter(call_udf("st_intersects", col("geometry"), lit(queryBox)))
+      .select(col("id"))
+
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("__bbox"), s"rule did not fire:\n$plan")
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("LessThanOrEqual(__bbox.xmin,110.0)"),
+      s"bbox predicates not pushed to scan:\n$plan")
+
+    // Exactness preserved: same rows as the un-rewritten predicate.
+    val got = q.collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === (100L to 110L)) // points with x in [100,110]
+  }
+
+  test("rule is a no-op without a __bbox column") {
+    val out = "/tmp/graft_test/spatial_rule_plain"
+    val df = spark.range(100).toDF("id")
+      .select(col("id"),
+        GeoFunctions.st_point(col("id").cast("double"), lit(0.0)).as("geometry"))
+    GeoParquet.write(df, out, Seq("geometry"))
+    val queryBox = GeoFunctions.stMakeBoxF(10.0, -1.0, 20.0, 1.0)
+    val q = GeoParquet.read(spark, out)
+      .filter(call_udf("st_intersects", col("geometry"), lit(queryBox)))
+    assert(q.collect().length === 11)
+  }
+}
