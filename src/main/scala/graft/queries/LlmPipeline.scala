@@ -293,6 +293,50 @@ object LlmPipeline extends QueryBlock {
         CAST(sum(n_chars) AS DOUBLE) / count(*) AS len_avg
         FROM documents GROUP BY lang ORDER BY lang""")),
 
+    // E-block: embedding-cosine near-duplicate pairs, brute force on a
+    // bounded slice (the declared ORACLE semantics; the LSH-bucketed scale
+    // path is e_ann_lsh below + RandomHyperplaneLSH spec).
+    "e_cosine_neardup" -> QueryDef(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings").filter(col("vec_id") < 300)
+        val a = emb.select(col("vec_id").as("va"), col("embedding").as("ea"))
+        val b = emb.select(col("vec_id").as("vb"), col("embedding").as("eb"))
+        a.join(b, col("va") < col("vb"))
+          .select(col("va"), col("vb"), expr(cosineExpr("ea", "eb")).as("sim"))
+          .filter(col("sim") >= 0.35)
+          .orderBy(col("va"), col("vb"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300)
+        SELECT a.vec_id AS va, b.vec_id AS vb,
+          ${duckCosine("a.embedding", "b.embedding")} AS sim
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE ${duckCosine("a.embedding", "b.embedding")} >= 0.35
+        ORDER BY va, vb""")),
+
+    // E — SimHash near-dup: 64-bit signature buckets by 4x16-bit bands,
+    // hamming<=6 verify. Owned hash family -> GOLDEN/PROP, not oracle.
+    "e_simhash_neardup" -> QueryDef(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), TextFunctions.simhash(col("text")).as("sig"))
+        val bands = docs.select(col("doc_id"), col("sig"),
+          posexplode(expr(
+            "transform(sequence(0, 3), b -> (sig >> (b * 16)) & 65535)")))
+          .select(col("doc_id"), col("sig"), col("pos").as("band"), col("col").as("bkey"))
+        bands.alias("a")
+          .join(bands.alias("b"),
+            col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+            col("a.sig").as("s1"), col("b.sig").as("s2"))
+          .distinct()
+          .select(col("d1"), col("d2"),
+            expr("bit_count(s1 ^ s2)").as("hamming"))
+          .filter(col("hamming") <= 6)
+          .orderBy(col("d1"), col("d2"))
+      },
+      None),
+
     // E2 — MinHash-LSH near-dup candidates (no SQL oracle — owned hash
     // family; GOLDEN/PROP covered in ScalaTest; driver records rows>0).
     // Pipeline: shingle -> 128-perm minhash -> 32 bands of 4 -> band-key

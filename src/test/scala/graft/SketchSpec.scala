@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** E14 PROP tier: sketches aren't oracle-able (internals differ per
+  * engine); assert documented error bounds against exact results instead.
+  */
+class SketchSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.sfDir
+
+  test("approx_count_distinct within rsd bound of exact") {
+    val li = Tables(spark, dir, "lineitem")
+    val row = li.agg(
+      countDistinct(col("l_partkey")).as("exact"),
+      approx_count_distinct(col("l_partkey"), 0.05).as("approx")).collect()(0)
+    val exact = row.getLong(0).toDouble
+    val approx = row.getLong(1).toDouble
+    // 0.05 rsd => assert within 4 sigma
+    assert(math.abs(approx - exact) / exact <= 0.20,
+      s"approx $approx vs exact $exact")
+  }
+
+  test("approx_percentile brackets the exact percentile") {
+    val li = Tables(spark, dir, "lineitem")
+    val row = li.agg(
+      expr("percentile(l_extendedprice, 0.5)").as("exact_p50"),
+      expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_p50"),
+      min(col("l_extendedprice")).as("lo"),
+      max(col("l_extendedprice")).as("hi")).collect()(0)
+    val exact = row.getDouble(0)
+    val approx = row.getDouble(1)
+    val span = row.getDouble(3) - row.getDouble(2)
+    assert(math.abs(approx - exact) <= span * 0.02,
+      s"approx $approx vs exact $exact (span $span)")
+  }
+}
