@@ -93,6 +93,15 @@ class GeoFunctionsSpec extends AnyFunSuite {
     assert(stContainsF(null, stPointF(0, 0)) === null)
   }
 
+  test("srid round-trips through EWKB re-encode (B16)") {
+    val p = stPointF(3.0, 4.0)
+    assert(stSridF(p) === 0)
+    val tagged = stSetSridF(p, 4326)
+    assert(stSridF(tagged) === 4326)
+    // geometry unchanged
+    assert(stXF(tagged) === 3.0 && stYF(tagged) === 4.0)
+  }
+
   test("centroid of rectangle is its center") {
     val c = fromWkb(stCentroidF(stMakeBoxF(0, 0, 8, 4)))
     assert(c.getCoordinate.equals2D(new Coordinate(4, 2)))
