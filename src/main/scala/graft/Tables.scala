@@ -18,7 +18,17 @@ object Tables {
     * mantissa). This is the documented ns→µs delta of SURVEY.md §1.2; every
     * declared oracle query buckets or formats ts at ≥second granularity.
     */
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+  // Plan-handle cache: spark.read.parquet pays file listing + footer schema
+  // read (~60 ms) on EVERY call; the returned DataFrame is an immutable
+  // logical plan, safe to reuse within a session. Keyed by session so a
+  // restarted driver session doesn't see stale file indexes.
+  private val cache = new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]()
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    cache.computeIfAbsent((System.identityHashCode(spark), dir, name),
+      _ => load(spark, dir, name))
+
+  private def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     // Guarded on LongType: a re-staged copy of events (Bench layout cache)
