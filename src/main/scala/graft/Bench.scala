@@ -76,10 +76,21 @@ object Bench {
       name -> (1 to 3).map(_ => timeOnce(name)).min
     }
 
+    // Spark's minimal fresh-query cost on this machine (plan + schedule +
+    // collect of a 25-row table): the irreducible floor under every number
+    // above (SURVEY.md §6 — sub-10ms baseline queries are floor-bound).
+    def floorOnce(): Double = {
+      val t0 = System.nanoTime()
+      Tables(spark, staged, "nation").groupBy().count().collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    floorOnce()
+    val floor = (1 to 3).map(_ => floorOnce()).min
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"floor_sec":$floor%.4f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
