@@ -38,7 +38,8 @@ object GeoParquet {
       geometryColumns: Seq[String],
       crs: String = GeoParquetMetadata.DefaultCrs,
       computeStats: Boolean = true,
-      addBboxColumn: Boolean = false): Unit = {
+      addBboxColumn: Boolean = false,
+      partitionBy: Seq[String] = Nil): Unit = {
     require(geometryColumns.nonEmpty, "at least one geometry column")
     // GeoParquet 1.1 covering-column pattern: a per-row envelope struct
     // whose parquet min/max stats let spatial filters skip row groups
@@ -48,7 +49,9 @@ object GeoParquet {
         df.withColumn("__bbox",
           GeoFunctions.stEnvelopeStruct(col(geometryColumns.head)))
       else df
-    out.write.mode("overwrite").parquet(path)
+    val writer = out.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+      .parquet(path)
 
     // One distributed aggregate pass for geometry_types + bbox per column.
     val colMeta: Map[String, GeoColumnMeta] =
@@ -81,11 +84,23 @@ object GeoParquet {
     // Footer injection, distributed: byte-level row-group copy per file.
     val spark = df.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
-    val fs = new Path(path).getFileSystem(conf)
-    val parts = fs.listStatus(new Path(path))
-      .map(_.getPath).filter(_.getName.endsWith(".parquet")).map(_.toString)
-    spark.sparkContext.parallelize(parts.toSeq, parts.length.max(1))
+    val parts = listParquetFiles(new Path(path), conf)
+    spark.sparkContext.parallelize(parts, parts.length.max(1))
       .foreach(injectFooter(_, geoJson))
+  }
+
+  /** Recursive listing — partitioned writes nest part files under
+    * partition directories.
+    */
+  private def listParquetFiles(root: Path, conf: Configuration): Seq[String] = {
+    val fs = root.getFileSystem(conf)
+    val out = Seq.newBuilder[String]
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) out += f.getPath.toString
+    }
+    out.result()
   }
 
   /** Rewrite one parquet file with the `geo` footer key added (runs on an
@@ -140,7 +155,7 @@ object GeoParquet {
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
     val first = (if (fs.getFileStatus(p).isDirectory)
-      fs.listStatus(p).map(_.getPath).filter(_.getName.endsWith(".parquet")).sortBy(_.getName).headOption
+      listParquetFiles(p, conf).sorted.headOption.map(new Path(_))
     else Some(p))
     first.flatMap { f =>
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))

@@ -46,6 +46,25 @@ object Relational2 extends QueryBlock {
         max(p_name) AS max_name
         FROM read_csv('$scratch/part_csv/*.csv', header=true)""")),
 
+    // C2a' — CSV scan with SCHEMA INFERENCE (one extra pass; the declared-
+    // schema variant above is the 100 TB path). Casts in the aggregate pin
+    // the output types against inference differences between engines.
+    "c02_csv_infer" -> QueryDef(
+      (s, dir) => {
+        val out = s"$scratch/supplier_csv"
+        t(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+          .coalesce(1).write.mode("overwrite").option("header", "true").csv(out)
+        s.read.option("header", "true").option("inferSchema", "true").csv(out)
+          .agg(count(lit(1)).as("n"),
+            sum(col("s_suppkey").cast("long")).as("key_sum"),
+            sumD2(col("s_acctbal").cast("double")).as("bal_sum"))
+      },
+      Some(s"""SELECT count(*) AS n,
+        sum(CAST(s_suppkey AS BIGINT)) AS key_sum,
+        ${sqlSumD2("CAST(s_acctbal AS DOUBLE)")} AS bal_sum
+        FROM read_csv('$scratch/supplier_csv/*.csv', header=true)""")),
+
     // C2b — JSON lines sink + scan round-trip.
     "c02_json_roundtrip" -> QueryDef(
       (s, dir) => {

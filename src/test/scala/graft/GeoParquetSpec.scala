@@ -55,6 +55,22 @@ class GeoParquetSpec extends AnyFunSuite {
       .collect().map(_.getDouble(0)).sorted.toSeq === (0 until 10).map(_ * 2.0))
   }
 
+  test("partitioned geoparquet write: footer injected in nested part files") {
+    val out = "/tmp/graft_test/geo_part"
+    val df = spark.range(100).toDF("id")
+      .select(col("id"), (col("id") % 4).as("bucket"),
+        GeoFunctions.st_point(col("id").cast("double"), lit(1.0)).as("geometry"))
+    GeoParquet.write(df, out, Seq("geometry"), partitionBy = Seq("bucket"))
+    val meta = GeoParquet.readMetadata(spark, out)
+    assert(meta.isDefined && meta.get.primaryColumn === "geometry")
+    val back = GeoParquet.read(spark, out)
+    assert(back.count() === 100)
+    assert(back.schema("geometry").metadata.getString("geo.encoding") === "WKB")
+    // partition pruning still works through the rewritten files
+    val plan = back.filter(col("bucket") === 2).queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(bucket"))
+  }
+
   test("footer rewrite preserves row-group statistics pushdown") {
     val out = "/tmp/graft_test/geo_spec2"
     val df = spark.range(1000).toDF("id")
