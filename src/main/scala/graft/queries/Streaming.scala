@@ -4,7 +4,9 @@ import graft.{Graft, QueryBlock, QueryDef, Tables}
 import graft.streaming.EventStreams
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Streaming operators (SURVEY.md §2 block D), ORACLE-B harness: each query
   * is a genuine Structured Streaming job (file source -> stateful transforms
@@ -156,6 +158,31 @@ object Streaming extends QueryBlock {
           ON p.user_id = c.user_id
          AND c.ts_us >= p.ts_us - 3600000000 AND c.ts_us <= p.ts_us)""")),
 
+    // D9b — the Spark 4.1 transformWithState API (SURVEY §2 D9's preferred
+    // form): typed per-key ValueState via a StatefulProcessor, RocksDB
+    // state store. Same semantics (and same oracle) as d09.
+    "d09b_transform_with_state" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        s.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        val typed = EventStreams.events(s, dir)
+          .select(col("user_id"), col("value"))
+          .as[(Long, Double)]
+        val agg = typed
+          .groupByKey(_._1)
+          .transformWithState(new RunningTotalsProcessor(),
+            TimeMode.None(), OutputMode.Update())
+          .toDF("user_id", "n_events", "sum_value")
+        val out = EventStreams.runToTable(s, agg, "d09b_sink", mode = "update")
+          .orderBy(col("user_id"))
+        s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        out
+      },
+      Some(s"""SELECT user_id, count(*) AS n_events,
+        ${sqlSumD2("value")} AS sum_value
+        FROM events GROUP BY user_id ORDER BY user_id""")),
+
     // D9 — arbitrary stateful processing: per-user running totals via
     // flatMapGroupsWithState (update mode; AvailableNow => final state).
     "d09_stateful_counters" -> QueryDef(
@@ -188,4 +215,27 @@ object Streaming extends QueryBlock {
         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         FROM events GROUP BY user_id ORDER BY user_id"""))
   )
+}
+
+/** D9b processor: exact integer-cents running totals in typed ValueState. */
+class RunningTotalsProcessor
+    extends StatefulProcessor[Long, (Long, Double), (Long, Long, Double)] {
+
+  @transient private var totals: ValueState[(Long, Double)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    totals = getHandle.getValueState[(Long, Double)](
+      "totals", Encoders.product[(Long, Double)], TTLConfig.NONE)
+
+  override def handleInputRows(
+      user: Long,
+      rows: Iterator[(Long, Double)],
+      timerValues: TimerValues): Iterator[(Long, Long, Double)] = {
+    val (n0, cents0) = Option(totals.get()).getOrElse((0L, 0.0))
+    var n = n0
+    var cents = cents0
+    rows.foreach { case (_, v) => n += 1; cents += math.rint(v * 100) }
+    totals.update((n, cents))
+    Iterator((user, n, cents / 100))
+  }
 }
