@@ -52,9 +52,13 @@ object TextFunctions extends Serializable {
     else norm.sliding(k).toArray
   }
 
+  // the standard 128-perm family, computed once per JVM (hashParams per
+  // call would allocate 128 tuples per ROW in the minhash UDF)
+  @transient private lazy val params128: Array[(Long, Long)] = hashParams(128)
+
   /** MinHash signature over char-shingles. */
   def minhash(text: String, numPerm: Int, shingleK: Int): Array[Long] = {
-    val params = hashParams(numPerm)
+    val params = if (numPerm == 128) params128 else hashParams(numPerm)
     val sig = Array.fill(numPerm)(Long.MaxValue)
     shingles(text, shingleK).foreach { sh =>
       val x = fnv1a64(sh) & Long.MaxValue // non-negative

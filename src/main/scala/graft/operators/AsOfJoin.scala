@@ -29,7 +29,11 @@ object AsOfJoin {
     * @param partitionCols equal-key columns present in BOTH inputs
     * @param leftTs     event-time column name on `left`
     * @param rightTs    event-time column name on `right`
-    * @param rightVals  columns of `right` to carry to the output
+    * @param rightVals  columns of `right` to carry to the output. NOTE:
+    *                   null values inside a matched right row fall through
+    *                   to the previous right row (`last(_, ignoreNulls)`
+    *                   fill) — supply non-null value columns, or add an
+    *                   `is_match` marker column (lit(true)) to detect it.
     */
   def asOf(
       left: DataFrame,
