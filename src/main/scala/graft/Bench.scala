@@ -57,7 +57,9 @@ object Bench {
     val staged = s"/tmp/graft_bench_cache/${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}"
     Tables.names.foreach { n =>
       val dst = new java.io.File(s"$staged/$n.parquet")
-      if (!dst.exists())
+      // _SUCCESS marks a COMPLETE staging write; a bare dir from a crashed
+      // prior run must be rewritten, not trusted
+      if (!new java.io.File(dst, "_SUCCESS").exists())
         Tables(spark, sfDir, n).repartition(8)
           .write.mode("overwrite").parquet(dst.toString)
     }

@@ -24,15 +24,24 @@ import org.locationtech.jts.io.{WKBReader, WKBWriter, WKTReader, WKTWriter}
   */
 object GeoFunctions extends Serializable {
 
-  // JTS toolbox objects are cheap but not thread-safe for readers/writers →
-  // per-thread instances. GeometryFactory is thread-safe.
+  // JTS readers/writers are stateful (not thread-safe) but reusable →
+  // one instance per thread, not per row: these sit on the hottest scalar
+  // path of every ST_* UDF. GeometryFactory is thread-safe.
   @transient private lazy val gf = new GeometryFactory(new PrecisionModel(), 0)
-  private def reader = new WKBReader(gf)
+  @transient private lazy val readerTL =
+    ThreadLocal.withInitial[WKBReader](() => new WKBReader(gf))
   // 2D, little-endian, no SRID — one canonical byte form so WKB hex hashes
   // are stable across engines and rounds.
-  private def writer = new WKBWriter(2, 2, false)
-  private def wktReader = new WKTReader(gf)
-  private def wktWriter = new WKTWriter(2)
+  @transient private lazy val writerTL =
+    ThreadLocal.withInitial[WKBWriter](() => new WKBWriter(2, 2, false))
+  @transient private lazy val wktReaderTL =
+    ThreadLocal.withInitial[WKTReader](() => new WKTReader(gf))
+  @transient private lazy val wktWriterTL =
+    ThreadLocal.withInitial[WKTWriter](() => new WKTWriter(2))
+  private def reader = readerTL.get()
+  private def writer = writerTL.get()
+  private def wktReader = wktReaderTL.get()
+  private def wktWriter = wktWriterTL.get()
 
   def toWkb(g: Geometry): Array[Byte] = writer.write(g)
   def fromWkb(b: Array[Byte]): Geometry = reader.read(b)
@@ -123,9 +132,8 @@ object GeoFunctions extends Serializable {
       e("_1").as("xmin"), e("_2").as("ymin"), e("_3").as("xmax"), e("_4").as("ymax"))
   }
 
-  private var registered = false
   def register(spark: SparkSession): Unit = synchronized {
-    // spark.udf.register is idempotent per name; guard just avoids log spam.
+    // spark.udf.register is idempotent per name (re-registration only logs).
     spark.udf.register("st_point", stPointF)
     spark.udf.register("st_makebox", stMakeBoxF)
     spark.udf.register("st_x", stXF)
@@ -150,6 +158,5 @@ object GeoFunctions extends Serializable {
     spark.udf.register("st_geomfromtext", stGeomFromTextF)
     spark.udf.register("st_srid", stSridF)
     spark.udf.register("st_setsrid", stSetSridF)
-    registered = true
   }
 }

@@ -70,11 +70,17 @@ object GeoParquet {
         }
         val row = written.agg(aggs.head, aggs.tail: _*).collect()(0)
         geometryColumns.map { c =>
+          // empty / all-null geometry column: min/max are null — omit the
+          // bbox rather than fabricate [0,0,0,0] (getAs[Double] unboxes
+          // null to 0.0)
+          val bbox =
+            if (row.isNullAt(row.fieldIndex(s"${c}__xmin"))) None
+            else Some((row.getAs[Double](s"${c}__xmin"), row.getAs[Double](s"${c}__ymin"),
+              row.getAs[Double](s"${c}__xmax"), row.getAs[Double](s"${c}__ymax")))
           c -> GeoColumnMeta(
             geometryTypes = row.getAs[scala.collection.Seq[String]](s"${c}__types").toSeq,
             crs = crs,
-            bbox = Some((row.getAs[Double](s"${c}__xmin"), row.getAs[Double](s"${c}__ymin"),
-              row.getAs[Double](s"${c}__xmax"), row.getAs[Double](s"${c}__ymax"))))
+            bbox = bbox)
         }.toMap
       }
 
@@ -116,6 +122,9 @@ object GeoParquet {
       val fmd = reader.getFooter.getFileMetaData
       (fmd.getSchema, new java.util.HashMap[String, String](fmd.getKeyValueMetaData))
     } finally reader.close()
+    // idempotence: a task retry after a completed rewrite must not re-read
+    // a file it already replaced
+    if (geoJson == kv.get(GeoParquetMetadata.FooterKey)) return
     kv.put(GeoParquetMetadata.FooterKey, geoJson)
 
     val writer = new ParquetFileWriter(
@@ -126,9 +135,13 @@ object GeoParquet {
     writer.appendFile(in)
     writer.end(kv)
 
+    // tmp is fully written before the source is touched; surface rename
+    // failures instead of silently losing the part file
     val fs = src.getFileSystem(conf)
-    fs.delete(src, false)
-    fs.rename(tmp, src)
+    if (!fs.delete(src, false))
+      throw new java.io.IOException(s"geoparquet footer rewrite: cannot delete $src")
+    if (!fs.rename(tmp, src))
+      throw new java.io.IOException(s"geoparquet footer rewrite: rename $tmp -> $src failed")
   }
 
   /** Read a GeoParquet dataset; geometry columns keep their WKB binary form

@@ -35,11 +35,22 @@ object SpatialFilterRule extends Rule[LogicalPlan] {
     case f @ Filter(cond, child) =>
       child.output.find(_.name == "__bbox") match {
         case Some(bbox) if !cond.references.contains(bbox) =>
-          val extras = cond.collect { case u: ScalaUDF => bboxConjunct(u, bbox) }.flatten
+          // Harvest ONLY top-level conjuncts that are themselves the spatial
+          // UDF: a predicate under OR/NOT is not necessarily satisfied by
+          // every output row, so ANDing its bbox range would wrongly drop
+          // rows matching the other branch.
+          val extras = conjuncts(cond).collect {
+            case u: ScalaUDF => bboxConjunct(u, bbox)
+          }.flatten
           if (extras.isEmpty) f
           else Filter(And(cond, extras.reduce(And)), child)
         case _ => f
       }
+  }
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case x => Seq(x)
   }
 
   /** geometry-literal envelope -> range conjunction on the __bbox struct. */
@@ -73,11 +84,9 @@ object SpatialFilterRule extends Rule[LogicalPlan] {
     }
   }
 
-  private var injected = false
   def register(spark: SparkSession): Unit = synchronized {
     if (!spark.experimental.extraOptimizations.contains(SpatialFilterRule))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ SpatialFilterRule
-    injected = true
   }
 }

@@ -31,10 +31,20 @@ object EventStreams {
     if (!java.nio.file.Files.exists(link))
       java.nio.file.Files.createSymbolicLink(
         link, java.nio.file.Paths.get(s"$dir/events.parquet"))
-    s.readStream
-      .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
-      .parquet(streamDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // Mirror Tables.scala's guard: raw testdata carries TIMESTAMP(NANOS)
+    // (read as long, truncated to µs); a re-staged copy already holds µs
+    // timestamps and must not be divided again.
+    val tsIsLong = s.read.parquet(streamDir.toString).schema("ts").dataType ==
+      org.apache.spark.sql.types.LongType
+    if (tsIsLong)
+      s.readStream
+        .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+        .parquet(streamDir.toString)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else
+      s.readStream
+        .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+        .parquet(streamDir.toString)
   }
 
   /** Run a streaming aggregation to completion; return the final table. */

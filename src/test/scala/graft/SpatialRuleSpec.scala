@@ -36,6 +36,25 @@ class SpatialRuleSpec extends AnyFunSuite {
     assert(got === (100L to 110L)) // points with x in [100,110]
   }
 
+  test("spatial predicate under OR is NOT rewritten (disjunct must not constrain all rows)") {
+    val out = "/tmp/graft_test/spatial_rule_or"
+    val df = spark.range(1000).toDF("id")
+      .select(col("id"),
+        GeoFunctions.st_point(col("id").cast("double"), (col("id") * 2).cast("double"))
+          .as("geometry"))
+    GeoParquet.write(df, out, Seq("geometry"), addBboxColumn = true)
+
+    val queryBox = GeoFunctions.stMakeBoxF(100.0, 0.0, 110.0, 1000.0)
+    // rows 100..110 intersect the box; rows 0..9 match the other disjunct
+    val q = GeoParquet.read(spark, out)
+      .filter(call_udf("st_intersects", col("geometry"), lit(queryBox)) ||
+        col("id") < 10)
+      .select(col("id"))
+    val got = q.collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === ((0L to 9L) ++ (100L to 110L)),
+      s"OR disjunct rows were wrongly dropped; plan:\n${q.queryExecution.executedPlan}")
+  }
+
   test("rule is a no-op without a __bbox column") {
     val out = "/tmp/graft_test/spatial_rule_plain"
     val df = spark.range(100).toDF("id")
