@@ -162,11 +162,15 @@ object Relational2 extends QueryBlock {
             sum(dec2(col("l_extendedprice")) * dec2(col("l_extendedprice"))).cast("double").as("syy"),
             sum(dec2(col("l_quantity")) * dec2(col("l_extendedprice"))).cast("double").as("sxy"))
           .select(col("l_returnflag"),
-            expr("(sxx - sx*sx/n)/(n-1)").as("var_qty"),
-            expr("sqrt((sxx - sx*sx/n)/(n-1))").as("stddev_qty"),
-            expr("(syy - sy*sy/n)/n").as("var_pop_price"),
-            expr("(sxy - sx*sy/n)/(n-1)").as("covar_qp"),
-            expr("(sxy - sx*sy/n)/sqrt((sxx - sx*sx/n)*(syy - sy*sy/n))").as("corr_qp"))
+            // rounding margins sized to magnitude: the decimal power sums
+            // are exact, but DuckDB's int128->double conversion can differ
+            // from the JVM's in the last ulp; var_pop_price ~1e10 has
+            // ulp ~2e-6, so 6dp rounding cannot absorb it — 2dp can.
+            expr("round((sxx - sx*sx/n)/(n-1), 6)").as("var_qty"),
+            expr("round(sqrt((sxx - sx*sx/n)/(n-1)), 6)").as("stddev_qty"),
+            expr("round((syy - sy*sy/n)/n, 2)").as("var_pop_price"),
+            expr("round((sxy - sx*sy/n)/(n-1), 4)").as("covar_qp"),
+            expr("round((sxy - sx*sy/n)/sqrt((sxx - sx*sx/n)*(syy - sy*sy/n)), 6)").as("corr_qp"))
           .orderBy(col("l_returnflag")),
       Some("""WITH s AS (SELECT l_returnflag,
           CAST(count(*) AS DOUBLE) AS n,
@@ -177,11 +181,11 @@ object Relational2 extends QueryBlock {
           CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
           FROM lineitem GROUP BY l_returnflag)
         SELECT l_returnflag,
-          (sxx - sx*sx/n)/(n-1) AS var_qty,
-          sqrt((sxx - sx*sx/n)/(n-1)) AS stddev_qty,
-          (syy - sy*sy/n)/n AS var_pop_price,
-          (sxy - sx*sy/n)/(n-1) AS covar_qp,
-          (sxy - sx*sy/n)/sqrt((sxx - sx*sx/n)*(syy - sy*sy/n)) AS corr_qp
+          round((sxx - sx*sx/n)/(n-1), 6) AS var_qty,
+          round(sqrt((sxx - sx*sx/n)/(n-1)), 6) AS stddev_qty,
+          round((syy - sy*sy/n)/n, 2) AS var_pop_price,
+          round((sxy - sx*sy/n)/(n-1), 4) AS covar_qp,
+          round((sxy - sx*sy/n)/sqrt((sxx - sx*sx/n)*(syy - sy*sy/n)), 6) AS corr_qp
         FROM s ORDER BY l_returnflag""")),
 
     // C17 — exact percentiles (linear interpolation), rounded 6dp.
