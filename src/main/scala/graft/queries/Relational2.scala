@@ -273,7 +273,10 @@ object Relational2 extends QueryBlock {
             expr("aggregate(embedding, CAST(0 AS DOUBLE), (s, x) -> s + CAST(x AS DOUBLE))").as("sum_e"),
             expr("aggregate(embedding, CAST(-1e300 AS DOUBLE), (s, x) -> greatest(s, CAST(x AS DOUBLE)))").as("max_e"),
             expr("size(filter(embedding, x -> x > 0))").as("n_pos"),
-            expr("CAST(sort_array(transform(embedding, x -> CAST(x AS DOUBLE)))[0] AS DOUBLE)").as("min_e"))
+            expr("CAST(sort_array(transform(embedding, x -> CAST(x AS DOUBLE)))[0] AS DOUBLE)").as("min_e"),
+            expr("CAST(aggregate(slice(embedding, 1, 3), CAST(0 AS DOUBLE), (s, x) -> s + CAST(x AS DOUBLE)) AS DOUBLE)").as("sum_first3"),
+            array_contains(col("embedding"), 0.0f).as("has_zero"),
+            expr("CAST(aggregate(flatten(array(slice(embedding, 1, 2), slice(embedding, 63, 2))), CAST(0 AS DOUBLE), (s, x) -> s + CAST(x AS DOUBLE)) AS DOUBLE)").as("ends_sum"))
           .orderBy(col("vec_id")),
       Some("""SELECT vec_id,
         CAST(len(embedding) AS INT) AS dim,
@@ -282,7 +285,10 @@ object Relational2 extends QueryBlock {
         list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum') AS sum_e,
         list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'max') AS max_e,
         CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
-        list_sort(list_transform(embedding, x -> CAST(x AS DOUBLE)))[1] AS min_e
+        list_sort(list_transform(embedding, x -> CAST(x AS DOUBLE)))[1] AS min_e,
+        list_sum(list_transform(embedding[1:3], x -> CAST(x AS DOUBLE))) AS sum_first3,
+        list_contains(embedding, 0.0) AS has_zero,
+        list_sum(list_transform(flatten([embedding[1:2], embedding[63:64]]), x -> CAST(x AS DOUBLE))) AS ends_sum
         FROM embeddings ORDER BY vec_id""")),
 
     // C31 — map construction + element access (scalar outputs: DuckDB map
