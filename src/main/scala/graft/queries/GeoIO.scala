@@ -37,6 +37,27 @@ object GeoIO extends QueryBlock {
         'Point' AS gtype
         FROM customer WHERE c_custkey < 1000 ORDER BY c_custkey""")),
 
+    // A2/A3 — footer interop oracle: the `geo` JSON our writer injects is
+    // read back by DuckDB's parquet_kv_metadata — a fully independent
+    // decoder of the at-rest format (byte-level interop, not just
+    // self-round-trip).
+    "a03_geo_footer" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val out = s"$scratch/geo_footer"
+        val src = t(s, dir, "nation")
+          .select(col("n_nationkey"),
+            G.st_point(col("n_nationkey").cast("double"),
+              col("n_regionkey").cast("double")).as("geometry"))
+          .coalesce(1)
+        GeoParquet.write(src, out, Seq("geometry"))
+        val json = GeoParquet.readMetadata(s, out).get.toJson
+        Seq(json).toDF("geo_json")
+      },
+      Some(s"""SELECT DISTINCT decode(value) AS geo_json
+        FROM parquet_kv_metadata('$scratch/geo_footer/*.parquet')
+        WHERE decode(key) = 'geo'""")),
+
     // A2 — polygon dataset round-trip; measures recomputed after re-read
     // (area is bit-exact for axis-aligned boxes — Geometry.scala notes).
     "a02_geoparquet_polygons" -> QueryDef(
