@@ -34,6 +34,16 @@ object Multimodal {
     (w, ht, 3, featuresOf(h))
   }
 
+  /** STUB audio decode: content bytes -> (sample_rate, n_samples,
+    * mfcc-like features[16]). Deterministic in the content hash.
+    */
+  def decodeAudioStub(content: Array[Byte]): (Int, Long, Array[Float]) = {
+    val h = fnv1a64(new String(content.map(b => (b & 0x7f).toChar)))
+    val rates = Array(8000, 16000, 22050, 44100, 48000)
+    (rates((math.abs(h) % rates.length).toInt),
+      1000L + math.abs((h >> 8) % 1000000L), featuresOf(splitmix64(h)))
+  }
+
   /** STUB frame sampler: n deterministic per-frame feature vectors. */
   def frameSampleStub(content: Array[Byte], n: Int): Array[Array[Float]] = {
     val h = fnv1a64(new String(content.map(b => (b & 0x7f).toChar)))

@@ -37,6 +37,14 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
   }
 
+  test("audio decode stub: valid rate, deterministic") {
+    val c = "audio-bytes".getBytes("UTF-8")
+    val (rate, n, feats) = Multimodal.decodeAudioStub(c)
+    assert(Set(8000, 16000, 22050, 44100, 48000).contains(rate))
+    assert(n >= 1000 && feats.length === Multimodal.FeatureDim)
+    assert(Multimodal.decodeAudioStub(c)._3.toSeq === feats.toSeq)
+  }
+
   test("frame sampling stub: n frames, deterministic") {
     val c = "video-bytes".getBytes("UTF-8")
     val f1 = Multimodal.frameSampleStub(c, 4)

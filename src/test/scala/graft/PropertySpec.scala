@@ -1,0 +1,73 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Generator-based PROP tier (SURVEY.md §5.2): invariants over generated
+  * inputs (ScalaCheck Gens, fixed seed for reproducible runs), not
+  * hand-picked fixtures.
+  */
+class PropertySpec extends AnyFunSuite {
+  import GeoFunctions._
+  import TextFunctions._
+
+  /** n deterministic samples from a Gen. */
+  private def samples[A](g: Gen[A], n: Int = 100): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val coord = Gen.chooseNum(-1e6, 1e6)
+
+  test("PROP: WKB point round-trip is exact for arbitrary coordinates") {
+    samples(Gen.zip(coord, coord)).foreach { case (x, y) =>
+      val g = fromWkb(stPointF(x, y))
+      assert(g.getCoordinate.x === x && g.getCoordinate.y === y, s"($x,$y)")
+    }
+  }
+
+  test("PROP: box area/envelope/containment for arbitrary corners") {
+    samples(Gen.zip(coord, coord, Gen.chooseNum(0.001, 1e4), Gen.chooseNum(0.001, 1e4)))
+      .foreach { case (x0, y0, w, h) =>
+        val box = stMakeBoxF(x0, y0, x0 + w, y0 + h)
+        // shoelace cancellation error scales with coordinate MAGNITUDE
+        // (cross products of offset corners), not with the area itself
+        val mx = math.max(math.abs(x0), math.abs(x0 + w))
+        val my = math.max(math.abs(y0), math.abs(y0 + h))
+        assert(math.abs(stAreaF(box) - w * h) <= math.ulp(mx * my) * 16,
+          s"area($x0,$y0,$w,$h)")
+        assert(stEnvelopeF(box) === ((x0, y0, x0 + w, y0 + h)))
+        assert(stContainsF(box, stPointF(x0 + w / 2, y0 + h / 2)) === true)
+      }
+  }
+
+  test("PROP: buffer contains original for arbitrary positive distance") {
+    samples(Gen.zip(coord, coord, Gen.chooseNum(0.01, 100.0)), 40).foreach { case (x, y, d) =>
+      val p = stPointF(x, y)
+      assert(stContainsF(stBufferF(p, d), p) === true, s"buffer($x,$y,$d)")
+    }
+  }
+
+  test("PROP: cents2 is exact for arbitrary 2-decimal values incl. negatives") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val cents = samples(Gen.chooseNum(-100000000L, 100000000L))
+    val got = cents.map(_ / 100.0).toDF("v")
+      .select(graft.Graft.cents2(org.apache.spark.sql.functions.col("v")))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === cents, "cents2 round-trip")
+  }
+
+  test("PROP: minhash signatures valid, deterministic; simhash symmetric") {
+    samples(Gen.alphaNumStr.suchThat(_.nonEmpty), 60).foreach { s =>
+      val sig = minhash(s, 128, 5)
+      assert(sig.length === 128)
+      assert(sig.forall(v => v >= 0 && v < MersennePrime), s"range for '$s'")
+      assert(sig.toSeq === minhash(s, 128, 5).toSeq, s"determinism for '$s'")
+    }
+    samples(Gen.zip(Gen.alphaStr, Gen.alphaStr), 60).foreach { case (a, b) =>
+      assert(hamming64(simhash64(a), simhash64(b)) ===
+        hamming64(simhash64(b), simhash64(a)))
+      assert(hamming64(simhash64(a), simhash64(a)) === 0)
+    }
+  }
+}
