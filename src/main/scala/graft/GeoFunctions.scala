@@ -17,10 +17,13 @@ import org.locationtech.jts.io.{WKBReader, WKBWriter, WKTReader, WKTWriter}
   * Scala `Column` helpers and SQL names (`spark.udf.register`), so C37 SQL
   * queries and DataFrame programs share one implementation.
   *
-  * Scale note: these are Scala UDFs (no codegen). That is fine for round 1
-  * correctness; the hot ones (st_x/st_y/envelope/intersects-bbox) are slated
-  * to become Catalyst Expressions with doGenCode (SURVEY.md §4.3) once the
-  * oracle corpus is green.
+  * Scale note: these are Scala UDFs. Being UDF-opaque is mitigated where it
+  * matters at scale: spatial FILTERS gain sargable range predicates via
+  * plans.SpatialFilterRule + the __bbox covering column (so pushdown does
+  * not depend on seeing through the UDF), and the embedding hot path has a
+  * native codegen Expression (functions.CosineSimilarity) as the
+  * demonstrated upgrade pattern for any ST_* function that becomes a
+  * bottleneck (SURVEY.md §4.3).
   */
 object GeoFunctions extends Serializable {
 

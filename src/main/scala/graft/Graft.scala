@@ -30,6 +30,17 @@ object Graft {
     prepare(spark)
   }
 
+  /** Reference-parity entry point: `read_geoparquet(path)`. */
+  def readGeoParquet(spark: SparkSession, path: String): DataFrame =
+    geo.GeoParquet.read(spark, path)
+
+  /** Reference-parity entry point: `gdf.to_geoparquet(path)` — also
+    * available as `df.writeGeoParquet(path)` via GeoParquet.GeoDataFrameOps.
+    */
+  def writeGeoParquet(df: DataFrame, path: String,
+      geometryColumn: String = "geometry"): Unit =
+    geo.GeoParquet.write(df, path, Seq(geometryColumn))
+
   /** Ensure engine function registration on a session we did not build
     * (Verify/Bench receive a driver-configured session).
     */
