@@ -2,29 +2,35 @@ package graft.operators
 
 import java.security.MessageDigest
 import org.apache.spark.sql.{DataFrame, Row}
-import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 
 /** Deterministic canonical dataset hash (SURVEY.md §4.3 / §5.2): the
-  * engine-side twin of the driver's oracle-compare canonicalization —
-  * columns sorted by name, rows totally ordered, cells formatted by fixed
-  * rules (6dp doubles, ISO-µs UTC timestamps, `\N` nulls, hex binaries),
-  * fields joined with \x01, rows with \n, SHA-256 over the byte stream.
+  * engine-side twin of the driver's oracle-compare canonicalization.
   *
-  * Distributed: rows are range-sorted, each partition digests its own
-  * chunk, and the driver folds the ordered per-partition digests — the
-  * full dataset never moves to the driver (a 100 TB table hashes with one
-  * sort-shuffle plus a tiny collect of per-partition digests).
+  * Canonical form: columns sorted by name; each cell formatted by fixed
+  * locale-independent rules (6dp doubles, ISO-µs UTC timestamps, `\N`
+  * nulls, hex binaries, recursively for arrays/maps/structs); fields
+  * joined with \x01. Rows are sorted by their canonical string (works for
+  * ANY column type, including maps that SQL ORDER BY rejects) and indexed
+  * globally; the dataset hash is the XOR of SHA-256(row_index \x02
+  * row_string) over all rows.
+  *
+  * XOR of per-row digests makes the result independent of partition
+  * layout and cluster width while the embedded global index keeps it
+  * order-sensitive — a 100 TB table hashes with one sort, no driver-side
+  * data movement (each partition XORs locally; the driver XORs the
+  * per-partition accumulators).
   */
 object Canonicalize {
 
+  private val TsFormat = java.time.format.DateTimeFormatter
+    .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSS", java.util.Locale.ROOT)
+
   def formatCell(v: Any): String = v match {
     case null => "\\N"
-    case d: Double => f"$d%.6f"
-    case f: Float => f"${f.toDouble}%.6f"
+    case d: Double => String.format(java.util.Locale.ROOT, "%.6f", Double.box(d))
+    case f: Float => String.format(java.util.Locale.ROOT, "%.6f", Double.box(f.toDouble))
     case t: java.sql.Timestamp =>
-      t.toInstant.atZone(java.time.ZoneOffset.UTC)
-        .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSS"))
+      t.toInstant.atZone(java.time.ZoneOffset.UTC).format(TsFormat)
     case b: Array[Byte] => b.map("%02x".format(_)).mkString
     case s: scala.collection.Seq[_] => s.map(formatCell).mkString("[", ",", "]")
     case m: scala.collection.Map[_, _] =>
@@ -33,26 +39,34 @@ object Canonicalize {
     case x => x.toString
   }
 
-  /** SHA-256 hex of the canonical form of `df`. */
+  def formatRow(r: Row): String = r.toSeq.map(formatCell).mkString("")
+
+  /** Layout-invariant, order-sensitive SHA-256-XOR hex digest of `df`. */
   def hash(df: DataFrame): String = {
     val cols = df.columns.sorted
-    val ordered = df.select(cols.map(col): _*)
-      .orderBy(cols.map(col): _*)
-    // per-partition digest, folded in partition order on the driver
-    val partDigests = ordered.rdd
-      .mapPartitionsWithIndex { (idx, rows) =>
+    val projected = df.select(cols.map(org.apache.spark.sql.functions.col): _*)
+    val canonical = projected.rdd.map(formatRow).sortBy(identity)
+    val acc = canonical.zipWithIndex()
+      .mapPartitions { rows =>
         val md = MessageDigest.getInstance("SHA-256")
-        var any = false
-        rows.foreach { r =>
-          any = true
-          md.update(r.toSeq.map(formatCell).mkString("").getBytes("UTF-8"))
-          md.update('\n'.toByte)
+        val xor = new Array[Byte](32)
+        rows.foreach { case (s, idx) =>
+          md.reset()
+          md.update(idx.toString.getBytes("UTF-8"))
+          md.update(2.toByte)
+          md.update(s.getBytes("UTF-8"))
+          val d = md.digest()
+          var i = 0
+          while (i < 32) { xor(i) = (xor(i) ^ d(i)).toByte; i += 1 }
         }
-        if (any) Iterator((idx, md.digest())) else Iterator.empty
+        Iterator(xor)
       }
-      .collect().sortBy(_._1)
-    val outer = MessageDigest.getInstance("SHA-256")
-    partDigests.foreach { case (_, d) => outer.update(d) }
-    outer.digest().map("%02x".format(_)).mkString
+      .fold(new Array[Byte](32)) { (a, b) =>
+        val out = new Array[Byte](32)
+        var i = 0
+        while (i < 32) { out(i) = (a(i) ^ b(i)).toByte; i += 1 }
+        out
+      }
+    acc.map("%02x".format(_)).mkString
   }
 }

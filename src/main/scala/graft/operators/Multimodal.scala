@@ -40,7 +40,7 @@ object Multimodal {
   def decodeAudioStub(content: Array[Byte]): (Int, Long, Array[Float]) = {
     val h = fnv1a64(new String(content.map(b => (b & 0x7f).toChar)))
     val rates = Array(8000, 16000, 22050, 44100, 48000)
-    (rates((math.abs(h) % rates.length).toInt),
+    (rates(math.abs(h % rates.length).toInt),
       1000L + math.abs((h >> 8) % 1000000L), featuresOf(splitmix64(h)))
   }
 
