@@ -108,6 +108,38 @@ object LlmPipeline extends QueryBlock {
         CAST(length(text) AS INT) AS n_char
         FROM documents ORDER BY doc_id""")),
 
+    // E5b — BPE-ish regex tokenization (north star: "token counting —
+    // whitespace + a BPE-ish regex"): letter-runs / digit-runs /
+    // punctuation-runs, the RE2-safe core of GPT-2's pretokenizer split
+    // (lookaheads excluded — DuckDB's RE2 lacks them).
+    "e05_bpe_tokens" -> QueryDef(
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            expr("""regexp_extract_all(lower(text), '([a-z]+|[0-9]+|[^a-z0-9\\s]+)', 1)""").as("toks"))
+          .select(col("doc_id"),
+            size(col("toks")).as("n_bpe_tok"),
+            element_at(col("toks"), 1).as("tok1"),
+            expr("size(filter(toks, x -> x rlike '^[0-9]+$'))").as("n_num_tok"))
+          .orderBy(col("doc_id")),
+      Some("""WITH t AS (SELECT doc_id,
+          regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]+', 0) AS toks
+          FROM documents)
+        SELECT doc_id,
+          CAST(len(toks) AS INT) AS n_bpe_tok,
+          toks[1] AS tok1,
+          CAST(len(list_filter(toks, x -> regexp_matches(x, '^[0-9]+$'))) AS INT) AS n_num_tok
+        FROM t ORDER BY doc_id""")),
+
+    // E — document fingerprint (owned rolling hash; GOLDEN via
+    // TextGoldenSpec cross-language fixture, rows-only here).
+    "e_fingerprint" -> QueryDef(
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp64"))
+          .orderBy(col("doc_id")),
+      None),
+
     // E6 — quality signals: stopword ratio (literal list), word stats,
     // language filter. All codegen'd higher-order fns.
     "e06_text_quality" -> QueryDef(
