@@ -369,6 +369,41 @@ object LlmPipeline extends QueryBlock {
       },
       None),
 
+    // E15 — the composite training-data pipeline: quality gate (length +
+    // token-count + stopword-ratio thresholds) -> exact dedup keeping the
+    // canonical doc -> per-language corpus stats. One declarative program,
+    // one oracle; this is the end-to-end shape everything above feeds.
+    "e15_clean_corpus" -> QueryDef(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .withColumn("toks", split(lower(col("text")), " "))
+          .withColumn("stop_ratio",
+            expr("CAST(size(filter(toks, x -> x IN ('the','and','of','value','data'))) AS DOUBLE) / size(toks)"))
+          .filter(col("n_chars").between(50, 2000) &&
+            size(col("toks")) >= 10 && col("stop_ratio") < 0.5)
+        val deduped = docs
+          .groupBy(col("text")).agg(min(col("doc_id")).as("keep_id"))
+          .join(docs.select(col("doc_id"), col("lang"), col("n_chars")),
+            col("keep_id") === col("doc_id"))
+        deduped.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_kept"),
+            (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH gated AS (
+          SELECT doc_id, text, lang, n_chars,
+            string_split(lower(text), ' ') AS toks
+          FROM documents
+          WHERE n_chars BETWEEN 50 AND 2000),
+        q AS (SELECT * FROM gated
+          WHERE len(toks) >= 10
+            AND CAST(len(list_filter(toks, x -> list_contains(['the','and','of','value','data'], x))) AS DOUBLE) / len(toks) < 0.5),
+        dedup AS (SELECT min(doc_id) AS keep_id FROM q GROUP BY text)
+        SELECT lang, count(*) AS n_kept,
+          CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars
+        FROM dedup JOIN q ON keep_id = q.doc_id
+        GROUP BY lang ORDER BY lang""")),
+
     // E2 — MinHash-LSH near-dup candidates (no SQL oracle — owned hash
     // family; GOLDEN/PROP covered in ScalaTest; driver records rows>0).
     // Pipeline: shingle -> 128-perm minhash -> 32 bands of 4 -> band-key
