@@ -34,7 +34,7 @@ object Streaming extends QueryBlock {
       },
       Some(s"""SELECT event_type, count(*) AS n,
         ${sqlSumD2("value")} AS sum_value
-        FROM events GROUP BY event_type ORDER BY event_type""")),
+        FROM events GROUP BY event_type ORDER BY event_type NULLS FIRST""")),
 
     // D2 — tumbling event-time window (1 hour).
     "d02_tumbling_window" -> QueryDef(
@@ -48,7 +48,7 @@ object Streaming extends QueryBlock {
       },
       Some(s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS w, event_type,
         count(*) AS n, ${sqlSumD2("value")} AS sum_value
-        FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
+        FROM events WHERE ts IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2""")),
 
     // D3 — sliding window (2h length, 30min slide): every event lands in
     // exactly 4 epoch-aligned windows; the oracle enumerates them.
@@ -61,7 +61,8 @@ object Streaming extends QueryBlock {
           .select(fmt(col("window.start")).as("w"), col("n"))
           .orderBy(col("w"))
       },
-      Some("""WITH e AS (SELECT (epoch_ns(ts)//1000)//1800000000*1800000000 AS slide_floor_us FROM events),
+      Some("""WITH e AS (SELECT (epoch_ns(ts)//1000)//1800000000*1800000000 AS slide_floor_us
+          FROM events WHERE ts IS NOT NULL),
         w AS (SELECT make_timestamp(slide_floor_us - i*1800000000) AS w_start
           FROM e, UNNEST(generate_series(CAST(0 AS BIGINT), CAST(3 AS BIGINT))) AS u(i))
         SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS w, count(*) AS n
@@ -79,7 +80,8 @@ object Streaming extends QueryBlock {
           .select(fmt(col("session_window.start")).as("sess_start"), col("user_id"), col("n"))
           .orderBy(col("user_id"), col("sess_start"))
       },
-      Some("""WITH e AS (SELECT user_id, epoch_ns(ts)//1000 AS ts_us FROM events WHERE user_id < 30),
+      Some("""WITH e AS (SELECT user_id, epoch_ns(ts)//1000 AS ts_us
+          FROM events WHERE user_id < 30 AND ts IS NOT NULL),
         flagged AS (SELECT user_id, ts_us,
           CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) > 600000000
                OR lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) IS NULL
@@ -105,7 +107,7 @@ object Streaming extends QueryBlock {
       },
       Some("""SELECT event_type, count(*) AS n_users
         FROM (SELECT DISTINCT user_id, event_type FROM events)
-        GROUP BY event_type ORDER BY event_type""")),
+        GROUP BY event_type ORDER BY event_type NULLS FIRST""")),
 
     // D7 — stream-static join: stream side shuffles nothing extra, static
     // dim broadcasts (customer keyed by user_id).
@@ -124,7 +126,7 @@ object Streaming extends QueryBlock {
         ${sqlSumD2("value")} AS sum_value
         FROM events JOIN customer ON user_id = c_custkey
         WHERE event_type = 'purchase'
-        GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+        GROUP BY c_mktsegment ORDER BY c_mktsegment NULLS FIRST""")),
 
     // D8 — stream-stream inner join with watermarks + event-time bound:
     // clicks within 1 hour before each purchase, per user.
@@ -166,22 +168,26 @@ object Streaming extends QueryBlock {
         import s.implicits._
         s.conf.set("spark.sql.streaming.stateStore.providerClass",
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-        val typed = EventStreams.events(s, dir)
-          .select(col("user_id"), col("value"))
-          .as[(Long, Double)]
-        val agg = typed
-          .groupByKey(_._1)
-          .transformWithState(new RunningTotalsProcessor(),
-            TimeMode.None(), OutputMode.Update())
-          .toDF("user_id", "n_events", "sum_value")
-        val out = EventStreams.runToTable(s, agg, "d09b_sink", mode = "update")
-          .orderBy(col("user_id"))
-        s.conf.unset("spark.sql.streaming.stateStore.providerClass")
-        out
+        try {
+          // not-null guard on BOTH sides: the Tuple2[Long, Double] encoder
+          // rejects nulls outright (primitive fields)
+          val typed = EventStreams.events(s, dir)
+            .filter(col("user_id").isNotNull && col("value").isNotNull)
+            .select(col("user_id"), col("value"))
+            .as[(Long, Double)]
+          val agg = typed
+            .groupByKey(_._1)
+            .transformWithState(new RunningTotalsProcessor(),
+              TimeMode.None(), OutputMode.Update())
+            .toDF("user_id", "n_events", "sum_value")
+          EventStreams.runToTable(s, agg, "d09b_sink", mode = "update")
+            .orderBy(col("user_id"))
+        } finally s.conf.unset("spark.sql.streaming.stateStore.providerClass")
       },
       Some(s"""SELECT user_id, count(*) AS n_events,
         ${sqlSumD2("value")} AS sum_value
-        FROM events GROUP BY user_id ORDER BY user_id""")),
+        FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        GROUP BY user_id ORDER BY user_id""")),
 
     // D9 — arbitrary stateful processing: per-user running totals via
     // flatMapGroupsWithState (update mode; AvailableNow => final state).
@@ -189,6 +195,7 @@ object Streaming extends QueryBlock {
       (s, dir) => {
         import s.implicits._
         val typed = EventStreams.events(s, dir)
+          .filter(col("user_id").isNotNull && col("value").isNotNull)
           .select(col("user_id"), col("value"))
           .as[(Long, Double)]
         val agg = typed
@@ -202,7 +209,7 @@ object Streaming extends QueryBlock {
               rows.foreach { case (_, v) =>
                 n += 1
                 // exact integer cents: value is a 2-decimal double
-                cents += math.rint(v * 100)
+                cents += math.floor(v * 100 + 0.5)
               }
               state.update((n, cents))
               Iterator((user, n, cents / 100))
@@ -213,7 +220,8 @@ object Streaming extends QueryBlock {
       },
       Some("""SELECT user_id, count(*) AS n_events,
         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        FROM events GROUP BY user_id ORDER BY user_id"""))
+        FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        GROUP BY user_id ORDER BY user_id"""))
   )
 }
 
@@ -234,7 +242,7 @@ class RunningTotalsProcessor
     val (n0, cents0) = Option(totals.get()).getOrElse((0L, 0.0))
     var n = n0
     var cents = cents0
-    rows.foreach { case (_, v) => n += 1; cents += math.rint(v * 100) }
+    rows.foreach { case (_, v) => n += 1; cents += math.floor(v * 100 + 0.5) }
     totals.update((n, cents))
     Iterator((user, n, cents / 100))
   }

@@ -19,6 +19,11 @@ object EventStreams {
     * require it); ns timestamps arrive as longs (nanosAsLong) and are
     * truncated to µs with exact integer division, mirroring Tables.scala.
     */
+  // ts-schema probe result per staged dir (a full batch read per call would
+  // re-pay file listing + footer decode for a constant answer)
+  private val tsIsLongCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // The file stream source only accepts directories; stage the bounded
@@ -28,14 +33,24 @@ object EventStreams {
       s"/tmp/graft_stream/${dir.replaceAll("[^A-Za-z0-9.]", "_")}")
     java.nio.file.Files.createDirectories(streamDir)
     val link = streamDir.resolve("events.parquet")
-    if (!java.nio.file.Files.exists(link))
-      java.nio.file.Files.createSymbolicLink(
-        link, java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val target = java.nio.file.Paths.get(s"$dir/events.parquet")
+    // Validate, don't trust: the sanitized scratch key is lossy, and a
+    // dangling/mistargeted link from an earlier dir must be recreated
+    // (Files.exists follows links, so a dangling one reads as absent while
+    // createSymbolicLink still throws FileAlreadyExists).
+    if (java.nio.file.Files.isSymbolicLink(link)) {
+      if (java.nio.file.Files.readSymbolicLink(link) != target)
+        java.nio.file.Files.delete(link)
+    }
+    if (!java.nio.file.Files.isSymbolicLink(link) &&
+        !java.nio.file.Files.exists(link))
+      java.nio.file.Files.createSymbolicLink(link, target)
     // Mirror Tables.scala's guard: raw testdata carries TIMESTAMP(NANOS)
     // (read as long, truncated to µs); a re-staged copy already holds µs
     // timestamps and must not be divided again.
-    val tsIsLong = s.read.parquet(streamDir.toString).schema("ts").dataType ==
-      org.apache.spark.sql.types.LongType
+    val tsIsLong: Boolean = tsIsLongCache.computeIfAbsent(streamDir.toString,
+      _ => s.read.parquet(streamDir.toString).schema("ts").dataType ==
+        org.apache.spark.sql.types.LongType)
     if (tsIsLong)
       s.readStream
         .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
@@ -47,18 +62,28 @@ object EventStreams {
         .parquet(streamDir.toString)
   }
 
-  /** Run a streaming aggregation to completion; return the final table. */
+  /** Run a streaming aggregation to completion; return the final table.
+    * The per-run checkpoint is deleted afterwards (memory-sink results
+    * don't outlive the session; leaving RocksDB state trees in /tmp
+    * accumulates across bench iterations).
+    */
   def runToTable(s: SparkSession, df: DataFrame, name: String,
       mode: String = "complete"): DataFrame = {
-    val ckpt = java.nio.file.Files.createTempDirectory(s"graft_ckpt_$name").toString
-    val q = df.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", ckpt)
-      .start()
-    q.awaitTermination()
-    s.table(name)
+    val ckpt = java.nio.file.Files.createTempDirectory(s"graft_ckpt_$name")
+    try {
+      val q = df.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      q.awaitTermination()
+      s.table(name)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
   }
 }
