@@ -125,7 +125,7 @@ object Relational2 extends QueryBlock {
     // shuffle; DuckDB oracles with native ASOF JOIN on exact integer micros.
     "c13_asof_join" -> QueryDef(
       (s, dir) => {
-        val ev = t(s, dir, "events")
+        val ev = t(s, dir, "events").filter(col("ts").isNotNull)
         val purchases = ev.filter(col("event_type") === "purchase")
           .select(col("user_id"), col("event_id"), col("ts"), col("value"))
         val clicks = ev.filter(col("event_type") === "click")
@@ -139,10 +139,10 @@ object Relational2 extends QueryBlock {
           .orderBy(col("event_id"))
       },
       Some("""WITH p AS (SELECT user_id, event_id, epoch_ns(ts)//1000 AS ts_us, value
-          FROM events WHERE event_type = 'purchase'),
+          FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL),
         c AS (SELECT user_id, epoch_ns(ts)//1000 AS ts_us, event_id AS click_id,
             value AS click_value
-          FROM events WHERE event_type = 'click')
+          FROM events WHERE event_type = 'click' AND ts IS NOT NULL)
         SELECT p.event_id, p.user_id, c.click_id, c.click_value
         FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts_us <= p.ts_us
         ORDER BY p.event_id""")),
