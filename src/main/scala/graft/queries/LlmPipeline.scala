@@ -91,6 +91,36 @@ object LlmPipeline extends QueryBlock {
           FROM scored)
         SELECT qid, rk, vec_id, sim FROM ranked WHERE rk <= 3 ORDER BY qid, rk""")),
 
+    // E4b — the SAME KNN join through the bounded-memory TopK aggregator
+    // (operators.TopK, the 100 TB path: k-sized buffers map-side instead
+    // of a full window sort) — deliberately shares e04's oracle, proving
+    // path equivalence on real data.
+    "e04b_knn_topk" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val emb = t(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("q"))
+        val scored = emb.crossJoin(broadcast(q))
+          .select(col("qid"), col("vec_id"), expr(cosineExpr("embedding", "q")).as("sim"))
+          .as[(Long, Long, Double)]
+        scored.groupByKey(_._1)
+          .mapValues(r => (r._3, r._2))
+          .agg(new graft.operators.TopK(3).toColumn.name("top"))
+          .flatMap { case (qid, top) =>
+            top.zipWithIndex.map { case ((sim, vid), i) => (qid, i + 1, vid, sim) }
+          }
+          .toDF("qid", "rk", "vec_id", "sim")
+          .orderBy(col("qid"), col("rk"))
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS qid, embedding AS q FROM embeddings WHERE vec_id < 5),
+        scored AS (SELECT qid, vec_id, ${duckCosine("embedding", "q")} AS sim
+          FROM embeddings CROSS JOIN q),
+        ranked AS (SELECT qid, vec_id, sim,
+          CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS INT) AS rk
+          FROM scored)
+        SELECT qid, rk, vec_id, sim FROM ranked WHERE rk <= 3 ORDER BY qid, rk""")),
+
     // E5 — tokenize/normalize: codegen'd split/lower, no UDF.
     "e05_tokenize" -> QueryDef(
       (s, dir) =>
