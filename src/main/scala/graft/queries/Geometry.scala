@@ -149,6 +149,38 @@ object Geometry extends QueryBlock {
          AND a_ymin <= b_ymax AND b_ymin <= a_ymax
         ORDER BY s_suppkey, c_custkey""")),
 
+    // B17b — the SAME bbox join through the grid-cell equi-join rewrite
+    // (operators.SpatialJoin — the shuffle-partitioned 100 TB path),
+    // sharing b17's oracle: path equivalence proven on oracle data.
+    "b17b_grid_join" -> QueryDef(
+      (s, dir) => {
+        val sup = t(s, dir, "supplier").filter(col("s_suppkey") <= 100)
+          .select(col("s_suppkey"),
+            col("s_acctbal").as("xmin"),
+            (col("s_nationkey").cast("double") * 10.0).as("ymin"),
+            (col("s_acctbal") + 500.0).as("xmax"),
+            (col("s_nationkey").cast("double") * 10.0 + 100.0).as("ymax"))
+        val cust = t(s, dir, "customer").filter(col("c_custkey") <= 200)
+          .select(col("c_custkey"),
+            col("c_acctbal").as("xmin"),
+            (col("c_nationkey").cast("double") * 10.0).as("ymin"),
+            (col("c_acctbal") + 500.0).as("xmax"),
+            (col("c_nationkey").cast("double") * 10.0 + 100.0).as("ymax"))
+        graft.operators.SpatialJoin.bboxIntersectJoin(sup, cust, cell = 500.0)
+          .select(col("lid").as("s_suppkey"), col("rid").as("c_custkey"))
+          .orderBy(col("s_suppkey"), col("c_custkey"))
+      },
+      Some("""WITH a AS (SELECT s_suppkey, s_acctbal AS a_xmin, s_acctbal + 500.0 AS a_xmax,
+          CAST(s_nationkey AS DOUBLE) * 10.0 AS a_ymin, CAST(s_nationkey AS DOUBLE) * 10.0 + 100.0 AS a_ymax
+          FROM supplier WHERE s_suppkey <= 100),
+        b AS (SELECT c_custkey, c_acctbal AS b_xmin, c_acctbal + 500.0 AS b_xmax,
+          CAST(c_nationkey AS DOUBLE) * 10.0 AS b_ymin, CAST(c_nationkey AS DOUBLE) * 10.0 + 100.0 AS b_ymax
+          FROM customer WHERE c_custkey <= 200)
+        SELECT s_suppkey, c_custkey FROM a JOIN b
+          ON a_xmin <= b_xmax AND b_xmin <= a_xmax
+         AND a_ymin <= b_ymax AND b_ymin <= a_ymax
+        ORDER BY s_suppkey, c_custkey""")),
+
     // B18 — spatial KNN join: 5 query points -> 3 nearest customer points.
     "b18_knn_join" -> QueryDef(
       (s, dir) => {

@@ -460,6 +460,17 @@ object LlmPipeline extends QueryBlock {
       },
       None),
 
+    // E3b — ANN scale path as a declared surface: hyperplane-LSH candidate
+    // pairs with exact cosine verify (owned deterministic planes; recall
+    // properties in AnnLshSpec — rows-only here).
+    "e_ann_lsh" -> QueryDef(
+      (s, dir) =>
+        graft.operators.AnnLsh
+          .nearDupCandidates(t(s, dir, "embeddings"), "vec_id", "embedding")
+          .filter(col("sim") >= 0.3)
+          .orderBy(col("id1"), col("id2")),
+      None),
+
     // E14 — sketches: approx vs exact side by side (PROP-tested bounds; not
     // oracle-able — sketch internals differ across engines by design).
     "e14_approx_distinct" -> QueryDef(
