@@ -37,6 +37,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
 
+  // Zero-norm vectors yield NULL, not NaN: 0/0 is NULL in the DuckDB
+  // oracle's arithmetic, NULL sorts/filters consistently on both engines,
+  // and NaN would poison top-k ordering (NaN ranks first on DESC in Spark).
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -49,7 +54,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
       dot += xi * yi; nx += xi * xi; ny += yi * yi
       i += 1
     }
-    dot / (math.sqrt(nx) * math.sqrt(ny))
+    if (nx == 0.0 || ny == 0.0) null
+    else dot / (math.sqrt(nx) * math.sqrt(ny))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -69,7 +75,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
           double $y = (double) $b.getFloat($i);
           $dot += $x * $y; $nx += $x * $x; $ny += $y * $y;
         }
-        ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+        if ($nx == 0.0 || $ny == 0.0) {
+          ${ev.isNull} = true;
+        } else {
+          ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+        }
       """
     })
 

@@ -14,8 +14,13 @@ import org.apache.spark.sql.expressions.Aggregator
   */
 class TopK(k: Int) extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
 
-  private def best(a: (Double, Long), b: (Double, Long)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+  // java.lang.Double.compare gives a TOTAL order (NaN sorts greatest),
+  // so sortWith never violates strict-weak-ordering even on NaN scores
+  // and NaN ranks first on DESC — matching the window/row_number path.
+  private def best(a: (Double, Long), b: (Double, Long)): Boolean = {
+    val c = java.lang.Double.compare(a._1, b._1)
+    c > 0 || (c == 0 && a._2 < b._2)
+  }
 
   override def zero: Seq[(Double, Long)] = Vector.empty
 

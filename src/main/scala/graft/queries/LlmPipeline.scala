@@ -103,6 +103,7 @@ object LlmPipeline extends QueryBlock {
           .select(col("vec_id").as("qid"), col("embedding").as("q"))
         val scored = emb.crossJoin(broadcast(q))
           .select(col("qid"), col("vec_id"), expr(cosineExpr("embedding", "q")).as("sim"))
+          .filter(col("sim").isNotNull) // zero-norm vectors: NULL sim
           .as[(Long, Long, Double)]
         scored.groupByKey(_._1)
           .mapValues(r => (r._3, r._2))
@@ -149,7 +150,7 @@ object LlmPipeline extends QueryBlock {
             expr("""regexp_extract_all(lower(text), '([a-z]+|[0-9]+|[^a-z0-9\\s]+)', 1)""").as("toks"))
           .select(col("doc_id"),
             size(col("toks")).as("n_bpe_tok"),
-            element_at(col("toks"), 1).as("tok1"),
+            expr("try_element_at(toks, 1)").as("tok1"),
             expr("size(filter(toks, x -> x rlike '^[0-9]+$'))").as("n_num_tok"))
           .orderBy(col("doc_id")),
       Some("""WITH t AS (SELECT doc_id,
@@ -318,12 +319,15 @@ object LlmPipeline extends QueryBlock {
       (s, dir) => {
         val blobDir = s"$scratch/blobs"
         java.nio.file.Files.createDirectories(java.nio.file.Paths.get(blobDir))
+        // clear stale fixtures from prior runs; null texts write empty blobs
+        new java.io.File(blobDir).listFiles().foreach(_.delete())
         t(s, dir, "documents").filter(col("doc_id") < 5)
           .select(col("doc_id"), col("text")).collect()
           .foreach { r =>
+            val text = Option(r.getString(1)).getOrElse("")
             java.nio.file.Files.write(
               java.nio.file.Paths.get(f"$blobDir/doc${r.getLong(0)}%03d.bin"),
-              r.getString(1).getBytes("UTF-8"))
+              text.getBytes("UTF-8"))
           }
         s.read.format("binaryFile").load(blobDir)
           .select(
@@ -348,7 +352,7 @@ object LlmPipeline extends QueryBlock {
             sum(when(col("text").isNull, 1).otherwise(0)).as("n_null"),
             round(expr("percentile(n_chars, 0.5)"), 6).as("len_p50"),
             (sum(col("n_chars")).cast("double") / count(lit(1))).as("len_avg"))
-          .orderBy(col("lang")),
+          .orderBy(col("lang").asc_nulls_last),
       Some("""SELECT lang, count(*) AS n_docs, count(DISTINCT text) AS n_distinct,
         sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS n_null,
         round(quantile_cont(n_chars, 0.5), 6) AS len_p50,

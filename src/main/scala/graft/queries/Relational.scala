@@ -164,7 +164,7 @@ object Relational extends QueryBlock {
       },
       Some("""SELECT count(*) AS n FROM part
         WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_discount>0.05)
-          AND p_partkey NOT IN (SELECT l_partkey FROM lineitem WHERE l_tax>0.07)""")),
+          AND p_partkey NOT IN (SELECT l_partkey FROM lineitem WHERE l_tax>0.07 AND l_partkey IS NOT NULL)""")),
 
     // C10 — cross join (small fixture).
     "c10_cross_join" -> QueryDef(
@@ -318,7 +318,7 @@ object Relational extends QueryBlock {
             countDistinct(col("source")).as("nd_source"),
             (sum(length(col("text"))).cast("double") / count(lit(1))).as("avg_len"),
             max(upper(substring(col("text"), 1, 8))).as("max_head"))
-          .orderBy(col("lang")),
+          .orderBy(col("lang").asc_nulls_last),
       Some("""SELECT lang, count(DISTINCT source) AS nd_source,
         CAST(sum(length(text)) AS DOUBLE) / count(*) AS avg_len,
         max(upper(substr(text,1,8))) AS max_head
@@ -418,12 +418,12 @@ object Relational extends QueryBlock {
           .agg(
             count(lit(1)).as("n"),
             sumD2(col("value")).as("sum_value"),
-            sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"))
-          .orderBy(col("w"), col("event_type")),
+            sum(expr("try_cast(get_json_object(props, '$.k') AS LONG)")).as("sum_k"))
+          .orderBy(col("w").asc_nulls_last, col("event_type").asc_nulls_last),
       Some(s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS w, event_type,
         count(*) AS n,
         ${sqlSumD2("value")} AS sum_value,
-        sum(CAST(json_extract_string(props,'$$.k') AS BIGINT)) AS sum_k
+        sum(TRY_CAST(json_extract_string(props,'$$.k') AS BIGINT)) AS sum_k
         FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
 
     // C33 — deterministic hash functions.

@@ -128,7 +128,7 @@ object Relational2 extends QueryBlock {
         val ev = t(s, dir, "events").filter(col("ts").isNotNull)
         val purchases = ev.filter(col("event_type") === "purchase")
           .select(col("user_id"), col("event_id"), col("ts"), col("value"))
-        val clicks = ev.filter(col("event_type") === "click")
+        val clicks = ev.filter(col("event_type") === "click" && col("value").isNotNull)
           .select(col("user_id"), col("ts").as("click_ts"),
             col("event_id").as("click_id"), col("value").as("click_value"))
         AsOfJoin.asOf(purchases, clicks,
@@ -142,7 +142,7 @@ object Relational2 extends QueryBlock {
           FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL),
         c AS (SELECT user_id, epoch_ns(ts)//1000 AS ts_us, event_id AS click_id,
             value AS click_value
-          FROM events WHERE event_type = 'click' AND ts IS NOT NULL)
+          FROM events WHERE event_type = 'click' AND ts IS NOT NULL AND value IS NOT NULL)
         SELECT p.event_id, p.user_id, c.click_id, c.click_value
         FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts_us <= p.ts_us
         ORDER BY p.event_id""")),
@@ -166,11 +166,11 @@ object Relational2 extends QueryBlock {
             // are exact, but DuckDB's int128->double conversion can differ
             // from the JVM's in the last ulp; var_pop_price ~1e10 has
             // ulp ~2e-6, so 6dp rounding cannot absorb it — 2dp can.
-            expr("round((sxx - sx*sx/n)/(n-1), 6)").as("var_qty"),
-            expr("round(sqrt((sxx - sx*sx/n)/(n-1)), 6)").as("stddev_qty"),
+            expr("round((sxx - sx*sx/n)/nullif(n-1, CAST(0 AS DOUBLE)), 6)").as("var_qty"),
+            expr("round(sqrt((sxx - sx*sx/n)/nullif(n-1, CAST(0 AS DOUBLE))), 6)").as("stddev_qty"),
             expr("round((syy - sy*sy/n)/n, 2)").as("var_pop_price"),
-            expr("round((sxy - sx*sy/n)/(n-1), 4)").as("covar_qp"),
-            expr("round((sxy - sx*sy/n)/sqrt((sxx - sx*sx/n)*(syy - sy*sy/n)), 6)").as("corr_qp"))
+            expr("round((sxy - sx*sy/n)/nullif(n-1, CAST(0 AS DOUBLE)), 4)").as("covar_qp"),
+            expr("round((sxy - sx*sy/n)/nullif(sqrt((sxx - sx*sx/n)*(syy - sy*sy/n)), CAST(0 AS DOUBLE)), 6)").as("corr_qp"))
           .orderBy(col("l_returnflag")),
       Some("""WITH s AS (SELECT l_returnflag,
           CAST(count(*) AS DOUBLE) AS n,
@@ -181,11 +181,11 @@ object Relational2 extends QueryBlock {
           CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
           FROM lineitem GROUP BY l_returnflag)
         SELECT l_returnflag,
-          round((sxx - sx*sx/n)/(n-1), 6) AS var_qty,
-          round(sqrt((sxx - sx*sx/n)/(n-1)), 6) AS stddev_qty,
+          round((sxx - sx*sx/n)/nullif(n-1, CAST(0 AS DOUBLE)), 6) AS var_qty,
+          round(sqrt((sxx - sx*sx/n)/nullif(n-1, CAST(0 AS DOUBLE))), 6) AS stddev_qty,
           round((syy - sy*sy/n)/n, 2) AS var_pop_price,
-          round((sxy - sx*sy/n)/(n-1), 4) AS covar_qp,
-          round((sxy - sx*sy/n)/sqrt((sxx - sx*sx/n)*(syy - sy*sy/n)), 6) AS corr_qp
+          round((sxy - sx*sy/n)/nullif(n-1, CAST(0 AS DOUBLE)), 4) AS covar_qp,
+          round((sxy - sx*sy/n)/nullif(sqrt((sxx - sx*sx/n)*(syy - sy*sy/n)), CAST(0 AS DOUBLE)), 6) AS corr_qp
         FROM s ORDER BY l_returnflag""")),
 
     // C17 — exact percentiles (linear interpolation), rounded 6dp.
@@ -212,7 +212,8 @@ object Relational2 extends QueryBlock {
           .groupBy(col("l_returnflag"))
           .agg(sort_array(collect_set(col("l_quantity"))).as("qtys"))
           .orderBy(col("l_returnflag")),
-      Some("""SELECT l_returnflag, list_sort(list(DISTINCT l_quantity)) AS qtys
+      Some("""SELECT l_returnflag,
+        list_sort(list(DISTINCT l_quantity) FILTER (l_quantity IS NOT NULL)) AS qtys
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     // C19 — first/last/nth over an explicitly ordered frame.
