@@ -34,7 +34,7 @@ object Relational2 extends QueryBlock {
       (s, dir) => {
         val out = s"$scratch/part_csv"
         t(s, dir, "part").select(col("p_partkey"), col("p_name"), col("p_retailprice"))
-          .coalesce(1).write.mode("overwrite").option("header", "true").csv(out)
+          .coalesce(1).write.mode("overwrite").option("header", "true").option("escape", "\"").csv(out)
         s.read.option("header", "true")
           .schema("p_partkey LONG, p_name STRING, p_retailprice DOUBLE")
           .csv(out)
@@ -54,7 +54,7 @@ object Relational2 extends QueryBlock {
         val out = s"$scratch/supplier_csv"
         t(s, dir, "supplier")
           .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
-          .coalesce(1).write.mode("overwrite").option("header", "true").csv(out)
+          .coalesce(1).write.mode("overwrite").option("header", "true").option("escape", "\"").csv(out)
         s.read.option("header", "true").option("inferSchema", "true").csv(out)
           .agg(count(lit(1)).as("n"),
             sum(col("s_suppkey").cast("long")).as("key_sum"),
