@@ -55,6 +55,19 @@ class GeoParquetSpec extends AnyFunSuite {
       .collect().map(_.getDouble(0)).sorted.toSeq === (0 until 10).map(_ * 2.0))
   }
 
+  test("mixed geometry types: stats record all types, bbox spans both") {
+    val out = "/tmp/graft_test/geo_mixed"
+    val pts = spark.range(5).toDF("id")
+      .select(col("id"), GeoFunctions.st_point(col("id").cast("double"), lit(0.0)).as("geometry"))
+    val boxes = spark.range(5, 10).toDF("id")
+      .select(col("id"), GeoFunctions.st_makebox(lit(20.0), lit(-5.0),
+        col("id").cast("double") * 10, lit(5.0)).as("geometry"))
+    GeoParquet.write(pts.unionByName(boxes), out, Seq("geometry"))
+    val cm = GeoParquet.readMetadata(spark, out).get.columns("geometry")
+    assert(cm.geometryTypes === Seq("Point", "Polygon")) // sorted
+    assert(cm.bbox === Some((0.0, -5.0, 90.0, 5.0)))
+  }
+
   test("partitioned geoparquet write: footer injected in nested part files") {
     val out = "/tmp/graft_test/geo_part"
     val df = spark.range(100).toDF("id")
