@@ -26,16 +26,19 @@ object Geometry extends QueryBlock {
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
 
   val queries: Map[String, QueryDef] = Map(
-    // B1/B2/B3 — point build + accessors round-trip through WKB.
+    // B1/B2/B3 — point build + accessors round-trip through WKB. The
+    // accessors go through the SQL names, i.e. the NATIVE codegen'd
+    // StX/StY expressions (functions.WkbAccessors), not the UDFs.
     "b01_point_xy" -> QueryDef(
       (s, dir) => {
         val pt = G.st_point(col("c_acctbal"), col("c_custkey").cast("double"))
         t(s, dir, "customer")
           .filter(col("c_custkey") < 500)
-          .select(col("c_custkey"),
-            G.st_x(pt).as("x"), G.st_y(pt).as("y"),
-            G.st_geometrytype(pt).as("gtype"),
-            G.st_npoints(pt).as("npts"))
+          .withColumn("pt", pt)
+          .selectExpr("c_custkey",
+            "st_x(pt) AS x", "st_y(pt) AS y",
+            "st_geometrytype(pt) AS gtype",
+            "st_npoints(pt) AS npts")
           .orderBy(col("c_custkey"))
       },
       Some("""SELECT c_custkey, c_acctbal AS x, CAST(c_custkey AS DOUBLE) AS y,
