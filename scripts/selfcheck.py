@@ -8,7 +8,8 @@ runs each oracle SQL in DuckDB over the same sf tables, sorts columns by
 name (the driver does this before hashing), and compares cell-by-cell.
 Reports exact-match status and max float deviation per query.
 """
-import sys, os, json, glob, math
+import sys, os, json, glob, math, struct
+from decimal import Decimal
 import duckdb
 
 out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/verify_out"
@@ -33,13 +34,26 @@ def norm(v):
     return v
 
 def cmp_cell(a, b):
-    """-> (exact, absdiff or None)"""
+    """-> (exact, absdiff or None).
+
+    TYPE-AWARE: the driver hashes raw pandas bytes, so int vs float vs
+    Decimal with equal values are DIFFERENT (this is exactly what bit us in
+    round 1: DuckDB sum(int)->Decimal vs Spark LONG, floor()->DOUBLE vs
+    LONG — selfcheck's == said equal, the driver's hash said no). Floats
+    compare bitwise so -0.0 != 0.0 and ulp drift is caught.
+    """
     a, b = norm(a), norm(b)
-    if isinstance(a, float) and isinstance(b, float):
-        if a == b or (math.isnan(a) and math.isnan(b)):
+    if type(a) is not type(b):
+        return False, (abs(float(a) - float(b))
+                       if isinstance(a, (int, float, Decimal))
+                       and isinstance(b, (int, float, Decimal)) else None)
+    if isinstance(a, float):
+        if struct.pack('>d', a) == struct.pack('>d', b):
+            return True, 0.0
+        if math.isnan(a) and math.isnan(b):
             return True, 0.0
         return False, abs(a - b)
-    if isinstance(a, tuple) and isinstance(b, tuple):
+    if isinstance(a, tuple):
         if len(a) != len(b):
             return False, None
         ex, mx = True, 0.0

@@ -106,29 +106,32 @@ object GeoFunctions extends Serializable {
   }
 
   // ---- Column API ---------------------------------------------------------
-  val st_point = udf(stPointF)
-  val st_makebox = udf(stMakeBoxF)
-  val st_x = udf(stXF)
-  val st_y = udf(stYF)
-  val st_geometrytype = udf(stGeometryTypeF)
-  val st_area = udf(stAreaF)
-  val st_length = udf(stLengthF)
-  val st_npoints = udf(stNPointsF)
-  val st_centroid = udf(stCentroidF)
-  val st_convexhull = udf(stConvexHullF)
-  val st_distance = udf(stDistanceF)
-  val st_contains = udf(stContainsF)
-  val st_within = udf(stWithinF)
-  val st_intersects = udf(stIntersectsF)
-  val st_disjoint = udf(stDisjointF)
-  val st_union = udf(stUnionF)
-  val st_intersection = udf(stIntersectionF)
-  val st_dwithin = udf(stDWithinF)
-  val st_buffer = udf(stBufferF)
-  val st_astext = udf(stAsTextF)
-  val st_geomfromtext = udf(stGeomFromTextF)
+  // Every helper carries .withName so the ScalaUDF node's udfName is set on
+  // the DataFrame path too — plans.SpatialFilterRule matches by udfName, and
+  // without this only SQL-registered invocations got __bbox pushdown.
+  val st_point = udf(stPointF).withName("st_point")
+  val st_makebox = udf(stMakeBoxF).withName("st_makebox")
+  val st_x = udf(stXF).withName("st_x")
+  val st_y = udf(stYF).withName("st_y")
+  val st_geometrytype = udf(stGeometryTypeF).withName("st_geometrytype")
+  val st_area = udf(stAreaF).withName("st_area")
+  val st_length = udf(stLengthF).withName("st_length")
+  val st_npoints = udf(stNPointsF).withName("st_npoints")
+  val st_centroid = udf(stCentroidF).withName("st_centroid")
+  val st_convexhull = udf(stConvexHullF).withName("st_convexhull")
+  val st_distance = udf(stDistanceF).withName("st_distance")
+  val st_contains = udf(stContainsF).withName("st_contains")
+  val st_within = udf(stWithinF).withName("st_within")
+  val st_intersects = udf(stIntersectsF).withName("st_intersects")
+  val st_disjoint = udf(stDisjointF).withName("st_disjoint")
+  val st_union = udf(stUnionF).withName("st_union")
+  val st_intersection = udf(stIntersectionF).withName("st_intersection")
+  val st_dwithin = udf(stDWithinF).withName("st_dwithin")
+  val st_buffer = udf(stBufferF).withName("st_buffer")
+  val st_astext = udf(stAsTextF).withName("st_astext")
+  val st_geomfromtext = udf(stGeomFromTextF).withName("st_geomfromtext")
   // struct<xmin,ymin,xmax,ymax> with stable field names
-  val st_envelope = udf(stEnvelopeF)
+  val st_envelope = udf(stEnvelopeF).withName("st_envelope")
   def stEnvelopeStruct(c: Column): Column = {
     val e = st_envelope(c)
     org.apache.spark.sql.functions.struct(

@@ -116,15 +116,33 @@ object GeoParquet {
     val conf = new Configuration()
     val src = new Path(file)
     val tmp = new Path(file + ".geo.tmp")
+    val bak = new Path(file + ".geo.bak")
+    val fs = src.getFileSystem(conf)
+
+    // Crash recovery for a task retry: tmp is only ever complete once src
+    // has been renamed away (writer.end precedes the rename chain), so a
+    // missing src with a tmp present means the previous attempt died between
+    // its renames — finish the swap instead of re-reading the gone src.
+    if (!fs.exists(src)) {
+      if (fs.exists(tmp) && !fs.rename(tmp, src))
+        throw new java.io.IOException(s"geoparquet footer rewrite: recovery rename $tmp -> $src failed")
+      if (!fs.exists(src))
+        throw new java.io.IOException(s"geoparquet footer rewrite: $src missing and no recoverable tmp")
+      fs.delete(bak, false)
+      return
+    }
+
     val in = HadoopInputFile.fromPath(src, conf)
     val reader = ParquetFileReader.open(in)
     val (schema, kv) = try {
       val fmd = reader.getFooter.getFileMetaData
       (fmd.getSchema, new java.util.HashMap[String, String](fmd.getKeyValueMetaData))
     } finally reader.close()
-    // idempotence: a task retry after a completed rewrite must not re-read
-    // a file it already replaced
-    if (geoJson == kv.get(GeoParquetMetadata.FooterKey)) return
+    // idempotence: a retry after a completed rewrite must not rewrite again
+    if (geoJson == kv.get(GeoParquetMetadata.FooterKey)) {
+      fs.delete(bak, false); fs.delete(tmp, false)
+      return
+    }
     kv.put(GeoParquetMetadata.FooterKey, geoJson)
 
     val writer = new ParquetFileWriter(
@@ -135,13 +153,15 @@ object GeoParquet {
     writer.appendFile(in)
     writer.end(kv)
 
-    // tmp is fully written before the source is touched; surface rename
-    // failures instead of silently losing the part file
-    val fs = src.getFileSystem(conf)
-    if (!fs.delete(src, false))
-      throw new java.io.IOException(s"geoparquet footer rewrite: cannot delete $src")
+    // tmp is fully written before src is touched; the src copy survives as
+    // .geo.bak until the swap completes (rename is atomic on HDFS/posix),
+    // so no crash point loses the only copy of the part file.
+    fs.delete(bak, false)
+    if (!fs.rename(src, bak))
+      throw new java.io.IOException(s"geoparquet footer rewrite: rename $src -> $bak failed")
     if (!fs.rename(tmp, src))
       throw new java.io.IOException(s"geoparquet footer rewrite: rename $tmp -> $src failed")
+    fs.delete(bak, false)
   }
 
   /** Read a GeoParquet dataset; geometry columns keep their WKB binary form

@@ -39,7 +39,17 @@ object Canonicalize {
     case x => x.toString
   }
 
-  def formatRow(r: Row): String = r.toSeq.map(formatCell).mkString("")
+  /** Structural bytes (the 0x01 field separator and 0x02 index marker)
+    * cannot collide with cell content: every literal backslash, 0x01 and
+    * 0x02 byte inside a formatted cell is escaped first, so ("ab","c") and
+    * ("a","bc") canonicalize differently and the backslash-N null marker
+    * stays unambiguous.
+    */
+  private def escapeCell(s: String): String =
+    s.replace("\\", "\\\\").replace("\u0001", "\\x01").replace("\u0002", "\\x02")
+
+  def formatRow(r: Row): String =
+    r.toSeq.map(v => escapeCell(formatCell(v))).mkString("\u0001")
 
   /** Layout-invariant, order-sensitive SHA-256-XOR hex digest of `df`. */
   def hash(df: DataFrame): String = {

@@ -201,15 +201,18 @@ object LlmPipeline extends QueryBlock {
           .filter(col("doc_id") < 20)
           .select(col("doc_id"), split(col("text"), " ").as("toks"))
           .select(col("doc_id"),
-            expr("""CASE WHEN size(toks) < 2 THEN array()
+            // Scalar \x01-joined encoding: driver's pandas oracle cannot
+            // sort/hash array columns (round-1 `err` on this query).
+            expr("""array_join(CASE WHEN size(toks) < 2 THEN array()
               ELSE transform(sequence(1, size(toks) - 1),
-                i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))) END""").as("bigrams"))
+                i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))) END,
+              chr(1))""").as("bigrams"))
           .orderBy(col("doc_id")),
       Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
           FROM documents WHERE doc_id < 20)
         SELECT doc_id,
-          list_transform(generate_series(1, len(toks) - 1),
-            i -> toks[i] || ' ' || toks[i + 1]) AS bigrams
+          array_to_string(list_transform(generate_series(1, len(toks) - 1),
+            i -> toks[i] || ' ' || toks[i + 1]), chr(1)) AS bigrams
         FROM t ORDER BY doc_id""")),
 
     // E8 — TF-IDF, pure relational (explode -> tf; df join; smooth idf).
@@ -354,7 +357,7 @@ object LlmPipeline extends QueryBlock {
             (sum(col("n_chars")).cast("double") / count(lit(1))).as("len_avg"))
           .orderBy(col("lang").asc_nulls_last),
       Some("""SELECT lang, count(*) AS n_docs, count(DISTINCT text) AS n_distinct,
-        sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS n_null,
+        CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
         round(quantile_cont(n_chars, 0.5), 6) AS len_p50,
         CAST(sum(n_chars) AS DOUBLE) / count(*) AS len_avg
         FROM documents GROUP BY lang ORDER BY lang""")),

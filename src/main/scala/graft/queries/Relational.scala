@@ -392,8 +392,8 @@ object Relational extends QueryBlock {
           .orderBy(col("l_orderkey"), col("l_linenumber")),
       Some("""SELECT l_orderkey, l_linenumber,
         abs(l_quantity * -1) AS abs_q,
-        floor(l_extendedprice) AS floor_p,
-        ceil(l_extendedprice) AS ceil_p,
+        CAST(floor(l_extendedprice) AS BIGINT) AS floor_p,
+        CAST(ceil(l_extendedprice) AS BIGINT) AS ceil_p,
         round(sqrt(l_quantity), 6) AS sqrt_q,
         round(pow(l_quantity, 2.0), 6) AS q_sq,
         round(ln(l_extendedprice), 6) AS ln_p,
@@ -423,7 +423,7 @@ object Relational extends QueryBlock {
       Some(s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS w, event_type,
         count(*) AS n,
         ${sqlSumD2("value")} AS sum_value,
-        sum(TRY_CAST(json_extract_string(props,'$$.k') AS BIGINT)) AS sum_k
+        CAST(sum(TRY_CAST(json_extract_string(props,'$$.k') AS BIGINT)) AS BIGINT) AS sum_k
         FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
 
     // C33 — deterministic hash functions.

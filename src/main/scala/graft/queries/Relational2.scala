@@ -61,7 +61,7 @@ object Relational2 extends QueryBlock {
             sumD2(col("s_acctbal").cast("double")).as("bal_sum"))
       },
       Some(s"""SELECT count(*) AS n,
-        sum(CAST(s_suppkey AS BIGINT)) AS key_sum,
+        CAST(sum(CAST(s_suppkey AS BIGINT)) AS BIGINT) AS key_sum,
         ${sqlSumD2("CAST(s_acctbal AS DOUBLE)")} AS bal_sum
         FROM read_csv('$scratch/supplier_csv/*.csv', header=true)""")),
 
@@ -205,15 +205,20 @@ object Relational2 extends QueryBlock {
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     // C18 — collect_set, canonicalized by sorting (bare collect order is
-    // partition-nondeterministic — SURVEY §2 C18).
+    // partition-nondeterministic — SURVEY §2 C18). Output is a scalar CSV
+    // string, not an array: the driver's pandas oracle cannot sort/hash
+    // array-typed columns (round-1 `err`), and integer rendering sidesteps
+    // double-formatting dialect differences.
     "c18_collect" -> QueryDef(
       (s, dir) =>
         t(s, dir, "lineitem")
           .groupBy(col("l_returnflag"))
-          .agg(sort_array(collect_set(col("l_quantity"))).as("qtys"))
+          .agg(expr(
+            """array_join(transform(sort_array(collect_set(CAST(l_quantity AS BIGINT))),
+                 x -> CAST(x AS STRING)), ',')""").as("qtys"))
           .orderBy(col("l_returnflag")),
       Some("""SELECT l_returnflag,
-        list_sort(list(DISTINCT l_quantity) FILTER (l_quantity IS NOT NULL)) AS qtys
+        array_to_string(list_sort(list(DISTINCT CAST(l_quantity AS BIGINT)) FILTER (l_quantity IS NOT NULL)), ',') AS qtys
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     // C19 — first/last/nth over an explicitly ordered frame.
