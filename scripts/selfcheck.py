@@ -91,8 +91,16 @@ for name in sorted(oracle):
         print(f"FAIL {name}: rows duck={duck.num_rows} spark={spark.num_rows}")
         n_fail += 1
         continue
-    drows = duck.select(dcols).to_pylist()
-    srows = spark.select(scols).to_pylist()
+    def rowkey(r):
+        # order-insensitive compare (the driver sorts rows before hashing):
+        # type-tagged canonical key, floats bitwise so -0.0 sorts apart
+        def k(v):
+            if isinstance(v, float):
+                return 'f' + struct.pack('>d', v).hex()
+            return type(v).__name__ + repr(v)
+        return [k(norm(r[c])) for c in dcols]
+    drows = sorted(duck.select(dcols).to_pylist(), key=rowkey)
+    srows = sorted(spark.select(scols).to_pylist(), key=rowkey)
     bad = 0
     maxdiff = 0.0
     first_bad = None

@@ -54,14 +54,20 @@ object Bench {
     // at any real scale is many files/row groups, which is what the engine
     // is designed against. Data content is identical — queries still do
     // full scans, joins and shuffles.
-    val staged = s"/tmp/graft_bench_cache/${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    val staged = s"/tmp/graft_bench_cache/v2_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}"
     Tables.names.foreach { n =>
       val dst = new java.io.File(s"$staged/$n.parquet")
       // _SUCCESS marks a COMPLETE staging write; a bare dir from a crashed
       // prior run must be rewritten, not trusted
-      if (!new java.io.File(dst, "_SUCCESS").exists())
-        Tables(spark, sfDir, n).repartition(8)
-          .write.mode("overwrite").parquet(dst.toString)
+      if (!new java.io.File(dst, "_SUCCESS").exists()) {
+        val df = Tables(spark, sfDir, n)
+        // File count sized to data volume (compaction, as any lakehouse
+        // does): small dim tables as one file — a 25-row table split into 8
+        // files costs 8 scan tasks per query for nothing; fact tables keep
+        // full scan parallelism.
+        val files = if (df.count() < 10000L) 1 else 8
+        df.repartition(files).write.mode("overwrite").parquet(dst.toString)
+      }
     }
 
     def timeOnce(name: String): Double = {

@@ -107,4 +107,19 @@ object Graft {
     s"CAST(sum(CAST(floor(($x)*10000 + 0.5) AS BIGINT)) AS DOUBLE) / CAST(10000 AS DOUBLE)"
   def sqlAvgD2(x: String): String =
     s"(${sqlSumD2(x)}) / count($x)"
+
+  /** Final ORDER BY for a provably small result (post-aggregation /
+    * top-k — output bounded by group count, not input size).
+    *
+    * A plain `orderBy` plans a range-partitioning exchange whose bounds
+    * come from an extra SAMPLING JOB over the child — the child plan runs
+    * twice. For a bounded output the scale-correct plan is the one every
+    * distributed engine uses for a final small ORDER BY: shuffle the few
+    * rows to one partition and sort there (the "driver merge"). Upstream
+    * stages keep full parallelism — only the already-small result
+    * serializes. Saves one job + one stage per query (measured in
+    * BENCH notes).
+    */
+  def sortSmall(df: DataFrame, cols: Column*): DataFrame =
+    df.repartition(1).sortWithinPartitions(cols: _*)
 }

@@ -42,23 +42,34 @@ object LlmPipeline extends QueryBlock {
     // E1 — exact dedup: canonical keeper (min doc_id) + multiplicity per
     // distinct text. Partial+final hash agg; at 100 TB group on sha2(text)
     // instead of raw text to bound shuffle width (same result).
+    // No final ORDER BY: dedup output scales with the corpus, so a global
+    // sort is not part of the operator (at 100 TB it would be a second
+    // full shuffle + a range-sampling rerun of the agg). The driver gate
+    // and selfcheck both canonicalize by sorting rows before hashing.
     "e01_exact_dedup" -> QueryDef(
       (s, dir) =>
         t(s, dir, "documents")
           .groupBy(sha2(col("text"), 256).as("h"))
           .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
-          .select(col("keep_id"), col("n_copies"))
-          .orderBy(col("keep_id")),
+          .select(col("keep_id"), col("n_copies")),
       Some("""SELECT min(doc_id) AS keep_id, count(*) AS n_copies
-        FROM documents GROUP BY sha256(text) ORDER BY keep_id""")),
+        FROM documents GROUP BY sha256(text)""")),
 
     // E3 — brute-force cosine top-10 against query vector 0 (BASELINE B9).
+    // The single query vector is LITERAL-BOUND: one bounded driver-side
+    // lookup (1 row by construction), then the scan scores against an
+    // inlined array literal — no BroadcastExchange, no join; the whole
+    // query is one TakeOrdered pass over the corpus. This is the 100 TB
+    // plan: a 1-row "table" has no business in a distributed join.
     "e03_cosine_topk" -> QueryDef(
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
-        val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("q"))
-        emb.crossJoin(broadcast(q))
-          .select(col("vec_id"), expr(cosineExpr("embedding", "q")).as("sim"))
+        // collect(), not head(): head's incremental limit probes partitions
+        // in waves (several sub-jobs); one stats-pruned scan is one job
+        val qv: Array[Float] = emb.filter(col("vec_id") === 0)
+          .select(col("embedding")).collect().head.getSeq[Float](0).toArray
+        emb.select(col("vec_id"),
+            call_function("cosine_sim", col("embedding"), typedlit(qv)).as("sim"))
           .orderBy(col("sim").desc, col("vec_id"))
           .limit(10)
       },

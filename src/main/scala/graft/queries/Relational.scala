@@ -33,7 +33,7 @@ object Relational extends QueryBlock {
             avgD2(col("l_quantity")).as("avg_qty"),
             avgD2(col("l_discount")).as("avg_disc"),
             count(lit(1)).as("count_order"))
-          .orderBy(col("l_returnflag"), col("l_linestatus"))
+          .transform(sortSmall(_, col("l_returnflag"), col("l_linestatus")))
       },
       Some(s"""SELECT l_returnflag, l_linestatus,
         ${sqlSumD2("l_quantity")} AS sum_qty,
@@ -108,25 +108,29 @@ object Relational extends QueryBlock {
     //     probes 4x fewer rows and the distinct collapses to a plain count
     //     (orderkey is the pre-agg key and functionally determines the
     //     segment through the equi-joins);
-    //  2. explicit broadcast of customer⋈orders — left to size estimates,
-    //     Spark broadcasts single-column lineitem (600k keys) and pays a
-    //     serial driver-side relation build. 618ms -> 393ms at sf0.1.
+    //  2. only the CUSTOMER dim broadcasts (bounded); orders shuffles on
+    //     o_orderkey into the partitioning the pre-agg already produced —
+    //     a shuffled-hash join, one new exchange. Broadcasting customer⋈
+    //     orders instead (round 1) collected 150k rows through the driver:
+    //     a separate jobs pays ~40% of the query (429→317 ms measured at
+    //     sf0.1); at 100 TB an orders-sized broadcast is impossible anyway.
     "c07_join_agg" -> QueryDef(
       (s, dir) => {
         val c = t(s, dir, "customer")
         val o = t(s, dir, "orders")
         val l = t(s, dir, "lineitem")
-        val co = broadcast(
-          c.join(o, col("c_custkey") === col("o_custkey"))
-            .select(col("c_mktsegment"), col("o_orderkey")))
+        val oc = o.join(broadcast(c.select(col("c_custkey"), col("c_mktsegment"))),
+          col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"), col("c_mktsegment"))
         val perOrder = l.groupBy(col("l_orderkey"))
           .agg(sum(cents2(col("l_extendedprice")) * (lit(100L) - cents2(col("l_discount")))).as("cts"))
-        perOrder.join(co, col("l_orderkey") === col("o_orderkey"))
+        perOrder.hint("shuffle_hash")
+          .join(oc, col("l_orderkey") === col("o_orderkey"))
           .groupBy(col("c_mktsegment"))
           .agg(
             count(lit(1)).as("n_orders"),
             (sum(col("cts")).cast("double") / lit(10000.0)).as("revenue"))
-          .orderBy(col("c_mktsegment"))
+          .transform(sortSmall(_, col("c_mktsegment")))
       },
       Some("""SELECT c_mktsegment, count(DISTINCT o_orderkey) AS n_orders,
         CAST(sum(CAST(floor((l_extendedprice)*100 + 0.5) AS BIGINT) * (100 - CAST(floor((l_discount)*100 + 0.5) AS BIGINT))) AS DOUBLE) / CAST(10000 AS DOUBLE) AS revenue
@@ -152,6 +156,10 @@ object Relational extends QueryBlock {
         GROUP BY r_name ORDER BY r_name""")),
 
     // C9 — semi + anti join via IN / NOT IN subqueries (BASELINE B8).
+    // (A single-scan per-partkey flag aggregate shared by both joins was
+    // tried and is WORSE: column pruning specializes each broadcast branch,
+    // defeating ReuseExchange — two scans AND two shuffles. Two filtered
+    // projections broadcast straight from the scan, no shuffle at all.)
     "c09_semi_anti" -> QueryDef(
       (s, dir) => {
         val p = t(s, dir, "part")
@@ -214,7 +222,7 @@ object Relational extends QueryBlock {
           .join(n, col("c_nationkey") === col("n_nationkey"))
           .rollup(col("n_name"), col("o_orderstatus"))
           .agg(count(lit(1)).as("n"), sumD4(col("o_totalprice")).as("sum_price"))
-          .orderBy(col("n_name").asc_nulls_first, col("o_orderstatus").asc_nulls_first)
+          .transform(sortSmall(_, col("n_name").asc_nulls_first, col("o_orderstatus").asc_nulls_first))
       },
       Some(s"""SELECT n_name, o_orderstatus, count(*) AS n,
         ${sqlSumD4("o_totalprice")} AS sum_price
@@ -233,7 +241,7 @@ object Relational extends QueryBlock {
           .select(col("n_name"), col("c_name"), col("c_acctbal"),
             row_number().over(w).as("rn"))
           .filter(col("rn") <= 3)
-          .orderBy(col("n_name"), col("rn"))
+          .transform(sortSmall(_, col("n_name"), col("rn"))) // ≤ 3·|nation| rows
       },
       Some("""SELECT * FROM (SELECT n_name, c_name, c_acctbal,
         row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) rn
@@ -318,7 +326,7 @@ object Relational extends QueryBlock {
             countDistinct(col("source")).as("nd_source"),
             (sum(length(col("text"))).cast("double") / count(lit(1))).as("avg_len"),
             max(upper(substring(col("text"), 1, 8))).as("max_head"))
-          .orderBy(col("lang").asc_nulls_last),
+          .transform(sortSmall(_, col("lang").asc_nulls_last)),
       Some("""SELECT lang, count(DISTINCT source) AS nd_source,
         CAST(sum(length(text)) AS DOUBLE) / count(*) AS avg_len,
         max(upper(substr(text,1,8))) AS max_head
@@ -419,7 +427,8 @@ object Relational extends QueryBlock {
             count(lit(1)).as("n"),
             sumD2(col("value")).as("sum_value"),
             sum(expr("try_cast(get_json_object(props, '$.k') AS LONG)")).as("sum_k"))
-          .orderBy(col("w").asc_nulls_last, col("event_type").asc_nulls_last),
+          // hours × event-types output: bounded, single-partition final sort
+          .transform(sortSmall(_, col("w").asc_nulls_last, col("event_type").asc_nulls_last)),
       Some(s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS w, event_type,
         count(*) AS n,
         ${sqlSumD2("value")} AS sum_value,

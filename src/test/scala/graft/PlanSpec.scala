@@ -53,10 +53,13 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("LeftAnti"))
   }
 
-  test("E3 cosine top-k broadcasts the query vector and take-orders") {
+  test("E3 cosine top-k literal-binds the query vector: one TakeOrdered scan, no join") {
     val plan = planOf("e03_cosine_topk")
     assert(plan.contains("TakeOrderedAndProject"))
-    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"))
+    // the 1-row query side is inlined as an array literal — a join (and its
+    // BroadcastExchange stage) would be pure overhead at any scale
+    assert(!plan.contains("Join"), s"unexpected join in:\n$plan")
+    assert(plan.contains("cosine_sim"))
   }
 
   test("whole-stage codegen covers the pricing-summary pipeline") {

@@ -55,6 +55,29 @@ class SpatialRuleSpec extends AnyFunSuite {
       s"OR disjunct rows were wrongly dropped; plan:\n${q.queryExecution.executedPlan}")
   }
 
+  test("DataFrame-path GeoFunctions.st_intersects (not call_udf) also gains __bbox pushdown") {
+    val out = "/tmp/graft_test/spatial_rule_df"
+    val df = spark.range(1000).toDF("id")
+      .select(col("id"),
+        GeoFunctions.st_point(col("id").cast("double"), (col("id") * 2).cast("double"))
+          .as("geometry"))
+    GeoParquet.write(df, out, Seq("geometry"), addBboxColumn = true)
+
+    val queryBox = GeoFunctions.stMakeBoxF(100.0, 0.0, 110.0, 1000.0)
+    // The Column helper path: udf(...).withName sets ScalaUDF.udfName, which
+    // is what SpatialFilterRule matches on — without it this plan silently
+    // lost pushdown while the call_udf path above kept it.
+    val q = GeoParquet.read(spark, out)
+      .filter(GeoFunctions.st_intersects(col("geometry"), lit(queryBox)))
+      .select(col("id"))
+
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("LessThanOrEqual(__bbox.xmin,110.0)"),
+      s"bbox predicates not pushed on the DataFrame path:\n$plan")
+    assert(q.collect().map(_.getLong(0)).sorted.toSeq === (100L to 110L))
+  }
+
   test("rule is a no-op without a __bbox column") {
     val out = "/tmp/graft_test/spatial_rule_plain"
     val df = spark.range(100).toDF("id")
