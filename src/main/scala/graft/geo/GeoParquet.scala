@@ -49,16 +49,13 @@ object GeoParquet {
         df.withColumn("__bbox",
           GeoFunctions.stEnvelopeStruct(col(geometryColumns.head)))
       else df
-    val writer = out.write.mode("overwrite")
-    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
-      .parquet(path)
 
-    // One distributed aggregate pass for geometry_types + bbox per column.
+    // One distributed aggregate pass for geometry_types + bbox per column,
+    // over the INPUT plan (write-time metadata: the footer ships with the
+    // first write, so stats must exist before it).
     val colMeta: Map[String, GeoColumnMeta] =
       if (!computeStats) geometryColumns.map(_ -> GeoColumnMeta(crs = crs)).toMap
       else {
-        val spark = df.sparkSession
-        val written = spark.read.parquet(path)
         val aggs = geometryColumns.flatMap { c =>
           val env = GeoFunctions.stEnvelopeStruct(col(c))
           Seq(
@@ -68,7 +65,7 @@ object GeoParquet {
             max(env.getField("xmax")).as(s"${c}__xmax"),
             max(env.getField("ymax")).as(s"${c}__ymax"))
         }
-        val row = written.agg(aggs.head, aggs.tail: _*).collect()(0)
+        val row = out.agg(aggs.head, aggs.tail: _*).collect()(0)
         geometryColumns.map { c =>
           // empty / all-null geometry column: min/max are null — omit the
           // bbox rather than fabricate [0,0,0,0] (getAs[Double] unboxes
@@ -87,8 +84,22 @@ object GeoParquet {
     val geoJson = GeoParquetMetadata(
       primaryColumn = geometryColumns.head, columns = colMeta).toJson
 
-    // Footer injection, distributed: byte-level row-group copy per file.
-    val spark = df.sparkSession
+    // Write-time footer injection: GeoParquetFileFormat's WriteSupport adds
+    // the `geo` key as each part file closes — one parallel write, no
+    // second I/O pass (round 1's distributed byte-level rewrite survives as
+    // `injectFooterInto` for retrofitting footers onto existing datasets).
+    val writer = out.write.mode("overwrite")
+      .format("geoparquet")
+      .option(GeoParquetFileFormat.FooterOption, geoJson)
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+      .save(path)
+  }
+
+  /** Retrofit a `geo` footer onto an EXISTING parquet dataset without
+    * rewriting data pages: distributed byte-level row-group copy per part
+    * file (`ParquetFileWriter.appendFile` — no decode/re-encode).
+    */
+  def injectFooterInto(spark: SparkSession, path: String, geoJson: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val parts = listParquetFiles(new Path(path), conf)
     spark.sparkContext.parallelize(parts, parts.length.max(1))

@@ -84,6 +84,44 @@ class GeoParquetSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters: [isnotnull(bucket"))
   }
 
+  test("first write already carries the geo footer in EVERY part file (no rewrite pass)") {
+    val out = "/tmp/graft_test/geo_writetime"
+    val df = spark.range(64).toDF("id").repartition(4)
+      .select(col("id"), GeoFunctions.st_point(col("id").cast("double"), lit(0.0)).as("geometry"))
+    GeoParquet.write(df, out, Seq("geometry"))
+
+    val dir = new java.io.File(out)
+    val parts = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(parts.length >= 2, "want multiple part files to prove per-task injection")
+    // no rewrite artifacts: write-time injection leaves no tmp/bak behind
+    assert(!dir.listFiles().exists(f =>
+      f.getName.endsWith(".geo.tmp") || f.getName.endsWith(".geo.bak")))
+    val conf = spark.sparkContext.hadoopConfiguration
+    parts.foreach { f =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf))
+      val kv = try reader.getFooter.getFileMetaData.getKeyValueMetaData finally reader.close()
+      assert(kv.containsKey("geo"), s"part ${f.getName} missing geo footer")
+      assert(kv.get("geo").contains("\"primary_column\":\"geometry\""))
+    }
+  }
+
+  test("injectFooterInto retrofits a geo footer onto plain parquet") {
+    val out = "/tmp/graft_test/geo_retrofit"
+    spark.range(10).toDF("id")
+      .select(col("id"), GeoFunctions.st_point(col("id").cast("double"), lit(3.0)).as("geometry"))
+      .write.mode("overwrite").parquet(out)
+    assert(GeoParquet.readMetadata(spark, out).isEmpty)
+    val json = GeoParquetMetadata(primaryColumn = "geometry",
+      columns = Map("geometry" -> GeoColumnMeta(geometryTypes = Seq("Point")))).toJson
+    GeoParquet.injectFooterInto(spark, out, json)
+    val meta = GeoParquet.readMetadata(spark, out)
+    assert(meta.isDefined && meta.get.primaryColumn === "geometry")
+    // data still reads after the byte-level rewrite
+    assert(spark.read.parquet(out).count() === 10)
+  }
+
   test("footer rewrite preserves row-group statistics pushdown") {
     val out = "/tmp/graft_test/geo_spec2"
     val df = spark.range(1000).toDF("id")
