@@ -133,6 +133,49 @@ object LlmPipeline extends QueryBlock {
           FROM scored)
         SELECT qid, rk, vec_id, sim FROM ranked WHERE rk <= 3 ORDER BY qid, rk""")),
 
+    // E4c — corpus×corpus KNN BATCHED (the 100 TB path, SURVEY §4.3): when
+    // neither side broadcasts, iterate the corpus in disjoint batches, keep
+    // a bounded per-query TopK per batch, then merge batch results with the
+    // SAME aggregator — TopK merge is associative, so top3(∪ batch-top3s)
+    // = global top3. Each batch is one bounded join; running state is k
+    // rows per query, never the full score matrix. Cross-validated against
+    // e04's oracle on the full corpus (same 15 rows).
+    "e04c_knn_batched" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val emb = t(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("q"))
+        val nBatches = 4
+        val batchTopks = (0 until nBatches).map { b =>
+          emb.filter(col("vec_id") % nBatches === b)
+            .crossJoin(broadcast(q))
+            .select(col("qid"), col("vec_id"), expr(cosineExpr("embedding", "q")).as("sim"))
+            .filter(col("sim").isNotNull)
+            .as[(Long, Long, Double)]
+            .groupByKey(_._1)
+            .mapValues(r => (r._3, r._2))
+            .agg(new graft.operators.TopK(3).toColumn.name("top"))
+            .flatMap { case (qid, top) => top.map { case (sim, vid) => (qid, vid, sim) } }
+        }
+        batchTopks.reduce(_ union _)
+          .groupByKey(_._1)
+          .mapValues(r => (r._3, r._2))
+          .agg(new graft.operators.TopK(3).toColumn.name("top"))
+          .flatMap { case (qid, top) =>
+            top.zipWithIndex.map { case ((sim, vid), i) => (qid, i + 1, vid, sim) }
+          }
+          .toDF("qid", "rk", "vec_id", "sim")
+          .orderBy(col("qid"), col("rk"))
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS qid, embedding AS q FROM embeddings WHERE vec_id < 5),
+        scored AS (SELECT qid, vec_id, ${duckCosine("embedding", "q")} AS sim
+          FROM embeddings CROSS JOIN q),
+        ranked AS (SELECT qid, vec_id, sim,
+          CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS INT) AS rk
+          FROM scored)
+        SELECT qid, rk, vec_id, sim FROM ranked WHERE rk <= 3 ORDER BY qid, rk""")),
+
     // E5 — tokenize/normalize: codegen'd split/lower, no UDF.
     "e05_tokenize" -> QueryDef(
       (s, dir) =>
@@ -283,7 +326,7 @@ object LlmPipeline extends QueryBlock {
         val b = types.select(col("p_type").as("tb"))
         a.join(b, col("ta") < col("tb") &&
             abs(length(col("ta")) - length(col("tb"))) <= 4 &&
-            levenshtein(col("ta"), col("tb")) <= 4)
+            levenshtein(col("ta"), col("tb")) <= 6)
           .select(col("ta"), col("tb"), levenshtein(col("ta"), col("tb")).as("dist"))
           .orderBy(col("ta"), col("tb"))
       },
@@ -292,7 +335,7 @@ object LlmPipeline extends QueryBlock {
           CAST(levenshtein(a.p_type, b.p_type) AS INT) AS dist
         FROM t a JOIN t b ON a.p_type < b.p_type
           AND abs(length(a.p_type) - length(b.p_type)) <= 4
-          AND levenshtein(a.p_type, b.p_type) <= 4
+          AND levenshtein(a.p_type, b.p_type) <= 6
         ORDER BY ta, tb""")),
 
     // E11 — Jaccard token-set join, pair generation BY SHARED TOKEN (the
