@@ -132,10 +132,14 @@ object GeoFunctions extends Serializable {
   val st_geomfromtext = udf(stGeomFromTextF).withName("st_geomfromtext")
   // struct<xmin,ymin,xmax,ymax> with stable field names
   val st_envelope = udf(stEnvelopeF).withName("st_envelope")
+  /** Envelope struct via the NATIVE byte-walking expression
+    * (functions.StEnvelope) — the hot path under every __bbox covering
+    * column; the UDF form above stays for API compatibility.
+    */
   def stEnvelopeStruct(c: Column): Column = {
-    val e = st_envelope(c)
-    org.apache.spark.sql.functions.struct(
-      e("_1").as("xmin"), e("_2").as("ymin"), e("_3").as("xmax"), e("_4").as("ymax"))
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(
+      graft.functions.StEnvelope(GraftColumnBridge.expression(c)))
   }
 
   def register(spark: SparkSession): Unit = synchronized {

@@ -48,6 +48,7 @@ object Graft {
     GeoFunctionRegistry.registerAll(spark)
     TextFunctionRegistry.registerAll(spark)
     graft.functions.CosineSimilarity.register(spark)
+    graft.functions.StEnvelope.register(spark)
     graft.functions.WkbAccessors.register(spark) // after UDF registry: SQL
     // names st_x/st_y route to the native expressions
     graft.plans.SpatialFilterRule.register(spark)

@@ -24,6 +24,91 @@ object Multimodal {
 
   val FeatureDim = 16
 
+  // ---- REAL format decoders (pure byte arithmetic, no codec libs) --------
+
+  private def leU16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+  private def leU32(b: Array[Byte], o: Int): Long =
+    (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+  private def leS32(b: Array[Byte], o: Int): Int = leU32(b, o).toInt
+
+  /** REAL BMP header decode (BITMAPINFOHEADER layout): `BM` magic, then
+    * width/height as little-endian i32 at offsets 18/22 and bits-per-pixel
+    * as LE u16 at 28. None for anything that is not a BMP.
+    */
+  def decodeBmpHeader(b: Array[Byte]): Option[(Int, Int, Int)] =
+    if (b != null && b.length >= 54 && b(0) == 'B'.toByte && b(1) == 'M'.toByte)
+      Some((leS32(b, 18), leS32(b, 22), leU16(b, 28)))
+    else None
+
+  /** REAL WAV (RIFF) decode: verifies `RIFF..WAVE`, then walks chunks —
+    * `fmt ` carries channels (LE u16 at +2), sample rate (LE u32 at +4) and
+    * bits/sample (LE u16 at +14); `data`'s chunk size over the frame size
+    * gives the sample count. None for non-WAV bytes.
+    */
+  def decodeWavHeader(b: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    def tag(o: Int): String =
+      if (b.length >= o + 4) new String(b.slice(o, o + 4), "US-ASCII") else ""
+    if (b == null || b.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") None
+    else {
+      var o = 12
+      var fmt: Option[(Int, Int, Int)] = None // channels, rate, bits
+      var dataBytes = -1L
+      while (o + 8 <= b.length && (fmt.isEmpty || dataBytes < 0)) {
+        val id = tag(o)
+        val sz = leU32(b, o + 4)
+        if (id == "fmt " && sz >= 16)
+          fmt = Some((leU16(b, o + 10), leU32(b, o + 12).toInt, leU16(b, o + 22)))
+        else if (id == "data") dataBytes = sz
+        o += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+      }
+      fmt.collect { case (ch, rate, bits) if dataBytes >= 0 && ch > 0 && bits > 0 =>
+        (ch, rate, bits, dataBytes / (ch.toLong * (bits / 8).max(1)))
+      }
+    }
+  }
+
+  // ---- fixture builders (valid files, deterministic content) -------------
+
+  /** A complete, valid 24bpp BMP (header + padded pixel rows). */
+  def makeBmp(width: Int, height: Int, seed: Long): Array[Byte] = {
+    val rowBytes = (width * 3 + 3) / 4 * 4
+    val dataSize = rowBytes * height
+    val size = 54 + dataSize
+    val out = java.nio.ByteBuffer.allocate(size)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put('B'.toByte).put('M'.toByte).putInt(size).putInt(0).putInt(54)
+    out.putInt(40).putInt(width).putInt(height)
+      .putShort(1).putShort(24).putInt(0).putInt(dataSize)
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var s = seed
+    (0 until dataSize).foreach { _ =>
+      s = splitmix64(s); out.put((s & 0xff).toByte)
+    }
+    out.array()
+  }
+
+  /** A complete, valid PCM WAV file. */
+  def makeWav(channels: Int, sampleRate: Int, nSamples: Int, seed: Long): Array[Byte] = {
+    val bits = 16
+    val dataSize = nSamples * channels * (bits / 8)
+    val out = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * channels * (bits / 8))
+      .putShort((channels * (bits / 8)).toShort).putShort(bits.toShort)
+    out.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var s = seed
+    (0 until dataSize / 2).foreach { _ =>
+      s = splitmix64(s); out.putShort((s & 0xffff).toShort)
+    }
+    out.array()
+  }
+
   /** STUB image decode: content bytes -> (width, height, channels,
     * features[16]). Deterministic in the content hash.
     */
@@ -78,7 +163,12 @@ object Multimodal {
         batch.iterator.map { r =>
           val path = r.getString(0)
           val content = r.getAs[Array[Byte]](1)
-          val (w, h, c, feats) = decodeImageStub(content)
+          // real header decode where the format allows it; stub otherwise
+          val (w, h, c, feats) = decodeBmpHeader(content) match {
+            case Some((bw, bh, bpp)) =>
+              (bw, bh, bpp / 8, featuresOf(fnv1a64(new String(content.map(b => (b & 0x7f).toChar)))))
+            case None => decodeImageStub(content)
+          }
           Row(path, content.length.toLong, w, h, c, feats.toSeq)
         }
       }

@@ -32,6 +32,18 @@ object LlmPipeline extends QueryBlock {
   private def cosineExpr(a: String, b: String): String =
     s"cosine_sim($a, $b)"
 
+  /** DuckDB-side byte extraction from `H = hex(content)` (read_blob): 1.0
+    * has no blob slicing, so byte `off` (1-based) is two hex chars; strpos
+    * over '123456789ABCDEF' maps a nibble to its value ('0' -> 0 via the
+    * deliberate 0-for-not-found).
+    */
+  private def duckHexByte(off: Int): String =
+    s"(strpos('123456789ABCDEF', substr(H, ${2 * off - 1}, 1))*16 + strpos('123456789ABCDEF', substr(H, ${2 * off}, 1)))"
+  private def duckLeU16(off: Int): String =
+    s"(${duckHexByte(off)} + 256*${duckHexByte(off + 1)})"
+  private def duckLeU32(off: Int): String =
+    s"(${duckHexByte(off)} + 256*${duckHexByte(off + 1)} + 65536*${duckHexByte(off + 2)} + 16777216*${duckHexByte(off + 3)})"
+
   /** DuckDB-side cosine with the same op order. */
   private def duckCosine(a: String, b: String): String =
     s"""list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
@@ -397,6 +409,71 @@ object LlmPipeline extends QueryBlock {
         CAST(size AS INT) AS n_bytes,
         sha256(decode(content)) AS sha
         FROM read_blob('$scratch/blobs/*.bin') ORDER BY fname""")),
+
+    // E12b — REAL image metadata decode: valid BMP fixtures, header fields
+    // (width/height/bpp) read from the BYTES by operators.Multimodal's
+    // byte-arithmetic decoder on the Spark side and by hex arithmetic over
+    // read_blob on the DuckDB side — both engines parse the same bytes
+    // independently (no shared generator formula in the oracle).
+    "e12b_image_meta" -> QueryDef(
+      (s, dir) => {
+        val bmpDir = s"$scratch/bmp"
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(bmpDir))
+        new java.io.File(bmpDir).listFiles().foreach(_.delete())
+        (0 until 5).foreach { i =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(f"$bmpDir/img$i%02d.bmp"),
+            graft.operators.Multimodal.makeBmp(16 + 8 * i, 9 + 4 * i, seed = 1000 + i))
+        }
+        val meta = udf((b: Array[Byte]) => graft.operators.Multimodal.decodeBmpHeader(b))
+        s.read.format("binaryFile").load(bmpDir)
+          .select(regexp_extract(col("path"), "([^/]+)$", 1).as("fname"),
+            length(col("content")).as("n_bytes"),
+            meta(col("content")).as("m"))
+          .select(col("fname"), col("n_bytes"),
+            col("m._1").as("width"), col("m._2").as("height"), col("m._3").as("bpp"))
+          .orderBy(col("fname"))
+      },
+      Some(s"""WITH b AS (SELECT filename, size, hex(content) AS H
+          FROM read_blob('$scratch/bmp/*.bmp'))
+        SELECT regexp_extract(filename, '([^/]+)$$', 1) AS fname,
+          CAST(size AS INT) AS n_bytes,
+          CAST(${duckLeU32(19)} AS INT) AS width,
+          CAST(${duckLeU32(23)} AS INT) AS height,
+          CAST(${duckLeU16(29)} AS INT) AS bpp
+        FROM b ORDER BY fname""")),
+
+    // E12c — REAL audio metadata decode: valid PCM WAV fixtures; Spark
+    // walks RIFF chunks (operators.Multimodal.decodeWavHeader), DuckDB
+    // reads the canonical 44-byte header offsets from the same bytes.
+    "e12c_audio_meta" -> QueryDef(
+      (s, dir) => {
+        val wavDir = s"$scratch/wav"
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(wavDir))
+        new java.io.File(wavDir).listFiles().foreach(_.delete())
+        val rates = Array(8000, 16000, 22050, 44100, 48000)
+        (0 until 5).foreach { i =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(f"$wavDir/au$i%02d.wav"),
+            graft.operators.Multimodal.makeWav(1 + i % 2, rates(i), 100 + 37 * i, seed = 2000 + i))
+        }
+        val meta = udf((b: Array[Byte]) => graft.operators.Multimodal.decodeWavHeader(b))
+        s.read.format("binaryFile").load(wavDir)
+          .select(regexp_extract(col("path"), "([^/]+)$", 1).as("fname"),
+            meta(col("content")).as("m"))
+          .select(col("fname"),
+            col("m._1").as("channels"), col("m._2").as("sample_rate"),
+            col("m._3").as("bits"), col("m._4").as("n_samples"))
+          .orderBy(col("fname"))
+      },
+      Some(s"""WITH b AS (SELECT filename, hex(content) AS H
+          FROM read_blob('$scratch/wav/*.wav'))
+        SELECT regexp_extract(filename, '([^/]+)$$', 1) AS fname,
+          CAST(${duckLeU16(23)} AS INT) AS channels,
+          CAST(${duckLeU32(25)} AS INT) AS sample_rate,
+          CAST(${duckLeU16(35)} AS INT) AS bits,
+          CAST(${duckLeU32(41)} / (${duckLeU16(23)} * (${duckLeU16(35)} / 8)) AS BIGINT) AS n_samples
+        FROM b ORDER BY fname""")),
 
     // E13 — corpus quality profile: one pass per lang.
     "e13_quality_profile" -> QueryDef(

@@ -37,6 +37,43 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
   }
 
+  test("REAL BMP header decode: round-trips the builder, rejects non-BMP bytes") {
+    val bytes = Multimodal.makeBmp(width = 37, height = 21, seed = 7L)
+    assert(Multimodal.decodeBmpHeader(bytes) === Some((37, 21, 24)))
+    // byte count matches the 24bpp padded-row formula
+    assert(bytes.length === 54 + ((37 * 3 + 3) / 4 * 4) * 21)
+    assert(Multimodal.decodeBmpHeader("not a bitmap at all".getBytes) === None)
+    assert(Multimodal.decodeBmpHeader(Array[Byte]('B', 'M')) === None) // truncated
+  }
+
+  test("REAL WAV header decode: chunk walk finds fmt + data, rejects non-WAV") {
+    val bytes = Multimodal.makeWav(channels = 2, sampleRate = 22050, nSamples = 441, seed = 9L)
+    assert(Multimodal.decodeWavHeader(bytes) === Some((2, 22050, 16, 441L)))
+    assert(Multimodal.decodeWavHeader("RIFFxxxxJUNK".getBytes) === None)
+    // decoder must WALK chunks, not assume fmt at 12: insert an extra
+    // chunk before fmt and re-check
+    val extra = java.nio.ByteBuffer.allocate(bytes.length + 12)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    extra.put(bytes, 0, 12)
+    extra.put("LIST".getBytes("US-ASCII")).putInt(4).put("INFO".getBytes("US-ASCII"))
+    extra.put(bytes, 12, bytes.length - 12)
+    val shifted = extra.array()
+    // fix RIFF size field (+12)
+    val bb = java.nio.ByteBuffer.wrap(shifted).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(4, bb.getInt(4) + 12)
+    assert(Multimodal.decodeWavHeader(shifted) === Some((2, 22050, 16, 441L)))
+  }
+
+  test("feature extractor uses the real BMP decoder when bytes are BMP") {
+    val dir = "/tmp/graft_test/mm_bmp"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a.bmp"),
+      Multimodal.makeBmp(64, 48, seed = 3L))
+    val row = Multimodal.extractImageFeatures(
+      spark.read.format("binaryFile").load(dir)).collect().head
+    assert(row.getInt(2) === 64 && row.getInt(3) === 48 && row.getInt(4) === 3)
+  }
+
   test("audio decode stub: valid rate, deterministic") {
     val c = "audio-bytes".getBytes("UTF-8")
     val (rate, n, feats) = Multimodal.decodeAudioStub(c)
