@@ -513,6 +513,28 @@ object LlmPipeline extends QueryBlock {
         WHERE ${duckCosine("a.embedding", "b.embedding")} >= 0.35
         ORDER BY va, vb""")),
 
+    // E — IVF ANN (coarse-quantizer scale path, operators.IvfAnn): k
+    // deterministic centroids -> codegen'd argmax bucket assignment ->
+    // probe-filtered brute force. Declared with nprobe = k, where IVF is
+    // EXACTLY brute force — so this row shares e03's hard oracle (same
+    // top-10); partial-probe recall + candidate reduction live in
+    // IvfAnnSpec.
+    "e_ann_ivf" -> QueryDef(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val k = 8
+        val cs = graft.operators.IvfAnn.centroids(emb, "vec_id", "embedding", k)
+        val qv: Array[Float] = emb.filter(col("vec_id") === 0)
+          .select(col("embedding")).collect().head.getSeq[Float](0).toArray
+        val indexed = graft.operators.IvfAnn.assign(emb, "embedding", cs)
+        graft.operators.IvfAnn.search(indexed, "vec_id", "embedding", cs, qv,
+          topK = 10, nprobe = k)
+      },
+      Some(s"""WITH q AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id, ${duckCosine("embedding", "q")} AS sim
+        FROM embeddings CROSS JOIN q
+        ORDER BY sim DESC, vec_id LIMIT 10""")),
+
     // E — SimHash near-dup: 64-bit signature buckets by 4x16-bit bands,
     // hamming<=6 verify. Owned hash family -> GOLDEN/PROP, not oracle.
     "e_simhash_neardup" -> QueryDef(

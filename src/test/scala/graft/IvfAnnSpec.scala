@@ -1,0 +1,60 @@
+package graft
+
+import graft.operators.IvfAnn
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** IVF ANN: deterministic index, exactness at full probe, sub-corpus
+  * candidate set and non-trivial recall at partial probe (sf0.001
+  * embeddings — near-random vectors, so recall bounds are loose by
+  * design; see AnnLshSpec for the same caveat).
+  */
+class IvfAnnSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+  private val K = 8
+
+  private lazy val emb = Tables(spark, dir, "embeddings")
+  private lazy val cs = IvfAnn.centroids(emb, "vec_id", "embedding", K)
+  private lazy val qv: Array[Float] = emb.filter(col("vec_id") === 0)
+    .select(col("embedding")).collect().head.getSeq[Float](0).toArray
+  private lazy val indexed = IvfAnn.assign(emb, "embedding", cs).cache()
+
+  private def exactTop(k: Int): Seq[Long] =
+    emb.select(col("vec_id"),
+        call_function("cosine_sim", col("embedding"), typedlit(qv)).as("sim"))
+      .filter(col("sim").isNotNull)
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k).collect().map(_.getLong(0)).toSeq
+
+  test("centroid selection is deterministic and k-sized") {
+    val again = IvfAnn.centroids(emb, "vec_id", "embedding", K)
+    assert(cs.length === K)
+    assert(cs.map(_.toSeq) === again.map(_.toSeq))
+  }
+
+  test("every vector gets a bucket in [0, k)") {
+    val range = indexed.agg(min("__ivf_bucket"), max("__ivf_bucket")).collect().head
+    assert(range.getLong(0) >= 0 && range.getLong(1) < K)
+    assert(indexed.filter(col("__ivf_bucket").isNull).count() === 0)
+  }
+
+  test("full probe (nprobe = k) is EXACTLY brute-force top-10") {
+    val got = IvfAnn.search(indexed, "vec_id", "embedding", cs, qv, 10, K)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === exactTop(10))
+  }
+
+  test("partial probe searches a strict subset and still finds neighbours") {
+    val probes = IvfAnn.probeOrder(qv, cs).take(2).map(_.toLong)
+    val candidates = indexed.filter(col("__ivf_bucket").isin(probes: _*)).count()
+    val corpus = emb.count()
+    assert(candidates < corpus, s"nprobe=2 candidates $candidates !< corpus $corpus")
+    val got = IvfAnn.search(indexed, "vec_id", "embedding", cs, qv, 10, 2)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (got intersect exactTop(10).toSet).size
+    // query vector 0 itself lives in a probed bucket -> recall >= 1 always;
+    // near-random vectors keep the bound loose
+    assert(recall >= 1, s"recall@nprobe=2 = $recall/10")
+  }
+}
