@@ -53,6 +53,15 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("LeftAnti"))
   }
 
+  test("C7 join-agg: customer-only broadcast + shuffled-hash join on the pre-agg key, no range sort") {
+    val plan = planOf("c07_join_agg")
+    // only the true dim broadcasts; orders shuffles into perOrder's
+    // partitioning; bounded final sort is single-partition (no sampling)
+    assert(plan.contains("ShuffledHashJoin"), plan)
+    assert("BroadcastHashJoin".r.findAllIn(plan).size === 1, plan)
+    assert(!plan.contains("rangepartitioning"), plan)
+  }
+
   test("E3 cosine top-k literal-binds the query vector: one TakeOrdered scan, no join") {
     val plan = planOf("e03_cosine_topk")
     assert(plan.contains("TakeOrderedAndProject"))
