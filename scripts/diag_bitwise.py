@@ -24,8 +24,15 @@ for name in names:
     duck = con.execute(oracle[name]).fetch_arrow_table()
     spark = con.execute(f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").fetch_arrow_table()
     cols = sorted(duck.column_names)
-    drows = duck.select(cols).to_pylist()
-    srows = spark.select(cols).to_pylist()
+    # canonical row sort (mirrors the driver/selfcheck): positional zip on
+    # unordered outputs would report spurious diffs
+    def rowkey(r):
+        return [('f' + struct.pack('>d', r[c]).hex()) if isinstance(r[c], float)
+                else type(r[c]).__name__ + repr(r[c]) for c in cols]
+    drows = sorted(duck.select(cols).to_pylist(), key=rowkey)
+    srows = sorted(spark.select(cols).to_pylist(), key=rowkey)
+    if len(drows) != len(srows):
+        print(f"{name}: ROW COUNT duck={len(drows)} spark={len(srows)}")
     nbad = 0
     for i, (dr, sr) in enumerate(zip(drows, srows)):
         for c in cols:

@@ -38,7 +38,10 @@ case class StEnvelope(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, b =>
-      s"${ev.value} = graft.functions.StEnvelope.compute($b);")
+      // compute() returns null for empty geometries (JTS null envelope) —
+      // propagate it into isNull or downstream UnsafeProjection NPEs
+      s"""${ev.value} = graft.functions.StEnvelope.compute($b);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
 
   override protected def withNewChildInternal(newChild: Expression): StEnvelope =
     copy(newChild)

@@ -5,7 +5,7 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.parquet.hadoop.{ParquetFileReader, ParquetFileWriter}
 import org.apache.parquet.hadoop.util.{HadoopInputFile, HadoopOutputFile}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.MetadataBuilder
 import scala.jdk.CollectionConverters._
@@ -13,14 +13,15 @@ import scala.jdk.CollectionConverters._
 /** GeoParquet I/O (SURVEY.md §2 A1/A2): parquet files whose footer carries
   * the `geo` JSON metadata and whose geometry columns are WKB bytes.
   *
-  * Write path: Spark writes ordinary parquet (full parallel writer,
-  * predicate-pushdown-friendly), one aggregate pass computes per-column
-  * geometry types + bbox, then each part file's footer gains the `geo` key
-  * via a parquet-java rewrite that performs a BYTE-LEVEL row-group copy
-  * (`ParquetFileWriter.appendFile` — no decode/re-encode), distributed over
-  * the executors. At 100 TB this adds one sequential read+write per part
-  * file and no shuffle; the upgrade path is a custom FileFormat injecting
-  * the footer during the original write (SURVEY §7 hard-part 1).
+  * Write path: one column-pruned aggregate over the input computes
+  * per-column geometry types + bbox, then a single parallel write through
+  * `GeoParquetFileFormat` puts the `geo` key in every part-file footer AS
+  * IT IS WRITTEN (SURVEY §7 hard-part 1) — no second I/O pass. For
+  * expensive or nondeterministic input plans, `statsFromWritten = true`
+  * writes first, computes stats from the materialized files (so metadata
+  * always describes the bytes on disk), and retrofits the footer via the
+  * distributed byte-level rewrite (`injectFooterInto` — row-group copy,
+  * no decode/re-encode).
   *
   * Read path: ordinary `spark.read.parquet` (vectorized reader, pushdown,
   * pruning all intact) + footer `geo` decode from the first part file,
@@ -32,6 +33,15 @@ object GeoParquet {
   private val MetaKeyEncoding = "geo.encoding"
   private val MetaKeyCrs = "geo.crs"
 
+  /** @param statsFromWritten compute stats by re-reading the WRITTEN files
+    *   instead of re-executing the input plan. Default false: the pre-write
+    *   aggregate is a column-pruned pass over the input, the right trade
+    *   when the input is a table scan (pruned re-read < full-output
+    *   rewrite). Set true when the input plan is expensive (stats would
+    *   re-run it) or nondeterministic (pre-write stats could describe a
+    *   different execution than the written bytes — stale-metadata hazard);
+    *   the footer then arrives via the byte-level retrofit pass.
+    */
   def write(
       df: DataFrame,
       path: String,
@@ -39,7 +49,8 @@ object GeoParquet {
       crs: String = GeoParquetMetadata.DefaultCrs,
       computeStats: Boolean = true,
       addBboxColumn: Boolean = false,
-      partitionBy: Seq[String] = Nil): Unit = {
+      partitionBy: Seq[String] = Nil,
+      statsFromWritten: Boolean = false): Unit = {
     require(geometryColumns.nonEmpty, "at least one geometry column")
     // GeoParquet 1.1 covering-column pattern: a per-row envelope struct
     // whose parquet min/max stats let spatial filters skip row groups
@@ -50,49 +61,55 @@ object GeoParquet {
           GeoFunctions.stEnvelopeStruct(col(geometryColumns.head)))
       else df
 
-    // One distributed aggregate pass for geometry_types + bbox per column,
-    // over the INPUT plan (write-time metadata: the footer ships with the
-    // first write, so stats must exist before it).
-    val colMeta: Map[String, GeoColumnMeta] =
-      if (!computeStats) geometryColumns.map(_ -> GeoColumnMeta(crs = crs)).toMap
-      else {
-        val aggs = geometryColumns.flatMap { c =>
-          val env = GeoFunctions.stEnvelopeStruct(col(c))
-          Seq(
-            sort_array(collect_set(GeoFunctions.st_geometrytype(col(c)))).as(s"${c}__types"),
-            min(env.getField("xmin")).as(s"${c}__xmin"),
-            min(env.getField("ymin")).as(s"${c}__ymin"),
-            max(env.getField("xmax")).as(s"${c}__xmax"),
-            max(env.getField("ymax")).as(s"${c}__ymax"))
-        }
-        val row = out.agg(aggs.head, aggs.tail: _*).collect()(0)
-        geometryColumns.map { c =>
-          // empty / all-null geometry column: min/max are null — omit the
-          // bbox rather than fabricate [0,0,0,0] (getAs[Double] unboxes
-          // null to 0.0)
-          val bbox =
-            if (row.isNullAt(row.fieldIndex(s"${c}__xmin"))) None
-            else Some((row.getAs[Double](s"${c}__xmin"), row.getAs[Double](s"${c}__ymin"),
-              row.getAs[Double](s"${c}__xmax"), row.getAs[Double](s"${c}__ymax")))
-          c -> GeoColumnMeta(
-            geometryTypes = row.getAs[scala.collection.Seq[String]](s"${c}__types").toSeq,
-            crs = crs,
-            bbox = bbox)
-        }.toMap
+    def statsOf(src: DataFrame): Map[String, GeoColumnMeta] = {
+      val aggs = geometryColumns.flatMap { c =>
+        val env = GeoFunctions.stEnvelopeStruct(col(c))
+        Seq(
+          sort_array(collect_set(GeoFunctions.st_geometrytype(col(c)))).as(s"${c}__types"),
+          min(env.getField("xmin")).as(s"${c}__xmin"),
+          min(env.getField("ymin")).as(s"${c}__ymin"),
+          max(env.getField("xmax")).as(s"${c}__xmax"),
+          max(env.getField("ymax")).as(s"${c}__ymax"))
       }
+      // column-pruned: only the geometry columns reach the aggregate scan
+      val row = src.select(geometryColumns.map(col): _*)
+        .agg(aggs.head, aggs.tail: _*).collect()(0)
+      geometryColumns.map { c =>
+        // empty / all-null geometry column: min/max are null — omit the
+        // bbox rather than fabricate [0,0,0,0] (getAs[Double] unboxes
+        // null to 0.0)
+        val bbox =
+          if (row.isNullAt(row.fieldIndex(s"${c}__xmin"))) None
+          else Some((row.getAs[Double](s"${c}__xmin"), row.getAs[Double](s"${c}__ymin"),
+            row.getAs[Double](s"${c}__xmax"), row.getAs[Double](s"${c}__ymax")))
+        c -> GeoColumnMeta(
+          geometryTypes = row.getAs[scala.collection.Seq[String]](s"${c}__types").toSeq,
+          crs = crs,
+          bbox = bbox)
+      }.toMap
+    }
+    def toJson(colMeta: Map[String, GeoColumnMeta]): String =
+      GeoParquetMetadata(primaryColumn = geometryColumns.head, columns = colMeta).toJson
 
-    val geoJson = GeoParquetMetadata(
-      primaryColumn = geometryColumns.head, columns = colMeta).toJson
+    def save(writer: org.apache.spark.sql.DataFrameWriter[Row]): Unit =
+      (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+        .save(path)
 
-    // Write-time footer injection: GeoParquetFileFormat's WriteSupport adds
-    // the `geo` key as each part file closes — one parallel write, no
-    // second I/O pass (round 1's distributed byte-level rewrite survives as
-    // `injectFooterInto` for retrofitting footers onto existing datasets).
-    val writer = out.write.mode("overwrite")
-      .format("geoparquet")
-      .option(GeoParquetFileFormat.FooterOption, geoJson)
-    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
-      .save(path)
+    if (computeStats && statsFromWritten) {
+      // write plain, then stats from the materialized bytes + retrofit
+      save(out.write.mode("overwrite").format("parquet"))
+      val written = df.sparkSession.read.parquet(path)
+      injectFooterInto(df.sparkSession, path, toJson(statsOf(written)))
+    } else {
+      val colMeta =
+        if (!computeStats) geometryColumns.map(_ -> GeoColumnMeta(crs = crs)).toMap
+        else statsOf(out)
+      // Write-time footer injection: GeoParquetFileFormat's WriteSupport
+      // adds the `geo` key as each part file closes — one parallel write,
+      // no second I/O pass.
+      save(out.write.mode("overwrite").format("geoparquet")
+        .option(GeoParquetFileFormat.FooterOption, toJson(colMeta)))
+    }
   }
 
   /** Retrofit a `geo` footer onto an EXISTING parquet dataset without

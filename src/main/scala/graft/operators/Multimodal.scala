@@ -55,13 +55,17 @@ object Multimodal {
       var o = 12
       var fmt: Option[(Int, Int, Int)] = None // channels, rate, bits
       var dataBytes = -1L
-      while (o + 8 <= b.length && (fmt.isEmpty || dataBytes < 0)) {
+      var halt = false
+      while (!halt && o + 8 <= b.length && (fmt.isEmpty || dataBytes < 0)) {
         val id = tag(o)
         val sz = leU32(b, o + 4)
         if (id == "fmt " && sz >= 16)
           fmt = Some((leU16(b, o + 10), leU32(b, o + 12).toInt, leU16(b, o + 22)))
         else if (id == "data") dataBytes = sz
-        o += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+        // advance in Long: a corrupt u32 size truncated to Int can go
+        // non-positive (infinite loop) or overflow o — halt instead
+        val next = o.toLong + 8L + sz + (sz & 1L) // chunks are word-aligned
+        if (next <= o || next > b.length.toLong) halt = true else o = next.toInt
       }
       fmt.collect { case (ch, rate, bits) if dataBytes >= 0 && ch > 0 && bits > 0 =>
         (ch, rate, bits, dataBytes / (ch.toLong * (bits / 8).max(1)))
@@ -109,11 +113,15 @@ object Multimodal {
     out.array()
   }
 
+  /** Deterministic 64-bit content hash feeding every stubbed feature. */
+  private def contentHash(content: Array[Byte]): Long =
+    fnv1a64(new String(content.map(b => (b & 0x7f).toChar)))
+
   /** STUB image decode: content bytes -> (width, height, channels,
     * features[16]). Deterministic in the content hash.
     */
   def decodeImageStub(content: Array[Byte]): (Int, Int, Int, Array[Float]) = {
-    val h = fnv1a64(new String(content.map(b => (b & 0x7f).toChar)))
+    val h = contentHash(content)
     val w = 64 + (math.abs(h % 1024)).toInt
     val ht = 64 + (math.abs((h >> 10) % 1024)).toInt
     (w, ht, 3, featuresOf(h))
@@ -123,7 +131,7 @@ object Multimodal {
     * mfcc-like features[16]). Deterministic in the content hash.
     */
   def decodeAudioStub(content: Array[Byte]): (Int, Long, Array[Float]) = {
-    val h = fnv1a64(new String(content.map(b => (b & 0x7f).toChar)))
+    val h = contentHash(content)
     val rates = Array(8000, 16000, 22050, 44100, 48000)
     (rates(math.abs(h % rates.length).toInt),
       1000L + math.abs((h >> 8) % 1000000L), featuresOf(splitmix64(h)))
@@ -131,7 +139,7 @@ object Multimodal {
 
   /** STUB frame sampler: n deterministic per-frame feature vectors. */
   def frameSampleStub(content: Array[Byte], n: Int): Array[Array[Float]] = {
-    val h = fnv1a64(new String(content.map(b => (b & 0x7f).toChar)))
+    val h = contentHash(content)
     Array.tabulate(n)(i => featuresOf(splitmix64(h + i)))
   }
 
@@ -166,7 +174,7 @@ object Multimodal {
           // real header decode where the format allows it; stub otherwise
           val (w, h, c, feats) = decodeBmpHeader(content) match {
             case Some((bw, bh, bpp)) =>
-              (bw, bh, bpp / 8, featuresOf(fnv1a64(new String(content.map(b => (b & 0x7f).toChar)))))
+              (bw, bh, bpp / 8, featuresOf(contentHash(content)))
             case None => decodeImageStub(content)
           }
           Row(path, content.length.toLong, w, h, c, feats.toSeq)

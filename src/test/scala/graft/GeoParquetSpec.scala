@@ -107,6 +107,18 @@ class GeoParquetSpec extends AnyFunSuite {
     }
   }
 
+  test("statsFromWritten: stats come from the materialized files, footer retrofitted") {
+    val out = "/tmp/graft_test/geo_statswritten"
+    val df = spark.range(20).toDF("id")
+      .select(col("id"), GeoFunctions.st_point(col("id").cast("double"),
+        (col("id") * 3).cast("double")).as("geometry"))
+    GeoParquet.write(df, out, Seq("geometry"), statsFromWritten = true)
+    val meta = GeoParquet.readMetadata(spark, out)
+    assert(meta.isDefined)
+    assert(meta.get.columns("geometry").bbox === Some((0.0, 0.0, 19.0, 57.0)))
+    assert(GeoParquet.read(spark, out).count() === 20)
+  }
+
   test("injectFooterInto retrofits a geo footer onto plain parquet") {
     val out = "/tmp/graft_test/geo_retrofit"
     spark.range(10).toDF("id")

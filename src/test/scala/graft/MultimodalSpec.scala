@@ -64,6 +64,20 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeWavHeader(shifted) === Some((2, 22050, 16, 441L)))
   }
 
+  test("corrupt RIFF chunk sizes terminate (no infinite loop), return None") {
+    // chunk size 0xFFFFFFF8 used to truncate to -8 and stall the walk
+    val bad = java.nio.ByteBuffer.allocate(64).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bad.put("RIFF".getBytes("US-ASCII")).putInt(56).put("WAVE".getBytes("US-ASCII"))
+    bad.put("junk".getBytes("US-ASCII")).putInt(0xFFFFFFF8)
+    assert(Multimodal.decodeWavHeader(bad.array()) === None)
+    // zero-size chunks still advance
+    val zeros = java.nio.ByteBuffer.allocate(60).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    zeros.put("RIFF".getBytes("US-ASCII")).putInt(52).put("WAVE".getBytes("US-ASCII"))
+    zeros.put("junk".getBytes("US-ASCII")).putInt(0)
+    zeros.put("junk".getBytes("US-ASCII")).putInt(0)
+    assert(Multimodal.decodeWavHeader(zeros.array()) === None)
+  }
+
   test("feature extractor uses the real BMP decoder when bytes are BMP") {
     val dir = "/tmp/graft_test/mm_bmp"
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))

@@ -65,6 +65,19 @@ class StEnvelopeSpec extends AnyFunSuite {
     assert(df.collect().length === 10)
   }
 
+  test("empty geometry yields NULL (codegen isNull propagation, no NPE)") {
+    import spark.implicits._
+    val empty = GeoFunctions.toWkb(gf.createPolygon()) // POLYGON EMPTY
+    val point = GeoFunctions.toWkb(gf.createPoint(new Coordinate(1, 1)))
+    // non-literal source so the projection goes through whole-stage codegen
+    val rows = Seq((0L, empty), (1L, point)).toDF("id", "g")
+      .repartition(2)
+      .select(col("id"), GeoFunctions.stEnvelopeStruct(col("g")).as("e"))
+      .orderBy("id").collect()
+    assert(rows(0).isNullAt(1), "empty geometry must produce a NULL struct")
+    assert(rows(1).getStruct(1).getDouble(0) === 1.0)
+  }
+
   test("SQL name st_envelope_native is registered") {
     import spark.implicits._
     val wkb = GeoFunctions.toWkb(gf.createPoint(new Coordinate(5, -5)))
