@@ -559,6 +559,96 @@ object LlmPipeline extends QueryBlock {
       },
       None),
 
+    // E16 — deterministic hash sampling (training-data subsetting without
+    // RNG state): keep a doc iff the md5 hex of its id sorts below a
+    // threshold prefix — reproducible across engines, runs and cluster
+    // layouts, and composable (a 10% sample of a 10% sample is stable).
+    // Lexicographic hex compare == numeric compare; '1a' keeps 26/256 ≈
+    // 10.2% in expectation. At 100 TB this is a scan-local filter: no
+    // shuffle, no seed coordination, prunes before any downstream join.
+    "e16_hash_sample" -> QueryDef(
+      (s, dir) =>
+        t(s, dir, "documents")
+          .withColumn("h", md5(col("doc_id").cast("string").cast("binary")))
+          .filter(col("h") < "1a")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_sampled"),
+            min(col("doc_id")).as("first_id"),
+            max(col("doc_id")).as("last_id"))
+          .orderBy(col("lang").asc_nulls_last),
+      Some("""SELECT lang, count(*) AS n_sampled,
+        min(doc_id) AS first_id, max(doc_id) AS last_id
+        FROM documents WHERE md5(CAST(doc_id AS VARCHAR)) < '1a'
+        GROUP BY lang ORDER BY lang""")),
+
+    // E17 — sequence packing (batch assembly for training): greedy running-
+    // offset packing — docs stream in id order per language, cumulative
+    // token count divides into fixed token-budget packs. Pure window
+    // algebra (no UDF, no driver loop); partition-by-language keeps the
+    // prefix sums parallel at scale (one sequential chain per group, the
+    // standard packing parallelization).
+    "e17_sequence_packing" -> QueryDef(
+      (s, dir) => {
+        val budget = 512
+        val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        t(s, dir, "documents")
+          .filter(col("text").isNotNull)
+          .select(col("lang"), col("doc_id"),
+            size(split(col("text"), " ")).as("n_tok"))
+          .withColumn("cum", sum(col("n_tok")).over(w))
+          .withColumn("pack_id", floor((col("cum") - col("n_tok")) / budget))
+          .orderBy(col("lang").asc_nulls_last, col("doc_id"))
+      },
+      Some("""SELECT lang, doc_id,
+        CAST(len(string_split(text, ' ')) AS INT) AS n_tok,
+        CAST(sum(CAST(len(string_split(text, ' ')) AS INT))
+          OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT) AS cum,
+        CAST(floor((CAST(sum(CAST(len(string_split(text, ' ')) AS INT))
+          OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT)
+          - CAST(len(string_split(text, ' ')) AS INT)) / 512) AS BIGINT) AS pack_id
+        FROM documents WHERE text IS NOT NULL
+        ORDER BY lang, doc_id""")),
+
+    // E18 — near-dup CLUSTER formation (operators.ConnectedComponents):
+    // pairwise similarity joins emit edges; min-label propagation turns
+    // them into dedup groups with one canonical (min-id) doc each — the
+    // step between "found near-dup pairs" and "kept one copy per group".
+    // Oracle: DuckDB recursive-CTE transitive closure over the SAME pair
+    // query (min reachable id == min label at fixpoint).
+    "e18_dedup_clusters" -> QueryDef(
+      (s, dir) => {
+        val docs = t(s, dir, "documents").filter(col("doc_id") < 500)
+        val toks = docs
+          .select(col("doc_id"), explode(array_distinct(split(lower(col("text")), " "))).as("tok"))
+        val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+        val inter = toks.select(col("doc_id").as("d1"), col("tok"))
+          .join(toks.select(col("doc_id").as("d2"), col("tok")), "tok")
+          .filter(col("d1") < col("d2"))
+          .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter"))
+        val edges = inter
+          .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), "d1")
+          .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2")), "d2")
+          .filter(col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter")) >= 0.95)
+          .select(col("d1"), col("d2"))
+        graft.operators.ConnectedComponents.run(edges)
+          .select(col("id").as("doc_id"), col("component"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH RECURSIVE toks AS (SELECT DISTINCT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS tok
+          FROM documents WHERE doc_id < 500),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+        pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+          FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+          GROUP BY d1, d2),
+        sim AS (SELECT d1, d2
+          FROM pairs JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+          WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= 0.95),
+        edges AS (SELECT d1 AS a, d2 AS b FROM sim UNION SELECT d2, d1 FROM sim),
+        reach(a, b) AS (SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+          UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+        SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a
+        ORDER BY doc_id""")),
+
     // E15 — the composite training-data pipeline: quality gate (length +
     // token-count + stopword-ratio thresholds) -> exact dedup keeping the
     // canonical doc -> per-language corpus stats. One declarative program,
