@@ -120,10 +120,24 @@ object GeoFunctions extends Serializable {
   val st_centroid = udf(stCentroidF).withName("st_centroid")
   val st_convexhull = udf(stConvexHullF).withName("st_convexhull")
   val st_distance = udf(stDistanceF).withName("st_distance")
-  val st_contains = udf(stContainsF).withName("st_contains")
-  val st_within = udf(stWithinF).withName("st_within")
-  val st_intersects = udf(stIntersectsF).withName("st_intersects")
-  val st_disjoint = udf(stDisjointF).withName("st_disjoint")
+  // The four pure predicates route through NATIVE expressions
+  // (functions.WkbPredicates): prepared-geometry fast path for literal
+  // regions + codegen-resident evaluation. The UDF implementations remain
+  // above as the scalar building blocks (st_dwithin, tests).
+  private def native2(f: (org.apache.spark.sql.catalyst.expressions.Expression,
+      org.apache.spark.sql.catalyst.expressions.Expression) =>
+      org.apache.spark.sql.catalyst.expressions.Expression)(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge._
+    column(f(expression(a), expression(b)))
+  }
+  def st_contains(a: Column, b: Column): Column =
+    native2(graft.functions.StContainsExpr.apply)(a, b)
+  def st_within(a: Column, b: Column): Column =
+    native2(graft.functions.StWithinExpr.apply)(a, b)
+  def st_intersects(a: Column, b: Column): Column =
+    native2(graft.functions.StIntersectsExpr.apply)(a, b)
+  def st_disjoint(a: Column, b: Column): Column =
+    native2(graft.functions.StDisjointExpr.apply)(a, b)
   val st_union = udf(stUnionF).withName("st_union")
   val st_intersection = udf(stIntersectionF).withName("st_intersection")
   val st_dwithin = udf(stDWithinF).withName("st_dwithin")

@@ -49,6 +49,7 @@ object Graft {
     TextFunctionRegistry.registerAll(spark)
     graft.functions.CosineSimilarity.register(spark)
     graft.functions.StEnvelope.register(spark)
+    graft.functions.WkbPredicates.register(spark) // native st_intersects & co.
     graft.functions.WkbAccessors.register(spark) // after UDF registry: SQL
     // names st_x/st_y route to the native expressions
     graft.plans.SpatialFilterRule.register(spark)

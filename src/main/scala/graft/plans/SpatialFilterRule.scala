@@ -41,6 +41,7 @@ object SpatialFilterRule extends Rule[LogicalPlan] {
           // rows matching the other branch.
           val extras = conjuncts(cond).collect {
             case u: ScalaUDF => bboxConjunct(u, bbox)
+            case n: graft.functions.WkbPredicate => nativeBboxConjunct(n, bbox)
           }.flatten
           if (extras.isEmpty) f
           else Filter(And(cond, extras.reduce(And)), child)
@@ -71,17 +72,39 @@ object SpatialFilterRule extends Rule[LogicalPlan] {
       }
       case _ => None
     }
-    geomLit.map { wkb =>
-      val env = GeoFunctions.fromWkb(wkb).getEnvelopeInternal
-      def fld(i: Int, n: String) = GetStructField(bbox, i, Some(n))
-      def d(v: Double) = Literal(v, DoubleType)
-      // envelope overlap: row.xmin <= q.xmax AND row.xmax >= q.xmin AND …
-      And(
-        And(LessThanOrEqual(fld(0, "xmin"), d(env.getMaxX)),
-          GreaterThanOrEqual(fld(2, "xmax"), d(env.getMinX))),
-        And(LessThanOrEqual(fld(1, "ymin"), d(env.getMaxY)),
-          GreaterThanOrEqual(fld(3, "ymax"), d(env.getMinY))))
+    geomLit.map(envelopeConjunct(_, bbox))
+  }
+
+  /** Same harvest for the NATIVE predicate nodes (functions.WkbPredicates):
+    * st_intersects takes the literal on either side (symmetric envelope
+    * test); st_within needs the literal REGION on the right, st_contains
+    * on the left. st_disjoint gets NO conjunct — its matching rows have
+    * non-overlapping envelopes, the opposite of the bbox test.
+    */
+  private def nativeBboxConjunct(
+      p: graft.functions.WkbPredicate, bbox: Attribute): Option[Expression] = {
+    import graft.functions.{StContainsExpr, StIntersectsExpr, StWithinExpr}
+    val geomLit: Option[Array[Byte]] = p match {
+      case StIntersectsExpr(l, r) => Seq(l, r).collectFirst {
+        case Literal(b: Array[Byte], _) => b
+      }
+      case StWithinExpr(_, Literal(b: Array[Byte], _)) => Some(b)
+      case StContainsExpr(Literal(b: Array[Byte], _), _) => Some(b)
+      case _ => None
     }
+    geomLit.map(envelopeConjunct(_, bbox))
+  }
+
+  /** envelope overlap: row.xmin <= q.xmax AND row.xmax >= q.xmin AND … */
+  private def envelopeConjunct(wkb: Array[Byte], bbox: Attribute): Expression = {
+    val env = GeoFunctions.fromWkb(wkb).getEnvelopeInternal
+    def fld(i: Int, n: String) = GetStructField(bbox, i, Some(n))
+    def d(v: Double) = Literal(v, DoubleType)
+    And(
+      And(LessThanOrEqual(fld(0, "xmin"), d(env.getMaxX)),
+        GreaterThanOrEqual(fld(2, "xmax"), d(env.getMinX))),
+      And(LessThanOrEqual(fld(1, "ymin"), d(env.getMaxY)),
+        GreaterThanOrEqual(fld(3, "ymax"), d(env.getMinY))))
   }
 
   def register(spark: SparkSession): Unit = synchronized {
