@@ -82,8 +82,10 @@ object GeoFunctions extends Serializable {
   val stUnionF: (Array[Byte], Array[Byte]) => Array[Byte] = g2((a, b) => toWkb(a.union(b)))
   val stIntersectionF: (Array[Byte], Array[Byte]) => Array[Byte] =
     g2((a, b) => toWkb(a.intersection(b)))
+  // isWithinDistance short-circuits on envelope separation instead of
+  // computing the exact distance; verdict identical to distance(b) <= r
   val stDWithinF: (Array[Byte], Array[Byte], Double) => java.lang.Boolean =
-    (a, b, r) => if (a == null || b == null) null else fromWkb(a).distance(fromWkb(b)) <= r
+    (a, b, r) => if (a == null || b == null) null else fromWkb(a).isWithinDistance(fromWkb(b), r)
   val stBufferF: (Array[Byte], Double) => Array[Byte] =
     (b, d) => if (b == null) null else toWkb(fromWkb(b).buffer(d))
   // B16: SRID carried in the JTS user-data-free way — EWKB-style embedding
