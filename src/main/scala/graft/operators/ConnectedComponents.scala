@@ -52,10 +52,28 @@ object ConnectedComponents {
         .join(labels.alias("p"), col("n.id") === col("p.id"))
         .filter(col("n.label") =!= col("p.label"))
         .limit(1).count()
+      // next is eagerly materialized above — the previous round's
+      // checkpoint snapshot can be released instead of pinning one label
+      // copy per round in executor storage until driver GC gets to it
+      unpersistCheckpoint(labels)
       labels = next
       converged = changed == 0
       i += 1
     }
+    unpersistCheckpoint(sym)
+    // Unconverged labels are WRONG labels (far vertices still carry
+    // intermediate values): fail loudly, never return them.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIter rounds " +
+          "(graph diameter exceeds maxIter); raise maxIter or use a " +
+          "large-star/small-star variant for long-chain graphs")
     labels.select(col("id"), col("label").as("component"))
   }
+
+  /** Release the cached RDD behind a localCheckpoint'ed DataFrame. */
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(false))
 }

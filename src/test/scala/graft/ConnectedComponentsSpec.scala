@@ -34,6 +34,15 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(got(200L) === 200L && got(300L) === 200L)
   }
 
+  test("refuses to return unconverged labels (chain longer than maxIter)") {
+    import spark.implicits._
+    val longChain = (0L until 10L).map(i => (i, i + 1))
+    val e = intercept[IllegalStateException] {
+      ConnectedComponents.run(longChain.toDF("a", "b"), maxIter = 2)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("deterministic across runs") {
     val edges = Seq((3L, 9L), (9L, 4L), (1L, 2L), (4L, 12L))
     assert(cc(edges) === cc(edges))

@@ -39,10 +39,14 @@ class WkbPredicatesSpec extends AnyFunSuite {
     }
   }
 
-  test("column-column path (no literal, no prepared geometry) agrees too") {
+  test("column-column path (no literal, no prepared geometry) agrees, both verdicts occur") {
     import spark.implicits._
-    val pairs = samples(Gen.zip(coord, coord, Gen.chooseNum(1.0, 30.0)), 30).map {
-      case (x, y, w) => (GeoFunctions.stPointF(x, y), GeoFunctions.stMakeBoxF(x - w, y - w, x + w / 2, y + w / 2))
+    // shift the box so roughly half the pairs do NOT intersect — a
+    // constant-true implementation must fail this test
+    val pairs = samples(Gen.zip(coord, coord, Gen.chooseNum(-40.0, 40.0)), 40).map {
+      case (x, y, shift) =>
+        (GeoFunctions.stPointF(x, y),
+          GeoFunctions.stMakeBoxF(x + shift, y + shift, x + shift + 10, y + shift + 10))
     }
     val rows = pairs.toDF("a", "b").select(
       GeoFunctions.st_intersects(col("a"), col("b")).as("i"),
@@ -51,6 +55,34 @@ class WkbPredicatesSpec extends AnyFunSuite {
       assert(r.getBoolean(0) ===
         GeoFunctions.stIntersectsF(r.getAs[Array[Byte]](1), r.getAs[Array[Byte]](2)))
     }
+    val verdicts = rows.map(_.getBoolean(0)).toSet
+    assert(verdicts === Set(true, false), s"need both verdicts, got $verdicts")
+  }
+
+  test("literal CONTAINER on the left uses the prepared path and agrees") {
+    import spark.implicits._
+    val box = GeoFunctions.stMakeBoxF(-20.0, -20.0, 20.0, 20.0)
+    val pts = samples(Gen.zip(coord, coord), 40).map { case (x, y) => GeoFunctions.stPointF(x, y) }
+    val rows = pts.toDF("g")
+      .select(GeoFunctions.st_contains(lit(box), col("g")).as("c"), col("g")).collect()
+    rows.foreach { r =>
+      assert(r.getBoolean(0) === GeoFunctions.stContainsF(box, r.getAs[Array[Byte]](1)))
+    }
+    assert(rows.map(_.getBoolean(0)).toSet === Set(true, false))
+  }
+
+  test("NULL literal argument analyzes and yields NULL (implicit cast from NullType)") {
+    import spark.implicits._
+    val rows = Seq(GeoFunctions.stPointF(1, 1)).toDF("g")
+      .select(GeoFunctions.st_intersects(col("g"), lit(null)).as("i")).collect()
+    assert(rows.head.isNullAt(0))
+  }
+
+  test("wrong SQL arity raises a clear error, not IndexOutOfBounds") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT st_intersects(X'00')").collect()
+    }
+    assert(e.getMessage.contains("2 arguments"), e.getMessage)
   }
 
   test("null in -> null out") {
