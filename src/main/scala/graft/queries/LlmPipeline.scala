@@ -581,6 +581,23 @@ object LlmPipeline extends QueryBlock {
         FROM documents WHERE md5(CAST(doc_id AS VARCHAR)) < '1a'
         GROUP BY lang ORDER BY lang""")),
 
+    // E16b — STRATIFIED hash sampling (mixture weighting): per-language
+    // keep-rates via per-group hash thresholds — downsample the dominant
+    // language, keep more of the rare ones. Same seedless scan-local
+    // mechanics as e16; the rate table would be a broadcast dim at scale.
+    "e16b_stratified_sample" -> QueryDef(
+      (s, dir) =>
+        t(s, dir, "documents")
+          .withColumn("h", md5(col("doc_id").cast("string").cast("binary")))
+          .filter(col("h") < when(col("lang") === "en", lit("1a")).otherwise(lit("4d")))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_sampled"))
+          .orderBy(col("lang").asc_nulls_last),
+      Some("""SELECT lang, count(*) AS n_sampled
+        FROM documents
+        WHERE md5(CAST(doc_id AS VARCHAR)) < (CASE WHEN lang = 'en' THEN '1a' ELSE '4d' END)
+        GROUP BY lang ORDER BY lang""")),
+
     // E17 — sequence packing (batch assembly for training): greedy running-
     // offset packing — docs stream in id order per language, cumulative
     // token count divides into fixed token-budget packs. Pure window

@@ -21,7 +21,15 @@ class IdempotenceSpec extends AnyFunSuite {
   test("fixture-writing queries are idempotent") {
     runTwice("c02_csv_roundtrip")
     runTwice("e12_binary_ingest")
+    runTwice("e12b_image_meta")
+    runTwice("e12c_audio_meta")
     runTwice("a01_geoparquet_points")
+  }
+
+  test("iterative / driver-side-literal queries are idempotent") {
+    runTwice("e18_dedup_clusters")
+    runTwice("e_ann_ivf")
+    runTwice("e03_cosine_topk")
   }
 
   test("streaming queries are idempotent (sink name + checkpoint reuse)") {
