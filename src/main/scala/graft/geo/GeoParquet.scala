@@ -42,6 +42,14 @@ object GeoParquet {
     *   different execution than the written bytes — stale-metadata hazard);
     *   the footer then arrives via the byte-level retrofit pass.
     */
+  /** @param spatialClusterFiles when set, rows are range-partitioned into
+    *   this many files by the Z-order (Morton) value of their envelope
+    *   midpoint before writing — spatially close rows land in the same
+    *   file/row group, so each file's `__bbox` min/max statistics cover a
+    *   TIGHT region and SpatialFilterRule's range predicates skip most row
+    *   groups. Requires pre-write stats (the global envelope quantizes the
+    *   curve).
+    */
   def write(
       df: DataFrame,
       path: String,
@@ -50,8 +58,11 @@ object GeoParquet {
       computeStats: Boolean = true,
       addBboxColumn: Boolean = false,
       partitionBy: Seq[String] = Nil,
-      statsFromWritten: Boolean = false): Unit = {
+      statsFromWritten: Boolean = false,
+      spatialClusterFiles: Option[Int] = None): Unit = {
     require(geometryColumns.nonEmpty, "at least one geometry column")
+    require(spatialClusterFiles.isEmpty || (computeStats && !statsFromWritten),
+      "spatial clustering needs pre-write stats (computeStats=true, statsFromWritten=false)")
     // GeoParquet 1.1 covering-column pattern: a per-row envelope struct
     // whose parquet min/max stats let spatial filters skip row groups
     // (rewritten into range predicates by plans.SpatialFilterRule).
@@ -104,10 +115,25 @@ object GeoParquet {
       val colMeta =
         if (!computeStats) geometryColumns.map(_ -> GeoColumnMeta(crs = crs)).toMap
         else statsOf(out)
+      val clustered = spatialClusterFiles match {
+        case Some(n) =>
+          val bbox = colMeta(geometryColumns.head).bbox.getOrElse(
+            throw new IllegalArgumentException(
+              "spatial clustering: geometry column has no bbox (empty/all-null)"))
+          val env = GeoFunctions.stEnvelopeStruct(col(geometryColumns.head))
+          val cx = (env.getField("xmin") + env.getField("xmax")) / 2
+          val cy = (env.getField("ymin") + env.getField("ymax")) / 2
+          out.withColumn("__z",
+              graft.functions.ZOrder.zorder(cx, cy, bbox._1, bbox._2, bbox._3, bbox._4))
+            .repartitionByRange(n, col("__z"))
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        case None => out
+      }
       // Write-time footer injection: GeoParquetFileFormat's WriteSupport
       // adds the `geo` key as each part file closes — one parallel write,
       // no second I/O pass.
-      save(out.write.mode("overwrite").format("geoparquet")
+      save(clustered.write.mode("overwrite").format("geoparquet")
         .option(GeoParquetFileFormat.FooterOption, toJson(colMeta)))
     }
   }
