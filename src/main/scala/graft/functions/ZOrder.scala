@@ -32,15 +32,23 @@ object ZOrder {
   }
 
   /** Morton code of (x, y) quantized over [xmin,xmax]×[ymin,ymax] into
-    * 2^21 cells per axis. Out-of-range values clamp to the edge cells.
+    * 2^21 cells per axis. Out-of-range values clamp to the edge cells;
+    * clamping happens in DOUBLE space before the long cast so far-out or
+    * NaN inputs cannot trip Spark 4's default-ANSI cast overflow. A
+    * degenerate axis (hi == lo, e.g. all points on one line) maps to
+    * cell 0 instead of dividing by zero.
     */
   def zorder(x: Column, y: Column,
       xmin: Double, ymin: Double, xmax: Double, ymax: Double): Column = {
     val cells = (1L << Bits) - 1
-    def quant(c: Column, lo: Double, hi: Double): Column = {
-      val scaled = (c - lit(lo)) / lit(hi - lo) * lit(cells.toDouble)
-      least(greatest(floor(scaled).cast("long"), lit(0L)), lit(cells))
-    }
+    def quant(c: Column, lo: Double, hi: Double): Column =
+      if (hi <= lo) lit(0L)
+      else {
+        val scaled = (c - lit(lo)) / lit(hi - lo) * lit(cells.toDouble)
+        // nanvl: a NaN coordinate (degenerate geometry) lands in cell 0
+        floor(least(greatest(nanvl(scaled, lit(0.0)), lit(0.0)), lit(cells.toDouble)))
+          .cast("long")
+      }
     spread(quant(x, xmin, xmax))
       .bitwiseOR(shiftleft(spread(quant(y, ymin, ymax)), 1))
   }

@@ -63,6 +63,11 @@ object GeoParquet {
     require(geometryColumns.nonEmpty, "at least one geometry column")
     require(spatialClusterFiles.isEmpty || (computeStats && !statsFromWritten),
       "spatial clustering needs pre-write stats (computeStats=true, statsFromWritten=false)")
+    require(spatialClusterFiles.isEmpty || partitionBy.isEmpty,
+      "spatial clustering and partitionBy together multiply to files-per-" +
+        "partition-value × cluster files; choose one layout")
+    require(spatialClusterFiles.isEmpty || !df.columns.contains("__z"),
+      "input already has a __z column — spatial clustering reserves that name")
     // GeoParquet 1.1 covering-column pattern: a per-row envelope struct
     // whose parquet min/max stats let spatial filters skip row groups
     // (rewritten into range predicates by plans.SpatialFilterRule).
@@ -111,29 +116,37 @@ object GeoParquet {
       save(out.write.mode("overwrite").format("parquet"))
       val written = df.sparkSession.read.parquet(path)
       injectFooterInto(df.sparkSession, path, toJson(statsOf(written)))
+    } else if (spatialClusterFiles.isDefined) {
+      // Clustered path: the input plan would otherwise execute three times
+      // (stats aggregate, range-partitioner sampling, final write) — and a
+      // nondeterministic plan could then write rows the footer bbox does
+      // not cover. Persist pins ONE materialization for all three.
+      val n = spatialClusterFiles.get
+      val mat = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val colMeta = statsOf(mat)
+        val bbox = colMeta(geometryColumns.head).bbox.getOrElse(
+          throw new IllegalArgumentException(
+            "spatial clustering: geometry column has no bbox (empty/all-null)"))
+        val env = GeoFunctions.stEnvelopeStruct(col(geometryColumns.head))
+        val cx = (env.getField("xmin") + env.getField("xmax")) / 2
+        val cy = (env.getField("ymin") + env.getField("ymax")) / 2
+        save(mat.withColumn("__z",
+            graft.functions.ZOrder.zorder(cx, cy, bbox._1, bbox._2, bbox._3, bbox._4))
+          .repartitionByRange(n, col("__z"))
+          .sortWithinPartitions("__z")
+          .drop("__z")
+          .write.mode("overwrite").format("geoparquet")
+          .option(GeoParquetFileFormat.FooterOption, toJson(colMeta)))
+      } finally mat.unpersist()
     } else {
       val colMeta =
         if (!computeStats) geometryColumns.map(_ -> GeoColumnMeta(crs = crs)).toMap
         else statsOf(out)
-      val clustered = spatialClusterFiles match {
-        case Some(n) =>
-          val bbox = colMeta(geometryColumns.head).bbox.getOrElse(
-            throw new IllegalArgumentException(
-              "spatial clustering: geometry column has no bbox (empty/all-null)"))
-          val env = GeoFunctions.stEnvelopeStruct(col(geometryColumns.head))
-          val cx = (env.getField("xmin") + env.getField("xmax")) / 2
-          val cy = (env.getField("ymin") + env.getField("ymax")) / 2
-          out.withColumn("__z",
-              graft.functions.ZOrder.zorder(cx, cy, bbox._1, bbox._2, bbox._3, bbox._4))
-            .repartitionByRange(n, col("__z"))
-            .sortWithinPartitions("__z")
-            .drop("__z")
-        case None => out
-      }
       // Write-time footer injection: GeoParquetFileFormat's WriteSupport
       // adds the `geo` key as each part file closes — one parallel write,
       // no second I/O pass.
-      save(clustered.write.mode("overwrite").format("geoparquet")
+      save(out.write.mode("overwrite").format("geoparquet")
         .option(GeoParquetFileFormat.FooterOption, toJson(colMeta)))
     }
   }

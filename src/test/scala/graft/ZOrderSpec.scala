@@ -27,19 +27,37 @@ class ZOrderSpec extends AnyFunSuite {
 
   test("Column-algebra Morton code equals the reference bit interleave") {
     import spark.implicits._
-    // quantization over [0, 2^21) with unit cells: zorder quantizes
-    // v/(2^21-1)*(2^21-1) = v exactly for integers in range
     val cells = (1L << 21) - 1
+    // mirror quant's double arithmetic exactly (same op order), so the
+    // assertion tests the INTERLEAVE and not an unguaranteed float
+    // identity like v/(2^21-1)*(2^21-1) == v
+    def quantRef(v: Long): Long = {
+      val scaled = (v.toDouble - 0.0) / cells.toDouble * cells.toDouble
+      math.floor(math.min(math.max(scaled, 0.0), cells.toDouble)).toLong
+    }
     val samples = Seq((0L, 0L), (1L, 0L), (0L, 1L), (123456L, 654321L),
-      (cells, cells), (cells, 0L), (0L, cells), (1048576L, 2097151L))
+      (cells, cells), (cells, 0L), (0L, cells), (1048576L, 2097151L),
+      (77777L, 1999999L), (31L, 1L << 20))
     val df = samples.toDF("xi", "yi")
       .select(col("xi"), col("yi"),
         ZOrder.zorder(col("xi").cast("double"), col("yi").cast("double"),
           0.0, 0.0, cells.toDouble, cells.toDouble).as("z"))
     df.collect().foreach { r =>
-      assert(r.getLong(2) === mortonRef(r.getLong(0), r.getLong(1)),
+      assert(r.getLong(2) === mortonRef(quantRef(r.getLong(0)), quantRef(r.getLong(1))),
         s"(${r.getLong(0)}, ${r.getLong(1)})")
     }
+  }
+
+  test("degenerate bbox (one axis collapsed) and out-of-range inputs do not crash under ANSI") {
+    import spark.implicits._
+    // all points on y = 5: ymin == ymax in the global envelope
+    val rows = Seq((0.0, 5.0), (10.0, 5.0), (1e18, 5.0), (-1e18, 5.0))
+      .toDF("x", "y")
+      .select(ZOrder.zorder(col("x"), col("y"), 0.0, 5.0, 10.0, 5.0).as("z"))
+      .collect()
+    assert(rows.length === 4)
+    // far-out x clamps to the edge cells rather than overflowing the cast
+    assert(rows.map(_.getLong(0)).forall(z => z >= 0L))
   }
 
   test("clustered write: per-file bboxes are far tighter than unclustered") {
