@@ -666,6 +666,27 @@ object LlmPipeline extends QueryBlock {
         SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a
         ORDER BY doc_id""")),
 
+    // E19 — PII-style scrubbing (privacy stage of a training pipeline):
+    // stable pseudonymization of identifiers (salted sha256 — joinable
+    // across tables, not reversible) + inline redaction of digit runs,
+    // with a redaction-volume audit column. All codegen'd string ops; at
+    // 100 TB this is a scan-local transform, no shuffle.
+    "e19_redact" -> QueryDef(
+      (s, dir) =>
+        t(s, dir, "events")
+          .filter(col("event_id") < 5000)
+          .select(col("event_id"),
+            sha2(concat(lit("salt:"), col("user_id").cast("string")), 256).as("user_pseudo"),
+            regexp_replace(col("props"), "[0-9]+", "#").as("props_redacted"),
+            (length(col("props")) - length(regexp_replace(col("props"), "[0-9]+", "")))
+              .as("n_digits"))
+          .orderBy(col("event_id")),
+      Some("""SELECT event_id,
+        sha256('salt:' || CAST(user_id AS VARCHAR)) AS user_pseudo,
+        regexp_replace(props, '[0-9]+', '#', 'g') AS props_redacted,
+        CAST(length(props) - length(regexp_replace(props, '[0-9]+', '', 'g')) AS INT) AS n_digits
+        FROM events WHERE event_id < 5000 ORDER BY event_id""")),
+
     // E15 — the composite training-data pipeline: quality gate (length +
     // token-count + stopword-ratio thresholds) -> exact dedup keeping the
     // canonical doc -> per-language corpus stats. One declarative program,
