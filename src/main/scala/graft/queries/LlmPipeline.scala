@@ -678,7 +678,9 @@ object LlmPipeline extends QueryBlock {
           .select(col("event_id"),
             sha2(concat(lit("salt:"), col("user_id").cast("string")), 256).as("user_pseudo"),
             regexp_replace(col("props"), "[0-9]+", "#").as("props_redacted"),
-            (length(col("props")) - length(regexp_replace(col("props"), "[0-9]+", "")))
+            // translate (plain char loop) counts digits without a second
+            // regex pass; same value as length-delta via regexp_replace
+            (length(col("props")) - length(translate(col("props"), "0123456789", "")))
               .as("n_digits"))
           .orderBy(col("event_id")),
       Some("""SELECT event_id,

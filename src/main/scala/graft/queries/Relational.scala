@@ -437,9 +437,11 @@ object Relational extends QueryBlock {
             count(lit(1)).as("n"),
             sumD2(col("value")).as("sum_value"),
             // schema-directed from_json beats path-directed get_json_object
-            // for single-key extraction (136 vs 167 ms over sf0.1 events);
-            // malformed docs and non-numeric values null out identically
-            sum(expr("from_json(props, 'k LONG').k")).as("sum_k"))
+            // for single-key extraction (136 vs 167 ms over sf0.1 events).
+            // The field parses as STRING then try_casts: a LONG field would
+            // reject QUOTED numbers ({"k": "12"}) that get_json_object and
+            // the DuckDB oracle both accept — STRING takes any scalar token.
+            sum(expr("try_cast(from_json(props, 'k STRING').k AS LONG)")).as("sum_k"))
           // hours × event-types output: bounded, single-partition final sort
           .transform(sortSmall(_, col("w").asc_nulls_last, col("event_type").asc_nulls_last)),
       Some(s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS w, event_type,

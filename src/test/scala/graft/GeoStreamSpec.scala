@@ -13,20 +13,15 @@ class GeoStreamSpec extends AnyFunSuite {
 
   test("streamed points land as GeoParquet batches with footers") {
     import spark.implicits._
-    val srcDir = "/tmp/graft_test/geostream_src"
-    val outDir = "/tmp/graft_test/geostream_out"
-    val ckpt = "/tmp/graft_test/geostream_ckpt"
-    Seq(srcDir, outDir, ckpt).foreach { d =>
-      val f = new java.io.File(d)
-      if (f.exists()) {
-        def rm(x: java.io.File): Unit = {
-          if (x.isDirectory) x.listFiles().foreach(rm)
-          x.delete()
-        }
-        rm(f)
-      }
-    }
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_geostream_src").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_geostream_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_geostream_ckpt").toString
+
+    // cold start: readAll before any batch is a clear error, not a crash
+    // deep inside the parquet reader
+    val cold = intercept[IllegalStateException](GeoStreamWriter.readAll(spark, outDir))
+    assert(cold.getMessage.contains("no GeoParquet batches"))
+
     (0 until 40).map(i => s"$i,${i * 1.5},${i * -0.5}")
       .grouped(20).zipWithIndex.foreach { case (lines, i) =>
         java.nio.file.Files.write(
@@ -40,12 +35,13 @@ class GeoStreamSpec extends AnyFunSuite {
       .csv(srcDir)
       .select(col("id"), GeoFunctions.st_point(col("x"), col("y")).as("geometry"))
 
-    stream.writeStream
+    val finished = stream.writeStream
       .option("checkpointLocation", ckpt)
       .foreachBatch(GeoStreamWriter.sink(outDir, "geometry"))
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
       .awaitTermination(120000)
+    assert(finished, "stream did not finish within the timeout")
 
     val batches = new java.io.File(outDir).listFiles().filter(_.getName.startsWith("batch="))
     assert(batches.length >= 2, s"want ≥2 batch dirs, got ${batches.map(_.getName).toSeq}")
