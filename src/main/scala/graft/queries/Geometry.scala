@@ -215,6 +215,35 @@ object Geometry extends QueryBlock {
           CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, c_custkey) AS INT) AS rk
           FROM scored)
         SELECT qid, rk, c_custkey, round(dist, 6) AS dist
-        FROM ranked WHERE rk <= 3 ORDER BY qid, rk"""))
+        FROM ranked WHERE rk <= 3 ORDER BY qid, rk""")),
+
+    // B19 — dataset extent aggregate (the st_extent_agg every geo engine
+    // exposes; GeoParquet.write's footer bbox uses the same fold): min/max
+    // over the NATIVE envelope expression, grouped here per nation to make
+    // it a real aggregate rather than one global row. Geometry built from
+    // numeric columns, so the oracle recomputes the extent relationally.
+    "b19_extent_agg" -> QueryDef(
+      (s, dir) => {
+        val pts = t(s, dir, "customer")
+          .select(col("c_nationkey"),
+            G.st_point(col("c_acctbal"),
+              pmod(col("c_custkey"), lit(1000)).cast("double")).as("geometry"))
+        val env = G.stEnvelopeStruct(col("geometry"))
+        pts.groupBy(col("c_nationkey"))
+          .agg(
+            min(env.getField("xmin")).as("xmin"),
+            min(env.getField("ymin")).as("ymin"),
+            max(env.getField("xmax")).as("xmax"),
+            max(env.getField("ymax")).as("ymax"),
+            count(lit(1)).as("n"))
+          .orderBy(col("c_nationkey"))
+      },
+      Some("""SELECT c_nationkey,
+        min(c_acctbal) AS xmin,
+        min(CAST(c_custkey % 1000 AS DOUBLE)) AS ymin,
+        max(c_acctbal) AS xmax,
+        max(CAST(c_custkey % 1000 AS DOUBLE)) AS ymax,
+        count(*) AS n
+        FROM customer GROUP BY c_nationkey ORDER BY c_nationkey"""))
   )
 }
