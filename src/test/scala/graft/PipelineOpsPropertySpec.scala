@@ -1,0 +1,77 @@
+package graft
+
+import graft.operators.ConnectedComponents
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** PROP tier for the round-2 training-pipeline operators: invariants that
+  * hold for ANY corpus, asserted on the real testdata (sf0.001).
+  */
+class PipelineOpsPropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("sequence packing: token sums per pack stay under budget + first-fit order") {
+    val budget = 512
+    // (lang, doc_id, n_tok, cum, pack_id)
+    val rows = SparkEntry.queries("e17_sequence_packing")(spark, dir)
+      .collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+    // running-offset packing invariant: every doc STARTS inside its pack's
+    // token window [pack·budget, (pack+1)·budget) — a doc may straddle the
+    // boundary (its tail spills into the next window), so a pack's total is
+    // bounded by budget + its largest doc, not by budget alone
+    rows.foreach { case (lang, id, nTok, cum, pack) =>
+      val start = cum - nTok
+      assert(start / budget === pack, s"doc $id ($lang): start $start not in pack $pack")
+    }
+    rows.groupBy { case (lang, _, _, _, pack) => (lang, pack) }.foreach {
+      case ((lang, pack), docs) =>
+        val total = docs.map(_._3.toLong).sum
+        val maxDoc = docs.map(_._3.toLong).max
+        assert(total <= budget + maxDoc,
+          s"pack ($lang, $pack): $total > $budget + largest doc $maxDoc")
+    }
+    // pack ids are non-decreasing in the per-lang doc order
+    rows.groupBy(_._1).foreach { case (_, docs) =>
+      val byId = docs.sortBy(_._2)
+      assert(byId.map(_._5).sliding(2).forall(p => p.head <= p.last),
+        "pack ids must be non-decreasing in doc order")
+    }
+  }
+
+  test("hash sampling: rate lands inside generous binomial bounds, subset stable") {
+    val total = Tables(spark, dir, "documents").count()
+    val sampled = SparkEntry.queries("e16_hash_sample")(spark, dir)
+      .agg(sum("n_sampled")).collect().head.getLong(0)
+    // '1a' prefix keeps 26/256 ≈ 10.2%; allow ±4 sigma of binomial noise
+    val p = 26.0 / 256.0
+    val sigma = math.sqrt(total * p * (1 - p))
+    assert(math.abs(sampled - total * p) <= 4 * sigma + 1,
+      s"sampled $sampled of $total, expected ~${(total * p).toInt} ± ${(4 * sigma).toInt}")
+    // determinism: same rows every run
+    val again = SparkEntry.queries("e16_hash_sample")(spark, dir)
+      .agg(sum("n_sampled")).collect().head.getLong(0)
+    assert(again === sampled)
+  }
+
+  test("connected components: empty edge list yields empty labels") {
+    import spark.implicits._
+    val out = ConnectedComponents.run(Seq.empty[(Long, Long)].toDF("a", "b"))
+    assert(out.count() === 0)
+  }
+
+  test("dedup clusters: every component id is a member of its own cluster") {
+    val rows = SparkEntry.queries("e18_dedup_clusters")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ids = rows.map(_._1).toSet
+    rows.foreach { case (_, comp) =>
+      assert(ids.contains(comp), s"component $comp is not itself a clustered doc")
+    }
+    // canonical = min id of the cluster
+    rows.groupBy(_._2).foreach { case (comp, members) =>
+      assert(members.map(_._1).min === comp,
+        s"cluster $comp canonical is not the min member")
+    }
+  }
+}
