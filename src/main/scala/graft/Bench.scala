@@ -26,6 +26,32 @@ object Bench {
     "e03_cosine_topk" -> "B9",
     "e01_exact_dedup" -> "B10")
 
+  /** Stage the single-file, single-row-group testdata tables into a
+    * multi-file layout once (untimed). The driver's files are one row
+    * group each, which caps every Spark scan at one task; production data
+    * at any real scale is many files/row groups, which is what the engine
+    * is designed against. Data content is identical — queries still do
+    * full scans, joins and shuffles.
+    */
+  def stage(spark: SparkSession, sfDir: String): String = {
+    val staged = s"/tmp/graft_bench_cache/v2_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    Tables.names.foreach { n =>
+      val dst = new java.io.File(s"$staged/$n.parquet")
+      // _SUCCESS marks a COMPLETE staging write; a bare dir from a crashed
+      // prior run must be rewritten, not trusted
+      if (!new java.io.File(dst, "_SUCCESS").exists()) {
+        val df = Tables(spark, sfDir, n)
+        // File count sized to data volume (compaction, as any lakehouse
+        // does): small dim tables as one file — a 25-row table split into 8
+        // files costs 8 scan tasks per query for nothing; fact tables keep
+        // full scan parallelism.
+        val files = if (df.count() < 10000L) 1 else 8
+        df.repartition(files).write.mode("overwrite").parquet(dst.toString)
+      }
+    }
+    staged
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -48,27 +74,7 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     Graft.prepare(spark)
 
-    // Stage the single-file, single-row-group testdata tables into a
-    // multi-file layout once (untimed). The driver's files are one row
-    // group each, which caps every Spark scan at one task; production data
-    // at any real scale is many files/row groups, which is what the engine
-    // is designed against. Data content is identical — queries still do
-    // full scans, joins and shuffles.
-    val staged = s"/tmp/graft_bench_cache/v2_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}"
-    Tables.names.foreach { n =>
-      val dst = new java.io.File(s"$staged/$n.parquet")
-      // _SUCCESS marks a COMPLETE staging write; a bare dir from a crashed
-      // prior run must be rewritten, not trusted
-      if (!new java.io.File(dst, "_SUCCESS").exists()) {
-        val df = Tables(spark, sfDir, n)
-        // File count sized to data volume (compaction, as any lakehouse
-        // does): small dim tables as one file — a 25-row table split into 8
-        // files costs 8 scan tasks per query for nothing; fact tables keep
-        // full scan parallelism.
-        val files = if (df.count() < 10000L) 1 else 8
-        df.repartition(files).write.mode("overwrite").parquet(dst.toString)
-      }
-    }
+    val staged = stage(spark, sfDir)
 
     def timeOnce(name: String): Double = {
       val t0 = System.nanoTime()

@@ -50,6 +50,8 @@ object Graft {
     graft.functions.CosineSimilarity.register(spark)
     graft.functions.StEnvelope.register(spark)
     graft.functions.WkbPredicates.register(spark) // native st_intersects & co.
+    graft.functions.JsonGetScalar.register(spark)
+    graft.functions.PackAscii8.register(spark)
     graft.functions.WkbAccessors.register(spark) // after UDF registry: SQL
     // names st_x/st_y route to the native expressions
     graft.plans.SpatialFilterRule.register(spark)
@@ -124,4 +126,60 @@ object Graft {
     */
   def sortSmall(df: DataFrame, cols: Column*): DataFrame =
     df.repartition(1).sortWithinPartitions(cols: _*)
+
+  /** Final ORDER BY for a bounded result whose FINAL-STAGE INPUT is also
+    * domain-bounded — the group count is fixed by the key domain
+    * (returnflag × linestatus, market segments, nation × status), not by
+    * data volume, so even `groups × map-tasks` partial rows stay tiny on a
+    * 1000-executor cluster.
+    *
+    * `coalesce(1)` above the final aggregate reports SinglePartition with
+    * NO exchange: the single task reads every shuffle partition of the
+    * already-partially-aggregated input, finishes the aggregate and sorts
+    * in place — one exchange and one stage fewer than [[sortSmall]]
+    * (measured 357→150 ms on the sf0.1 pricing summary). NOT safe where
+    * the serialized final stage grows with the data (time-bucketed group
+    * keys — use sortSmall) or above heavy per-partition compute such as
+    * window functions, which it would serialize onto one task.
+    */
+  def sortSmallFused(df: DataFrame, cols: Column*): DataFrame =
+    df.coalesce(1).sortWithinPartitions(cols: _*)
+
+  // --- Sort-key packing for string min/max (SURVEY.md §4.3) ---------------
+  //
+  // Spark plans SortAggregate whenever an aggregate buffer holds a
+  // StringType (UnsafeRow buffers mutate primitives/Decimal only): a single
+  // max(string) forces the whole aggregate — and every other aggregate in
+  // it — onto the sort-based path. Packing a short ASCII prefix into a
+  // LongType buffer restores HashAggregate. Byte order == code-point order
+  // for ASCII (single-byte UTF-8), so max over the packed long selects the
+  // same value; unpack restores the exact prefix string.
+
+  /** First `n` (≤8) chars of an ASCII string as a big-endian long whose
+    * numeric order equals the string order (shorter strings NUL-pad, which
+    * sorts below every ASCII char, matching prefix string comparison).
+    * Precondition: values are ASCII — the first byte of an 8-byte pack must
+    * stay < 0x80 for the long to remain non-negative. PropertySpec asserts
+    * pack/unpack round-trips and order agreement on random ASCII inputs.
+    */
+  def packAsciiPrefix(c: Column, n: Int): Column = {
+    require(n >= 1 && n <= 8, s"prefix width must be 1..8, got $n")
+    if (n == 8)
+      // native byte-loop expression: the column-algebra chain below costs
+      // ~10 us/row across four allocating string functions (PackAscii8
+      // scaladoc has the measurement); same NULL-on-non-ASCII-lead parity
+      org.apache.spark.sql.GraftColumnBridge.column(
+        functions.PackAscii8(org.apache.spark.sql.GraftColumnBridge.expression(c)))
+    else
+      conv(hex(encode(rpad(c, n, "\u0000"), "UTF-8")), 16, 10).cast("long")
+  }
+
+  /** Inverse of [[packAsciiPrefix]]: the packed long back to the prefix
+    * string (trailing NUL padding stripped). Runs post-aggregation over
+    * group-count rows, so its per-row cost is irrelevant.
+    */
+  def unpackAsciiPrefix(c: Column, n: Int): Column = {
+    require(n >= 1 && n <= 8, s"prefix width must be 1..8, got $n")
+    rtrim(decode(unhex(lpad(hex(c), 2 * n, "0")), "UTF-8"), "\u0000")
+  }
 }

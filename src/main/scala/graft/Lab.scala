@@ -1,0 +1,262 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Bench experiment harness (dev tool, not part of the driver contract).
+  *
+  * Times candidate rewrites of the headline queries against the shipping
+  * definition on the same staged data, and checks result equality (driver
+  * canonicalization: sorted formatRow multiset) before trusting a number.
+  * Usage: `runMain graft.Lab [namePrefix]`.
+  */
+object Lab {
+
+  final case class V(name: String, base: String,
+      fn: (SparkSession, String) => DataFrame)
+
+  import Graft._
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+
+  // --- c27: pack the 8-char ASCII prefix into a long so max() gets a
+  // mutable agg buffer (HashAggregate instead of SortAggregate). ---------
+  private val packedPrefix: Column =
+    expr("cast(conv(hex(encode(rpad(upper(substring(text,1,8)),8,chr(0)),'UTF-8')),16,10) as bigint)")
+
+  private def unpackPrefix(c: Column): Column =
+    rtrim(decode(unhex(lpad(hex(c), 16, "0")), "UTF-8"), "\u0000")
+
+  def variants: Seq[V] = Seq(
+    // ---- probes (base "": timing only, no oracle pair) ----
+    V("p_li_count", "", (s, dir) =>
+      t(s, dir, "lineitem").agg(count(lit(1)).as("n"))),
+    V("p_li_sum1", "", (s, dir) =>
+      t(s, dir, "lineitem").agg(sum(col("l_quantity")).as("sq"))),
+    V("p_li_sum3cents", "", (s, dir) =>
+      t(s, dir, "lineitem").agg(
+        sum(cents2(col("l_quantity"))).as("a"),
+        sum(cents2(col("l_extendedprice"))).as("b"),
+        sum(cents2(col("l_discount"))).as("c"))),
+    V("p_docs_count", "", (s, dir) =>
+      t(s, dir, "documents").agg(count(lit(1)).as("n"))),
+    V("p_orders_count", "", (s, dir) =>
+      t(s, dir, "orders").agg(count(lit(1)).as("n"))),
+    V("c14_nofilter", "", (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"),
+          cents2(col("l_quantity")).as("qc"),
+          cents2(col("l_extendedprice")).as("ec"),
+          cents2(col("l_discount")).as("dc"))
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          (sum(col("qc")).cast("double") / lit(100.0)).as("sum_qty"),
+          (sum(col("ec")).cast("double") / lit(100.0)).as("sum_base_price"),
+          (sum(col("ec") * (lit(100L) - col("dc"))).cast("double") / lit(10000.0)).as("sum_disc_price"),
+          ((sum(col("qc")).cast("double") / lit(100.0)) / count(col("qc"))).as("avg_qty"),
+          ((sum(col("dc")).cast("double") / lit(100.0)) / count(col("dc"))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .coalesce(1)
+        .sortWithinPartitions(col("l_returnflag"), col("l_linestatus"))
+    }),
+    V("c14_nosort", "", (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("2024-09-01").cast("timestamp"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          cents2(col("l_quantity")).as("qc"),
+          cents2(col("l_extendedprice")).as("ec"),
+          cents2(col("l_discount")).as("dc"))
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          (sum(col("qc")).cast("double") / lit(100.0)).as("sum_qty"),
+          (sum(col("ec")).cast("double") / lit(100.0)).as("sum_base_price"),
+          (sum(col("ec") * (lit(100L) - col("dc"))).cast("double") / lit(10000.0)).as("sum_disc_price"),
+          ((sum(col("qc")).cast("double") / lit(100.0)) / count(col("qc"))).as("avg_qty"),
+          ((sum(col("dc")).cast("double") / lit(100.0)) / count(col("dc"))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    }),
+    V("c14_intkey", "c14_pricing_summary", (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("2024-09-01").cast("timestamp"))
+        .select((ascii(col("l_returnflag")) * lit(256) + ascii(col("l_linestatus"))).as("k"),
+          cents2(col("l_quantity")).as("qc"),
+          cents2(col("l_extendedprice")).as("ec"),
+          cents2(col("l_discount")).as("dc"))
+      li.groupBy(col("k"))
+        .agg(
+          (sum(col("qc")).cast("double") / lit(100.0)).as("sum_qty"),
+          (sum(col("ec")).cast("double") / lit(100.0)).as("sum_base_price"),
+          (sum(col("ec") * (lit(100L) - col("dc"))).cast("double") / lit(10000.0)).as("sum_disc_price"),
+          ((sum(col("qc")).cast("double") / lit(100.0)) / count(col("qc"))).as("avg_qty"),
+          ((sum(col("dc")).cast("double") / lit(100.0)) / count(col("dc"))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .coalesce(1)
+        .sortWithinPartitions(col("k"))
+        .select(expr("char(k div 256)").as("l_returnflag"), expr("char(k % 256)").as("l_linestatus"),
+          col("sum_qty"), col("sum_base_price"), col("sum_disc_price"),
+          col("avg_qty"), col("avg_disc"), col("count_order"))
+    }),
+    V("c14_topk", "c14_pricing_summary", (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("2024-09-01").cast("timestamp"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          cents2(col("l_quantity")).as("qc"),
+          cents2(col("l_extendedprice")).as("ec"),
+          cents2(col("l_discount")).as("dc"))
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          (sum(col("qc")).cast("double") / lit(100.0)).as("sum_qty"),
+          (sum(col("ec")).cast("double") / lit(100.0)).as("sum_base_price"),
+          (sum(col("ec") * (lit(100L) - col("dc"))).cast("double") / lit(10000.0)).as("sum_disc_price"),
+          ((sum(col("qc")).cast("double") / lit(100.0)) / count(col("qc"))).as("avg_qty"),
+          ((sum(col("dc")).cast("double") / lit(100.0)) / count(col("dc"))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+        .limit(10000)
+    }),
+    V("c27_topk", "c27_strings", (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("lang"), col("source"), length(col("text")).as("len"),
+          packAsciiPrefix(upper(substring(col("text"), 1, 8)), 8).as("pk"))
+        .groupBy(col("lang"), col("source"))
+        .agg(sum(col("len")).as("len_sum"), count(lit(1)).as("n"),
+          max(col("pk")).as("pk"))
+        .groupBy(col("lang"))
+        .agg(count(col("source")).as("nd_source"),
+          (sum(col("len_sum")).cast("double") / sum(col("n"))).as("avg_len"),
+          max(col("pk")).as("pkm"))
+        .select(col("lang"), col("nd_source"), col("avg_len"),
+          unpackPrefix(col("pkm")).as("max_head"))
+        .orderBy(col("lang").asc_nulls_last)
+        .limit(10000)),
+    V("c20_topk", "c20_rollup", (s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = broadcast(t(s, dir, "nation"))
+      o.join(c, col("o_custkey") === col("c_custkey"))
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+        .rollup(col("n_name"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sumD4(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("n_name").asc_nulls_first, col("o_orderstatus").asc_nulls_first)
+        .limit(10000)
+    }),
+    V("c07_topk", "c07_join_agg", (s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      val oc = o.join(broadcast(c.select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_mktsegment"))
+      val perOrder = l.groupBy(col("l_orderkey"))
+        .agg(sum(cents2(col("l_extendedprice")) * (lit(100L) - cents2(col("l_discount")))).as("cts"))
+      perOrder.hint("shuffle_hash")
+        .join(oc, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          (sum(col("cts")).cast("double") / lit(10000.0)).as("revenue"))
+        .orderBy(col("c_mktsegment"))
+        .limit(10000)
+    }),
+    V("c27_nosort", "", (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("lang"), col("source"), length(col("text")).as("len"),
+          packAsciiPrefix(upper(substring(col("text"), 1, 8)), 8).as("pk"))
+        .groupBy(col("lang"), col("source"))
+        .agg(sum(col("len")).as("len_sum"), count(lit(1)).as("n"),
+          max(col("pk")).as("pk"))
+        .groupBy(col("lang"))
+        .agg(count(col("source")).as("nd_source"),
+          (sum(col("len_sum")).cast("double") / sum(col("n"))).as("avg_len"),
+          max(col("pk")).as("pkm"))),
+    V("c27_l1_only", "", (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("lang"), col("source"), length(col("text")).as("len"),
+          packAsciiPrefix(upper(substring(col("text"), 1, 8)), 8).as("pk"))
+        .groupBy(col("lang"), col("source"))
+        .agg(sum(col("len")).as("len_sum"), count(lit(1)).as("n"),
+          max(col("pk")).as("pk"))),
+    V("c07_perorder_only", "", (s, dir) =>
+      t(s, dir, "lineitem").groupBy(col("l_orderkey"))
+        .agg(sum(cents2(col("l_extendedprice")) * (lit(100L) - cents2(col("l_discount")))).as("cts"))
+        .agg(count(lit(1)).as("n"), sum(col("cts")).as("t"))),
+    V("c07_nobroadcast", "", (s, dir) => {
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      val perOrder = l.groupBy(col("l_orderkey"))
+        .agg(sum(cents2(col("l_extendedprice")) * (lit(100L) - cents2(col("l_discount")))).as("cts"))
+      perOrder.hint("shuffle_hash")
+        .join(o.select(col("o_orderkey")), col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("n"), sum(col("cts")).as("t"))
+    })
+  )
+
+  private def canon(df: DataFrame): Seq[String] =
+    df.collect().toSeq.map(graft.operators.Canonicalize.formatRow).sorted
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", shuffle)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Graft.prepare(spark)
+    val staged = Bench.stage(spark, sfDir)
+
+    val sel = args.headOption.getOrElse("")
+    val chosen = variants.filter(_.name.startsWith(sel))
+    val bases = chosen.map(_.base).filter(_.nonEmpty).distinct
+
+    def time(fn: => Unit): Double = {
+      val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
+    }
+
+    // Correctness first (also warms every plan's codegen).
+    val eq = chosen.map { v =>
+      v.name -> (v.base.isEmpty ||
+        canon(v.fn(spark, staged)) == canon(SparkEntry.queries(v.base)(spark, staged)))
+    }.toMap
+
+    // INTERLEAVED timing rounds: measuring all bases first and variants
+    // after hands the variants a hotter JIT — round-robin keeps the JVM
+    // state comparable across everything measured in one run.
+    val all: Seq[(String, () => Unit)] =
+      bases.map(b => s"base:$b" -> (() => { SparkEntry.queries(b)(spark, staged).collect(); () })) ++
+        chosen.map(v => v.name -> (() => { v.fn(spark, staged).collect(); () }))
+    all.foreach { case (_, f) => f() } // warm pass
+    val times = scala.collection.mutable.Map.empty[String, Double].withDefaultValue(Double.MaxValue)
+    (1 to 4).foreach { _ =>
+      all.foreach { case (n, f) =>
+        val t = time(f()); if (t < times(n)) times(n) = t
+      }
+    }
+    // Structural cost per plan: job and stage counts (load-immune).
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val stages = new java.util.concurrent.atomic.AtomicInteger
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); stages.addAndGet(j.stageInfos.size)
+      }
+    })
+    val shape = all.map { case (n, f) =>
+      jobs.set(0); stages.set(0)
+      f()
+      Thread.sleep(50) // listener bus is async
+      n -> (jobs.get, stages.get)
+    }.toMap
+
+    all.foreach { case (n, _) =>
+      val flag = eq.get(n).map(ok => s"  equal=$ok").getOrElse("")
+      val (j, st) = shape(n)
+      println(f"[lab] $n%-26s ${times(n) * 1000}%8.1f ms  jobs=$j stages=$st$flag")
+    }
+    spark.stop()
+  }
+}

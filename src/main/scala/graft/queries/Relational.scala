@@ -20,20 +20,30 @@ object Relational extends QueryBlock {
 
   val queries: Map[String, QueryDef] = Map(
     // C14/C5 — flagship: TPC-H Q1-style pricing summary (BASELINE B1).
+    // Each money column converts to exact cents ONCE in a projection below
+    // the aggregate; all seven aggregates reuse the projected longs.
+    // Catalyst's codegen subexpression elimination does not share the
+    // floor(x*100+.5) chains across distinct aggregate update expressions,
+    // so without the pre-projection each chain re-evaluates per aggregate —
+    // measured 2.4x slower at sf0.1. Final sort is fused (6 groups: domain-
+    // bounded, sortSmallFused preconditions hold).
     "c14_pricing_summary" -> QueryDef(
       (s, dir) => {
         val li = t(s, dir, "lineitem")
           .filter(col("l_shipdate") <= lit("2024-09-01").cast("timestamp"))
+          .select(col("l_returnflag"), col("l_linestatus"),
+            cents2(col("l_quantity")).as("qc"),
+            cents2(col("l_extendedprice")).as("ec"),
+            cents2(col("l_discount")).as("dc"))
         li.groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(
-            sumD2(col("l_quantity")).as("sum_qty"),
-            sumD2(col("l_extendedprice")).as("sum_base_price"),
-            (sum(cents2(col("l_extendedprice")) * (lit(100L) - cents2(col("l_discount"))))
-              .cast("double") / lit(10000.0)).as("sum_disc_price"),
-            avgD2(col("l_quantity")).as("avg_qty"),
-            avgD2(col("l_discount")).as("avg_disc"),
+            (sum(col("qc")).cast("double") / lit(100.0)).as("sum_qty"),
+            (sum(col("ec")).cast("double") / lit(100.0)).as("sum_base_price"),
+            (sum(col("ec") * (lit(100L) - col("dc"))).cast("double") / lit(10000.0)).as("sum_disc_price"),
+            ((sum(col("qc")).cast("double") / lit(100.0)) / count(col("qc"))).as("avg_qty"),
+            ((sum(col("dc")).cast("double") / lit(100.0)) / count(col("dc"))).as("avg_disc"),
             count(lit(1)).as("count_order"))
-          .transform(sortSmall(_, col("l_returnflag"), col("l_linestatus")))
+          .transform(sortSmallFused(_, col("l_returnflag"), col("l_linestatus")))
       },
       Some(s"""SELECT l_returnflag, l_linestatus,
         ${sqlSumD2("l_quantity")} AS sum_qty,
@@ -130,7 +140,7 @@ object Relational extends QueryBlock {
           .agg(
             count(lit(1)).as("n_orders"),
             (sum(col("cts")).cast("double") / lit(10000.0)).as("revenue"))
-          .transform(sortSmall(_, col("c_mktsegment")))
+          .transform(sortSmallFused(_, col("c_mktsegment"))) // 5 segments
       },
       Some("""SELECT c_mktsegment, count(DISTINCT o_orderkey) AS n_orders,
         CAST(sum(CAST(floor((l_extendedprice)*100 + 0.5) AS BIGINT) * (100 - CAST(floor((l_discount)*100 + 0.5) AS BIGINT))) AS DOUBLE) / CAST(10000 AS DOUBLE) AS revenue
@@ -222,7 +232,8 @@ object Relational extends QueryBlock {
           .join(n, col("c_nationkey") === col("n_nationkey"))
           .rollup(col("n_name"), col("o_orderstatus"))
           .agg(count(lit(1)).as("n"), sumD4(col("o_totalprice")).as("sum_price"))
-          .transform(sortSmall(_, col("n_name").asc_nulls_first, col("o_orderstatus").asc_nulls_first))
+          // nation × status (+rollup margins) ≈ 101 groups: domain-bounded
+          .transform(sortSmallFused(_, col("n_name").asc_nulls_first, col("o_orderstatus").asc_nulls_first))
       },
       Some(s"""SELECT n_name, o_orderstatus, count(*) AS n,
         ${sqlSumD4("o_totalprice")} AS sum_price
@@ -323,20 +334,31 @@ object Relational extends QueryBlock {
     // scan row into the first shuffle. Pre-grouping by (lang, source)
     // computes the same three outputs from group-level partials with NO
     // row expansion — at 100 TB that halves the first shuffle's volume.
+    // The max(upper(substr(text,1,8))) runs over a PACKED long, not the
+    // string: a StringType buffer would force the whole aggregate onto
+    // SortAggregate (see Graft.packAsciiPrefix; documents.text is ASCII —
+    // asserted in PropertySpec). Level 2 input is bounded by lang × source,
+    // so both final levels fuse onto one post-shuffle task (no second
+    // exchange). 319→141 ms at sf0.1; plan is HashAggregate end-to-end.
     "c27_strings" -> QueryDef(
       (s, dir) =>
         t(s, dir, "documents")
+          .select(col("lang"), col("source"), length(col("text")).as("len"),
+            packAsciiPrefix(upper(substring(col("text"), 1, 8)), 8).as("pk"))
           .groupBy(col("lang"), col("source"))
           .agg(
-            sum(length(col("text"))).as("len_sum"),
+            sum(col("len")).as("len_sum"),
             count(lit(1)).as("n"),
-            max(upper(substring(col("text"), 1, 8))).as("mh"))
+            max(col("pk")).as("pk"))
+          .coalesce(1)
           .groupBy(col("lang"))
           .agg(
             count(col("source")).as("nd_source"), // non-null source groups
             (sum(col("len_sum")).cast("double") / sum(col("n"))).as("avg_len"),
-            max(col("mh")).as("max_head"))
-          .transform(sortSmall(_, col("lang").asc_nulls_last)),
+            max(col("pk")).as("pkm"))
+          .select(col("lang"), col("nd_source"), col("avg_len"),
+            unpackAsciiPrefix(col("pkm"), 8).as("max_head"))
+          .sortWithinPartitions(col("lang").asc_nulls_last),
       Some("""SELECT lang, count(DISTINCT source) AS nd_source,
         CAST(sum(length(text)) AS DOUBLE) / count(*) AS avg_len,
         max(upper(substr(text,1,8))) AS max_head
@@ -427,22 +449,27 @@ object Relational extends QueryBlock {
     // C32/C28 — JSON extraction + hourly bucketing on events (BASELINE B6).
     // events.ts is ns in parquet → hour-truncated and output as string on
     // both sides (SURVEY.md §1.2 timestamp-precision delta).
+    // Two hot-path choices (239→~150 ms at sf0.1, same oracle):
+    //  1. group on the raw hour-truncated TIMESTAMP (long arithmetic) and
+    //     date_format only the aggregated groups — the per-row formatter
+    //     ran over every event for nothing;
+    //  2. graft_json_get (native single-scan tokenizer Expression, see
+    //     JsonGet.scala) instead of a per-row Jackson from_json. It returns
+    //     the scalar token as a string, so try_cast still accepts both
+    //     {"k": 12} and {"k": "12"} — same semantics as the DuckDB oracle's
+    //     json_extract_string + TRY_CAST.
+    // Final sort stays sortSmall (NOT fused): group count scales with the
+    // dataset's time span, so the final stage must keep parallelism.
     "c32_json_events" -> QueryDef(
       (s, dir) =>
         t(s, dir, "events")
-          .groupBy(
-            date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("w"),
-            col("event_type"))
+          .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
           .agg(
             count(lit(1)).as("n"),
             sumD2(col("value")).as("sum_value"),
-            // schema-directed from_json beats path-directed get_json_object
-            // for single-key extraction (136 vs 167 ms over sf0.1 events).
-            // The field parses as STRING then try_casts: a LONG field would
-            // reject QUOTED numbers ({"k": "12"}) that get_json_object and
-            // the DuckDB oracle both accept — STRING takes any scalar token.
-            sum(expr("try_cast(from_json(props, 'k STRING').k AS LONG)")).as("sum_k"))
-          // hours × event-types output: bounded, single-partition final sort
+            sum(expr("try_cast(graft_json_get(props, 'k') AS LONG)")).as("sum_k"))
+          .select(date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("w"),
+            col("event_type"), col("n"), col("sum_value"), col("sum_k"))
           .transform(sortSmall(_, col("w").asc_nulls_last, col("event_type").asc_nulls_last)),
       Some(s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS w, event_type,
         count(*) AS n,

@@ -47,6 +47,18 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.split("HashAggregate").length >= 3) // partial + final
   }
 
+  test("C27 string max hash-aggregates via the packed prefix (no SortAggregate)") {
+    val plan = planOf("c27_strings")
+    assert(!plan.contains("SortAggregate"), plan)
+    assert(plan.contains("HashAggregate"))
+  }
+
+  test("C27 packed-prefix precondition: documents.text is ASCII") {
+    val n = Tables(spark, dir, "documents")
+      .filter(col("text").rlike("[^\\x00-\\x7F]")).count()
+    assert(n === 0, "non-ASCII text would break packAsciiPrefix ordering")
+  }
+
   test("C9 semi/anti subqueries become semi/anti joins") {
     val plan = planOf("c09_semi_anti")
     assert(plan.contains("LeftSemi"))

@@ -57,6 +57,27 @@ class PropertySpec extends AnyFunSuite {
     assert(got === cents, "cents2 round-trip")
   }
 
+  test("PROP: packAsciiPrefix ordering and round-trip match the string prefix") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val asciiGen = for {
+      n <- Gen.chooseNum(0, 20)
+      cs <- Gen.listOfN(n, Gen.chooseNum(32, 126).map(_.toChar))
+    } yield cs.mkString
+    val strs = samples(asciiGen, 200).distinct
+    val got = strs.toDF("s")
+      .select(col("s"), Graft.packAsciiPrefix(col("s"), 8).as("p"))
+      .select(col("s"), col("p"), Graft.unpackAsciiPrefix(col("p"), 8).as("u"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    got.foreach { case (s, _, u) => assert(u === s.take(8), s"round-trip of '$s'") }
+    // order agreement: sorting by the packed long == sorting by the prefix,
+    // so max(packed) selects the max prefix (the c27 rewrite's invariant)
+    assert(got.sortBy(_._2).map(_._1.take(8)).toSeq ===
+      got.map(_._1.take(8)).sorted.toSeq)
+  }
+
   test("PROP: minhash signatures valid, deterministic; simhash symmetric") {
     samples(Gen.alphaNumStr.suchThat(_.nonEmpty), 60).foreach { s =>
       val sig = minhash(s, 128, 5)
