@@ -111,7 +111,9 @@ object GeoFunctions extends Serializable {
   // Every helper carries .withName so the ScalaUDF node's udfName is set on
   // the DataFrame path too — plans.SpatialFilterRule matches by udfName, and
   // without this only SQL-registered invocations got __bbox pushdown.
-  val st_point = udf(stPointF).withName("st_point")
+  // native constructor (byte-identical to toWkb(point) — see StMakePoint)
+  def st_point(x: Column, y: Column): Column =
+    native2(graft.functions.StMakePoint.apply)(x, y)
   val st_makebox = udf(stMakeBoxF).withName("st_makebox")
   val st_x = udf(stXF).withName("st_x")
   val st_y = udf(stYF).withName("st_y")
@@ -121,7 +123,10 @@ object GeoFunctions extends Serializable {
   val st_npoints = udf(stNPointsF).withName("st_npoints")
   val st_centroid = udf(stCentroidF).withName("st_centroid")
   val st_convexhull = udf(stConvexHullF).withName("st_convexhull")
-  val st_distance = udf(stDistanceF).withName("st_distance")
+  // st_distance / st_dwithin route through NATIVE expressions
+  // (functions.WkbDistance): point-point byte fast path, codegen-resident.
+  def st_distance(a: Column, b: Column): Column =
+    native2(graft.functions.StDistanceExpr.apply)(a, b)
   // The four pure predicates route through NATIVE expressions
   // (functions.WkbPredicates): prepared-geometry fast path for literal
   // regions + codegen-resident evaluation. The UDF implementations remain
@@ -142,7 +147,10 @@ object GeoFunctions extends Serializable {
     native2(graft.functions.StDisjointExpr.apply)(a, b)
   val st_union = udf(stUnionF).withName("st_union")
   val st_intersection = udf(stIntersectionF).withName("st_intersection")
-  val st_dwithin = udf(stDWithinF).withName("st_dwithin")
+  def st_dwithin(a: Column, b: Column, r: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge._
+    column(graft.functions.StDWithinExpr(expression(a), expression(b), expression(r)))
+  }
   val st_buffer = udf(stBufferF).withName("st_buffer")
   val st_astext = udf(stAsTextF).withName("st_astext")
   val st_geomfromtext = udf(stGeomFromTextF).withName("st_geomfromtext")

@@ -90,14 +90,59 @@ case class StY(child: Expression) extends WkbCoordinate {
   override protected def withNewChildInternal(newChild: Expression): StY = copy(newChild)
 }
 
+/** Native point CONSTRUCTOR: 21 bytes assembled directly — byte-identical
+  * to the engine's canonical JTS writer (`WKBWriter(2, 2, false)`:
+  * little-endian, 2D, no SRID; GeoFunctionsSpec asserts parity), so
+  * natively-built points hash the same as every other WKB in the engine.
+  * With StDistanceExpr this takes the b18 scored join fully off ScalaUDFs.
+  */
+case class StMakePoint(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  override def prettyName: String = "st_point"
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, DoubleType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(x: Any, y: Any): Any =
+    StMakePoint.make(x.asInstanceOf[Double], y.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) =>
+      s"${ev.value} = graft.functions.StMakePoint.make($x, $y);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): StMakePoint =
+    copy(l, r)
+}
+
+object StMakePoint {
+  def make(x: Double, y: Double): Array[Byte] = {
+    val b = new Array[Byte](21)
+    b(0) = 1 // little-endian flag
+    b(1) = 1 // geometry type 1 = Point (uint32 LE; bytes 2-4 stay zero)
+    putDoubleLE(b, 5, x)
+    putDoubleLE(b, 13, y)
+    b
+  }
+
+  private def putDoubleLE(b: Array[Byte], offset: Int, v: Double): Unit = {
+    val bits = java.lang.Double.doubleToLongBits(v)
+    var i = 0
+    while (i < 8) { b(offset + i) = ((bits >>> (8 * i)) & 0xff).toByte; i += 1 }
+  }
+}
+
 object WkbAccessors {
-  /** Replaces the SQL-path st_x/st_y UDF registrations with the native
-    * expressions (the Column-helper UDFs in GeoFunctions stay available).
+  /** Replaces the SQL-path st_x/st_y/st_point UDF registrations with the
+    * native expressions (the Column-helper UDFs in GeoFunctions stay
+    * available as building blocks).
     */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "st_x", exprs => StX(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "st_y", exprs => StY(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "st_point", exprs => StMakePoint(exprs(0), exprs(1)), "built-in")
   }
 }

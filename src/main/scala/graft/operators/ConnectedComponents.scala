@@ -8,67 +8,111 @@ import org.apache.spark.sql.functions._
   * dedup GROUPS with one canonical document each (driver north star:
   * deduplication as a first-class pipeline stage).
   *
-  * Algorithm: iterative min-label propagation. Every vertex starts
-  * labelled with itself; each round every vertex takes the min of its own
-  * label and its neighbours' labels; fixpoint after `diameter` rounds.
-  * Each round is one shuffle-join + aggregate — the standard Spark
-  * iterative-graph shape. `localCheckpoint` cuts the lineage so the plan
-  * does not grow with iterations.
+  * Algorithm: alternating large-star / small-star contraction (the
+  * MapReduce-era two-phase scheme — each phase is one groupBy-min plus one
+  * join, so a round is plain shuffle algebra). Every round roughly halves
+  * the height of each component's pointer tree, so convergence takes
+  * O(log n) rounds even on adversarial long-chain graphs — the earlier
+  * min-label-propagation loop here needed O(diameter) rounds and refused
+  * (threw) on chains longer than maxIter. Near-dup forests (tiny diameter)
+  * still converge in 2-3 rounds; a path graph of length 200 takes ~6.
   *
-  * Scale note (100 TB): near-dup graphs are forests of SMALL clusters
-  * (diameter is tiny — duplicates of a doc are duplicates of each other),
-  * so the loop converges in 2-4 rounds; for adversarial long-chain graphs
-  * the known upgrade is alternating large-star/small-star (same join
-  * algebra, O(log n) rounds), which changes the loop body, not the shape.
+  * Each round:
+  *   large-star: every vertex u computes m = min(N(u) ∪ {u}) and re-points
+  *               its LARGER neighbours at m — long chains shortcut toward
+  *               minima without ever losing connectivity;
+  *   small-star: every vertex u re-points its smaller-side neighbourhood
+  *               (and itself) at its minimum — canonicalizes each tree
+  *               toward a star.
+  * Fixpoint = the canonical edge set stops changing (count + xxhash64
+  * checksum, one tiny aggregate per round). At fixpoint every edge is
+  * (vertex, component-min). `localCheckpoint` per round cuts lineage so
+  * the plan does not grow with iterations; the previous round's snapshot
+  * is released eagerly.
   */
 object ConnectedComponents {
 
   /** @param edges two-column DataFrame (a, b), undirected pairs
+    * @param maxIter safety bound on contraction rounds; O(log n) rounds
+    *                suffice, so 50 covers any physically storable graph —
+    *                hitting it means something is broken, and wrong labels
+    *                must never be returned silently
     * @return (id, component) — component = min vertex id reachable
     */
-  def run(edges: DataFrame, maxIter: Int = 20): DataFrame = {
-    val e = edges.toDF("a", "b")
-    // symmetrized edge list; self-loops are harmless and dropped by distinct
-    val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
+  def run(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    val e0 = edges.toDF("a", "b")
+    // vertex set BEFORE self-loop removal: a self-loop-only vertex is still
+    // a (singleton) component and must appear in the output
+    val vertices = e0.select(col("a").as("id"))
+      .union(e0.select(col("b").as("id")))
       .distinct()
       .localCheckpoint()
 
-    var labels = sym.select(col("a").as("id")).distinct()
-      .withColumn("label", col("id"))
+    var e = e0.filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .distinct()
       .localCheckpoint()
 
+    // Canonical-edge-set checksum: order-independent, 64-bit per edge.
+    // XOR (not sum) of the hashes: overflow-free under ANSI, and edges are
+    // distinct so pairwise cancellation cannot occur.
+    def signature(df: DataFrame): (Long, Long) = {
+      val r = df.agg(
+        count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(a, b))"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    def largeStar(cur: DataFrame): DataFrame = {
+      val sym = cur.union(cur.select(col("b").as("a"), col("a").as("b")))
+      val mins = sym.groupBy(col("a")).agg(min(col("b")).as("mv"))
+        .select(col("a").as("u"), least(col("mv"), col("a")).as("m"))
+      sym.filter(col("b") > col("a"))
+        .join(mins, col("a") === col("u"))
+        .select(col("b").as("a"), col("m").as("b")) // (larger, its star min)
+        .distinct()
+    }
+
+    def smallStar(cur: DataFrame): DataFrame = {
+      // cur edges are (x, y); view from the larger endpoint: u -> {v < u}
+      val d = cur.select(greatest(col("a"), col("b")).as("a"),
+        least(col("a"), col("b")).as("b"))
+      val mins = d.groupBy(col("a")).agg(min(col("b")).as("m"))
+      d.join(mins, "a")
+        .filter(col("b") =!= col("m"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .union(mins.select(col("a"), col("m").as("b")))
+        .select(greatest(col("a"), col("b")).as("a"), least(col("a"), col("b")).as("b"))
+        .distinct()
+    }
+
+    var sig = signature(e)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      // min label among neighbours, then fold with own label
-      val nbrMin = sym.join(labels, sym("b") === labels("id"))
-        .groupBy(sym("a").as("nid"))
-        .agg(min(col("label")).as("nbr_label"))
-      val next = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-        .localCheckpoint()
-      val changed = next.alias("n")
-        .join(labels.alias("p"), col("n.id") === col("p.id"))
-        .filter(col("n.label") =!= col("p.label"))
-        .limit(1).count()
-      // next is eagerly materialized above — the previous round's
-      // checkpoint snapshot can be released instead of pinning one label
-      // copy per round in executor storage until driver GC gets to it
-      unpersistCheckpoint(labels)
-      labels = next
-      converged = changed == 0
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      val nextSig = signature(next)
+      unpersistCheckpoint(e)
+      e = next
+      converged = nextSig == sig
+      sig = nextSig
       i += 1
     }
-    unpersistCheckpoint(sym)
-    // Unconverged labels are WRONG labels (far vertices still carry
-    // intermediate values): fail loudly, never return them.
     if (!converged)
       throw new IllegalStateException(
-        s"connected components did not converge in $maxIter rounds " +
-          "(graph diameter exceeds maxIter); raise maxIter or use a " +
-          "large-star/small-star variant for long-chain graphs")
-    labels.select(col("id"), col("label").as("component"))
+        s"connected components did not converge in $maxIter rounds — " +
+          "O(log n) rounds should always suffice; refusing to return " +
+          "intermediate (wrong) labels")
+
+    // Fixpoint edges are (vertex, component-min); vertices never appearing
+    // on the larger side are their component's root.
+    // NOTE: `vertices` and the final `e` snapshot stay persisted — the
+    // returned plan reads them lazily; releasing them here would pull the
+    // checkpoint blocks out from under the caller's first action.
+    val nonRoot = e.select(col("a").as("id"), col("b").as("component"))
+    val roots = vertices.join(nonRoot.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("component"))
+    nonRoot.union(roots)
   }
 
   /** Release the cached RDD behind a localCheckpoint'ed DataFrame. */

@@ -3,8 +3,9 @@ package graft
 import graft.operators.ConnectedComponents
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Min-label propagation: convergence past diameter 2 (chains/rings, where
-  * one round is not enough), disjoint components, and determinism.
+/** Large-star/small-star contraction: convergence on chains and rings
+  * (including chains far beyond any per-round diameter bound), disjoint
+  * components, determinism, and union-find equivalence on random graphs.
   */
 class ConnectedComponentsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -34,13 +35,46 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(got(200L) === 200L && got(300L) === 200L)
   }
 
-  test("refuses to return unconverged labels (chain longer than maxIter)") {
+  test("path graph of length 200 converges in O(log n) rounds (default maxIter)") {
+    // the O(diameter) propagation loop threw here; large-star/small-star
+    // needs ~6 rounds
+    val path = (0L until 200L).map(i => (i, i + 1))
+    val got = cc(path)
+    assert(got === (0L to 200L).map(_ -> 0L).toMap)
+  }
+
+  test("refuses to return unconverged labels (maxIter below the log bound)") {
     import spark.implicits._
-    val longChain = (0L until 10L).map(i => (i, i + 1))
+    val longChain = (0L until 200L).map(i => (i, i + 1))
     val e = intercept[IllegalStateException] {
       ConnectedComponents.run(longChain.toDF("a", "b"), maxIter = 2)
     }
     assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("self-loop-only vertex is a singleton component") {
+    val got = cc(Seq((42L, 42L), (1L, 2L)))
+    assert(got === Map(42L -> 42L, 1L -> 1L, 2L -> 1L))
+  }
+
+  test("equivalent to union-find on random graphs") {
+    val rnd = new scala.util.Random(42)
+    (1 to 3).foreach { _ =>
+      val edges = Seq.fill(120)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      // reference: driver-side union-find with min-id canonicalization
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(v => v -> find(v)).toMap
+      assert(cc(edges) === expected)
+    }
   }
 
   test("deterministic across runs") {

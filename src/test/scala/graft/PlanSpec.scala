@@ -74,6 +74,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("rangepartitioning"), plan)
   }
 
+  test("B18 KNN join scores natively: no ScalaUDF anywhere in the plan") {
+    val plan = planOf("b18_knn_join")
+    assert(!plan.contains("ScalaUDF"), plan)
+    assert(plan.contains("st_distance"))
+  }
+
   test("E3 cosine top-k literal-binds the query vector: one TakeOrdered scan, no join") {
     val plan = planOf("e03_cosine_topk")
     assert(plan.contains("TakeOrderedAndProject"))

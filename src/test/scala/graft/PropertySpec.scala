@@ -57,6 +57,25 @@ class PropertySpec extends AnyFunSuite {
     assert(got === cents, "cents2 round-trip")
   }
 
+  test("PROP: native point constructor and distance match the JTS path bit-for-bit") {
+    samples(Gen.zip(coord, coord, coord, coord)).foreach { case (x1, y1, x2, y2) =>
+      val a = graft.functions.StMakePoint.make(x1, y1)
+      val b = graft.functions.StMakePoint.make(x2, y2)
+      assert(a.toSeq === stPointF(x1, y1).toSeq, "WKB bytes must match the JTS writer")
+      val d = graft.functions.WkbDistance.dist(a, b)
+      // the fast path IS the oracle's formula, bit-for-bit
+      val dx = x1 - x2; val dy = y1 - y2
+      assert(d === math.sqrt(dx * dx + dy * dy), "fast path == sqrt formula")
+      // JTS computes point distance with different rounding in the last
+      // ulps (both engines round(,6) before any oracle compare)
+      val jts = stDistanceF(a, b).doubleValue
+      assert(math.abs(d - jts) <= math.max(1e-300, jts * 1e-12), "fast path ~ JTS")
+      assert(graft.functions.WkbDistance.within(a, b, d * 1.0000001) === true)
+      if (d > 0)
+        assert(graft.functions.WkbDistance.within(a, b, d * 0.9999999) === false)
+    }
+  }
+
   test("PROP: packAsciiPrefix ordering and round-trip match the string prefix") {
     val spark = TestSpark.spark
     import spark.implicits._
