@@ -56,6 +56,7 @@ object Graft {
     graft.functions.WkbAccessors.register(spark) // after UDF registry: SQL
     // names st_x/st_y route to the native expressions
     graft.plans.SpatialFilterRule.register(spark)
+    graft.plans.SpatialJoinRule.register(spark)
     spark
   }
 

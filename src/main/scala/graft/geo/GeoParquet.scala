@@ -71,10 +71,14 @@ object GeoParquet {
     // GeoParquet 1.1 covering-column pattern: a per-row envelope struct
     // whose parquet min/max stats let spatial filters skip row groups
     // (rewritten into range predicates by plans.SpatialFilterRule).
+    // One covering column PER geometry column, name-bound as __bbox_<col>,
+    // so multi-geometry datasets prune on whichever column a filter
+    // references (the rule matches covering to predicate by name — a
+    // single shared __bbox would wrongly constrain filters on the others).
     val out =
       if (addBboxColumn)
-        df.withColumn("__bbox",
-          GeoFunctions.stEnvelopeStruct(col(geometryColumns.head)))
+        geometryColumns.foldLeft(df)((d, c) =>
+          d.withColumn(s"__bbox_$c", GeoFunctions.stEnvelopeStruct(col(c))))
       else df
 
     def statsOf(src: DataFrame): Map[String, GeoColumnMeta] = {
@@ -239,13 +243,21 @@ object GeoParquet {
     readMetadata(spark, path) match {
       case None => df
       case Some(geo) =>
-        geo.columns.foldLeft(df) { case (d, (name, cm)) =>
+        val withMeta = geo.columns.foldLeft(df) { case (d, (name, cm)) =>
           if (!d.columns.contains(name)) d
           else d.withMetadata(name, new MetadataBuilder()
             .putString(MetaKeyEncoding, cm.encoding)
             .putString(MetaKeyCrs, cm.crs)
             .build())
         }
+        // NOTE: covering columns are per-geometry-column (`__bbox_<col>`,
+        // written by `write(addBboxColumn = true)`); SpatialFilterRule
+        // resolves them by name against the attribute a predicate tests. A
+        // pre-multi-covering dataset carrying a bare `__bbox` column gets
+        // no automatic pruning (an alias-rename here would sit in a Project
+        // the optimizer prunes away before the rule runs) — rewrite such
+        // datasets once with the current writer.
+        withMeta
     }
   }
 

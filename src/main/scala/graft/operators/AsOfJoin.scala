@@ -29,11 +29,14 @@ object AsOfJoin {
     * @param partitionCols equal-key columns present in BOTH inputs
     * @param leftTs     event-time column name on `left`
     * @param rightTs    event-time column name on `right`
-    * @param rightVals  columns of `right` to carry to the output. NOTE:
-    *                   null values inside a matched right row fall through
-    *                   to the previous right row (`last(_, ignoreNulls)`
-    *                   fill) — supply non-null value columns, or add an
-    *                   `is_match` marker column (lit(true)) to detect it.
+    * @param rightVals  columns of `right` to carry to the output. The
+    *                   matched row's values are taken AS A UNIT (one struct
+    *                   fill): a matched row whose value column is null
+    *                   yields null — it does NOT fall through to an older
+    *                   right row, matching DuckDB/pandas as-of semantics.
+    * @param matchMarker name of an appended boolean column marking whether
+    *                   any right row matched (distinguishes "matched row
+    *                   with null value" from "no match"); None to omit
     */
   def asOf(
       left: DataFrame,
@@ -41,23 +44,29 @@ object AsOfJoin {
       partitionCols: Seq[String],
       leftTs: String,
       rightTs: String,
-      rightVals: Seq[String]): DataFrame = {
+      rightVals: Seq[String],
+      matchMarker: Option[String] = Some("is_match")): DataFrame = {
     val leftCols = left.columns.toSeq
     val tag = "__asof_tag"
     val ts = "__asof_ts"
+    val rs = "__asof_rvals"
 
-    // Align both sides on (partitionCols, ts, tag, leftCols..., rightVals...).
+    // Align both sides on (partitionCols, ts, tag, leftCols..., rs).
+    // Right values travel as ONE nullable struct: the window fill skips
+    // left rows (null struct) but a matched right row's struct is non-null
+    // even when its fields are null, so fields never leak across rows.
     val l = left
       .withColumn(tag, lit(1))
       .withColumn(ts, col(leftTs))
       .select((partitionCols ++ Seq(ts, tag) ++ leftCols.filterNot(partitionCols.contains))
-        .map(col) ++ rightVals.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+        .map(col) :+ lit(null).cast(
+          org.apache.spark.sql.types.StructType(rightVals.map(c => right.schema(c)))).as(rs): _*)
     val r = right
       .withColumn(tag, lit(0))
       .withColumn(ts, col(rightTs))
       .select((partitionCols ++ Seq(ts, tag)).map(col) ++
-        leftCols.filterNot(partitionCols.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightVals.map(col): _*)
+        leftCols.filterNot(partitionCols.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(rightVals.map(col): _*).as(rs): _*)
 
     val w = Window
       .partitionBy(partitionCols.map(col): _*)
@@ -65,9 +74,12 @@ object AsOfJoin {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val filled = l.unionByName(r).select(
-      (partitionCols ++ Seq(ts, tag) ++ leftCols.filterNot(partitionCols.contains)).map(col) ++
-        rightVals.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
+      (partitionCols ++ Seq(ts, tag) ++ leftCols.filterNot(partitionCols.contains)).map(col) :+
+        last(col(rs), ignoreNulls = true).over(w).as(rs): _*)
 
-    filled.filter(col(tag) === 1).drop(tag, ts)
+    val matched = filled.filter(col(tag) === 1)
+    val withVals = rightVals.foldLeft(matched)((df, c) => df.withColumn(c, col(rs).getField(c)))
+    val out = matchMarker.fold(withVals)(m => withVals.withColumn(m, col(rs).isNotNull))
+    out.drop(tag, ts, rs)
   }
 }

@@ -184,6 +184,39 @@ object Geometry extends QueryBlock {
          AND a_ymin <= b_ymax AND b_ymin <= a_ymax
         ORDER BY s_suppkey, c_custkey""")),
 
+    // B17c — the SAME join written the way a user naturally would: a raw
+    // `a JOIN b ON st_intersects(ga, gb)` over box GEOMETRIES. Without
+    // intervention Spark plans this as a broadcast nested loop;
+    // plans.SpatialJoinRule routes it onto the grid-cell equi-join with
+    // the exact predicate as post-filter and reference-point dedup
+    // (PlanSpec asserts no BNL). Shares b17's oracle: all three paths —
+    // range theta-join, explicit grid operator, auto-routed raw predicate —
+    // must produce identical pairs.
+    "b17c_intersect_join" -> QueryDef(
+      (s, dir) => {
+        val sup = t(s, dir, "supplier").filter(col("s_suppkey") <= 100)
+          .select(col("s_suppkey"),
+            G.st_makebox(col("s_acctbal"), col("s_nationkey").cast("double") * 10.0,
+              col("s_acctbal") + 500.0, col("s_nationkey").cast("double") * 10.0 + 100.0).as("ga"))
+        val cust = t(s, dir, "customer").filter(col("c_custkey") <= 200)
+          .select(col("c_custkey"),
+            G.st_makebox(col("c_acctbal"), col("c_nationkey").cast("double") * 10.0,
+              col("c_acctbal") + 500.0, col("c_nationkey").cast("double") * 10.0 + 100.0).as("gb"))
+        sup.join(cust, G.st_intersects(col("ga"), col("gb")))
+          .select(col("s_suppkey"), col("c_custkey"))
+          .orderBy(col("s_suppkey"), col("c_custkey"))
+      },
+      Some("""WITH a AS (SELECT s_suppkey, s_acctbal AS a_xmin, s_acctbal + 500.0 AS a_xmax,
+          CAST(s_nationkey AS DOUBLE) * 10.0 AS a_ymin, CAST(s_nationkey AS DOUBLE) * 10.0 + 100.0 AS a_ymax
+          FROM supplier WHERE s_suppkey <= 100),
+        b AS (SELECT c_custkey, c_acctbal AS b_xmin, c_acctbal + 500.0 AS b_xmax,
+          CAST(c_nationkey AS DOUBLE) * 10.0 AS b_ymin, CAST(c_nationkey AS DOUBLE) * 10.0 + 100.0 AS b_ymax
+          FROM customer WHERE c_custkey <= 200)
+        SELECT s_suppkey, c_custkey FROM a JOIN b
+          ON a_xmin <= b_xmax AND b_xmin <= a_xmax
+         AND a_ymin <= b_ymax AND b_ymin <= a_ymax
+        ORDER BY s_suppkey, c_custkey""")),
+
     // B18 — spatial KNN join: 5 query points -> 3 nearest customer points.
     "b18_knn_join" -> QueryDef(
       (s, dir) => {

@@ -11,4 +11,12 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Wrap an analyzed LogicalPlan as a DataFrame (Dataset.ofRows is
+    * private[sql]) — used by optimizer rules that rebuild a subtree with
+    * the DataFrame API (plans.SpatialJoinRule).
+    */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }

@@ -74,6 +74,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("rangepartitioning"), plan)
   }
 
+  test("B17c raw st_intersects join routes to the grid equi-join (no BNL)") {
+    val plan = planOf("b17c_intersect_join")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("Generate explode"), s"grid explode missing:\n$plan")
+  }
+
   test("B18 KNN join scores natively: no ScalaUDF anywhere in the plan") {
     val plan = planOf("b18_knn_join")
     assert(!plan.contains("ScalaUDF"), plan)

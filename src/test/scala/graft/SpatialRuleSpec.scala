@@ -26,9 +26,9 @@ class SpatialRuleSpec extends AnyFunSuite {
       .select(col("id"))
 
     val plan = q.queryExecution.executedPlan.toString
-    assert(plan.contains("__bbox"), s"rule did not fire:\n$plan")
+    assert(plan.contains("__bbox_geometry"), s"rule did not fire:\n$plan")
     assert(plan.contains("PushedFilters") &&
-      plan.contains("LessThanOrEqual(__bbox.xmin,110.0)"),
+      plan.contains("LessThanOrEqual(__bbox_geometry.xmin,110.0)"),
       s"bbox predicates not pushed to scan:\n$plan")
 
     // Exactness preserved: same rows as the un-rewritten predicate.
@@ -73,9 +73,41 @@ class SpatialRuleSpec extends AnyFunSuite {
 
     val plan = q.queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters") &&
-      plan.contains("LessThanOrEqual(__bbox.xmin,110.0)"),
+      plan.contains("LessThanOrEqual(__bbox_geometry.xmin,110.0)"),
       s"bbox predicates not pushed on the DataFrame path:\n$plan")
     assert(q.collect().map(_.getLong(0)).sorted.toSeq === (100L to 110L))
+  }
+
+  test("two-geometry dataset: each filter prunes on ITS OWN covering column") {
+    val out = "/tmp/graft_test/spatial_rule_two"
+    // g1 runs along x, g2 along y — envelopes are disjoint per row, so
+    // constraining a g2 filter with g1's bbox would visibly drop rows
+    val df = spark.range(1000).toDF("id")
+      .select(col("id"),
+        GeoFunctions.st_point(col("id").cast("double"), lit(0.0)).as("g1"),
+        GeoFunctions.st_point(lit(0.0), col("id").cast("double")).as("g2"))
+    GeoParquet.write(df, out, Seq("g1", "g2"), addBboxColumn = true)
+
+    val boxOnY = GeoFunctions.stMakeBoxF(-1.0, 100.0, 1.0, 110.0)
+    val q2 = GeoParquet.read(spark, out)
+      .filter(GeoFunctions.st_intersects(col("g2"), lit(boxOnY)))
+      .select(col("id"))
+    val plan2 = q2.queryExecution.executedPlan.toString
+    // (Filter prints attrs with expr ids — `__bbox_g2#NNN.ymin` — and the
+    // PushedFilters display truncates, so match the stable fragments.)
+    assert(plan2.contains("__bbox_g2") && plan2.contains(".ymin <= 110.0"),
+      s"g2 covering not used:\n$plan2")
+    assert(!plan2.contains("__bbox_g1"), s"g1 covering wrongly constrained a g2 filter:\n$plan2")
+    assert(q2.collect().map(_.getLong(0)).sorted.toSeq === (100L to 110L))
+
+    val boxOnX = GeoFunctions.stMakeBoxF(200.0, -1.0, 205.0, 1.0)
+    val q1 = GeoParquet.read(spark, out)
+      .filter(GeoFunctions.st_intersects(col("g1"), lit(boxOnX)))
+      .select(col("id"))
+    val plan1 = q1.queryExecution.executedPlan.toString
+    assert(plan1.contains("__bbox_g1") && plan1.contains(".xmin <= 205.0"),
+      s"g1 covering not used:\n$plan1")
+    assert(q1.collect().map(_.getLong(0)).sorted.toSeq === (200L to 205L))
   }
 
   test("rule is a no-op without a __bbox column") {
