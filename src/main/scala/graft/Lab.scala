@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Bench experiment harness (dev tool, not part of the driver contract).
@@ -158,6 +159,32 @@ object Lab {
           (sum(col("cts")).cast("double") / lit(10000.0)).as("revenue"))
         .orderBy(col("c_mktsegment"))
         .limit(10000)
+    }),
+    V("c21_litmap", "c21_rank_window", (s, dir) => {
+      val nmap = typedlit(t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+        .collect().map(r => r.getInt(0) -> r.getString(1)).toMap)
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      t(s, dir, "customer")
+        .withColumn("n_name", element_at(nmap, col("c_nationkey").cast("int")))
+        .filter(col("n_name").isNotNull)
+        .select(col("n_name"), col("c_name"), col("c_acctbal"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") <= 3)
+        .transform(sortSmall(_, col("n_name"), col("rn")))
+    }),
+    V("c20_litmap", "c20_rollup", (s, dir) => {
+      val nmap = typedlit(t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+        .collect().map(r => r.getInt(0) -> r.getString(1)).toMap)
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+        .withColumn("n_name", element_at(nmap, col("c_nationkey").cast("int")))
+        .filter(col("n_name").isNotNull)
+      o.join(c, col("o_custkey") === col("c_custkey"))
+        .rollup(col("n_name"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sumD4(col("o_totalprice")).as("sum_price"))
+        .coalesce(1)
+        .sortWithinPartitions(col("n_name").asc_nulls_first, col("o_orderstatus").asc_nulls_first)
     }),
     V("c27_nosort", "", (s, dir) =>
       t(s, dir, "documents")

@@ -237,6 +237,61 @@ object LlmPipeline extends QueryBlock {
           .orderBy(col("doc_id")),
       None),
 
+    // E20 — language-ID by n-gram profile scoring (the classic heuristic:
+    // score = total matched chars of each language's characteristic
+    // trigrams; argmax with a fixed priority tie-break). Scoring is pure
+    // scan-local codegen string algebra — occurrences(t) via
+    // `length(x) - length(replace(x, t))`, no explode, no shuffle beyond
+    // the output sort — so the classifier runs at full scan speed at any
+    // corpus size. The oracle recomputes identical integer arithmetic; the
+    // synthetic corpus is English-ish under every label, so parity (not
+    // label accuracy) is what the gate checks — profiles are where a real
+    // deployment drops in trained trigram weights.
+    "e20_langid" -> QueryDef(
+      (s, dir) => {
+        def score(tris: Seq[String]) = tris.map(tr =>
+          length(col("text")) - length(replace(col("text"), lit(tr), lit("")))).reduce(_ + _)
+        val profiles = Seq(
+          "en" -> Seq("the", "and", "ing", "ion"),
+          "de" -> Seq("der", "und", "ein", "sch"),
+          "es" -> Seq("que", "los", "ado", "cion"),
+          "fr" -> Seq("les", "que", "ent", "eur"))
+        t(s, dir, "documents")
+          .select(Seq(col("doc_id")) ++
+            profiles.map { case (l, tris) => score(tris).as(s"s_$l") }: _*)
+          .withColumn("pred_lang",
+            when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") &&
+              col("s_en") >= col("s_fr"), "en")
+              .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr"), "de")
+              .when(col("s_es") >= col("s_fr"), "es")
+              .otherwise("fr"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH sc AS (SELECT doc_id,
+          CAST((length(text) - length(replace(text,'the','')))
+             + (length(text) - length(replace(text,'and','')))
+             + (length(text) - length(replace(text,'ing','')))
+             + (length(text) - length(replace(text,'ion',''))) AS INT) AS s_en,
+          CAST((length(text) - length(replace(text,'der','')))
+             + (length(text) - length(replace(text,'und','')))
+             + (length(text) - length(replace(text,'ein','')))
+             + (length(text) - length(replace(text,'sch',''))) AS INT) AS s_de,
+          CAST((length(text) - length(replace(text,'que','')))
+             + (length(text) - length(replace(text,'los','')))
+             + (length(text) - length(replace(text,'ado','')))
+             + (length(text) - length(replace(text,'cion',''))) AS INT) AS s_es,
+          CAST((length(text) - length(replace(text,'les','')))
+             + (length(text) - length(replace(text,'que','')))
+             + (length(text) - length(replace(text,'ent','')))
+             + (length(text) - length(replace(text,'eur',''))) AS INT) AS s_fr
+          FROM documents)
+        SELECT doc_id, s_en, s_de, s_es, s_fr,
+          CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+               WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+               WHEN s_es >= s_fr THEN 'es'
+               ELSE 'fr' END AS pred_lang
+        FROM sc ORDER BY doc_id""")),
+
     // E6 — quality signals: stopword ratio (literal list), word stats,
     // language filter. All codegen'd higher-order fns.
     "e06_text_quality" -> QueryDef(

@@ -42,4 +42,26 @@ class AnnLshSpec extends AnyFunSuite {
     val recall = truth.count(got.contains).toDouble / truth.size
     assert(recall >= 0.5, s"recall $recall too low (got ${got.size} candidates)")
   }
+
+  test("clustered fixture: recall >= 0.9 over ALL true near-dup pairs, sub-quadratic candidates") {
+    import spark.implicits._
+    // truth = every within-cluster pair (cosine ≈ 0.999 by construction)
+    val truth = (for {
+      c <- 0 until ClusteredEmbeddings.clusters
+      ids = (0 until ClusteredEmbeddings.members)
+        .map(m => (c * ClusteredEmbeddings.members + m).toLong)
+      i <- ids; j <- ids if i < j
+    } yield (i, j)).toSet
+
+    val df = ClusteredEmbeddings.df(spark)
+    val got = AnnLsh.nearDupCandidates(df, "id", "embedding",
+        dim = ClusteredEmbeddings.dim)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+
+    val recall = truth.count(got.contains).toDouble / truth.size
+    assert(recall >= 0.9, s"clustered recall $recall < 0.9 (|got| = ${got.size})")
+    val n = ClusteredEmbeddings.clusters * ClusteredEmbeddings.members
+    assert(got.size < n * (n - 1) / 4,
+      s"candidate set ${got.size} not sub-quadratic (n = $n)")
+  }
 }

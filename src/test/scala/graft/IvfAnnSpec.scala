@@ -57,4 +57,34 @@ class IvfAnnSpec extends AnyFunSuite {
     // near-random vectors keep the bound loose
     assert(recall >= 1, s"recall@nprobe=2 = $recall/10")
   }
+
+  test("clustered fixture: recall >= 0.9 at nprobe = 3 < k = 10") {
+    val spark2 = spark
+    val df = ClusteredEmbeddings.df(spark2).cache()
+    val k = 10
+    val cents = IvfAnn.centroids(df, "id", "embedding", k)
+    val idx = IvfAnn.assign(df, "embedding", cents).cache()
+
+    // query from a cluster that HAS a sampled centroid (the hash-spread
+    // sample need not cover every cluster; a member of an uncovered
+    // cluster tests the sampler, not the probe mechanics)
+    val byId = ClusteredEmbeddings.vectors.map(v => (v._1, v)).toMap
+    val coveredCluster = ClusteredEmbeddings.vectors
+      .find(v => cents.exists(_.sameElements(v._2))).map(_._3).get
+    val queryRow = ClusteredEmbeddings.vectors
+      .find(v => v._3 == coveredCluster && !cents.exists(_.sameElements(v._2))).get
+    val q = queryRow._2
+
+    val exact = ClusteredEmbeddings.vectors
+      .map(v => (v._1, ClusteredEmbeddings.cosine(q, v._2)))
+      .sortBy { case (id, sim) => (-sim, id) }.take(10).map(_._1).toSet
+    // sanity: the true top-10 are cluster-mates
+    assert(exact.forall(id => byId(id)._3 == coveredCluster))
+
+    val got = IvfAnn.search(idx, "id", "embedding", cents, q, 10, nprobe = 3)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (got intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"clustered recall@nprobe=3 = $recall")
+    df.unpersist(); idx.unpersist()
+  }
 }
