@@ -19,7 +19,7 @@ import org.locationtech.jts.io.{WKBReader, WKBWriter, WKTReader, WKTWriter}
   *
   * Scale note: these are Scala UDFs. Being UDF-opaque is mitigated where it
   * matters at scale: spatial FILTERS gain sargable range predicates via
-  * plans.SpatialFilterRule + the __bbox covering column (so pushdown does
+  * plans.SpatialFilterRule + the __bbox_<col> covering columns (so pushdown does
   * not depend on seeing through the UDF), and the embedding hot path has a
   * native codegen Expression (functions.CosineSimilarity) as the
   * demonstrated upgrade pattern for any ST_* function that becomes a

@@ -26,8 +26,7 @@ object Lab {
   private val packedPrefix: Column =
     expr("cast(conv(hex(encode(rpad(upper(substring(text,1,8)),8,chr(0)),'UTF-8')),16,10) as bigint)")
 
-  private def unpackPrefix(c: Column): Column =
-    rtrim(decode(unhex(lpad(hex(c), 16, "0")), "UTF-8"), "\u0000")
+  private def unpackPrefix(c: Column): Column = unpackAsciiPrefix(c, 8)
 
   def variants: Seq[V] = Seq(
     // ---- probes (base "": timing only, no oracle pair) ----

@@ -14,14 +14,20 @@ import org.apache.spark.unsafe.types.UTF8String
   * Unlike a regex probe, this is a real (if minimal) JSON tokenizer: keys
   * and string values are lexed with escape handling, nested objects/arrays
   * are depth-skipped, so a `"k":` occurring inside a string VALUE can never
-  * false-match. Semantics (pinned by JsonGetSpec against get_json_object):
+  * false-match. Semantics (pinned by JsonGetSpec):
   *   - string value  → its unescaped content
   *   - number / true / false → the raw token text
   *   - null literal, missing key, non-object input, malformed input → NULL
-  *   - object / array value → its raw JSON text (get_json_object parity)
-  * First occurrence wins on duplicate keys. The whole input need not be
-  * valid JSON beyond the prefix that contains the key — a streaming-parser
-  * property shared with get_json_object.
+  *   - object / array value → its raw JSON text
+  * get_json_object agrees on ALL of the above for string and integer
+  * values, missing keys and JSON null (property-tested in JsonGetSpec).
+  * Known deltas from get_json_object — this expression preserves the RAW
+  * token where Jackson re-serializes: `2.5e3` stays `2.5e3` (not `2500.0`),
+  * container text keeps its original whitespace, and on duplicate keys the
+  * FIRST occurrence wins (get_json_object concatenates all matches). For
+  * numeric extraction through try_cast — the c32 hot path — the forms are
+  * equivalent; do not swap it under a query that compares float/container
+  * extractions textually.
   */
 case class JsonGetScalar(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes {
@@ -195,5 +201,10 @@ object JsonGetScalar {
   /** SQL registration: `graft_json_get(json, key)`. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_json_get", exprs => JsonGetScalar(exprs(0), exprs(1)), "built-in")
+      "graft_json_get", exprs => {
+        if (exprs.length != 2)
+          throw new IllegalArgumentException(
+            s"graft_json_get expects 2 arguments (json, key), got ${exprs.length}")
+        JsonGetScalar(exprs(0), exprs(1))
+      }, "built-in")
 }

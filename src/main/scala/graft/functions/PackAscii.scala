@@ -61,5 +61,10 @@ object PackAscii8 {
 
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "pack_ascii8", exprs => PackAscii8(exprs.head), "built-in")
+      "pack_ascii8", exprs => {
+        if (exprs.length != 1)
+          throw new IllegalArgumentException(
+            s"pack_ascii8 expects 1 argument, got ${exprs.length}")
+        PackAscii8(exprs.head)
+      }, "built-in")
 }

@@ -13,7 +13,7 @@ import org.apache.spark.sql.types._
   * by a single pass over the raw bytes — no JTS geometry materialization,
   * no UDF row conversion (SURVEY.md §4.3: hot geometry scalars graduate
   * from Scala UDFs to Expressions; st_x/st_y set the pattern, this is the
-  * next-hottest scalar — it sits under every __bbox covering column write
+  * next-hottest scalar — it sits under every __bbox_<col> covering column write
   * and every spatial-filter rewrite).
   *
   * The byte walker handles the complete 2D WKB grammar (Point, LineString,

@@ -63,13 +63,20 @@ object WkbCoordinate {
     else
       (b(4) & 0xff) | ((b(3) & 0xff) << 8) | ((b(2) & 0xff) << 16) | ((b(1) & 0xff) << 24)
 
+  /** Endian-aware raw double read (byte-order flag at b(0)); shared by the
+    * accessor and distance fast paths.
+    */
+  def rawDouble(b: Array[Byte], offset: Int): Double = {
+    var bits = 0L
+    if (b(0) == 1) { var i = 7; while (i >= 0) { bits = (bits << 8) | (b(offset + i) & 0xffL); i -= 1 } }
+    else { var i = 0; while (i < 8) { bits = (bits << 8) | (b(offset + i) & 0xffL); i += 1 } }
+    java.lang.Double.longBitsToDouble(bits)
+  }
+
   def read(b: Array[Byte], offset: Int): Double =
-    if (b.length == 21 && (b(0) == 0 || b(0) == 1) && typeOf(b) == 1) {
-      var bits = 0L
-      if (b(0) == 1) { var i = 7; while (i >= 0) { bits = (bits << 8) | (b(offset + i) & 0xffL); i -= 1 } }
-      else { var i = 0; while (i < 8) { bits = (bits << 8) | (b(offset + i) & 0xffL); i += 1 } }
-      java.lang.Double.longBitsToDouble(bits)
-    } else slow(b, offset)
+    if (b.length == 21 && (b(0) == 0 || b(0) == 1) && typeOf(b) == 1)
+      rawDouble(b, offset)
+    else slow(b, offset)
 
   /** JTS fallback for non-point / EWKB inputs (executor-side static). */
   def slow(b: Array[Byte], offset: Int): Double = {
@@ -137,12 +144,21 @@ object WkbAccessors {
     * native expressions (the Column-helper UDFs in GeoFunctions stay
     * available as building blocks).
     */
+  private def arity(name: String, n: Int)(
+      f: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    es => {
+      if (es.length != n)
+        throw new IllegalArgumentException(
+          s"$name expects $n argument(s), got ${es.length}")
+      f(es)
+    }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "st_x", exprs => StX(exprs.head), "built-in")
+      "st_x", arity("st_x", 1)(es => StX(es.head)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "st_y", exprs => StY(exprs.head), "built-in")
+      "st_y", arity("st_y", 1)(es => StY(es.head)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "st_point", exprs => StMakePoint(exprs(0), exprs(1)), "built-in")
+      "st_point", arity("st_point", 2)(es => StMakePoint(es(0), es(1))), "built-in")
   }
 }

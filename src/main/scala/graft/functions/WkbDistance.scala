@@ -23,12 +23,9 @@ object WkbDistance {
   private def isPoint(b: Array[Byte]): Boolean =
     b.length == 21 && (b(0) == 0 || b(0) == 1) && WkbCoordinate.typeOf(b) == 1
 
-  private def readD(b: Array[Byte], offset: Int): Double = {
-    var bits = 0L
-    if (b(0) == 1) { var i = 7; while (i >= 0) { bits = (bits << 8) | (b(offset + i) & 0xffL); i -= 1 } }
-    else { var i = 0; while (i < 8) { bits = (bits << 8) | (b(offset + i) & 0xffL); i += 1 } }
-    java.lang.Double.longBitsToDouble(bits)
-  }
+  // shared endian-aware double read (one definition for all byte paths)
+  private def readD(b: Array[Byte], offset: Int): Double =
+    WkbCoordinate.rawDouble(b, offset)
 
   /** Executor-side static (also called from generated code). */
   def dist(a: Array[Byte], b: Array[Byte]): Double =

@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   * Interleaving the bits of the quantized x/y coordinates makes rows that
   * are CLOSE IN SPACE also close in sort order, so a range-partitioned
   * write produces files/row groups with TIGHT bounding boxes — which is
-  * what turns `__bbox` min/max statistics (plans.SpatialFilterRule) from
+  * what turns `__bbox_<col>` min/max statistics (plans.SpatialFilterRule) from
   * decorative into selective: a spatial filter then skips most row groups
   * instead of scanning everything. This is the standard lakehouse
   * clustering move (Z-ordering) applied to the geo layer.

@@ -45,7 +45,7 @@ object GeoParquet {
   /** @param spatialClusterFiles when set, rows are range-partitioned into
     *   this many files by the Z-order (Morton) value of their envelope
     *   midpoint before writing — spatially close rows land in the same
-    *   file/row group, so each file's `__bbox` min/max statistics cover a
+    *   file/row group, so each file's `__bbox_<col>` min/max statistics cover a
     *   TIGHT region and SpatialFilterRule's range predicates skip most row
     *   groups. Requires pre-write stats (the global envelope quantizes the
     *   curve).

@@ -47,6 +47,10 @@ object AsOfJoin {
       rightVals: Seq[String],
       matchMarker: Option[String] = Some("is_match")): DataFrame = {
     val leftCols = left.columns.toSeq
+    matchMarker.foreach { m =>
+      require(!leftCols.contains(m) && !rightVals.contains(m),
+        s"matchMarker '$m' collides with an input column — rename it or pass None")
+    }
     val tag = "__asof_tag"
     val ts = "__asof_ts"
     val rs = "__asof_rvals"

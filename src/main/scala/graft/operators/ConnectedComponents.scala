@@ -92,9 +92,16 @@ object ConnectedComponents {
     while (!converged && i < maxIter) {
       val next = smallStar(largeStar(e)).localCheckpoint()
       val nextSig = signature(next)
+      // The checksum is the cheap per-round gate; equality is CONFIRMED by
+      // an exact set comparison before labels are trusted — a 64-bit hash
+      // coincidence must not be able to smuggle out intermediate labels
+      // (the module's fail-loud contract). The exact check runs only on
+      // rounds whose checksums already match, i.e. normally once.
+      converged = nextSig == sig && {
+        next.join(e, Seq("a", "b"), "left_anti").limit(1).count() == 0L
+      }
       unpersistCheckpoint(e)
       e = next
-      converged = nextSig == sig
       sig = nextSig
       i += 1
     }

@@ -52,11 +52,24 @@ object SpatialJoinRule extends Rule[LogicalPlan] {
           hint.rightHint.forall(_.strategy.isEmpty) &&
           // structural idempotence: our own rewrite carries __graft_cell cols
           !(l.output ++ r.output).exists(_.name.startsWith("__graft_cell")) =>
-      harvest(cond, l, r) match {
+      // If the condition already carries a cross-side EQUALITY, Spark plans
+      // a hash/sort-merge join on it with st_intersects as a post-filter —
+      // no BNL to save, and the grid rewrite would only multiply rows.
+      if (hasCrossEquality(cond, l, r)) j
+      else harvest(cond, l, r) match {
         case Some((lg, rg)) => rewrite(j, l, r, lg, rg, cond)
         case None => j
       }
   }
+
+  private def hasCrossEquality(cond: Expression, l: LogicalPlan, r: LogicalPlan): Boolean =
+    conjuncts(cond).exists {
+      case EqualTo(a, b) =>
+        (refsOnly(a, l) && refsOnly(b, r)) || (refsOnly(a, r) && refsOnly(b, l))
+      case EqualNullSafe(a, b) =>
+        (refsOnly(a, l) && refsOnly(b, r)) || (refsOnly(a, r) && refsOnly(b, l))
+      case _ => false
+    }
 
   private def conjuncts(e: Expression): Seq[Expression] = e match {
     case And(a, b) => conjuncts(a) ++ conjuncts(b)
