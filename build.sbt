@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The test suite gets its OWN fixture scratch: a `sbt test` running
+// concurrently with a Verify at a different scale factor must not
+// overwrite the fixtures that Verify's oracle SQL points at.
+Test / envVars += ("GRAFT_SCRATCH" -> "/tmp/graft_fixtures_test")
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -13,6 +13,15 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Graft {
 
+  /** Scratch dir for fixture-writing queries (c02/e12 round-trips). The
+    * oracle SQL interpolates this path at JVM start, so oracle and engine
+    * always agree WITHIN a process; the env override exists because two
+    * processes sharing one path race — `sbt test` (GRAFT_SCRATCH set in
+    * build.sbt) must not clobber the fixtures a concurrent Verify at a
+    * different scale factor just wrote.
+    */
+  val scratchDir: String = sys.env.getOrElse("GRAFT_SCRATCH", "/tmp/graft_fixtures")
+
   /** Build (or reuse) a session with engine defaults. */
   def session(master: String = "local[32]", shufflePartitions: Int = 32): SparkSession = {
     val spark = SparkSession

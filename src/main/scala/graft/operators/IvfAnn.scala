@@ -9,10 +9,10 @@ import org.apache.spark.sql.functions._
   * Shape (and why it survives 100 TB):
   *  - `centroids`: k representative vectors chosen DETERMINISTICALLY by a
   *    hash-spread sample (k is small — a driver-side array, broadcast as
-  *    literals). Production would Lloyd-refine them; refinement changes
-  *    recall, not the operator shape, and a distributed float mean is
-  *    order-nondeterministic, so the engine keeps the seeded quantizer and
-  *    leaves refinement to an offline job.
+  *    literals). `refine` Lloyd-iterates them with DECIMAL-exact
+  *    per-dimension sums, so the distributed mean is order-independent
+  *    (a float sum would make the quantizer depend on partitioning) —
+  *    deterministic k-means steps inside the engine, no offline job.
   *  - `assign`: bucket = argmax over k codegen'd `cosine_sim` calls against
   *    literal centroids — a scan-local projection, no shuffle, no UDF. At
   *    ingest time this is a partition/bucket column for the parquet write.
@@ -33,6 +33,36 @@ object IvfAnn {
       .limit(k)
       .collect()
       .map(_.getSeq[Float](1).toArray)
+
+  /** Lloyd refinement, deterministic: `iters` rounds of assign → exact
+    * per-bucket mean. Per-dimension sums run as DECIMAL(28,10) — exact, so
+    * the mean does not depend on partition/merge order the way float sums
+    * do — and the k×dim sums collect to the driver (tiny). A bucket that
+    * loses all members keeps its previous centroid (standard empty-cluster
+    * handling, also deterministic). Full-probe exactness is centroid-
+    * independent, so `e_ann_ivf`'s brute-force oracle holds for refined
+    * quantizers too; refinement only moves RECALL at partial probe
+    * (IvfAnnSpec measures it on the clustered fixture).
+    */
+  def refine(emb: DataFrame, vecCol: String,
+      cs: Array[Array[Float]], iters: Int): Array[Array[Float]] = {
+    var cur = cs
+    (1 to iters).foreach { _ =>
+      val sums = assign(emb, vecCol, cur)
+        .select(col("__ivf_bucket").as("b"), posexplode(col(vecCol)))
+        .groupBy(col("b"), col("pos"))
+        .agg(sum(col("col").cast("decimal(28,10)")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = cur.map(_.clone())
+      sums.foreach { r =>
+        val b = r.getLong(0).toInt
+        val p = r.getInt(1)
+        next(b)(p) = (r.getDecimal(2).doubleValue() / r.getLong(3)).toFloat
+      }
+      cur = next
+    }
+    cur
+  }
 
   /** Per-centroid cosine columns against literal centroids (codegen'd). */
   private def simArray(vecCol: Column, cs: Array[Array[Float]]): Column =

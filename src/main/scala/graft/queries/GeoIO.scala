@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
 object GeoIO extends QueryBlock {
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
-  private val scratch = "/tmp/graft_fixtures"
+  private val scratch = graft.Graft.scratchDir
 
   val queries: Map[String, QueryDef] = Map(
     // A1/A2 — point dataset round-trip (+ CRS carry-through A7, asserted in

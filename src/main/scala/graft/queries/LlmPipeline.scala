@@ -22,7 +22,7 @@ object LlmPipeline extends QueryBlock {
   import Graft._
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
-  private val scratch = "/tmp/graft_fixtures"
+  private val scratch = graft.Graft.scratchDir
 
   /** Spark-side cosine similarity: the fused codegen'd Catalyst expression
     * (graft.functions.CosineSimilarity) — one loop instead of the 3-pass

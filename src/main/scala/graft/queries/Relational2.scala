@@ -25,7 +25,7 @@ object Relational2 extends QueryBlock {
   /** Deterministic scratch dir for file round-trip queries; the oracle SQL
     * reads the same absolute paths after Verify has written them.
     */
-  private val scratch = "/tmp/graft_fixtures"
+  private val scratch = graft.Graft.scratchDir
 
   val queries: Map[String, QueryDef] = Map(
     // C2a — CSV sink + scan round-trip (schema declared, not inferred: at

@@ -87,4 +87,31 @@ class IvfAnnSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"clustered recall@nprobe=3 = $recall")
     df.unpersist(); idx.unpersist()
   }
+
+  test("Lloyd refinement is deterministic and does not worsen quantization") {
+    val df = ClusteredEmbeddings.df(spark).cache()
+    val k = 10
+    val cs0 = IvfAnn.centroids(df, "id", "embedding", k)
+    val cs1 = IvfAnn.refine(df, "embedding", cs0, iters = 2)
+    val cs1b = IvfAnn.refine(df, "embedding", cs0, iters = 2)
+    assert(cs1.map(_.toSeq) === cs1b.map(_.toSeq), "refinement must be deterministic")
+
+    // quantization quality: mean cosine of each vector to its NEAREST
+    // centroid (driver-side over the 300-vector fixture)
+    def quality(cs: Array[Array[Float]]): Double =
+      ClusteredEmbeddings.vectors.map { case (_, v, _) =>
+        cs.map(c => ClusteredEmbeddings.cosine(v, c)).max
+      }.sum / ClusteredEmbeddings.vectors.size
+    val q0 = quality(cs0); val q1 = quality(cs1)
+    assert(q1 >= q0 - 1e-9, s"refinement worsened quantization: $q0 -> $q1")
+    // full probe stays exact regardless of centroids (the e_ann_ivf
+    // oracle's contract): same result from raw and refined quantizers
+    val q = ClusteredEmbeddings.vectors.head._2
+    val a = IvfAnn.search(IvfAnn.assign(df, "embedding", cs0), "id", "embedding", cs0, q, 10, k)
+      .collect().map(_.getLong(0)).toSeq
+    val b = IvfAnn.search(IvfAnn.assign(df, "embedding", cs1), "id", "embedding", cs1, q, 10, k)
+      .collect().map(_.getLong(0)).toSeq
+    assert(a === b, "full probe must be centroid-independent")
+    df.unpersist()
+  }
 }
