@@ -331,6 +331,87 @@ object Relational2 extends QueryBlock {
       Some(s"""SELECT n_name, count(*) AS n_supp,
         ${sqlSumD2("s_acctbal")} AS sum_bal
         FROM supplier JOIN nation ON s_nationkey = n_nationkey
-        GROUP BY n_name ORDER BY n_name"""))
+        GROUP BY n_name ORDER BY n_name""")),
+
+    // C38 — PIVOT: per-year revenue spread over the (domain-bounded) order
+    // status codes. Spark's pivot with EXPLICIT values plans a single
+    // aggregate pass (no values-discovery job — at 100 TB an extra full
+    // scan to learn 3 codes is absurd); the oracle is the portable
+    // CASE-aggregation form. Empty cells are NULL on both sides.
+    "c38_pivot" -> QueryDef(
+      (s, dir) =>
+        t(s, dir, "orders")
+          .groupBy(year(col("o_orderdate")).as("yr"))
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(sum(cents4(col("o_totalprice"))).cast("double") / lit(10000.0))
+          .select(col("yr"), col("F").as("f_total"), col("O").as("o_total"),
+            col("P").as("p_total"))
+          .transform(sortSmallFused(_, col("yr"))),
+      Some("""SELECT CAST(extract(year FROM o_orderdate) AS INT) AS yr,
+        CAST(sum(CASE WHEN o_orderstatus='F' THEN CAST(floor((o_totalprice)*10000 + 0.5) AS BIGINT) END) AS DOUBLE) / CAST(10000 AS DOUBLE) AS f_total,
+        CAST(sum(CASE WHEN o_orderstatus='O' THEN CAST(floor((o_totalprice)*10000 + 0.5) AS BIGINT) END) AS DOUBLE) / CAST(10000 AS DOUBLE) AS o_total,
+        CAST(sum(CASE WHEN o_orderstatus='P' THEN CAST(floor((o_totalprice)*10000 + 0.5) AS BIGINT) END) AS DOUBLE) / CAST(10000 AS DOUBLE) AS p_total
+        FROM orders GROUP BY 1 ORDER BY yr""")),
+
+    // C38b — UNPIVOT (melt): the pivot result back to long form. Spark's
+    // native unpivot emits one row per (id, value) column pair including
+    // NULL cells, which is exactly the UNION ALL expansion the oracle runs.
+    "c38b_unpivot" -> QueryDef(
+      (s, dir) =>
+        t(s, dir, "orders")
+          .groupBy(year(col("o_orderdate")).as("yr"))
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(sum(cents4(col("o_totalprice"))).cast("double") / lit(10000.0))
+          .unpivot(Array(col("yr")), Array(col("F"), col("O"), col("P")),
+            "status", "total")
+          .transform(sortSmallFused(_, col("yr"), col("status"))),
+      Some("""WITH p AS (SELECT CAST(extract(year FROM o_orderdate) AS INT) AS yr,
+          CAST(sum(CASE WHEN o_orderstatus='F' THEN CAST(floor((o_totalprice)*10000 + 0.5) AS BIGINT) END) AS DOUBLE) / CAST(10000 AS DOUBLE) AS f_total,
+          CAST(sum(CASE WHEN o_orderstatus='O' THEN CAST(floor((o_totalprice)*10000 + 0.5) AS BIGINT) END) AS DOUBLE) / CAST(10000 AS DOUBLE) AS o_total,
+          CAST(sum(CASE WHEN o_orderstatus='P' THEN CAST(floor((o_totalprice)*10000 + 0.5) AS BIGINT) END) AS DOUBLE) / CAST(10000 AS DOUBLE) AS p_total
+          FROM orders GROUP BY 1)
+        SELECT yr, status, total FROM (
+          SELECT yr, 'F' AS status, f_total AS total FROM p
+          UNION ALL SELECT yr, 'O', o_total FROM p
+          UNION ALL SELECT yr, 'P', p_total FROM p)
+        ORDER BY yr, status""")),
+
+    // C39 — batch sessionization (gaps-and-islands): the training-pipeline
+    // form of d04's streaming session window. New session when the gap to
+    // the previous event of the same user exceeds 10 minutes; two window
+    // passes (flag, then running sum) + one aggregate — all partitioned by
+    // user, so 100 TB parallelism is user-count wide. Arithmetic runs on
+    // exact epoch MICROSECONDS (ns-born timestamps, SURVEY §1.2).
+    "c39_sessionize" -> QueryDef(
+      (s, dir) => {
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us"), col("event_id"))
+        t(s, dir, "events")
+          .filter(col("user_id") < 30 && col("ts").isNotNull)
+          .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+          .withColumn("new_sess",
+            when(lag(col("ts_us"), 1).over(byUser).isNull ||
+              col("ts_us") - lag(col("ts_us"), 1).over(byUser) > 600000000L, 1L)
+              .otherwise(0L))
+          .withColumn("sess_id", sum(col("new_sess")).over(byUser))
+          .groupBy(col("user_id"), col("sess_id"))
+          .agg(count(lit(1)).as("n_events"),
+            min(col("ts_us")).as("start_us"),
+            ((max(col("ts_us")) - min(col("ts_us"))) / lit(1000000L)).cast("long").as("dur_sec"))
+          .orderBy(col("user_id"), col("sess_id"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_ns(ts)//1000 AS ts_us
+          FROM events WHERE user_id < 30 AND ts IS NOT NULL),
+        flagged AS (SELECT user_id, event_id, ts_us,
+          CASE WHEN lag(ts_us) OVER w IS NULL
+               OR ts_us - lag(ts_us) OVER w > 600000000 THEN 1 ELSE 0 END AS new_sess
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        sess AS (SELECT user_id, ts_us,
+          sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS sess_id
+          FROM flagged)
+        SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id, count(*) AS n_events,
+          min(ts_us) AS start_us,
+          CAST((max(ts_us) - min(ts_us)) // 1000000 AS BIGINT) AS dur_sec
+        FROM sess GROUP BY user_id, sess_id ORDER BY user_id, sess_id"""))
   )
 }
