@@ -113,6 +113,19 @@ object Graft {
     */
   def avgD2(c: Column): Column = (sum(cents2(c)).cast("double") / lit(100.0)) / count(c)
 
+  /** Exact 4-decimal sum via the DECIMAL path — for sums whose integer-
+    * cents form could overflow long (the overflow rule above: a full-table
+    * money sum funneled into a handful of groups, e.g. c38's per-year
+    * pivot, crosses 2^63 at the 100 TB design point). Rounded 4dp to
+    * absorb the engines' decimal→double conversion ulp differences (the
+    * exact sum sits ON the 4dp grid, 5e-5 from any rounding boundary, so
+    * the round is value-preserving).
+    */
+  def sumDec4(c: Column): Column = round(sum(dec4(c)).cast("double"), 4)
+
+  def sqlSumDec4(x: String): String =
+    s"round(CAST(sum(CAST(($x) AS DECIMAL(18,4))) AS DOUBLE), 4)"
+
   /** Oracle-side SQL for sumD2/sumD4/avgD2 (DuckDB dialect; hugeint sums
     * convert to the same doubles as Spark's longs).
     */

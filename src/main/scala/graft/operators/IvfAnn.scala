@@ -57,7 +57,11 @@ object IvfAnn {
       sums.foreach { r =>
         val b = r.getLong(0).toInt
         val p = r.getInt(1)
-        next(b)(p) = (r.getDecimal(2).doubleValue() / r.getLong(3)).toFloat
+        // a null sum means the decimal(28,10) cast overflowed (|component|
+        // >= 1e18 — far beyond any real embedding, but Float allows it):
+        // keep the previous centroid rather than NPE / poison the mean
+        if (!r.isNullAt(2))
+          next(b)(p) = (r.getDecimal(2).doubleValue() / r.getLong(3)).toFloat
       }
       cur = next
     }

@@ -343,14 +343,16 @@ object Relational2 extends QueryBlock {
         t(s, dir, "orders")
           .groupBy(year(col("o_orderdate")).as("yr"))
           .pivot("o_orderstatus", Seq("F", "O", "P"))
-          .agg(sum(cents4(col("o_totalprice"))).cast("double") / lit(10000.0))
+          // DECIMAL path, not cents-longs: a full-table money sum into ~7
+          // year groups crosses 2^63 at the 100 TB point (Graft.sumDec4)
+          .agg(sumDec4(col("o_totalprice")))
           .select(col("yr"), col("F").as("f_total"), col("O").as("o_total"),
             col("P").as("p_total"))
           .transform(sortSmallFused(_, col("yr"))),
       Some("""SELECT CAST(extract(year FROM o_orderdate) AS INT) AS yr,
-        CAST(sum(CASE WHEN o_orderstatus='F' THEN CAST(floor((o_totalprice)*10000 + 0.5) AS BIGINT) END) AS DOUBLE) / CAST(10000 AS DOUBLE) AS f_total,
-        CAST(sum(CASE WHEN o_orderstatus='O' THEN CAST(floor((o_totalprice)*10000 + 0.5) AS BIGINT) END) AS DOUBLE) / CAST(10000 AS DOUBLE) AS o_total,
-        CAST(sum(CASE WHEN o_orderstatus='P' THEN CAST(floor((o_totalprice)*10000 + 0.5) AS BIGINT) END) AS DOUBLE) / CAST(10000 AS DOUBLE) AS p_total
+        round(CAST(sum(CASE WHEN o_orderstatus='F' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE), 4) AS f_total,
+        round(CAST(sum(CASE WHEN o_orderstatus='O' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE), 4) AS o_total,
+        round(CAST(sum(CASE WHEN o_orderstatus='P' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE), 4) AS p_total
         FROM orders GROUP BY 1 ORDER BY yr""")),
 
     // C38b — UNPIVOT (melt): the pivot result back to long form. Spark's
@@ -361,14 +363,14 @@ object Relational2 extends QueryBlock {
         t(s, dir, "orders")
           .groupBy(year(col("o_orderdate")).as("yr"))
           .pivot("o_orderstatus", Seq("F", "O", "P"))
-          .agg(sum(cents4(col("o_totalprice"))).cast("double") / lit(10000.0))
+          .agg(sumDec4(col("o_totalprice")))
           .unpivot(Array(col("yr")), Array(col("F"), col("O"), col("P")),
             "status", "total")
           .transform(sortSmallFused(_, col("yr"), col("status"))),
       Some("""WITH p AS (SELECT CAST(extract(year FROM o_orderdate) AS INT) AS yr,
-          CAST(sum(CASE WHEN o_orderstatus='F' THEN CAST(floor((o_totalprice)*10000 + 0.5) AS BIGINT) END) AS DOUBLE) / CAST(10000 AS DOUBLE) AS f_total,
-          CAST(sum(CASE WHEN o_orderstatus='O' THEN CAST(floor((o_totalprice)*10000 + 0.5) AS BIGINT) END) AS DOUBLE) / CAST(10000 AS DOUBLE) AS o_total,
-          CAST(sum(CASE WHEN o_orderstatus='P' THEN CAST(floor((o_totalprice)*10000 + 0.5) AS BIGINT) END) AS DOUBLE) / CAST(10000 AS DOUBLE) AS p_total
+          round(CAST(sum(CASE WHEN o_orderstatus='F' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE), 4) AS f_total,
+          round(CAST(sum(CASE WHEN o_orderstatus='O' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE), 4) AS o_total,
+          round(CAST(sum(CASE WHEN o_orderstatus='P' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE), 4) AS p_total
           FROM orders GROUP BY 1)
         SELECT yr, status, total FROM (
           SELECT yr, 'F' AS status, f_total AS total FROM p
