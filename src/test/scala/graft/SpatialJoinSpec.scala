@@ -1,4 +1,5 @@
 package graft
+// (SpatialJoinRuleSpec below exercises the automatic routing added in r3)
 
 import graft.operators.SpatialJoin
 import org.apache.spark.sql.functions._
