@@ -241,6 +241,47 @@ object Relational extends QueryBlock {
         GROUP BY ROLLUP(n_name, o_orderstatus)
         ORDER BY n_name NULLS FIRST, o_orderstatus NULLS FIRST""")),
 
+    // C20b — CUBE over the same join (all four grouping combinations; the
+    // §2 C20 row claims rollup/cube/grouping sets — each gets a query).
+    "c20b_cube" -> QueryDef(
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val c = t(s, dir, "customer")
+        val n = broadcast(t(s, dir, "nation"))
+        o.join(c, col("o_custkey") === col("c_custkey"))
+          .join(n, col("c_nationkey") === col("n_nationkey"))
+          .cube(col("n_name"), col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), sumD4(col("o_totalprice")).as("sum_price"))
+          .transform(sortSmallFused(_, col("n_name").asc_nulls_first, col("o_orderstatus").asc_nulls_first))
+      },
+      Some(s"""SELECT n_name, o_orderstatus, count(*) AS n,
+        ${sqlSumD4("o_totalprice")} AS sum_price
+        FROM orders JOIN customer ON o_custkey=c_custkey JOIN nation ON c_nationkey=n_nationkey
+        GROUP BY CUBE(n_name, o_orderstatus)
+        ORDER BY n_name NULLS FIRST, o_orderstatus NULLS FIRST""")),
+
+    // C20c — explicit GROUPING SETS with grouping_id disambiguation (the
+    // only form that can tell a subtotal NULL from a data NULL) through
+    // the SQL entry point — the DataFrame API exposes rollup/cube only.
+    "c20c_grouping_sets" -> QueryDef(
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql(s"""SELECT n_name, o_orderstatus,
+          CAST(grouping(n_name) AS INT) AS g_name,
+          CAST(grouping(o_orderstatus) AS INT) AS g_status,
+          count(*) AS n, ${sqlSumD4("o_totalprice")} AS sum_price
+          FROM orders JOIN customer ON o_custkey=c_custkey JOIN nation ON c_nationkey=n_nationkey
+          GROUP BY GROUPING SETS ((n_name), (o_orderstatus), ())
+          ORDER BY g_name, g_status, n_name NULLS FIRST, o_orderstatus NULLS FIRST""")
+      },
+      Some(s"""SELECT n_name, o_orderstatus,
+        CAST(grouping(n_name) AS INT) AS g_name,
+        CAST(grouping(o_orderstatus) AS INT) AS g_status,
+        count(*) AS n, ${sqlSumD4("o_totalprice")} AS sum_price
+        FROM orders JOIN customer ON o_custkey=c_custkey JOIN nation ON c_nationkey=n_nationkey
+        GROUP BY GROUPING SETS ((n_name), (o_orderstatus), ())
+        ORDER BY g_name, g_status, n_name NULLS FIRST, o_orderstatus NULLS FIRST""")),
+
     // C21/C8 — ranking window over broadcast-joined dims (BASELINE B3).
     "c21_rank_window" -> QueryDef(
       (s, dir) => {
