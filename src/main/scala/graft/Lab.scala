@@ -185,6 +185,33 @@ object Lab {
         .coalesce(1)
         .sortWithinPartitions(col("n_name").asc_nulls_first, col("o_orderstatus").asc_nulls_first)
     }),
+    V("c20_stock", "c20_rollup", (s, dir) => {
+      // pre-r4 shape: rollup Expand over every joined row (×3)
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = broadcast(t(s, dir, "nation"))
+      o.join(c, col("o_custkey") === col("c_custkey"))
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+        .rollup(col("n_name"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sumD4(col("o_totalprice")).as("sum_price"))
+        .transform(sortSmallFused(_, col("n_name").asc_nulls_first, col("o_orderstatus").asc_nulls_first))
+    }),
+    V("p_ev_count", "", (s, dir) =>
+      t(s, dir, "events").agg(count(lit(1)).as("n"))),
+    V("p_ev_json", "", (s, dir) =>
+      t(s, dir, "events").agg(
+        sum(expr("try_cast(graft_json_get(props, 'k') AS LONG)")).as("sk"))),
+    V("p_ev_sumv", "", (s, dir) =>
+      t(s, dir, "events").agg(sum(cents2(col("value"))).as("sv"))),
+    V("p_ev_hourgrp", "", (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+        .agg(count(lit(1)).as("n"))),
+    V("p_docs_text", "", (s, dir) =>
+      t(s, dir, "documents").agg(sum(length(col("text"))).as("sl"))),
+    V("p_docs_pack", "", (s, dir) =>
+      t(s, dir, "documents").agg(
+        max(packAsciiPrefix(upper(substring(col("text"), 1, 8)), 8)).as("mp"))),
     V("c27_nosort", "", (s, dir) =>
       t(s, dir, "documents")
         .select(col("lang"), col("source"), length(col("text")).as("len"),

@@ -33,6 +33,9 @@ object GeoParquet {
   private val MetaKeyEncoding = "geo.encoding"
   private val MetaKeyCrs = "geo.crs"
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+  private val legacyBboxWarned = new java.util.concurrent.atomic.AtomicBoolean(false)
+
   /** @param statsFromWritten compute stats by re-reading the WRITTEN files
     *   instead of re-executing the input plan. Default false: the pre-write
     *   aggregate is a column-pruned pass over the input, the right trade
@@ -256,7 +259,13 @@ object GeoParquet {
         // pre-multi-covering dataset carrying a bare `__bbox` column gets
         // no automatic pruning (an alias-rename here would sit in a Project
         // the optimizer prunes away before the rule runs) — rewrite such
-        // datasets once with the current writer.
+        // datasets once with the current writer. Silent pruning loss is a
+        // scale surprise, so surface it once per JVM at read time.
+        if (df.columns.contains("__bbox") && legacyBboxWarned.compareAndSet(false, true))
+          log.warn(s"GeoParquet dataset at $path carries a legacy bare '__bbox' covering " +
+            "column; spatial row-group pruning now binds per-column '__bbox_<col>' names " +
+            "and will NOT use it. Rewrite the dataset once with GeoParquet.write(..., " +
+            "addBboxColumn = true) to restore pruning.")
         withMeta
     }
   }

@@ -48,8 +48,13 @@ object ConnectedComponents {
       .distinct()
       .localCheckpoint()
 
+    // Seed canonicalization matches smallStar's (greatest, least) output
+    // orientation: an input that is ALREADY the fixpoint star then yields an
+    // identical signature after round 1 (orientation is irrelevant to
+    // correctness — largeStar symmetrizes — but a mismatched seed could
+    // never equal the round-1 edge set, forcing a wasted second round).
     var e = e0.filter(col("a") =!= col("b"))
-      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .select(greatest(col("a"), col("b")).as("a"), least(col("a"), col("b")).as("b"))
       .distinct()
       .localCheckpoint()
 

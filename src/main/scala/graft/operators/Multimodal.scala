@@ -73,6 +73,29 @@ object Multimodal {
     }
   }
 
+  private def beU32(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+      ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+
+  /** REAL PNG IHDR decode: 8-byte signature, then the mandatory first chunk
+    * must be IHDR (length 13) — width/height as big-endian u32 at offsets
+    * 16/20, bit depth and color type at 24/25. The chunk CRC (CRC-32 over
+    * tag+payload, offsets 12..28) is VERIFIED, not skipped — a truncated or
+    * bit-flipped header yields None, never garbage dimensions. None for
+    * anything that is not a PNG.
+    */
+  def decodePngHeader(b: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    if (b == null || b.length < 33 || !b.take(8).sameElements(sig)) None
+    else if (beU32(b, 8) != 13L || new String(b.slice(12, 16), "US-ASCII") != "IHDR") None
+    else {
+      val crc = new java.util.zip.CRC32
+      crc.update(b, 12, 17) // tag + 13-byte payload
+      if (crc.getValue != beU32(b, 29)) None
+      else Some((beU32(b, 16).toInt, beU32(b, 20).toInt, b(24) & 0xff, b(25) & 0xff))
+    }
+  }
+
   // ---- fixture builders (valid files, deterministic content) -------------
 
   /** A complete, valid 24bpp BMP (header + padded pixel rows). */
@@ -111,6 +134,32 @@ object Multimodal {
       s = splitmix64(s); out.putShort((s & 0xffff).toShort)
     }
     out.array()
+  }
+
+  /** A chunk-structure-valid PNG: real signature, CRC-correct IHDR/IEND,
+    * one IDAT chunk of deterministic filler bytes (the payload is NOT a
+    * zlib stream — header-level fixtures only; decodePngHeader never
+    * inflates, so the oracle parses the identical header bytes).
+    */
+  def makePng(width: Int, height: Int, bitDepth: Int, colorType: Int,
+      seed: Long): Array[Byte] = {
+    def chunk(tag: String, payload: Array[Byte]): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(12 + payload.length)
+      out.putInt(payload.length).put(tag.getBytes("US-ASCII")).put(payload)
+      val crc = new java.util.zip.CRC32
+      crc.update(tag.getBytes("US-ASCII")); crc.update(payload)
+      out.putInt(crc.getValue.toInt)
+      out.array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(width).putInt(height)
+      .put(bitDepth.toByte).put(colorType.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte) // deflate, adaptive, no interlace
+      .array()
+    var s = seed
+    val idat = Array.fill(64) { s = splitmix64(s); (s & 0xff).toByte }
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", idat) ++ chunk("IEND", Array.emptyByteArray)
   }
 
   /** Deterministic 64-bit content hash feeding every stubbed feature. */

@@ -68,6 +68,9 @@ object SpatialFilterRule extends Rule[LogicalPlan] {
   private def harvestUdf(u: ScalaUDF): Option[(Attribute, Array[Byte])] = {
     val name = u.udfName.getOrElse("")
     val args = u.children
+    // a user-registered UDF may reuse these names with any arity — never
+    // index past its actual children (the optimizer must not throw)
+    if (args.length != 2) return None
     name match {
       case "st_intersects" => symmetric(args(0), args(1))
       case "st_within" => directed(geom = args(0), region = args(1))

@@ -217,6 +217,62 @@ object Geometry extends QueryBlock {
          AND a_ymin <= b_ymax AND b_ymin <= a_ymax
         ORDER BY s_suppkey, c_custkey""")),
 
+    // B17d — radius join written raw: `pts JOIN qs ON st_dwithin(gp, gq, R)`.
+    // plans.SpatialJoinRule expands the point envelopes by R and routes the
+    // pair generation onto the grid equi-join (PlanSpec asserts no BNL);
+    // the exact sqrt-compare st_dwithin re-runs as the post-filter, so the
+    // oracle is the plain relational distance predicate (b06's parity:
+    // Java and DuckDB sqrt are both IEEE correctly-rounded).
+    "b17d_dwithin_join" -> QueryDef(
+      (s, dir) => {
+        val pts = t(s, dir, "customer")
+          .select(col("c_custkey"),
+            G.st_point(col("c_acctbal"),
+              pmod(col("c_custkey"), lit(1000)).cast("double")).as("gp"))
+        val qs = t(s, dir, "nation").filter(col("n_nationkey") < 5)
+          .select(col("n_nationkey").as("qid"),
+            G.st_point(col("n_nationkey").cast("double") * 1000.0,
+              col("n_nationkey").cast("double") * 100.0).as("gq"))
+        pts.join(qs, G.st_dwithin(col("gp"), col("gq"), lit(500.0)))
+          .select(col("qid"), col("c_custkey"))
+          .orderBy(col("qid"), col("c_custkey"))
+      },
+      Some("""WITH pts AS (SELECT c_custkey, c_acctbal AS px, CAST(c_custkey % 1000 AS DOUBLE) AS py
+          FROM customer),
+        qs AS (SELECT n_nationkey AS qid, CAST(n_nationkey AS DOUBLE) * 1000.0 AS qx,
+            CAST(n_nationkey AS DOUBLE) * 100.0 AS qy
+          FROM nation WHERE n_nationkey < 5)
+        SELECT qid, c_custkey FROM pts JOIN qs
+          ON sqrt((px - qx) * (px - qx) + (py - qy) * (py - qy)) <= 500.0
+        ORDER BY qid, c_custkey""")),
+
+    // B17e — containment join written raw: `boxes JOIN pts ON
+    // st_contains(ga, gp)`. Containment implies envelope overlap, so the
+    // same grid route applies; JTS contains = point in the INTERIOR
+    // (strict inequalities — b09's boundary semantics).
+    "b17e_contains_join" -> QueryDef(
+      (s, dir) => {
+        val sup = t(s, dir, "supplier").filter(col("s_suppkey") <= 100)
+          .select(col("s_suppkey"),
+            G.st_makebox(col("s_acctbal"), col("s_nationkey").cast("double") * 10.0,
+              col("s_acctbal") + 500.0, col("s_nationkey").cast("double") * 10.0 + 100.0).as("ga"))
+        val cust = t(s, dir, "customer").filter(col("c_custkey") <= 500)
+          .select(col("c_custkey"),
+            G.st_point(col("c_acctbal"),
+              pmod(col("c_custkey"), lit(250)).cast("double")).as("gp"))
+        sup.join(cust, G.st_contains(col("ga"), col("gp")))
+          .select(col("s_suppkey"), col("c_custkey"))
+          .orderBy(col("s_suppkey"), col("c_custkey"))
+      },
+      Some("""WITH a AS (SELECT s_suppkey, s_acctbal AS axmin, s_acctbal + 500.0 AS axmax,
+          CAST(s_nationkey AS DOUBLE) * 10.0 AS aymin, CAST(s_nationkey AS DOUBLE) * 10.0 + 100.0 AS aymax
+          FROM supplier WHERE s_suppkey <= 100),
+        b AS (SELECT c_custkey, c_acctbal AS px, CAST(c_custkey % 250 AS DOUBLE) AS py
+          FROM customer WHERE c_custkey <= 500)
+        SELECT s_suppkey, c_custkey FROM a JOIN b
+          ON axmin < px AND px < axmax AND aymin < py AND py < aymax
+        ORDER BY s_suppkey, c_custkey""")),
+
     // B18 — spatial KNN join: 5 query points -> 3 nearest customer points.
     "b18_knn_join" -> QueryDef(
       (s, dir) => {

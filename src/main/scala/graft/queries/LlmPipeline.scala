@@ -43,6 +43,8 @@ object LlmPipeline extends QueryBlock {
     s"(${duckHexByte(off)} + 256*${duckHexByte(off + 1)})"
   private def duckLeU32(off: Int): String =
     s"(${duckHexByte(off)} + 256*${duckHexByte(off + 1)} + 65536*${duckHexByte(off + 2)} + 16777216*${duckHexByte(off + 3)})"
+  private def duckBeU32(off: Int): String =
+    s"(16777216*${duckHexByte(off)} + 65536*${duckHexByte(off + 1)} + 256*${duckHexByte(off + 2)} + ${duckHexByte(off + 3)})"
 
   /** DuckDB-side cosine with the same op order. */
   private def duckCosine(a: String, b: String): String =
@@ -237,60 +239,36 @@ object LlmPipeline extends QueryBlock {
           .orderBy(col("doc_id")),
       None),
 
-    // E20 — language-ID by n-gram profile scoring (the classic heuristic:
-    // score = total matched chars of each language's characteristic
-    // trigrams; argmax with a fixed priority tie-break). Scoring is pure
-    // scan-local codegen string algebra — occurrences(t) via
-    // `length(x) - length(replace(x, t))`, no explode, no shuffle beyond
-    // the output sort — so the classifier runs at full scan speed at any
-    // corpus size. The oracle recomputes identical integer arithmetic; the
-    // synthetic corpus is English-ish under every label, so parity (not
-    // label accuracy) is what the gate checks — profiles are where a real
-    // deployment drops in trained trigram weights.
+    // E20 — language-ID by n-gram profile scoring with COMMITTED profiles
+    // (functions.LangId: 18 frequency-table trigrams per language, fixed
+    // tie-break). Scoring is pure scan-local codegen string algebra — no
+    // explode, no shuffle beyond the output sort — so the classifier runs
+    // at full scan speed at any corpus size. The oracle SQL is GENERATED
+    // from the same profile table, so profile edits can never desync the
+    // two sides; LangIdSpec asserts real cross-language discrimination on
+    // a multilingual fixture (the synthetic corpus here is English-ish
+    // under every label, so this gate checks arithmetic parity).
     "e20_langid" -> QueryDef(
       (s, dir) => {
-        def score(tris: Seq[String]) = tris.map(tr =>
-          length(col("text")) - length(replace(col("text"), lit(tr), lit("")))).reduce(_ + _)
-        val profiles = Seq(
-          "en" -> Seq("the", "and", "ing", "ion"),
-          "de" -> Seq("der", "und", "ein", "sch"),
-          "es" -> Seq("que", "los", "ado", "cion"),
-          "fr" -> Seq("les", "que", "ent", "eur"))
+        import graft.functions.LangId
         t(s, dir, "documents")
-          .select(Seq(col("doc_id")) ++
-            profiles.map { case (l, tris) => score(tris).as(s"s_$l") }: _*)
-          .withColumn("pred_lang",
-            when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") &&
-              col("s_en") >= col("s_fr"), "en")
-              .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr"), "de")
-              .when(col("s_es") >= col("s_fr"), "es")
-              .otherwise("fr"))
+          .select(Seq(col("doc_id")) ++ LangId.scoreColumns(col("text")): _*)
+          .withColumn("pred_lang", LangId.predict)
           .orderBy(col("doc_id"))
       },
-      Some("""WITH sc AS (SELECT doc_id,
-          CAST((length(text) - length(replace(text,'the','')))
-             + (length(text) - length(replace(text,'and','')))
-             + (length(text) - length(replace(text,'ing','')))
-             + (length(text) - length(replace(text,'ion',''))) AS INT) AS s_en,
-          CAST((length(text) - length(replace(text,'der','')))
-             + (length(text) - length(replace(text,'und','')))
-             + (length(text) - length(replace(text,'ein','')))
-             + (length(text) - length(replace(text,'sch',''))) AS INT) AS s_de,
-          CAST((length(text) - length(replace(text,'que','')))
-             + (length(text) - length(replace(text,'los','')))
-             + (length(text) - length(replace(text,'ado','')))
-             + (length(text) - length(replace(text,'cion',''))) AS INT) AS s_es,
-          CAST((length(text) - length(replace(text,'les','')))
-             + (length(text) - length(replace(text,'que','')))
-             + (length(text) - length(replace(text,'ent','')))
-             + (length(text) - length(replace(text,'eur',''))) AS INT) AS s_fr
+      Some {
+        import graft.functions.LangId
+        val scoreCols = LangId.Profiles.map { case (l, tris) =>
+          s"${LangId.oracleScoreSql(tris)} AS s_$l"
+        }.mkString(",\n          ")
+        val sNames = LangId.Profiles.map(p => s"s_${p._1}").mkString(", ")
+        s"""WITH sc AS (SELECT doc_id,
+          $scoreCols
           FROM documents)
-        SELECT doc_id, s_en, s_de, s_es, s_fr,
-          CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
-               WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
-               WHEN s_es >= s_fr THEN 'es'
-               ELSE 'fr' END AS pred_lang
-        FROM sc ORDER BY doc_id""")),
+        SELECT doc_id, $sNames,
+          ${LangId.oraclePredictSql} AS pred_lang
+        FROM sc ORDER BY doc_id"""
+      }),
 
     // E6 — quality signals: stopword ratio (literal list), word stats,
     // language filter. All codegen'd higher-order fns.
@@ -528,6 +506,42 @@ object LlmPipeline extends QueryBlock {
           CAST(${duckLeU32(25)} AS INT) AS sample_rate,
           CAST(${duckLeU16(35)} AS INT) AS bits,
           CAST(${duckLeU32(41)} / (${duckLeU16(23)} * (${duckLeU16(35)} / 8)) AS BIGINT) AS n_samples
+        FROM b ORDER BY fname""")),
+
+    // E12d — REAL PNG header decode: chunk-structure-valid PNG fixtures
+    // (CRC-correct IHDR, verified by the Spark decoder); DuckDB reads the
+    // same big-endian IHDR fields by hex arithmetic — both engines parse
+    // the identical bytes independently, like e12b/e12c.
+    "e12d_png_meta" -> QueryDef(
+      (s, dir) => {
+        val pngDir = s"$scratch/png"
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(pngDir))
+        new java.io.File(pngDir).listFiles().foreach(_.delete())
+        val colorTypes = Array(0, 2, 3, 4, 6) // gray, rgb, palette, gray+a, rgba
+        (0 until 5).foreach { i =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(f"$pngDir/img$i%02d.png"),
+            graft.operators.Multimodal.makePng(
+              32 + 17 * i, 20 + 11 * i, bitDepth = 8, colorTypes(i), seed = 3000 + i))
+        }
+        val meta = udf((b: Array[Byte]) => graft.operators.Multimodal.decodePngHeader(b))
+        s.read.format("binaryFile").load(pngDir)
+          .select(regexp_extract(col("path"), "([^/]+)$", 1).as("fname"),
+            length(col("content")).as("n_bytes"),
+            meta(col("content")).as("m"))
+          .select(col("fname"), col("n_bytes"),
+            col("m._1").as("width"), col("m._2").as("height"),
+            col("m._3").as("bit_depth"), col("m._4").as("color_type"))
+          .orderBy(col("fname"))
+      },
+      Some(s"""WITH b AS (SELECT filename, size, hex(content) AS H
+          FROM read_blob('$scratch/png/*.png'))
+        SELECT regexp_extract(filename, '([^/]+)$$', 1) AS fname,
+          CAST(size AS INT) AS n_bytes,
+          CAST(${duckBeU32(17)} AS INT) AS width,
+          CAST(${duckBeU32(21)} AS INT) AS height,
+          CAST(${duckHexByte(25)} AS INT) AS bit_depth,
+          CAST(${duckHexByte(26)} AS INT) AS color_type
         FROM b ORDER BY fname""")),
 
     // E13 — corpus quality profile: one pass per lang.

@@ -223,15 +223,24 @@ object Relational extends QueryBlock {
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     // C20 — ROLLUP with grouping() disambiguation (BASELINE B4 + grouping ids).
+    // Pre-aggregate to (nationkey, status) BEFORE the rollup: stock rollup
+    // feeds Expand with every joined row ×3 (a full-input replication that
+    // triples the 100 TB shuffle); aggregating the ~75-group set first makes
+    // the Expand trivial — margins are exact sums of the longs (cents sums
+    // and counts are associative), and the 25-row nation dim joins AFTER
+    // the heavy aggregation, against 75 rows instead of every order.
     "c20_rollup" -> QueryDef(
       (s, dir) => {
         val o = t(s, dir, "orders")
         val c = t(s, dir, "customer")
         val n = broadcast(t(s, dir, "nation"))
-        o.join(c, col("o_custkey") === col("c_custkey"))
+        val pre = o.join(c, col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_nationkey"), col("o_orderstatus"))
+          .agg(count(lit(1)).as("__cnt"), sum(cents4(col("o_totalprice"))).as("__sp"))
           .join(n, col("c_nationkey") === col("n_nationkey"))
-          .rollup(col("n_name"), col("o_orderstatus"))
-          .agg(count(lit(1)).as("n"), sumD4(col("o_totalprice")).as("sum_price"))
+        pre.rollup(col("n_name"), col("o_orderstatus"))
+          .agg(sum(col("__cnt")).as("n"),
+            (sum(col("__sp")).cast("double") / lit(10000.0)).as("sum_price"))
           // nation × status (+rollup margins) ≈ 101 groups: domain-bounded
           .transform(sortSmallFused(_, col("n_name").asc_nulls_first, col("o_orderstatus").asc_nulls_first))
       },
@@ -390,15 +399,26 @@ object Relational extends QueryBlock {
           .agg(
             sum(col("len")).as("len_sum"),
             count(lit(1)).as("n"),
-            max(col("pk")).as("pk"))
+            max(col("pk")).as("pk"),
+            // non-ASCII sentinel: pk is NULL for a non-ASCII lead byte, and
+            // max() would silently DROP that row from max_head — fail loudly
+            // instead (the ASCII precondition must hold at runtime, not just
+            // on the test fixture). len is non-null iff text is non-null, so
+            // the flag never fires on genuinely-null text.
+            max(when(col("pk").isNull && col("len").isNotNull, lit(1))
+              .otherwise(lit(0))).as("__na"))
           .coalesce(1)
           .groupBy(col("lang"))
           .agg(
             count(col("source")).as("nd_source"), // non-null source groups
             (sum(col("len_sum")).cast("double") / sum(col("n"))).as("avg_len"),
-            max(col("pk")).as("pkm"))
+            max(col("pk")).as("pkm"),
+            max(col("__na")).as("__na"))
           .select(col("lang"), col("nd_source"), col("avg_len"),
-            unpackAsciiPrefix(col("pkm"), 8).as("max_head"))
+            when(col("__na") === 1, raise_error(lit(
+              "c27_strings: non-ASCII lead byte in documents.text prefix — " +
+                "packed max would silently drop the row; use the string path")))
+              .otherwise(unpackAsciiPrefix(col("pkm"), 8)).as("max_head"))
           .sortWithinPartitions(col("lang").asc_nulls_last),
       Some("""SELECT lang, count(DISTINCT source) AS nd_source,
         CAST(sum(length(text)) AS DOUBLE) / count(*) AS avg_len,

@@ -109,6 +109,37 @@ object Streaming extends QueryBlock {
         FROM (SELECT DISTINCT user_id, event_type FROM events)
         GROUP BY event_type ORDER BY event_type NULLS FIRST""")),
 
+    // D6b — dedup WITHIN WATERMARK (dropDuplicatesWithinWatermark): the
+    // bounded-state form that survives an unbounded stream — state for a
+    // key is EVICTED once the watermark passes its event time plus the
+    // delay, where plain dropDuplicates retains every key forever. Here the
+    // delay (30 days) exceeds the bounded fixture's whole time span, so the
+    // result is exactly global DISTINCT and shares d06's batch oracle; the
+    // bounded-state semantics under a SHORT delay (duplicate re-admitted
+    // after eviction) are asserted by trace in StreamingSpec, where no
+    // batch oracle can exist. Dedup emits on first sight (append mode), so
+    // the count aggregation runs as a batch op after the sink, like d08.
+    "d06b_dedup_within_watermark" -> QueryDef(
+      (s, dir) => {
+        val deduped = EventStreams.events(s, dir)
+          // watermarked dedup drops null-event-time rows; make that filter
+          // explicit so the oracle states the same predicate
+          .filter(col("ts").isNotNull)
+          .select(col("user_id"), col("event_type"), col("ts"))
+          .withWatermark("ts", "30 days")
+          .dropDuplicatesWithinWatermark("user_id", "event_type")
+          // project the key only: the first-arrival ts depends on partition
+          // interleave (nondeterministic); the KEY SET is deterministic
+          .select(col("user_id"), col("event_type"))
+        EventStreams.runToTable(s, deduped, "d06b_sink", mode = "append")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, count(*) AS n_users
+        FROM (SELECT DISTINCT user_id, event_type FROM events WHERE ts IS NOT NULL)
+        GROUP BY event_type ORDER BY event_type NULLS FIRST""")),
+
     // D7 — stream-static join: stream side shuffles nothing extra, static
     // dim broadcasts (customer keyed by user_id).
     "d07_stream_static_join" -> QueryDef(

@@ -46,6 +46,22 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeBmpHeader(Array[Byte]('B', 'M')) === None) // truncated
   }
 
+  test("REAL PNG IHDR decode: round-trips the builder, verifies CRC, rejects non-PNG") {
+    val bytes = Multimodal.makePng(width = 640, height = 480, bitDepth = 8,
+      colorType = 6, seed = 11L)
+    assert(Multimodal.decodePngHeader(bytes) === Some((640, 480, 8, 6)))
+    assert(Multimodal.decodePngHeader("definitely not a png".getBytes) === None)
+    assert(Multimodal.decodePngHeader(bytes.take(20)) === None) // truncated
+    // a bit-flip in the width field must fail the CRC check, not return
+    // garbage dimensions (the decoder VALIDATES, it does not trust)
+    val flipped = bytes.clone()
+    flipped(16) = (flipped(16) ^ 0x01).toByte
+    assert(Multimodal.decodePngHeader(flipped) === None)
+    // BMP/WAV bytes are not PNGs and vice versa — decoders are disjoint
+    assert(Multimodal.decodePngHeader(Multimodal.makeBmp(8, 8, 1L)) === None)
+    assert(Multimodal.decodeBmpHeader(bytes) === None)
+  }
+
   test("REAL WAV header decode: chunk walk finds fmt + data, rejects non-WAV") {
     val bytes = Multimodal.makeWav(channels = 2, sampleRate = 22050, nSamples = 441, seed = 9L)
     assert(Multimodal.decodeWavHeader(bytes) === Some((2, 22050, 16, 441L)))

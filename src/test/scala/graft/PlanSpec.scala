@@ -81,6 +81,48 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("Generate explode"), s"grid explode missing:\n$plan")
   }
 
+  test("B17d raw st_dwithin join routes to the grid equi-join (no BNL)") {
+    val plan = planOf("b17d_dwithin_join")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("Generate explode"), s"grid explode missing:\n$plan")
+  }
+
+  test("B17e raw st_contains join routes to the grid equi-join (no BNL)") {
+    val plan = planOf("b17e_contains_join")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("Generate explode"), s"grid explode missing:\n$plan")
+  }
+
+  test("SpatialJoinRule auto-route keeps scans pruned on a wide table") {
+    // a wide stored-geometry table: the auto-route must NOT widen the scan
+    // back to full width (the rule splices already-pruned children — the
+    // 100 TB claim is that a 2-column answer reads ~2 columns + geometry)
+    import spark.implicits._
+    val path = Graft.scratchDir + "/planspec_wide_geo"
+    (1 to 50).map(i => (i.toLong, s"pad_a$i", s"pad_b$i", s"pad_c$i", s"pad_d$i",
+        i * 1.5, i * 2.5, s"pad_e$i", s"pad_f$i", i * 3.0))
+      .toDF("id", "w1", "w2", "w3", "w4", "x", "y", "w5", "w6", "extra")
+      .select(col("id"), col("w1"), col("w2"), col("w3"), col("w4"),
+        GeoFunctions.st_makebox(col("x"), col("y"), col("x") + 10.0, col("y") + 10.0).as("geom"),
+        col("w5"), col("w6"), col("extra"))
+      .write.mode("overwrite").parquet(path)
+    val a = spark.read.parquet(path)
+    val b = spark.read.parquet(path).select(col("id").as("rid"), col("geom").as("rgeom"))
+    val q = a.join(b, GeoFunctions.st_intersects(col("geom"), col("rgeom")))
+      .select(col("id"), col("rid"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    val reads = plan.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(reads.nonEmpty, plan)
+    reads.foreach { rs =>
+      assert(!rs.contains("w1") && !rs.contains("w5") && !rs.contains("extra"),
+        s"auto-routed scan not pruned:\n$rs")
+      assert(rs.contains("geom"), rs)
+    }
+  }
+
   test("B18 KNN join scores natively: no ScalaUDF anywhere in the plan") {
     val plan = planOf("b18_knn_join")
     assert(!plan.contains("ScalaUDF"), plan)

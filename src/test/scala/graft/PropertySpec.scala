@@ -97,6 +97,33 @@ class PropertySpec extends AnyFunSuite {
       got.map(_._1.take(8)).sorted.toSeq)
   }
 
+  test("PROP: hash sampling variants select ~the declared rate, deterministically") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val ids = (1L to 20000L).toDF("id")
+    // production path: xxhash64 → [0,1) threshold
+    val keptXx = ids.filter(Graft.hashSampleFilter(col("id"), 0.1))
+      .collect().map(_.getLong(0)).toSet
+    // oracle-paired path (e16's shape): md5 hex prefix compare, '1a' ≈ 26/256
+    val keptMd5 = ids
+      .filter(md5(col("id").cast("string").cast("binary")) < "1a")
+      .collect().map(_.getLong(0)).toSet
+    // rate tolerance: binomial sd at n=20k, p≈0.1 is ~0.2pp; allow 5 sd
+    assert(math.abs(keptXx.size / 20000.0 - 0.1) < 0.011, s"xx rate ${keptXx.size}")
+    assert(math.abs(keptMd5.size / 20000.0 - 26.0 / 256) < 0.011, s"md5 rate ${keptMd5.size}")
+    // determinism: same predicate over a reshuffled layout selects the SAME set
+    val keptXx2 = ids.repartition(7, col("id"))
+      .filter(Graft.hashSampleFilter(col("id"), 0.1))
+      .collect().map(_.getLong(0)).toSet
+    assert(keptXx2 === keptXx)
+    // composability: sampling the sample at a higher threshold is a superset-
+    // stable refinement (rate-0.05 sample ⊂ rate-0.1 sample)
+    val keptNarrow = ids.filter(Graft.hashSampleFilter(col("id"), 0.05))
+      .collect().map(_.getLong(0)).toSet
+    assert(keptNarrow.subsetOf(keptXx))
+  }
+
   test("PROP: minhash signatures valid, deterministic; simhash symmetric") {
     samples(Gen.alphaNumStr.suchThat(_.nonEmpty), 60).foreach { s =>
       val sig = minhash(s, 128, 5)

@@ -60,6 +60,96 @@ class SpatialJoinRuleSpec extends AnyFunSuite {
     assert(routed.collect().map(_.getLong(0)).toSeq === Seq(1L))
   }
 
+  test("lon/lat-scale units still route and match the stock answer (derived cell)") {
+    // degree-sized boxes inside a +-180 extent: a fixed 500-unit cell would
+    // put EVERY row in one bucket (single-partition near-cross-product);
+    // the derived cell comes from the observed envelope extents instead
+    val l = boxes(Seq(
+      (1L, -179.5, -89.5, -179.0, -89.0),
+      (2L, 0.0, 0.0, 0.5, 0.5),
+      (3L, 179.0, 89.0, 179.5, 89.5)), "ga")
+    val r = boxes(Seq(
+      (10L, -179.25, -89.25, -178.75, -88.75),
+      (11L, 0.25, 0.25, 0.75, 0.75),
+      (12L, 100.0, 50.0, 100.5, 50.5)), "gb")
+    val routed = l.join(r, GeoFunctions.st_intersects(col("ga"), col("gb")))
+      .select(l("id").as("lid"), r("id").as("rid"))
+    assert(!routed.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+    assert(routed.collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      === Set((1L, 10L), (2L, 11L)))
+  }
+
+  test("st_dwithin join routes (envelope expanded by the radius) and matches stock") {
+    import spark.implicits._
+    def pts(rows: Seq[(Long, Double, Double)], g: String) =
+      rows.toDF("id", "x", "y")
+        .select(col("id"), GeoFunctions.st_point(col("x"), col("y")).as(g))
+    val l = pts(Seq((1L, 0.0, 0.0), (2L, 5000.0, 0.0), (3L, 120.0, 50.0)), "ga")
+    val r = pts(Seq((10L, 100.0, 0.0), (11L, 5050.0, 40.0), (12L, 9999.0, 9999.0)), "gb")
+    val routed = l.join(r, GeoFunctions.st_dwithin(col("ga"), col("gb"), lit(150.0)))
+      .select(l("id").as("lid"), r("id").as("rid"))
+    val plan = routed.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"dwithin not routed:\n$plan")
+    assert(routed.collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      === Set((1L, 10L), (2L, 11L), (3L, 10L)))
+  }
+
+  test("st_dwithin with a per-row radius column from one side routes correctly") {
+    import spark.implicits._
+    val l = Seq((1L, 0.0, 0.0, 150.0), (2L, 5000.0, 0.0, 10.0))
+      .toDF("id", "x", "y", "rad")
+      .select(col("id"), GeoFunctions.st_point(col("x"), col("y")).as("ga"), col("rad"))
+    val r = Seq((10L, 100.0, 0.0), (11L, 5050.0, 40.0))
+      .toDF("id", "x", "y")
+      .select(col("id"), GeoFunctions.st_point(col("x"), col("y")).as("gb"))
+    val routed = l.join(r, GeoFunctions.st_dwithin(col("ga"), col("gb"), col("rad")))
+      .select(l("id").as("lid"), r("id").as("rid"))
+    val plan = routed.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"per-row dwithin not routed:\n$plan")
+    // (2,11) is 64 units away but rad=10: candidate generation must respect
+    // the PER-ROW expansion, and the exact post-filter rejects it
+    assert(routed.collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      === Set((1L, 10L)))
+  }
+
+  test("st_contains join routes and keeps JTS interior semantics") {
+    import spark.implicits._
+    val l = boxes(Seq((1L, 0.0, 0.0, 100.0, 100.0), (2L, 1000.0, 1000.0, 1100.0, 1100.0)), "ga")
+    val r = Seq((10L, 50.0, 50.0), (11L, 100.0, 50.0), (12L, 1050.0, 1050.0))
+      .toDF("id", "x", "y")
+      .select(col("id"), GeoFunctions.st_point(col("x"), col("y")).as("gb"))
+    val routed = l.join(r, GeoFunctions.st_contains(col("ga"), col("gb")))
+      .select(l("id").as("lid"), r("id").as("rid"))
+    val plan = routed.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"contains not routed:\n$plan")
+    // point 11 sits ON the boundary: contains = interior only -> excluded
+    assert(routed.collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      === Set((1L, 10L), (2L, 12L)))
+  }
+
+  test("explicit spark.graft.spatialJoin.cell overrides derivation") {
+    val l = boxes(Seq((1L, 0.0, 0.0, 10.0, 10.0)), "ga")
+    val r = boxes(Seq((10L, 5.0, 5.0, 15.0, 15.0)), "gb")
+    spark.conf.set(graft.plans.SpatialJoinRule.CellConf, "7.0")
+    try {
+      val routed = l.join(r, GeoFunctions.st_intersects(col("ga"), col("gb")))
+        .select(l("id").as("lid"), r("id").as("rid"))
+      val plan = routed.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+      assert(plan.contains("/ 7.0"), s"explicit cell not used:\n$plan")
+      assert(routed.collect().map(x => (x.getLong(0), x.getLong(1))).toSet === Set((1L, 10L)))
+    } finally spark.conf.unset(graft.plans.SpatialJoinRule.CellConf)
+  }
+
+  test("all-null geometries leave the join unrouted (degenerate stats)") {
+    import spark.implicits._
+    val l = Seq(1L, 2L).toDF("id").withColumn("ga", lit(null).cast("binary"))
+    val r = Seq(10L).toDF("id").withColumn("gb", lit(null).cast("binary"))
+    val q = l.join(r, GeoFunctions.st_intersects(col("ga"), col("gb")))
+    assert(!q.queryExecution.executedPlan.toString.contains("__graft_cell"))
+    assert(q.count() === 0)
+  }
+
   test("cross-side equi key disables the rewrite (hash join already avoids BNL)") {
     val l = boxes(Seq((1L, 0.0, 0.0, 10.0, 10.0)), "ga")
     val r = boxes(Seq((1L, 5.0, 5.0, 15.0, 15.0)), "gb").withColumnRenamed("id", "rid")
