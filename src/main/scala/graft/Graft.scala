@@ -169,6 +169,23 @@ object Graft {
   def sortSmallFused(df: DataFrame, cols: Column*): DataFrame =
     df.coalesce(1).sortWithinPartitions(cols: _*)
 
+  /** Final ORDER BY for a result whose row count is bounded by a TINY,
+    * STRUCTURAL key domain (single-char flags, market segments, nation ×
+    * status — not anything time- or data-derived). `orderBy + limit`
+    * under the top-K threshold plans as TakeOrderedAndProject: the final
+    * aggregation stage keeps ALL its parallelism and the driver merges a
+    * few sorted rows per partition — no range-sampling job (plain orderBy)
+    * and no single coalesced task ([[sortSmallFused]], measured +30-40 ms
+    * of serialized final-stage latency per query at sf0.1).
+    *
+    * The 10 000-row cap must be PROVABLY unreachable by the key domain:
+    * a result that hit the cap would be silently truncated. Never use for
+    * groups that scale with data volume or time span (c32's hourly
+    * buckets — those keep [[sortSmall]]'s full-result semantics).
+    */
+  def sortSmallTopK(df: DataFrame, cols: Column*): DataFrame =
+    df.orderBy(cols: _*).limit(10000)
+
   // --- Sort-key packing for string min/max (SURVEY.md §4.3) ---------------
   //
   // Spark plans SortAggregate whenever an aggregate buffer holds a

@@ -185,6 +185,24 @@ object Lab {
         .coalesce(1)
         .sortWithinPartitions(col("n_name").asc_nulls_first, col("o_orderstatus").asc_nulls_first)
     }),
+    V("c20_fusedpre", "c20_rollup", (s, dir) => {
+      // pre-agg to the domain-bounded (nationkey, status) set, then fuse
+      // the ENTIRE rollup into the post-exchange single task: SinglePartition
+      // satisfies the rollup agg's ClusteredDistribution, so expand+agg+sort
+      // add NO second exchange
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = broadcast(t(s, dir, "nation"))
+      o.join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("__cnt"), sum(cents4(col("o_totalprice"))).as("__sp"))
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+        .coalesce(1)
+        .rollup(col("n_name"), col("o_orderstatus"))
+        .agg(sum(col("__cnt")).as("n"),
+          (sum(col("__sp")).cast("double") / lit(10000.0)).as("sum_price"))
+        .sortWithinPartitions(col("n_name").asc_nulls_first, col("o_orderstatus").asc_nulls_first)
+    }),
     V("c20_stock", "c20_rollup", (s, dir) => {
       // pre-r4 shape: rollup Expand over every joined row (×3)
       val o = t(s, dir, "orders")

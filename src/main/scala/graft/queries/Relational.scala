@@ -43,7 +43,7 @@ object Relational extends QueryBlock {
             ((sum(col("qc")).cast("double") / lit(100.0)) / count(col("qc"))).as("avg_qty"),
             ((sum(col("dc")).cast("double") / lit(100.0)) / count(col("dc"))).as("avg_disc"),
             count(lit(1)).as("count_order"))
-          .transform(sortSmallFused(_, col("l_returnflag"), col("l_linestatus")))
+          .transform(sortSmallTopK(_, col("l_returnflag"), col("l_linestatus")))
       },
       Some(s"""SELECT l_returnflag, l_linestatus,
         ${sqlSumD2("l_quantity")} AS sum_qty,
@@ -140,7 +140,7 @@ object Relational extends QueryBlock {
           .agg(
             count(lit(1)).as("n_orders"),
             (sum(col("cts")).cast("double") / lit(10000.0)).as("revenue"))
-          .transform(sortSmallFused(_, col("c_mktsegment"))) // 5 segments
+          .transform(sortSmallTopK(_, col("c_mktsegment"))) // 5 segments
       },
       Some("""SELECT c_mktsegment, count(DISTINCT o_orderkey) AS n_orders,
         CAST(sum(CAST(floor((l_extendedprice)*100 + 0.5) AS BIGINT) * (100 - CAST(floor((l_discount)*100 + 0.5) AS BIGINT))) AS DOUBLE) / CAST(10000 AS DOUBLE) AS revenue
@@ -242,7 +242,7 @@ object Relational extends QueryBlock {
           .agg(sum(col("__cnt")).as("n"),
             (sum(col("__sp")).cast("double") / lit(10000.0)).as("sum_price"))
           // nation × status (+rollup margins) ≈ 101 groups: domain-bounded
-          .transform(sortSmallFused(_, col("n_name").asc_nulls_first, col("o_orderstatus").asc_nulls_first))
+          .transform(sortSmallTopK(_, col("n_name").asc_nulls_first, col("o_orderstatus").asc_nulls_first))
       },
       Some(s"""SELECT n_name, o_orderstatus, count(*) AS n,
         ${sqlSumD4("o_totalprice")} AS sum_price
@@ -386,10 +386,13 @@ object Relational extends QueryBlock {
     // row expansion — at 100 TB that halves the first shuffle's volume.
     // The max(upper(substr(text,1,8))) runs over a PACKED long, not the
     // string: a StringType buffer would force the whole aggregate onto
-    // SortAggregate (see Graft.packAsciiPrefix; documents.text is ASCII —
-    // asserted in PropertySpec). Level 2 input is bounded by lang × source,
-    // so both final levels fuse onto one post-shuffle task (no second
-    // exchange). 319→141 ms at sf0.1; plan is HashAggregate end-to-end.
+    // SortAggregate (see Graft.packAsciiPrefix; a non-ASCII lead byte
+    // raises instead of silently dropping from the max — the __na flag).
+    // Level 2 shuffles the bounded lang × source group set (a second tiny
+    // exchange keeps level-1 finalization parallel; the earlier coalesce(1)
+    // fusion serialized it for ~40 ms of single-task latency), and the
+    // final order is TakeOrderedAndProject over the bounded lang domain.
+    // 319→141→~105 ms at sf0.1; plan is HashAggregate end-to-end.
     "c27_strings" -> QueryDef(
       (s, dir) =>
         t(s, dir, "documents")
@@ -407,7 +410,6 @@ object Relational extends QueryBlock {
             // the flag never fires on genuinely-null text.
             max(when(col("pk").isNull && col("len").isNotNull, lit(1))
               .otherwise(lit(0))).as("__na"))
-          .coalesce(1)
           .groupBy(col("lang"))
           .agg(
             count(col("source")).as("nd_source"), // non-null source groups
@@ -419,7 +421,7 @@ object Relational extends QueryBlock {
               "c27_strings: non-ASCII lead byte in documents.text prefix — " +
                 "packed max would silently drop the row; use the string path")))
               .otherwise(unpackAsciiPrefix(col("pkm"), 8)).as("max_head"))
-          .sortWithinPartitions(col("lang").asc_nulls_last),
+          .transform(sortSmallTopK(_, col("lang").asc_nulls_last)),
       Some("""SELECT lang, count(DISTINCT source) AS nd_source,
         CAST(sum(length(text)) AS DOUBLE) / count(*) AS avg_len,
         max(upper(substr(text,1,8))) AS max_head
