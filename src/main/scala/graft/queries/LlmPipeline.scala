@@ -270,6 +270,99 @@ object LlmPipeline extends QueryBlock {
         FROM sc ORDER BY doc_id"""
       }),
 
+    // E21 — repetition-based quality scoring (the Gopher/FineWeb-style
+    // filters every corpus pipeline runs): per-document fraction of tokens
+    // taken by the most frequent token, repeated-token fraction, and the
+    // most frequent BIGRAM's share — high values mark boilerplate/spam.
+    // Token stats reduce by (doc_id, token) with map-side partial
+    // aggregation, so at 100 TB the shuffle carries per-doc-token partials,
+    // never raw token streams; bigrams come from a scan-local zip_with of
+    // the shifted token array (no second tokenization pass). Docs with <2
+    // tokens keep NULL bigram stats through the left join in BOTH engines
+    // (empty n-gram set → no rows → join null), not a fabricated zero.
+    "e21_repetition_quality" -> QueryDef(
+      (s, dir) => {
+        val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+          .select(col("doc_id"),
+            expr("filter(split(lower(text), ' '), x -> x != '')").as("toks"))
+        val wstats = docs.select(col("doc_id"), explode(col("toks")).as("tok"))
+          .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("c")).as("n_tok"), count(lit(1)).as("nd_tok"),
+            max(col("c")).as("max_tok"))
+        val bgstats = docs.select(col("doc_id"),
+            explode(when(size(col("toks")) >= 2, expr(
+              "zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1), (a, b) -> concat(a, ' ', b))"))
+              .otherwise(typedlit(Seq.empty[String]))).as("bg"))
+          .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("c")).as("n_bg"), max(col("c")).as("max_bg"))
+        wstats.join(bgstats, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tok"), col("nd_tok"),
+            (col("max_tok").cast("double") / col("n_tok")).as("top_word_frac"),
+            (lit(1.0) - col("nd_tok").cast("double") / col("n_tok")).as("dup_word_frac"),
+            (col("max_bg").cast("double") / col("n_bg")).as("top_bigram_frac"))
+          .withColumn("keep",
+            col("top_word_frac") <= 0.12 && col("dup_word_frac") <= 0.65)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS s
+          FROM documents WHERE text IS NOT NULL),
+        toks AS (SELECT doc_id, unnest(s) AS tok FROM d),
+        wc AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+        ws AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok, count(*) AS nd_tok,
+            max(c) AS max_tok
+          FROM wc GROUP BY 1),
+        bg AS (SELECT doc_id, s[i] || ' ' || s[i+1] AS b
+          FROM d, UNNEST(generate_series(1, len(s) - 1)) AS u(i)),
+        bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+        bs AS (SELECT doc_id, sum(c) AS n_bg, max(c) AS max_bg FROM bc GROUP BY 1)
+        SELECT ws.doc_id, n_tok, nd_tok,
+          CAST(max_tok AS DOUBLE) / n_tok AS top_word_frac,
+          1.0 - CAST(nd_tok AS DOUBLE) / n_tok AS dup_word_frac,
+          CAST(max_bg AS DOUBLE) / n_bg AS top_bigram_frac,
+          (CAST(max_tok AS DOUBLE) / n_tok <= 0.12
+            AND 1.0 - CAST(nd_tok AS DOUBLE) / n_tok <= 0.65) AS keep
+        FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id
+        ORDER BY ws.doc_id""")),
+
+    // E22 — eval-set decontamination (the stage every training pipeline
+    // runs before a model sees the corpus): flag any training document
+    // sharing a 4-token shingle with the held-out eval set (here: the
+    // first 10 docs stand in for a benchmark suite). The eval shingle set
+    // BROADCASTS — benchmark suites are kilobytes against terabyte corpora,
+    // exactly the production shape — so the corpus side stays scan-local:
+    // shingle, broadcast-hash semi-probe, per-doc count; no corpus shuffle
+    // until the tiny flagged remainder aggregates.
+    "e22_decontaminate" -> QueryDef(
+      (s, dir) => {
+        val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+          .select(col("doc_id"),
+            expr("filter(split(lower(text), ' '), x -> x != '')").as("toks"))
+        val grams = docs.select(col("doc_id"),
+          explode(when(size(col("toks")) >= 4, expr(
+            """transform(sequence(1, size(toks) - 3),
+               i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),
+                              element_at(toks, i + 2), element_at(toks, i + 3)))"""))
+            .otherwise(typedlit(Seq.empty[String]))).as("gram"))
+        val evalGrams = grams.filter(col("doc_id") < 10)
+          .select(col("gram")).distinct()
+        grams.filter(col("doc_id") >= 10)
+          .join(broadcast(evalGrams), Seq("gram"))
+          .groupBy(col("doc_id"))
+          .agg(countDistinct(col("gram")).as("n_shared_grams"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS s
+          FROM documents WHERE text IS NOT NULL),
+        g AS (SELECT doc_id, array_to_string(s[i:i+3], ' ') AS gram
+          FROM d, UNNEST(generate_series(1, len(s) - 3)) AS u(i)),
+        ev AS (SELECT DISTINCT gram FROM g WHERE doc_id < 10)
+        SELECT doc_id, count(DISTINCT gram) AS n_shared_grams
+        FROM g JOIN ev USING (gram)
+        WHERE doc_id >= 10
+        GROUP BY doc_id ORDER BY doc_id""")),
+
     // E6 — quality signals: stopword ratio (literal list), word stats,
     // language filter. All codegen'd higher-order fns.
     "e06_text_quality" -> QueryDef(

@@ -41,6 +41,20 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"))
   }
 
+  test("E22 decontamination probes a BROADCAST eval-shingle set (no corpus shuffle join)") {
+    val plan = planOf("e22_decontaminate")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("ScalaUDF"), plan)
+  }
+
+  test("E21 repetition stats reduce with map-side partial aggregation") {
+    val plan = planOf("e21_repetition_quality")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"), plan)
+    assert(!plan.contains("SortAggregate"), plan)
+    assert(!plan.contains("ScalaUDF"), plan)
+  }
+
   test("C14 aggregate is partial+final (map-side combine)") {
     val plan = planOf("c14_pricing_summary")
     assert(plan.contains("HashAggregate"))
