@@ -145,13 +145,25 @@ object GeoFunctions extends Serializable {
     native2(graft.functions.StIntersectsExpr.apply)(a, b)
   def st_disjoint(a: Column, b: Column): Column =
     native2(graft.functions.StDisjointExpr.apply)(a, b)
-  val st_union = udf(stUnionF).withName("st_union")
-  val st_intersection = udf(stIntersectionF).withName("st_intersection")
+  // Overlay / constructive ops route through NATIVE expressions
+  // (functions.WkbOverlay): literal operands decode once per expression
+  // instance, evaluation stays codegen-resident. The JTS kernel (and thus
+  // the GOLDEN-tier bytes) is identical to the scalar F forms above.
+  def st_union(a: Column, b: Column): Column =
+    native2(graft.functions.StUnionExpr.apply)(a, b)
+  def st_intersection(a: Column, b: Column): Column =
+    native2(graft.functions.StIntersectionExpr.apply)(a, b)
   def st_dwithin(a: Column, b: Column, r: Column): Column = {
     import org.apache.spark.sql.GraftColumnBridge._
     column(graft.functions.StDWithinExpr(expression(a), expression(b), expression(r)))
   }
-  val st_buffer = udf(stBufferF).withName("st_buffer")
+  def st_buffer(g: Column, d: Column): Column =
+    native2(graft.functions.StBufferExpr.apply)(g, d)
+  def st_convexhull_native(g: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(
+      graft.functions.StConvexHullExpr(GraftColumnBridge.expression(g)))
+  }
   val st_astext = udf(stAsTextF).withName("st_astext")
   val st_geomfromtext = udf(stGeomFromTextF).withName("st_geomfromtext")
   // struct<xmin,ymin,xmax,ymax> with stable field names

@@ -60,6 +60,7 @@ object Graft {
     graft.functions.StEnvelope.register(spark)
     graft.functions.WkbPredicates.register(spark) // native st_intersects & co.
     graft.functions.WkbDistance.register(spark) // native st_distance/st_dwithin
+    graft.functions.WkbOverlay.register(spark) // native buffer/hull/union/intersection/srid
     graft.functions.JsonGetScalar.register(spark)
     graft.functions.PackAscii8.register(spark)
     graft.functions.WkbAccessors.register(spark) // after UDF registry: SQL

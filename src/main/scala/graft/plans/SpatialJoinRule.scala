@@ -220,15 +220,47 @@ object SpatialJoinRule extends Rule[LogicalPlan] {
     }
   }
 
+  /** Derived-cell memo. Every fresh DataFrame over the same join re-runs
+    * the optimizer and would re-pay deriveCell's sampling job (a bench
+    * loop, a notebook re-execution, `.explain` before `.collect`); the memo
+    * keys on the CANONICALIZED children + route expressions so re-plans of
+    * the semantically same join reuse the stats. A hash collision can only
+    * pick a suboptimal cell, never a wrong result (the exact predicate
+    * post-filters), so the key needs no equality confirmation. Bounded:
+    * cleared wholesale past 256 entries (cheap; recomputation is safe).
+    * None is cached too — a degenerate-stats join stays unrouted without
+    * re-sampling every plan.
+    */
+  private val cellMemo =
+    new java.util.concurrent.ConcurrentHashMap[Int, Option[Double]]()
+
+  private def memoKey(l: LogicalPlan, r: LogicalPlan, route: Route): Int = {
+    // route expressions carry plan-instance ExprIds; bind attributes to
+    // their ordinal in the combined child output so the semantically same
+    // join hashes identically across re-plans
+    val idx = (l.output ++ r.output).map(_.exprId).zipWithIndex.toMap
+    def ord(e: Expression): Int = e.transform {
+      case a: Attribute =>
+        org.apache.spark.sql.catalyst.expressions.BoundReference(
+          idx.getOrElse(a.exprId, -1), a.dataType, a.nullable)
+    }.semanticHash()
+    (l.canonicalized.semanticHash(), r.canonicalized.semanticHash(),
+      ord(route.lg), ord(route.rg),
+      route.lExpand.map(ord), route.rExpand.map(ord)).hashCode()
+  }
+
   private def rewrite(j: Join, l: LogicalPlan, r: LogicalPlan,
       route: Route, cond: Expression): LogicalPlan = {
     val spark = SparkSession.active
     val cell: Double = spark.conf.getOption(CellConf) match {
       case Some(v) => v.toDouble
-      case None => deriveCell(spark, l, r, route) match {
-        case Some(c) => c
-        case None => return j // degenerate stats: leave the stock plan
-      }
+      case None =>
+        if (cellMemo.size() > 256) cellMemo.clear()
+        cellMemo.computeIfAbsent(memoKey(l, r, route),
+          _ => deriveCell(spark, l, r, route)) match {
+          case Some(c) => c
+          case None => return j // degenerate stats: leave the stock plan
+        }
     }
 
     def prep(p: LogicalPlan, g: Expression, expand: Option[Expression],

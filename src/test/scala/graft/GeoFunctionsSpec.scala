@@ -106,4 +106,42 @@ class GeoFunctionsSpec extends AnyFunSuite {
     val c = fromWkb(stCentroidF(stMakeBoxF(0, 0, 8, 4)))
     assert(c.getCoordinate.equals2D(new Coordinate(4, 2)))
   }
+
+  test("native overlay expressions: byte parity with the scalar kernels, no ScalaUDF") {
+    // B12-B14/B16 as catalyst Expressions (functions.WkbOverlay): same JTS
+    // kernel, so the produced WKB must be byte-identical to the scalar F
+    // forms; the plan must carry no ScalaUDF wrapper on either API path.
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val a = stMakeBoxF(0, 0, 10, 10)
+    val b = stMakeBoxF(5, 5, 15, 15)
+    val cloud = stGeomFromTextF("MULTIPOINT ((0 0), (4 0), (2 3), (2 1))")
+    val df = Seq((a, b, cloud, stPointF(3, 4))).toDF("ga", "gb", "cloud", "p")
+      .select(
+        GeoFunctions.st_union(col("ga"), col("gb")).as("u"),
+        GeoFunctions.st_intersection(col("ga"), col("gb")).as("i"),
+        GeoFunctions.st_buffer(col("p"), org.apache.spark.sql.functions.lit(2.0)).as("buf"),
+        GeoFunctions.st_convexhull_native(col("cloud")).as("hull"))
+    assert(!df.queryExecution.executedPlan.toString.contains("ScalaUDF"))
+    val row = df.head()
+    assert(row.getAs[Array[Byte]]("u").sameElements(stUnionF(a, b)))
+    assert(row.getAs[Array[Byte]]("i").sameElements(stIntersectionF(a, b)))
+    assert(row.getAs[Array[Byte]]("buf").sameElements(stBufferF(stPointF(3, 4), 2.0)))
+    assert(row.getAs[Array[Byte]]("hull").sameElements(stConvexHullF(cloud)))
+    // SQL path: registry now binds the native expressions
+    Graft.prepare(spark)
+    val sqlRow = Seq((a, 0)).toDF("g", "z").createOrReplaceTempView("overlay_t")
+    val _ = sqlRow
+    val viaSql = spark.sql(
+      "SELECT st_srid(st_setsrid(g, 4326)) AS s, st_convexhull(g) AS h FROM overlay_t").head()
+    assert(viaSql.getInt(0) === 4326)
+    assert(viaSql.getAs[Array[Byte]]("h").sameElements(stConvexHullF(a)))
+    // literal-operand caching path: clip every row to a literal region
+    val litClip = Seq((a, 0)).toDF("g", "z")
+      .select(GeoFunctions.st_intersection(col("g"),
+        org.apache.spark.sql.functions.lit(b)).as("c"))
+      .head().getAs[Array[Byte]]("c")
+    assert(litClip.sameElements(stIntersectionF(a, b)))
+  }
 }

@@ -150,6 +150,34 @@ class SpatialJoinRuleSpec extends AnyFunSuite {
     assert(q.count() === 0)
   }
 
+  test("derived cell is memoized: re-planning the same join runs no second sampling job") {
+    // a fresh DataFrame over the same join re-runs the optimizer; without
+    // the memo every bench iteration / notebook re-run pays the sampling
+    // job again at planning time
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    def planOnce(): Unit = {
+      val l = boxes(Seq((71L, 7000.0, 7000.0, 7010.0, 7010.0), (72L, 7200.0, 7200.0, 7210.0, 7210.0)), "ga")
+      val r = boxes(Seq((81L, 7005.0, 7005.0, 7015.0, 7015.0)), "gb")
+      val q = l.join(r, GeoFunctions.st_intersects(col("ga"), col("gb")))
+      assert(!q.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+    }
+    planOnce() // populate the memo (may run sampling jobs)
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      planOnce() // same join, fresh DataFrame: planning must be job-free
+      // listener events are posted asynchronously; an executed job would
+      // surface well within this drain window
+      Thread.sleep(500)
+      assert(jobs.get() === 0,
+        s"re-planning ran ${jobs.get()} sampling job(s) — memo not hit")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("cross-side equi key disables the rewrite (hash join already avoids BNL)") {
     val l = boxes(Seq((1L, 0.0, 0.0, 10.0, 10.0)), "ga")
     val r = boxes(Seq((1L, 5.0, 5.0, 15.0, 15.0)), "gb").withColumnRenamed("id", "rid")
