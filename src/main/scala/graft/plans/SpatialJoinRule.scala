@@ -97,6 +97,12 @@ object SpatialJoinRule extends Rule[LogicalPlan] {
     case j @ Join(l, r, Inner, Some(cond), hint)
         if hint.leftHint.forall(_.strategy.isEmpty) &&
           hint.rightHint.forall(_.strategy.isEmpty) &&
+          // STREAMING joins stay on the stock plan: cell derivation would
+          // run a batch limit+collect over a streaming child at planning
+          // time (an analysis error), and the rewrite's DataFrame rebuild
+          // is only validated for batch children. Streams wanting the grid
+          // route use operators.SpatialJoin explicitly on the static side.
+          !l.isStreaming && !r.isStreaming &&
           // structural idempotence: our own rewrite carries __graft_cell cols
           !(l.output ++ r.output).exists(_.name.startsWith("__graft_cell")) =>
       // If the condition already carries a cross-side EQUALITY, Spark plans

@@ -178,6 +178,33 @@ class SpatialJoinRuleSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("streaming side leaves the join unrouted (no batch sampling inside a stream plan)") {
+    // deriveCell runs a batch limit+collect at planning time — on a
+    // streaming child that is an analysis error mid-microbatch; the rule
+    // must leave stream-involved joins on the stock plan entirely
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val input = MemoryStream[(Long, Double, Double)]
+    val streamPts = input.toDF().toDF("id", "x", "y")
+      .select(col("id"), GeoFunctions.st_point(col("x"), col("y")).as("gp"))
+    val regions = boxes(Seq((1L, 0.0, 0.0, 10.0, 10.0)), "ga")
+      .withColumnRenamed("id", "rid")
+    val joined = streamPts.join(regions, GeoFunctions.st_intersects(col("gp"), col("ga")))
+      .select(col("id"), col("rid"))
+    input.addData((5L, 5.0, 5.0), (6L, 50.0, 50.0))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sj_stream").toString
+    val q = joined.writeStream.format("memory").queryName("sj_stream_sink")
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt).start()
+    q.awaitTermination()
+    // correctness through the stock (unrouted) plan
+    assert(sp.table("sj_stream_sink").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      === Set((5L, 1L)))
+  }
+
   test("cross-side equi key disables the rewrite (hash join already avoids BNL)") {
     val l = boxes(Seq((1L, 0.0, 0.0, 10.0, 10.0)), "ga")
     val r = boxes(Seq((1L, 5.0, 5.0, 15.0, 15.0)), "gb").withColumnRenamed("id", "rid")
