@@ -217,6 +217,36 @@ object Geometry extends QueryBlock {
          AND a_ymin <= b_ymax AND b_ymin <= a_ymax
         ORDER BY s_suppkey, c_custkey""")),
 
+    // B17f — the SAME bbox join through the BROADCAST-INDEX path
+    // (operators.BroadcastSpatialJoin): supplier is the dim-sized side, so
+    // an STRtree over its 100 boxes broadcasts and customer streams through
+    // with NO shuffle and NO cell replication — the spatial analogue of a
+    // broadcast hash join, sharing b17's oracle (fourth path equivalence).
+    "b17f_broadcast_join" -> QueryDef(
+      (s, dir) => {
+        val sup = t(s, dir, "supplier").filter(col("s_suppkey") <= 100)
+          .select(col("s_suppkey"),
+            G.st_makebox(col("s_acctbal"), col("s_nationkey").cast("double") * 10.0,
+              col("s_acctbal") + 500.0, col("s_nationkey").cast("double") * 10.0 + 100.0).as("ga"))
+        val cust = t(s, dir, "customer").filter(col("c_custkey") <= 200)
+          .select(col("c_custkey"),
+            G.st_makebox(col("c_acctbal"), col("c_nationkey").cast("double") * 10.0,
+              col("c_acctbal") + 500.0, col("c_nationkey").cast("double") * 10.0 + 100.0).as("gb"))
+        graft.operators.BroadcastSpatialJoin(cust, sup, "gb", "ga", "intersects")
+          .select(col("s_suppkey"), col("c_custkey"))
+          .orderBy(col("s_suppkey"), col("c_custkey"))
+      },
+      Some("""WITH a AS (SELECT s_suppkey, s_acctbal AS a_xmin, s_acctbal + 500.0 AS a_xmax,
+          CAST(s_nationkey AS DOUBLE) * 10.0 AS a_ymin, CAST(s_nationkey AS DOUBLE) * 10.0 + 100.0 AS a_ymax
+          FROM supplier WHERE s_suppkey <= 100),
+        b AS (SELECT c_custkey, c_acctbal AS b_xmin, c_acctbal + 500.0 AS b_xmax,
+          CAST(c_nationkey AS DOUBLE) * 10.0 AS b_ymin, CAST(c_nationkey AS DOUBLE) * 10.0 + 100.0 AS b_ymax
+          FROM customer WHERE c_custkey <= 200)
+        SELECT s_suppkey, c_custkey FROM a JOIN b
+          ON a_xmin <= b_xmax AND b_xmin <= a_xmax
+         AND a_ymin <= b_ymax AND b_ymin <= a_ymax
+        ORDER BY s_suppkey, c_custkey""")),
+
     // B17d — radius join written raw: `pts JOIN qs ON st_dwithin(gp, gq, R)`.
     // plans.SpatialJoinRule expands the point envelopes by R and routes the
     // pair generation onto the grid equi-join (PlanSpec asserts no BNL);
