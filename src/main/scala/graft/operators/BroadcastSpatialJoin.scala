@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.GeoFunctions
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.catalyst.encoders.RowEncoder
 import org.apache.spark.sql.types.StructType
@@ -28,10 +29,21 @@ import org.locationtech.jts.index.strtree.STRtree
   * multiplicity, null geometries on either side drop.
   *
   * The whole small side is collected to the driver — same precondition as
-  * `broadcast()`: caller guarantees it is dim-sized. The STRtree itself is
-  * broadcast once (JTS trees are Serializable after build()).
+  * `broadcast()`: caller guarantees it is dim-sized. The index is split
+  * from the probe (`buildIndex` / `probe`) so a caller — notably
+  * plans.SpatialJoinRule, which rewrites at every re-plan — can build and
+  * broadcast it ONCE and reuse it across plannings.
   */
 object BroadcastSpatialJoin {
+
+  /** A built, broadcast small side: R-tree over envelopes + the decoded
+    * geometries + the original rows (values are indices into the arrays).
+    */
+  final case class Index(
+      tree: Broadcast[STRtree],
+      rows: Broadcast[Array[Row]],
+      geoms: Broadcast[Array[Geometry]],
+      schema: StructType)
 
   /** Supported predicates, evaluated as pred(bigGeom, smallGeom). */
   private def relation(name: String): (Geometry, Geometry) => Boolean = name match {
@@ -42,20 +54,17 @@ object BroadcastSpatialJoin {
       s"unsupported predicate '$other' (intersects | contains | within)")
   }
 
-  def apply(big: DataFrame, small: DataFrame, bigGeom: String, smallGeom: String,
-      predicate: String = "intersects"): DataFrame = {
-    val pred = relation(predicate)
-    val spark = big.sparkSession
-    val smallSchema = small.schema
-    val smallGeomIdx = smallSchema.fieldIndex(smallGeom)
-
-    // driver-side build: decode each small geometry once, index by envelope
+  /** Collect, decode and index the small side; broadcast the result. */
+  def buildIndex(small: DataFrame, smallGeom: String): Index = {
+    val sc = small.sparkSession.sparkContext
+    val schema = small.schema
+    val geomIdx = schema.fieldIndex(smallGeom)
     val smallRows = small.collect()
     val tree = new STRtree()
     val geoms = new Array[Geometry](smallRows.length)
     var i = 0
     while (i < smallRows.length) {
-      val wkb = smallRows(i).getAs[Array[Byte]](smallGeomIdx)
+      val wkb = smallRows(i).getAs[Array[Byte]](geomIdx)
       if (wkb != null) {
         val g = GeoFunctions.fromWkb(wkb)
         geoms(i) = g
@@ -63,14 +72,20 @@ object BroadcastSpatialJoin {
       }
       i += 1
     }
-    tree.build() // freeze before broadcast (build is not thread-safe lazily)
-    val bcTree = spark.sparkContext.broadcast(tree)
-    val bcRows = spark.sparkContext.broadcast(smallRows)
-    val bcGeoms = spark.sparkContext.broadcast(geoms)
+    tree.build() // freeze before broadcast (lazy build is not thread-safe)
+    Index(sc.broadcast(tree), sc.broadcast(smallRows), sc.broadcast(geoms), schema)
+  }
 
+  /** Stream `big` through a built index. */
+  def probe(big: DataFrame, index: Index, bigGeom: String,
+      predicate: String = "intersects"): DataFrame = {
+    val pred = relation(predicate)
     val bigSchema = big.schema
     val bigGeomIdx = bigSchema.fieldIndex(bigGeom)
-    val outSchema = StructType(bigSchema.fields ++ smallSchema.fields)
+    val outSchema = StructType(bigSchema.fields ++ index.schema.fields)
+    val bcTree = index.tree
+    val bcRows = index.rows
+    val bcGeoms = index.geoms
 
     big.mapPartitions { rows =>
       val t = bcTree.value
@@ -94,4 +109,8 @@ object BroadcastSpatialJoin {
       }
     }(RowEncoder.encoderFor(outSchema))
   }
+
+  def apply(big: DataFrame, small: DataFrame, bigGeom: String, smallGeom: String,
+      predicate: String = "intersects"): DataFrame =
+    probe(big, buildIndex(small, smallGeom), bigGeom, predicate)
 }

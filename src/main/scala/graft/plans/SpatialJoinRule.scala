@@ -13,8 +13,24 @@ import org.apache.spark.sql.functions._
   * operators.SpatialJoin): an inner join whose condition tests a spatial
   * predicate — `st_intersects(lg, rg)`, `st_contains`/`st_within`, or
   * `st_dwithin(lg, rg, r)` — would plan as a broadcast nested loop —
-  * O(n·m) exact-predicate evaluations, a non-starter at scale. This rule
-  * rewrites it into the grid pattern:
+  * O(n·m) exact-predicate evaluations, a non-starter at scale. The rule
+  * picks between TWO physical strategies by data shape, the way Spark
+  * itself picks broadcast-hash vs shuffle joins:
+  *
+  * 1. BROADCAST-INDEX route (operators.BroadcastSpatialJoin) when one
+  *    side's estimated size is under `spark.graft.spatialJoin
+  *    .broadcastThreshold` (default: the session's
+  *    autoBroadcastJoinThreshold; <= 0 disables): an STRtree over the
+  *    small side broadcasts and the big side streams through it — NO
+  *    shuffle, NO replication; the tree's envelope candidates are trimmed
+  *    by st_intersects (candidate-complete for containment too: contains/
+  *    within imply intersects) and the FULL original condition re-filters.
+  *    Not taken for st_dwithin (the expansion radius belongs to the grid
+  *    machinery). The children arrive already column-pruned, so the
+  *    row-object boundary the probe introduces carries only the narrow
+  *    projection.
+  *
+  * 2. GRID route otherwise (fact-fact):
   *
   *   explode each side's envelope into the grid cells it covers
   *     -> EQUI-join on (cellX, cellY)   [shuffle-partitioned, AQE-skew-safe]
@@ -110,9 +126,78 @@ object SpatialJoinRule extends Rule[LogicalPlan] {
       // no BNL to save, and the grid rewrite would only multiply rows.
       if (hasCrossEquality(cond, l, r)) j
       else harvest(cond, l, r) match {
-        case Some(route) => rewrite(j, l, r, route, cond)
+        case Some(route) =>
+          smallSide(l, r, route) match {
+            case Some(smallIsLeft) => rewriteBroadcast(j, l, r, route, cond, smallIsLeft)
+            case None => rewrite(j, l, r, route, cond)
+          }
         case None => j
       }
+  }
+
+  val BroadcastThresholdConf = "spark.graft.spatialJoin.broadcastThreshold"
+
+  /** Some(true) = left side broadcasts, Some(false) = right, None = grid
+    * route. dwithin never broadcasts (the expansion radius belongs to the
+    * grid machinery); stats are Spark's own size estimates, the same signal
+    * its broadcast-hash decision uses.
+    */
+  private def smallSide(l: LogicalPlan, r: LogicalPlan, route: Route): Option[Boolean] = {
+    if (route.lExpand.nonEmpty || route.rExpand.nonEmpty) return None
+    val conf = SparkSession.active.sessionState.conf
+    val threshold = SparkSession.active.conf.getOption(BroadcastThresholdConf)
+      .map(_.toLong).getOrElse(conf.autoBroadcastJoinThreshold)
+    if (threshold <= 0) return None
+    val (ls, rs) = (l.stats.sizeInBytes, r.stats.sizeInBytes)
+    if (ls <= threshold && ls <= rs) Some(true)
+    else if (rs <= threshold) Some(false)
+    else None
+  }
+
+  private def rewriteBroadcast(j: Join, l: LogicalPlan, r: LogicalPlan,
+      route: Route, cond: Expression, smallIsLeft: Boolean): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project}
+    val spark = SparkSession.active
+    val (bigPlan, bigGeom, smallPlan, smallGeom) =
+      if (smallIsLeft) (r, route.rg, l, route.lg) else (l, route.lg, r, route.rg)
+    // children are already pruned; only the geometry evaluation is added
+    val bigDf = ofRows(spark, bigPlan).withColumn("__graft_bgeom", column(bigGeom))
+    // the index (collect + broadcast of the small side) is memoized like
+    // the grid cell: re-planning the same join must not re-pay the
+    // planning-time job (bounded: cleared wholesale past 64 entries)
+    val smallKey = {
+      val idx = smallPlan.output.map(_.exprId).zipWithIndex.toMap
+      val g = smallGeom.transform {
+        case a: Attribute => BoundReference(idx.getOrElse(a.exprId, -1), a.dataType, a.nullable)
+      }
+      (smallPlan.canonicalized.semanticHash(), g.semanticHash()).hashCode()
+    }
+    if (indexMemo.size() > 64) indexMemo.clear()
+    val index = indexMemo.computeIfAbsent(smallKey, _ => {
+      val smallDf = ofRows(spark, smallPlan).withColumn("__graft_sgeom", column(smallGeom))
+      graft.operators.BroadcastSpatialJoin.buildIndex(smallDf, "__graft_sgeom")
+    })
+    val base = graft.operators.BroadcastSpatialJoin
+      .probe(bigDf, index, "__graft_bgeom", "intersects")
+      .queryExecution.analyzed
+    // the probe's object boundary mints FRESH ExprIds; map the original
+    // attributes to their positional successors (base.output = big ++
+    // [bgeom] ++ small ++ [sgeom], in order)
+    val nb = bigPlan.output.length
+    val newBig = base.output.slice(0, nb)
+    val newSmall = base.output.slice(nb + 1, nb + 1 + smallPlan.output.length)
+    val m: Map[ExprId, Attribute] =
+      (bigPlan.output.zip(newBig) ++ smallPlan.output.zip(newSmall))
+        .map { case (o, n) => o.exprId -> n }.toMap
+    // exact semantics: the FULL original condition re-filters the
+    // envelope+intersects candidates (covers contains/within directions
+    // and any extra conjuncts)
+    val condNew = cond.transform { case a: Attribute => m.getOrElse(a.exprId, a) }
+    // restore the original join's schema: attribute order AND ExprIds (the
+    // parent operators reference them)
+    val restored = j.output.map(a =>
+      Alias(m(a.exprId), a.name)(exprId = a.exprId))
+    Project(restored, Filter(condNew, base))
   }
 
   private def hasCrossEquality(cond: Expression, l: LogicalPlan, r: LogicalPlan): Boolean =
@@ -239,6 +324,15 @@ object SpatialJoinRule extends Rule[LogicalPlan] {
     */
   private val cellMemo =
     new java.util.concurrent.ConcurrentHashMap[Int, Option[Double]]()
+
+  /** Built small-side indexes for the broadcast route, keyed like
+    * [[cellMemo]] (canonicalized small plan + ordinal-bound geometry).
+    * A collision reuses an index built over the same canonical plan, so
+    * results are unaffected; rows/schema compatibility is guaranteed by
+    * the canonicalization including the output schema.
+    */
+  private val indexMemo = new java.util.concurrent.ConcurrentHashMap[
+    Int, graft.operators.BroadcastSpatialJoin.Index]()
 
   private def memoKey(l: LogicalPlan, r: LogicalPlan, route: Route): Int = {
     // route expressions carry plan-instance ExprIds; bind attributes to

@@ -187,11 +187,11 @@ object Geometry extends QueryBlock {
     // B17c — the SAME join written the way a user naturally would: a raw
     // `a JOIN b ON st_intersects(ga, gb)` over box GEOMETRIES. Without
     // intervention Spark plans this as a broadcast nested loop;
-    // plans.SpatialJoinRule routes it onto the grid-cell equi-join with
-    // the exact predicate as post-filter and reference-point dedup
-    // (PlanSpec asserts no BNL). Shares b17's oracle: all three paths —
-    // range theta-join, explicit grid operator, auto-routed raw predicate —
-    // must produce identical pairs.
+    // plans.SpatialJoinRule routes it by data shape — here the supplier
+    // side is dim-sized, so the BROADCAST-INDEX route wins (STRtree probe,
+    // no shuffle); with the threshold disabled it falls back to the
+    // grid-cell equi-join (both asserted in PlanSpec). Shares b17's
+    // oracle: every path must produce identical pairs.
     "b17c_intersect_join" -> QueryDef(
       (s, dir) => {
         val sup = t(s, dir, "supplier").filter(col("s_suppkey") <= 100)
@@ -278,8 +278,9 @@ object Geometry extends QueryBlock {
 
     // B17e — containment join written raw: `boxes JOIN pts ON
     // st_contains(ga, gp)`. Containment implies envelope overlap, so the
-    // same grid route applies; JTS contains = point in the INTERIOR
-    // (strict inequalities — b09's boundary semantics).
+    // same routing applies (broadcast-index here: the box side is
+    // dim-sized); JTS contains = point in the INTERIOR (strict
+    // inequalities — b09's boundary semantics).
     "b17e_contains_join" -> QueryDef(
       (s, dir) => {
         val sup = t(s, dir, "supplier").filter(col("s_suppkey") <= 100)

@@ -88,11 +88,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("rangepartitioning"), plan)
   }
 
-  test("B17c raw st_intersects join routes to the grid equi-join (no BNL)") {
+  test("B17c raw st_intersects join picks the broadcast-index route (dim-sized side)") {
     val plan = planOf("b17c_intersect_join")
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
-    assert(plan.contains("Generate explode"), s"grid explode missing:\n$plan")
+    assert(plan.contains("MapPartitions"), s"broadcast-index probe missing:\n$plan")
+  }
+
+  test("B17c under a disabled broadcast threshold falls back to the grid equi-join") {
+    spark.conf.set(graft.plans.SpatialJoinRule.BroadcastThresholdConf, "-1")
+    try {
+      val plan = planOf("b17c_intersect_join")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+      assert(plan.contains("Generate explode"), s"grid explode missing:\n$plan")
+    } finally spark.conf.unset(graft.plans.SpatialJoinRule.BroadcastThresholdConf)
   }
 
   test("B17d raw st_dwithin join routes to the grid equi-join (no BNL)") {
@@ -102,11 +111,15 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("Generate explode"), s"grid explode missing:\n$plan")
   }
 
-  test("B17e raw st_contains join routes to the grid equi-join (no BNL)") {
+  test("B17e raw st_contains join picks the broadcast-index route (dim-sized side)") {
+    // supplier (<=100 rows) is under the broadcast threshold: the rule must
+    // choose the STRtree probe — no BNL, no grid replication, no shuffle of
+    // the probe side
     val plan = planOf("b17e_contains_join")
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
-    assert(plan.contains("Generate explode"), s"grid explode missing:\n$plan")
+    assert(plan.contains("MapPartitions"), s"broadcast-index probe missing:\n$plan")
+    assert(!plan.contains("Generate explode"), s"grid replication where broadcast suffices:\n$plan")
   }
 
   test("SpatialJoinRule auto-route keeps scans pruned on a wide table") {

@@ -20,7 +20,20 @@ class SpatialJoinRuleSpec extends AnyFunSuite {
         col("xmax"), col("ymax")).as(gcol))
   }
 
-  test("routed join preserves duplicate-row multiplicity (reference-point dedup, no distinct)") {
+  /** Pin the GRID route: these fixtures are tiny, so stats-based routing
+    * would take the broadcast-index path and the grid machinery under test
+    * (cell derivation, reference-point dedup, explode) would never run.
+    * BroadcastSpatialJoinSpec covers the broadcast path directly.
+    */
+  private def gridOnly[A](body: => A): A = {
+    spark.conf.set(graft.plans.SpatialJoinRule.BroadcastThresholdConf, "-1")
+    try body
+    finally spark.conf.unset(graft.plans.SpatialJoinRule.BroadcastThresholdConf)
+  }
+  private def gridTest(name: String)(body: => Unit): Unit =
+    test(name)(gridOnly(body))
+
+  gridTest("routed join preserves duplicate-row multiplicity (reference-point dedup, no distinct)") {
     // two IDENTICAL left rows, and boxes spanning several 500-unit cells
     val l = boxes(Seq(
       (1L, 0.0, 0.0, 1200.0, 700.0), // spans 3x2 cells
@@ -60,7 +73,7 @@ class SpatialJoinRuleSpec extends AnyFunSuite {
     assert(routed.collect().map(_.getLong(0)).toSeq === Seq(1L))
   }
 
-  test("lon/lat-scale units still route and match the stock answer (derived cell)") {
+  gridTest("lon/lat-scale units still route and match the stock answer (derived cell)") {
     // degree-sized boxes inside a +-180 extent: a fixed 500-unit cell would
     // put EVERY row in one bucket (single-partition near-cross-product);
     // the derived cell comes from the observed envelope extents instead
@@ -127,7 +140,7 @@ class SpatialJoinRuleSpec extends AnyFunSuite {
       === Set((1L, 10L), (2L, 12L)))
   }
 
-  test("explicit spark.graft.spatialJoin.cell overrides derivation") {
+  gridTest("explicit spark.graft.spatialJoin.cell overrides derivation") {
     val l = boxes(Seq((1L, 0.0, 0.0, 10.0, 10.0)), "ga")
     val r = boxes(Seq((10L, 5.0, 5.0, 15.0, 15.0)), "gb")
     spark.conf.set(graft.plans.SpatialJoinRule.CellConf, "7.0")
@@ -141,7 +154,7 @@ class SpatialJoinRuleSpec extends AnyFunSuite {
     } finally spark.conf.unset(graft.plans.SpatialJoinRule.CellConf)
   }
 
-  test("all-null geometries leave the join unrouted (degenerate stats)") {
+  gridTest("all-null geometries leave the join unrouted (degenerate stats)") {
     import spark.implicits._
     val l = Seq(1L, 2L).toDF("id").withColumn("ga", lit(null).cast("binary"))
     val r = Seq(10L).toDF("id").withColumn("gb", lit(null).cast("binary"))
@@ -150,7 +163,7 @@ class SpatialJoinRuleSpec extends AnyFunSuite {
     assert(q.count() === 0)
   }
 
-  test("derived cell is memoized: re-planning the same join runs no second sampling job") {
+  gridTest("derived cell is memoized: re-planning the same join runs no second sampling job") {
     // a fresh DataFrame over the same join re-runs the optimizer; without
     // the memo every bench iteration / notebook re-run pays the sampling
     // job again at planning time
