@@ -170,7 +170,10 @@ object SpatialJoinRule extends Rule[LogicalPlan] {
       val g = smallGeom.transform {
         case a: Attribute => BoundReference(idx.getOrElse(a.exprId, -1), a.dataType, a.nullable)
       }
-      (smallPlan.canonicalized.semanticHash(), g.semanticHash()).hashCode()
+      // applicationId scopes the memo to the live SparkContext: broadcasts
+      // die with their context, so a restarted context must rebuild
+      (spark.sparkContext.applicationId,
+        smallPlan.canonicalized.semanticHash(), g.semanticHash()).hashCode()
     }
     if (indexMemo.size() > 64) indexMemo.clear()
     val index = indexMemo.computeIfAbsent(smallKey, _ => {
