@@ -82,6 +82,32 @@ object Relational2 extends QueryBlock {
         FROM read_json('$scratch/orders_json/*.json', format='newline_delimited')
         GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
+    // C2c — SCHEMA EVOLUTION read (mergeSchema): a dataset whose later
+    // files carry an added column must read as one table with NULLs for
+    // the pre-evolution rows — the way every long-lived 100 TB dataset
+    // actually looks. Batch A writes (p_partkey, p_name); batch B adds
+    // p_retailprice; mergeSchema unions the footers (one extra footer
+    // read per file — schema-on-read, no rewrite of old data). The oracle
+    // reads the same two file sets with union_by_name.
+    "c02_schema_evolution" -> QueryDef(
+      (s, dir) => {
+        val out = s"$scratch/part_evolved"
+        t(s, dir, "part").filter(col("p_partkey") % 2 === 0)
+          .select(col("p_partkey"), col("p_name"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$out/batch=a")
+        t(s, dir, "part").filter(col("p_partkey") % 2 === 1)
+          .select(col("p_partkey"), col("p_name"), col("p_retailprice"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$out/batch=b")
+        s.read.option("mergeSchema", "true").parquet(out)
+          .select(col("p_partkey"), col("p_name"), col("p_retailprice"))
+          .orderBy(col("p_partkey"))
+      },
+      Some(s"""SELECT p_partkey, p_name, p_retailprice
+        FROM read_parquet(['$scratch/part_evolved/batch=a/*.parquet',
+                           '$scratch/part_evolved/batch=b/*.parquet'],
+                          union_by_name=true)
+        ORDER BY p_partkey""")),
+
     // C3 — partitioned parquet sink; re-read must reproduce source aggregates.
     // Oracle aggregates the SOURCE table: equality proves the round-trip.
     "c03_partitioned_sink" -> QueryDef(
