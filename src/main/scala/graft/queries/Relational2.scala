@@ -124,6 +124,32 @@ object Relational2 extends QueryBlock {
         ${sqlSumD2("l_quantity")} AS sum_qty
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // C41 — CDC latest-wins merge (operators.MergeInto.applyChanges): a
+    // change batch carrying two versions — v2 upserts (+1000 balance for
+    // every 10th key) and v3 deletes (every 15th key) — folds into the
+    // customer base. Keys hit by both take the HIGHER version (delete
+    // wins), exercising the max_by newest-change selection. The oracle
+    // states the same outcome in closed form over the base table.
+    "c41_cdc_merge" -> QueryDef(
+      (s, dir) => {
+        val base = t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        val upserts = base.filter(col("c_custkey") % 10 === 0)
+          .select(col("c_custkey"), col("c_name"),
+            (col("c_acctbal") + 1000.0).as("c_acctbal"),
+            lit(2L).as("version"), lit(false).as("deleted"))
+        val deletes = base.filter(col("c_custkey") % 15 === 0)
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+            lit(3L).as("version"), lit(true).as("deleted"))
+        graft.operators.MergeInto.applyChanges(
+            base, upserts.unionByName(deletes), "c_custkey", "version", "deleted")
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_name,
+        CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 1000.0 ELSE c_acctbal END AS c_acctbal
+        FROM customer WHERE c_custkey % 15 <> 0
+        ORDER BY c_custkey""")),
+
     // C12 — range/interval join: lineitems shipped within [o_orderdate,
     // o_orderdate + 90 days) of their order. Equi key + range predicate —
     // the equi part keys the shuffle, the range is a cheap post-filter
