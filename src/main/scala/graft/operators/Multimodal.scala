@@ -96,6 +96,58 @@ object Multimodal {
     }
   }
 
+  /** REAL MP4/ISO-BMFF header decode: walks the top-level box sequence
+    * ([u32-BE size][4cc type] ...), reads the brand from `ftyp`, descends
+    * ONE level into `moov` for the `mvhd` (version-0) timescale/duration,
+    * and takes the media payload size from `mdat`. Size 0 ("to end of
+    * file") and 1 (64-bit largesize) are left unsupported → None, as are
+    * truncated or non-BMFF bytes — validate, don't trust.
+    * @return (major_brand, minor_version, timescale, duration, media_bytes)
+    */
+  def decodeMp4Header(b: Array[Byte]): Option[(String, Long, Long, Long, Long)] = {
+    def tag(o: Int): String =
+      if (b != null && b.length >= o + 4) new String(b.slice(o, o + 4), "US-ASCII") else ""
+    if (b == null || b.length < 20 || tag(4) != "ftyp") return None
+    var brand: Option[(String, Long)] = None
+    var mvhd: Option[(Long, Long)] = None
+    var mdatBytes = -1L
+    var o = 0L
+    var halt = false
+    while (!halt && o + 8 <= b.length) {
+      val sz = beU32(b, o.toInt)
+      val t = tag(o.toInt + 4)
+      if (sz < 8) halt = true // 0 = to-EOF, 1 = largesize, <8 corrupt: unsupported
+      else {
+        t match {
+          case "ftyp" if sz >= 16 =>
+            brand = Some((tag(o.toInt + 8), beU32(b, o.toInt + 12)))
+          case "moov" =>
+            // one-level walk inside moov for the version-0 mvhd
+            var i = o + 8
+            val end = math.min(o + sz, b.length.toLong)
+            while (mvhd.isEmpty && i + 8 <= end) {
+              val isz = beU32(b, i.toInt)
+              if (isz < 8) { i = end } // corrupt inner size: stop the walk
+              else {
+                if (tag(i.toInt + 4) == "mvhd" && isz >= 32 && (b(i.toInt + 8) & 0xff) == 0)
+                  mvhd = Some((beU32(b, i.toInt + 20), beU32(b, i.toInt + 24)))
+                i += isz
+              }
+            }
+          case "mdat" => mdatBytes = sz - 8
+          case _ => ()
+        }
+        val next = o + sz
+        if (next <= o || next > b.length.toLong) halt = true else o = next
+      }
+    }
+    for {
+      (mb, mv) <- brand
+      (ts, dur) <- mvhd
+      if mdatBytes >= 0
+    } yield (mb, mv, ts, dur, mdatBytes)
+  }
+
   // ---- fixture builders (valid files, deterministic content) -------------
 
   /** A complete, valid 24bpp BMP (header + padded pixel rows). */
@@ -160,6 +212,34 @@ object Multimodal {
     val idat = Array.fill(64) { s = splitmix64(s); (s & 0xff).toByte }
     Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
       chunk("IHDR", ihdr) ++ chunk("IDAT", idat) ++ chunk("IEND", Array.emptyByteArray)
+  }
+
+  /** A structurally valid MP4 shell: ftyp(isom) + moov{mvhd v0} + mdat of
+    * deterministic filler (no codec bitstream — header-level fixture; the
+    * moov carries a real version-0 mvhd whose timescale/duration the
+    * decoder and the oracle both read). Box layout is fixed — ftyp 20 B at
+    * 0, moov at 20 (mvhd body at 36), mdat at 136 — so the DuckDB oracle
+    * can address the same fields by offset while the decoder WALKS.
+    */
+  def makeMp4(minorVersion: Long, timescale: Long, duration: Long,
+      mediaBytes: Int, seed: Long): Array[Byte] = {
+    def box(t: String, payload: Array[Byte]): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(8 + payload.length)
+      out.putInt(8 + payload.length).put(t.getBytes("US-ASCII")).put(payload)
+      out.array()
+    }
+    val ftypPayload = java.nio.ByteBuffer.allocate(12)
+      .put("isom".getBytes("US-ASCII")).putInt(minorVersion.toInt)
+      .put("mp41".getBytes("US-ASCII")).array()
+    val mvhdBody = java.nio.ByteBuffer.allocate(100)
+      .put(0.toByte).put(new Array[Byte](3)) // version 0 + flags
+      .putInt(0).putInt(0) // ctime, mtime
+      .putInt(timescale.toInt).putInt(duration.toInt)
+      .array() // remaining rate/volume/matrix fields stay zero
+    val moov = box("moov", box("mvhd", mvhdBody))
+    var s = seed
+    val media = Array.fill(mediaBytes) { s = splitmix64(s); (s & 0xff).toByte }
+    box("ftyp", ftypPayload) ++ moov ++ box("mdat", media)
   }
 
   /** Deterministic 64-bit content hash feeding every stubbed feature. */

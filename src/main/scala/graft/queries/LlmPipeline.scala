@@ -637,6 +637,45 @@ object LlmPipeline extends QueryBlock {
           CAST(${duckHexByte(26)} AS INT) AS color_type
         FROM b ORDER BY fname""")),
 
+    // E12e — REAL video-container metadata decode: structurally valid MP4
+    // shells (ftyp + moov{mvhd} + mdat). The Spark decoder WALKS the box
+    // sequence (operators.Multimodal.decodeMp4Header); the fixture's fixed
+    // layout lets DuckDB address the same big-endian fields by offset —
+    // completing the image/audio/video metadata triple (e12b/e12c/e12e).
+    "e12e_video_meta" -> QueryDef(
+      (s, dir) => {
+        val mp4Dir = s"$scratch/mp4"
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(mp4Dir))
+        new java.io.File(mp4Dir).listFiles().foreach(_.delete())
+        (0 until 5).foreach { i =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(f"$mp4Dir/v$i%02d.mp4"),
+            graft.operators.Multimodal.makeMp4(
+              minorVersion = 512 + i, timescale = 1000 * (i + 1),
+              duration = 90000L + 7321L * i, mediaBytes = 64 + 13 * i,
+              seed = 4000 + i))
+        }
+        val meta = udf((b: Array[Byte]) => graft.operators.Multimodal.decodeMp4Header(b))
+        s.read.format("binaryFile").load(mp4Dir)
+          .select(regexp_extract(col("path"), "([^/]+)$", 1).as("fname"),
+            meta(col("content")).as("m"))
+          .select(col("fname"),
+            col("m._1").as("major_brand"), col("m._2").as("minor_version"),
+            col("m._3").as("timescale"), col("m._4").as("duration"),
+            col("m._5").as("media_bytes"))
+          .orderBy(col("fname"))
+      },
+      Some(s"""WITH b AS (SELECT filename, hex(content) AS H
+          FROM read_blob('$scratch/mp4/*.mp4'))
+        SELECT regexp_extract(filename, '([^/]+)$$', 1) AS fname,
+          chr(CAST(${duckHexByte(9)} AS INT)) || chr(CAST(${duckHexByte(10)} AS INT)) ||
+            chr(CAST(${duckHexByte(11)} AS INT)) || chr(CAST(${duckHexByte(12)} AS INT)) AS major_brand,
+          CAST(${duckBeU32(13)} AS BIGINT) AS minor_version,
+          CAST(${duckBeU32(49)} AS BIGINT) AS timescale,
+          CAST(${duckBeU32(53)} AS BIGINT) AS duration,
+          CAST(${duckBeU32(137)} - 8 AS BIGINT) AS media_bytes
+        FROM b ORDER BY fname""")),
+
     // E13 — corpus quality profile: one pass per lang.
     "e13_quality_profile" -> QueryDef(
       (s, dir) =>

@@ -62,6 +62,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeBmpHeader(bytes) === None)
   }
 
+  test("REAL MP4 box walk: ftyp/moov/mvhd/mdat found by WALKING, rejects non-BMFF") {
+    val bytes = Multimodal.makeMp4(minorVersion = 512, timescale = 1000,
+      duration = 90000, mediaBytes = 77, seed = 3L)
+    assert(Multimodal.decodeMp4Header(bytes) === Some(("isom", 512L, 1000L, 90000L, 77L)))
+    assert(Multimodal.decodeMp4Header("not a movie".getBytes) === None)
+    assert(Multimodal.decodeMp4Header(bytes.take(30)) === None) // truncated
+    // the decoder must WALK boxes, not assume offsets: inject a free box
+    // between ftyp and moov and re-check
+    val free = java.nio.ByteBuffer.allocate(16).putInt(16)
+      .put("free".getBytes("US-ASCII")).put(new Array[Byte](8)).array()
+    val shifted = bytes.take(20) ++ free ++ bytes.drop(20)
+    assert(Multimodal.decodeMp4Header(shifted) === Some(("isom", 512L, 1000L, 90000L, 77L)))
+    // corrupt box size (< 8) halts the walk -> None, no infinite loop
+    val bad = bytes.clone()
+    bad(23) = 2 // moov size low byte -> 2
+    assert(Multimodal.decodeMp4Header(bad) === None)
+    // disjoint from the other decoders
+    assert(Multimodal.decodeBmpHeader(bytes) === None)
+    assert(Multimodal.decodePngHeader(bytes) === None)
+  }
+
   test("REAL WAV header decode: chunk walk finds fmt + data, rejects non-WAV") {
     val bytes = Multimodal.makeWav(channels = 2, sampleRate = 22050, nSamples = 441, seed = 9L)
     assert(Multimodal.decodeWavHeader(bytes) === Some((2, 22050, 16, 441L)))
