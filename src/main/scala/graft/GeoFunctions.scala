@@ -91,6 +91,38 @@ object GeoFunctions extends Serializable {
   // B16: SRID carried in the JTS user-data-free way — EWKB-style embedding
   // is deliberately avoided (canonical WKB stays 2D/no-SRID for stable
   // hashes); SRID travels on the geometry object and in geo metadata.
+  /** Collect an array of WKB geometries into one multi-geometry: all-point
+    * inputs build a MULTIPOINT (the common case: per-group point sets), a
+    * uniform line/polygon array its Multi* counterpart, anything mixed a
+    * GEOMETRYCOLLECTION. Nulls inside the array are dropped; an empty or
+    * null array yields NULL. Deterministic given the array order — callers
+    * wanting engine-independent bytes sort first (sort_array on WKB is a
+    * stable lexicographic order).
+    */
+  val stCollectF: Seq[Array[Byte]] => Array[Byte] = (arr: Seq[Array[Byte]]) => {
+    if (arr == null) null
+    else {
+      val gs = arr.filter(_ != null).map(fromWkb)
+      if (gs.isEmpty) null
+      else if (gs.forall(_.isInstanceOf[Point]))
+        toWkb(gf.createMultiPoint(gs.map(_.asInstanceOf[Point]).toArray))
+      else if (gs.forall(_.isInstanceOf[LineString]))
+        toWkb(gf.createMultiLineString(gs.map(_.asInstanceOf[LineString]).toArray))
+      else if (gs.forall(_.isInstanceOf[Polygon]))
+        toWkb(gf.createMultiPolygon(gs.map(_.asInstanceOf[Polygon]).toArray))
+      else toWkb(gf.createGeometryCollection(gs.toArray))
+    }
+  }
+
+  /** Douglas-Peucker simplification (JTS; topology NOT preserved — the
+    * standard DP contract: endpoints kept, interior vertices within
+    * `tolerance` of the simplified line dropped).
+    */
+  val stSimplifyF: (Array[Byte], Double) => Array[Byte] = (b, tol) =>
+    if (b == null) null
+    else toWkb(org.locationtech.jts.simplify.DouglasPeuckerSimplifier
+      .simplify(fromWkb(b), tol))
+
   val stSridF: Array[Byte] => java.lang.Integer = g1(_.getSRID)
   val stSetSridF: (Array[Byte], Int) => Array[Byte] =
     (b, srid) => if (b == null) null else {
@@ -164,6 +196,8 @@ object GeoFunctions extends Serializable {
     GraftColumnBridge.column(
       graft.functions.StConvexHullExpr(GraftColumnBridge.expression(g)))
   }
+  val st_collect = udf(stCollectF).withName("st_collect")
+  val st_simplify = udf(stSimplifyF).withName("st_simplify")
   val st_astext = udf(stAsTextF).withName("st_astext")
   val st_geomfromtext = udf(stGeomFromTextF).withName("st_geomfromtext")
   // struct<xmin,ymin,xmax,ymax> with stable field names
@@ -204,5 +238,7 @@ object GeoFunctions extends Serializable {
     spark.udf.register("st_geomfromtext", stGeomFromTextF)
     spark.udf.register("st_srid", stSridF)
     spark.udf.register("st_setsrid", stSetSridF)
+    spark.udf.register("st_collect", stCollectF)
+    spark.udf.register("st_simplify", stSimplifyF)
   }
 }

@@ -148,6 +148,29 @@ object Multimodal {
     } yield (mb, mv, ts, dur, mdatBytes)
   }
 
+  /** REAL GIF header decode: `GIF87a`/`GIF89a` signature, then the logical
+    * screen descriptor — width/height as little-endian u16 at offsets 6/8,
+    * the packed byte at 10 (bit 7 = global-color-table flag, bits 2-0 its
+    * size exponent: 2^(n+1) entries), background color index at 11. When
+    * the GCT flag is set the header must actually be long enough to hold
+    * the table — a truncated file yields None, never a phantom palette.
+    * @return (version, width, height, gct_colors, bg_index)
+    */
+  def decodeGifHeader(b: Array[Byte]): Option[(String, Int, Int, Int, Int)] = {
+    if (b == null || b.length < 13 ||
+      b(0) != 'G'.toByte || b(1) != 'I'.toByte || b(2) != 'F'.toByte) None
+    else {
+      val version = new String(b.slice(3, 6), "US-ASCII")
+      if (version != "87a" && version != "89a") None
+      else {
+        val packed = b(10) & 0xff
+        val gctColors = if ((packed & 0x80) != 0) 1 << ((packed & 0x07) + 1) else 0
+        if (gctColors > 0 && b.length < 13 + 3 * gctColors) None
+        else Some((version, leU16(b, 6), leU16(b, 8), gctColors, b(11) & 0xff))
+      }
+    }
+  }
+
   // ---- fixture builders (valid files, deterministic content) -------------
 
   /** A complete, valid 24bpp BMP (header + padded pixel rows). */
@@ -212,6 +235,29 @@ object Multimodal {
     val idat = Array.fill(64) { s = splitmix64(s); (s & 0xff).toByte }
     Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
       chunk("IHDR", ihdr) ++ chunk("IDAT", idat) ++ chunk("IEND", Array.emptyByteArray)
+  }
+
+  /** A structurally valid GIF: signature + logical screen descriptor +
+    * global color table of deterministic entries + trailer. No image data
+    * blocks — header-level fixture; the decoder and the oracle both read
+    * only the first 13 bytes (+ GCT length validation).
+    */
+  def makeGif(width: Int, height: Int, gctExp: Int, bgIndex: Int,
+      seed: Long, version: String = "89a"): Array[Byte] = {
+    require(gctExp >= 0 && gctExp <= 7, "GCT size exponent is 3 bits")
+    val gctColors = 1 << (gctExp + 1)
+    val out = java.nio.ByteBuffer.allocate(13 + 3 * gctColors + 1)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put(("GIF" + version).getBytes("US-ASCII"))
+    out.putShort(width.toShort).putShort(height.toShort)
+    out.put((0x80 | gctExp).toByte) // GCT present, color resolution 0
+    out.put(bgIndex.toByte).put(0.toByte) // bg index, square pixels
+    var s = seed
+    (0 until 3 * gctColors).foreach { _ =>
+      s = splitmix64(s); out.put((s & 0xff).toByte)
+    }
+    out.put(0x3b.toByte) // trailer
+    out.array()
   }
 
   /** A structurally valid MP4 shell: ftyp(isom) + moov{mvhd v0} + mdat of

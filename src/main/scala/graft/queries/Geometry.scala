@@ -364,6 +364,37 @@ object Geometry extends QueryBlock {
         max(c_acctbal) AS xmax,
         max(CAST(c_custkey % 1000 AS DOUBLE)) AS ymax,
         count(*) AS n
-        FROM customer GROUP BY c_nationkey ORDER BY c_nationkey"""))
+        FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""")),
+
+    // B20 — st_collect aggregate: per-group point sets collected into one
+    // MULTIPOINT geometry (sorted WKB input for engine-independent bytes),
+    // verified through accessors the oracle can recompute in closed form:
+    // npoints = the group count, centroid = the coordinate means, type tag
+    // constant. The collect itself is sort_array(collect_list(...)) — one
+    // partial+final aggregate, no extra shuffle beyond the groupBy.
+    "b20_collect_agg" -> QueryDef(
+      (s, dir) => {
+        val pts = t(s, dir, "customer")
+          .filter(col("c_custkey") < 2000)
+          .select(col("c_nationkey"),
+            G.st_point(col("c_acctbal"),
+              pmod(col("c_custkey"), lit(1000)).cast("double")).as("pt"))
+        pts.groupBy(col("c_nationkey"))
+          .agg(sort_array(collect_list(col("pt"))).as("pts"))
+          .select(col("c_nationkey"), G.st_collect(col("pts")).as("g"))
+          .select(col("c_nationkey"),
+            G.st_npoints(col("g")).as("npts"),
+            G.st_geometrytype(col("g")).as("gtype"),
+            round(G.st_x(G.st_centroid(col("g"))), 6).as("cx"),
+            round(G.st_y(G.st_centroid(col("g"))), 6).as("cy"))
+          .orderBy(col("c_nationkey"))
+      },
+      Some("""SELECT c_nationkey,
+        CAST(count(*) AS INT) AS npts,
+        'MultiPoint' AS gtype,
+        round(avg(c_acctbal), 6) AS cx,
+        round(avg(CAST(c_custkey % 1000 AS DOUBLE)), 6) AS cy
+        FROM customer WHERE c_custkey < 2000
+        GROUP BY c_nationkey ORDER BY c_nationkey"""))
   )
 }

@@ -363,6 +363,110 @@ object LlmPipeline extends QueryBlock {
         WHERE doc_id >= 10
         GROUP BY doc_id ORDER BY doc_id""")),
 
+    // E23 — fixed-size deterministic per-group sample ("exactly k docs per
+    // language"): score each doc by an integer hash permutation both
+    // engines compute exactly in BIGINT arithmetic (Knuth multiplicative
+    // step mod a prime), keep the k smallest per group through the bounded
+    // TopK aggregator — map-side state is k rows per partition per group
+    // (the 100 TB path), never a full per-group sort. The oracle ranks the
+    // same permutation with a window function.
+    "e23_group_sample" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val k = 10
+        t(s, dir, "documents")
+          .select(col("lang"), col("doc_id"),
+            (col("doc_id") * lit(2654435761L)) % lit(4294967311L)).as[(String, Long, Long)]
+          .groupByKey(_._1)
+          .mapValues(r => (-r._3.toDouble, r._2)) // TopK keeps largest; negate for smallest-h
+          .agg(new graft.operators.TopK(k).toColumn.name("top"))
+          .flatMap { case (lang, top) =>
+            top.zipWithIndex.map { case ((negH, id), i) => (lang, i + 1, id, (-negH).toLong) }
+          }
+          .toDF("lang", "rk", "doc_id", "h")
+          .orderBy(col("lang"), col("rk"))
+      },
+      Some("""WITH s AS (SELECT lang, doc_id,
+          (doc_id * 2654435761) % 4294967311 AS h FROM documents),
+        ranked AS (SELECT lang, doc_id, h,
+          CAST(row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS INT) AS rk
+          FROM s)
+        SELECT lang, rk, doc_id, h FROM ranked WHERE rk <= 10 ORDER BY lang, rk""")),
+
+    // E24 — symmetric int8 embedding quantization (4x smaller vectors at
+    // rest / on the shuffle wire — the compression step before ANN
+    // indexing at 100 TB): per-vector max-abs scale,
+    // q = floor(x*127/maxabs + 0.5) — the EXPLICIT half-up formula, so
+    // engine rounding semantics never enter; zero vectors quantize to
+    // NULL. Scan-local arithmetic, no shuffle. Dequantization error
+    // bound (<= maxabs/254 per component) is PipelineOpsPropertySpec's.
+    "e24_int8_quantize" -> QueryDef(
+      (s, dir) =>
+        t(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"),
+            expr("aggregate(embedding, 0.0D, (s, x) -> greatest(s, abs(CAST(x AS DOUBLE))))")
+              .as("maxabs"))
+          .select(col("vec_id"),
+            round(col("maxabs"), 6).as("scale_max"),
+            when(col("maxabs") > 0, expr(
+              "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / maxabs + 0.5) AS INT))"))
+              .as("q"))
+          .orderBy(col("vec_id")),
+      Some("""WITH m AS (SELECT vec_id, embedding,
+          coalesce(list_aggregate(list_transform(embedding,
+            x -> abs(CAST(x AS DOUBLE))), 'max'), 0.0) AS maxabs
+          FROM embeddings)
+        SELECT vec_id, round(maxabs, 6) AS scale_max,
+          CASE WHEN maxabs > 0 THEN list_transform(embedding,
+            x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / maxabs + 0.5) AS INT)) END AS q
+        FROM m ORDER BY vec_id""")),
+
+    // E26 — corpus-wide duplicated-passage profile (the Gopher/C4
+    // "duplicate n-gram fraction" quality signal): a 5-token shingle is
+    // duplicated when it occurs in >= 2 DISTINCT documents; per document,
+    // count distinct shingles and the fraction that are corpus-duplicated.
+    // Join-shaped (shingle-keyed shuffle + semi join back) — linear in
+    // corpus size, no all-pairs comparison. Documents under 5 tokens have
+    // no shingles and drop out on both sides.
+    "e26_dup_passages" -> QueryDef(
+      (s, dir) => {
+        val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+          .select(col("doc_id"),
+            expr("filter(split(lower(text), ' '), x -> x != '')").as("toks"))
+        val grams = docs.select(col("doc_id"),
+          explode(when(size(col("toks")) >= 5, expr(
+            """transform(sequence(1, size(toks) - 4),
+               i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),
+                              element_at(toks, i + 2), element_at(toks, i + 3),
+                              element_at(toks, i + 4)))"""))
+            .otherwise(typedlit(Seq.empty[String]))).as("gram"))
+          .distinct()
+        val dupGrams = grams.groupBy(col("gram"))
+          .agg(count(lit(1)).as("nd")).filter(col("nd") >= 2).select(col("gram"))
+        val perDoc = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+        val dupPerDoc = grams.join(dupGrams, Seq("gram"), "left_semi")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
+        perDoc.join(dupPerDoc, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_shingles"),
+            coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+            round(coalesce(col("n_dup"), lit(0L)).cast("double") / col("n_shingles"), 6)
+              .as("dup_frac"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (SELECT doc_id,
+          list_filter(string_split(lower(text), ' '), x -> x <> '') AS s
+          FROM documents WHERE text IS NOT NULL),
+        g AS (SELECT DISTINCT doc_id, array_to_string(s[i:i+4], ' ') AS gram
+          FROM d, UNNEST(generate_series(1, len(s) - 4)) AS u(i)),
+        dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+        per_doc AS (SELECT doc_id, count(*) AS n_shingles FROM g GROUP BY doc_id),
+        dup_per_doc AS (SELECT doc_id, count(*) AS n_dup
+          FROM g WHERE gram IN (SELECT gram FROM dup) GROUP BY doc_id)
+        SELECT p.doc_id, p.n_shingles, coalesce(dp.n_dup, 0) AS n_dup,
+          round(CAST(coalesce(dp.n_dup, 0) AS DOUBLE) / p.n_shingles, 6) AS dup_frac
+        FROM per_doc p LEFT JOIN dup_per_doc dp USING (doc_id)
+        ORDER BY p.doc_id""")),
+
     // E6 — quality signals: stopword ratio (literal list), word stats,
     // language filter. All codegen'd higher-order fns.
     "e06_text_quality" -> QueryDef(
@@ -674,6 +778,47 @@ object LlmPipeline extends QueryBlock {
           CAST(${duckBeU32(49)} AS BIGINT) AS timescale,
           CAST(${duckBeU32(53)} AS BIGINT) AS duration,
           CAST(${duckBeU32(137)} - 8 AS BIGINT) AS media_bytes
+        FROM b ORDER BY fname""")),
+
+    // E12f — REAL GIF metadata decode (logical screen descriptor +
+    // global-color-table sizing): the little-endian twin of e12d's
+    // big-endian PNG walk. The oracle recomputes the GCT entry count from
+    // the packed byte's flag + size-exponent bits in SQL.
+    "e12f_gif_meta" -> QueryDef(
+      (s, dir) => {
+        val gifDir = s"$scratch/gif"
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(gifDir))
+        new java.io.File(gifDir).listFiles().foreach(_.delete())
+        (0 until 5).foreach { i =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(f"$gifDir/anim$i%02d.gif"),
+            graft.operators.Multimodal.makeGif(
+              width = 40 + 23 * i, height = 30 + 13 * i, gctExp = (i * 2) % 8,
+              bgIndex = i * 3, seed = 5000 + i,
+              version = if (i % 2 == 0) "89a" else "87a"))
+        }
+        val meta = udf((b: Array[Byte]) => graft.operators.Multimodal.decodeGifHeader(b))
+        s.read.format("binaryFile").load(gifDir)
+          .select(regexp_extract(col("path"), "([^/]+)$", 1).as("fname"),
+            length(col("content")).as("n_bytes"),
+            meta(col("content")).as("m"))
+          .select(col("fname"), col("n_bytes"),
+            col("m._1").as("version"), col("m._2").as("width"),
+            col("m._3").as("height"), col("m._4").as("gct_colors"),
+            col("m._5").as("bg_index"))
+          .orderBy(col("fname"))
+      },
+      Some(s"""WITH b AS (SELECT filename, size, hex(content) AS H
+          FROM read_blob('$scratch/gif/*.gif'))
+        SELECT regexp_extract(filename, '([^/]+)$$', 1) AS fname,
+          CAST(size AS INT) AS n_bytes,
+          chr(CAST(${duckHexByte(4)} AS INT)) || chr(CAST(${duckHexByte(5)} AS INT)) ||
+            chr(CAST(${duckHexByte(6)} AS INT)) AS version,
+          CAST(${duckLeU16(7)} AS INT) AS width,
+          CAST(${duckLeU16(9)} AS INT) AS height,
+          CAST(CASE WHEN ${duckHexByte(11)} >= 128
+            THEN power(2, (${duckHexByte(11)} % 8) + 1) ELSE 0 END AS INT) AS gct_colors,
+          CAST(${duckHexByte(12)} AS INT) AS bg_index
         FROM b ORDER BY fname""")),
 
     // E13 — corpus quality profile: one pass per lang.

@@ -107,6 +107,40 @@ class GeoFunctionsSpec extends AnyFunSuite {
     assert(c.getCoordinate.equals2D(new Coordinate(4, 2)))
   }
 
+  test("st_collect: typed multi-geometries, null/empty handling, centroid = mean") {
+    val pts = Seq(stPointF(0.0, 0.0), stPointF(2.0, 0.0), stPointF(1.0, 3.0))
+    val mp = fromWkb(stCollectF(pts))
+    assert(mp.getGeometryType === "MultiPoint")
+    assert(mp.getNumPoints === 3)
+    assert(mp.getCentroid.getX === 1.0 && mp.getCentroid.getY === 1.0)
+    // uniform lines -> MultiLineString; mixed -> GeometryCollection
+    val line = stGeomFromTextF("LINESTRING (0 0, 1 1)")
+    assert(fromWkb(stCollectF(Seq(line, line))).getGeometryType === "MultiLineString")
+    val box = stMakeBoxF(0, 0, 1, 1)
+    assert(fromWkb(stCollectF(Seq(box, box))).getGeometryType === "MultiPolygon")
+    assert(fromWkb(stCollectF(Seq(box, line))).getGeometryType === "GeometryCollection")
+    // nulls inside drop; all-null/empty/null arrays -> null
+    assert(fromWkb(stCollectF(Seq(null, pts.head))).getGeometryType === "MultiPoint")
+    assert(stCollectF(Seq(null)) === null)
+    assert(stCollectF(Seq.empty) === null)
+    assert(stCollectF(null) === null)
+  }
+
+  test("st_simplify: DP drops interior vertices within tolerance, keeps endpoints") {
+    val zigzag = stGeomFromTextF(
+      "LINESTRING (0 0, 1 0.01, 2 -0.01, 3 0.01, 4 0)")
+    val simple = fromWkb(stSimplifyF(zigzag, 0.1))
+    assert(simple.getNumPoints === 2) // wiggles under tolerance vanish
+    val cs = simple.getCoordinates
+    assert(cs.head.x === 0.0 && cs.head.y === 0.0)
+    assert(cs.last.x === 4.0 && cs.last.y === 0.0)
+    // tolerance 0 keeps every vertex; a real corner survives its tolerance
+    assert(fromWkb(stSimplifyF(zigzag, 0.0)).getNumPoints === 5)
+    val corner = stGeomFromTextF("LINESTRING (0 0, 2 2, 4 0)")
+    assert(fromWkb(stSimplifyF(corner, 0.5)).getNumPoints === 3)
+    assert(stSimplifyF(null, 1.0) === null)
+  }
+
   test("native overlay expressions: byte parity with the scalar kernels, no ScalaUDF") {
     // B12-B14/B16 as catalyst Expressions (functions.WkbOverlay): same JTS
     // kernel, so the produced WKB must be byte-identical to the scalar F

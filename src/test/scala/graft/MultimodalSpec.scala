@@ -62,6 +62,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeBmpHeader(bytes) === None)
   }
 
+  test("REAL GIF header decode: round-trips the builder, validates GCT length, rejects non-GIF") {
+    val bytes = Multimodal.makeGif(width = 320, height = 200, gctExp = 7,
+      bgIndex = 5, seed = 9L)
+    assert(Multimodal.decodeGifHeader(bytes) === Some(("89a", 320, 200, 256, 5)))
+    assert(Multimodal.decodeGifHeader(
+      Multimodal.makeGif(16, 8, gctExp = 0, bgIndex = 0, seed = 1L, version = "87a"))
+      === Some(("87a", 16, 8, 2, 0)))
+    assert(Multimodal.decodeGifHeader("graphics interchange?".getBytes) === None)
+    assert(Multimodal.decodeGifHeader(bytes.take(10)) === None) // truncated header
+    // GCT flag set but table truncated: reject, no phantom palette
+    assert(Multimodal.decodeGifHeader(bytes.take(13 + 3 * 256 - 1)) === None)
+    // unknown version string is not a GIF we understand
+    val badVer = bytes.clone(); badVer(4) = '6'.toByte
+    assert(Multimodal.decodeGifHeader(badVer) === None)
+    // disjoint from the other decoders
+    assert(Multimodal.decodeGifHeader(Multimodal.makeBmp(8, 8, 1L)) === None)
+    assert(Multimodal.decodeBmpHeader(bytes) === None)
+    assert(Multimodal.decodePngHeader(bytes) === None)
+  }
+
   test("REAL MP4 box walk: ftyp/moov/mvhd/mdat found by WALKING, rejects non-BMFF") {
     val bytes = Multimodal.makeMp4(minorVersion = 512, timescale = 1000,
       duration = 90000, mediaBytes = 77, seed = 3L)

@@ -55,6 +55,34 @@ class PipelineOpsPropertySpec extends AnyFunSuite {
     assert(again === sampled)
   }
 
+  test("int8 quantization: dequantized values within maxabs/254 per component, range [-127,127]") {
+    // e24 at sf0.001: reconstruct x̂ = q * maxabs / 127 and bound the error.
+    // Half-up rounding puts every component within half a quantization step
+    // (maxabs/127 / 2 = maxabs/254) of its source value.
+    val out = SparkEntry.queries("e24_int8_quantize")(spark, dir)
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val joined = out.join(emb, "vec_id").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val scaleMax = r.getDouble(r.fieldIndex("scale_max"))
+      val q = Option(r.getSeq[Int](r.fieldIndex("q")))
+      val x = r.getSeq[Float](r.fieldIndex("embedding"))
+      if (scaleMax == 0.0) assert(q.isEmpty, s"zero vector ${r.getLong(0)} must quantize to NULL")
+      else {
+        val qs = q.getOrElse(fail(s"non-zero vector ${r.getLong(0)} quantized to NULL"))
+        assert(qs.length === x.length)
+        // scale_max is the 6dp-rounded maxabs; the bound gets the rounding slack
+        val tol = scaleMax / 254.0 + 1e-6
+        qs.zip(x).foreach { case (qi, xi) =>
+          assert(qi >= -127 && qi <= 127, s"q $qi out of int8 symmetric range")
+          assert(math.abs(qi * scaleMax / 127.0 - xi) <= tol,
+            s"vec ${r.getLong(0)}: dequant ${qi * scaleMax / 127.0} vs $xi exceeds $tol")
+        }
+      }
+    }
+  }
+
   test("connected components: empty edge list yields empty labels") {
     import spark.implicits._
     val out = ConnectedComponents.run(Seq.empty[(Long, Long)].toDF("a", "b"))
