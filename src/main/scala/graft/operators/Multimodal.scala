@@ -148,6 +148,47 @@ object Multimodal {
     } yield (mb, mv, ts, dur, mdatBytes)
   }
 
+  private def beU16(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+
+  /** REAL JPEG header decode: SOI (FFD8), then a WALK of the marker-segment
+    * sequence ([FF][marker][len-BE u16 incl. itself][payload]) until a
+    * start-of-frame marker (SOF0-SOF15, excluding the non-frame C4/C8/CC) —
+    * frame precision u8, height/width as big-endian u16, component count u8.
+    * Standalone markers (RSTn, TEM) carry no length and are stepped over;
+    * a length < 2, a truncated segment, or reaching SOS/EOI without a SOF
+    * yields None — validate, don't trust.
+    * @return (width, height, precision, n_components)
+    */
+  def decodeJpegHeader(b: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+    if (b == null || b.length < 4 ||
+      (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) None
+    else {
+      var o = 2
+      var out: Option[(Int, Int, Int, Int)] = None
+      var halt = false
+      while (!halt && out.isEmpty && o + 4 <= b.length) {
+        if ((b(o) & 0xff) != 0xff) halt = true // marker misalignment: corrupt
+        else {
+          val m = b(o + 1) & 0xff
+          val isSof = m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
+          if (m == 0xd8 || m == 0x01 || (m >= 0xd0 && m <= 0xd7)) o += 2 // standalone
+          else if (m == 0xd9 || m == 0xda) halt = true // EOI / SOS: no SOF seen
+          else {
+            val len = beU16(b, o + 2)
+            if (len < 2 || o + 2 + len > b.length) halt = true
+            else if (isSof) {
+              if (len >= 8)
+                out = Some((beU16(b, o + 7), beU16(b, o + 5), b(o + 4) & 0xff, b(o + 9) & 0xff))
+              else halt = true
+            } else o += 2 + len
+          }
+        }
+      }
+      out
+    }
+  }
+
   /** REAL GIF header decode: `GIF87a`/`GIF89a` signature, then the logical
     * screen descriptor — width/height as little-endian u16 at offsets 6/8,
     * the packed byte at 10 (bit 7 = global-color-table flag, bits 2-0 its
@@ -257,6 +298,36 @@ object Multimodal {
       s = splitmix64(s); out.put((s & 0xff).toByte)
     }
     out.put(0x3b.toByte) // trailer
+    out.array()
+  }
+
+  /** A structurally valid JPEG header sequence: SOI + JFIF APP0 (18 B) +
+    * a dummy DQT (69 B) + SOF0 with `nComp` components + EOI. No entropy
+    * stream — header-level fixture. The layout is FIXED — SOI at 0, APP0
+    * at 2, DQT at 20, SOF0 at 89 (precision at 93, height BE at 94, width
+    * BE at 96, component count at 98, 0-based) — so the DuckDB oracle can
+    * address fields by offset while the decoder WALKS the segments.
+    */
+  def makeJpeg(width: Int, height: Int, nComp: Int, seed: Long): Array[Byte] = {
+    require(nComp >= 1 && nComp <= 4, "JPEG frames carry 1-4 components")
+    val out = java.nio.ByteBuffer.allocate(2 + 18 + 69 + (2 + 8 + 3 * nComp) + 2)
+    out.putShort(0xffd8.toShort) // SOI
+    out.putShort(0xffe0.toShort).putShort(16) // APP0, len 16
+      .put("JFIF".getBytes("US-ASCII")).put(0.toByte)
+      .put(1.toByte).put(2.toByte) // version 1.02
+      .put(0.toByte).putShort(1).putShort(1) // no density units, 1:1
+      .put(0.toByte).put(0.toByte) // no thumbnail
+    out.putShort(0xffdb.toShort).putShort(67).put(0.toByte) // DQT, table 0
+    var s = seed
+    (0 until 64).foreach { _ => s = splitmix64(s); out.put((1 + (s & 0x7f)).toByte) }
+    out.putShort(0xffc0.toShort).putShort((8 + 3 * nComp).toShort) // SOF0
+      .put(8.toByte) // precision
+      .putShort(height.toShort).putShort(width.toShort)
+      .put(nComp.toByte)
+    (1 to nComp).foreach { c =>
+      out.put(c.toByte).put(0x11.toByte).put(0.toByte) // id, 1x1 sampling, qtable 0
+    }
+    out.putShort(0xffd9.toShort) // EOI
     out.array()
   }
 

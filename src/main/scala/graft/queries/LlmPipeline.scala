@@ -43,6 +43,8 @@ object LlmPipeline extends QueryBlock {
     s"(${duckHexByte(off)} + 256*${duckHexByte(off + 1)})"
   private def duckLeU32(off: Int): String =
     s"(${duckHexByte(off)} + 256*${duckHexByte(off + 1)} + 65536*${duckHexByte(off + 2)} + 16777216*${duckHexByte(off + 3)})"
+  private def duckBeU16(off: Int): String =
+    s"(256*${duckHexByte(off)} + ${duckHexByte(off + 1)})"
   private def duckBeU32(off: Int): String =
     s"(16777216*${duckHexByte(off)} + 65536*${duckHexByte(off + 1)} + 256*${duckHexByte(off + 2)} + ${duckHexByte(off + 3)})"
 
@@ -819,6 +821,44 @@ object LlmPipeline extends QueryBlock {
           CAST(CASE WHEN ${duckHexByte(11)} >= 128
             THEN power(2, (${duckHexByte(11)} % 8) + 1) ELSE 0 END AS INT) AS gct_colors,
           CAST(${duckHexByte(12)} AS INT) AS bg_index
+        FROM b ORDER BY fname""")),
+
+    // E12g — REAL JPEG frame-header decode: the decoder WALKS the
+    // marker-segment sequence (skipping APP0/DQT, stepping over standalone
+    // markers) to the SOF0 frame header; the fixture's fixed layout
+    // (SOF0 at byte 89) lets the oracle address precision/height/width/
+    // component-count by offset. Together with BMP/PNG/GIF this covers the
+    // common raster formats' metadata without any codec library.
+    "e12g_jpeg_meta" -> QueryDef(
+      (s, dir) => {
+        val jpgDir = s"$scratch/jpg"
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(jpgDir))
+        new java.io.File(jpgDir).listFiles().foreach(_.delete())
+        (0 until 5).foreach { i =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(f"$jpgDir/photo$i%02d.jpg"),
+            graft.operators.Multimodal.makeJpeg(
+              width = 640 + 31 * i, height = 480 + 17 * i,
+              nComp = 1 + (i % 3), seed = 6000 + i))
+        }
+        val meta = udf((b: Array[Byte]) => graft.operators.Multimodal.decodeJpegHeader(b))
+        s.read.format("binaryFile").load(jpgDir)
+          .select(regexp_extract(col("path"), "([^/]+)$", 1).as("fname"),
+            length(col("content")).as("n_bytes"),
+            meta(col("content")).as("m"))
+          .select(col("fname"), col("n_bytes"),
+            col("m._1").as("width"), col("m._2").as("height"),
+            col("m._3").as("precision"), col("m._4").as("n_components"))
+          .orderBy(col("fname"))
+      },
+      Some(s"""WITH b AS (SELECT filename, size, hex(content) AS H
+          FROM read_blob('$scratch/jpg/*.jpg'))
+        SELECT regexp_extract(filename, '([^/]+)$$', 1) AS fname,
+          CAST(size AS INT) AS n_bytes,
+          CAST(${duckBeU16(97)} AS INT) AS width,
+          CAST(${duckBeU16(95)} AS INT) AS height,
+          CAST(${duckHexByte(94)} AS INT) AS precision,
+          CAST(${duckHexByte(99)} AS INT) AS n_components
         FROM b ORDER BY fname""")),
 
     // E13 — corpus quality profile: one pass per lang.

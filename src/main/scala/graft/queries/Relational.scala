@@ -309,6 +309,32 @@ object Relational extends QueryBlock {
         FROM customer JOIN nation ON c_nationkey=n_nationkey) WHERE rn<=3
         ORDER BY n_name, rn""")),
 
+    // C21b — the remaining ranking/distribution window functions SURVEY
+    // C21/C22 name: ntile, percent_rank, cume_dist, nth_value. The window
+    // orders by a UNIQUE key pair so RANGE-frame peer semantics (cume_dist,
+    // nth_value's default frame) cannot diverge between engines.
+    "c21b_rank_extras" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy(col("c_nationkey"))
+          .orderBy(col("c_acctbal").desc, col("c_custkey"))
+        t(s, dir, "customer")
+          .filter(col("c_custkey") < 2000)
+          .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
+            ntile(4).over(w).as("quartile"),
+            round(percent_rank().over(w), 6).as("pr"),
+            round(cume_dist().over(w), 6).as("cd"),
+            nth_value(col("c_custkey"), 2).over(w).as("second_key"))
+          .orderBy(col("c_nationkey"), col("c_custkey"))
+      },
+      Some("""SELECT c_nationkey, c_custkey, c_acctbal,
+        CAST(ntile(4) OVER w AS INT) AS quartile,
+        round(percent_rank() OVER w, 6) AS pr,
+        round(cume_dist() OVER w, 6) AS cd,
+        nth_value(c_custkey, 2) OVER w AS second_key
+        FROM customer WHERE c_custkey < 2000
+        WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+        ORDER BY c_nationkey, c_custkey""")),
+
     // C22 — lag/lead analytics.
     "c22_lag_lead" -> QueryDef(
       (s, dir) => {

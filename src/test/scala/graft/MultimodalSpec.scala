@@ -82,6 +82,33 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodePngHeader(bytes) === None)
   }
 
+  test("REAL JPEG marker walk: SOF found by WALKING segments, rejects non-JPEG") {
+    val bytes = Multimodal.makeJpeg(width = 1920, height = 1080, nComp = 3, seed = 7L)
+    assert(Multimodal.decodeJpegHeader(bytes) === Some((1920, 1080, 8, 3)))
+    assert(Multimodal.decodeJpegHeader("not a photo".getBytes) === None)
+    assert(Multimodal.decodeJpegHeader(bytes.take(40)) === None) // truncated before SOF
+    // the decoder must WALK segments, not assume offsets: inject a COM
+    // segment between APP0 and DQT and re-check
+    val com = Array(0xff, 0xfe, 0x00, 0x06, 'g', 'r', 'a', 'f').map(_.toByte)
+    val shifted = bytes.take(20) ++ com ++ bytes.drop(20)
+    assert(Multimodal.decodeJpegHeader(shifted) === Some((1920, 1080, 8, 3)))
+    // a standalone RST marker (no length field) is stepped over, not parsed
+    val rst = Array(0xff, 0xd0).map(_.toByte)
+    val withRst = bytes.take(20) ++ rst ++ bytes.drop(20)
+    assert(Multimodal.decodeJpegHeader(withRst) === Some((1920, 1080, 8, 3)))
+    // marker misalignment (a stray non-FF byte) halts the walk -> None
+    val bad = bytes.clone(); bad(20) = 0x00
+    assert(Multimodal.decodeJpegHeader(bad) === None)
+    // reaching EOI without any SOF yields None (SOI + EOI only)
+    assert(Multimodal.decodeJpegHeader(
+      Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte)) === None)
+    // disjoint from the other decoders
+    assert(Multimodal.decodeJpegHeader(Multimodal.makeBmp(8, 8, 1L)) === None)
+    assert(Multimodal.decodeBmpHeader(bytes) === None)
+    assert(Multimodal.decodePngHeader(bytes) === None)
+    assert(Multimodal.decodeGifHeader(bytes) === None)
+  }
+
   test("REAL MP4 box walk: ftyp/moov/mvhd/mdat found by WALKING, rejects non-BMFF") {
     val bytes = Multimodal.makeMp4(minorVersion = 512, timescale = 1000,
       duration = 90000, mediaBytes = 77, seed = 3L)
