@@ -123,6 +123,47 @@ object GeoFunctions extends Serializable {
     else toWkb(org.locationtech.jts.simplify.DouglasPeuckerSimplifier
       .simplify(fromWkb(b), tol))
 
+  /** Geohash of a point (standard base32 lat/lon bisection encoding) —
+    * the textual spatial-bucketing primitive: prefix-truncation gives
+    * hierarchical cells (a coarser key is a prefix of a finer one), so
+    * geohash substrings work directly as groupBy/join/partition keys.
+    * Null for non-point geometries or coordinates outside lon/lat range
+    * (the encoding is only defined there — fail to null, not garbage).
+    */
+  val stGeohashF: (Array[Byte], Int) => String = (b, precision) =>
+    if (b == null) null
+    else fromWkb(b) match {
+      case p: Point if precision >= 1 && precision <= 12 &&
+          math.abs(p.getX) <= 180.0 && math.abs(p.getY) <= 90.0 =>
+        val base32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+        var (lonLo, lonHi, latLo, latHi) = (-180.0, 180.0, -90.0, 90.0)
+        val sb = new StringBuilder(precision)
+        var bit = 0; var ch = 0; var evenBit = true
+        while (sb.length < precision) {
+          if (evenBit) {
+            val mid = (lonLo + lonHi) / 2
+            if (p.getX >= mid) { ch = ch << 1 | 1; lonLo = mid }
+            else { ch <<= 1; lonHi = mid }
+          } else {
+            val mid = (latLo + latHi) / 2
+            if (p.getY >= mid) { ch = ch << 1 | 1; latLo = mid }
+            else { ch <<= 1; latHi = mid }
+          }
+          evenBit = !evenBit
+          bit += 1
+          if (bit == 5) { sb.append(base32.charAt(ch)); bit = 0; ch = 0 }
+        }
+        sb.toString
+      case _ => null
+    }
+
+  /** GeoJSON interchange (RFC 7946) — canonical writer + strict parser
+    * (graft.geo.GeoJson). The JSON sibling of the WKT surface.
+    */
+  val stAsGeoJsonF: Array[Byte] => String = g1(g => geo.GeoJson.write(g))
+  val stGeomFromGeoJsonF: String => Array[Byte] =
+    (s: String) => if (s == null) null else toWkb(geo.GeoJson.parse(s, gf))
+
   val stSridF: Array[Byte] => java.lang.Integer = g1(_.getSRID)
   val stSetSridF: (Array[Byte], Int) => Array[Byte] =
     (b, srid) => if (b == null) null else {
@@ -198,6 +239,9 @@ object GeoFunctions extends Serializable {
   }
   val st_collect = udf(stCollectF).withName("st_collect")
   val st_simplify = udf(stSimplifyF).withName("st_simplify")
+  val st_asgeojson = udf(stAsGeoJsonF).withName("st_asgeojson")
+  val st_geomfromgeojson = udf(stGeomFromGeoJsonF).withName("st_geomfromgeojson")
+  val st_geohash = udf(stGeohashF).withName("st_geohash")
   val st_astext = udf(stAsTextF).withName("st_astext")
   val st_geomfromtext = udf(stGeomFromTextF).withName("st_geomfromtext")
   // struct<xmin,ymin,xmax,ymax> with stable field names
@@ -240,5 +284,8 @@ object GeoFunctions extends Serializable {
     spark.udf.register("st_setsrid", stSetSridF)
     spark.udf.register("st_collect", stCollectF)
     spark.udf.register("st_simplify", stSimplifyF)
+    spark.udf.register("st_asgeojson", stAsGeoJsonF)
+    spark.udf.register("st_geomfromgeojson", stGeomFromGeoJsonF)
+    spark.udf.register("st_geohash", stGeohashF)
   }
 }

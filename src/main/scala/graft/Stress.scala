@@ -94,7 +94,10 @@ object Stress {
     val checks = Seq(
       // the four r3 perf-weak queries + the two heaviest joins
       "c14_pricing_summary", "c20_rollup", "c27_strings", "c32_json_events",
-      "c07_join_agg", "e01_exact_dedup", "c09_semi_anti", "c21_rank_window")
+      "c07_join_agg", "e01_exact_dedup", "c09_semi_anti", "c21_rank_window",
+      // round-4 additions: the shingle-keyed shuffle profile (the heaviest
+      // new op), the bounded-TopK group sample, and scan-local quantization
+      "e26_dup_passages", "e23_group_sample", "e24_int8_quantize")
 
     var failed = List.empty[String]
     checks.foreach { name =>
@@ -113,7 +116,10 @@ object Stress {
       def timeOnce(): Double = {
         val t0 = System.nanoTime()
         val d = SparkEntry.queries(name)(spark, dir)
-        if (name == "e01_exact_dedup") d.queryExecution.toRdd.foreach(_ => ())
+        // unbounded-output queries drain through a foreach sink (collect
+        // of a 10x-scaled result would measure driver marshalling)
+        if (Set("e01_exact_dedup", "e26_dup_passages", "e24_int8_quantize")(name))
+          d.queryExecution.toRdd.foreach(_ => ())
         else d.collect()
         (System.nanoTime() - t0) / 1e9
       }

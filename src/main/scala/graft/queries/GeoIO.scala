@@ -58,6 +58,29 @@ object GeoIO extends QueryBlock {
         FROM parquet_kv_metadata('$scratch/geo_footer/*.parquet')
         WHERE decode(key) = 'geo'""")),
 
+    // A6+ — GeoJSON text interchange (graft.geo.GeoJson): geometry → RFC
+    // 7946 text → geometry must be the IDENTICAL WKB (roundtrip_exact,
+    // byte equality — constant-true in the oracle), with coordinates and
+    // type recomputable in closed form. GOLDEN string fixtures + parser
+    // robustness live in GeoJsonSpec.
+    "a04_geojson_roundtrip" -> QueryDef(
+      (s, dir) => {
+        val pt = G.st_point(col("c_acctbal"), col("c_custkey").cast("double"))
+        t(s, dir, "customer")
+          .filter(col("c_custkey") < 500)
+          .withColumn("pt", pt)
+          .withColumn("back", G.st_geomfromgeojson(G.st_asgeojson(col("pt"))))
+          .select(col("c_custkey"),
+            G.st_x(col("back")).as("x"),
+            G.st_y(col("back")).as("y"),
+            G.st_geometrytype(col("back")).as("gtype"),
+            (col("back") === col("pt")).as("roundtrip_exact"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_acctbal AS x, CAST(c_custkey AS DOUBLE) AS y,
+        'Point' AS gtype, TRUE AS roundtrip_exact
+        FROM customer WHERE c_custkey < 500 ORDER BY c_custkey""")),
+
     // A2 — polygon dataset round-trip; measures recomputed after re-read
     // (area is bit-exact for axis-aligned boxes — Geometry.scala notes).
     "a02_geoparquet_polygons" -> QueryDef(

@@ -423,6 +423,32 @@ object LlmPipeline extends QueryBlock {
             x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / maxabs + 0.5) AS INT)) END AS q
         FROM m ORDER BY vec_id""")),
 
+    // E27 — weighted sampling (Efraimidis-Spirakis A-Res): k docs chosen
+    // with probability proportional to length (the quality/size-weighted
+    // mixture step of corpus construction). u = deterministic hash uniform
+    // in (0,1] (exact BIGINT arithmetic then one correctly-rounded
+    // division), priority = ln(u)/w — monotone with u^(1/w), top-k by
+    // priority DESC. Rounded to 9dp with an id tie-break so a last-ulp
+    // transcendental difference between engines cannot flip the ranking.
+    // Global top-k plans as TakeOrderedAndProject: k-row state per
+    // partition, no full sort — the same shape at any corpus size.
+    "e27_weighted_sample" -> QueryDef(
+      (s, dir) =>
+        t(s, dir, "documents")
+          .filter(col("n_chars") > 0)
+          .withColumn("u",
+            (((col("doc_id") * lit(2654435761L)) % lit(4294967311L)) + 1).cast("double")
+              / lit(4294967312.0))
+          .withColumn("priority", round(log(col("u")) / col("n_chars"), 9))
+          .select(col("doc_id"), col("lang"), col("n_chars"), col("priority"))
+          .orderBy(col("priority").desc, col("doc_id"))
+          .limit(50),
+      Some("""SELECT doc_id, lang, n_chars,
+          round(ln(((doc_id * 2654435761) % 4294967311 + 1) / 4294967312.0)
+            / n_chars, 9) AS priority
+        FROM documents WHERE n_chars > 0
+        ORDER BY priority DESC, doc_id LIMIT 50""")),
+
     // E26 — corpus-wide duplicated-passage profile (the Gopher/C4
     // "duplicate n-gram fraction" quality signal): a 5-token shingle is
     // duplicated when it occurs in >= 2 DISTINCT documents; per document,

@@ -141,6 +141,24 @@ class GeoFunctionsSpec extends AnyFunSuite {
     assert(stSimplifyF(null, 1.0) === null)
   }
 
+  test("st_geohash: public known vectors, prefix hierarchy, domain guards") {
+    // canonical public examples of the geohash encoding
+    assert(stGeohashF(stPointF(-5.6, 42.6), 5) === "ezs42")
+    assert(stGeohashF(stPointF(10.40744, 57.64911), 11) === "u4pruydqqvj")
+    assert(stGeohashF(stPointF(-0.1278, 51.5074), 7) === "gcpvj0d") // London
+    // hierarchy: a coarser geohash is a PREFIX of the finer one
+    val fine = stGeohashF(stPointF(10.40744, 57.64911), 12)
+    (1 to 11).foreach { p =>
+      assert(fine.startsWith(stGeohashF(stPointF(10.40744, 57.64911), p)))
+    }
+    // guards: non-point, out-of-range coordinates, bad precision, null
+    assert(stGeohashF(stMakeBoxF(0, 0, 1, 1), 5) === null)
+    assert(stGeohashF(stPointF(200.0, 10.0), 5) === null)
+    assert(stGeohashF(stPointF(1.0, 2.0), 0) === null)
+    assert(stGeohashF(stPointF(1.0, 2.0), 13) === null)
+    assert(stGeohashF(null, 5) === null)
+  }
+
   test("native overlay expressions: byte parity with the scalar kernels, no ScalaUDF") {
     // B12-B14/B16 as catalyst Expressions (functions.WkbOverlay): same JTS
     // kernel, so the produced WKB must be byte-identical to the scalar F

@@ -83,6 +83,19 @@ class PipelineOpsPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("weighted sampling: length-weighted selection favors longer documents") {
+    // A-Res with weight = n_chars: the 50-doc sample must skew long —
+    // its mean length exceeds the corpus mean (weighted-sampling's
+    // defining property), deterministically on the fixed corpus.
+    val sample = SparkEntry.queries("e27_weighted_sample")(spark, dir)
+      .agg(avg(col("n_chars"))).collect()(0).getDouble(0)
+    val corpus = Tables(spark, dir, "documents")
+      .filter(col("n_chars") > 0)
+      .agg(avg(col("n_chars"))).collect()(0).getDouble(0)
+    assert(sample > corpus,
+      s"weighted sample mean $sample not above corpus mean $corpus")
+  }
+
   test("connected components: empty edge list yields empty labels") {
     import spark.implicits._
     val out = ConnectedComponents.run(Seq.empty[(Long, Long)].toDF("a", "b"))

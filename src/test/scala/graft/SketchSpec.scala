@@ -35,4 +35,31 @@ class SketchSpec extends AnyFunSuite {
     assert(math.abs(approx - exact) <= span * 0.02,
       s"approx $approx vs exact $exact (span $span)")
   }
+
+  test("count-min sketch heavy hitters: estimates overcount-only, within eps*N") {
+    // the streaming-friendly heavy-hitters path: one pass builds a
+    // fixed-size sketch (mergeable across partitions — the aggregate's
+    // partial+final IS a sketch merge), exact top-k verifies the bound.
+    // CM sketches NEVER undercount; overcount is bounded by eps*N at the
+    // configured confidence.
+    val toks = Tables(spark, dir, "documents")
+      .select(explode(split(lower(col("text")), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    val n = toks.count()
+    val eps = 0.001
+    val bytes = toks
+      .agg(expr(s"count_min_sketch(tok, ${eps}d, 0.99d, 42)")).collect()(0)
+      .getAs[Array[Byte]](0)
+    val sk = org.apache.spark.util.sketch.CountMinSketch.readFrom(bytes)
+    val top = toks.groupBy(col("tok")).count()
+      .orderBy(col("count").desc, col("tok")).limit(20).collect()
+    top.foreach { r =>
+      val (tok, exact) = (r.getString(0), r.getLong(1))
+      // the SQL aggregate adds strings as UTF-8 bytes; query the same way
+      val est = sk.estimateCount(tok.getBytes("UTF-8"))
+      assert(est >= exact, s"'$tok': CM estimate $est undercounts exact $exact")
+      assert(est <= exact + (eps * n).toLong + 1,
+        s"'$tok': CM estimate $est exceeds exact $exact + eps*N")
+    }
+  }
 }
