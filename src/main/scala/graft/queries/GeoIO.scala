@@ -81,6 +81,48 @@ object GeoIO extends QueryBlock {
         'Point' AS gtype, TRUE AS roundtrip_exact
         FROM customer WHERE c_custkey < 500 ORDER BY c_custkey""")),
 
+    // A6+ — GeoJSON FeatureCollection ingest: the standard .geojson FILE
+    // format (one document: features with properties + geometry) read with
+    // STOCK Spark multiline JSON for the framing and the engine codec for
+    // the geometry — no custom reader needed, which is the point: GeoJSON
+    // files become DataFrames with two lines of plumbing. The oracle reads
+    // the very same file through DuckDB's JSON functions.
+    "a05_geojson_features" -> QueryDef(
+      (s, dir) => {
+        val path = s"$scratch/features.geojson"
+        // deterministic fixture built through the engine's own canonical
+        // writer from customer rows (driver-side loop is fixture-gen only)
+        val rows = t(s, dir, "customer").filter(col("c_custkey") < 200)
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal").cast("double"))
+          .collect().sortBy(_.getLong(0))
+        val features = rows.map { r =>
+          val gj = graft.geo.GeoJson.write(G.fromWkb(
+            G.stPointF(r.getDouble(2), r.getLong(0).toDouble)))
+          s"""{"type":"Feature","properties":{"key":${r.getLong(0)},"name":"${r.getString(1)}"},"geometry":$gj}"""
+        }
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(path),
+          s"""{"type":"FeatureCollection","features":[${features.mkString(",")}]}""")
+        s.read.option("multiLine", "true").json(path)
+          .select(explode(col("features")).as("f"))
+          .select(col("f.properties.key").as("key"),
+            col("f.properties.name").as("name"),
+            G.st_geomfromgeojson(to_json(col("f.geometry"))).as("g"))
+          .select(col("key"), col("name"),
+            G.st_x(col("g")).as("x"), G.st_y(col("g")).as("y"),
+            G.st_geometrytype(col("g")).as("gtype"))
+          .orderBy(col("key"))
+      },
+      Some(s"""WITH fc AS (SELECT features FROM read_json('$scratch/features.geojson',
+          format='unstructured', columns={type: 'VARCHAR', features: 'JSON[]'})),
+        f AS (SELECT unnest(features) AS feat FROM fc)
+        SELECT CAST(feat->'properties'->>'key' AS BIGINT) AS key,
+          feat->'properties'->>'name' AS name,
+          CAST(feat->'geometry'->'coordinates'->>0 AS DOUBLE) AS x,
+          CAST(feat->'geometry'->'coordinates'->>1 AS DOUBLE) AS y,
+          feat->'geometry'->>'type' AS gtype
+        FROM f ORDER BY key""")),
+
     // A2 — polygon dataset round-trip; measures recomputed after re-read
     // (area is bit-exact for axis-aligned boxes — Geometry.scala notes).
     "a02_geoparquet_polygons" -> QueryDef(
