@@ -109,6 +109,82 @@ object Streaming extends QueryBlock {
         FROM (SELECT DISTINCT user_id, event_type FROM events)
         GROUP BY event_type ORDER BY event_type NULLS FIRST""")),
 
+    // D10+ — STREAMING near-dup bucketing: the text-normalization dedup of
+    // the E block run as a live stream (documents arriving as files). The
+    // bucket key is the sorted distinct token bag — word-order-insensitive,
+    // so shuffled near-duplicates land in one bucket — and the per-bucket
+    // aggregate (keeper = min doc_id, multiplicity) is ORDER-INDEPENDENT:
+    // the same answer whatever the arrival order, which is what makes a
+    // batch oracle legitimate for a streaming computation. State per bucket
+    // is one row; an unbounded deployment would bound it with a watermark
+    // on an arrival-time column (the d06b pattern).
+    "d10_stream_neardup" -> QueryDef(
+      (s, dir) => {
+        val bag = concat_ws(" ",
+          sort_array(array_distinct(split(lower(col("text")), " "))))
+        val agg = EventStreams.documents(s, dir)
+          .filter(col("text").isNotNull)
+          .groupBy(col("lang"), bag.as("bag"))
+          .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_docs"))
+        EventStreams.runToTable(s, agg, "d10_sink")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_buckets"),
+            sum(col("n_docs")).as("n_docs"),
+            sum(col("n_docs") - 1).as("n_neardups"),
+            min(col("keeper")).as("first_keeper"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH b AS (SELECT lang,
+          array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ') AS bag,
+          min(doc_id) AS keeper, count(*) AS n_docs
+          FROM documents WHERE text IS NOT NULL GROUP BY 1, 2)
+        SELECT lang, count(*) AS n_buckets,
+          CAST(sum(n_docs) AS BIGINT) AS n_docs,
+          CAST(sum(n_docs - 1) AS BIGINT) AS n_neardups,
+          min(keeper) AS first_keeper
+        FROM b GROUP BY lang ORDER BY lang""")),
+
+    // D10++ — the E15 clean-corpus pipeline AS A STREAM: quality gate →
+    // exact-dedup (keeper = min doc_id via min_by, order-independent) →
+    // per-language profile, over documents arriving as files. Shares
+    // e15's EXACT batch oracle — hash equality across the two execution
+    // modes is the batch/stream parity proof (the d04/c39 precedent).
+    // The per-text dedup state is one row per distinct text; an unbounded
+    // deployment bounds it with dropDuplicatesWithinWatermark (d06b).
+    "d11_stream_clean_corpus" -> QueryDef(
+      (s, dir) => {
+        val gated = EventStreams.documents(s, dir)
+          .withColumn("toks", split(lower(col("text")), " "))
+          .withColumn("stop_ratio",
+            expr("CAST(size(filter(toks, x -> x IN ('the','and','of','value','data'))) AS DOUBLE) / size(toks)"))
+          .filter(col("n_chars").between(50, 2000) &&
+            size(col("toks")) >= 10 && col("stop_ratio") < 0.5)
+        // one streaming aggregation (chained streaming aggs are not
+        // allowed): keeper id + keeper-consistent lang/n_chars per text
+        val dedup = gated.groupBy(col("text"))
+          .agg(min(col("doc_id")).as("keep_id"),
+            expr("min_by(lang, doc_id)").as("lang"),
+            min(col("n_chars")).as("n_chars")) // n_chars is a function of text
+        EventStreams.runToTable(s, dedup, "d11_sink")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_kept"),
+            (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH gated AS (
+          SELECT doc_id, text, lang, n_chars,
+            string_split(lower(text), ' ') AS toks
+          FROM documents
+          WHERE n_chars BETWEEN 50 AND 2000),
+        q AS (SELECT * FROM gated
+          WHERE len(toks) >= 10
+            AND CAST(len(list_filter(toks, x -> list_contains(['the','and','of','value','data'], x))) AS DOUBLE) / len(toks) < 0.5),
+        dedup AS (SELECT min(doc_id) AS keep_id FROM q GROUP BY text)
+        SELECT lang, count(*) AS n_kept,
+          CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars
+        FROM dedup JOIN q ON keep_id = q.doc_id
+        GROUP BY lang ORDER BY lang""")),
+
     // D6b — dedup WITHIN WATERMARK (dropDuplicatesWithinWatermark): the
     // bounded-state form that survives an unbounded stream — state for a
     // key is EVICTED once the watermark passes its event time plus the

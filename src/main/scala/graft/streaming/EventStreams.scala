@@ -62,6 +62,28 @@ object EventStreams {
         .parquet(streamDir.toString)
   }
 
+  /** Streaming read of the documents table (same symlink staging as
+    * [[events]]; no timestamp column, so no ns handling needed). The text
+    * pipeline's streaming twin sources read from here.
+    */
+  def documents(s: SparkSession, dir: String): DataFrame = {
+    val streamDir = java.nio.file.Paths.get(
+      s"/tmp/graft_stream_docs/${dir.replaceAll("[^A-Za-z0-9.]", "_")}")
+    java.nio.file.Files.createDirectories(streamDir)
+    val link = streamDir.resolve("documents.parquet")
+    val target = java.nio.file.Paths.get(s"$dir/documents.parquet")
+    if (java.nio.file.Files.isSymbolicLink(link)) {
+      if (java.nio.file.Files.readSymbolicLink(link) != target)
+        java.nio.file.Files.delete(link)
+    }
+    if (!java.nio.file.Files.isSymbolicLink(link) &&
+        !java.nio.file.Files.exists(link))
+      java.nio.file.Files.createSymbolicLink(link, target)
+    s.readStream
+      .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+      .parquet(streamDir.toString)
+  }
+
   /** Run a streaming aggregation to completion; return the final table.
     * The per-run checkpoint is deleted afterwards (memory-sink results
     * don't outlive the session; leaving RocksDB state trees in /tmp
