@@ -218,6 +218,34 @@ class SpatialJoinRuleSpec extends AnyFunSuite {
       === Set((5L, 1L)))
   }
 
+  gridTest("SELF-join routes correctly (overlap detection within one layer)") {
+    // the canonical single-layer workload: find overlapping pairs inside
+    // ONE table. Self-joins are the classic optimizer-rule failure mode
+    // (the analyzer de-duplicates ExprIds on one side; a rule that confuses
+    // the two legs emits wrong pairs or crashes) — prove the route is
+    // taken AND the answer matches the stock hinted plan.
+    val layer = boxes(Seq(
+      (1L, 0.0, 0.0, 100.0, 100.0),
+      (2L, 50.0, 50.0, 150.0, 150.0), // overlaps 1 and 3
+      (3L, 140.0, 140.0, 240.0, 240.0), // overlaps 2 only
+      (4L, 1000.0, 1000.0, 1001.0, 1001.0)), "g") // isolated
+    val a = layer.select(col("id").as("aid"), col("g").as("ga"))
+    val b = layer.select(col("id").as("bid"), col("g").as("gb"))
+    val routed = a.join(b,
+      GeoFunctions.st_intersects(col("ga"), col("gb")) && col("aid") < col("bid"))
+      .select(col("aid"), col("bid"))
+    val plan = routed.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"self-join did not route:\n$plan")
+    val got = routed.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 2L), (2L, 3L)))
+    // stock ground truth via the hint skip-guard
+    val stock = a.hint("broadcast").join(b,
+      GeoFunctions.st_intersects(col("ga"), col("gb")) && col("aid") < col("bid"))
+      .select(col("aid"), col("bid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === stock)
+  }
+
   test("cross-side equi key disables the rewrite (hash join already avoids BNL)") {
     val l = boxes(Seq((1L, 0.0, 0.0, 10.0, 10.0)), "ga")
     val r = boxes(Seq((1L, 5.0, 5.0, 15.0, 15.0)), "gb").withColumnRenamed("id", "rid")
