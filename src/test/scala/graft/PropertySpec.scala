@@ -40,6 +40,27 @@ class PropertySpec extends AnyFunSuite {
       }
   }
 
+  test("PROP: GeoJSON write∘parse is the WKB identity over generated geometries") {
+    // arbitrary points, boxes, multipoints and collections thereof — the
+    // parser must reproduce the exact input bytes from the writer's text
+    // (doubles survive because Java's shortest-repr toString parses back
+    // to the same double).
+    val point = Gen.zip(coord, coord).map { case (x, y) => stPointF(x, y) }
+    val box = Gen.zip(coord, coord, Gen.chooseNum(0.001, 1e4), Gen.chooseNum(0.001, 1e4))
+      .map { case (x, y, w, h) => stMakeBoxF(x, y, x + w, y + h) }
+    val multi = Gen.nonEmptyListOf(Gen.zip(coord, coord))
+      .map(ps => stCollectF(ps.take(8).map { case (x, y) => stPointF(x, y) }))
+    val collection = Gen.zip(point, box)
+      .map { case (p, b) => stCollectF(Seq(p, b)) }
+    Seq(point, box, multi, collection).foreach { g =>
+      samples(g, 50).foreach { wkb =>
+        val json = stAsGeoJsonF(wkb)
+        assert(stGeomFromGeoJsonF(json).sameElements(wkb),
+          s"round-trip failed for $json")
+      }
+    }
+  }
+
   test("PROP: buffer contains original for arbitrary positive distance") {
     samples(Gen.zip(coord, coord, Gen.chooseNum(0.01, 100.0)), 40).foreach { case (x, y, d) =>
       val p = stPointF(x, y)
