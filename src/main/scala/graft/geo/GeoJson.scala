@@ -61,6 +61,16 @@ object GeoJson {
     */
   private final class P(s: String) {
     private var i = 0
+    // recursion tracks input nesting; unguarded, 10k bytes of '[' would
+    // throw StackOverflowError (an Error, not an exception — it can kill
+    // the executor task ungracefully). Valid GeoJSON nests <= 5 levels;
+    // 64 leaves headroom while keeping hostile input a clean parse error.
+    private var depth = 0
+    private def descend(): Unit = {
+      depth += 1
+      if (depth > 64) err("nesting too deep")
+    }
+    private def ascend(): Unit = depth -= 1
     private def err(msg: String): Nothing =
       throw new IllegalArgumentException(s"GeoJSON parse error at $i: $msg")
     def ws(): Unit = while (i < s.length && s.charAt(i).isWhitespace) i += 1
@@ -107,14 +117,18 @@ object GeoJson {
     /** Skip any JSON value (for unknown members like bbox). */
     def skipValue(): Unit = peek() match {
       case '{' =>
+        descend()
         eat('{')
         if (!tryEat('}')) {
           do { string(); eat(':'); skipValue() } while (tryEat(','))
           eat('}')
         }
+        ascend()
       case '[' =>
+        descend()
         eat('[')
         if (!tryEat(']')) { do skipValue() while (tryEat(',')); eat(']') }
+        ascend()
       case '"' => string(); ()
       case 't' | 'f' | 'n' =>
         while (i < s.length && s.charAt(i).isLetter) i += 1
@@ -127,8 +141,9 @@ object GeoJson {
     case class Arr(items: Vector[Coords]) extends Coords
 
     def coords(): Coords = {
+      descend()
       eat('[')
-      if (peek() == '[') { // nested array
+      val out = if (peek() == '[') { // nested array
         val items = Vector.newBuilder[Coords]
         do items += coords() while (tryEat(','))
         eat(']')
@@ -139,10 +154,13 @@ object GeoJson {
         eat(']')
         Pos(x, y)
       }
+      ascend()
+      out
     }
 
     /** Parse one geometry object → JTS. */
     def geometry(gf: GeometryFactory): Geometry = {
+      descend()
       eat('{')
       var typ: Option[String] = None
       var cs: Option[Coords] = None
@@ -185,7 +203,7 @@ object GeoJson {
         case _ => err(s"$t: expected nested arrays")
       }
 
-      t match {
+      val g = t match {
         case "Point" => gf.createPoint(asPos(cs.getOrElse(err("missing coordinates"))))
         case "MultiPoint" =>
           gf.createMultiPoint(
@@ -203,6 +221,8 @@ object GeoJson {
           gf.createGeometryCollection(geoms.getOrElse(err("missing geometries")).toArray)
         case other => err(s"unknown geometry type '$other'")
       }
+      ascend()
+      g
     }
   }
 

@@ -368,7 +368,10 @@ object LlmPipeline extends QueryBlock {
     // E23 — fixed-size deterministic per-group sample ("exactly k docs per
     // language"): score each doc by an integer hash permutation both
     // engines compute exactly in BIGINT arithmetic (Knuth multiplicative
-    // step mod a prime), keep the k smallest per group through the bounded
+    // step mod a prime; id*a stays in Long for id < ~3.4e9 — beyond that
+    // domain swap in xxhash64 via Graft.hashSampleFilter, the production
+    // fast path, at the cost of the DuckDB pairing), keep the k smallest
+    // per group through the bounded
     // TopK aggregator — map-side state is k rows per partition per group
     // (the 100 TB path), never a full per-group sort. The oracle ranks the
     // same permutation with a window function.
@@ -427,7 +430,8 @@ object LlmPipeline extends QueryBlock {
     // with probability proportional to length (the quality/size-weighted
     // mixture step of corpus construction). u = deterministic hash uniform
     // in (0,1] (exact BIGINT arithmetic then one correctly-rounded
-    // division), priority = ln(u)/w — monotone with u^(1/w), top-k by
+    // division; same id-domain note as e23 — swap in xxhash64 beyond
+    // id ~3.4e9), priority = ln(u)/w — monotone with u^(1/w), top-k by
     // priority DESC. Rounded to 9dp with an id tie-break so a last-ulp
     // transcendental difference between engines cannot flip the ranking.
     // Global top-k plans as TakeOrderedAndProject: k-row state per

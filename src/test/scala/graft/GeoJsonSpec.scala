@@ -71,4 +71,18 @@ class GeoJsonSpec extends AnyFunSuite {
     assert(stGeomFromGeoJsonF(null) === null)
     assert(stAsGeoJsonF(null) === null)
   }
+
+  test("parser: pathological nesting is a clean parse error, not a StackOverflowError") {
+    // 10k opening brackets would otherwise recurse the executor stack into
+    // an Error; the depth guard turns it into the normal failure mode
+    val bomb = """{"type":"Point","coordinates":""" + "[" * 10000
+    assertThrows[IllegalArgumentException](stGeomFromGeoJsonF(bomb))
+    val bboxBomb = """{"bbox":""" + "[" * 10000
+    assertThrows[IllegalArgumentException](stGeomFromGeoJsonF(bboxBomb))
+    // wide-but-shallow stays fine: a collection of 100 sibling points
+    val wide = (1 to 100).map(i =>
+      s"""{"type":"Point","coordinates":[$i,$i]}""").mkString(
+      """{"type":"GeometryCollection","geometries":[""", ",", "]}")
+    assert(GeoFunctions.fromWkb(stGeomFromGeoJsonF(wide)).getNumGeometries === 100)
+  }
 }
