@@ -151,6 +151,36 @@ object Multimodal {
   private def beU16(b: Array[Byte], o: Int): Int =
     ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
 
+  /** REAL pixel-level BMP decode: walks the uncompressed 24bpp pixel rows
+    * (bottom-up, 4-byte padded — the padding bytes are SKIPPED, summing
+    * them is the classic BMP-walk bug) and returns per-channel sums +
+    * pixel count, from which channel means follow exactly. None for
+    * non-BMP, non-24bpp, top-down (negative height), or truncated data.
+    */
+  def bmpChannelSums(b: Array[Byte]): Option[(Long, Long, Long, Long)] =
+    decodeBmpHeader(b) match {
+      case Some((w, h, 24)) if w > 0 && h > 0 =>
+        val dataOff = leU32(b, 10).toInt
+        val rowBytes = (w * 3 + 3) / 4 * 4
+        if (dataOff < 54 || b.length < dataOff + rowBytes.toLong * h) None
+        else {
+          var (sumB, sumG, sumR) = (0L, 0L, 0L)
+          var r = 0
+          while (r < h) {
+            val base = dataOff + r * rowBytes
+            var c = 0
+            while (c < w) {
+              val o = base + c * 3
+              sumB += b(o) & 0xff; sumG += b(o + 1) & 0xff; sumR += b(o + 2) & 0xff
+              c += 1
+            }
+            r += 1
+          }
+          Some((sumB, sumG, sumR, w.toLong * h))
+        }
+      case _ => None
+    }
+
   /** REAL JPEG header decode: SOI (FFD8), then a WALK of the marker-segment
     * sequence ([FF][marker][len-BE u16 incl. itself][payload]) until a
     * start-of-frame marker (SOF0-SOF15, excluding the non-frame C4/C8/CC) —

@@ -891,6 +891,53 @@ object LlmPipeline extends QueryBlock {
           CAST(${duckHexByte(99)} AS INT) AS n_components
         FROM b ORDER BY fname""")),
 
+    // E12h — REAL pixel-level decode: per-channel means over the raw
+    // 24bpp BMP pixel rows (bottom-up, 4-byte padded — padding bytes are
+    // skipped on both sides). The DuckDB oracle walks the SAME pixel
+    // bytes with computed hex offsets — feature extraction from pixels
+    // with zero codec libraries, exact to the bit.
+    "e12h_bmp_pixels" -> QueryDef(
+      (s, dir) => {
+        val bmpDir = s"$scratch/bmp_px"
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(bmpDir))
+        new java.io.File(bmpDir).listFiles().foreach(_.delete())
+        (0 until 5).foreach { i =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(f"$bmpDir/px$i%02d.bmp"),
+            graft.operators.Multimodal.makeBmp(
+              width = 5 + 3 * i, height = 3 + 2 * i, seed = 7000 + i))
+        }
+        val sums = udf((b: Array[Byte]) => graft.operators.Multimodal.bmpChannelSums(b))
+        s.read.format("binaryFile").load(bmpDir)
+          .select(regexp_extract(col("path"), "([^/]+)$", 1).as("fname"),
+            sums(col("content")).as("m"))
+          .select(col("fname"),
+            col("m._4").as("n_px"),
+            round(col("m._1").cast("double") / col("m._4"), 6).as("mean_b"),
+            round(col("m._2").cast("double") / col("m._4"), 6).as("mean_g"),
+            round(col("m._3").cast("double") / col("m._4"), 6).as("mean_r"))
+          .orderBy(col("fname"))
+      },
+      Some(s"""WITH b AS (SELECT filename, hex(content) AS H
+          FROM read_blob('$scratch/bmp_px/*.bmp')),
+        hdr AS (SELECT filename, H,
+          ${duckLeU32(11)} AS data_off, ${duckLeU16(19)} AS w, ${duckLeU16(23)} AS ht
+          FROM b),
+        px AS (SELECT filename, w, ht,
+          data_off + (i // w) * (((w * 3 + 3) // 4) * 4) + (i % w) * 3 AS o, H
+          FROM hdr, UNNEST(generate_series(0, w * ht - 1)) AS u(i)),
+        ch AS (SELECT filename, w, ht,
+          strpos('123456789ABCDEF', substr(H, 2*o + 1, 1))*16 + strpos('123456789ABCDEF', substr(H, 2*o + 2, 1)) AS blue,
+          strpos('123456789ABCDEF', substr(H, 2*(o+1) + 1, 1))*16 + strpos('123456789ABCDEF', substr(H, 2*(o+1) + 2, 1)) AS green,
+          strpos('123456789ABCDEF', substr(H, 2*(o+2) + 1, 1))*16 + strpos('123456789ABCDEF', substr(H, 2*(o+2) + 2, 1)) AS red
+          FROM px)
+        SELECT regexp_extract(filename, '([^/]+)$$', 1) AS fname,
+          CAST(w * ht AS BIGINT) AS n_px,
+          round(CAST(sum(blue) AS DOUBLE) / (w * ht), 6) AS mean_b,
+          round(CAST(sum(green) AS DOUBLE) / (w * ht), 6) AS mean_g,
+          round(CAST(sum(red) AS DOUBLE) / (w * ht), 6) AS mean_r
+        FROM ch GROUP BY filename, w, ht ORDER BY fname""")),
+
     // E13 — corpus quality profile: one pass per lang.
     "e13_quality_profile" -> QueryDef(
       (s, dir) =>

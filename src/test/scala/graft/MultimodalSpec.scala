@@ -62,6 +62,24 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeBmpHeader(bytes) === None)
   }
 
+  test("REAL BMP pixel walk: channel sums skip row padding, reject truncated data") {
+    // width 1 => rowBytes 4: each row is 3 pixel bytes + 1 padding byte.
+    // Overwrite pixels with known values and padding with 0xFF — the sums
+    // must see only the pixels (summing padding is the classic walk bug).
+    val bmp = Multimodal.makeBmp(width = 1, height = 2, seed = 1L)
+    // data starts at offset 54; rows bottom-up: row0 = B,G,R,pad row1 = ...
+    val px = bmp.clone()
+    px(54) = 10; px(55) = 20; px(56) = 30; px(57) = 0xff.toByte
+    px(58) = 1; px(59) = 2; px(60) = 3; px(61) = 0xff.toByte
+    assert(Multimodal.bmpChannelSums(px) === Some((11L, 22L, 33L, 2L)))
+    // truncated pixel data -> None, never partial sums
+    assert(Multimodal.bmpChannelSums(px.take(px.length - 1)) === None)
+    // non-BMP and non-24bpp reject
+    assert(Multimodal.bmpChannelSums("pixels?".getBytes) === None)
+    val bpp8 = px.clone(); bpp8(28) = 8
+    assert(Multimodal.bmpChannelSums(bpp8) === None)
+  }
+
   test("REAL GIF header decode: round-trips the builder, validates GCT length, rejects non-GIF") {
     val bytes = Multimodal.makeGif(width = 320, height = 200, gctExp = 7,
       bgIndex = 5, seed = 9L)
