@@ -102,6 +102,80 @@ object TextFunctions extends Serializable {
 
   def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
+  // ---- byte-pair encoding (real merges, not the regex approximation) ----
+  //
+  // The public BPE algorithm (Sennrich et al. 2015; the GPT-2 encoder's
+  // greedy form): TRAIN derives a ranked merge table from word
+  // frequencies; ENCODE applies merges lowest-rank-first until none apply.
+  // Both are deterministic: training ties break by lexicographic pair
+  // order, so the same corpus always yields the same table.
+
+  /** Train `nMerges` merges from a word→frequency map. Each merge is the
+    * currently most frequent adjacent symbol pair (ties: lexicographically
+    * smallest pair), applied everywhere before the next count.
+    */
+  def bpeTrain(wordFreq: Map[String, Long], nMerges: Int): Vector[(String, String)] = {
+    var vocab: Map[Vector[String], Long] =
+      wordFreq.map { case (w, f) => w.map(_.toString).toVector -> f }
+    val merges = Vector.newBuilder[(String, String)]
+    var done = false
+    var i = 0
+    while (i < nMerges && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, f) =>
+        syms.sliding(2).foreach {
+          case Vector(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + f
+          case _ => ()
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val best = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
+        merges += best
+        vocab = vocab.map { case (syms, f) => (mergePair(syms, best), f) }
+        i += 1
+      }
+    }
+    merges.result()
+  }
+
+  private def mergePair(syms: Vector[String], p: (String, String)): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var j = 0
+    while (j < syms.length) {
+      if (j + 1 < syms.length && syms(j) == p._1 && syms(j + 1) == p._2) {
+        out += (p._1 + p._2); j += 2
+      } else { out += syms(j); j += 1 }
+    }
+    out.result()
+  }
+
+  /** Encode one word with a trained table: repeatedly apply the
+    * LOWEST-RANK applicable merge (the GPT-2 greedy loop). Symbols that
+    * never appear in the table stay as single characters — unseen input
+    * degrades to characters, it never fails.
+    */
+  def bpeEncode(word: String, ranks: Map[(String, String), Int]): Vector[String] = {
+    var syms = word.map(_.toString).toVector
+    var continue = syms.length > 1
+    while (continue) {
+      var best = -1
+      var bestRank = Int.MaxValue
+      var j = 0
+      while (j < syms.length - 1) {
+        val r = ranks.getOrElse((syms(j), syms(j + 1)), Int.MaxValue)
+        if (r < bestRank) { bestRank = r; best = j }
+        j += 1
+      }
+      if (best < 0) continue = false
+      else {
+        syms = mergePair(syms, (syms(best), syms(best + 1)))
+        if (syms.length < 2) continue = false
+      }
+    }
+    syms
+  }
+
   /** Rolling-hash document fingerprint (polynomial, base 257 mod 2^64). */
   def fingerprint64(text: String): Long = {
     var h = 0L

@@ -48,6 +48,40 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(est(a, c) < 0.2)
   }
 
+  test("GOLDEN: BPE training reproduces the hand-derived merge sequence") {
+    // the classic corpus (Sennrich et al. 2015's example shape); merges
+    // derived BY HAND: pair counts round by round, ties broken by
+    // lexicographically smallest pair
+    val merges = bpeTrain(
+      Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L), 4)
+    assert(merges === Vector(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")))
+    val ranks = merges.zipWithIndex.toMap
+    // the greedy encoder applies them lowest-rank-first
+    assert(bpeEncode("lowest", ranks) === Vector("low", "est"))
+    assert(bpeEncode("newest", ranks) === Vector("n", "e", "w", "est"))
+    assert(bpeEncode("widest", ranks) === Vector("w", "i", "d", "est"))
+    // unseen symbols degrade to characters, never fail
+    assert(bpeEncode("xyz", ranks) === Vector("x", "y", "z"))
+    assert(bpeEncode("", ranks) === Vector.empty)
+    // asking for more merges than exist stops cleanly at exhaustion
+    assert(bpeTrain(Map("ab" -> 1L), 100) === Vector(("a", "b")))
+  }
+
+  test("PROP: BPE encode concatenation is the identity; training is deterministic") {
+    val corpus = Map("spark" -> 9L, "sparse" -> 4L, "parser" -> 6L,
+      "partition" -> 8L, "part" -> 7L, "shuffle" -> 5L)
+    val merges = bpeTrain(corpus, 12)
+    assert(merges === bpeTrain(corpus, 12)) // deterministic
+    val ranks = merges.zipWithIndex.toMap
+    (corpus.keys ++ Seq("spartan", "paper", "zzz", "a")).foreach { w =>
+      val toks = bpeEncode(w, ranks)
+      assert(toks.mkString === w, s"'$w' lost content: $toks")
+      assert(toks.forall(_.nonEmpty))
+    }
+    // frequent training words compress below character count
+    assert(bpeEncode("partition", ranks).length < "partition".length)
+  }
+
   test("simhash: similar texts have small hamming distance") {
     val a = simhash64("spark distributed dataframe engine for large analytics")
     val b = simhash64("spark distributed dataframe engine for huge analytics")
