@@ -114,6 +114,33 @@ object GeoFunctions extends Serializable {
     }
   }
 
+  /** LineString from an array of point WKBs, in array order. Nulls inside
+    * drop; fewer than 2 surviving points yields NULL (JTS rejects
+    * 1-point lines); a non-point element is an error — fail loud.
+    */
+  val stMakeLineF: Seq[Array[Byte]] => Array[Byte] = (arr: Seq[Array[Byte]]) => {
+    if (arr == null) null
+    else {
+      val cs = arr.filter(_ != null).map(fromWkb).map {
+        case p: Point => p.getCoordinate
+        case g => throw new IllegalArgumentException(
+          s"st_makeline expects points, got ${g.getGeometryType}")
+      }
+      if (cs.length < 2) null
+      else toWkb(gf.createLineString(cs.toArray))
+    }
+  }
+
+  /** First / last vertex as a point (any non-empty geometry; NULL for
+    * empty or null input).
+    */
+  val stStartPointF: Array[Byte] => Array[Byte] = g1 { g =>
+    if (g.isEmpty) null else toWkb(gf.createPoint(g.getCoordinates.head))
+  }
+  val stEndPointF: Array[Byte] => Array[Byte] = g1 { g =>
+    if (g.isEmpty) null else toWkb(gf.createPoint(g.getCoordinates.last))
+  }
+
   /** Douglas-Peucker simplification (JTS; topology NOT preserved — the
     * standard DP contract: endpoints kept, interior vertices within
     * `tolerance` of the simplified line dropped).
@@ -239,6 +266,9 @@ object GeoFunctions extends Serializable {
   }
   val st_collect = udf(stCollectF).withName("st_collect")
   val st_simplify = udf(stSimplifyF).withName("st_simplify")
+  val st_makeline = udf(stMakeLineF).withName("st_makeline")
+  val st_startpoint = udf(stStartPointF).withName("st_startpoint")
+  val st_endpoint = udf(stEndPointF).withName("st_endpoint")
   val st_asgeojson = udf(stAsGeoJsonF).withName("st_asgeojson")
   val st_geomfromgeojson = udf(stGeomFromGeoJsonF).withName("st_geomfromgeojson")
   val st_geohash = udf(stGeohashF).withName("st_geohash")
@@ -287,5 +317,8 @@ object GeoFunctions extends Serializable {
     spark.udf.register("st_asgeojson", stAsGeoJsonF)
     spark.udf.register("st_geomfromgeojson", stGeomFromGeoJsonF)
     spark.udf.register("st_geohash", stGeohashF)
+    spark.udf.register("st_makeline", stMakeLineF)
+    spark.udf.register("st_startpoint", stStartPointF)
+    spark.udf.register("st_endpoint", stEndPointF)
   }
 }

@@ -395,6 +395,45 @@ object Geometry extends QueryBlock {
         round(avg(c_acctbal), 6) AS cx,
         round(avg(CAST(c_custkey % 1000 AS DOUBLE)), 6) AS cy
         FROM customer WHERE c_custkey < 2000
+        GROUP BY c_nationkey ORDER BY c_nationkey""")),
+
+    // B21 — st_makeline + ORACLE-grade st_simplify: per-group polylines of
+    // EXACTLY collinear vertices (y = 2x+1 is exact in doubles for integer
+    // x), so Douglas-Peucker provably collapses every chain to its 2
+    // endpoints — the one geometry where DP output is closed-form. The
+    // oracle recomputes endpoint coordinates and the single-segment length
+    // from group min/max. start/endpoint accessors ride along.
+    "b21_simplify_line" -> QueryDef(
+      (s, dir) => {
+        val pt = G.st_point(col("c_custkey").cast("double"),
+          (col("c_custkey") * 2 + 1).cast("double"))
+        t(s, dir, "customer")
+          .filter(col("c_custkey") < 2000)
+          .select(col("c_nationkey"), col("c_custkey"), pt.as("pt"))
+          .groupBy(col("c_nationkey"))
+          .agg(sort_array(collect_list(struct(col("c_custkey"), col("pt")))).as("sp"))
+          .withColumn("line", G.st_makeline(expr("transform(sp, s -> s.pt)")))
+          .withColumn("simp", G.st_simplify(col("line"), lit(0.5)))
+          .select(col("c_nationkey"),
+            G.st_npoints(col("line")).as("n_before"),
+            G.st_npoints(col("simp")).as("n_after"),
+            G.st_x(G.st_startpoint(col("simp"))).as("x0"),
+            G.st_y(G.st_startpoint(col("simp"))).as("y0"),
+            G.st_x(G.st_endpoint(col("simp"))).as("x1"),
+            G.st_y(G.st_endpoint(col("simp"))).as("y1"),
+            round(G.st_length(col("simp")), 6).as("len"))
+          .orderBy(col("c_nationkey"))
+      },
+      Some("""SELECT c_nationkey,
+        CAST(count(*) AS INT) AS n_before,
+        2 AS n_after,
+        CAST(min(c_custkey) AS DOUBLE) AS x0,
+        CAST(2 * min(c_custkey) + 1 AS DOUBLE) AS y0,
+        CAST(max(c_custkey) AS DOUBLE) AS x1,
+        CAST(2 * max(c_custkey) + 1 AS DOUBLE) AS y1,
+        round(sqrt(power(CAST(max(c_custkey) - min(c_custkey) AS DOUBLE), 2)
+          + power(CAST(2 * (max(c_custkey) - min(c_custkey)) AS DOUBLE), 2)), 6) AS len
+        FROM customer WHERE c_custkey < 2000
         GROUP BY c_nationkey ORDER BY c_nationkey"""))
   )
 }

@@ -141,6 +141,23 @@ class GeoFunctionsSpec extends AnyFunSuite {
     assert(stSimplifyF(null, 1.0) === null)
   }
 
+  test("st_makeline + start/endpoint: order preserved, nulls dropped, degenerate -> null") {
+    val pts = Seq(stPointF(0, 0), stPointF(1, 2), stPointF(3, 1))
+    val line = fromWkb(stMakeLineF(pts))
+    assert(line.getGeometryType === "LineString")
+    assert(line.getNumPoints === 3)
+    assert(fromWkb(stStartPointF(stMakeLineF(pts))).getCoordinate.x === 0.0)
+    assert(fromWkb(stEndPointF(stMakeLineF(pts))).getCoordinate.x === 3.0)
+    // nulls inside drop; under 2 surviving points -> null
+    assert(fromWkb(stMakeLineF(Seq(null, pts(0), pts(1)))).getNumPoints === 2)
+    assert(stMakeLineF(Seq(pts.head)) === null)
+    assert(stMakeLineF(Seq.empty) === null)
+    assert(stMakeLineF(null) === null)
+    // non-point input fails loud, never a silently-wrong line
+    assertThrows[IllegalArgumentException](stMakeLineF(Seq(stMakeBoxF(0, 0, 1, 1))))
+    assert(stStartPointF(null) === null)
+  }
+
   test("st_geohash: public known vectors, prefix hierarchy, domain guards") {
     // canonical public examples of the geohash encoding
     assert(stGeohashF(stPointF(-5.6, 42.6), 5) === "ezs42")
