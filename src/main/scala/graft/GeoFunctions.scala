@@ -215,14 +215,22 @@ object GeoFunctions extends Serializable {
   def st_point(x: Column, y: Column): Column =
     native2(graft.functions.StMakePoint.apply)(x, y)
   val st_makebox = udf(stMakeBoxF).withName("st_makebox")
-  val st_x = udf(stXF).withName("st_x")
-  val st_y = udf(stYF).withName("st_y")
+  // st_x/st_y route through the NATIVE byte-walking accessors — identical
+  // plan shape whether a user writes SQL or the Column API.
+  def st_x(g: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge._
+    column(graft.functions.StX(expression(g)))
+  }
+  def st_y(g: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge._
+    column(graft.functions.StY(expression(g)))
+  }
   val st_geometrytype = udf(stGeometryTypeF).withName("st_geometrytype")
   val st_area = udf(stAreaF).withName("st_area")
   val st_length = udf(stLengthF).withName("st_length")
   val st_npoints = udf(stNPointsF).withName("st_npoints")
   val st_centroid = udf(stCentroidF).withName("st_centroid")
-  val st_convexhull = udf(stConvexHullF).withName("st_convexhull")
+  def st_convexhull(g: Column): Column = st_convexhull_native(g)
   // st_distance / st_dwithin route through NATIVE expressions
   // (functions.WkbDistance): point-point byte fast path, codegen-resident.
   def st_distance(a: Column, b: Column): Column =
@@ -264,6 +272,14 @@ object GeoFunctions extends Serializable {
     GraftColumnBridge.column(
       graft.functions.StConvexHullExpr(GraftColumnBridge.expression(g)))
   }
+  // EWKB SRID accessors — native, matching the SQL names WkbOverlay owns.
+  def st_srid(g: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(
+      graft.functions.StSridExpr(GraftColumnBridge.expression(g)))
+  }
+  def st_setsrid(g: Column, srid: Column): Column =
+    native2(graft.functions.StSetSridExpr.apply)(g, srid)
   val st_collect = udf(stCollectF).withName("st_collect")
   val st_simplify = udf(stSimplifyF).withName("st_simplify")
   val st_makeline = udf(stMakeLineF).withName("st_makeline")
@@ -287,31 +303,23 @@ object GeoFunctions extends Serializable {
   }
 
   def register(spark: SparkSession): Unit = synchronized {
-    // spark.udf.register is idempotent per name (re-registration only logs).
-    spark.udf.register("st_point", stPointF)
+    // ONLY names with no native-Expression owner are registered as UDFs.
+    // st_x/st_y/st_point (WkbAccessors), the predicates/distance family
+    // (WkbPredicates/WkbDistance) and the overlay+srid family (WkbOverlay)
+    // get their SQL names from their own `register` methods — registering
+    // a UDF under the same name first would be dead on arrival (the native
+    // createOrReplaceTempFunction wins) and floods every session log with
+    // SimpleFunctionRegistry "replaced a previously registered function"
+    // warnings.
     spark.udf.register("st_makebox", stMakeBoxF)
-    spark.udf.register("st_x", stXF)
-    spark.udf.register("st_y", stYF)
     spark.udf.register("st_geometrytype", stGeometryTypeF)
     spark.udf.register("st_area", stAreaF)
     spark.udf.register("st_length", stLengthF)
     spark.udf.register("st_perimeter", stLengthF)
     spark.udf.register("st_npoints", stNPointsF)
     spark.udf.register("st_centroid", stCentroidF)
-    spark.udf.register("st_convexhull", stConvexHullF)
-    spark.udf.register("st_distance", stDistanceF)
-    spark.udf.register("st_contains", stContainsF)
-    spark.udf.register("st_within", stWithinF)
-    spark.udf.register("st_intersects", stIntersectsF)
-    spark.udf.register("st_disjoint", stDisjointF)
-    spark.udf.register("st_union", stUnionF)
-    spark.udf.register("st_intersection", stIntersectionF)
-    spark.udf.register("st_dwithin", stDWithinF)
-    spark.udf.register("st_buffer", stBufferF)
     spark.udf.register("st_astext", stAsTextF)
     spark.udf.register("st_geomfromtext", stGeomFromTextF)
-    spark.udf.register("st_srid", stSridF)
-    spark.udf.register("st_setsrid", stSetSridF)
     spark.udf.register("st_collect", stCollectF)
     spark.udf.register("st_simplify", stSimplifyF)
     spark.udf.register("st_asgeojson", stAsGeoJsonF)

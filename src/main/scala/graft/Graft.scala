@@ -54,6 +54,24 @@ object Graft {
     * (Verify/Bench receive a driver-configured session).
     */
   def prepare(spark: SparkSession): SparkSession = {
+    // st_srid/st_setsrid DELIBERATELY shadow Spark 4.1's GeometryType
+    // builtins (graft's operate on WKB BinaryType — SURVEY §1.2 keeps WKB
+    // as the core representation). SimpleFunctionRegistry WARNs on every
+    // such replacement; that one expected pair would print in every
+    // session log, so the registry logger is raised to ERROR for the
+    // duration of registration only and restored afterwards — any LATER
+    // replacement (a user clobbering a graft name) still warns.
+    import org.apache.logging.log4j.{Level, LogManager}
+    import org.apache.logging.log4j.core.config.Configurator
+    val registryLogger = "org.apache.spark.sql.catalyst.analysis.SimpleFunctionRegistry"
+    val prior = LogManager.getLogger(registryLogger).getLevel
+    Configurator.setLevel(registryLogger, Level.ERROR)
+    try doPrepare(spark)
+    finally Configurator.setLevel(registryLogger, prior)
+    spark
+  }
+
+  private def doPrepare(spark: SparkSession): Unit = {
     GeoFunctionRegistry.registerAll(spark)
     TextFunctionRegistry.registerAll(spark)
     graft.functions.CosineSimilarity.register(spark)
@@ -67,7 +85,6 @@ object Graft {
     // names st_x/st_y route to the native expressions
     graft.plans.SpatialFilterRule.register(spark)
     graft.plans.SpatialJoinRule.register(spark)
-    spark
   }
 
   // --- Oracle-exact arithmetic helpers (SURVEY.md §5.2) -------------------

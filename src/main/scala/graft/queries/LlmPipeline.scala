@@ -405,25 +405,32 @@ object LlmPipeline extends QueryBlock {
     // engine rounding semantics never enter; zero vectors quantize to
     // NULL. Scan-local arithmetic, no shuffle. Dequantization error
     // bound (<= maxabs/254 per component) is PipelineOpsPropertySpec's.
+    // The quantized vector is emitted as a comma-joined scalar (c18
+    // precedent): the driver's pandas canonicalization sorts rows across
+    // all columns and cannot hash an array cell, so both engines encode
+    // the vector as one string. maxabs is coalesced to 0.0 on BOTH sides
+    // so a NULL embedding row yields (0.0, NULL) identically.
     "e24_int8_quantize" -> QueryDef(
       (s, dir) =>
         t(s, dir, "embeddings")
           .select(col("vec_id"), col("embedding"),
-            expr("aggregate(embedding, 0.0D, (s, x) -> greatest(s, abs(CAST(x AS DOUBLE))))")
-              .as("maxabs"))
+            coalesce(
+              expr("aggregate(embedding, 0.0D, (s, x) -> greatest(s, abs(CAST(x AS DOUBLE))))"),
+              lit(0.0)).as("maxabs"))
           .select(col("vec_id"),
             round(col("maxabs"), 6).as("scale_max"),
             when(col("maxabs") > 0, expr(
-              "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / maxabs + 0.5) AS INT))"))
-              .as("q"))
+              "array_join(transform(embedding, x -> CAST(CAST(floor(CAST(x AS DOUBLE) * 127.0 / maxabs + 0.5) AS INT) AS STRING)), ',')"))
+              .as("q_csv"))
           .orderBy(col("vec_id")),
       Some("""WITH m AS (SELECT vec_id, embedding,
           coalesce(list_aggregate(list_transform(embedding,
             x -> abs(CAST(x AS DOUBLE))), 'max'), 0.0) AS maxabs
           FROM embeddings)
         SELECT vec_id, round(maxabs, 6) AS scale_max,
-          CASE WHEN maxabs > 0 THEN list_transform(embedding,
-            x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / maxabs + 0.5) AS INT)) END AS q
+          CASE WHEN maxabs > 0 THEN list_aggregate(list_transform(embedding,
+            x -> CAST(CAST(floor(CAST(x AS DOUBLE) * 127.0 / maxabs + 0.5) AS INT) AS VARCHAR)),
+            'string_agg', ',') END AS q_csv
         FROM m ORDER BY vec_id""")),
 
     // E27 — weighted sampling (Efraimidis-Spirakis A-Res): k docs chosen

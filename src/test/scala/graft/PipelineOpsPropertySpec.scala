@@ -66,7 +66,10 @@ class PipelineOpsPropertySpec extends AnyFunSuite {
     assert(joined.nonEmpty)
     joined.foreach { r =>
       val scaleMax = r.getDouble(r.fieldIndex("scale_max"))
-      val q = Option(r.getSeq[Int](r.fieldIndex("q")))
+      // q ships as a comma-joined scalar (driver canonicalization needs a
+      // hashable cell); parse it back for the numeric bound.
+      val q = Option(r.getString(r.fieldIndex("q_csv")))
+        .map(_.split(',').toSeq.map(_.toInt))
       val x = r.getSeq[Float](r.fieldIndex("embedding"))
       if (scaleMax == 0.0) assert(q.isEmpty, s"zero vector ${r.getLong(0)} must quantize to NULL")
       else {
