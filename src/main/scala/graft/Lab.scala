@@ -260,6 +260,142 @@ object Lab {
       perOrder.hint("shuffle_hash")
         .join(o.select(col("o_orderkey")), col("l_orderkey") === col("o_orderkey"))
         .agg(count(lit(1)).as("n"), sum(col("cts")).as("t"))
+    }),
+    // c07 as ONE shuffle on the order key: union orders(k, custkey) with
+    // lineitem(k, cents), aggregate both in a single pass (long-only
+    // buffers -> HashAggregate), then map custkey -> segment via the same
+    // bounded customer broadcast the shipping plan uses. Replaces
+    // [lineitem exchange + oc exchange + SHJ] with [union exchange + agg].
+    V("c07_union", "c07_join_agg", (s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      val li = l.select(col("l_orderkey").as("k"),
+        lit(null).cast("long").as("ck"),
+        (cents2(col("l_extendedprice")) * (lit(100L) - cents2(col("l_discount")))).as("v"))
+      val os = o.select(col("o_orderkey").as("k"),
+        col("o_custkey").cast("long").as("ck"), lit(null).cast("long").as("v"))
+      li.unionByName(os)
+        .groupBy(col("k"))
+        .agg(max(col("ck")).as("ck"), sum(col("v")).as("cts"))
+        .filter(col("cts").isNotNull)
+        .join(broadcast(t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))),
+          col("ck") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          (sum(col("cts")).cast("double") / lit(10000.0)).as("revenue"))
+        .orderBy(col("c_mktsegment")).limit(10000)
+    }),
+    // c07 shipping shape but broadcast exchange reuse probe: project the
+    // oc side to the minimum width before the shuffle.
+    V("c07_narrow_oc", "c07_join_agg", (s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      val oc = o.select(col("o_orderkey"), col("o_custkey"))
+        .join(broadcast(c.select(col("c_custkey"), col("c_mktsegment"))),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_mktsegment"))
+      val perOrder = l.groupBy(col("l_orderkey"))
+        .agg(sum(cents2(col("l_extendedprice")) * (lit(100L) - cents2(col("l_discount")))).as("cts"))
+      perOrder.hint("shuffle_hash")
+        .join(oc, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          (sum(col("cts")).cast("double") / lit(10000.0)).as("revenue"))
+        .orderBy(col("c_mktsegment")).limit(10000)
+    }),
+    // c09 as ONE lineitem scan: per-partkey flag aggregate (map-side
+    // combined to <= |part| rows), filtered to the semi AND anti condition,
+    // broadcast into a single left-semi probe of part. The build side is
+    // |part|-bounded booleans instead of two raw 300k-row key projections.
+    V("c09_flagagg", "c09_semi_anti", (s, dir) => {
+      val p = t(s, dir, "part")
+      val l = t(s, dir, "lineitem")
+      val keys = l.select(col("l_partkey"),
+        (col("l_discount") > 0.05).as("disc"), (col("l_tax") > 0.07).as("taxed"))
+        .filter(col("disc") || col("taxed"))
+        .groupBy(col("l_partkey"))
+        .agg(max(col("disc")).as("disc"), max(col("taxed")).as("taxed"))
+        .filter(col("disc") && !col("taxed"))
+        .select(col("l_partkey"))
+      p.join(broadcast(keys), col("p_partkey") === keys("l_partkey"), "left_semi")
+        .agg(count(lit(1)).as("n"))
+    }),
+    // c09 shipping shape with the anti build deduplicated before broadcast
+    // (NOT-IN key set is ~300k raw rows but <= |part| distinct).
+    V("c09_distinct_builds", "c09_semi_anti", (s, dir) => {
+      val p = t(s, dir, "part")
+      val l = t(s, dir, "lineitem")
+      val discounted = l.filter(col("l_discount") > 0.05).select(col("l_partkey")).distinct()
+      val taxed = l.filter(col("l_tax") > 0.07).select(col("l_partkey")).distinct()
+      p.join(discounted, col("p_partkey") === discounted("l_partkey"), "left_semi")
+        .join(taxed, col("p_partkey") === taxed("l_partkey"), "left_anti")
+        .agg(count(lit(1)).as("n"))
+    }),
+    // c09 flag aggregate joined SHUFFLE-HASH: the agg output is already
+    // hash-partitioned on the key, so only part (the small probe) pays an
+    // exchange and nothing ships through the driver as a broadcast build.
+    V("c09_flag_shj", "c09_semi_anti", (s, dir) => {
+      val p = t(s, dir, "part")
+      val l = t(s, dir, "lineitem")
+      val keys = l.select(col("l_partkey"),
+        (col("l_discount") > 0.05).as("disc"), (col("l_tax") > 0.07).as("taxed"))
+        .filter(col("disc") || col("taxed"))
+        .groupBy(col("l_partkey"))
+        .agg(max(col("disc")).as("disc"), max(col("taxed")).as("taxed"))
+        .filter(col("disc") && !col("taxed"))
+        .select(col("l_partkey"))
+      p.join(keys.hint("shuffle_hash"), col("p_partkey") === keys("l_partkey"), "left_semi")
+        .agg(count(lit(1)).as("n"))
+    }),
+    // c09 as a pure aggregate: part joins never needed — the answer is the
+    // count of partkeys that (a) appear in part, (b) have a discounted
+    // line, (c) have no taxed line. Flag agg + ONE semi probe of part keys
+    // shuffled into the same partitioning.
+    // flag agg with the join DIRECTION flipped: count keys that exist in
+    // part, so the |part| key projection broadcasts (built concurrently
+    // with the flag stage) and the flags side never re-shuffles.
+    V("c09_count_bcast", "c09_semi_anti", (s, dir) => {
+      val p = t(s, dir, "part").select(col("p_partkey"))
+      val l = t(s, dir, "lineitem")
+      val keys = l.select(col("l_partkey"),
+        (col("l_discount") > 0.05).as("disc"), (col("l_tax") > 0.07).as("taxed"))
+        .filter(col("disc") || col("taxed"))
+        .groupBy(col("l_partkey"))
+        .agg(max(col("disc")).as("disc"), max(col("taxed")).as("taxed"))
+        .filter(col("disc") && !col("taxed"))
+      keys.join(broadcast(p), col("l_partkey") === col("p_partkey"), "left_semi")
+        .agg(count(lit(1)).as("n"))
+    }),
+    // flag agg WITHOUT a join hint: static planner picks SMJ off the
+    // (overestimated) agg size, AQE's runtime size sees ~|part| rows and
+    // converts to a broadcast probe with local shuffle reads.
+    V("c09_flag_nohint", "c09_semi_anti", (s, dir) => {
+      val p = t(s, dir, "part")
+      val l = t(s, dir, "lineitem")
+      val keys = l.select(col("l_partkey"),
+        (col("l_discount") > 0.05).as("disc"), (col("l_tax") > 0.07).as("taxed"))
+        .filter(col("disc") || col("taxed"))
+        .groupBy(col("l_partkey"))
+        .agg(max(col("disc")).as("disc"), max(col("taxed")).as("taxed"))
+        .filter(col("disc") && !col("taxed"))
+        .select(col("l_partkey"))
+      p.join(keys, col("p_partkey") === keys("l_partkey"), "left_semi")
+        .agg(count(lit(1)).as("n"))
+    }),
+    V("c09_count_only", "c09_semi_anti", (s, dir) => {
+      val p = t(s, dir, "part").select(col("p_partkey"))
+      val l = t(s, dir, "lineitem")
+      val keys = l.select(col("l_partkey"),
+        (col("l_discount") > 0.05).as("disc"), (col("l_tax") > 0.07).as("taxed"))
+        .filter(col("disc") || col("taxed"))
+        .groupBy(col("l_partkey"))
+        .agg(max(col("disc")).as("disc"), max(col("taxed")).as("taxed"))
+        .filter(col("disc") && !col("taxed"))
+      keys.hint("shuffle_hash")
+        .join(p, col("l_partkey") === col("p_partkey"), "left_semi")
+        .agg(count(lit(1)).as("n"))
     })
   )
 

@@ -97,7 +97,17 @@ object Stress {
       "c07_join_agg", "e01_exact_dedup", "c09_semi_anti", "c21_rank_window",
       // round-4 additions: the shingle-keyed shuffle profile (the heaviest
       // new op), the bounded-TopK group sample, and scan-local quantization
-      "e26_dup_passages", "e23_group_sample", "e24_int8_quantize")
+      "e26_dup_passages", "e23_group_sample", "e24_int8_quantize",
+      // round-5 additions (VERDICT r4 item 8): the two remaining
+      // shuffle-heavy ops — iterative min-label propagation and the
+      // banded minhash join
+      "e18_dedup_clusters", "e02_minhash_pairs")
+
+    // minhash128 is a Scala function BY DESIGN (SURVEY §2 E2: owned hash
+    // family, golden tier — a 128-permutation signature has no
+    // column-algebra form worth codegen'ing); the no-ScalaUDF assertion
+    // is for hot paths that HAVE a native form.
+    val udfByDesign = Set("e02_minhash_pairs", "e18_dedup_clusters")
 
     var failed = List.empty[String]
     checks.foreach { name =>
@@ -108,7 +118,8 @@ object Stress {
       must(!plan.contains("BroadcastNestedLoopJoin"), "BNL appeared at 10x")
       must(!plan.contains("CartesianProduct"), "cartesian appeared at 10x")
       must(!plan.contains("SortAggregate"), "HashAggregate demoted to SortAggregate at 10x")
-      must(!plan.contains("ScalaUDF"), "ScalaUDF appeared in hot path at 10x")
+      if (!udfByDesign(name))
+        must(!plan.contains("ScalaUDF"), "ScalaUDF appeared in hot path at 10x")
       // queries that rely on a dim broadcast must KEEP it at 10x volume
       if (Set("c20_rollup", "c07_join_agg", "c21_rank_window")(name))
         must(plan.contains("BroadcastHashJoin"), "dim broadcast demoted at 10x")

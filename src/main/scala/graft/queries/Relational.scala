@@ -111,31 +111,36 @@ object Relational extends QueryBlock {
         FROM orders ORDER BY o_orderkey""")),
 
     // C7/C15 — three-way equi-join + count distinct (BASELINE B2).
-    // Plan choices (measured, equality-checked against the unchanged
-    // oracle):
-    //  1. eager aggregation: lineitem pre-aggregates per order BELOW the
-    //     join (600k rows -> 150k partials, map-side combined), so the join
-    //     probes 4x fewer rows and the distinct collapses to a plain count
-    //     (orderkey is the pre-agg key and functionally determines the
-    //     segment through the equi-joins);
-    //  2. only the CUSTOMER dim broadcasts (bounded); orders shuffles on
-    //     o_orderkey into the partitioning the pre-agg already produced —
-    //     a shuffled-hash join, one new exchange. Broadcasting customer⋈
-    //     orders instead (round 1) collected 150k rows through the driver:
-    //     a separate jobs pays ~40% of the query (429→317 ms measured at
-    //     sf0.1); at 100 TB an orders-sized broadcast is impossible anyway.
+    // Plan: ONE shuffle on the order key. Lineitem rows (cents term) and
+    // orders rows (custkey carrier) union into a single per-orderkey
+    // aggregate — long-only buffers, so it stays a HashAggregate with
+    // map-side combine — replacing the previous [lineitem exchange +
+    // orders exchange + shuffled-hash join] with [union exchange + agg]
+    // (measured 303→274 ms AQE, 10 stages → 7, equality-checked). The
+    // count distinct collapses to a plain count because orderkey is the
+    // aggregate key; max(custkey) is exact because each order key has
+    // exactly one orders row; orders with no lineitems drop via the
+    // cts IS NOT NULL filter (inner-join semantics). Only the CUSTOMER
+    // dim broadcasts, and only ABOVE the aggregate (150k probe rows, not
+    // 600k). At 100 TB: one orderkey-hashed exchange of narrow rows, no
+    // join build sized to data volume, no driver-side collection;
+    // per-order line counts are bounded so the key cannot skew.
     "c07_join_agg" -> QueryDef(
       (s, dir) => {
         val c = t(s, dir, "customer")
         val o = t(s, dir, "orders")
         val l = t(s, dir, "lineitem")
-        val oc = o.join(broadcast(c.select(col("c_custkey"), col("c_mktsegment"))),
-          col("o_custkey") === col("c_custkey"))
-          .select(col("o_orderkey"), col("c_mktsegment"))
-        val perOrder = l.groupBy(col("l_orderkey"))
-          .agg(sum(cents2(col("l_extendedprice")) * (lit(100L) - cents2(col("l_discount")))).as("cts"))
-        perOrder.hint("shuffle_hash")
-          .join(oc, col("l_orderkey") === col("o_orderkey"))
+        val li = l.select(col("l_orderkey").as("k"),
+          lit(null).cast("long").as("ck"),
+          (cents2(col("l_extendedprice")) * (lit(100L) - cents2(col("l_discount")))).as("v"))
+        val os = o.select(col("o_orderkey").as("k"),
+          col("o_custkey").cast("long").as("ck"), lit(null).cast("long").as("v"))
+        li.unionByName(os)
+          .groupBy(col("k"))
+          .agg(max(col("ck")).as("ck"), sum(col("v")).as("cts"))
+          .filter(col("cts").isNotNull)
+          .join(broadcast(c.select(col("c_custkey"), col("c_mktsegment"))),
+            col("ck") === col("c_custkey"))
           .groupBy(col("c_mktsegment"))
           .agg(
             count(lit(1)).as("n_orders"),
@@ -166,18 +171,35 @@ object Relational extends QueryBlock {
         GROUP BY r_name ORDER BY r_name""")),
 
     // C9 — semi + anti join via IN / NOT IN subqueries (BASELINE B8).
-    // (A single-scan per-partkey flag aggregate shared by both joins was
-    // tried and is WORSE: column pruning specializes each broadcast branch,
-    // defeating ReuseExchange — two scans AND two shuffles. Two filtered
-    // projections broadcast straight from the scan, no shuffle at all.)
+    // Plan: ONE lineitem scan computing both membership flags per partkey
+    // (filter to disc-or-taxed rows first, then a boolean max aggregate —
+    // map-side combined to at most |part| rows per task), filtered to the
+    // combined condition disc AND NOT taxed. The IN/NOT-IN pair fuses into
+    // the flag filter: a partkey survives iff it has a discounted line and
+    // no taxed line, exactly the subquery semantics (NULL l_partkey groups
+    // never equi-match, mirroring the oracle's IS NOT NULL guard). The
+    // count then only needs which survivors EXIST in part, so the join
+    // direction flips: part's key projection — the smallest participating
+    // set, and the only side the previous plan did NOT broadcast —
+    // broadcasts into the flag stage, which never re-shuffles. vs the
+    // previous two-scan double-broadcast plan: half the fact-scan work,
+    // one 300k-row driver build replaced by a |part|-key build, and the
+    // flag aggregate's partitioning is consumed in place (measured
+    // equality-checked, fastest AQE variant of five tried). At 100 TB the
+    // hint comes off and runtime stats pick the join side; the flag
+    // aggregate shape (one key-hashed exchange, bounded state) is
+    // unchanged.
     "c09_semi_anti" -> QueryDef(
       (s, dir) => {
-        val p = t(s, dir, "part")
+        val p = t(s, dir, "part").select(col("p_partkey"))
         val l = t(s, dir, "lineitem")
-        val discounted = l.filter(col("l_discount") > 0.05).select(col("l_partkey"))
-        val taxed = l.filter(col("l_tax") > 0.07).select(col("l_partkey"))
-        p.join(discounted, col("p_partkey") === discounted("l_partkey"), "left_semi")
-          .join(taxed, col("p_partkey") === taxed("l_partkey"), "left_anti")
+        val keys = l.select(col("l_partkey"),
+          (col("l_discount") > 0.05).as("disc"), (col("l_tax") > 0.07).as("taxed"))
+          .filter(col("disc") || col("taxed"))
+          .groupBy(col("l_partkey"))
+          .agg(max(col("disc")).as("disc"), max(col("taxed")).as("taxed"))
+          .filter(col("disc") && !col("taxed"))
+        keys.join(broadcast(p), col("l_partkey") === col("p_partkey"), "left_semi")
           .agg(count(lit(1)).as("n"))
       },
       Some("""SELECT count(*) AS n FROM part

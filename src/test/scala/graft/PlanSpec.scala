@@ -73,18 +73,24 @@ class PlanSpec extends AnyFunSuite {
     assert(n === 0, "non-ASCII text would break packAsciiPrefix ordering")
   }
 
-  test("C9 semi/anti subqueries become semi/anti joins") {
+  test("C9 semi/anti fuses to one flag-agg scan + a single semi join") {
     val plan = planOf("c09_semi_anti")
-    assert(plan.contains("LeftSemi"))
-    assert(plan.contains("LeftAnti"))
+    // the IN/NOT-IN pair is answered by one lineitem scan (per-partkey
+    // boolean flags) + a single LeftSemi against part's key projection —
+    // no second fact scan
+    assert(plan.contains("LeftSemi"), plan)
+    assert("lineitem".r.findAllIn(plan).size <= 2, // one scan (path + schema line)
+      s"lineitem must be scanned once:\n$plan")
   }
 
-  test("C7 join-agg: customer-only broadcast + shuffled-hash join on the pre-agg key, no range sort") {
+  test("C7 join-agg: one union shuffle on the order key + customer-only broadcast, no range sort") {
     val plan = planOf("c07_join_agg")
-    // only the true dim broadcasts; orders shuffles into perOrder's
-    // partitioning; bounded final sort is single-partition (no sampling)
-    assert(plan.contains("ShuffledHashJoin"), plan)
+    // lineitem and orders union into a single per-orderkey aggregate (one
+    // exchange); only the true dim broadcasts; bounded final sort is
+    // TakeOrderedAndProject (no sampling)
+    assert(plan.contains("Union"), plan)
     assert("BroadcastHashJoin".r.findAllIn(plan).size === 1, plan)
+    assert(!plan.contains("ShuffledHashJoin"), plan)
     assert(!plan.contains("rangepartitioning"), plan)
   }
 
