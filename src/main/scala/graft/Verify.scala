@@ -9,6 +9,10 @@ object Verify {
     // dump to matching queries (local iteration; the driver passes two).
     val Array(sfDir, outDir) = args.take(2)
     val prefix = args.drop(2).headOption.getOrElse("")
+    // Fixture-oracle queries interpolate the SF name into their oracle SQL
+    // (fixtures/<sf>/<query>.parquet); must be set BEFORE SparkEntry's
+    // query maps initialize.
+    System.setProperty("graft.sf.name", new java.io.File(sfDir).getName)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

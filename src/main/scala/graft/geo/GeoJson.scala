@@ -16,10 +16,20 @@ object GeoJson {
 
   // ---- writer ------------------------------------------------------------
 
-  private def num(d: Double): String =
-    if (d == d.floor && !d.isInfinite && math.abs(d) < 1e15 && d.toLong.toDouble == d)
+  private def num(d: Double): String = {
+    // NaN/Infinity have no JSON representation — "NaN" in coordinates is
+    // invalid RFC 7946 the PARSER would then reject, silently breaking the
+    // advertised write∘parse identity. Fail loudly at the writer instead.
+    if (java.lang.Double.isNaN(d) || d.isInfinite)
+      throw new IllegalArgumentException(s"non-finite ordinate in GeoJSON writer: $d")
+    // -0.0 is excluded from the integral fast path (0.0 == -0.0 but
+    // doubleToRawLongBits differ): it must print "-0.0" to round-trip
+    // bit-exactly rather than canonicalize to "0".
+    if (d == d.floor && math.abs(d) < 1e15 && d.toLong.toDouble == d &&
+      java.lang.Double.doubleToRawLongBits(d) != java.lang.Double.doubleToRawLongBits(-0.0))
       d.toLong.toString // integral doubles print bare: 1 not 1.0 (JSON-idiomatic)
     else d.toString
+  }
 
   private def pos(c: Coordinate): String = s"[${num(c.x)},${num(c.y)}]"
   private def ring(r: LineString): String =

@@ -96,6 +96,163 @@ object Multimodal {
     }
   }
 
+  /** REAL pixel-level PNG decode for 8-bit truecolor (color type 2, no
+    * interlace): the chunk walk collects every IDAT payload, the
+    * concatenated zlib stream inflates through `java.util.zip.Inflater`
+    * (JDK — zero codec dependencies), and scanlines un-filter per the PNG
+    * spec (None/Sub/Up/Average/Paeth at bpp=3). Returns per-channel RGB
+    * sums + pixel count, from which channel means follow exactly. None
+    * for non-PNG, other bit depths/color types, interlaced images, a
+    * corrupt or truncated zlib stream, or bad filter bytes — validate,
+    * don't trust. Handles ANY conforming deflate stream (stored OR
+    * huffman-compressed): fixtures use stored blocks so the DuckDB oracle
+    * can hex-walk the same bytes (e12i), while MultimodalSpec feeds real
+    * Deflater-compressed streams exercising every filter type.
+    */
+  def pngChannelSums(b: Array[Byte]): Option[(Long, Long, Long, Long)] =
+    decodePngHeader(b) match {
+      case Some((w, h, 8, 2)) if w > 0 && h > 0 &&
+          (b(26) & 0xff) == 0 && (b(27) & 0xff) == 0 && (b(28) & 0xff) == 0 =>
+        // chunk walk: concatenate IDAT payloads (multiple chunks are one
+        // continuous zlib stream per spec)
+        val idat = new java.io.ByteArrayOutputStream()
+        var o = 33L
+        var ok = true
+        var done = false
+        while (!done && ok && o + 8 <= b.length) {
+          val len = beU32(b, o.toInt)
+          val tag = new String(b.slice(o.toInt + 4, o.toInt + 8), "US-ASCII")
+          if (o + 12 + len > b.length) ok = false
+          else {
+            if (tag == "IDAT") idat.write(b, o.toInt + 8, len.toInt)
+            if (tag == "IEND") done = true
+            o += 12 + len
+          }
+        }
+        val stride = w.toLong * 3
+        val need = (stride + 1) * h
+        // `done` = IEND reached: a stream that ends mid-chunk (truncated
+        // download) rejects even when every IDAT byte happens to be there
+        if (!ok || !done || need > Int.MaxValue - 8) None
+        else {
+          val raw = new Array[Byte](need.toInt)
+          val inf = new java.util.zip.Inflater()
+          inf.setInput(idat.toByteArray)
+          val inflated =
+            try {
+              var off = 0
+              var stuck = false
+              while (off < raw.length && !inf.finished() && !stuck) {
+                val n = inf.inflate(raw, off, raw.length - off)
+                if (n == 0 && (inf.needsInput() || inf.needsDictionary())) stuck = true
+                off += n
+              }
+              !stuck && off == raw.length
+            } catch { case _: java.util.zip.DataFormatException => false }
+            finally inf.end()
+          if (!inflated) None
+          else {
+            val rowPx = w * 3
+            val prev = new Array[Int](rowPx)
+            val cur = new Array[Int](rowPx)
+            var (sumR, sumG, sumB) = (0L, 0L, 0L)
+            var valid = true
+            var r = 0
+            while (r < h && valid) {
+              val base = r * (rowPx + 1)
+              val ft = raw(base) & 0xff
+              var i = 0
+              while (i < rowPx && valid) {
+                val x = raw(base + 1 + i) & 0xff
+                val a = if (i >= 3) cur(i - 3) else 0
+                val up = prev(i)
+                val v = ft match {
+                  case 0 => x
+                  case 1 => (x + a) & 0xff
+                  case 2 => (x + up) & 0xff
+                  case 3 => (x + ((a + up) >> 1)) & 0xff
+                  case 4 =>
+                    val c = if (i >= 3) prev(i - 3) else 0
+                    val p = a + up - c
+                    val pa = math.abs(p - a)
+                    val pb = math.abs(p - up)
+                    val pc = math.abs(p - c)
+                    val pred = if (pa <= pb && pa <= pc) a
+                      else if (pb <= pc) up else c
+                    (x + pred) & 0xff
+                  case _ => valid = false; 0
+                }
+                cur(i) = v
+                i += 1
+              }
+              if (valid) {
+                var j = 0
+                while (j < rowPx) {
+                  sumR += cur(j); sumG += cur(j + 1); sumB += cur(j + 2)
+                  j += 3
+                }
+                System.arraycopy(cur, 0, prev, 0, rowPx)
+              }
+              r += 1
+            }
+            if (valid) Some((sumR, sumG, sumB, w.toLong * h)) else None
+          }
+        }
+      case _ => None
+    }
+
+  /** A REAL, fully decodable 8-bit RGB PNG whose zlib stream uses one
+    * STORED deflate block: every scanline byte sits at a fixed computable
+    * file offset — sig(8) + IHDR chunk(25) + IDAT len/tag(8) + zlib
+    * header(2) + stored-block header(5) = raw filter-0 scanlines from
+    * byte 48 — which is what lets the DuckDB oracle hex-walk the SAME
+    * pixel bytes the engine inflates (e12h BMP precedent). Deterministic
+    * pixels from splitmix64; adler32 + chunk CRCs are genuine, so any
+    * spec-conforming PNG reader decodes the file identically.
+    */
+  def makePngPixels(width: Int, height: Int, seed: Long): Array[Byte] = {
+    val stride = width * 3
+    val rawLen = (1 + stride) * height
+    require(rawLen <= 65535, "fixture must fit one stored deflate block")
+    val raw = new Array[Byte](rawLen)
+    var s = seed
+    var r = 0
+    while (r < height) {
+      val base = r * (stride + 1)
+      raw(base) = 0 // filter: None
+      var i = 0
+      while (i < stride) {
+        s = splitmix64(s); raw(base + 1 + i) = (s & 0xff).toByte; i += 1
+      }
+      r += 1
+    }
+    val adler = new java.util.zip.Adler32()
+    adler.update(raw)
+    val z = java.nio.ByteBuffer.allocate(2 + 5 + rawLen + 4)
+    z.put(0x78.toByte).put(0x01.toByte) // CMF/FLG, (0x78*256+1) % 31 == 0
+    z.put(1.toByte) // BFINAL=1, BTYPE=00 stored
+    z.put((rawLen & 0xff).toByte).put(((rawLen >> 8) & 0xff).toByte) // LEN le
+    z.put((~rawLen & 0xff).toByte).put(((~rawLen >> 8) & 0xff).toByte) // NLEN
+    z.put(raw)
+    z.putInt(adler.getValue.toInt) // big-endian, as ByteBuffer default
+    def chunk(tag: String, payload: Array[Byte]): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(12 + payload.length)
+      out.putInt(payload.length).put(tag.getBytes("US-ASCII")).put(payload)
+      val crc = new java.util.zip.CRC32
+      crc.update(tag.getBytes("US-ASCII")); crc.update(payload)
+      out.putInt(crc.getValue.toInt)
+      out.array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(width).putInt(height)
+      .put(8.toByte).put(2.toByte) // 8-bit truecolor
+      .put(0.toByte).put(0.toByte).put(0.toByte)
+      .array()
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", z.array()) ++
+      chunk("IEND", Array.emptyByteArray)
+  }
+
   /** REAL MP4/ISO-BMFF header decode: walks the top-level box sequence
     * ([u32-BE size][4cc type] ...), reads the brand from `ftyp`, descends
     * ONE level into `moov` for the `mvhd` (version-0) timescale/duration,
@@ -161,13 +318,20 @@ object Multimodal {
     decodeBmpHeader(b) match {
       case Some((w, h, 24)) if w > 0 && h > 0 =>
         val dataOff = leU32(b, 10).toInt
-        val rowBytes = (w * 3 + 3) / 4 * 4
-        if (dataOff < 54 || b.length < dataOff + rowBytes.toLong * h) None
+        // rowBytes in LONG: a hostile width >= ~7.1e8 overflows the Int
+        // form to a negative stride, slipping past the length guard into
+        // an out-of-bounds pixel walk. The guard divides instead of
+        // multiplying (rowBytes * h can overflow even Long); once it
+        // passes, every offset fits in Int because the data fits b.length.
+        val rowBytes = (w.toLong * 3 + 3) / 4 * 4
+        if (dataOff < 54 || dataOff > b.length ||
+          (b.length - dataOff) / h < rowBytes) None
         else {
+          val rowBytesI = rowBytes.toInt
           var (sumB, sumG, sumR) = (0L, 0L, 0L)
           var r = 0
           while (r < h) {
-            val base = dataOff + r * rowBytes
+            val base = dataOff + r * rowBytesI
             var c = 0
             while (c < w) {
               val o = base + c * 3

@@ -80,6 +80,97 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.bmpChannelSums(bpp8) === None)
   }
 
+  test("REAL PNG pixel decode: stored-block fixture inflates to the generator's own bytes") {
+    val (w, h) = (6, 4)
+    val png = Multimodal.makePngPixels(w, h, seed = 8000L)
+    // independent expectation: regenerate the deterministic pixel stream
+    // and sum channels directly (the generator walks splitmix64 across
+    // scanlines in row order, one byte per step)
+    var s = 8000L
+    var (er, eg, eb) = (0L, 0L, 0L)
+    (0 until h).foreach { _ =>
+      (0 until w * 3).foreach { i =>
+        s = TextFunctions.splitmix64(s)
+        val v = (s & 0xff).toInt
+        (i % 3: @unchecked) match {
+          case 0 => er += v
+          case 1 => eg += v
+          case 2 => eb += v
+        }
+      }
+    }
+    assert(Multimodal.pngChannelSums(png) === Some((er, eg, eb, (w * h).toLong)))
+    // the stored-block layout claim the ORACLE depends on: raw scanline
+    // bytes start at file offset 48 (filter byte) / 49 (first pixel)
+    assert(png(48) === 0.toByte)
+    var s2 = 8000L; s2 = TextFunctions.splitmix64(s2)
+    assert((png(49) & 0xff) === (s2 & 0xff).toInt)
+    // truncation and zlib corruption reject, never partial sums (stored
+    // blocks copy bytes verbatim, so corrupt the stored-block LEN field)
+    assert(Multimodal.pngChannelSums(png.take(png.length - 8)) === None)
+    val badLen = png.clone(); badLen(44) = (badLen(44) ^ 0x7f).toByte
+    assert(Multimodal.pngChannelSums(badLen) === None)
+  }
+
+  test("REAL PNG pixel decode: real Deflater stream with all five filter types") {
+    // Hand-build a PNG: known pixels, each row filtered with its own type
+    // (None/Sub/Up/Average/Paeth), zlib stream from java.util.zip.Deflater
+    // (dynamic huffman — NOT the stored-block fixture path). The decoder
+    // must recover the original pixel sums exactly.
+    val (w, h) = (5, 5)
+    val pix = Array.tabulate(h, w * 3)((r, i) => (r * 37 + i * 11) % 256)
+    def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val (pa, pb, pc) = (math.abs(p - a), math.abs(p - b), math.abs(p - c))
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+    val raw = new java.io.ByteArrayOutputStream()
+    (0 until h).foreach { r =>
+      val ft = r % 5
+      raw.write(ft)
+      (0 until w * 3).foreach { i =>
+        val x = pix(r)(i)
+        val a = if (i >= 3) pix(r)(i - 3) else 0
+        val up = if (r >= 1) pix(r - 1)(i) else 0
+        val c = if (r >= 1 && i >= 3) pix(r - 1)(i - 3) else 0
+        val enc = ft match {
+          case 0 => x
+          case 1 => (x - a) & 0xff
+          case 2 => (x - up) & 0xff
+          case 3 => (x - ((a + up) >> 1)) & 0xff
+          case 4 => (x - paeth(a, up, c)) & 0xff
+        }
+        raw.write(enc)
+      }
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw.toByteArray); defl.finish()
+    val zbuf = new Array[Byte](raw.size() + 64)
+    val zlen = defl.deflate(zbuf); defl.end()
+    def chunk(tag: String, payload: Array[Byte]): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(12 + payload.length)
+      out.putInt(payload.length).put(tag.getBytes("US-ASCII")).put(payload)
+      val crc = new java.util.zip.CRC32
+      crc.update(tag.getBytes("US-ASCII")); crc.update(payload)
+      out.putInt(crc.getValue.toInt).array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13).putInt(w).putInt(h)
+      .put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte).array()
+    // split the zlib stream across TWO IDAT chunks: per spec they form one
+    // continuous stream, a real-file shape the decoder must reassemble
+    val (z1, z2) = zbuf.take(zlen).splitAt(zlen / 2)
+    val png = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", z1) ++ chunk("IDAT", z2) ++
+      chunk("IEND", Array.emptyByteArray)
+    val er = pix.flatMap(_.zipWithIndex.collect { case (v, i) if i % 3 == 0 => v.toLong }).sum
+    val eg = pix.flatMap(_.zipWithIndex.collect { case (v, i) if i % 3 == 1 => v.toLong }).sum
+    val eb = pix.flatMap(_.zipWithIndex.collect { case (v, i) if i % 3 == 2 => v.toLong }).sum
+    assert(Multimodal.pngChannelSums(png) === Some((er, eg, eb, (w * h).toLong)))
+    // non-truecolor and interlaced reject (decoder scope is honest)
+    val gray = png.clone(); gray(25) = 0
+    assert(Multimodal.pngChannelSums(gray) === None)
+  }
+
   test("REAL GIF header decode: round-trips the builder, validates GCT length, rejects non-GIF") {
     val bytes = Multimodal.makeGif(width = 320, height = 200, gctExp = 7,
       bgIndex = 5, seed = 9L)
