@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** ANN accuracy/cost report (dev tool, VERDICT r4 item 9): quantifies
+  * recall@10 vs probe width for the IVF index and candidate-pair recall vs
+  * (tables, bits) for the hyperplane LSH, on the real sf0.1 embeddings —
+  * so the trade-off is MEASURED before anyone trusts a partial-probe
+  * configuration at scale. Ground truth is driver-side exact cosine
+  * (2000×64 floats — trivially driver-sized for a report; the operators
+  * under test still run their real cluster-side code paths for bucket
+  * assignment).
+  *
+  * Usage: `runMain graft.AnnReport` (SPARK_GRAFT_SF_DIR to override).
+  * Output: a markdown table block for NOTES_r{N}.md.
+  */
+object AnnReport {
+
+  private def cos(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+      nb += b(i).toDouble * b(i); i += 1
+    }
+    if (na == 0 || nb == 0) Double.MinValue else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Graft.prepare(spark)
+
+    val emb = Tables(spark, sfDir, "embeddings")
+    val vecs: Array[(Long, Array[Float])] = emb
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val byId = vecs.toMap
+    println(s"[annreport] $sfDir: ${vecs.length} vectors, dim ${vecs.head._2.length}")
+
+    // ground truth: exact top-10 neighbours for every 40th vector
+    val queries = vecs.sortBy(_._1).zipWithIndex.collect {
+      case (v, i) if i % 40 == 0 => v
+    }
+    val truth: Map[Long, Set[Long]] = queries.map { case (qid, q) =>
+      qid -> vecs.filter(_._1 != qid)
+        .map { case (id, v) => (id, cos(q, v)) }
+        .sortBy { case (id, s) => (-s, id) }.take(10).map(_._1).toSet
+    }.toMap
+
+    // ---- IVF: recall@10 vs nprobe (k=16, 2 Lloyd refinements) -----------
+    val k = 16
+    val cs = operators.IvfAnn.refine(emb, "embedding",
+      operators.IvfAnn.centroids(emb, "vec_id", "embedding", k), iters = 2)
+    // REAL operator assignment (cluster-side codegen path), collected once
+    val buckets: Map[Long, Long] = operators.IvfAnn.assign(emb, "embedding", cs)
+      .select(col("vec_id"), col("__ivf_bucket")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bucketSizes = buckets.values.groupBy(identity).view.mapValues(_.size)
+    println(s"[annreport] IVF k=$k bucket sizes: min=${bucketSizes.values.min} " +
+      s"max=${bucketSizes.values.max}")
+    println("| index | config | recall@10 | candidates scanned |")
+    println("| --- | --- | --- | --- |")
+    Seq(1, 2, 4, 8, 16).foreach { nprobe =>
+      val (recalls, cands) = queries.map { case (qid, q) =>
+        val probes = operators.IvfAnn.probeOrder(q, cs).take(nprobe).map(_.toLong).toSet
+        val candidates = vecs.collect {
+          case (id, _) if probes(buckets(id)) && id != qid => id
+        }
+        val top = candidates.map(id => (id, cos(q, byId(id))))
+          .sortBy { case (id, s) => (-s, id) }.take(10).map(_._1).toSet
+        ((top & truth(qid)).size / 10.0, candidates.length)
+      }.unzip
+      println(f"| IVF | nprobe=$nprobe/$k | ${recalls.sum / recalls.length}%.3f " +
+        f"| ${cands.sum / cands.length}%d avg (of ${vecs.length - 1}) |")
+    }
+
+    // ---- LSH: recall@10 + pair stats vs (tables, bits) ------------------
+    Seq((4, 8), (8, 12), (16, 12), (8, 16)).foreach { case (tables, bits) =>
+      val planes = operators.AnnLsh.planeMatrix(vecs.head._2.length, tables, bits)
+      val vecBuckets: Map[Long, Array[Long]] =
+        vecs.map { case (id, v) => id -> operators.AnnLsh.bucketsOf(v, planes) }.toMap
+      val byBucket = vecs.flatMap { case (id, _) =>
+        vecBuckets(id).zipWithIndex.map { case (b, t) => (t, b) -> id }
+      }.groupBy(_._1).view.mapValues(_.map(_._2))
+      val recalls = queries.map { case (qid, q) =>
+        val candidates = vecBuckets(qid).zipWithIndex.flatMap { case (b, t) =>
+          byBucket.getOrElse((t, b), Array.empty[Long])
+        }.distinct.filter(_ != qid)
+        val top = candidates.map(id => (id, cos(q, byId(id))))
+          .sortBy { case (id, s) => (-s, id) }.take(10).map(_._1).toSet
+        (top & truth(qid)).size / 10.0
+      }
+      val totalCand = vecs.map { case (id, _) =>
+        vecBuckets(id).zipWithIndex.map { case (b, t) =>
+          byBucket.getOrElse((t, b), Array.empty[Long]).length - 1
+        }.sum
+      }.sum / 2
+      println(f"| LSH | tables=$tables bits=$bits | ${recalls.sum / recalls.length}%.3f " +
+        f"| ~$totalCand%d candidate pairs (all-pairs ${vecs.length.toLong * (vecs.length - 1) / 2}) |")
+    }
+    spark.stop()
+  }
+}
