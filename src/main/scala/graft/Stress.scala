@@ -134,9 +134,13 @@ object Stress {
         else d.collect()
         (System.nanoTime() - t0) / 1e9
       }
+      val spillBefore = spillBytes.get()
       timeOnce() // warm
       val t = (1 to 3).map(_ => timeOnce()).min
-      println(f"[stress] $name%-22s ${t * 1000}%8.1f ms")
+      Thread.sleep(100) // listener bus is async
+      val spilled = spillBytes.get() - spillBefore
+      val spillNote = if (spilled > 0) f"  SPILLED ${spilled / 1048576}%d MiB" else ""
+      println(f"[stress] $name%-22s ${t * 1000}%8.1f ms$spillNote")
     }
 
     if (spillBytes.get() > 0)
