@@ -495,6 +495,218 @@ object Multimodal {
     out.array()
   }
 
+  /** REAL pixel-level GIF decode: GENERAL LZW (variable code widths
+    * 3..12 bits LSB-first, dictionary growth, CLEAR rebuild, the KwKwK
+    * self-reference case, EOI) over the first image's concatenated data
+    * sub-blocks, indices mapped through the global color table to
+    * per-channel RGB sums + pixel count. Scope is stated, not fudged:
+    * first image descriptor only, no interlace, no local color table —
+    * anything outside it, any truncated stream, any code referencing an
+    * unassigned dictionary slot, or fewer decoded indices than
+    * width*height yields None. The decoder handles ANY conforming LZW
+    * stream (MultimodalSpec feeds a real greedy-dictionary encoder);
+    * e12j's fixtures additionally use byte-aligned 8-bit codes (the
+    * classic "uncompressed GIF" trick) so the DuckDB oracle can address
+    * every pixel byte with integer arithmetic.
+    */
+  def gifChannelSums(b: Array[Byte]): Option[(Long, Long, Long, Long)] =
+    decodeGifHeader(b) match {
+      case Some((_, _, _, gctColors, _)) if gctColors > 0 =>
+        val gctOff = 13
+        var o = gctOff + 3 * gctColors
+        // skip extension blocks (0x21 label, then length-prefixed
+        // sub-blocks to a 0 terminator) to the first image descriptor
+        var ok = o < b.length
+        while (ok && o < b.length && (b(o) & 0xff) == 0x21) {
+          o += 2 // introducer + label
+          while (ok && o < b.length && (b(o) & 0xff) != 0) {
+            o += 1 + (b(o) & 0xff)
+            if (o > b.length) ok = false
+          }
+          o += 1 // sub-block terminator
+        }
+        if (!ok || o + 10 > b.length || (b(o) & 0xff) != 0x2c) None
+        else {
+          val iw = leU16(b, o + 5)
+          val ih = leU16(b, o + 7)
+          val iflags = b(o + 9) & 0xff
+          val interlaced = (iflags & 0x40) != 0
+          val hasLct = (iflags & 0x80) != 0
+          o += 10
+          if (iw <= 0 || ih <= 0 || interlaced || hasLct ||
+            o >= b.length) None
+          else {
+            val minCode = b(o) & 0xff
+            o += 1
+            // concatenate data sub-blocks
+            val data = new java.io.ByteArrayOutputStream()
+            var blockOk = true
+            var done = false
+            while (blockOk && !done && o < b.length) {
+              val len = b(o) & 0xff
+              if (len == 0) done = true
+              else if (o + 1 + len > b.length) blockOk = false
+              else data.write(b, o + 1, len)
+              o += 1 + len
+            }
+            if (!blockOk || !done || minCode < 2 || minCode > 8) None
+            else lzwDecode(data.toByteArray, minCode, iw.toLong * ih).flatMap {
+              indices =>
+                val n = iw.toLong * ih
+                var (sr, sg, sb) = (0L, 0L, 0L)
+                var bad = false
+                var i = 0
+                while (i < indices.length && !bad) {
+                  val idx = indices(i)
+                  if (idx >= gctColors) bad = true
+                  else {
+                    sr += b(gctOff + 3 * idx) & 0xff
+                    sg += b(gctOff + 3 * idx + 1) & 0xff
+                    sb += b(gctOff + 3 * idx + 2) & 0xff
+                  }
+                  i += 1
+                }
+                if (bad) None else Some((sr, sg, sb, n))
+            }
+          }
+        }
+      case _ => None
+    }
+
+  /** General GIF-flavor LZW decode: returns exactly `need` palette
+    * indices, or None for a malformed/short stream. Codes read LSB-first;
+    * width starts at minCode+1, bumps when the next dict slot reaches
+    * 1<<width (capped at 12 bits per spec); CLEAR resets the table.
+    */
+  private def lzwDecode(data: Array[Byte], minCode: Int, need: Long): Option[Array[Int]] = {
+    if (need > Int.MaxValue - 8) return None
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    val out = new Array[Int](need.toInt)
+    var outN = 0
+    // dictionary as prefix-link + last-byte tables (classic compact form)
+    val maxDict = 1 << 12
+    val prefix = new Array[Int](maxDict)
+    val last = new Array[Int](maxDict)
+    var next = eoi + 1
+    var width = minCode + 1
+    var prev = -1
+    var bitPos = 0L
+    val bitEnd = data.length.toLong * 8
+    val scratch = new Array[Int](maxDict)
+    def emit(code: Int): Boolean = { // expand `code` into out; false on overflow
+      var n = 0
+      var c = code
+      while (c >= clear) { scratch(n) = last(c); n += 1; c = prefix(c) }
+      scratch(n) = c; n += 1
+      if (outN + n > out.length) return false
+      var i = n - 1
+      while (i >= 0) { out(outN) = scratch(i); outN += 1; i -= 1 }
+      true
+    }
+    def firstByte(code: Int): Int = {
+      var c = code
+      while (c >= clear) c = prefix(c)
+      c
+    }
+    var halt = false
+    var sawEoi = false
+    while (!halt && !sawEoi && bitPos + width <= bitEnd && outN < out.length) {
+      // read `width` bits LSB-first
+      var v = 0
+      var got = 0
+      while (got < width) {
+        val byteI = (bitPos >> 3).toInt
+        val bitI = (bitPos & 7).toInt
+        val take = math.min(8 - bitI, width - got)
+        v |= (((b2i(data(byteI)) >> bitI) & ((1 << take) - 1)) << got)
+        got += take
+        bitPos += take
+      }
+      val code = v
+      if (code == clear) { next = eoi + 1; width = minCode + 1; prev = -1 }
+      else if (code == eoi) sawEoi = true
+      else if (prev == -1) {
+        if (code >= clear) halt = true // first code must be a literal
+        else { if (!emit(code)) halt = true; prev = code }
+      } else if (code < next) {
+        if (!emit(code)) halt = true
+        else {
+          if (next < maxDict) {
+            prefix(next) = prev; last(next) = firstByte(code); next += 1
+            if (next == (1 << width) && width < 12) width += 1
+          }
+          prev = code
+        }
+      } else if (code == next && next < maxDict) { // KwKwK
+        prefix(next) = prev; last(next) = firstByte(prev); next += 1
+        if (!emit(code - 0)) halt = true
+        else {
+          if (next == (1 << width) && width < 12) width += 1
+          prev = code
+        }
+      } else halt = true // code references an unassigned slot: corrupt
+    }
+    if (halt || outN != out.length) None else Some(out)
+  }
+
+  private def b2i(b: Byte): Int = b & 0xff
+
+  /** A REAL, fully decodable GIF whose LZW stream uses the classic
+    * "uncompressed" encoding: min code size 7 (128-color grayscale
+    * palette, entry i = (i,i,i)), a CLEAR code before every run of 120
+    * pixel codes so the code width never grows past 8 bits — every code
+    * is exactly one byte. Pixel k's byte therefore sits at a computable
+    * offset: data byte index ci = k + k/120 + 1, file offset =
+    * base + (ci/255)*256 + 1 + (ci%255) with base = 13 + 384 + 10 + 1
+    * (header + GCT + image descriptor + min-code byte) — what lets the
+    * DuckDB oracle hex-walk the SAME pixel bytes the engine LZW-decodes
+    * (e12h/e12i precedent). Deterministic pixels from splitmix64, any
+    * conforming GIF reader decodes the file identically.
+    */
+  def makeGifPixels(width: Int, height: Int, seed: Long): Array[Byte] = {
+    val n = width * height
+    val px = new Array[Byte](n)
+    var s = seed
+    (0 until n).foreach { i => s = splitmix64(s); px(i) = (s & 0x7f).toByte }
+    // code stream: CLEAR + 120 pixels, repeated; EOI
+    val codes = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < n) {
+      codes.write(0x80) // CLEAR (code 128)
+      val end = math.min(i + 120, n)
+      while (i < end) { codes.write(px(i)); i += 1 }
+    }
+    codes.write(0x81) // EOI
+    val stream = codes.toByteArray
+    val nBlocks = (stream.length + 254) / 255
+    val out = java.nio.ByteBuffer.allocate(
+      13 + 3 * 128 + 10 + 1 + stream.length + nBlocks + 1 + 1)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("GIF89a".getBytes("US-ASCII"))
+    out.putShort(width.toShort).putShort(height.toShort)
+    out.put((0x80 | 6).toByte) // GCT present, 2^(6+1)=128 entries
+    out.put(0.toByte).put(0.toByte)
+    (0 until 128).foreach { c => // grayscale: index == channel value
+      out.put(c.toByte).put(c.toByte).put(c.toByte)
+    }
+    out.put(0x2c.toByte) // image descriptor
+    out.putShort(0.toShort).putShort(0.toShort)
+    out.putShort(width.toShort).putShort(height.toShort)
+    out.put(0.toByte) // no LCT, not interlaced
+    out.put(7.toByte) // LZW min code size
+    var off = 0
+    while (off < stream.length) {
+      val len = math.min(255, stream.length - off)
+      out.put(len.toByte)
+      out.put(stream, off, len)
+      off += len
+    }
+    out.put(0.toByte) // block terminator
+    out.put(0x3b.toByte) // trailer
+    out.array()
+  }
+
   /** A structurally valid JPEG header sequence: SOI + JFIF APP0 (18 B) +
     * a dummy DQT (69 B) + SOF0 with `nComp` components + EOI. No entropy
     * stream — header-level fixture. The layout is FIXED — SOI at 0, APP0
@@ -611,12 +823,27 @@ object Multimodal {
         batch.iterator.map { r =>
           val path = r.getString(0)
           val content = r.getAs[Array[Byte]](1)
-          // real header decode where the format allows it; stub otherwise
-          val (w, h, c, feats) = decodeBmpHeader(content) match {
-            case Some((bw, bh, bpp)) =>
-              (bw, bh, bpp / 8, featuresOf(contentHash(content)))
-            case None => decodeImageStub(content)
+          // REAL pixel decode for BMP/PNG/GIF (features lead with the
+          // channel means — genuine content features); header-only or
+          // unknown formats fall back to the documented stub
+          def pixelFeatures(sums: (Long, Long, Long, Long)): Array[Float] = {
+            val (sr, sg, sb, n) = sums
+            val means = Array((sr.toDouble / n).toFloat,
+              (sg.toDouble / n).toFloat, (sb.toDouble / n).toFloat)
+            means ++ featuresOf(contentHash(content)).drop(3)
           }
+          val (w, h, c, feats) =
+            bmpChannelSums(content).flatMap { s =>
+              decodeBmpHeader(content).map(hd => (hd._1, hd._2, 3,
+                // BMP rows are BGR: reorder to RGB for a uniform feature
+                pixelFeatures((s._3, s._2, s._1, s._4))))
+            }.orElse(pngChannelSums(content).flatMap { s =>
+              decodePngHeader(content).map(hd => (hd._1, hd._2, 3, pixelFeatures(s)))
+            }).orElse(gifChannelSums(content).flatMap { s =>
+              decodeGifHeader(content).map(hd => (hd._2, hd._3, 3, pixelFeatures(s)))
+            }).orElse(decodeBmpHeader(content).map { case (bw, bh, bpp) =>
+              (bw, bh, bpp / 8, featuresOf(contentHash(content)))
+            }).getOrElse(decodeImageStub(content))
           Row(path, content.length.toLong, w, h, c, feats.toSeq)
         }
       }

@@ -171,6 +171,99 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.pngChannelSums(gray) === None)
   }
 
+  test("REAL GIF pixel decode: uncompressed-trick fixture round-trips the generator") {
+    val (w, h) = (10, 8)
+    val gif = Multimodal.makeGifPixels(w, h, seed = 9000L)
+    // independent expectation: regenerate the pixel index stream; the
+    // grayscale palette makes every channel sum equal the index sum
+    var s = 9000L
+    var exp = 0L
+    (0 until w * h).foreach { _ => s = TextFunctions.splitmix64(s); exp += (s & 0x7f) }
+    assert(Multimodal.gifChannelSums(gif) === Some((exp, exp, exp, (w * h).toLong)))
+    // the byte-offset claim the ORACLE depends on: pixel 0's code byte at
+    // file offset 410 (= 409 + ci + ci/255 with ci = 1)
+    var s2 = 9000L; s2 = TextFunctions.splitmix64(s2)
+    assert((gif(410) & 0xff) === (s2 & 0x7f).toInt)
+    // truncated stream and a code referencing an unassigned slot reject
+    assert(Multimodal.gifChannelSums(gif.take(gif.length - 6)) === None)
+    val bad = gif.clone(); bad(410) = 0xf0.toByte // code 240 > next
+    assert(Multimodal.gifChannelSums(bad) === None)
+  }
+
+  test("REAL GIF pixel decode: genuine LZW stream with dictionary growth and width bumps") {
+    // A real greedy LZW ENCODER (dictionary of sequences, variable width
+    // LSB-first) — the repetitive image forces multi-byte dictionary hits,
+    // width growth past 9 bits, and the KwKwK case; the decoder must
+    // reproduce the exact source indices.
+    val (w, h) = (64, 48)
+    val minCode = 7
+    val px = Array.tabulate(w * h)(i => ((i % 11) * 3 + (i / w) % 5) % 128)
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    val codes = scala.collection.mutable.ArrayBuffer[Int](clear)
+    val dict = scala.collection.mutable.HashMap[Vector[Int], Int]()
+    (0 until clear).foreach(c => dict(Vector(c)) = c)
+    var next = eoi + 1
+    var cur = Vector.empty[Int]
+    px.foreach { p =>
+      val ext = cur :+ p
+      if (dict.contains(ext)) cur = ext
+      else {
+        codes += dict(cur)
+        if (next < 4096) { dict(ext) = next; next += 1 }
+        cur = Vector(p)
+      }
+    }
+    codes += dict(cur)
+    codes += eoi
+    // pack codes with the DECODER's width schedule: width bumps AFTER the
+    // code whose emission makes the decoder's next == 1<<width. The
+    // decoder's dict lags the encoder's by one entry, so replay it.
+    val bits = new java.io.ByteArrayOutputStream()
+    var acc = 0L; var nAcc = 0
+    var width = minCode + 1
+    var dNext = eoi + 1
+    var started = false
+    codes.foreach { c =>
+      acc |= (c.toLong << nAcc); nAcc += width
+      while (nAcc >= 8) { bits.write((acc & 0xff).toInt); acc >>= 8; nAcc -= 8 }
+      if (c == clear) { dNext = eoi + 1; width = minCode + 1; started = false }
+      else if (c != eoi) {
+        if (started && dNext < 4096) {
+          dNext += 1
+          if (dNext == (1 << width) && width < 12) width += 1
+        }
+        started = true
+      }
+    }
+    if (nAcc > 0) bits.write((acc & 0xff).toInt)
+    val stream = bits.toByteArray
+    // assemble the GIF around the compressed stream
+    val nBlocks = (stream.length + 254) / 255
+    val out = java.nio.ByteBuffer.allocate(13 + 3 * 128 + 10 + 1 + stream.length + nBlocks + 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("GIF89a".getBytes("US-ASCII"))
+    out.putShort(w.toShort).putShort(h.toShort)
+    out.put((0x80 | 6).toByte).put(0.toByte).put(0.toByte)
+    (0 until 128).foreach(c => out.put(c.toByte).put(c.toByte).put(c.toByte))
+    out.put(0x2c.toByte).putShort(0.toShort).putShort(0.toShort)
+      .putShort(w.toShort).putShort(h.toShort).put(0.toByte)
+    out.put(minCode.toByte)
+    var off = 0
+    while (off < stream.length) {
+      val len = math.min(255, stream.length - off)
+      out.put(len.toByte); out.put(stream, off, len); off += len
+    }
+    out.put(0.toByte).put(0x3b.toByte)
+    val gif = out.array()
+    val expSum = px.map(_.toLong).sum
+    assert(Multimodal.gifChannelSums(gif) === Some((expSum, expSum, expSum, (w * h).toLong)),
+      s"compressed stream: ${stream.length} bytes for ${w * h} pixels (ratio proves real compression)")
+    // the stream must actually be COMPRESSED (dictionary hits), or this
+    // test wouldn't exercise multi-byte entries
+    assert(stream.length < w * h * 3 / 4, s"stream ${stream.length} not compressed vs ${w * h}")
+  }
+
   test("REAL GIF header decode: round-trips the builder, validates GCT length, rejects non-GIF") {
     val bytes = Multimodal.makeGif(width = 320, height = 200, gctExp = 7,
       bgIndex = 5, seed = 9L)
