@@ -427,6 +427,50 @@ object Multimodal {
   }
 
   /** A complete, valid PCM WAV file. */
+  /** REAL sample-level WAV decode: the chunk walk locates the `data`
+    * payload, 16-bit PCM little-endian samples decode to signed values,
+    * and the stats (sum, sum of squares, peak absolute, count) follow
+    * exactly — audio content features with zero codec dependencies
+    * (PCM IS the decoded form; this covers every uncompressed WAV).
+    * None for non-PCM (format != 1), non-16-bit, odd-length or truncated
+    * data — validate, don't trust.
+    */
+  def wavSampleStats(b: Array[Byte]): Option[(Long, Long, Long, Long)] = {
+    def tag(o: Int): String =
+      if (b.length >= o + 4) new String(b.slice(o, o + 4), "US-ASCII") else ""
+    if (b == null || b.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") None
+    else {
+      var o = 12
+      var fmtOk = false
+      var dataOff = -1
+      var dataLen = -1L
+      var halt = false
+      while (!halt && o + 8 <= b.length && !(fmtOk && dataOff >= 0)) {
+        val id = tag(o)
+        val sz = leU32(b, o + 4)
+        if (id == "fmt " && sz >= 16)
+          fmtOk = leU16(b, o + 8) == 1 && leU16(b, o + 22) == 16 // PCM s16
+        else if (id == "data") { dataOff = o + 8; dataLen = sz }
+        val next = o.toLong + 8L + sz + (sz & 1L)
+        if (next <= o || next > b.length.toLong) halt = true else o = next.toInt
+      }
+      if (!fmtOk || dataOff < 0 || dataLen < 0 || (dataLen & 1L) != 0 ||
+        dataOff + dataLen > b.length) None
+      else {
+        var (sum, sumSq, peak) = (0L, 0L, 0L)
+        var i = dataOff
+        val end = (dataOff + dataLen).toInt
+        while (i < end) {
+          val v = ((b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)).toShort.toLong
+          sum += v; sumSq += v * v
+          val a = math.abs(v); if (a > peak) peak = a
+          i += 2
+        }
+        Some((sum, sumSq, peak, dataLen / 2))
+      }
+    }
+  }
+
   def makeWav(channels: Int, sampleRate: Int, nSamples: Int, seed: Long): Array[Byte] = {
     val bits = 16
     val dataSize = nSamples * channels * (bits / 8)

@@ -264,6 +264,24 @@ class MultimodalSpec extends AnyFunSuite {
     assert(stream.length < w * h * 3 / 4, s"stream ${stream.length} not compressed vs ${w * h}")
   }
 
+  test("REAL WAV sample decode: stats round-trip the builder's PCM stream, rejects non-PCM") {
+    val wav = Multimodal.makeWav(channels = 2, sampleRate = 16000, nSamples = 100, seed = 5L)
+    // independent expectation: regenerate the sample stream
+    var s = 5L
+    var (sum, sumSq, peak) = (0L, 0L, 0L)
+    (0 until 200).foreach { _ =>
+      s = TextFunctions.splitmix64(s)
+      val v = (s & 0xffff).toShort.toLong
+      sum += v; sumSq += v * v; val a = math.abs(v); if (a > peak) peak = a
+    }
+    assert(Multimodal.wavSampleStats(wav) === Some((sum, sumSq, peak, 200L)))
+    // truncated data and non-PCM format reject
+    assert(Multimodal.wavSampleStats(wav.take(wav.length - 3)) === None)
+    val alaw = wav.clone(); alaw(20) = 6 // fmt audioFormat = A-law
+    assert(Multimodal.wavSampleStats(alaw) === None)
+    assert(Multimodal.wavSampleStats("RIFFnope".getBytes) === None)
+  }
+
   test("REAL GIF header decode: round-trips the builder, validates GCT length, rejects non-GIF") {
     val bytes = Multimodal.makeGif(width = 320, height = 200, gctExp = 7,
       bgIndex = 5, seed = 9L)
