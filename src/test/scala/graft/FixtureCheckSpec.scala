@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The fixture-oracle mechanism itself (LlmPipeline.fixtureCheck) is what
+  * round 5's owned-hash correctness rests on, so it gets its own negative
+  * paths: agreement must reproduce the fixture exactly with (1,1) flags,
+  * and EVERY kind of disagreement — missing row, extra row, changed value
+  * — must surface as a 0-flag row that breaks the driver's rows+hash
+  * compare. A checker that can't fail is not a check.
+  */
+class FixtureCheckSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val root = "/tmp/graft_test/fixture_check"
+  private val dir = s"$root/sfX" // fixture path derives from the dir basename
+
+  private def writeFixture(rows: Seq[(Long, String)]): Unit = {
+    rows.toDF("id", "v").coalesce(1).write.mode("overwrite")
+      .parquet(s"$root/sfX/probe.parquet")
+  }
+
+  private def check(engine: Seq[(Long, String)]): Seq[(Long, String, Int, Int)] =
+    queries.LlmPipeline.fixtureCheck(spark, dir, "probe",
+        engine.toDF("id", "v"), Seq("id"), root = root)
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3)))
+
+  test("agreement reproduces the fixture with (1,1) flags") {
+    writeFixture(Seq(1L -> "a", 2L -> "b"))
+    assert(check(Seq(1L -> "a", 2L -> "b")) ===
+      Seq((1L, "a", 1, 1), (2L, "b", 1, 1)))
+  }
+
+  test("a missing engine row surfaces as an in_engine=0 row") {
+    writeFixture(Seq(1L -> "a", 2L -> "b"))
+    val out = check(Seq(1L -> "a"))
+    assert(out.contains((2L, "b", 0, 1)))
+    assert(out.size === 2) // row count unchanged but the hash breaks
+  }
+
+  test("an extra engine row surfaces as an in_fixture=0 row (extra rows can't hide)") {
+    writeFixture(Seq(1L -> "a"))
+    val out = check(Seq(1L -> "a", 9L -> "z"))
+    assert(out === Seq((1L, "a", 1, 1), (9L, "z", 1, 0)))
+  }
+
+  test("a changed value splits into two 0-flag rows") {
+    writeFixture(Seq(1L -> "a"))
+    val out = check(Seq(1L -> "WRONG"))
+    assert(out.toSet === Set((1L, "WRONG", 1, 0), (1L, "a", 0, 1)))
+  }
+
+  test("NULL cells compare null-safe, not vacuously unequal") {
+    writeFixture(Seq(1L -> null))
+    assert(check(Seq(1L -> null)) === Seq((1L, null, 1, 1)))
+  }
+
+  test("missing fixture file yields NULL in_fixture flags — red, never silently green") {
+    val out = queries.LlmPipeline.fixtureCheck(spark, s"$root/nosuch", "probe",
+      Seq(1L -> "a").toDF("id", "v"), Seq("id"), root = root)
+      .collect().toSeq
+    assert(out.size === 1)
+    assert(out.head.getInt(2) === 1)
+    assert(out.head.isNullAt(3))
+  }
+}
