@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) — the embedding-compression half of the
+  * large-scale ANN stack (IVF partitions the corpus, PQ shrinks the
+  * vectors; SURVEY §2 E-block scale path next to [[IvfAnn]] and
+  * [[AnnLsh]]).
+  *
+  * Shape, and why it survives 100 TB:
+  *  - `codebook`: k sample vectors chosen by a deterministic spread hash
+  *    (smallest md5 of the id string — the same engine-neutral rule the
+  *    e16 sampling oracle uses), sliced into m subspaces. Driver state is
+  *    m*k*subDim doubles (tiny); no RNG, no training job required for the
+  *    declared query (Lloyd refinement composes exactly like
+  *    [[IvfAnn.refine]] where quantizer quality matters).
+  *  - `encode`: per-subspace nearest-centroid codes packed into ONE long
+  *    (4 bits per subspace for k=16) — 8 bytes per vector at rest instead
+  *    of 256, computed scan-locally by codegen'd higher-order functions
+  *    against literal centroids. No shuffle, no UDF.
+  *  - `adcSearch` (asymmetric distance computation): the query's distance
+  *    to every centroid is a driver-computed m×k table shipped as
+  *    literals; a vector's approximate distance is m table lookups by
+  *    code nibble + an ordered sum. Scoring never touches the original
+  *    vectors — the scan reads 8-byte codes, and top-k plans as
+  *    TakeOrderedAndProject.
+  *
+  * Every distance fold (sub-vector squared-L2, the ADC sum) runs in a
+  * FIXED left-to-right order on both engines, so the DuckDB oracle twin —
+  * which re-derives the codebook, codes and ADC scores independently from
+  * the raw parquet — matches bit-for-bit.
+  */
+object ProductQuantizer {
+
+  /** Deterministic sampled codebook: the k corpus vectors with the
+    * smallest md5(id) spread hash, sliced into m subspaces. Returned as
+    * [m][k][subDim] DOUBLES — the exact values both engines' distance
+    * arithmetic folds over.
+    */
+  def codebook(emb: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int): Array[Array[Array[Double]]] = {
+    val rows = emb.select(col(idCol).cast("string").as("id"), col(vecCol).as("v"))
+      .orderBy(md5(col("id").cast("binary")), col("id"))
+      .limit(k).collect()
+    require(rows.length == k, s"corpus smaller than codebook size $k")
+    val dim = rows.head.getSeq[Float](1).length
+    require(m > 0 && dim % m == 0, s"dim $dim must split into $m subspaces")
+    val sub = dim / m
+    Array.tabulate(m, k, sub)((j, c, d) => rows(c).getSeq[Float](1)(j * sub + d).toDouble)
+  }
+
+  /** Exact-round-trip double literal (shortest repr parses back to the
+    * same bits in Catalyst and DuckDB alike). */
+  private def lit2s(d: Double): String = {
+    require(!d.isNaN && !d.isInfinite, s"non-finite centroid component $d")
+    d.toString + "D"
+  }
+
+  /** Squared L2 of subspace j of `vecCol` against centroid (j,c): a
+    * codegen'd zip_with/aggregate fold, left-to-right over the sub-dims.
+    */
+  private def subDist(vecCol: String, cb: Array[Array[Array[Double]]],
+      j: Int, c: Int): Column = {
+    val sub = cb(j)(c).length
+    val centroid = cb(j)(c).map(lit2s).mkString("array(", ", ", ")")
+    expr(s"""aggregate(
+      zip_with(slice($vecCol, ${j * sub + 1}, $sub), $centroid,
+        (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),
+      0.0D, (acc, t) -> acc + t)""")
+  }
+
+  /** Nearest-centroid code per subspace (first minimum wins — the same
+    * tie-break the oracle's ORDER BY dist, idx applies), packed into one
+    * long nibble-wise: subspace j occupies bits [4j, 4j+4).
+    */
+  def encode(emb: DataFrame, vecCol: String,
+      cb: Array[Array[Array[Double]]]): DataFrame = {
+    val m = cb.length
+    val k = cb(0).length
+    require(k <= 16 && m <= 15, s"nibble packing holds k<=16 codes, m<=15 subspaces")
+    val packed = (0 until m).map { j =>
+      val dists = array((0 until k).map(c => subDist(vecCol, cb, j, c)): _*)
+      (array_position(dists, array_min(dists)) - 1) * lit(1L << (4 * j))
+    }.reduce(_ + _)
+    emb.withColumn("__pq_code", packed.cast("long"))
+  }
+
+  /** ADC top-k over an encoded corpus: approximate distance is m ordered
+    * table lookups summed left-to-right; ties break on id. The original
+    * vector column is never read.
+    */
+  def adcSearch(encoded: DataFrame, idCol: String, q: Array[Float],
+      cb: Array[Array[Array[Double]]], topK: Int): DataFrame = {
+    val m = cb.length
+    val k = cb(0).length
+    val sub = cb(0)(0).length
+    require(q.length == m * sub, s"query dim ${q.length} != ${m * sub}")
+    // driver-side distance table, same left-to-right fold as subDist
+    val table: Array[Array[Double]] = Array.tabulate(m, k) { (j, c) =>
+      var acc = 0.0
+      var d = 0
+      while (d < sub) {
+        val t = q(j * sub + d).toDouble - cb(j)(c)(d)
+        acc += t * t
+        d += 1
+      }
+      acc
+    }
+    val adc = (0 until m).map { j =>
+      element_at(typedlit(table(j).toSeq),
+        (shiftrightunsigned(col("__pq_code"), 4 * j) % lit(16L)).cast("int") + 1)
+    }.reduce(_ + _)
+    encoded.select(col(idCol), adc.as("adc_dist"))
+      .orderBy(col("adc_dist"), col(idCol))
+      .limit(topK)
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import graft.operators.ProductQuantizer
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Product quantization invariants (the e28 oracle pins cross-engine
+  * exactness; this spec pins the operator's own algebra).
+  */
+class PqSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private lazy val emb = ClusteredEmbeddings.df(spark)
+    .select(col("id").as("vec_id"), col("embedding"))
+  private lazy val cb =
+    ProductQuantizer.codebook(emb, "vec_id", "embedding", m = 8, k = 16)
+
+  test("codebook shape and determinism") {
+    assert(cb.length === 8 && cb.forall(_.length === 16) &&
+      cb.forall(_.forall(_.length === 4))) // 32 dims / 8 subspaces
+    val again = ProductQuantizer.codebook(emb, "vec_id", "embedding", m = 8, k = 16)
+    assert(cb.flatten.flatten.toSeq === again.flatten.flatten.toSeq)
+  }
+
+  test("codes pack 8 nibbles, each below k, deterministically") {
+    val codes = ProductQuantizer.encode(emb, "embedding", cb)
+      .select(col("vec_id"), col("__pq_code")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(codes.size === ClusteredEmbeddings.vectors.size)
+    codes.values.foreach { code =>
+      (0 until 8).foreach { j =>
+        val nib = (code >>> (4 * j)) & 15
+        assert(nib >= 0 && nib < 16)
+      }
+      assert((code >>> 32) === 0L) // nothing above the 8 packed nibbles
+    }
+    val again = ProductQuantizer.encode(emb, "embedding", cb)
+      .select(col("vec_id"), col("__pq_code")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(codes === again)
+  }
+
+  test("a codebook member encodes to its own centroid index in every subspace") {
+    // the sampled codebook vectors ARE corpus rows: their sub-distance to
+    // their own centroid is exactly 0, so argmin must pick it (or an
+    // exact duplicate with a smaller index — not present in this fixture)
+    val sampleIds = emb
+      .select(col("vec_id").cast("string").as("id"), col("embedding"))
+      .orderBy(md5(col("id").cast("binary")), col("id"))
+      .limit(16).collect().map(_.getString(0).toLong)
+    val codes = ProductQuantizer.encode(emb, "embedding", cb)
+      .filter(col("vec_id").isin(sampleIds: _*))
+      .select(col("vec_id"), col("__pq_code")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    sampleIds.zipWithIndex.foreach { case (id, c) =>
+      (0 until 8).foreach { j =>
+        assert(((codes(id) >>> (4 * j)) & 15) === c,
+          s"sample $id (centroid $c) mis-coded in subspace $j")
+      }
+    }
+  }
+
+  test("ADC self-query ranks the query vector first on clustered data") {
+    val q = ClusteredEmbeddings.vectors.head._2
+    val encoded = ProductQuantizer.encode(emb, "embedding", cb)
+    val top = ProductQuantizer.adcSearch(encoded, "vec_id", q, cb, topK = 10)
+      .collect()
+    assert(top.length === 10)
+    // distances ascend and are non-negative
+    val ds = top.map(_.getDouble(1))
+    assert(ds.forall(_ >= 0.0) && ds.sameElements(ds.sorted))
+    // the query's own cluster dominates the top-10: quantized distance
+    // must preserve the coarse geometry (cluster separation >> quant error)
+    val sameCluster = top.map(_.getLong(0)).count(id =>
+      ClusteredEmbeddings.vectors(id.toInt)._3 === ClusteredEmbeddings.vectors.head._3)
+    assert(sameCluster >= 8, s"only $sameCluster/10 from the true cluster")
+  }
+}
