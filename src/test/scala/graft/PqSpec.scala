@@ -60,6 +60,24 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF+PQ partial probe keeps the true cluster (the production composition)") {
+    // nprobe = 2 of 8 buckets prunes most of the corpus, yet the ADC
+    // top-10 must still come from the query's true cluster — bucket
+    // geometry and quantized distance agree on well-separated data
+    val q = ClusteredEmbeddings.vectors.head._2
+    val cs = operators.IvfAnn.centroids(emb, "vec_id", "embedding", 8)
+    val indexed = operators.IvfAnn.assign(emb, "embedding", cs)
+    val encoded = ProductQuantizer.encode(indexed, "embedding", cb)
+    val probes = operators.IvfAnn.probeOrder(q, cs).take(2).map(_.toLong)
+    val top = ProductQuantizer.adcSearch(
+      encoded.filter(col("__ivf_bucket").isin(probes: _*)),
+      "vec_id", q, cb, topK = 10).collect()
+    assert(top.length === 10)
+    val sameCluster = top.map(_.getLong(0)).count(id =>
+      ClusteredEmbeddings.vectors(id.toInt)._3 === ClusteredEmbeddings.vectors.head._3)
+    assert(sameCluster >= 8, s"only $sameCluster/10 from the true cluster at nprobe=2")
+  }
+
   test("ADC self-query ranks the query vector first on clustered data") {
     val q = ClusteredEmbeddings.vectors.head._2
     val encoded = ProductQuantizer.encode(emb, "embedding", cb)
