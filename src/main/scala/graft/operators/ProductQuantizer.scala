@@ -72,9 +72,23 @@ object ProductQuantizer {
 
   /** Nearest-centroid code per subspace (first minimum wins — the same
     * tie-break the oracle's ORDER BY dist, idx applies), packed into one
-    * long nibble-wise: subspace j occupies bits [4j, 4j+4).
+    * long nibble-wise: subspace j occupies bits [4j, 4j+4). Routes through
+    * the NATIVE codegen expression (functions.PqEncode) — the HOF form
+    * below is semantically identical but never enters whole-stage codegen
+    * (measured ~50× slower per row); PqSpec pins code-for-code parity.
     */
   def encode(emb: DataFrame, vecCol: String,
+      cb: Array[Array[Array[Double]]]): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    emb.withColumn("__pq_code", GraftColumnBridge.column(
+      graft.functions.PqEncode(GraftColumnBridge.expression(col(vecCol)), cb)))
+  }
+
+  /** The higher-order-function formulation of [[encode]] — kept as the
+    * cross-check twin (same fold order, same tie-break) the parity spec
+    * runs against the native expression.
+    */
+  private[graft] def encodeHof(emb: DataFrame, vecCol: String,
       cb: Array[Array[Array[Double]]]): DataFrame = {
     val m = cb.length
     val k = cb(0).length

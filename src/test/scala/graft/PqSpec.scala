@@ -60,6 +60,25 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("native PqEncode matches the HOF formulation code-for-code") {
+    // the codegen'd expression and the aggregate∘zip_with twin must agree
+    // on every vector — same fold order, same first-min tie-break
+    val native = ProductQuantizer.encode(emb, "embedding", cb)
+      .select(col("vec_id"), col("__pq_code")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hof = ProductQuantizer.encodeHof(emb, "embedding", cb)
+      .select(col("vec_id"), col("__pq_code")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native === hof)
+    // short and null vectors reject on the native path
+    import spark.implicits._
+    val odd = Seq((1L, Array(0.5f, 1.5f)), (2L, null.asInstanceOf[Array[Float]]))
+      .toDF("vec_id", "embedding")
+    val got = ProductQuantizer.encode(odd, "embedding", cb)
+      .select(col("__pq_code")).collect()
+    assert(got.forall(_.isNullAt(0)))
+  }
+
   test("IVF+PQ partial probe keeps the true cluster (the production composition)") {
     // nprobe = 2 of 8 buckets prunes most of the corpus, yet the ADC
     // top-10 must still come from the query's true cluster — bucket
