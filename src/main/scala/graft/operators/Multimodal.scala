@@ -59,7 +59,9 @@ object Multimodal {
       while (!halt && o + 8 <= b.length && (fmt.isEmpty || dataBytes < 0)) {
         val id = tag(o)
         val sz = leU32(b, o + 4)
-        if (id == "fmt " && sz >= 16)
+        // fmt field reads span to o+23: guard against the FILE end — a
+        // chunk declared near EOF has a size its bytes don't back
+        if (id == "fmt " && sz >= 16 && o + 24 <= b.length)
           fmt = Some((leU16(b, o + 10), leU32(b, o + 12).toInt, leU16(b, o + 22)))
         else if (id == "data") dataBytes = sz
         // advance in Long: a corrupt u32 size truncated to Int can go
@@ -276,7 +278,10 @@ object Multimodal {
       if (sz < 8) halt = true // 0 = to-EOF, 1 = largesize, <8 corrupt: unsupported
       else {
         t match {
-          case "ftyp" if sz >= 16 =>
+          // every field read is guarded against the FILE end, not just the
+          // declared box size — a truncated download declares sizes its
+          // bytes don't back (DecoderFuzzSpec truncation family)
+          case "ftyp" if sz >= 16 && o + 16 <= b.length =>
             brand = Some((tag(o.toInt + 8), beU32(b, o.toInt + 12)))
           case "moov" =>
             // one-level walk inside moov for the version-0 mvhd
@@ -286,7 +291,8 @@ object Multimodal {
               val isz = beU32(b, i.toInt)
               if (isz < 8) { i = end } // corrupt inner size: stop the walk
               else {
-                if (tag(i.toInt + 4) == "mvhd" && isz >= 32 && (b(i.toInt + 8) & 0xff) == 0)
+                if (tag(i.toInt + 4) == "mvhd" && isz >= 32 && i + 28 <= end &&
+                  (b(i.toInt + 8) & 0xff) == 0)
                   mvhd = Some((beU32(b, i.toInt + 20), beU32(b, i.toInt + 24)))
                 i += isz
               }
@@ -448,7 +454,7 @@ object Multimodal {
       while (!halt && o + 8 <= b.length && !(fmtOk && dataOff >= 0)) {
         val id = tag(o)
         val sz = leU32(b, o + 4)
-        if (id == "fmt " && sz >= 16)
+        if (id == "fmt " && sz >= 16 && o + 24 <= b.length)
           fmtOk = leU16(b, o + 8) == 1 && leU16(b, o + 22) == 16 // PCM s16
         else if (id == "data") { dataOff = o + 8; dataLen = sz }
         val next = o.toLong + 8L + sz + (sz & 1L)

@@ -1,0 +1,128 @@
+package graft
+
+import graft.operators.Multimodal
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hostile-input fuzz for every binary decoder: the documented contract is
+  * "truncated/invalid → None", NEVER an exception — these run inside
+  * executors over arbitrary user files, where an escaped
+  * ArrayIndexOutOfBounds fails the whole query. Three attack families per
+  * decoder: every truncation prefix of a valid file (the classic decoder
+  * fuzz), random byte arrays, and single-byte mutations of valid files at
+  * seeded random offsets. The assertions only require Option-ness — any
+  * throw fails the test with the offending input identified.
+  */
+class DecoderFuzzSpec extends AnyFunSuite {
+
+  private val decoders: Seq[(String, Array[Byte] => Any)] = Seq(
+    "decodeBmpHeader" -> Multimodal.decodeBmpHeader _,
+    "decodePngHeader" -> Multimodal.decodePngHeader _,
+    "decodeGifHeader" -> Multimodal.decodeGifHeader _,
+    "decodeJpegHeader" -> Multimodal.decodeJpegHeader _,
+    "decodeMp4Header" -> Multimodal.decodeMp4Header _,
+    "decodeWavHeader" -> Multimodal.decodeWavHeader _,
+    "bmpChannelSums" -> Multimodal.bmpChannelSums _,
+    "pngChannelSums" -> Multimodal.pngChannelSums _,
+    "gifChannelSums" -> Multimodal.gifChannelSums _,
+    "wavSampleStats" -> Multimodal.wavSampleStats _)
+
+  private val valids: Seq[(String, Array[Byte])] = Seq(
+    "bmp" -> Multimodal.makeBmp(9, 7, seed = 1L),
+    "png" -> Multimodal.makePngPixels(6, 5, seed = 2L),
+    "gif" -> Multimodal.makeGifPixels(8, 6, seed = 3L),
+    "wav" -> Multimodal.makeWav(2, 16000, 64, seed = 4L),
+    "mp4" -> Multimodal.makeMp4(minorVersion = 0L, timescale = 1000,
+      duration = 5000, mediaBytes = 64, seed = 5L),
+    "jpg" -> Multimodal.makeJpeg(64, 48, nComp = 3, seed = 6L))
+
+  private def mustNotThrow(what: String, bytes: Array[Byte],
+      name: String, f: Array[Byte] => Any): Unit =
+    try { f(bytes); () }
+    catch { case e: Exception =>
+      fail(s"$name threw ${e.getClass.getSimpleName} on $what (len ${bytes.length}): ${e.getMessage}")
+    }
+
+  test("every truncation prefix of every valid fixture decodes to an Option, never throws") {
+    for {
+      (vn, v) <- valids
+      len <- 0 to v.length
+      (dn, d) <- decoders
+    } mustNotThrow(s"$vn truncated to $len", v.take(len), dn, d)
+  }
+
+  test("random byte arrays never throw") {
+    val rnd = new scala.util.Random(20260813L)
+    (1 to 300).foreach { i =>
+      val bytes = new Array[Byte](rnd.nextInt(600))
+      rnd.nextBytes(bytes)
+      decoders.foreach { case (dn, d) =>
+        mustNotThrow(s"random #$i", bytes, dn, d)
+      }
+    }
+  }
+
+  test("single-byte mutations of valid files never throw") {
+    val rnd = new scala.util.Random(77L)
+    for {
+      (vn, v) <- valids
+      _ <- 1 to 150
+    } {
+      val m = v.clone()
+      m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      decoders.foreach { case (dn, d) =>
+        mustNotThrow(s"mutated $vn", m, dn, d)
+      }
+    }
+  }
+
+  test("chunk declarations at the file tail never read past the end") {
+    // a chunk/box HEADER that fits while its declared FIELDS don't — the
+    // exact shape the prefix-truncation family can miss when a decoder
+    // has a minimum-length floor (WAV's 44) larger than the header
+    val wavTail = {
+      // RIFF/WAVE + 20-byte junk chunk + "fmt " declaring sz=16 but only
+      // 2 payload bytes before EOF (total 50 >= the 44-byte floor)
+      val out = java.nio.ByteBuffer.allocate(50)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put("RIFF".getBytes("US-ASCII")).putInt(42).put("WAVE".getBytes("US-ASCII"))
+      out.put("junk".getBytes("US-ASCII")).putInt(20).put(new Array[Byte](20))
+      out.put("fmt ".getBytes("US-ASCII")).putInt(16).putShort(1.toShort)
+      out.array()
+    }
+    val mp4Tail = {
+      // valid ftyp + a moov declaring an mvhd whose fields run past EOF
+      val out = java.nio.ByteBuffer.allocate(16 + 8 + 12)
+      out.putInt(16).put("ftyp".getBytes("US-ASCII"))
+        .put("mp41".getBytes("US-ASCII")).putInt(0)
+      out.putInt(8 + 12).put("moov".getBytes("US-ASCII"))
+      out.putInt(40).put("mvhd".getBytes("US-ASCII")).putInt(0) // sz 40, 4 bytes present
+      out.array()
+    }
+    decoders.foreach { case (dn, d) =>
+      mustNotThrow("wav tail-fmt", wavTail, dn, d)
+      mustNotThrow("mp4 tail-mvhd", mp4Tail, dn, d)
+    }
+  }
+
+  test("multi-byte (length/size field) mutations of valid files never throw") {
+    // size/offset fields are where hostile values bite: splat extreme
+    // values over 4-byte windows across the whole header region
+    val rnd = new scala.util.Random(99L)
+    val splats = Seq(
+      Array(0xff, 0xff, 0xff, 0xff), Array(0x00, 0x00, 0x00, 0x80),
+      Array(0xff, 0xff, 0xff, 0x7f), Array(0x01, 0x00, 0x00, 0x00))
+      .map(_.map(_.toByte))
+    for {
+      (vn, v) <- valids
+      _ <- 1 to 100
+    } {
+      val m = v.clone()
+      val off = rnd.nextInt(math.max(1, m.length - 4))
+      val s = splats(rnd.nextInt(splats.length))
+      System.arraycopy(s, 0, m, off, math.min(4, m.length - off))
+      decoders.foreach { case (dn, d) =>
+        mustNotThrow(s"splatted $vn@$off", m, dn, d)
+      }
+    }
+  }
+}
