@@ -40,6 +40,10 @@ object GeoJson {
       .mkString("[", ",", "]")
 
   def write(g: Geometry): String = g match {
+    // POINT EMPTY has a null coordinate in JTS (it is also what WKBReader
+    // produces for a non-finite-ordinate point) — RFC 7946 represents
+    // every empty geometry as an empty coordinates array
+    case p: Point if p.isEmpty => """{"type":"Point","coordinates":[]}"""
     case p: Point => s"""{"type":"Point","coordinates":${pos(p.getCoordinate)}}"""
     case mp: MultiPoint =>
       val cs = (0 until mp.getNumGeometries)
@@ -153,7 +157,10 @@ object GeoJson {
     def coords(): Coords = {
       descend()
       eat('[')
-      val out = if (peek() == '[') { // nested array
+      val out = if (peek() == ']') { // empty geometry (RFC 7946 empties)
+        eat(']')
+        Arr(Vector.empty)
+      } else if (peek() == '[') { // nested array
         val items = Vector.newBuilder[Coords]
         do items += coords() while (tryEat(','))
         eat(']')
@@ -214,7 +221,10 @@ object GeoJson {
       }
 
       val g = t match {
-        case "Point" => gf.createPoint(asPos(cs.getOrElse(err("missing coordinates"))))
+        case "Point" => cs.getOrElse(err("missing coordinates")) match {
+          case Arr(items) if items.isEmpty => gf.createPoint() // POINT EMPTY
+          case c => gf.createPoint(asPos(c))
+        }
         case "MultiPoint" =>
           gf.createMultiPoint(
             sub(cs.getOrElse(err("missing coordinates"))).map(p => gf.createPoint(asPos(p))).toArray)

@@ -45,6 +45,28 @@ class GeoJsonSpec extends AnyFunSuite {
     ).foreach(roundTrip)
   }
 
+  test("writer: -0.0 round-trips bit-exactly; empties and non-finite ordinates handled") {
+    // -0.0 must not canonicalize to "0": the WKB identity is BIT identity
+    val negZero = stPointF(-0.0, 2.0)
+    val json = stAsGeoJsonF(negZero)
+    assert(json === """{"type":"Point","coordinates":[-0.0,2]}""")
+    assert(stGeomFromGeoJsonF(json).sameElements(negZero))
+    // a non-finite-ordinate point reads back from WKB as POINT EMPTY (JTS
+    // semantics) — RFC 7946 empties are an empty coordinates array, and
+    // they round-trip
+    val emptyJson = stAsGeoJsonF(stPointF(Double.NaN, 1.0))
+    assert(emptyJson === """{"type":"Point","coordinates":[]}""")
+    assert(stAsGeoJsonF(stGeomFromGeoJsonF(emptyJson)) === emptyJson)
+    // non-finite ordinates that genuinely reach the writer (possible in
+    // non-point geometries) have no JSON representation: fail loudly
+    // rather than emit text the parser would reject
+    val gfac = new org.locationtech.jts.geom.GeometryFactory()
+    val badLine = gfac.createLineString(Array(
+      new org.locationtech.jts.geom.Coordinate(0, 0),
+      new org.locationtech.jts.geom.Coordinate(Double.PositiveInfinity, 1)))
+    intercept[IllegalArgumentException] { geo.GeoJson.write(badLine) }
+  }
+
   test("parser: whitespace, member order, foreign members and bbox tolerated") {
     val messy =
       """ { "bbox" : [0, 0, 4, 4],
