@@ -81,6 +81,43 @@ object AnnReport {
         f"| ${cands.sum / cands.length}%d avg (of ${vecs.length - 1}) |")
     }
 
+    // ---- PQ: ADC recall@10, alone and composed with IVF pruning ---------
+    val cb = operators.ProductQuantizer.codebook(emb, "vec_id", "embedding", m = 8, k = 16)
+    val pqCodes: Map[Long, Long] = operators.ProductQuantizer.encode(emb, "embedding", cb)
+      .select(col("vec_id"), col("__pq_code")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def adcTable(q: Array[Float]): Array[Array[Double]] =
+      Array.tabulate(8, 16) { (j, c) =>
+        var acc = 0.0
+        (0 until 8).foreach { d =>
+          val t = q(j * 8 + d).toDouble - cb(j)(c)(d); acc += t * t
+        }
+        acc
+      }
+    def adcTop(qid: Long, q: Array[Float], candidates: Iterable[Long]): Set[Long] = {
+      val tab = adcTable(q)
+      candidates.filter(_ != qid).map { id =>
+        val code = pqCodes(id)
+        var s = 0.0
+        (0 until 8).foreach(j => s += tab(j)(((code >>> (4 * j)) & 15).toInt))
+        (id, s)
+      }.toSeq.sortBy { case (id, s) => (s, id) }.take(10).map(_._1).toSet
+    }
+    val pqRecall = queries.map { case (qid, q) =>
+      (adcTop(qid, q, vecs.map(_._1)) & truth(qid)).size / 10.0
+    }
+    println(f"| PQ | m=8 k=16 ADC (full scan) | ${pqRecall.sum / pqRecall.length}%.3f " +
+      f"| ${vecs.length - 1}%d (8-byte codes, no vector reads) |")
+    Seq(2, 4).foreach { nprobe =>
+      val r = queries.map { case (qid, q) =>
+        val probes = operators.IvfAnn.probeOrder(q, cs).take(nprobe).map(_.toLong).toSet
+        val cand = vecs.collect { case (id, _) if probes(buckets(id)) => id }
+        (adcTop(qid, q, cand) & truth(qid)).size / 10.0
+      }
+      println(f"| IVF+PQ | nprobe=$nprobe/$k + ADC | ${r.sum / r.length}%.3f " +
+        f"| ~${vecs.length * nprobe / k}%d codes scanned |")
+    }
+
     // ---- LSH: recall@10 + pair stats vs (tables, bits) ------------------
     Seq((4, 8), (8, 12), (16, 12), (8, 16)).foreach { case (tables, bits) =>
       val planes = operators.AnnLsh.planeMatrix(vecs.head._2.length, tables, bits)
