@@ -73,6 +73,10 @@ case class PqEncode(child: Expression, codebook: Array[Array[Array[Double]]])
         if (acc < bestD) { bestD = acc; best = c }
         c += 1
       }
+      // a non-finite component makes every distance NaN: `<` never fires
+      // and bestD stays at its sentinel — NULL out rather than silently
+      // coding the vector to centroid 0
+      if (bestD == Double.MaxValue) return null
       code |= best.toLong << (4 * j)
       j += 1
     }
@@ -94,7 +98,7 @@ case class PqEncode(child: Expression, codebook: Array[Array[Array[Double]]])
           ${ev.isNull} = true;
         } else {
           long $code = 0L;
-          for (int $j = 0; $j < $m; $j++) {
+          for (int $j = 0; $j < $m && !${ev.isNull}; $j++) {
             int $best = 0;
             double $bestD = Double.MAX_VALUE;
             for (int $c = 0; $c < $k; $c++) {
@@ -106,7 +110,10 @@ case class PqEncode(child: Expression, codebook: Array[Array[Array[Double]]])
               }
               if ($acc < $bestD) { $bestD = $acc; $best = $c; }
             }
-            $code |= ((long) $best) << (4 * $j);
+            // non-finite component => every distance NaN => sentinel holds:
+            // NULL, never a silent centroid-0 code
+            if ($bestD == Double.MAX_VALUE) { ${ev.isNull} = true; }
+            else { $code |= ((long) $best) << (4 * $j); }
           }
           ${ev.value} = $code;
         }

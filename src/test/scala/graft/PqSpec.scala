@@ -70,9 +70,13 @@ class PqSpec extends AnyFunSuite {
       .select(col("vec_id"), col("__pq_code")).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(native === hof)
-    // short and null vectors reject on the native path
+    // short, null, and non-finite vectors reject on the native path — a
+    // NaN component makes every distance NaN, which must surface as NULL,
+    // never a silent centroid-0 code
     import spark.implicits._
-    val odd = Seq((1L, Array(0.5f, 1.5f)), (2L, null.asInstanceOf[Array[Float]]))
+    val nanVec = Array.fill(32)(1.0f); nanVec(5) = Float.NaN
+    val odd = Seq((1L, Array(0.5f, 1.5f)),
+      (2L, null.asInstanceOf[Array[Float]]), (3L, nanVec))
       .toDF("vec_id", "embedding")
     val got = ProductQuantizer.encode(odd, "embedding", cb)
       .select(col("__pq_code")).collect()
