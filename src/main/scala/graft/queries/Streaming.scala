@@ -144,6 +144,43 @@ object Streaming extends QueryBlock {
           min(keeper) AS first_keeper
         FROM b GROUP BY lang ORDER BY lang""")),
 
+    // D12 — ANN INGEST as a stream: vectors arrive as files, PQ codes
+    // (the e28 index artifact) are computed by the native scan-local
+    // expression as each batch lands, and a bounded streaming aggregate
+    // profiles the subspace-0 code distribution (16 groups — the index
+    // balance signal an ingest pipeline monitors). The codebook is built
+    // BATCH-side first, as any real deployment trains/loads the quantizer
+    // before streaming encode begins. The oracle re-derives codebook and
+    // codes independently from the raw parquet (e28's derivation,
+    // restricted to subspace 0) — batch/stream parity via hash equality.
+    "d12_stream_pq_ingest" -> QueryDef(
+      (s, dir) => {
+        val cb = graft.operators.ProductQuantizer.codebook(
+          Tables(s, dir, "embeddings"), "vec_id", "embedding", m = 8, k = 16)
+        val encoded = graft.operators.ProductQuantizer.encode(
+          EventStreams.embeddings(s, dir), "embedding", cb)
+        val profile = encoded
+          .select(col("vec_id"), (col("__pq_code") % 16).as("code0"))
+          .groupBy(col("code0"))
+          .agg(count(lit(1)).as("n"), min(col("vec_id")).as("first_id"))
+        EventStreams.runToTable(s, profile, "d12_sink")
+          .orderBy(col("code0"))
+      },
+      Some("""WITH samp AS (SELECT vec_id, embedding FROM embeddings
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR) LIMIT 16),
+        cb AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR)) - 1 AS c,
+          embedding FROM samp),
+        dist AS (SELECT e.vec_id, cb.c,
+            list_sum(list_transform(list_zip(e.embedding[1:8], cb.embedding[1:8]),
+              p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))) AS d2
+          FROM embeddings e, cb),
+        codes AS (SELECT vec_id, c AS code0 FROM (
+            SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
+            FROM dist) rr
+          WHERE rn = 1)
+        SELECT code0, count(*) AS n, min(vec_id) AS first_id
+        FROM codes GROUP BY code0 ORDER BY code0""")),
+
     // D10++ — the E15 clean-corpus pipeline AS A STREAM: quality gate →
     // exact-dedup (keeper = min doc_id via min_by, order-independent) →
     // per-language profile, over documents arriving as files. Shares

@@ -84,6 +84,29 @@ object EventStreams {
       .parquet(streamDir.toString)
   }
 
+  /** Streaming read of the embeddings table (same symlink staging) — the
+    * ANN ingest path's streaming twin source: vectors arrive as files and
+    * index artifacts (bucket ids, PQ codes) are computed scan-locally as
+    * they land.
+    */
+  def embeddings(s: SparkSession, dir: String): DataFrame = {
+    val streamDir = java.nio.file.Paths.get(
+      s"/tmp/graft_stream_emb/${dir.replaceAll("[^A-Za-z0-9.]", "_")}")
+    java.nio.file.Files.createDirectories(streamDir)
+    val link = streamDir.resolve("embeddings.parquet")
+    val target = java.nio.file.Paths.get(s"$dir/embeddings.parquet")
+    if (java.nio.file.Files.isSymbolicLink(link)) {
+      if (java.nio.file.Files.readSymbolicLink(link) != target)
+        java.nio.file.Files.delete(link)
+    }
+    if (!java.nio.file.Files.isSymbolicLink(link) &&
+        !java.nio.file.Files.exists(link))
+      java.nio.file.Files.createSymbolicLink(link, target)
+    s.readStream
+      .schema("vec_id LONG, embedding ARRAY<FLOAT>, label INT")
+      .parquet(streamDir.toString)
+  }
+
   /** Run a streaming aggregation to completion; return the final table.
     * The per-run checkpoint is deleted afterwards (memory-sink results
     * don't outlive the session; leaving RocksDB state trees in /tmp
