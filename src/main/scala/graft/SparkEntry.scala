@@ -37,7 +37,15 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
+    *
+    * Fixture-oracle SQL carries a scale-factor placeholder; it is
+    * substituted HERE, on every access, so the emitted SQL tracks the
+    * current `graft.sf.name` property (set by Verify per sfDir) rather
+    * than whatever it was when the query maps first initialized.
     */
   def oracleSql: Map[String, String] =
-    all.collect { case (name, QueryDef(_, Some(sql))) => name -> sql }
+    all.collect { case (name, QueryDef(_, Some(sql))) =>
+      name -> sql.replace(graft.queries.LlmPipeline.SfToken,
+        graft.queries.LlmPipeline.fixtureSf)
+    }
 }

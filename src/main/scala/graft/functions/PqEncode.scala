@@ -21,8 +21,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
   * strict `<` so the FIRST minimum wins) matches the HOF form and the
   * DuckDB oracle exactly — PqSpec asserts code-for-code parity.
   *
-  * NULL for a null or short embedding (fewer elements than m×subDim) —
-  * a truncated vector must not silently quantize against zero-padding.
+  * NULL for a null or short embedding (fewer elements than m×subDim), and
+  * for any NULL slot among the first m×subDim elements — a truncated or
+  * holey vector must not silently quantize against zero-padding (ArrayData
+  * .getFloat on a null slot reads an undefined value), and the HOF twin
+  * propagates NULL through zip_with/aggregate the same way.
   */
 case class PqEncode(child: Expression, codebook: Array[Array[Array[Double]]])
     extends UnaryExpression {
@@ -55,6 +58,11 @@ case class PqEncode(child: Expression, codebook: Array[Array[Array[Double]]])
 
   private def encodeArray(arr: ArrayData): Any = {
     if (arr.numElements() < m * sub) return null
+    var i = 0
+    while (i < m * sub) {
+      if (arr.isNullAt(i)) return null
+      i += 1
+    }
     var code = 0L
     var j = 0
     while (j < m) {
@@ -97,6 +105,11 @@ case class PqEncode(child: Expression, codebook: Array[Array[Array[Double]]])
         if ($a.numElements() < ${m * sub}) {
           ${ev.isNull} = true;
         } else {
+          for (int $d = 0; $d < ${m * sub} && !${ev.isNull}; $d++) {
+            if ($a.isNullAt($d)) { ${ev.isNull} = true; }
+          }
+        }
+        if (!${ev.isNull}) {
           long $code = 0L;
           for (int $j = 0; $j < $m && !${ev.isNull}; $j++) {
             int $best = 0;

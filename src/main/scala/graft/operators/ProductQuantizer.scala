@@ -125,7 +125,10 @@ object ProductQuantizer {
       element_at(typedlit(table(j).toSeq),
         (shiftrightunsigned(col("__pq_code"), 4 * j) % lit(16L)).cast("int") + 1)
     }.reduce(_ + _)
-    encoded.select(col(idCol), adc.as("adc_dist"))
+    // Rejected vectors (short/non-finite → NULL __pq_code from PqEncode)
+    // must not outrank real neighbors: ascending sort is nulls-first.
+    encoded.filter(col("__pq_code").isNotNull)
+      .select(col(idCol), adc.as("adc_dist"))
       .orderBy(col("adc_dist"), col(idCol))
       .limit(topK)
   }

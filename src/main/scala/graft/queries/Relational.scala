@@ -120,7 +120,9 @@ object Relational extends QueryBlock {
     // count distinct collapses to a plain count because orderkey is the
     // aggregate key; max(custkey) is exact because each order key has
     // exactly one orders row; orders with no lineitems drop via the
-    // cts IS NOT NULL filter (inner-join semantics). Only the CUSTOMER
+    // lineitem-row count (NOT a cts IS NOT NULL test: an order whose
+    // lineitem rows all carry NULL price terms still joins under inner
+    // semantics and must stay in n_orders). Only the CUSTOMER
     // dim broadcasts, and only ABOVE the aggregate (150k probe rows, not
     // 600k). At 100 TB: one orderkey-hashed exchange of narrow rows, no
     // join build sized to data volume, no driver-side collection;
@@ -132,13 +134,15 @@ object Relational extends QueryBlock {
         val l = t(s, dir, "lineitem")
         val li = l.select(col("l_orderkey").as("k"),
           lit(null).cast("long").as("ck"),
-          (cents2(col("l_extendedprice")) * (lit(100L) - cents2(col("l_discount")))).as("v"))
+          (cents2(col("l_extendedprice")) * (lit(100L) - cents2(col("l_discount")))).as("v"),
+          lit(1L).as("lc"))
         val os = o.select(col("o_orderkey").as("k"),
-          col("o_custkey").cast("long").as("ck"), lit(null).cast("long").as("v"))
+          col("o_custkey").cast("long").as("ck"), lit(null).cast("long").as("v"),
+          lit(0L).as("lc"))
         li.unionByName(os)
           .groupBy(col("k"))
-          .agg(max(col("ck")).as("ck"), sum(col("v")).as("cts"))
-          .filter(col("cts").isNotNull)
+          .agg(max(col("ck")).as("ck"), sum(col("v")).as("cts"), sum(col("lc")).as("lc"))
+          .filter(col("lc") > 0)
           .join(broadcast(c.select(col("c_custkey"), col("c_mktsegment"))),
             col("ck") === col("c_custkey"))
           .groupBy(col("c_mktsegment"))

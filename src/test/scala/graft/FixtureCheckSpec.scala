@@ -58,6 +58,31 @@ class FixtureCheckSpec extends AnyFunSuite {
     assert(check(Seq(1L -> null)) === Seq((1L, null, 1, 1)))
   }
 
+  test("oracle SQL fixture paths track graft.sf.name at ACCESS time, not object init") {
+    // Regression for the r5 known-gap: fixtureSf was a val frozen at
+    // LlmPipeline init, so a JVM touching the query maps before Verify set
+    // the property (or verifying two SF dirs in one process) pinned every
+    // fixture oracle to the wrong directory. Now the maps bake a
+    // placeholder and SparkEntry.oracleSql substitutes per access.
+    val touched = queries.LlmPipeline.queries // force object + map init first
+    assert(touched.nonEmpty)
+    val prev = sys.props.get("graft.sf.name")
+    try {
+      System.setProperty("graft.sf.name", "sfA")
+      val a = SparkEntry.oracleSql("e_fingerprint")
+      System.setProperty("graft.sf.name", "sfB")
+      val b = SparkEntry.oracleSql("e_fingerprint")
+      assert(a.contains("fixtures/sfA/e_fingerprint.parquet"))
+      assert(b.contains("fixtures/sfB/e_fingerprint.parquet"))
+      assert(!b.contains(queries.LlmPipeline.SfToken)) // placeholder never leaks
+    } finally {
+      prev match {
+        case Some(v) => System.setProperty("graft.sf.name", v)
+        case None => System.clearProperty("graft.sf.name")
+      }
+    }
+  }
+
   test("missing fixture file yields NULL in_fixture flags — red, never silently green") {
     val out = queries.LlmPipeline.fixtureCheck(spark, s"$root/nosuch", "probe",
       Seq(1L -> "a").toDF("id", "v"), Seq("id"), root = root)

@@ -83,6 +83,38 @@ class PqSpec extends AnyFunSuite {
     assert(got.forall(_.isNullAt(0)))
   }
 
+  test("a NULL slot inside the embedding rejects to NULL, never quantizes garbage") {
+    // ArrayData.getFloat on a null slot reads an undefined value; the
+    // expression must NULL out instead (matching the HOF twin, which
+    // propagates NULL through zip_with/aggregate)
+    import spark.implicits._
+    val holey = Seq(
+      (1L, Array.fill[Option[Float]](32)(Some(1.0f)).updated(7, Option.empty[Float])),
+      (2L, Array.fill[Option[Float]](32)(Some(0.25f))))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val got = ProductQuantizer.encode(holey, "embedding", cb)
+      .orderBy(col("vec_id")).select(col("__pq_code")).collect()
+    assert(got(0).isNullAt(0), "holey vector must encode to NULL")
+    assert(!got(1).isNullAt(0), "clean vector still encodes")
+  }
+
+  test("adcSearch never ranks rejected (NULL-code) vectors into the top-k") {
+    // ascending orderBy is nulls-first: without the explicit filter a
+    // corrupt vector (NULL __pq_code -> NULL adc_dist) would occupy the
+    // top-k ahead of every real neighbor
+    import spark.implicits._
+    val q = ClusteredEmbeddings.vectors.head._2
+    val nanVec = Array.fill(32)(1.0f); nanVec(3) = Float.NaN
+    val corrupt = Seq((100000L, Array(1.0f, 2.0f)), (100001L, nanVec))
+      .toDF("vec_id", "embedding")
+    val encoded = ProductQuantizer.encode(emb.unionByName(corrupt), "embedding", cb)
+    val top = ProductQuantizer.adcSearch(encoded, "vec_id", q, cb, topK = 10).collect()
+    assert(top.length === 10)
+    assert(top.forall(r => r.getLong(0) < 100000L), "corrupt ids leaked into top-k")
+    assert(top.forall(!_.isNullAt(1)), "NULL adc_dist leaked into top-k")
+  }
+
   test("IVF+PQ partial probe keeps the true cluster (the production composition)") {
     // nprobe = 2 of 8 buckets prunes most of the corpus, yet the ADC
     // top-10 must still come from the query's true cluster — bucket
