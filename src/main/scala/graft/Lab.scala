@@ -396,6 +396,27 @@ object Lab {
       keys.hint("shuffle_hash")
         .join(p, col("l_partkey") === col("p_partkey"), "left_semi")
         .agg(count(lit(1)).as("n"))
+    }),
+    // ---- e18: the r5 RAW shared-token pair generator, kept as the A/B
+    // twin for the prefix-filtered rewrite (equality-checked against the
+    // shipping PrefixFilterJoin form on the same staged data). ----------
+    V("e18_raw_pairgen", "e18_dedup_clusters", (s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 500)
+      val toks = docs
+        .select(col("doc_id"), explode(array_distinct(split(lower(col("text")), " "))).as("tok"))
+      val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val inter = toks.select(col("doc_id").as("d1"), col("tok"))
+        .join(toks.select(col("doc_id").as("d2"), col("tok")), "tok")
+        .filter(col("d1") < col("d2"))
+        .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter"))
+      val edges = inter
+        .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), "d1")
+        .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2")), "d2")
+        .filter(col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter")) >= 0.95)
+        .select(col("d1"), col("d2"))
+      graft.operators.ConnectedComponents.run(edges)
+        .select(col("id").as("doc_id"), col("component"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -434,6 +455,14 @@ object Lab {
     // INTERLEAVED timing rounds: measuring all bases first and variants
     // after hands the variants a hotter JIT — round-robin keeps the JVM
     // state comparable across everything measured in one run.
+    //
+    // INVARIANT (r5 measurement footnote, do not regress): every timing
+    // thunk REBUILDS its DataFrame inside the closure (`v.fn(spark,
+    // staged)` per call, never a captured `val df`). A reused
+    // QueryExecution re-serves its materialized AQE stages, so repeat
+    // "runs" measure nothing — the e02 A/B once showed fake 0.2 s repeats
+    // this way. Any new probe added here must keep construction inside
+    // the thunk.
     val all: Seq[(String, () => Unit)] =
       bases.map(b => s"base:$b" -> (() => { SparkEntry.queries(b)(spark, staged).collect(); () })) ++
         chosen.map(v => v.name -> (() => { v.fn(spark, staged).collect(); () }))

