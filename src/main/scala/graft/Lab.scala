@@ -203,6 +203,24 @@ object Lab {
           (sum(col("__sp")).cast("double") / lit(10000.0)).as("sum_price"))
         .sortWithinPartitions(col("n_name").asc_nulls_first, col("o_orderstatus").asc_nulls_first)
     }),
+    // floor probe (r6): the shipping c20 shape over a predicate parquet
+    // stats reject entirely — measures pure stage-scheduling cost of the
+    // pre-agg exchange + rollup exchange + TOAP + 2 broadcasts. base=""
+    // (returns the empty rollup's single all-null margin row, not c20's
+    // output).
+    V("c20_floor", "", (s, dir) => {
+      val o = t(s, dir, "orders").filter(col("o_orderkey") < 0)
+      val c = t(s, dir, "customer")
+      val n = broadcast(t(s, dir, "nation"))
+      val pre = o.join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("__cnt"), sum(cents4(col("o_totalprice"))).as("__sp"))
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+      pre.rollup(col("n_name"), col("o_orderstatus"))
+        .agg(sum(col("__cnt")).as("n"),
+          (sum(col("__sp")).cast("double") / lit(10000.0)).as("sum_price"))
+        .transform(sortSmallTopK(_, col("n_name").asc_nulls_first, col("o_orderstatus").asc_nulls_first))
+    }),
     V("c20_stock", "c20_rollup", (s, dir) => {
       // pre-r4 shape: rollup Expand over every joined row (×3)
       val o = t(s, dir, "orders")
@@ -395,6 +413,42 @@ object Lab {
         .filter(col("disc") && !col("taxed"))
       keys.hint("shuffle_hash")
         .join(p, col("l_partkey") === col("p_partkey"), "left_semi")
+        .agg(count(lit(1)).as("n"))
+    }),
+    // c09 FLOOR ATTRIBUTION PROBES (r5 verdict #3) -----------------------
+    // (a) fused: coalesce(1) above the flag aggregate elides the final
+    // count's SinglePartition exchange — one task computes the final flag
+    // agg, the broadcast probe and the count. Measures what that last
+    // exchange+stage costs; NOT shippable (the serialized final aggregate
+    // state is |distinct partkeys|, which grows with data volume).
+    V("c09_fused", "c09_semi_anti", (s, dir) => {
+      val p = t(s, dir, "part").select(col("p_partkey"))
+      val l = t(s, dir, "lineitem")
+      val keys = l.select(col("l_partkey"),
+        (col("l_discount") > 0.05).as("disc"), (col("l_tax") > 0.07).as("taxed"))
+        .filter(col("disc") || col("taxed"))
+        .groupBy(col("l_partkey"))
+        .agg(max(col("disc")).as("disc"), max(col("taxed")).as("taxed"))
+        .coalesce(1)
+        .filter(col("disc") && !col("taxed"))
+      keys.join(broadcast(p), col("l_partkey") === col("p_partkey"), "left_semi")
+        .agg(count(lit(1)).as("n"))
+    }),
+    // (b) floor: the IDENTICAL plan shape (scan → flag agg exchange →
+    // broadcast semi probe → count exchange) over a predicate no row
+    // satisfies — parquet stats skip every row group, so the measured time
+    // is pure scheduling: the per-query floor for this 2-exchange +
+    // 1-broadcast shape. base="" (no equality check — it returns n=0).
+    V("c09_floor", "", (s, dir) => {
+      val p = t(s, dir, "part").select(col("p_partkey"))
+      val l = t(s, dir, "lineitem").filter(col("l_orderkey") < 0)
+      val keys = l.select(col("l_partkey"),
+        (col("l_discount") > 0.05).as("disc"), (col("l_tax") > 0.07).as("taxed"))
+        .filter(col("disc") || col("taxed"))
+        .groupBy(col("l_partkey"))
+        .agg(max(col("disc")).as("disc"), max(col("taxed")).as("taxed"))
+        .filter(col("disc") && !col("taxed"))
+      keys.join(broadcast(p), col("l_partkey") === col("p_partkey"), "left_semi")
         .agg(count(lit(1)).as("n"))
     }),
     // ---- e18: the r5 RAW shared-token pair generator, kept as the A/B

@@ -255,6 +255,14 @@ object Relational extends QueryBlock {
     // the Expand trivial — margins are exact sums of the longs (cents sums
     // and counts are associative), and the 25-row nation dim joins AFTER
     // the heavy aggregation, against 75 rows instead of every order.
+    // Stage count is a floor, not a defect: the rollup aggregate ALWAYS
+    // plans its own exchange because ExpandExec reports
+    // UnknownPartitioning (the expanded null keys invalidate any child
+    // partitioning), so no coalesce placement below the rollup can elide
+    // it — measured: the coalesce(1)-fused attempt costs MORE (extra
+    // narrow stage, exchange still present; Lab c20_fusedpre). The
+    // Lab c20_floor probe (identical shape, zero rows) pins how much of
+    // the runtime is pure stage scheduling.
     "c20_rollup" -> QueryDef(
       (s, dir) => {
         val o = t(s, dir, "orders")
