@@ -1,19 +1,30 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** ANN accuracy/cost report (dev tool, VERDICT r4 item 9): quantifies
-  * recall@10 vs probe width for the IVF index and candidate-pair recall vs
-  * (tables, bits) for the hyperplane LSH, on the real sf0.1 embeddings —
-  * so the trade-off is MEASURED before anyone trusts a partial-probe
-  * configuration at scale. Ground truth is driver-side exact cosine
-  * (2000×64 floats — trivially driver-sized for a report; the operators
-  * under test still run their real cluster-side code paths for bucket
-  * assignment).
+/** ANN accuracy/cost report (dev tool, VERDICT r4 item 9 + r5 item 6):
+  * quantifies recall@10 vs probe width for the IVF index, ADC recall for
+  * PQ alone and composed with IVF pruning, and candidate-pair recall vs
+  * (tables, bits) for the hyperplane LSH — on TWO corpora at the same
+  * report scale:
+  *
+  *  1. the real sf0.1 embeddings — near-uniform random vectors, the
+  *     WORST case for any space-partitioning index (documented honestly
+  *     in NOTES_r5: recall@10 as low as 0.004 for LSH there);
+  *  2. a deterministic clustered corpus of the same size and dim —
+  *     50 well-separated Gaussian clusters × 40 members, the shape real
+  *     embedding spaces have (fixed seed: the corpus is a value, not a
+  *     distribution). This is where the production-relevant recall/cost
+  *     curves come from: partial-probe configs are only trusted at scale
+  *     with THESE numbers, not the structureless worst case.
+  *
+  * Ground truth is driver-side exact cosine (2000×64 floats — trivially
+  * driver-sized for a report; the operators under test still run their
+  * real cluster-side code paths for bucket assignment).
   *
   * Usage: `runMain graft.AnnReport` (SPARK_GRAFT_SF_DIR to override).
-  * Output: a markdown table block for NOTES_r{N}.md.
+  * Output: markdown table blocks for NOTES_r{N}.md.
   */
 object AnnReport {
 
@@ -27,22 +38,31 @@ object AnnReport {
     if (na == 0 || nb == 0) Double.MinValue else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    Graft.prepare(spark)
+  /** Clustered corpus at report scale: nClusters Gaussian centers in
+    * `dim` dims (near-orthogonal at dim 64), each with `members` points
+    * at noise sigma 0.05 — within-cluster cosine ≈ 0.999, cross-cluster
+    * near 0, so the true neighbour set is unambiguous. Same row count and
+    * dim as the sf0.1 embeddings table.
+    */
+  private def clusteredVectors(nClusters: Int, members: Int, dim: Int): Array[(Long, Array[Float])] = {
+    val rnd = new scala.util.Random(20260813L)
+    val centers = Array.fill(nClusters, dim)(rnd.nextGaussian())
+    (for (c <- 0 until nClusters; m <- 0 until members) yield {
+      val v = Array.tabulate(dim)(d => (centers(c)(d) + 0.05 * rnd.nextGaussian()).toFloat)
+      ((c.toLong * members + m), v)
+    }).toArray
+  }
 
-    val emb = Tables(spark, sfDir, "embeddings")
+  /** The full report block for one corpus. `emb` must expose
+    * (vec_id long, embedding array<float>) — the operators under test
+    * consume the DataFrame through their real cluster-side paths.
+    */
+  private def report(spark: SparkSession, label: String, emb: DataFrame): Unit = {
     val vecs: Array[(Long, Array[Float])] = emb
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
     val byId = vecs.toMap
-    println(s"[annreport] $sfDir: ${vecs.length} vectors, dim ${vecs.head._2.length}")
+    println(s"[annreport] $label: ${vecs.length} vectors, dim ${vecs.head._2.length}")
 
     // ground truth: exact top-10 neighbours for every 40th vector
     val queries = vecs.sortBy(_._1).zipWithIndex.collect {
@@ -65,8 +85,8 @@ object AnnReport {
     val bucketSizes = buckets.values.groupBy(identity).view.mapValues(_.size)
     println(s"[annreport] IVF k=$k bucket sizes: min=${bucketSizes.values.min} " +
       s"max=${bucketSizes.values.max}")
-    println("| index | config | recall@10 | candidates scanned |")
-    println("| --- | --- | --- | --- |")
+    println(s"| corpus | index | config | recall@10 | candidates scanned |")
+    println("| --- | --- | --- | --- | --- |")
     Seq(1, 2, 4, 8, 16).foreach { nprobe =>
       val (recalls, cands) = queries.map { case (qid, q) =>
         val probes = operators.IvfAnn.probeOrder(q, cs).take(nprobe).map(_.toLong).toSet
@@ -77,7 +97,7 @@ object AnnReport {
           .sortBy { case (id, s) => (-s, id) }.take(10).map(_._1).toSet
         ((top & truth(qid)).size / 10.0, candidates.length)
       }.unzip
-      println(f"| IVF | nprobe=$nprobe/$k | ${recalls.sum / recalls.length}%.3f " +
+      println(f"| $label | IVF | nprobe=$nprobe/$k | ${recalls.sum / recalls.length}%.3f " +
         f"| ${cands.sum / cands.length}%d avg (of ${vecs.length - 1}) |")
     }
 
@@ -86,11 +106,12 @@ object AnnReport {
     val pqCodes: Map[Long, Long] = operators.ProductQuantizer.encode(emb, "embedding", cb)
       .select(col("vec_id"), col("__pq_code")).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val subDim = vecs.head._2.length / 8
     def adcTable(q: Array[Float]): Array[Array[Double]] =
       Array.tabulate(8, 16) { (j, c) =>
         var acc = 0.0
-        (0 until 8).foreach { d =>
-          val t = q(j * 8 + d).toDouble - cb(j)(c)(d); acc += t * t
+        (0 until subDim).foreach { d =>
+          val t = q(j * subDim + d).toDouble - cb(j)(c)(d); acc += t * t
         }
         acc
       }
@@ -106,7 +127,7 @@ object AnnReport {
     val pqRecall = queries.map { case (qid, q) =>
       (adcTop(qid, q, vecs.map(_._1)) & truth(qid)).size / 10.0
     }
-    println(f"| PQ | m=8 k=16 ADC (full scan) | ${pqRecall.sum / pqRecall.length}%.3f " +
+    println(f"| $label | PQ | m=8 k=16 ADC (full scan) | ${pqRecall.sum / pqRecall.length}%.3f " +
       f"| ${vecs.length - 1}%d (8-byte codes, no vector reads) |")
     Seq(2, 4).foreach { nprobe =>
       val r = queries.map { case (qid, q) =>
@@ -114,8 +135,35 @@ object AnnReport {
         val cand = vecs.collect { case (id, _) if probes(buckets(id)) => id }
         (adcTop(qid, q, cand) & truth(qid)).size / 10.0
       }
-      println(f"| IVF+PQ | nprobe=$nprobe/$k + ADC | ${r.sum / r.length}%.3f " +
+      println(f"| $label | IVF+PQ | nprobe=$nprobe/$k + ADC | ${r.sum / r.length}%.3f " +
         f"| ~${vecs.length * nprobe / k}%d codes scanned |")
+    }
+    // ADC shortlist + exact re-rank (the standard production PQ config —
+    // Jégou et al.'s IVFADC with re-ranking): 8-byte codes order a
+    // shortlist, exact cosine re-ranks only the shortlist's full vectors.
+    // On clustered data raw ADC ties all members of a tight cluster (one
+    // code per cluster at m=8 k=16 resolution) — the re-rank breaks the
+    // tie with `shortlist` full-vector reads instead of a corpus scan.
+    def adcShortlist(qid: Long, q: Array[Float], candidates: Iterable[Long], n: Int): Seq[Long] = {
+      val tab = adcTable(q)
+      candidates.filter(_ != qid).map { id =>
+        val code = pqCodes(id)
+        var s = 0.0
+        (0 until 8).foreach(j => s += tab(j)(((code >>> (4 * j)) & 15).toInt))
+        (id, s)
+      }.toSeq.sortBy { case (id, s) => (s, id) }.take(n).map(_._1)
+    }
+    Seq((2, 100), (4, 100)).foreach { case (nprobe, shortlist) =>
+      val r = queries.map { case (qid, q) =>
+        val probes = operators.IvfAnn.probeOrder(q, cs).take(nprobe).map(_.toLong).toSet
+        val cand = vecs.collect { case (id, _) if probes(buckets(id)) => id }
+        val short = adcShortlist(qid, q, cand, shortlist)
+        val top = short.map(id => (id, cos(q, byId(id))))
+          .sortBy { case (id, s) => (-s, id) }.take(10).map(_._1).toSet
+        (top & truth(qid)).size / 10.0
+      }
+      println(f"| $label | IVF+PQ+rerank | nprobe=$nprobe/$k, shortlist=$shortlist | ${r.sum / r.length}%.3f " +
+        f"| ~${vecs.length * nprobe / k}%d codes + $shortlist vectors |")
     }
 
     // ---- LSH: recall@10 + pair stats vs (tables, bits) ------------------
@@ -139,9 +187,28 @@ object AnnReport {
           byBucket.getOrElse((t, b), Array.empty[Long]).length - 1
         }.sum
       }.sum / 2
-      println(f"| LSH | tables=$tables bits=$bits | ${recalls.sum / recalls.length}%.3f " +
+      println(f"| $label | LSH | tables=$tables bits=$bits | ${recalls.sum / recalls.length}%.3f " +
         f"| ~$totalCand%d candidate pairs (all-pairs ${vecs.length.toLong * (vecs.length - 1) / 2}) |")
     }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Graft.prepare(spark)
+    import spark.implicits._
+
+    report(spark, "sf0.1-uniform", Tables(spark, sfDir, "embeddings"))
+
+    // clustered twin: same row count (2000) and dim (64) as sf0.1
+    val clustered = clusteredVectors(nClusters = 50, members = 40, dim = 64)
+    report(spark, "clustered", clustered.toSeq.toDF("vec_id", "embedding"))
+
     spark.stop()
   }
 }

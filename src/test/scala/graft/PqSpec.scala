@@ -133,6 +133,22 @@ class PqSpec extends AnyFunSuite {
     assert(sameCluster >= 8, s"only $sameCluster/10 from the true cluster at nprobe=2")
   }
 
+  test("rerank recovers exact top-k where raw ADC ties a whole cluster") {
+    // at m=8/k=16 resolution every member of a tight cluster gets the
+    // SAME code, so raw ADC ranks within the cluster by id (recall ~k/|C|);
+    // the shortlist+exact-rerank path must return the TRUE exact top-10
+    val (qid, q, _) = ClusteredEmbeddings.vectors.head
+    val encoded = ProductQuantizer.encode(emb, "embedding", cb)
+    val got = ProductQuantizer.adcSearchRerank(
+      encoded, "vec_id", "embedding", q, cb, shortlist = 50, topK = 10)
+      .collect().map(_.getLong(0)).toSeq
+    val exact = ClusteredEmbeddings.vectors
+      .map { case (id, v, _) => (id, ClusteredEmbeddings.cosine(q, v)) }
+      .sortBy { case (id, s) => (-s, id) }.take(10).map(_._1)
+    assert(got === exact, "rerank diverged from exact cosine top-10")
+    assert(got.head === qid, "self-query must rank itself first")
+  }
+
   test("ADC self-query ranks the query vector first on clustered data") {
     val q = ClusteredEmbeddings.vectors.head._2
     val encoded = ProductQuantizer.encode(emb, "embedding", cb)
