@@ -10,10 +10,15 @@ import org.apache.spark.sql.types._
   *
   * Media travel as opaque `binary` columns with typed metadata. The
   * Spark-side plumbing — schemas, per-partition batch processing, column
-  * wiring — is real and tested; the codec calls themselves are STUBS
-  * (deterministic features derived from the content hash) because no
-  * image/audio libraries ship in this environment. Swapping a stub for a
-  * real decoder changes only the function body, not the pipeline shape.
+  * wiring — is real and tested. Decoding is REAL, in pure JVM byte
+  * arithmetic (no codec libraries ship in this environment): header
+  * decode for BMP/PNG/GIF/JPEG/WAV/MP4, full pixel decode for BMP, PNG
+  * (any conforming zlib stream, all five filters), GIF (general LZW), and
+  * baseline-sequential grayscale JPEG (canonical Huffman, DC/AC entropy
+  * decode, dequant + IDCT), plus WAV PCM16 sample stats. Only formats
+  * outside those paths (e.g. progressive JPEG, video codec bitstreams)
+  * fall back to clearly-labeled deterministic STUBS — swapping a stub for
+  * a real decoder changes only the function body, not the pipeline shape.
   *
   * The batch API mirrors the `mapInPandas` pattern: `mapPartitions` walks
   * the iterator in bounded batches so a real decoder could amortize model
@@ -387,6 +392,345 @@ object Multimodal {
       }
       out
     }
+  }
+
+  // ---- baseline JPEG pixel decode (pure JVM, no codec libs) --------------
+
+  /** Zigzag scan order: entry k = the natural (v*8 + u) position of the
+    * k-th coefficient in the entropy stream (ITU-T T.81 Figure A.6).
+    */
+  private val jpegZigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** 1-D IDCT basis: basis(u)(x) = C(u)/2 · cos((2x+1)uπ/16), C(0)=1/√2 —
+    * so pixel(x,y) = Σ_v Σ_u basis(u)(x)·basis(v)(y)·F(u,v), the textbook
+    * separable form (T.81 A.3.3).
+    */
+  private lazy val jpegBasis: Array[Array[Double]] = Array.tabulate(8, 8) { (u, x) =>
+    val c = if (u == 0) 1.0 / math.sqrt(8.0) else 0.5
+    c * math.cos((2 * x + 1) * u * math.Pi / 16.0)
+  }
+
+  /** Canonical Huffman table in the T.81 Annex F decode form. maxcode(l)
+    * is −1 where no codes of length l exist, so the length-walk can never
+    * false-match.
+    */
+  private final class JpegHuff(counts: Array[Int], val vals: Array[Int]) {
+    val mincode = new Array[Int](17)
+    val maxcode = Array.fill(17)(-1)
+    val valptr = new Array[Int](17)
+    locally {
+      var code = 0
+      var k = 0
+      var l = 1
+      while (l <= 16) {
+        valptr(l) = k
+        mincode(l) = code
+        if (counts(l) > 0) { code += counts(l); k += counts(l); maxcode(l) = code - 1 }
+        code <<= 1
+        l += 1
+      }
+    }
+  }
+
+  /** Entropy-segment bit reader with FF00 un-stuffing; any other FF-marker
+    * byte (or running off the buffer) flips `eos` and every subsequent
+    * read returns −1 — the caller rejects, never fabricates bits.
+    */
+  private final class JpegBits(b: Array[Byte], start: Int) {
+    private var pos = start
+    private var cur = 0
+    private var n = 0
+    var eos = false
+    def bit(): Int = {
+      if (eos) return -1
+      if (n == 0) {
+        if (pos >= b.length) { eos = true; return -1 }
+        var v = b(pos) & 0xff
+        pos += 1
+        if (v == 0xff) {
+          val nxt = if (pos < b.length) b(pos) & 0xff else -1
+          if (nxt == 0) pos += 1 // stuffed data byte
+          else { eos = true; return -1 } // a real marker ends the scan
+        }
+        cur = v
+        n = 8
+      }
+      n -= 1
+      (cur >> n) & 1
+    }
+    def receive(t: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < t) {
+        val x = bit(); if (x < 0) return -1
+        v = (v << 1) | x
+        i += 1
+      }
+      v
+    }
+  }
+
+  private def jpegDecodeHuff(br: JpegBits, h: JpegHuff): Int = {
+    var code = 0
+    var l = 0
+    while (l < 16) {
+      val x = br.bit(); if (x < 0) return -1
+      code = (code << 1) | x
+      l += 1
+      if (h.maxcode(l) >= 0 && code <= h.maxcode(l))
+        return h.vals(h.valptr(l) + code - h.mincode(l))
+    }
+    -1
+  }
+
+  /** EXTEND (T.81 F.2.2.1): map t magnitude bits to the signed value. */
+  private def jpegExtend(v: Int, t: Int): Int =
+    if (t == 0) 0 else if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
+
+  /** REAL baseline-sequential JPEG pixel decode for 8-bit GRAYSCALE
+    * (SOF0, one component, 1×1 sampling): full marker walk (DQT — both
+    * precisions, DHT — canonical code reconstruction per Annex C/F, SOF0,
+    * SOS), then per-block entropy decode — differential DC, run/size AC
+    * with EOB and ZRL, FF00 un-stuffing — dequantization in zigzag order
+    * and the textbook separable float IDCT with level shift, rounding via
+    * ⌊x+0.5⌋ and [0,255] clamp. Edge blocks beyond the image bounds are
+    * decoded but only visible pixels count. Returns
+    * (lum_sum, n_pixels, min_lum, max_lum).
+    *
+    * None for: progressive/extended frames (SOF2 etc.), multi-component
+    * images, sub-8-bit precision, restart intervals (DRI > 0 — fixtures
+    * and the training corpus shard writers emit none), missing tables, a
+    * truncated or marker-corrupted entropy stream. Validate, don't trust.
+    * Fixture streams (makeJpegPixels) are DC-only with byte-aligned
+    * 16-bit-per-block codes so the DuckDB oracle can hex-walk the SAME
+    * entropy bytes (the stored-deflate-PNG precedent); MultimodalSpec
+    * drives the general path — AC runs, ZRL, FF stuffing, edge crops —
+    * through an in-test encoder with the Annex K tables.
+    */
+  def jpegGraySums(b: Array[Byte]): Option[(Long, Long, Int, Int)] = {
+    if (b == null || b.length < 4 ||
+      (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
+    val qt = new Array[Array[Int]](4)
+    val dcTabs = new Array[JpegHuff](4)
+    val acTabs = new Array[JpegHuff](4)
+    var w = 0; var h = 0
+    var dcSel = -1; var acSel = -1; var qSel = -1
+    var scanStart = -1
+    var o = 2
+    while (scanStart < 0 && o + 4 <= b.length) {
+      if ((b(o) & 0xff) != 0xff) return None
+      val m = b(o + 1) & 0xff
+      if (m == 0xd8 || m == 0x01 || (m >= 0xd0 && m <= 0xd7)) { o += 2 }
+      else if (m == 0xd9) return None // EOI before any scan
+      else {
+        val len = beU16(b, o + 2)
+        if (len < 2 || o + 2 + len > b.length) return None
+        val end = o + 2 + len
+        m match {
+          case 0xdb => // DQT: one or more (pq/tq, 64 values) entries
+            var p = o + 4
+            while (p < end) {
+              val pq = (b(p) & 0xff) >> 4
+              val tq = b(p) & 0x0f
+              val span = 1 + 64 * (pq + 1)
+              if (tq > 3 || pq > 1 || p + span > end) return None
+              qt(tq) = Array.tabulate(64) { i =>
+                if (pq == 0) b(p + 1 + i) & 0xff else beU16(b, p + 1 + 2 * i)
+              }
+              p += span
+            }
+          case 0xc4 => // DHT: one or more (class/id, 16 counts, symbols)
+            var p = o + 4
+            while (p < end) {
+              if (p + 17 > end) return None
+              val tc = (b(p) & 0xff) >> 4
+              val th = b(p) & 0x0f
+              val counts = new Array[Int](17)
+              var total = 0
+              (1 to 16).foreach { l =>
+                counts(l) = b(p + l) & 0xff; total += counts(l)
+              }
+              if (tc > 1 || th > 3 || total > 256 || p + 17 + total > end) return None
+              val vals = Array.tabulate(total)(i => b(p + 17 + i) & 0xff)
+              val huff = new JpegHuff(counts, vals)
+              if (tc == 0) dcTabs(th) = huff else acTabs(th) = huff
+              p += 17 + total
+            }
+          case 0xc0 => // SOF0 — baseline sequential only
+            if (len < 11 || (b(o + 4) & 0xff) != 8) return None
+            h = beU16(b, o + 5); w = beU16(b, o + 7)
+            if ((b(o + 9) & 0xff) != 1) return None // grayscale only
+            if ((b(o + 11) & 0xff) != 0x11) return None // 1x1 sampling
+            qSel = b(o + 12) & 0x0f
+          case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
+               0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
+            return None // extended/progressive/lossless frames
+          case 0xdd => // DRI: restart intervals unsupported
+            if (beU16(b, o + 4) != 0) return None
+          case 0xda => // SOS
+            if (w == 0 || (b(o + 4) & 0xff) != 1) return None
+            dcSel = (b(o + 6) & 0xff) >> 4
+            acSel = b(o + 6) & 0x0f
+            // baseline full-band scan: Ss=0, Se=63, Ah=Al=0
+            if ((b(o + 7) & 0xff) != 0 || (b(o + 8) & 0xff) != 63 ||
+              (b(o + 9) & 0xff) != 0) return None
+            scanStart = end
+          case _ => () // APPn / COM / others: skip
+        }
+        o = end
+      }
+    }
+    if (scanStart < 0 || w <= 0 || h <= 0 || qSel < 0 ||
+      qt(qSel) == null || dcTabs(dcSel) == null || acTabs(acSel) == null)
+      return None
+    val q = qt(qSel)
+    val dcT = dcTabs(dcSel)
+    val acT = acTabs(acSel)
+    val br = new JpegBits(b, scanStart)
+    val coef = new Array[Int](64) // natural order, dequantized
+    val tmp = Array.ofDim[Double](8, 8) // (v, x) partial IDCT
+    val bx = (w + 7) / 8
+    val by = (h + 7) / 8
+    var pred = 0
+    var sum = 0L
+    var minL = 256
+    var maxL = -1
+    var blkY = 0
+    while (blkY < by) {
+      var blkX = 0
+      while (blkX < bx) {
+        java.util.Arrays.fill(coef, 0)
+        val t = jpegDecodeHuff(br, dcT)
+        if (t < 0 || t > 11) return None
+        val dv = br.receive(t)
+        if (dv < 0) return None
+        pred += jpegExtend(dv, t)
+        coef(0) = pred * q(0)
+        var k = 1
+        var open = true
+        while (open && k < 64) {
+          val rs = jpegDecodeHuff(br, acT)
+          if (rs < 0) return None
+          val r = rs >> 4
+          val s2 = rs & 15
+          if (s2 == 0) {
+            if (r == 15) k += 16 // ZRL: sixteen zeros
+            else open = false // EOB
+          } else {
+            k += r
+            if (k > 63) return None
+            val av = br.receive(s2)
+            if (av < 0) return None
+            coef(jpegZigzag(k)) = jpegExtend(av, s2) * q(k)
+            k += 1
+          }
+        }
+        // separable IDCT: rows over u, then columns over v — fixed fold order
+        var v = 0
+        while (v < 8) {
+          var x = 0
+          while (x < 8) {
+            var acc = 0.0
+            var u = 0
+            while (u < 8) { acc += coef(v * 8 + u) * jpegBasis(u)(x); u += 1 }
+            tmp(v)(x) = acc
+            x += 1
+          }
+          v += 1
+        }
+        var py = 0
+        while (py < 8) {
+          val iy = blkY * 8 + py
+          var px = 0
+          while (px < 8) {
+            val ix = blkX * 8 + px
+            if (iy < h && ix < w) {
+              var acc = 0.0
+              var vv = 0
+              while (vv < 8) { acc += tmp(vv)(px) * jpegBasis(vv)(py); vv += 1 }
+              val p0 = math.floor(acc + 128.5).toInt
+              val p = if (p0 < 0) 0 else if (p0 > 255) 255 else p0
+              sum += p
+              if (p < minL) minL = p
+              if (p > maxL) maxL = p
+            }
+            px += 1
+          }
+          py += 1
+        }
+        blkX += 1
+      }
+      blkY += 1
+    }
+    Some((sum, w.toLong * h, minL, maxL))
+  }
+
+  /** A REAL, fully decodable baseline grayscale JPEG whose entropy stream
+    * is BYTE-ALIGNED at two bytes per 8×8 block: the DC table holds one
+    * 1-bit code ("0" → category 8) and the AC table one 7-bit code
+    * ("0000000" → EOB), so each block codes as 1 + 8 + 7 = 16 bits —
+    * byte0 = diff bits 7..1, byte1 = diff bit 0 then the EOB zeros. Every
+    * stream byte therefore has its top bit ≠ 1-filled and can never be
+    * 0xFF (no stuffing), and the DuckDB oracle reads block j's DC diff
+    * straight out of bytes streamOff+2j / +2j+1 — the stored-deflate-PNG
+    * trick, JPEG edition. DC-only blocks IDCT to a flat value
+    * clamp(round(128 + dc·q0/8)), which the oracle mirrors EXACTLY
+    * because the generator keeps dc·q0 ≢ 4 (mod 8) — the only place
+    * engine ⌊x+.5⌋ and DuckDB round() could disagree is an exact .5, and
+    * that residue is the only way dc·q0/8 produces one.
+    *
+    * Fixed layout (0-based): SOI 0, APP0 2, DQT 20 (q0 at byte 25), SOF0
+    * 89 (height BE 94, width BE 96), DHT-DC 102, DHT-AC 124, SOS 146,
+    * entropy stream 156 (2 bytes/block, blocks in raster order), EOI.
+    */
+  def makeJpegPixels(wBlocks: Int, hBlocks: Int, q0: Int, seed: Long): Array[Byte] = {
+    require(wBlocks > 0 && hBlocks > 0 && q0 >= 1 && q0 <= 3,
+      "q0 in 1..3 keeps every DC-only pixel inside [0,255] (no clamp in fixtures)")
+    val blocks = wBlocks * hBlocks
+    val out = java.nio.ByteBuffer.allocate(156 + 2 * blocks + 2)
+    out.putShort(0xffd8.toShort) // SOI
+    out.putShort(0xffe0.toShort).putShort(16) // APP0, len 16
+      .put("JFIF".getBytes("US-ASCII")).put(0.toByte)
+      .put(1.toByte).put(2.toByte)
+      .put(0.toByte).putShort(1).putShort(1)
+      .put(0.toByte).put(0.toByte)
+    out.putShort(0xffdb.toShort).putShort(67).put(0.toByte) // DQT table 0
+    out.put(q0.toByte) // q[0] — the only quantizer a DC-only stream uses
+    var s = seed
+    (1 until 64).foreach { _ => s = splitmix64(s); out.put((1 + (s & 0x7f)).toByte) }
+    out.putShort(0xffc0.toShort).putShort(11) // SOF0, 1 component
+      .put(8.toByte)
+      .putShort((hBlocks * 8).toShort).putShort((wBlocks * 8).toShort)
+      .put(1.toByte)
+      .put(1.toByte).put(0x11.toByte).put(0.toByte)
+    def dht(classId: Int, lenWithOneCode: Int, symbol: Int): Unit = {
+      out.putShort(0xffc4.toShort).putShort(20).put(classId.toByte)
+      (1 to 16).foreach(l => out.put(if (l == lenWithOneCode) 1.toByte else 0.toByte))
+      out.put(symbol.toByte)
+    }
+    dht(0x00, lenWithOneCode = 1, symbol = 0x08) // DC: "0" -> category 8
+    dht(0x10, lenWithOneCode = 7, symbol = 0x00) // AC: "0000000" -> EOB
+    out.putShort(0xffda.toShort).putShort(8).put(1.toByte) // SOS
+      .put(1.toByte).put(0x00.toByte)
+      .put(0.toByte).put(63.toByte).put(0.toByte)
+    var pred = 0
+    (0 until blocks).foreach { _ =>
+      s = splitmix64(s)
+      var mag = 128 + ((s & 0x7fffL) % 113).toInt // 128..240: category 8
+      val sign = if (pred > 0) -1 else 1
+      // keep dc·q0 off the mod-8 residue 4: the exact-.5 rounding guard
+      while ((((pred + sign * mag) * q0) % 8 + 8) % 8 == 4) mag += 1
+      pred += sign * mag
+      val bits = if (sign > 0) mag else sign * mag + 255 // category-8 code
+      out.put((bits >> 1).toByte) // huff "0" + diff bits 7..1
+      out.put(((bits & 1) << 7).toByte) // diff bit 0 + EOB "0000000"
+    }
+    out.putShort(0xffd9.toShort) // EOI
+    out.array()
   }
 
   /** REAL GIF header decode: `GIF87a`/`GIF89a` signature, then the logical
@@ -891,6 +1235,10 @@ object Multimodal {
               decodePngHeader(content).map(hd => (hd._1, hd._2, 3, pixelFeatures(s)))
             }).orElse(gifChannelSums(content).flatMap { s =>
               decodeGifHeader(content).map(hd => (hd._2, hd._3, 3, pixelFeatures(s)))
+            }).orElse(jpegGraySums(content).flatMap { case (sl, n, _, _) =>
+              // grayscale: one channel, replicated into the RGB mean slots
+              decodeJpegHeader(content).map(hd => (hd._1, hd._2, 1,
+                pixelFeatures((sl, sl, sl, n))))
             }).orElse(decodeBmpHeader(content).map { case (bw, bh, bpp) =>
               (bw, bh, bpp / 8, featuresOf(contentHash(content)))
             }).getOrElse(decodeImageStub(content))

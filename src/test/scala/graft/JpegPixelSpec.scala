@@ -1,0 +1,234 @@
+package graft
+
+import graft.operators.Multimodal
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The e12l oracle exercises only the DC path (its fixtures are the JPEG
+  * analog of stored-deflate PNG), so this spec drives the GENERAL baseline
+  * decoder — AC run/size coding, ZRL, FF00 stuffing, dequantization, the
+  * full IDCT, edge cropping, reject paths — through an IN-TEST encoder
+  * that shares nothing with the decoder: different Huffman code lengths
+  * (4-bit DC / uniform 9-bit AC vs the fixtures' 1/7), an independently
+  * written DIRECT (non-separable) IDCT as the pixel reference, and its own
+  * bit writer with stuffing.
+  */
+class JpegPixelSpec extends AnyFunSuite {
+
+  // zigzag k -> natural v*8+u (same public T.81 table, re-typed here so a
+  // transposition bug in either copy fails the round-trip)
+  private val zig = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** AC symbol order = code order: EOB, ZRL, then (r,s) ascending. */
+  private val acSymbols: Array[Int] =
+    Array(0x00, 0xf0) ++ (for (r <- 0 to 15; s2 <- 1 to 10) yield (r << 4) | s2)
+  private val acCodeOf: Map[Int, Int] = acSymbols.zipWithIndex.toMap
+
+  private class BitWriter {
+    val out = new java.io.ByteArrayOutputStream()
+    private var acc = 0
+    private var n = 0
+    def putBit(b: Int): Unit = {
+      acc = (acc << 1) | b; n += 1
+      if (n == 8) {
+        out.write(acc)
+        if (acc == 0xff) out.write(0) // stuffing
+        acc = 0; n = 0
+      }
+    }
+    def put(code: Int, len: Int): Unit =
+      (len - 1 to 0 by -1).foreach(i => putBit((code >> i) & 1))
+    def flush(): Unit = while (n != 0) putBit(1) // pad with 1s per spec
+  }
+
+  private def category(v: Int): Int =
+    if (v == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(v))
+
+  /** Encode a grayscale baseline JPEG from QUANTIZED zigzag-order
+    * coefficient blocks (raster order) and a zigzag-order quant table.
+    */
+  private def encode(w: Int, h: Int, q: Array[Int],
+      blocks: Seq[Array[Int]]): Array[Byte] = {
+    val bw = new BitWriter
+    var pred = 0
+    blocks.foreach { qc =>
+      val diff = qc(0) - pred
+      pred = qc(0)
+      val t = category(diff)
+      bw.put(t, 4) // DC: category IS the 4-bit code (counts[4]=12)
+      if (t > 0) bw.put(if (diff >= 0) diff else diff + (1 << t) - 1, t)
+      var k = 1
+      var lastNz = 63
+      while (lastNz >= 1 && qc(lastNz) == 0) lastNz -= 1
+      while (k <= lastNz) {
+        var run = 0
+        while (qc(k) == 0) { run += 1; k += 1 }
+        while (run >= 16) { bw.put(acCodeOf(0xf0), 9); run -= 16 }
+        val s2 = category(qc(k))
+        assert(s2 >= 1 && s2 <= 10, s"coefficient ${qc(k)} out of test-table range")
+        bw.put(acCodeOf((run << 4) | s2), 9)
+        bw.put(if (qc(k) >= 0) qc(k) else qc(k) + (1 << s2) - 1, s2)
+        k += 1
+      }
+      if (lastNz < 63) bw.put(acCodeOf(0x00), 9) // EOB
+    }
+    bw.flush()
+    val stream = bw.out.toByteArray
+    val bos = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = bos.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    u16(0xffd8) // SOI
+    u16(0xffdb); u16(67); u8(0) // DQT
+    q.foreach(u8)
+    u16(0xffc0); u16(11); u8(8); u16(h); u16(w); u8(1); u8(1); u8(0x11); u8(0) // SOF0
+    u16(0xffc4); u16(2 + 1 + 16 + 12); u8(0x00) // DHT DC: 12 codes, all 4-bit
+    (1 to 16).foreach(l => u8(if (l == 4) 12 else 0))
+    (0 to 11).foreach(u8)
+    u16(0xffc4); u16(2 + 1 + 16 + acSymbols.length); u8(0x10) // DHT AC: all 9-bit
+    (1 to 16).foreach(l => u8(if (l == 9) acSymbols.length else 0))
+    acSymbols.foreach(u8)
+    u16(0xffda); u16(8); u8(1); u8(1); u8(0x00); u8(0); u8(63); u8(0) // SOS
+    bos.write(stream)
+    u16(0xffd9) // EOI
+    bos.toByteArray
+  }
+
+  /** Independent reference: DIRECT double-sum IDCT per pixel (not the
+    * decoder's separable form), dequantizing zigzag coefficients in place.
+    */
+  private def refSums(w: Int, h: Int, q: Array[Int],
+      blocks: Seq[Array[Int]]): (Long, Long, Int, Int) = {
+    val bx = (w + 7) / 8
+    var sum = 0L
+    var mn = 256
+    var mx = -1
+    blocks.zipWithIndex.foreach { case (qc, bi) =>
+      val f = new Array[Double](64)
+      (0 until 64).foreach(k => f(zig(k)) = qc(k).toDouble * q(k))
+      val x0 = (bi % bx) * 8
+      val y0 = (bi / bx) * 8
+      for (py <- 0 until 8; px <- 0 until 8
+          if y0 + py < h && x0 + px < w) {
+        var acc = 0.0
+        for (v <- 0 until 8; u <- 0 until 8) {
+          val cu = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+          val cv = if (v == 0) 1.0 / math.sqrt(2.0) else 1.0
+          acc += cu * cv / 4.0 * f(v * 8 + u) *
+            math.cos((2 * px + 1) * u * math.Pi / 16.0) *
+            math.cos((2 * py + 1) * v * math.Pi / 16.0)
+        }
+        val p0 = math.floor(acc + 128.5).toInt
+        val p = if (p0 < 0) 0 else if (p0 > 255) 255 else p0
+        sum += p; if (p < mn) mn = p; if (p > mx) mx = p
+      }
+    }
+    (sum, w.toLong * h, mn, mx)
+  }
+
+  private def randBlocks(n: Int, seed: Long, dense: Boolean): Seq[Array[Int]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(n) {
+      val qc = new Array[Int](64)
+      qc(0) = rnd.nextInt(200) - 100
+      (1 until 64).foreach { k =>
+        if (rnd.nextDouble() < (if (dense) 0.3 else 0.08))
+          qc(k) = rnd.nextInt(40) - 20
+      }
+      qc
+    }
+  }
+
+  test("general AC stream: engine decode equals the independent direct IDCT") {
+    val q = Array.tabulate(64)(k => 1 + k % 7)
+    val blocks = randBlocks(6, 424242L, dense = true) // 24x16, 3x2 blocks
+    val bytes = encode(24, 16, q, blocks)
+    assert(Multimodal.jpegGraySums(bytes) === Some(refSums(24, 16, q, blocks)))
+  }
+
+  test("ZRL (16-zero runs) and FF00 stuffing decode correctly") {
+    val q = Array.fill(64)(2)
+    // one block with a >16 zero gap forcing ZRL, plus sparse noise blocks
+    val zrl = new Array[Int](64)
+    zrl(0) = 50
+    zrl(1) = 15 // then 33 zeros -> ZRL + run
+    zrl(35) = -9
+    zrl(63) = 4 // tail coefficient: no EOB emitted
+    // search seeds until the entropy stream actually contains a stuffed
+    // FF00 (bounded: dense random codes hit an FF byte within a few tries)
+    val (blocks, bytes) = (777L to 877L).iterator.map { seed =>
+      val bl = zrl +: randBlocks(3, seed, dense = true)
+      (bl, encode(16, 16, q, bl))
+    }.find { case (_, by) =>
+      by.drop(2).dropRight(2).sliding(2).exists(p =>
+        (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0x00)
+    }.getOrElse(fail("no seed in range produced an FF byte — widen the search"))
+    assert(Multimodal.jpegGraySums(bytes) === Some(refSums(16, 16, q, blocks)))
+  }
+
+  test("edge crop: non-multiple-of-8 dims count only visible pixels") {
+    val q = Array.tabulate(64)(k => 1 + k % 5)
+    val blocks = randBlocks(4, 99L, dense = true) // 2x2 blocks for 12x10
+    val bytes = encode(12, 10, q, blocks)
+    val got = Multimodal.jpegGraySums(bytes)
+    assert(got === Some(refSums(12, 10, q, blocks)))
+    assert(got.get._2 === 120L) // 12*10 visible, not 16*16 decoded
+  }
+
+  test("large coefficients clamp at 0 and 255, bit-exactly") {
+    val q = Array.fill(64)(16)
+    val hot = new Array[Int](64)
+    hot(0) = 120 // dc*q = 1920 -> flat 368 -> clamps to 255
+    val cold = new Array[Int](64)
+    cold(0) = -120 // -> clamps to 0
+    val bytes = encode(16, 8, q, Seq(hot, cold))
+    assert(Multimodal.jpegGraySums(bytes) ===
+      Some((255L * 64 + 0L * 64, 128L, 0, 255)))
+  }
+
+  test("fixture generator round-trips against its own dc chain (oracle twin)") {
+    for (i <- 0 until 5) {
+      val (wb, hb, q0) = (2 + i, 1 + i % 2, 1 + i % 3)
+      val bytes = Multimodal.makeJpegPixels(wb, hb, q0, 12000 + i)
+      // independent expected: replay the generator's documented stream
+      // layout (2 bytes/block from offset 156) with plain arithmetic
+      val n = wb * hb
+      var pred = 0
+      var sum = 0L
+      var mn = 256
+      var mx = -1
+      (0 until n).foreach { j =>
+        val b0 = bytes(156 + 2 * j) & 0xff
+        val b1 = bytes(157 + 2 * j) & 0xff
+        val bits = (b0 % 128) * 2 + b1 / 128
+        pred += (if (bits < 128) bits - 255 else bits)
+        val v0 = math.round(128 + pred * q0 / 8.0).toInt
+        val v = if (v0 < 0) 0 else if (v0 > 255) 255 else v0
+        sum += 64L * v; if (v < mn) mn = v; if (v > mx) mx = v
+      }
+      assert(Multimodal.jpegGraySums(bytes) ===
+        Some((sum, 64L * n, mn, mx)), s"fixture $i diverged")
+    }
+  }
+
+  test("rejects: progressive, multi-component, DRI, truncation, garbage") {
+    val q = Array.fill(64)(2)
+    val ok = encode(16, 8, q, randBlocks(2, 5L, dense = false))
+    assert(Multimodal.jpegGraySums(ok).isDefined)
+    // progressive: flip SOF0 (FFC0) to SOF2 (FFC2)
+    val prog = ok.clone()
+    val sofAt = prog.indices.find(i =>
+      (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc0).get
+    prog(sofAt + 1) = 0xc2.toByte
+    assert(Multimodal.jpegGraySums(prog).isEmpty)
+    // truncated entropy stream
+    assert(Multimodal.jpegGraySums(ok.take(ok.length - 20)).isEmpty)
+    // multi-component fixture (header-level) has no scan: rejects cleanly
+    assert(Multimodal.jpegGraySums(Multimodal.makeJpeg(32, 32, 3, 7L)).isEmpty)
+    // not a JPEG
+    assert(Multimodal.jpegGraySums(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.jpegGraySums(null).isEmpty)
+  }
+}
