@@ -31,7 +31,7 @@ object Bench {
     * Valid ONLY at sf0.1 (the per-round driver SF); at any other SF the
     * ratio block is omitted rather than reported against the wrong scale.
     */
-  private val baselineSec: Map[String, Double] = Map(
+  private[graft] val baselineSec: Map[String, Double] = Map(
     "c14_pricing_summary" -> 0.0589,
     "c07_join_agg" -> 0.1664,
     "c21_rank_window" -> 0.0092,

@@ -477,6 +477,63 @@ object Lab {
   private def canon(df: DataFrame): Seq[String] =
     df.collect().toSeq.map(graft.operators.Canonicalize.formatRow).sorted
 
+  /** Per-query scheduling-floor attribution (`runMain graft.Lab --floors`):
+    * every headline query runs TWICE per round — once on the staged sf
+    * data, once on an EMPTY twin of the same tables (same schema, one
+    * zero-row parquet file each) — so the floor number is the cost of the
+    * query's OWN plan shape (its exact stage/exchange/broadcast count)
+    * with no data volume behind it, not a generic one-stage proxy. The
+    * data-dependent cost is real − floor, and (real − floor)/baseline is
+    * the honest comparison against an engine with no per-stage scheduling
+    * (SURVEY §6's floor-bound risk, measured per query instead of argued).
+    * Query-major warm + min-of-3, the exact Bench protocol.
+    * Queries that fetch driver-side state from the data (e03's query
+    * vector) cannot run on empty input and report n/a.
+    */
+  private def runFloors(spark: SparkSession, staged: String): Unit = {
+    val emptyDir = "/tmp/graft_floor_empty"
+    Tables.names.foreach { n =>
+      val dst = new java.io.File(s"$emptyDir/$n.parquet")
+      if (!new java.io.File(dst, "_SUCCESS").exists())
+        Tables(spark, staged, n).limit(0).coalesce(1)
+          .write.mode("overwrite").parquet(dst.toString)
+    }
+    val names = Bench.headline.map(_._1)
+    def runOne(n: String, dir: String): Option[Double] =
+      try {
+        val t0 = System.nanoTime()
+        SparkEntry.queries(n)(spark, dir).collect()
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch { case _: Throwable => None }
+    // QUERY-MAJOR timing (the Bench protocol: warm, then min of 3
+    // consecutive runs), NOT the variant-A/B interleave: 20 distinct
+    // plans exceed Spark's ~100-entry codegen class cache, so a
+    // round-major sweep re-janino-compiles evicted units inside every
+    // timed run (+2-3× measured) — consecutive runs always hit the
+    // freshly compiled classes, which is also exactly how Bench measures
+    // the real numbers these floors are subtracted from.
+    def minOf(n: String, dir: String): Option[Double] = {
+      runOne(n, dir)
+      (1 to 3).flatMap(_ => runOne(n, dir)) match {
+        case ts if ts.size == 3 => Some(ts.min)
+        case _ => None
+      }
+    }
+    val real = names.map(n => n -> minOf(n, staged).getOrElse(Double.NaN)).toMap
+    val flr = names.map(n => n -> minOf(n, emptyDir)).toMap
+    println("[floors] query | floor_ms (same shape, 0 rows) | real_ms | data_ms | (real-floor)/baseline")
+    names.foreach { n =>
+      val b = Bench.baselineSec(n)
+      flr(n) match {
+        case Some(f) =>
+          val d = math.max(0.0, real(n) - f)
+          println(f"[floors] $n%-22s ${f * 1000}%8.1f ${real(n) * 1000}%8.1f ${d * 1000}%8.1f ${d / b}%6.2fx")
+        case None =>
+          println(f"[floors] $n%-22s      n/a ${real(n) * 1000}%8.1f      n/a    n/a (driver-side fetch needs data)")
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -491,6 +548,12 @@ object Lab {
     spark.sparkContext.setLogLevel("WARN")
     Graft.prepare(spark)
     val staged = Bench.stage(spark, sfDir)
+
+    if (args.headOption.contains("--floors")) {
+      runFloors(spark, staged)
+      spark.stop()
+      return
+    }
 
     val sel = args.headOption.getOrElse("")
     val chosen = variants.filter(_.name.startsWith(sel))
