@@ -14,11 +14,13 @@ import org.apache.spark.sql.types._
   * arithmetic (no codec libraries ship in this environment): header
   * decode for BMP/PNG/GIF/JPEG/WAV/MP4, full pixel decode for BMP, PNG
   * (any conforming zlib stream, all five filters), GIF (general LZW), and
-  * baseline-sequential grayscale JPEG (canonical Huffman, DC/AC entropy
-  * decode, dequant + IDCT), plus WAV PCM16 sample stats. Only formats
-  * outside those paths (e.g. progressive JPEG, video codec bitstreams)
-  * fall back to clearly-labeled deterministic STUBS — swapping a stub for
-  * a real decoder changes only the function body, not the pipeline shape.
+  * baseline-sequential JPEG — grayscale and 4:4:4 YCbCr color (canonical
+  * Huffman, interleaved-MCU DC/AC entropy decode, dequant + IDCT, JFIF
+  * color conversion) — plus WAV PCM16 sample stats. Only formats outside
+  * those paths (e.g. progressive or chroma-subsampled JPEG, video codec
+  * bitstreams) fall back to clearly-labeled deterministic STUBS —
+  * swapping a stub for a real decoder changes only the function body,
+  * not the pipeline shape.
   *
   * The batch API mirrors the `mapInPandas` pattern: `mapPartitions` walks
   * the iterator in bounded batches so a real decoder could amortize model
@@ -491,34 +493,52 @@ object Multimodal {
   private def jpegExtend(v: Int, t: Int): Int =
     if (t == 0) 0 else if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
 
-  /** REAL baseline-sequential JPEG pixel decode for 8-bit GRAYSCALE
-    * (SOF0, one component, 1×1 sampling): full marker walk (DQT — both
-    * precisions, DHT — canonical code reconstruction per Annex C/F, SOF0,
-    * SOS), then per-block entropy decode — differential DC, run/size AC
-    * with EOB and ZRL, FF00 un-stuffing — dequantization in zigzag order
-    * and the textbook separable float IDCT with level shift, rounding via
-    * ⌊x+0.5⌋ and [0,255] clamp. Edge blocks beyond the image bounds are
-    * decoded but only visible pixels count. Returns
-    * (lum_sum, n_pixels, min_lum, max_lum).
-    *
-    * None for: progressive/extended frames (SOF2 etc.), multi-component
-    * images, sub-8-bit precision, restart intervals (DRI > 0 — fixtures
-    * and the training corpus shard writers emit none), missing tables, a
-    * truncated or marker-corrupted entropy stream. Validate, don't trust.
-    * Fixture streams (makeJpegPixels) are DC-only with byte-aligned
-    * 16-bit-per-block codes so the DuckDB oracle can hex-walk the SAME
-    * entropy bytes (the stored-deflate-PNG precedent); MultimodalSpec
-    * drives the general path — AC runs, ZRL, FF stuffing, edge crops —
-    * through an in-test encoder with the Annex K tables.
+  /** Decoded JPEG pixel statistics: per-channel sums are RGB for color
+    * frames (JFIF YCbCr→RGB applied), or the single luma channel
+    * replicated for grayscale; min/max track channel 0 (Y / luma).
     */
-  def jpegGraySums(b: Array[Byte]): Option[(Long, Long, Int, Int)] = {
+  final case class JpegStats(w: Int, h: Int, nComp: Int,
+    sumR: Long, sumG: Long, sumB: Long, minY: Int, maxY: Int) {
+    def nPx: Long = w.toLong * h
+  }
+
+  /** REAL baseline-sequential JPEG pixel decode for 8-bit grayscale AND
+    * 4:4:4 color (SOF0, 1 or 3 components, each 1×1 sampling): full
+    * marker walk (DQT — both precisions, DHT — canonical code
+    * reconstruction per Annex C/F, SOF0, SOS), then per-MCU entropy
+    * decode — one block per component in SOS order, per-component
+    * differential DC predictors and table selectors, run/size AC with
+    * EOB and ZRL, FF00 un-stuffing — dequantization in zigzag order and
+    * the textbook separable float IDCT with level shift, sample rounding
+    * via ⌊x+0.5⌋ and [0,255] clamp. Color samples then convert per the
+    * JFIF matrix R = Y + 1.402·(Cr−128), G = Y − 0.344136·(Cb−128) −
+    * 0.714136·(Cr−128), B = Y + 1.772·(Cb−128), each ⌊x+0.5⌋-rounded and
+    * clamped. Edge blocks beyond the image bounds are decoded but only
+    * visible pixels count.
+    *
+    * None for: progressive/extended frames (SOF2 etc.), component counts
+    * other than 1/3, chroma subsampling (4:2:0/4:2:2 — every component
+    * must be 1×1), sub-8-bit precision, restart intervals (DRI > 0),
+    * missing tables, a truncated or marker-corrupted entropy stream.
+    * Validate, don't trust. Fixture streams (makeJpegPixels /
+    * makeJpegColorPixels) are DC-only with byte-aligned 16-bit-per-block
+    * codes so the DuckDB oracle can hex-walk the SAME entropy bytes (the
+    * stored-deflate-PNG precedent); JpegPixelSpec drives the general
+    * path — AC runs, ZRL, FF stuffing, edge crops, per-component
+    * tables — through an in-test encoder.
+    */
+  def jpegPixelStats(b: Array[Byte]): Option[JpegStats] = {
     if (b == null || b.length < 4 ||
       (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
     val qt = new Array[Array[Int]](4)
     val dcTabs = new Array[JpegHuff](4)
     val acTabs = new Array[JpegHuff](4)
     var w = 0; var h = 0
-    var dcSel = -1; var acSel = -1; var qSel = -1
+    var nComp = 0
+    val compId = new Array[Int](3)
+    val compQ = new Array[Int](3) // quant table selector per SOF component
+    val compDc = new Array[Int](3) // huff selectors per SOS component
+    val compAc = new Array[Int](3)
     var scanStart = -1
     var o = 2
     while (scanStart < 0 && o + 4 <= b.length) {
@@ -561,87 +581,125 @@ object Multimodal {
               p += 17 + total
             }
           case 0xc0 => // SOF0 — baseline sequential only
-            if (len < 11 || (b(o + 4) & 0xff) != 8) return None
+            if (len < 8 || (b(o + 4) & 0xff) != 8) return None
             h = beU16(b, o + 5); w = beU16(b, o + 7)
-            if ((b(o + 9) & 0xff) != 1) return None // grayscale only
-            if ((b(o + 11) & 0xff) != 0x11) return None // 1x1 sampling
-            qSel = b(o + 12) & 0x0f
+            nComp = b(o + 9) & 0xff
+            if (nComp != 1 && nComp != 3) return None
+            if (len < 8 + 3 * nComp) return None
+            var ci = 0
+            while (ci < nComp) {
+              compId(ci) = b(o + 10 + 3 * ci) & 0xff
+              // every component 1×1: no chroma subsampling in this decoder
+              if ((b(o + 11 + 3 * ci) & 0xff) != 0x11) return None
+              compQ(ci) = b(o + 12 + 3 * ci) & 0x0f
+              ci += 1
+            }
           case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
                0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
             return None // extended/progressive/lossless frames
           case 0xdd => // DRI: restart intervals unsupported
             if (beU16(b, o + 4) != 0) return None
-          case 0xda => // SOS
-            if (w == 0 || (b(o + 4) & 0xff) != 1) return None
-            dcSel = (b(o + 6) & 0xff) >> 4
-            acSel = b(o + 6) & 0x0f
+          case 0xda => // SOS: single interleaved scan over all components
+            if (w == 0 || (b(o + 4) & 0xff) != nComp) return None
+            if (len < 6 + 2 * nComp) return None
+            var ci = 0
+            while (ci < nComp) {
+              // components must appear in SOF order (the layout every
+              // baseline encoder emits)
+              if ((b(o + 5 + 2 * ci) & 0xff) != compId(ci)) return None
+              compDc(ci) = (b(o + 6 + 2 * ci) & 0xff) >> 4
+              compAc(ci) = b(o + 6 + 2 * ci) & 0x0f
+              ci += 1
+            }
             // baseline full-band scan: Ss=0, Se=63, Ah=Al=0
-            if ((b(o + 7) & 0xff) != 0 || (b(o + 8) & 0xff) != 63 ||
-              (b(o + 9) & 0xff) != 0) return None
+            val sb = o + 5 + 2 * nComp
+            if ((b(sb) & 0xff) != 0 || (b(sb + 1) & 0xff) != 63 ||
+              (b(sb + 2) & 0xff) != 0) return None
             scanStart = end
           case _ => () // APPn / COM / others: skip
         }
         o = end
       }
     }
-    if (scanStart < 0 || w <= 0 || h <= 0 || qSel < 0 ||
-      qt(qSel) == null || dcTabs(dcSel) == null || acTabs(acSel) == null)
-      return None
-    val q = qt(qSel)
-    val dcT = dcTabs(dcSel)
-    val acT = acTabs(acSel)
+    if (scanStart < 0 || w <= 0 || h <= 0) return None
+    var tci = 0
+    while (tci < nComp) {
+      if (qt(compQ(tci)) == null || dcTabs(compDc(tci)) == null ||
+        acTabs(compAc(tci)) == null) return None
+      tci += 1
+    }
     val br = new JpegBits(b, scanStart)
     val coef = new Array[Int](64) // natural order, dequantized
     val tmp = Array.ofDim[Double](8, 8) // (v, x) partial IDCT
+    val samples = Array.ofDim[Int](3, 64) // per-component MCU samples
     val bx = (w + 7) / 8
     val by = (h + 7) / 8
-    var pred = 0
-    var sum = 0L
-    var minL = 256
-    var maxL = -1
+    val pred = new Array[Int](3)
+    var sumR = 0L; var sumG = 0L; var sumB = 0L
+    var minY = 256
+    var maxY = -1
+    def clamp8(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
     var blkY = 0
     while (blkY < by) {
       var blkX = 0
       while (blkX < bx) {
-        java.util.Arrays.fill(coef, 0)
-        val t = jpegDecodeHuff(br, dcT)
-        if (t < 0 || t > 11) return None
-        val dv = br.receive(t)
-        if (dv < 0) return None
-        pred += jpegExtend(dv, t)
-        coef(0) = pred * q(0)
-        var k = 1
-        var open = true
-        while (open && k < 64) {
-          val rs = jpegDecodeHuff(br, acT)
-          if (rs < 0) return None
-          val r = rs >> 4
-          val s2 = rs & 15
-          if (s2 == 0) {
-            if (r == 15) k += 16 // ZRL: sixteen zeros
-            else open = false // EOB
-          } else {
-            k += r
-            if (k > 63) return None
-            val av = br.receive(s2)
-            if (av < 0) return None
-            coef(jpegZigzag(k)) = jpegExtend(av, s2) * q(k)
-            k += 1
+        var ci = 0
+        while (ci < nComp) {
+          val q = qt(compQ(ci))
+          java.util.Arrays.fill(coef, 0)
+          val t = jpegDecodeHuff(br, dcTabs(compDc(ci)))
+          if (t < 0 || t > 11) return None
+          val dv = br.receive(t)
+          if (dv < 0) return None
+          pred(ci) += jpegExtend(dv, t)
+          coef(0) = pred(ci) * q(0)
+          var k = 1
+          var open = true
+          while (open && k < 64) {
+            val rs = jpegDecodeHuff(br, acTabs(compAc(ci)))
+            if (rs < 0) return None
+            val r = rs >> 4
+            val s2 = rs & 15
+            if (s2 == 0) {
+              if (r == 15) k += 16 // ZRL: sixteen zeros
+              else open = false // EOB
+            } else {
+              k += r
+              if (k > 63) return None
+              val av = br.receive(s2)
+              if (av < 0) return None
+              coef(jpegZigzag(k)) = jpegExtend(av, s2) * q(k)
+              k += 1
+            }
           }
-        }
-        // separable IDCT: rows over u, then columns over v — fixed fold order
-        var v = 0
-        while (v < 8) {
-          var x = 0
-          while (x < 8) {
-            var acc = 0.0
-            var u = 0
-            while (u < 8) { acc += coef(v * 8 + u) * jpegBasis(u)(x); u += 1 }
-            tmp(v)(x) = acc
-            x += 1
+          // separable IDCT: rows over u, then columns over v — fixed fold order
+          var v = 0
+          while (v < 8) {
+            var x = 0
+            while (x < 8) {
+              var acc = 0.0
+              var u = 0
+              while (u < 8) { acc += coef(v * 8 + u) * jpegBasis(u)(x); u += 1 }
+              tmp(v)(x) = acc
+              x += 1
+            }
+            v += 1
           }
-          v += 1
+          var py = 0
+          while (py < 8) {
+            var px = 0
+            while (px < 8) {
+              var acc = 0.0
+              var vv = 0
+              while (vv < 8) { acc += tmp(vv)(px) * jpegBasis(vv)(py); vv += 1 }
+              samples(ci)(py * 8 + px) = clamp8(math.floor(acc + 128.5).toInt)
+              px += 1
+            }
+            py += 1
+          }
+          ci += 1
         }
+        // accumulate the MCU's visible pixels
         var py = 0
         while (py < 8) {
           val iy = blkY * 8 + py
@@ -649,14 +707,18 @@ object Multimodal {
           while (px < 8) {
             val ix = blkX * 8 + px
             if (iy < h && ix < w) {
-              var acc = 0.0
-              var vv = 0
-              while (vv < 8) { acc += tmp(vv)(px) * jpegBasis(vv)(py); vv += 1 }
-              val p0 = math.floor(acc + 128.5).toInt
-              val p = if (p0 < 0) 0 else if (p0 > 255) 255 else p0
-              sum += p
-              if (p < minL) minL = p
-              if (p > maxL) maxL = p
+              val y = samples(0)(py * 8 + px)
+              if (y < minY) minY = y
+              if (y > maxY) maxY = y
+              if (nComp == 1) { sumR += y; sumG += y; sumB += y }
+              else {
+                val cb = samples(1)(py * 8 + px)
+                val cr = samples(2)(py * 8 + px)
+                sumR += clamp8(math.floor(y + 1.402 * (cr - 128) + 0.5).toInt)
+                sumG += clamp8(math.floor(
+                  y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5).toInt)
+                sumB += clamp8(math.floor(y + 1.772 * (cb - 128) + 0.5).toInt)
+              }
             }
             px += 1
           }
@@ -666,8 +728,16 @@ object Multimodal {
       }
       blkY += 1
     }
-    Some((sum, w.toLong * h, minL, maxL))
+    Some(JpegStats(w, h, nComp, sumR, sumG, sumB, minY, maxY))
   }
+
+  /** Grayscale view of [[jpegPixelStats]] — (lum_sum, n_pixels, min_lum,
+    * max_lum); None for color frames (e12l's contract is 1-component).
+    */
+  def jpegGraySums(b: Array[Byte]): Option[(Long, Long, Int, Int)] =
+    jpegPixelStats(b).collect {
+      case s if s.nComp == 1 => (s.sumR, s.nPx, s.minY, s.maxY)
+    }
 
   /** A REAL, fully decodable baseline grayscale JPEG whose entropy stream
     * is BYTE-ALIGNED at two bytes per 8×8 block: the DC table holds one
@@ -1131,6 +1201,87 @@ object Multimodal {
     out.array()
   }
 
+  /** The color twin of [[makeJpegPixels]]: a REAL, fully decodable
+    * baseline 4:4:4 YCbCr JPEG (3 components, each 1×1) whose interleaved
+    * entropy stream stays byte-aligned — every MCU is Y, Cb, Cr blocks at
+    * 2 bytes each (same 1-bit-DC/category-8/7-bit-EOB tables, shared by
+    * all components), so MCU j's three DC diffs live at bytes
+    * 166+6j .. 166+6j+5 and the DuckDB oracle hex-walks them, chains
+    * three per-component DC predictors, and applies the SAME JFIF
+    * YCbCr→RGB matrix on exact integer samples. Rounding can never split
+    * the engines: the generator rejection-samples the per-MCU diffs until
+    * (a) every component's dc·q0 ≢ 4 (mod 8) — the flat-sample guard —
+    * and (b) each of the three RGB conversion results sits > 1e-6 away
+    * from a .5 boundary; both engines then compute bit-identical doubles
+    * from identical integers and literals.
+    *
+    * Fixed layout (0-based): SOI 0, APP0 2, DQT 20 (q0 at 25), SOF0 89
+    * (height BE 94, width BE 96, 3 components), DHT-DC 108, DHT-AC 130,
+    * SOS 152, entropy stream 166 (6 bytes/MCU, raster order), EOI.
+    */
+  def makeJpegColorPixels(wBlocks: Int, hBlocks: Int, q0: Int, seed: Long): Array[Byte] = {
+    require(wBlocks > 0 && hBlocks > 0 && q0 >= 1 && q0 <= 3,
+      "q0 in 1..3 keeps every DC-only sample inside [0,255] (no clamp in fixtures)")
+    val blocks = wBlocks * hBlocks
+    val out = java.nio.ByteBuffer.allocate(166 + 6 * blocks + 2)
+    out.putShort(0xffd8.toShort) // SOI
+    out.putShort(0xffe0.toShort).putShort(16) // APP0, len 16
+      .put("JFIF".getBytes("US-ASCII")).put(0.toByte)
+      .put(1.toByte).put(2.toByte)
+      .put(0.toByte).putShort(1).putShort(1)
+      .put(0.toByte).put(0.toByte)
+    out.putShort(0xffdb.toShort).putShort(67).put(0.toByte) // DQT table 0
+    out.put(q0.toByte)
+    var s = seed
+    (1 until 64).foreach { _ => s = splitmix64(s); out.put((1 + (s & 0x7f)).toByte) }
+    out.putShort(0xffc0.toShort).putShort(17) // SOF0, 3 components
+      .put(8.toByte)
+      .putShort((hBlocks * 8).toShort).putShort((wBlocks * 8).toShort)
+      .put(3.toByte)
+    (1 to 3).foreach(id => out.put(id.toByte).put(0x11.toByte).put(0.toByte))
+    def dht(classId: Int, lenWithOneCode: Int, symbol: Int): Unit = {
+      out.putShort(0xffc4.toShort).putShort(20).put(classId.toByte)
+      (1 to 16).foreach(l => out.put(if (l == lenWithOneCode) 1.toByte else 0.toByte))
+      out.put(symbol.toByte)
+    }
+    dht(0x00, lenWithOneCode = 1, symbol = 0x08) // DC: "0" -> category 8
+    dht(0x10, lenWithOneCode = 7, symbol = 0x00) // AC: "0000000" -> EOB
+    out.putShort(0xffda.toShort).putShort(12).put(3.toByte) // SOS, 3 comps
+    (1 to 3).foreach(id => out.put(id.toByte).put(0x00.toByte))
+    out.put(0.toByte).put(63.toByte).put(0.toByte)
+    val pred = new Array[Int](3)
+    (0 until blocks).foreach { _ =>
+      // rejection-sample the MCU's three diffs until every guard holds
+      var diffs: Array[Int] = null
+      while (diffs == null) {
+        val cand = Array.tabulate(3) { c =>
+          s = splitmix64(s)
+          val mag = 128 + ((s & 0x7fffL) % 113).toInt // category 8
+          if (pred(c) > 0) -mag else mag
+        }
+        val dcs = Array.tabulate(3)(c => pred(c) + cand(c))
+        if (dcs.forall(dc => ((dc * q0) % 8 + 8) % 8 != 4)) {
+          val sm = dcs.map(dc => math.round(128 + dc * q0 / 8.0).toInt)
+          val (y, cb, cr) = (sm(0), sm(1), sm(2))
+          def stable(x: Double): Boolean = {
+            val t = x + 0.5; math.abs(t - math.rint(t)) > 1e-6
+          }
+          if (stable(y + 1.402 * (cr - 128)) &&
+            stable(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)) &&
+            stable(y + 1.772 * (cb - 128))) diffs = cand
+        }
+      }
+      (0 until 3).foreach { c =>
+        pred(c) += diffs(c)
+        val bits = if (diffs(c) >= 0) diffs(c) else diffs(c) + 255
+        out.put((bits >> 1).toByte)
+        out.put(((bits & 1) << 7).toByte)
+      }
+    }
+    out.putShort(0xffd9.toShort) // EOI
+    out.array()
+  }
+
   /** A structurally valid MP4 shell: ftyp(isom) + moov{mvhd v0} + mdat of
     * deterministic filler (no codec bitstream — header-level fixture; the
     * moov carries a real version-0 mvhd whose timescale/duration the
@@ -1235,10 +1386,10 @@ object Multimodal {
               decodePngHeader(content).map(hd => (hd._1, hd._2, 3, pixelFeatures(s)))
             }).orElse(gifChannelSums(content).flatMap { s =>
               decodeGifHeader(content).map(hd => (hd._2, hd._3, 3, pixelFeatures(s)))
-            }).orElse(jpegGraySums(content).flatMap { case (sl, n, _, _) =>
-              // grayscale: one channel, replicated into the RGB mean slots
-              decodeJpegHeader(content).map(hd => (hd._1, hd._2, 1,
-                pixelFeatures((sl, sl, sl, n))))
+            }).orElse(jpegPixelStats(content).map { st =>
+              // grayscale replicates luma into the RGB mean slots; color
+              // carries real converted RGB means
+              (st.w, st.h, st.nComp, pixelFeatures((st.sumR, st.sumG, st.sumB, st.nPx)))
             }).orElse(decodeBmpHeader(content).map { case (bw, bh, bpp) =>
               (bw, bh, bpp / 8, featuresOf(contentHash(content)))
             }).getOrElse(decodeImageStub(content))

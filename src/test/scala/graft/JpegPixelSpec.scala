@@ -213,6 +213,159 @@ class JpegPixelSpec extends AnyFunSuite {
     }
   }
 
+  /** Color encoder: 4:4:4 interleaved, TWO quant tables (luma 0 /
+    * chroma 1 — exercising multi-table DQT and per-component selectors),
+    * shared Huffman tables. Blocks per MCU: (Y, Cb, Cr) zigzag-quantized.
+    */
+  private def encodeColor(w: Int, h: Int, qY: Array[Int], qC: Array[Int],
+      mcus: Seq[Seq[Array[Int]]]): Array[Byte] = {
+    val bw = new BitWriter
+    val pred = new Array[Int](3)
+    mcus.foreach { mcu =>
+      mcu.zipWithIndex.foreach { case (qc, ci) =>
+        val diff = qc(0) - pred(ci)
+        pred(ci) = qc(0)
+        val t = category(diff)
+        bw.put(t, 4)
+        if (t > 0) bw.put(if (diff >= 0) diff else diff + (1 << t) - 1, t)
+        var k = 1
+        var lastNz = 63
+        while (lastNz >= 1 && qc(lastNz) == 0) lastNz -= 1
+        while (k <= lastNz) {
+          var run = 0
+          while (qc(k) == 0) { run += 1; k += 1 }
+          while (run >= 16) { bw.put(acCodeOf(0xf0), 9); run -= 16 }
+          val s2 = category(qc(k))
+          bw.put(acCodeOf((run << 4) | s2), 9)
+          bw.put(if (qc(k) >= 0) qc(k) else qc(k) + (1 << s2) - 1, s2)
+          k += 1
+        }
+        if (lastNz < 63) bw.put(acCodeOf(0x00), 9)
+      }
+    }
+    bw.flush()
+    val bos = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = bos.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    u16(0xffd8)
+    u16(0xffdb); u16(2 + 65 * 2); u8(0x00); qY.foreach(u8); u8(0x01); qC.foreach(u8)
+    u16(0xffc0); u16(8 + 9); u8(8); u16(h); u16(w); u8(3)
+    u8(1); u8(0x11); u8(0) // Y  -> qtable 0
+    u8(2); u8(0x11); u8(1) // Cb -> qtable 1
+    u8(3); u8(0x11); u8(1) // Cr -> qtable 1
+    u16(0xffc4); u16(2 + 1 + 16 + 12); u8(0x00)
+    (1 to 16).foreach(l => u8(if (l == 4) 12 else 0))
+    (0 to 11).foreach(u8)
+    u16(0xffc4); u16(2 + 1 + 16 + acSymbols.length); u8(0x10)
+    (1 to 16).foreach(l => u8(if (l == 9) acSymbols.length else 0))
+    acSymbols.foreach(u8)
+    u16(0xffda); u16(6 + 6); u8(3)
+    (1 to 3).foreach { id => u8(id); u8(0x00) }
+    u8(0); u8(63); u8(0)
+    bos.write(bw.out.toByteArray)
+    u16(0xffd9)
+    bos.toByteArray
+  }
+
+  private def clamp8(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+
+  /** Independent color reference: per-component direct IDCT planes, then
+    * the JFIF conversion — mirrors the engine's documented rounding.
+    */
+  private def refColorSums(w: Int, h: Int, qY: Array[Int], qC: Array[Int],
+      mcus: Seq[Seq[Array[Int]]]): (Long, Long, Long, Long) = {
+    val bx = (w + 7) / 8
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    mcus.zipWithIndex.foreach { case (mcu, bi) =>
+      val planes = mcu.zipWithIndex.map { case (qc, ci) =>
+        val q = if (ci == 0) qY else qC
+        val f = new Array[Double](64)
+        (0 until 64).foreach(k => f(zig(k)) = qc(k).toDouble * q(k))
+        Array.tabulate(8, 8) { (py, px) =>
+          var acc = 0.0
+          for (v <- 0 until 8; u <- 0 until 8) {
+            val cu = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+            val cv = if (v == 0) 1.0 / math.sqrt(2.0) else 1.0
+            acc += cu * cv / 4.0 * f(v * 8 + u) *
+              math.cos((2 * px + 1) * u * math.Pi / 16.0) *
+              math.cos((2 * py + 1) * v * math.Pi / 16.0)
+          }
+          clamp8(math.floor(acc + 128.5).toInt)
+        }
+      }
+      val x0 = (bi % bx) * 8
+      val y0 = (bi / bx) * 8
+      for (py <- 0 until 8; px <- 0 until 8 if y0 + py < h && x0 + px < w) {
+        val y = planes(0)(py)(px)
+        val cb = planes(1)(py)(px)
+        val cr = planes(2)(py)(px)
+        sr += clamp8(math.floor(y + 1.402 * (cr - 128) + 0.5).toInt)
+        sg += clamp8(math.floor(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5).toInt)
+        sb += clamp8(math.floor(y + 1.772 * (cb - 128) + 0.5).toInt)
+      }
+    }
+    (sr, sg, sb, w.toLong * h)
+  }
+
+  test("color 4:4:4: interleaved MCUs, per-component predictors and quant tables") {
+    val qY = Array.tabulate(64)(k => 1 + k % 7)
+    val qC = Array.tabulate(64)(k => 2 + k % 5) // distinct chroma table
+    val rnd = new scala.util.Random(31337L)
+    val mcus = Seq.fill(6) { // 24x16
+      Seq.fill(3) {
+        val qc = new Array[Int](64)
+        qc(0) = rnd.nextInt(160) - 80
+        (1 until 64).foreach(k => if (rnd.nextDouble() < 0.15) qc(k) = rnd.nextInt(30) - 15)
+        qc
+      }
+    }
+    val bytes = encodeColor(24, 16, qY, qC, mcus)
+    val got = Multimodal.jpegPixelStats(bytes)
+    assert(got.isDefined && got.get.nComp === 3)
+    val (sr, sg, sb, n) = refColorSums(24, 16, qY, qC, mcus)
+    assert((got.get.sumR, got.get.sumG, got.get.sumB, got.get.nPx) === ((sr, sg, sb, n)))
+    // grayscale view must refuse color frames (e12l's 1-component contract)
+    assert(Multimodal.jpegGraySums(bytes).isEmpty)
+  }
+
+  test("color fixture generator round-trips its three dc chains (oracle twin)") {
+    for (i <- 0 until 5) {
+      val (wb, hb, q0) = (2 + i, 1 + i % 2, 1 + i % 3)
+      val bytes = Multimodal.makeJpegColorPixels(wb, hb, q0, 13000 + i)
+      val n = wb * hb
+      val pred = new Array[Int](3)
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      (0 until n).foreach { j =>
+        val sm = (0 until 3).map { c =>
+          val b0 = bytes(166 + 6 * j + 2 * c) & 0xff
+          val b1 = bytes(167 + 6 * j + 2 * c) & 0xff
+          val bits = (b0 % 128) * 2 + b1 / 128
+          pred(c) += (if (bits < 128) bits - 255 else bits)
+          clamp8(math.round(128 + pred(c) * q0 / 8.0).toInt)
+        }
+        val (y, cb, cr) = (sm(0), sm(1), sm(2))
+        sr += 64L * clamp8(math.floor(y + 1.402 * (cr - 128) + 0.5).toInt)
+        sg += 64L * clamp8(math.floor(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5).toInt)
+        sb += 64L * clamp8(math.floor(y + 1.772 * (cb - 128) + 0.5).toInt)
+      }
+      val got = Multimodal.jpegPixelStats(bytes).get
+      assert((got.sumR, got.sumG, got.sumB, got.nPx) === ((sr, sg, sb, 64L * n)),
+        s"color fixture $i diverged")
+    }
+  }
+
+  test("chroma-subsampled frames (4:2:0 sampling bytes) reject cleanly") {
+    val qY = Array.fill(64)(2)
+    val mcus = Seq(Seq.fill(3)(Array.fill(64)(0)))
+    val bytes = encodeColor(8, 8, qY, qY, mcus)
+    // flip Y's sampling byte 0x11 -> 0x22 (2x2: a 4:2:0 luma layout)
+    val sofAt = bytes.indices.find(i =>
+      (bytes(i) & 0xff) == 0xff && (bytes(i + 1) & 0xff) == 0xc0).get
+    val sub = bytes.clone()
+    sub(sofAt + 11) = 0x22.toByte
+    assert(Multimodal.jpegPixelStats(sub).isEmpty)
+  }
+
   test("rejects: progressive, multi-component, DRI, truncation, garbage") {
     val q = Array.fill(64)(2)
     val ok = encode(16, 8, q, randBlocks(2, 5L, dense = false))
