@@ -502,30 +502,32 @@ object Multimodal {
     def nPx: Long = w.toLong * h
   }
 
-  /** REAL baseline-sequential JPEG pixel decode for 8-bit grayscale AND
-    * 4:4:4 color (SOF0, 1 or 3 components, each 1×1 sampling): full
-    * marker walk (DQT — both precisions, DHT — canonical code
-    * reconstruction per Annex C/F, SOF0, SOS), then per-MCU entropy
-    * decode — one block per component in SOS order, per-component
-    * differential DC predictors and table selectors, run/size AC with
-    * EOB and ZRL, FF00 un-stuffing — dequantization in zigzag order and
-    * the textbook separable float IDCT with level shift, sample rounding
-    * via ⌊x+0.5⌋ and [0,255] clamp. Color samples then convert per the
-    * JFIF matrix R = Y + 1.402·(Cr−128), G = Y − 0.344136·(Cb−128) −
-    * 0.714136·(Cr−128), B = Y + 1.772·(Cb−128), each ⌊x+0.5⌋-rounded and
-    * clamped. Edge blocks beyond the image bounds are decoded but only
-    * visible pixels count.
+  /** REAL baseline-sequential JPEG pixel decode for 8-bit grayscale and
+    * YCbCr color in every common chroma layout — 4:4:4, 4:2:0, 4:2:2,
+    * 4:4:0 (luma sampling h,v ∈ {1,2}; chroma 1×1): full marker walk
+    * (DQT — both precisions, DHT — canonical code reconstruction per
+    * Annex C/F, SOF0, SOS), then interleaved-MCU entropy decode —
+    * hᵢ×vᵢ blocks per component in SOS order, per-component differential
+    * DC predictors and table selectors, run/size AC with EOB and ZRL,
+    * FF00 un-stuffing — dequantization in zigzag order and the textbook
+    * separable float IDCT with level shift, sample rounding via ⌊x+0.5⌋
+    * and [0,255] clamp. Subsampled chroma upsamples by nearest-neighbor
+    * index scaling; color converts per the JFIF matrix R = Y +
+    * 1.402·(Cr−128), G = Y − 0.344136·(Cb−128) − 0.714136·(Cr−128),
+    * B = Y + 1.772·(Cb−128), each ⌊x+0.5⌋-rounded and clamped. Edge
+    * blocks beyond the image bounds are decoded but only visible pixels
+    * count.
     *
     * None for: progressive/extended frames (SOF2 etc.), component counts
-    * other than 1/3, chroma subsampling (4:2:0/4:2:2 — every component
-    * must be 1×1), sub-8-bit precision, restart intervals (DRI > 0),
-    * missing tables, a truncated or marker-corrupted entropy stream.
-    * Validate, don't trust. Fixture streams (makeJpegPixels /
-    * makeJpegColorPixels) are DC-only with byte-aligned 16-bit-per-block
-    * codes so the DuckDB oracle can hex-walk the SAME entropy bytes (the
-    * stored-deflate-PNG precedent); JpegPixelSpec drives the general
-    * path — AC runs, ZRL, FF stuffing, edge crops, per-component
-    * tables — through an in-test encoder.
+    * other than 1/3, sampling factors outside {1,2} or non-1×1 chroma
+    * (4:1:1), sub-8-bit precision, restart intervals (DRI > 0), missing
+    * tables, a truncated or marker-corrupted entropy stream. Validate,
+    * don't trust. Fixture streams (makeJpegPixels / makeJpegColorPixels)
+    * are DC-only with byte-aligned 16-bit-per-block codes so the DuckDB
+    * oracle can hex-walk the SAME entropy bytes (the stored-deflate-PNG
+    * precedent); JpegPixelSpec drives the general path — AC runs, ZRL,
+    * FF stuffing, edge crops, per-component tables, 4:2:0 MCU geometry —
+    * through an in-test encoder.
     */
   def jpegPixelStats(b: Array[Byte]): Option[JpegStats] = {
     if (b == null || b.length < 4 ||
@@ -537,6 +539,8 @@ object Multimodal {
     var nComp = 0
     val compId = new Array[Int](3)
     val compQ = new Array[Int](3) // quant table selector per SOF component
+    val compH = new Array[Int](3) // sampling factors per SOF component
+    val compV = new Array[Int](3)
     val compDc = new Array[Int](3) // huff selectors per SOS component
     val compAc = new Array[Int](3)
     var scanStart = -1
@@ -589,8 +593,15 @@ object Multimodal {
             var ci = 0
             while (ci < nComp) {
               compId(ci) = b(o + 10 + 3 * ci) & 0xff
-              // every component 1×1: no chroma subsampling in this decoder
-              if ((b(o + 11 + 3 * ci) & 0xff) != 0x11) return None
+              val smp = b(o + 11 + 3 * ci) & 0xff
+              compH(ci) = smp >> 4
+              compV(ci) = smp & 0x0f
+              // supported layouts: grayscale 1×1; color with full-res luma
+              // (h,v ∈ {1,2} — 4:4:4 / 4:2:2 / 4:4:0 / 4:2:0) and 1×1
+              // chroma. Anything else (e.g. 4:1:1) rejects.
+              if (compH(ci) < 1 || compH(ci) > 2 || compV(ci) < 1 || compV(ci) > 2)
+                return None
+              if ((nComp == 1 || ci > 0) && smp != 0x11) return None
               compQ(ci) = b(o + 12 + 3 * ci) & 0x0f
               ci += 1
             }
@@ -631,89 +642,115 @@ object Multimodal {
     val br = new JpegBits(b, scanStart)
     val coef = new Array[Int](64) // natural order, dequantized
     val tmp = Array.ofDim[Double](8, 8) // (v, x) partial IDCT
-    val samples = Array.ofDim[Int](3, 64) // per-component MCU samples
-    val bx = (w + 7) / 8
-    val by = (h + 7) / 8
+    // MCU geometry: luma carries the max sampling factors (validated in
+    // SOF), so the MCU covers 8·hMax × 8·vMax pixels; component ci
+    // contributes hᵢ×vᵢ blocks per MCU into a tile of stride 8·hᵢ, and
+    // chroma upsamples by index scaling (nearest-neighbor — the exact
+    // inverse of the averaging subsample every baseline encoder applies,
+    // and deterministic for the oracle)
+    val hMax = compH(0)
+    val vMax = compV(0)
+    val mcuW = 8 * hMax
+    val mcuH = 8 * vMax
+    val samples = Array.ofDim[Int](3, mcuW * mcuH) // per-comp MCU tiles
+    val mx = (w + mcuW - 1) / mcuW
+    val my = (h + mcuH - 1) / mcuH
     val pred = new Array[Int](3)
     var sumR = 0L; var sumG = 0L; var sumB = 0L
     var minY = 256
     var maxY = -1
     def clamp8(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
-    var blkY = 0
-    while (blkY < by) {
-      var blkX = 0
-      while (blkX < bx) {
+    var mcuY = 0
+    while (mcuY < my) {
+      var mcuX = 0
+      while (mcuX < mx) {
         var ci = 0
         while (ci < nComp) {
           val q = qt(compQ(ci))
-          java.util.Arrays.fill(coef, 0)
-          val t = jpegDecodeHuff(br, dcTabs(compDc(ci)))
-          if (t < 0 || t > 11) return None
-          val dv = br.receive(t)
-          if (dv < 0) return None
-          pred(ci) += jpegExtend(dv, t)
-          coef(0) = pred(ci) * q(0)
-          var k = 1
-          var open = true
-          while (open && k < 64) {
-            val rs = jpegDecodeHuff(br, acTabs(compAc(ci)))
-            if (rs < 0) return None
-            val r = rs >> 4
-            val s2 = rs & 15
-            if (s2 == 0) {
-              if (r == 15) k += 16 // ZRL: sixteen zeros
-              else open = false // EOB
-            } else {
-              k += r
-              if (k > 63) return None
-              val av = br.receive(s2)
-              if (av < 0) return None
-              coef(jpegZigzag(k)) = jpegExtend(av, s2) * q(k)
-              k += 1
+          val stride = 8 * compH(ci)
+          var bv = 0
+          while (bv < compV(ci)) {
+            var bh = 0
+            while (bh < compH(ci)) {
+              java.util.Arrays.fill(coef, 0)
+              val t = jpegDecodeHuff(br, dcTabs(compDc(ci)))
+              if (t < 0 || t > 11) return None
+              val dv = br.receive(t)
+              if (dv < 0) return None
+              pred(ci) += jpegExtend(dv, t)
+              coef(0) = pred(ci) * q(0)
+              var k = 1
+              var open = true
+              while (open && k < 64) {
+                val rs = jpegDecodeHuff(br, acTabs(compAc(ci)))
+                if (rs < 0) return None
+                val r = rs >> 4
+                val s2 = rs & 15
+                if (s2 == 0) {
+                  if (r == 15) k += 16 // ZRL: sixteen zeros
+                  else open = false // EOB
+                } else {
+                  k += r
+                  if (k > 63) return None
+                  val av = br.receive(s2)
+                  if (av < 0) return None
+                  coef(jpegZigzag(k)) = jpegExtend(av, s2) * q(k)
+                  k += 1
+                }
+              }
+              // separable IDCT: rows over u, then columns over v
+              var v = 0
+              while (v < 8) {
+                var x = 0
+                while (x < 8) {
+                  var acc = 0.0
+                  var u = 0
+                  while (u < 8) { acc += coef(v * 8 + u) * jpegBasis(u)(x); u += 1 }
+                  tmp(v)(x) = acc
+                  x += 1
+                }
+                v += 1
+              }
+              var py = 0
+              while (py < 8) {
+                var px = 0
+                while (px < 8) {
+                  var acc = 0.0
+                  var vv = 0
+                  while (vv < 8) { acc += tmp(vv)(px) * jpegBasis(vv)(py); vv += 1 }
+                  samples(ci)((bv * 8 + py) * stride + bh * 8 + px) =
+                    clamp8(math.floor(acc + 128.5).toInt)
+                  px += 1
+                }
+                py += 1
+              }
+              bh += 1
             }
-          }
-          // separable IDCT: rows over u, then columns over v — fixed fold order
-          var v = 0
-          while (v < 8) {
-            var x = 0
-            while (x < 8) {
-              var acc = 0.0
-              var u = 0
-              while (u < 8) { acc += coef(v * 8 + u) * jpegBasis(u)(x); u += 1 }
-              tmp(v)(x) = acc
-              x += 1
-            }
-            v += 1
-          }
-          var py = 0
-          while (py < 8) {
-            var px = 0
-            while (px < 8) {
-              var acc = 0.0
-              var vv = 0
-              while (vv < 8) { acc += tmp(vv)(px) * jpegBasis(vv)(py); vv += 1 }
-              samples(ci)(py * 8 + px) = clamp8(math.floor(acc + 128.5).toInt)
-              px += 1
-            }
-            py += 1
+            bv += 1
           }
           ci += 1
         }
         // accumulate the MCU's visible pixels
         var py = 0
-        while (py < 8) {
-          val iy = blkY * 8 + py
+        while (py < mcuH) {
+          val iy = mcuY * mcuH + py
           var px = 0
-          while (px < 8) {
-            val ix = blkX * 8 + px
+          while (px < mcuW) {
+            val ix = mcuX * mcuW + px
             if (iy < h && ix < w) {
-              val y = samples(0)(py * 8 + px)
+              val y = samples(0)(py * mcuW + px)
               if (y < minY) minY = y
               if (y > maxY) maxY = y
               if (nComp == 1) { sumR += y; sumG += y; sumB += y }
               else {
-                val cb = samples(1)(py * 8 + px)
-                val cr = samples(2)(py * 8 + px)
+                // chroma fetch with per-axis index scaling (1×1 chroma
+                // under 2×2 luma → px/2, py/2)
+                val cx1 = px * compH(1) / hMax
+                val cy1 = py * compV(1) / vMax
+                val cb = samples(1)(cy1 * 8 * compH(1) + cx1)
+                val cx2 = px * compH(2) / hMax
+                val cy2 = py * compV(2) / vMax
+                val cr = samples(2)(cy2 * 8 * compH(2) + cx2)
                 sumR += clamp8(math.floor(y + 1.402 * (cr - 128) + 0.5).toInt)
                 sumG += clamp8(math.floor(
                   y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5).toInt)
@@ -724,9 +761,9 @@ object Multimodal {
           }
           py += 1
         }
-        blkX += 1
+        mcuX += 1
       }
-      blkY += 1
+      mcuY += 1
     }
     Some(JpegStats(w, h, nComp, sumR, sumG, sumB, minY, maxY))
   }
@@ -1274,6 +1311,106 @@ object Multimodal {
       (0 until 3).foreach { c =>
         pred(c) += diffs(c)
         val bits = if (diffs(c) >= 0) diffs(c) else diffs(c) + 255
+        out.put((bits >> 1).toByte)
+        out.put(((bits & 1) << 7).toByte)
+      }
+    }
+    out.putShort(0xffd9.toShort) // EOI
+    out.array()
+  }
+
+  /** The 4:2:0 twin of [[makeJpegColorPixels]]: luma 2×2 / chroma 1×1, so
+    * every MCU covers 16×16 pixels and codes as 4 Y blocks + Cb + Cr =
+    * 12 byte-aligned stream bytes (same 16-bit-per-block tables). MCU j's
+    * six DC diffs live at bytes 166+12j .. 166+12j+11 — Y's predictor
+    * chains across blocks in decode order (j·4+b), chroma per MCU — and
+    * the oracle applies the JFIF matrix per Y block against the MCU's
+    * single upsampled (Cb, Cr). Same two rounding guards as the color
+    * generator, checked for all four (y, cb, cr) triples per MCU.
+    * Layout: identical to makeJpegColorPixels except the Y sampling byte
+    * (0x22 at offset 100) and the stream stride.
+    */
+  def makeJpeg420Pixels(wMcus: Int, hMcus: Int, q0: Int, seed: Long): Array[Byte] = {
+    require(wMcus > 0 && hMcus > 0 && q0 >= 1 && q0 <= 3,
+      "q0 in 1..3 keeps every DC-only sample inside [0,255] (no clamp in fixtures)")
+    val mcus = wMcus * hMcus
+    val out = java.nio.ByteBuffer.allocate(166 + 12 * mcus + 2)
+    out.putShort(0xffd8.toShort) // SOI
+    out.putShort(0xffe0.toShort).putShort(16) // APP0, len 16
+      .put("JFIF".getBytes("US-ASCII")).put(0.toByte)
+      .put(1.toByte).put(2.toByte)
+      .put(0.toByte).putShort(1).putShort(1)
+      .put(0.toByte).put(0.toByte)
+    out.putShort(0xffdb.toShort).putShort(67).put(0.toByte) // DQT table 0
+    out.put(q0.toByte)
+    var s = seed
+    (1 until 64).foreach { _ => s = splitmix64(s); out.put((1 + (s & 0x7f)).toByte) }
+    out.putShort(0xffc0.toShort).putShort(17) // SOF0, 3 components
+      .put(8.toByte)
+      .putShort((hMcus * 16).toShort).putShort((wMcus * 16).toShort)
+      .put(3.toByte)
+    out.put(1.toByte).put(0x22.toByte).put(0.toByte) // Y: 2×2
+    out.put(2.toByte).put(0x11.toByte).put(0.toByte)
+    out.put(3.toByte).put(0x11.toByte).put(0.toByte)
+    def dht(classId: Int, lenWithOneCode: Int, symbol: Int): Unit = {
+      out.putShort(0xffc4.toShort).putShort(20).put(classId.toByte)
+      (1 to 16).foreach(l => out.put(if (l == lenWithOneCode) 1.toByte else 0.toByte))
+      out.put(symbol.toByte)
+    }
+    dht(0x00, lenWithOneCode = 1, symbol = 0x08)
+    dht(0x10, lenWithOneCode = 7, symbol = 0x00)
+    out.putShort(0xffda.toShort).putShort(12).put(3.toByte) // SOS
+    (1 to 3).foreach(id => out.put(id.toByte).put(0x00.toByte))
+    out.put(0.toByte).put(63.toByte).put(0.toByte)
+    val pred = new Array[Int](3)
+    (0 until mcus).foreach { _ =>
+      // rejection-sample the MCU's six diffs (4 Y + Cb + Cr) until every
+      // guard holds for all four (y, cb, cr) conversion triples
+      var diffs: Array[Int] = null
+      while (diffs == null) {
+        val cand = Array.fill(6) {
+          s = splitmix64(s)
+          128 + ((s & 0x7fffL) % 113).toInt // category-8 magnitudes
+        }
+        // chain the dc values: Y's predictor passes through all 4 blocks,
+        // each diff signed to pull the running dc back toward zero
+        val dcs = new Array[Int](6)
+        var py = pred(0)
+        var ok = true
+        (0 until 4).foreach { b =>
+          val d = if (py > 0) -cand(b) else cand(b)
+          py += d
+          dcs(b) = py
+          cand(b) = d
+        }
+        (4 until 6).foreach { slot =>
+          val c = slot - 3
+          val d = if (pred(c) > 0) -cand(slot) else cand(slot)
+          dcs(slot) = pred(c) + d
+          cand(slot) = d
+        }
+        ok = dcs.forall(dc => ((dc * q0) % 8 + 8) % 8 != 4)
+        if (ok) {
+          def sample(dc: Int): Int = math.round(128 + dc * q0 / 8.0).toInt
+          val cb = sample(dcs(4))
+          val cr = sample(dcs(5))
+          def stable(x: Double): Boolean = {
+            val t = x + 0.5; math.abs(t - math.rint(t)) > 1e-6
+          }
+          ok = (0 until 4).forall { b =>
+            val y = sample(dcs(b))
+            stable(y + 1.402 * (cr - 128)) &&
+              stable(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)) &&
+              stable(y + 1.772 * (cb - 128))
+          }
+        }
+        if (ok) diffs = cand
+      }
+      pred(0) += diffs(0) + diffs(1) + diffs(2) + diffs(3)
+      pred(1) += diffs(4)
+      pred(2) += diffs(5)
+      diffs.foreach { d =>
+        val bits = if (d >= 0) d else d + 255
         out.put((bits >> 1).toByte)
         out.put(((bits & 1) << 7).toByte)
       }

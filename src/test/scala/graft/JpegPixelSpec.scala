@@ -354,16 +354,158 @@ class JpegPixelSpec extends AnyFunSuite {
     }
   }
 
-  test("chroma-subsampled frames (4:2:0 sampling bytes) reject cleanly") {
+  /** 4:2:0 encoder: SOF luma sampling 0x22, MCU = 4 Y blocks (raster) +
+    * Cb + Cr, 16×16 pixels per MCU.
+    */
+  private def encodeColor420(w: Int, h: Int, qY: Array[Int], qC: Array[Int],
+      mcus: Seq[Seq[Array[Int]]]): Array[Byte] = {
+    // header donor only (stream replaced below): same tables/dims, any blocks
+    val base = encodeColor(w, h, qY, qC, Seq(Seq.fill(3)(Array.fill(64)(0))))
+    val bw = new BitWriter
+    val pred = new Array[Int](3)
+    val compOf = Array(0, 0, 0, 0, 1, 2) // block slot -> component
+    mcus.foreach { mcu =>
+      mcu.zipWithIndex.foreach { case (qc, slot) =>
+        val ci = compOf(slot)
+        val diff = qc(0) - pred(ci)
+        pred(ci) = qc(0)
+        val t = category(diff)
+        bw.put(t, 4)
+        if (t > 0) bw.put(if (diff >= 0) diff else diff + (1 << t) - 1, t)
+        var k = 1
+        var lastNz = 63
+        while (lastNz >= 1 && qc(lastNz) == 0) lastNz -= 1
+        while (k <= lastNz) {
+          var run = 0
+          while (qc(k) == 0) { run += 1; k += 1 }
+          while (run >= 16) { bw.put(acCodeOf(0xf0), 9); run -= 16 }
+          val s2 = category(qc(k))
+          bw.put(acCodeOf((run << 4) | s2), 9)
+          bw.put(if (qc(k) >= 0) qc(k) else qc(k) + (1 << s2) - 1, s2)
+          k += 1
+        }
+        if (lastNz < 63) bw.put(acCodeOf(0x00), 9)
+      }
+    }
+    bw.flush()
+    // splice: reuse encodeColor's header (identical except Y sampling) and
+    // replace the entropy stream
+    val sosAt = base.indices.find(i =>
+      (base(i) & 0xff) == 0xff && (base(i + 1) & 0xff) == 0xda).get
+    val streamAt = sosAt + 2 + ((base(sosAt + 2) & 0xff) << 8 | (base(sosAt + 3) & 0xff))
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(base, 0, streamAt)
+    out.write(bw.out.toByteArray)
+    out.write(0xff); out.write(0xd9)
+    val bytes = out.toByteArray
+    val sofAt = bytes.indices.find(i =>
+      (bytes(i) & 0xff) == 0xff && (bytes(i + 1) & 0xff) == 0xc0).get
+    bytes(sofAt + 11) = 0x22.toByte // Y: 2×2
+    bytes
+  }
+
+  test("4:2:0: 6-block MCUs, chroma upsampling, shared predictors per component") {
+    val qY = Array.tabulate(64)(k => 1 + k % 7)
+    val qC = Array.tabulate(64)(k => 2 + k % 5)
+    val rnd = new scala.util.Random(271828L)
+    def block(dcRange: Int): Array[Int] = {
+      val qc = new Array[Int](64)
+      qc(0) = rnd.nextInt(2 * dcRange) - dcRange
+      (1 until 64).foreach(k => if (rnd.nextDouble() < 0.12) qc(k) = rnd.nextInt(30) - 15)
+      qc
+    }
+    val mcus = Seq.fill(2)(Seq.fill(4)(block(80)) ++ Seq(block(40), block(40))) // 32x16
+    val bytes = encodeColor420(32, 16, qY, qC, mcus)
+    val got = Multimodal.jpegPixelStats(bytes)
+    assert(got.isDefined && got.get.nComp === 3 && got.get.nPx === 512L)
+    // independent reference: decode planes directly, upsample chroma 2x
+    val bxM = 2
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    def plane(qc: Array[Int], q: Array[Int]): Array[Array[Int]] = {
+      val f = new Array[Double](64)
+      (0 until 64).foreach(k => f(zig(k)) = qc(k).toDouble * q(k))
+      Array.tabulate(8, 8) { (py, px) =>
+        var acc = 0.0
+        for (v <- 0 until 8; u <- 0 until 8) {
+          val cu = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+          val cv = if (v == 0) 1.0 / math.sqrt(2.0) else 1.0
+          acc += cu * cv / 4.0 * f(v * 8 + u) *
+            math.cos((2 * px + 1) * u * math.Pi / 16.0) *
+            math.cos((2 * py + 1) * v * math.Pi / 16.0)
+        }
+        clamp8(math.floor(acc + 128.5).toInt)
+      }
+    }
+    // qc(0) is the ABSOLUTE dc (the encoder differentially codes it), so
+    // each block's plane is independent of scan order
+    val compOf = Array(0, 0, 0, 0, 1, 2)
+    val mcuPlanes = mcus.map { mcu =>
+      mcu.zipWithIndex.map { case (qc, slot) =>
+        plane(qc, if (compOf(slot) == 0) qY else qC)
+      }
+    }
+    mcuPlanes.zipWithIndex.foreach { case (planes, mi) =>
+      val x0 = (mi % bxM) * 16
+      for (py <- 0 until 16; px <- 0 until 16 if x0 + px < 32) {
+        val y = planes(2 * (py / 8) + (px / 8))(py % 8)(px % 8)
+        val cb = planes(4)(py / 2)(px / 2)
+        val cr = planes(5)(py / 2)(px / 2)
+        sr += clamp8(math.floor(y + 1.402 * (cr - 128) + 0.5).toInt)
+        sg += clamp8(math.floor(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5).toInt)
+        sb += clamp8(math.floor(y + 1.772 * (cb - 128) + 0.5).toInt)
+      }
+    }
+    assert((got.get.sumR, got.get.sumG, got.get.sumB) === ((sr, sg, sb)))
+  }
+
+  test("4:2:0 fixture generator round-trips its dc chains (oracle twin)") {
+    for (i <- 0 until 5) {
+      val (wm, hm, q0) = (1 + i, 1 + i % 2, 1 + i % 3)
+      val bytes = Multimodal.makeJpeg420Pixels(wm, hm, q0, 14000 + i)
+      val n = wm * hm
+      var predY = 0
+      val predC = new Array[Int](2)
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      (0 until n).foreach { j =>
+        def bits(off: Int): Int = {
+          val b0 = bytes(off) & 0xff
+          val b1 = bytes(off + 1) & 0xff
+          val v = (b0 % 128) * 2 + b1 / 128
+          if (v < 128) v - 255 else v
+        }
+        val ys = (0 until 4).map { blk =>
+          predY += bits(166 + 12 * j + 2 * blk)
+          clamp8(math.round(128 + predY * q0 / 8.0).toInt)
+        }
+        val cs = (0 until 2).map { c =>
+          predC(c) += bits(174 + 12 * j + 2 * c)
+          clamp8(math.round(128 + predC(c) * q0 / 8.0).toInt)
+        }
+        val (cb, cr) = (cs(0), cs(1))
+        ys.foreach { y =>
+          sr += 64L * clamp8(math.floor(y + 1.402 * (cr - 128) + 0.5).toInt)
+          sg += 64L * clamp8(math.floor(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5).toInt)
+          sb += 64L * clamp8(math.floor(y + 1.772 * (cb - 128) + 0.5).toInt)
+        }
+      }
+      val got = Multimodal.jpegPixelStats(bytes).get
+      assert((got.sumR, got.sumG, got.sumB, got.nPx) === ((sr, sg, sb, 256L * n)),
+        s"4:2:0 fixture $i diverged")
+    }
+  }
+
+  test("unsupported sampling (4:1:1 / subsampled chroma) rejects cleanly") {
     val qY = Array.fill(64)(2)
     val mcus = Seq(Seq.fill(3)(Array.fill(64)(0)))
     val bytes = encodeColor(8, 8, qY, qY, mcus)
-    // flip Y's sampling byte 0x11 -> 0x22 (2x2: a 4:2:0 luma layout)
     val sofAt = bytes.indices.find(i =>
       (bytes(i) & 0xff) == 0xff && (bytes(i + 1) & 0xff) == 0xc0).get
-    val sub = bytes.clone()
-    sub(sofAt + 11) = 0x22.toByte
-    assert(Multimodal.jpegPixelStats(sub).isEmpty)
+    val bad41 = bytes.clone()
+    bad41(sofAt + 11) = 0x41.toByte // 4×1 luma: out of the supported range
+    assert(Multimodal.jpegPixelStats(bad41).isEmpty)
+    val badChroma = bytes.clone()
+    badChroma(sofAt + 14) = 0x21.toByte // subsampled-geometry chroma
+    assert(Multimodal.jpegPixelStats(badChroma).isEmpty)
   }
 
   test("rejects: progressive, multi-component, DRI, truncation, garbage") {
