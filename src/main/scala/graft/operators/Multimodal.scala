@@ -440,7 +440,9 @@ object Multimodal {
 
   /** Entropy-segment bit reader with FF00 un-stuffing; any other FF-marker
     * byte (or running off the buffer) flips `eos` and every subsequent
-    * read returns −1 — the caller rejects, never fabricates bits.
+    * read returns −1 — the caller rejects, never fabricates bits. The FF
+    * of a real marker is NOT consumed, so [[restartMarker]] can take over
+    * at an RSTn boundary.
     */
   private final class JpegBits(b: Array[Byte], start: Int) {
     private var pos = start
@@ -456,7 +458,7 @@ object Multimodal {
         if (v == 0xff) {
           val nxt = if (pos < b.length) b(pos) & 0xff else -1
           if (nxt == 0) pos += 1 // stuffed data byte
-          else { eos = true; return -1 } // a real marker ends the scan
+          else { pos -= 1; eos = true; return -1 } // marker: stop BEFORE it
         }
         cur = v
         n = 8
@@ -473,6 +475,20 @@ object Multimodal {
         i += 1
       }
       v
+    }
+    /** Consume an RSTn marker at a restart boundary: drop the partial
+      * byte (encoders pad with 1-bits to align before the marker), expect
+      * FF D0..D7 at the cursor, clear the stream state. Returns n of RSTn
+      * or −1 — callers verify the 0..7 cycle.
+      */
+    def restartMarker(): Int = {
+      n = 0 // byte-align: discard padding bits
+      eos = false
+      if (pos + 2 > b.length || (b(pos) & 0xff) != 0xff) return -1
+      val m = b(pos + 1) & 0xff
+      if (m < 0xd0 || m > 0xd7) return -1
+      pos += 2
+      m - 0xd0
     }
   }
 
@@ -516,13 +532,15 @@ object Multimodal {
     * 1.402·(Cr−128), G = Y − 0.344136·(Cb−128) − 0.714136·(Cr−128),
     * B = Y + 1.772·(Cb−128), each ⌊x+0.5⌋-rounded and clamped. Edge
     * blocks beyond the image bounds are decoded but only visible pixels
-    * count.
+    * count. Restart intervals (DRI + cyclic RSTn markers) are honored:
+    * the reader byte-aligns at each boundary, verifies the 0..7 marker
+    * cycle, and resets every DC predictor (T.81 E.2.4).
     *
     * None for: progressive/extended frames (SOF2 etc.), component counts
     * other than 1/3, sampling factors outside {1,2} or non-1×1 chroma
-    * (4:1:1), sub-8-bit precision, restart intervals (DRI > 0), missing
-    * tables, a truncated or marker-corrupted entropy stream. Validate,
-    * don't trust. Fixture streams (makeJpegPixels / makeJpegColorPixels)
+    * (4:1:1), sub-8-bit precision, a missing or out-of-cycle RSTn,
+    * missing tables, a truncated or marker-corrupted entropy stream.
+    * Validate, don't trust. Fixture streams (makeJpegPixels / makeJpegColorPixels)
     * are DC-only with byte-aligned 16-bit-per-block codes so the DuckDB
     * oracle can hex-walk the SAME entropy bytes (the stored-deflate-PNG
     * precedent); JpegPixelSpec drives the general path — AC runs, ZRL,
@@ -537,6 +555,7 @@ object Multimodal {
     val acTabs = new Array[JpegHuff](4)
     var w = 0; var h = 0
     var nComp = 0
+    var dri = 0
     val compId = new Array[Int](3)
     val compQ = new Array[Int](3) // quant table selector per SOF component
     val compH = new Array[Int](3) // sampling factors per SOF component
@@ -608,8 +627,9 @@ object Multimodal {
           case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
                0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
             return None // extended/progressive/lossless frames
-          case 0xdd => // DRI: restart intervals unsupported
-            if (beU16(b, o + 4) != 0) return None
+          case 0xdd => // DRI: restart interval in MCUs (0 = none)
+            if (len < 4) return None
+            dri = beU16(b, o + 4)
           case 0xda => // SOS: single interleaved scan over all components
             if (w == 0 || (b(o + 4) & 0xff) != nComp) return None
             if (len < 6 + 2 * nComp) return None
@@ -660,10 +680,20 @@ object Multimodal {
     var minY = 256
     var maxY = -1
     def clamp8(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+    var mcuIndex = 0
+    var restartCount = 0
     var mcuY = 0
     while (mcuY < my) {
       var mcuX = 0
       while (mcuX < mx) {
+        // restart boundary: byte-align, consume the cyclically-numbered
+        // RSTn, reset every DC predictor (T.81 E.2.4)
+        if (dri > 0 && mcuIndex > 0 && mcuIndex % dri == 0) {
+          if (br.restartMarker() != restartCount % 8) return None
+          restartCount += 1
+          pred(0) = 0; pred(1) = 0; pred(2) = 0
+        }
+        mcuIndex += 1
         var ci = 0
         while (ci < nComp) {
           val q = qt(compQ(ci))
@@ -1414,6 +1444,71 @@ object Multimodal {
         out.put((bits >> 1).toByte)
         out.put(((bits & 1) << 7).toByte)
       }
+    }
+    out.putShort(0xffd9.toShort) // EOI
+    out.array()
+  }
+
+  /** The restart-interval twin of [[makeJpegPixels]]: grayscale DC-only
+    * blocks with a DRI segment and a cyclic RSTn every `dri` blocks.
+    * Because every block codes as exactly 16 bits, the stream stays
+    * byte-aligned THROUGH the restart markers (no padding bits exist), so
+    * block j's two stream bytes sit at 162 + 2j + 2·⌊j/dri⌋ and each RSTn
+    * at the preceding even offset — fully hex-walkable. DC predictors
+    * reset at every restart, so the oracle's chain partitions by restart
+    * group ⌊j/dri⌋ instead of running over the whole scan.
+    * Layout (0-based): as makeJpegPixels through DHT-AC (ends 146), then
+    * DRI 146 (interval BE at 150), SOS 152, stream 162, EOI.
+    */
+  def makeJpegRestartPixels(wBlocks: Int, hBlocks: Int, q0: Int, dri: Int,
+      seed: Long): Array[Byte] = {
+    require(wBlocks > 0 && hBlocks > 0 && q0 >= 1 && q0 <= 3 && dri >= 1,
+      "q0 in 1..3 keeps every DC-only pixel inside [0,255]; dri >= 1")
+    val blocks = wBlocks * hBlocks
+    val nRst = (blocks - 1) / dri
+    val out = java.nio.ByteBuffer.allocate(162 + 2 * blocks + 2 * nRst + 2)
+    out.putShort(0xffd8.toShort) // SOI
+    out.putShort(0xffe0.toShort).putShort(16) // APP0, len 16
+      .put("JFIF".getBytes("US-ASCII")).put(0.toByte)
+      .put(1.toByte).put(2.toByte)
+      .put(0.toByte).putShort(1).putShort(1)
+      .put(0.toByte).put(0.toByte)
+    out.putShort(0xffdb.toShort).putShort(67).put(0.toByte) // DQT table 0
+    out.put(q0.toByte)
+    var s = seed
+    (1 until 64).foreach { _ => s = splitmix64(s); out.put((1 + (s & 0x7f)).toByte) }
+    out.putShort(0xffc0.toShort).putShort(11) // SOF0, 1 component
+      .put(8.toByte)
+      .putShort((hBlocks * 8).toShort).putShort((wBlocks * 8).toShort)
+      .put(1.toByte)
+      .put(1.toByte).put(0x11.toByte).put(0.toByte)
+    def dht(classId: Int, lenWithOneCode: Int, symbol: Int): Unit = {
+      out.putShort(0xffc4.toShort).putShort(20).put(classId.toByte)
+      (1 to 16).foreach(l => out.put(if (l == lenWithOneCode) 1.toByte else 0.toByte))
+      out.put(symbol.toByte)
+    }
+    dht(0x00, lenWithOneCode = 1, symbol = 0x08)
+    dht(0x10, lenWithOneCode = 7, symbol = 0x00)
+    out.putShort(0xffdd.toShort).putShort(4).putShort(dri.toShort) // DRI
+    out.putShort(0xffda.toShort).putShort(8).put(1.toByte) // SOS
+      .put(1.toByte).put(0x00.toByte)
+      .put(0.toByte).put(63.toByte).put(0.toByte)
+    var pred = 0
+    var rst = 0
+    (0 until blocks).foreach { j =>
+      if (j > 0 && j % dri == 0) {
+        out.putShort((0xffd0 + (rst % 8)).toShort)
+        rst += 1
+        pred = 0
+      }
+      s = splitmix64(s)
+      var mag = 128 + ((s & 0x7fffL) % 113).toInt
+      val sign = if (pred > 0) -1 else 1
+      while ((((pred + sign * mag) * q0) % 8 + 8) % 8 == 4) mag += 1
+      pred += sign * mag
+      val bits = if (sign > 0) mag else sign * mag + 255
+      out.put((bits >> 1).toByte)
+      out.put(((bits & 1) << 7).toByte)
     }
     out.putShort(0xffd9.toShort) // EOI
     out.array()

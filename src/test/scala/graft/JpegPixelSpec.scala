@@ -51,10 +51,17 @@ class JpegPixelSpec extends AnyFunSuite {
     * coefficient blocks (raster order) and a zigzag-order quant table.
     */
   private def encode(w: Int, h: Int, q: Array[Int],
-      blocks: Seq[Array[Int]]): Array[Byte] = {
+      blocks: Seq[Array[Int]], dri: Int = 0): Array[Byte] = {
     val bw = new BitWriter
     var pred = 0
-    blocks.foreach { qc =>
+    var rst = 0
+    blocks.zipWithIndex.foreach { case (qc, bi) =>
+      if (dri > 0 && bi > 0 && bi % dri == 0) {
+        bw.flush() // byte-align (1-pad; a resulting 0xFF byte gets stuffed)
+        bw.out.write(0xff); bw.out.write(0xd0 + (rst % 8))
+        rst += 1
+        pred = 0 // predictors reset at every restart (T.81 E.2.4)
+      }
       val diff = qc(0) - pred
       pred = qc(0)
       val t = category(diff)
@@ -90,6 +97,7 @@ class JpegPixelSpec extends AnyFunSuite {
     u16(0xffc4); u16(2 + 1 + 16 + acSymbols.length); u8(0x10) // DHT AC: all 9-bit
     (1 to 16).foreach(l => u8(if (l == 9) acSymbols.length else 0))
     acSymbols.foreach(u8)
+    if (dri > 0) { u16(0xffdd); u16(4); u16(dri) } // DRI
     u16(0xffda); u16(8); u8(1); u8(1); u8(0x00); u8(0); u8(63); u8(0) // SOS
     bos.write(stream)
     u16(0xffd9) // EOI
@@ -494,6 +502,23 @@ class JpegPixelSpec extends AnyFunSuite {
     }
   }
 
+  test("restart intervals: byte-align, cyclic RSTn, predictor resets") {
+    val q = Array.tabulate(64)(k => 1 + k % 7)
+    val blocks = randBlocks(7, 606L, dense = true) // 56x8, restarts at 2,4,6
+    val bytes = encode(56, 8, q, blocks, dri = 2)
+    // the stream really contains three restart markers
+    val rsts = bytes.sliding(2).count(p =>
+      (p(0) & 0xff) == 0xff && (p(1) & 0xff) >= 0xd0 && (p(1) & 0xff) <= 0xd7)
+    assert(rsts === 3, s"expected 3 RSTn markers, found $rsts")
+    assert(Multimodal.jpegGraySums(bytes) === Some(refSums(56, 8, q, blocks)))
+    // an out-of-cycle RSTn (encoder bug / corruption) rejects
+    val corrupt = bytes.clone()
+    val at = corrupt.indices.find(i =>
+      (corrupt(i) & 0xff) == 0xff && (corrupt(i + 1) & 0xff) == 0xd0).get
+    corrupt(at + 1) = 0xd5.toByte
+    assert(Multimodal.jpegGraySums(corrupt).isEmpty)
+  }
+
   test("unsupported sampling (4:1:1 / subsampled chroma) rejects cleanly") {
     val qY = Array.fill(64)(2)
     val mcus = Seq(Seq.fill(3)(Array.fill(64)(0)))
@@ -508,7 +533,7 @@ class JpegPixelSpec extends AnyFunSuite {
     assert(Multimodal.jpegPixelStats(badChroma).isEmpty)
   }
 
-  test("rejects: progressive, multi-component, DRI, truncation, garbage") {
+  test("rejects: progressive, multi-component, truncation, garbage") {
     val q = Array.fill(64)(2)
     val ok = encode(16, 8, q, randBlocks(2, 5L, dense = false))
     assert(Multimodal.jpegGraySums(ok).isDefined)
