@@ -621,7 +621,8 @@ object Multimodal {
               if (compH(ci) < 1 || compH(ci) > 2 || compV(ci) < 1 || compV(ci) > 2)
                 return None
               if ((nComp == 1 || ci > 0) && smp != 0x11) return None
-              compQ(ci) = b(o + 12 + 3 * ci) & 0x0f
+              compQ(ci) = b(o + 12 + 3 * ci) & 0xff
+              if (compQ(ci) > 3) return None // Tq ∈ 0..3 (T.81 B.2.2)
               ci += 1
             }
           case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
@@ -640,6 +641,7 @@ object Multimodal {
               if ((b(o + 5 + 2 * ci) & 0xff) != compId(ci)) return None
               compDc(ci) = (b(o + 6 + 2 * ci) & 0xff) >> 4
               compAc(ci) = b(o + 6 + 2 * ci) & 0x0f
+              if (compDc(ci) > 3 || compAc(ci) > 3) return None // Td,Ta ∈ 0..3
               ci += 1
             }
             // baseline full-band scan: Ss=0, Se=63, Ah=Al=0

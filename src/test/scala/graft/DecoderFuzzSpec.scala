@@ -24,7 +24,9 @@ class DecoderFuzzSpec extends AnyFunSuite {
     "bmpChannelSums" -> Multimodal.bmpChannelSums _,
     "pngChannelSums" -> Multimodal.pngChannelSums _,
     "gifChannelSums" -> Multimodal.gifChannelSums _,
-    "wavSampleStats" -> Multimodal.wavSampleStats _)
+    "wavSampleStats" -> Multimodal.wavSampleStats _,
+    "jpegPixelStats" -> Multimodal.jpegPixelStats _,
+    "jpegGraySums" -> Multimodal.jpegGraySums _)
 
   private val valids: Seq[(String, Array[Byte])] = Seq(
     "bmp" -> Multimodal.makeBmp(9, 7, seed = 1L),
@@ -33,7 +35,12 @@ class DecoderFuzzSpec extends AnyFunSuite {
     "wav" -> Multimodal.makeWav(2, 16000, 64, seed = 4L),
     "mp4" -> Multimodal.makeMp4(minorVersion = 0L, timescale = 1000,
       duration = 5000, mediaBytes = 64, seed = 5L),
-    "jpg" -> Multimodal.makeJpeg(64, 48, nComp = 3, seed = 6L))
+    "jpg" -> Multimodal.makeJpeg(64, 48, nComp = 3, seed = 6L),
+    // pixel-bearing JPEG layouts: gray, 4:4:4 color, 4:2:0, restart markers
+    "jpgpx" -> Multimodal.makeJpegPixels(4, 3, q0 = 2, seed = 7L),
+    "jpgcolor" -> Multimodal.makeJpegColorPixels(3, 2, q0 = 2, seed = 8L),
+    "jpg420" -> Multimodal.makeJpeg420Pixels(2, 2, q0 = 2, seed = 9L),
+    "jpgrst" -> Multimodal.makeJpegRestartPixels(4, 2, q0 = 2, dri = 3, seed = 10L))
 
   private def mustNotThrow(what: String, bytes: Array[Byte],
       name: String, f: Array[Byte] => Any): Unit =
