@@ -118,7 +118,25 @@ object Multimodal {
     * can hex-walk the same bytes (e12i), while MultimodalSpec feeds real
     * Deflater-compressed streams exercising every filter type.
     */
-  def pngChannelSums(b: Array[Byte]): Option[(Long, Long, Long, Long)] =
+  def pngChannelSums(b: Array[Byte]): Option[(Long, Long, Long, Long)] = {
+    var (sumR, sumG, sumB) = (0L, 0L, 0L)
+    pngRows(b) { (_, cur, rowPx) =>
+      var j = 0
+      while (j < rowPx) {
+        sumR += cur(j); sumG += cur(j + 1); sumB += cur(j + 2)
+        j += 3
+      }
+    }.map { case (w, h) => (sumR, sumG, sumB, w.toLong * h) }
+  }
+
+  /** The shared truecolor-PNG decode core behind [[pngChannelSums]] and
+    * [[imageAHash64]]: validates, reassembles IDAT, inflates, un-filters,
+    * and feeds each scanline's RGB bytes (top-down; `rowPx` = 3·w valid
+    * ints) to `row`. Some((w,h)) only on FULL success — the callback may
+    * have seen a prefix of rows when the result is None, so callers must
+    * not publish side effects until the Option returns.
+    */
+  private def pngRows(b: Array[Byte])(row: (Int, Array[Int], Int) => Unit): Option[(Int, Int)] =
     decodePngHeader(b) match {
       case Some((w, h, 8, 2)) if w > 0 && h > 0 &&
           (b(26) & 0xff) == 0 && (b(27) & 0xff) == 0 && (b(28) & 0xff) == 0 =>
@@ -164,7 +182,6 @@ object Multimodal {
             val rowPx = w * 3
             val prev = new Array[Int](rowPx)
             val cur = new Array[Int](rowPx)
-            var (sumR, sumG, sumB) = (0L, 0L, 0L)
             var valid = true
             var r = 0
             while (r < h && valid) {
@@ -195,16 +212,12 @@ object Multimodal {
                 i += 1
               }
               if (valid) {
-                var j = 0
-                while (j < rowPx) {
-                  sumR += cur(j); sumG += cur(j + 1); sumB += cur(j + 2)
-                  j += 3
-                }
+                row(r, cur, rowPx)
                 System.arraycopy(cur, 0, prev, 0, rowPx)
               }
               r += 1
             }
-            if (valid) Some((sumR, sumG, sumB, w.toLong * h)) else None
+            if (valid) Some((w, h)) else None
           }
         }
       case _ => None
@@ -547,7 +560,19 @@ object Multimodal {
     * FF stuffing, edge crops, per-component tables, 4:2:0 MCU geometry —
     * through an in-test encoder.
     */
-  def jpegPixelStats(b: Array[Byte]): Option[JpegStats] = {
+  def jpegPixelStats(b: Array[Byte]): Option[JpegStats] =
+    jpegDecode(b, wantBrightness = false).map(_._1)
+
+  /** Per-pixel brightness (r+g+b; 3·Y for grayscale) in top-down raster
+    * order — the [[imageAHash64]] view of a baseline JPEG. Bounded at
+    * 2^24 pixels (a 67 MB Int array per image is the accepted ceiling;
+    * training-corpus thumbnails sit far below it).
+    */
+  private def jpegBrightness(b: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    jpegDecode(b, wantBrightness = true).map { case (st, br) => (st.w, st.h, br) }
+
+  private def jpegDecode(b: Array[Byte],
+      wantBrightness: Boolean): Option[(JpegStats, Array[Int])] = {
     if (b == null || b.length < 4 ||
       (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
     val qt = new Array[Array[Int]](4)
@@ -661,6 +686,10 @@ object Multimodal {
         acTabs(compAc(tci)) == null) return None
       tci += 1
     }
+    val bright =
+      if (!wantBrightness) null
+      else if (w.toLong * h > (1 << 24)) return None // 67 MB Int ceiling
+      else new Array[Int](w * h)
     val br = new JpegBits(b, scanStart)
     val coef = new Array[Int](64) // natural order, dequantized
     val tmp = Array.ofDim[Double](8, 8) // (v, x) partial IDCT
@@ -773,8 +802,10 @@ object Multimodal {
               val y = samples(0)(py * mcuW + px)
               if (y < minY) minY = y
               if (y > maxY) maxY = y
-              if (nComp == 1) { sumR += y; sumG += y; sumB += y }
-              else {
+              if (nComp == 1) {
+                sumR += y; sumG += y; sumB += y
+                if (bright != null) bright(iy * w + ix) = 3 * y
+              } else {
                 // chroma fetch with per-axis index scaling (1×1 chroma
                 // under 2×2 luma → px/2, py/2)
                 val cx1 = px * compH(1) / hMax
@@ -783,10 +814,12 @@ object Multimodal {
                 val cx2 = px * compH(2) / hMax
                 val cy2 = py * compV(2) / vMax
                 val cr = samples(2)(cy2 * 8 * compH(2) + cx2)
-                sumR += clamp8(math.floor(y + 1.402 * (cr - 128) + 0.5).toInt)
-                sumG += clamp8(math.floor(
+                val rr = clamp8(math.floor(y + 1.402 * (cr - 128) + 0.5).toInt)
+                val gg = clamp8(math.floor(
                   y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5).toInt)
-                sumB += clamp8(math.floor(y + 1.772 * (cb - 128) + 0.5).toInt)
+                val bb = clamp8(math.floor(y + 1.772 * (cb - 128) + 0.5).toInt)
+                sumR += rr; sumG += gg; sumB += bb
+                if (bright != null) bright(iy * w + ix) = rr + gg + bb
               }
             }
             px += 1
@@ -797,7 +830,7 @@ object Multimodal {
       }
       mcuY += 1
     }
-    Some(JpegStats(w, h, nComp, sumR, sumG, sumB, minY, maxY))
+    Some((JpegStats(w, h, nComp, sumR, sumG, sumB, minY, maxY), bright))
   }
 
   /** Grayscale view of [[jpegPixelStats]] — (lum_sum, n_pixels, min_lum,
@@ -807,6 +840,120 @@ object Multimodal {
     jpegPixelStats(b).collect {
       case s if s.nComp == 1 => (s.sumR, s.nPx, s.minY, s.maxY)
     }
+
+  /** 64-bit average-hash (aHash) over the DECODED pixels of any image
+    * format this module decodes — BMP 24bpp, truecolor PNG, GIF (global
+    * palette), baseline JPEG (gray or color, any supported sampling).
+    * The hash is the classic 8×8 thumbnail threshold, defined with
+    * integer-only arithmetic so any engine reproduces it bit-exactly:
+    * pixel brightness v = r+g+b; cell (bx,by) = (⌊x·8/w⌋, ⌊y·8/h⌋);
+    * bit k = by·8+bx — stored at hash bit 63−k, row-major from the top
+    * left — is set iff cellSum·nPx > totalSum·cellN (strict; ties → 0).
+    * Cross-multiplication avoids division entirely, and a uniform
+    * brightness shift provably never changes the hash (it adds
+    * δ·cellN·nPx to both sides of every comparison). None when the image
+    * fails to decode, when w or h < 8 (empty cells), or beyond 2^24
+    * pixels (the cap that keeps 765·n² inside a Long).
+    *
+    * This is the image twin of the text SimHash: near-duplicate images
+    * (re-encodes, small edits, global brightness shifts) land within a
+    * few bits; pair generation at scale goes through
+    * [[ImageNearDup]]'s banded hamming join, never all-pairs.
+    */
+  def imageAHash64(b: Array[Byte]): Option[Long] =
+    brightnessOf(b).flatMap { case (w, h, v) =>
+      if (w < 8 || h < 8) None
+      else {
+        val cellSum = new Array[Long](64)
+        val cellN = new Array[Long](64)
+        var total = 0L
+        var y = 0
+        while (y < h) {
+          val rowK = (y * 8 / h) * 8
+          var x = 0
+          while (x < w) {
+            val k = rowK + x * 8 / w
+            val p = v(y * w + x)
+            cellSum(k) += p; cellN(k) += 1; total += p
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        var hash = 0L
+        var k = 0
+        while (k < 64) {
+          if (cellSum(k) * n > total * cellN(k)) hash |= 1L << (63 - k)
+          k += 1
+        }
+        Some(hash)
+      }
+    }
+
+  /** Decoded per-pixel brightness (r+g+b; top-down raster order) for every
+    * format [[imageAHash64]] supports, uniformly capped at 2^24 pixels so
+    * the downstream cross-multiplication can never overflow.
+    */
+  private def brightnessOf(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (b == null || b.length < 8) return None
+    def capped(w: Int, h: Int): Boolean = w > 0 && h > 0 && w.toLong * h <= (1 << 24)
+    val m0 = b(0) & 0xff
+    val m1 = b(1) & 0xff
+    if (m0 == 'B' && m1 == 'M') decodeBmpHeader(b) match {
+      case Some((w, h, 24)) if capped(w, h) =>
+        val dataOff = leU32(b, 10).toInt
+        val rowBytes = (w.toLong * 3 + 3) / 4 * 4 // Long: hostile-width guard
+        if (dataOff < 54 || dataOff > b.length ||
+          (b.length - dataOff) / h < rowBytes) None
+        else {
+          val rowBytesI = rowBytes.toInt
+          val v = new Array[Int](w * h)
+          var r = 0
+          while (r < h) {
+            val base = dataOff + r * rowBytesI
+            val y = h - 1 - r // BMP rows are bottom-up
+            var c = 0
+            while (c < w) {
+              val o = base + c * 3
+              v(y * w + c) = (b(o) & 0xff) + (b(o + 1) & 0xff) + (b(o + 2) & 0xff)
+              c += 1
+            }
+            r += 1
+          }
+          Some((w, h, v))
+        }
+      case _ => None
+    }
+    else if (m0 == 0x89 && m1 == 'P') decodePngHeader(b) match {
+      case Some((w, h, 8, 2)) if capped(w, h) =>
+        val v = new Array[Int](w * h)
+        pngRows(b) { (r, cur, rowPx) =>
+          var x = 0
+          var j = 0
+          while (j < rowPx) {
+            v(r * w + x) = cur(j) + cur(j + 1) + cur(j + 2)
+            x += 1; j += 3
+          }
+        }.map(_ => (w, h, v))
+      case _ => None
+    }
+    else if (m0 == 'G' && m1 == 'I') gifPixelIndices(b).flatMap {
+      case (iw, ih, idx, gctOff) =>
+        if (!capped(iw, ih)) None
+        else {
+          val v = new Array[Int](iw * ih)
+          var i = 0
+          while (i < idx.length) {
+            val p = gctOff + 3 * idx(i)
+            v(i) = (b(p) & 0xff) + (b(p + 1) & 0xff) + (b(p + 2) & 0xff)
+            i += 1
+          }
+          Some((iw, ih, v))
+        }
+    }
+    else if (m0 == 0xff && m1 == 0xd8) jpegBrightness(b)
+    else None
+  }
 
   /** A REAL, fully decodable baseline grayscale JPEG whose entropy stream
     * is BYTE-ALIGNED at two bytes per 8×8 block: the DC table holds one
@@ -1043,6 +1190,24 @@ object Multimodal {
     * every pixel byte with integer arithmetic.
     */
   def gifChannelSums(b: Array[Byte]): Option[(Long, Long, Long, Long)] =
+    gifPixelIndices(b).map { case (iw, ih, indices, gctOff) =>
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      var i = 0
+      while (i < indices.length) {
+        val idx = indices(i)
+        sr += b(gctOff + 3 * idx) & 0xff
+        sg += b(gctOff + 3 * idx + 1) & 0xff
+        sb += b(gctOff + 3 * idx + 2) & 0xff
+        i += 1
+      }
+      (sr, sg, sb, iw.toLong * ih)
+    }
+
+  /** The shared GIF decode core behind [[gifChannelSums]] and
+    * [[imageAHash64]]: (width, height, palette indices in top-down raster
+    * order — every one validated < gctColors, global color table offset).
+    */
+  private def gifPixelIndices(b: Array[Byte]): Option[(Int, Int, Array[Int], Int)] =
     decodeGifHeader(b) match {
       case Some((_, _, _, gctColors, _)) if gctColors > 0 =>
         val gctOff = 13
@@ -1085,21 +1250,13 @@ object Multimodal {
             if (!blockOk || !done || minCode < 2 || minCode > 8) None
             else lzwDecode(data.toByteArray, minCode, iw.toLong * ih).flatMap {
               indices =>
-                val n = iw.toLong * ih
-                var (sr, sg, sb) = (0L, 0L, 0L)
                 var bad = false
                 var i = 0
                 while (i < indices.length && !bad) {
-                  val idx = indices(i)
-                  if (idx >= gctColors) bad = true
-                  else {
-                    sr += b(gctOff + 3 * idx) & 0xff
-                    sg += b(gctOff + 3 * idx + 1) & 0xff
-                    sb += b(gctOff + 3 * idx + 2) & 0xff
-                  }
+                  if (indices(i) >= gctColors) bad = true
                   i += 1
                 }
-                if (bad) None else Some((sr, sg, sb, n))
+                if (bad) None else Some((iw, ih, indices, gctOff))
             }
           }
         }

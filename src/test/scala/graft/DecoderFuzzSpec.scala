@@ -26,7 +26,8 @@ class DecoderFuzzSpec extends AnyFunSuite {
     "gifChannelSums" -> Multimodal.gifChannelSums _,
     "wavSampleStats" -> Multimodal.wavSampleStats _,
     "jpegPixelStats" -> Multimodal.jpegPixelStats _,
-    "jpegGraySums" -> Multimodal.jpegGraySums _)
+    "jpegGraySums" -> Multimodal.jpegGraySums _,
+    "imageAHash64" -> Multimodal.imageAHash64 _)
 
   private val valids: Seq[(String, Array[Byte])] = Seq(
     "bmp" -> Multimodal.makeBmp(9, 7, seed = 1L),
