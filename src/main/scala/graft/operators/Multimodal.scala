@@ -503,6 +503,139 @@ object Multimodal {
       pos += 2
       m - 0xd0
     }
+    /** Byte cursor — after a finished scan this sits at (or just before)
+      * the next marker; the progressive multi-scan walk resumes here.
+      */
+    def position: Int = pos
+  }
+
+  /** DQT segment body → `qt` (both precisions, multiple entries). */
+  private def jpegParseDqt(b: Array[Byte], o: Int, end: Int,
+      qt: Array[Array[Int]]): Boolean = {
+    var p = o + 4
+    while (p < end) {
+      val pq = (b(p) & 0xff) >> 4
+      val tq = b(p) & 0x0f
+      val span = 1 + 64 * (pq + 1)
+      if (tq > 3 || pq > 1 || p + span > end) return false
+      qt(tq) = Array.tabulate(64) { i =>
+        if (pq == 0) b(p + 1 + i) & 0xff else beU16(b, p + 1 + 2 * i)
+      }
+      p += span
+    }
+    true
+  }
+
+  /** DHT segment body → canonical Huffman tables (multiple entries). */
+  private def jpegParseDht(b: Array[Byte], o: Int, end: Int,
+      dcTabs: Array[JpegHuff], acTabs: Array[JpegHuff]): Boolean = {
+    var p = o + 4
+    while (p < end) {
+      if (p + 17 > end) return false
+      val tc = (b(p) & 0xff) >> 4
+      val th = b(p) & 0x0f
+      val counts = new Array[Int](17)
+      var total = 0
+      (1 to 16).foreach { l =>
+        counts(l) = b(p + l) & 0xff; total += counts(l)
+      }
+      if (tc > 1 || th > 3 || total > 256 || p + 17 + total > end) return false
+      val vals = Array.tabulate(total)(i => b(p + 17 + i) & 0xff)
+      val huff = new JpegHuff(counts, vals)
+      if (tc == 0) dcTabs(th) = huff else acTabs(th) = huff
+      p += 17 + total
+    }
+    true
+  }
+
+  /** Separable float IDCT of one natural-order dequantized block, with
+    * level shift, ⌊x+0.5⌋ rounding and [0,255] clamp, into
+    * `dst(dstOff + py*dstStride + px)`.
+    */
+  private def jpegIdct8x8(coef: Array[Int], tmp: Array[Array[Double]],
+      dst: Array[Int], dstOff: Int, dstStride: Int): Unit = {
+    var v = 0
+    while (v < 8) {
+      var x = 0
+      while (x < 8) {
+        var acc = 0.0
+        var u = 0
+        while (u < 8) { acc += coef(v * 8 + u) * jpegBasis(u)(x); u += 1 }
+        tmp(v)(x) = acc
+        x += 1
+      }
+      v += 1
+    }
+    var py = 0
+    while (py < 8) {
+      var px = 0
+      while (px < 8) {
+        var acc = 0.0
+        var vv = 0
+        while (vv < 8) { acc += tmp(vv)(px) * jpegBasis(vv)(py); vv += 1 }
+        val s = math.floor(acc + 128.5).toInt
+        dst(dstOff + py * dstStride + px) =
+          if (s < 0) 0 else if (s > 255) 255 else s
+        px += 1
+      }
+      py += 1
+    }
+  }
+
+  /** Shared per-MCU pixel accumulation (sums, luma min/max, optional
+    * brightness sink) for the baseline streaming path and the progressive
+    * final pass — identical sampling/upsampling/JFIF arithmetic by
+    * construction.
+    */
+  private final class JpegAccum(w: Int, h: Int, nComp: Int,
+      compH: Array[Int], compV: Array[Int], bright: Array[Int]) {
+    var sumR = 0L; var sumG = 0L; var sumB = 0L
+    var minY = 256; var maxY = -1
+    private val hMax = compH(0)
+    private val vMax = compV(0)
+    private val mcuW = 8 * hMax
+    private val mcuH = 8 * vMax
+    private def clamp8(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+
+    def addMcu(samples: Array[Array[Int]], mcuX: Int, mcuY: Int): Unit = {
+      var py = 0
+      while (py < mcuH) {
+        val iy = mcuY * mcuH + py
+        var px = 0
+        while (px < mcuW) {
+          val ix = mcuX * mcuW + px
+          if (iy < h && ix < w) {
+            val y = samples(0)(py * mcuW + px)
+            if (y < minY) minY = y
+            if (y > maxY) maxY = y
+            if (nComp == 1) {
+              sumR += y; sumG += y; sumB += y
+              if (bright != null) bright(iy * w + ix) = 3 * y
+            } else {
+              // chroma fetch with per-axis index scaling (1×1 chroma
+              // under 2×2 luma → px/2, py/2)
+              val cx1 = px * compH(1) / hMax
+              val cy1 = py * compV(1) / vMax
+              val cb = samples(1)(cy1 * 8 * compH(1) + cx1)
+              val cx2 = px * compH(2) / hMax
+              val cy2 = py * compV(2) / vMax
+              val cr = samples(2)(cy2 * 8 * compH(2) + cx2)
+              val rr = clamp8(math.floor(y + 1.402 * (cr - 128) + 0.5).toInt)
+              val gg = clamp8(math.floor(
+                y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5).toInt)
+              val bb = clamp8(math.floor(y + 1.772 * (cb - 128) + 0.5).toInt)
+              sumR += rr; sumG += gg; sumB += bb
+              if (bright != null) bright(iy * w + ix) = rr + gg + bb
+            }
+          }
+          px += 1
+        }
+        py += 1
+      }
+    }
+
+    def result: (JpegStats, Array[Int]) =
+      (JpegStats(w, h, nComp, sumR, sumG, sumB, minY, maxY), bright)
   }
 
   private def jpegDecodeHuff(br: JpegBits, h: JpegHuff): Int = {
@@ -549,10 +682,13 @@ object Multimodal {
     * the reader byte-aligns at each boundary, verifies the 0..7 marker
     * cycle, and resets every DC predictor (T.81 E.2.4).
     *
-    * None for: progressive/extended frames (SOF2 etc.), component counts
-    * other than 1/3, sampling factors outside {1,2} or non-1×1 chroma
-    * (4:1:1), sub-8-bit precision, a missing or out-of-cycle RSTn,
-    * missing tables, a truncated or marker-corrupted entropy stream.
+    * Progressive frames (SOF2) route to [[jpegProgressiveDecode]] — the
+    * full Annex G successive-approximation procedure — and share every
+    * sampling/IDCT/JFIF rule above. None for: extended/lossless/
+    * arithmetic frames (SOF1/3/5…), component counts other than 1/3,
+    * sampling factors outside {1,2} or non-1×1 chroma (4:1:1), sub-8-bit
+    * precision, a missing or out-of-cycle RSTn, missing tables, a
+    * truncated or marker-corrupted entropy stream.
     * Validate, don't trust. Fixture streams (makeJpegPixels / makeJpegColorPixels)
     * are DC-only with byte-aligned 16-bit-per-block codes so the DuckDB
     * oracle can hex-walk the SAME entropy bytes (the stored-deflate-PNG
@@ -600,34 +736,9 @@ object Multimodal {
         val end = o + 2 + len
         m match {
           case 0xdb => // DQT: one or more (pq/tq, 64 values) entries
-            var p = o + 4
-            while (p < end) {
-              val pq = (b(p) & 0xff) >> 4
-              val tq = b(p) & 0x0f
-              val span = 1 + 64 * (pq + 1)
-              if (tq > 3 || pq > 1 || p + span > end) return None
-              qt(tq) = Array.tabulate(64) { i =>
-                if (pq == 0) b(p + 1 + i) & 0xff else beU16(b, p + 1 + 2 * i)
-              }
-              p += span
-            }
+            if (!jpegParseDqt(b, o, end, qt)) return None
           case 0xc4 => // DHT: one or more (class/id, 16 counts, symbols)
-            var p = o + 4
-            while (p < end) {
-              if (p + 17 > end) return None
-              val tc = (b(p) & 0xff) >> 4
-              val th = b(p) & 0x0f
-              val counts = new Array[Int](17)
-              var total = 0
-              (1 to 16).foreach { l =>
-                counts(l) = b(p + l) & 0xff; total += counts(l)
-              }
-              if (tc > 1 || th > 3 || total > 256 || p + 17 + total > end) return None
-              val vals = Array.tabulate(total)(i => b(p + 17 + i) & 0xff)
-              val huff = new JpegHuff(counts, vals)
-              if (tc == 0) dcTabs(th) = huff else acTabs(th) = huff
-              p += 17 + total
-            }
+            if (!jpegParseDht(b, o, end, dcTabs, acTabs)) return None
           case 0xc0 => // SOF0 — baseline sequential only
             if (len < 8 || (b(o + 4) & 0xff) != 8) return None
             h = beU16(b, o + 5); w = beU16(b, o + 7)
@@ -650,9 +761,11 @@ object Multimodal {
               if (compQ(ci) > 3) return None // Tq ∈ 0..3 (T.81 B.2.2)
               ci += 1
             }
-          case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
+          case 0xc2 => // progressive: its own multi-scan walk from scratch
+            return jpegProgressiveDecode(b, wantBrightness)
+          case 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
                0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
-            return None // extended/progressive/lossless frames
+            return None // extended/lossless/arithmetic frames
           case 0xdd => // DRI: restart interval in MCUs (0 = none)
             if (len < 4) return None
             dri = beU16(b, o + 4)
@@ -707,10 +820,7 @@ object Multimodal {
     val mx = (w + mcuW - 1) / mcuW
     val my = (h + mcuH - 1) / mcuH
     val pred = new Array[Int](3)
-    var sumR = 0L; var sumG = 0L; var sumB = 0L
-    var minY = 256
-    var maxY = -1
-    def clamp8(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+    val accum = new JpegAccum(w, h, nComp, compH, compV, bright)
     var mcuIndex = 0
     var restartCount = 0
     var mcuY = 0
@@ -759,78 +869,434 @@ object Multimodal {
                   k += 1
                 }
               }
-              // separable IDCT: rows over u, then columns over v
-              var v = 0
-              while (v < 8) {
-                var x = 0
-                while (x < 8) {
-                  var acc = 0.0
-                  var u = 0
-                  while (u < 8) { acc += coef(v * 8 + u) * jpegBasis(u)(x); u += 1 }
-                  tmp(v)(x) = acc
-                  x += 1
-                }
-                v += 1
-              }
-              var py = 0
-              while (py < 8) {
-                var px = 0
-                while (px < 8) {
-                  var acc = 0.0
-                  var vv = 0
-                  while (vv < 8) { acc += tmp(vv)(px) * jpegBasis(vv)(py); vv += 1 }
-                  samples(ci)((bv * 8 + py) * stride + bh * 8 + px) =
-                    clamp8(math.floor(acc + 128.5).toInt)
-                  px += 1
-                }
-                py += 1
-              }
+              jpegIdct8x8(coef, tmp, samples(ci), (bv * 8) * stride + bh * 8, stride)
               bh += 1
             }
             bv += 1
           }
           ci += 1
         }
-        // accumulate the MCU's visible pixels
-        var py = 0
-        while (py < mcuH) {
-          val iy = mcuY * mcuH + py
-          var px = 0
-          while (px < mcuW) {
-            val ix = mcuX * mcuW + px
-            if (iy < h && ix < w) {
-              val y = samples(0)(py * mcuW + px)
-              if (y < minY) minY = y
-              if (y > maxY) maxY = y
-              if (nComp == 1) {
-                sumR += y; sumG += y; sumB += y
-                if (bright != null) bright(iy * w + ix) = 3 * y
-              } else {
-                // chroma fetch with per-axis index scaling (1×1 chroma
-                // under 2×2 luma → px/2, py/2)
-                val cx1 = px * compH(1) / hMax
-                val cy1 = py * compV(1) / vMax
-                val cb = samples(1)(cy1 * 8 * compH(1) + cx1)
-                val cx2 = px * compH(2) / hMax
-                val cy2 = py * compV(2) / vMax
-                val cr = samples(2)(cy2 * 8 * compH(2) + cx2)
-                val rr = clamp8(math.floor(y + 1.402 * (cr - 128) + 0.5).toInt)
-                val gg = clamp8(math.floor(
-                  y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5).toInt)
-                val bb = clamp8(math.floor(y + 1.772 * (cb - 128) + 0.5).toInt)
-                sumR += rr; sumG += gg; sumB += bb
-                if (bright != null) bright(iy * w + ix) = rr + gg + bb
-              }
-            }
-            px += 1
-          }
-          py += 1
-        }
+        accum.addMcu(samples, mcuX, mcuY)
         mcuX += 1
       }
       mcuY += 1
     }
-    Some((JpegStats(w, h, nComp, sumR, sumG, sumB, minY, maxY), bright))
+    Some(accum.result)
+  }
+
+  /** Progressive JPEG (SOF2) decode — the full T.81 Annex G Huffman
+    * procedure: spectral selection (per-band scans), successive
+    * approximation (high-bits-first with refinement scans), EOB runs,
+    * ZRL-in-refinement, per-scan restart intervals. Coefficients
+    * accumulate per component across every scan (DC scans interleaved
+    * over all components or non-interleaved; AC scans single-component
+    * non-interleaved per G.1.1.1.1), then one final dequantize + IDCT +
+    * upsample + JFIF pass reuses the baseline arithmetic exactly.
+    *
+    * Scan-script validation is stateful, not cosmetic: each (component,
+    * coefficient) tracks its successive-approximation position — a first
+    * scan must carry Ah=0, a refinement must carry Ah = previous Al, AC
+    * before DC rejects, band overlap at the wrong precision rejects. A
+    * file may end before the script completes (progressive renders
+    * partial data by design) — whatever precision arrived is decoded;
+    * EOI before any DC scan rejects.
+    *
+    * Envelope beyond the shared baseline limits: total pixels capped at
+    * 2^22 (the multi-pass coefficient store is ~4 B/px/component — a
+    * deliberately bounded executor allocation for hostile dimensions).
+    */
+  private def jpegProgressiveDecode(b: Array[Byte],
+      wantBrightness: Boolean): Option[(JpegStats, Array[Int])] = {
+    val qt = new Array[Array[Int]](4)
+    val dcTabs = new Array[JpegHuff](4)
+    val acTabs = new Array[JpegHuff](4)
+    var w = 0; var h = 0
+    var nComp = 0
+    var dri = 0
+    val compId = new Array[Int](3)
+    val compQ = new Array[Int](3)
+    val compH = new Array[Int](3)
+    val compV = new Array[Int](3)
+    // per-component coefficient grids (natural order per block) and dims
+    var coefs: Array[Array[Int]] = null
+    val gw = new Array[Int](3) // full (MCU-padded) block-grid width
+    val gh = new Array[Int](3)
+    val cw = new Array[Int](3) // real block dims (non-interleaved scans)
+    val ch = new Array[Int](3)
+    // successive-approximation state per (component, spectral index):
+    // -2 = never coded; otherwise the Al of the last scan covering it
+    var sas: Array[Array[Int]] = null
+    var mx = 0; var my = 0
+    val pred = new Array[Int](3)
+
+    var o = 2
+    var sawEoi = false
+    while (!sawEoi && o + 2 <= b.length) {
+      if ((b(o) & 0xff) != 0xff) return None
+      val m = b(o + 1) & 0xff
+      if (m == 0xd8 || m == 0x01 || (m >= 0xd0 && m <= 0xd7)) { o += 2 }
+      else if (m == 0xd9) { sawEoi = true }
+      else {
+        if (o + 4 > b.length) return None
+        val len = beU16(b, o + 2)
+        if (len < 2 || o + 2 + len > b.length) return None
+        val end = o + 2 + len
+        var nextO = end
+        m match {
+          case 0xdb => if (!jpegParseDqt(b, o, end, qt)) return None
+          case 0xc4 => if (!jpegParseDht(b, o, end, dcTabs, acTabs)) return None
+          case 0xdd =>
+            if (len < 4) return None
+            dri = beU16(b, o + 4)
+          case 0xc2 =>
+            if (w != 0) return None // one frame header only
+            if (len < 8 || (b(o + 4) & 0xff) != 8) return None
+            h = beU16(b, o + 5); w = beU16(b, o + 7)
+            nComp = b(o + 9) & 0xff
+            if (w <= 0 || h <= 0 || (nComp != 1 && nComp != 3)) return None
+            if (w.toLong * h > (1 << 22)) return None // coef-store ceiling
+            if (len < 8 + 3 * nComp) return None
+            var ci = 0
+            while (ci < nComp) {
+              compId(ci) = b(o + 10 + 3 * ci) & 0xff
+              val smp = b(o + 11 + 3 * ci) & 0xff
+              compH(ci) = smp >> 4
+              compV(ci) = smp & 0x0f
+              if (compH(ci) < 1 || compH(ci) > 2 || compV(ci) < 1 || compV(ci) > 2)
+                return None
+              if ((nComp == 1 || ci > 0) && smp != 0x11) return None
+              compQ(ci) = b(o + 12 + 3 * ci) & 0xff
+              if (compQ(ci) > 3) return None
+              ci += 1
+            }
+            val hMax = compH(0)
+            val vMax = compV(0)
+            mx = (w + 8 * hMax - 1) / (8 * hMax)
+            my = (h + 8 * vMax - 1) / (8 * vMax)
+            coefs = new Array[Array[Int]](nComp)
+            sas = Array.fill(nComp)(Array.fill(64)(-2))
+            ci = 0
+            while (ci < nComp) {
+              gw(ci) = mx * compH(ci)
+              gh(ci) = my * compV(ci)
+              // ceil(ceil(w·Hc/Hmax)/8) — the real block count for
+              // non-interleaved scans (A.2.2)
+              cw(ci) = ((w * compH(ci) + hMax - 1) / hMax + 7) / 8
+              ch(ci) = ((h * compV(ci) + vMax - 1) / vMax + 7) / 8
+              coefs(ci) = new Array[Int](gw(ci) * gh(ci) * 64)
+              ci += 1
+            }
+          case 0xc0 | 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
+               0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
+            return None // a second, non-progressive frame
+          case 0xda =>
+            if (w == 0) return None // SOF2 must precede every scan
+            val ns = b(o + 4) & 0xff
+            if (ns < 1 || ns > nComp || len < 6 + 2 * ns) return None
+            if (ns != 1 && ns != nComp) return None // no partial interleave
+            val scomp = new Array[Int](ns)
+            val sDc = new Array[Int](ns)
+            val sAc = new Array[Int](ns)
+            var si = 0
+            while (si < ns) {
+              val id = b(o + 5 + 2 * si) & 0xff
+              var ci = -1
+              var j = 0
+              while (j < nComp) { if (compId(j) == id) ci = j; j += 1 }
+              if (ci < 0) return None
+              scomp(si) = ci
+              sDc(si) = (b(o + 6 + 2 * si) & 0xff) >> 4
+              sAc(si) = b(o + 6 + 2 * si) & 0x0f
+              if (sDc(si) > 3 || sAc(si) > 3) return None
+              si += 1
+            }
+            val sb = o + 5 + 2 * ns
+            val ss = b(sb) & 0xff
+            val se = b(sb + 1) & 0xff
+            val ah = (b(sb + 2) & 0xff) >> 4
+            val al = b(sb + 2) & 0x0f
+            if (se > 63 || ss > se || al > 13 || ah > 13) return None
+            if (ss == 0 && se != 0) return None // DC scans carry only k=0
+            if (ss > 0 && ns != 1) return None // AC scans: one component
+            if (ah != 0 && ah != al + 1) return None // refinement steps by 1
+            // progression state: first scan Ah=0, refinement Ah = prev Al
+            si = 0
+            while (si < ns) {
+              val st = sas(scomp(si))
+              if (ss > 0 && st(0) == -2) return None // DC before AC
+              var k = ss
+              while (k <= se) {
+                if (ah == 0) { if (st(k) != -2) return None }
+                else if (st(k) != ah) return None
+                st(k) = al
+                k += 1
+              }
+              si += 1
+            }
+            if (ss == 0 && ah == 0) {
+              si = 0
+              while (si < ns) {
+                if (dcTabs(sDc(si)) == null) return None
+                si += 1
+              }
+            }
+            if (ss > 0 && ah == 0 && acTabs(sAc(0)) == null) return None
+            if (ss > 0 && ah > 0 && acTabs(sAc(0)) == null) return None
+            val br = new JpegBits(b, end)
+            pred(0) = 0; pred(1) = 0; pred(2) = 0
+            var eobrun = 0
+            var unit = 0
+            var restartCount = 0
+            def restartIfDue(): Boolean = {
+              if (dri > 0 && unit > 0 && unit % dri == 0) {
+                if (br.restartMarker() != restartCount % 8) return false
+                restartCount += 1
+                pred(0) = 0; pred(1) = 0; pred(2) = 0
+                eobrun = 0
+              }
+              true
+            }
+            // one block's worth of this scan, into coefs(ci) at `base`
+            // only reached with ns == 1 (the interleaved branch decodes
+            // DC inline with per-scan-position selectors)
+            def decodeDcFirst(ci: Int, base: Int): Boolean = {
+              val t = jpegDecodeHuff(br, dcTabs(sDc(0)))
+              if (t < 0 || t > 11) return false
+              val dv = br.receive(t)
+              if (dv < 0) return false
+              pred(ci) += jpegExtend(dv, t)
+              coefs(ci)(base) = pred(ci) << al
+              true
+            }
+            def decodeDcRefine(ci: Int, base: Int): Boolean = {
+              val bit = br.bit()
+              if (bit < 0) return false
+              if (bit == 1) coefs(ci)(base) |= 1 << al
+              true
+            }
+            def decodeAcFirst(ci: Int, base: Int): Boolean = {
+              if (eobrun > 0) { eobrun -= 1; return true }
+              var k = ss
+              while (k <= se) {
+                val rs = jpegDecodeHuff(br, acTabs(sAc(0)))
+                if (rs < 0) return false
+                val r = rs >> 4
+                val s2 = rs & 15
+                if (s2 == 0) {
+                  if (r < 15) {
+                    eobrun = (1 << r) - 1
+                    if (r > 0) {
+                      val x = br.receive(r); if (x < 0) return false
+                      eobrun += x
+                    }
+                    k = 64
+                  } else k += 16 // ZRL
+                } else {
+                  k += r
+                  if (k > se) return false
+                  val x = br.receive(s2); if (x < 0) return false
+                  coefs(ci)(base + jpegZigzag(k)) = jpegExtend(x, s2) << al
+                  k += 1
+                }
+              }
+              true
+            }
+            def decodeAcRefine(ci: Int, base: Int): Boolean = {
+              val p1 = 1 << al
+              val m1 = -1 << al
+              val cf = coefs(ci)
+              def correct(ze: Int): Boolean = {
+                val cb = br.bit()
+                if (cb < 0) return false
+                if (cb == 1 && (cf(base + ze) & p1) == 0)
+                  cf(base + ze) += (if (cf(base + ze) >= 0) p1 else m1)
+                true
+              }
+              var k = ss
+              if (eobrun == 0) {
+                var brk = false
+                while (k <= se && !brk) {
+                  val rs = jpegDecodeHuff(br, acTabs(sAc(0)))
+                  if (rs < 0) return false
+                  var r = rs >> 4
+                  val s2 = rs & 15
+                  var newval = 0
+                  if (s2 == 0) {
+                    if (r < 15) {
+                      eobrun = 1 << r
+                      if (r > 0) {
+                        val x = br.receive(r); if (x < 0) return false
+                        eobrun += x
+                      }
+                      brk = true
+                    }
+                    // r == 15: ZRL — pass 16 zero-history positions
+                  } else {
+                    if (s2 != 1) return false // refinement sends ±1 only
+                    val sbit = br.bit()
+                    if (sbit < 0) return false
+                    newval = if (sbit == 1) p1 else m1
+                  }
+                  if (!brk) {
+                    var placed = false
+                    while (k <= se && !placed) {
+                      val ze = jpegZigzag(k)
+                      if (cf(base + ze) != 0) {
+                        if (!correct(ze)) return false
+                      } else {
+                        if (r == 0) {
+                          if (s2 != 0) cf(base + ze) = newval
+                          placed = true
+                        } else r -= 1
+                      }
+                      k += 1
+                    }
+                    if (!placed && s2 != 0) return false // band overran
+                  }
+                }
+              }
+              if (eobrun > 0) {
+                while (k <= se) {
+                  val ze = jpegZigzag(k)
+                  if (cf(base + ze) != 0) { if (!correct(ze)) return false }
+                  k += 1
+                }
+                eobrun -= 1
+              }
+              true
+            }
+            if (ss == 0 && ns > 1) {
+              // interleaved DC scan: MCU walk over every component
+              var mcuY = 0
+              while (mcuY < my) {
+                var mcuX = 0
+                while (mcuX < mx) {
+                  if (!restartIfDue()) return None
+                  unit += 1
+                  var si2 = 0
+                  while (si2 < ns) {
+                    val ci = scomp(si2)
+                    var bv = 0
+                    while (bv < compV(ci)) {
+                      var bh2 = 0
+                      while (bh2 < compH(ci)) {
+                        val row = mcuY * compV(ci) + bv
+                        val colB = mcuX * compH(ci) + bh2
+                        val base = (row * gw(ci) + colB) * 64
+                        val ok =
+                          if (ah == 0) { // selector index = si2 in scan order
+                            val t = jpegDecodeHuff(br, dcTabs(sDc(si2)))
+                            if (t < 0 || t > 11) false
+                            else {
+                              val dv = br.receive(t)
+                              if (dv < 0) false
+                              else {
+                                pred(ci) += jpegExtend(dv, t)
+                                coefs(ci)(base) = pred(ci) << al
+                                true
+                              }
+                            }
+                          } else decodeDcRefine(ci, base)
+                        if (!ok) return None
+                        bh2 += 1
+                      }
+                      bv += 1
+                    }
+                    si2 += 1
+                  }
+                  mcuX += 1
+                }
+                mcuY += 1
+              }
+            } else {
+              // non-interleaved: one component, real-block raster walk
+              val ci = scomp(0)
+              var row = 0
+              while (row < ch(ci)) {
+                var colB = 0
+                while (colB < cw(ci)) {
+                  if (!restartIfDue()) return None
+                  unit += 1
+                  val base = (row * gw(ci) + colB) * 64
+                  val ok =
+                    if (ss == 0) {
+                      if (ah == 0) decodeDcFirst(ci, base)
+                      else decodeDcRefine(ci, base)
+                    } else {
+                      if (ah == 0) decodeAcFirst(ci, base)
+                      else decodeAcRefine(ci, base)
+                    }
+                  if (!ok) return None
+                  colB += 1
+                }
+                row += 1
+              }
+            }
+            // resync: skip pad bits/bytes to the next marker
+            var p = br.position
+            while (p + 1 < b.length &&
+              !((b(p) & 0xff) == 0xff && (b(p + 1) & 0xff) != 0)) p += 1
+            if (p + 1 >= b.length) return None
+            nextO = p
+          case _ => () // APPn / COM
+        }
+        o = nextO
+      }
+    }
+    if (!sawEoi || w == 0) return None
+    var ci0 = 0
+    while (ci0 < nComp) {
+      if (sas(ci0)(0) == -2) return None // DC never arrived
+      if (qt(compQ(ci0)) == null) return None
+      ci0 += 1
+    }
+    val bright =
+      if (!wantBrightness) null
+      else new Array[Int](w * h) // already capped at 2^22 px
+    // final pass: dequantize + IDCT every stored block, MCU-assembled
+    // through the same tiles/arithmetic as the baseline path
+    val hMax = compH(0)
+    val vMax = compV(0)
+    val mcuW = 8 * hMax
+    val mcuH = 8 * vMax
+    val samples = Array.ofDim[Int](3, mcuW * mcuH)
+    val dq = new Array[Int](64)
+    val tmp = Array.ofDim[Double](8, 8)
+    val accum = new JpegAccum(w, h, nComp, compH, compV, bright)
+    var mcuY = 0
+    while (mcuY < my) {
+      var mcuX = 0
+      while (mcuX < mx) {
+        var ci = 0
+        while (ci < nComp) {
+          val q = qt(compQ(ci))
+          val stride = 8 * compH(ci)
+          var bv = 0
+          while (bv < compV(ci)) {
+            var bh2 = 0
+            while (bh2 < compH(ci)) {
+              val row = mcuY * compV(ci) + bv
+              val colB = mcuX * compH(ci) + bh2
+              val base = (row * gw(ci) + colB) * 64
+              var k = 0
+              while (k < 64) {
+                val ze = jpegZigzag(k)
+                dq(ze) = coefs(ci)(base + ze) * q(k)
+                k += 1
+              }
+              jpegIdct8x8(dq, tmp, samples(ci), (bv * 8) * stride + bh2 * 8, stride)
+              bh2 += 1
+            }
+            bv += 1
+          }
+          ci += 1
+        }
+        accum.addMcu(samples, mcuX, mcuY)
+        mcuX += 1
+      }
+      mcuY += 1
+    }
+    Some(accum.result)
   }
 
   /** Grayscale view of [[jpegPixelStats]] — (lum_sum, n_pixels, min_lum,
@@ -1668,6 +2134,80 @@ object Multimodal {
       val bits = if (sign > 0) mag else sign * mag + 255
       out.put((bits >> 1).toByte)
       out.put(((bits & 1) << 7).toByte)
+    }
+    out.putShort(0xffd9.toShort) // EOI
+    out.array()
+  }
+
+  /** Progressive (SOF2) grayscale fixture: TWO DC scans — successive
+    * approximation Al=1, then the Ah=1→Al=0 refinement — and no AC scans
+    * (the band stays zero; progressive decodes whatever precision
+    * arrived). Scan 1 codes each block as exactly 16 bits (the 8-bit
+    * Huffman code "00000000" for category 8, then 8 diff bits), scan 2 as
+    * one raw bit per block (MSB-first within each byte), and every block
+    * with index ≡ 7 (mod 8) carries refinement bit 0 so no stream byte
+    * can reach 0xFF — both scans stay byte-aligned and stuffing-free,
+    * fully hex-walkable: scan-1 diff bits of block j at byte 135+2j;
+    * scan-2 bit of block j = bit (7−j%8) of byte 144+2·blocks+⌊j/8⌋.
+    * The DC after both scans is (sv<<1)|bit, the flat pixel
+    * clamp(round(128+dc·q0/8)), with dc·q0 kept off residue 4 (mod 8) so
+    * both engines round identically.
+    * Layout (0-based): SOI 0, APP0 2, DQT 20 (q0 at 25), SOF2 89
+    * (height BE 94, width BE 96), DHT-DC 102, SOS1 124 (data 134),
+    * SOS2 134+2·blocks, refinement bits 144+2·blocks, EOI.
+    */
+  def makeJpegProgressivePixels(wBlocks: Int, hBlocks: Int, q0: Int,
+      seed: Long): Array[Byte] = {
+    require(wBlocks > 0 && hBlocks > 0 && q0 >= 1 && q0 <= 3,
+      "q0 in 1..3 bounds the flat-block values near the displayable range")
+    val blocks = wBlocks * hBlocks
+    val bitBytes = (blocks + 7) / 8
+    val out = java.nio.ByteBuffer.allocate(146 + 2 * blocks + bitBytes)
+    out.putShort(0xffd8.toShort) // SOI
+    out.putShort(0xffe0.toShort).putShort(16) // APP0, len 16
+      .put("JFIF".getBytes("US-ASCII")).put(0.toByte)
+      .put(1.toByte).put(2.toByte)
+      .put(0.toByte).putShort(1).putShort(1)
+      .put(0.toByte).put(0.toByte)
+    out.putShort(0xffdb.toShort).putShort(67).put(0.toByte) // DQT table 0
+    out.put(q0.toByte)
+    var s = seed
+    (1 until 64).foreach { _ => s = splitmix64(s); out.put((1 + (s & 0x7f)).toByte) }
+    out.putShort(0xffc2.toShort).putShort(11) // SOF2, 1 component
+      .put(8.toByte)
+      .putShort((hBlocks * 8).toShort).putShort((wBlocks * 8).toShort)
+      .put(1.toByte)
+      .put(1.toByte).put(0x11.toByte).put(0.toByte)
+    out.putShort(0xffc4.toShort).putShort(20).put(0x00.toByte) // DHT DC 0
+    (1 to 16).foreach(l => out.put(if (l == 8) 1.toByte else 0.toByte))
+    out.put(0x08.toByte) // the single code "00000000" → category 8
+    def sos(ahAl: Int): Unit =
+      out.putShort(0xffda.toShort).putShort(8).put(1.toByte)
+        .put(1.toByte).put(0x00.toByte)
+        .put(0.toByte).put(0.toByte).put(ahAl.toByte)
+    sos(0x01) // scan 1: DC first, Ah=0 Al=1
+    var pred = 0
+    val refBits = new Array[Int](blocks)
+    (0 until blocks).foreach { j =>
+      s = splitmix64(s)
+      val bit = if (j % 8 == 7) 0 else ((s >> 17) & 1L).toInt
+      refBits(j) = bit
+      var mag = 128 + ((s & 0x7fffL) % 113).toInt
+      val sign = if (pred > 0) -1 else 1
+      while ((((2 * (pred + sign * mag) + bit) * q0) % 8 + 8) % 8 == 4) mag += 1
+      pred += sign * mag
+      val bits = if (sign > 0) mag else sign * mag + 255
+      out.put(0.toByte) // the 8-bit Huffman code for category 8
+      out.put(bits.toByte)
+    }
+    sos(0x10) // scan 2: DC refinement, Ah=1 Al=0 — one raw bit per block
+    (0 until bitBytes).foreach { bi =>
+      var v = 0
+      (0 until 8).foreach { k =>
+        val j = bi * 8 + k
+        v = (v << 1) | (if (j < blocks) refBits(j) else 0)
+      }
+      out.put(v.toByte)
     }
     out.putShort(0xffd9.toShort) // EOI
     out.array()

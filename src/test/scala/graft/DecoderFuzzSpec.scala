@@ -41,7 +41,8 @@ class DecoderFuzzSpec extends AnyFunSuite {
     "jpgpx" -> Multimodal.makeJpegPixels(4, 3, q0 = 2, seed = 7L),
     "jpgcolor" -> Multimodal.makeJpegColorPixels(3, 2, q0 = 2, seed = 8L),
     "jpg420" -> Multimodal.makeJpeg420Pixels(2, 2, q0 = 2, seed = 9L),
-    "jpgrst" -> Multimodal.makeJpegRestartPixels(4, 2, q0 = 2, dri = 3, seed = 10L))
+    "jpgrst" -> Multimodal.makeJpegRestartPixels(4, 2, q0 = 2, dri = 3, seed = 10L),
+    "jpgprog" -> Multimodal.makeJpegProgressivePixels(4, 2, q0 = 2, seed = 11L))
 
   private def mustNotThrow(what: String, bytes: Array[Byte],
       name: String, f: Array[Byte] => Any): Unit =
