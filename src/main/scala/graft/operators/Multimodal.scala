@@ -1537,7 +1537,25 @@ object Multimodal {
     * None for non-PCM (format != 1), non-16-bit, odd-length or truncated
     * data — validate, don't trust.
     */
-  def wavSampleStats(b: Array[Byte]): Option[(Long, Long, Long, Long)] = {
+  def wavSampleStats(b: Array[Byte]): Option[(Long, Long, Long, Long)] =
+    wavPcm16Data(b).map { case (dataOff, n) =>
+      var (sum, sumSq, peak) = (0L, 0L, 0L)
+      var i = dataOff
+      val end = dataOff + 2 * n
+      while (i < end) {
+        val v = ((b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)).toShort.toLong
+        sum += v; sumSq += v * v
+        val a = math.abs(v); if (a > peak) peak = a
+        i += 2
+      }
+      (sum, sumSq, peak, n.toLong)
+    }
+
+  /** The shared WAV chunk walk behind [[wavSampleStats]] and
+    * [[audioEnvelopeHash64]]: (data offset, sample count) of a validated
+    * PCM-s16 payload.
+    */
+  private def wavPcm16Data(b: Array[Byte]): Option[(Int, Int)] = {
     def tag(o: Int): String =
       if (b.length >= o + 4) new String(b.slice(o, o + 4), "US-ASCII") else ""
     if (b == null || b.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") None
@@ -1558,20 +1576,52 @@ object Multimodal {
       }
       if (!fmtOk || dataOff < 0 || dataLen < 0 || (dataLen & 1L) != 0 ||
         dataOff + dataLen > b.length) None
-      else {
-        var (sum, sumSq, peak) = (0L, 0L, 0L)
-        var i = dataOff
-        val end = (dataOff + dataLen).toInt
-        while (i < end) {
-          val v = ((b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)).toShort.toLong
-          sum += v; sumSq += v * v
-          val a = math.abs(v); if (a > peak) peak = a
-          i += 2
-        }
-        Some((sum, sumSq, peak, dataLen / 2))
-      }
+      else Some((dataOff, (dataLen / 2).toInt))
     }
   }
+
+  /** 64-bit audio envelope hash — the audio twin of [[imageAHash64]]:
+    * PCM16 samples (all channels interleaved, as stored) split into 64
+    * equal floor-boundary segments; bit k — at hash position 63−k,
+    * segments in time order — is set iff the segment's mean absolute
+    * amplitude exceeds the whole clip's: segSum·n > total·segN with
+    * exact integer cross-multiplication (ties → 0). Reproducible by any
+    * engine from the raw PCM bytes, and invariant under exact integer
+    * volume scaling (both sides of every comparison scale together).
+    * None for non-PCM16 WAV, clips under 64 samples (empty segments),
+    * or beyond 2^22 samples (keeps 2^15·n² inside a Long).
+    *
+    * Near-duplicate clips (re-encodes, gain changes, small edits) land
+    * within a few bits; pair generation shares [[ImageNearDup]]'s
+    * banded hamming join — the operator is generic over any 64-bit
+    * perceptual hash.
+    */
+  def audioEnvelopeHash64(b: Array[Byte]): Option[Long] =
+    wavPcm16Data(b).flatMap { case (dataOff, n) =>
+      if (n < 64 || n > (1 << 22)) None
+      else {
+        val segSum = new Array[Long](64)
+        val segN = new Array[Long](64)
+        var total = 0L
+        var i = 0
+        while (i < n) {
+          val v = ((b(dataOff + 2 * i) & 0xff) |
+            ((b(dataOff + 2 * i + 1) & 0xff) << 8)).toShort.toInt
+          val a = math.abs(v)
+          val k = (i.toLong * 64 / n).toInt
+          segSum(k) += a; segN(k) += 1; total += a
+          i += 1
+        }
+        val nn = n.toLong
+        var hash = 0L
+        var k = 0
+        while (k < 64) {
+          if (segSum(k) * nn > total * segN(k)) hash |= 1L << (63 - k)
+          k += 1
+        }
+        Some(hash)
+      }
+    }
 
   def makeWav(channels: Int, sampleRate: Int, nSamples: Int, seed: Long): Array[Byte] = {
     val bits = 16

@@ -27,7 +27,8 @@ class DecoderFuzzSpec extends AnyFunSuite {
     "wavSampleStats" -> Multimodal.wavSampleStats _,
     "jpegPixelStats" -> Multimodal.jpegPixelStats _,
     "jpegGraySums" -> Multimodal.jpegGraySums _,
-    "imageAHash64" -> Multimodal.imageAHash64 _)
+    "imageAHash64" -> Multimodal.imageAHash64 _,
+    "audioEnvelopeHash64" -> Multimodal.audioEnvelopeHash64 _)
 
   private val valids: Seq[(String, Array[Byte])] = Seq(
     "bmp" -> Multimodal.makeBmp(9, 7, seed = 1L),

@@ -98,6 +98,54 @@ class ImageHashSpec extends AnyFunSuite {
     assert(d <= 3, s"hamming $d after a 3-pixel tweak")
   }
 
+  /** Independent envelope-hash reference over raw samples. */
+  private def refAudioHash(samples: Array[Int]): Long = {
+    val n = samples.length
+    val cs = new Array[Long](64)
+    val cn = new Array[Long](64)
+    var tot = 0L
+    samples.zipWithIndex.foreach { case (v, i) =>
+      val k = (i.toLong * 64 / n).toInt
+      cs(k) += math.abs(v); cn(k) += 1; tot += math.abs(v)
+    }
+    (0 until 64).foldLeft(0L) { (acc, k) =>
+      if (cs(k) * n > tot * cn(k)) acc | (1L << (63 - k)) else acc
+    }
+  }
+
+  private def wavOf(samples: Array[Int]): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(44 + 2 * samples.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + 2 * samples.length)
+      .put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000)
+      .putShort(2).putShort(16)
+    out.put("data".getBytes("US-ASCII")).putInt(2 * samples.length)
+    samples.foreach(v => out.putShort(v.toShort))
+    out.array()
+  }
+
+  test("audio envelope hash equals the independent reference") {
+    for (seed <- Seq(50L, 51L, 52L)) {
+      val wav = Multimodal.makeWav(1, 8000, 300, seed)
+      val samples = (0 until 300).map { i =>
+        (((wav(44 + 2 * i) & 0xff) | ((wav(45 + 2 * i) & 0xff) << 8)).toShort).toInt
+      }.toArray
+      assert(Multimodal.audioEnvelopeHash64(wav) === Some(refAudioHash(samples)))
+    }
+  }
+
+  test("audio hash is invariant under exact volume doubling; rejects tiny clips") {
+    val rnd = new scala.util.Random(60L)
+    val samples = Array.fill(200)(rnd.nextInt(20001) - 10000)
+    val h1 = Multimodal.audioEnvelopeHash64(wavOf(samples))
+    assert(h1.isDefined)
+    assert(Multimodal.audioEnvelopeHash64(wavOf(samples.map(_ * 2))) === h1)
+    assert(Multimodal.audioEnvelopeHash64(wavOf(Array.fill(63)(5))).isEmpty) // < 64
+    assert(Multimodal.audioEnvelopeHash64(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
   test("banded pair join is lossless vs brute force (maxDist 3 and 4)") {
     import spark.implicits._
     val rnd = new scala.util.Random(20260814L)
