@@ -23,6 +23,12 @@ object Streaming extends QueryBlock {
   private def fmt(c: org.apache.spark.sql.Column) =
     date_format(c, "yyyy-MM-dd HH:mm:ss")
 
+  /** DuckDB byte-at-1-based-offset from `H = hex(content)` (the
+    * LlmPipeline hex-walk idiom, needed here by d13's image oracle).
+    */
+  private def duckHexB(off: Int): String =
+    s"(strpos('123456789ABCDEF', substr(H, ${2 * off - 1}, 1))*16 + strpos('123456789ABCDEF', substr(H, ${2 * off}, 1)))"
+
   val queries: Map[String, QueryDef] = Map(
     // D1 — file stream source scan: per-type counts of the full stream.
     "d01_stream_scan" -> QueryDef(
@@ -180,6 +186,80 @@ object Streaming extends QueryBlock {
           WHERE rn = 1)
         SELECT code0, count(*) AS n, min(vec_id) AS first_id
         FROM codes GROUP BY code0 ORDER BY code0""")),
+
+    // D13 — MULTIMODAL INGEST as a stream: image files arrive
+    // (binaryFile stream source), the perceptual hash (e29's
+    // imageAHash64) is computed scan-locally as each batch lands, and a
+    // streaming aggregate maintains the exact-perceptual-dup groups
+    // (keeper = min filename, multiplicity) — the monitoring signal an
+    // image-ingest dedup pipeline tracks. Group identity crosses engines
+    // WITHOUT the hash value itself: the engine groups by the 64-bit
+    // hash, the oracle by the equivalent 64-char bit string it
+    // re-derives from raw BMP bytes — a bijection, so the (keeper, n)
+    // multisets match exactly.
+    "d13_stream_image_hash" -> QueryDef(
+      (s, dir) => {
+        val imgDir = s"${graft.Graft.scratchDir}/img_stream"
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(imgDir))
+        new java.io.File(imgDir).listFiles().foreach(_.delete())
+        def write(name: String, bytes: Array[Byte]): Unit =
+          java.nio.file.Files.write(java.nio.file.Paths.get(s"$imgDir/$name"), bytes)
+        (0 until 6).foreach { i =>
+          val base = graft.operators.Multimodal.makeBmp(16 + 8 * (i % 2), 16, seed = 41000 + i)
+          write(f"img$i%02da.bmp", base)
+          write(f"img$i%02db.bmp", base) // byte-identical arrival twin
+          if (i < 4) { // near-dup: tiny brightness nudge on two pixels
+            val dup = base.clone()
+            Seq(20, 40).foreach { si =>
+              dup(54 + si) = (math.min(253, dup(54 + si) & 0xff) + 2).toByte
+            }
+            write(f"img$i%02dc.bmp", dup)
+          }
+        }
+        (0 until 4).foreach { i =>
+          write(f"other$i%02d.bmp",
+            graft.operators.Multimodal.makeBmp(16, 16, seed = 42000 + i))
+        }
+        val ah = udf((bytes: Array[Byte]) =>
+          graft.operators.Multimodal.imageAHash64(bytes))
+        val groups = s.readStream.format("binaryFile")
+          .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+          .load(imgDir)
+          .select(regexp_extract(col("path"), "([^/]+)$", 1).as("fname"),
+            ah(col("content")).as("h"))
+          .filter(col("h").isNotNull)
+          .groupBy(col("h"))
+          .agg(min(col("fname")).as("keeper"), count(lit(1)).as("n_files"))
+        EventStreams.runToTable(s, groups, "d13_sink")
+          .select(col("keeper"), col("n_files"))
+          .orderBy(col("keeper"))
+      },
+      Some(s"""WITH b AS (SELECT filename, hex(content) AS H
+          FROM read_blob('${graft.Graft.scratchDir}/img_stream/*.bmp')),
+        hdr AS (SELECT filename, H,
+          (${duckHexB(11)} + 256*${duckHexB(12)} + 65536*${duckHexB(13)} + 16777216*${duckHexB(14)}) AS data_off,
+          (${duckHexB(19)} + 256*${duckHexB(20)}) AS w,
+          (${duckHexB(23)} + 256*${duckHexB(24)}) AS ht FROM b),
+        px AS (SELECT filename, w, ht, (i % w) AS x, ht - 1 - (i // w) AS y,
+            data_off + (i // w) * (((w * 3 + 3) // 4) * 4) + (i % w) * 3 AS o, H
+          FROM hdr, UNNEST(generate_series(0, w * ht - 1)) AS u(i)),
+        br AS (SELECT filename, ((y * 8) // ht) * 8 + ((x * 8) // w) AS k,
+            (strpos('123456789ABCDEF', substr(H, 2*o + 1, 1))*16 + strpos('123456789ABCDEF', substr(H, 2*o + 2, 1)))
+          + (strpos('123456789ABCDEF', substr(H, 2*(o+1) + 1, 1))*16 + strpos('123456789ABCDEF', substr(H, 2*(o+1) + 2, 1)))
+          + (strpos('123456789ABCDEF', substr(H, 2*(o+2) + 1, 1))*16 + strpos('123456789ABCDEF', substr(H, 2*(o+2) + 2, 1))) AS v
+          FROM px),
+        cells AS (SELECT filename, k, sum(v) AS cs, count(*) AS cn
+          FROM br GROUP BY 1, 2),
+        tot AS (SELECT filename, sum(cs) AS ts, sum(cn) AS n
+          FROM cells GROUP BY 1),
+        bits AS (SELECT c.filename, c.k,
+            CASE WHEN c.cs * t.n > t.ts * c.cn THEN 1 ELSE 0 END AS bit
+          FROM cells c JOIN tot t USING (filename)),
+        sig AS (SELECT filename, string_agg(CAST(bit AS VARCHAR), '' ORDER BY k) AS sg
+          FROM bits GROUP BY filename)
+        SELECT regexp_extract(min(filename), '([^/]+)$$', 1) AS keeper,
+          count(*) AS n_files
+        FROM sig GROUP BY sg ORDER BY keeper""")),
 
     // D10++ — the E15 clean-corpus pipeline AS A STREAM: quality gate →
     // exact-dedup (keeper = min doc_id via min_by, order-independent) →
