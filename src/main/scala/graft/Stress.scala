@@ -207,6 +207,47 @@ object Stress {
         failed ::= s"zipf prefix max bucket $preMaxZ did not collapse vs raw $rawMaxZ"
     }
 
+    // Hamming near-dup (e29/e30) at volume: 505k hashes — 500k uniform
+    // (xxhash64 of the id) + 5000 planted near-dups (≤3 bit flips of an
+    // existing hash). The banded join must (a) find EVERY planted pair
+    // (pigeonhole losslessness, here exercised at volume rather than by
+    // the spec's brute force), (b) generate orders of magnitude fewer
+    // candidates than all-pairs, and (c) keep band buckets small — the
+    // three properties that make the operator a join, not a scan of n².
+    {
+      val n = 500000L
+      val planted = 5000L
+      val base = spark.range(n).select(col("id"), xxhash64(col("id")).as("h"))
+      val dups = spark.range(planted).select((col("id") + n).as("id"),
+        expr("""xxhash64(id)
+          ^ shiftleft(1L, cast(id % 64 AS INT))
+          ^ shiftleft(1L, cast((id * 31) % 64 AS INT))
+          ^ shiftleft(1L, cast((id * 53) % 64 AS INT))""").as("h"))
+      val all = base.union(dups)
+      val bands = all.select(col("id"),
+        posexplode(array((0 until 4).map(i =>
+          shiftright(col("h"), 16 * i).bitwiseAND(lit(0xffffL))): _*))
+          .as(Seq("band", "bkey")))
+      val bucketStats = bands.groupBy("band", "bkey").count()
+        .agg(sum(col("count") * (col("count") - 1)) / 2, max("count"))
+        .collect()(0)
+      val candVol = bucketStats.getDouble(0).toLong
+      val maxBucket = bucketStats.getLong(1)
+      val allPairs = (n + planted) * (n + planted - 1) / 2
+      val pairs = operators.ImageNearDup.pairs(all, "id", "h", maxDist = 3).cache()
+      val found = pairs.count()
+      val plantedFound = pairs
+        .filter(col("id2") === col("id1") + n && col("id1") < planted).count()
+      pairs.unpersist()
+      println(f"[stress] hamming near-dup (505k hashes): $candVol%d candidate pairs of $allPairs%d all-pairs (${allPairs.toDouble / candVol}%.0fx reduction), max band bucket $maxBucket%d, planted recovered $plantedFound%d/$planted%d, pairs out $found%d")
+      if (plantedFound != planted)
+        failed ::= s"hamming banding lost planted pairs: $plantedFound of $planted"
+      if (candVol * 1000 > allPairs)
+        failed ::= s"hamming candidate volume $candVol not <<< all-pairs $allPairs"
+      if (maxBucket > 1000)
+        failed ::= s"hamming band bucket $maxBucket unbounded"
+    }
+
     if (spillBytes.get() > 0)
       failed ::= s"spill: ${spillBytes.get()} bytes spilled across the stress runs"
     if (failed.nonEmpty) {
