@@ -105,15 +105,17 @@ object Multimodal {
     }
   }
 
-  /** REAL pixel-level PNG decode for 8-bit truecolor (color type 2, no
-    * interlace): the chunk walk collects every IDAT payload, the
-    * concatenated zlib stream inflates through `java.util.zip.Inflater`
-    * (JDK — zero codec dependencies), and scanlines un-filter per the PNG
-    * spec (None/Sub/Up/Average/Paeth at bpp=3). Returns per-channel RGB
-    * sums + pixel count, from which channel means follow exactly. None
-    * for non-PNG, other bit depths/color types, interlaced images, a
-    * corrupt or truncated zlib stream, or bad filter bytes — validate,
-    * don't trust. Handles ANY conforming deflate stream (stored OR
+  /** REAL pixel-level PNG decode for 8-bit truecolor (color type 2) and
+    * 8-bit PALETTED images (color type 3, PLTE-mapped), no interlace:
+    * the chunk walk collects every IDAT payload, the concatenated zlib
+    * stream inflates through `java.util.zip.Inflater` (JDK — zero codec
+    * dependencies), and scanlines un-filter per the PNG spec
+    * (None/Sub/Up/Average/Paeth at the color type's bpp). Returns
+    * per-channel RGB sums + pixel count, from which channel means follow
+    * exactly. None for non-PNG, other bit depths/color types, interlaced
+    * images, a missing/oversized PLTE or out-of-palette index, a corrupt
+    * or truncated zlib stream, or bad filter bytes — validate, don't
+    * trust. Handles ANY conforming deflate stream (stored OR
     * huffman-compressed): fixtures use stored blocks so the DuckDB oracle
     * can hex-walk the same bytes (e12i), while MultimodalSpec feeds real
     * Deflater-compressed streams exercising every filter type.
@@ -129,34 +131,44 @@ object Multimodal {
     }.map { case (w, h) => (sumR, sumG, sumB, w.toLong * h) }
   }
 
-  /** The shared truecolor-PNG decode core behind [[pngChannelSums]] and
-    * [[imageAHash64]]: validates, reassembles IDAT, inflates, un-filters,
-    * and feeds each scanline's RGB bytes (top-down; `rowPx` = 3·w valid
-    * ints) to `row`. Some((w,h)) only on FULL success — the callback may
-    * have seen a prefix of rows when the result is None, so callers must
-    * not publish side effects until the Option returns.
+  /** The shared PNG decode core behind [[pngChannelSums]] and
+    * [[imageAHash64]] — 8-bit truecolor (color type 2) AND 8-bit paletted
+    * (color type 3, PLTE-mapped): validates, reassembles IDAT, inflates,
+    * un-filters at the color type's bpp, palette-maps indexed rows, and
+    * feeds each scanline's RGB bytes (top-down; `rowPx` = 3·w valid ints)
+    * to `row`. Some((w,h)) only on FULL success — the callback may have
+    * seen a prefix of rows when the result is None, so callers must not
+    * publish side effects until the Option returns.
     */
   private def pngRows(b: Array[Byte])(row: (Int, Array[Int], Int) => Unit): Option[(Int, Int)] =
     decodePngHeader(b) match {
-      case Some((w, h, 8, 2)) if w > 0 && h > 0 &&
+      case Some((w, h, 8, ct)) if (ct == 2 || ct == 3) && w > 0 && h > 0 &&
           (b(26) & 0xff) == 0 && (b(27) & 0xff) == 0 && (b(28) & 0xff) == 0 =>
         // chunk walk: concatenate IDAT payloads (multiple chunks are one
-        // continuous zlib stream per spec)
+        // continuous zlib stream per spec); record the PLTE for type 3
         val idat = new java.io.ByteArrayOutputStream()
         var o = 33L
         var ok = true
         var done = false
+        var plteOff = -1
+        var plteColors = 0
         while (!done && ok && o + 8 <= b.length) {
           val len = beU32(b, o.toInt)
           val tag = new String(b.slice(o.toInt + 4, o.toInt + 8), "US-ASCII")
           if (o + 12 + len > b.length) ok = false
           else {
             if (tag == "IDAT") idat.write(b, o.toInt + 8, len.toInt)
+            if (tag == "PLTE") {
+              if (len % 3 != 0 || len == 0 || len > 3 * 256) ok = false
+              else { plteOff = o.toInt + 8; plteColors = (len / 3).toInt }
+            }
             if (tag == "IEND") done = true
             o += 12 + len
           }
         }
-        val stride = w.toLong * 3
+        val bpp = if (ct == 2) 3 else 1
+        if (ct == 3 && plteOff < 0) ok = false // paletted requires PLTE
+        val stride = w.toLong * bpp
         val need = (stride + 1) * h
         // `done` = IEND reached: a stream that ends mid-chunk (truncated
         // download) rejects even when every IDAT byte happens to be there
@@ -179,18 +191,19 @@ object Multimodal {
             finally inf.end()
           if (!inflated) None
           else {
-            val rowPx = w * 3
-            val prev = new Array[Int](rowPx)
-            val cur = new Array[Int](rowPx)
+            val rowBytes = w * bpp
+            val prev = new Array[Int](rowBytes)
+            val cur = new Array[Int](rowBytes)
+            val rgb = if (ct == 3) new Array[Int](w * 3) else cur
             var valid = true
             var r = 0
             while (r < h && valid) {
-              val base = r * (rowPx + 1)
+              val base = r * (rowBytes + 1)
               val ft = raw(base) & 0xff
               var i = 0
-              while (i < rowPx && valid) {
+              while (i < rowBytes && valid) {
                 val x = raw(base + 1 + i) & 0xff
-                val a = if (i >= 3) cur(i - 3) else 0
+                val a = if (i >= bpp) cur(i - bpp) else 0
                 val up = prev(i)
                 val v = ft match {
                   case 0 => x
@@ -198,7 +211,7 @@ object Multimodal {
                   case 2 => (x + up) & 0xff
                   case 3 => (x + ((a + up) >> 1)) & 0xff
                   case 4 =>
-                    val c = if (i >= 3) prev(i - 3) else 0
+                    val c = if (i >= bpp) prev(i - bpp) else 0
                     val p = a + up - c
                     val pa = math.abs(p - a)
                     val pb = math.abs(p - up)
@@ -211,9 +224,23 @@ object Multimodal {
                 cur(i) = v
                 i += 1
               }
+              if (valid && ct == 3) {
+                // palette map; out-of-range index = corrupt file
+                var px = 0
+                while (px < w && valid) {
+                  val idx = cur(px)
+                  if (idx >= plteColors) valid = false
+                  else {
+                    rgb(3 * px) = b(plteOff + 3 * idx) & 0xff
+                    rgb(3 * px + 1) = b(plteOff + 3 * idx + 1) & 0xff
+                    rgb(3 * px + 2) = b(plteOff + 3 * idx + 2) & 0xff
+                  }
+                  px += 1
+                }
+              }
               if (valid) {
-                row(r, cur, rowPx)
-                System.arraycopy(cur, 0, prev, 0, rowPx)
+                row(r, rgb, w * 3)
+                System.arraycopy(cur, 0, prev, 0, rowBytes)
               }
               r += 1
             }
@@ -1391,7 +1418,7 @@ object Multimodal {
       case _ => None
     }
     else if (m0 == 0x89 && m1 == 'P') decodePngHeader(b) match {
-      case Some((w, h, 8, 2)) if capped(w, h) =>
+      case Some((w, h, 8, ct)) if (ct == 2 || ct == 3) && capped(w, h) =>
         val v = new Array[Int](w * h)
         pngRows(b) { (r, cur, rowPx) =>
           var x = 0
@@ -1694,26 +1721,28 @@ object Multimodal {
   /** REAL pixel-level GIF decode: GENERAL LZW (variable code widths
     * 3..12 bits LSB-first, dictionary growth, CLEAR rebuild, the KwKwK
     * self-reference case, EOI) over the first image's concatenated data
-    * sub-blocks, indices mapped through the global color table to
-    * per-channel RGB sums + pixel count. Scope is stated, not fudged:
-    * first image descriptor only, no interlace, no local color table —
-    * anything outside it, any truncated stream, any code referencing an
-    * unassigned dictionary slot, or fewer decoded indices than
-    * width*height yields None. The decoder handles ANY conforming LZW
-    * stream (MultimodalSpec feeds a real greedy-dictionary encoder);
-    * e12j's fixtures additionally use byte-aligned 8-bit codes (the
-    * classic "uncompressed GIF" trick) so the DuckDB oracle can address
-    * every pixel byte with integer arithmetic.
+    * sub-blocks, indices mapped through the active color table — LOCAL
+    * if the image descriptor carries one, global otherwise — to
+    * per-channel RGB sums + pixel count. Interlaced images decode and
+    * de-interlace through the 4-pass row map. Scope is stated, not
+    * fudged: first image descriptor only; any truncated stream, any code
+    * referencing an unassigned dictionary slot, any index outside the
+    * active palette, or fewer decoded indices than width*height yields
+    * None. The decoder handles ANY conforming LZW stream (MultimodalSpec
+    * feeds a real greedy-dictionary encoder); e12j's fixtures
+    * additionally use byte-aligned 8-bit codes (the classic
+    * "uncompressed GIF" trick) so the DuckDB oracle can address every
+    * pixel byte with integer arithmetic.
     */
   def gifChannelSums(b: Array[Byte]): Option[(Long, Long, Long, Long)] =
-    gifPixelIndices(b).map { case (iw, ih, indices, gctOff) =>
+    gifPixelIndices(b).map { case (iw, ih, indices, palOff) =>
       var (sr, sg, sb) = (0L, 0L, 0L)
       var i = 0
       while (i < indices.length) {
         val idx = indices(i)
-        sr += b(gctOff + 3 * idx) & 0xff
-        sg += b(gctOff + 3 * idx + 1) & 0xff
-        sb += b(gctOff + 3 * idx + 2) & 0xff
+        sr += b(palOff + 3 * idx) & 0xff
+        sg += b(palOff + 3 * idx + 1) & 0xff
+        sb += b(palOff + 3 * idx + 2) & 0xff
         i += 1
       }
       (sr, sg, sb, iw.toLong * ih)
@@ -1721,11 +1750,13 @@ object Multimodal {
 
   /** The shared GIF decode core behind [[gifChannelSums]] and
     * [[imageAHash64]]: (width, height, palette indices in top-down raster
-    * order — every one validated < gctColors, global color table offset).
+    * order — de-interlaced if needed, every one validated against the
+    * active palette, offset of the active (local-else-global) color
+    * table).
     */
   private def gifPixelIndices(b: Array[Byte]): Option[(Int, Int, Array[Int], Int)] =
     decodeGifHeader(b) match {
-      case Some((_, _, _, gctColors, _)) if gctColors > 0 =>
+      case Some((_, _, _, gctColors, _)) =>
         val gctOff = 13
         var o = gctOff + 3 * gctColors
         // skip extension blocks (0x21 label, then length-prefixed
@@ -1747,8 +1778,16 @@ object Multimodal {
           val interlaced = (iflags & 0x40) != 0
           val hasLct = (iflags & 0x80) != 0
           o += 10
-          if (iw <= 0 || ih <= 0 || interlaced || hasLct ||
-            o >= b.length) None
+          // the ACTIVE table: local (follows the descriptor) beats global
+          val (palOff, palColors) =
+            if (hasLct) {
+              val n = 1 << ((iflags & 0x07) + 1)
+              val po = o
+              o += 3 * n
+              (po, n)
+            } else (gctOff, gctColors)
+          if (iw <= 0 || ih <= 0 || palColors <= 0 ||
+            palOff + 3 * palColors > b.length || o >= b.length) None
           else {
             val minCode = b(o) & 0xff
             o += 1
@@ -1769,10 +1808,31 @@ object Multimodal {
                 var bad = false
                 var i = 0
                 while (i < indices.length && !bad) {
-                  if (indices(i) >= gctColors) bad = true
+                  if (indices(i) >= palColors) bad = true
                   i += 1
                 }
-                if (bad) None else Some((iw, ih, indices, gctOff))
+                if (bad) None
+                else {
+                  val ordered =
+                    if (!interlaced) indices
+                    else {
+                      // 4-pass interlace (GIF89a appendix E): decoded rows
+                      // arrive pass-major; scatter back to raster order
+                      val outA = new Array[Int](indices.length)
+                      var srcRow = 0
+                      Seq((0, 8), (4, 8), (2, 4), (1, 2)).foreach {
+                        case (start, step) =>
+                          var y = start
+                          while (y < ih) {
+                            System.arraycopy(indices, srcRow * iw, outA, y * iw, iw)
+                            srcRow += 1
+                            y += step
+                          }
+                      }
+                      outA
+                    }
+                  Some((iw, ih, ordered, palOff))
+                }
             }
           }
         }
@@ -1870,24 +1930,36 @@ object Multimodal {
     * (e12h/e12i precedent). Deterministic pixels from splitmix64, any
     * conforming GIF reader decodes the file identically.
     */
-  def makeGifPixels(width: Int, height: Int, seed: Long): Array[Byte] = {
+  def makeGifPixels(width: Int, height: Int, seed: Long,
+      interlaced: Boolean = false, localPalette: Boolean = false): Array[Byte] = {
     val n = width * height
-    val px = new Array[Byte](n)
+    val px = new Array[Byte](n) // logical pixels, raster order
     var s = seed
     (0 until n).foreach { i => s = splitmix64(s); px(i) = (s & 0x7f).toByte }
+    // stream rows in storage order: raster, or the 4-pass interlace walk
+    val rowOrder: Seq[Int] =
+      if (!interlaced) 0 until height
+      else Seq((0, 8), (4, 8), (2, 4), (1, 2)).flatMap {
+        case (start, step) => start until height by step
+      }
     // code stream: CLEAR + 120 pixels, repeated; EOI
     val codes = new java.io.ByteArrayOutputStream()
-    var i = 0
-    while (i < n) {
-      codes.write(0x80) // CLEAR (code 128)
-      val end = math.min(i + 120, n)
-      while (i < end) { codes.write(px(i)); i += 1 }
+    var written = 0
+    rowOrder.foreach { y =>
+      var x = 0
+      while (x < width) {
+        if (written % 120 == 0) codes.write(0x80) // CLEAR (code 128)
+        codes.write(px(y * width + x))
+        written += 1
+        x += 1
+      }
     }
     codes.write(0x81) // EOI
     val stream = codes.toByteArray
     val nBlocks = (stream.length + 254) / 255
     val out = java.nio.ByteBuffer.allocate(
-      13 + 3 * 128 + 10 + 1 + stream.length + nBlocks + 1 + 1)
+      13 + 3 * 128 + 10 + (if (localPalette) 3 * 128 else 0) + 1 +
+        stream.length + nBlocks + 1 + 1)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     out.put("GIF89a".getBytes("US-ASCII"))
     out.putShort(width.toShort).putShort(height.toShort)
@@ -1899,7 +1971,16 @@ object Multimodal {
     out.put(0x2c.toByte) // image descriptor
     out.putShort(0.toShort).putShort(0.toShort)
     out.putShort(width.toShort).putShort(height.toShort)
-    out.put(0.toByte) // no LCT, not interlaced
+    out.put((((if (localPalette) 0x80 else 0) |
+      (if (interlaced) 0x40 else 0) |
+      (if (localPalette) 6 else 0))).toByte)
+    if (localPalette) {
+      // a DIFFERENT mapping from the global table, so a decoder that
+      // wrongly reads the GCT produces different sums and fails
+      (0 until 128).foreach { c =>
+        out.put(c.toByte).put((127 - c).toByte).put((c / 2).toByte)
+      }
+    }
     out.put(7.toByte) // LZW min code size
     var off = 0
     while (off < stream.length) {

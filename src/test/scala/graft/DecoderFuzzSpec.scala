@@ -34,6 +34,8 @@ class DecoderFuzzSpec extends AnyFunSuite {
     "bmp" -> Multimodal.makeBmp(9, 7, seed = 1L),
     "png" -> Multimodal.makePngPixels(6, 5, seed = 2L),
     "gif" -> Multimodal.makeGifPixels(8, 6, seed = 3L),
+    "gifint" -> Multimodal.makeGifPixels(8, 9, seed = 3L, interlaced = true),
+    "giflct" -> Multimodal.makeGifPixels(8, 8, seed = 3L, localPalette = true),
     "wav" -> Multimodal.makeWav(2, 16000, 64, seed = 4L),
     "mp4" -> Multimodal.makeMp4(minorVersion = 0L, timescale = 1000,
       duration = 5000, mediaBytes = 64, seed = 5L),

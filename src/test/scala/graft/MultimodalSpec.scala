@@ -190,6 +190,92 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.gifChannelSums(bad) === None)
   }
 
+  test("GIF variants: interlace de-scatters, local color table overrides global") {
+    val (w, h) = (12, 11) // odd height exercises all four interlace passes
+    val plain = Multimodal.makeGifPixels(w, h, seed = 9100L)
+    val inter = Multimodal.makeGifPixels(w, h, seed = 9100L, interlaced = true)
+    // same LOGICAL image stored in pass order: the order-invariant sums
+    // AND the position-sensitive perceptual hash must both agree
+    assert(Multimodal.gifChannelSums(inter) === Multimodal.gifChannelSums(plain))
+    assert(Multimodal.imageAHash64(inter).isDefined)
+    assert(Multimodal.imageAHash64(inter) === Multimodal.imageAHash64(plain))
+    // local color table: a decoder that wrongly keeps reading the global
+    // grayscale table would get equal channels; the LCT maps them apart
+    val lct = Multimodal.makeGifPixels(w, h, seed = 9100L, localPalette = true)
+    var s = 9100L
+    var (er, eg, eb) = (0L, 0L, 0L)
+    (0 until w * h).foreach { _ =>
+      s = TextFunctions.splitmix64(s)
+      val c = (s & 0x7f).toInt
+      er += c; eg += 127 - c; eb += c / 2
+    }
+    assert(Multimodal.gifChannelSums(lct) === Some((er, eg, eb, (w * h).toLong)))
+  }
+
+  test("REAL PNG pixel decode: 8-bit paletted (PLTE) images, all filter types") {
+    val (w, h) = (7, 6)
+    val nPal = 40
+    val idx = Array.tabulate(h, w)((r, c) => (r * 7 + c * 3) % nPal)
+    val pal = Array.tabulate(nPal)(i => ((i * 6) % 256, (255 - i * 5) % 256, (i * 11) % 256))
+    def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val (pa, pb, pc) = (math.abs(p - a), math.abs(p - b), math.abs(p - c))
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+    val raw = new java.io.ByteArrayOutputStream()
+    (0 until h).foreach { r =>
+      val ft = r % 5
+      raw.write(ft)
+      (0 until w).foreach { i =>
+        val x = idx(r)(i)
+        val a = if (i >= 1) idx(r)(i - 1) else 0
+        val up = if (r >= 1) idx(r - 1)(i) else 0
+        val c = if (r >= 1 && i >= 1) idx(r - 1)(i - 1) else 0
+        val enc = ft match {
+          case 0 => x
+          case 1 => (x - a) & 0xff
+          case 2 => (x - up) & 0xff
+          case 3 => (x - ((a + up) >> 1)) & 0xff
+          case 4 => (x - paeth(a, up, c)) & 0xff
+        }
+        raw.write(enc)
+      }
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw.toByteArray); defl.finish()
+    val zbuf = new Array[Byte](raw.size() + 64)
+    val zlen = defl.deflate(zbuf); defl.end()
+    def chunk(tag: String, payload: Array[Byte]): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(12 + payload.length)
+      out.putInt(payload.length).put(tag.getBytes("US-ASCII")).put(payload)
+      val crc = new java.util.zip.CRC32
+      crc.update(tag.getBytes("US-ASCII")); crc.update(payload)
+      out.putInt(crc.getValue.toInt).array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13).putInt(w).putInt(h)
+      .put(8.toByte).put(3.toByte).put(0.toByte).put(0.toByte).put(0.toByte).array()
+    val plte = pal.flatMap { case (r, g, b2) => Seq(r.toByte, g.toByte, b2.toByte) }
+    val png = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+      chunk("IHDR", ihdr) ++ chunk("PLTE", plte) ++
+      chunk("IDAT", zbuf.take(zlen)) ++ chunk("IEND", Array.emptyByteArray)
+    val flat = idx.flatten
+    val er = flat.map(i => pal(i)._1.toLong).sum
+    val eg = flat.map(i => pal(i)._2.toLong).sum
+    val eb = flat.map(i => pal(i)._3.toLong).sum
+    assert(Multimodal.pngChannelSums(png) === Some((er, eg, eb, (w * h).toLong)))
+    // an index beyond the palette rejects: re-encode with a poisoned row
+    val raw2 = raw.toByteArray.clone()
+    raw2(1) = nPal.toByte // row 0 is filter None: direct index byte
+    val defl2 = new java.util.zip.Deflater()
+    defl2.setInput(raw2); defl2.finish()
+    val zbuf2 = new Array[Byte](raw2.length + 64)
+    val zlen2 = defl2.deflate(zbuf2); defl2.end()
+    val bad = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+      chunk("IHDR", ihdr) ++ chunk("PLTE", plte) ++
+      chunk("IDAT", zbuf2.take(zlen2)) ++ chunk("IEND", Array.emptyByteArray)
+    assert(Multimodal.pngChannelSums(bad) === None)
+  }
+
   test("REAL GIF pixel decode: genuine LZW stream with dictionary growth and width bumps") {
     // A real greedy LZW ENCODER (dictionary of sequences, variable width
     // LSB-first) — the repetitive image forces multi-byte dictionary hits,
