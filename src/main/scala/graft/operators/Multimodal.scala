@@ -105,20 +105,21 @@ object Multimodal {
     }
   }
 
-  /** REAL pixel-level PNG decode for 8-bit truecolor (color type 2) and
-    * 8-bit PALETTED images (color type 3, PLTE-mapped), no interlace:
-    * the chunk walk collects every IDAT payload, the concatenated zlib
-    * stream inflates through `java.util.zip.Inflater` (JDK — zero codec
-    * dependencies), and scanlines un-filter per the PNG spec
-    * (None/Sub/Up/Average/Paeth at the color type's bpp). Returns
-    * per-channel RGB sums + pixel count, from which channel means follow
-    * exactly. None for non-PNG, other bit depths/color types, interlaced
-    * images, a missing/oversized PLTE or out-of-palette index, a corrupt
-    * or truncated zlib stream, or bad filter bytes — validate, don't
-    * trust. Handles ANY conforming deflate stream (stored OR
-    * huffman-compressed): fixtures use stored blocks so the DuckDB oracle
-    * can hex-walk the same bytes (e12i), while MultimodalSpec feeds real
-    * Deflater-compressed streams exercising every filter type.
+  /** REAL pixel-level PNG decode for EVERY 8-bit color type — grayscale
+    * (0), truecolor (2), paletted (3, PLTE-mapped), gray+alpha (4), RGBA
+    * (6; alpha dropped) — no interlace: the chunk walk collects every
+    * IDAT payload, the concatenated zlib stream inflates through
+    * `java.util.zip.Inflater` (JDK — zero codec dependencies), and
+    * scanlines un-filter per the PNG spec (None/Sub/Up/Average/Paeth at
+    * the color type's bpp). Returns per-channel RGB sums + pixel count,
+    * from which channel means follow exactly. None for non-PNG, 16-bit
+    * depths, interlaced images, a missing/oversized PLTE or
+    * out-of-palette index, a corrupt or truncated zlib stream, or bad
+    * filter bytes — validate, don't trust. Handles ANY conforming
+    * deflate stream (stored OR huffman-compressed): fixtures use stored
+    * blocks so the DuckDB oracle can hex-walk the same bytes (e12i),
+    * while MultimodalSpec feeds real Deflater-compressed streams
+    * exercising every filter type.
     */
   def pngChannelSums(b: Array[Byte]): Option[(Long, Long, Long, Long)] = {
     var (sumR, sumG, sumB) = (0L, 0L, 0L)
@@ -142,7 +143,9 @@ object Multimodal {
     */
   private def pngRows(b: Array[Byte])(row: (Int, Array[Int], Int) => Unit): Option[(Int, Int)] =
     decodePngHeader(b) match {
-      case Some((w, h, 8, ct)) if (ct == 2 || ct == 3) && w > 0 && h > 0 &&
+      case Some((w, h, 8, ct))
+        if (ct == 0 || ct == 2 || ct == 3 || ct == 4 || ct == 6) &&
+          w > 0 && h > 0 &&
           (b(26) & 0xff) == 0 && (b(27) & 0xff) == 0 && (b(28) & 0xff) == 0 =>
         // chunk walk: concatenate IDAT payloads (multiple chunks are one
         // continuous zlib stream per spec); record the PLTE for type 3
@@ -166,7 +169,14 @@ object Multimodal {
             o += 12 + len
           }
         }
-        val bpp = if (ct == 2) 3 else 1
+        // channels per pixel: gray 1, RGB 3, paletted 1, gray+alpha 2,
+        // RGBA 4 — all at bit depth 8
+        val bpp = ct match {
+          case 0 | 3 => 1
+          case 4 => 2
+          case 6 => 4
+          case _ => 3
+        }
         if (ct == 3 && plteOff < 0) ok = false // paletted requires PLTE
         val stride = w.toLong * bpp
         val need = (stride + 1) * h
@@ -194,7 +204,7 @@ object Multimodal {
             val rowBytes = w * bpp
             val prev = new Array[Int](rowBytes)
             val cur = new Array[Int](rowBytes)
-            val rgb = if (ct == 3) new Array[Int](w * 3) else cur
+            val rgb = if (ct == 2) cur else new Array[Int](w * 3)
             var valid = true
             var r = 0
             while (r < h && valid) {
@@ -224,16 +234,27 @@ object Multimodal {
                 cur(i) = v
                 i += 1
               }
-              if (valid && ct == 3) {
-                // palette map; out-of-range index = corrupt file
+              if (valid && ct != 2) {
+                // normalize to RGB: palette map (out-of-range index =
+                // corrupt file), gray replication, alpha dropped
                 var px = 0
                 while (px < w && valid) {
-                  val idx = cur(px)
-                  if (idx >= plteColors) valid = false
-                  else {
-                    rgb(3 * px) = b(plteOff + 3 * idx) & 0xff
-                    rgb(3 * px + 1) = b(plteOff + 3 * idx + 1) & 0xff
-                    rgb(3 * px + 2) = b(plteOff + 3 * idx + 2) & 0xff
+                  ct match {
+                    case 3 =>
+                      val idx = cur(px)
+                      if (idx >= plteColors) valid = false
+                      else {
+                        rgb(3 * px) = b(plteOff + 3 * idx) & 0xff
+                        rgb(3 * px + 1) = b(plteOff + 3 * idx + 1) & 0xff
+                        rgb(3 * px + 2) = b(plteOff + 3 * idx + 2) & 0xff
+                      }
+                    case 0 | 4 =>
+                      val v = cur(px * bpp)
+                      rgb(3 * px) = v; rgb(3 * px + 1) = v; rgb(3 * px + 2) = v
+                    case _ => // 6: RGBA
+                      rgb(3 * px) = cur(4 * px)
+                      rgb(3 * px + 1) = cur(4 * px + 1)
+                      rgb(3 * px + 2) = cur(4 * px + 2)
                   }
                   px += 1
                 }
@@ -1418,7 +1439,9 @@ object Multimodal {
       case _ => None
     }
     else if (m0 == 0x89 && m1 == 'P') decodePngHeader(b) match {
-      case Some((w, h, 8, ct)) if (ct == 2 || ct == 3) && capped(w, h) =>
+      case Some((w, h, 8, ct))
+        if (ct == 0 || ct == 2 || ct == 3 || ct == 4 || ct == 6) &&
+          capped(w, h) =>
         val v = new Array[Int](w * h)
         pngRows(b) { (r, cur, rowPx) =>
           var x = 0

@@ -276,6 +276,71 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.pngChannelSums(bad) === None)
   }
 
+  test("REAL PNG pixel decode: grayscale, gray+alpha and RGBA color types") {
+    val (w, h) = (6, 5)
+    def pngOf(ct: Int, bpp: Int, sample: (Int, Int, Int) => Int): Array[Byte] = {
+      // filter types cycle; samples from the (row, px, channel) function
+      def paeth(a: Int, b: Int, c: Int): Int = {
+        val p = a + b - c
+        val (pa, pb, pc) = (math.abs(p - a), math.abs(p - b), math.abs(p - c))
+        if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+      }
+      val rows = Array.tabulate(h, w * bpp)((r, i) => sample(r, i / bpp, i % bpp))
+      val raw = new java.io.ByteArrayOutputStream()
+      (0 until h).foreach { r =>
+        val ft = r % 5
+        raw.write(ft)
+        (0 until w * bpp).foreach { i =>
+          val x = rows(r)(i)
+          val a = if (i >= bpp) rows(r)(i - bpp) else 0
+          val up = if (r >= 1) rows(r - 1)(i) else 0
+          val c = if (r >= 1 && i >= bpp) rows(r - 1)(i - bpp) else 0
+          raw.write(ft match {
+            case 0 => x
+            case 1 => (x - a) & 0xff
+            case 2 => (x - up) & 0xff
+            case 3 => (x - ((a + up) >> 1)) & 0xff
+            case 4 => (x - paeth(a, up, c)) & 0xff
+          })
+        }
+      }
+      val defl = new java.util.zip.Deflater()
+      defl.setInput(raw.toByteArray); defl.finish()
+      val zbuf = new Array[Byte](raw.size() + 64)
+      val zlen = defl.deflate(zbuf); defl.end()
+      def chunk(tag: String, payload: Array[Byte]): Array[Byte] = {
+        val out = java.nio.ByteBuffer.allocate(12 + payload.length)
+        out.putInt(payload.length).put(tag.getBytes("US-ASCII")).put(payload)
+        val crc = new java.util.zip.CRC32
+        crc.update(tag.getBytes("US-ASCII")); crc.update(payload)
+        out.putInt(crc.getValue.toInt).array()
+      }
+      val ihdr = java.nio.ByteBuffer.allocate(13).putInt(w).putInt(h)
+        .put(8.toByte).put(ct.toByte).put(0.toByte).put(0.toByte).put(0.toByte).array()
+      Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+        chunk("IHDR", ihdr) ++ chunk("IDAT", zbuf.take(zlen)) ++
+        chunk("IEND", Array.emptyByteArray)
+    }
+    val n = (w * h).toLong
+    // grayscale: every channel sums the single gray channel
+    val gv = (r: Int, p: Int, _: Int) => (r * 41 + p * 13) % 256
+    val gSum = (for (r <- 0 until h; p <- 0 until w) yield gv(r, p, 0).toLong).sum
+    assert(Multimodal.pngChannelSums(pngOf(0, 1, gv)) === Some((gSum, gSum, gSum, n)))
+    // gray+alpha: alpha (channel 1) must NOT leak into the sums
+    val gav = (r: Int, p: Int, ch: Int) =>
+      if (ch == 0) (r * 29 + p * 17) % 256 else 255 - (p % 7)
+    val gaSum = (for (r <- 0 until h; p <- 0 until w) yield gav(r, p, 0).toLong).sum
+    assert(Multimodal.pngChannelSums(pngOf(4, 2, gav)) === Some((gaSum, gaSum, gaSum, n)))
+    // RGBA: alpha (channel 3) dropped, RGB channels independent
+    val rgbav = (r: Int, p: Int, ch: Int) => (r * 31 + p * 7 + ch * 83) % 256
+    def chSum(ch: Int) =
+      (for (r <- 0 until h; p <- 0 until w) yield rgbav(r, p, ch).toLong).sum
+    assert(Multimodal.pngChannelSums(pngOf(6, 4, rgbav)) ===
+      Some((chSum(0), chSum(1), chSum(2), n)))
+    // the perceptual hash works on all of them (w < 8 pads nothing: 6 < 8 rejects)
+    assert(Multimodal.imageAHash64(pngOf(6, 4, rgbav)).isEmpty) // w = 6 < 8
+  }
+
   test("REAL GIF pixel decode: genuine LZW stream with dictionary growth and width bumps") {
     // A real greedy LZW ENCODER (dictionary of sequences, variable width
     // LSB-first) — the repetitive image forces multi-byte dictionary hits,
