@@ -107,19 +107,21 @@ object Multimodal {
 
   /** REAL pixel-level PNG decode for EVERY 8-bit color type — grayscale
     * (0), truecolor (2), paletted (3, PLTE-mapped), gray+alpha (4), RGBA
-    * (6; alpha dropped) — no interlace: the chunk walk collects every
-    * IDAT payload, the concatenated zlib stream inflates through
-    * `java.util.zip.Inflater` (JDK — zero codec dependencies), and
-    * scanlines un-filter per the PNG spec (None/Sub/Up/Average/Paeth at
-    * the color type's bpp). Returns per-channel RGB sums + pixel count,
-    * from which channel means follow exactly. None for non-PNG, 16-bit
-    * depths, interlaced images, a missing/oversized PLTE or
-    * out-of-palette index, a corrupt or truncated zlib stream, or bad
-    * filter bytes — validate, don't trust. Handles ANY conforming
-    * deflate stream (stored OR huffman-compressed): fixtures use stored
-    * blocks so the DuckDB oracle can hex-walk the same bytes (e12i),
-    * while MultimodalSpec feeds real Deflater-compressed streams
-    * exercising every filter type.
+    * (6; alpha dropped) — sequential AND Adam7-interlaced: the chunk
+    * walk collects every IDAT payload, the concatenated zlib stream
+    * inflates through `java.util.zip.Inflater` (JDK — zero codec
+    * dependencies), scanlines un-filter per the PNG spec
+    * (None/Sub/Up/Average/Paeth at the color type's bpp, per interlace
+    * pass), and interlaced passes scatter back into raster order.
+    * Returns per-channel RGB sums + pixel count, from which channel
+    * means follow exactly. None for non-PNG, 16-bit depths, a
+    * missing/oversized PLTE or out-of-palette index, a corrupt or
+    * truncated zlib stream, or bad filter bytes — validate, don't
+    * trust. Handles ANY conforming deflate stream (stored OR
+    * huffman-compressed): fixtures use stored blocks so the DuckDB
+    * oracle can hex-walk the same bytes (e12i), while MultimodalSpec
+    * feeds real Deflater-compressed streams exercising every filter
+    * type.
     */
   def pngChannelSums(b: Array[Byte]): Option[(Long, Long, Long, Long)] = {
     var (sumR, sumG, sumB) = (0L, 0L, 0L)
@@ -141,12 +143,18 @@ object Multimodal {
     * seen a prefix of rows when the result is None, so callers must not
     * publish side effects until the Option returns.
     */
+  /** Adam7 pass geometry: (xStart, yStart, xStep, yStep). */
+  private val adam7: Array[(Int, Int, Int, Int)] = Array(
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
   private def pngRows(b: Array[Byte])(row: (Int, Array[Int], Int) => Unit): Option[(Int, Int)] =
     decodePngHeader(b) match {
       case Some((w, h, 8, ct))
         if (ct == 0 || ct == 2 || ct == 3 || ct == 4 || ct == 6) &&
           w > 0 && h > 0 &&
-          (b(26) & 0xff) == 0 && (b(27) & 0xff) == 0 && (b(28) & 0xff) == 0 =>
+          (b(26) & 0xff) == 0 && (b(27) & 0xff) == 0 && (b(28) & 0xff) <= 1 =>
+        val interlaced = (b(28) & 0xff) == 1
         // chunk walk: concatenate IDAT payloads (multiple chunks are one
         // continuous zlib stream per spec); record the PLTE for type 3
         val idat = new java.io.ByteArrayOutputStream()
@@ -178,11 +186,23 @@ object Multimodal {
           case _ => 3
         }
         if (ct == 3 && plteOff < 0) ok = false // paletted requires PLTE
-        val stride = w.toLong * bpp
-        val need = (stride + 1) * h
+        // pass list: Adam7 sub-images, or one full-frame pass
+        val passes: Seq[(Int, Int, Int, Int, Int, Int)] =
+          if (!interlaced) Seq((0, 0, 1, 1, w, h))
+          else adam7.toSeq.map { case (xs, ys, xst, yst) =>
+            (xs, ys, xst, yst,
+              math.max(0, (w - xs + xst - 1) / xst),
+              math.max(0, (h - ys + yst - 1) / yst))
+          }
+        val need = passes.map { case (_, _, _, _, pw, ph) =>
+          if (pw == 0 || ph == 0) 0L else ph.toLong * (1L + pw.toLong * bpp)
+        }.sum
+        // interlace materializes the whole sample grid (4·w·h·bpp bytes
+        // of Int): bound it against hostile dimensions
+        if (interlaced && w.toLong * h * bpp > (1 << 26)) ok = false
         // `done` = IEND reached: a stream that ends mid-chunk (truncated
         // download) rejects even when every IDAT byte happens to be there
-        if (!ok || !done || need > Int.MaxValue - 8) None
+        if (!ok || !done || need == 0 || need > Int.MaxValue - 8) None
         else {
           val raw = new Array[Byte](need.toInt)
           val inf = new java.util.zip.Inflater()
@@ -201,69 +221,100 @@ object Multimodal {
             finally inf.end()
           if (!inflated) None
           else {
-            val rowBytes = w * bpp
-            val prev = new Array[Int](rowBytes)
-            val cur = new Array[Int](rowBytes)
-            val rgb = if (ct == 2) cur else new Array[Int](w * 3)
+            val rgb = new Array[Int](w * 3)
             var valid = true
-            var r = 0
-            while (r < h && valid) {
-              val base = r * (rowBytes + 1)
-              val ft = raw(base) & 0xff
-              var i = 0
-              while (i < rowBytes && valid) {
-                val x = raw(base + 1 + i) & 0xff
-                val a = if (i >= bpp) cur(i - bpp) else 0
-                val up = prev(i)
-                val v = ft match {
-                  case 0 => x
-                  case 1 => (x + a) & 0xff
-                  case 2 => (x + up) & 0xff
-                  case 3 => (x + ((a + up) >> 1)) & 0xff
-                  case 4 =>
-                    val c = if (i >= bpp) prev(i - bpp) else 0
-                    val p = a + up - c
-                    val pa = math.abs(p - a)
-                    val pb = math.abs(p - up)
-                    val pc = math.abs(p - c)
-                    val pred = if (pa <= pb && pa <= pc) a
-                      else if (pb <= pc) up else c
-                    (x + pred) & 0xff
-                  case _ => valid = false; 0
+            // normalize one full-width sample row to RGB: palette map
+            // (out-of-range index = corrupt file), gray replication,
+            // alpha dropped
+            def convertRow(cur: Array[Int], curOff: Int): Boolean = {
+              var px = 0
+              while (px < w) {
+                ct match {
+                  case 2 =>
+                    rgb(3 * px) = cur(curOff + 3 * px)
+                    rgb(3 * px + 1) = cur(curOff + 3 * px + 1)
+                    rgb(3 * px + 2) = cur(curOff + 3 * px + 2)
+                  case 3 =>
+                    val idx = cur(curOff + px)
+                    if (idx >= plteColors) return false
+                    rgb(3 * px) = b(plteOff + 3 * idx) & 0xff
+                    rgb(3 * px + 1) = b(plteOff + 3 * idx + 1) & 0xff
+                    rgb(3 * px + 2) = b(plteOff + 3 * idx + 2) & 0xff
+                  case 0 | 4 =>
+                    val v = cur(curOff + px * bpp)
+                    rgb(3 * px) = v; rgb(3 * px + 1) = v; rgb(3 * px + 2) = v
+                  case _ => // 6: RGBA
+                    rgb(3 * px) = cur(curOff + 4 * px)
+                    rgb(3 * px + 1) = cur(curOff + 4 * px + 1)
+                    rgb(3 * px + 2) = cur(curOff + 4 * px + 2)
                 }
-                cur(i) = v
-                i += 1
+                px += 1
               }
-              if (valid && ct != 2) {
-                // normalize to RGB: palette map (out-of-range index =
-                // corrupt file), gray replication, alpha dropped
-                var px = 0
-                while (px < w && valid) {
-                  ct match {
-                    case 3 =>
-                      val idx = cur(px)
-                      if (idx >= plteColors) valid = false
-                      else {
-                        rgb(3 * px) = b(plteOff + 3 * idx) & 0xff
-                        rgb(3 * px + 1) = b(plteOff + 3 * idx + 1) & 0xff
-                        rgb(3 * px + 2) = b(plteOff + 3 * idx + 2) & 0xff
-                      }
-                    case 0 | 4 =>
-                      val v = cur(px * bpp)
-                      rgb(3 * px) = v; rgb(3 * px + 1) = v; rgb(3 * px + 2) = v
-                    case _ => // 6: RGBA
-                      rgb(3 * px) = cur(4 * px)
-                      rgb(3 * px + 1) = cur(4 * px + 1)
-                      rgb(3 * px + 2) = cur(4 * px + 2)
+              true
+            }
+            val full = if (interlaced) new Array[Int](w * h * bpp) else null
+            var rawOff = 0
+            passes.foreach { case (xs, ys, xst, yst, pw, ph) =>
+              if (valid && pw > 0 && ph > 0) {
+                val prl = pw * bpp
+                val prev = new Array[Int](prl)
+                val cur = new Array[Int](prl)
+                var r = 0
+                while (r < ph && valid) {
+                  val base = rawOff + r * (prl + 1)
+                  val ft = raw(base) & 0xff
+                  var i = 0
+                  while (i < prl && valid) {
+                    val x = raw(base + 1 + i) & 0xff
+                    val a = if (i >= bpp) cur(i - bpp) else 0
+                    val up = prev(i)
+                    val v = ft match {
+                      case 0 => x
+                      case 1 => (x + a) & 0xff
+                      case 2 => (x + up) & 0xff
+                      case 3 => (x + ((a + up) >> 1)) & 0xff
+                      case 4 =>
+                        val c = if (i >= bpp) prev(i - bpp) else 0
+                        val p = a + up - c
+                        val pa = math.abs(p - a)
+                        val pb = math.abs(p - up)
+                        val pc = math.abs(p - c)
+                        val pred = if (pa <= pb && pa <= pc) a
+                          else if (pb <= pc) up else c
+                        (x + pred) & 0xff
+                      case _ => valid = false; 0
+                    }
+                    cur(i) = v
+                    i += 1
                   }
-                  px += 1
+                  if (valid) {
+                    if (interlaced) {
+                      // scatter the pass row into the full sample grid
+                      var px = 0
+                      while (px < pw) {
+                        val dst = ((ys + r * yst) * w + (xs + px * xst)) * bpp
+                        var c = 0
+                        while (c < bpp) { full(dst + c) = cur(px * bpp + c); c += 1 }
+                        px += 1
+                      }
+                    } else {
+                      valid = convertRow(cur, 0)
+                      if (valid) row(r, rgb, w * 3)
+                    }
+                    System.arraycopy(cur, 0, prev, 0, prl)
+                  }
+                  r += 1
                 }
+                rawOff += ph * (prl + 1)
               }
-              if (valid) {
-                row(r, rgb, w * 3)
-                System.arraycopy(cur, 0, prev, 0, rowBytes)
+            }
+            if (valid && interlaced) {
+              var r = 0
+              while (r < h && valid) {
+                valid = convertRow(full, r * w * bpp)
+                if (valid) row(r, rgb, w * 3)
+                r += 1
               }
-              r += 1
             }
             if (valid) Some((w, h)) else None
           }

@@ -341,6 +341,59 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.imageAHash64(pngOf(6, 4, rgbav)).isEmpty) // w = 6 < 8
   }
 
+  test("REAL PNG pixel decode: Adam7 interlace scatters back to raster order") {
+    val (w, h) = (13, 11) // odd dims: every pass non-trivial, ragged edges
+    val pix = Array.tabulate(h, w * 3)((r, i) => (r * 53 + i * 19) % 256)
+    def chunk(tag: String, payload: Array[Byte]): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(12 + payload.length)
+      out.putInt(payload.length).put(tag.getBytes("US-ASCII")).put(payload)
+      val crc = new java.util.zip.CRC32
+      crc.update(tag.getBytes("US-ASCII")); crc.update(payload)
+      out.putInt(crc.getValue.toInt).array()
+    }
+    def pngOf(interlace: Int, raw: Array[Byte]): Array[Byte] = {
+      val defl = new java.util.zip.Deflater()
+      defl.setInput(raw); defl.finish()
+      val zbuf = new Array[Byte](raw.length + 64)
+      val zlen = defl.deflate(zbuf); defl.end()
+      val ihdr = java.nio.ByteBuffer.allocate(13).putInt(w).putInt(h)
+        .put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte)
+        .put(interlace.toByte).array()
+      Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+        chunk("IHDR", ihdr) ++ chunk("IDAT", zbuf.take(zlen)) ++
+        chunk("IEND", Array.emptyByteArray)
+    }
+    // straight twin: filter-0 scanlines in raster order
+    val straightRaw = new java.io.ByteArrayOutputStream()
+    (0 until h).foreach { r =>
+      straightRaw.write(0)
+      (0 until w * 3).foreach(i => straightRaw.write(pix(r)(i)))
+    }
+    // Adam7: the same logical pixels emitted pass-major (filter 0 rows)
+    val passes = Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+      (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    val interRaw = new java.io.ByteArrayOutputStream()
+    passes.foreach { case (xs, ys, xst, yst) =>
+      val pw = math.max(0, (w - xs + xst - 1) / xst)
+      val ph = math.max(0, (h - ys + yst - 1) / yst)
+      (0 until ph).foreach { r =>
+        interRaw.write(0)
+        (0 until pw).foreach { px =>
+          val sx = xs + px * xst
+          val sy = ys + r * yst
+          (0 until 3).foreach(c => interRaw.write(pix(sy)(sx * 3 + c)))
+        }
+      }
+    }
+    val straight = pngOf(0, straightRaw.toByteArray)
+    val inter = pngOf(1, interRaw.toByteArray)
+    assert(Multimodal.pngChannelSums(straight).isDefined)
+    assert(Multimodal.pngChannelSums(inter) === Multimodal.pngChannelSums(straight))
+    // the position-sensitive hash proves the scatter-back, not just sums
+    assert(Multimodal.imageAHash64(inter).isDefined)
+    assert(Multimodal.imageAHash64(inter) === Multimodal.imageAHash64(straight))
+  }
+
   test("REAL GIF pixel decode: genuine LZW stream with dictionary growth and width bumps") {
     // A real greedy LZW ENCODER (dictionary of sequences, variable width
     // LSB-first) — the repetitive image forces multi-byte dictionary hits,
