@@ -1455,6 +1455,36 @@ object Multimodal {
       }
     }
 
+  /** 64-dim image embedding: the 8×8 grid of mean cell brightness over
+    * the DECODED pixels (same floor-boundary cells as [[imageAHash64]]),
+    * each mean the exact IEEE quotient of two integers (cellSum/cellN) —
+    * so any engine reproduces the vector bit-for-bit from the raw bytes,
+    * and cosine similarity over it is oracle-exact. The natural bridge
+    * from the multimodal block into the ANN stack: thumbnail-embed every
+    * image scan-locally, then search with the e03/e04/IVF/PQ machinery.
+    * None exactly when [[imageAHash64]] would reject.
+    */
+  def imageThumb64(b: Array[Byte]): Option[Array[Double]] =
+    brightnessOf(b).flatMap { case (w, h, v) =>
+      if (w < 8 || h < 8) None
+      else {
+        val cellSum = new Array[Long](64)
+        val cellN = new Array[Long](64)
+        var y = 0
+        while (y < h) {
+          val rowK = (y * 8 / h) * 8
+          var x = 0
+          while (x < w) {
+            val k = rowK + x * 8 / w
+            cellSum(k) += v(y * w + x); cellN(k) += 1
+            x += 1
+          }
+          y += 1
+        }
+        Some(Array.tabulate(64)(k => cellSum(k).toDouble / cellN(k)))
+      }
+    }
+
   /** Decoded per-pixel brightness (r+g+b; top-down raster order) for every
     * format [[imageAHash64]] supports, uniformly capped at 2^24 pixels so
     * the downstream cross-multiplication can never overflow.

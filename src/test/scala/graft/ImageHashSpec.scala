@@ -54,6 +54,22 @@ class ImageHashSpec extends AnyFunSuite {
     }
   }
 
+  test("thumbnail embedding equals the independent cell means") {
+    for ((w, h, seed) <- Seq((16, 16, 70L), (13, 9, 71L), (37, 21, 72L))) {
+      val bmp = Multimodal.makeBmp(w, h, seed)
+      val bright = bmpBright(bmp, w, h)
+      val cs = new Array[Long](64)
+      val cn = new Array[Long](64)
+      for (y <- 0 until h; x <- 0 until w) {
+        val k = (y * 8 / h) * 8 + x * 8 / w
+        cs(k) += bright(y * w + x); cn(k) += 1
+      }
+      val expected = Array.tabulate(64)(k => cs(k).toDouble / cn(k))
+      assert(Multimodal.imageThumb64(bmp).map(_.toSeq) === Some(expected.toSeq), s"($w,$h)")
+    }
+    assert(Multimodal.imageThumb64(Multimodal.makeBmp(7, 16, 73L)).isEmpty)
+  }
+
   test("uniform brightness shift never changes the hash") {
     val w = 16; val h = 12
     val base = Multimodal.makeBmp(w, h, 99L)
