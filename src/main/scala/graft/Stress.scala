@@ -101,7 +101,11 @@ object Stress {
       // round-5 additions (VERDICT r4 item 8): the two remaining
       // shuffle-heavy ops — iterative min-label propagation and the
       // banded minhash join
-      "e18_dedup_clusters", "e02_minhash_pairs")
+      "e18_dedup_clusters", "e02_minhash_pairs",
+      // round-6 additions: the trigram-LM scoring pass (the heaviest new
+      // text op — a char-level explode over the corpus) and the
+      // window-cumsum mixture sampler
+      "e33_lm_score", "e31_domain_mix")
 
     // minhash128 is a Scala function BY DESIGN (SURVEY §2 E2: owned hash
     // family, golden tier — a 128-permutation signature has no
@@ -129,7 +133,8 @@ object Stress {
         val d = SparkEntry.queries(name)(spark, dir)
         // unbounded-output queries drain through a foreach sink (collect
         // of a 10x-scaled result would measure driver marshalling)
-        if (Set("e01_exact_dedup", "e26_dup_passages", "e24_int8_quantize")(name))
+        if (Set("e01_exact_dedup", "e26_dup_passages", "e24_int8_quantize",
+          "e33_lm_score", "e31_domain_mix")(name))
           d.queryExecution.toRdd.foreach(_ => ())
         else d.collect()
         (System.nanoTime() - t0) / 1e9
