@@ -118,4 +118,54 @@ class PipelineOpsPropertySpec extends AnyFunSuite {
         s"cluster $comp canonical is not the min member")
     }
   }
+
+  test("domain mix: budgets respected, admission maximal in hash order, deterministic") {
+    val budgets = Map("en" -> 50000L, "fr" -> 20000L, "es" -> 15000L,
+      "zh" -> 10000L, "de" -> 5000L)
+    // (doc_id, lang, n_toks, cum)
+    val kept = SparkEntry.queries("e31_domain_mix")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    kept.groupBy(_._2).foreach { case (lang, docs) =>
+      assert(docs.map(_._3).sum <= budgets(lang),
+        s"$lang kept ${docs.map(_._3).sum} tokens over budget ${budgets(lang)}")
+    }
+    // maximality: recompute the full ranked list independently and check
+    // the kept set is exactly the longest admissible prefix per language
+    val all = Tables(spark, dir, "documents")
+      .filter(col("text").isNotNull && col("lang").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n"),
+        md5(col("doc_id").cast("string").cast("binary")).as("rk"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    all.groupBy(_._2).foreach { case (lang, docs) =>
+      val budget = budgets(lang)
+      var cum = 0L
+      val expect = docs.sortBy(d => (d._4, d._1)).takeWhile { d =>
+        cum += d._3; cum <= budget
+      }.map(_._1).toSet
+      assert(kept.filter(_._2 == lang).map(_._1).toSet === expect, s"lang $lang")
+    }
+    // determinism: a second run returns the identical set
+    val again = SparkEntry.queries("e31_domain_mix")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    assert(again === kept.map(r => (r._1, r._4)).toSet)
+  }
+
+  test("lm score: probabilities bound the score, trigram counts match lengths") {
+    // (doc_id, n_tris, lm_score, keep)
+    val rows = SparkEntry.queries("e33_lm_score")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    val lens = Tables(spark, dir, "documents").filter(col("text").isNotNull)
+      .select(col("doc_id"), length(lower(col("text"))).as("len"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    rows.foreach { case (id, nTris, score, keep) =>
+      assert(score <= 0.0, s"doc $id: mean log-probability $score > 0")
+      assert(keep === (score > -9.0), s"doc $id: keep flag inconsistent")
+      assert(nTris === math.max(lens(id) - 2, 0).toLong,
+        s"doc $id: $nTris trigrams for length ${lens(id)}")
+    }
+    // every doc of length >= 3 is scored — nothing silently dropped
+    assert(rows.length === lens.count(_._2 >= 3))
+  }
 }
