@@ -261,6 +261,57 @@ object Streaming extends QueryBlock {
           count(*) AS n_files
         FROM sig GROUP BY sg ORDER BY keeper""")),
 
+    // D14 — LM-score quality filtering AS A STREAM: the model trains
+    // BATCH-side (e33's trigram derivation — as any real deployment
+    // trains offline), then documents arriving as files are scored by a
+    // scan-local explode + stream-static join against the broadcastable
+    // model, with ONE streaming aggregate collecting each doc's log
+    // terms; the deterministic sorted fold and keep verdict finish
+    // batch-side on the final table (the d11 single-agg pattern).
+    // SHARES e33's exact oracle — batch/stream parity proof.
+    "d14_stream_lm_score" -> QueryDef(
+      (s, dir) => {
+        val dBatch = Tables(s, dir, "documents").filter(col("text").isNotNull)
+          .select(col("doc_id"), lower(col("text")).as("t"))
+          .filter(length(col("t")) >= 3)
+        val trisBatch = dBatch.select(col("doc_id"),
+          explode(expr("transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))"))
+            .as("tri"))
+        val model = trisBatch.groupBy(col("tri")).agg(count(lit(1)).as("cnt"))
+        val total: Double = model.agg(sum(col("cnt")))
+          .collect()(0).getLong(0).toDouble
+        val stream = EventStreams.documents(s, dir)
+          .filter(col("text").isNotNull)
+          .select(col("doc_id"), lower(col("text")).as("t"))
+          .filter(length(col("t")) >= 3)
+          .select(col("doc_id"),
+            explode(expr("transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))"))
+              .as("tri"))
+          .join(model, "tri") // stream-static; model broadcasts at scale
+          .select(col("doc_id"),
+            log(col("cnt").cast("double") / lit(total)).as("l"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tris"), collect_list(col("l")).as("ls"))
+        EventStreams.runToTable(s, stream, "d14_sink")
+          .select(col("doc_id"), col("n_tris"),
+            expr("round(aggregate(sort_array(ls), 0D, (s, x) -> s + x) / n_tris, 6)")
+              .as("lm_score"))
+          .withColumn("keep", col("lm_score") > -9.0)
+      },
+      Some("""WITH d AS (SELECT doc_id, lower(text) AS t FROM documents
+          WHERE text IS NOT NULL AND len(lower(text)) >= 3),
+        tris AS (SELECT doc_id, unnest(list_transform(
+            generate_series(1, len(t) - 2), i -> substr(t, i, 3))) AS tri
+          FROM d),
+        model AS (SELECT tri, count(*) AS cnt FROM tris GROUP BY tri),
+        tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM model),
+        ls AS (SELECT doc_id, ln(CAST(cnt AS DOUBLE) / total) AS l
+          FROM tris JOIN model USING (tri) CROSS JOIN tot)
+        SELECT doc_id, count(*) AS n_tris,
+          round(list_sum(list_sort(list(l))) / count(*), 6) AS lm_score,
+          round(list_sum(list_sort(list(l))) / count(*), 6) > -9.0 AS keep
+        FROM ls GROUP BY doc_id""")),
+
     // D10++ — the E15 clean-corpus pipeline AS A STREAM: quality gate →
     // exact-dedup (keeper = min doc_id via min_by, order-independent) →
     // per-language profile, over documents arriving as files. Shares
