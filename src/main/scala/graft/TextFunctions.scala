@@ -222,11 +222,24 @@ object TextFunctions extends Serializable {
   val lang_id = udf(langIdF)
   val hash64 = udf(hash64F)
 
+  // multimodal perceptual features (operators.Multimodal decoders) on the
+  // SQL surface: NULL for undecodable/out-of-envelope content, matching
+  // the Option contract of the underlying decoders
+  val imageAHashF: Array[Byte] => java.lang.Long = b =>
+    graft.operators.Multimodal.imageAHash64(b).map(java.lang.Long.valueOf).orNull
+  val audioEnvelopeHashF: Array[Byte] => java.lang.Long = b =>
+    graft.operators.Multimodal.audioEnvelopeHash64(b).map(java.lang.Long.valueOf).orNull
+  val imageThumbF: Array[Byte] => Array[Double] = b =>
+    graft.operators.Multimodal.imageThumb64(b).orNull
+
   def register(spark: SparkSession): Unit = {
     spark.udf.register("minhash128", minhash128F)
     spark.udf.register("simhash64", simhashF)
     spark.udf.register("fingerprint64", fingerprintF)
     spark.udf.register("lang_id", langIdF)
     spark.udf.register("hash64", hash64F)
+    spark.udf.register("image_ahash64", imageAHashF)
+    spark.udf.register("audio_envelope_hash64", audioEnvelopeHashF)
+    spark.udf.register("image_thumb64", imageThumbF)
   }
 }

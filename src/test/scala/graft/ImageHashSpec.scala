@@ -162,6 +162,27 @@ class ImageHashSpec extends AnyFunSuite {
     assert(Multimodal.audioEnvelopeHash64(Array[Byte](1, 2, 3)).isEmpty)
   }
 
+  test("SQL surface: image_ahash64 / audio_envelope_hash64 / image_thumb64 registered") {
+    import spark.implicits._
+    val img = Multimodal.makeBmp(16, 16, 80L)
+    val wav = Multimodal.makeWav(1, 8000, 128, 81L)
+    val row = Seq((img, wav)).toDF("img", "wav")
+      .selectExpr("image_ahash64(img) AS h", "audio_envelope_hash64(wav) AS a",
+        "image_thumb64(img) AS t")
+      .collect()(0)
+    assert(Option(row.getAs[java.lang.Long]("h")).map(_.toLong) ===
+      Multimodal.imageAHash64(img))
+    assert(Option(row.getAs[java.lang.Long]("a")).map(_.toLong) ===
+      Multimodal.audioEnvelopeHash64(wav))
+    assert(Option(row.getSeq[Double](2)).map(_.toArray.toSeq) ===
+      Multimodal.imageThumb64(img).map(_.toSeq))
+    // undecodable content -> NULL, never an exception
+    val bad = Seq(Tuple1(Array[Byte](1, 2, 3))).toDF("b")
+      .selectExpr("image_ahash64(b)", "audio_envelope_hash64(b)", "image_thumb64(b)")
+      .collect()(0)
+    assert(bad.isNullAt(0) && bad.isNullAt(1) && bad.isNullAt(2))
+  }
+
   test("banded pair join is lossless vs brute force (maxDist 3 and 4)") {
     import spark.implicits._
     val rnd = new scala.util.Random(20260814L)
