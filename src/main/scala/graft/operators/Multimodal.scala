@@ -12,15 +12,21 @@ import org.apache.spark.sql.types._
   * Spark-side plumbing — schemas, per-partition batch processing, column
   * wiring — is real and tested. Decoding is REAL, in pure JVM byte
   * arithmetic (no codec libraries ship in this environment): header
-  * decode for BMP/PNG/GIF/JPEG/WAV/MP4, full pixel decode for BMP, PNG
-  * (any conforming zlib stream, all five filters), GIF (general LZW), and
-  * baseline-sequential JPEG — grayscale and 4:4:4 YCbCr color (canonical
-  * Huffman, interleaved-MCU DC/AC entropy decode, dequant + IDCT, JFIF
-  * color conversion) — plus WAV PCM16 sample stats. Only formats outside
-  * those paths (e.g. progressive or chroma-subsampled JPEG, video codec
-  * bitstreams) fall back to clearly-labeled deterministic STUBS —
-  * swapping a stub for a real decoder changes only the function body,
-  * not the pipeline shape.
+  * decode for BMP/PNG/GIF/JPEG/WAV/MP4; full pixel decode for BMP
+  * (24bpp), PNG (any conforming zlib stream, all five filters, every
+  * 8-bit color type, sequential and Adam7-interlaced), GIF (general
+  * LZW, interlace, local color tables), and JPEG from
+  * baseline-sequential through PROGRESSIVE — gray/4:4:4/4:2:0/4:2:2/
+  * 4:4:0 sampling, restart intervals, full T.81 Annex G successive
+  * approximation (canonical Huffman, DC/AC entropy decode with EOB
+  * runs and refinement correction bits, dequant + IDCT, JFIF color
+  * conversion) — plus WAV PCM16 sample stats. On top of the decoders:
+  * perceptual features ([[imageAHash64]], [[audioEnvelopeHash64]],
+  * [[imageThumb64]]) defined with integer-exact arithmetic so the
+  * DuckDB oracle re-derives them from raw bytes. Only true codec
+  * bitstreams (video) fall back to clearly-labeled deterministic
+  * STUBS — swapping a stub for a real decoder changes only the
+  * function body, not the pipeline shape.
   *
   * The batch API mirrors the `mapInPandas` pattern: `mapPartitions` walks
   * the iterator in bounded batches so a real decoder could amortize model
