@@ -366,12 +366,21 @@ class JpegPixelSpec extends AnyFunSuite {
     * Cb + Cr, 16×16 pixels per MCU.
     */
   private def encodeColor420(w: Int, h: Int, qY: Array[Int], qC: Array[Int],
-      mcus: Seq[Seq[Array[Int]]]): Array[Byte] = {
+      mcus: Seq[Seq[Array[Int]]]): Array[Byte] =
+    encodeColorSampled(w, h, qY, qC, mcus, ySampling = 0x22, nYBlocks = 4)
+
+  /** Subsampled-color encoder for any luma sampling (0x22 = 4:2:0,
+    * 0x21 = 4:2:2, 0x12 = 4:4:0): nYBlocks luma blocks per MCU in raster
+    * order, then Cb, Cr.
+    */
+  private def encodeColorSampled(w: Int, h: Int, qY: Array[Int], qC: Array[Int],
+      mcus: Seq[Seq[Array[Int]]], ySampling: Int, nYBlocks: Int): Array[Byte] = {
     // header donor only (stream replaced below): same tables/dims, any blocks
     val base = encodeColor(w, h, qY, qC, Seq(Seq.fill(3)(Array.fill(64)(0))))
     val bw = new BitWriter
     val pred = new Array[Int](3)
-    val compOf = Array(0, 0, 0, 0, 1, 2) // block slot -> component
+    val compOf = Array.tabulate(nYBlocks + 2)(i =>
+      if (i < nYBlocks) 0 else i - nYBlocks + 1) // block slot -> component
     mcus.foreach { mcu =>
       mcu.zipWithIndex.foreach { case (qc, slot) =>
         val ci = compOf(slot)
@@ -408,7 +417,7 @@ class JpegPixelSpec extends AnyFunSuite {
     val bytes = out.toByteArray
     val sofAt = bytes.indices.find(i =>
       (bytes(i) & 0xff) == 0xff && (bytes(i + 1) & 0xff) == 0xc0).get
-    bytes(sofAt + 11) = 0x22.toByte // Y: 2×2
+    bytes(sofAt + 11) = ySampling.toByte
     bytes
   }
 
@@ -464,6 +473,73 @@ class JpegPixelSpec extends AnyFunSuite {
       }
     }
     assert((got.get.sumR, got.get.sumG, got.get.sumB) === ((sr, sg, sb)))
+  }
+
+  test("4:2:2 and 4:4:0: 4-block MCUs, single-axis chroma upsampling") {
+    val qY = Array.tabulate(64)(k => 1 + k % 6)
+    val qC = Array.tabulate(64)(k => 2 + k % 4)
+    val rnd = new scala.util.Random(314159L)
+    def block(dcRange: Int): Array[Int] = {
+      val qc = new Array[Int](64)
+      qc(0) = rnd.nextInt(2 * dcRange) - dcRange
+      (1 until 64).foreach(k => if (rnd.nextDouble() < 0.12) qc(k) = rnd.nextInt(30) - 15)
+      qc
+    }
+    def plane(qc: Array[Int], q: Array[Int]): Array[Array[Int]] = {
+      val f = new Array[Double](64)
+      (0 until 64).foreach(k => f(zig(k)) = qc(k).toDouble * q(k))
+      Array.tabulate(8, 8) { (py, px) =>
+        var acc = 0.0
+        for (v <- 0 until 8; u <- 0 until 8) {
+          val cu = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+          val cv = if (v == 0) 1.0 / math.sqrt(2.0) else 1.0
+          acc += cu * cv / 4.0 * f(v * 8 + u) *
+            math.cos((2 * px + 1) * u * math.Pi / 16.0) *
+            math.cos((2 * py + 1) * v * math.Pi / 16.0)
+        }
+        clamp8(math.floor(acc + 128.5).toInt)
+      }
+    }
+    def jfif(y: Int, cb: Int, cr: Int): (Int, Int, Int) = (
+      clamp8(math.floor(y + 1.402 * (cr - 128) + 0.5).toInt),
+      clamp8(math.floor(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5).toInt),
+      clamp8(math.floor(y + 1.772 * (cb - 128) + 0.5).toInt))
+
+    // 4:2:2 — luma 2x1: 16x8-pixel MCUs, chroma upsampled 2x horizontally
+    val mcus422 = Seq.fill(2)(Seq.fill(2)(block(80)) ++ Seq(block(40), block(40))) // 32x8
+    val b422 = encodeColorSampled(32, 8, qY, qC, mcus422, ySampling = 0x21, nYBlocks = 2)
+    val got422 = Multimodal.jpegPixelStats(b422)
+    assert(got422.isDefined && got422.get.nPx === 256L, "4:2:2 must decode")
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    mcus422.zipWithIndex.foreach { case (mcu, mi) =>
+      val planes = mcu.zipWithIndex.map { case (qc, slot) =>
+        plane(qc, if (slot < 2) qY else qC)
+      }
+      for (py <- 0 until 8; px <- 0 until 16) {
+        val y = planes(px / 8)(py)(px % 8)
+        val (r, g, b2) = jfif(y, planes(2)(py)(px / 2), planes(3)(py)(px / 2))
+        sr += r; sg += g; sb += b2
+      }
+    }
+    assert((got422.get.sumR, got422.get.sumG, got422.get.sumB) === ((sr, sg, sb)), "4:2:2 sums")
+
+    // 4:4:0 — luma 1x2: 8x16-pixel MCUs, chroma upsampled 2x vertically
+    val mcus440 = Seq.fill(2)(Seq.fill(2)(block(80)) ++ Seq(block(40), block(40))) // 16x16
+    val b440 = encodeColorSampled(16, 16, qY, qC, mcus440, ySampling = 0x12, nYBlocks = 2)
+    val got440 = Multimodal.jpegPixelStats(b440)
+    assert(got440.isDefined && got440.get.nPx === 256L, "4:4:0 must decode")
+    var (tr, tg, tb) = (0L, 0L, 0L)
+    mcus440.zipWithIndex.foreach { case (mcu, mi) =>
+      val planes = mcu.zipWithIndex.map { case (qc, slot) =>
+        plane(qc, if (slot < 2) qY else qC)
+      }
+      for (py <- 0 until 16; px <- 0 until 8) {
+        val y = planes(py / 8)(py % 8)(px)
+        val (r, g, b2) = jfif(y, planes(2)(py / 2)(px), planes(3)(py / 2)(px))
+        tr += r; tg += g; tb += b2
+      }
+    }
+    assert((got440.get.sumR, got440.get.sumG, got440.get.sumB) === ((tr, tg, tb)), "4:4:0 sums")
   }
 
   test("4:2:0 fixture generator round-trips its dc chains (oracle twin)") {
