@@ -482,6 +482,19 @@ class JpegProgressiveSpec extends AnyFunSuite {
       Some(refColorStats(w, h, (2, 2), qY, qC, comps)))
   }
 
+  test("color 4:2:2 progressive: single-axis subsampling geometry") {
+    val qY = Array.tabulate(64)(k => 1 + k % 4)
+    val qC = Array.fill(64)(3)
+    val w = 32; val h = 16 // luma 2x1: 2x2 MCUs -> luma 4x2 blocks, chroma 2x2
+    val comps = Seq(randBlocks(8, 30L), randBlocks(4, 31L), randBlocks(4, 32L))
+    val bytes = encodeProgressiveColor(w, h, (2, 1), qY, qC, comps, Seq(
+      (-1, 0, 0, 0, 0),
+      (0, 1, 63, 0, 1), (1, 1, 63, 0, 0), (2, 1, 63, 0, 0),
+      (0, 1, 63, 1, 0)))
+    assert(Multimodal.jpegPixelStats(bytes) ===
+      Some(refColorStats(w, h, (2, 1), qY, qC, comps)))
+  }
+
   test("progression violations reject: AC before DC, wrong refinement order") {
     val blocks = randBlocks(4, 7L)
     // AC scan before any DC scan
