@@ -93,6 +93,9 @@ class ImageHashSpec extends AnyFunSuite {
     assert(Multimodal.imageAHash64(Multimodal.makeGifPixels(16, 9, 9L)).isDefined)
     assert(Multimodal.imageAHash64(Multimodal.makeJpegPixels(2, 1, q0 = 2, seed = 10L)).isDefined)
     assert(Multimodal.imageAHash64(Multimodal.makeJpegColorPixels(2, 2, q0 = 2, seed = 11L)).isDefined)
+    assert(Multimodal.imageAHash64(Multimodal.makeJpegRestartPixels(3, 1, q0 = 2, dri = 2, seed = 14L)).isDefined)
+    assert(Multimodal.imageAHash64(Multimodal.makeJpegProgressivePixels(2, 1, q0 = 2, seed = 15L)).isDefined)
+    assert(Multimodal.imageAHash64(Multimodal.makeGifPixels(16, 9, 16L, interlaced = true)).isDefined)
     assert(Multimodal.imageAHash64(Multimodal.makeBmp(7, 16, 12L)).isEmpty) // w < 8
     assert(Multimodal.imageAHash64(Multimodal.makeGifPixels(16, 7, 13L)).isEmpty) // h < 8
     assert(Multimodal.imageAHash64(Array[Byte](1, 2, 3)).isEmpty)
