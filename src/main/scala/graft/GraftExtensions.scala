@@ -71,5 +71,6 @@ object GraftExtensions {
     fd("st_setsrid", 2, classOf[StSetSridExpr])(es => StSetSridExpr(es(0), es(1))),
     fd("cosine_sim", 2, classOf[CosineSimilarity])(es => CosineSimilarity(es(0), es(1))),
     fd("graft_json_get", 2, classOf[JsonGetScalar])(es => JsonGetScalar(es(0), es(1))),
-    fd("pack_ascii8", 1, classOf[PackAscii8])(es => PackAscii8(es.head)))
+    fd("pack_ascii8", 1, classOf[PackAscii8])(es => PackAscii8(es.head)),
+    fd("char_trigrams", 1, classOf[CharTrigrams])(es => CharTrigrams(es.head)))
 }

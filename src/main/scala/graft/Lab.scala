@@ -499,12 +499,19 @@ object Lab {
           .write.mode("overwrite").parquet(dst.toString)
     }
     val names = Bench.headline.map(_._1)
+    // NonFatal only: an OOM or fatal JVM error must propagate, and a
+    // genuinely broken query must print WHY, not silently become an
+    // n/a row in the floor report (ADVICE r6)
     def runOne(n: String, dir: String): Option[Double] =
       try {
         val t0 = System.nanoTime()
         SparkEntry.queries(n)(spark, dir).collect()
         Some((System.nanoTime() - t0) / 1e9)
-      } catch { case _: Throwable => None }
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          println(s"[floors] $n failed on $dir: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          None
+      }
     // QUERY-MAJOR timing (the Bench protocol: warm, then min of 3
     // consecutive runs), NOT the variant-A/B interleave: 20 distinct
     // plans exceed Spark's ~100-entry codegen class cache, so a

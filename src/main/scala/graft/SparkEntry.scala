@@ -48,4 +48,22 @@ object SparkEntry {
       name -> sql.replace(graft.queries.LlmPipeline.SfToken,
         graft.queries.LlmPipeline.fixtureSf)
     }
+
+  /** [[oracleSql]] with the fixture scale factor derived from the data
+    * directory the queries actually ran against, instead of the
+    * `graft.sf.name` property (VERDICT r6 item 5: an external harness
+    * that never sets the property would otherwise get sf0.01 fixture
+    * paths for every SF). The zero-arg form stays the driver contract;
+    * this is the standalone-consumer entry point — pass the same `dir`
+    * handed to [[queries]] and the fixture oracle SQL resolves
+    * `fixtures/<basename(dir)>/<query>.parquet`. (Named rather than
+    * overloaded: a String overload of a parameterless Map-returning def
+    * is ambiguous with the Map's own apply at every call site.)
+    */
+  def oracleSqlFor(dataDir: String): Map[String, String] = {
+    val sf = new java.io.File(dataDir).getName
+    all.collect { case (name, QueryDef(_, Some(sql))) =>
+      name -> sql.replace(graft.queries.LlmPipeline.SfToken, sf)
+    }
+  }
 }

@@ -212,22 +212,30 @@ object Stress {
         failed ::= s"zipf prefix max bucket $preMaxZ did not collapse vs raw $rawMaxZ"
     }
 
-    // Hamming near-dup (e29/e30) at volume: 505k hashes — 500k uniform
-    // (xxhash64 of the id) + 5000 planted near-dups (≤3 bit flips of an
-    // existing hash). The banded join must (a) find EVERY planted pair
-    // (pigeonhole losslessness, here exercised at volume rather than by
-    // the spec's brute force), (b) generate orders of magnitude fewer
-    // candidates than all-pairs, and (c) keep band buckets small — the
-    // three properties that make the operator a join, not a scan of n².
+    // Hamming near-dup at volume — the shared banded join behind BOTH
+    // e29 (imageAHash64) and e30 (audioEnvelopeHash64), which differ
+    // only in the scan-local hash feeding ImageNearDup.pairs: 505k
+    // hashes — 500k uniform (xxhash64 of the id) + 5000 planted
+    // near-dups (exactly 3 bit flips of an existing hash). The banded
+    // join must (a) find EVERY planted pair (pigeonhole losslessness,
+    // here exercised at volume rather than by the spec's brute force),
+    // (b) generate orders of magnitude fewer candidates than all-pairs,
+    // and (c) keep band buckets small — the three properties that make
+    // the operator a join, not a scan of n².
     {
       val n = 500000L
       val planted = 5000L
       val base = spark.range(n).select(col("id"), xxhash64(col("id")).as("h"))
+      // flip positions p, (p+17)%64, (p+41)%64: fixed distinct nonzero
+      // offsets, so the three flipped bits are guaranteed pairwise
+      // distinct and every planted pair sits at hamming distance
+      // EXACTLY 3 (the prior id%64/(id*31)%64/(id*53)%64 scheme let
+      // positions coincide and XOR pairs cancel for some ids)
       val dups = spark.range(planted).select((col("id") + n).as("id"),
         expr("""xxhash64(id)
           ^ shiftleft(1L, cast(id % 64 AS INT))
-          ^ shiftleft(1L, cast((id * 31) % 64 AS INT))
-          ^ shiftleft(1L, cast((id * 53) % 64 AS INT))""").as("h"))
+          ^ shiftleft(1L, cast((id + 17) % 64 AS INT))
+          ^ shiftleft(1L, cast((id + 41) % 64 AS INT))""").as("h"))
       val all = base.union(dups)
       val bands = all.select(col("id"),
         posexplode(array((0 until 4).map(i =>
@@ -251,6 +259,71 @@ object Stress {
         failed ::= s"hamming candidate volume $candVol not <<< all-pairs $allPairs"
       if (maxBucket > 1000)
         failed ::= s"hamming band bucket $maxBucket unbounded"
+    }
+
+    // Bucket-parallel mixture cumsum (VERDICT r6 item 1): e31's
+    // admission cumsum must never sort a whole language in one task.
+    // Two pins: the executed plan's corpus-wide window partitions by
+    // (lang, bkt) — the bucket-parallel sort, not the 5-partition
+    // per-language form — and at 10x volume the largest (lang, bkt)
+    // sort partition stays ~1/256 of its language (the md5 prefix is
+    // uniform; asserted with 4x slack).
+    {
+      val plan = SparkEntry.queries("e31_domain_mix")(spark, dir)
+        .queryExecution.executedPlan.toString
+      if ("""windowspecdefinition\(lang#\d+, bkt#\d+, rk#\d+ ASC""".r
+          .findFirstIn(plan).isEmpty)
+        failed ::= "e31: corpus window is not partitioned by (lang, bkt)"
+      val docs = Tables(spark, dir, "documents")
+        .filter(col("text").isNotNull && col("lang").isNotNull)
+        .select(col("lang"),
+          md5(col("doc_id").cast("string").cast("binary")).as("rk"))
+        .withColumn("bkt",
+          conv(substring(col("rk"), 1, 2), 16, 10).cast("int"))
+      val maxPart = docs.groupBy("lang", "bkt").count()
+        .agg(max("count")).collect()(0).getLong(0)
+      val perLang = docs.groupBy("lang").count()
+        .agg(max("count")).collect()(0).getLong(0)
+      println(f"[stress] e31 sort partitions: max $maxPart%d rows per (lang,bkt) vs $perLang%d per language (${perLang.toDouble / maxPart}%.0fx parallel)")
+      if (maxPart * 64 > perLang)
+        failed ::= s"e31 bucket skew: max (lang,bkt) partition $maxPart not << per-lang $perLang"
+    }
+
+    // Bounded LM-score fold (VERDICT r6 item 2): e33 must survive a
+    // pathologically long document. Structural pin: collect_list folds
+    // the per-(doc, tri) PRE-AGGREGATE — the plan must carry a
+    // HashAggregate keyed [doc_id, tri] — so one document contributes
+    // at most its DISTINCT trigrams (≤ alphabet³), not one double per
+    // character. Executional proof: the 10x corpus plus one 4 MB
+    // single-row document scores end-to-end.
+    {
+      val pdir = "/tmp/graft_stress_longdoc"
+      val done = new java.io.File(s"$pdir/_DONE")
+      if (!done.exists()) {
+        val sz = 4 * 1024 * 1024
+        val sb = new StringBuilder(sz)
+        var x = 0x9e3779b97f4a7c15L
+        while (sb.length < sz) { // LCG over a 26-letter+space alphabet
+          x = x * 6364136223846793005L + 1442695040888963407L
+          val c = ((x >>> 35) % 27).toInt
+          sb.append(if (c == 26) ' ' else ('a' + c).toChar)
+        }
+        Tables(spark, dir, "documents").unionByName(
+          spark.range(1).select(lit(999999999L).as("doc_id"),
+            lit(sb.toString).as("text"), lit("en").as("lang"),
+            lit("stress").as("source"), lit(sz.toLong).as("n_chars")))
+          .repartition(16)
+          .write.mode("overwrite").parquet(s"$pdir/documents.parquet")
+        done.createNewFile()
+        ()
+      }
+      val df = SparkEntry.queries("e33_lm_score")(spark, pdir)
+      val plan = df.queryExecution.executedPlan.toString
+      if ("""keys=\[doc_id#\d+L?, tri#\d+\]""".r.findFirstIn(plan).isEmpty)
+        failed ::= "e33: no per-(doc, tri) pre-aggregate below the fold"
+      val t0 = System.nanoTime()
+      df.queryExecution.toRdd.foreach(_ => ())
+      println(f"[stress] e33 with one 4 MB document: ${(System.nanoTime() - t0) / 1e6}%.0f ms")
     }
 
     if (spillBytes.get() > 0)

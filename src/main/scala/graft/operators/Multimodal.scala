@@ -140,20 +140,22 @@ object Multimodal {
     }.map { case (w, h) => (sumR, sumG, sumB, w.toLong * h) }
   }
 
-  /** The shared PNG decode core behind [[pngChannelSums]] and
-    * [[imageAHash64]] — 8-bit truecolor (color type 2) AND 8-bit paletted
-    * (color type 3, PLTE-mapped): validates, reassembles IDAT, inflates,
-    * un-filters at the color type's bpp, palette-maps indexed rows, and
-    * feeds each scanline's RGB bytes (top-down; `rowPx` = 3·w valid ints)
-    * to `row`. Some((w,h)) only on FULL success — the callback may have
-    * seen a prefix of rows when the result is None, so callers must not
-    * publish side effects until the Option returns.
-    */
   /** Adam7 pass geometry: (xStart, yStart, xStep, yStep). */
   private val adam7: Array[(Int, Int, Int, Int)] = Array(
     (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
     (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
 
+  /** The shared PNG decode core behind [[pngChannelSums]] and
+    * [[imageAHash64]] — every 8-bit color type (0 grayscale, 2 truecolor,
+    * 3 paletted/PLTE-mapped, 4 gray+alpha, 6 RGBA; alpha dropped), both
+    * sequential and Adam7-interlaced: validates, reassembles IDAT,
+    * inflates, un-filters at the color type's bpp, expands each scanline
+    * to RGB (interlaced passes scatter back into raster order), and
+    * feeds the row's RGB bytes (top-down; `rowPx` = 3·w valid ints) to
+    * `row`. Some((w,h)) only on FULL success — the callback may have
+    * seen a prefix of rows when the result is None, so callers must not
+    * publish side effects until the Option returns.
+    */
   private def pngRows(b: Array[Byte])(row: (Int, Array[Int], Int) => Unit): Option[(Int, Int)] =
     decodePngHeader(b) match {
       case Some((w, h, 8, ct))
@@ -1413,8 +1415,13 @@ object Multimodal {
     }
 
   /** 64-bit average-hash (aHash) over the DECODED pixels of any image
-    * format this module decodes — BMP 24bpp, truecolor PNG, GIF (global
-    * palette), baseline JPEG (gray or color, any supported sampling).
+    * format this module decodes — BMP 24bpp; PNG in every 8-bit color
+    * type (gray, truecolor, paletted, gray+alpha, RGBA), sequential or
+    * Adam7-interlaced; GIF with global or local color tables, sequential
+    * or interlaced; JPEG baseline (gray or color, any supported
+    * sampling, restart intervals) AND progressive (SOF2 routes through
+    * jpegProgressiveDecode) — callers need not pre-filter inputs to a
+    * narrower envelope than brightnessOf itself accepts.
     * The hash is the classic 8×8 thumbnail threshold, defined with
     * integer-only arithmetic so any engine reproduces it bit-exactly:
     * pixel brightness v = r+g+b; cell (bx,by) = (⌊x·8/w⌋, ⌊y·8/h⌋);

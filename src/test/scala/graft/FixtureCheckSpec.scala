@@ -69,12 +69,39 @@ class FixtureCheckSpec extends AnyFunSuite {
     val prev = sys.props.get("graft.sf.name")
     try {
       System.setProperty("graft.sf.name", "sfA")
-      val a = SparkEntry.oracleSql("e_fingerprint")
+      val a = SparkEntry.oracleSql.apply("e_fingerprint")
       System.setProperty("graft.sf.name", "sfB")
-      val b = SparkEntry.oracleSql("e_fingerprint")
+      val b = SparkEntry.oracleSql.apply("e_fingerprint")
       assert(a.contains("fixtures/sfA/e_fingerprint.parquet"))
       assert(b.contains("fixtures/sfB/e_fingerprint.parquet"))
       assert(!b.contains(queries.LlmPipeline.SfToken)) // placeholder never leaks
+    } finally {
+      prev match {
+        case Some(v) => System.setProperty("graft.sf.name", v)
+        case None => System.clearProperty("graft.sf.name")
+      }
+    }
+  }
+
+  test("oracleSqlFor(dataDir) derives the fixture SF from the data directory, property unset") {
+    // VERDICT r6 item 5 (the external-harness residual): a standalone
+    // consumer that never sets graft.sf.name runs queries against some
+    // sf dir but the zero-arg oracleSql hands back sf0.01 fixture paths.
+    // oracleSqlFor closes it: SF comes from the SAME directory argument
+    // the queries ran with, no process state involved.
+    val prev = sys.props.get("graft.sf.name")
+    try {
+      System.clearProperty("graft.sf.name") // the no-property harness
+      val viaDir = SparkEntry.oracleSqlFor("/root/testdata/sf0.1")("e_fingerprint")
+      assert(viaDir.contains("fixtures/sf0.1/e_fingerprint.parquet"))
+      assert(!viaDir.contains(queries.LlmPipeline.SfToken))
+      // the zero-arg contract default stays sf0.01 — the documented
+      // driver-facing behavior oracleSqlFor exists to route around
+      assert(SparkEntry.oracleSql.apply("e_fingerprint")
+        .contains("fixtures/sf0.01/e_fingerprint.parquet"))
+      // non-fixture SQL is identical through both entry points
+      assert(SparkEntry.oracleSqlFor("/root/testdata/sf0.1").apply("c14_pricing_summary")
+        === SparkEntry.oracleSql.apply("c14_pricing_summary"))
     } finally {
       prev match {
         case Some(v) => System.setProperty("graft.sf.name", v)
