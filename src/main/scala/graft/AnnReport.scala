@@ -38,21 +38,6 @@ object AnnReport {
     if (na == 0 || nb == 0) Double.MinValue else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
-  /** Clustered corpus at report scale: nClusters Gaussian centers in
-    * `dim` dims (near-orthogonal at dim 64), each with `members` points
-    * at noise sigma 0.05 — within-cluster cosine ≈ 0.999, cross-cluster
-    * near 0, so the true neighbour set is unambiguous. Same row count and
-    * dim as the sf0.1 embeddings table.
-    */
-  private def clusteredVectors(nClusters: Int, members: Int, dim: Int): Array[(Long, Array[Float])] = {
-    val rnd = new scala.util.Random(20260813L)
-    val centers = Array.fill(nClusters, dim)(rnd.nextGaussian())
-    (for (c <- 0 until nClusters; m <- 0 until members) yield {
-      val v = Array.tabulate(dim)(d => (centers(c)(d) + 0.05 * rnd.nextGaussian()).toFloat)
-      ((c.toLong * members + m), v)
-    }).toArray
-  }
-
   /** The full report block for one corpus. `emb` must expose
     * (vec_id long, embedding array<float>) — the operators under test
     * consume the DataFrame through their real cluster-side paths.
@@ -205,9 +190,9 @@ object AnnReport {
 
     report(spark, "sf0.1-uniform", Tables(spark, sfDir, "embeddings"))
 
-    // clustered twin: same row count (2000) and dim (64) as sf0.1
-    val clustered = clusteredVectors(nClusters = 50, members = 40, dim = 64)
-    report(spark, "clustered", clustered.toSeq.toDF("vec_id", "embedding"))
+    // clustered twin: same row count (2000) and dim (64) as sf0.1 — the
+    // committed fixture corpus the e28d driver gate also runs against
+    report(spark, "clustered", ClusteredFixture.df(spark))
 
     spark.stop()
   }

@@ -114,4 +114,21 @@ class IvfAnnSpec extends AnyFunSuite {
     assert(a === b, "full probe must be centroid-independent")
     df.unpersist()
   }
+
+  test("e28d recall gates HOLD on the committed clustered corpus (VERDICT r6 item 4)") {
+    // The e28d driver row pins engine↔oracle parity; this assert pins
+    // the QUALITY bar itself — the oracle re-derives the same algorithm,
+    // so a config that degrades recall would stay hash-green with
+    // recall_ok=false on both sides. Here the booleans must be TRUE:
+    // recall@10 ≥ 0.9 (total_hits ≥ 90/100) and ≤ 25% of the corpus
+    // scanned (4·max_cand ≤ 1999) for BOTH production configurations.
+    val rows = SparkEntry.queries("e28d_ann_recall")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.length === 2)
+    rows.foreach { r =>
+      val config = r.getString(0)
+      assert(r.getBoolean(5), s"$config: recall@10 < 0.9 (total_hits=${r.getLong(2)}/100)")
+      assert(r.getBoolean(6), s"$config: candidate scan > 25% (max_cand=${r.getLong(4)} of 1999)")
+    }
+  }
 }
