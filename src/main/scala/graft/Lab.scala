@@ -526,6 +526,14 @@ object Lab {
         case _ => None
       }
     }
+    // GLOBAL warm pass before any timing (the Bench protocol's other
+    // half, found missing in r7): without it the first queries in the
+    // list are measured on a cold JVM — Spark's scheduler/scan/codegen-
+    // compiler paths still interpreting — and c14, first in the list,
+    // read 370 ms here vs 228 ms under Bench on the same idle box. The
+    // per-query warm inside minOf still re-heats any codegen class this
+    // sweep evicts, so the query-major trap note above stays satisfied.
+    names.foreach { n => runOne(n, staged); runOne(n, emptyDir) }
     val real = names.map(n => n -> minOf(n, staged).getOrElse(Double.NaN)).toMap
     val flr = names.map(n => n -> minOf(n, emptyDir)).toMap
     println("[floors] query | floor_ms (same shape, 0 rows) | real_ms | data_ms | (real-floor)/baseline")
