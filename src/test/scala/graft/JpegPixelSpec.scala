@@ -595,18 +595,76 @@ class JpegPixelSpec extends AnyFunSuite {
     assert(Multimodal.jpegGraySums(corrupt).isEmpty)
   }
 
-  test("unsupported sampling (4:1:1 / subsampled chroma) rejects cleanly") {
+  test("4:1:1: 6-block 32x8 MCUs, 4x horizontal chroma upsampling") {
+    val qY = Array.tabulate(64)(k => 1 + k % 6)
+    val qC = Array.tabulate(64)(k => 2 + k % 4)
+    val rnd = new scala.util.Random(141421L)
+    def block(dcRange: Int): Array[Int] = {
+      val qc = new Array[Int](64)
+      qc(0) = rnd.nextInt(2 * dcRange) - dcRange
+      (1 until 64).foreach(k => if (rnd.nextDouble() < 0.12) qc(k) = rnd.nextInt(30) - 15)
+      qc
+    }
+    def plane(qc: Array[Int], q: Array[Int]): Array[Array[Int]] = {
+      val f = new Array[Double](64)
+      (0 until 64).foreach(k => f(zig(k)) = qc(k).toDouble * q(k))
+      Array.tabulate(8, 8) { (py, px) =>
+        var acc = 0.0
+        for (v <- 0 until 8; u <- 0 until 8) {
+          val cu = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+          val cv = if (v == 0) 1.0 / math.sqrt(2.0) else 1.0
+          acc += cu * cv / 4.0 * f(v * 8 + u) *
+            math.cos((2 * px + 1) * u * math.Pi / 16.0) *
+            math.cos((2 * py + 1) * v * math.Pi / 16.0)
+        }
+        clamp8(math.floor(acc + 128.5).toInt)
+      }
+    }
+    // 2 MCUs side by side: 64x8 pixels, luma 4x1, chroma 1x1
+    val mcus = Seq.fill(2)(Seq.fill(4)(block(80)) ++ Seq(block(40), block(40)))
+    val bytes = encodeColorSampled(64, 8, qY, qC, mcus, ySampling = 0x41, nYBlocks = 4)
+    val got = Multimodal.jpegPixelStats(bytes)
+    assert(got.isDefined && got.get.nComp === 3 && got.get.nPx === 512L, "4:1:1 must decode")
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    mcus.zipWithIndex.foreach { case (mcu, mi) =>
+      val planes = mcu.zipWithIndex.map { case (qc, slot) =>
+        plane(qc, if (slot < 4) qY else qC)
+      }
+      for (py <- 0 until 8; px <- 0 until 32) {
+        val y = planes(px / 8)(py)(px % 8)
+        val cb = planes(4)(py)(px / 4) // 4x horizontal index scaling
+        val cr = planes(5)(py)(px / 4)
+        sr += clamp8(math.floor(y + 1.402 * (cr - 128) + 0.5).toInt)
+        sg += clamp8(math.floor(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5).toInt)
+        sb += clamp8(math.floor(y + 1.772 * (cb - 128) + 0.5).toInt)
+      }
+    }
+    assert((got.get.sumR, got.get.sumG, got.get.sumB) === ((sr, sg, sb)), "4:1:1 sums")
+  }
+
+  test("unsupported sampling (4x2 luma / subsampled chroma / 4x1 chroma) rejects cleanly") {
     val qY = Array.fill(64)(2)
     val mcus = Seq(Seq.fill(3)(Array.fill(64)(0)))
     val bytes = encodeColor(8, 8, qY, qY, mcus)
     val sofAt = bytes.indices.find(i =>
       (bytes(i) & 0xff) == 0xff && (bytes(i + 1) & 0xff) == 0xc0).get
-    val bad41 = bytes.clone()
-    bad41(sofAt + 11) = 0x41.toByte // 4×1 luma: out of the supported range
-    assert(Multimodal.jpegPixelStats(bad41).isEmpty)
+    val bad42 = bytes.clone()
+    bad42(sofAt + 11) = 0x42.toByte // 4×2 luma: outside the envelope
+    assert(Multimodal.jpegPixelStats(bad42).isEmpty)
+    val bad14 = bytes.clone()
+    bad14(sofAt + 11) = 0x14.toByte // 1×4 luma: outside the envelope
+    assert(Multimodal.jpegPixelStats(bad14).isEmpty)
     val badChroma = bytes.clone()
     badChroma(sofAt + 14) = 0x21.toByte // subsampled-geometry chroma
     assert(Multimodal.jpegPixelStats(badChroma).isEmpty)
+    val badChroma41 = bytes.clone()
+    badChroma41(sofAt + 14) = 0x41.toByte // 4×1 is a LUMA-only allowance
+    assert(Multimodal.jpegPixelStats(badChroma41).isEmpty)
+    // 4:1:1 progressive stays outside the envelope (rare-times-rare)
+    val prog41 = bytes.clone()
+    prog41(sofAt + 1) = 0xc2.toByte
+    prog41(sofAt + 11) = 0x41.toByte
+    assert(Multimodal.jpegPixelStats(prog41).isEmpty)
   }
 
   test("rejects: progressive, multi-component, truncation, garbage") {
