@@ -46,6 +46,33 @@ object Relational2 extends QueryBlock {
         max(p_name) AS max_name
         FROM read_csv('$scratch/part_csv/*.csv', header=true)""")),
 
+    // C2d — ORC sink + scan round-trip (the second columnar format Spark
+    // ships natively; lakehouse migrations read both). DuckDB 1.0 cannot
+    // read ORC, so the oracle states the STRONGER property: a type-diverse
+    // aggregate over the round-tripped ORC data must equal the same
+    // aggregate DuckDB computes over the ORIGINAL parquet — any loss or
+    // corruption in the ORC write/read path (values, timestamps, nulls)
+    // breaks the hash.
+    "c02_orc_roundtrip" -> QueryDef(
+      (s, dir) => {
+        val out = s"$scratch/orders_orc"
+        t(s, dir, "orders").coalesce(1).write.mode("overwrite").orc(out)
+        s.read.orc(out)
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_orderkey")).as("key_sum"),
+            sumD2(col("o_totalprice")).as("price_sum"),
+            max(col("o_orderstatus")).as("max_status"),
+            max(col("o_orderdate")).as("max_date"),
+            countDistinct(col("o_custkey")).as("n_cust"))
+      },
+      Some(s"""SELECT count(*) AS n,
+        CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        ${sqlSumD2("o_totalprice")} AS price_sum,
+        max(o_orderstatus) AS max_status,
+        max(o_orderdate) AS max_date,
+        CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust
+        FROM orders""")),
+
     // C2a' — CSV scan with SCHEMA INFERENCE (one extra pass; the declared-
     // schema variant above is the 100 TB path). Casts in the aggregate pin
     // the output types against inference differences between engines.
