@@ -72,5 +72,7 @@ object GraftExtensions {
     fd("cosine_sim", 2, classOf[CosineSimilarity])(es => CosineSimilarity(es(0), es(1))),
     fd("graft_json_get", 2, classOf[JsonGetScalar])(es => JsonGetScalar(es(0), es(1))),
     fd("pack_ascii8", 1, classOf[PackAscii8])(es => PackAscii8(es.head)),
-    fd("char_trigrams", 1, classOf[CharTrigrams])(es => CharTrigrams(es.head)))
+    fd("char_trigrams", 1, classOf[CharTrigrams])(es => CharTrigrams(es.head)),
+    fd("nfc_normalize", 1, classOf[NfcNormalize])(es => NfcNormalize(es.head)),
+    fd("strip_accents", 1, classOf[StripAccents])(es => StripAccents(es.head)))
 }

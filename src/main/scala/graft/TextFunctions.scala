@@ -242,5 +242,6 @@ object TextFunctions extends Serializable {
     spark.udf.register("audio_envelope_hash64", audioEnvelopeHashF)
     spark.udf.register("image_thumb64", imageThumbF)
     graft.functions.CharTrigrams.register(spark)
+    graft.functions.UnicodeNorm.register(spark)
   }
 }
