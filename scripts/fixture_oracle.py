@@ -228,6 +228,51 @@ def gen(sf):
          "d2": pa.array([r[1] for r in mrows], pa.int64()),
          "est_jaccard": pa.array([r[2] for r in mrows], pa.float64())}))
 
+    # e38_incremental_dedup: new batch (top 20% of ids) vs earlier docs.
+    # Exact path: min earlier doc with identical text. Near path: e02's
+    # band buckets, but only pairs with the NEW doc on the right; best
+    # partner = (max est_jaccard, then min id), est >= 0.5. Exact wins.
+    max_id = max(r["doc_id"] for r in docs)
+    thr = (max_id + 1) * 4 // 5
+    texts = {r["doc_id"]: r["text"] for r in docs}
+    by_text = {}
+    for did in sorted(texts):
+        by_text.setdefault(texts[did], []).append(did)
+    exact = {}
+    for n in (d for d in sorted(texts) if d >= thr):
+        earlier = [d for d in by_text[texts[n]] if d < n]
+        if earlier:
+            exact[n] = earlier[0]
+    cand = {}
+    for ids in mbuckets.values():
+        for n in (i for i in ids if i >= thr):
+            for p in ids:
+                if p < n:
+                    cand.setdefault(n, set()).add(p)
+    near = {}
+    for n, ps in cand.items():
+        best = None
+        for p in ps:
+            eq = sum(1 for a, b in zip(msigs[n], msigs[p]) if a == b)
+            est = eq / 128.0
+            if est >= 0.5 and (best is None or (est, -p) > (best[1], -best[0])):
+                best = (p, est)
+        if best is not None:
+            near[n] = best
+    erows = []
+    for n in (d for d in sorted(texts) if d >= thr):
+        if n in exact:
+            erows.append((n, "exact", exact[n], None))
+        elif n in near:
+            erows.append((n, "near", near[n][0], near[n][1]))
+        else:
+            erows.append((n, "unique", None, None))
+    write(sf, "e38_incremental_dedup", pa.table(
+        {"doc_id": pa.array([r[0] for r in erows], pa.int64()),
+         "status": pa.array([r[1] for r in erows], pa.string()),
+         "partner": pa.array([r[2] for r in erows], pa.int64()),
+         "est_jaccard": pa.array([r[3] for r in erows], pa.float64())}))
+
     # e_ann_lsh: 8 tables x 12-bit hyperplane buckets, sim >= 0.3
     planes = plane_matrix(64, 8, 12)
     vecs = {r["vec_id"]: r["embedding"] for r in embs}

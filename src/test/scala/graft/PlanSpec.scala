@@ -171,6 +171,18 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("cosine_sim"))
   }
 
+  test("E37 URL curation is one scan + one small-key aggregate, all codegen") {
+    val plan = planOf("e37_url_domains")
+    // parse_url + the suffix fold are stock codegen'd expressions; the only
+    // exchange is the domain aggregate's (plus the orderBy's range exchange).
+    assert(!plan.contains("ScalaUDF"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"), plan)
+    val exchanges = plan.linesIterator.count(l => l.contains("Exchange") &&
+      !l.contains("Reused"))
+    assert(exchanges <= 2, s"expected <=2 exchanges (agg + sort), got $exchanges\n$plan")
+  }
+
   test("whole-stage codegen covers the pricing-summary pipeline") {
     // AQE prints placeholder plans until executed; run it, then inspect the
     // final adaptive plan.
