@@ -228,8 +228,12 @@ def gen(sf):
          "d2": pa.array([r[1] for r in mrows], pa.int64()),
          "est_jaccard": pa.array([r[2] for r in mrows], pa.float64())}))
 
-    # e38_incremental_dedup: new batch (top 20% of ids) vs earlier docs.
-    # Exact path: min earlier doc with identical text. Near path: e02's
+    # e38_incremental_dedup: new batch (top 20% of ids) vs earlier docs
+    # (partner = any id < n: historical OR earlier within the batch).
+    # d15_stream_dedup: same batch vs the STATIC historical index only
+    # (partner = any id < thr) — the streaming twin's semantics, where
+    # within-batch resolution is left to the e38 compaction.
+    # Exact path: min eligible doc with identical text. Near path: e02's
     # band buckets, but only pairs with the NEW doc on the right; best
     # partner = (max est_jaccard, then min id), est >= 0.5. Exact wins.
     max_id = max(r["doc_id"] for r in docs)
@@ -238,40 +242,47 @@ def gen(sf):
     by_text = {}
     for did in sorted(texts):
         by_text.setdefault(texts[did], []).append(did)
-    exact = {}
-    for n in (d for d in sorted(texts) if d >= thr):
-        earlier = [d for d in by_text[texts[n]] if d < n]
-        if earlier:
-            exact[n] = earlier[0]
-    cand = {}
-    for ids in mbuckets.values():
-        for n in (i for i in ids if i >= thr):
-            for p in ids:
-                if p < n:
-                    cand.setdefault(n, set()).add(p)
-    near = {}
-    for n, ps in cand.items():
-        best = None
-        for p in ps:
-            eq = sum(1 for a, b in zip(msigs[n], msigs[p]) if a == b)
-            est = eq / 128.0
-            if est >= 0.5 and (best is None or (est, -p) > (best[1], -best[0])):
-                best = (p, est)
-        if best is not None:
-            near[n] = best
-    erows = []
-    for n in (d for d in sorted(texts) if d >= thr):
-        if n in exact:
-            erows.append((n, "exact", exact[n], None))
-        elif n in near:
-            erows.append((n, "near", near[n][0], near[n][1]))
-        else:
-            erows.append((n, "unique", None, None))
-    write(sf, "e38_incremental_dedup", pa.table(
-        {"doc_id": pa.array([r[0] for r in erows], pa.int64()),
-         "status": pa.array([r[1] for r in erows], pa.string()),
-         "partner": pa.array([r[2] for r in erows], pa.int64()),
-         "est_jaccard": pa.array([r[3] for r in erows], pa.float64())}))
+
+    def incr_verdicts(eligible):
+        exact = {}
+        for n in (d for d in sorted(texts) if d >= thr):
+            earlier = [d for d in by_text[texts[n]] if eligible(d, n)]
+            if earlier:
+                exact[n] = earlier[0]
+        cand = {}
+        for ids in mbuckets.values():
+            for n in (i for i in ids if i >= thr):
+                for p in ids:
+                    if eligible(p, n):
+                        cand.setdefault(n, set()).add(p)
+        near = {}
+        for n, ps in cand.items():
+            best = None
+            for p in ps:
+                eq = sum(1 for a, b in zip(msigs[n], msigs[p]) if a == b)
+                est = eq / 128.0
+                if est >= 0.5 and (best is None or (est, -p) > (best[1], -best[0])):
+                    best = (p, est)
+            if best is not None:
+                near[n] = best
+        rows = []
+        for n in (d for d in sorted(texts) if d >= thr):
+            if n in exact:
+                rows.append((n, "exact", exact[n], None))
+            elif n in near:
+                rows.append((n, "near", near[n][0], near[n][1]))
+            else:
+                rows.append((n, "unique", None, None))
+        return rows
+
+    for name, rows in (
+            ("e38_incremental_dedup", incr_verdicts(lambda p, n: p < n)),
+            ("d15_stream_dedup", incr_verdicts(lambda p, n: p < thr))):
+        write(sf, name, pa.table(
+            {"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+             "status": pa.array([r[1] for r in rows], pa.string()),
+             "partner": pa.array([r[2] for r in rows], pa.int64()),
+             "est_jaccard": pa.array([r[3] for r in rows], pa.float64())}))
 
     # e_ann_lsh: 8 tables x 12-bit hyperplane buckets, sim >= 0.3
     planes = plane_matrix(64, 8, 12)

@@ -318,6 +318,57 @@ object Streaming extends QueryBlock {
           round(list_sum(list_sort(list(kl))) / sum(k), 6) > -9.0 AS keep
         FROM ls GROUP BY doc_id""")),
 
+    // D15 — INCREMENTAL DEDUP AS A STREAM: the e38 operator's deployment
+    // shape. The historical index (docs below the batch threshold) is
+    // STATIC — at scale its hash/band tables are precomputed bucketed
+    // artifacts — and each arriving micro-batch of new documents is
+    // resolved against it inside foreachBatch with
+    // IncrementalDedup.verdictsVsIndex: exact sha256 probe + banded
+    // MinHash-LSH whose probe side holds only the batch's band triples,
+    // so per-trigger work scales with the batch, never the corpus.
+    // Verdicts are per-doc vs the index ONLY, hence independent of how
+    // arrivals slice into micro-batches — what makes the batch fixture
+    // oracle legitimate. Within-batch duplicates are deliberately left to
+    // e38's compaction when the batch merges into the index (the fixture
+    // twin `d15_stream_dedup` differs from `e38_incremental_dedup` on
+    // exactly those rows).
+    "d15_stream_incr_dedup" -> QueryDef(
+      (s, dir) => {
+        val docsB = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+        val thr = (docsB.agg(max("doc_id")).head.getLong(0) + 1L) * 4L / 5L
+        val hist = docsB.filter(col("doc_id") < thr)
+        val outDir = java.nio.file.Paths.get(
+          s"${Graft.scratchDir}/d15_out_${new java.io.File(dir).getName}")
+        if (java.nio.file.Files.exists(outDir)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(outDir).iterator().asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        }
+        val stream = EventStreams.documents(s, dir)
+          .filter(col("doc_id") >= thr).select(col("doc_id"), col("text"))
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_d15")
+        try {
+          val q = stream.writeStream
+            .foreachBatch { (batch: DataFrame, _: Long) =>
+              graft.operators.IncrementalDedup
+                .verdictsVsIndex(batch, hist, "doc_id", "text")
+                .write.mode("append").parquet(outDir.toString)
+            }
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .option("checkpointLocation", ckpt.toString)
+            .start()
+          q.awaitTermination()
+        } finally {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        }
+        LlmPipeline.fixtureCheck(s, dir, "d15_stream_dedup",
+          s.read.parquet(outDir.toString), Seq("doc_id"))
+      },
+      Some(LlmPipeline.fixtureSql("d15_stream_dedup",
+        Seq("doc_id", "status", "partner", "est_jaccard")))),
+
     // D10++ — the E15 clean-corpus pipeline AS A STREAM: quality gate →
     // exact-dedup (keeper = min doc_id via min_by, order-independent) →
     // per-language profile, over documents arriving as files. Shares

@@ -56,4 +56,37 @@ class IncrementalDedupSpec extends AnyFunSuite {
       .collect()
     assert(out.isEmpty)
   }
+
+  test("verdictsVsIndex: partners come from the index only") {
+    val df = docs.toDF("doc_id", "text")
+    val out = operators.IncrementalDedup
+      .verdictsVsIndex(df.filter(col("doc_id") >= 8), df.filter(col("doc_id") < 8),
+        "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(8L, 9L, 10L, 11L))
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(byId(8L) === (("exact", 3L)))
+    // 11 duplicates batch-mate 8, but vs-index its partner is still the
+    // HISTORICAL copy 3 — within-batch pairs are never generated here
+    // (that resolution is verdicts()' compaction job).
+    assert(byId(11L) === (("exact", 3L)))
+    assert(byId(9L)._1 === "near")
+    assert(byId(9L)._2 === 2L)
+    assert(byId(10L) === (("unique", -1L)))
+  }
+
+  test("verdictsVsIndex: a within-batch-only duplicate reads unique") {
+    // 12 and 13 are copies of each other but of nothing historical: the
+    // vs-index form must call BOTH unique (verdict independent of how a
+    // stream slices them into micro-batches).
+    val df = (docs ++ Seq((12L, baseText(60)), (13L, baseText(60))))
+      .toDF("doc_id", "text")
+    val out = operators.IncrementalDedup
+      .verdictsVsIndex(df.filter(col("doc_id") >= 12), df.filter(col("doc_id") < 8),
+        "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((12L, "unique"), (13L, "unique")))
+  }
 }
