@@ -11,12 +11,17 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** `events.ts` is TIMESTAMP(NANOS) in parquet, which Spark's vectorized
-    * reader rejects outright ([PARQUET_TYPE_ILLEGAL]). We read nanos as a
-    * long (session conf below) and truncate to microseconds with exact
-    * integer division (`div`, not `/` — ns-epoch values exceed double's 2^53
-    * mantissa). This is the documented ns→µs delta of SURVEY.md §1.2; every
-    * declared oracle query buckets or formats ts at ≥second granularity.
+  /** `events.ts` normalization — the driver has shipped two physical forms:
+    *  - TIMESTAMP(NANOS), which Spark's vectorized reader rejects outright
+    *    ([PARQUET_TYPE_ILLEGAL]): read nanos as a long (session conf below)
+    *    and truncate to microseconds with exact integer division (`div`,
+    *    not `/` — ns-epoch values exceed double's 2^53 mantissa);
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false), which Spark reads as
+    *    TIMESTAMP_NTZ: cast to session-local TIMESTAMP (session tz is UTC
+    *    everywhere, so the wall-clock value is unchanged — exactly what the
+    *    DuckDB oracle sees reading the same naive µs values).
+    * Both normalize to the same µs TIMESTAMP column; every declared oracle
+    * query buckets or formats ts at ≥second granularity (SURVEY.md §1.2).
     */
   // Plan-handle cache: spark.read.parquet pays file listing + footer schema
   // read (~60 ms) on EVERY call; the returned DataFrame is an immutable
@@ -31,14 +36,20 @@ object Tables {
   private def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    // Guarded on LongType: a re-staged copy of events (Bench layout cache)
-    // already holds µs timestamps and needs no conversion.
-    if (name == "events" &&
-        df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
-    else df
+    // Guarded on the actual physical type: a re-staged copy of events
+    // (Bench layout cache) already holds µs TIMESTAMP and needs no
+    // conversion.
+    if (name == "events") df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast(
+            org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    } else df
   }
 
   /** Register every table as a temp view named after itself (C37 SQL entry
