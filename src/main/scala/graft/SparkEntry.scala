@@ -13,6 +13,7 @@ object SparkEntry {
     graft.queries.Relational,
     graft.queries.Relational2,
     graft.queries.LlmPipeline,
+    graft.queries.Curation,
     graft.queries.Geometry,
     graft.queries.GeoIO,
     graft.queries.Streaming)

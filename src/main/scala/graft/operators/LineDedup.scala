@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Line-frequency boilerplate removal (the RefinedWeb/CCNet line-dedup
+  * pass): a line that occurs in >= tau distinct documents corpus-wide is
+  * boilerplate (navigation, cookie banners, footers) and is dropped from
+  * every document; surviving lines keep their original order.
+  *
+  * Scale shape (100 TB):
+  *  - the exploded-line pass feeds a partial+final hash aggregate keyed
+  *    on the line text for the document-frequency table (at production
+  *    scale key on xxhash64(line) to bound shuffle width);
+  *  - keep-filtering is an equi-join whose build side has ONE row per
+  *    distinct line, so hot boilerplate lines fan out on the probe side
+  *    only — no pair explosion, no skew blowup;
+  *  - reassembly groups by doc_id (state bounded by document length).
+  *  The rejected alternative — df via Window.partitionBy(line) — would
+  *  hold unbounded per-key state on exactly the hottest keys (a footer
+  *  line spans billions of documents).
+  */
+object LineDedup {
+
+  /** @param docs (doc_id, content) where content is '\n'-separated text
+    * @return (doc_id, n_lines, n_kept, cleaned) — unordered; callers sort
+    */
+  def clean(docs: DataFrame, tau: Int): DataFrame = {
+    val withLines = docs.select(col("doc_id"), split(col("content"), "\n").as("lines"))
+    val lines = withLines.select(col("doc_id"),
+      posexplode(col("lines")).as(Seq("pos", "line")))
+    val df = lines.groupBy("line")
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val kept = lines.join(df, Seq("line")).filter(col("df") < tau)
+    val reassembled = kept.groupBy("doc_id").agg(
+      count(lit(1)).cast("int").as("n_kept"),
+      array_join(
+        expr("transform(sort_array(collect_list(struct(pos, line))), x -> x.line)"),
+        "\n").as("cleaned"))
+    withLines.select(col("doc_id"), size(col("lines")).as("n_lines"))
+      .join(reassembled, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0)).as("n_kept"),
+        coalesce(col("cleaned"), lit("")).as("cleaned"))
+  }
+}

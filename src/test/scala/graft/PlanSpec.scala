@@ -183,6 +183,18 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 2, s"expected <=2 exchanges (agg + sort), got $exchanges\n$plan")
   }
 
+  test("E40 line dedup aggregates line frequency — never a per-line window") {
+    val plan = planOf("e40_line_dedup")
+    // df must come from a partial+final hash aggregate keyed on the line;
+    // a Window.partitionBy(line) would hold unbounded state on exactly the
+    // hottest keys (a footer line spans billions of docs at 100 TB).
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("ScalaUDF"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+    assert(plan.contains("Generate"), plan) // posexplode streams lines
+  }
+
   test("whole-stage codegen covers the pricing-summary pipeline") {
     // AQE prints placeholder plans until executed; run it, then inspect the
     // final adaptive plan.
