@@ -74,6 +74,126 @@ object Curation extends QueryBlock {
           FROM k GROUP BY doc_id)
         SELECT d.doc_id, CAST(len(d.lines) AS INT) AS n_lines,
           coalesce(c.n_kept, 0) AS n_kept, coalesce(c.cleaned, '') AS cleaned
-        FROM d LEFT JOIN c USING (doc_id) ORDER BY d.doc_id"""))
+        FROM d LEFT JOIN c USING (doc_id) ORDER BY d.doc_id""")),
+
+    // E41 — Naive-Bayes quality classifier: the fastText-style filter
+    // every web-scale pipeline runs (CCNet / GPT-3 "quality" stage),
+    // here as a multinomial NB with Laplace smoothing trained on a
+    // deterministic 80% split (label: lang = 'en') and scoring the held
+    // -out 20%. Everything is counts: the model is ONE grouped aggregate
+    // over train tokens, bounded by vocabulary — it broadcasts at 100 TB
+    // and scoring is scan-local + one per-doc aggregate. Train-split
+    // scalars (class totals, vocab size, priors) are bounded driver
+    // literals (e33 normalizer precedent). The per-doc sum folds k·w
+    // terms in sorted order (e33 determinism pattern); ln + round(6)
+    // follows the e08/e33 transcendental-parity precedent.
+    "e41_nb_quality" -> QueryDef(
+      (s, dir) => {
+        val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+          .select(col("doc_id"), (col("lang") === "en").as("y"),
+            split(lower(col("text")), " ").as("toks"))
+        val toks = docs.select(col("doc_id"), col("y"),
+          explode(col("toks")).as("tok"))
+        val train = toks.filter(col("doc_id") % 10 < 8)
+        val model = train.groupBy(col("tok")).agg(
+          sum(when(col("y"), 1L).otherwise(0L)).as("cnt1"),
+          sum(when(col("y"), 0L).otherwise(1L)).as("cnt0"))
+        val Array(tot1, tot0, v) = model.agg(
+            sum(col("cnt1")), sum(col("cnt0")), count(lit(1)))
+          .collect()(0).toSeq.map(_.asInstanceOf[Long].toDouble).toArray
+        val Array(n1, n0) = docs.filter(col("doc_id") % 10 < 8)
+          .agg(sum(when(col("y"), 1L).otherwise(0L)),
+            sum(when(col("y"), 0L).otherwise(1L)))
+          .collect()(0).toSeq.map(_.asInstanceOf[Long].toDouble).toArray
+        val prior = math.log(n1 / n0)
+        val scored = toks.filter(col("doc_id") % 10 >= 8)
+          .groupBy(col("doc_id"), col("y"), col("tok"))
+          .agg(count(lit(1)).as("k"))
+          .join(model, Seq("tok"), "left")
+          .select(col("doc_id"), col("y"), col("k"),
+            (col("k").cast("double") *
+              (log((coalesce(col("cnt1"), lit(0L)).cast("double") + 1.0) / lit(tot1 + v))
+                - log((coalesce(col("cnt0"), lit(0L)).cast("double") + 1.0) / lit(tot0 + v))))
+              .as("kw"))
+        scored.groupBy(col("doc_id"))
+          .agg(sum(col("k")).as("n_toks"),
+            expr(s"round($prior + aggregate(sort_array(collect_list(kw)), 0D, (s, x) -> s + x), 6)")
+              .as("score"),
+            first(col("y")).as("actual"))
+          .withColumn("pred", col("score") > 0.0)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (SELECT doc_id, lang = 'en' AS y,
+            string_split(lower(text), ' ') AS toks
+          FROM documents WHERE text IS NOT NULL),
+        tk AS (SELECT doc_id, y, unnest(toks) AS tok FROM d),
+        model AS (SELECT tok,
+            sum(CASE WHEN y THEN 1 ELSE 0 END) AS cnt1,
+            sum(CASE WHEN y THEN 0 ELSE 1 END) AS cnt0
+          FROM tk WHERE doc_id % 10 < 8 GROUP BY tok),
+        tot AS (SELECT CAST(sum(cnt1) AS DOUBLE) AS tot1,
+            CAST(sum(cnt0) AS DOUBLE) AS tot0,
+            CAST(count(*) AS DOUBLE) AS v FROM model),
+        pri AS (SELECT ln(CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS DOUBLE)
+              / sum(CASE WHEN y THEN 0 ELSE 1 END)) AS prior
+          FROM d WHERE doc_id % 10 < 8),
+        pt AS (SELECT doc_id, y, tok, count(*) AS k
+          FROM tk WHERE doc_id % 10 >= 8 GROUP BY doc_id, y, tok),
+        kw AS (SELECT doc_id, y, k,
+            k * (ln((CAST(coalesce(cnt1, 0) AS DOUBLE) + 1.0) / (tot1 + v))
+               - ln((CAST(coalesce(cnt0, 0) AS DOUBLE) + 1.0) / (tot0 + v))) AS kw
+          FROM pt LEFT JOIN model USING (tok) CROSS JOIN tot),
+        sc AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_toks,
+            round(any_value(prior) + list_sum(list_sort(list(kw))), 6) AS score,
+            bool_or(y) AS actual
+          FROM kw CROSS JOIN pri GROUP BY doc_id)
+        SELECT doc_id, n_toks, score, actual, score > 0.0 AS pred
+        FROM sc ORDER BY doc_id""")),
+
+    // E43 — binary (sign) quantization + Hamming-prefilter ANN: each
+    // 64-d embedding compresses to a single 8-byte signature (the sign
+    // bit per dimension — 32x smaller than float32); search scans
+    // signatures with popcount(xor) — pure codegen integer ops — takes a
+    // bounded Hamming shortlist (100), and re-ranks the shortlist with
+    // exact cosine (the e28c shortlist-then-rerank shape). At 100 TB the
+    // signature column is what you scan: 8 bytes/vector means the
+    // Hamming pass is bandwidth-trivial, and exact distance work is
+    // bounded by the shortlist, not the corpus. The query signature and
+    // vector are literal-bound (e03: a 1-row "table" has no business in
+    // a distributed join). Bit 63 folds in as Long.MinValue on both
+    // engines — DuckDB's checked `<<` cannot form 1<<63 directly.
+    "e43_binary_ann" -> QueryDef(
+      (s, dir) => {
+        val sigExpr = expr(
+          """aggregate(sequence(1, 63), 0L,
+               (acc, i) -> acc + IF(element_at(embedding, i) > 0, shiftleft(1L, i - 1), 0L))
+             + IF(element_at(embedding, 64) > 0, shiftleft(1L, 63), 0L)""")
+        val emb = t(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"), sigExpr.as("sig"))
+        val q = emb.filter(col("vec_id") === 0)
+          .select(col("sig"), col("embedding")).collect().head
+        val (qsig, qv) = (q.getLong(0), q.getSeq[Float](1).toArray)
+        emb.select(col("vec_id"), col("embedding"),
+            expr(s"CAST(bit_count(sig ^ ${qsig}L) AS INT)").as("hd"))
+          .orderBy(col("hd"), col("vec_id")).limit(100)
+          .select(col("vec_id"), col("hd"),
+            call_function("cosine_sim", col("embedding"), typedlit(qv)).as("sim"))
+          .orderBy(col("sim").desc, col("vec_id")).limit(10)
+      },
+      Some("""WITH s AS (SELECT vec_id, embedding,
+            CAST(list_sum(list_transform(generate_series(1, 63),
+                i -> CASE WHEN embedding[i] > 0 THEN CAST(1 AS BIGINT) << (i - 1)
+                          ELSE CAST(0 AS BIGINT) END))
+              + CASE WHEN embedding[64] > 0
+                     THEN CAST(-9223372036854775808 AS BIGINT) ELSE 0 END AS BIGINT) AS sig
+          FROM embeddings),
+        q AS (SELECT sig AS qsig, embedding AS qv FROM s WHERE vec_id = 0),
+        c AS (SELECT vec_id, CAST(bit_count(xor(sig, qsig)) AS INT) AS hd, embedding, qv
+          FROM s CROSS JOIN q ORDER BY hd, vec_id LIMIT 100)
+        SELECT vec_id, hd,
+          list_sum(list_transform(list_zip(embedding, qv), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+            / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             * sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+        FROM c ORDER BY sim DESC, vec_id LIMIT 10"""))
   )
 }
