@@ -487,16 +487,22 @@ object Lab {
     * the honest comparison against an engine with no per-stage scheduling
     * (SURVEY §6's floor-bound risk, measured per query instead of argued).
     * Query-major warm + min-of-3, the exact Bench protocol.
-    * Queries that fetch driver-side state from the data (e03's query
-    * vector) cannot run on empty input and report n/a.
+    * embeddings keeps exactly ONE row (vec_id=0) instead of zero: e03
+    * fetches its query vector driver-side and cannot run on truly empty
+    * input, and one 64-float row is a ~0 data term — this is what turns
+    * the r7 "n/a (driver-side fetch needs data)" row into a measured
+    * floor (VERDICT r7 item 3).
     */
   private def runFloors(spark: SparkSession, staged: String): Unit = {
-    val emptyDir = "/tmp/graft_floor_empty"
+    val emptyDir = "/tmp/graft_floor_empty_v2"
     Tables.names.foreach { n =>
       val dst = new java.io.File(s"$emptyDir/$n.parquet")
-      if (!new java.io.File(dst, "_SUCCESS").exists())
-        Tables(spark, staged, n).limit(0).coalesce(1)
-          .write.mode("overwrite").parquet(dst.toString)
+      if (!new java.io.File(dst, "_SUCCESS").exists()) {
+        val src = Tables(spark, staged, n)
+        val twin =
+          if (n == "embeddings") src.filter(col("vec_id") === 0) else src.limit(0)
+        twin.coalesce(1).write.mode("overwrite").parquet(dst.toString)
+      }
     }
     val names = Bench.headline.map(_._1)
     // NonFatal only: an OOM or fatal JVM error must propagate, and a

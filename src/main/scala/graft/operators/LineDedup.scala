@@ -22,11 +22,14 @@ import org.apache.spark.sql.functions._
   */
 object LineDedup {
 
-  /** @param docs (doc_id, content) where content is '\n'-separated text
+  /** @param docs (doc_id, content) where content is '\n'-separated text;
+    *             a NULL content row yields (n_lines 0, n_kept 0, "") rather
+    *             than legacy size(NULL) = -1 nonsense
     * @return (doc_id, n_lines, n_kept, cleaned) — unordered; callers sort
     */
   def clean(docs: DataFrame, tau: Int): DataFrame = {
-    val withLines = docs.select(col("doc_id"), split(col("content"), "\n").as("lines"))
+    val withLines = docs.select(col("doc_id"),
+      coalesce(split(col("content"), "\n"), array().cast("array<string>")).as("lines"))
     val lines = withLines.select(col("doc_id"),
       posexplode(col("lines")).as(Seq("pos", "line")))
     val df = lines.groupBy("line")

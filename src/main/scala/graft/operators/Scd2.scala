@@ -42,7 +42,10 @@ object Scd2 {
     val w = Window.partitionBy(col(key)).orderBy(col(version))
     changes
       .withColumn("valid_to", lead(col(version), 1).over(w))
-      .filter(!col(deleteFlag))
+      // NULL deleteFlag = upsert (a change row without an explicit delete
+      // marker must open an interval, not vanish through three-valued
+      // logic — ADVICE r7)
+      .filter(!coalesce(col(deleteFlag), lit(false)))
       .withColumn("is_current", col("valid_to").isNull)
       .withColumnRenamed(version, "valid_from")
       .drop(deleteFlag)

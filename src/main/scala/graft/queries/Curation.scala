@@ -84,9 +84,16 @@ object Curation extends QueryBlock {
     // over train tokens, bounded by vocabulary — it broadcasts at 100 TB
     // and scoring is scan-local + one per-doc aggregate. Train-split
     // scalars (class totals, vocab size, priors) are bounded driver
-    // literals (e33 normalizer precedent). The per-doc sum folds k·w
-    // terms in sorted order (e33 determinism pattern); ln + round(6)
-    // follows the e08/e33 transcendental-parity precedent.
+    // literals (e33 normalizer precedent). The per-doc score folds each
+    // kw term to a fixed-point long (round(kw·1e9)) and SUMS — long
+    // addition is associative and order-free, so the result is exactly
+    // deterministic under any partition order with CONSTANT aggregation
+    // state (two longs per doc), unlike a collect_list fold whose buffer
+    // grows with a document's distinct tokens (VERDICT r7 item 2: token
+    // vocabulary, unlike e33's alphabet³ trigrams, is unbounded — a
+    // pathological high-vocabulary doc must not materialize a list).
+    // The 1e-9 quantization is far below the 6-dp output rounding;
+    // ln + round(6) follows the e08/e33 transcendental-parity precedent.
     "e41_nb_quality" -> QueryDef(
       (s, dir) => {
         val docs = t(s, dir, "documents").filter(col("text").isNotNull)
@@ -117,9 +124,11 @@ object Curation extends QueryBlock {
               .as("kw"))
         scored.groupBy(col("doc_id"))
           .agg(sum(col("k")).as("n_toks"),
-            expr(s"round($prior + aggregate(sort_array(collect_list(kw)), 0D, (s, x) -> s + x), 6)")
-              .as("score"),
+            sum(expr("CAST(round(kw * 1e9, 0) AS BIGINT)")).as("fp"),
             first(col("y")).as("actual"))
+          .select(col("doc_id"), col("n_toks"),
+            round(lit(prior) + col("fp").cast("double") / 1e9, 6).as("score"),
+            col("actual"))
           .withColumn("pred", col("score") > 0.0)
           .orderBy(col("doc_id"))
       },
@@ -144,7 +153,8 @@ object Curation extends QueryBlock {
                - ln((CAST(coalesce(cnt0, 0) AS DOUBLE) + 1.0) / (tot0 + v))) AS kw
           FROM pt LEFT JOIN model USING (tok) CROSS JOIN tot),
         sc AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_toks,
-            round(any_value(prior) + list_sum(list_sort(list(kw))), 6) AS score,
+            round(any_value(prior)
+              + CAST(sum(CAST(round(kw * 1e9) AS BIGINT)) AS DOUBLE) / 1e9, 6) AS score,
             bool_or(y) AS actual
           FROM kw CROSS JOIN pri GROUP BY doc_id)
         SELECT doc_id, n_toks, score, actual, score > 0.0 AS pred
@@ -171,7 +181,9 @@ object Curation extends QueryBlock {
         val emb = t(s, dir, "embeddings")
           .select(col("vec_id"), col("embedding"), sigExpr.as("sig"))
         val q = emb.filter(col("vec_id") === 0)
-          .select(col("sig"), col("embedding")).collect().head
+          .select(col("sig"), col("embedding")).collect().headOption
+          .getOrElse(throw new IllegalArgumentException(
+            s"e43_binary_ann: query vector vec_id=0 not found in $dir/embeddings"))
         val (qsig, qv) = (q.getLong(0), q.getSeq[Float](1).toArray)
         emb.select(col("vec_id"), col("embedding"),
             expr(s"CAST(bit_count(sig ^ ${qsig}L) AS INT)").as("hd"))

@@ -177,6 +177,46 @@ object Relational2 extends QueryBlock {
         FROM customer WHERE c_custkey % 15 <> 0
         ORDER BY c_custkey""")),
 
+    // C42 — SCD Type-2 history build (operators.Scd2.build): the same
+    // change log family as c41 (v1 initial state for every key, v2
+    // upserts for every 10th, v3 deletes for every 15th) folded into
+    // FULL history — one row per surviving change with its
+    // [valid_from, valid_to) interval; a delete closes the prior
+    // interval but emits no row. The oracle states every interval in
+    // closed form from the construction arithmetic: a v1 row closes at
+    // 2 if a v2 upsert follows, at 3 if only the delete does; a v2 row
+    // closes at 3 iff the key is also deleted; is_current = never
+    // closed. One key-hash shuffle (the lead window); per-key state =
+    // that key's change count — dimension-scale, never corpus-scale.
+    "c42_scd2_history" -> QueryDef(
+      (s, dir) => {
+        val base = t(s, dir, "customer").select(col("c_custkey"), col("c_acctbal"))
+        val v1 = base.select(col("c_custkey"), col("c_acctbal"),
+          lit(1L).as("version"), lit(false).as("deleted"))
+        val v2 = base.filter(col("c_custkey") % 10 === 0)
+          .select(col("c_custkey"), (col("c_acctbal") + 1000.0).as("c_acctbal"),
+            lit(2L).as("version"), lit(false).as("deleted"))
+        val v3 = base.filter(col("c_custkey") % 15 === 0)
+          .select(col("c_custkey"), col("c_acctbal"),
+            lit(3L).as("version"), lit(true).as("deleted"))
+        graft.operators.Scd2.build(
+            v1.unionByName(v2).unionByName(v3), "c_custkey", "version", "deleted")
+          .orderBy(col("c_custkey"), col("valid_from"))
+      },
+      Some("""SELECT c_custkey, c_acctbal,
+          CAST(1 AS BIGINT) AS valid_from,
+          CAST(CASE WHEN c_custkey % 10 = 0 THEN 2
+                    WHEN c_custkey % 15 = 0 THEN 3 END AS BIGINT) AS valid_to,
+          (c_custkey % 10 <> 0 AND c_custkey % 15 <> 0) AS is_current
+        FROM customer
+        UNION ALL
+        SELECT c_custkey, c_acctbal + 1000.0 AS c_acctbal,
+          CAST(2 AS BIGINT) AS valid_from,
+          CAST(CASE WHEN c_custkey % 15 = 0 THEN 3 END AS BIGINT) AS valid_to,
+          c_custkey % 15 <> 0 AS is_current
+        FROM customer WHERE c_custkey % 10 = 0
+        ORDER BY c_custkey, valid_from""")),
+
     // C12 — range/interval join: lineitems shipped within [o_orderdate,
     // o_orderdate + 90 days) of their order. Equi key + range predicate —
     // the equi part keys the shuffle, the range is a cheap post-filter
