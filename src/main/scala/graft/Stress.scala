@@ -326,6 +326,90 @@ object Stress {
       println(f"[stress] e33 with one 4 MB document: ${(System.nanoTime() - t0) / 1e6}%.0f ms")
     }
 
+    // Incremental-dedup candidate bound (VERDICT r7 item 7): e38/d15's
+    // "work scales with the batch, never the corpus" claim, asserted
+    // mechanically at 10x. Probe-side band triples must be EXACTLY
+    // 32·batch (the LSH band count — per-trigger work is linear in the
+    // arriving batch), and the index×batch candidate volume must be a
+    // vanishing fraction of the old×old volume the incremental shape
+    // refuses to generate (what a full re-dedup of the corpus would pay
+    // per ingest).
+    {
+      val docs = Tables(spark, dir, "documents")
+      val batch = docs.filter(col("doc_id") < 500)
+      val index = docs.filter(col("doc_id") >= 500)
+      val bT = operators.IncrementalDedup
+        .bandTriples(batch, "doc_id", "text").cache()
+      val probeTriples = bT.count()
+      val batchSize = batch.count()
+      val ixCounts = operators.IncrementalDedup
+        .bandTriples(index, "doc_id", "text")
+        .groupBy("band", "bkey").count().cache()
+      val bCounts = bT.groupBy("band", "bkey")
+        .agg(count(lit(1)).as("bc"))
+      val crossVol = ixCounts.join(bCounts, Seq("band", "bkey"))
+        .agg(sum(col("count") * col("bc"))).collect()(0).getLong(0)
+      // `/ 2` on a long column is DOUBLE division in Spark — halve after
+      val oldOldVol = ixCounts
+        .agg(sum(col("count") * (col("count") - 1))).collect()(0).getLong(0) / 2
+      bT.unpersist(); ixCounts.unpersist()
+      println(f"[stress] incremental dedup (batch $batchSize%d vs 10x index): probe triples $probeTriples%d (= 32·batch), candidate volume $crossVol%d vs old×old $oldOldVol%d never generated (${oldOldVol.toDouble / crossVol}%.0fx avoided)")
+      if (probeTriples != 32 * batchSize)
+        failed ::= s"e38 probe triples $probeTriples != 32 * batch $batchSize — per-trigger work not linear in the batch"
+      if (crossVol * 10 > oldOldVol)
+        failed ::= s"e38 candidate volume $crossVol not << old×old $oldOldVol"
+    }
+
+    // SemDedup skewed-bucket split (VERDICT r7 item 4): one planted hot
+    // bucket — 10k distinct vectors all nearest the same coarse centroid,
+    // plus 2k exact copies — must (a) split into sub-buckets that bound
+    // the per-group pair volume (the unsplit bucket is quadratic: ~72M
+    // candidate pairs here), and (b) remain LOSSLESS on true duplicates:
+    // an exact copy has identical sub-centroid cosines, so it must land
+    // in its original's sub-bucket and still drop toward it.
+    {
+      val n = 10000L
+      val planted = 2000L
+      // component 0 = 10 dominates → every vector argmaxes to centroid 0
+      // (the hot bucket); components 1..15 are deterministic uniform
+      // [-3, 3] from xxhash64(baseId*31+j), so copies (id >= n) rebuild
+      // their base's EXACT floats and non-copy pairs stay far below tau
+      val mkVec = expr(
+        """concat(array(CAST(10.0 AS FLOAT)),
+             transform(sequence(1, 15), j -> CAST(
+               (pmod(xxhash64((CASE WHEN id >= 10000 THEN id - 10000 ELSE id END) * 31 + j), 6000) - 3000)
+                 / 1000.0 AS FLOAT)))""")
+      val corpus = spark.range(n + planted).select(col("id"), mkVec.as("embedding"))
+      val cs: Array[Array[Float]] = Array.tabulate(4) { c =>
+        Array.tabulate(16)(j => if (j == c) 1f else 0f)
+      }
+      val maxBucket = 1000L
+      val asg = operators.SemDedup.assignments(corpus, "id", "embedding",
+        cs, maxBucket = maxBucket, subK = 16).cache()
+      val groups = asg.groupBy("bucket", "sub").count()
+      val stats = groups
+        .agg(max("count"), sum(col("count") * (col("count") - 1)))
+        .collect()(0)
+      val maxGroup = stats.getLong(0)
+      val pairVol = stats.getLong(1) / 2
+      val hotSize = n + planted
+      val unsplitPairs = hotSize * (hotSize - 1) / 2
+      println(f"[stress] semdedup hot-bucket split (${hotSize}%d vectors, 1 bucket): max (bucket,sub) group $maxGroup%d, candidate pairs $pairVol%d of $unsplitPairs%d unsplit (${unsplitPairs.toDouble / pairVol}%.0fx reduction)")
+      if (maxGroup * 4 > hotSize)
+        failed ::= s"semdedup split: max sub-group $maxGroup not << hot bucket $hotSize"
+      if (pairVol * 8 > unsplitPairs)
+        failed ::= s"semdedup split: pair volume $pairVol not << unsplit $unsplitPairs"
+      val verdicts = operators.SemDedup.verdicts(corpus, "id", "embedding",
+        cs, tau = 0.9999, maxBucket = maxBucket, subK = 16)
+      val recovered = verdicts
+        .filter(col("id") >= n && col("status") === "dropped" &&
+          col("partner") === col("id") - n).count()
+      asg.unpersist()
+      println(f"[stress] semdedup split losslessness: $recovered%d/$planted%d planted exact copies dropped toward their base")
+      if (recovered != planted)
+        failed ::= s"semdedup split lost planted dups: $recovered of $planted"
+    }
+
     if (spillBytes.get() > 0)
       failed ::= s"spill: ${spillBytes.get()} bytes spilled across the stress runs"
     if (failed.nonEmpty) {

@@ -35,6 +35,14 @@ object IncrementalDedup {
     posexplode(expr("transform(sequence(0, 31), b -> sha2(cast(slice(sig, b * 4 + 1, 4) AS STRING), 256))")))
     .select(col("doc_id"), col("pos").as("band"), col("col").as("bkey"))
 
+  /** Diagnostic view of the band triples a side contributes to the
+    * candidate join — exactly 32 rows per doc. Exposed so the stress
+    * harness can assert the scale claim mechanically (probe volume =
+    * 32·batch, old×old never generated) instead of by argument.
+    */
+  def bandTriples(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    bandsOf(sigsOf(normalize(docs, idCol, textCol)))
+
   /** (n, p) candidate pairs → best near-partner per n: (max est, then min
     * id) at est >= 0.5. Struct max compares field-by-field, so negating
     * the id turns min-id into max. Signatures re-attach by id — only the

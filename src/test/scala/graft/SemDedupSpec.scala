@@ -53,4 +53,55 @@ class SemDedupSpec extends AnyFunSuite {
       .collect()
     assert(out.forall(_.getString(2) == "kept"))
   }
+
+  // ---- skewed-bucket split (VERDICT r7 item 4) ----
+
+  /** 12 distinct base vectors near axis 0 (pairwise cosine << 0.9999)
+    * plus an EXACT copy of each at id+100 — one hot bucket where every
+    * true dup pair must survive the split (identical vectors have
+    * identical sub-centroid cosines, hence the same sub-bucket).
+    */
+  private val hotVecs: Seq[(Long, Seq[Float])] = {
+    val bases = (0 until 12).map { i =>
+      i.toLong -> Seq(10f,
+        (i % 3 - 1) * (1f + i / 3f), ((i + 1) % 4 - 1.5f) * 0.8f,
+        math.sin(i.toDouble).toFloat * 2f)
+    }
+    bases ++ bases.map { case (i, v) => (i + 100L) -> v }
+  }
+
+  test("default maxBucket leaves assignments unsplit (sub = 0 everywhere)") {
+    val asg = operators.SemDedup.assignments(
+      hotVecs.toDF("vec_id", "embedding"), "vec_id", "embedding", cs)
+    assert(asg.collect().forall(_.getAs[Int]("sub") == 0))
+  }
+
+  test("hot bucket splits into multiple sub-buckets; cold buckets keep sub 0") {
+    val asg = operators.SemDedup.assignments(
+        hotVecs.toDF("vec_id", "embedding"), "vec_id", "embedding",
+        cs, maxBucket = 6, subK = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getInt(3)))
+    assert(asg.length === 24)
+    val subs = asg.filter(_._2 == 0L).map(_._3).distinct
+    assert(subs.length > 1, s"hot bucket did not split: subs=${subs.toSeq}")
+    assert(subs.forall(s => s >= 0 && s < 4))
+    // the largest (bucket, sub) group is strictly smaller than the bucket
+    val maxGroup = asg.groupBy(r => (r._2, r._3)).map(_._2.length).max
+    assert(maxGroup < 24)
+  }
+
+  test("split only refines: every exact-dup pair is still found with its partner") {
+    val out = operators.SemDedup.verdicts(
+        hotVecs.toDF("vec_id", "embedding"), "vec_id", "embedding",
+        cs, tau = 0.9999, maxBucket = 6, subK = 4)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(2), if (r.isNullAt(3)) -1L else r.getLong(3)))
+      .toMap
+    (0 until 12).foreach { i =>
+      assert(out(i.toLong) === (("kept", -1L)), s"base $i must stay kept")
+      assert(out(i + 100L) === (("dropped", i.toLong)),
+        s"copy of $i must drop toward its identical base even after the split")
+    }
+  }
 }
