@@ -60,9 +60,14 @@ object Bench {
         val df = Tables(spark, sfDir, n)
         // File count sized to data volume (compaction, as any lakehouse
         // does): small dim tables as one file — a 25-row table split into 8
-        // files costs 8 scan tasks per query for nothing; fact tables keep
-        // full scan parallelism.
-        val files = if (df.count() < 10000L) 1 else 8
+        // files costs 8 scan tasks per query for nothing; fact tables scale
+        // with volume (~200k rows/file, capped) so scan parallelism grows
+        // with SF instead of pinning at 8 tasks on a 32-core box (found at
+        // sf1: an 8-file 6M-row lineitem made every scan 8-task-bound).
+        val rows = df.count()
+        val files =
+          if (rows < 10000L) 1
+          else math.max(8L, math.min(64L, rows / 200000L)).toInt
         df.repartition(files).write.mode("overwrite").parquet(dst.toString)
       }
     }

@@ -415,6 +415,25 @@ object Lab {
         .join(p, col("l_partkey") === col("p_partkey"), "left_semi")
         .agg(count(lit(1)).as("n"))
     }),
+    // r8 sf1 probe: shuffle BEFORE the flag aggregate. At sf1 the partial
+    // aggregate runs 30 scan tasks × ~200k-key maps and emits ~30×|keys|
+    // partial rows into the exchange; repartitioning the filtered skinny
+    // rows first (8B key + 2 bools) makes the agg run entirely
+    // post-shuffle — each key's map entry exists ONCE, and shuffle volume
+    // is the filtered row count instead of tasks×keys partial rows.
+    V("c09_repart_first", "c09_semi_anti", (s, dir) => {
+      val p = t(s, dir, "part").select(col("p_partkey"))
+      val l = t(s, dir, "lineitem")
+      val keys = l.select(col("l_partkey"),
+        (col("l_discount") > 0.05).as("disc"), (col("l_tax") > 0.07).as("taxed"))
+        .filter(col("disc") || col("taxed"))
+        .repartition(col("l_partkey"))
+        .groupBy(col("l_partkey"))
+        .agg(max(col("disc")).as("disc"), max(col("taxed")).as("taxed"))
+        .filter(col("disc") && !col("taxed"))
+      keys.join(broadcast(p), col("l_partkey") === col("p_partkey"), "left_semi")
+        .agg(count(lit(1)).as("n"))
+    }),
     // c09 FLOOR ATTRIBUTION PROBES (r5 verdict #3) -----------------------
     // (a) fused: coalesce(1) above the flag aggregate elides the final
     // count's SinglePartition exchange — one task computes the final flag
