@@ -324,6 +324,22 @@ object Stress {
       val t0 = System.nanoTime()
       df.queryExecution.toRdd.foreach(_ => ())
       println(f"[stress] e33 with one 4 MB document: ${(System.nanoTime() - t0) / 1e6}%.0f ms")
+
+      // e41 through the same long-doc fixture (VERDICT r7 item 2's other
+      // half): the 4 MB document is ~150k DISTINCT random words — the
+      // exact high-vocabulary shape whose collect_list fold r7 flagged
+      // (one list element per distinct token in a single aggregation
+      // buffer). The fixed-point fold's state is two longs regardless;
+      // pin that structurally (no collect_list anywhere in the plan —
+      // the fold is a plain sum) and executionally (scores end-to-end;
+      // the stress doc lands in the held-out split: 999999999 % 10 = 9).
+      val e41 = SparkEntry.queries("e41_nb_quality")(spark, pdir)
+      val e41Plan = e41.queryExecution.executedPlan.toString
+      if (e41Plan.contains("collect_list"))
+        failed ::= "e41: vocabulary-unbounded collect_list fold reappeared"
+      val t1 = System.nanoTime()
+      e41.queryExecution.toRdd.foreach(_ => ())
+      println(f"[stress] e41 with one 4 MB high-vocabulary document: ${(System.nanoTime() - t1) / 1e6}%.0f ms")
     }
 
     // Incremental-dedup candidate bound (VERDICT r7 item 7): e38/d15's
