@@ -415,6 +415,24 @@ object Lab {
         .join(p, col("l_partkey") === col("p_partkey"), "left_semi")
         .agg(count(lit(1)).as("n"))
     }),
+    // r8 attribution probe: e01 groups on sha2(text) — a deliberate scale
+    // choice (bounded shuffle width at 100 TB) that DuckDB's DISTINCT ON
+    // does not pay (it hashes raw text, no cryptographic digest). This
+    // twin groups on RAW text, the DuckDB-equivalent shape, to measure
+    // what the digest costs at bench volume.
+    V("e01_rawtext", "e01_exact_dedup", (s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .select(col("keep_id"), col("n_copies"))),
+    // and the 64-bit non-cryptographic twin (NOT shippable for exact
+    // dedup at corpus scale — 10B docs give ~0.3% birthday collision
+    // odds on 64 bits; kept as the lower-bound attribution point)
+    V("e01_xxhash", "e01_exact_dedup", (s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(xxhash64(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .select(col("keep_id"), col("n_copies"))),
     // r8 sf1 probe: shuffle BEFORE the flag aggregate. At sf1 the partial
     // aggregate runs 30 scan tasks × ~200k-key maps and emits ~30×|keys|
     // partial rows into the exchange; repartitioning the filtered skinny

@@ -19,6 +19,70 @@ import org.apache.spark.sql.functions._
 object Curation extends QueryBlock {
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+  private val scratch = graft.Graft.scratchDir
+
+  /** Deterministic 4-file WARC/1.0 fixture built from the documents table
+    * (genuine response records: version line, Type/Target-URI/Record-ID
+    * headers, Content-Length, CRLF framing; records ordered by doc_id
+    * within each file). Shared by e44 (batch ingest) and d16 (streaming
+    * ingest twin). Returns the directory written.
+    */
+  def writeWarcFixture(s: SparkSession, dir: String): String = {
+    val warcDir = s"$scratch/warc"
+    val d = t(s, dir, "documents")
+      .filter(col("text").isNotNull && col("doc_id") < 400)
+      .select(col("doc_id"), col("source"), col("text"))
+    val recs = d.withColumn("rec", concat(
+        lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://"),
+        col("source"), lit(".example.com/p/"), col("doc_id"),
+        lit("\r\nWARC-Record-ID: <urn:uuid:"), col("doc_id"),
+        lit(">\r\nContent-Length: "), length(col("text")),
+        lit("\r\n\r\n"), col("text"), lit("\r\n\r\n")))
+      .withColumn("b", (col("doc_id") % 4).cast("int"))
+    // fixture write: 4 bounded file-content rows (the e29 BMP-fixture
+    // precedent) — the operator under test is the read side
+    val files = recs.groupBy(col("b"))
+      .agg(expr("array_join(transform(sort_array(collect_list(struct(doc_id, rec))), x -> x.rec), '')")
+        .as("content"))
+      .collect()
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(warcDir))
+    files.foreach { r =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$warcDir/bucket${r.getInt(0)}.warc"),
+        r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    warcDir
+  }
+
+  /** Scan-local WARC record parse (the e44/d16 read side): record split on
+    * the version magic, header regexes, payload sliced by CONTENT-LENGTH.
+    * Works identically on a batch or streaming binaryFile relation.
+    */
+  def parseWarc(raw: DataFrame): DataFrame = {
+    val clen = regexp_extract(col("col"), "Content-Length: ([0-9]+)", 1)
+      .cast("int")
+    raw.select(regexp_extract(col("path"), "([^/]+)$", 1).as("fname"),
+        col("content").cast("string").as("c"))
+      .select(col("fname"), posexplode(split(col("c"), "WARC/1\\.0\r\n")))
+      .filter(length(col("col")) > 0)
+      .select(col("fname"), (col("pos") - 1).cast("int").as("rec"),
+        regexp_extract(col("col"), "WARC-Target-URI: ([^\r]+)", 1).as("uri"),
+        clen.as("clen"),
+        col("col").substr(instr(col("col"), "\r\n\r\n") + 4, clen).as("payload"))
+  }
+
+  /** The e44/d16 shared oracle: every record field re-derived from the
+    * fixture's construction arithmetic (full payload included).
+    */
+  val warcOracleSql: String =
+    """WITH d AS (SELECT doc_id, source, text, doc_id % 4 AS b
+        FROM documents WHERE text IS NOT NULL AND doc_id < 400)
+      SELECT 'bucket' || CAST(b AS VARCHAR) || '.warc' AS fname,
+        CAST(row_number() OVER (PARTITION BY b ORDER BY doc_id) - 1 AS INT) AS rec,
+        'https://' || source || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS uri,
+        CAST(length(text) AS INT) AS clen,
+        text AS payload
+      FROM d ORDER BY fname, rec"""
 
   val queries: Map[String, QueryDef] = Map(
     // E40 — line-frequency boilerplate removal (the RefinedWeb/CCNet line
@@ -159,6 +223,39 @@ object Curation extends QueryBlock {
           FROM kw CROSS JOIN pri GROUP BY doc_id)
         SELECT doc_id, n_toks, score, actual, score > 0.0 AS pred
         FROM sc ORDER BY doc_id""")),
+
+    // E44 — WARC ingest: the stage BEFORE e34 in a real crawl pipeline
+    // (CommonCrawl ships WARC; nothing downstream exists until records
+    // are split out of the container). The fixture WRITES genuine
+    // WARC/1.0 response records (version line, WARC-Type/Target-URI/
+    // Record-ID headers, Content-Length, CRLF framing) built
+    // deterministically from the documents table into 4 .warc files;
+    // the operator under test then re-ingests them: binaryFile scan →
+    // record split on the version magic → header regexes → payload
+    // extracted by CONTENT-LENGTH (the spec mechanism — the split is
+    // only record framing; a payload shorter/longer than its header
+    // would surface as a corrupted payload column and fail the oracle,
+    // which checks the FULL payload against construction ground truth).
+    //
+    // Shape at 100 TB: parallelism is per-FILE (the CommonCrawl layout:
+    // millions of ~1 GB segments; binaryFile does not split single
+    // files, matching how WARC must be read — records are sequential
+    // within a file) and record parsing is scan-local column algebra:
+    // zero shuffle, no UDF, composes with e34 (strip) / e37 (domain).
+    // Documented limits: uncompressed WARC (per-record gzip members are
+    // out of scope here), and record framing assumes the version magic
+    // does not occur inside a payload — true for text corpora; binary
+    // payloads would be walked by Content-Length alone in a custom
+    // FileFormat (the same envelope discipline as the e12 decoders).
+    // Content-Length is BYTES; the fixture text is ASCII so both
+    // engines' char lengths equal the byte count.
+    "e44_warc_ingest" -> QueryDef(
+      (s, dir) => {
+        val warcDir = writeWarcFixture(s, dir)
+        parseWarc(s.read.format("binaryFile").load(warcDir))
+          .orderBy(col("fname"), col("rec"))
+      },
+      Some(warcOracleSql)),
 
     // E43 — binary (sign) quantization + Hamming-prefilter ANN: each
     // 64-d embedding compresses to a single 8-byte signature (the sign

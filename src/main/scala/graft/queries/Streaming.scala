@@ -369,6 +369,27 @@ object Streaming extends QueryBlock {
       Some(LlmPipeline.fixtureSql("d15_stream_dedup",
         Seq("doc_id", "status", "partner", "est_jaccard")))),
 
+    // D16 — WARC container ingest AS A STREAM (e44's deployment shape: a
+    // crawl drops .warc segments into a landing dir continuously; each
+    // trigger parses only the files that arrived). Same fixture writer
+    // and the SAME scan-local parse as e44 (Curation.parseWarc — record
+    // split, header regexes, Content-Length payload slice), run through
+    // a binaryFile file stream. Stateless per-file projection → append
+    // mode; per-trigger work is bounded by arriving bytes, state is
+    // zero. Shares e44's construction-arithmetic oracle verbatim — batch
+    // and stream must extract byte-identical records.
+    "d16_stream_warc" -> QueryDef(
+      (s, dir) => {
+        val warcDir = Curation.writeWarcFixture(s, dir)
+        val raw = s.readStream.format("binaryFile")
+          .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+          .load(warcDir)
+        EventStreams.runToTable(s, Curation.parseWarc(raw), "d16_sink",
+            mode = "append")
+          .orderBy(col("fname"), col("rec"))
+      },
+      Some(Curation.warcOracleSql)),
+
     // D10++ — the E15 clean-corpus pipeline AS A STREAM: quality gate →
     // exact-dedup (keeper = min doc_id via min_by, order-independent) →
     // per-language profile, over documents arriving as files. Shares
