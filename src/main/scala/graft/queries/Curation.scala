@@ -257,6 +257,75 @@ object Curation extends QueryBlock {
       },
       Some(warcOracleSql)),
 
+    // E45 — domain-authority rank (PageRank, fixed 3-iteration power
+    // method, d = 0.85): the curation signal quality-weighting pipelines
+    // derive from the crawl's link graph (authority-weighted sampling /
+    // filtering). The fixture graph is deterministic construction
+    // arithmetic over the documents table (edge source→'src'||doc_id%7,
+    // self-loops dropped), so the oracle re-derives the SAME graph and
+    // unrolls the same three iterations as CTEs — every join, out-degree
+    // and damping term checked end-to-end. round(6) absorbs summation-
+    // order double drift (the e08 ln precedent; drift is ~1e-15 after 3
+    // iterations, six orders below the rounding grain).
+    //
+    // Shape at 100 TB: the loop is the iterative-DataFrame family
+    // (ConnectedComponents' shape): per iteration ONE shuffle keyed on
+    // dst for the contribution aggregate; out-degrees broadcast (one row
+    // per domain — dimension-scale); rank state is one row per node,
+    // never per edge. A production run adds localCheckpoint every ~5
+    // iterations to cut lineage — iteration count here is fixed and
+    // small so the plan stays a straight unrolled DAG.
+    "e45_domain_rank" -> QueryDef(
+      (s, dir) => {
+        val d = 0.85
+        val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+        val edges = docs.select(col("source").as("src"),
+            concat(lit("src"), col("doc_id") % 7).as("dst"))
+          .filter(col("src") =!= col("dst"))
+          .distinct()
+        val nodes = edges.select(col("src").as("node"))
+          .union(edges.select(col("dst"))).distinct()
+        val n = nodes.count().toDouble
+        val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+        var ranks = nodes.withColumn("rank", lit(1.0 / n))
+        (1 to 3).foreach { _ =>
+          val contrib = edges.join(outdeg, "src")
+            .join(ranks.withColumnRenamed("node", "src"), "src")
+            .groupBy(col("dst").as("node"))
+            .agg(sum(col("rank") / col("outdeg")).as("c"))
+          ranks = nodes.join(contrib, Seq("node"), "left")
+            .select(col("node"),
+              (lit((1 - d) / n) + lit(d) * coalesce(col("c"), lit(0.0))).as("rank"))
+        }
+        ranks.select(col("node"), round(col("rank"), 6).as("rank"))
+          .orderBy(col("node"))
+      },
+      Some("""WITH e AS (SELECT DISTINCT source AS src,
+            'src' || CAST(doc_id % 7 AS VARCHAR) AS dst
+          FROM documents WHERE text IS NOT NULL
+            AND source <> 'src' || CAST(doc_id % 7 AS VARCHAR)),
+        nodes AS (SELECT DISTINCT node FROM
+          (SELECT src AS node FROM e UNION SELECT dst FROM e)),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+        r0 AS (SELECT node, 1.0 / n AS rank FROM nodes CROSS JOIN nn),
+        r1 AS (SELECT nodes.node, 0.15 / n + 0.85 * coalesce(t.c, 0) AS rank
+          FROM nodes CROSS JOIN nn LEFT JOIN
+            (SELECT dst AS node, sum(r0.rank / outdeg) AS c
+             FROM e JOIN od USING (src) JOIN r0 ON r0.node = e.src
+             GROUP BY dst) t ON nodes.node = t.node),
+        r2 AS (SELECT nodes.node, 0.15 / n + 0.85 * coalesce(t.c, 0) AS rank
+          FROM nodes CROSS JOIN nn LEFT JOIN
+            (SELECT dst AS node, sum(r1.rank / outdeg) AS c
+             FROM e JOIN od USING (src) JOIN r1 ON r1.node = e.src
+             GROUP BY dst) t ON nodes.node = t.node),
+        r3 AS (SELECT nodes.node, 0.15 / n + 0.85 * coalesce(t.c, 0) AS rank
+          FROM nodes CROSS JOIN nn LEFT JOIN
+            (SELECT dst AS node, sum(r2.rank / outdeg) AS c
+             FROM e JOIN od USING (src) JOIN r2 ON r2.node = e.src
+             GROUP BY dst) t ON nodes.node = t.node)
+        SELECT node, round(rank, 6) AS rank FROM r3 ORDER BY node""")),
+
     // E43 — binary (sign) quantization + Hamming-prefilter ANN: each
     // 64-d embedding compresses to a single 8-byte signature (the sign
     // bit per dimension — 32x smaller than float32); search scans
