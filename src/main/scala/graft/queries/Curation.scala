@@ -22,10 +22,11 @@ object Curation extends QueryBlock {
   private val scratch = graft.Graft.scratchDir
 
   /** Deterministic 4-file WARC/1.0 fixture built from the documents table
-    * (genuine response records: version line, Type/Target-URI/Record-ID
-    * headers, Content-Length, CRLF framing; records ordered by doc_id
-    * within each file). Shared by e44 (batch ingest) and d16 (streaming
-    * ingest twin). Returns the directory written.
+    * (genuine response records per the public WARC format — ISO 28500 /
+    * IIPC WARC 1.0: version line, Type/Target-URI/Record-ID headers,
+    * Content-Length, CRLF framing; records ordered by doc_id within each
+    * file). Shared by e44 (batch ingest) and d16 (streaming ingest twin).
+    * Returns the directory written.
     */
   def writeWarcFixture(s: SparkSession, dir: String): String = {
     val warcDir = s"$scratch/warc"
@@ -257,8 +258,10 @@ object Curation extends QueryBlock {
       },
       Some(warcOracleSql)),
 
-    // E45 — domain-authority rank (PageRank, fixed 3-iteration power
-    // method, d = 0.85): the curation signal quality-weighting pipelines
+    // E45 — domain-authority rank (PageRank — Page, Brin, Motwani,
+    // Winograd, "The PageRank Citation Ranking", 1999, public method —
+    // fixed 3-iteration power method, d = 0.85): the curation signal
+    // quality-weighting pipelines
     // derive from the crawl's link graph (authority-weighted sampling /
     // filtering). The fixture graph is deterministic construction
     // arithmetic over the documents table (edge source→'src'||doc_id%7,
