@@ -329,6 +329,76 @@ object Curation extends QueryBlock {
              GROUP BY dst) t ON nodes.node = t.node)
         SELECT node, round(rank, 6) AS rank FROM r3 ORDER BY node""")),
 
+    // E46 — robots-exclusion filter (RFC 9309, public spec): the crawl
+    // politeness gate between URL discovery (e37) and fetch/ingest
+    // (e44). Rule semantics implemented exactly as the RFC states them:
+    // per (domain, path) the LONGEST matching rule prefix wins, and on
+    // an equal-length allow/disallow tie the LEAST RESTRICTIVE (allow)
+    // wins — encoded as one max(struct(prefix_len, allow, prefix))
+    // aggregate, whose field order IS the RFC's precedence. No matching
+    // rule = allowed (the RFC default). The rule table derives from
+    // generate_series arithmetic on BOTH engines (200 rows: the
+    // srcXk.com domains disallow /p/1 with an /p/12 allow override;
+    // srcXk.org disallow /p/ with an /p/3 override; other TLDs have no
+    // rules), so matches, overrides, defaults and the longest-prefix
+    // tie-break all check against construction ground truth.
+    //
+    // Shape at 100 TB: a real robots corpus is dimension-scale (one row
+    // group of rules per domain) — exactly this broadcast join + a
+    // scan-local prefix filter and a per-URL max aggregate bounded by
+    // the handful of rules a domain has. No shuffle of the URL corpus
+    // beyond the verdict aggregate keyed on the URL itself.
+    "e46_robots_filter" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val tlds = lit(Array("com", "org", "co.uk", "io", "com.au", "org.uk"))
+        val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+          .select(col("doc_id"),
+            concat(col("source"), (col("doc_id") % 5).cast("string"), lit("."),
+              element_at(tlds, (col("doc_id") % 6 + 1).cast("int"))).as("domain"),
+            concat(lit("/p/"), col("doc_id")).as("path"))
+        val rules = (for {
+          i <- 0 until 10; k <- 0 until 5
+          r <- Seq((s"src$i$k.com", "/p/1", false), (s"src$i$k.com", "/p/12", true),
+            (s"src$i$k.org", "/p/", false), (s"src$i$k.org", "/p/3", true))
+        } yield r).toDF("domain", "prefix", "allow")
+        val matched = docs.join(broadcast(rules), Seq("domain"))
+          .filter(col("path").startsWith(col("prefix")))
+          .groupBy(col("doc_id").as("m_id"))
+          .agg(max(struct(length(col("prefix")).as("len"),
+            col("allow").as("allow"), col("prefix").as("prefix"))).as("m"))
+          .select(col("m_id"), col("m.allow").as("m_allow"),
+            col("m.prefix").as("rule"))
+        docs.join(matched, col("doc_id") === col("m_id"), "left").drop("m_id")
+          .select(col("doc_id"), col("domain"), col("path"),
+            coalesce(col("m_allow"), lit(true)).as("allowed"), col("rule"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH docs AS (SELECT doc_id,
+            source || CAST(doc_id % 5 AS VARCHAR) || '.' ||
+              (['com','org','co.uk','io','com.au','org.uk'])[CAST(doc_id % 6 AS INT) + 1] AS domain,
+            '/p/' || CAST(doc_id AS VARCHAR) AS path
+          FROM documents WHERE text IS NOT NULL),
+        ik AS (SELECT i, k FROM generate_series(0, 9) g(i), generate_series(0, 4) h(k)),
+        rules AS (
+          SELECT 'src' || CAST(i AS VARCHAR) || CAST(k AS VARCHAR) || '.com' AS domain,
+            '/p/1' AS prefix, false AS allow FROM ik
+          UNION ALL SELECT 'src' || CAST(i AS VARCHAR) || CAST(k AS VARCHAR) || '.com',
+            '/p/12', true FROM ik
+          UNION ALL SELECT 'src' || CAST(i AS VARCHAR) || CAST(k AS VARCHAR) || '.org',
+            '/p/', false FROM ik
+          UNION ALL SELECT 'src' || CAST(i AS VARCHAR) || CAST(k AS VARCHAR) || '.org',
+            '/p/3', true FROM ik),
+        m AS (SELECT doc_id, allow, prefix,
+            row_number() OVER (PARTITION BY doc_id
+              ORDER BY length(prefix) DESC, allow DESC, prefix DESC) AS rn
+          FROM docs JOIN rules USING (domain)
+          WHERE starts_with(path, prefix)),
+        best AS (SELECT doc_id, allow, prefix FROM m WHERE rn = 1)
+        SELECT d.doc_id, d.domain, d.path,
+          coalesce(b.allow, true) AS allowed, b.prefix AS rule
+        FROM docs d LEFT JOIN best b USING (doc_id) ORDER BY d.doc_id""")),
+
     // E43 — binary (sign) quantization + Hamming-prefilter ANN: each
     // 64-d embedding compresses to a single 8-byte signature (the sign
     // bit per dimension — 32x smaller than float32); search scans
