@@ -391,9 +391,9 @@ object Stress {
       // [-3, 3] from xxhash64(baseId*31+j), so copies (id >= n) rebuild
       // their base's EXACT floats and non-copy pairs stay far below tau
       val mkVec = expr(
-        """concat(array(CAST(10.0 AS FLOAT)),
+        s"""concat(array(CAST(10.0 AS FLOAT)),
              transform(sequence(1, 15), j -> CAST(
-               (pmod(xxhash64((CASE WHEN id >= 10000 THEN id - 10000 ELSE id END) * 31 + j), 6000) - 3000)
+               (pmod(xxhash64((CASE WHEN id >= $n THEN id - $n ELSE id END) * 31 + j), 6000) - 3000)
                  / 1000.0 AS FLOAT)))""")
       val corpus = spark.range(n + planted).select(col("id"), mkVec.as("embedding"))
       val cs: Array[Array[Float]] = Array.tabulate(4) { c =>

@@ -61,8 +61,10 @@ object SemDedup {
     // hot-bucket rows × their own subK sub-centroids → per-member argmax.
     // min(struct(-sim, sub)) = highest sim, smallest sub on ties (the
     // IvfAnn.assign first-max-wins rule); NULL cosine (zero-norm vector)
-    // folds to -2 — below any real cosine — so it lands deterministically
-    // in the last sub-centroid order rather than vanishing.
+    // folds to -2 — below any real cosine — so after the *-1 negation all
+    // its sub-centroid keys tie at +2 and min(struct) picks the smallest
+    // csub: the zero-norm vector lands deterministically in the FIRST
+    // (lowest-index) sub-centroid rather than vanishing.
     val hot = hotMembers
       .join(broadcast(subCents), col("bucket") === col("cb"))
       .withColumn("__negs",

@@ -29,7 +29,9 @@ object Curation extends QueryBlock {
     * Returns the directory written.
     */
   def writeWarcFixture(s: SparkSession, dir: String): String = {
-    val warcDir = s"$scratch/warc"
+    // keyed by the source data dir (the d15 precedent): two data dirs in
+    // one session must not overwrite each other's lazily-read fixture
+    val warcDir = s"$scratch/warc_${new java.io.File(dir).getName}"
     val d = t(s, dir, "documents")
       .filter(col("text").isNotNull && col("doc_id") < 400)
       .select(col("doc_id"), col("source"), col("text"))
@@ -298,7 +300,10 @@ object Curation extends QueryBlock {
             .agg(sum(col("rank") / col("outdeg")).as("c"))
           ranks = nodes.join(contrib, Seq("node"), "left")
             .select(col("node"),
-              (lit((1 - d) / n) + lit(d) * coalesce(col("c"), lit(0.0))).as("rank"))
+              // 0.15/n as the same decimal literal the oracle parses —
+              // (1 - d) would seed 1-ulp drift (1 - 0.85 = 0.15000…02)
+              // into an iterated computation
+              (lit(0.15 / n) + lit(d) * coalesce(col("c"), lit(0.0))).as("rank"))
         }
         ranks.select(col("node"), round(col("rank"), 6).as("rank"))
           .orderBy(col("node"))
