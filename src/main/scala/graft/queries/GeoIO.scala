@@ -123,6 +123,42 @@ object GeoIO extends QueryBlock {
           feat->'geometry'->>'type' AS gtype
         FROM f ORDER BY key""")),
 
+    // A6 promoted to ORACLE (VERDICT r8 item 7): WKT of points IS
+    // deterministic text — JTS's writer prints integer-valued ordinates
+    // bare ('POINT (123 247)') and halves as '123.5', exactly the strings
+    // DuckDB's integer/double→VARCHAR casts produce — so the full text
+    // round-trips through the oracle, not just a GOLDEN fixture. The
+    // read-back (st_geomfromtext) re-derives x/y and byte-identical WKB
+    // (rt_exact), pinning both directions of A6 in one paired query.
+    "a06_wkt_roundtrip" -> QueryDef(
+      (s, dir) => {
+        val pt = G.st_point(col("c_custkey").cast("double"),
+          (col("c_custkey") * 2 + 1).cast("double"))
+        val ptH = G.st_point(col("c_custkey").cast("double") + 0.5,
+          (col("c_custkey") * 2 + 1).cast("double") + 0.5)
+        t(s, dir, "customer")
+          .filter(col("c_custkey") < 1000)
+          .withColumn("pt", pt)
+          .withColumn("wkt", G.st_astext(col("pt")))
+          .withColumn("back", G.st_geomfromtext(col("wkt")))
+          .select(col("c_custkey"),
+            col("wkt"),
+            G.st_astext(ptH).as("wkt_half"),
+            G.st_x(col("back")).as("x"),
+            G.st_y(col("back")).as("y"),
+            (col("back") === col("pt")).as("rt_exact"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey,
+        'POINT (' || CAST(c_custkey AS VARCHAR) || ' '
+          || CAST(c_custkey * 2 + 1 AS VARCHAR) || ')' AS wkt,
+        'POINT (' || CAST(CAST(c_custkey AS DOUBLE) + 0.5 AS VARCHAR) || ' '
+          || CAST(CAST(c_custkey * 2 + 1 AS DOUBLE) + 0.5 AS VARCHAR) || ')' AS wkt_half,
+        CAST(c_custkey AS DOUBLE) AS x,
+        CAST(c_custkey * 2 + 1 AS DOUBLE) AS y,
+        TRUE AS rt_exact
+        FROM customer WHERE c_custkey < 1000 ORDER BY c_custkey""")),
+
     // A2 — polygon dataset round-trip; measures recomputed after re-read
     // (area is bit-exact for axis-aligned boxes — Geometry.scala notes).
     "a02_geoparquet_polygons" -> QueryDef(

@@ -434,6 +434,83 @@ object Geometry extends QueryBlock {
         round(sqrt(power(CAST(max(c_custkey) - min(c_custkey) AS DOUBLE), 2)
           + power(CAST(2 * (max(c_custkey) - min(c_custkey)) AS DOUBLE), 2)), 6) AS len
         FROM customer WHERE c_custkey < 2000
-        GROUP BY c_nationkey ORDER BY c_nationkey"""))
+        GROUP BY c_nationkey ORDER BY c_nationkey""")),
+
+    // B13 promoted to ORACLE (VERDICT r8 item 7): convex hull of a point
+    // set whose extreme points are the four corners of an axis-aligned
+    // box IS that box — the one hull with a closed form. Corners come
+    // from the nation dim (one box per nation, w = 10+nk, h = 20+nk);
+    // interior points come from customer, clamped STRICTLY inside
+    // (x in [1,8] < 10 <= w, y in [1,12] < 20 <= h), so the hull is
+    // exactly the 4-corner ring (JTS drops interior + collinear points):
+    // npts = 5 (closed ring), area = w*h (bit-exact, the b04 shoelace
+    // argument), perimeter = 2(w+h), centroid = box center (round 6).
+    // Collected input is sort_array'd (b20 precedent) for a
+    // deterministic MULTIPOINT regardless of partition order.
+    "b22_hull_box" -> QueryDef(
+      (s, dir) => {
+        val corners = t(s, dir, "nation")
+          .select(col("n_nationkey"),
+            (col("n_nationkey") + 10).cast("double").as("w"),
+            (col("n_nationkey") + 20).cast("double").as("h"))
+          .select(col("n_nationkey"), explode(array(
+            G.st_point(lit(0.0), lit(0.0)),
+            G.st_point(col("w"), lit(0.0)),
+            G.st_point(col("w"), col("h")),
+            G.st_point(lit(0.0), col("h")))).as("pt"))
+        val interior = t(s, dir, "customer")
+          .select(col("c_nationkey").as("n_nationkey"),
+            G.st_point((pmod(col("c_custkey"), lit(8)) + 1).cast("double"),
+              (pmod(col("c_custkey"), lit(12)) + 1).cast("double")).as("pt"))
+        corners.unionByName(interior)
+          .groupBy(col("n_nationkey"))
+          .agg(sort_array(collect_list(col("pt"))).as("pts"))
+          .select(col("n_nationkey"),
+            G.st_convexhull(G.st_collect(col("pts"))).as("hull"))
+          .select(col("n_nationkey"),
+            G.st_geometrytype(col("hull")).as("gtype"),
+            G.st_npoints(col("hull")).as("npts"),
+            G.st_area(col("hull")).as("area"),
+            G.st_length(col("hull")).as("perimeter"),
+            round(G.st_x(G.st_centroid(col("hull"))), 6).as("cx"),
+            round(G.st_y(G.st_centroid(col("hull"))), 6).as("cy"))
+          .orderBy(col("n_nationkey"))
+      },
+      Some("""SELECT n_nationkey, 'Polygon' AS gtype, 5 AS npts,
+        CAST((n_nationkey + 10) * (n_nationkey + 20) AS DOUBLE) AS area,
+        CAST(2 * ((n_nationkey + 10) + (n_nationkey + 20)) AS DOUBLE) AS perimeter,
+        round(CAST(n_nationkey + 10 AS DOUBLE) / 2, 6) AS cx,
+        round(CAST(n_nationkey + 20 AS DOUBLE) / 2, 6) AS cy
+        FROM nation ORDER BY n_nationkey""")),
+
+    // B14 promoted to ORACLE (VERDICT r8 item 7): union/intersection of
+    // two PARTIALLY overlapping axis-aligned boxes — the overlay whose
+    // areas have closed forms. A = [0,s]x[0,s+10], B = [s-2,s+4]x
+    // [s+7,s+15] (s = p_size >= 1): the x-overlap is min(2,s) > 0 and the
+    // y-overlap is exactly 3, so the intersection is always a box
+    // (area = 3*min(2,s)) and the union is always one simply-connected
+    // polygon (area = |A| + |B| - |A∩B| by inclusion-exclusion). All
+    // vertex coordinates are integer-valued doubles (axis-parallel
+    // segment intersections copy one coordinate from each input), so the
+    // JTS shoelace is exact; round(6) only guards traversal-order sums.
+    "b23_overlay_area" -> QueryDef(
+      (s, dir) => {
+        val sz = col("p_size").cast("double")
+        val a = G.st_makebox(lit(0.0), lit(0.0), sz, sz + 10)
+        val b = G.st_makebox(sz - 2, sz + 7, sz + 4, sz + 15)
+        t(s, dir, "part")
+          .filter(col("p_partkey") < 500)
+          .select(col("p_partkey"),
+            round(G.st_area(G.st_intersection(a, b)), 6).as("area_int"),
+            round(G.st_area(G.st_union(a, b)), 6).as("area_un"),
+            G.st_geometrytype(G.st_intersection(a, b)).as("gtype_int"),
+            G.st_geometrytype(G.st_union(a, b)).as("gtype_un"))
+          .orderBy(col("p_partkey"))
+      },
+      Some("""SELECT p_partkey,
+        CAST(least(p_size, 2) * 3 AS DOUBLE) AS area_int,
+        CAST(p_size * (p_size + 10) + 48 - least(p_size, 2) * 3 AS DOUBLE) AS area_un,
+        'Polygon' AS gtype_int, 'Polygon' AS gtype_un
+        FROM part WHERE p_partkey < 500 ORDER BY p_partkey"""))
   )
 }
