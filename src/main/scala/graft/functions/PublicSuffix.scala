@@ -1,27 +1,34 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Registrable-domain folding against a committed public-suffix subset
-  * (VERDICT r7 item 5 — replaces e37's single `co.uk` literal).
+/** Registrable-domain folding with FULL Public Suffix List semantics
+  * (publicsuffix.org, public data; VERDICT r8 item 3 — adds wildcard and
+  * exception rules plus the broadcast-join form to r7's plain-suffix
+  * subset).
   *
-  * The table is a curated subset of the Mozilla Public Suffix List
-  * (publicsuffix.org, public data): the multi-label suffixes a crawl
-  * actually hits plus the rule shape needed for longest-match. Folding is
-  * SCAN-LOCAL: the subset is bounded at plan time, so it inlines as a
-  * literal array and the match is `array_contains` over the host's last
-  * two labels — zero joins, zero exchanges, the plan shape PlanSpec pins
-  * for e37 (one scan + one small-key aggregate). With the FULL ~9k-rule
-  * PSL the same longest-match runs as a broadcast join against a suffix
-  * table (tiny build side, scan-local probe) — the literal form is the
-  * bounded-subset optimization of that plan, not a different algorithm.
+  * PSL algorithm (publicsuffix.org/list/): a rule matches a host when its
+  * labels equal the host's trailing labels right-to-left (`*` matches any
+  * single label). Among matching rules an EXCEPTION rule (leading `!`)
+  * prevails unconditionally; otherwise the rule with the most labels
+  * wins; no match means the default rule `*` (public suffix = rightmost
+  * label). The public suffix of an exception rule is the rule minus its
+  * leftmost label. The registrable domain (eTLD+1) is the public suffix
+  * plus one more host label. Matching is case-insensitive — hosts are
+  * lowercased before label comparison (r8 ADVICE).
   *
-  * Longest-match rule (PSL semantics, subset scope): if the host's last
-  * TWO labels form a listed suffix, the registrable domain is the last
-  * THREE labels; otherwise it is the last TWO ("*.tld" default rule).
-  * Wildcard (`*.ck`) and exception (`!www.ck`) rules are out of subset
-  * scope — documented, not silently mis-folded.
+  * Two physical forms, same semantics:
+  *  - [[registrableDomain]]: the committed bounded subset inlines as
+  *    literal arrays — SCAN-LOCAL, zero joins, zero exchanges (the e37
+  *    plan shape PlanSpec pins). This is the small-table optimization.
+  *  - [[registrableDomainJoin]]: the full-PSL (~9k rules) form — trailing
+  *    label suffixes of each host (bounded: MaxRuleLabels per host) join a
+  *    BROADCAST rule table, and one max(struct(exception, ps_len))
+  *    aggregate per host encodes the PSL precedence exactly the way e46
+  *    encodes RFC 9309's (field order IS the precedence). The URL corpus
+  *    shuffles only on its own key for the verdict aggregate — the rule
+  *    table is dimension-scale at 100 TB.
   */
 object PublicSuffix {
 
@@ -39,22 +46,110 @@ object PublicSuffix {
     "co.nz", "org.nz", "com.sg", "co.za", "org.za",
     "com.hk", "com.my", "co.th", "co.id", "com.vn")
 
-  /** Fold a host column to its registrable domain (eTLD+1). NULL-safe:
-    * a NULL host yields NULL. A host that IS a listed suffix (2 labels,
-    * e.g. "co.uk") folds to itself — concat_ws skips the missing label.
+  /** Wildcard rules `*.base` (publicsuffix.org carries exactly these
+    * shapes): every direct child of `base` is itself a public suffix.
     */
-  def registrableDomain(host: Column): Column = {
+  val wildcardBases: Seq[String] = Seq("ck", "bd", "er", "np", "kawasaki.jp")
+
+  /** Exception rules `!rule`: the named domain is NOT a public suffix
+    * even though a wildcard covers it (PSL: `!www.ck`, `!city.kawasaki.jp`).
+    */
+  val exceptionRules: Seq[String] = Seq("www.ck", "city.kawasaki.jp")
+
+  /** The deepest rule in the committed subset measured in labels a host
+    * must supply to match (wildcard base labels + 1). The join form
+    * generates this many trailing suffixes per host.
+    */
+  val MaxRuleLabels = 4
+
+  /** Fold a host column to its registrable domain (eTLD+1), inline form.
+    * NULL-safe: a NULL host yields NULL. A host that IS a public suffix
+    * folds to itself — concat_ws skips the missing labels. Hosts are
+    * lowercased first (PSL matching is case-insensitive), so the output
+    * is always lowercase.
+    */
+  def registrableDomain(hostRaw: Column): Column = {
+    val host = lower(hostRaw)
     val labels = split(host, "\\.")
-    // try_element_at: a host with fewer labels than the index yields NULL
-    // (ANSI element_at throws); concat_ws then skips it — so "localhost"
-    // folds to itself and a bare "co.uk" host folds to "co.uk". The NULL
-    // host case is explicit because concat_ws never returns NULL itself.
-    val suffix2 = concat_ws(".",
-      try_element_at(labels, lit(-2)), try_element_at(labels, lit(-1)))
-    when(host.isNull, lit(null).cast("string"))
-      .when(array_contains(typedlit(twoLabelSuffixes), suffix2),
-        concat_ws(".", try_element_at(labels, lit(-3)),
-          try_element_at(labels, lit(-2)), try_element_at(labels, lit(-1))))
-      .otherwise(suffix2)
+    // last k labels joined; try_element_at yields NULL past the start and
+    // concat_ws skips it, so a short host folds to the whole host
+    def lastK(k: Int): Column = concat_ws(".",
+      (k to 1 by -1).map(i => try_element_at(labels, lit(-i))): _*)
+    val exc3 = exceptionRules.filter(_.count(_ == '.') == 2)
+    val exc2 = exceptionRules.filter(_.count(_ == '.') == 1)
+    val wild2 = wildcardBases.filter(_.count(_ == '.') == 1)
+    val wild1 = wildcardBases.filter(_.count(_ == '.') == 0)
+    when(hostRaw.isNull, lit(null).cast("string"))
+      // exception rules prevail over every other match (PSL step 2);
+      // the registrable domain is the exception rule itself
+      .when(array_contains(typedlit(exc3), lastK(3)), lastK(3))
+      .when(array_contains(typedlit(exc2), lastK(2)), lastK(2))
+      // wildcard `*.base`: public suffix = base + 1 label, so the
+      // registrable domain is base + 2 labels
+      .when(array_contains(typedlit(wild2), lastK(2)), lastK(4))
+      .when(array_contains(typedlit(wild1), lastK(1)), lastK(3))
+      // plain two-label suffixes register at the third label
+      .when(array_contains(typedlit(twoLabelSuffixes), lastK(2)), lastK(3))
+      .otherwise(lastK(2))
+  }
+
+  /** The committed subset rendered in PSL file syntax — the default rule
+    * table for [[registrableDomainJoin]] and the spec's equivalence check.
+    */
+  def subsetRules: Seq[String] =
+    twoLabelSuffixes ++ wildcardBases.map("*." + _) ++ exceptionRules.map("!" + _)
+
+  /** Full-PSL broadcast-join form: adds `outCol` = registrable domain of
+    * `df(hostCol)` matched against `rules` (one STRING column `rule` in
+    * PSL file syntax: `co.uk`, `*.ck`, `!www.ck`).
+    *
+    * Shape: posexplode of ≤ [[MaxRuleLabels]] trailing suffixes per host
+    * (scan-local, bounded fan-out) ⋈ broadcast(rules) on the suffix
+    * string, then ONE max(struct(exc, ps)) per input row — exception
+    * beats length beats default, the PSL precedence as struct field
+    * order. Rows are keyed by a transient monotonically-increasing id so
+    * duplicate hosts fold independently; the id never leaves this
+    * function. A left join folds no-match hosts through the default rule.
+    */
+  def registrableDomainJoin(df: DataFrame, hostCol: String, rules: DataFrame,
+      outCol: String): DataFrame = {
+    val parsed = rules.select(
+      when(col("rule").startsWith("!"),
+          expr("substring(rule, 2)"))
+        .when(col("rule").startsWith("*."),
+          expr("substring(rule, 3)"))
+        .otherwise(col("rule")).as("__base"),
+      col("rule").startsWith("!").as("__exc"),
+      col("rule").startsWith("*.").as("__wild"))
+      .select(lower(col("__base")).as("__base"),
+        // public-suffix length in labels when this rule prevails:
+        // wildcard = base labels + 1; exception = rule labels - 1;
+        // plain = rule labels
+        (size(split(col("__base"), "\\."))
+          + when(col("__wild"), 1).when(col("__exc"), -1).otherwise(0))
+          .cast("int").as("__ps"),
+        col("__exc"),
+        col("__wild"))
+    val keyed = df.withColumn("__rid", monotonically_increasing_id())
+      .withColumn("__labels", split(lower(col(hostCol)), "\\."))
+    val cands = keyed.select(col("__rid"), col("__labels"),
+        posexplode(expr(
+          s"""transform(sequence(1, least(size(__labels), $MaxRuleLabels)),
+                k -> array_join(slice(__labels, -k, k), '.'))""")))
+      .select(col("__rid"), (col("pos") + 1).as("__k"),
+        size(col("__labels")).as("__n"), col("col").as("__suffix"))
+    val verdict = cands.join(broadcast(parsed), col("__suffix") === col("__base"))
+      // a wildcard's `*` must consume a real extra label
+      .filter(!col("__wild") || col("__n") > col("__k"))
+      .groupBy(col("__rid").as("__vid"))
+      .agg(max(struct(col("__exc"), col("__ps"))).as("__m"))
+      .select(col("__vid"), col("__m.__ps").as("__ps"))
+    keyed.join(verdict, col("__rid") === col("__vid"), "left")
+      .withColumn(outCol, expr(
+        // default rule `*`: ps = 1; registrable = ps + 1 trailing labels
+        """array_join(slice(__labels,
+             -least(coalesce(__ps, 1) + 1, size(__labels)),
+             least(coalesce(__ps, 1) + 1, size(__labels))), '.')"""))
+      .drop("__rid", "__vid", "__labels", "__ps")
   }
 }
