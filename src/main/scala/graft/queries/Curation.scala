@@ -74,6 +74,55 @@ object Curation extends QueryBlock {
         col("col").substr(instr(col("col"), "\r\n\r\n") + 4, clen).as("payload"))
   }
 
+  /** Per-record-gzip `.warc.gz` fixture (the CommonCrawl layout) for e44b:
+    * the same 400 documents as the e44 fixture, but each record is its own
+    * RFC 1952 gzip member, members concatenated into 4 bucket files — and
+    * each record payload carries a charset-specific non-ASCII marker,
+    * encoded in the charset its Content-Type header declares (doc_id % 3:
+    * UTF-8 / ISO-8859-1 / windows-1252). The cp1252 marker bytes 0x80/0x96
+    * decode DIFFERENTLY under latin-1, so a reader that ignores the
+    * declared charset fails the oracle. Content-Length is the PAYLOAD BYTE
+    * length (≠ char length for the non-ASCII tail). Fixture written with
+    * JDK GZIPOutputStream (one member per record, bounded driver loop —
+    * the writeWarcFixture precedent; the operator under test is the read
+    * side). Returns the directory written.
+    */
+  val gzMarkers: Seq[(String, String)] = Seq(
+    "UTF-8" -> " café €10",          // 12 bytes in UTF-8
+    "ISO-8859-1" -> " café ±1",      // 8 bytes in latin-1
+    "windows-1252" -> " café €–") // 8 bytes in cp1252
+
+  def writeWarcGzFixture(s: SparkSession, dir: String): String = {
+    val warcDir = s"$scratch/warcgz_${new java.io.File(dir).getName}"
+    val rows = t(s, dir, "documents")
+      .filter(col("text").isNotNull && col("doc_id") < 400)
+      .select(col("doc_id"), col("source"), col("text"))
+      .collect().sortBy(_.getLong(0))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(warcDir))
+    val streams = Array.tabulate(4)(b => new java.io.BufferedOutputStream(
+      new java.io.FileOutputStream(s"$warcDir/bucket$b.warc.gz")))
+    try rows.foreach { r =>
+      val (docId, source, text) = (r.getLong(0), r.getString(1), r.getString(2))
+      val (csName, marker) = gzMarkers((docId % 3).toInt)
+      val payload = (text + marker).getBytes(java.nio.charset.Charset.forName(csName))
+      val head = (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+        s"WARC-Target-URI: https://$source.example.com/p/$docId\r\n" +
+        s"WARC-Record-ID: <urn:uuid:$docId>\r\n" +
+        s"Content-Type: text/html; charset=$csName\r\n" +
+        s"Content-Length: ${payload.length}\r\n\r\n")
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      // one self-contained gzip member per record (closing the member's
+      // GZIPOutputStream also ends its Deflater; the bucket stream just
+      // concatenates the finished member bytes)
+      val member = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(member)
+      gz.write(head); gz.write(payload); gz.write("\r\n\r\n".getBytes)
+      gz.close()
+      streams((docId % 4).toInt).write(member.toByteArray)
+    } finally streams.foreach(_.close())
+    warcDir
+  }
+
   /** The e44/d16 shared oracle: every record field re-derived from the
     * fixture's construction arithmetic (full payload included).
     */
@@ -259,6 +308,39 @@ object Curation extends QueryBlock {
           .orderBy(col("fname"), col("rec"))
       },
       Some(warcOracleSql)),
+
+    // E44b — gzip WARC ingest (`.warc.gz`, VERDICT r8 item 1): the format
+    // CommonCrawl actually ships — one gzip member per record, members
+    // concatenated per file. Framing comes from the gzip member walk
+    // (operators.WarcGzip), NOT content sniffing, so payloads containing
+    // the WARC version magic or gzip magic bytes cannot split a record
+    // (WarcSpec pins). Payloads decode through the charset their
+    // Content-Type header declares (r8 item 4): the fixture plants
+    // non-ASCII markers whose cp1252/latin-1 bytes decode differently
+    // under the wrong charset, and the oracle re-derives the decoded text
+    // AND the byte-level Content-Length from construction — a reader that
+    // ignores the declared charset or slices by chars fails the hash.
+    // Scale shape: identical to e44 — per-file parallel, scan-local,
+    // zero shuffle (the ORDER BY is oracle canonicalization only).
+    "e44b_warc_gzip" -> QueryDef(
+      (s, dir) => {
+        val warcDir = writeWarcGzFixture(s, dir)
+        graft.operators.WarcGzip.parse(
+            s.read.format("binaryFile").load(warcDir))
+          .orderBy(col("fname"), col("rec"))
+      },
+      Some("""WITH d AS (SELECT doc_id, source, text,
+            CAST(doc_id % 4 AS INT) AS b, CAST(doc_id % 3 AS INT) AS cs
+          FROM documents WHERE text IS NOT NULL AND doc_id < 400)
+        SELECT 'bucket' || CAST(b AS VARCHAR) || '.warc.gz' AS fname,
+          CAST(row_number() OVER (PARTITION BY b ORDER BY doc_id) - 1 AS INT) AS rec,
+          'https://' || source || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS uri,
+          CASE cs WHEN 0 THEN 'UTF-8' WHEN 1 THEN 'ISO-8859-1'
+            ELSE 'windows-1252' END AS charset,
+          CAST(length(text) + CASE cs WHEN 0 THEN 12 ELSE 8 END AS INT) AS clen,
+          text || CASE cs WHEN 0 THEN ' café €10' WHEN 1 THEN ' café ±1'
+            ELSE ' café €–' END AS payload
+        FROM d ORDER BY fname, rec""")),
 
     // E45 — domain-authority rank (PageRank — Page, Brin, Motwani,
     // Winograd, "The PageRank Citation Ranking", 1999, public method —
