@@ -195,6 +195,22 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("Generate"), plan) // posexplode streams lines
   }
 
+  test("E47 composed crawl pipeline: broadcast rules join, no cartesian/BNLJ/Window/UDF") {
+    // Six stages composed (e44→e46→e34→e40→e38→e33): exchanges may exist
+    // ONLY where line-df, reassembly, dedup and the trigram model require
+    // a shuffle. The robots rules table is dimension-scale and must
+    // broadcast; nothing in the pipeline may fall back to a cartesian,
+    // nested-loop join, per-key Window state, or a ScalaUDF.
+    val plan = planOf("e47_crawl_pipeline")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("ScalaUDF"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+    assert(plan.contains("Generate"), plan) // line posexplode + char_trigrams
+  }
+
   test("whole-stage codegen covers the pricing-summary pipeline") {
     // AQE prints placeholder plans until executed; run it, then inspect the
     // final adaptive plan.
