@@ -16,6 +16,70 @@ object Lab {
   final case class V(name: String, base: String,
       fn: (SparkSession, String) => DataFrame)
 
+  /** Fixed-size dense-bitmap verdict state for the c09_bitmap_agg probe:
+    * three bitmaps over the part-key domain; input rows are (key, mask)
+    * with mask bit0 = discounted line, bit1 = taxed line, bit2 = row of
+    * part itself; the finished value is popcount(part & disc & ~taxed).
+    * Keys beyond the declared domain are ignored (cannot be in part).
+    */
+  final case class FlagBits(part: Array[Long], disc: Array[Long],
+      taxed: Array[Long])
+
+  final class DenseFlagAgg(words: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[(Long, Int), FlagBits, Long] {
+    def zero: FlagBits =
+      FlagBits(new Array[Long](words), new Array[Long](words), new Array[Long](words))
+    def reduce(b: FlagBits, in: (Long, Int)): FlagBits = {
+      val (k, m) = in
+      val w = (k >> 6).toInt
+      if (w >= 0 && w < words) {
+        val bit = 1L << (k & 63)
+        if ((m & 4) != 0) b.part(w) |= bit
+        if ((m & 1) != 0) b.disc(w) |= bit
+        if ((m & 2) != 0) b.taxed(w) |= bit
+      }
+      b
+    }
+    def merge(a: FlagBits, b: FlagBits): FlagBits = {
+      var i = 0
+      while (i < words) {
+        a.part(i) |= b.part(i); a.disc(i) |= b.disc(i); a.taxed(i) |= b.taxed(i)
+        i += 1
+      }
+      a
+    }
+    def finish(b: FlagBits): Long = {
+      var i = 0
+      var n = 0L
+      while (i < words) {
+        n += java.lang.Long.bitCount(b.part(i) & b.disc(i) & ~b.taxed(i))
+        i += 1
+      }
+      n
+    }
+    def bufferEncoder: org.apache.spark.sql.Encoder[FlagBits] =
+      org.apache.spark.sql.Encoders.product[FlagBits]
+    def outputEncoder: org.apache.spark.sql.Encoder[Long] =
+      org.apache.spark.sql.Encoders.scalaLong
+  }
+
+  /** [[DenseFlagAgg]] with the input pre-packed as key*8|mask in one long
+    * (primitive encoder path — no tuple conversion per row).
+    */
+  final class DensePackedAgg(words: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[Long, FlagBits, Long] {
+    private val inner = new DenseFlagAgg(words)
+    def zero: FlagBits = inner.zero
+    def reduce(b: FlagBits, km: Long): FlagBits =
+      inner.reduce(b, (km >> 3, (km & 7).toInt))
+    def merge(a: FlagBits, b: FlagBits): FlagBits = inner.merge(a, b)
+    def finish(b: FlagBits): Long = inner.finish(b)
+    def bufferEncoder: org.apache.spark.sql.Encoder[FlagBits] =
+      org.apache.spark.sql.Encoders.product[FlagBits]
+    def outputEncoder: org.apache.spark.sql.Encoder[Long] =
+      org.apache.spark.sql.Encoders.scalaLong
+  }
+
   import Graft._
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
@@ -449,6 +513,69 @@ object Lab {
         .groupBy(col("l_partkey"))
         .agg(max(col("disc")).as("disc"), max(col("taxed")).as("taxed"))
         .filter(col("disc") && !col("taxed"))
+      keys.join(broadcast(p), col("l_partkey") === col("p_partkey"), "left_semi")
+        .agg(count(lit(1)).as("n"))
+    }),
+    // r9 (VERDICT r8 item 6) — the "skip the per-key partial aggregate"
+    // experiment. OSS Spark 4.1.2 has NO skipPartialAggregate conf (that
+    // is a vendor-fork feature; SQLConf was grepped), so the skip must be
+    // structural. Two forms:
+    //
+    // (a) dense-bitmap aggregate: p_partkey is a DENSE INTEGER domain, so
+    // the whole verdict is three bitmaps (in-part, has-disc, has-taxed)
+    // and the answer is popcount(part & disc & ~taxed). A typed
+    // Aggregator with fixed 3-bitmap state turns the 30-task × 200k-row
+    // partial-agg emission into ONE ~75 KB buffer per task — the partial
+    // pass "skipped" in the only way that changes the volume equation.
+    // Scale envelope (why this is a Lab row, not the shipping form): the
+    // buffer scales with the KEY DOMAIN, not the data — at 100 TB /
+    // ~20B parts that is a 2.5 GB agg buffer per task, and bucketing the
+    // domain brings back per-task emission proportional to buckets
+    // touched. Dense bitmaps win exactly when rows/task >> domain bits
+    // (true at sf1: 6M rows vs 200k keys; false at corpus scale).
+    V("c09_bitmap_agg", "c09_semi_anti", (s, dir) => {
+      import s.implicits._
+      // bounded dim stat (parquet footer max) — one literal, not a join
+      val maxKey = t(s, dir, "part").agg(max(col("p_partkey"))).head.getLong(0)
+      val p = t(s, dir, "part")
+        .select(col("p_partkey").cast("long").as("k"), lit(4).as("m"))
+      val l = t(s, dir, "lineitem")
+        .select(col("l_partkey").cast("long").as("k"),
+          ((col("l_discount") > 0.05).cast("int")
+            + (col("l_tax") > 0.07).cast("int") * 2).as("m"))
+        .filter(col("m") =!= 0)
+      val agg = new DenseFlagAgg((maxKey >> 6).toInt + 1)
+      p.unionByName(l).as[(Long, Int)].select(agg.toColumn.name("n")).toDF()
+    }),
+    // (a') same bitmap state, input packed to ONE long (key<<3 | mask) so
+    // the typed path uses the primitive encoder — isolates how much of
+    // (a)'s loss is tuple-encoder row conversion vs the approach itself.
+    V("c09_bitmap_packed", "c09_semi_anti", (s, dir) => {
+      import s.implicits._
+      val maxKey = t(s, dir, "part").agg(max(col("p_partkey"))).head.getLong(0)
+      val p = t(s, dir, "part")
+        .select((col("p_partkey").cast("long") * 8 + 4).as("km"))
+      val l = t(s, dir, "lineitem")
+        .select((col("l_partkey").cast("long") * 8
+            + (col("l_discount") > 0.05).cast("int")
+            + (col("l_tax") > 0.07).cast("int") * 2).as("km"))
+        .filter(col("km") % 8 =!= 0)
+      val agg = new DensePackedAgg((maxKey >> 6).toInt + 1)
+      p.unionByName(l).as[Long].select(agg.toColumn.name("n")).toDF()
+    }),
+    // (b) single-mask flag agg: halve the per-key aggregation state (one
+    // max(int) instead of two max(boolean)) — measures whether partial
+    // state WIDTH or key COUNT dominates the 441 ms.
+    V("c09_maskagg", "c09_semi_anti", (s, dir) => {
+      val p = t(s, dir, "part").select(col("p_partkey"))
+      val l = t(s, dir, "lineitem")
+      val keys = l.select(col("l_partkey"),
+          ((col("l_discount") > 0.05).cast("int")
+            + (col("l_tax") > 0.07).cast("int") * 2).as("m"))
+        .filter(col("m") =!= 0)
+        .groupBy(col("l_partkey"))
+        .agg(expr("bit_or(m)").as("m"))
+        .filter(col("m") === 1)
       keys.join(broadcast(p), col("l_partkey") === col("p_partkey"), "left_semi")
         .agg(count(lit(1)).as("n"))
     }),

@@ -193,6 +193,12 @@ object Relational extends QueryBlock {
     // hint comes off and runtime stats pick the join side; the flag
     // aggregate shape (one key-hashed exchange, bounded state) is
     // unchanged.
+    // Perf lineage: eleven Lab variants on record. The only rows that
+    // beat this form at sf1 are the dense-bitmap aggregates
+    // (c09_bitmap_agg/packed, ~0.73× — NOTES_r9 item 6), whose fixed
+    // state scales with the part-key DOMAIN rather than the data: the
+    // wrong trade at 100 TB (2.5 GB buffers at ~20B parts), so the
+    // domain-proportional flag aggregate stays the shipping plan.
     "c09_semi_anti" -> QueryDef(
       (s, dir) => {
         val p = t(s, dir, "part").select(col("p_partkey"))
