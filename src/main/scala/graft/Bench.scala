@@ -43,6 +43,48 @@ object Bench {
     "e03_cosine_topk" -> 0.0128,
     "e01_exact_dedup" -> 0.0054)
 
+  /** BASELINE.md sf1 column (duckdb 1.0.0, 8 threads, baseline_sf.py —
+    * the BASELINE protocol verbatim over gen_sf.py data, measured in the
+    * r8 idle-window settlement). Denominators for the STANDING sf1 gate
+    * (VERDICT r8 item 8): Spark re-measures its side every round; the
+    * DuckDB side is a committed constant exactly like the sf0.1 column.
+    */
+  private[graft] val baselineSf1Sec: Map[String, Double] = Map(
+    "c14_pricing_summary" -> 0.1249,
+    "c07_join_agg" -> 0.5290,
+    "c21_rank_window" -> 0.0462,
+    "c20_rollup" -> 0.1811,
+    "c25_topk" -> 0.0460,
+    "c32_json_events" -> 0.2569,
+    "c27_strings" -> 0.0463,
+    "c09_semi_anti" -> 0.1442,
+    "e03_cosine_topk" -> 0.0602,
+    "e01_exact_dedup" -> 0.0357)
+
+  /** The sf1 bench data dir (gen_sf.py output). Deterministic (seeded
+    * rng), so a fresh container regenerates identical tables and the
+    * committed DuckDB column stays paired with the data Spark runs on.
+    */
+  private val Sf1Dir = "/tmp/graft_sf1"
+
+  /** Ensure the deterministic sf1 twin exists; generate it via the
+    * committed script on first use (the same generator that produced the
+    * data under the committed DuckDB sf1 baselines). Returns false — and
+    * the caller omits the sf1 block — when generation is impossible
+    * (script missing / no python), rather than failing the whole bench.
+    */
+  private def ensureSf1Data(): Boolean = {
+    if (new java.io.File(s"$Sf1Dir/lineitem.parquet").exists()) return true
+    val script = new java.io.File("scripts/gen_sf.py")
+    if (!script.exists()) return false
+    try {
+      val p = new ProcessBuilder("python3", script.getPath, "1", Sf1Dir)
+        .redirectErrorStream(true).start()
+      p.getInputStream.readAllBytes()
+      p.waitFor() == 0 && new java.io.File(s"$Sf1Dir/lineitem.parquet").exists()
+    } catch { case _: Exception => false }
+  }
+
   /** Stage the single-file, single-row-group testdata tables into a
     * multi-file layout once (untimed). The driver's files are one row
     * group each, which caps every Spark scan at one task; production data
@@ -173,7 +215,43 @@ object Bench {
         k -> (math.max(0.0, v - floor) / baselineSec(k))
       })) else None
     val floorAdjField = floorAdj.map(j => s""","queries_floor_adj":$j""").getOrElse("")
-    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":${fmt(results)},"queries_static":${fmt(resultsStatic)},"total_static_sec":$totalStatic%.4f,"floor_sec":$floor%.4f$floorAdjField,"sf":"$sfDir"}""")
+
+    // STANDING sf1 gate (VERDICT r8 item 8): the r8 settlement showed the
+    // sf0.1 ratios are dominated by Spark's fixed stage floor against
+    // sub-30ms DuckDB budgets, and the fair comparison lives at sf1 where
+    // those costs amortize. Rather than re-litigating that every round,
+    // the bench MEASURES it every round: the same 10 queries run on the
+    // deterministic sf1 twin (AQE, same warm-up + min-of-3 protocol) and
+    // the paired raw ratio against the committed DuckDB sf1 column is
+    // emitted alongside the sf0.1 numbers. Skipped when the bench is
+    // already pointed at a non-default SF, or when the twin cannot be
+    // generated (no script: the JSON just lacks the sf1 key).
+    val sf1Field: String =
+      if (!sfDir.endsWith("sf0.1") || sys.env.get("SPARK_GRAFT_SF1").contains("0")
+          || !ensureSf1Data()) ""
+      else {
+        val staged1 = stage(spark, Sf1Dir)
+        def timeOnce1(name: String): Double = {
+          val t0 = System.nanoTime()
+          val df = SparkEntry.queries(name)(spark, staged1)
+          if (unboundedOutput(name)) df.queryExecution.toRdd.foreach(_ => ())
+          else df.collect()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val sf1Results = withAqe(on = true) {
+          headline.foreach { case (name, _) => timeOnce1(name) } // warm
+          headline.map { case (name, _) =>
+            timeOnce1(name)
+            name -> (1 to 3).map(_ => timeOnce1(name)).min
+          }
+        }
+        val sf1Total = sf1Results.map(_._2).sum
+        val sf1Base = headline.map { case (n, _) => baselineSf1Sec(n) }.sum
+        val ratios = sf1Results.map { case (k, v) => k -> v / baselineSf1Sec(k) }
+        s""","sf1":{"queries":${fmt(sf1Results)},"total_sec":${f"$sf1Total%.4f"},"baseline_total_sec":${f"$sf1Base%.4f"},"ratio_raw":${f"${sf1Total / sf1Base}%.4f"},"ratios":${fmt(ratios)}}"""
+      }
+
+    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":${fmt(results)},"queries_static":${fmt(resultsStatic)},"total_static_sec":$totalStatic%.4f,"floor_sec":$floor%.4f$floorAdjField$sf1Field,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
