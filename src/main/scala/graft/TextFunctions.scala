@@ -243,5 +243,6 @@ object TextFunctions extends Serializable {
     spark.udf.register("image_thumb64", imageThumbF)
     graft.functions.CharTrigrams.register(spark)
     graft.functions.UnicodeNorm.register(spark)
+    graft.functions.HtmlStrip.register(spark)
   }
 }
