@@ -251,6 +251,63 @@ object Curation extends QueryBlock {
           coalesce(c.n_kept, 0) AS n_kept, coalesce(c.cleaned, '') AS cleaned
         FROM d LEFT JOIN c USING (doc_id) ORDER BY d.doc_id""")),
 
+    // E48 — substring/span dedup (operators.SpanDedup): exact duplicated
+    // TOKEN SPANS across documents — the dedup modality between
+    // doc-level (e01/e02) and line-level (e40); the capability of Lee et
+    // al. arXiv:2107.06499 re-expressed as shingle-df + island merge
+    // (their suffix array is single-machine machinery). Fixture: a fixed
+    // 24-token passage (dup0..dup23 — tokens that cannot occur in the
+    // documents text) is spliced after the 8th token of every
+    // doc_id%5==2 document, so the ground-truth maximal spans are
+    // construction arithmetic: span_start=8, span_len=24 in exactly
+    // those docs (boundary shingles mix with per-doc context and stay
+    // unique). The oracle replicates the ENTIRE pipeline — shingles, df,
+    // islands, span slice — so any natural cross-doc repetition the real
+    // text happens to contain is found identically by both engines.
+    // k=8, minSpan=16.
+    "e48_span_dedup" -> QueryDef(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .filter(col("text").isNotNull && col("doc_id") < 250)
+          .select(col("doc_id"), expr(
+            """CASE WHEN doc_id % 5 = 2 THEN array_join(concat(
+                 slice(split(text, ' '), 1, 8),
+                 transform(sequence(0, 23), i -> concat('dup', i)),
+                 slice(split(text, ' '), 9, size(split(text, ' ')))), ' ')
+               ELSE text END""").as("text"))
+        graft.operators.SpanDedup
+          .sharedSpans(docs, "doc_id", "text", k = 8, minSpanTokens = 16)
+          .orderBy(col("doc_id"), col("span_start"))
+      },
+      Some("""WITH d0 AS (SELECT doc_id, string_split(text, ' ') AS t0
+          FROM documents WHERE text IS NOT NULL AND doc_id < 250),
+        d AS (SELECT doc_id,
+            CASE WHEN doc_id % 5 = 2 THEN list_concat(list_concat(
+                t0[1:8],
+                list_transform(generate_series(0, 23), i -> 'dup' || CAST(i AS VARCHAR))),
+                t0[9:len(t0)])
+              ELSE t0 END AS toks
+          FROM d0),
+        sh AS (SELECT doc_id, CAST(i AS INT) AS pos,
+            array_to_string(toks[i+1 : i+8], ' ') AS sh
+          FROM d, UNNEST(generate_series(0, len(toks) - 8)) u(i)
+          WHERE len(toks) >= 8),
+        f AS (SELECT sh FROM (SELECT sh, count(DISTINCT doc_id) AS df
+            FROM sh GROUP BY sh) WHERE df >= 2),
+        s2 AS (SELECT doc_id, pos FROM sh JOIN f USING (sh)),
+        isl AS (SELECT doc_id, pos,
+            pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+          FROM s2),
+        sp AS (SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
+            CAST(max(pos) + 8 - min(pos) AS INT) AS span_len
+          FROM isl GROUP BY doc_id, g)
+        SELECT sp.doc_id, sp.span_start, sp.span_len,
+          array_to_string(d.toks[sp.span_start + 1 : sp.span_start + sp.span_len], ' ')
+            AS span_text
+        FROM sp JOIN d ON sp.doc_id = d.doc_id
+        WHERE sp.span_len >= 16
+        ORDER BY sp.doc_id, sp.span_start""")),
+
     // E41 — Naive-Bayes quality classifier: the fastText-style filter
     // every web-scale pipeline runs (CCNet / GPT-3 "quality" stage),
     // here as a multinomial NB with Laplace smoothing trained on a

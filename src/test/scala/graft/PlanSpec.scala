@@ -211,6 +211,22 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("Generate"), plan) // line posexplode + char_trigrams
   }
 
+  test("E48 span dedup: shingle-df hash aggregate, doc-bounded window, no cartesian") {
+    // The shingle document-frequency must be a partial+final hash
+    // aggregate (a Window over the SHINGLE would hold unbounded state on
+    // hot boilerplate shingles); the island merge's Window partitions by
+    // doc_id — state bounded by document length, which is why it is
+    // allowed here and banned in e40's line-df.
+    val plan = planOf("e48_span_dedup")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("ScalaUDF"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+    assert(plan.contains("Generate"), plan) // shingle posexplode
+    val winLine = plan.linesIterator.filter(_.contains("Window")).mkString("\n")
+    assert(winLine.contains("doc_id"), s"window must partition by doc_id:\n$winLine")
+  }
+
   test("whole-stage codegen covers the pricing-summary pipeline") {
     // AQE prints placeholder plans until executed; run it, then inspect the
     // final adaptive plan.
