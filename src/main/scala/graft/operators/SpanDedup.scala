@@ -74,4 +74,51 @@ object SpanDedup {
         array_join(slice(col("toks"), col("span_start") + 1, col("span_len")), " ")
           .as("span_text"))
   }
+
+  /** Span REMOVAL — what the pipeline runs after [[sharedSpans]] (Lee et
+    * al. excise all but one occurrence of each duplicated substring):
+    * every maximal shared span is removed from every document EXCEPT the
+    * lowest doc_id whose shared text begins with the span's first
+    * k-shingle. Keying the keeper on the FIRST SHINGLE (not the whole
+    * span text) makes the verdict well-defined when docs share
+    * differently-extended overlaps of the same passage (doc A has
+    * p0..p7, doc B p0..p5: both spans start with the p0-shingle, so one
+    * keeper owns the passage family); the documented limitation is that
+    * overlap families with DIFFERENT first shingles (B = p2..p7) resolve
+    * per-family, each family keeping its own minimal doc.
+    *
+    * Scale shape on top of [[sharedSpans]]: the keeper table is one
+    * aggregate keyed on the first shingle (dimension of distinct
+    * duplicated shingles); excision is a per-doc rebuild whose state —
+    * the doc's dropped-position list — is bounded by document length.
+    *
+    * @return (doc_id, n_toks, n_removed, cleaned) for EVERY input doc
+    *         (docs with nothing removed pass through, n_removed = 0)
+    */
+  def removeSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, minSpanTokens: Int): DataFrame = {
+    val toks = docs.select(col(idCol).cast("long").as("doc_id"),
+      split(col(textCol), " ").as("toks"))
+    val spans = sharedSpans(docs, idCol, textCol, k, minSpanTokens)
+      .join(toks, Seq("doc_id"))
+      .select(col("doc_id"), col("span_start"), col("span_len"),
+        array_join(slice(col("toks"), col("span_start") + 1, lit(k)), " ")
+          .as("head_shingle"))
+    val keepers = spans.groupBy(col("head_shingle"))
+      .agg(min(col("doc_id")).as("keep_id"))
+    val dropPos = spans.join(keepers, Seq("head_shingle"))
+      .filter(col("doc_id") =!= col("keep_id"))
+      .select(col("doc_id"), explode(expr(
+        "sequence(span_start + 1, span_start + span_len)")).as("p"))
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("p")).as("drop"))
+    toks.join(dropPos, Seq("doc_id"), "left")
+      .select(col("doc_id"), size(col("toks")).as("n_toks"),
+        coalesce(size(col("drop")), lit(0)).as("n_removed"),
+        array_join(expr(
+          """CASE WHEN drop IS NULL THEN toks
+             ELSE transform(
+               filter(sequence(1, size(toks)), i -> NOT array_contains(drop, i)),
+               i -> element_at(toks, i)) END"""), " ").as("cleaned"))
+  }
 }

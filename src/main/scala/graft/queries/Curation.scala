@@ -308,6 +308,73 @@ object Curation extends QueryBlock {
         WHERE sp.span_len >= 16
         ORDER BY sp.doc_id, sp.span_start""")),
 
+    // E48b — span REMOVAL (operators.SpanDedup.removeSpans): the action
+    // stage after e48's detection — every duplicated span excised from
+    // every doc except the lowest doc_id of its head-shingle family
+    // (keeper rule + limitation documented on the operator). Same
+    // planted fixture as e48; the oracle replicates detection, keeper
+    // election, position explosion and the order-preserving token
+    // excision, so n_removed and the rebuilt text are checked
+    // end-to-end for every doc (untouched docs pass through with
+    // n_removed = 0).
+    "e48b_span_remove" -> QueryDef(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .filter(col("text").isNotNull && col("doc_id") < 250)
+          .select(col("doc_id"), expr(
+            """CASE WHEN doc_id % 5 = 2 THEN array_join(concat(
+                 slice(split(text, ' '), 1, 8),
+                 transform(sequence(0, 23), i -> concat('dup', i)),
+                 slice(split(text, ' '), 9, size(split(text, ' ')))), ' ')
+               ELSE text END""").as("text"))
+        graft.operators.SpanDedup
+          .removeSpans(docs, "doc_id", "text", k = 8, minSpanTokens = 16)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d0 AS (SELECT doc_id, string_split(text, ' ') AS t0
+          FROM documents WHERE text IS NOT NULL AND doc_id < 250),
+        d AS (SELECT doc_id,
+            CASE WHEN doc_id % 5 = 2 THEN list_concat(list_concat(
+                t0[1:8],
+                list_transform(generate_series(0, 23), i -> 'dup' || CAST(i AS VARCHAR))),
+                t0[9:len(t0)])
+              ELSE t0 END AS toks
+          FROM d0),
+        sh AS (SELECT doc_id, CAST(i AS INT) AS pos,
+            array_to_string(toks[i+1 : i+8], ' ') AS sh
+          FROM d, UNNEST(generate_series(0, len(toks) - 8)) u(i)
+          WHERE len(toks) >= 8),
+        f AS (SELECT sh FROM (SELECT sh, count(DISTINCT doc_id) AS df
+            FROM sh GROUP BY sh) WHERE df >= 2),
+        s2 AS (SELECT doc_id, pos FROM sh JOIN f USING (sh)),
+        isl AS (SELECT doc_id, pos,
+            pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+          FROM s2),
+        sp AS (SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
+            CAST(max(pos) + 8 - min(pos) AS INT) AS span_len
+          FROM isl GROUP BY doc_id, g),
+        hs AS (SELECT s.doc_id, s.span_start, s.span_len,
+            array_to_string(d.toks[s.span_start + 1 : s.span_start + 8], ' ') AS head
+          FROM sp s JOIN d USING (doc_id) WHERE s.span_len >= 16),
+        kp AS (SELECT head, min(doc_id) AS keep_id FROM hs GROUP BY head),
+        dp AS (SELECT hs.doc_id, u.i AS p
+          FROM hs JOIN kp USING (head),
+            UNNEST(generate_series(hs.span_start + 1, hs.span_start + hs.span_len)) u(i)
+          WHERE hs.doc_id <> kp.keep_id),
+        dpl AS (SELECT doc_id, list(DISTINCT p) AS dropl FROM dp GROUP BY doc_id)
+        SELECT d.doc_id, CAST(len(d.toks) AS INT) AS n_toks,
+          coalesce(CAST(len(dpl.dropl) AS INT), 0) AS n_removed,
+          CASE WHEN dpl.dropl IS NULL THEN array_to_string(d.toks, ' ')
+            -- coalesce: a fully-excised doc (every token dropped — a doc
+            -- wholly contained in another's shingles) folds to '' as on
+            -- the Spark side, where array_join of an empty array is ''
+            ELSE coalesce(array_to_string(list_transform(
+              list_filter(generate_series(1, len(d.toks)),
+                i -> NOT list_contains(dpl.dropl, i)),
+              i -> d.toks[i]), ' '), '') END AS cleaned
+        FROM d LEFT JOIN dpl USING (doc_id)
+        ORDER BY d.doc_id""")),
+
     // E41 — Naive-Bayes quality classifier: the fastText-style filter
     // every web-scale pipeline runs (CCNet / GPT-3 "quality" stage),
     // here as a multinomial NB with Laplace smoothing trained on a
@@ -801,6 +868,104 @@ object Curation extends QueryBlock {
         FROM surv s JOIN sc ON s.rec_id = sc.rec_id
           JOIN strip st ON s.rec_id = st.rec_id
         ORDER BY doc_id""")),
+
+    // E49 — robots.txt FILE parsing + verdict (operators.RobotsTxt):
+    // closes the gap e46 assumes away — e46 consumes a structured rules
+    // table, but a crawl pipeline holds raw robots.txt BODIES per
+    // domain. The fixture builds one body per domain by construction:
+    // all 20 domains carry a `*` group (Disallow /p/1, Allow /p/12, plus
+    // an EMPTY Disallow that must be dropped per RFC 9309 — kept wrongly
+    // it would disallow the /about/ URLs that match no rule); even-
+    // numbered sources add a graftbot+otherbot two-agent group
+    // (Disallow /p/, Allow /p/3) and an ignored Crawl-delay. The query
+    // parses, selects the governing group for agent `graftbot` (the
+    // named group where present, else `*` — never both), and applies
+    // the e46 longest-prefix verdict. The oracle re-derives the ENTIRE
+    // parse (comment strip, line classification, lag+running-sum
+    // grouping, group join, agent selection, verdict) in SQL.
+    "e49_robots_parse" -> QueryDef(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .filter(col("text").isNotNull && col("doc_id") < 250)
+          .select(col("doc_id"),
+            concat(col("source"), lit(".example.com")).as("domain"),
+            when(col("doc_id") % 7 === 0, concat(lit("/about/"), col("doc_id")))
+              .otherwise(concat(lit("/p/"), col("doc_id"))).as("path"))
+        val doms = docs.select(col("domain")).distinct()
+          .withColumn("i",
+            expr("CAST(regexp_extract(domain, 'src([0-9]+)', 1) AS INT)"))
+          .withColumn("content", concat(
+            lit("# robots fixture\nUser-agent: *\nDisallow: /p/1\nAllow: /p/12\nDisallow:\n"),
+            when(col("i") % 2 === 0,
+              lit("\nUser-agent: graftbot\nUser-agent: otherbot\nDisallow: /p/\nAllow: /p/3\nCrawl-delay: 5\n"))
+              .otherwise(lit(""))))
+        val eff = graft.operators.RobotsTxt.effectiveRules(
+          graft.operators.RobotsTxt.parseRules(
+            doms.select(col("domain"), col("content"))),
+          "graftbot")
+        val matched = docs.join(broadcast(eff), Seq("domain"))
+          .filter(col("path").startsWith(col("prefix")))
+          .groupBy(col("doc_id").as("m_id"))
+          .agg(max(struct(length(col("prefix")).as("len"),
+            col("allow").as("allow"), col("prefix").as("prefix"))).as("m"))
+        docs.join(matched, col("doc_id") === col("m_id"), "left").drop("m_id")
+          .select(col("doc_id"), col("domain"), col("path"),
+            coalesce(col("m.allow"), lit(true)).as("allowed"),
+            col("m.prefix").as("rule"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH docs AS (SELECT doc_id, source || '.example.com' AS domain,
+            CASE WHEN doc_id % 7 = 0 THEN '/about/' || CAST(doc_id AS VARCHAR)
+                 ELSE '/p/' || CAST(doc_id AS VARCHAR) END AS path
+          FROM documents WHERE text IS NOT NULL AND doc_id < 250),
+        doms AS (SELECT DISTINCT domain FROM docs),
+        ct AS (SELECT domain,
+            '# robots fixture' || chr(10) || 'User-agent: *' || chr(10) ||
+            'Disallow: /p/1' || chr(10) || 'Allow: /p/12' || chr(10) ||
+            'Disallow:' || chr(10) ||
+            CASE WHEN CAST(regexp_extract(domain, 'src([0-9]+)', 1) AS INT) % 2 = 0
+              THEN chr(10) || 'User-agent: graftbot' || chr(10) ||
+                   'User-agent: otherbot' || chr(10) || 'Disallow: /p/' || chr(10) ||
+                   'Allow: /p/3' || chr(10) || 'Crawl-delay: 5' || chr(10)
+              ELSE '' END AS content
+          FROM doms),
+        lraw AS (SELECT domain, CAST(u.i AS INT) AS pos,
+            trim(regexp_replace(ll[u.i], '#.*$', '')) AS ln
+          FROM (SELECT domain, string_split(content, chr(10)) AS ll FROM ct),
+            UNNEST(generate_series(1, len(ll))) u(i)),
+        l AS (SELECT * FROM lraw WHERE ln <> ''),
+        cls AS (SELECT domain, pos,
+            CASE WHEN lower(ln) LIKE 'user-agent:%' THEN 'ua'
+                 WHEN lower(ln) LIKE 'allow:%' THEN 'allow'
+                 WHEN lower(ln) LIKE 'disallow:%' THEN 'disallow'
+                 ELSE 'other' END AS kind,
+            trim(substr(ln, strpos(ln, ':') + 1)) AS value
+          FROM l),
+        cls2 AS (SELECT * FROM cls WHERE kind <> 'other'),
+        lg AS (SELECT *, coalesce(lag(kind)
+            OVER (PARTITION BY domain ORDER BY pos), '') AS pk FROM cls2),
+        gr AS (SELECT *, sum(CASE WHEN kind = 'ua' AND pk <> 'ua' THEN 1 ELSE 0 END)
+              OVER (PARTITION BY domain ORDER BY pos ROWS UNBOUNDED PRECEDING) AS g
+          FROM lg),
+        uas AS (SELECT domain, g, lower(value) AS ua
+          FROM gr WHERE kind = 'ua' AND g >= 1),
+        rl AS (SELECT domain, g, kind = 'allow' AS allow, value AS prefix
+          FROM gr WHERE kind <> 'ua' AND value <> '' AND g >= 1),
+        parsed AS (SELECT uas.domain, uas.ua, rl.allow, rl.prefix
+          FROM uas JOIN rl ON uas.domain = rl.domain AND uas.g = rl.g),
+        hasb AS (SELECT DISTINCT domain FROM parsed WHERE ua = 'graftbot'),
+        eff AS (SELECT p.domain, p.allow, p.prefix
+          FROM parsed p LEFT JOIN hasb ON p.domain = hasb.domain
+          WHERE CASE WHEN hasb.domain IS NOT NULL THEN p.ua = 'graftbot'
+                     ELSE p.ua = '*' END),
+        m AS (SELECT doc_id, allow, prefix,
+            row_number() OVER (PARTITION BY doc_id
+              ORDER BY length(prefix) DESC, allow DESC, prefix DESC) AS rn
+          FROM docs JOIN eff USING (domain) WHERE starts_with(path, prefix)),
+        best AS (SELECT doc_id, allow, prefix FROM m WHERE rn = 1)
+        SELECT d.doc_id, d.domain, d.path,
+          coalesce(b.allow, true) AS allowed, b.prefix AS rule
+        FROM docs d LEFT JOIN best b USING (doc_id) ORDER BY d.doc_id""")),
 
     // E43 — binary (sign) quantization + Hamming-prefilter ANN: each
     // 64-d embedding compresses to a single 8-byte signature (the sign

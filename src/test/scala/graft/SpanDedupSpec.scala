@@ -84,4 +84,53 @@ class SpanDedupSpec extends AnyFunSuite {
   test("documents shorter than k are ignored, not errors") {
     assert(spans(Seq(1L -> "a b", 2L -> "a b")) === Set())
   }
+
+  private def removed(docs: Seq[(Long, String)], k: Int = 4, minSpan: Int = 4)
+      : Map[Long, (Int, Int, String)] =
+    graft.operators.SpanDedup
+      .removeSpans(docs.toDF("id", "text"), "id", "text", k, minSpan)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3))))
+      .toMap
+
+  test("removal: lowest doc keeps the passage, every other doc loses it") {
+    val p = "p0 p1 p2 p3 p4"
+    val a = s"${words("a", 3)} $p ${words("x", 2)}"
+    val b = s"$p ${words("b", 4)}"
+    val c = s"${words("c", 2)} $p"
+    val got = removed(Seq(1L -> a, 2L -> b, 3L -> c))
+    assert(got(1L) === ((10, 0, a)))                        // keeper: untouched
+    assert(got(2L) === ((9, 5, words("b", 4))))             // span excised
+    assert(got(3L) === ((7, 5, words("c", 2))))
+  }
+
+  test("removal: doc with nothing shared passes through") {
+    val got = removed(Seq(1L -> words("a", 8), 2L -> words("b", 8)))
+    assert(got(1L) === ((8, 0, words("a", 8))))
+    assert(got(2L) === ((8, 0, words("b", 8))))
+  }
+
+  test("removal: same-head overlap family resolves to one keeper") {
+    // doc1 p0..p7, doc2 p0..p5: both spans head with the p0-shingle ->
+    // doc1 keeps, doc2 excises. doc3's p2..p7 span heads with the
+    // p2-shingle, a DIFFERENT family whose only member is doc3 -> doc3
+    // keeps (the documented per-family limitation).
+    val a = "p0 p1 p2 p3 p4 p5 p6 p7"
+    val b = s"p0 p1 p2 p3 p4 p5 ${words("b", 4)}"
+    val c = s"${words("c", 4)} p2 p3 p4 p5 p6 p7"
+    val got = removed(Seq(1L -> a, 2L -> b, 3L -> c))
+    assert(got(1L) === ((8, 0, a)))
+    assert(got(2L) === ((10, 6, words("b", 4))))
+    assert(got(3L)._2 === 0)
+  }
+
+  test("removal: multiple spans in one doc are both excised") {
+    val p = "p0 p1 p2 p3"
+    val q = "q0 q1 q2 q3"
+    val a = s"$p $q"                      // doc 1 holds both passages
+    val b = s"${words("b", 2)} $p ${words("y", 2)} $q"
+    val got = removed(Seq(1L -> a, 2L -> b))
+    assert(got(1L) === ((8, 0, a)))
+    assert(got(2L) === ((12, 8, s"${words("b", 2)} ${words("y", 2)}")))
+  }
 }
