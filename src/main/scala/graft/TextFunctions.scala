@@ -244,5 +244,6 @@ object TextFunctions extends Serializable {
     graft.functions.CharTrigrams.register(spark)
     graft.functions.UnicodeNorm.register(spark)
     graft.functions.HtmlStrip.register(spark)
+    graft.functions.UrlNormalize.register(spark)
   }
 }
