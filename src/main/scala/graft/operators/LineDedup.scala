@@ -22,19 +22,37 @@ import org.apache.spark.sql.functions._
   */
 object LineDedup {
 
+  private def withLinesOf(docs: DataFrame): DataFrame = docs.select(col("doc_id"),
+    coalesce(split(col("content"), "\n"), array().cast("array<string>")).as("lines"))
+
+  /** The corpus line-frequency table: (line, df). In production this is
+    * a periodically-recomputed static artifact that incremental/streaming
+    * cleaning (d17) joins against — the df table LAGS the stream, exactly
+    * as CCNet's hash tables do.
+    */
+  def lineDf(docs: DataFrame): DataFrame = withLinesOf(docs)
+    .select(col("doc_id"), posexplode(col("lines")).as(Seq("pos", "line")))
+    .groupBy("line")
+    .agg(countDistinct(col("doc_id")).as("df"))
+
   /** @param docs (doc_id, content) where content is '\n'-separated text;
     *             a NULL content row yields (n_lines 0, n_kept 0, "") rather
     *             than legacy size(NULL) = -1 nonsense
     * @return (doc_id, n_lines, n_kept, cleaned) — unordered; callers sort
     */
-  def clean(docs: DataFrame, tau: Int): DataFrame = {
-    val withLines = docs.select(col("doc_id"),
-      coalesce(split(col("content"), "\n"), array().cast("array<string>")).as("lines"))
+  def clean(docs: DataFrame, tau: Int): DataFrame =
+    cleanAgainst(docs, lineDf(docs), tau)
+
+  /** [[clean]] against an EXTERNAL (line, df) table — the form whose df
+    * state is static per trigger; a line absent from the table counts
+    * df = 0 (kept).
+    */
+  def cleanAgainst(docs: DataFrame, dfTable: DataFrame, tau: Int): DataFrame = {
+    val withLines = withLinesOf(docs)
     val lines = withLines.select(col("doc_id"),
       posexplode(col("lines")).as(Seq("pos", "line")))
-    val df = lines.groupBy("line")
-      .agg(countDistinct(col("doc_id")).as("df"))
-    val kept = lines.join(df, Seq("line")).filter(col("df") < tau)
+    val kept = lines.join(dfTable, Seq("line"), "left")
+      .filter(coalesce(col("df"), lit(0L)) < tau)
     val reassembled = kept.groupBy("doc_id").agg(
       count(lit(1)).cast("int").as("n_kept"),
       array_join(

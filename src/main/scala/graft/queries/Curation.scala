@@ -182,6 +182,59 @@ object Curation extends QueryBlock {
     warcDir
   }
 
+  // --- e47/d17 shared crawl-pipeline stages -------------------------------
+
+  /** uri+payload rows → rec_id / domain / path (the crawl fixture's URI
+    * scheme: /p/<id> originals, /dup/<id> duplicates at rec_id 10000+id).
+    */
+  private[queries] def crawlRecs(parsed: DataFrame): DataFrame = parsed
+    .select(col("uri"), col("payload"))
+    .withColumn("rec_id", expr(
+      "CAST(regexp_extract(uri, '([0-9]+)$', 1) AS BIGINT) + IF(uri LIKE '%/dup/%', 10000, 0)"))
+    .withColumn("domain", regexp_extract(col("uri"), "https://([^/]+)/", 1))
+    .withColumn("path", regexp_extract(col("uri"), "https://[^/]+(/.*)$", 1))
+
+  /** e46 robots stage over the fixture's rule set (all 20 sources
+    * disallow /p/1 with an /p/12 allow override): broadcast rules join +
+    * RFC 9309 longest-prefix max(struct) verdict; keeps allowed rows.
+    */
+  private[queries] def crawlRobotsAllowed(s: SparkSession, recs: DataFrame): DataFrame = {
+    import s.implicits._
+    val rules = (for (i <- 0 until 20; r <- Seq(
+        (s"src$i.example.com", "/p/1", false),
+        (s"src$i.example.com", "/p/12", true)))
+      yield r).toDF("domain", "prefix", "allow")
+    val verdict = recs.join(broadcast(rules), Seq("domain"))
+      .filter(col("path").startsWith(col("prefix")))
+      .groupBy(col("rec_id").as("m_id"))
+      .agg(max(struct(length(col("prefix")).as("len"),
+        col("allow").as("allow"))).as("m"))
+    recs.join(verdict, col("rec_id") === col("m_id"), "left")
+      .filter(coalesce(col("m.allow"), lit(true)))
+      .select(col("rec_id"), col("uri"), col("payload"))
+  }
+
+  /** e34 strip stage, line-preserving variant: `</p>` → '\n' BEFORE the
+    * generic tag strip so line structure survives into the line-dedup
+    * stage; tags strip to '' (padding spaces would corrupt line
+    * identity).
+    */
+  private[queries] def crawlStrip(allowed: DataFrame): DataFrame = allowed
+    .withColumn("cleaned", expr(
+      """trim(BOTH '\n' FROM
+           replace(
+             regexp_replace(
+               replace(
+                 regexp_replace(
+                   regexp_replace(payload, '(?s)<script[^>]*>.*?</script>', ''),
+                   '(?s)<style[^>]*>.*?</style>', ''),
+                 '</p>', '\n'),
+               '(?s)<!--.*?-->|<[^>]+>', ''),
+             '&nbsp;', ' '))"""))
+    .select(col("rec_id"), col("uri"),
+      length(col("payload")).as("n_raw"),
+      length(col("cleaned")).as("n_clean"), col("cleaned"))
+
   /** The e44/d16 shared oracle: every record field re-derived from the
     * fixture's construction arithmetic (full payload included).
     */
@@ -709,44 +762,11 @@ object Curation extends QueryBlock {
     // no cartesian / no BNLJ and the broadcast rules join).
     "e47_crawl_pipeline" -> QueryDef(
       (s, dir) => {
-        import s.implicits._
         val warcDir = writeCrawlWarcFixture(s, dir)
-        // stage 1 — e44 ingest
-        val recs = parseWarc(s.read.format("binaryFile").load(warcDir))
-          .select(col("uri"), col("payload"))
-          .withColumn("rec_id", expr(
-            "CAST(regexp_extract(uri, '([0-9]+)$', 1) AS BIGINT) + IF(uri LIKE '%/dup/%', 10000, 0)"))
-          .withColumn("domain", regexp_extract(col("uri"), "https://([^/]+)/", 1))
-          .withColumn("path", regexp_extract(col("uri"), "https://[^/]+(/.*)$", 1))
-        // stage 2 — e46 robots filter (broadcast rules, RFC 9309 verdict)
-        val rules = (for (i <- 0 until 20; r <- Seq(
-            (s"src$i.example.com", "/p/1", false),
-            (s"src$i.example.com", "/p/12", true)))
-          yield r).toDF("domain", "prefix", "allow")
-        val verdict = recs.join(broadcast(rules), Seq("domain"))
-          .filter(col("path").startsWith(col("prefix")))
-          .groupBy(col("rec_id").as("m_id"))
-          .agg(max(struct(length(col("prefix")).as("len"),
-            col("allow").as("allow"))).as("m"))
-        val allowed = recs
-          .join(verdict, col("rec_id") === col("m_id"), "left")
-          .filter(coalesce(col("m.allow"), lit(true)))
-          .select(col("rec_id"), col("uri"), col("payload"))
-        // stage 3 — e34 strip, line-preserving variant
-        val stripped = allowed.withColumn("cleaned", expr(
-          """trim(BOTH '\n' FROM
-               replace(
-                 regexp_replace(
-                   replace(
-                     regexp_replace(
-                       regexp_replace(payload, '(?s)<script[^>]*>.*?</script>', ''),
-                       '(?s)<style[^>]*>.*?</style>', ''),
-                     '</p>', '\n'),
-                   '(?s)<!--.*?-->|<[^>]+>', ''),
-                 '&nbsp;', ' '))"""))
-          .select(col("rec_id"), col("uri"),
-            length(col("payload")).as("n_raw"),
-            length(col("cleaned")).as("n_clean"), col("cleaned"))
+        // stages 1-3 — e44 ingest, e46 robots, e34 strip (shared with the
+        // d17 streaming twin)
+        val recs = crawlRecs(parseWarc(s.read.format("binaryFile").load(warcDir)))
+        val stripped = crawlStrip(crawlRobotsAllowed(s, recs))
         // stage 4 — e40 line-frequency boilerplate removal
         val ld = graft.operators.LineDedup.clean(
           stripped.select(col("rec_id").as("doc_id"),

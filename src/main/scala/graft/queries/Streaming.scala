@@ -390,6 +390,154 @@ object Streaming extends QueryBlock {
       },
       Some(Curation.warcOracleSql)),
 
+    // D17 — the e47 crawl pipeline AS A STREAM (its deployment shape:
+    // .warc segments land continuously; each trigger runs ingest →
+    // robots → strip → line-clean → dedup-verdict on ONLY the arriving
+    // files, against STATIC state — the corpus line-df table and the
+    // historical hash index, both periodically-recomputed batch
+    // artifacts exactly as production maintains them). Stages 1-3 are
+    // the e47 helpers verbatim (stateless projections); line cleaning is
+    // LineDedup.cleanAgainst the static df table; the verdict joins the
+    // static index on sha2(kept_text) with partner = min earlier rec_id.
+    // Every record's output depends only on (record, static state), so
+    // the result is INDEPENDENT of how files slice into micro-batches —
+    // maxFilesPerTrigger=1 forces 4 separate triggers to prove it, and
+    // the oracle is the same construction arithmetic as e47's, extended
+    // with the hash-partner CTE. Per-trigger work is bounded by arriving
+    // bytes; streaming state is zero (foreachBatch, append-only sink).
+    "d17_stream_crawl" -> QueryDef(
+      (s, dir) => {
+        val warcDir = Curation.writeCrawlWarcFixture(s, dir)
+        // static artifacts, batch-computed over the corpus at rest
+        val batchStripped = Curation.crawlStrip(Curation.crawlRobotsAllowed(s,
+          Curation.crawlRecs(Curation.parseWarc(
+            s.read.format("binaryFile").load(warcDir)))))
+        val dfTable = graft.operators.LineDedup.lineDf(
+          batchStripped.select(col("rec_id").as("doc_id"),
+            col("cleaned").as("content"))).persist()
+        val index = graft.operators.LineDedup.cleanAgainst(
+            batchStripped.select(col("rec_id").as("doc_id"),
+              col("cleaned").as("content")), dfTable, tau = 10)
+          .select(col("doc_id").as("p_id"),
+            sha2(col("cleaned"), 256).as("p_h")).persist()
+        val outDir = java.nio.file.Paths.get(
+          s"${Graft.scratchDir}/d17_out_${new java.io.File(dir).getName}")
+        if (java.nio.file.Files.exists(outDir)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(outDir).iterator().asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        }
+        val raw = s.readStream.format("binaryFile")
+          .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+          .option("maxFilesPerTrigger", "1")
+          .load(warcDir)
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_d17")
+        try {
+          val q = raw.writeStream
+            .foreachBatch { (batch: DataFrame, _: Long) =>
+              val stripped = Curation.crawlStrip(Curation.crawlRobotsAllowed(s,
+                Curation.crawlRecs(Curation.parseWarc(batch))))
+              val cleaned = graft.operators.LineDedup.cleanAgainst(
+                  stripped.select(col("rec_id").as("doc_id"),
+                    col("cleaned").as("content")), dfTable, tau = 10)
+                .withColumnRenamed("cleaned", "kept_text")
+                .withColumn("h", sha2(col("kept_text"), 256))
+              val partner = cleaned
+                .join(index, col("p_h") === col("h") && col("p_id") < col("doc_id"))
+                .groupBy(col("doc_id").as("n_id"))
+                .agg(min(col("p_id")).as("partner"))
+              cleaned
+                .join(partner, col("doc_id") === col("n_id"), "left")
+                .join(stripped.select(col("rec_id").as("doc_id"), col("uri")), "doc_id")
+                .select(col("doc_id").as("rec_id"), col("uri"),
+                  col("n_lines"), col("n_kept"),
+                  when(col("partner").isNotNull, lit("dup"))
+                    .otherwise(lit("unique")).as("status"),
+                  col("partner"))
+                .write.mode("append").parquet(outDir.toString)
+            }
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .option("checkpointLocation", ckpt.toString)
+            .start()
+          q.awaitTermination()
+        } finally {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        }
+        s.read.parquet(outDir.toString).orderBy(col("rec_id"))
+      },
+      Some("""WITH d AS (SELECT doc_id, source,
+            list_concat(list_concat(list_concat(
+              ['subscribe to our newsletter'],
+              list_transform(generate_series(0, (len(string_split(text, ' ')) - 1) // 8),
+                i -> array_to_string(string_split(text, ' ')[i*8 + 1 : i*8 + 8], ' '))),
+              ['all rights reserved']),
+              CASE WHEN doc_id % 2 = 0 THEN ['cookie policy accept'] ELSE [] END) AS lines
+          FROM documents WHERE text IS NOT NULL AND doc_id < 400),
+        hh AS (SELECT doc_id, source,
+            '<html><head><script>var x = 1 < 2;</script><style>p { color: #fff; }</style></head><body>'
+            || array_to_string(list_transform(lines,
+                 l -> '<p>' || replace(l, ' ', '&nbsp;') || '</p>'), '')
+            || '<!-- footer --></body></html>' AS html
+          FROM d),
+        recs AS (
+          SELECT doc_id AS rec_id,
+            'https://' || source || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS uri,
+            source || '.example.com' AS domain,
+            '/p/' || CAST(doc_id AS VARCHAR) AS path, html
+          FROM hh
+          UNION ALL
+          SELECT 10000 + doc_id,
+            'https://' || source || '.example.com/dup/' || CAST(doc_id AS VARCHAR),
+            source || '.example.com',
+            '/dup/' || CAST(doc_id AS VARCHAR), html
+          FROM hh WHERE doc_id % 10 = 7),
+        rules AS (SELECT 'src' || CAST(i AS VARCHAR) || '.example.com' AS domain,
+            p.prefix, p.allow
+          FROM generate_series(0, 19) g(i),
+            (VALUES ('/p/1', false), ('/p/12', true)) p(prefix, allow)),
+        v AS (SELECT rec_id, allow,
+            row_number() OVER (PARTITION BY rec_id
+              ORDER BY length(prefix) DESC, allow DESC) AS rn
+          FROM recs JOIN rules USING (domain)
+          WHERE starts_with(path, prefix)),
+        allowed AS (SELECT r.* FROM recs r
+          LEFT JOIN (SELECT rec_id, allow FROM v WHERE rn = 1) b USING (rec_id)
+          WHERE coalesce(b.allow, true)),
+        strip AS (SELECT rec_id, uri,
+            trim(replace(
+              regexp_replace(
+                replace(
+                  regexp_replace(
+                    regexp_replace(html, '<script[^>]*>.*?</script>', '', 'gs'),
+                    '<style[^>]*>.*?</style>', '', 'gs'),
+                  '</p>', chr(10)),
+                '<!--.*?-->|<[^>]+>', '', 'gs'),
+              '&nbsp;', ' '), chr(10)) AS cleaned
+          FROM allowed),
+        sl AS (SELECT rec_id, string_split(cleaned, chr(10)) AS ll FROM strip),
+        l2 AS (SELECT rec_id, CAST(i - 1 AS INT) AS pos, ll[i] AS ln
+          FROM sl, UNNEST(generate_series(1, len(ll))) u(i)),
+        f AS (SELECT ln, count(DISTINCT rec_id) AS df FROM l2 GROUP BY ln),
+        kept AS (SELECT l2.rec_id, l2.pos, l2.ln
+          FROM l2 JOIN f USING (ln) WHERE f.df < 10),
+        ld AS (SELECT sl.rec_id, CAST(len(sl.ll) AS INT) AS n_lines,
+            coalesce(k.n_kept, 0) AS n_kept, coalesce(k.kept_text, '') AS kept_text
+          FROM sl LEFT JOIN (
+            SELECT rec_id, CAST(count(*) AS INT) AS n_kept,
+              array_to_string(list(ln ORDER BY pos), chr(10)) AS kept_text
+            FROM kept GROUP BY rec_id) k USING (rec_id)),
+        hsx AS (SELECT rec_id, sha256(kept_text) AS h FROM ld),
+        p AS (SELECT a.rec_id, min(b.rec_id) AS partner
+          FROM hsx a JOIN hsx b ON a.h = b.h AND b.rec_id < a.rec_id
+          GROUP BY a.rec_id)
+        SELECT ld.rec_id, st.uri, ld.n_lines, ld.n_kept,
+          CASE WHEN p.partner IS NOT NULL THEN 'dup' ELSE 'unique' END AS status,
+          p.partner
+        FROM ld JOIN strip st USING (rec_id) LEFT JOIN p USING (rec_id)
+        ORDER BY ld.rec_id""")),
+
     // D10++ — the E15 clean-corpus pipeline AS A STREAM: quality gate →
     // exact-dedup (keeper = min doc_id via min_by, order-independent) →
     // per-language profile, over documents arriving as files. Shares
