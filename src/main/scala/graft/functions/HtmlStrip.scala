@@ -36,8 +36,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * Tags and comments act as WORD SEPARATORS (one space, runs collapsed,
   * ends trimmed) — matching e34's tag→space→collapse semantics: for
   * corpus extraction, gluing `hello</b>world` into one token is worse
-  * than splitting inline markup. nbsp (entity or U+00A0) folds into the
-  * same whitespace collapse.
+  * than splitting inline markup. nbsp (entity or U+00A0), every C0
+  * control (NUL included — an HTML5 parse error, and garbage in corpus
+  * text either way) and DEL fold into the same whitespace collapse.
   *
   * Scale shape: scalar projection, codegen'd via the static-call pattern
   * (UnicodeNorm precedent) — scan-local, zero shuffle at any scale.
@@ -54,9 +55,11 @@ object HtmlStrip {
     val out = new java.lang.StringBuilder(n)
     var pendingSpace = false
 
+    // All C0 controls (incl. \t\n\r\f and NUL — HTML5 treats NUL as a
+    // parse error; for corpus text it is garbage either way), DEL, space
+    // and NBSP fold into the whitespace collapse.
     def isWs(cp: Int): Boolean =
-      cp == ' ' || cp == '\t' || cp == '\n' || cp == '\r' || cp == '\f' ||
-        cp == 0xa0
+      cp < 0x20 || cp == ' ' || cp == 0x7f || cp == 0xa0
 
     def emit(cp: Int): Unit =
       if (isWs(cp)) { if (out.length > 0) pendingSpace = true }
