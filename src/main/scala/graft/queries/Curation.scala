@@ -1218,6 +1218,67 @@ object Curation extends QueryBlock {
       },
       Some("""SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
           CAST(strlen(text) AS BIGINT) AS bytes, sha256(text) AS digest
-        FROM documents WHERE text IS NOT NULL ORDER BY doc_id"""))
+        FROM documents WHERE text IS NOT NULL ORDER BY doc_id""")),
+
+    // E53 — WET-style conversion export (the WRITE side of the WARC
+    // family; public formats: ISO 28500 + the CommonCrawl WET convention
+    // of one `conversion` record per page): a filtered corpus re-emitted
+    // in the container downstream consumers already read. The operator is
+    // operators.WetExport.writeRecords — the distributed streaming
+    // rolling-file writer (repartition on bucket + sorted walk, memory
+    // bounded by one record, deterministic bucket keys so re-runs are
+    // byte-identical). Verification is a full ROUND TRIP: the written
+    // files are re-ingested through the e51 offset walk, and the oracle
+    // re-derives every record's payload AND its byte offset/length in
+    // the emitted file from the same construction arithmetic — a writer
+    // that mis-frames a single CRLF shifts every later offset and fails.
+    // Record bodies are the raw text (ASCII fixture, the e44 precedent:
+    // char length = byte length for Content-Length).
+    //
+    // Shape at 100 TB: one shuffle (bucket co-location), then streaming
+    // per-task writes; the read-back is per-file parallel and scan-local.
+    // The ORDER BY is oracle canonicalization only.
+    "e53_wet_export" -> QueryDef(
+      (s, dir) => {
+        val outDir = s"$scratch/wet_${new java.io.File(dir).getName}"
+        val d = t(s, dir, "documents")
+          .filter(col("text").isNotNull && col("doc_id") < 400)
+        val rec = concat(
+          lit("WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: https://"),
+          col("source"), lit(".example.com/p/"), col("doc_id"),
+          lit("\r\nWARC-Record-ID: <urn:uuid:conv-"), col("doc_id"),
+          lit(">\r\nContent-Length: "), length(col("text")),
+          lit("\r\n\r\n"), col("text"), lit("\r\n\r\n"))
+        graft.operators.WetExport.writeRecords(
+          d.select((col("doc_id") % 4).as("bucket"), col("doc_id").as("key"),
+            rec.as("rec")),
+          outDir, "wet")
+        graft.operators.WarcCdx.parse(
+            s.read.format("binaryFile").load(outDir))
+          .select(col("fname"), col("rec"), col("uri"), col("payload"),
+            col("offset").as("roff"), col("rlen"))
+          .orderBy(col("fname"), col("rec"))
+      },
+      Some("""WITH nlc AS (SELECT chr(13) || chr(10) AS nl),
+        d AS (SELECT doc_id, source, text, CAST(doc_id % 4 AS INT) AS b
+          FROM documents WHERE text IS NOT NULL AND doc_id < 400),
+        r AS (SELECT d.*,
+            'WARC/1.0' || nl || 'WARC-Type: conversion' || nl ||
+            'WARC-Target-URI: https://' || source || '.example.com/p/' ||
+              CAST(doc_id AS VARCHAR) || nl ||
+            'WARC-Record-ID: <urn:uuid:conv-' || CAST(doc_id AS VARCHAR) || '>' || nl ||
+            'Content-Length: ' || CAST(length(text) AS VARCHAR) || nl || nl ||
+            text || nl || nl AS rec_str
+          FROM d, nlc),
+        o AS (SELECT *,
+            CAST(row_number() OVER (PARTITION BY b ORDER BY doc_id) - 1 AS INT) AS rec,
+            CAST(coalesce(sum(length(rec_str)) OVER (PARTITION BY b ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS roff,
+            CAST(length(rec_str) AS BIGINT) AS rlen
+          FROM r)
+        SELECT 'wet' || CAST(b AS VARCHAR) || '.warc' AS fname, rec,
+          'https://' || source || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS uri,
+          text AS payload, roff, rlen
+        FROM o ORDER BY fname, rec"""))
   )
 }

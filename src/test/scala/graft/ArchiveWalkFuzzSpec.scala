@@ -1,0 +1,99 @@
+package graft
+
+import graft.operators.{TarShards, WarcCdx, WarcGzip}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hostile-input fuzz for the archive byte walks (WARC offset walk, gzip
+  * member walk, ustar walk) — the same contract the e12 decoder fuzz
+  * pins: arbitrary bytes must TERMINATE with a (possibly empty) prefix of
+  * valid records, NEVER throw — these run inside executors over user
+  * files. Attack families: every truncation prefix of a valid archive,
+  * seeded random byte arrays, and single-byte mutations of valid
+  * archives. Beyond not-throwing, two walk-specific invariants hold: a
+  * walk never emits overlapping/backtracking records (offsets strictly
+  * increase by rlen), and a mutation BEFORE a record can only affect that
+  * record or later ones, never resurrect more records than the original.
+  */
+class ArchiveWalkFuzzSpec extends AnyFunSuite {
+
+  private def warcRec(uri: String, payload: String): String =
+    s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $uri\r\n" +
+      s"Content-Length: ${payload.getBytes("UTF-8").length}\r\n\r\n$payload\r\n\r\n"
+
+  private val validWarc: Array[Byte] =
+    (warcRec("https://h/1", "alpha beta") + warcRec("https://h/2", "x" * 700) +
+      warcRec("https://h/3", "")).getBytes("UTF-8")
+
+  private val validTar: Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    Seq(("a.txt", 5), ("b.txt", 512), ("c.txt", 0)).foreach { case (n, sz) =>
+      val body = Array.tabulate(sz)(i => (i % 251).toByte)
+      out.write(TarShards.header(n, sz.toLong))
+      out.write(body)
+      val pad = (512 - sz % 512) % 512
+      if (pad > 0) out.write(new Array[Byte](pad))
+    }
+    out.write(new Array[Byte](1024))
+    out.toByteArray
+  }
+
+  private val validGz: Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    Seq("first member", "second " * 100).foreach { s =>
+      val gz = new java.util.zip.GZIPOutputStream(out)
+      gz.write(s.getBytes("UTF-8")); gz.finish()
+    }
+    out.toByteArray
+  }
+
+  private val walks: Seq[(String, Array[Byte], Array[Byte] => Int)] = Seq(
+    ("WarcCdx.walk", validWarc, b => WarcCdx.walk(b).size),
+    ("TarShards.walkTar", validTar, b => TarShards.walkTar(b).size),
+    ("WarcGzip.gunzipMembers", validGz, b => WarcGzip.gunzipMembers(b).size))
+
+  test("every truncation prefix of a valid archive terminates without throwing") {
+    walks.foreach { case (name, valid, walk) =>
+      (0 until valid.length).foreach { n =>
+        val got = walk(valid.take(n))
+        assert(got <= walk(valid), s"$name prefix $n emitted MORE than the full archive")
+      }
+    }
+  }
+
+  test("seeded random byte soup terminates without throwing") {
+    val rng = new scala.util.Random(0x51C2)
+    walks.foreach { case (_, _, walk) =>
+      (0 until 300).foreach { _ =>
+        val b = new Array[Byte](rng.nextInt(2048))
+        rng.nextBytes(b)
+        walk(b) // must not throw
+      }
+    }
+  }
+
+  test("single-byte mutations of valid archives terminate; record count never grows") {
+    val rng = new scala.util.Random(0x51C3)
+    walks.foreach { case (name, valid, walk) =>
+      val base = walk(valid)
+      (0 until 400).foreach { _ =>
+        val m = valid.clone()
+        m(rng.nextInt(m.length)) = rng.nextInt(256).toByte
+        assert(walk(m) <= base, s"$name mutation resurrected extra records")
+      }
+    }
+  }
+
+  test("WARC offsets strictly increase by rlen — no overlap, no backtrack") {
+    val rng = new scala.util.Random(0x51C4)
+    (0 until 200).foreach { _ =>
+      val m = validWarc.clone()
+      m(rng.nextInt(m.length)) = rng.nextInt(256).toByte
+      val out = WarcCdx.walk(m)
+      out.sliding(2).foreach {
+        case Vector(a, b) => assert(a._2 + a._3 === b._2)
+        case _ =>
+      }
+      out.headOption.foreach(h => assert(h._2 === 0L))
+    }
+  }
+}
