@@ -189,6 +189,70 @@ object Curation extends QueryBlock {
     outDir
   }
 
+  /** The e51 CDX projection over WarcCdx.parse output: SURT url key,
+    * 14-digit timestamp, HTTP envelope fields (status/MIME parsed from
+    * the payload), body digest, and the record's offset/length — all
+    * column algebra (regexp + substr + split/reverse, codegen'd).
+    * Shared by e51 (batch) and d18 (streaming ingest twin).
+    */
+  def cdxProject(recs: DataFrame): DataFrame = {
+    val body = col("payload").substr(
+      instr(col("payload"), "\r\n\r\n") + lit(4), length(col("payload")))
+    recs.select(
+      graft.operators.WarcCdx.surtKey(col("uri")).as("urlkey"),
+      regexp_replace(col("wdate"), "[-T:Z]", "").as("ts"),
+      col("uri"),
+      regexp_extract(col("payload"), "Content-Type: ([^\r]+)", 1).as("mime"),
+      regexp_extract(col("payload"), "^HTTP/1\\.1 ([0-9]+)", 1)
+        .cast("int").as("status"),
+      sha2(body, 256).as("digest"),
+      col("rlen"), col("offset").as("roff"), col("fname"), col("rec"))
+  }
+
+  /** Construction oracle for the CDX index (e51/d18): rebuilds the same
+    * record strings the fixture writer concatenates, then derives each
+    * record's offset as a window sum over the lengths of its file
+    * predecessors — so a walk that mis-frames a single CRLF fails.
+    */
+  val cdxOracleSql: String =
+    """WITH nlc AS (SELECT chr(13) || chr(10) AS nl),
+        d AS (SELECT doc_id, source, text, CAST(doc_id % 4 AS INT) AS b,
+            CASE doc_id % 7 WHEN 0 THEN '404 Not Found'
+              WHEN 1 THEN '301 Moved Permanently' ELSE '200 OK' END AS statusline,
+            CASE doc_id % 7 WHEN 0 THEN 404 WHEN 1 THEN 301 ELSE 200 END AS status,
+            CASE doc_id % 3 WHEN 0 THEN 'text/html'
+              WHEN 1 THEN 'text/plain' ELSE 'application/json' END AS mime,
+            '2026-08-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') ||
+              'T' || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0') ||
+              ':' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') ||
+              ':' || lpad(CAST(doc_id * 7 % 60 AS VARCHAR), 2, '0') || 'Z' AS wdate
+          FROM documents WHERE text IS NOT NULL AND doc_id < 400),
+        h AS (SELECT d.*, nlc.nl,
+            'HTTP/1.1 ' || statusline || nl || 'Content-Type: ' || mime || nl ||
+            'Content-Length: ' || CAST(length(text) AS VARCHAR) || nl || nl || text AS http
+          FROM d, nlc),
+        r AS (SELECT h.*,
+            'WARC/1.0' || nl || 'WARC-Type: response' || nl ||
+            'WARC-Target-URI: https://' || source || '.example.com/p/' ||
+              CAST(doc_id AS VARCHAR) || nl ||
+            'WARC-Date: ' || wdate || nl ||
+            'WARC-Record-ID: <urn:uuid:' || CAST(doc_id AS VARCHAR) || '>' || nl ||
+            'Content-Length: ' || CAST(length(http) AS VARCHAR) || nl || nl ||
+            http || nl || nl AS rec_str
+          FROM h),
+        o AS (SELECT *,
+            CAST(row_number() OVER (PARTITION BY b ORDER BY doc_id) - 1 AS INT) AS rec,
+            CAST(coalesce(sum(length(rec_str)) OVER (PARTITION BY b ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS roff,
+            CAST(length(rec_str) AS BIGINT) AS rlen
+          FROM r)
+        SELECT 'com,example,' || source || ')/p/' || CAST(doc_id AS VARCHAR) AS urlkey,
+          regexp_replace(wdate, '[-T:Z]', '', 'g') AS ts,
+          'https://' || source || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS uri,
+          mime, status, sha256(text) AS digest, rlen, roff,
+          'cdx' || CAST(b AS VARCHAR) || '.warc' AS fname, rec
+        FROM o ORDER BY fname, rec"""
+
   /** Crawl-pipeline fixture for e47 (VERDICT r8 item 2): a WARC corpus
     * whose payloads are HTML pages with the e40 line structure — planted
     * boilerplate (universal header/footer, cookie line on even doc_ids)
@@ -1130,58 +1194,11 @@ object Curation extends QueryBlock {
     "e51_cdx_index" -> QueryDef(
       (s, dir) => {
         val warcDir = writeWarcCdxFixture(s, dir)
-        val recs = graft.operators.WarcCdx.parse(
-          s.read.format("binaryFile").load(warcDir))
-        val body = col("payload").substr(
-          instr(col("payload"), "\r\n\r\n") + lit(4), length(col("payload")))
-        recs.select(
-            graft.operators.WarcCdx.surtKey(col("uri")).as("urlkey"),
-            regexp_replace(col("wdate"), "[-T:Z]", "").as("ts"),
-            col("uri"),
-            regexp_extract(col("payload"), "Content-Type: ([^\r]+)", 1).as("mime"),
-            regexp_extract(col("payload"), "^HTTP/1\\.1 ([0-9]+)", 1)
-              .cast("int").as("status"),
-            sha2(body, 256).as("digest"),
-            col("rlen"), col("offset").as("roff"), col("fname"), col("rec"))
+        cdxProject(graft.operators.WarcCdx.parse(
+            s.read.format("binaryFile").load(warcDir)))
           .orderBy(col("fname"), col("rec"))
       },
-      Some("""WITH nlc AS (SELECT chr(13) || chr(10) AS nl),
-        d AS (SELECT doc_id, source, text, CAST(doc_id % 4 AS INT) AS b,
-            CASE doc_id % 7 WHEN 0 THEN '404 Not Found'
-              WHEN 1 THEN '301 Moved Permanently' ELSE '200 OK' END AS statusline,
-            CASE doc_id % 7 WHEN 0 THEN 404 WHEN 1 THEN 301 ELSE 200 END AS status,
-            CASE doc_id % 3 WHEN 0 THEN 'text/html'
-              WHEN 1 THEN 'text/plain' ELSE 'application/json' END AS mime,
-            '2026-08-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') ||
-              'T' || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0') ||
-              ':' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') ||
-              ':' || lpad(CAST(doc_id * 7 % 60 AS VARCHAR), 2, '0') || 'Z' AS wdate
-          FROM documents WHERE text IS NOT NULL AND doc_id < 400),
-        h AS (SELECT d.*, nlc.nl,
-            'HTTP/1.1 ' || statusline || nl || 'Content-Type: ' || mime || nl ||
-            'Content-Length: ' || CAST(length(text) AS VARCHAR) || nl || nl || text AS http
-          FROM d, nlc),
-        r AS (SELECT h.*,
-            'WARC/1.0' || nl || 'WARC-Type: response' || nl ||
-            'WARC-Target-URI: https://' || source || '.example.com/p/' ||
-              CAST(doc_id AS VARCHAR) || nl ||
-            'WARC-Date: ' || wdate || nl ||
-            'WARC-Record-ID: <urn:uuid:' || CAST(doc_id AS VARCHAR) || '>' || nl ||
-            'Content-Length: ' || CAST(length(http) AS VARCHAR) || nl || nl ||
-            http || nl || nl AS rec_str
-          FROM h),
-        o AS (SELECT *,
-            CAST(row_number() OVER (PARTITION BY b ORDER BY doc_id) - 1 AS INT) AS rec,
-            CAST(coalesce(sum(length(rec_str)) OVER (PARTITION BY b ORDER BY doc_id
-              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS roff,
-            CAST(length(rec_str) AS BIGINT) AS rlen
-          FROM r)
-        SELECT 'com,example,' || source || ')/p/' || CAST(doc_id AS VARCHAR) AS urlkey,
-          regexp_replace(wdate, '[-T:Z]', '', 'g') AS ts,
-          'https://' || source || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS uri,
-          mime, status, sha256(text) AS digest, rlen, roff,
-          'cdx' || CAST(b AS VARCHAR) || '.warc' AS fname, rec
-        FROM o ORDER BY fname, rec""")),
+      Some(cdxOracleSql)),
 
     // E52 — sharded tar corpus export + read-back (the WebDataset-style
     // container a multimodal training job streams; public formats: POSIX

@@ -390,6 +390,30 @@ object Streaming extends QueryBlock {
       },
       Some(Curation.warcOracleSql)),
 
+    // D18 — CDX indexing AS A STREAM (e51's deployment shape: a crawler
+    // drops .warc segments into a landing dir; the archive index grows
+    // per trigger as segments arrive). Same fixture writer, the SAME
+    // offset walk (operators.WarcCdx — offsets are per-FILE positions,
+    // so they are well-defined no matter how files slice into
+    // micro-batches) and the SAME projection (Curation.cdxProject) as
+    // the batch query; stateless per-file work → append mode, zero
+    // streaming state, per-trigger cost bounded by arriving bytes.
+    // Shares e51's construction oracle verbatim — batch and stream must
+    // index byte-identical offsets.
+    "d18_stream_cdx" -> QueryDef(
+      (s, dir) => {
+        val warcDir = Curation.writeWarcCdxFixture(s, dir)
+        val raw = s.readStream.format("binaryFile")
+          .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+          .option("maxFilesPerTrigger", "1") // 4 separate triggers
+          .load(warcDir)
+        EventStreams.runToTable(s,
+            Curation.cdxProject(graft.operators.WarcCdx.parse(raw)),
+            "d18_sink", mode = "append")
+          .orderBy(col("fname"), col("rec"))
+      },
+      Some(Curation.cdxOracleSql)),
+
     // D17 — the e47 crawl pipeline AS A STREAM (its deployment shape:
     // .warc segments land continuously; each trigger runs ingest →
     // robots → strip → line-clean → dedup-verdict on ONLY the arriving
