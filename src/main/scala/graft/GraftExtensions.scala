@@ -74,5 +74,9 @@ object GraftExtensions {
     fd("pack_ascii8", 1, classOf[PackAscii8])(es => PackAscii8(es.head)),
     fd("char_trigrams", 1, classOf[CharTrigrams])(es => CharTrigrams(es.head)),
     fd("nfc_normalize", 1, classOf[NfcNormalize])(es => NfcNormalize(es.head)),
-    fd("strip_accents", 1, classOf[StripAccents])(es => StripAccents(es.head)))
+    fd("strip_accents", 1, classOf[StripAccents])(es => StripAccents(es.head)),
+    fd("html_text", 1, classOf[HtmlText])(es => HtmlText(es.head)),
+    fd("url_normalize", 1, classOf[UrlNormalizeExpr])(es => UrlNormalizeExpr(es.head)),
+    fd("url_resolve", 2, classOf[UrlResolveExpr])(es => UrlResolveExpr(es(0), es(1))),
+    fd("html_links", 1, classOf[HtmlLinksExpr])(es => HtmlLinksExpr(es.head)))
 }

@@ -245,5 +245,7 @@ object TextFunctions extends Serializable {
     graft.functions.UnicodeNorm.register(spark)
     graft.functions.HtmlStrip.register(spark)
     graft.functions.UrlNormalize.register(spark)
+    graft.functions.UrlResolve.register(spark)
+    graft.functions.HtmlLinks.register(spark)
   }
 }

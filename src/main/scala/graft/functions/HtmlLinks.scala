@@ -1,0 +1,165 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `html_links(html)` — extract anchor `href` values from HTML, in
+  * document order: the outlink stage of a crawl pipeline (WAT files are
+  * exactly this, precomputed). Shares [[HtmlStrip]]'s char-level tag
+  * discipline so the same hostile inputs that break regex extractors
+  * are handled:
+  *
+  *  - only REAL `<a>` start tags contribute — anchors inside comments
+  *    (`<!-- <a href=x> -->`), bogus comments, or script/style RAWTEXT
+  *    bodies (`document.write('<a href=...')`) are NOT links;
+  *  - attribute scanning is quote-aware, so `<a title="x>y" href=...>`
+  *    finds the href after the quoted `>`, and a `>` inside the href
+  *    value itself does not end the tag;
+  *  - attribute names match case-insensitively (`HREF`), the FIRST
+  *    href in a tag wins (HTML5 duplicate-attribute rule: later
+  *    duplicates are parse errors and dropped);
+  *  - values may be double-quoted, single-quoted, or unquoted (ending
+  *    at whitespace or `>`); entities in the value decode ONCE
+  *    (`href="a&amp;b"` → `a&b` — attribute-value semantics);
+  *  - a valueless or empty `href` contributes the empty string (a
+  *    self-reference per RFC 3986 §4.4 — resolution turns it into the
+  *    page's own URL);
+  *  - unterminated tag at EOF contributes nothing (EOF-in-tag).
+  *
+  * Trimming/whitespace-stripping of the value is NOT done here — that
+  * is `url_resolve`'s WHATWG cleanup, applied where resolution happens.
+  *
+  * Scale shape: scalar projection returning `array<string>` — pairs
+  * with `explode` + `url_resolve` + `url_normalize` for the frontier
+  * feed; scan-local, zero shuffle at any scale.
+  */
+object HtmlLinks {
+
+  def links(in: UTF8String): ArrayData = {
+    val s = in.toString
+    val n = s.length
+    val out = new java.util.ArrayList[UTF8String]()
+
+    // Raw-text end per HTML5 (same rule as HtmlStrip.htmlText).
+    def rawTextEnd(name: String, from: Int): Int = {
+      var k = from
+      while (k < n) {
+        val idx = s.indexOf("</", k)
+        if (idx < 0) return n
+        val after = idx + 2 + name.length
+        if (s.regionMatches(true, idx + 2, name, 0, name.length) &&
+            (after >= n || {
+              val ac = s.charAt(after)
+              ac == '>' || ac == '/' || Character.isWhitespace(ac)
+            })) {
+          val e = s.indexOf('>', idx + 2)
+          return if (e < 0) n else e + 1
+        }
+        k = idx + 2
+      }
+      n
+    }
+
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '<') {
+        if (s.regionMatches(false, i, "<!--", 0, 4)) {
+          val e = s.indexOf("-->", i + 4)
+          i = if (e < 0) n else e + 3
+        } else if (i + 1 < n && (s.charAt(i + 1) == '!' || s.charAt(i + 1) == '?')) {
+          val e = s.indexOf('>', i + 2)
+          i = if (e < 0) n else e + 1
+        } else if (i + 1 < n && (Character.isLetter(s.charAt(i + 1)) ||
+            (s.charAt(i + 1) == '/' && i + 2 < n && Character.isLetter(s.charAt(i + 2))))) {
+          val closing = s.charAt(i + 1) == '/'
+          var j = i + (if (closing) 2 else 1)
+          val nameStart = j
+          while (j < n && Character.isLetterOrDigit(s.charAt(j))) j += 1
+          val name = s.substring(nameStart, j).toLowerCase(java.util.Locale.ROOT)
+
+          var href: String = null
+          var closed = false
+          if (!closing && name == "a") {
+            // attribute walk: name [= value], quote-aware
+            while (j < n && !closed) {
+              while (j < n && Character.isWhitespace(s.charAt(j))) j += 1
+              if (j < n && s.charAt(j) == '>') { closed = true; j += 1 }
+              else if (j < n && s.charAt(j) == '/') j += 1
+              else if (j < n) {
+                val an = j
+                while (j < n && !Character.isWhitespace(s.charAt(j)) &&
+                    s.charAt(j) != '=' && s.charAt(j) != '>' && s.charAt(j) != '/') j += 1
+                val attr = s.substring(an, j).toLowerCase(java.util.Locale.ROOT)
+                while (j < n && Character.isWhitespace(s.charAt(j))) j += 1
+                var value = ""
+                if (j < n && s.charAt(j) == '=') {
+                  j += 1
+                  while (j < n && Character.isWhitespace(s.charAt(j))) j += 1
+                  if (j < n && (s.charAt(j) == '"' || s.charAt(j) == '\'')) {
+                    val q = s.charAt(j)
+                    j += 1
+                    val vs = j
+                    while (j < n && s.charAt(j) != q) j += 1
+                    value = s.substring(vs, j)
+                    if (j < n) j += 1 // closing quote (EOF inside the
+                    // value leaves the tag unclosed — dropped below)
+                  } else {
+                    val vs = j
+                    while (j < n && !Character.isWhitespace(s.charAt(j)) &&
+                        s.charAt(j) != '>') j += 1
+                    value = s.substring(vs, j)
+                  }
+                }
+                if (attr == "href" && href == null)
+                  href = HtmlStrip.decodeEntitiesOnce(value)
+              }
+            }
+          } else {
+            // non-anchor (or closing) tag: skip to the real end,
+            // honoring quoted attribute values
+            var q: Char = 0
+            while (j < n && !closed) {
+              val ch = s.charAt(j)
+              if (q != 0) { if (ch == q) q = 0 }
+              else if (ch == '"' || ch == '\'') q = ch
+              else if (ch == '>') closed = true
+              j += 1
+            }
+          }
+          i = if (closed) j else n // EOF-in-tag: drop the fragment
+          if (closed && href != null) out.add(UTF8String.fromString(href))
+          if (closed && !closing && (name == "script" || name == "style"))
+            i = rawTextEnd(name, i)
+        } else i += 1 // literal '<' — no tag here
+      } else i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "html_links", exprs => {
+        if (exprs.length != 1)
+          throw new IllegalArgumentException(
+            s"html_links expects 1 argument, got ${exprs.length}")
+        HtmlLinksExpr(exprs.head)
+      }, "built-in")
+}
+
+case class HtmlLinksExpr(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "html_links"
+  override def nullSafeEval(input: Any): Any =
+    HtmlLinks.links(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HtmlLinks.links($c)")
+  override protected def withNewChildInternal(newChild: Expression): HtmlLinksExpr =
+    copy(newChild)
+}

@@ -49,6 +49,40 @@ object HtmlStrip {
     "amp" -> "&", "lt" -> "<", "gt" -> ">",
     "quot" -> "\"", "apos" -> "'", "nbsp" -> " ")
 
+  /** Once-only entity decode with the walker's exact rules (named
+    * subset, numeric dec/hex with codepoint validation, malformed `&`
+    * stays literal) — shared with [[HtmlLinks]] for attribute values,
+    * where HTML entity syntax applies identically (`href="a&amp;b"`).
+    */
+  private[functions] def decodeEntitiesOnce(s: String): String = {
+    val out = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '&') {
+        val semi = s.indexOf(';', i + 1)
+        var decoded: String = null
+        if (semi > i + 1 && semi - i <= 12) {
+          val body = s.substring(i + 1, semi)
+          if (body.charAt(0) == '#') {
+            val (digits, radix) =
+              if (body.length > 2 && (body.charAt(1) == 'x' || body.charAt(1) == 'X'))
+                (body.substring(2), 16)
+              else (body.substring(1), 10)
+            try {
+              val cp = Integer.parseInt(digits, radix)
+              if (cp > 0 && cp <= 0x10ffff && !(cp >= 0xd800 && cp <= 0xdfff))
+                decoded = new String(Character.toChars(cp))
+            } catch { case _: NumberFormatException => }
+          } else decoded = named.getOrElse(body, null)
+        }
+        if (decoded != null) { out.append(decoded); i = semi + 1 }
+        else { out.append(c); i += 1 }
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
+
   def htmlText(in: UTF8String): UTF8String = {
     val s = in.toString
     val n = s.length

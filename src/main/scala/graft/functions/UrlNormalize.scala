@@ -66,8 +66,10 @@ object UrlNormalize {
     out.toString
   }
 
-  /** RFC 3986 §5.2.4 remove_dot_segments. */
-  private def removeDotSegments(p: String): String = {
+  /** RFC 3986 §5.2.4 remove_dot_segments (shared with [[UrlResolve]],
+    * whose §5.2.2 transform applies the same algorithm to merged paths).
+    */
+  private[functions] def removeDotSegments(p: String): String = {
     var input = p
     val out = new java.lang.StringBuilder(p.length)
     def dropLastSegment(): Unit = {

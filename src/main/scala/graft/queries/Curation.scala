@@ -1296,6 +1296,112 @@ object Curation extends QueryBlock {
         SELECT 'wet' || CAST(b AS VARCHAR) || '.warc' AS fname, rec,
           'https://' || source || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS uri,
           text AS payload, roff, rlen
-        FROM o ORDER BY fname, rec"""))
+        FROM o ORDER BY fname, rec""")),
+
+    // E54 — outlink extraction (the WAT stage: CommonCrawl's WAT files
+    // are precomputed per-page outlink lists, and this is the query that
+    // computes them): `html_links` (char-level anchor walker — comments,
+    // RAWTEXT script/style and quoted `>` handled, entity decode once)
+    // → `url_resolve` (RFC 3986 §5.2 against the page URI) →
+    // `url_normalize` (§6.2.2 + fragment strip) — raw href soup in,
+    // frontier-ready absolute URLs out. The fixture HTML plants one of
+    // each resolution class per page (absolute path, relative path with
+    // a hostile quoted-`>` attribute before the href, `../` traversal
+    // with a fragment, absolute URL needing case/port/percent
+    // normalization, query-only self-reference, entity-encoded query)
+    // plus three NON-links (commented-out anchor, document.write'd
+    // anchor inside script raw text, href-less anchor) that must NOT be
+    // extracted — the oracle states the six expected URLs per page from
+    // construction arithmetic, so one phantom or missing link breaks the
+    // row count and any mis-resolution breaks the hash.
+    //
+    // Shape at 100 TB: scalar projection + posexplode — scan-local
+    // flatMap, zero shuffle; the ORDER BY is oracle canonicalization.
+    "e54_link_extract" -> QueryDef(
+      (s, dir) =>
+        t(s, dir, "documents")
+          .filter(col("text").isNotNull && col("doc_id") < 300)
+          .withColumn("k", (col("doc_id") % 7).cast("int"))
+          .withColumn("base", concat(lit("https://"), col("source"),
+            lit(".example.com/sec"), col("k"), lit("/a/"), col("doc_id")))
+          .withColumn("html", concat(
+            lit("<html><body><a href=\"/abs/"), col("doc_id"),
+            lit("\">a1</a><!-- <a href=\"/hidden/"), col("doc_id"),
+            lit("\">no</a> --><a title=\"x>y\" href='rel/"), col("doc_id"),
+            lit("?q=1'>a2</a><script>document.write('<a href=\"/js/"), col("doc_id"),
+            lit("\">');</script><a href=\"../up/"), col("doc_id"),
+            lit("#frag\">a3</a><a href=\"HTTP://Mirror.Example.COM:80/m/%7e"), col("doc_id"),
+            lit("\">a4</a><a href=\"?only="), col("doc_id"),
+            lit("\">a5</a><a href=\"/e/"), col("doc_id"),
+            lit("?a=1&amp;b=2\">a6</a><a name=\"x\">plain</a>"),
+            col("text"), lit("</body></html>")))
+          .select(col("doc_id"), col("base"),
+            posexplode(expr("html_links(html)")))
+          .select(col("doc_id"), col("pos"),
+            expr("url_normalize(url_resolve(base, col))").as("url"))
+          .orderBy(col("doc_id"), col("pos")),
+      Some("""WITH d AS (SELECT doc_id, source, CAST(doc_id % 7 AS INT) AS k
+          FROM documents WHERE text IS NOT NULL AND doc_id < 300),
+        l AS (
+          SELECT doc_id, 0 AS pos, 'https://' || source || '.example.com/abs/'
+            || CAST(doc_id AS VARCHAR) AS url FROM d
+          UNION ALL SELECT doc_id, 1, 'https://' || source || '.example.com/sec'
+            || CAST(k AS VARCHAR) || '/a/rel/' || CAST(doc_id AS VARCHAR) || '?q=1' FROM d
+          UNION ALL SELECT doc_id, 2, 'https://' || source || '.example.com/sec'
+            || CAST(k AS VARCHAR) || '/up/' || CAST(doc_id AS VARCHAR) FROM d
+          UNION ALL SELECT doc_id, 3, 'http://mirror.example.com/m/~'
+            || CAST(doc_id AS VARCHAR) FROM d
+          UNION ALL SELECT doc_id, 4, 'https://' || source || '.example.com/sec'
+            || CAST(k AS VARCHAR) || '/a/' || CAST(doc_id AS VARCHAR)
+            || '?only=' || CAST(doc_id AS VARCHAR) FROM d
+          UNION ALL SELECT doc_id, 5, 'https://' || source || '.example.com/e/'
+            || CAST(doc_id AS VARCHAR) || '?a=1&b=2' FROM d)
+        SELECT doc_id, pos, url FROM l ORDER BY doc_id, pos""")),
+
+    // E54b — host-level link graph from the same extraction: the
+    // aggregation that turns per-page outlinks into the (src, dst) edge
+    // list e45's PageRank consumes. Hosts via the stock codegen
+    // `parse_url(url, 'HOST')` over the resolved URLs — the corpus-side
+    // work stays scan-local and the ONE shuffle carries light
+    // (src_host, dst_host) pairs, never payloads or full URLs: at
+    // 100 TB the edge list is the WAT-derived graph, orders of magnitude
+    // smaller than the crawl, and the agg is a plain partial+final hash
+    // aggregate on a bounded host domain.
+    "e54b_link_graph" -> QueryDef(
+      (s, dir) =>
+        t(s, dir, "documents")
+          .filter(col("text").isNotNull && col("doc_id") < 300)
+          .withColumn("k", (col("doc_id") % 7).cast("int"))
+          .withColumn("base", concat(lit("https://"), col("source"),
+            lit(".example.com/sec"), col("k"), lit("/a/"), col("doc_id")))
+          .withColumn("html", concat(
+            lit("<html><body><a href=\"/abs/"), col("doc_id"),
+            lit("\">a1</a><!-- <a href=\"/hidden/"), col("doc_id"),
+            lit("\">no</a> --><a title=\"x>y\" href='rel/"), col("doc_id"),
+            lit("?q=1'>a2</a><script>document.write('<a href=\"/js/"), col("doc_id"),
+            lit("\">');</script><a href=\"../up/"), col("doc_id"),
+            lit("#frag\">a3</a><a href=\"HTTP://Mirror.Example.COM:80/m/%7e"), col("doc_id"),
+            lit("\">a4</a><a href=\"?only="), col("doc_id"),
+            lit("\">a5</a><a href=\"/e/"), col("doc_id"),
+            lit("?a=1&amp;b=2\">a6</a><a name=\"x\">plain</a>"),
+            col("text"), lit("</body></html>")))
+          .select(col("doc_id"),
+            concat(col("source"), lit(".example.com")).as("src_host"),
+            explode(expr(
+              "transform(html_links(html), h -> parse_url(url_normalize(url_resolve(base, h)), 'HOST'))"))
+              .as("dst_host"))
+          .groupBy(col("src_host"), col("dst_host"))
+          .agg(count(lit(1)).as("n_links"),
+            countDistinct(col("doc_id")).as("n_pages"))
+          .orderBy(col("src_host"), col("dst_host")),
+      Some("""WITH d AS (SELECT doc_id, source
+          FROM documents WHERE text IS NOT NULL AND doc_id < 300),
+        e AS (SELECT doc_id, source || '.example.com' AS src_host,
+            CASE WHEN p.pos = 3 THEN 'mirror.example.com'
+                 ELSE source || '.example.com' END AS dst_host
+          FROM d CROSS JOIN (VALUES (0), (1), (2), (3), (4), (5)) AS p(pos))
+        SELECT src_host, dst_host, count(*) AS n_links,
+          count(DISTINCT doc_id) AS n_pages
+        FROM e GROUP BY src_host, dst_host ORDER BY src_host, dst_host"""))
   )
 }

@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Golden vectors for the char-level `html_links` extractor — the
+  * anchor-tag cases a regex `href="..."` scan gets wrong, each with the
+  * HTML5-correct expectation. Direct function tests, no Spark session.
+  */
+class HtmlLinksSpec extends AnyFunSuite {
+
+  private def links(html: String): Seq[String] = {
+    val a = graft.functions.HtmlLinks.links(UTF8String.fromString(html))
+    (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
+  }
+
+  test("basic anchors in document order; non-anchor hrefs ignored") {
+    assert(links("""<a href="/x">1</a><p><a href='y'>2</a></p>""")
+      === Seq("/x", "y"))
+    assert(links("""<link href="/css"><area href="/map"><a href="/a">x</a>""")
+      === Seq("/a"))
+  }
+
+  test("quoted '>' inside other attributes does not end the tag") {
+    assert(links("""<a title="x>y" href="/real">t</a>""") === Seq("/real"))
+    assert(links("""<a href="/q?a>b">t</a>""") === Seq("/q?a>b"))
+  }
+
+  test("anchors in comments, bogus comments and raw text are not links") {
+    assert(links("""<!-- <a href="/hidden">h</a> --><a href="/vis">v</a>""")
+      === Seq("/vis"))
+    assert(links("""<script>document.write('<a href="/js">');</script><a href="/ok">o</a>""")
+      === Seq("/ok"))
+    assert(links("""<style>a:after{content:'<a href=/css>'}</style><a href=/ok2>o</a>""")
+      === Seq("/ok2"))
+    assert(links("""<!doctype html <a href="/bogus">><a href="/real">r</a>""")
+      === Seq("/real"))
+  }
+
+  test("attribute forms: unquoted, case-insensitive name, first href wins") {
+    assert(links("""<a href=/unquoted rel=nofollow>x</a>""") === Seq("/unquoted"))
+    assert(links("""<a HREF="/caps">x</a>""") === Seq("/caps"))
+    assert(links("""<a href="/first" href="/second">x</a>""") === Seq("/first"))
+    assert(links("""<a id=z href = "/spaced">x</a>""") === Seq("/spaced"))
+  }
+
+  test("entities in the value decode once; empty/valueless href kept") {
+    assert(links("""<a href="/e?a=1&amp;b=2">x</a>""") === Seq("/e?a=1&b=2"))
+    assert(links("""<a href="&amp;amp;">x</a>""") === Seq("&amp;"))
+    assert(links("""<a href="">self</a><a href>bare</a>""") === Seq("", ""))
+  }
+
+  test("closing tags and EOF-in-tag contribute nothing") {
+    assert(links("""</a href="/not"><a href="/yes">x</a>""") === Seq("/yes"))
+    assert(links("""<a href="/truncated""") === Seq.empty)
+    assert(links("""text with no tags, 1 < 2""") === Seq.empty)
+  }
+}

@@ -55,6 +55,35 @@ class TextScalarFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("html_links: never throws; every link is an href the input contains pre-decode") {
+    val rnd = new scala.util.Random(44)
+    (0 until 1000).foreach { i =>
+      val in = soup(htmlFragments ++ Array("<a ", "<a>", "</a>", "href=",
+        "href=\"/x\"", "href='y'", "href=z", "<a href=\"/q?a>b\">"), rnd)
+      val arr = graft.functions.HtmlLinks.links(UTF8String.fromString(in))
+      // envelope only: terminate, no throw, array materializes
+      (0 until arr.numElements()).foreach(j => arr.getUTF8String(j).toString)
+    }
+  }
+
+  test("url_resolve: never throws; absolute results start with the base or ref scheme") {
+    val rnd = new scala.util.Random(45)
+    val bases = Array("http://a/b/c/d;p?q", "https://h", "ftp://x/y/", "junk", "")
+    (0 until 1000).foreach { i =>
+      val b = bases(rnd.nextInt(bases.length))
+      val r = soup(urlFragments, rnd)
+      val out = graft.functions.UrlResolve.resolve(
+        UTF8String.fromString(b), UTF8String.fromString(r))
+      if (b == "junk" || b == "") assert(out == null, s"[$i] junk base resolved '$r'")
+      else if (out != null) {
+        val o = out.toString
+        assert(o.contains(':'), s"[$i] no scheme: '$b' + '$r' -> '$o'")
+        // resolution then normalization must compose without throwing
+        graft.functions.UrlNormalize.normalize(out)
+      }
+    }
+  }
+
   test("html_text output is stable under the golden wrappers for real corpus text") {
     // the e34b construction applied to a few real documents end-to-end in
     // pure JVM (no Spark job): wrapper + strip must return the text
