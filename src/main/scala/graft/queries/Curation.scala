@@ -1402,6 +1402,85 @@ object Curation extends QueryBlock {
           FROM d CROSS JOIN (VALUES (0), (1), (2), (3), (4), (5)) AS p(pos))
         SELECT src_host, dst_host, count(*) AS n_links,
           count(DISTINCT doc_id) AS n_pages
-        FROM e GROUP BY src_host, dst_host ORDER BY src_host, dst_host"""))
+        FROM e GROUP BY src_host, dst_host ORDER BY src_host, dst_host""")),
+
+    // E55 — Bloom-filter URL-seen test, GLOBAL form (operators.BloomSeen;
+    // Bloom 1970; the Broder–Mitzenmacher crawl-frontier application):
+    // the frontier membership check run on every extracted link before
+    // fetching. Bit positions are md5-hex substrings (k=3 chunks of 3 hex
+    // digits → m=4096), so DuckDB re-derives every verdict — INCLUDING
+    // the false positives this fixture deliberately exercises (the seen
+    // set fills ~19% of the bitmap; 2 of the 215 unseen candidates
+    // false-positive at sf0.01, and both engines must agree on WHICH
+    // two, byte for byte). Seen = doc_id < 300 minus one whole source.
+    //
+    // Shape at 100 TB: the build is one partial+final aggregate with
+    // FIXED-SIZE state (m/8 bytes regardless of URLs seen — the c09
+    // bitmap trade done right, state sized by config not key domain);
+    // the probe carries the bitmap as a 1-row broadcast and stays
+    // scan-local. No driver collect anywhere.
+    "e55_bloom_seen" -> QueryDef(
+      (s, dir) => {
+        val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+          .select(col("doc_id"), col("source"),
+            concat(lit("https://"), col("source"), lit(".example.com/p/"),
+              col("doc_id")).as("url"))
+        val seen = docs.filter(col("doc_id") < 300 && col("source") =!= "src19")
+        graft.operators.BloomSeen
+          .globalFilter(seen, docs, "url", k = 3, hexChars = 3)
+          .select(col("doc_id"), col("url"), col("maybe_seen"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH u AS (SELECT doc_id, source,
+            'https://' || source || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url
+          FROM documents WHERE text IS NOT NULL),
+        seen AS (SELECT url FROM u WHERE doc_id < 300 AND source <> 'src19'),
+        pos AS (SELECT substr(md5(url), 1, 3) AS p FROM seen
+          UNION SELECT substr(md5(url), 4, 3) FROM seen
+          UNION SELECT substr(md5(url), 7, 3) FROM seen)
+        SELECT doc_id, url,
+          (EXISTS(SELECT 1 FROM pos WHERE pos.p = substr(md5(u.url), 1, 3))
+           AND EXISTS(SELECT 1 FROM pos WHERE pos.p = substr(md5(u.url), 4, 3))
+           AND EXISTS(SELECT 1 FROM pos WHERE pos.p = substr(md5(u.url), 7, 3)))
+            AS maybe_seen
+        FROM u ORDER BY doc_id""")),
+
+    // E55b — the PER-HOST sharded form (k=3, 2 hex digits → m=256 bits
+    // per host): one filter per host built by the same aggregate grouped
+    // on the key, delivered by an equi-join — total state scales with
+    // LIVE HOSTS, not URLs seen, and no single bitmap need fit anywhere:
+    // the 10-billion-URL frontier shape. A candidate whose host has no
+    // filter (src19 here — excluded from seen entirely) is definitely
+    // new via the NULL-bitmap path, which this fixture exercises on a
+    // whole host's worth of rows.
+    "e55b_bloom_perhost" -> QueryDef(
+      (s, dir) => {
+        val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+          .select(col("doc_id"), col("source"),
+            concat(col("source"), lit(".example.com")).as("host"),
+            concat(lit("https://"), col("source"), lit(".example.com/p/"),
+              col("doc_id")).as("url"))
+        val seen = docs.filter(col("doc_id") < 300 && col("source") =!= "src19")
+        graft.operators.BloomSeen
+          .perKeyFilter(seen, docs, "host", "url", k = 3, hexChars = 2)
+          .select(col("doc_id"), col("host"), col("url"), col("maybe_seen"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH u AS (SELECT doc_id, source, source || '.example.com' AS host,
+            'https://' || source || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url
+          FROM documents WHERE text IS NOT NULL),
+        seen AS (SELECT host, url FROM u WHERE doc_id < 300 AND source <> 'src19'),
+        pos AS (SELECT host, substr(md5(url), 1, 2) AS p FROM seen
+          UNION SELECT host, substr(md5(url), 3, 2) FROM seen
+          UNION SELECT host, substr(md5(url), 5, 2) FROM seen)
+        SELECT doc_id, host, url,
+          (EXISTS(SELECT 1 FROM pos WHERE pos.host = u.host
+             AND pos.p = substr(md5(u.url), 1, 2))
+           AND EXISTS(SELECT 1 FROM pos WHERE pos.host = u.host
+             AND pos.p = substr(md5(u.url), 3, 2))
+           AND EXISTS(SELECT 1 FROM pos WHERE pos.host = u.host
+             AND pos.p = substr(md5(u.url), 5, 2)))
+            AS maybe_seen
+        FROM u ORDER BY doc_id"""))
   )
 }
