@@ -97,18 +97,23 @@ object BloomSeen {
     udaf(new BloomAgg(words))
   }
 
+  /** The global m-bit filter over `seen(urlCol)` as a 1-row DataFrame
+    * (column `__bm`, array<bigint>) — the build side alone, for callers
+    * that persist it as a static artifact (d19's streaming probe).
+    */
+  def bitmap(seen: DataFrame, urlCol: String,
+      k: Int = 3, hexChars: Int = 3): DataFrame =
+    seen.select(positions(col(urlCol), k, hexChars).as("__ps"))
+      .agg(agg(k, hexChars)(col("__ps")).as("__bm"))
+
   /** One filter over all of `seen(urlCol)`; `candidates` gains
     * `maybe_seen`. The bitmap travels as a 1-row broadcast cross join.
     */
   def globalFilter(seen: DataFrame, candidates: DataFrame, urlCol: String,
-      k: Int = 3, hexChars: Int = 3): DataFrame = {
-    val bloom = seen
-      .select(positions(col(urlCol), k, hexChars).as("__ps"))
-      .agg(agg(k, hexChars)(col("__ps")).as("__bm"))
-    candidates.crossJoin(broadcast(bloom))
+      k: Int = 3, hexChars: Int = 3): DataFrame =
+    candidates.crossJoin(broadcast(bitmap(seen, urlCol, k, hexChars)))
       .withColumn("maybe_seen", maybeSeen(col("__bm"), col(urlCol), k, hexChars))
       .drop("__bm")
-  }
 
   /** One filter per `keyCol` group (host sharding); candidates join on
     * the key — the distributed form whose total state scales with live

@@ -57,6 +57,51 @@ object Curation extends QueryBlock {
     warcDir
   }
 
+  /** Candidate-URL list fixture for d19 (the frontier's arrival shape:
+    * link-extractor output lands as line-delimited URL lists): every
+    * candidate URL of the e55 construction, one per line, bucketed into
+    * 4 text files by doc_id so maxFilesPerTrigger=1 forces 4 triggers.
+    * Returns the directory written.
+    */
+  def writeUrlListFixture(s: SparkSession, dir: String): String = {
+    val urlDir = s"$scratch/urls_${new java.io.File(dir).getName}"
+    val files = t(s, dir, "documents").filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        concat(lit("https://"), col("source"), lit(".example.com/p/"),
+          col("doc_id")).as("url"))
+      .withColumn("b", (col("doc_id") % 4).cast("int"))
+      .groupBy(col("b"))
+      .agg(expr("array_join(transform(sort_array(collect_list(struct(doc_id, url))), x -> x.url), '\n')")
+        .as("content"))
+      .collect()
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(urlDir))
+    files.foreach { r =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$urlDir/urls${r.getInt(0)}.txt"),
+        (r.getString(1) + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    urlDir
+  }
+
+  /** The e55 global-bloom verdict oracle — shared verbatim by the d19
+    * streaming twin (the stream's per-row verdict depends only on
+    * (url, static bitmap), so batch and stream must agree exactly).
+    */
+  val bloomOracleSql: String =
+    """WITH u AS (SELECT doc_id, source,
+          'https://' || source || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url
+        FROM documents WHERE text IS NOT NULL),
+      seen AS (SELECT url FROM u WHERE doc_id < 300 AND source <> 'src19'),
+      pos AS (SELECT substr(md5(url), 1, 3) AS p FROM seen
+        UNION SELECT substr(md5(url), 4, 3) FROM seen
+        UNION SELECT substr(md5(url), 7, 3) FROM seen)
+      SELECT doc_id, url,
+        (EXISTS(SELECT 1 FROM pos WHERE pos.p = substr(md5(u.url), 1, 3))
+         AND EXISTS(SELECT 1 FROM pos WHERE pos.p = substr(md5(u.url), 4, 3))
+         AND EXISTS(SELECT 1 FROM pos WHERE pos.p = substr(md5(u.url), 7, 3)))
+          AS maybe_seen
+      FROM u ORDER BY doc_id"""
+
   /** Scan-local WARC record parse (the e44/d16 read side): record split on
     * the version magic, header regexes, payload sliced by CONTENT-LENGTH.
     * Works identically on a batch or streaming binaryFile relation.
@@ -1431,19 +1476,7 @@ object Curation extends QueryBlock {
           .select(col("doc_id"), col("url"), col("maybe_seen"))
           .orderBy(col("doc_id"))
       },
-      Some("""WITH u AS (SELECT doc_id, source,
-            'https://' || source || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url
-          FROM documents WHERE text IS NOT NULL),
-        seen AS (SELECT url FROM u WHERE doc_id < 300 AND source <> 'src19'),
-        pos AS (SELECT substr(md5(url), 1, 3) AS p FROM seen
-          UNION SELECT substr(md5(url), 4, 3) FROM seen
-          UNION SELECT substr(md5(url), 7, 3) FROM seen)
-        SELECT doc_id, url,
-          (EXISTS(SELECT 1 FROM pos WHERE pos.p = substr(md5(u.url), 1, 3))
-           AND EXISTS(SELECT 1 FROM pos WHERE pos.p = substr(md5(u.url), 4, 3))
-           AND EXISTS(SELECT 1 FROM pos WHERE pos.p = substr(md5(u.url), 7, 3)))
-            AS maybe_seen
-        FROM u ORDER BY doc_id""")),
+      Some(bloomOracleSql)),
 
     // E55b — the PER-HOST sharded form (k=3, 2 hex digits → m=256 bits
     // per host): one filter per host built by the same aggregate grouped
@@ -1481,6 +1514,52 @@ object Curation extends QueryBlock {
            AND EXISTS(SELECT 1 FROM pos WHERE pos.host = u.host
              AND pos.p = substr(md5(u.url), 5, 2)))
             AS maybe_seen
-        FROM u ORDER BY doc_id"""))
+        FROM u ORDER BY doc_id""")),
+
+    // E56 — politeness fetch scheduling: the frontier stage after the
+    // seen test — queue each host's URLs one slot apart (politeness IS
+    // per-host serialization) at that host's crawl delay, highest
+    // priority first. Priority is the seedless md5 rank (the e16/e23
+    // engine-neutral permutation); delay classes derive from the host by
+    // arithmetic both engines share. slot = per-host dense position,
+    // sched_ms = slot × delay — the dispatch timestamp a fetcher would
+    // sleep until; n_queued sizes each host's backlog.
+    //
+    // Shape at 100 TB: ONE host-keyed shuffle, then per-host windows —
+    // the partitioning a sharded frontier runs anyway (a host's queue
+    // must live somewhere whole); across hosts it is embarrassingly
+    // parallel, and no host's queue is ever collected to one machine
+    // beyond its own partition. The ORDER BY is oracle canonicalization.
+    "e56_fetch_schedule" -> QueryDef(
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("host"))
+          .orderBy(md5(col("url").cast("binary")), col("url"))
+        t(s, dir, "documents").filter(col("text").isNotNull)
+          .select(col("doc_id"),
+            concat(col("source"), lit(".example.com")).as("host"),
+            concat(lit("https://"), col("source"), lit(".example.com/p/"),
+              col("doc_id")).as("url"),
+            (lit(500) + lit(250) * (length(col("source")) - 4))
+              .cast("int").as("delay_ms"))
+          .withColumn("slot", (row_number().over(w) - 1).cast("int"))
+          .withColumn("sched_ms",
+            (col("slot") * col("delay_ms")).cast("bigint"))
+          .withColumn("n_queued", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("host"))))
+          .select(col("doc_id"), col("host"), col("slot"),
+            col("delay_ms"), col("sched_ms"), col("n_queued"))
+          .orderBy(col("host"), col("slot"))
+      },
+      Some("""WITH u AS (SELECT doc_id, source || '.example.com' AS host,
+            'https://' || source || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url,
+            CAST(500 + 250 * (length(source) - 4) AS INT) AS delay_ms
+          FROM documents WHERE text IS NOT NULL)
+        SELECT doc_id, host,
+          CAST(row_number() OVER w - 1 AS INT) AS slot, delay_ms,
+          CAST((row_number() OVER w - 1) * delay_ms AS BIGINT) AS sched_ms,
+          count(*) OVER (PARTITION BY host) AS n_queued
+        FROM u WINDOW w AS (PARTITION BY host ORDER BY md5(url), url)
+        ORDER BY host, slot"""))
   )
 }

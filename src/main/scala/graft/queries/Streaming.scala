@@ -746,7 +746,49 @@ object Streaming extends QueryBlock {
       Some("""SELECT user_id, count(*) AS n_events,
         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
-        GROUP BY user_id ORDER BY user_id"""))
+        GROUP BY user_id ORDER BY user_id""")),
+
+    // D19 — frontier URL-seen AS A STREAM (e55's deployment shape:
+    // link-extractor output lands as line-delimited URL lists; each
+    // trigger verdicts only the arriving URLs against the STATIC global
+    // Bloom filter — the periodically-rebuilt batch artifact exactly as
+    // a production frontier maintains it). The bitmap is bounded by
+    // CONFIG (m = 4096 bits = 64 longs, regardless of URLs seen), so it
+    // rides inline as a literal array — the e03 bounded-lookup
+    // precedent, leaving the per-trigger work a pure scan-local
+    // projection: zero streaming state, zero joins, zero shuffles.
+    // Every verdict depends only on (url, static bitmap) → output is
+    // independent of micro-batch slicing (maxFilesPerTrigger=1 forces 4
+    // triggers to prove it), and the oracle is e55's construction SQL
+    // verbatim.
+    "d19_stream_frontier" -> QueryDef(
+      (s, dir) => {
+        val urlDir = Curation.writeUrlListFixture(s, dir)
+        val docs = graft.Tables(s, dir, "documents")
+          .filter(col("text").isNotNull)
+          .select(col("doc_id"), col("source"),
+            concat(lit("https://"), col("source"), lit(".example.com/p/"),
+              col("doc_id")).as("url"))
+        val seen = docs.filter(col("doc_id") < 300 && col("source") =!= "src19")
+        val bits: Seq[Long] = graft.operators.BloomSeen
+          .bitmap(seen, "url", k = 3, hexChars = 3)
+          .collect().head.getSeq[Long](0)
+        val raw = s.readStream.format("text")
+          .option("maxFilesPerTrigger", "1")
+          .load(urlDir)
+        val verdicts = raw
+          .filter(length(col("value")) > 0)
+          .select(
+            regexp_extract(col("value"), "/p/([0-9]+)$", 1)
+              .cast("bigint").as("doc_id"),
+            col("value").as("url"),
+            graft.operators.BloomSeen.maybeSeen(
+              typedlit(bits), col("value"), k = 3, hexChars = 3)
+              .as("maybe_seen"))
+        EventStreams.runToTable(s, verdicts, "d19_sink", mode = "append")
+          .orderBy(col("doc_id"))
+      },
+      Some(Curation.bloomOracleSql))
   )
 }
 
