@@ -102,6 +102,57 @@ object Curation extends QueryBlock {
           AS maybe_seen
       FROM u ORDER BY doc_id"""
 
+  /** Sitemap fixture for e57 (public format: sitemaps.org XML protocol):
+    * 4 `<urlset>` files bucketed by doc_id — each `<url>` carries loc /
+    * lastmod / priority, with XML-escaped `&amp;` in query-string locs
+    * and deliberately unnormalized locs (scheme/host case, default port)
+    * — PLUS a `<sitemapindex>` file in the same directory that a correct
+    * reader must recognize by root element and NOT emit URL rows from.
+    * Returns the directory written.
+    */
+  def writeSitemapFixture(s: SparkSession, dir: String): String = {
+    val smDir = s"$scratch/sitemap_${new java.io.File(dir).getName}"
+    val d = t(s, dir, "documents").filter(col("text").isNotNull)
+      .withColumn("base", concat(lit("https://"), col("source"),
+        lit(".example.com/p/"), col("doc_id")))
+      .withColumn("loc",
+        when(col("doc_id") % 5 === 0, concat(lit("HTTPS://"),
+          upper(col("source")), lit(".Example.COM:443/p/"), col("doc_id")))
+        .when(col("doc_id") % 7 === 0, concat(col("base"), lit("?a=1&amp;b=2")))
+        .otherwise(col("base")))
+      .withColumn("lm", concat(lit("2026-"),
+        lpad((lit(1) + col("doc_id") % 12).cast("string"), 2, "0"), lit("-"),
+        lpad((lit(1) + col("doc_id") % 28).cast("string"), 2, "0")))
+      .withColumn("entry", concat(lit("<url><loc>"), col("loc"),
+        lit("</loc><lastmod>"), col("lm"),
+        lit("</lastmod><priority>0."), (col("doc_id") % 10).cast("int"),
+        lit("</priority></url>\n")))
+      .withColumn("b", (col("doc_id") % 4).cast("int"))
+    val files = d.groupBy(col("b"))
+      .agg(expr("array_join(transform(sort_array(collect_list(struct(doc_id, entry))), x -> x.entry), '')")
+        .as("content"))
+      .collect()
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(smDir))
+    files.foreach { r =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$smDir/sitemap${r.getInt(0)}.xml"),
+        ("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+          "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n" +
+          r.getString(1) + "</urlset>\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    val index = (0 until 4).map(b =>
+      s"<sitemap><loc>https://www.example.com/sitemap$b.xml</loc></sitemap>\n")
+      .mkString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$smDir/sitemapindex.xml"),
+      ("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+        "<sitemapindex xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n" +
+        index + "</sitemapindex>\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    smDir
+  }
+
   /** Scan-local WARC record parse (the e44/d16 read side): record split on
     * the version magic, header regexes, payload sliced by CONTENT-LENGTH.
     * Works identically on a batch or streaming binaryFile relation.
@@ -1560,6 +1611,108 @@ object Curation extends QueryBlock {
           CAST((row_number() OVER w - 1) * delay_ms AS BIGINT) AS sched_ms,
           count(*) OVER (PARTITION BY host) AS n_queued
         FROM u WINDOW w AS (PARTITION BY host ORDER BY md5(url), url)
-        ORDER BY host, slot"""))
+        ORDER BY host, slot""")),
+
+    // E57 — sitemap ingest (public format: the sitemaps.org XML
+    // protocol — how a crawl frontier is SEEDED, the stage before e56's
+    // scheduling): binaryFile scan of a sitemap directory → root-element
+    // check (`<urlset>` files yield URL rows; the `<sitemapindex>` file
+    // in the same directory must yield NONE — the envelope case a naive
+    // `<loc>` grep gets wrong) → per-entry loc/lastmod/priority via
+    // regexp_extract_all + arrays_zip + posexplode → XML entity unescape
+    // (`&amp;` per the sitemap spec's escaping requirement) →
+    // url_normalize, because seed locs arrive with scheme/host case and
+    // default ports the frontier must fold before its seen test (the
+    // fixture plants both). lastmod lands as a DATE, priority as DOUBLE
+    // — typed columns, not strings.
+    //
+    // Shape at 100 TB: per-file parallel, scan-local projection + flatMap
+    // — zero shuffle; the ORDER BY is oracle canonicalization.
+    "e57_sitemap_ingest" -> QueryDef(
+      (s, dir) => {
+        val smDir = writeSitemapFixture(s, dir)
+        s.read.format("binaryFile").load(smDir)
+          .select(regexp_extract(col("path"), "([^/]+)$", 1).as("fname"),
+            col("content").cast("string").as("xml"))
+          .filter(col("xml").contains("<urlset"))
+          .select(col("fname"), posexplode(arrays_zip(
+            regexp_extract_all(col("xml"), lit("<loc>([^<]+)</loc>"), lit(1)),
+            regexp_extract_all(col("xml"), lit("<lastmod>([^<]+)</lastmod>"), lit(1)),
+            regexp_extract_all(col("xml"), lit("<priority>([^<]+)</priority>"), lit(1)))))
+          .select(col("fname"), col("pos"),
+            expr("url_normalize(replace(col['0'], '&amp;', '&'))").as("url"),
+            to_date(col("col.1"), "yyyy-MM-dd").as("lastmod"),
+            col("col.2").cast("double").as("priority"))
+          .orderBy(col("fname"), col("pos"))
+      },
+      Some("""WITH d AS (SELECT doc_id, source, CAST(doc_id % 4 AS INT) AS b,
+            'https://' || source || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS base
+          FROM documents WHERE text IS NOT NULL),
+        x AS (SELECT doc_id, b,
+            CASE WHEN doc_id % 5 = 0 THEN base
+                 WHEN doc_id % 7 = 0 THEN base || '?a=1&b=2'
+                 ELSE base END AS url,
+            CAST('2026-' || lpad(CAST(1 + doc_id % 12 AS VARCHAR), 2, '0')
+              || '-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0') AS DATE) AS lastmod,
+            CAST(doc_id % 10 AS DOUBLE) / 10 AS priority
+          FROM d)
+        SELECT 'sitemap' || CAST(b AS VARCHAR) || '.xml' AS fname,
+          CAST(row_number() OVER (PARTITION BY b ORDER BY doc_id) - 1 AS INT) AS pos,
+          url, lastmod, priority
+        FROM x ORDER BY fname, pos""")),
+
+    // E58 — crawl-snapshot diff: given two crawls of the same sites, the
+    // per-URL verdict added / removed / changed / unchanged by content
+    // digest — the incremental-recrawl primitive (what changed since
+    // last month's crawl feeds re-extraction; unchanged pages skip the
+    // whole pipeline). Snapshots derive from construction: snapshot B
+    // drops every 11≡5 page, revises every 11≡3 page, and gains a new
+    // URL per 13≡2 page. The diff is ONE full outer join on the URL key
+    // comparing digests — at corpus scale this joins two CDX-sized
+    // (url, digest) indexes, never the page bodies, and the join key is
+    // exactly the sharding both snapshots already have.
+    "e58_crawl_diff" -> QueryDef(
+      (s, dir) => {
+        val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+          .select(col("doc_id"), col("source"), col("text"),
+            concat(lit("https://"), col("source"), lit(".example.com/p/"),
+              col("doc_id")).as("url"))
+        val a = docs.select(col("url"), sha2(col("text"), 256).as("old_digest"))
+        val bKept = docs.filter(col("doc_id") % 11 =!= 5)
+          .select(col("url"), sha2(
+            when(col("doc_id") % 11 === 3, concat(col("text"), lit(" [rev2]")))
+              .otherwise(col("text")), 256).as("new_digest"))
+        val bNew = docs.filter(col("doc_id") % 13 === 2)
+          .select(concat(lit("https://"), col("source"), lit(".example.com/p/"),
+              col("doc_id") + 20000L).as("url"),
+            sha2(concat(lit("new page "), col("doc_id")), 256).as("new_digest"))
+        a.join(bKept.unionByName(bNew), Seq("url"), "full_outer")
+          .select(col("url"),
+            when(col("old_digest").isNull, lit("added"))
+              .when(col("new_digest").isNull, lit("removed"))
+              .when(col("old_digest") =!= col("new_digest"), lit("changed"))
+              .otherwise(lit("unchanged")).as("status"),
+            col("old_digest"), col("new_digest"))
+          .orderBy(col("url"))
+      },
+      Some("""WITH docs AS (SELECT doc_id, source, text,
+            'https://' || source || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url
+          FROM documents WHERE text IS NOT NULL),
+        a AS (SELECT url, sha256(text) AS old_digest FROM docs),
+        b AS (SELECT url, sha256(CASE WHEN doc_id % 11 = 3
+                THEN text || ' [rev2]' ELSE text END) AS new_digest
+            FROM docs WHERE doc_id % 11 <> 5
+          UNION ALL
+          SELECT 'https://' || source || '.example.com/p/'
+              || CAST(doc_id + 20000 AS VARCHAR),
+            sha256('new page ' || CAST(doc_id AS VARCHAR))
+            FROM docs WHERE doc_id % 13 = 2)
+        SELECT coalesce(a.url, b.url) AS url,
+          CASE WHEN a.url IS NULL THEN 'added'
+               WHEN b.url IS NULL THEN 'removed'
+               WHEN old_digest <> new_digest THEN 'changed'
+               ELSE 'unchanged' END AS status,
+          old_digest, new_digest
+        FROM a FULL OUTER JOIN b ON a.url = b.url ORDER BY url"""))
   )
 }
