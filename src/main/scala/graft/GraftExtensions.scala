@@ -78,5 +78,6 @@ object GraftExtensions {
     fd("html_text", 1, classOf[HtmlText])(es => HtmlText(es.head)),
     fd("url_normalize", 1, classOf[UrlNormalizeExpr])(es => UrlNormalizeExpr(es.head)),
     fd("url_resolve", 2, classOf[UrlResolveExpr])(es => UrlResolveExpr(es(0), es(1))),
-    fd("html_links", 1, classOf[HtmlLinksExpr])(es => HtmlLinksExpr(es.head)))
+    fd("html_links", 1, classOf[HtmlLinksExpr])(es => HtmlLinksExpr(es.head)),
+    fd("split_sentences", 1, classOf[SentenceSplitExpr])(es => SentenceSplitExpr(es.head)))
 }

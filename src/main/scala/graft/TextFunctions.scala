@@ -247,5 +247,6 @@ object TextFunctions extends Serializable {
     graft.functions.UrlNormalize.register(spark)
     graft.functions.UrlResolve.register(spark)
     graft.functions.HtmlLinks.register(spark)
+    graft.functions.SentenceSplit.register(spark)
   }
 }
