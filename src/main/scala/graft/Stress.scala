@@ -426,6 +426,77 @@ object Stress {
         failed ::= s"semdedup split lost planted dups: $recovered of $planted"
     }
 
+    // Bloom URL-seen at volume (r9): 200k seen URLs into an m=16^5-bit
+    // filter (128 KiB fixed state), probed by 1M candidates. Pins:
+    // (a) the build emits ONE row whatever the input volume — the
+    // fixed-state claim, structurally (two ObjectHashAggregates, the
+    // per-task partial emitting one buffer) and by count; (b) the
+    // one-sided error law at volume — zero false negatives across all
+    // 200k members; (c) the false-positive rate on 800k disjoint
+    // candidates lands within 3x of (1-e^{-kn/m})^k both ways (a
+    // broken position map shows up as ~0 or ~1, not as the estimate);
+    // (d) the probe side stays join-free scan work: the only join in
+    // the plan is the 1-row broadcast (BroadcastNestedLoopJoin), no
+    // SortMergeJoin, no extra exchange on the candidate side.
+    {
+      val nSeen = 200000L
+      val nCand = 1000000L
+      val urls = spark.range(nCand).select(col("id"),
+        concat(lit("https://h"), pmod(col("id"), lit(997)),
+          lit(".example.com/p/"), col("id")).as("url"))
+      val seen = urls.filter(col("id") < nSeen)
+      val out = operators.BloomSeen
+        .globalFilter(seen, urls, "url", k = 3, hexChars = 5).cache()
+      val plan = out.queryExecution.executedPlan.toString
+      if (!plan.contains("BroadcastNestedLoopJoin"))
+        failed ::= "bloom: probe is not the 1-row broadcast form"
+      if (plan.contains("SortMergeJoin") || plan.contains("SortAggregate"))
+        failed ::= "bloom: probe/build demoted to a sort-based operator"
+      val bloomRows = operators.BloomSeen
+        .bitmap(seen, "url", k = 3, hexChars = 5).count()
+      val falseNeg = out.filter(col("id") < nSeen && !col("maybe_seen")).count()
+      val fp = out.filter(col("id") >= nSeen && col("maybe_seen")).count()
+      out.unpersist()
+      val est = math.pow(1.0 - math.exp(-3.0 * nSeen / (1 << 20).toDouble), 3)
+      val rate = fp.toDouble / (nCand - nSeen)
+      println(f"[stress] bloom url-seen (200k seen, 1M probed, m=2^20): false negatives $falseNeg%d, fp rate $rate%.4f vs estimate $est%.4f, build rows $bloomRows%d")
+      if (bloomRows != 1L) failed ::= s"bloom build emitted $bloomRows rows, not 1"
+      if (falseNeg != 0L) failed ::= s"bloom: $falseNeg false negatives — one-sided error law broken"
+      if (rate > est * 3 || rate * 3 < est)
+        failed ::= f"bloom fp rate $rate%.4f not within 3x of estimate $est%.4f"
+    }
+
+    // Link extraction on a pathological page (r9): one 4 MB HTML
+    // document — ~59k real anchors interleaved with commented-out
+    // anchors, script-rawtext anchors and quoted-'>' traps every few
+    // links — must extract exactly the real ones in linear time. A
+    // quadratic walker (the pre-r7 char_trigrams failure shape) or one
+    // that miscounts under the traps fails here, not in production.
+    {
+      val sb = new StringBuilder(4 * 1024 * 1024 + 4096)
+      var realLinks = 0L
+      var i = 0
+      while (sb.length < 4 * 1024 * 1024) {
+        i += 1
+        if (i % 5 == 0) sb.append(s"<!-- <a href=/hidden$i>x</a> -->")
+        else if (i % 7 == 3) sb.append(s"<script>w('<a href=/js$i>');</script>")
+        else {
+          sb.append(s"""<a title="t>$i" href="/l$i?a=1&amp;b=$i">link $i</a> text""")
+          realLinks += 1
+        }
+      }
+      val html = sb.toString
+      val t0 = System.nanoTime()
+      val arr = graft.functions.HtmlLinks.links(
+        org.apache.spark.unsafe.types.UTF8String.fromString(html))
+      val ms = (System.nanoTime() - t0) / 1e6
+      println(f"[stress] html_links on a 4 MB page: ${arr.numElements()}%d links ($realLinks%d planted) in $ms%.0f ms")
+      if (arr.numElements().toLong != realLinks)
+        failed ::= s"html_links extracted ${arr.numElements()} of $realLinks planted anchors on the 4 MB page"
+      if (ms > 2000)
+        failed ::= f"html_links took $ms%.0f ms on 4 MB — not linear-time behavior"
+    }
+
     if (spillBytes.get() > 0)
       failed ::= s"spill: ${spillBytes.get()} bytes spilled across the stress runs"
     if (failed.nonEmpty) {

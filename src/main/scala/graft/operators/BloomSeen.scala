@@ -44,24 +44,25 @@ object BloomSeen {
 
   /** OR-monoid bitmap aggregator: input = the k bit positions of one
     * URL, buffer = m bits as m/64 longs. Commutative, associative,
-    * fixed-size state.
+    * fixed-size state — and MUTATED IN PLACE: the buffer is a primitive
+    * long array held as an object between rows (ObjectHashAggregate),
+    * so each URL costs k bit-sets, not an O(m) buffer copy; only the
+    * partial→final exchange serializes the m/8 bytes, once per task.
     */
-  final class BloomAgg(words: Int) extends Aggregator[Seq[Int], Seq[Long], Seq[Long]] {
-    override def zero: Seq[Long] = Vector.fill(words)(0L)
-    override def reduce(b: Seq[Long], ps: Seq[Int]): Seq[Long] = {
-      val arr = b.toArray
-      ps.foreach { p => arr(p >> 6) |= 1L << (p & 63) }
-      arr.toIndexedSeq
+  final class BloomAgg(words: Int) extends Aggregator[Seq[Int], Array[Long], Seq[Long]] {
+    override def zero: Array[Long] = new Array[Long](words)
+    override def reduce(b: Array[Long], ps: Seq[Int]): Array[Long] = {
+      ps.foreach { p => b(p >> 6) |= 1L << (p & 63) }
+      b
     }
-    override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] = {
-      val arr = a.toArray
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
       var i = 0
-      while (i < arr.length) { arr(i) |= b(i); i += 1 }
-      arr.toIndexedSeq
+      while (i < a.length) { a(i) |= b(i); i += 1 }
+      a
     }
-    override def finish(r: Seq[Long]): Seq[Long] = r
-    override def bufferEncoder: Encoder[Seq[Long]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+    override def finish(r: Array[Long]): Seq[Long] = r.toIndexedSeq
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
     override def outputEncoder: Encoder[Seq[Long]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
   }

@@ -1713,6 +1713,51 @@ object Curation extends QueryBlock {
                WHEN old_digest <> new_digest THEN 'changed'
                ELSE 'unchanged' END AS status,
           old_digest, new_digest
-        FROM a FULL OUTER JOIN b ON a.url = b.url ORDER BY url"""))
+        FROM a FULL OUTER JOIN b ON a.url = b.url ORDER BY url""")),
+
+    // E60 — per-source curation report: the dashboard a pipeline owner
+    // reads daily — per source, corpus volume (docs, tokens, chars),
+    // duplication (docs whose text occurs corpus-wide more than once,
+    // distinct texts), language mix, and a short-document quality flag.
+    // Two aggregation passes composed: a digest-keyed multiplicity
+    // table (the e01 shape — sha2 bounds the shuffle key at any corpus
+    // size) joined back to the scan, then ONE source-keyed aggregate.
+    // At 100 TB both shuffles carry light keyed rows (digest / source),
+    // never document bodies; source cardinality is dimension-scale so
+    // the final agg is tiny.
+    "e60_source_report" -> QueryDef(
+      (s, dir) => {
+        val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+          .select(col("doc_id"), col("source"), col("lang"),
+            sha2(col("text"), 256).as("h"),
+            length(col("text")).as("len"),
+            size(split(col("text"), " ")).as("n_toks"))
+        val mult = docs.groupBy(col("h")).agg(count(lit(1)).as("m"))
+        docs.join(mult, Seq("h"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("h")).as("n_texts"),
+            sum(when(col("m") > 1, 1).otherwise(0)).as("n_dup_docs"),
+            sum(col("n_toks")).as("n_tokens"),
+            sum(col("len")).as("n_chars"),
+            (sum(col("len")).cast("double") / count(lit(1))).as("avg_len"),
+            sum(when(col("lang") === "en", 1).otherwise(0)).as("n_en"),
+            sum(when(col("len") < 50, 1).otherwise(0)).as("n_short"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH docs AS (SELECT doc_id, source, lang, sha256(text) AS h,
+            length(text) AS len, len(string_split(text, ' ')) AS n_toks
+          FROM documents WHERE text IS NOT NULL),
+        mult AS (SELECT h, count(*) AS m FROM docs GROUP BY h)
+        SELECT source, count(*) AS n_docs,
+          count(DISTINCT docs.h) AS n_texts,
+          CAST(sum(CASE WHEN m > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+          CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+          CAST(sum(len) AS BIGINT) AS n_chars,
+          CAST(sum(len) AS DOUBLE) / count(*) AS avg_len,
+          CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+          CAST(sum(CASE WHEN len < 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_short
+        FROM docs JOIN mult ON docs.h = mult.h
+        GROUP BY source ORDER BY source"""))
   )
 }
