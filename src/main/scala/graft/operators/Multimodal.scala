@@ -795,7 +795,9 @@ object Multimodal {
     * full Annex G successive-approximation procedure — and share every
     * sampling/IDCT/JFIF rule above (progressive keeps the h,v ∈ {1,2}
     * envelope — 4:1:1 progressive is rare-times-rare and rejects).
-    * None for: extended/lossless/arithmetic frames (SOF1/3/5…),
+    * Lossless frames (SOF3) route to [[jpegLosslessDecode]] — Annex H
+    * predictive coding, precisions 2–16 (r9).
+    * None for: extended/arithmetic/hierarchical frames (SOF1/5…),
     * component counts other than 1/3, sampling factors outside the
     * supported set (4×2, 1×4, …) or non-1×1 chroma, sub-8-bit
     * precision, a missing or out-of-cycle RSTn, missing tables, a
@@ -880,9 +882,11 @@ object Multimodal {
             }
           case 0xc2 => // progressive: its own multi-scan walk from scratch
             return jpegProgressiveDecode(b, wantBrightness)
-          case 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
+          case 0xc3 => // lossless: its own predictive walk from scratch
+            return jpegLosslessDecode(b, wantBrightness)
+          case 0xc1 | 0xc5 | 0xc6 | 0xc7 |
                0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
-            return None // extended/lossless/arithmetic frames
+            return None // extended/arithmetic/hierarchical frames
           case 0xdd => // DRI: restart interval in MCUs (0 = none)
             if (len < 4) return None
             dri = beU16(b, o + 4)
@@ -999,6 +1003,175 @@ object Multimodal {
       mcuY += 1
     }
     Some(accum.result)
+  }
+
+  /** Lossless JPEG (SOF3) decode — T.81 Annex H predictive coding, the
+    * frame type DNG/medical archives still carry: no DCT, no
+    * quantization — each sample is a Huffman-coded DIFFERENCE from a
+    * neighbor prediction. DC-class tables code the magnitude category
+    * SSSS (0–16; 16 means diff = 32768 with no extra bits), EXTEND maps
+    * the magnitude bits to the signed difference, and reconstruction is
+    * (prediction + diff) mod 2^16 — T.81's exact arithmetic, no
+    * clamping, so precisions 2–16 decode verbatim.
+    *
+    * Prediction (H.1.2.2): sample (0,0) predicts 2^(P−1); the rest of
+    * the first line uses predictor 1 (left); the first sample of every
+    * other line uses predictor 2 (above); elsewhere the scan-selected
+    * predictor 1–7 applies (a, b, c, a+b−c, a+((b−c)>>1), b+((a−c)>>1),
+    * (a+b)>>1 — a=left, b=above, c=above-left, all integer shifts).
+    *
+    * Component samples are emitted VERBATIM into the stats (sum per
+    * component, min/max on component 0; brightness = component sum):
+    * lossless JPEG declares no JFIF color model (DNG carries CFA/RGB),
+    * so no YCbCr matrix applies.
+    *
+    * Envelope: 1 or 3 components, all sampling factors 1×1 (the layout
+    * every lossless writer emits — an MCU is one sample per component);
+    * point transform 0 and no restart interval (both reject — the
+    * shifted/segmented variants are vanishingly rare and a wrong guess
+    * would be silently lossy); predictor selection outside 1–7, missing
+    * tables, truncated entropy, EOI before SOS all reject. The entropy
+    * reader shares [[JpegBits]] — FF00 un-stuffing included.
+    */
+  private def jpegLosslessDecode(b: Array[Byte],
+      wantBrightness: Boolean): Option[(JpegStats, Array[Int])] = {
+    val dcTabs = new Array[JpegHuff](4)
+    var w = 0; var h = 0
+    var nComp = 0
+    var prec = 0
+    val compId = new Array[Int](3)
+    val compDc = new Array[Int](3)
+    var predSel = 0
+    var scanStart = -1
+    var o = 2
+    while (scanStart < 0 && o + 4 <= b.length) {
+      if ((b(o) & 0xff) != 0xff) return None
+      val m = b(o + 1) & 0xff
+      if (m == 0xd8 || m == 0x01 || (m >= 0xd0 && m <= 0xd7)) { o += 2 }
+      else if (m == 0xd9) return None // EOI before any scan
+      else {
+        val len = beU16(b, o + 2)
+        if (len < 2 || o + 2 + len > b.length) return None
+        val end = o + 2 + len
+        m match {
+          case 0xc4 => // DHT: lossless uses DC-class tables only; a
+            // class-1 table in the file parses into a throwaway slot
+            if (!jpegParseDht(b, o, end, dcTabs, new Array[JpegHuff](4)))
+              return None
+          case 0xc3 =>
+            if (len < 8) return None
+            prec = b(o + 4) & 0xff
+            if (prec < 2 || prec > 16) return None
+            h = beU16(b, o + 5); w = beU16(b, o + 7)
+            nComp = b(o + 9) & 0xff
+            if (nComp != 1 && nComp != 3) return None
+            if (len < 8 + 3 * nComp) return None
+            var ci = 0
+            while (ci < nComp) {
+              compId(ci) = b(o + 10 + 3 * ci) & 0xff
+              if ((b(o + 11 + 3 * ci) & 0xff) != 0x11) return None // 1×1 only
+              ci += 1 // Tq byte ignored — lossless has no quantization
+            }
+          case 0xc0 | 0xc1 | 0xc2 | 0xc5 | 0xc6 | 0xc7 |
+               0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
+            return None // a second frame of a different type
+          case 0xdd => // DRI: only "none" accepted in the lossless path
+            if (len < 4 || beU16(b, o + 4) != 0) return None
+          case 0xda =>
+            if (w == 0 || (b(o + 4) & 0xff) != nComp) return None
+            if (len < 6 + 2 * nComp) return None
+            var ci = 0
+            while (ci < nComp) {
+              if ((b(o + 5 + 2 * ci) & 0xff) != compId(ci)) return None
+              compDc(ci) = (b(o + 6 + 2 * ci) & 0xff) >> 4
+              if (compDc(ci) > 3) return None
+              ci += 1
+            }
+            val sb = o + 5 + 2 * nComp
+            predSel = b(sb) & 0xff // Ss = predictor selection in lossless
+            if (predSel < 1 || predSel > 7) return None
+            if ((b(sb + 1) & 0xff) != 0) return None // Se must be 0
+            if ((b(sb + 2) & 0xff) != 0) return None // Ah=0, Al(=Pt)=0 only
+            scanStart = end
+          case _ => () // APPn / COM / others: skip
+        }
+        o = end
+      }
+    }
+    if (scanStart < 0 || w <= 0 || h <= 0) return None
+    var tci = 0
+    while (tci < nComp) {
+      if (dcTabs(compDc(tci)) == null) return None
+      tci += 1
+    }
+    val bright =
+      if (!wantBrightness) null
+      else if (w.toLong * h > (1 << 24)) return None // 67 MB Int ceiling
+      else new Array[Int](w * h)
+    val br = new JpegBits(b, scanStart)
+    val prev = Array.ofDim[Int](nComp, w)
+    val cur = Array.ofDim[Int](nComp, w)
+    var sumR = 0L; var sumG = 0L; var sumB = 0L
+    var minY = Int.MaxValue; var maxY = Int.MinValue
+    val half = 1 << (prec - 1)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var brSum = 0
+        var c = 0
+        while (c < nComp) {
+          val t = jpegDecodeHuff(br, dcTabs(compDc(c)))
+          if (t < 0 || t > 16) return None
+          val diff =
+            if (t == 16) 32768 // H.1.2.3: SSSS=16 carries no extra bits
+            else if (t == 0) 0
+            else {
+              val v = br.receive(t); if (v < 0) return None
+              jpegExtend(v, t)
+            }
+          val px =
+            if (y == 0 && x == 0) half
+            else if (y == 0) cur(c)(x - 1) // first line: predictor 1
+            else if (x == 0) prev(c)(0) // line start: predictor 2
+            else {
+              val a = cur(c)(x - 1)
+              val bb = prev(c)(x)
+              val cc = prev(c)(x - 1)
+              predSel match {
+                case 1 => a
+                case 2 => bb
+                case 3 => cc
+                case 4 => a + bb - cc
+                case 5 => a + ((bb - cc) >> 1)
+                case 6 => bb + ((a - cc) >> 1)
+                case _ => (a + bb) >> 1
+              }
+            }
+          val sVal = (px + diff) & 0xffff // T.81 modulo-65536 arithmetic
+          cur(c)(x) = sVal
+          if (c == 0) {
+            if (sVal < minY) minY = sVal
+            if (sVal > maxY) maxY = sVal
+          }
+          if (c == 0) sumR += sVal else if (c == 1) sumG += sVal else sumB += sVal
+          brSum += sVal
+          c += 1
+        }
+        if (nComp == 1) {
+          sumG += cur(0)(x); sumB += cur(0)(x); brSum *= 3
+        }
+        if (bright != null) bright(y * w + x) = brSum
+        x += 1
+      }
+      var rc = 0
+      while (rc < nComp) {
+        System.arraycopy(cur(rc), 0, prev(rc), 0, w)
+        rc += 1
+      }
+      y += 1
+    }
+    Some((JpegStats(w, h, nComp, sumR, sumG, sumB, minY, maxY), bright))
   }
 
   /** Progressive JPEG (SOF2) decode — the full T.81 Annex G Huffman
@@ -1634,6 +1807,51 @@ object Multimodal {
       val bits = if (sign > 0) mag else sign * mag + 255 // category-8 code
       out.put((bits >> 1).toByte) // huff "0" + diff bits 7..1
       out.put(((bits & 1) << 7).toByte) // diff bit 0 + EOB "0000000"
+    }
+    out.putShort(0xffd9.toShort) // EOI
+    out.array()
+  }
+
+  /** Single-row lossless JPEG (SOF3) whose entropy stream is exactly ONE
+    * byte-aligned byte per sample, for the e12r oracle (the
+    * byte-aligned-DC-stream precedent, lossless edition): the lone
+    * Huffman code is "0000" → category 4, so each sample byte is
+    * 0000vvvv — high nibble the code, low nibble the 4 difference bits —
+    * and never 0xFF (no stuffing to perturb alignment). One row means
+    * prediction is always "left" after the 2^(P−1)=128 seed, so an
+    * oracle can chain EXTENDed nibbles with a running sum. Differences
+    * pair up as +(8+r) then −(8+r) (both category-4 magnitudes, exact
+    * cancellation), so the walk stays inside [128, 143] at any length —
+    * no clamp ever fires and the P=8 range holds.
+    *
+    * Fixed layout (0-based): SOI 0, DHT 2 (counts at 7, symbol 23),
+    * SOF3 24 (precision 28, height BE 29, width BE 31), SOS 37
+    * (predictor=Ss at 44), entropy 47 (1 byte/sample), EOI.
+    */
+  def makeJpegLossless(nSamples: Int, seed: Long): Array[Byte] = {
+    require(nSamples >= 1 && nSamples <= 1024, "u16 width bound (layout fixed)")
+    val out = java.nio.ByteBuffer.allocate(47 + nSamples + 2)
+    out.putShort(0xffd8.toShort) // SOI
+    out.putShort(0xffc4.toShort).putShort(20).put(0x00.toByte) // DHT class 0
+    (1 to 16).foreach(l => out.put(if (l == 4) 1.toByte else 0.toByte))
+    out.put(0x04.toByte) // "0000" -> category 4
+    out.putShort(0xffc3.toShort).putShort(11) // SOF3, 1 component
+      .put(8.toByte) // precision
+      .putShort(1).putShort(nSamples.toShort) // h=1, w=n
+      .put(1.toByte)
+      .put(1.toByte).put(0x11.toByte).put(0.toByte)
+    out.putShort(0xffda.toShort).putShort(8).put(1.toByte) // SOS
+      .put(1.toByte).put(0x00.toByte)
+      .put(1.toByte) // Ss = predictor 1 (left)
+      .put(0.toByte).put(0.toByte) // Se = 0, Ah/Al = 0
+    var s = seed
+    var r = 0
+    (0 until nSamples).foreach { j =>
+      val v = if (j % 2 == 0) {
+        s = splitmix64(s); r = (s & 7).toInt
+        8 + r // diff +(8+r)
+      } else 7 - r // EXTEND(7-r, 4) = -(8+r): cancels the pair exactly
+      out.put(v.toByte)
     }
     out.putShort(0xffd9.toShort) // EOI
     out.array()

@@ -47,7 +47,8 @@ class DecoderFuzzSpec extends AnyFunSuite {
     "jpg420" -> Multimodal.makeJpeg420Pixels(2, 2, q0 = 2, seed = 9L),
     "jpg411" -> Multimodal.makeJpeg411Pixels(2, 2, q0 = 2, seed = 12L),
     "jpgrst" -> Multimodal.makeJpegRestartPixels(4, 2, q0 = 2, dri = 3, seed = 10L),
-    "jpgprog" -> Multimodal.makeJpegProgressivePixels(4, 2, q0 = 2, seed = 11L))
+    "jpgprog" -> Multimodal.makeJpegProgressivePixels(4, 2, q0 = 2, seed = 11L),
+    "jpgll" -> Multimodal.makeJpegLossless(20, seed = 13L))
 
   private def mustNotThrow(what: String, bytes: Array[Byte],
       name: String, f: Array[Byte] => Any): Unit =
