@@ -1758,6 +1758,76 @@ object Curation extends QueryBlock {
           CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
           CAST(sum(CASE WHEN len < 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_short
         FROM docs JOIN mult ON docs.h = mult.h
-        GROUP BY source ORDER BY source"""))
+        GROUP BY source ORDER BY source""")),
+
+    // E61 — composed FRONTIER pipeline (the e47 composition precedent,
+    // frontier side): sitemap seeding → URL-seen filter → politeness
+    // scheduling in ONE DAG. The e57 sitemap fixture seeds candidate
+    // URLs (XML parse, unescape, url_normalize); the e55 global Bloom
+    // filter — built from the crawled-corpus seen set — keeps only
+    // maybe-new URLs (a false positive here wrongly SKIPS a URL: the
+    // composition inherits Bloom semantics, and the oracle re-derives
+    // exactly which URLs that affects); the survivors get e56's
+    // per-host fetch slots at per-host delay. Interaction case by
+    // construction: doc_id%7 pages seed with a ?a=1&b=2 query URL that
+    // the crawled set never contained — those stay new even where the
+    // page itself was seen — while %35 pages collapse to the plain form
+    // and filter out. Shape: scan-local parse + 1-row broadcast probe,
+    // then ONE host-keyed shuffle for the windows — the only shuffle in
+    // the whole DAG.
+    "e61_frontier_pipeline" -> QueryDef(
+      (s, dir) => {
+        val smDir = writeSitemapFixture(s, dir)
+        val cand = s.read.format("binaryFile").load(smDir)
+          .select(col("content").cast("string").as("xml"))
+          .filter(col("xml").contains("<urlset"))
+          .select(explode(expr(
+            "transform(regexp_extract_all(xml, '<loc>([^<]+)</loc>', 1)," +
+              " l -> url_normalize(replace(l, '&amp;', '&')))")).as("url"))
+          .select(col("url"), expr("parse_url(url, 'HOST')").as("host"))
+        val seen = t(s, dir, "documents").filter(col("text").isNotNull)
+          .filter(col("doc_id") < 300 && col("source") =!= "src19")
+          .select(concat(lit("https://"), col("source"), lit(".example.com/p/"),
+            col("doc_id")).as("url"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("host"))
+          .orderBy(md5(col("url").cast("binary")), col("url"))
+        graft.operators.BloomSeen.globalFilter(seen, cand, "url", k = 3, hexChars = 3)
+          .filter(!col("maybe_seen"))
+          .withColumn("delay_ms", (lit(500) +
+            lit(250) * (length(regexp_extract(col("host"), "^([^.]+)", 1)) - 4))
+            .cast("int"))
+          .withColumn("slot", (row_number().over(w) - 1).cast("int"))
+          .withColumn("sched_ms", (col("slot") * col("delay_ms")).cast("bigint"))
+          .select(col("url"), col("host"), col("slot"), col("delay_ms"),
+            col("sched_ms"))
+          .orderBy(col("host"), col("slot"))
+      },
+      Some("""WITH d AS (SELECT doc_id, source,
+            'https://' || source || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS base
+          FROM documents WHERE text IS NOT NULL),
+        cand AS (SELECT doc_id, source, source || '.example.com' AS host,
+            CASE WHEN doc_id % 5 = 0 THEN base
+                 WHEN doc_id % 7 = 0 THEN base || '?a=1&b=2'
+                 ELSE base END AS url
+          FROM d),
+        seen AS (SELECT base AS url FROM d WHERE doc_id < 300 AND source <> 'src19'),
+        pos AS (SELECT substr(md5(url), 1, 3) AS p FROM seen
+          UNION SELECT substr(md5(url), 4, 3) FROM seen
+          UNION SELECT substr(md5(url), 7, 3) FROM seen),
+        verdict AS (SELECT doc_id, source, host, url,
+            (EXISTS(SELECT 1 FROM pos WHERE pos.p = substr(md5(cand.url), 1, 3))
+             AND EXISTS(SELECT 1 FROM pos WHERE pos.p = substr(md5(cand.url), 4, 3))
+             AND EXISTS(SELECT 1 FROM pos WHERE pos.p = substr(md5(cand.url), 7, 3)))
+              AS maybe_seen
+          FROM cand),
+        fresh AS (SELECT host, url,
+            CAST(500 + 250 * (length(source) - 4) AS INT) AS delay_ms
+          FROM verdict WHERE NOT maybe_seen)
+        SELECT url, host,
+          CAST(row_number() OVER w - 1 AS INT) AS slot, delay_ms,
+          CAST((row_number() OVER w - 1) * delay_ms AS BIGINT) AS sched_ms
+        FROM fresh WINDOW w AS (PARTITION BY host ORDER BY md5(url), url)
+        ORDER BY host, slot"""))
   )
 }

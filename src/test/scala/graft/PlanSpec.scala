@@ -211,6 +211,21 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("Generate"), plan) // line posexplode + char_trigrams
   }
 
+  test("E61 frontier pipeline: 1-row bloom broadcast, host-keyed window, one shuffle") {
+    // The bloom probe is the ONLY nested-loop join allowed (its build
+    // side is one bitmap row by construction); the schedule window must
+    // partition by host (a global window would serialize the frontier);
+    // no ScalaUDF — parse, normalize and the bit tests are all codegen.
+    val plan = planOf("e61_frontier_pipeline")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("ScalaUDF"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan) // the 1-row bitmap
+    val winLine = plan.linesIterator.filter(_.contains("windowspecdefinition"))
+      .mkString("\n")
+    assert(winLine.contains("host"), s"window must partition by host:\n$winLine")
+  }
+
   test("E48 span dedup: shingle-df hash aggregate, doc-bounded window, no cartesian") {
     // The shingle document-frequency must be a partial+final hash
     // aggregate (a Window over the SHINGLE would hold unbounded state on
