@@ -33,6 +33,42 @@ object GeoParquet {
   private val MetaKeyEncoding = "geo.encoding"
   private val MetaKeyCrs = "geo.crs"
 
+  /** Column-metadata key surfacing the footer-declared 1.1 covering-column
+    * name on the read DataFrame's schema (introspection parity with
+    * encoding/CRS). Pruning itself does NOT depend on this key:
+    * [[graft.plans.SpatialFilterRule]] resolves declarations from the
+    * footer via [[cachedMetadata]], because predicate pushdown strips
+    * column metadata off filter attributes before the rule runs.
+    */
+  private[graft] val MetaKeyCovering = "geo.covering"
+
+  /** Footer metadata by dataset path, cached for the optimizer: the
+    * spatial rule consults this on every plan with a spatial predicate
+    * over a file scan, so the footer read must cost one I/O per DATASET,
+    * not per query. Bounded by distinct dataset paths per JVM;
+    * invalidated by the writers ([[write]], [[injectFooterInto]]).
+    */
+  private val metadataCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[GeoParquetMetadata]]()
+
+  private[graft] def cachedMetadata(spark: SparkSession,
+      path: String): Option[GeoParquetMetadata] =
+    metadataCache.computeIfAbsent(path, p =>
+      try readMetadata(spark, p)
+      catch { case scala.util.control.NonFatal(_) => None })
+
+  private def invalidateMetadata(path: String): Unit = {
+    metadataCache.remove(path)
+    // normalize trailing-slash and scheme-variant keys conservatively:
+    // a different spelling of the same dataset path may sit in the cache
+    val it = metadataCache.keySet().iterator()
+    while (it.hasNext) {
+      val k = it.next()
+      if (k.stripSuffix("/") == path.stripSuffix("/") ||
+          k.endsWith(path.stripSuffix("/"))) it.remove()
+    }
+  }
+
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
   private val legacyBboxWarned = new java.util.concurrent.atomic.AtomicBoolean(false)
 
@@ -108,7 +144,10 @@ object GeoParquet {
         c -> GeoColumnMeta(
           geometryTypes = row.getAs[scala.collection.Seq[String]](s"${c}__types").toSeq,
           crs = crs,
-          bbox = bbox)
+          bbox = bbox,
+          // GeoParquet 1.1: declare the covering column we just added, so
+          // readers (ours included) need not rely on the naming convention
+          covering = if (addBboxColumn) Some(s"__bbox_$c") else None)
       }.toMap
     }
     def toJson(colMeta: Map[String, GeoColumnMeta]): String =
@@ -148,7 +187,8 @@ object GeoParquet {
       } finally mat.unpersist()
     } else {
       val colMeta =
-        if (!computeStats) geometryColumns.map(_ -> GeoColumnMeta(crs = crs)).toMap
+        if (!computeStats) geometryColumns.map(c => c -> GeoColumnMeta(crs = crs,
+          covering = if (addBboxColumn) Some(s"__bbox_$c") else None)).toMap
         else statsOf(out)
       // Write-time footer injection: GeoParquetFileFormat's WriteSupport
       // adds the `geo` key as each part file closes — one parallel write,
@@ -156,6 +196,7 @@ object GeoParquet {
       save(out.write.mode("overwrite").format("geoparquet")
         .option(GeoParquetFileFormat.FooterOption, toJson(colMeta)))
     }
+    invalidateMetadata(path)
   }
 
   /** Retrofit a `geo` footer onto an EXISTING parquet dataset without
@@ -167,6 +208,7 @@ object GeoParquet {
     val parts = listParquetFiles(new Path(path), conf)
     spark.sparkContext.parallelize(parts, parts.length.max(1))
       .foreach(injectFooter(_, geoJson))
+    invalidateMetadata(path)
   }
 
   /** Recursive listing — partitioned writes nest part files under
@@ -248,10 +290,15 @@ object GeoParquet {
       case Some(geo) =>
         val withMeta = geo.columns.foldLeft(df) { case (d, (name, cm)) =>
           if (!d.columns.contains(name)) d
-          else d.withMetadata(name, new MetadataBuilder()
-            .putString(MetaKeyEncoding, cm.encoding)
-            .putString(MetaKeyCrs, cm.crs)
-            .build())
+          else {
+            val mb = new MetadataBuilder()
+              .putString(MetaKeyEncoding, cm.encoding)
+              .putString(MetaKeyCrs, cm.crs)
+            // only a covering column that actually exists may prune
+            cm.covering.filter(d.columns.contains)
+              .foreach(mb.putString(MetaKeyCovering, _))
+            d.withMetadata(name, mb.build())
+          }
         }
         // NOTE: covering columns are per-geometry-column (`__bbox_<col>`,
         // written by `write(addBboxColumn = true)`); SpatialFilterRule

@@ -11,12 +11,24 @@ import scala.jdk.CollectionConverters._
   * under the parquet footer key-value key "geo" naming the primary geometry
   * column and, per geometry column, its encoding ("WKB"), observed geometry
   * types, CRS (default OGC:CRS84) and bbox [xmin, ymin, xmax, ymax].
+  *
+  * `covering` is the GeoParquet 1.1 addition: a per-column declaration of
+  * the bbox COVERING COLUMN — the per-row envelope struct whose parquet
+  * min/max statistics drive row-group pruning. The spec encodes it as
+  * four `[column, field]` paths (`covering.bbox.xmin = ["bbox", "xmin"]`
+  * …); this codec emits that form from the struct-column name and
+  * accepts any footer whose four paths agree on one column with the
+  * conventional field names (anything else decodes to None — a covering
+  * we cannot prove safe must not prune). A footer that declares a
+  * covering is stamped version 1.1.0; one without stays 1.0.0, keeping
+  * the byte-stable 1.0 fixtures byte-stable.
   */
 final case class GeoColumnMeta(
     encoding: String = "WKB",
     geometryTypes: Seq[String] = Nil,
     crs: String = GeoParquetMetadata.DefaultCrs,
-    bbox: Option[(Double, Double, Double, Double)] = None)
+    bbox: Option[(Double, Double, Double, Double)] = None,
+    covering: Option[String] = None)
 
 final case class GeoParquetMetadata(
     version: String = GeoParquetMetadata.Version,
@@ -26,7 +38,11 @@ final case class GeoParquetMetadata(
   def toJson: String = {
     val m = GeoParquetMetadata.mapper
     val root = m.createObjectNode()
-    root.put("version", version)
+    root.put("version",
+      if (version == GeoParquetMetadata.Version &&
+          columns.values.exists(_.covering.isDefined))
+        GeoParquetMetadata.Version11
+      else version)
     root.put("primary_column", primaryColumn)
     val cols = root.putObject("columns")
     // stable key order => byte-stable metadata fixtures
@@ -40,6 +56,14 @@ final case class GeoParquetMetadata(
         val b = n.putArray("bbox")
         Seq(xmin, ymin, xmax, ymax).foreach(b.add)
       }
+      c.covering.foreach { covCol =>
+        val bb = n.putObject("covering").putObject("bbox")
+        Seq("xmin", "ymin", "xmax", "ymax").foreach { f =>
+          val a = bb.putArray(f)
+          a.add(covCol); a.add(f)
+          ()
+        }
+      }
     }
     m.writeValueAsString(root)
   }
@@ -47,6 +71,7 @@ final case class GeoParquetMetadata(
 
 object GeoParquetMetadata {
   val Version = "1.0.0"
+  val Version11 = "1.1.0"
   val DefaultCrs = "OGC:CRS84"
   val FooterKey = "geo"
 
@@ -63,11 +88,23 @@ object GeoParquetMetadata {
           val a = b.elements().asScala.map(_.asDouble()).toSeq
           (a(0), a(1), a(2), a(3))
         }
+        val covering = Option(v.get("covering"))
+          .flatMap(c => Option(c.get("bbox"))).flatMap { bb =>
+            val fields = Seq("xmin", "ymin", "xmax", "ymax")
+            val refs = fields.map(f => Option(bb.get(f)).filter(_.isArray)
+              .map(_.elements().asScala.map(_.asText()).toSeq))
+            val wellFormed = refs.zip(fields).forall { case (r, f) =>
+              r.exists(a => a.length == 2 && a(1) == f)
+            }
+            val cols = refs.flatten.map(_.head).distinct
+            if (wellFormed && cols.length == 1) Some(cols.head) else None
+          }
         e.getKey -> GeoColumnMeta(
           encoding = Option(v.get("encoding")).map(_.asText()).getOrElse("WKB"),
           geometryTypes = gts,
           crs = Option(v.get("crs")).filterNot(_.isNull).map(_.asText()).getOrElse(DefaultCrs),
-          bbox = bbox)
+          bbox = bbox,
+          covering = covering)
       }.toMap
     }.getOrElse(Map.empty)
     GeoParquetMetadata(

@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DataType, DoubleType, FloatType, StructType}
 
 /** Bbox pushdown rewrite (SURVEY.md §4.3): spatial predicates over WKB are
   * black-box functions — Catalyst cannot push them into the parquet scan,
@@ -38,25 +38,77 @@ import org.apache.spark.sql.types.DoubleType
 object SpatialFilterRule extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
-    case f @ Filter(cond, child)
-        if child.output.exists(_.name.startsWith("__bbox_")) =>
+    case f @ Filter(cond, child) =>
       // Harvest ONLY top-level conjuncts that are themselves the spatial
       // predicate: a predicate under OR/NOT is not necessarily satisfied by
       // every output row, so ANDing its bbox range would wrongly drop rows
-      // matching the other branch.
-      val extras = conjuncts(cond).flatMap {
+      // matching the other branch. The harvest is a cheap pattern match, so
+      // the rule can consider every Filter; covering resolution (which may
+      // consult the cached footer) only runs when a spatial predicate is
+      // actually present.
+      val cands = conjuncts(cond).flatMap {
         case u: ScalaUDF => harvestUdf(u)
         case n: graft.functions.WkbPredicate => harvestNative(n)
         case _ => None
-      }.flatMap { case (geomAttr, queryWkb) =>
-        child.output.find(_.name == s"__bbox_${geomAttr.name}")
-          // idempotence: if the condition already references this covering
-          // column (user-written or a previous optimizer pass), add nothing
-          .filterNot(cond.references.contains)
-          .map(bbox => envelopeConjunct(queryWkb, bbox))
       }
-      if (extras.isEmpty) f
-      else Filter(And(cond, extras.reduce(And)), child)
+      if (cands.isEmpty) f
+      else {
+        val extras = cands.flatMap { case (geomAttr, queryWkb) =>
+          coveringOf(geomAttr, child)
+            // idempotence: if the condition already references this covering
+            // column (user-written or a previous optimizer pass), add nothing
+            .filterNot(cond.references.contains)
+            .map(bbox => envelopeConjunct(queryWkb, bbox))
+        }
+        if (extras.isEmpty) f
+        else Filter(And(cond, extras.reduce(And)), child)
+      }
+  }
+
+  /** Resolve the covering column for a geometry attribute, in order:
+    *
+    *  1. a GeoParquet 1.1 covering DECLARED in the dataset's `geo` footer
+    *     (resolved from the scan relation under the filter via a
+    *     path-keyed cache — predicate pushdown strips column metadata
+    *     from the filter's attributes, so the footer, which is where the
+    *     declaration canonically lives, is consulted directly; foreign
+    *     1.1 datasets prune whatever their covering column is called);
+    *  2. the writer's `__bbox_<col>` naming convention (serves datasets
+    *     read through a bare `spark.read.parquet` with no footer).
+    *
+    * Either way, a covering we cannot prove bbox-shaped must not prune —
+    * a foreign footer may declare anything, and the optimizer must
+    * neither throw nor constrain on the wrong fields.
+    */
+  private def coveringOf(geomAttr: Attribute, child: LogicalPlan): Option[Attribute] = {
+    val declared = child.collectFirst {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if lr.relation.isInstanceOf[
+            org.apache.spark.sql.execution.datasources.HadoopFsRelation] =>
+        val rel = lr.relation.asInstanceOf[
+          org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+        rel.location.rootPaths.headOption.flatMap { p =>
+          graft.geo.GeoParquet.cachedMetadata(rel.sparkSession, p.toString)
+            .flatMap(_.columns.get(geomAttr.name)).flatMap(_.covering)
+        }
+    }.flatten
+    declared.flatMap(n => child.output.find(_.name == n))
+      .orElse(child.output.find(_.name == s"__bbox_${geomAttr.name}"))
+      .filter(a => bboxFieldType(a.dataType).isDefined)
+  }
+
+  /** The uniform numeric type of a bbox covering struct's four fields
+    * (float per the published 1.1 recommendation, or double as our writer
+    * emits), or None when the struct is not prunable-safe.
+    */
+  private def bboxFieldType(dt: DataType): Option[DataType] = dt match {
+    case st: StructType =>
+      val ts = Seq("xmin", "ymin", "xmax", "ymax")
+        .map(f => st.fields.find(_.name == f).map(_.dataType))
+      if (ts.forall(_.isDefined) && ts.flatten.distinct.size == 1 &&
+          (ts.head.get == DoubleType || ts.head.get == FloatType)) ts.head
+      else None
+    case _ => None
   }
 
   private def conjuncts(e: Expression): Seq[Expression] = e match {
@@ -112,13 +164,31 @@ object SpatialFilterRule extends Rule[LogicalPlan] {
   /** envelope overlap: row.xmin <= q.xmax AND row.xmax >= q.xmin AND … */
   private def envelopeConjunct(wkb: Array[Byte], bbox: Attribute): Expression = {
     val env = GeoFunctions.fromWkb(wkb).getEnvelopeInternal
-    def fld(i: Int, n: String) = GetStructField(bbox, i, Some(n))
-    def d(v: Double) = Literal(v, DoubleType)
+    // fields by NAME, not ordinal: a foreign 1.1 covering struct owes us
+    // the field names, not their order
+    val st = bbox.dataType.asInstanceOf[StructType]
+    def fld(n: String) = GetStructField(bbox, st.fieldIndex(n), Some(n))
+    val float = bboxFieldType(bbox.dataType).contains(FloatType)
+    // float coverings (the 1.1 recommendation) round the QUERY envelope
+    // OUTWARD: a bound that narrowed under double→float rounding would
+    // wrongly prune rows the exact predicate keeps
+    def hi(v: Double) = // upper bound, used as `field <= hi`
+      if (!float) Literal(v, DoubleType)
+      else {
+        val f = v.toFloat
+        Literal(if (f.toDouble < v) Math.nextUp(f) else f, FloatType)
+      }
+    def lo(v: Double) = // lower bound, used as `field >= lo`
+      if (!float) Literal(v, DoubleType)
+      else {
+        val f = v.toFloat
+        Literal(if (f.toDouble > v) Math.nextDown(f) else f, FloatType)
+      }
     And(
-      And(LessThanOrEqual(fld(0, "xmin"), d(env.getMaxX)),
-        GreaterThanOrEqual(fld(2, "xmax"), d(env.getMinX))),
-      And(LessThanOrEqual(fld(1, "ymin"), d(env.getMaxY)),
-        GreaterThanOrEqual(fld(3, "ymax"), d(env.getMinY))))
+      And(LessThanOrEqual(fld("xmin"), hi(env.getMaxX)),
+        GreaterThanOrEqual(fld("xmax"), lo(env.getMinX))),
+      And(LessThanOrEqual(fld("ymin"), hi(env.getMaxY)),
+        GreaterThanOrEqual(fld("ymax"), lo(env.getMinY))))
   }
 
   def register(spark: SparkSession): Unit = synchronized {

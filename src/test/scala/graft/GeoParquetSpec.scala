@@ -29,6 +29,40 @@ class GeoParquetSpec extends AnyFunSuite {
     assert(GeoParquetMetadata.fromJson(m.toJson) === m)
   }
 
+  test("1.1 covering codec: round-trip, version bump, malformed refs decode to None") {
+    val m = GeoParquetMetadata(
+      primaryColumn = "g",
+      columns = Map("g" -> GeoColumnMeta(covering = Some("cov"))))
+    val j = m.toJson
+    assert(j.contains("\"version\":\"1.1.0\""), j) // covering ⇒ 1.1
+    assert(j.contains("\"covering\":{\"bbox\":{\"xmin\":[\"cov\",\"xmin\"]"), j)
+    assert(GeoParquetMetadata.fromJson(j).columns("g").covering === Some("cov"))
+    // the four paths must agree on ONE column — else no covering
+    val split = j.replaceFirst("""\["cov","xmin"\]""", """["other","xmin"]""")
+    assert(GeoParquetMetadata.fromJson(split).columns("g").covering === None)
+    // wrong field name in a path — else no covering
+    val wrongField = j.replaceFirst("""\["cov","ymin"\]""", """["cov","ymax"]""")
+    assert(GeoParquetMetadata.fromJson(wrongField).columns("g").covering === None)
+    // no covering anywhere ⇒ version stays 1.0.0 (byte-stable 1.0 footers)
+    assert(GeoParquetMetadata(primaryColumn = "g",
+      columns = Map("g" -> GeoColumnMeta())).toJson.contains("\"version\":\"1.0.0\""))
+  }
+
+  test("write(addBboxColumn) declares the 1.1 covering in the footer") {
+    val out = "/tmp/graft_test/geo_spec_covering"
+    val df = TestSpark.spark.range(10).toDF("id")
+      .select(col("id"), GeoFunctions.st_point(col("id").cast("double"),
+        lit(2.0) * col("id").cast("double")).as("geometry"))
+    GeoParquet.write(df, out, Seq("geometry"), addBboxColumn = true)
+    val meta = GeoParquet.readMetadata(spark, out).get
+    assert(meta.version === "1.1.0")
+    assert(meta.columns("geometry").covering === Some("__bbox_geometry"))
+    // read attaches the declared covering to the column metadata
+    val back = GeoParquet.read(spark, out)
+    assert(back.schema("geometry").metadata.getString("geo.covering")
+      === "__bbox_geometry")
+  }
+
   test("write injects footer geo key; read re-attaches column metadata + CRS") {
     val out = "/tmp/graft_test/geo_spec"
     val df = TestSpark.spark.range(10).toDF("id")

@@ -36,6 +36,57 @@ class SpatialRuleSpec extends AnyFunSuite {
     assert(got === (100L to 110L)) // points with x in [100,110]
   }
 
+  test("1.1 footer-declared covering: foreign name + FLOAT fields prunes, outward-rounded") {
+    // a dataset written by some OTHER GeoParquet 1.1 writer: covering
+    // column named my_cover with FLOAT fields (the spec's recommendation),
+    // declared in the footer rather than by our naming convention
+    val out = "/tmp/graft_test/spatial_rule_declared"
+    val df = spark.range(1000).toDF("id")
+      .select(col("id"),
+        GeoFunctions.st_point(col("id").cast("double"), (col("id") * 2).cast("double"))
+          .as("geom"),
+        struct(
+          col("id").cast("float").as("xmin"),
+          (col("id") * 2).cast("float").as("ymin"),
+          col("id").cast("float").as("xmax"),
+          (col("id") * 2).cast("float").as("ymax")).as("my_cover"))
+    df.write.mode("overwrite").parquet(out)
+    GeoParquet.injectFooterInto(spark, out,
+      graft.geo.GeoParquetMetadata(primaryColumn = "geom",
+        columns = Map("geom" -> graft.geo.GeoColumnMeta(
+          covering = Some("my_cover")))).toJson)
+
+    val queryBox = GeoFunctions.stMakeBoxF(100.0, 0.0, 110.0, 1000.0)
+    val q = GeoParquet.read(spark, out)
+      .filter(call_udf("st_intersects", col("geom"), lit(queryBox)))
+      .select(col("id"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("my_cover.xmin"),
+      s"declared covering not pruned on:\n$plan")
+    assert(q.collect().map(_.getLong(0)).sorted.toSeq === (100L to 110L))
+  }
+
+  test("declared covering that is not bbox-shaped must not prune (and must not throw)") {
+    val out = "/tmp/graft_test/spatial_rule_bad_cover"
+    val df = spark.range(100).toDF("id")
+      .select(col("id"),
+        GeoFunctions.st_point(col("id").cast("double"), (col("id") * 2).cast("double"))
+          .as("geom"),
+        struct(col("id").as("a"), col("id").as("b")).as("odd_cover"))
+    df.write.mode("overwrite").parquet(out)
+    GeoParquet.injectFooterInto(spark, out,
+      graft.geo.GeoParquetMetadata(primaryColumn = "geom",
+        columns = Map("geom" -> graft.geo.GeoColumnMeta(
+          covering = Some("odd_cover")))).toJson)
+    val queryBox = GeoFunctions.stMakeBoxF(10.0, 0.0, 20.0, 1000.0)
+    val q = GeoParquet.read(spark, out)
+      .filter(call_udf("st_intersects", col("geom"), lit(queryBox)))
+      .select(col("id"))
+    // correctness unchanged; the malformed covering contributes nothing
+    assert(q.collect().map(_.getLong(0)).sorted.toSeq === (10L to 20L))
+    assert(!q.queryExecution.executedPlan.toString.contains("odd_cover.xmin"))
+  }
+
   test("spatial predicate under OR is NOT rewritten (disjunct must not constrain all rows)") {
     val out = "/tmp/graft_test/spatial_rule_or"
     val df = spark.range(1000).toDF("id")
