@@ -153,6 +153,46 @@ object Curation extends QueryBlock {
     smDir
   }
 
+  /** Scan-local sitemap projection (the e57/d20 read side): root-element
+    * discrimination (`<urlset>` yields URL rows, `<sitemapindex>` yields
+    * none), per-entry loc/lastmod/priority extraction, XML entity
+    * unescape + url_normalize, typed lastmod/priority. Works identically
+    * on a batch or streaming binaryFile relation.
+    */
+  def sitemapProject(raw: DataFrame): DataFrame =
+    raw.select(regexp_extract(col("path"), "([^/]+)$", 1).as("fname"),
+        col("content").cast("string").as("xml"))
+      .filter(col("xml").contains("<urlset"))
+      .select(col("fname"), posexplode(arrays_zip(
+        regexp_extract_all(col("xml"), lit("<loc>([^<]+)</loc>"), lit(1)),
+        regexp_extract_all(col("xml"), lit("<lastmod>([^<]+)</lastmod>"), lit(1)),
+        regexp_extract_all(col("xml"), lit("<priority>([^<]+)</priority>"), lit(1)))))
+      .select(col("fname"), col("pos"),
+        expr("url_normalize(replace(col['0'], '&amp;', '&'))").as("url"),
+        to_date(col("col.1"), "yyyy-MM-dd").as("lastmod"),
+        col("col.2").cast("double").as("priority"))
+
+  /** The e57 sitemap-ingest construction oracle — shared verbatim by the
+    * d20 streaming twin (per-row output depends only on the file's own
+    * bytes, so batch and stream must extract identical rows).
+    */
+  val sitemapOracleSql: String =
+    """WITH d AS (SELECT doc_id, source, CAST(doc_id % 4 AS INT) AS b,
+          'https://' || source || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS base
+        FROM documents WHERE text IS NOT NULL),
+      x AS (SELECT doc_id, b,
+          CASE WHEN doc_id % 5 = 0 THEN base
+               WHEN doc_id % 7 = 0 THEN base || '?a=1&b=2'
+               ELSE base END AS url,
+          CAST('2026-' || lpad(CAST(1 + doc_id % 12 AS VARCHAR), 2, '0')
+            || '-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0') AS DATE) AS lastmod,
+          CAST(doc_id % 10 AS DOUBLE) / 10 AS priority
+        FROM d)
+      SELECT 'sitemap' || CAST(b AS VARCHAR) || '.xml' AS fname,
+        CAST(row_number() OVER (PARTITION BY b ORDER BY doc_id) - 1 AS INT) AS pos,
+        url, lastmod, priority
+      FROM x ORDER BY fname, pos"""
+
   /** Scan-local WARC record parse (the e44/d16 read side): record split on
     * the version magic, header regexes, payload sliced by CONTENT-LENGTH.
     * Works identically on a batch or streaming binaryFile relation.
@@ -1631,35 +1671,10 @@ object Curation extends QueryBlock {
     "e57_sitemap_ingest" -> QueryDef(
       (s, dir) => {
         val smDir = writeSitemapFixture(s, dir)
-        s.read.format("binaryFile").load(smDir)
-          .select(regexp_extract(col("path"), "([^/]+)$", 1).as("fname"),
-            col("content").cast("string").as("xml"))
-          .filter(col("xml").contains("<urlset"))
-          .select(col("fname"), posexplode(arrays_zip(
-            regexp_extract_all(col("xml"), lit("<loc>([^<]+)</loc>"), lit(1)),
-            regexp_extract_all(col("xml"), lit("<lastmod>([^<]+)</lastmod>"), lit(1)),
-            regexp_extract_all(col("xml"), lit("<priority>([^<]+)</priority>"), lit(1)))))
-          .select(col("fname"), col("pos"),
-            expr("url_normalize(replace(col['0'], '&amp;', '&'))").as("url"),
-            to_date(col("col.1"), "yyyy-MM-dd").as("lastmod"),
-            col("col.2").cast("double").as("priority"))
+        sitemapProject(s.read.format("binaryFile").load(smDir))
           .orderBy(col("fname"), col("pos"))
       },
-      Some("""WITH d AS (SELECT doc_id, source, CAST(doc_id % 4 AS INT) AS b,
-            'https://' || source || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS base
-          FROM documents WHERE text IS NOT NULL),
-        x AS (SELECT doc_id, b,
-            CASE WHEN doc_id % 5 = 0 THEN base
-                 WHEN doc_id % 7 = 0 THEN base || '?a=1&b=2'
-                 ELSE base END AS url,
-            CAST('2026-' || lpad(CAST(1 + doc_id % 12 AS VARCHAR), 2, '0')
-              || '-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0') AS DATE) AS lastmod,
-            CAST(doc_id % 10 AS DOUBLE) / 10 AS priority
-          FROM d)
-        SELECT 'sitemap' || CAST(b AS VARCHAR) || '.xml' AS fname,
-          CAST(row_number() OVER (PARTITION BY b ORDER BY doc_id) - 1 AS INT) AS pos,
-          url, lastmod, priority
-        FROM x ORDER BY fname, pos""")),
+      Some(sitemapOracleSql)),
 
     // E58 — crawl-snapshot diff: given two crawls of the same sites, the
     // per-URL verdict added / removed / changed / unchanged by content

@@ -58,6 +58,34 @@ object GeoIO extends QueryBlock {
         FROM parquet_kv_metadata('$scratch/geo_footer/*.parquet')
         WHERE decode(key) = 'geo'""")),
 
+    // A3+ — GeoParquet 1.1 covering declaration (r9): the same footer
+    // check with `addBboxColumn = true` — the written key must carry the
+    // 1.1 `covering` object (four [column, field] bbox paths naming
+    // `__bbox_geometry`) and the 1.1.0 version stamp, and DuckDB reads
+    // the IDENTICAL bytes back out of the parquet key-value metadata.
+    // The a03 oracle shape: the engine under test is the write path.
+    "a07_geo_covering" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val out = s"$scratch/geo_covering"
+        val src = t(s, dir, "nation")
+          .select(col("n_nationkey"),
+            G.st_point(col("n_nationkey").cast("double"),
+              col("n_regionkey").cast("double")).as("geometry"))
+          .coalesce(1)
+        GeoParquet.write(src, out, Seq("geometry"), addBboxColumn = true)
+        val meta = GeoParquet.readMetadata(s, out).get
+        Seq((meta.toJson, meta.version,
+          meta.columns("geometry").covering.getOrElse("")))
+          .toDF("geo_json", "version", "covering")
+      },
+      Some(s"""SELECT DISTINCT decode(value) AS geo_json,
+          json_extract_string(decode(value), '$$.version') AS version,
+          json_extract_string(decode(value),
+            '$$.columns.geometry.covering.bbox.xmin[0]') AS covering
+        FROM parquet_kv_metadata('$scratch/geo_covering/*.parquet')
+        WHERE decode(key) = 'geo'""")),
+
     // A6+ — GeoJSON text interchange (graft.geo.GeoJson): geometry → RFC
     // 7946 text → geometry must be the IDENTICAL WKB (roundtrip_exact,
     // byte equality — constant-true in the oracle), with coordinates and

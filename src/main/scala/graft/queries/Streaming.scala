@@ -788,7 +788,29 @@ object Streaming extends QueryBlock {
         EventStreams.runToTable(s, verdicts, "d19_sink", mode = "append")
           .orderBy(col("doc_id"))
       },
-      Some(Curation.bloomOracleSql))
+      Some(Curation.bloomOracleSql)),
+
+    // D20 — sitemap ingest AS A STREAM (e57's deployment shape: sites
+    // republish sitemaps continuously; each trigger parses only the
+    // files that arrived). Same fixture writer and the SAME projection
+    // (Curation.sitemapProject — root-element discrimination included:
+    // the sitemapindex file arrives in its own trigger and contributes
+    // zero rows there too). Stateless per-file work → append mode; each
+    // row depends only on its file's bytes, so output is independent of
+    // micro-batch slicing (maxFilesPerTrigger=1 forces 5 triggers) and
+    // the oracle is e57's construction SQL verbatim.
+    "d20_stream_sitemap" -> QueryDef(
+      (s, dir) => {
+        val smDir = Curation.writeSitemapFixture(s, dir)
+        val raw = s.readStream.format("binaryFile")
+          .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+          .option("maxFilesPerTrigger", "1")
+          .load(smDir)
+        EventStreams.runToTable(s, Curation.sitemapProject(raw),
+            "d20_sink", mode = "append")
+          .orderBy(col("fname"), col("pos"))
+      },
+      Some(Curation.sitemapOracleSql))
   )
 }
 
