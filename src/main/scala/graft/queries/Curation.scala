@@ -1775,6 +1775,37 @@ object Curation extends QueryBlock {
         FROM docs JOIN mult ON docs.h = mult.h
         GROUP BY source ORDER BY source""")),
 
+    // E62 — CDX point lookup through the at-rest index layout
+    // (operators.PointLookupWrite): the e51 index re-written range-laid
+    // on urlkey with a parquet Bloom filter on digest, then probed by
+    // ONE digest — the "have we archived this exact content?" lookup a
+    // dedup-against-archive pass issues per candidate. The digest is a
+    // bounded 1-row lookup (the e03 precedent), the probe is a stock
+    // parquet scan whose EqualTo(digest) reaches PushedFilters (PlanSpec
+    // pin) — at petabyte scale that filter rides the per-row-group Bloom
+    // bitsets, so a miss never decodes a page. The oracle wraps the e51
+    // construction and filters it by the same digest arithmetic; if the
+    // layout rewrite dropped or duplicated a record, the row set breaks.
+    "e62_cdx_lookup" -> QueryDef(
+      (s, dir) => {
+        val warcDir = writeWarcCdxFixture(s, dir)
+        val idxDir = s"$scratch/cdx_idx_${new java.io.File(dir).getName}"
+        val index = cdxProject(graft.operators.WarcCdx.parse(
+          s.read.format("binaryFile").load(warcDir)))
+        graft.operators.PointLookupWrite.write(index, idxDir,
+          sortCol = "urlkey", bloomCols = Seq("digest"), files = 2,
+          ndvPerGroup = 1000L)
+        val target = t(s, dir, "documents")
+          .filter(col("doc_id") === 123)
+          .select(sha2(col("text"), 256)).collect().head.getString(0)
+        s.read.parquet(idxDir)
+          .filter(col("digest") === target)
+          .orderBy(col("fname"), col("rec"))
+      },
+      Some(s"""SELECT * FROM ($cdxOracleSql)
+        WHERE digest = sha256((SELECT text FROM documents WHERE doc_id = 123))
+        ORDER BY fname, rec""")),
+
     // E61 — composed FRONTIER pipeline (the e47 composition precedent,
     // frontier side): sitemap seeding → URL-seen filter → politeness
     // scheduling in ONE DAG. The e57 sitemap fixture seeds candidate

@@ -226,6 +226,19 @@ class PlanSpec extends AnyFunSuite {
     assert(winLine.contains("host"), s"window must partition by host:\n$winLine")
   }
 
+  test("E62 cdx lookup: the digest equality reaches PushedFilters on the index scan") {
+    // the point-lookup layout only pays off if the predicate reaches the
+    // parquet reader — pushed, it rides row-group stats and the digest
+    // Bloom bitsets; unpushed, every page decodes
+    val plan = planOf("e62_cdx_lookup")
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(digest"),
+      s"digest lookup not pushed to the scan:\n$plan")
+    // scan-only up to the oracle-canonicalization ORDER BY: the only
+    // exchange allowed is that sort's rangepartitioning
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("hashpartitioning"),
+      s"a point lookup must not shuffle beyond the final sort:\n$plan")
+  }
+
   test("E48 span dedup: shingle-df hash aggregate, doc-bounded window, no cartesian") {
     // The shingle document-frequency must be a partial+final hash
     // aggregate (a Window over the SHINGLE would hold unbounded state on
