@@ -1775,6 +1775,39 @@ object Curation extends QueryBlock {
         FROM docs JOIN mult ON docs.h = mult.h
         GROUP BY source ORDER BY source""")),
 
+    // E49b — robots.txt `Sitemap:` directive extraction: how sitemaps
+    // are DISCOVERED (the sitemaps.org/robots extension every crawler
+    // honors) — the link between e49's robots parse and e57's sitemap
+    // ingest in the frontier chain. Key matches case-insensitively at
+    // line start (a commented-out `# Sitemap:` must NOT extract), values
+    // are absolute URLs fed through url_normalize (the fixture plants a
+    // shouting-case host with an explicit :443 that must fold). One
+    // scan-local projection over the per-domain bodies.
+    "e49b_robots_sitemaps" -> QueryDef(
+      (s, dir) => {
+        val doms = t(s, dir, "documents").filter(col("text").isNotNull)
+          .select(concat(col("source"), lit(".example.com")).as("domain"))
+          .distinct()
+        doms.withColumn("content", concat(
+            lit("User-agent: *\nDisallow: /tmp/\nSitemap: https://"),
+            col("domain"),
+            lit("/sitemap0.xml\nsitemap: HTTPS://"), upper(col("domain")),
+            lit(":443/sm/other.xml\n# Sitemap: https://ignored.example.com/no.xml\n")))
+          .select(col("domain"), posexplode(expr(
+            "transform(regexp_extract_all(content, '(?im)^sitemap:[ \\\\t]*(\\\\S+)', 1)," +
+              " u -> url_normalize(u))")))
+          .select(col("domain"), col("pos"), col("col").as("sitemap_url"))
+          .orderBy(col("domain"), col("pos"))
+      },
+      Some("""WITH doms AS (SELECT DISTINCT source || '.example.com' AS domain
+          FROM documents WHERE text IS NOT NULL),
+        l AS (
+          SELECT domain, 0 AS pos,
+            'https://' || domain || '/sitemap0.xml' AS sitemap_url FROM doms
+          UNION ALL SELECT domain, 1,
+            'https://' || domain || '/sm/other.xml' FROM doms)
+        SELECT domain, pos, sitemap_url FROM l ORDER BY domain, pos""")),
+
     // E62 — CDX point lookup through the at-rest index layout
     // (operators.PointLookupWrite): the e51 index re-written range-laid
     // on urlkey with a parquet Bloom filter on digest, then probed by
