@@ -79,5 +79,7 @@ object GraftExtensions {
     fd("url_normalize", 1, classOf[UrlNormalizeExpr])(es => UrlNormalizeExpr(es.head)),
     fd("url_resolve", 2, classOf[UrlResolveExpr])(es => UrlResolveExpr(es(0), es(1))),
     fd("html_links", 1, classOf[HtmlLinksExpr])(es => HtmlLinksExpr(es.head)),
-    fd("split_sentences", 1, classOf[SentenceSplitExpr])(es => SentenceSplitExpr(es.head)))
+    fd("split_sentences", 1, classOf[SentenceSplitExpr])(es => SentenceSplitExpr(es.head)),
+    fd("detect_charset", 1, classOf[DetectCharsetExpr])(es => DetectCharsetExpr(es.head)),
+    fd("sniff_text", 1, classOf[SniffTextExpr])(es => SniffTextExpr(es.head)))
 }

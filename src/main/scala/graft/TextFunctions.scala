@@ -248,5 +248,6 @@ object TextFunctions extends Serializable {
     graft.functions.UrlResolve.register(spark)
     graft.functions.HtmlLinks.register(spark)
     graft.functions.SentenceSplit.register(spark)
+    graft.functions.CharsetSniff.register(spark)
   }
 }

@@ -1775,6 +1775,43 @@ object Curation extends QueryBlock {
         FROM docs JOIN mult ON docs.h = mult.h
         GROUP BY source ORDER BY source""")),
 
+    // E44c — charset SNIFFING for payloads with no declared charset
+    // (functions.CharsetSniff — the WHATWG no-declaration cascade: BOM →
+    // strict UTF-8 validation walk → windows-1252 fallback; e44b handles
+    // the DECLARED-charset case, this closes the header-less majority).
+    // The fixture synthesizes the three byte shapes in-query: a valid
+    // multi-byte UTF-8 tail, a cp1252 tail whose bytes REJECT under
+    // strict UTF-8 (93 94 85 96 — smart quotes/ellipsis/en-dash, which
+    // latin-1 would mis-decode as C1 controls), and a BOM-led payload
+    // whose BOM must be consumed, not emitted. The oracle states each
+    // branch's detected label and decoded text from construction. Pure
+    // scan-local codegen projection.
+    "e44c_charset_sniff" -> QueryDef(
+      (s, dir) =>
+        t(s, dir, "documents").filter(col("text").isNotNull)
+          .withColumn("bin",
+            when(col("doc_id") % 3 === 0,
+              concat(encode(col("text"), "UTF-8"), unhex(lit("20C3A9E282AC"))))
+            .when(col("doc_id") % 3 === 1,
+              concat(encode(col("text"), "UTF-8"), unhex(lit("2093948596"))))
+            .otherwise(concat(unhex(lit("EFBBBF")), encode(col("text"), "UTF-8"))))
+          .select(col("doc_id"),
+            expr("detect_charset(bin)").as("charset"),
+            expr("sniff_text(bin)").as("text_out"))
+          .withColumn("n_chars", length(col("text_out")))
+          .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+          CASE WHEN doc_id % 3 = 1 THEN 'windows-1252' ELSE 'UTF-8' END AS charset,
+          CASE CAST(doc_id % 3 AS INT)
+            WHEN 0 THEN text || ' é€'
+            WHEN 1 THEN text || ' ' || chr(8220) || chr(8221) || chr(8230) || chr(8211)
+            ELSE text END AS text_out,
+          CAST(length(CASE CAST(doc_id % 3 AS INT)
+            WHEN 0 THEN text || ' é€'
+            WHEN 1 THEN text || ' ' || chr(8220) || chr(8221) || chr(8230) || chr(8211)
+            ELSE text END) AS INT) AS n_chars
+        FROM documents WHERE text IS NOT NULL ORDER BY doc_id""")),
+
     // E49b — robots.txt `Sitemap:` directive extraction: how sitemaps
     // are DISCOVERED (the sitemaps.org/robots extension every crawler
     // honors) — the link between e49's robots parse and e57's sitemap
