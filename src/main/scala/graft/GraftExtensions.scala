@@ -81,5 +81,6 @@ object GraftExtensions {
     fd("html_links", 1, classOf[HtmlLinksExpr])(es => HtmlLinksExpr(es.head)),
     fd("split_sentences", 1, classOf[SentenceSplitExpr])(es => SentenceSplitExpr(es.head)),
     fd("detect_charset", 1, classOf[DetectCharsetExpr])(es => DetectCharsetExpr(es.head)),
-    fd("sniff_text", 1, classOf[SniffTextExpr])(es => SniffTextExpr(es.head)))
+    fd("sniff_text", 1, classOf[SniffTextExpr])(es => SniffTextExpr(es.head)),
+    fd("html_blocks", 1, classOf[HtmlBlocksExpr])(es => HtmlBlocksExpr(es.head)))
 }

@@ -249,5 +249,6 @@ object TextFunctions extends Serializable {
     graft.functions.HtmlLinks.register(spark)
     graft.functions.SentenceSplit.register(spark)
     graft.functions.CharsetSniff.register(spark)
+    graft.functions.HtmlBlocks.register(spark)
   }
 }

@@ -1845,6 +1845,52 @@ object Curation extends QueryBlock {
             'https://' || domain || '/sm/other.xml' FROM doms)
         SELECT domain, pos, sitemap_url FROM l ORDER BY domain, pos""")),
 
+    // E63 — main-content extraction by link density (jusText/trafilatura
+    // class, Pomikálek 2011): `html_blocks` segments a page into
+    // block-level text runs with per-block anchor-char counts (native
+    // extractor), then the boilerplate verdict is a COLUMN PREDICATE —
+    // link-dense or too-short blocks (nav, ad rails, footers) drop,
+    // long link-sparse blocks (the article) keep. The fixture plants a
+    // five-block page per document: nav (3 links), two content blocks
+    // from the document text, an ad aside and a link-only footer; the
+    // oracle re-derives every block's text, link count AND verdict from
+    // construction — including the cases where a short document makes a
+    // content block fail the length gate, which both engines must agree
+    // on. Scan-local flatMap, zero shuffle; composes with e40 downstream.
+    "e63_main_content" -> QueryDef(
+      (s, dir) =>
+        t(s, dir, "documents").filter(col("text").isNotNull)
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .filter(size(col("toks")) >= 18)
+          .withColumn("html", concat(
+            lit("<html><body><nav><a href=\"/\">home</a> <a href=\"/a\">about</a>" +
+              " <a href=\"/c\">contact</a></nav><p>"),
+            array_join(slice(col("toks"), 1, 10), " "),
+            lit("</p><div>"),
+            array_join(slice(col("toks"), 11, 8), " "),
+            lit(" extra words</div><aside>ads: <a href=\"/buy\">buy</a>" +
+              " <a href=\"/now\">now</a></aside><footer><a href=\"/tos\">terms</a>" +
+              " | <a href=\"/priv\">privacy</a></footer></body></html>")))
+          .select(col("doc_id"), posexplode(expr("html_blocks(html)")))
+          .select(col("doc_id"), col("pos"),
+            col("col.txt").as("txt"), col("col.links").as("links"))
+          .withColumn("kept",
+            col("links") * 2 < length(col("txt")) && length(col("txt")) >= 20)
+          .orderBy(col("doc_id"), col("pos")),
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+          FROM documents WHERE text IS NOT NULL),
+        f AS (SELECT doc_id, toks FROM d WHERE len(toks) >= 18),
+        l AS (
+          SELECT doc_id, 0 AS pos, 'home about contact' AS txt, 16 AS links FROM f
+          UNION ALL SELECT doc_id, 1, array_to_string(toks[1:10], ' '), 0 FROM f
+          UNION ALL SELECT doc_id, 2,
+            array_to_string(toks[11:18], ' ') || ' extra words', 0 FROM f
+          UNION ALL SELECT doc_id, 3, 'ads: buy now', 6 FROM f
+          UNION ALL SELECT doc_id, 4, 'terms | privacy', 12 FROM f)
+        SELECT doc_id, pos, txt, CAST(links AS INT) AS links,
+          (links * 2 < length(txt) AND length(txt) >= 20) AS kept
+        FROM l ORDER BY doc_id, pos""")),
+
     // E62 — CDX point lookup through the at-rest index layout
     // (operators.PointLookupWrite): the e51 index re-written range-laid
     // on urlkey with a parquet Bloom filter on digest, then probed by

@@ -66,6 +66,24 @@ class TextScalarFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("html_blocks: never throws; per-block invariants hold on every soup") {
+    val rnd = new scala.util.Random(47)
+    (0 until 1000).foreach { i =>
+      val in = soup(htmlFragments ++ Array("<p>", "</p>", "<div>", "<br>",
+        "<a href=x>", "</a>", "<nav>", "</footer>"), rnd)
+      val arr = graft.functions.HtmlBlocks.blocks(UTF8String.fromString(in))
+      (0 until arr.numElements()).foreach { j =>
+        val r = arr.getStruct(j, 2)
+        val txt = r.getUTF8String(0).toString
+        val links = r.getInt(1)
+        assert(txt.nonEmpty && txt == txt.trim && !txt.contains("  "),
+          s"[$i/$j] block not collapsed/trimmed: '$txt'")
+        assert(links >= 0 && links <= txt.length,
+          s"[$i/$j] link chars $links out of range for '$txt'")
+      }
+    }
+  }
+
   test("url_resolve: never throws; absolute results start with the base or ref scheme") {
     val rnd = new scala.util.Random(45)
     val bases = Array("http://a/b/c/d;p?q", "https://h", "ftp://x/y/", "junk", "")
