@@ -1845,6 +1845,58 @@ object Curation extends QueryBlock {
             'https://' || domain || '/sm/other.xml' FROM doms)
         SELECT domain, pos, sitemap_url FROM l ORDER BY domain, pos""")),
 
+    // E65 — WITHIN-document line dedup: the intra-page half of repetition
+    // cleanup (e40 drops corpus-frequent boilerplate ACROSS documents;
+    // this drops a line repeated INSIDE one page — chat transcripts,
+    // scraped pagination, duplicated CTAs — keeping the FIRST occurrence
+    // in order). The fixture plants two repeat classes per document: the
+    // first content line re-appended at the end and a doubled CTA line.
+    // first-occurrence = row_number over (doc_id, line) by position —
+    // the window partitions by (doc_id, line), so state is bounded by
+    // within-document multiplicity (the e48 doc-bounded-window rule;
+    // never a corpus-keyed window); reassembly groups by doc_id,
+    // bounded by document length.
+    "e65_within_doc_dedup" -> QueryDef(
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id"), col("line")).orderBy(col("pos"))
+        t(s, dir, "documents").filter(col("text").isNotNull)
+          .select(col("doc_id"), expr(
+            """concat(
+                 transform(sequence(0, CAST((size(split(text, ' ')) - 1) / 8 AS INT)),
+                   i -> array_join(slice(split(text, ' '), i * 8 + 1, 8), ' ')),
+                 array(array_join(slice(split(text, ' '), 1, 8), ' ')),
+                 array('subscribe to the newsletter', 'subscribe to the newsletter'))""")
+            .as("lines"))
+          .select(col("doc_id"), posexplode(col("lines")).as(Seq("pos", "line")))
+          .withColumn("rn", row_number().over(w))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_lines"),
+            sum(when(col("rn") === 1, 1).otherwise(0)).as("n_kept"),
+            array_join(expr(
+              "transform(sort_array(collect_list(CASE WHEN rn = 1 THEN struct(pos, line) END)), x -> x.line)"),
+              "\n").as("cleaned"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+          FROM documents WHERE text IS NOT NULL),
+        ln AS (SELECT doc_id,
+            list_concat(list_concat(
+              list_transform(generate_series(0, (len(toks) - 1) // 8),
+                i -> array_to_string(toks[i*8 + 1 : i*8 + 8], ' ')),
+              [array_to_string(toks[1:8], ' ')]),
+              ['subscribe to the newsletter', 'subscribe to the newsletter']) AS lines
+          FROM d),
+        e AS (SELECT doc_id, CAST(u.i - 1 AS INT) AS pos, lines[u.i] AS line
+          FROM ln, UNNEST(generate_series(1, len(lines))) AS u(i)),
+        r AS (SELECT doc_id, pos, line,
+            row_number() OVER (PARTITION BY doc_id, line ORDER BY pos) AS rn
+          FROM e)
+        SELECT doc_id, count(*) AS n_lines,
+          CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+          string_agg(CASE WHEN rn = 1 THEN line END, chr(10) ORDER BY pos) AS cleaned
+        FROM r GROUP BY doc_id ORDER BY doc_id""")),
+
     // E63 — main-content extraction by link density (jusText/trafilatura
     // class, Pomikálek 2011): `html_blocks` segments a page into
     // block-level text runs with per-block anchor-char counts (native
