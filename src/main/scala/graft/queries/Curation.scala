@@ -1845,6 +1845,85 @@ object Curation extends QueryBlock {
             'https://' || domain || '/sm/other.xml' FROM doms)
         SELECT domain, pos, sitemap_url FROM l ORDER BY domain, pos""")),
 
+    // E66 — recrawl priority scheduling: the frontier's DECISION function
+    // for a second crawl — what to fetch next is worth × change-rate ×
+    // politeness. Composes three constructions already under oracle:
+    // e58's snapshot diff supplies per-URL status (changed pages revisit
+    // hottest, added next, unchanged last; removed pages leave the
+    // frontier), the e45 link-graph construction supplies domain
+    // authority as in-degree (the 1-step PageRank proxy — dimension-
+    // scale, derivable in closed form), and e56's per-host slotting
+    // turns priority order into dispatch times at each host's crawl
+    // delay. priority = status-weight × (1 + indegree); ties break by
+    // the seedless md5 rank. ONE host-keyed shuffle for the windows;
+    // the authority join is a broadcast-sized dimension.
+    "e66_recrawl_priority" -> QueryDef(
+      (s, dir) => {
+        val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+          .select(col("doc_id"), col("source"))
+        val b = docs.filter(col("doc_id") % 11 =!= 5)
+          .select(col("source"),
+            concat(lit("https://"), col("source"), lit(".example.com/p/"),
+              col("doc_id")).as("url"),
+            when(col("doc_id") % 11 === 3, lit("changed"))
+              .otherwise(lit("unchanged")).as("status"))
+          .unionByName(docs.filter(col("doc_id") % 13 === 2)
+            .select(col("source"),
+              concat(lit("https://"), col("source"), lit(".example.com/p/"),
+                col("doc_id") + 20000L).as("url"),
+              lit("added").as("status")))
+        val edges = docs
+          .select(col("source").as("src"),
+            concat(lit("src"), col("doc_id") % 7).as("dst"))
+          .filter(col("src") =!= col("dst")).distinct()
+        val indeg = edges.groupBy(col("dst"))
+          .agg(countDistinct(col("src")).as("ind"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("host"))
+          .orderBy(col("priority").desc, md5(col("url").cast("binary")), col("url"))
+        b.join(broadcast(indeg), b("source") === indeg("dst"), "left")
+          .select(col("source"), col("url"), col("status"),
+            coalesce(col("ind"), lit(0L)).cast("int").as("indeg"))
+          .withColumn("host", concat(col("source"), lit(".example.com")))
+          .withColumn("priority",
+            (when(col("status") === "changed", 3)
+              .when(col("status") === "added", 2).otherwise(1)
+              * (lit(1) + col("indeg"))).cast("int"))
+          .withColumn("delay_ms",
+            (lit(500) + lit(250) * (length(col("source")) - 4)).cast("int"))
+          .withColumn("slot", (row_number().over(w) - 1).cast("int"))
+          .withColumn("sched_ms", (col("slot") * col("delay_ms")).cast("bigint"))
+          .select(col("url"), col("host"), col("status"), col("indeg"),
+            col("priority"), col("slot"), col("sched_ms"))
+          .orderBy(col("host"), col("slot"))
+      },
+      Some("""WITH docs AS (SELECT doc_id, source
+          FROM documents WHERE text IS NOT NULL),
+        b AS (SELECT source,
+            'https://' || source || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url,
+            CASE WHEN doc_id % 11 = 3 THEN 'changed' ELSE 'unchanged' END AS status
+          FROM docs WHERE doc_id % 11 <> 5
+          UNION ALL SELECT source,
+            'https://' || source || '.example.com/p/' || CAST(doc_id + 20000 AS VARCHAR),
+            'added'
+          FROM docs WHERE doc_id % 13 = 2),
+        edges AS (SELECT DISTINCT source AS src,
+            'src' || CAST(doc_id % 7 AS VARCHAR) AS dst
+          FROM docs WHERE source <> 'src' || CAST(doc_id % 7 AS VARCHAR)),
+        ind AS (SELECT dst, count(DISTINCT src) AS ind FROM edges GROUP BY dst),
+        p AS (SELECT b.url, b.status,
+            CAST(coalesce(ind.ind, 0) AS INT) AS indeg,
+            CAST((CASE b.status WHEN 'changed' THEN 3 WHEN 'added' THEN 2
+              ELSE 1 END) * (1 + coalesce(ind.ind, 0)) AS INT) AS priority,
+            b.source || '.example.com' AS host,
+            CAST(500 + 250 * (length(b.source) - 4) AS INT) AS delay_ms
+          FROM b LEFT JOIN ind ON ind.dst = b.source)
+        SELECT url, host, status, indeg, priority,
+          CAST(row_number() OVER w - 1 AS INT) AS slot,
+          CAST((row_number() OVER w - 1) * delay_ms AS BIGINT) AS sched_ms
+        FROM p WINDOW w AS (PARTITION BY host ORDER BY priority DESC, md5(url), url)
+        ORDER BY host, slot""")),
+
     // E65 — WITHIN-document line dedup: the intra-page half of repetition
     // cleanup (e40 drops corpus-frequent boilerplate ACROSS documents;
     // this drops a line repeated INSIDE one page — chat transcripts,
