@@ -81,6 +81,8 @@ object Graft {
     graft.functions.WkbOverlay.register(spark) // native buffer/hull/union/intersection/srid
     graft.functions.JsonGetScalar.register(spark)
     graft.functions.PackAscii8.register(spark)
+    graft.functions.HtmlMeta.register(spark)
+    graft.functions.MetaCharset.register(spark)
     graft.functions.WkbAccessors.register(spark) // after UDF registry: SQL
     // names st_x/st_y route to the native expressions
     graft.plans.SpatialFilterRule.register(spark)
@@ -232,6 +234,16 @@ object Graft {
     else
       conv(hex(encode(rpad(c, n, "\u0000"), "UTF-8")), 16, 10).cast("long")
   }
+
+  /** Fused `packAsciiPrefix(upper(substring(c,1,8)), 8)`: one byte walk,
+    * zero intermediate allocations (PackUpperAscii8 scaladoc has the
+    * attribution). NULL — and therefore c27's fail-loudly `__na` flag —
+    * fires on ANY non-ASCII byte in the 8-byte prefix, a strictly wider
+    * enforcement of the same documented ASCII precondition.
+    */
+  def packUpperAsciiPrefix8(c: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      functions.PackUpperAscii8(org.apache.spark.sql.GraftColumnBridge.expression(c)))
 
   /** Inverse of [[packAsciiPrefix]]: the packed long back to the prefix
     * string (trailing NUL padding stripped). Runs post-aggregation over

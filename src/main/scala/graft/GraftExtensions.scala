@@ -72,6 +72,7 @@ object GraftExtensions {
     fd("cosine_sim", 2, classOf[CosineSimilarity])(es => CosineSimilarity(es(0), es(1))),
     fd("graft_json_get", 2, classOf[JsonGetScalar])(es => JsonGetScalar(es(0), es(1))),
     fd("pack_ascii8", 1, classOf[PackAscii8])(es => PackAscii8(es.head)),
+    fd("pack_upper_ascii8", 1, classOf[PackUpperAscii8])(es => PackUpperAscii8(es.head)),
     fd("char_trigrams", 1, classOf[CharTrigrams])(es => CharTrigrams(es.head)),
     fd("nfc_normalize", 1, classOf[NfcNormalize])(es => NfcNormalize(es.head)),
     fd("strip_accents", 1, classOf[StripAccents])(es => StripAccents(es.head)),
@@ -82,5 +83,9 @@ object GraftExtensions {
     fd("split_sentences", 1, classOf[SentenceSplitExpr])(es => SentenceSplitExpr(es.head)),
     fd("detect_charset", 1, classOf[DetectCharsetExpr])(es => DetectCharsetExpr(es.head)),
     fd("sniff_text", 1, classOf[SniffTextExpr])(es => SniffTextExpr(es.head)),
-    fd("html_blocks", 1, classOf[HtmlBlocksExpr])(es => HtmlBlocksExpr(es.head)))
+    fd("html_blocks", 1, classOf[HtmlBlocksExpr])(es => HtmlBlocksExpr(es.head)),
+    fd("html_meta", 1, classOf[HtmlMetaExpr])(es => HtmlMetaExpr(es.head)),
+    fd("meta_charset", 1, classOf[MetaCharsetExpr])(es => MetaCharsetExpr(es.head)),
+    fd("detect_charset_html", 1, classOf[DetectCharsetHtmlExpr])(es => DetectCharsetHtmlExpr(es.head)),
+    fd("sniff_text_html", 1, classOf[SniffTextHtmlExpr])(es => SniffTextHtmlExpr(es.head)))
 }

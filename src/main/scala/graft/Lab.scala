@@ -312,10 +312,45 @@ object Lab {
     V("p_docs_pack", "", (s, dir) =>
       t(s, dir, "documents").agg(
         max(packAsciiPrefix(upper(substring(col("text"), 1, 8)), 8)).as("mp"))),
+    // the pre-r9 shipping form: composed substring+upper+pack (two
+    // UTF8String allocations/row) vs the fused pack_upper_ascii8 now in
+    // c27_strings — paired to quantify the fusion win
+    V("c27_composed", "c27_strings", (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("lang"), col("source"), length(col("text")).as("len"),
+          packAsciiPrefix(upper(substring(col("text"), 1, 8)), 8).as("pk"))
+        .groupBy(col("lang"), col("source"))
+        .agg(
+          sum(col("len")).as("len_sum"), count(lit(1)).as("n"),
+          max(col("pk")).as("pk"),
+          max(when(col("pk").isNull && col("len").isNotNull, lit(1))
+            .otherwise(lit(0))).as("__na"))
+        .groupBy(col("lang"))
+        .agg(count(col("source")).as("nd_source"),
+          (sum(col("len_sum")).cast("double") / sum(col("n"))).as("avg_len"),
+          max(col("pk")).as("pkm"), max(col("__na")).as("__na"))
+        .select(col("lang"), col("nd_source"), col("avg_len"),
+          when(col("__na") === 1, raise_error(lit("c27_composed: non-ASCII")))
+            .otherwise(unpackPrefix(col("pkm"))).as("max_head"))
+        .orderBy(col("lang").asc_nulls_last)),
     V("c27_nosort", "", (s, dir) =>
       t(s, dir, "documents")
         .select(col("lang"), col("source"), length(col("text")).as("len"),
           packAsciiPrefix(upper(substring(col("text"), 1, 8)), 8).as("pk"))
+        .groupBy(col("lang"), col("source"))
+        .agg(sum(col("len")).as("len_sum"), count(lit(1)).as("n"),
+          max(col("pk")).as("pk"))
+        .groupBy(col("lang"))
+        .agg(count(col("source")).as("nd_source"),
+          (sum(col("len_sum")).cast("double") / sum(col("n"))).as("avg_len"),
+          max(col("pk")).as("pkm"))),
+    // isolated pair for the r9 fusion measurement: identical plan to
+    // c27_nosort except the prefix pack (composed chain there, fused
+    // pack_upper_ascii8 here) — the delta is the per-row allocation cost
+    V("c27_fused_nosort", "", (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("lang"), col("source"), length(col("text")).as("len"),
+          packUpperAsciiPrefix8(col("text")).as("pk"))
         .groupBy(col("lang"), col("source"))
         .agg(sum(col("len")).as("len_sum"), count(lit(1)).as("n"),
           max(col("pk")).as("pk"))

@@ -2121,6 +2121,145 @@ object Curation extends QueryBlock {
           CAST(row_number() OVER w - 1 AS INT) AS slot, delay_ms,
           CAST((row_number() OVER w - 1) * delay_ms AS BIGINT) AS sched_ms
         FROM fresh WINDOW w AS (PARTITION BY host ORDER BY md5(url), url)
-        ORDER BY host, slot"""))
+        ORDER BY host, slot""")),
+
+    // E67 — page-metadata extraction (functions.HtmlMeta): the WAT-stage
+    // fields next to e54's outlinks — title, meta description, html
+    // lang, meta-declared charset — as ONE struct-returning codegen
+    // scalar sharing html_text's tag discipline. The fixture page per
+    // document plants every trap class: a commented-out decoy title AND
+    // a commented-out <meta charset=klingon> (both must not extract), a
+    // document.write('<title>') inside script RAWTEXT, a quoted-'>'
+    // attribute before the real title, double-spaced entity-bearing
+    // title/description (decode once, collapse, trim), a SECOND title
+    // that must lose to the first, shouting-case attribute names
+    // (CHARSET=, Description), and both charset declaration forms
+    // (charset attr / http-equiv content-type) plus a non-content-type
+    // http-equiv that must yield nothing. html_meta reports the charset
+    // FIELD as authored (lowercased, unfolded) — the byte-level prescan
+    // in e44d is the one that folds labels for decoding. Scan-local
+    // projection, zero shuffle at any scale.
+    "e67_html_meta" -> QueryDef(
+      (s, dir) => {
+        val m = col("m")
+        t(s, dir, "documents").filter(col("text").isNotNull)
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .filter(size(col("toks")) >= 14)
+          .withColumn("m", (col("doc_id") % 5).cast("int"))
+          .withColumn("langAttr",
+            when(col("doc_id") % 2 === 0, lit("EN-us")).otherwise(lit("fr")))
+          .withColumn("csMeta",
+            when(m === 0, lit("<meta charset=\"UTF-8\">"))
+              .when(m === 1, lit("<meta http-equiv=\"Content-Type\"" +
+                " content=\"text/html; charset=Windows-1252\">"))
+              .when(m === 3, lit("<meta CHARSET=iso-8859-1>"))
+              .when(m === 4, lit("<meta http-equiv=\"refresh\" content=\"5\">"))
+              .otherwise(lit("")))
+          .withColumn("html", concat(
+            lit("<html lang=\""), col("langAttr"), lit("\"><head>"),
+            lit("<!-- <title>ghost</title><meta charset=klingon> -->"),
+            col("csMeta"),
+            lit("<div data-x=\"a>b\"></div>"),
+            lit("<script>document.write('<title>js</title>')</script>"),
+            lit("<title>  "), array_join(slice(col("toks"), 1, 5), " "),
+            lit("  &amp;  x  </title>"),
+            lit("<meta name=\"Description\" content=\""),
+            array_join(slice(col("toks"), 11, 4), " "),
+            lit(" &amp; tail\"><title>second</title></head>"),
+            lit("<body><p>body</p></body></html>")))
+          .select(col("doc_id"), expr("html_meta(html)").as("hm"))
+          .select(col("doc_id"),
+            col("hm.title").as("title"),
+            col("hm.description").as("description"),
+            col("hm.lang").as("lang"),
+            col("hm.charset").as("charset"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+          FROM documents WHERE text IS NOT NULL),
+        f AS (SELECT doc_id, toks, CAST(doc_id % 5 AS INT) AS m
+          FROM d WHERE len(toks) >= 14)
+        SELECT doc_id,
+          array_to_string(toks[1:5], ' ') || ' & x' AS title,
+          array_to_string(toks[11:14], ' ') || ' & tail' AS description,
+          CASE WHEN doc_id % 2 = 0 THEN 'en-us' ELSE 'fr' END AS lang,
+          CASE m WHEN 0 THEN 'utf-8' WHEN 1 THEN 'windows-1252'
+            WHEN 3 THEN 'iso-8859-1' ELSE NULL END AS charset
+        FROM f ORDER BY doc_id""")),
+
+    // E44d — the IN-DOCUMENT rung of the WHATWG encoding sniffer
+    // (functions.MetaCharset): e44b applies the TRANSPORT declaration,
+    // e44c the no-declaration cascade; real header-less HTML mostly
+    // declares its charset in a <meta>, which browsers find by
+    // prescanning the first 1024 BYTES before any decode. The cascade
+    // here is BOM → meta prescan → strict UTF-8 validation →
+    // windows-1252, and the branch set proves each precedence edge:
+    // the mojibake branch (VALID UTF-8 bytes declaring windows-1252
+    // must decode as 1252 — declaration outranks validity, exactly as
+    // browsers render it), BOM outranking a contradicting meta, an
+    // unknown label (klingon) falling through, a comment-hidden meta
+    // not counting, a meta past the 1024-byte window not counting, and
+    // the Encoding-Standard folds (utf-16 label → utf-8 on a byte
+    // stream, iso-8859-1 family → windows-1252 via e44c's C1 rule).
+    // Labels report their rung: prescan labels are Encoding-Standard
+    // lowercase, BOM/validation labels java-canonical uppercase — the
+    // label itself says which rung fired. Scan-local projection.
+    "e44d_meta_prescan" -> QueryDef(
+      (s, dir) => {
+        val m = col("m")
+        t(s, dir, "documents").filter(col("text").isNotNull)
+          .withColumn("m", (col("doc_id") % 8).cast("int"))
+          .withColumn("pre",
+            when(m === 0, lit("<meta charset=windows-1252>"))
+              .when(m === 1, lit("<meta http-equiv=\"Content-Type\"" +
+                " content=\"text/html; charset=Windows-1252\">"))
+              .when(m === 2, lit(""))
+              .when(m === 3, lit("<meta charset=windows-1252>"))
+              .when(m === 4, lit("<meta charset=klingon>"))
+              .when(m === 5, lit("<!--<meta charset=utf-8>-->"))
+              .when(m === 6, concat(expr("repeat('x', 1040)"),
+                lit("<meta charset=windows-1252>")))
+              .otherwise(lit("<meta charset=UTF-16>")))
+          .withColumn("bin", concat(
+            when(m === 3, unhex(lit("EFBBBF"))).otherwise(unhex(lit(""))),
+            encode(concat(col("pre"), col("text")), "UTF-8"),
+            when(m.isin(0, 4, 5), unhex(lit("2093948596")))
+              .otherwise(unhex(lit("20C3A9E282AC")))))
+          .select(col("doc_id"),
+            expr("meta_charset(bin)").as("meta_label"),
+            expr("detect_charset_html(bin)").as("charset"),
+            expr("sniff_text_html(bin)").as("text_out"))
+          .withColumn("n_chars", length(col("text_out")))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (SELECT doc_id, text, CAST(doc_id % 8 AS INT) AS m
+          FROM documents WHERE text IS NOT NULL),
+        c AS (SELECT doc_id, m,
+          CASE m
+            WHEN 0 THEN '<meta charset=windows-1252>'
+            WHEN 1 THEN '<meta http-equiv="Content-Type" content="text/html; charset=Windows-1252">'
+            WHEN 2 THEN ''
+            WHEN 3 THEN '<meta charset=windows-1252>'
+            WHEN 4 THEN '<meta charset=klingon>'
+            WHEN 5 THEN '<!--<meta charset=utf-8>-->'
+            WHEN 6 THEN repeat('x', 1040) || '<meta charset=windows-1252>'
+            ELSE '<meta charset=UTF-16>' END || text ||
+          CASE WHEN m IN (0, 4, 5)
+            THEN ' ' || chr(8220) || chr(8221) || chr(8230) || chr(8211)
+            WHEN m = 1
+            THEN ' ' || chr(195) || chr(169) || chr(226) || chr(8218) || chr(172)
+            ELSE ' ' || chr(233) || chr(8364) END AS text_out
+          FROM d)
+        SELECT d.doc_id,
+          CASE d.m WHEN 0 THEN 'windows-1252' WHEN 1 THEN 'windows-1252'
+            WHEN 3 THEN 'windows-1252' WHEN 7 THEN 'utf-8'
+            ELSE NULL END AS meta_label,
+          CASE d.m WHEN 0 THEN 'windows-1252' WHEN 1 THEN 'windows-1252'
+            WHEN 2 THEN 'UTF-8' WHEN 3 THEN 'UTF-8' WHEN 4 THEN 'windows-1252'
+            WHEN 5 THEN 'windows-1252' WHEN 6 THEN 'UTF-8'
+            ELSE 'utf-8' END AS charset,
+          c.text_out,
+          CAST(length(c.text_out) AS INT) AS n_chars
+        FROM d JOIN c ON d.doc_id = c.doc_id ORDER BY d.doc_id"""))
   )
 }

@@ -459,11 +459,14 @@ object Relational extends QueryBlock {
     // fusion serialized it for ~40 ms of single-task latency), and the
     // final order is TakeOrderedAndProject over the bounded lang domain.
     // 319→141→~105 ms at sf0.1; plan is HashAggregate end-to-end.
+    // r9: the prefix pack is the FUSED pack_upper_ascii8 — one byte walk
+    // replacing substring+upper+pack (two UTF8String allocations/row); the
+    // composed form stays as Lab's c27_composed for the paired measurement.
     "c27_strings" -> QueryDef(
       (s, dir) =>
         t(s, dir, "documents")
           .select(col("lang"), col("source"), length(col("text")).as("len"),
-            packAsciiPrefix(upper(substring(col("text"), 1, 8)), 8).as("pk"))
+            packUpperAsciiPrefix8(col("text")).as("pk"))
           .groupBy(col("lang"), col("source"))
           .agg(
             sum(col("len")).as("len_sum"),

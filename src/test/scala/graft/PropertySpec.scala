@@ -118,6 +118,36 @@ class PropertySpec extends AnyFunSuite {
       got.map(_._1.take(8)).sorted.toSeq)
   }
 
+  test("PROP: pack_upper_ascii8 is bit-identical to the composed chain on ASCII") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val asciiGen = for {
+      n <- Gen.chooseNum(0, 20)
+      cs <- Gen.listOfN(n, Gen.chooseNum(32, 126).map(_.toChar))
+    } yield cs.mkString
+    val strs = samples(asciiGen, 300).distinct
+    val rows = strs.toDF("s")
+      .select(col("s"),
+        Graft.packUpperAsciiPrefix8(col("s")).as("fused"),
+        Graft.packAsciiPrefix(upper(substring(col("s"), 1, 8)), 8).as("composed"))
+      .collect()
+    rows.foreach { r =>
+      assert(!r.isNullAt(1) && !r.isNullAt(2), s"NULL on ASCII '${r.getString(0)}'")
+      assert(r.getLong(1) === r.getLong(2), s"parity on '${r.getString(0)}'")
+    }
+    // the wider fail-loudly envelope: non-ASCII ANYWHERE in the 8-byte
+    // prefix -> NULL from the fused form (the composed chain NULLs only on
+    // a post-upper non-ASCII LEAD byte — e.g. the 'ab<e-acute>' case below
+    // packs bytes there but refuses here, by design)
+    val hostile = Seq("éabc", "abécd", "abcdefgé", "abcdefghé")
+    val hv = hostile.toDF("s")
+      .select(Graft.packUpperAsciiPrefix8(col("s")).as("p")).collect()
+    assert(hv(0).isNullAt(0) && hv(1).isNullAt(0) && hv(2).isNullAt(0),
+      "non-ASCII inside the prefix must NULL")
+    assert(!hv(3).isNullAt(0), "non-ASCII past byte 8 is outside the pack")
+  }
+
   test("PROP: hash sampling variants select ~the declared rate, deterministically") {
     val spark = TestSpark.spark
     import spark.implicits._
