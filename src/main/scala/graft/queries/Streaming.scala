@@ -810,7 +810,90 @@ object Streaming extends QueryBlock {
             "d20_sink", mode = "append")
           .orderBy(col("fname"), col("pos"))
       },
-      Some(Curation.sitemapOracleSql))
+      Some(Curation.sitemapOracleSql)),
+
+    // D21 — SEQUENCE PACKING AS A STREAM (e68's deployment shape: the
+    // tokenize-and-pack tail of the pipeline runs continuously as
+    // cleaned documents land; each trigger extends every source's token
+    // stream and emits each 128-token window the moment it fills). The
+    // carry between triggers — operators.StreamPack's
+    // flatMapGroupsWithState state — is the under-L token tail plus the
+    // next sequence number per source: STRICTLY BOUNDED by L per key no
+    // matter how long the stream runs, the textbook case for arbitrary
+    // stateful processing over an unbounded stream. Packing is per
+    // SOURCE (the shard key a production packer uses; a single global
+    // stream would serialize on one state key). Batch parity requires
+    // per-source doc order: the fixture range-partitions doc_id into 4
+    // files with increasing mtimes (file source processes oldest-first,
+    // one per trigger), and each trigger's group sorts its own arrivals
+    // — so sequences that SPAN file boundaries prove the carry works.
+    // Oracle = e68's construction partitioned by source; a sequence
+    // number, boundary token or digest off anywhere breaks it.
+    "d21_stream_pack" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val fixDir = s"${Graft.scratchDir}/d21_docs_${new java.io.File(dir).getName}"
+        val docs = Tables(s, dir, "documents").filter(col("text").isNotNull)
+          .select(col("doc_id"), col("source"), col("text"))
+        val maxId = docs.agg(max("doc_id")).head.getLong(0)
+        val w = maxId / 4 + 1
+        val fd = new java.io.File(fixDir)
+        if (fd.exists()) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(fd.toPath).iterator().asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        }
+        fd.mkdirs()
+        (0 until 4).foreach { i =>
+          val tmp = s"$fixDir/_tmp$i"
+          docs.filter(col("doc_id") >= i * w && col("doc_id") < (i + 1) * w)
+            .coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          val dst = new java.io.File(s"$fixDir/f$i.parquet")
+          java.nio.file.Files.move(part.toPath, dst.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          dst.setLastModified(1700000000000L + i * 60000L)
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(java.nio.file.Paths.get(tmp)).iterator()
+            .asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        }
+        val typed = s.readStream
+          .schema("doc_id LONG, source STRING, text STRING")
+          .option("maxFilesPerTrigger", "1")
+          .parquet(fixDir)
+          .as[(Long, String, String)]
+        val packed = typed.groupByKey(_._2)
+          .flatMapGroupsWithState[graft.operators.StreamPack.Carry,
+            (String, Long, String)](
+            OutputMode.Append, GroupStateTimeout.NoTimeout)(
+            graft.operators.StreamPack.pack)
+          .toDF("source", "seq_no", "joined")
+        EventStreams.runToTable(s, packed, "d21_sink", mode = "append")
+          .select(col("source"), col("seq_no"),
+            substring_index(col("joined"), " ", 1).as("first_tok"),
+            substring_index(col("joined"), " ", -1).as("last_tok"),
+            md5(col("joined").cast("binary")).as("digest"))
+          .orderBy(col("source"), col("seq_no"))
+      },
+      Some("""WITH d AS (SELECT doc_id, source,
+            list_concat(string_split(text, ' '), ['</s>']) AS toks
+          FROM documents WHERE text IS NOT NULL),
+        n AS (SELECT doc_id, source, toks,
+            CAST(len(toks) AS BIGINT) AS n_toks FROM d),
+        o AS (SELECT doc_id, source, toks,
+            sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id) - n_toks
+              AS doc_off FROM n),
+        tok AS (SELECT source, doc_off + i - 1 AS gpos, toks[i] AS tok
+          FROM o, UNNEST(generate_series(1, len(toks))) AS t(i)),
+        sq AS (SELECT source, gpos // 128 AS seq_no, count(*) AS n,
+            arg_min(tok, gpos) AS first_tok, arg_max(tok, gpos) AS last_tok,
+            md5(string_agg(tok, ' ' ORDER BY gpos)) AS digest
+          FROM tok GROUP BY 1, 2)
+        SELECT source, CAST(seq_no AS BIGINT) AS seq_no, first_tok, last_tok,
+          digest
+        FROM sq WHERE n = 128 ORDER BY source, seq_no"""))
   )
 }
 
