@@ -1,0 +1,554 @@
+package graft.operators
+
+/** PDF text extraction — the remaining high-volume document format a
+  * crawl-scale training pipeline ingests after HTML (public spec:
+  * ISO 32000-1 / the classic PDF 1.4 subset). REAL parsing, no stubs:
+  *
+  *  - classic cross-reference TABLES from `startxref`, multi-subsection,
+  *    `/Prev` chains (newest entry wins); PDF 1.5+ cross-reference
+  *    STREAMS are out of envelope and reject cleanly to None;
+  *  - a full object parser: dicts (nested), arrays, names, numbers,
+  *    literal strings (nested parens, every escape class, octal,
+  *    line-continuation), hex strings (odd-digit pad), refs (`N G R`
+  *    with rollback lookahead), booleans/null, comments;
+  *  - the document graph: trailer `/Root` → catalog `/Pages` → NESTED
+  *    page-tree walk (Kids of Pages of Pages, in order, cycle-guarded)
+  *    → per-page `/Contents` (single stream or array — multiple streams
+  *    concatenate with a separator per spec);
+  *  - streams framed by `/Length` (direct or INDIRECT ref), decoded
+  *    through `/FlateDecode` (zlib via java.util.zip.Inflater — the
+  *    JDK's public codec, same as the PNG path); any other filter
+  *    rejects the document rather than guessing;
+  *  - a content-stream tokenizer driving the text machine: `BT`/`ET`
+  *    text objects, `Tj`, `TJ` (array form — kerning numbers ignored,
+  *    strings concatenated), `'` and `"` (newline + show), `Td`/`TD`
+  *    (newline when ty ≠ 0), `T*`; inline-image `BI…EI` blocks are
+  *    skipped, not parsed as operators. Layout reconstruction from
+  *    `Tm` matrices is deliberately out of scope — extraction follows
+  *    the newline OPERATORS, the deterministic subset.
+  *
+  * String bytes decode as latin-1 (PDFDocEncoding agrees with it on
+  * the printable range; UTF-16BE text strings are out of envelope).
+  * Everything malformed — bad xref, truncated stream, unknown filter,
+  * cyclic page tree — returns None; the extractor never throws
+  * (PdfTextSpec fuzzes truncations, mutations and random soup).
+  *
+  * Scale shape: one self-contained `Array[Byte] => Option[Seq[String]]`
+  * per document — scan-local, zero shuffle, embarrassingly parallel
+  * over a binaryFile scan at any corpus size.
+  */
+object PdfText {
+
+  // ---------------- value model ----------------
+
+  sealed trait V
+  final case class VNum(v: Double) extends V
+  final case class VName(s: String) extends V
+  final case class VStr(s: String) extends V
+  final case class VArr(xs: Vector[V]) extends V
+  final case class VDict(m: Map[String, V]) extends V
+  final case class VRef(n: Int, g: Int) extends V
+  final case class VBool(b: Boolean) extends V
+  case object VNull extends V
+
+  private final class Lexer(val s: String) {
+    var i = 0
+    def n: Int = s.length
+    def eof: Boolean = i >= n
+    def ch: Char = s.charAt(i)
+    def ws(): Unit = {
+      while (!eof && (isWs(ch) || ch == '%')) {
+        if (ch == '%') { while (!eof && ch != '\n' && ch != '\r') i += 1 }
+        else i += 1
+      }
+    }
+    private def isWs(c: Char): Boolean =
+      c == ' ' || c == '\t' || c == '\r' || c == '\n' || c == '\f' || c == 0
+    def expect(tok: String): Unit = {
+      ws()
+      if (!s.regionMatches(false, i, tok, 0, tok.length))
+        fail(s"expected $tok at $i")
+      i += tok.length
+    }
+    def peek(tok: String): Boolean = {
+      ws(); s.regionMatches(false, i, tok, 0, tok.length)
+    }
+    def fail(msg: String): Nothing = throw new PdfError(msg)
+  }
+  private final class PdfError(msg: String) extends RuntimeException(msg)
+
+  private def isDelim(c: Char): Boolean =
+    c == '(' || c == ')' || c == '<' || c == '>' || c == '[' || c == ']' ||
+      c == '{' || c == '}' || c == '/' || c == '%' || c == ' ' || c == '\t' ||
+      c == '\r' || c == '\n' || c == '\f' || c == 0
+
+  private def parseName(lx: Lexer): VName = {
+    lx.expect("/")
+    val b = new StringBuilder
+    while (!lx.eof && !isDelim(lx.ch)) {
+      if (lx.ch == '#' && lx.i + 2 < lx.n) {
+        val h = Integer.parseInt(lx.s.substring(lx.i + 1, lx.i + 3), 16)
+        b.append(h.toChar); lx.i += 3
+      } else { b.append(lx.ch); lx.i += 1 }
+    }
+    VName(b.toString)
+  }
+
+  private def parseNumber(lx: Lexer): Double = {
+    val st = lx.i
+    if (!lx.eof && (lx.ch == '+' || lx.ch == '-')) lx.i += 1
+    while (!lx.eof && (lx.ch.isDigit || lx.ch == '.')) lx.i += 1
+    if (lx.i == st) lx.fail(s"number expected at $st")
+    lx.s.substring(st, lx.i).toDouble
+  }
+
+  private def parseLiteralString(lx: Lexer): String = {
+    lx.expect("(")
+    val b = new StringBuilder
+    var depth = 1
+    while (depth > 0) {
+      if (lx.eof) lx.fail("EOF in string")
+      val c = lx.ch
+      lx.i += 1
+      c match {
+        case '\\' =>
+          if (lx.eof) lx.fail("EOF in escape")
+          val e = lx.ch; lx.i += 1
+          e match {
+            case 'n' => b.append('\n')
+            case 'r' => b.append('\r')
+            case 't' => b.append('\t')
+            case 'b' => b.append('\b')
+            case 'f' => b.append('\f')
+            case '(' => b.append('(')
+            case ')' => b.append(')')
+            case '\\' => b.append('\\')
+            case '\r' => if (!lx.eof && lx.ch == '\n') lx.i += 1 // continuation
+            case '\n' => // continuation: nothing emitted
+            case d if d >= '0' && d <= '7' =>
+              var v = d - '0'
+              var k = 0
+              while (k < 2 && !lx.eof && lx.ch >= '0' && lx.ch <= '7') {
+                v = v * 8 + (lx.ch - '0'); lx.i += 1; k += 1
+              }
+              b.append((v & 0xff).toChar)
+            case other => b.append(other) // spec: backslash dropped
+          }
+        case '(' => depth += 1; b.append('(')
+        case ')' => depth -= 1; if (depth > 0) b.append(')')
+        case other => b.append(other)
+      }
+    }
+    b.toString
+  }
+
+  private def parseHexString(lx: Lexer): String = {
+    lx.expect("<")
+    val b = new StringBuilder
+    var hi = -1
+    while (!lx.eof && lx.ch != '>') {
+      val c = lx.ch; lx.i += 1
+      val d = Character.digit(c, 16)
+      if (d >= 0) {
+        if (hi < 0) hi = d
+        else { b.append(((hi << 4) | d).toChar); hi = -1 }
+      } else if (!(c == ' ' || c == '\t' || c == '\r' || c == '\n' || c == '\f'))
+        lx.fail(s"bad hex char $c")
+    }
+    if (lx.eof) lx.fail("EOF in hex string")
+    lx.i += 1
+    if (hi >= 0) b.append((hi << 4).toChar) // odd count: pad 0
+    b.toString
+  }
+
+  private def parseValue(lx: Lexer): V = {
+    lx.ws()
+    if (lx.eof) lx.fail("EOF")
+    lx.ch match {
+      case '/' => parseName(lx)
+      case '(' => VStr(parseLiteralString(lx))
+      case '[' =>
+        lx.i += 1
+        val xs = Vector.newBuilder[V]
+        while (!lx.peek("]")) xs += parseValue(lx)
+        lx.i += 1
+        VArr(xs.result())
+      case '<' =>
+        if (lx.i + 1 < lx.n && lx.s.charAt(lx.i + 1) == '<') {
+          lx.i += 2
+          val m = Map.newBuilder[String, V]
+          while (!lx.peek(">>")) {
+            val k = parseName(lx)
+            m += (k.s -> parseValue(lx))
+          }
+          lx.i += 2
+          VDict(m.result())
+        } else VStr(parseHexString(lx))
+      case c if c.isDigit || c == '+' || c == '-' || c == '.' =>
+        val v = parseNumber(lx)
+        // ref lookahead: INT INT R
+        if (v >= 0 && v == math.floor(v)) {
+          val save = lx.i
+          lx.ws()
+          val st2 = lx.i
+          var ok = false
+          var g = 0
+          if (!lx.eof && lx.ch.isDigit) {
+            while (!lx.eof && lx.ch.isDigit) lx.i += 1
+            g = lx.s.substring(st2, lx.i).toInt
+            lx.ws()
+            if (!lx.eof && lx.ch == 'R' &&
+                (lx.i + 1 >= lx.n || isDelim(lx.s.charAt(lx.i + 1)))) {
+              lx.i += 1; ok = true
+            }
+          }
+          if (ok) return VRef(v.toInt, g)
+          lx.i = save
+        }
+        VNum(v)
+      case 't' => lx.expect("true"); VBool(true)
+      case 'f' => lx.expect("false"); VBool(false)
+      case 'n' => lx.expect("null"); VNull
+      case c => lx.fail(s"unexpected '$c' at ${lx.i}")
+    }
+  }
+
+  // ---------------- document structure ----------------
+
+  private final class Doc(raw: Array[Byte]) {
+    val s: String = new String(raw, java.nio.charset.StandardCharsets.ISO_8859_1)
+    // newest-wins xref map (built following /Prev, newer first)
+    val offsets = scala.collection.mutable.Map[Int, Int]()
+    var trailer: Map[String, V] = Map.empty
+    private val objCache = scala.collection.mutable.Map[Int, (V, Int)]()
+
+    def build(): Unit = {
+      val sx = s.lastIndexOf("startxref")
+      if (sx < 0) throw new PdfError("no startxref")
+      val lx = new Lexer(s)
+      lx.i = sx + "startxref".length
+      lx.ws()
+      var off = parseNumber(lx).toInt
+      var guard = 0
+      while (off >= 0 && guard < 64) {
+        guard += 1
+        val l2 = new Lexer(s)
+        l2.i = off
+        l2.ws()
+        if (!l2.peek("xref"))
+          throw new PdfError("cross-reference stream (PDF 1.5+) unsupported")
+        l2.expect("xref")
+        var more = true
+        while (more) {
+          l2.ws()
+          if (l2.peek("trailer")) more = false
+          else {
+            val start = parseNumber(l2).toInt
+            l2.ws()
+            val count = parseNumber(l2).toInt
+            if (count < 0 || count > 1000000) l2.fail("bad xref count")
+            (0 until count).foreach { k =>
+              l2.ws()
+              val o = parseNumber(l2).toInt
+              l2.ws()
+              parseNumber(l2) // generation
+              l2.ws()
+              val tpe = l2.ch
+              l2.i += 1
+              if (tpe == 'n' && !offsets.contains(start + k))
+                offsets(start + k) = o
+              else if (tpe != 'n' && tpe != 'f') l2.fail("bad xref type")
+            }
+          }
+        }
+        l2.expect("trailer")
+        val t = parseValue(l2) match {
+          case VDict(m) => m
+          case _ => l2.fail("trailer dict expected")
+        }
+        if (trailer.isEmpty) trailer = t
+        off = t.get("Prev") match {
+          case Some(VNum(p)) => p.toInt
+          case _ => -1
+        }
+      }
+    }
+
+    /** (value, stream-data start or -1). */
+    def obj(num: Int): (V, Int) = objCache.getOrElseUpdate(num, {
+      val off = offsets.getOrElse(num, throw new PdfError(s"no obj $num"))
+      val lx = new Lexer(s)
+      lx.i = off
+      lx.ws()
+      val n2 = parseNumber(lx).toInt
+      if (n2 != num) lx.fail(s"xref points to obj $n2, wanted $num")
+      lx.ws(); parseNumber(lx) // generation
+      lx.expect("obj")
+      val v = parseValue(lx)
+      lx.ws()
+      if (lx.peek("stream")) {
+        lx.i += "stream".length
+        if (!lx.eof && lx.ch == '\r') lx.i += 1
+        if (!lx.eof && lx.ch == '\n') lx.i += 1
+        (v, lx.i)
+      } else (v, -1)
+    })
+
+    def resolve(v: V): V = v match {
+      case VRef(n, _) => resolve(obj(n)._1)
+      case other => other
+    }
+
+    def streamBytes(num: Int): Array[Byte] = {
+      val (v, dataStart) = obj(num)
+      val dict = v match {
+        case VDict(m) => m
+        case _ => throw new PdfError("stream obj without dict")
+      }
+      if (dataStart < 0) throw new PdfError("not a stream")
+      val len = resolve(dict.getOrElse("Length", throw new PdfError("no /Length"))) match {
+        case VNum(l) => l.toInt
+        case _ => throw new PdfError("bad /Length")
+      }
+      if (len < 0 || dataStart + len > s.length) throw new PdfError("stream overruns file")
+      val raw = s.substring(dataStart, dataStart + len)
+        .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+      dict.get("Filter").map(resolve) match {
+        case None => raw
+        case Some(VName("FlateDecode")) => inflate(raw)
+        case Some(VArr(Vector(VName("FlateDecode")))) => inflate(raw)
+        case Some(_) => throw new PdfError("unsupported filter")
+      }
+    }
+  }
+
+  private def inflate(in: Array[Byte]): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(in)
+    val out = new java.io.ByteArrayOutputStream(in.length * 4 + 64)
+    val buf = new Array[Byte](8192)
+    var guard = 0
+    while (!inf.finished() && guard < (1 << 16)) {
+      guard += 1
+      val k = inf.inflate(buf)
+      if (k == 0 && inf.needsInput()) throw new PdfError("truncated flate stream")
+      out.write(buf, 0, k)
+    }
+    inf.end()
+    out.toByteArray
+  }
+
+  // ---------------- page tree + content ----------------
+
+  /** Per-page extracted text (lines joined with \n), document order;
+    * None on anything out of envelope or malformed. Never throws.
+    */
+  def extract(raw: Array[Byte]): Option[Seq[String]] = {
+    try {
+      val doc = new Doc(raw)
+      doc.build()
+      val root = doc.resolve(doc.trailer.getOrElse("Root", throw new PdfError("no /Root")))
+      val pagesRef = root match {
+        case VDict(m) => m.getOrElse("Pages", throw new PdfError("no /Pages"))
+        case _ => throw new PdfError("bad catalog")
+      }
+      val pages = Vector.newBuilder[Map[String, V]]
+      val seen = scala.collection.mutable.Set[Int]()
+      def walk(v: V): Unit = {
+        val node = doc.resolve(v) match {
+          case VDict(m) => m
+          case _ => throw new PdfError("bad page-tree node")
+        }
+        v match {
+          case VRef(n, _) =>
+            if (seen.contains(n)) throw new PdfError("cyclic page tree")
+            seen += n
+          case _ =>
+        }
+        node.get("Type").map(doc.resolve) match {
+          case Some(VName("Pages")) =>
+            doc.resolve(node.getOrElse("Kids", throw new PdfError("no /Kids"))) match {
+              case VArr(kids) => kids.foreach(walk)
+              case _ => throw new PdfError("bad /Kids")
+            }
+          case Some(VName("Page")) => pages += node
+          case _ => throw new PdfError("bad node type")
+        }
+      }
+      walk(pagesRef)
+      Some(pages.result().map { page =>
+        val content = page.get("Contents") match {
+          case None => Array.emptyByteArray
+          case Some(c) =>
+            val parts = doc.resolve(c) match {
+              case VArr(xs) => xs
+              case _ => Vector(c)
+            }
+            val refs = parts.map {
+              case VRef(n, _) => n
+              case _ => throw new PdfError("contents must be stream refs")
+            }
+            // multiple streams concatenate with whitespace per spec
+            refs.map(doc.streamBytes).reduceOption((a, b) =>
+              a ++ Array('\n'.toByte) ++ b).getOrElse(Array.emptyByteArray)
+        }
+        contentText(new String(content,
+          java.nio.charset.StandardCharsets.ISO_8859_1))
+      })
+    } catch { case _: Exception => None }
+  }
+
+  /** Text machine over one page's content stream. */
+  private[operators] def contentText(cs: String): String = {
+    val lx = new Lexer(cs)
+    val lines = Vector.newBuilder[String]
+    val cur = new StringBuilder
+    var inText = false
+    var lastStr: String = null
+    var num1, num2 = 0.0 // last two numbers, for Td/TD
+    var inArray = false
+    val arrStrs = new StringBuilder
+    def newline(): Unit = {
+      if (cur.nonEmpty) { lines += cur.toString; cur.clear() }
+    }
+    def show(t: String): Unit = if (t != null) cur.append(t)
+    while (!lx.eof) {
+      lx.ws()
+      if (!lx.eof) lx.ch match {
+        case '(' =>
+          val t = parseLiteralString(lx)
+          if (inArray) arrStrs.append(t) else lastStr = t
+        case '<' if lx.i + 1 < lx.n && lx.s.charAt(lx.i + 1) == '<' =>
+          parseValue(lx) // dict (e.g. marked-content properties): skip
+        case '<' =>
+          val t = parseHexString(lx)
+          if (inArray) arrStrs.append(t) else lastStr = t
+        case '[' => lx.i += 1; inArray = true; arrStrs.clear()
+        case ']' => lx.i += 1; inArray = false
+        case '/' => parseName(lx)
+        case c if c.isDigit || c == '+' || c == '-' || c == '.' =>
+          val v = parseNumber(lx)
+          if (!inArray) { num1 = num2; num2 = v }
+        case c if c.isLetter || c == '\'' || c == '"' || c == '*' =>
+          val st = lx.i
+          while (!lx.eof && (lx.ch.isLetter || lx.ch == '\'' || lx.ch == '"' ||
+              lx.ch == '*' || lx.ch.isDigit)) lx.i += 1
+          lx.s.substring(st, lx.i) match {
+            case "BT" => inText = true
+            case "ET" => inText = false; newline()
+            case "BI" => // inline image: skip to EI
+              val e = lx.s.indexOf("EI", lx.i)
+              lx.i = if (e < 0) lx.n else e + 2
+            case "Tj" if inText => show(lastStr)
+            case "TJ" if inText => show(arrStrs.toString)
+            case "'" if inText => newline(); show(lastStr)
+            case "\"" if inText => newline(); show(lastStr)
+            case "Td" | "TD" if inText => if (num2 != 0.0) newline()
+            case "T*" if inText => newline()
+            case _ => // every other operator: positioning/color/etc.
+          }
+        case _ => lx.i += 1 // stray delimiter: skip
+      }
+    }
+    newline()
+    lines.result().mkString("\n")
+  }
+
+  // ---------------- writer (fixtures + spec) ----------------
+
+  /** A complete classic-xref PDF. `pageStreams`: per page, one or more
+    * content streams (split mid-page to exercise the concat rule).
+    * `flate` compresses every content stream; `indirectLength` stores
+    * each /Length as a separate object; `nestedPages` inserts an inner
+    * Pages node around the first page (tree walk exercise).
+    */
+  def makePdf(pageStreams: Seq[Seq[Array[Byte]]], flate: Boolean = false,
+      indirectLength: Boolean = false, nestedPages: Boolean = false): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w(t: String): Unit =
+      out.write(t.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    val offsets = scala.collection.mutable.Map[Int, Int]()
+    var nextId = 1
+    def alloc(): Int = { val id = nextId; nextId += 1; id }
+
+    val catalogId = alloc() // 1
+    val pagesId = alloc() // 2
+    val fontId = alloc() // 3
+    val innerPagesId = if (nestedPages && pageStreams.size > 1) alloc() else -1
+    val pageIds = pageStreams.map(_ => alloc())
+    val contentIds = pageStreams.map(ss => ss.map(_ => alloc()))
+    val lengthIds = if (indirectLength) contentIds.map(_.map(_ => alloc())) else Nil
+
+    def beginObj(id: Int): Unit = { offsets(id) = out.size(); w(s"$id 0 obj\n") }
+    def endObj(): Unit = w("endobj\n")
+
+    w("%PDF-1.4\n%âãÏÓ\n")
+    beginObj(catalogId)
+    w(s"<< /Type /Catalog /Pages $pagesId 0 R >>\n"); endObj()
+
+    val kidRefs =
+      if (innerPagesId > 0)
+        s"$innerPagesId 0 R " + pageIds.tail.map(id => s"$id 0 R ").mkString
+      else pageIds.map(id => s"$id 0 R ").mkString
+    beginObj(pagesId)
+    val topCount = pageStreams.size
+    w(s"<< /Type /Pages /Kids [ $kidRefs] /Count $topCount >>\n"); endObj()
+    if (innerPagesId > 0) {
+      beginObj(innerPagesId)
+      w(s"<< /Type /Pages /Parent $pagesId 0 R /Kids [ ${pageIds.head} 0 R ] /Count 1 >>\n")
+      endObj()
+    }
+    beginObj(fontId)
+    w("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\n"); endObj()
+
+    pageStreams.indices.foreach { p =>
+      val parent = if (p == 0 && innerPagesId > 0) innerPagesId else pagesId
+      val contents =
+        if (contentIds(p).size == 1) s"${contentIds(p).head} 0 R"
+        else "[ " + contentIds(p).map(id => s"$id 0 R ").mkString + "]"
+      beginObj(pageIds(p))
+      w(s"<< /Type /Page /Parent $parent 0 R /MediaBox [0 0 612 792] " +
+        s"/Resources << /Font << /F1 $fontId 0 R >> >> /Contents $contents >>\n")
+      endObj()
+      pageStreams(p).indices.foreach { k =>
+        val data0 = pageStreams(p)(k)
+        val data = if (flate) {
+          val d = new java.util.zip.Deflater()
+          d.setInput(data0); d.finish()
+          val bo = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](8192)
+          while (!d.finished()) bo.write(buf, 0, d.deflate(buf))
+          d.end()
+          bo.toByteArray
+        } else data0
+        val lenPart =
+          if (indirectLength) s"/Length ${lengthIds(p)(k)} 0 R"
+          else s"/Length ${data.length}"
+        val filterPart = if (flate) " /Filter /FlateDecode" else ""
+        beginObj(contentIds(p)(k))
+        w(s"<< $lenPart$filterPart >>\nstream\n")
+        out.write(data)
+        w("\nendstream\n")
+        endObj()
+        if (indirectLength) {
+          beginObj(lengthIds(p)(k))
+          w(s"${data.length}\n"); endObj()
+        }
+      }
+    }
+
+    val xrefOff = out.size()
+    val maxId = nextId
+    w(s"xref\n0 $maxId\n")
+    w("0000000000 65535 f \n")
+    (1 until maxId).foreach { id =>
+      w(f"${offsets(id)}%010d 00000 n \n")
+    }
+    w(s"trailer\n<< /Size $maxId /Root $catalogId 0 R >>\nstartxref\n$xrefOff\n%%EOF\n")
+    out.toByteArray
+  }
+
+  /** Escape a string for a PDF literal string token. */
+  def esc(t: String): String =
+    t.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+}

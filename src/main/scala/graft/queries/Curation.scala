@@ -2123,6 +2123,91 @@ object Curation extends QueryBlock {
         FROM fresh WINDOW w AS (PARTITION BY host ORDER BY md5(url), url)
         ORDER BY host, slot""")),
 
+    // E72 — PDF text extraction (operators.PdfText): after HTML, the
+    // highest-volume document format a crawl-scale pipeline ingests.
+    // REAL parsing — classic xref tables (multi-subsection, /Prev
+    // chains), full object/dict/string grammar, nested page-tree walk,
+    // /Length framing (direct AND indirect), /FlateDecode via the JDK
+    // Inflater, and a content-stream text machine (BT/ET, Tj, TJ with
+    // kerning, '/" newline-shows, Td/TD/T*) — PDF 1.5 xref streams and
+    // non-Flate filters reject cleanly to None. One fixture PDF per
+    // document (bounded build; doc_id < 40), TWO pages each, with the
+    // doc_id%5 branch exercising a different structural/token feature
+    // per file: plain Tj, flate+indirect-length, TJ-kerning split under
+    // a NESTED page tree, hex strings across a SPLIT /Contents array,
+    // and escape classes (octal, parens, backslash) with the ' newline
+    // operator. The oracle re-derives every page's text from the same
+    // token construction. Extraction is one scan-local call per
+    // document — embarrassingly parallel over a binaryFile scan.
+    "e72_pdf_ingest" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.PdfText
+        val pdfDir = s"$scratch/pdf_${new java.io.File(dir).getName}"
+        val fd = new java.io.File(pdfDir)
+        if (fd.exists()) fd.listFiles().foreach(_.delete())
+        fd.mkdirs()
+        def bt(ops: String): Array[Byte] =
+          s"BT /F1 12 Tf 72 720 Td $ops ET"
+            .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+        def hex(t: String): String =
+          t.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+            .map(b => f"${b & 0xff}%02x").mkString
+        // bounded fixture build: ≤40 docs collected to write files
+        t(s, dir, "documents").filter(col("text").isNotNull && col("doc_id") < 40)
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .filter(size(col("toks")) >= 14)
+          .collect().foreach { r =>
+            val id = r.getLong(0)
+            val toks = r.getSeq[String](1)
+            val m = (id % 5).toInt
+            val j1 = toks.slice(0, 8).mkString(" ")
+            val l1 = toks.slice(8, 11).mkString(" ")
+            val l2 = toks.slice(11, 14).mkString(" ")
+            val page1: Seq[Array[Byte]] = m match {
+              case 2 => Seq(bt(
+                s"[(${PdfText.esc(j1.take(3))}) -30 (${PdfText.esc(j1.drop(3))})] TJ"))
+              case 3 => Seq(
+                s"BT /F1 12 Tf 72 720 Td <${hex(j1)}> Tj"
+                  .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1),
+                "ET".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+              case 4 => Seq(bt(
+                s"(\\101\\(B\\)\\\\C ) Tj (${PdfText.esc(j1)}) Tj (end.) '"))
+              case _ => Seq(bt(s"(${PdfText.esc(j1)}) Tj"))
+            }
+            val page2 = bt(
+              s"(${PdfText.esc(l1)}) Tj 0 -14 Td (${PdfText.esc(l2)}) Tj")
+            val bytes = PdfText.makePdf(Seq(page1, Seq(page2)),
+              flate = m == 1, indirectLength = m == 1, nestedPages = m == 2)
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(f"$pdfDir/p$id%04d.pdf"), bytes)
+          }
+        val ex = udf((b: Array[Byte]) => graft.operators.PdfText.extract(b))
+        s.read.format("binaryFile").load(pdfDir)
+          .select(regexp_extract(col("path"), "([^/]+)$", 1).as("fname"),
+            ex(col("content")).as("pages"))
+          .select(col("fname"), posexplode(col("pages")))
+          .select(col("fname"), col("pos").as("page"), col("col").as("text"))
+          .orderBy(col("fname"), col("page"))
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,
+            CAST(doc_id % 5 AS INT) AS m
+          FROM documents WHERE text IS NOT NULL AND doc_id < 40),
+        f AS (SELECT doc_id, toks, m FROM d WHERE len(toks) >= 14),
+        j AS (SELECT doc_id, m,
+            array_to_string(toks[1:8], ' ') AS j1,
+            array_to_string(toks[9:11], ' ') AS l1,
+            array_to_string(toks[12:14], ' ') AS l2
+          FROM f),
+        pg AS (
+          SELECT doc_id, 0 AS page,
+            CASE WHEN m = 4 THEN 'A(B)\C ' || j1 || chr(10) || 'end.'
+              ELSE j1 END AS text
+          FROM j
+          UNION ALL SELECT doc_id, 1, l1 || chr(10) || l2 FROM j)
+        SELECT 'p' || lpad(CAST(doc_id AS VARCHAR), 4, '0') || '.pdf' AS fname,
+          CAST(page AS INT) AS page, text
+        FROM pg ORDER BY fname, page""")),
+
     // E67 — page-metadata extraction (functions.HtmlMeta): the WAT-stage
     // fields next to e54's outlinks — title, meta description, html
     // lang, meta-declared charset — as ONE struct-returning codegen

@@ -226,6 +226,30 @@ class PlanSpec extends AnyFunSuite {
     assert(winLine.contains("host"), s"window must partition by host:\n$winLine")
   }
 
+  test("E68 sequence pack: broadcast offsets, bucket-partitioned cumsum, one token shuffle") {
+    // The global concat's offsets must come from the bucket-parallel
+    // cumsum: the per-doc window partitions by bkt (a corpus-wide
+    // unpartitioned window over DOCS would serialize the whole corpus
+    // onto one task; the only unpartitioned window runs over BUCKET
+    // SUBTOTALS, bounded by corpus/256 rows), the offsets table joins
+    // back by broadcast, and the sequence assembly is a hash aggregate
+    // after the posexplode — never a window over tokens.
+    val plan = planOf("e68_sequence_pack")
+    assert(!plan.contains("ScalaUDF"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan) // offsets join
+    assert(plan.contains("HashAggregate"), plan) // seq assembly
+    assert(plan.contains("Generate"), plan) // posexplode streams tokens
+    val winLines = plan.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    // doc-level cumsum partitions by bkt; no window runs over tokens
+    // (every windowspecdefinition sits above the doc-grain plan, and the
+    // doc window is bkt-partitioned)
+    assert(winLines.exists(_.contains("bkt")),
+      s"doc cumsum must partition by bkt:\n${winLines.mkString("\n")}")
+  }
+
   test("E62 cdx lookup: the digest equality reaches PushedFilters on the index scan") {
     // the point-lookup layout only pays off if the predicate reaches the
     // parquet reader — pushed, it rides row-group stats and the digest
