@@ -4,9 +4,14 @@ package graft.operators
   * crawl-scale training pipeline ingests after HTML (public spec:
   * ISO 32000-1 / the classic PDF 1.4 subset). REAL parsing, no stubs:
   *
-  *  - classic cross-reference TABLES from `startxref`, multi-subsection,
-  *    `/Prev` chains (newest entry wins); PDF 1.5+ cross-reference
-  *    STREAMS are out of envelope and reject cleanly to None;
+  *  - classic cross-reference TABLES from `startxref` (multi-subsection,
+  *    `/Prev` chains, newest entry wins) AND the modern PDF 1.5+
+  *    cross-reference STREAMS: binary `/W`-framed entries with `/Index`
+  *    subsections, PNG-predictor `/DecodeParms` (tags 0–4: None / Sub /
+  *    Up / Average / Paeth), type-2 entries resolving through
+  *    compressed `/ObjStm` OBJECT STREAMS (header pairs + /First), the
+  *    layout current producers actually emit — a `/Prev` chain may mix
+  *    both section kinds;
   *  - a full object parser: dicts (nested), arrays, names, numbers,
   *    literal strings (nested parens, every escape class, octal,
   *    line-continuation), hex strings (odd-digit pad), refs (`N G R`
@@ -219,8 +224,11 @@ object PdfText {
     val s: String = new String(raw, java.nio.charset.StandardCharsets.ISO_8859_1)
     // newest-wins xref map (built following /Prev, newer first)
     val offsets = scala.collection.mutable.Map[Int, Int]()
+    // objNum -> (object-stream obj, index within) for ObjStm members
+    val compressed = scala.collection.mutable.Map[Int, (Int, Int)]()
     var trailer: Map[String, V] = Map.empty
     private val objCache = scala.collection.mutable.Map[Int, (V, Int)]()
+    private val objStmCache = scala.collection.mutable.Map[Int, (String, Vector[(Int, Int)], Int)]()
 
     def build(): Unit = {
       val sx = s.lastIndexOf("startxref")
@@ -235,37 +243,7 @@ object PdfText {
         val l2 = new Lexer(s)
         l2.i = off
         l2.ws()
-        if (!l2.peek("xref"))
-          throw new PdfError("cross-reference stream (PDF 1.5+) unsupported")
-        l2.expect("xref")
-        var more = true
-        while (more) {
-          l2.ws()
-          if (l2.peek("trailer")) more = false
-          else {
-            val start = parseNumber(l2).toInt
-            l2.ws()
-            val count = parseNumber(l2).toInt
-            if (count < 0 || count > 1000000) l2.fail("bad xref count")
-            (0 until count).foreach { k =>
-              l2.ws()
-              val o = parseNumber(l2).toInt
-              l2.ws()
-              parseNumber(l2) // generation
-              l2.ws()
-              val tpe = l2.ch
-              l2.i += 1
-              if (tpe == 'n' && !offsets.contains(start + k))
-                offsets(start + k) = o
-              else if (tpe != 'n' && tpe != 'f') l2.fail("bad xref type")
-            }
-          }
-        }
-        l2.expect("trailer")
-        val t = parseValue(l2) match {
-          case VDict(m) => m
-          case _ => l2.fail("trailer dict expected")
-        }
+        val t = if (l2.peek("xref")) buildClassic(l2) else buildXrefStream(l2)
         if (trailer.isEmpty) trailer = t
         off = t.get("Prev") match {
           case Some(VNum(p)) => p.toInt
@@ -274,29 +252,229 @@ object PdfText {
       }
     }
 
-    /** (value, stream-data start or -1). */
+    /** Classic `xref` table section; returns its trailer dict. */
+    private def buildClassic(l2: Lexer): Map[String, V] = {
+      l2.expect("xref")
+      var more = true
+      while (more) {
+        l2.ws()
+        if (l2.peek("trailer")) more = false
+        else {
+          val start = parseNumber(l2).toInt
+          l2.ws()
+          val count = parseNumber(l2).toInt
+          if (count < 0 || count > 1000000) l2.fail("bad xref count")
+          (0 until count).foreach { k =>
+            l2.ws()
+            val o = parseNumber(l2).toInt
+            l2.ws()
+            parseNumber(l2) // generation
+            l2.ws()
+            val tpe = l2.ch
+            l2.i += 1
+            if (tpe == 'n' && !known(start + k)) offsets(start + k) = o
+            else if (tpe != 'n' && tpe != 'f') l2.fail("bad xref type")
+          }
+        }
+      }
+      l2.expect("trailer")
+      parseValue(l2) match {
+        case VDict(m) => m
+        case _ => l2.fail("trailer dict expected")
+      }
+    }
+
+    private def known(n: Int): Boolean =
+      offsets.contains(n) || compressed.contains(n)
+
+    /** PDF 1.5 cross-reference STREAM section (the modern layout):
+      * `N G obj << /Type /XRef /W [...] ... >> stream` with binary
+      * entries, optionally /Index subsections and PNG-predicted Flate
+      * data. Its dict doubles as the trailer. Returns that dict.
+      */
+    private def buildXrefStream(l2: Lexer): Map[String, V] = {
+      parseNumber(l2) // object number
+      l2.ws(); parseNumber(l2) // generation
+      l2.expect("obj")
+      val dict = parseValue(l2) match {
+        case VDict(m) => m
+        case _ => l2.fail("xref stream dict expected")
+      }
+      if (!dict.get("Type").contains(VName("XRef")))
+        throw new PdfError("startxref target is neither xref table nor /XRef stream")
+      l2.ws()
+      if (!l2.peek("stream")) l2.fail("xref stream data expected")
+      l2.i += "stream".length
+      if (!l2.eof && l2.ch == '\r') l2.i += 1
+      if (!l2.eof && l2.ch == '\n') l2.i += 1
+      val data = decodeStream(dict, l2.i, resolveEarly = true)
+      val w = dict.get("W") match {
+        case Some(VArr(xs)) => xs.map {
+          case VNum(v) => v.toInt
+          case _ => throw new PdfError("bad /W entry")
+        }
+        case _ => throw new PdfError("no /W")
+      }
+      if (w.length < 3 || w.exists(x => x < 0 || x > 8))
+        throw new PdfError("bad /W widths")
+      val size = dict.get("Size") match {
+        case Some(VNum(v)) => v.toInt
+        case _ => throw new PdfError("no /Size")
+      }
+      val index: Seq[(Int, Int)] = dict.get("Index") match {
+        case Some(VArr(xs)) =>
+          val nums = xs.map {
+            case VNum(v) => v.toInt
+            case _ => throw new PdfError("bad /Index")
+          }
+          if (nums.length % 2 != 0) throw new PdfError("odd /Index")
+          nums.grouped(2).map(p => (p(0), p(1))).toSeq
+        case _ => Seq((0, size))
+      }
+      val rowLen = w.sum
+      var pos = 0
+      def field(width: Int): Long = {
+        var v = 0L
+        (0 until width).foreach { _ =>
+          v = (v << 8) | (data(pos).toLong & 0xff); pos += 1
+        }
+        v
+      }
+      index.foreach { case (start, count) =>
+        if (count < 0 || count > 1000000) throw new PdfError("bad /Index count")
+        (0 until count).foreach { k =>
+          if (pos + rowLen > data.length) throw new PdfError("xref stream short")
+          val tpe = if (w(0) == 0) 1L else field(w(0))
+          val f2 = field(w(1))
+          val f3 = field(w(2))
+          val num = start + k
+          tpe match {
+            case 1 => if (!known(num)) offsets(num) = f2.toInt
+            case 2 => if (!known(num)) compressed(num) = (f2.toInt, f3.toInt)
+            case _ => // type 0 (free) and unknown types: ignored per spec
+          }
+        }
+      }
+      dict
+    }
+
+    /** (value, stream-data start or -1). ObjStm members parse out of
+      * their decoded object stream (always (value, -1): streams cannot
+      * nest inside object streams per spec).
+      */
     def obj(num: Int): (V, Int) = objCache.getOrElseUpdate(num, {
-      val off = offsets.getOrElse(num, throw new PdfError(s"no obj $num"))
-      val lx = new Lexer(s)
-      lx.i = off
-      lx.ws()
-      val n2 = parseNumber(lx).toInt
-      if (n2 != num) lx.fail(s"xref points to obj $n2, wanted $num")
-      lx.ws(); parseNumber(lx) // generation
-      lx.expect("obj")
-      val v = parseValue(lx)
-      lx.ws()
-      if (lx.peek("stream")) {
-        lx.i += "stream".length
-        if (!lx.eof && lx.ch == '\r') lx.i += 1
-        if (!lx.eof && lx.ch == '\n') lx.i += 1
-        (v, lx.i)
-      } else (v, -1)
+      offsets.get(num) match {
+        case Some(off) =>
+          val lx = new Lexer(s)
+          lx.i = off
+          lx.ws()
+          val n2 = parseNumber(lx).toInt
+          if (n2 != num) lx.fail(s"xref points to obj $n2, wanted $num")
+          lx.ws(); parseNumber(lx) // generation
+          lx.expect("obj")
+          val v = parseValue(lx)
+          lx.ws()
+          if (lx.peek("stream")) {
+            lx.i += "stream".length
+            if (!lx.eof && lx.ch == '\r') lx.i += 1
+            if (!lx.eof && lx.ch == '\n') lx.i += 1
+            (v, lx.i)
+          } else (v, -1)
+        case None =>
+          val (stmNum, idx) = compressed.getOrElse(num,
+            throw new PdfError(s"no obj $num"))
+          val (decoded, pairs, first) = objStmCache.getOrElseUpdate(stmNum, {
+            val (sv, ds) = obj(stmNum)
+            val sd = sv match {
+              case VDict(m) => m
+              case _ => throw new PdfError("ObjStm without dict")
+            }
+            if (!sd.get("Type").contains(VName("ObjStm")))
+              throw new PdfError("compressed ref into a non-ObjStm")
+            if (ds < 0) throw new PdfError("ObjStm without stream data")
+            val data = new String(decodeStream(sd, ds, resolveEarly = false),
+              java.nio.charset.StandardCharsets.ISO_8859_1)
+            val n = sd.get("N") match {
+              case Some(VNum(v)) => v.toInt
+              case _ => throw new PdfError("ObjStm missing /N")
+            }
+            val first = sd.get("First") match {
+              case Some(VNum(v)) => v.toInt
+              case _ => throw new PdfError("ObjStm missing /First")
+            }
+            val hl = new Lexer(data)
+            val pairs = Vector.newBuilder[(Int, Int)]
+            (0 until n).foreach { _ =>
+              hl.ws()
+              val on = parseNumber(hl).toInt
+              hl.ws()
+              val oo = parseNumber(hl).toInt
+              pairs += ((on, oo))
+            }
+            (data, pairs.result(), first)
+          })
+          if (idx < 0 || idx >= pairs.length)
+            throw new PdfError("ObjStm index out of range")
+          val (objNum, objOff) = pairs(idx)
+          if (objNum != num) throw new PdfError("ObjStm header disagrees with xref")
+          val ol = new Lexer(decoded)
+          ol.i = first + objOff
+          (parseValue(ol), -1)
+      }
     })
 
     def resolve(v: V): V = v match {
       case VRef(n, _) => resolve(obj(n)._1)
       case other => other
+    }
+
+    /** Decode a stream's data given its dict and raw-data start:
+      * /Length framing (indirect allowed except while the xref itself
+      * is being built), /FlateDecode, and /DecodeParms PNG predictors.
+      */
+    def decodeStream(dict: Map[String, V], dataStart: Int,
+        resolveEarly: Boolean): Array[Byte] = {
+      val lenV = dict.getOrElse("Length", throw new PdfError("no /Length"))
+      val len = (if (resolveEarly) lenV else resolve(lenV)) match {
+        case VNum(l) => l.toInt
+        case _ => throw new PdfError("bad /Length")
+      }
+      if (len < 0 || dataStart + len > s.length)
+        throw new PdfError("stream overruns file")
+      val raw = s.substring(dataStart, dataStart + len)
+        .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+      val filterV =
+        dict.get("Filter").map(f => if (resolveEarly) f else resolve(f))
+      val inflated = filterV match {
+        case None => return raw
+        case Some(VName("FlateDecode")) => inflate(raw)
+        case Some(VArr(Vector(VName("FlateDecode")))) => inflate(raw)
+        case Some(_) => throw new PdfError("unsupported filter")
+      }
+      val parms = dict.get("DecodeParms")
+        .map(p => if (resolveEarly) p else resolve(p)) match {
+        case Some(VDict(m)) => m
+        case Some(VArr(Vector(VDict(m)))) => m
+        case _ => return inflated
+      }
+      val pred = parms.get("Predictor") match {
+        case Some(VNum(p)) => p.toInt
+        case _ => 1
+      }
+      if (pred < 10) return inflated // 1 = none, 2 = TIFF (not emitted by Flate writers we accept)
+      val columns = parms.get("Columns") match {
+        case Some(VNum(c)) => c.toInt
+        case _ => 1
+      }
+      val colors = parms.get("Colors") match {
+        case Some(VNum(c)) => c.toInt
+        case _ => 1
+      }
+      val bpc = parms.get("BitsPerComponent") match {
+        case Some(VNum(b)) => b.toInt
+        case _ => 8
+      }
+      pngUnpredict(inflated, columns, math.max(1, colors * bpc / 8))
     }
 
     def streamBytes(num: Int): Array[Byte] = {
@@ -306,20 +484,47 @@ object PdfText {
         case _ => throw new PdfError("stream obj without dict")
       }
       if (dataStart < 0) throw new PdfError("not a stream")
-      val len = resolve(dict.getOrElse("Length", throw new PdfError("no /Length"))) match {
-        case VNum(l) => l.toInt
-        case _ => throw new PdfError("bad /Length")
-      }
-      if (len < 0 || dataStart + len > s.length) throw new PdfError("stream overruns file")
-      val raw = s.substring(dataStart, dataStart + len)
-        .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
-      dict.get("Filter").map(resolve) match {
-        case None => raw
-        case Some(VName("FlateDecode")) => inflate(raw)
-        case Some(VArr(Vector(VName("FlateDecode")))) => inflate(raw)
-        case Some(_) => throw new PdfError("unsupported filter")
-      }
+      decodeStream(dict, dataStart, resolveEarly = false)
     }
+  }
+
+  /** Reverse the PNG row filters (predictors 10–15: the per-row tag
+    * byte selects None/Sub/Up/Average/Paeth) — the standard encoding
+    * for xref-stream data.
+    */
+  private[graft] def pngUnpredict(d: Array[Byte], columns: Int,
+      bpp: Int): Array[Byte] = {
+    val rowLen = columns * bpp
+    if (rowLen <= 0 || d.length % (rowLen + 1) != 0)
+      throw new PdfError("bad predictor geometry")
+    val rows = d.length / (rowLen + 1)
+    val out = new Array[Byte](rows * rowLen)
+    var prevOff = -rowLen
+    (0 until rows).foreach { r =>
+      val tag = d(r * (rowLen + 1)) & 0xff
+      val src = r * (rowLen + 1) + 1
+      val dst = r * rowLen
+      (0 until rowLen).foreach { i =>
+        val x = d(src + i) & 0xff
+        val a = if (i >= bpp) out(dst + i - bpp) & 0xff else 0
+        val b = if (prevOff >= 0) out(prevOff + i) & 0xff else 0
+        val c = if (i >= bpp && prevOff >= 0) out(prevOff + i - bpp) & 0xff else 0
+        val v = tag match {
+          case 0 => x
+          case 1 => x + a
+          case 2 => x + b
+          case 3 => x + (a + b) / 2
+          case 4 =>
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+            x + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+          case _ => throw new PdfError(s"bad predictor tag $tag")
+        }
+        out(dst + i) = (v & 0xff).toByte
+      }
+      prevOff = dst
+    }
+    out
   }
 
   private def inflate(in: Array[Byte]): Array[Byte] = {
@@ -551,4 +756,125 @@ object PdfText {
   /** Escape a string for a PDF literal string token. */
   def esc(t: String): String =
     t.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+
+  private def deflate(data: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(data); d.finish()
+    val bo = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) bo.write(buf, 0, d.deflate(buf))
+    d.end()
+    bo.toByteArray
+  }
+
+  /** PNG Up (predictor 12) row encoding — the standard pre-compression
+    * transform real writers apply to xref-stream data.
+    */
+  private def pngPredictUp(data: Array[Byte], rowLen: Int): Array[Byte] = {
+    require(data.length % rowLen == 0)
+    val rows = data.length / rowLen
+    val out = new Array[Byte]((rowLen + 1) * rows)
+    (0 until rows).foreach { r =>
+      out(r * (rowLen + 1)) = 2 // Up
+      (0 until rowLen).foreach { i =>
+        val cur = data(r * rowLen + i) & 0xff
+        val up = if (r > 0) data((r - 1) * rowLen + i) & 0xff else 0
+        out(r * (rowLen + 1) + 1 + i) = ((cur - up) & 0xff).toByte
+      }
+    }
+    out
+  }
+
+  /** A complete MODERN (PDF 1.5) file: every non-stream object lives
+    * compressed inside an /ObjStm object stream, the cross-reference is
+    * a binary /XRef STREAM (W = [1 3 1], type-2 entries pointing into
+    * the ObjStm), optionally PNG-Up-predicted — the layout current PDF
+    * producers actually emit.
+    */
+  def makePdf15(pageStreams: Seq[Seq[Array[Byte]]], predictor: Boolean = false,
+      flateContent: Boolean = true): Array[Byte] = {
+    val P = pageStreams.size
+    val pageIds = (0 until P).map(4 + _)
+    var next = 4 + P
+    val contentIds = pageStreams.map(ss => ss.map { _ =>
+      val id = next; next += 1; id
+    })
+    val objStmId = next
+    val xrefId = next + 1
+    next += 2
+
+    val members: Seq[(Int, String)] = (Seq(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+      2 -> ("<< /Type /Pages /Kids [ " +
+        pageIds.map(id => s"$id 0 R ").mkString + s"] /Count $P >>"),
+      3 -> "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+      ++ pageIds.zipWithIndex.map { case (id, p) =>
+        val contents =
+          if (contentIds(p).size == 1) s"${contentIds(p).head} 0 R"
+          else "[ " + contentIds(p).map(c => s"$c 0 R ").mkString + "]"
+        id -> ("<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+          s"/Resources << /Font << /F1 3 0 R >> >> /Contents $contents >>")
+      })
+    val bodies = members.map(_._2 + "\n")
+    val memberOffs = bodies.scanLeft(0)(_ + _.length).init
+    val header = members.map(_._1).zip(memberOffs)
+      .map { case (id, o) => s"$id $o " }.mkString
+    val objStmPlain = (header + bodies.mkString)
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val objStmData = deflate(objStmPlain)
+
+    val out = new java.io.ByteArrayOutputStream()
+    def w(t: String): Unit =
+      out.write(t.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    val offsets = scala.collection.mutable.Map[Int, Int]()
+    w("%PDF-1.5\n%âãÏÓ\n")
+    pageStreams.indices.foreach { p =>
+      pageStreams(p).indices.foreach { k =>
+        val data0 = pageStreams(p)(k)
+        val data = if (flateContent) deflate(data0) else data0
+        val filter = if (flateContent) " /Filter /FlateDecode" else ""
+        offsets(contentIds(p)(k)) = out.size()
+        w(s"${contentIds(p)(k)} 0 obj\n<< /Length ${data.length}$filter >>\nstream\n")
+        out.write(data)
+        w("\nendstream\nendobj\n")
+      }
+    }
+    offsets(objStmId) = out.size()
+    w(s"$objStmId 0 obj\n<< /Type /ObjStm /N ${members.size} " +
+      s"/First ${header.length} /Length ${objStmData.length} /Filter /FlateDecode >>\nstream\n")
+    out.write(objStmData)
+    w("\nendstream\nendobj\n")
+
+    val xrefOff = out.size()
+    offsets(xrefId) = xrefOff
+    // entries: one row per object 0..next-1, W = [1 3 1]
+    val rowLen = 5
+    val entries = new Array[Byte](next * rowLen)
+    def put(num: Int, tpe: Int, f2: Int, f3: Int): Unit = {
+      val o = num * rowLen
+      entries(o) = tpe.toByte
+      entries(o + 1) = ((f2 >> 16) & 0xff).toByte
+      entries(o + 2) = ((f2 >> 8) & 0xff).toByte
+      entries(o + 3) = (f2 & 0xff).toByte
+      entries(o + 4) = f3.toByte
+    }
+    put(0, 0, 0, 255) // free head
+    members.map(_._1).zipWithIndex.foreach { case (id, idx) =>
+      put(id, 2, objStmId, idx)
+    }
+    contentIds.flatten.foreach(id => put(id, 1, offsets(id), 0))
+    put(objStmId, 1, offsets(objStmId), 0)
+    put(xrefId, 1, xrefOff, 0)
+    val (xrefData, parms) =
+      if (predictor)
+        (deflate(pngPredictUp(entries, rowLen)),
+          s" /DecodeParms << /Predictor 12 /Columns $rowLen >>")
+      else (deflate(entries), "")
+    w(s"$xrefId 0 obj\n<< /Type /XRef /Size $next /W [1 3 1] /Root 1 0 R " +
+      s"/Length ${xrefData.length} /Filter /FlateDecode$parms >>\nstream\n")
+    out.write(xrefData)
+    w("\nendstream\nendobj\n")
+    w(s"startxref\n$xrefOff\n%%EOF\n")
+    out.toByteArray
+  }
 }

@@ -514,6 +514,90 @@ object Curation extends QueryBlock {
         text AS payload
       FROM d ORDER BY fname, rec"""
 
+  /** One 2-page PDF per document (doc_id < 40, bounded build), with a
+    * doc_id%5 structural/token variant per file — plain Tj, flate +
+    * indirect /Length, TJ-kerning split under a nested page tree, hex
+    * strings across a split /Contents array, escape classes + the '
+    * newline operator. Shared by e72 (batch) and d22 (streaming twin).
+    * Returns the directory written.
+    */
+  def writePdfFixture(s: SparkSession, dir: String): String = {
+    import graft.operators.PdfText
+    val pdfDir = s"$scratch/pdf_${new java.io.File(dir).getName}"
+    val fd = new java.io.File(pdfDir)
+    if (fd.exists()) fd.listFiles().foreach(_.delete())
+    fd.mkdirs()
+    def bt(ops: String): Array[Byte] =
+      s"BT /F1 12 Tf 72 720 Td $ops ET"
+        .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    def hex(t: String): String =
+      t.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+        .map(b => f"${b & 0xff}%02x").mkString
+    t(s, dir, "documents").filter(col("text").isNotNull && col("doc_id") < 40)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 14)
+      .collect().foreach { r =>
+        val id = r.getLong(0)
+        val toks = r.getSeq[String](1)
+        val m = (id % 5).toInt
+        val j1 = toks.slice(0, 8).mkString(" ")
+        val l1 = toks.slice(8, 11).mkString(" ")
+        val l2 = toks.slice(11, 14).mkString(" ")
+        val page1: Seq[Array[Byte]] = m match {
+          case 2 => Seq(bt(
+            s"[(${PdfText.esc(j1.take(3))}) -30 (${PdfText.esc(j1.drop(3))})] TJ"))
+          case 3 => Seq(
+            s"BT /F1 12 Tf 72 720 Td <${hex(j1)}> Tj"
+              .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1),
+            "ET".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+          case 4 => Seq(bt(
+            s"(\\101\\(B\\)\\\\C ) Tj (${PdfText.esc(j1)}) Tj (end.) '"))
+          case _ => Seq(bt(s"(${PdfText.esc(j1)}) Tj"))
+        }
+        val page2 = bt(
+          s"(${PdfText.esc(l1)}) Tj 0 -14 Td (${PdfText.esc(l2)}) Tj")
+        val bytes = PdfText.makePdf(Seq(page1, Seq(page2)),
+          flate = m == 1, indirectLength = m == 1, nestedPages = m == 2)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(f"$pdfDir/p$id%04d.pdf"), bytes)
+      }
+    pdfDir
+  }
+
+  /** binaryFile rows → (fname, page, text) via PdfText.extract — the
+    * projection shared verbatim by e72 and the d22 streaming twin
+    * (extraction is per-file, so the stream shares the batch oracle).
+    */
+  def pdfProject(s: SparkSession, raw: DataFrame): DataFrame = {
+    val ex = udf((b: Array[Byte]) => graft.operators.PdfText.extract(b))
+    raw.select(regexp_extract(col("path"), "([^/]+)$", 1).as("fname"),
+        ex(col("content")).as("pages"))
+      .select(col("fname"), posexplode(col("pages")))
+      .select(col("fname"), col("pos").as("page"), col("col").as("text"))
+    // no ORDER BY here: the streaming twin sorts after its sink
+  }
+
+  /** Construction oracle for the PDF fixture — shared by e72 and d22. */
+  val pdfOracleSql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,
+          CAST(doc_id % 5 AS INT) AS m
+        FROM documents WHERE text IS NOT NULL AND doc_id < 40),
+      f AS (SELECT doc_id, toks, m FROM d WHERE len(toks) >= 14),
+      j AS (SELECT doc_id, m,
+          array_to_string(toks[1:8], ' ') AS j1,
+          array_to_string(toks[9:11], ' ') AS l1,
+          array_to_string(toks[12:14], ' ') AS l2
+        FROM f),
+      pg AS (
+        SELECT doc_id, 0 AS page,
+          CASE WHEN m = 4 THEN 'A(B)\C ' || j1 || chr(10) || 'end.'
+            ELSE j1 END AS text
+        FROM j
+        UNION ALL SELECT doc_id, 1, l1 || chr(10) || l2 FROM j)
+      SELECT 'p' || lpad(CAST(doc_id AS VARCHAR), 4, '0') || '.pdf' AS fname,
+        CAST(page AS INT) AS page, text
+      FROM pg ORDER BY fname, page"""
+
   val queries: Map[String, QueryDef] = Map(
     // E40 — line-frequency boilerplate removal (the RefinedWeb/CCNet line
     // dedup pass): drop every line that occurs in >= tau distinct
@@ -2140,71 +2224,64 @@ object Curation extends QueryBlock {
     // token construction. Extraction is one scan-local call per
     // document — embarrassingly parallel over a binaryFile scan.
     "e72_pdf_ingest" -> QueryDef(
+      (s, dir) => pdfProject(s,
+        s.read.format("binaryFile").load(writePdfFixture(s, dir)))
+        .orderBy(col("fname"), col("page")),
+      Some(pdfOracleSql)),
+
+    // E72b — MODERN PDF (1.5+) ingest: the same extraction over the
+    // layout current producers actually emit — cross-reference STREAMS
+    // (binary /W-framed entries) with every non-stream object packed
+    // into a compressed /ObjStm object stream, alternating per file
+    // between plain and PNG-Up-predicted xref data (doc_id%2). A reader
+    // that only handles classic xref tables gets NOTHING from these
+    // files, which is exactly the real-corpus failure mode this closes.
+    // Same per-file scan-local shape as e72; the oracle re-derives both
+    // pages' text from token construction.
+    "e72b_pdf_modern" -> QueryDef(
       (s, dir) => {
         import graft.operators.PdfText
-        val pdfDir = s"$scratch/pdf_${new java.io.File(dir).getName}"
+        val pdfDir = s"$scratch/pdf15_${new java.io.File(dir).getName}"
         val fd = new java.io.File(pdfDir)
         if (fd.exists()) fd.listFiles().foreach(_.delete())
         fd.mkdirs()
         def bt(ops: String): Array[Byte] =
           s"BT /F1 12 Tf 72 720 Td $ops ET"
             .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
-        def hex(t: String): String =
-          t.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
-            .map(b => f"${b & 0xff}%02x").mkString
-        // bounded fixture build: ≤40 docs collected to write files
-        t(s, dir, "documents").filter(col("text").isNotNull && col("doc_id") < 40)
+        t(s, dir, "documents")
+          .filter(col("text").isNotNull &&
+            col("doc_id") >= 40 && col("doc_id") < 80)
           .select(col("doc_id"), split(col("text"), " ").as("toks"))
           .filter(size(col("toks")) >= 14)
           .collect().foreach { r =>
             val id = r.getLong(0)
             val toks = r.getSeq[String](1)
-            val m = (id % 5).toInt
             val j1 = toks.slice(0, 8).mkString(" ")
             val l1 = toks.slice(8, 11).mkString(" ")
             val l2 = toks.slice(11, 14).mkString(" ")
-            val page1: Seq[Array[Byte]] = m match {
-              case 2 => Seq(bt(
-                s"[(${PdfText.esc(j1.take(3))}) -30 (${PdfText.esc(j1.drop(3))})] TJ"))
-              case 3 => Seq(
-                s"BT /F1 12 Tf 72 720 Td <${hex(j1)}> Tj"
-                  .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1),
-                "ET".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
-              case 4 => Seq(bt(
-                s"(\\101\\(B\\)\\\\C ) Tj (${PdfText.esc(j1)}) Tj (end.) '"))
-              case _ => Seq(bt(s"(${PdfText.esc(j1)}) Tj"))
-            }
-            val page2 = bt(
-              s"(${PdfText.esc(l1)}) Tj 0 -14 Td (${PdfText.esc(l2)}) Tj")
-            val bytes = PdfText.makePdf(Seq(page1, Seq(page2)),
-              flate = m == 1, indirectLength = m == 1, nestedPages = m == 2)
+            val bytes = PdfText.makePdf15(Seq(
+              Seq(bt(s"(${PdfText.esc(j1)}) Tj")),
+              Seq(bt(s"(${PdfText.esc(l1)}) Tj 0 -14 Td (${PdfText.esc(l2)}) Tj"))),
+              predictor = id % 2 == 1)
             java.nio.file.Files.write(
-              java.nio.file.Paths.get(f"$pdfDir/p$id%04d.pdf"), bytes)
+              java.nio.file.Paths.get(f"$pdfDir/m$id%04d.pdf"), bytes)
           }
-        val ex = udf((b: Array[Byte]) => graft.operators.PdfText.extract(b))
-        s.read.format("binaryFile").load(pdfDir)
-          .select(regexp_extract(col("path"), "([^/]+)$", 1).as("fname"),
-            ex(col("content")).as("pages"))
-          .select(col("fname"), posexplode(col("pages")))
-          .select(col("fname"), col("pos").as("page"), col("col").as("text"))
+        pdfProject(s, s.read.format("binaryFile").load(pdfDir))
           .orderBy(col("fname"), col("page"))
       },
-      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,
-            CAST(doc_id % 5 AS INT) AS m
-          FROM documents WHERE text IS NOT NULL AND doc_id < 40),
-        f AS (SELECT doc_id, toks, m FROM d WHERE len(toks) >= 14),
-        j AS (SELECT doc_id, m,
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+          FROM documents
+          WHERE text IS NOT NULL AND doc_id >= 40 AND doc_id < 80),
+        f AS (SELECT doc_id, toks FROM d WHERE len(toks) >= 14),
+        j AS (SELECT doc_id,
             array_to_string(toks[1:8], ' ') AS j1,
             array_to_string(toks[9:11], ' ') AS l1,
             array_to_string(toks[12:14], ' ') AS l2
           FROM f),
         pg AS (
-          SELECT doc_id, 0 AS page,
-            CASE WHEN m = 4 THEN 'A(B)\C ' || j1 || chr(10) || 'end.'
-              ELSE j1 END AS text
-          FROM j
+          SELECT doc_id, 0 AS page, j1 AS text FROM j
           UNION ALL SELECT doc_id, 1, l1 || chr(10) || l2 FROM j)
-        SELECT 'p' || lpad(CAST(doc_id AS VARCHAR), 4, '0') || '.pdf' AS fname,
+        SELECT 'm' || lpad(CAST(doc_id AS VARCHAR), 4, '0') || '.pdf' AS fname,
           CAST(page AS INT) AS page, text
         FROM pg ORDER BY fname, page""")),
 

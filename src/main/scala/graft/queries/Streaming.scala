@@ -893,7 +893,29 @@ object Streaming extends QueryBlock {
           FROM tok GROUP BY 1, 2)
         SELECT source, CAST(seq_no AS BIGINT) AS seq_no, first_tok, last_tok,
           digest
-        FROM sq WHERE n = 128 ORDER BY source, seq_no"""))
+        FROM sq WHERE n = 128 ORDER BY source, seq_no""")),
+
+    // D22 — PDF ingest AS A STREAM (e72's deployment shape: fetched
+    // documents land in a directory continuously; each trigger extracts
+    // only the files that arrived). Same fixture writer and the SAME
+    // per-file extraction (Curation.pdfProject → operators.PdfText) as
+    // the batch query, through a binaryFile file stream. Extraction is
+    // entirely per-file, so output is independent of micro-batch
+    // slicing (maxFilesPerTrigger=8 forces several triggers) and the
+    // oracle is e72's construction SQL verbatim. Stateless append;
+    // per-trigger work bounded by arriving bytes.
+    "d22_stream_pdf" -> QueryDef(
+      (s, dir) => {
+        val pdfDir = Curation.writePdfFixture(s, dir)
+        val raw = s.readStream.format("binaryFile")
+          .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+          .option("maxFilesPerTrigger", "8")
+          .load(pdfDir)
+        EventStreams.runToTable(s, Curation.pdfProject(s, raw),
+            "d22_sink", mode = "append")
+          .orderBy(col("fname"), col("page"))
+      },
+      Some(Curation.pdfOracleSql))
   )
 }
 
