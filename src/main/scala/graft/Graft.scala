@@ -83,6 +83,7 @@ object Graft {
     graft.functions.PackAscii8.register(spark)
     graft.functions.HtmlMeta.register(spark)
     graft.functions.MetaCharset.register(spark)
+    graft.functions.MimeSniff.register(spark)
     graft.functions.WkbAccessors.register(spark) // after UDF registry: SQL
     // names st_x/st_y route to the native expressions
     graft.plans.SpatialFilterRule.register(spark)

@@ -87,5 +87,6 @@ object GraftExtensions {
     fd("html_meta", 1, classOf[HtmlMetaExpr])(es => HtmlMetaExpr(es.head)),
     fd("meta_charset", 1, classOf[MetaCharsetExpr])(es => MetaCharsetExpr(es.head)),
     fd("detect_charset_html", 1, classOf[DetectCharsetHtmlExpr])(es => DetectCharsetHtmlExpr(es.head)),
-    fd("sniff_text_html", 1, classOf[SniffTextHtmlExpr])(es => SniffTextHtmlExpr(es.head)))
+    fd("sniff_text_html", 1, classOf[SniffTextHtmlExpr])(es => SniffTextHtmlExpr(es.head)),
+    fd("detect_mime", 1, classOf[DetectMimeExpr])(es => DetectMimeExpr(es.head)))
 }

@@ -1,0 +1,98 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BinaryType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `detect_mime(bin)` — content-type sniffing by MAGIC BYTES, the
+  * routing step a crawl pipeline runs on every fetched payload before
+  * choosing a decoder (Content-Type headers lie constantly; the bytes
+  * do not). Covers exactly the formats this engine decodes, so the
+  * label doubles as a dispatch key: PDF, JPEG, PNG, GIF, BMP, WAV
+  * (RIFF+WAVE), MP4 (ftyp at offset 4), gzip, zip, POSIX tar (ustar at
+  * 257), WARC, XML declaration, HTML (case-insensitive `<!doctype
+  * html`/`<html` after optional BOM/whitespace), then the e44c strict
+  * UTF-8 walk for text/plain, else application/octet-stream. Magic
+  * match order runs most-specific first — a WAV is RIFF before it is
+  * anything else; an HTML page starting with `<?xml` is XHTML and
+  * labels as xml (the declared self-description wins). Scan-local
+  * codegen scalar; never throws.
+  */
+object MimeSniff {
+
+  private def at(b: Array[Byte], off: Int, magic: String): Boolean = {
+    if (off + magic.length > b.length) return false
+    var i = 0
+    while (i < magic.length) {
+      if (b(off + i) != magic.charAt(i).toByte) return false
+      i += 1
+    }
+    true
+  }
+
+  private def atCi(b: Array[Byte], off: Int, magic: String): Boolean = {
+    if (off + magic.length > b.length) return false
+    var i = 0
+    while (i < magic.length) {
+      val c = (b(off + i) & 0xff).toChar
+      if (Character.toLowerCase(c) != magic.charAt(i)) return false
+      i += 1
+    }
+    true
+  }
+
+  def mime(b: Array[Byte]): UTF8String = UTF8String.fromString(mimeOf(b))
+
+  def mimeOf(b: Array[Byte]): String = {
+    if (at(b, 0, "%PDF")) return "application/pdf"
+    if (b.length >= 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 &&
+        (b(2) & 0xff) == 0xff) return "image/jpeg"
+    if (b.length >= 8 && (b(0) & 0xff) == 0x89 && at(b, 1, "PNG"))
+      return "image/png"
+    if (at(b, 0, "GIF87a") || at(b, 0, "GIF89a")) return "image/gif"
+    if (at(b, 0, "RIFF") && at(b, 8, "WAVE")) return "audio/wav"
+    if (at(b, 0, "BM")) return "image/bmp"
+    if (at(b, 4, "ftyp")) return "video/mp4"
+    if (b.length >= 2 && (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b)
+      return "application/gzip"
+    if (b.length >= 4 && at(b, 0, "PK") && (b(2) & 0xff) <= 0x07)
+      return "application/zip"
+    if (at(b, 257, "ustar")) return "application/x-tar"
+    if (at(b, 0, "WARC/")) return "application/warc"
+    // skip an optional UTF-8 BOM + ASCII whitespace for the markup tests
+    var i = 0
+    if (b.length >= 3 && (b(0) & 0xff) == 0xef && (b(1) & 0xff) == 0xbb &&
+        (b(2) & 0xff) == 0xbf) i = 3
+    while (i < b.length && (b(i) == ' ' || b(i) == '\t' || b(i) == '\r' ||
+        b(i) == '\n')) i += 1
+    if (at(b, i, "<?xml")) return "text/xml"
+    if (atCi(b, i, "<!doctype html") || atCi(b, i, "<html"))
+      return "text/html"
+    if (CharsetSniff.charsetOf(b).toString != "windows-1252") "text/plain"
+    else "application/octet-stream"
+  }
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "detect_mime", exprs => {
+        if (exprs.length != 1)
+          throw new IllegalArgumentException(
+            s"detect_mime expects 1 argument, got ${exprs.length}")
+        DetectMimeExpr(exprs.head)
+      }, "built-in")
+}
+
+case class DetectMimeExpr(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "detect_mime"
+  override def nullSafeEval(input: Any): Any =
+    MimeSniff.mime(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MimeSniff.mime($c)")
+  override protected def withNewChildInternal(newChild: Expression): DetectMimeExpr =
+    copy(newChild)
+}

@@ -2285,6 +2285,161 @@ object Curation extends QueryBlock {
           CAST(page AS INT) AS page, text
         FROM pg ORDER BY fname, page""")),
 
+    // E73 — RSS/Atom FEED ingest: the other discovery input a frontier
+    // polls besides sitemaps (e57) — new-content notification. One
+    // directory mixes RSS 2.0 files (<item> children with <link>
+    // element + RFC-822-style pubDate WITHOUT the optional weekday) and
+    // Atom files (<entry> children with <link href=""/> attribute +
+    // ISO-8601 <updated>), plus an HTML decoy that must yield nothing
+    // (root-element discrimination, the e57 envelope rule). Items are
+    // extracted SCOPED to their <item>/<entry> block — the planted
+    // channel-level <link> (which every real RSS feed carries) must NOT
+    // leak in as an item. Titles XML-unescape; URLs url_normalize (the
+    // doc_id%3 branch plants a shouting-case host + default port);
+    // dates parse per format on the Spark side while the ORACLE builds
+    // the same dates numerically from construction — so a parse that
+    // lands on the wrong day fails the hash. Per-file parallel, zero
+    // shuffle.
+    "e73_feed_ingest" -> QueryDef(
+      (s, dir) => {
+        val feedDir = s"$scratch/feeds_${new java.io.File(dir).getName}"
+        val fd = new java.io.File(feedDir)
+        if (fd.exists()) fd.listFiles().foreach(_.delete())
+        fd.mkdirs()
+        val mon = Array("Jan", "Feb", "Mar", "Apr", "May", "Jun",
+          "Jul", "Aug", "Sep", "Oct", "Nov", "Dec")
+        val rows = t(s, dir, "documents").filter(col("text").isNotNull)
+          .select(col("doc_id"), col("source")).collect()
+          .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+        def urlOf(id: Long, src: String): String =
+          if (id % 3 == 0) s"HTTP://$src.EXAMPLE.COM:80/p/$id"
+          else s"http://$src.example.com/p/$id"
+        (0 until 4).foreach { b =>
+          val items = rows.filter(_._1 % 8 == b).map { case (id, src) =>
+            val d = 1 + (id % 28)
+            val m = mon((id % 12).toInt)
+            s"<item><title>Doc $id &amp; more</title>" +
+              s"<link>${urlOf(id, src)}</link>" +
+              f"<pubDate>$d%02d $m 2026 10:30:00 GMT</pubDate></item>"
+          }.mkString
+          java.nio.file.Files.write(java.nio.file.Paths.get(s"$feedDir/rss$b.xml"),
+            ("<?xml version=\"1.0\"?><rss version=\"2.0\"><channel>" +
+              "<title>chan</title><link>https://decoy.example.com/</link>" +
+              items + "</channel></rss>").getBytes("UTF-8"))
+        }
+        (4 until 8).foreach { b =>
+          val entries = rows.filter(_._1 % 8 == b).map { case (id, src) =>
+            val d = 1 + (id % 28)
+            val m = 1 + (id % 12)
+            s"<entry><title>Doc $id &amp; more</title>" +
+              s"""<link href="${urlOf(id, src)}"/>""" +
+              f"<updated>2026-$m%02d-$d%02dT10:30:00Z</updated></entry>"
+          }.mkString
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"$feedDir/atom${b - 4}.xml"),
+            ("""<feed xmlns="http://www.w3.org/2005/Atom"><title>f</title>""" +
+              entries + "</feed>").getBytes("UTF-8"))
+        }
+        java.nio.file.Files.write(java.nio.file.Paths.get(s"$feedDir/page.html"),
+          "<html><body><item><link>not a feed</link></item></body></html>"
+            .getBytes("UTF-8"))
+        val raw = s.read.format("binaryFile").load(feedDir)
+          .select(regexp_extract(col("path"), "([^/]+)$", 1).as("fname"),
+            col("content").cast("string").as("xml"))
+        val rss = raw.filter(col("xml").contains("<rss"))
+          .select(col("fname"), posexplode(regexp_extract_all(col("xml"),
+            lit("(?s)<item>(.*?)</item>"), lit(1))))
+          .select(col("fname"), col("pos"), lit("rss").as("kind"),
+            col("col").as("item"))
+          .withColumn("url0", regexp_extract(col("item"),
+            "<link>([^<]+)</link>", 1))
+          .withColumn("published", to_date(to_timestamp(
+            regexp_extract(col("item"), "<pubDate>([^<]+)</pubDate>", 1),
+            "dd MMM yyyy HH:mm:ss 'GMT'")))
+        val atom = raw.filter(col("xml").contains("<feed"))
+          .select(col("fname"), posexplode(regexp_extract_all(col("xml"),
+            lit("(?s)<entry>(.*?)</entry>"), lit(1))))
+          .select(col("fname"), col("pos"), lit("atom").as("kind"),
+            col("col").as("item"))
+          .withColumn("url0", regexp_extract(col("item"),
+            "<link href=\"([^\"]+)\"", 1))
+          .withColumn("published", to_date(substring(regexp_extract(col("item"),
+            "<updated>([^<]+)</updated>", 1), 1, 10)))
+        rss.unionByName(atom)
+          .select(col("fname"), col("pos"), col("kind"),
+            regexp_replace(regexp_extract(col("item"),
+              "<title>(.*?)</title>", 1), "&amp;", "&").as("title"),
+            expr("url_normalize(url0)").as("url"),
+            col("published"))
+          .orderBy(col("fname"), col("pos"))
+      },
+      Some("""WITH d AS (SELECT doc_id, source, CAST(doc_id % 8 AS INT) AS b
+          FROM documents WHERE text IS NOT NULL),
+        x AS (SELECT doc_id, b,
+            CASE WHEN b < 4 THEN 'rss' ELSE 'atom' END AS kind,
+            CASE WHEN b < 4 THEN 'rss' || CAST(b AS VARCHAR) || '.xml'
+              ELSE 'atom' || CAST(b - 4 AS VARCHAR) || '.xml' END AS fname,
+            'Doc ' || CAST(doc_id AS VARCHAR) || ' & more' AS title,
+            'http://' || source || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+              AS url,
+            CAST(('2026-' || lpad(CAST(1 + doc_id % 12 AS VARCHAR), 2, '0')
+              || '-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')) AS DATE)
+              AS published
+          FROM d)
+        SELECT fname,
+          CAST(row_number() OVER (PARTITION BY b ORDER BY doc_id) - 1 AS INT)
+            AS pos,
+          kind, title, url, published
+        FROM x ORDER BY fname, pos""")),
+
+    // E74 — MIME routing by magic bytes (functions.MimeSniff): the
+    // dispatch step a pipeline runs on every fetched payload BEFORE
+    // choosing a decoder — Content-Type headers lie constantly, the
+    // bytes do not. Each doc_id%10 branch synthesizes one format's
+    // magic envelope (PDF, JPEG SOI, WARC version line, gzip member
+    // head, whitespace-led shouting-case DOCTYPE, XML declaration, RIFF
+    // + WAVE, PNG signature, plain UTF-8 text, and invalid-UTF-8 binary
+    // junk that must fall through BOTH the markup and text rungs to
+    // octet-stream); the oracle states each branch's label from
+    // construction. The label set matches the engine's own decoders, so
+    // the output doubles as a routing column. Scan-local codegen, zero
+    // shuffle. MimeSniffSpec covers the formats not in the fixture
+    // (GIF/BMP/MP4/tar/zip/UTF-16) plus the never-throw envelope.
+    "e74_mime_route" -> QueryDef(
+      (s, dir) => {
+        val m = col("m")
+        t(s, dir, "documents").filter(col("text").isNotNull)
+          .withColumn("m", (col("doc_id") % 10).cast("int"))
+          .withColumn("bin", concat(
+            when(m === 0, encode(lit("%PDF-1.4 "), "UTF-8"))
+              .when(m === 1, unhex(lit("FFD8FFE0")))
+              .when(m === 2, encode(lit("WARC/1.0\r\nWARC-Type: response\r\n"), "UTF-8"))
+              .when(m === 3, unhex(lit("1F8B0800")))
+              .when(m === 4, encode(lit("  <!DOCTYPE HTML><HTML><body>"), "UTF-8"))
+              .when(m === 5, encode(lit("<?xml version=\"1.0\"?><urlset>"), "UTF-8"))
+              .when(m === 6, concat(encode(lit("RIFF"), "UTF-8"),
+                unhex(lit("24000000")), encode(lit("WAVEfmt "), "UTF-8")))
+              .when(m === 7, unhex(lit("89504E470D0A1A0A")))
+              .when(m === 8, encode(lit(""), "UTF-8"))
+              .otherwise(unhex(lit("009396FE"))),
+            encode(col("text"), "UTF-8")))
+          .select(col("doc_id"), expr("detect_mime(bin)").as("mime"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+          CASE CAST(doc_id % 10 AS INT)
+            WHEN 0 THEN 'application/pdf'
+            WHEN 1 THEN 'image/jpeg'
+            WHEN 2 THEN 'application/warc'
+            WHEN 3 THEN 'application/gzip'
+            WHEN 4 THEN 'text/html'
+            WHEN 5 THEN 'text/xml'
+            WHEN 6 THEN 'audio/wav'
+            WHEN 7 THEN 'image/png'
+            WHEN 8 THEN 'text/plain'
+            ELSE 'application/octet-stream' END AS mime
+        FROM documents WHERE text IS NOT NULL ORDER BY doc_id""")),
+
     // E67 — page-metadata extraction (functions.HtmlMeta): the WAT-stage
     // fields next to e54's outlinks — title, meta description, html
     // lang, meta-declared charset — as ONE struct-returning codegen

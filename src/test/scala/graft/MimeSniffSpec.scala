@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.MimeSniff
+
+/** Magic-byte MIME sniffing: the format families the e74 fixture does
+  * not exercise, ordering/precedence rules, and the never-throw
+  * envelope.
+  */
+class MimeSniffSpec extends AnyFunSuite {
+
+  private def m(b: Array[Byte]): String = MimeSniff.mimeOf(b)
+  private def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+
+  test("image and container families by magic") {
+    assert(m("GIF89a".getBytes("ISO-8859-1") ++ bytes(1, 2)) === "image/gif")
+    assert(m("GIF87a".getBytes("ISO-8859-1")) === "image/gif")
+    assert(m("BM".getBytes("ISO-8859-1") ++ bytes(0, 0)) === "image/bmp")
+    assert(m(bytes(0, 0, 0, 0x18) ++ "ftypisom".getBytes("ISO-8859-1"))
+      === "video/mp4")
+    assert(m(bytes(0x50, 0x4b, 0x03, 0x04)) === "application/zip")
+    val tar = new Array[Byte](300)
+    "ustar".getBytes("ISO-8859-1").copyToArray(tar, 257)
+    assert(m(tar) === "application/x-tar")
+  }
+
+  test("precedence: RIFF without WAVE is not wav; PK without version is not zip") {
+    // RIFF + AVI payload: RIFF matched but WAVE absent -> falls through
+    val avi = "RIFF".getBytes("ISO-8859-1") ++ bytes(0, 0, 0, 0) ++
+      "AVI LIST".getBytes("ISO-8859-1")
+    assert(m(avi) !== "audio/wav")
+    assert(m("PKZZZZ".getBytes("ISO-8859-1")) !== "application/zip")
+  }
+
+  test("markup detection skips BOM and whitespace, case-insensitive doctype") {
+    assert(m(bytes(0xef, 0xbb, 0xbf) ++ "\n <html>".getBytes("UTF-8"))
+      === "text/html")
+    assert(m("<!dOcTyPe HtMl><p>".getBytes("UTF-8")) === "text/html")
+    // XHTML: the XML declaration wins (self-description)
+    assert(m("<?xml version=\"1.0\"?><html>".getBytes("UTF-8")) === "text/xml")
+  }
+
+  test("text vs binary fallback rides the strict UTF-8 walk") {
+    assert(m("plain words".getBytes("UTF-8")) === "text/plain")
+    assert(m("café 中文".getBytes("UTF-8")) === "text/plain")
+    // UTF-16 BOM payloads are text
+    assert(m(bytes(0xff, 0xfe) ++ "hi".getBytes("UTF-16LE")) === "text/plain")
+    assert(m(bytes(0x00, 0x93, 0x96)) === "application/octet-stream")
+  }
+
+  test("never throws on truncations and soup") {
+    val rnd = new scala.util.Random(50)
+    (0 until 500).foreach { _ =>
+      m(Array.fill(rnd.nextInt(300))(rnd.nextInt(256).toByte))
+    }
+    assert(m(Array.emptyByteArray) === "text/plain") // empty = trivially UTF-8
+  }
+
+  test("SQL surface registered") {
+    val spark = TestSpark.spark
+    Graft.prepare(spark)
+    val r = spark.sql(
+      "SELECT detect_mime(cast('%PDF-1.7' AS BINARY)) AS a").head()
+    assert(r.getString(0) === "application/pdf")
+  }
+}
