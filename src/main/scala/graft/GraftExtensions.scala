@@ -88,5 +88,6 @@ object GraftExtensions {
     fd("meta_charset", 1, classOf[MetaCharsetExpr])(es => MetaCharsetExpr(es.head)),
     fd("detect_charset_html", 1, classOf[DetectCharsetHtmlExpr])(es => DetectCharsetHtmlExpr(es.head)),
     fd("sniff_text_html", 1, classOf[SniffTextHtmlExpr])(es => SniffTextHtmlExpr(es.head)),
-    fd("detect_mime", 1, classOf[DetectMimeExpr])(es => DetectMimeExpr(es.head)))
+    fd("detect_mime", 1, classOf[DetectMimeExpr])(es => DetectMimeExpr(es.head)),
+    fd("html_anchors", 1, classOf[HtmlAnchorsExpr])(es => HtmlAnchorsExpr(es.head)))
 }

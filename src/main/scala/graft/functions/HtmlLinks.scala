@@ -141,7 +141,7 @@ object HtmlLinks {
     new GenericArrayData(out.toArray)
   }
 
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "html_links", exprs => {
         if (exprs.length != 1)
@@ -149,6 +149,177 @@ object HtmlLinks {
             s"html_links expects 1 argument, got ${exprs.length}")
         HtmlLinksExpr(exprs.head)
       }, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "html_anchors", exprs => {
+        if (exprs.length != 1)
+          throw new IllegalArgumentException(
+            s"html_anchors expects 1 argument, got ${exprs.length}")
+        HtmlAnchorsExpr(exprs.head)
+      }, "built-in")
+  }
+
+  /** `html_anchors(html)` — anchors WITH their anchor text:
+    * `array<struct<href, text>>` in document order. The href rules are
+    * [[links]]'s exactly (same walk); the text is the anchor's visible
+    * content — inner tags act as separators (a `<b>` inside an anchor
+    * does not glue words), entities decode once, whitespace collapses,
+    * comments and script/style RAWTEXT inside the anchor contribute
+    * nothing. A new `<a>` before the close implicitly closes the
+    * current one (the HTML5 rule), and EOF closes an open anchor with
+    * the text collected so far. Anchor text is the label the LINKING
+    * page gives the target — the classic retrieval/training signal a
+    * WAT-stage anchor-text index aggregates per target URL.
+    */
+  def anchors(in: UTF8String): ArrayData = {
+    val s = in.toString
+    val n = s.length
+    val out = new java.util.ArrayList[org.apache.spark.sql.catalyst.InternalRow]()
+
+    def rawTextEnd(name: String, from: Int): Int = {
+      var k = from
+      while (k < n) {
+        val idx = s.indexOf("</", k)
+        if (idx < 0) return n
+        val after = idx + 2 + name.length
+        if (s.regionMatches(true, idx + 2, name, 0, name.length) &&
+            (after >= n || {
+              val ac = s.charAt(after)
+              ac == '>' || ac == '/' || Character.isWhitespace(ac)
+            })) {
+          val e = s.indexOf('>', idx + 2)
+          return if (e < 0) n else e + 1
+        }
+        k = idx + 2
+      }
+      n
+    }
+
+    var curHref: String = null
+    val curText = new java.lang.StringBuilder
+    var inAnchor = false
+
+    def emit(): Unit = {
+      if (inAnchor) {
+        val decoded = HtmlStrip.decodeEntitiesOnce(curText.toString)
+        out.add(org.apache.spark.sql.catalyst.InternalRow(
+          UTF8String.fromString(if (curHref == null) "" else curHref),
+          UTF8String.fromString(graft.functions.HtmlMeta.collapseWs(decoded))))
+      }
+      inAnchor = false
+      curHref = null
+      curText.setLength(0)
+    }
+
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '<') {
+        if (s.regionMatches(false, i, "<!--", 0, 4)) {
+          val e = s.indexOf("-->", i + 4)
+          i = if (e < 0) n else e + 3
+          if (inAnchor) curText.append(' ')
+        } else if (i + 1 < n && (s.charAt(i + 1) == '!' || s.charAt(i + 1) == '?')) {
+          val e = s.indexOf('>', i + 2)
+          i = if (e < 0) n else e + 1
+          if (inAnchor) curText.append(' ')
+        } else if (i + 1 < n && (Character.isLetter(s.charAt(i + 1)) ||
+            (s.charAt(i + 1) == '/' && i + 2 < n && Character.isLetter(s.charAt(i + 2))))) {
+          val closing = s.charAt(i + 1) == '/'
+          var j = i + (if (closing) 2 else 1)
+          val nameStart = j
+          while (j < n && Character.isLetterOrDigit(s.charAt(j))) j += 1
+          val name = s.substring(nameStart, j).toLowerCase(java.util.Locale.ROOT)
+
+          var href: String = null
+          var closed = false
+          if (!closing && name == "a") {
+            while (j < n && !closed) {
+              while (j < n && Character.isWhitespace(s.charAt(j))) j += 1
+              if (j < n && s.charAt(j) == '>') { closed = true; j += 1 }
+              else if (j < n && s.charAt(j) == '/') j += 1
+              else if (j < n) {
+                val an = j
+                while (j < n && !Character.isWhitespace(s.charAt(j)) &&
+                    s.charAt(j) != '=' && s.charAt(j) != '>' && s.charAt(j) != '/') j += 1
+                val attr = s.substring(an, j).toLowerCase(java.util.Locale.ROOT)
+                while (j < n && Character.isWhitespace(s.charAt(j))) j += 1
+                var value = ""
+                if (j < n && s.charAt(j) == '=') {
+                  j += 1
+                  while (j < n && Character.isWhitespace(s.charAt(j))) j += 1
+                  if (j < n && (s.charAt(j) == '"' || s.charAt(j) == '\'')) {
+                    val q = s.charAt(j)
+                    j += 1
+                    val vs = j
+                    while (j < n && s.charAt(j) != q) j += 1
+                    value = s.substring(vs, j)
+                    if (j < n) j += 1
+                  } else {
+                    val vs = j
+                    while (j < n && !Character.isWhitespace(s.charAt(j)) &&
+                        s.charAt(j) != '>') j += 1
+                    value = s.substring(vs, j)
+                  }
+                }
+                if (attr == "href" && href == null)
+                  href = HtmlStrip.decodeEntitiesOnce(value)
+              }
+            }
+          } else {
+            var q: Char = 0
+            while (j < n && !closed) {
+              val ch = s.charAt(j)
+              if (q != 0) { if (ch == q) q = 0 }
+              else if (ch == '"' || ch == '\'') q = ch
+              else if (ch == '>') closed = true
+              j += 1
+            }
+          }
+          i = if (closed) j else n
+          if (closed) {
+            if (!closing && name == "a") {
+              emit() // implicit close of any open anchor (HTML5 rule)
+              inAnchor = true
+              curHref = href
+            } else if (closing && name == "a") {
+              emit()
+            } else {
+              if (inAnchor) curText.append(' ') // inner tag = separator
+              if (!closing && (name == "script" || name == "style"))
+                i = rawTextEnd(name, i)
+            }
+          }
+        } else {
+          if (inAnchor) curText.append('<')
+          i += 1
+        }
+      } else {
+        if (inAnchor) curText.append(c)
+        i += 1
+      }
+    }
+    emit() // EOF closes an open anchor
+    new GenericArrayData(out.toArray)
+  }
+
+  val anchorSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("href", StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("text", StringType, nullable = false)))
+}
+
+case class HtmlAnchorsExpr(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType =
+    ArrayType(HtmlLinks.anchorSchema, containsNull = false)
+  override def prettyName: String = "html_anchors"
+  override def nullSafeEval(input: Any): Any =
+    HtmlLinks.anchors(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HtmlLinks.anchors($c)")
+  override protected def withNewChildInternal(newChild: Expression): HtmlAnchorsExpr =
+    copy(newChild)
 }
 
 case class HtmlLinksExpr(child: Expression)

@@ -107,6 +107,55 @@ object WarcCdx {
     out.result()
   }
 
+  val schemaBinary: StructType = StructType(Seq(
+    StructField("fname", StringType),
+    StructField("rec", IntegerType),
+    StructField("offset", LongType),
+    StructField("rlen", LongType),
+    StructField("uri", StringType),
+    StructField("wdate", StringType),
+    StructField("payload", BinaryType)))
+
+  /** The [[walk]] framing with payloads as RAW BYTES — the form a
+    * mixed-format archive needs (PDF/image payloads corrupt through a
+    * UTF-8 decode; the e75 MIME-routing pipeline decides per record how
+    * to decode). Same envelope discipline, same offsets.
+    */
+  def walkBinary(data: Array[Byte]): Vector[(Int, Long, Long, String, String, Array[Byte])] =
+    walk(data).map { case (rec, off, rlen, uri, wdate, _) =>
+      // re-slice the payload bytes from the framing arithmetic: the
+      // record spans [off, off+rlen), payload is the clen bytes before
+      // the trailing CRLFCRLF, where clen = rlen - head - 8
+      val pEnd = off.toInt + rlen.toInt - 4
+      // find the head/payload separator again (ASCII scan, bounded by
+      // the record) — keeps walk() the single framing authority
+      var i = off.toInt
+      var sep = -1
+      while (sep < 0 && i + 3 < data.length) {
+        if (data(i) == '\r' && data(i + 1) == '\n' &&
+            data(i + 2) == '\r' && data(i + 3) == '\n') sep = i
+        else i += 1
+      }
+      val pStart = sep + 4
+      (rec, off, rlen, uri, wdate,
+        java.util.Arrays.copyOfRange(data, pStart, pEnd))
+    }
+
+  /** [[parse]] with binary payloads (see [[walkBinary]]). */
+  def parseBinary(raw: DataFrame): DataFrame = {
+    val input = raw.select(
+      regexp_extract(col("path"), "([^/]+)$", 1).as("fname"), col("content"))
+    input.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val fname = r.getString(0)
+        walkBinary(r.getAs[Array[Byte]](1)).iterator.map {
+          case (rec, off, rlen, uri, wdate, payload) =>
+            Row(fname, rec, off, rlen, uri, wdate, payload)
+        }
+      }
+    }(RowEncoder.encoderFor(schemaBinary))
+  }
+
   /** Scan-local parse of a binaryFile-shaped relation (`path`, `content`)
     * holding uncompressed WARC files; one output row per record, with the
     * record's true byte offset and length in its file.

@@ -2440,6 +2440,154 @@ object Curation extends QueryBlock {
             ELSE 'application/octet-stream' END AS mime
         FROM documents WHERE text IS NOT NULL ORDER BY doc_id""")),
 
+    // E75 — MIXED-FORMAT ingest pipeline: the composition today's new
+    // pieces exist for — one WARC archive whose records carry FOUR
+    // different payload formats (HTML, real PDF bytes, plain UTF-8,
+    // windows-1252 bytes), walked with BINARY payloads (the string
+    // reader would corrupt the PDF), routed per record by detect_mime,
+    // and extracted by the matching decoder: html_text + html_meta for
+    // HTML, operators.PdfText for PDF, the e44c sniff cascade for
+    // everything text-shaped (the cp1252 branch deliberately lands in
+    // the octet-stream fallback — no magic, invalid UTF-8 — and the
+    // sniff STILL recovers its text: a salvage path, not a dead end).
+    // The oracle re-derives every record's mime label, title and
+    // extracted text from construction. Scan-local per record; zero
+    // shuffle at any archive size.
+    "e75_mixed_ingest" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.PdfText
+        val warcDir = s"$scratch/mixedwarc_${new java.io.File(dir).getName}"
+        val fd = new java.io.File(warcDir)
+        if (fd.exists()) fd.listFiles().foreach(_.delete())
+        fd.mkdirs()
+        val rows = t(s, dir, "documents")
+          .filter(col("text").isNotNull && col("doc_id") < 200)
+          .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
+          .filter(size(col("toks")) >= 10)
+          .collect()
+          .map(r => (r.getLong(0), r.getString(1),
+            r.getSeq[String](2).take(10))).sortBy(_._1)
+        val bo = new java.io.ByteArrayOutputStream()
+        rows.foreach { case (id, src, toks) =>
+          val j10 = toks.mkString(" ")
+          val j8 = toks.take(8).mkString(" ")
+          val payload: Array[Byte] = (id % 4) match {
+            case 0 =>
+              (s"""<html lang="en"><head><title>Doc $id</title>""" +
+                s"""<meta name="description" content="about $id"></head>""" +
+                s"<body><p>$j10</p></body></html>").getBytes("UTF-8")
+            case 1 =>
+              PdfText.makePdf(Seq(Seq(
+                s"BT /F1 12 Tf 72 720 Td (${PdfText.esc(j8)}) Tj ET"
+                  .getBytes("ISO-8859-1"))), flate = true)
+            case 2 => (j10 + " é€").getBytes("UTF-8")
+            case _ => (j10 + " ").getBytes("US-ASCII") ++
+              Array(0x93.toByte, 0x94.toByte)
+          }
+          val head = (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+            s"WARC-Target-URI: https://$src.example.com/p/$id\r\n" +
+            s"WARC-Date: 2026-01-01T00:00:00Z\r\n" +
+            s"Content-Length: ${payload.length}\r\n\r\n").getBytes("US-ASCII")
+          bo.write(head); bo.write(payload); bo.write("\r\n\r\n".getBytes("US-ASCII"))
+        }
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$warcDir/mixed.warc"), bo.toByteArray)
+        val pdfText = udf((b: Array[Byte]) =>
+          graft.operators.PdfText.extract(b).map(_.mkString("\n")).orNull)
+        graft.operators.WarcCdx.parseBinary(
+            s.read.format("binaryFile").load(warcDir))
+          .withColumn("mime", expr("detect_mime(payload)"))
+          .withColumn("title", when(col("mime") === "text/html",
+            expr("html_meta(cast(payload AS STRING)).title")))
+          .withColumn("text",
+            when(col("mime") === "text/html",
+              expr("html_text(cast(payload AS STRING))"))
+            .when(col("mime") === "application/pdf", pdfText(col("payload")))
+            .otherwise(expr("sniff_text(payload)")))
+          .select(col("rec"), col("uri"), col("mime"), col("title"), col("text"))
+          .orderBy(col("rec"))
+      },
+      Some("""WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS toks,
+            CAST(doc_id % 4 AS INT) AS m
+          FROM documents WHERE text IS NOT NULL AND doc_id < 200),
+        f AS (SELECT doc_id, source, toks, m FROM d WHERE len(toks) >= 10),
+        j AS (SELECT doc_id, source, m,
+            array_to_string(toks[1:10], ' ') AS j10,
+            array_to_string(toks[1:8], ' ') AS j8,
+            row_number() OVER (ORDER BY doc_id) - 1 AS rec
+          FROM f)
+        SELECT CAST(rec AS INT) AS rec,
+          'https://' || source || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+            AS uri,
+          CASE m WHEN 0 THEN 'text/html' WHEN 1 THEN 'application/pdf'
+            WHEN 2 THEN 'text/plain'
+            ELSE 'application/octet-stream' END AS mime,
+          CASE m WHEN 0 THEN 'Doc ' || CAST(doc_id AS VARCHAR) END AS title,
+          CASE m
+            WHEN 0 THEN 'Doc ' || CAST(doc_id AS VARCHAR) || ' ' || j10
+            WHEN 1 THEN j8
+            WHEN 2 THEN j10 || ' ' || chr(233) || chr(8364)
+            ELSE j10 || ' ' || chr(8220) || chr(8221) END AS text
+        FROM j ORDER BY rec""")),
+
+    // E76 — ANCHOR-TEXT INDEX (functions.HtmlLinks.html_anchors): the
+    // label the LINKING page gives a target — the classic retrieval /
+    // training signal a WAT stage aggregates per target URL (how search
+    // engines describe pages they have not crawled). html_anchors pairs
+    // each href with its visible anchor text (inner tags separate,
+    // entities decode once, whitespace collapses, comments and RAWTEXT
+    // contribute nothing, a new <a> implicitly closes the open one);
+    // hrefs resolve against the page URL (RFC 3986) and normalize, and
+    // the index groups per target: anchor count + the SORTED text list.
+    // The fixture plants a bucket-shared target (5 docs' first anchors
+    // collide), a per-source shared target (every page's "../top"), an
+    // absolute shouting-case URL that must normalize before grouping,
+    // and a comment-trapped ghost anchor that must not index. Shape:
+    // scan-local extraction, ONE target-keyed shuffle carrying light
+    // (target, text) pairs — never pages.
+    "e76_anchor_text" -> QueryDef(
+      (s, dir) => {
+        t(s, dir, "documents").filter(col("text").isNotNull)
+          .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
+          .filter(size(col("toks")) >= 6)
+          .withColumn("base", concat(lit("https://"), col("source"),
+            lit(".example.com/p/"), col("doc_id")))
+          .withColumn("html", concat(
+            lit("<body><a href=\"/p/"), col("doc_id") - col("doc_id") % 5,
+            lit("\">"), array_join(slice(col("toks"), 1, 3), " "),
+            lit("</a> mid <a href=\"../top\">see &amp; <b>"),
+            element_at(col("toks"), 4),
+            lit("</b></a><!-- <a href=\"/ghost\">no</a> -->"),
+            lit("<a href=\"HTTPS://"), upper(col("source")),
+            lit(".EXAMPLE.COM:443/abs/"), col("doc_id") % 7,
+            lit("\">"), array_join(slice(col("toks"), 5, 2), " "),
+            lit("</a></body>")))
+          .select(col("base"), explode(expr("html_anchors(html)")).as("a"))
+          .select(expr("url_normalize(url_resolve(base, a.href))").as("target"),
+            col("a.text").as("text"))
+          .groupBy(col("target"))
+          .agg(count(lit(1)).cast("int").as("n_anchors"),
+            sort_array(collect_list(col("text"))).as("texts"))
+          .orderBy(col("target"))
+      },
+      Some("""WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+          FROM documents WHERE text IS NOT NULL),
+        f AS (SELECT doc_id, source, toks FROM d WHERE len(toks) >= 6),
+        a AS (
+          SELECT 'https://' || source || '.example.com/p/'
+              || CAST(doc_id - doc_id % 5 AS VARCHAR) AS target,
+            array_to_string(toks[1:3], ' ') AS text FROM f
+          UNION ALL
+          SELECT 'https://' || source || '.example.com/top',
+            'see & ' || toks[4] FROM f
+          UNION ALL
+          SELECT 'https://' || source || '.example.com/abs/'
+              || CAST(doc_id % 7 AS VARCHAR),
+            array_to_string(toks[5:6], ' ') FROM f)
+        SELECT target, CAST(count(*) AS INT) AS n_anchors,
+          list(text ORDER BY text) AS texts
+        FROM a GROUP BY target ORDER BY target""")),
+
     // E67 — page-metadata extraction (functions.HtmlMeta): the WAT-stage
     // fields next to e54's outlinks — title, meta description, html
     // lang, meta-declared charset — as ONE struct-returning codegen

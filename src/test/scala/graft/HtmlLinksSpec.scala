@@ -55,4 +55,41 @@ class HtmlLinksSpec extends AnyFunSuite {
     assert(links("""<a href="/truncated""") === Seq.empty)
     assert(links("""text with no tags, 1 < 2""") === Seq.empty)
   }
+
+  // ---------------- html_anchors: anchor TEXT extraction ----------------
+
+  private def anchors(html: String): Seq[(String, String)] = {
+    val arr = graft.functions.HtmlLinks.anchors(UTF8String.fromString(html))
+    (0 until arr.numElements()).map { i =>
+      val r = arr.getStruct(i, 2)
+      (r.getUTF8String(0).toString, r.getUTF8String(1).toString)
+    }
+  }
+
+  test("anchors: text collected, inner tags separate, entities decode, ws collapses") {
+    assert(anchors("""<a href="/p">  read   this </a>""") === Seq(("/p", "read this")))
+    assert(anchors("""<a href="/b">bold<b>strong</b>end</a>""")
+      === Seq(("/b", "bold strong end")))
+    assert(anchors("""<a href="/e">x &amp; y</a>""") === Seq(("/e", "x & y")))
+  }
+
+  test("anchors: new <a> implicitly closes the open one; EOF closes too") {
+    assert(anchors("""<a href="/x">outer <a href="/y">inner</a>""")
+      === Seq(("/x", "outer"), ("/y", "inner")))
+    assert(anchors("""<a href="/z">tail text""") === Seq(("/z", "tail text")))
+  }
+
+  test("anchors: comments, script bodies and stray '<' inside text") {
+    assert(anchors("""<a href="/c">a<!-- hidden -->b</a>""")
+      === Seq(("/c", "a b")))
+    assert(anchors("""<script>'<a href=/js>x</a>'</script><a href="/r">real</a>""")
+      === Seq(("/r", "real")))
+    assert(anchors("""<a href="/lt">1 < 2</a>""") === Seq(("/lt", "1 < 2")))
+  }
+
+  test("anchors: href rules match html_links (first wins, quotes, valueless)") {
+    assert(anchors("""<a title="x>y" HREF='/q' href=/dup>t</a>""")
+      === Seq(("/q", "t")))
+    assert(anchors("""<a href>bare</a>""") === Seq(("", "bare")))
+  }
 }

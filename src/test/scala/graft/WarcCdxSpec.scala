@@ -77,6 +77,29 @@ class WarcCdxSpec extends AnyFunSuite {
       ("f.warc", 1, rec("https://h/1", "a").length.toLong, "https://h/2")))
   }
 
+  test("binary walk: hostile byte payloads round-trip EXACTLY") {
+    // a payload carrying CRLFCRLF, the WARC magic, AND invalid UTF-8 —
+    // the string walk would U+FFFD the bad bytes; walkBinary must
+    // return the payload byte-for-byte (the PDF-in-WARC requirement)
+    val payload = "head\r\n\r\nWARC/1.0\r\nmid".getBytes("US-ASCII") ++
+      Array(0xff.toByte, 0x93.toByte, 0x00.toByte) ++
+      "tail".getBytes("US-ASCII")
+    val head = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: https://h/bin\r\nWARC-Date: 2026-01-01T00:00:00Z\r\n" +
+      s"Content-Length: ${payload.length}\r\n\r\n").getBytes("US-ASCII")
+    val file = head ++ payload ++ "\r\n\r\n".getBytes("US-ASCII") ++
+      rec("https://h/2", "after").getBytes("UTF-8")
+    val out = operators.WarcCdx.walkBinary(file)
+    assert(out.length === 2)
+    assert(out(0)._4 === "https://h/bin")
+    assert(out(0)._6.toSeq === payload.toSeq) // byte-exact
+    assert(out(1)._4 === "https://h/2")
+    assert(new String(out(1)._6, "UTF-8") === "after")
+    // offsets identical to the string walk's framing
+    val sw = operators.WarcCdx.walk(file)
+    assert(out.map(t => (t._1, t._2, t._3)) === sw.map(t => (t._1, t._2, t._3)))
+  }
+
   test("SURT key: labels reversed, lowercased, scheme dropped") {
     val out = Seq(
         "https://News.Example.COM/A/b?q=1",
