@@ -577,6 +577,59 @@ object Curation extends QueryBlock {
     // no ORDER BY here: the streaming twin sorts after its sink
   }
 
+  /** e76's per-page anchor fixture construction (base URL + planted
+    * HTML) over a documents-shaped relation — shared with the d23
+    * streaming twin. Works identically on batch and streaming inputs.
+    */
+  def anchorPages(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 6)
+      .withColumn("base", concat(lit("https://"), col("source"),
+        lit(".example.com/p/"), col("doc_id")))
+      .withColumn("html", concat(
+        lit("<body><a href=\"/p/"), col("doc_id") - col("doc_id") % 5,
+        lit("\">"), array_join(slice(col("toks"), 1, 3), " "),
+        lit("</a> mid <a href=\"../top\">see &amp; <b>"),
+        element_at(col("toks"), 4),
+        lit("</b></a><!-- <a href=\"/ghost\">no</a> -->"),
+        lit("<a href=\"HTTPS://"), upper(col("source")),
+        lit(".EXAMPLE.COM:443/abs/"), col("doc_id") % 7,
+        lit("\">"), array_join(slice(col("toks"), 5, 2), " "),
+        lit("</a></body>")))
+
+  /** Anchor-text index over (base, html) pages: extract → resolve →
+    * normalize → per-target count + sorted texts. Streaming-safe (no
+    * sort; the callers order after their sink).
+    */
+  def anchorIndex(pages: DataFrame): DataFrame =
+    pages.select(col("base"), explode(expr("html_anchors(html)")).as("a"))
+      .select(expr("url_normalize(url_resolve(base, a.href))").as("target"),
+        col("a.text").as("text"))
+      .groupBy(col("target"))
+      .agg(count(lit(1)).cast("int").as("n_anchors"),
+        sort_array(collect_list(col("text"))).as("texts"))
+
+  /** e76's construction oracle — shared by the d23 streaming twin. */
+  val anchorOracleSql: String =
+    """WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+        FROM documents WHERE text IS NOT NULL),
+      f AS (SELECT doc_id, source, toks FROM d WHERE len(toks) >= 6),
+      a AS (
+        SELECT 'https://' || source || '.example.com/p/'
+            || CAST(doc_id - doc_id % 5 AS VARCHAR) AS target,
+          array_to_string(toks[1:3], ' ') AS text FROM f
+        UNION ALL
+        SELECT 'https://' || source || '.example.com/top',
+          'see & ' || toks[4] FROM f
+        UNION ALL
+        SELECT 'https://' || source || '.example.com/abs/'
+            || CAST(doc_id % 7 AS VARCHAR),
+          array_to_string(toks[5:6], ' ') FROM f)
+      SELECT target, CAST(count(*) AS INT) AS n_anchors,
+        list(text ORDER BY text) AS texts
+      FROM a GROUP BY target ORDER BY target"""
+
   /** Construction oracle for the PDF fixture — shared by e72 and d22. */
   val pdfOracleSql: String =
     """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,
@@ -2546,47 +2599,186 @@ object Curation extends QueryBlock {
     // scan-local extraction, ONE target-keyed shuffle carrying light
     // (target, text) pairs — never pages.
     "e76_anchor_text" -> QueryDef(
+      (s, dir) => anchorIndex(anchorPages(
+        t(s, dir, "documents"))).orderBy(col("target")),
+      Some(anchorOracleSql)),
+
+    // E77 — SUBTITLE/CAPTION ingest (SRT + WebVTT): the text side of
+    // audio/video alignment corpora (ASR and captioning training data
+    // ships as media + cue files). One directory mixes SubRip .srt
+    // (numeric cue index, comma-decimal timecodes) and WebVTT .vtt
+    // (WEBVTT header, dot-decimal timecodes, no index line); cues parse
+    // to typed rows — (fname, cue, start_ms, end_ms, text) — with
+    // millisecond times computed by integer arithmetic from the
+    // hh:mm:ss fields (identical on both engines) and multi-line cue
+    // text preserved with its internal newline. The oracle re-derives
+    // every cue's times and text from construction. Per-file parallel,
+    // zero shuffle.
+    "e77_subtitle_ingest" -> QueryDef(
       (s, dir) => {
-        t(s, dir, "documents").filter(col("text").isNotNull)
-          .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
+        val subDir = s"$scratch/subs_${new java.io.File(dir).getName}"
+        val fd = new java.io.File(subDir)
+        if (fd.exists()) fd.listFiles().foreach(_.delete())
+        fd.mkdirs()
+        val rows = t(s, dir, "documents").filter(col("text").isNotNull)
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
           .filter(size(col("toks")) >= 6)
-          .withColumn("base", concat(lit("https://"), col("source"),
-            lit(".example.com/p/"), col("doc_id")))
-          .withColumn("html", concat(
-            lit("<body><a href=\"/p/"), col("doc_id") - col("doc_id") % 5,
-            lit("\">"), array_join(slice(col("toks"), 1, 3), " "),
-            lit("</a> mid <a href=\"../top\">see &amp; <b>"),
-            element_at(col("toks"), 4),
-            lit("</b></a><!-- <a href=\"/ghost\">no</a> -->"),
-            lit("<a href=\"HTTPS://"), upper(col("source")),
-            lit(".EXAMPLE.COM:443/abs/"), col("doc_id") % 7,
-            lit("\">"), array_join(slice(col("toks"), 5, 2), " "),
-            lit("</a></body>")))
-          .select(col("base"), explode(expr("html_anchors(html)")).as("a"))
-          .select(expr("url_normalize(url_resolve(base, a.href))").as("target"),
-            col("a.text").as("text"))
-          .groupBy(col("target"))
-          .agg(count(lit(1)).cast("int").as("n_anchors"),
-            sort_array(collect_list(col("text"))).as("texts"))
-          .orderBy(col("target"))
+          .collect().map(r => (r.getLong(0), r.getSeq[String](1).take(6)))
+          .sortBy(_._1)
+        def hms(ms: Long, sep: String): String = {
+          val h = ms / 3600000; val m = (ms / 60000) % 60
+          val sec = (ms / 1000) % 60; val f = ms % 1000
+          f"$h%02d:$m%02d:$sec%02d$sep$f%03d"
+        }
+        (0 until 4).foreach { b =>
+          val mine = rows.filter(_._1 % 8 == b)
+          val srt = mine.zipWithIndex.map { case ((id, toks), k) =>
+            val st = 1000L * id; val en = st + 2500
+            s"${k + 1}\n${hms(st, ",")} --> ${hms(en, ",")}\n" +
+              s"${toks.take(3).mkString(" ")}\n${toks.drop(3).mkString(" ")}\n"
+          }.mkString("\n")
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"$subDir/sub$b.srt"), srt.getBytes("UTF-8"))
+        }
+        (4 until 8).foreach { b =>
+          val mine = rows.filter(_._1 % 8 == b)
+          val vtt = "WEBVTT\n\n" + mine.map { case (id, toks) =>
+            val st = 1000L * id; val en = st + 2500
+            s"${hms(st, ".")} --> ${hms(en, ".")}\n${toks.mkString(" ")}\n"
+          }.mkString("\n")
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"$subDir/cap${b - 4}.vtt"), vtt.getBytes("UTF-8"))
+        }
+        val timeRe = "(\\d{2,}):(\\d{2}):(\\d{2})[.,](\\d{3}) --> " +
+          "(\\d{2,}):(\\d{2}):(\\d{2})[.,](\\d{3})"
+        def ms(prefix: Int): org.apache.spark.sql.Column =
+          regexp_extract(col("tl"), timeRe, prefix).cast("long") * 3600000L +
+            regexp_extract(col("tl"), timeRe, prefix + 1).cast("long") * 60000L +
+            regexp_extract(col("tl"), timeRe, prefix + 2).cast("long") * 1000L +
+            regexp_extract(col("tl"), timeRe, prefix + 3).cast("long")
+        s.read.format("binaryFile").load(subDir)
+          .select(regexp_extract(col("path"), "([^/]+)$", 1).as("fname"),
+            col("content").cast("string").as("body"))
+          .select(col("fname"), posexplode(split(
+            regexp_replace(col("body"), "^WEBVTT\r?\n\r?\n", ""), "\r?\n\r?\n")))
+          .filter(col("col").rlike("-->"))
+          .select(col("fname"), col("pos"), col("col").as("blk"))
+          // the timing line is the one containing the arrow (SRT blocks
+          // carry an index line above it; VTT cues start with it)
+          .withColumn("lines", split(col("blk"), "\r?\n"))
+          .withColumn("tl", element_at(expr(
+            "filter(lines, l -> l LIKE '%-->%')"), 1))
+          .withColumn("ti", expr(
+            "array_position(lines, filter(lines, l -> l LIKE '%-->%')[0])").cast("int"))
+          .withColumn("cue", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("fname"))
+              .orderBy(col("pos"))).cast("int") - 1)
+          .select(col("fname"), col("cue"),
+            ms(1).as("start_ms"), ms(5).as("end_ms"),
+            // a file-final cue carries the file's trailing newline as an
+            // empty last line — drop empties (cue text has none)
+            array_join(expr(
+              "filter(slice(lines, ti + 1, size(lines) - ti), l -> l != '')"),
+              "\n").as("text"))
+          .filter(length(col("text")) > 0)
+          .orderBy(col("fname"), col("cue"))
       },
-      Some("""WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,
+            CAST(doc_id % 8 AS INT) AS b
           FROM documents WHERE text IS NOT NULL),
-        f AS (SELECT doc_id, source, toks FROM d WHERE len(toks) >= 6),
-        a AS (
-          SELECT 'https://' || source || '.example.com/p/'
-              || CAST(doc_id - doc_id % 5 AS VARCHAR) AS target,
-            array_to_string(toks[1:3], ' ') AS text FROM f
-          UNION ALL
-          SELECT 'https://' || source || '.example.com/top',
-            'see & ' || toks[4] FROM f
-          UNION ALL
-          SELECT 'https://' || source || '.example.com/abs/'
-              || CAST(doc_id % 7 AS VARCHAR),
-            array_to_string(toks[5:6], ' ') FROM f)
-        SELECT target, CAST(count(*) AS INT) AS n_anchors,
-          list(text ORDER BY text) AS texts
-        FROM a GROUP BY target ORDER BY target""")),
+        f AS (SELECT doc_id, toks, b FROM d WHERE len(toks) >= 6),
+        x AS (SELECT doc_id, b,
+            CASE WHEN b < 4 THEN 'sub' || CAST(b AS VARCHAR) || '.srt'
+              ELSE 'cap' || CAST(b - 4 AS VARCHAR) || '.vtt' END AS fname,
+            CAST(1000 * doc_id AS BIGINT) AS start_ms,
+            CAST(1000 * doc_id + 2500 AS BIGINT) AS end_ms,
+            CASE WHEN b < 4
+              THEN array_to_string(toks[1:3], ' ') || chr(10)
+                || array_to_string(toks[4:6], ' ')
+              ELSE array_to_string(toks[1:6], ' ') END AS text
+          FROM f)
+        SELECT fname,
+          CAST(row_number() OVER (PARTITION BY b ORDER BY doc_id) - 1 AS INT)
+            AS cue,
+          start_ms, end_ms, text
+        FROM x ORDER BY fname, cue""")),
+
+    // E78 — HITS hubs & authorities (Kleinberg 1999): the OTHER classic
+    // link-analysis score next to e45's PageRank — authorities are
+    // pages good hubs point AT, hubs are pages that point at good
+    // authorities, computed as two unrolled mutual-reinforcement
+    // iterations with sum-normalization after each half-step (h0 = 1,
+    // so the first authority pass is in-degree). Same dimension-scale
+    // host graph as e45; every aggregate is keyed by node, the
+    // normalizers are 1-row aggregates joined back (never a collect),
+    // and at 100 TB the per-iteration cost is one dst-keyed and one
+    // src-keyed shuffle of light pairs. round(6) absorbs the last-ulp
+    // float-sum ordering differences (the e45 precedent).
+    "e78_hits" -> QueryDef(
+      (s, dir) => {
+        val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+        val edges = docs.select(col("source").as("src"),
+            concat(lit("src"), col("doc_id") % 7).as("dst"))
+          .filter(col("src") =!= col("dst"))
+          .distinct().cache()
+        val nodes = edges.select(col("src").as("node"))
+          .union(edges.select(col("dst"))).distinct()
+        def normalized(scores: DataFrame, c: String): DataFrame = {
+          val tot = scores.agg(sum(col(c)).as("tot"))
+          scores.crossJoin(broadcast(tot))
+            .select(col("node"), (col(c) / col("tot")).as(c))
+        }
+        // h0 = 1: authority pass 1 is plain in-degree, then normalize
+        val a1 = normalized(nodes.join(
+            edges.groupBy(col("dst").as("node"))
+              .agg(count(lit(1)).cast("double").as("a")),
+            Seq("node"), "left")
+          .select(col("node"), coalesce(col("a"), lit(0.0)).as("a")), "a")
+        val h1 = normalized(nodes.join(
+            edges.join(a1.withColumnRenamed("node", "dst"), "dst")
+              .groupBy(col("src").as("node")).agg(sum(col("a")).as("h")),
+            Seq("node"), "left")
+          .select(col("node"), coalesce(col("h"), lit(0.0)).as("h")), "h")
+        val a2 = normalized(nodes.join(
+            edges.join(h1.withColumnRenamed("node", "src"), "src")
+              .groupBy(col("dst").as("node")).agg(sum(col("h")).as("a")),
+            Seq("node"), "left")
+          .select(col("node"), coalesce(col("a"), lit(0.0)).as("a")), "a")
+        val h2 = normalized(nodes.join(
+            edges.join(a2.withColumnRenamed("node", "dst"), "dst")
+              .groupBy(col("src").as("node")).agg(sum(col("a")).as("h")),
+            Seq("node"), "left")
+          .select(col("node"), coalesce(col("h"), lit(0.0)).as("h")), "h")
+        a2.join(h2, "node")
+          .select(col("node"), round(col("a"), 6).as("authority"),
+            round(col("h"), 6).as("hub"))
+          .orderBy(col("node"))
+      },
+      Some("""WITH e AS (SELECT DISTINCT source AS src,
+            'src' || CAST(doc_id % 7 AS VARCHAR) AS dst
+          FROM documents WHERE text IS NOT NULL
+            AND source <> 'src' || CAST(doc_id % 7 AS VARCHAR)),
+        nodes AS (SELECT DISTINCT node FROM
+          (SELECT src AS node FROM e UNION SELECT dst FROM e)),
+        a1r AS (SELECT nodes.node,
+            CAST(coalesce(t.a, 0) AS DOUBLE) AS a
+          FROM nodes LEFT JOIN (SELECT dst AS node, count(*) AS a
+            FROM e GROUP BY dst) t USING (node)),
+        a1 AS (SELECT node, a / (SELECT sum(a) FROM a1r) AS a FROM a1r),
+        h1r AS (SELECT nodes.node, coalesce(t.h, 0) AS h
+          FROM nodes LEFT JOIN (SELECT src AS node, sum(a1.a) AS h
+            FROM e JOIN a1 ON a1.node = e.dst GROUP BY src) t USING (node)),
+        h1 AS (SELECT node, h / (SELECT sum(h) FROM h1r) AS h FROM h1r),
+        a2r AS (SELECT nodes.node, coalesce(t.a, 0) AS a
+          FROM nodes LEFT JOIN (SELECT dst AS node, sum(h1.h) AS a
+            FROM e JOIN h1 ON h1.node = e.src GROUP BY dst) t USING (node)),
+        a2 AS (SELECT node, a / (SELECT sum(a) FROM a2r) AS a FROM a2r),
+        h2r AS (SELECT nodes.node, coalesce(t.h, 0) AS h
+          FROM nodes LEFT JOIN (SELECT src AS node, sum(a2.a) AS h
+            FROM e JOIN a2 ON a2.node = e.dst GROUP BY src) t USING (node)),
+        h2 AS (SELECT node, h / (SELECT sum(h) FROM h2r) AS h FROM h2r)
+        SELECT a2.node, round(a2.a, 6) AS authority, round(h2.h, 6) AS hub
+        FROM a2 JOIN h2 USING (node) ORDER BY a2.node""")),
 
     // E67 — page-metadata extraction (functions.HtmlMeta): the WAT-stage
     // fields next to e54's outlinks — title, meta description, html

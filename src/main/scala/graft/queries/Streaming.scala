@@ -915,7 +915,24 @@ object Streaming extends QueryBlock {
             "d22_sink", mode = "append")
           .orderBy(col("fname"), col("page"))
       },
-      Some(Curation.pdfOracleSql))
+      Some(Curation.pdfOracleSql)),
+
+    // D23 — the ANCHOR-TEXT INDEX as a stream (e76's deployment shape:
+    // the index grows as crawled pages land; each trigger's anchors
+    // merge into the per-target aggregation). Same construction, same
+    // extraction helpers (Curation.anchorPages / anchorIndex), run as a
+    // streaming aggregation in complete mode — per-target state is the
+    // running count + text list, exactly the index a WAT stage
+    // maintains; output after AvailableNow completion must equal the
+    // batch index bit for bit (shares e76's oracle verbatim).
+    "d23_stream_anchors" -> QueryDef(
+      (s, dir) => {
+        val agg = Curation.anchorIndex(Curation.anchorPages(
+          EventStreams.documents(s, dir)))
+        EventStreams.runToTable(s, agg, "d23_sink", mode = "complete")
+          .orderBy(col("target"))
+      },
+      Some(Curation.anchorOracleSql))
   )
 }
 
