@@ -2780,6 +2780,38 @@ object Curation extends QueryBlock {
         SELECT a2.node, round(a2.a, 6) AS authority, round(h2.h, 6) AS hub
         FROM a2 JOIN h2 USING (node) ORDER BY a2.node""")),
 
+    // E79 — JSONL training-shard export: the lingua-franca corpus
+    // interchange format ({"text": ..., meta...} newline-delimited
+    // JSON, what most open-data corpus releases ship as). The export is
+    // a plain distributed text write of to_json rows; the CHECK is true
+    // INTEROP — DuckDB independently parses the Spark-WRITTEN files
+    // (read_json_auto over the same directory), so every JSON escape
+    // decision crosses engines: the planted `note` field carries a
+    // quote, a literal newline and a non-ASCII char per row, which
+    // to_json must escape (\" and \n) and DuckDB must decode back to
+    // the identical string. Row-set equality is layout-independent —
+    // no file-naming determinism needed, unlike the tar/WET writers.
+    "e79_jsonl_export" -> QueryDef(
+      (s, dir) => {
+        val out = s"$scratch/jsonl_${new java.io.File(dir).getName}"
+        t(s, dir, "documents").filter(col("text").isNotNull)
+          .select(col("doc_id"), col("lang"),
+            size(split(col("text"), " ")).cast("int").as("n_toks"),
+            concat(lit("q\"\né-"), col("doc_id")).as("note"),
+            col("text"))
+          .select(to_json(struct(col("doc_id"), col("lang"), col("n_toks"),
+            col("note"), col("text"))).as("value"))
+          .coalesce(4)
+          .write.mode("overwrite").text(out)
+        s.read.json(out)
+          .select(col("doc_id"), col("lang"), col("n_toks").cast("int"),
+            col("note"), col("text"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""SELECT doc_id, lang, CAST(n_toks AS INT) AS n_toks, note, text
+        FROM read_json_auto('$scratch/jsonl_${LlmPipeline.SfToken}/part-*')
+        ORDER BY doc_id""")),
+
     // E67 — page-metadata extraction (functions.HtmlMeta): the WAT-stage
     // fields next to e54's outlinks — title, meta description, html
     // lang, meta-declared charset — as ONE struct-returning codegen
