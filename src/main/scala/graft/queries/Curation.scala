@@ -2812,6 +2812,157 @@ object Curation extends QueryBlock {
         FROM read_json_auto('$scratch/jsonl_${LlmPipeline.SfToken}/part-*')
         ORDER BY doc_id""")),
 
+    // E80 — SFT sample rendering with LOSS-MASK offsets: the last prep
+    // step before supervised fine-tuning — flatten role-tagged
+    // conversation turns through a chat template and report, for every
+    // assistant answer, its exact [start, end) char span in the
+    // rendered string (the mask a trainer needs to supervise only the
+    // answers). Branches alternate one- and two-exchange conversations
+    // (doc_id%2); spans are computed as running lengths of the rendered
+    // PREFIX pieces — pure integer arithmetic both engines re-derive —
+    // and the oracle also re-checks each span by substringing the
+    // rendered text (a template drift of one char anywhere breaks it).
+    // Scan-local column algebra, zero shuffle.
+    "e80_sft_render" -> QueryDef(
+      (s, dir) => {
+        val sys = "<|system|>\nYou are helpful.\n"
+        t(s, dir, "documents").filter(col("text").isNotNull)
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .filter(size(col("toks")) >= 20)
+          .withColumn("m", (col("doc_id") % 2).cast("int"))
+          .withColumn("u1", array_join(slice(col("toks"), 1, 6), " "))
+          .withColumn("a1", array_join(slice(col("toks"), 7, 6), " "))
+          .withColumn("u2", array_join(slice(col("toks"), 13, 4), " "))
+          .withColumn("a2", array_join(slice(col("toks"), 17, 4), " "))
+          .withColumn("pre1", concat(lit(sys), lit("<|user|>\n"), col("u1"),
+            lit("\n<|assistant|>\n")))
+          .withColumn("a1_start", length(col("pre1")))
+          .withColumn("a1_end", col("a1_start") + length(col("a1")))
+          .withColumn("pre2", when(col("m") === 1, concat(col("pre1"),
+            col("a1"), lit("<|end|>\n<|user|>\n"), col("u2"),
+            lit("\n<|assistant|>\n"))))
+          .withColumn("a2_start", length(col("pre2")))
+          .withColumn("a2_end", col("a2_start") + length(col("a2")))
+          .withColumn("rendered",
+            when(col("m") === 0,
+              concat(col("pre1"), col("a1"), lit("<|end|>")))
+            .otherwise(concat(col("pre2"), col("a2"), lit("<|end|>"))))
+          .select(col("doc_id"), (col("m") + 1).as("n_turns"), col("rendered"),
+            col("a1_start"), col("a1_end"),
+            when(col("m") === 1, col("a2_start")).as("a2_start"),
+            when(col("m") === 1, col("a2_end")).as("a2_end"),
+            // the mask re-checked against the rendered text itself
+            (substring(col("rendered"), col("a1_start") + 1,
+              col("a1_end") - col("a1_start")) === col("a1")).as("mask1_ok"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,
+            CAST(doc_id % 2 AS INT) AS m
+          FROM documents WHERE text IS NOT NULL),
+        f AS (SELECT doc_id, toks, m FROM d WHERE len(toks) >= 20),
+        p AS (SELECT doc_id, m,
+            array_to_string(toks[1:6], ' ') AS u1,
+            array_to_string(toks[7:12], ' ') AS a1,
+            array_to_string(toks[13:16], ' ') AS u2,
+            array_to_string(toks[17:20], ' ') AS a2
+          FROM f),
+        r AS (SELECT doc_id, m, a1, a2,
+            '<|system|>' || chr(10) || 'You are helpful.' || chr(10)
+              || '<|user|>' || chr(10) || u1 || chr(10) || '<|assistant|>'
+              || chr(10) AS pre1,
+            u2 FROM p),
+        r2 AS (SELECT doc_id, m, a1, a2, pre1,
+            CASE WHEN m = 1 THEN pre1 || a1 || '<|end|>' || chr(10)
+              || '<|user|>' || chr(10) || u2 || chr(10) || '<|assistant|>'
+              || chr(10) END AS pre2
+          FROM r),
+        o AS (SELECT doc_id, m,
+            CASE WHEN m = 0 THEN pre1 || a1 || '<|end|>'
+              ELSE pre2 || a2 || '<|end|>' END AS rendered,
+            length(pre1) AS a1_start, length(pre1) + length(a1) AS a1_end,
+            CASE WHEN m = 1 THEN length(pre2) END AS a2_start,
+            CASE WHEN m = 1 THEN length(pre2) + length(a2) END AS a2_end,
+            a1
+          FROM r2)
+        SELECT doc_id, CAST(m + 1 AS INT) AS n_turns, rendered,
+          CAST(a1_start AS INT) AS a1_start, CAST(a1_end AS INT) AS a1_end,
+          CAST(a2_start AS INT) AS a2_start, CAST(a2_end AS INT) AS a2_end,
+          (substr(rendered, a1_start + 1, a1_end - a1_start) = a1) AS mask1_ok
+        FROM o ORDER BY doc_id""")),
+
+    // E81 — HTTP transport decoding inside WARC records
+    // (operators.HttpBody): real crawled payloads overwhelmingly arrive
+    // chunked and/or gzip-compressed — a reader that slices the raw
+    // body gets framing lines and deflate bytes, not text. The fixture
+    // WARC's records wrap full HTTP responses whose bodies rotate
+    // through identity / gzip / chunked / chunked+gzip (doc_id%4; the
+    // combined case decodes in WIRE ORDER — dechunk, then gunzip), with
+    // a non-ASCII UTF-8 tail proving bytes survive both transforms.
+    // Payloads walk as BINARY (WarcCdx.parseBinary — gzip bytes corrupt
+    // through a string decode) and the oracle states every record's status,
+    // mime, encoding label and decoded text from construction.
+    "e81_http_decode" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.HttpBody
+        val warcDir = s"$scratch/httpwarc_${new java.io.File(dir).getName}"
+        val fd = new java.io.File(warcDir)
+        if (fd.exists()) fd.listFiles().foreach(_.delete())
+        fd.mkdirs()
+        val rows = t(s, dir, "documents").filter(col("text").isNotNull)
+          .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
+          .filter(size(col("toks")) >= 10)
+          .collect().map(r => (r.getLong(0), r.getString(1),
+            r.getSeq[String](2).take(10))).sortBy(_._1)
+        val bo = new java.io.ByteArrayOutputStream()
+        rows.foreach { case (id, src, toks) =>
+          val bodyText = (toks.mkString(" ") + " é€").getBytes("UTF-8")
+          val (hdrs, body) = (id % 4) match {
+            case 0 => ("Content-Type: text/html\r\n", bodyText)
+            case 1 => ("Content-Type: text/html\r\nContent-Encoding: gzip\r\n",
+              HttpBody.gzip(bodyText))
+            case 2 => ("Content-Type: text/html\r\nTransfer-Encoding: chunked\r\n",
+              HttpBody.chunk(bodyText, Seq(3, 11, 200)))
+            case _ => ("Content-Type: text/html\r\nTransfer-Encoding: chunked\r\n" +
+              "Content-Encoding: gzip\r\n",
+              HttpBody.chunk(HttpBody.gzip(bodyText), Seq(7, 200)))
+          }
+          val payload = (s"HTTP/1.1 200 OK\r\n$hdrs\r\n").getBytes("US-ASCII") ++ body
+          val head = (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+            s"WARC-Target-URI: https://$src.example.com/p/$id\r\n" +
+            s"WARC-Date: 2026-01-01T00:00:00Z\r\n" +
+            s"Content-Length: ${payload.length}\r\n\r\n").getBytes("US-ASCII")
+          bo.write(head); bo.write(payload); bo.write("\r\n\r\n".getBytes("US-ASCII"))
+        }
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$warcDir/http.warc"), bo.toByteArray)
+        val dec = udf((b: Array[Byte]) => graft.operators.HttpBody.decode(b))
+        graft.operators.WarcCdx.parseBinary(
+            s.read.format("binaryFile").load(warcDir))
+          .select(col("rec"), col("uri"), dec(col("payload")).as("d"))
+          .select(col("rec"), col("uri"),
+            col("d._1").as("status"), col("d._2").as("mime"),
+            col("d._3").as("encoding"), col("d._4").as("body"))
+          .withColumn("n_chars", length(col("body")))
+          .orderBy(col("rec"))
+      },
+      Some("""WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS toks,
+            CAST(doc_id % 4 AS INT) AS m
+          FROM documents WHERE text IS NOT NULL),
+        f AS (SELECT doc_id, source, toks, m FROM d WHERE len(toks) >= 10),
+        j AS (SELECT doc_id, source, m,
+            array_to_string(toks[1:10], ' ') || ' ' || chr(233) || chr(8364)
+              AS body,
+            row_number() OVER (ORDER BY doc_id) - 1 AS rec
+          FROM f)
+        SELECT CAST(rec AS INT) AS rec,
+          'https://' || source || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+            AS uri,
+          200 AS status, 'text/html' AS mime,
+          CASE m WHEN 0 THEN 'identity' WHEN 1 THEN 'gzip'
+            WHEN 2 THEN 'chunked' ELSE 'chunked+gzip' END AS encoding,
+          body, CAST(length(body) AS INT) AS n_chars
+        FROM j ORDER BY rec""")),
+
     // E67 — page-metadata extraction (functions.HtmlMeta): the WAT-stage
     // fields next to e54's outlinks — title, meta description, html
     // lang, meta-declared charset — as ONE struct-returning codegen
