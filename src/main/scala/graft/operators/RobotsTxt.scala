@@ -79,4 +79,63 @@ object RobotsTxt {
         .otherwise(col("ua") === "*"))
       .select(col("domain"), col("allow"), col("prefix"))
   }
+
+  /** `Crawl-delay` per group (the de-facto politeness extension next to
+    * `Sitemap` — not in RFC 9309, honored by most crawlers): same
+    * group structure as [[parseRules]], one (domain, ua, delay_s) row
+    * per agent in each group that declares a delay. Non-numeric values
+    * drop (the lenient-parse rule); if a group repeats the directive
+    * the LAST one wins (later lines override, the per-field convention
+    * parsers apply).
+    */
+  def parseDelays(files: DataFrame): DataFrame = {
+    val lines = files
+      .select(col("domain"), posexplode(split(col("content"), "\n")))
+      .select(col("domain"), col("pos"),
+        trim(regexp_replace(col("col"), "#.*$", "")).as("ln"))
+      .filter(col("ln") =!= "")
+    val classified = lines.select(col("domain"), col("pos"),
+        when(lower(col("ln")).startsWith("user-agent:"), "ua")
+          .when(lower(col("ln")).startsWith("crawl-delay:"), "delay")
+          .when(lower(col("ln")).startsWith("allow:") ||
+            lower(col("ln")).startsWith("disallow:"), "rule")
+          .otherwise("other").as("kind"),
+        trim(expr("substring(ln, instr(ln, ':') + 1)")).as("value"))
+      .filter(col("kind") =!= "other")
+    val w = Window.partitionBy(col("domain")).orderBy(col("pos"))
+    val grouped = classified
+      .withColumn("newg", (col("kind") === "ua" &&
+        coalesce(lag(col("kind"), 1).over(w), lit("")) =!= "ua").cast("int"))
+      .withColumn("g", sum(col("newg")).over(w))
+      .filter(col("g") >= 1)
+    val uas = grouped.filter(col("kind") === "ua")
+      .select(col("domain"), col("g"), lower(col("value")).as("ua"))
+    val delays = grouped.filter(col("kind") === "delay")
+      .withColumn("delay_s", expr("try_cast(value AS DOUBLE)"))
+      .filter(col("delay_s").isNotNull) // lenient: non-numeric drops
+      .groupBy(col("domain"), col("g"))
+      .agg(expr("max_by(delay_s, pos)").as("delay_s")) // last wins
+    uas.join(delays, Seq("domain", "g")).drop("g")
+  }
+
+  /** Group selection for the delay (the [[effectiveRules]] rule): the
+    * agent's own group when it declares a delay, else the `*` group's;
+    * domains declaring neither get `default`.
+    *
+    * @return (domain, delay_s) for every domain in `delays`' input —
+    *         join this to the frontier's host column
+    */
+  def effectiveDelay(delays: DataFrame, agent: String,
+      default: Double): DataFrame = {
+    val own = delays.filter(col("ua") === agent.toLowerCase)
+      .select(col("domain"), col("delay_s").as("own_delay"))
+    val star = delays.filter(col("ua") === "*")
+      .select(col("domain"), col("delay_s").as("star_delay"))
+    delays.select(col("domain")).distinct()
+      .join(own, Seq("domain"), "left")
+      .join(star, Seq("domain"), "left")
+      .select(col("domain"),
+        coalesce(col("own_delay"), col("star_delay"), lit(default))
+          .as("delay_s"))
+  }
 }

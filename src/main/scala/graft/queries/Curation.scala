@@ -2963,6 +2963,170 @@ object Curation extends QueryBlock {
           body, CAST(length(body) AS INT) AS n_chars
         FROM j ORDER BY rec""")),
 
+    // E82 — Crawl-delay directive → politeness scheduling: the missing
+    // seam between e49's robots parsing and e56's fetch scheduler —
+    // until now the per-host delay was synthesized; here it is PARSED
+    // from the robots bodies (operators.RobotsTxt.parseDelays /
+    // effectiveDelay: same RFC 9309 group structure, named-group-else-
+    // star selection, LAST directive wins within a group, non-numeric
+    // values drop leniently). The fixture plants every selection edge:
+    // a fastbot decoy group that must not apply, a graftbot group on
+    // k%3==0 domains (whose delay is the NON-NUMERIC 'fast' on k%15==0
+    // — dropping it must fall through to the star group), and a star
+    // group that declares the directive TWICE (9 then the real value —
+    // last wins). Delays then drive the e56 per-host slot windows. One
+    // host-keyed shuffle; the delays table is a broadcast dimension.
+    "e82_crawl_delay" -> QueryDef(
+      (s, dir) => {
+        val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+        val k = expr("CAST(substring(source, 4) AS INT)")
+        val files = docs.select(col("source")).distinct()
+          .withColumn("k", k)
+          .select(concat(col("source"), lit(".example.com")).as("domain"),
+            concat(
+              lit("# politeness\nUser-agent: fastbot\nCrawl-delay: 1\n" +
+                "Disallow: /tmp/\n\n"),
+              when(col("k") % 3 === 0, concat(
+                lit("User-agent: graftbot\nCrawl-delay: "),
+                when(col("k") % 15 === 0, lit("fast")).otherwise(lit("2")),
+                lit("\nDisallow: /x/\n\n"))).otherwise(lit("")),
+              lit("User-agent: *\nCrawl-delay: 9\nCrawl-delay: "),
+              (lit(3) + col("k") % 4), lit("\n")).as("content"))
+        val delays = graft.operators.RobotsTxt.effectiveDelay(
+          graft.operators.RobotsTxt.parseDelays(files), "graftbot", 5.0)
+        val urls = docs.filter(col("doc_id") < 300)
+          .select(concat(col("source"), lit(".example.com")).as("domain"),
+            concat(lit("https://"), col("source"), lit(".example.com/p/"),
+              col("doc_id")).as("url"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("domain"))
+          .orderBy(md5(col("url").cast("binary")), col("url"))
+        urls.join(broadcast(delays), Seq("domain"))
+          .withColumn("delay_ms", (col("delay_s") * 1000).cast("long"))
+          .withColumn("slot", (row_number().over(w) - 1).cast("int"))
+          .withColumn("sched_ms", col("slot") * col("delay_ms"))
+          .select(col("url"), col("domain"), col("delay_ms"), col("slot"),
+            col("sched_ms"))
+          .orderBy(col("domain"), col("slot"))
+      },
+      Some("""WITH doms AS (SELECT DISTINCT source,
+            CAST(substr(source, 4) AS INT) AS k
+          FROM documents WHERE text IS NOT NULL),
+        del AS (SELECT source || '.example.com' AS domain,
+            CAST(CASE WHEN k % 3 = 0 AND k % 15 <> 0 THEN 2
+              ELSE 3 + k % 4 END * 1000 AS BIGINT) AS delay_ms
+          FROM doms),
+        u AS (SELECT source || '.example.com' AS domain,
+            'https://' || source || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+              AS url
+          FROM documents WHERE text IS NOT NULL AND doc_id < 300)
+        SELECT url, u.domain, delay_ms,
+          CAST(row_number() OVER w - 1 AS INT) AS slot,
+          CAST((row_number() OVER w - 1) * delay_ms AS BIGINT) AS sched_ms
+        FROM u JOIN del ON u.domain = del.domain
+        WINDOW w AS (PARTITION BY u.domain ORDER BY md5(url), url)
+        ORDER BY u.domain, slot""")),
+
+    // E83 — WARC REVISIT resolution: how real archives store dedup —
+    // a re-fetch whose payload matched an earlier capture is written as
+    // a `WARC-Type: revisit` record with NO body, carrying the payload
+    // digest (`WARC-Payload-Digest: sha-256:<hex>`) and a
+    // `WARC-Refers-To-Target-URI`; a consumer resolves the revisit back
+    // to a stored capture BY DIGEST (the CommonCrawl identical-payload
+    // profile). The fixture writes response records for every doc and a
+    // digest-bearing revisit per doc_id%6==1 referencing its bucket
+    // leader's CONTENT (cross-URL content dedup — the real shape);
+    // resolution groups responses by payload digest (duplicate corpus
+    // texts legitimately share one group — keeper = min uri, the e01
+    // rule) and joins revisits in. One digest-keyed shuffle of light
+    // rows; bodies never move past their first aggregation.
+    "e83_revisit_resolve" -> QueryDef(
+      (s, dir) => {
+        val warcDir = s"$scratch/revwarc_${new java.io.File(dir).getName}"
+        val fd = new java.io.File(warcDir)
+        if (fd.exists()) fd.listFiles().foreach(_.delete())
+        fd.mkdirs()
+        val rows = t(s, dir, "documents")
+          .filter(col("text").isNotNull && col("doc_id") < 300)
+          .select(col("doc_id"), col("source"), col("text"))
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+          .sortBy(_._1)
+        val byId = rows.map(r => r._1 -> r).toMap
+        def sha(t: String): String = java.security.MessageDigest
+          .getInstance("SHA-256").digest(t.getBytes("UTF-8"))
+          .map(b => f"${b & 0xff}%02x").mkString
+        def url(src: String, id: Long) = s"https://$src.example.com/p/$id"
+        val bo = new java.io.ByteArrayOutputStream()
+        def w(t: String): Unit = bo.write(t.getBytes("UTF-8"))
+        rows.foreach { case (id, src, text) =>
+          w(s"WARC/1.0\r\nWARC-Type: response\r\n" +
+            s"WARC-Target-URI: ${url(src, id)}\r\n" +
+            s"WARC-Date: 2026-01-01T00:00:00Z\r\n" +
+            s"Content-Length: ${text.getBytes("UTF-8").length}\r\n\r\n$text\r\n\r\n")
+          if (id % 6 == 1) {
+            val (li, ls, lt) = byId.getOrElse(id - id % 5, (id, src, text))
+            w(s"WARC/1.0\r\nWARC-Type: revisit\r\n" +
+              s"WARC-Target-URI: ${url(src, id)}\r\n" +
+              s"WARC-Refers-To-Target-URI: ${url(ls, li)}\r\n" +
+              s"WARC-Payload-Digest: sha-256:${sha(lt)}\r\n" +
+              s"WARC-Date: 2026-02-01T00:00:00Z\r\n" +
+              s"Content-Length: 0\r\n\r\n\r\n\r\n")
+          }
+        }
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$warcDir/revisit.warc"), bo.toByteArray)
+        val clen = regexp_extract(col("col"), "Content-Length: ([0-9]+)", 1)
+          .cast("int")
+        val recs = s.read.format("binaryFile").load(warcDir)
+          .select(col("content").cast("string").as("c"))
+          .select(posexplode(split(col("c"), "WARC/1\\.0\r\n")))
+          .filter(length(col("col")) > 0)
+          .select((col("pos") - 1).cast("int").as("rec"),
+            regexp_extract(col("col"), "WARC-Type: ([^\r]+)", 1).as("rtype"),
+            regexp_extract(col("col"), "WARC-Target-URI: ([^\r]+)", 1).as("uri"),
+            regexp_extract(col("col"), "WARC-Refers-To-Target-URI: ([^\r]+)", 1)
+              .as("refers_uri"),
+            regexp_extract(col("col"), "WARC-Payload-Digest: sha-256:([0-9a-f]+)", 1)
+              .as("pdigest"),
+            col("col").substr(instr(col("col"), "\r\n\r\n") + 4, clen)
+              .as("payload"))
+        val groups = recs.filter(col("rtype") === "response")
+          .groupBy(sha2(col("payload"), 256).as("digest"))
+          .agg(min(col("uri")).as("resolved_uri"),
+            min(length(col("payload"))).cast("int").as("n_chars"))
+        recs.filter(col("rtype") === "revisit")
+          .join(groups, col("pdigest") === col("digest"))
+          .select(col("rec"), col("uri"), col("refers_uri"),
+            col("resolved_uri"), col("n_chars"))
+          .orderBy(col("rec"))
+      },
+      Some("""WITH f AS (SELECT doc_id, source, text
+          FROM documents WHERE text IS NOT NULL AND doc_id < 300),
+        ld AS (SELECT a.doc_id, a.source,
+            CASE WHEN b.doc_id IS NOT NULL THEN b.text ELSE a.text END AS ltext,
+            CASE WHEN b.doc_id IS NOT NULL
+              THEN 'https://' || b.source || '.example.com/p/'
+                || CAST(b.doc_id AS VARCHAR)
+              ELSE 'https://' || a.source || '.example.com/p/'
+                || CAST(a.doc_id AS VARCHAR) END AS refers_uri
+          FROM f a LEFT JOIN f b ON b.doc_id = a.doc_id - a.doc_id % 5),
+        recs AS (
+          SELECT doc_id, source, 0 AS isrev FROM f
+          UNION ALL SELECT doc_id, source, 1 FROM f WHERE doc_id % 6 = 1),
+        numbered AS (SELECT doc_id, source, isrev,
+            row_number() OVER (ORDER BY doc_id, isrev) - 1 AS rec
+          FROM recs)
+        SELECT CAST(n.rec AS INT) AS rec,
+          'https://' || n.source || '.example.com/p/' || CAST(n.doc_id AS VARCHAR)
+            AS uri,
+          ld.refers_uri,
+          (SELECT min('https://' || r.source || '.example.com/p/'
+              || CAST(r.doc_id AS VARCHAR))
+            FROM f r WHERE r.text = ld.ltext) AS resolved_uri,
+          CAST(length(ld.ltext) AS INT) AS n_chars
+        FROM numbered n JOIN ld ON n.doc_id = ld.doc_id
+        WHERE n.isrev = 1 ORDER BY rec""")),
+
     // E67 — page-metadata extraction (functions.HtmlMeta): the WAT-stage
     // fields next to e54's outlinks — title, meta description, html
     // lang, meta-declared charset — as ONE struct-returning codegen

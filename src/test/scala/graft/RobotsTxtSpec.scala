@@ -74,4 +74,30 @@ class RobotsTxtSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getBoolean(1), r.getString(2))).toSet
     assert(eff === Set(("d.com", false, "/bot"), ("e.com", false, "/star")))
   }
+
+  test("Crawl-delay: group structure, last-wins, lenient drop, star fallback, default") {
+    val c = """User-agent: fastbot
+              |Crawl-delay: 1
+              |
+              |User-agent: graftbot
+              |Crawl-delay: fast
+              |Disallow: /x
+              |
+              |User-agent: *
+              |Crawl-delay: 9
+              |Crawl-delay: 4""".stripMargin
+    val files = Seq(
+      ("a.com", c),
+      ("b.com", "User-agent: graftbot\nCrawl-delay: 2.5\n\nUser-agent: *\nCrawl-delay: 7"),
+      ("c.com", "User-agent: other\nCrawl-delay: 3")).toDF("domain", "content")
+    val eff = graft.operators.RobotsTxt.effectiveDelay(
+        graft.operators.RobotsTxt.parseDelays(files), "GraftBot", default = 5.0)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    // a.com: graftbot delay is non-numeric -> drops -> star last-wins 4
+    assert(eff("a.com") === 4.0)
+    // b.com: own group wins over star
+    assert(eff("b.com") === 2.5)
+    // c.com: neither graftbot nor * declares -> default
+    assert(eff("c.com") === 5.0)
+  }
 }
