@@ -199,10 +199,14 @@ object HtmlLinks {
     var inAnchor = false
 
     def emit(): Unit = {
-      if (inAnchor) {
+      // href rules are links()'s EXACTLY: an <a> with no href attribute
+      // (a named anchor target, `<a name=top>…`) is not a link and
+      // emits nothing; a PRESENT-but-empty href (`<a href>` /
+      // `<a href="">`) is the RFC 3986 self-reference and emits ""
+      if (inAnchor && curHref != null) {
         val decoded = HtmlStrip.decodeEntitiesOnce(curText.toString)
         out.add(org.apache.spark.sql.catalyst.InternalRow(
-          UTF8String.fromString(if (curHref == null) "" else curHref),
+          UTF8String.fromString(curHref),
           UTF8String.fromString(graft.functions.HtmlMeta.collapseWs(decoded))))
       }
       inAnchor = false

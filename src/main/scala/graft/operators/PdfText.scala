@@ -58,6 +58,8 @@ object PdfText {
 
   private final class Lexer(val s: String) {
     var i = 0
+    var depth = 0 // parseValue nesting (arrays/dicts) — bounded so a
+    // '[[[[…' soup fails as PdfError, never StackOverflowError
     def n: Int = s.length
     def eof: Boolean = i >= n
     def ch: Char = s.charAt(i)
@@ -169,6 +171,12 @@ object PdfText {
   private def parseValue(lx: Lexer): V = {
     lx.ws()
     if (lx.eof) lx.fail("EOF")
+    lx.depth += 1
+    if (lx.depth > 128) lx.fail("value nesting too deep")
+    try parseValue0(lx) finally lx.depth -= 1
+  }
+
+  private def parseValue0(lx: Lexer): V = {
     lx.ch match {
       case '/' => parseName(lx)
       case '(' => VStr(parseLiteralString(lx))
@@ -358,11 +366,28 @@ object PdfText {
       dict
     }
 
+    // objects currently being loaded: a reference CYCLE (obj 1 → obj 2
+    // → obj 1, or an ObjStm whose xref entry points into itself) must
+    // fail as PdfError, never recurse to StackOverflowError (which
+    // extract's Exception catch would not contain)
+    private val loading = scala.collection.mutable.Set[Int]()
+
     /** (value, stream-data start or -1). ObjStm members parse out of
       * their decoded object stream (always (value, -1): streams cannot
       * nest inside object streams per spec).
       */
-    def obj(num: Int): (V, Int) = objCache.getOrElseUpdate(num, {
+    def obj(num: Int): (V, Int) = objCache.get(num) match {
+      case Some(v) => v
+      case None =>
+        if (!loading.add(num)) throw new PdfError(s"object cycle at $num")
+        try {
+          val v = loadObj(num)
+          objCache(num) = v
+          v
+        } finally loading.remove(num)
+    }
+
+    private def loadObj(num: Int): (V, Int) = ({
       offsets.get(num) match {
         case Some(off) =>
           val lx = new Lexer(s)
@@ -423,8 +448,16 @@ object PdfText {
       }
     })
 
-    def resolve(v: V): V = v match {
-      case VRef(n, _) => resolve(obj(n)._1)
+    def resolve(v: V): V = resolveN(v, 0)
+
+    @scala.annotation.tailrec
+    private def resolveN(v: V, d: Int): V = v match {
+      case VRef(n, _) =>
+        // a ref CHAIN cycle (1 0 R → 2 0 R → 1 0 R) resolves through
+        // the cache without re-entering obj(), so the loading guard
+        // alone cannot catch it — bound the chain length
+        if (d > 64) throw new PdfError("reference chain too deep")
+        else resolveN(obj(n)._1, d + 1)
       case other => other
     }
 
@@ -536,9 +569,16 @@ object PdfText {
     while (!inf.finished() && guard < (1 << 16)) {
       guard += 1
       val k = inf.inflate(buf)
-      if (k == 0 && inf.needsInput()) throw new PdfError("truncated flate stream")
+      // needsDictionary() also yields k == 0 with needsInput() false —
+      // reject rather than spin; preset dictionaries are out of envelope
+      if (k == 0 && (inf.needsInput() || inf.needsDictionary()))
+        throw new PdfError("truncated or dictionary-preset flate stream")
       out.write(buf, 0, k)
     }
+    // guard expiry (a >512 MiB inflation = a flate bomb for this
+    // envelope) must REJECT — returning the partial buffer would hand
+    // downstream silently truncated page text instead of None
+    if (!inf.finished()) { inf.end(); throw new PdfError("flate stream too large") }
     inf.end()
     out.toByteArray
   }
@@ -717,15 +757,7 @@ object PdfText {
       endObj()
       pageStreams(p).indices.foreach { k =>
         val data0 = pageStreams(p)(k)
-        val data = if (flate) {
-          val d = new java.util.zip.Deflater()
-          d.setInput(data0); d.finish()
-          val bo = new java.io.ByteArrayOutputStream()
-          val buf = new Array[Byte](8192)
-          while (!d.finished()) bo.write(buf, 0, d.deflate(buf))
-          d.end()
-          bo.toByteArray
-        } else data0
+        val data = if (flate) deflate(data0) else data0
         val lenPart =
           if (indirectLength) s"/Length ${lengthIds(p)(k)} 0 R"
           else s"/Length ${data.length}"

@@ -52,11 +52,14 @@ object WarcCdx {
     true
   }
 
-  /** Walk one file's bytes; emits (rec, offset, rlen, uri, wdate, payload)
-    * in file order. Stops at the first malformed record (or clean EOF).
+  /** Framing core: one (rec, offset, payloadStart, payloadLen, uri,
+    * wdate) tuple per well-formed record — the single framing
+    * authority [[walk]] (string payloads) and [[walkBinary]] (byte
+    * payloads) both slice from. Stops at the first malformed record
+    * (or clean EOF).
     */
-  def walk(data: Array[Byte]): Vector[(Int, Long, Long, String, String, String)] = {
-    val out = Vector.newBuilder[(Int, Long, Long, String, String, String)]
+  private def frames(data: Array[Byte]): Vector[(Int, Int, Int, Int, String, String)] = {
+    val out = Vector.newBuilder[(Int, Int, Int, Int, String, String)]
     val uriR = "WARC-Target-URI: ([^\r]+)".r
     val dateR = "WARC-Date: ([^\r]+)".r
     val clenR = "Content-Length: ([0-9]+)".r
@@ -87,16 +90,13 @@ object WarcCdx {
               val pStart = sep + 4
               val pEnd = pStart + clen
               // a record ends with CRLFCRLF after its payload block
-              if (pEnd + 4 > data.length ||
+              if (pEnd < 0 || pEnd + 4 > data.length ||
                   !(data(pEnd) == '\r' && data(pEnd + 1) == '\n' &&
                     data(pEnd + 2) == '\r' && data(pEnd + 3) == '\n')) { ok = false }
               else {
                 val uri = uriR.findFirstMatchIn(head).map(_.group(1)).getOrElse("")
                 val wdate = dateR.findFirstMatchIn(head).map(_.group(1)).getOrElse("")
-                val payload = new String(data, pStart, clen,
-                  java.nio.charset.StandardCharsets.UTF_8)
-                val rlen = (pEnd + 4 - off).toLong
-                out += ((rec, off.toLong, rlen, uri, wdate, payload))
+                out += ((rec, off, pStart, clen, uri, wdate))
                 off = pEnd + 4
                 rec += 1
               }
@@ -107,6 +107,15 @@ object WarcCdx {
     out.result()
   }
 
+  /** Walk one file's bytes; emits (rec, offset, rlen, uri, wdate, payload)
+    * in file order. Stops at the first malformed record (or clean EOF).
+    */
+  def walk(data: Array[Byte]): Vector[(Int, Long, Long, String, String, String)] =
+    frames(data).map { case (rec, off, pStart, clen, uri, wdate) =>
+      (rec, off.toLong, (pStart + clen + 4 - off).toLong, uri, wdate,
+        new String(data, pStart, clen, java.nio.charset.StandardCharsets.UTF_8))
+    }
+
   val schemaBinary: StructType = StructType(Seq(
     StructField("fname", StringType),
     StructField("rec", IntegerType),
@@ -116,29 +125,16 @@ object WarcCdx {
     StructField("wdate", StringType),
     StructField("payload", BinaryType)))
 
-  /** The [[walk]] framing with payloads as RAW BYTES — the form a
+  /** The same framing with payloads as RAW BYTES — the form a
     * mixed-format archive needs (PDF/image payloads corrupt through a
-    * UTF-8 decode; the e75 MIME-routing pipeline decides per record how
-    * to decode). Same envelope discipline, same offsets.
+    * UTF-8 decode; the e75/e81 pipelines decide per record how to
+    * decode). Slices directly from [[frames]] — no throwaway string
+    * decode, no duplicate separator scan.
     */
   def walkBinary(data: Array[Byte]): Vector[(Int, Long, Long, String, String, Array[Byte])] =
-    walk(data).map { case (rec, off, rlen, uri, wdate, _) =>
-      // re-slice the payload bytes from the framing arithmetic: the
-      // record spans [off, off+rlen), payload is the clen bytes before
-      // the trailing CRLFCRLF, where clen = rlen - head - 8
-      val pEnd = off.toInt + rlen.toInt - 4
-      // find the head/payload separator again (ASCII scan, bounded by
-      // the record) — keeps walk() the single framing authority
-      var i = off.toInt
-      var sep = -1
-      while (sep < 0 && i + 3 < data.length) {
-        if (data(i) == '\r' && data(i + 1) == '\n' &&
-            data(i + 2) == '\r' && data(i + 3) == '\n') sep = i
-        else i += 1
-      }
-      val pStart = sep + 4
-      (rec, off, rlen, uri, wdate,
-        java.util.Arrays.copyOfRange(data, pStart, pEnd))
+    frames(data).map { case (rec, off, pStart, clen, uri, wdate) =>
+      (rec, off.toLong, (pStart + clen + 4 - off).toLong, uri, wdate,
+        java.util.Arrays.copyOfRange(data, pStart, pStart + clen))
     }
 
   /** [[parse]] with binary payloads (see [[walkBinary]]). */

@@ -3075,8 +3075,12 @@ object Curation extends QueryBlock {
         }
         java.nio.file.Files.write(
           java.nio.file.Paths.get(s"$warcDir/revisit.warc"), bo.toByteArray)
-        val clen = regexp_extract(col("col"), "Content-Length: ([0-9]+)", 1)
-          .cast("int")
+        // payload sliced by RECORD-RELATIVE character arithmetic (from
+        // the separator to the trailing CRLFCRLF) rather than by
+        // Content-Length: the header counts BYTES, substr counts CHARS,
+        // and the two diverge the moment a payload carries a multi-byte
+        // character — the magic-split record string already bounds the
+        // payload, so no byte count is needed
         val recs = s.read.format("binaryFile").load(warcDir)
           .select(col("content").cast("string").as("c"))
           .select(posexplode(split(col("c"), "WARC/1\\.0\r\n")))
@@ -3088,7 +3092,8 @@ object Curation extends QueryBlock {
               .as("refers_uri"),
             regexp_extract(col("col"), "WARC-Payload-Digest: sha-256:([0-9a-f]+)", 1)
               .as("pdigest"),
-            col("col").substr(instr(col("col"), "\r\n\r\n") + 4, clen)
+            col("col").substr(instr(col("col"), "\r\n\r\n") + 4,
+              length(col("col")) - instr(col("col"), "\r\n\r\n") - 7)
               .as("payload"))
         val groups = recs.filter(col("rtype") === "response")
           .groupBy(sha2(col("payload"), 256).as("digest"))

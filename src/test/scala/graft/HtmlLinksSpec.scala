@@ -91,5 +91,10 @@ class HtmlLinksSpec extends AnyFunSuite {
     assert(anchors("""<a title="x>y" HREF='/q' href=/dup>t</a>""")
       === Seq(("/q", "t")))
     assert(anchors("""<a href>bare</a>""") === Seq(("", "bare")))
+    // an <a> with NO href attribute is a named anchor target, not a
+    // link — emits nothing (links() parity; a "" here would resolve to
+    // the page itself and pollute the anchor-text index)
+    assert(anchors("""<a name="top">Introduction</a><a href="/r">real</a>""")
+      === Seq(("/r", "real")))
   }
 }
