@@ -3132,6 +3132,62 @@ object Curation extends QueryBlock {
         FROM numbered n JOIN ld ON n.doc_id = ld.doc_id
         WHERE n.isrev = 1 ORDER BY rec""")),
 
+    // E86 — WAT-STYLE metadata export: the artifact the WAT stage
+    // actually ships (CommonCrawl's .wat files are per-page JSON of
+    // extracted metadata + outlinks riding next to the WARC) — here
+    // composed from the session's own extractors: html_meta supplies
+    // title/lang, html_anchors supplies the resolved outlink list, and
+    // the whole record serializes through to_json into JSONL shards.
+    // The check is the e79 interop form: DuckDB independently parses
+    // the Spark-WRITTEN files and re-derives every field — title, lang,
+    // link count AND the full sorted link array — from the same page
+    // construction. Scan-local extract + a layout-independent
+    // distributed write; one file read per record at any scale.
+    "e86_wat_export" -> QueryDef(
+      (s, dir) => {
+        val out = s"$scratch/wat_${new java.io.File(dir).getName}"
+        anchorPages(t(s, dir, "documents"))
+          .withColumn("html2", concat(
+            lit("<html lang=\"en\"><head><title>Page "), col("doc_id"),
+            lit("</title></head>"), col("html"), lit("</html>")))
+          .select(col("doc_id"), col("base").as("url"),
+            expr("html_meta(html2)").as("hm"),
+            expr("transform(html_anchors(html2)," +
+              " a -> url_normalize(url_resolve(base, a.href)))").as("links0"))
+          .select(to_json(struct(
+            col("doc_id"), col("url"),
+            col("hm.title").as("title"), col("hm.lang").as("lang"),
+            size(col("links0")).as("n_links"),
+            sort_array(col("links0")).as("links"))).as("value"))
+          .coalesce(4)
+          .write.mode("overwrite").text(out)
+        s.read.json(out)
+          .select(col("doc_id"), col("url"), col("title"), col("lang"),
+            col("n_links").cast("int"), col("links"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+          FROM documents WHERE text IS NOT NULL),
+        f AS (SELECT doc_id, source, toks FROM d WHERE len(toks) >= 6),
+        j AS (SELECT doc_id,
+            'https://' || source || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+              AS url,
+            'Page ' || CAST(doc_id AS VARCHAR) AS title,
+            list_sort(list_value(
+              'https://' || source || '.example.com/p/'
+                || CAST(doc_id - doc_id % 5 AS VARCHAR),
+              'https://' || source || '.example.com/top',
+              'https://' || source || '.example.com/abs/'
+                || CAST(doc_id % 7 AS VARCHAR))) AS links
+          FROM f)
+        SELECT w.doc_id, w.url, w.title, w.lang,
+          CAST(w.n_links AS INT) AS n_links, w.links
+        FROM read_json_auto('$scratch/wat_${LlmPipeline.SfToken}/part-*') w
+        JOIN j ON w.doc_id = j.doc_id
+        WHERE w.url = j.url AND w.title = j.title AND w.lang = 'en'
+          AND w.links = j.links
+        ORDER BY w.doc_id""")),
+
     // E67 — page-metadata extraction (functions.HtmlMeta): the WAT-stage
     // fields next to e54's outlinks — title, meta description, html
     // lang, meta-declared charset — as ONE struct-returning codegen
