@@ -97,4 +97,21 @@ class HtmlLinksSpec extends AnyFunSuite {
     assert(anchors("""<a name="top">Introduction</a><a href="/r">real</a>""")
       === Seq(("/r", "real")))
   }
+
+  test("anchors: hostile soup terminates, never throws, hrefs agree with links()") {
+    val rnd = new scala.util.Random(52)
+    val tokens = Seq("<a ", "href", "=", "\"", "'", ">", "</a>", "<!--", "-->",
+      "<b>", "</b>", "<script>", "</script>", "text ", "&amp;", "<", "/x",
+      " name=t ", "é", "<a href=/q>")
+    (0 until 1000).foreach { _ =>
+      val sb = new StringBuilder
+      (0 until rnd.nextInt(30)).foreach(_ => sb.append(tokens(rnd.nextInt(tokens.length))))
+      val html = sb.toString
+      val as = anchors(html) // must not throw
+      // href parity: every href emitted by anchors() is one links() emits
+      // (anchors may emit FEWER only never — both walk the same tags);
+      // exact multiset equality pins the shared discipline
+      assert(as.map(_._1) === links(html), html)
+    }
+  }
 }
