@@ -4,12 +4,19 @@
 run verbatim over B1-B10 so sf1 numbers use the SAME measurement rules
 as the committed sf0.1 baseline. VERDICT r7 item 1.
 
-Usage: python3 scripts/baseline_sf.py [sf_dir]
+Usage: python3 scripts/baseline_sf.py [sf_dir] [n_timed_rounds]
+
+With n_timed_rounds given, runs that many timed rounds (after the same
+1 warm-up) and reports min over them — the single-round form (n=1) is
+what Bench.scala invokes repeatedly to INTERLEAVE DuckDB measurement
+rounds with its own Spark rounds, so both engines see the same machine
+load window (VERDICT r9 item 2a).
 """
 import sys, time, json, glob, os
 import duckdb
 
 sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft_sf1"
+n_rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 3
 con = duckdb.connect()
 con.execute("SET threads TO 8")
 for p in glob.glob(f"{sf_dir}/*.parquet"):
@@ -49,11 +56,11 @@ out = {}
 for bid, sql in QUERIES.items():
     con.execute(sql).fetchall()          # warm-up
     times = []
-    for _ in range(3):
+    for _ in range(n_rounds):
         t0 = time.time()
         con.execute(sql).fetchall()
         times.append(time.time() - t0)
     out[bid] = round(min(times), 4)
 print(json.dumps({"sf_dir": sf_dir, "threads": 8,
-                  "protocol": "min of 3 after 1 warm-up, fetchall",
+                  "protocol": f"min of {n_rounds} after 1 warm-up, fetchall",
                   "sec": out}))

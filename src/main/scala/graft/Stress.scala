@@ -497,6 +497,39 @@ object Stress {
         failed ::= f"html_links took $ms%.0f ms on 4 MB — not linear-time behavior"
     }
 
+    // e84b bucketed contrastive mining (r10, VERDICT r9 item 3): pair
+    // volume must be Σ_b n_b·(n_b−1) — bounded by the bucket histogram,
+    // never the corpus all-pairs n·(n−1) — and the bucket join must plan
+    // as an equi-join (shuffle/broadcast hash), not a cartesian. Runs the
+    // real assignment (IvfAnn.assign over md5 spread-sample centroids, the
+    // e84b construction) on the full sf0.1 embeddings table.
+    {
+      val emb = Tables(spark, dir, "embeddings")
+      val k = 8
+      val cs: Array[Array[Float]] = emb
+        .select(col("vec_id").cast("string").as("id"), col("embedding"))
+        .orderBy(md5(col("id").cast("binary")), col("id"))
+        .limit(k).collect().map(_.getSeq[Float](1).toArray)
+      val indexed = graft.operators.IvfAnn.assign(emb, "embedding", cs)
+        .select(col("__ivf_bucket").as("bucket"), col("vec_id"))
+      val hist = indexed.groupBy(col("bucket")).count()
+        .collect().map(r => r.getLong(1))
+      val expectedPairs = hist.map(n => n * (n - 1)).sum
+      val n = hist.sum
+      val allPairs = n * (n - 1)
+      val joined = indexed.as("a").join(indexed.as("b"), Seq("bucket"))
+        .filter(col("a.vec_id") =!= col("b.vec_id"))
+      val pairCount = joined.count()
+      val plan = joined.queryExecution.executedPlan.toString
+      println(f"[stress] e84b bucketed pairs ($n%d vectors, $k%d buckets): $pairCount%d pairs vs all-pairs $allPairs%d (${allPairs.toDouble / pairCount}%.1fx avoided)")
+      if (pairCount != expectedPairs)
+        failed ::= s"e84b pair volume $pairCount != Σ bucket n(n−1) $expectedPairs"
+      if (pairCount * 2 > allPairs)
+        failed ::= s"e84b pair volume $pairCount not < half of all-pairs $allPairs — bucketing isn't pruning"
+      if (plan.contains("CartesianProduct") || plan.contains("BroadcastNestedLoop"))
+        failed ::= "e84b bucket join planned as a cartesian/BNLJ, not an equi-join"
+    }
+
     if (spillBytes.get() > 0)
       failed ::= s"spill: ${spillBytes.get()} bytes spilled across the stress runs"
     if (failed.nonEmpty) {

@@ -119,19 +119,26 @@ object RobotsTxt {
   }
 
   /** Group selection for the delay (the [[effectiveRules]] rule): the
-    * agent's own group when it declares a delay, else the `*` group's;
-    * domains declaring neither get `default`.
+    * agent's own group when it declares a delay, else the `*` group's,
+    * else `default`.
     *
-    * @return (domain, delay_s) for every domain in `delays`' input —
+    * The domain universe is `domains` when given (one `domain` column —
+    * pass the frontier's hosts so a domain whose robots.txt declares no
+    * Crawl-delay in ANY group still receives the default); when absent
+    * it falls back to the domains present in `delays`, which by
+    * construction only covers domains that declared at least one delay
+    * directive somewhere.
+    *
+    * @return (domain, delay_s) for every domain in the universe —
     *         join this to the frontier's host column
     */
   def effectiveDelay(delays: DataFrame, agent: String,
-      default: Double): DataFrame = {
+      default: Double, domains: Option[DataFrame] = None): DataFrame = {
     val own = delays.filter(col("ua") === agent.toLowerCase)
       .select(col("domain"), col("delay_s").as("own_delay"))
     val star = delays.filter(col("ua") === "*")
       .select(col("domain"), col("delay_s").as("star_delay"))
-    delays.select(col("domain")).distinct()
+    domains.getOrElse(delays.select(col("domain"))).distinct()
       .join(own, Seq("domain"), "left")
       .join(star, Seq("domain"), "left")
       .select(col("domain"),

@@ -82,7 +82,11 @@ object WarcCdx {
           // WARC named headers are ASCII (ISO 28500)
           val head = new String(data, off, sep - off,
             java.nio.charset.StandardCharsets.US_ASCII)
-          clenR.findFirstMatchIn(head).map(_.group(1).toLong)
+          // length-guard the digit run before toLong: a 20+-digit
+          // Content-Length must reject as a malformed record (ok =
+          // false), not escape as NumberFormatException
+          clenR.findFirstMatchIn(head).map(_.group(1))
+              .filter(_.length <= 18).map(_.toLong)
               .filter(_ <= Int.MaxValue.toLong) match {
             case None => ok = false
             case Some(clenL) =>

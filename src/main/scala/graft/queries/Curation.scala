@@ -600,7 +600,10 @@ object Curation extends QueryBlock {
 
   /** Anchor-text index over (base, html) pages: extract → resolve →
     * normalize → per-target count + sorted texts. Streaming-safe (no
-    * sort; the callers order after their sink).
+    * sort; the callers order after their sink). The text list is
+    * scalar-encoded (US-joined, the c18 convention) so the driver
+    * oracle can hash the row — anchor texts never contain control
+    * characters by construction.
     */
   def anchorIndex(pages: DataFrame): DataFrame =
     pages.select(col("base"), explode(expr("html_anchors(html)")).as("a"))
@@ -608,7 +611,8 @@ object Curation extends QueryBlock {
         col("a.text").as("text"))
       .groupBy(col("target"))
       .agg(count(lit(1)).cast("int").as("n_anchors"),
-        sort_array(collect_list(col("text"))).as("texts"))
+        array_join(sort_array(collect_list(col("text"))), "")
+          .as("texts"))
 
   /** e76's construction oracle — shared by the d23 streaming twin. */
   val anchorOracleSql: String =
@@ -627,7 +631,7 @@ object Curation extends QueryBlock {
             || CAST(doc_id % 7 AS VARCHAR),
           array_to_string(toks[5:6], ' ') FROM f)
       SELECT target, CAST(count(*) AS INT) AS n_anchors,
-        list(text ORDER BY text) AS texts
+        array_to_string(list(text ORDER BY text), chr(31)) AS texts
       FROM a GROUP BY target ORDER BY target"""
 
   /** Construction oracle for the PDF fixture — shared by e72 and d22. */
@@ -3163,7 +3167,11 @@ object Curation extends QueryBlock {
           .write.mode("overwrite").text(out)
         s.read.json(out)
           .select(col("doc_id"), col("url"), col("title"), col("lang"),
-            col("n_links").cast("int"), col("links"))
+            col("n_links").cast("int"),
+            // scalar-encode the link array (c18 convention) so the
+            // driver oracle can hash the row; the JSONL artifact on
+            // disk keeps the real array form.
+            array_join(col("links"), "").as("links"))
           .orderBy(col("doc_id"))
       },
       Some(s"""WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS toks
@@ -3181,7 +3189,8 @@ object Curation extends QueryBlock {
                 || CAST(doc_id % 7 AS VARCHAR))) AS links
           FROM f)
         SELECT w.doc_id, w.url, w.title, w.lang,
-          CAST(w.n_links AS INT) AS n_links, w.links
+          CAST(w.n_links AS INT) AS n_links,
+          array_to_string(w.links, chr(31)) AS links
         FROM read_json_auto('$scratch/wat_${LlmPipeline.SfToken}/part-*') w
         JOIN j ON w.doc_id = j.doc_id
         WHERE w.url = j.url AND w.title = j.title AND w.lang = 'en'
