@@ -44,26 +44,6 @@ object HtmlLinks {
     val n = s.length
     val out = new java.util.ArrayList[UTF8String]()
 
-    // Raw-text end per HTML5 (same rule as HtmlStrip.htmlText).
-    def rawTextEnd(name: String, from: Int): Int = {
-      var k = from
-      while (k < n) {
-        val idx = s.indexOf("</", k)
-        if (idx < 0) return n
-        val after = idx + 2 + name.length
-        if (s.regionMatches(true, idx + 2, name, 0, name.length) &&
-            (after >= n || {
-              val ac = s.charAt(after)
-              ac == '>' || ac == '/' || Character.isWhitespace(ac)
-            })) {
-          val e = s.indexOf('>', idx + 2)
-          return if (e < 0) n else e + 1
-        }
-        k = idx + 2
-      }
-      n
-    }
-
     var i = 0
     while (i < n) {
       val c = s.charAt(i)
@@ -83,58 +63,17 @@ object HtmlLinks {
           val name = s.substring(nameStart, j).toLowerCase(java.util.Locale.ROOT)
 
           var href: String = null
-          var closed = false
-          if (!closing && name == "a") {
-            // attribute walk: name [= value], quote-aware
-            while (j < n && !closed) {
-              while (j < n && Character.isWhitespace(s.charAt(j))) j += 1
-              if (j < n && s.charAt(j) == '>') { closed = true; j += 1 }
-              else if (j < n && s.charAt(j) == '/') j += 1
-              else if (j < n) {
-                val an = j
-                while (j < n && !Character.isWhitespace(s.charAt(j)) &&
-                    s.charAt(j) != '=' && s.charAt(j) != '>' && s.charAt(j) != '/') j += 1
-                val attr = s.substring(an, j).toLowerCase(java.util.Locale.ROOT)
-                while (j < n && Character.isWhitespace(s.charAt(j))) j += 1
-                var value = ""
-                if (j < n && s.charAt(j) == '=') {
-                  j += 1
-                  while (j < n && Character.isWhitespace(s.charAt(j))) j += 1
-                  if (j < n && (s.charAt(j) == '"' || s.charAt(j) == '\'')) {
-                    val q = s.charAt(j)
-                    j += 1
-                    val vs = j
-                    while (j < n && s.charAt(j) != q) j += 1
-                    value = s.substring(vs, j)
-                    if (j < n) j += 1 // closing quote (EOF inside the
-                    // value leaves the tag unclosed — dropped below)
-                  } else {
-                    val vs = j
-                    while (j < n && !Character.isWhitespace(s.charAt(j)) &&
-                        s.charAt(j) != '>') j += 1
-                    value = s.substring(vs, j)
-                  }
-                }
+          val packed =
+            if (!closing && name == "a")
+              HtmlScan.attrWalk(s, j, (attr, value) =>
                 if (attr == "href" && href == null)
-                  href = HtmlStrip.decodeEntitiesOnce(value)
-              }
-            }
-          } else {
-            // non-anchor (or closing) tag: skip to the real end,
-            // honoring quoted attribute values
-            var q: Char = 0
-            while (j < n && !closed) {
-              val ch = s.charAt(j)
-              if (q != 0) { if (ch == q) q = 0 }
-              else if (ch == '"' || ch == '\'') q = ch
-              else if (ch == '>') closed = true
-              j += 1
-            }
-          }
-          i = if (closed) j else n // EOF-in-tag: drop the fragment
+                  href = HtmlStrip.decodeEntitiesOnce(value))
+            else HtmlScan.skipTag(s, j)
+          val closed = HtmlScan.closed(packed)
+          i = if (closed) HtmlScan.pos(packed) else n // EOF-in-tag: drop
           if (closed && href != null) out.add(UTF8String.fromString(href))
           if (closed && !closing && (name == "script" || name == "style"))
-            i = rawTextEnd(name, i)
+            i = HtmlScan.rawTextEnd(s, name, i)
         } else i += 1 // literal '<' — no tag here
       } else i += 1
     }
@@ -174,25 +113,6 @@ object HtmlLinks {
     val s = in.toString
     val n = s.length
     val out = new java.util.ArrayList[org.apache.spark.sql.catalyst.InternalRow]()
-
-    def rawTextEnd(name: String, from: Int): Int = {
-      var k = from
-      while (k < n) {
-        val idx = s.indexOf("</", k)
-        if (idx < 0) return n
-        val after = idx + 2 + name.length
-        if (s.regionMatches(true, idx + 2, name, 0, name.length) &&
-            (after >= n || {
-              val ac = s.charAt(after)
-              ac == '>' || ac == '/' || Character.isWhitespace(ac)
-            })) {
-          val e = s.indexOf('>', idx + 2)
-          return if (e < 0) n else e + 1
-        }
-        k = idx + 2
-      }
-      n
-    }
 
     var curHref: String = null
     val curText = new java.lang.StringBuilder
@@ -235,51 +155,14 @@ object HtmlLinks {
           val name = s.substring(nameStart, j).toLowerCase(java.util.Locale.ROOT)
 
           var href: String = null
-          var closed = false
-          if (!closing && name == "a") {
-            while (j < n && !closed) {
-              while (j < n && Character.isWhitespace(s.charAt(j))) j += 1
-              if (j < n && s.charAt(j) == '>') { closed = true; j += 1 }
-              else if (j < n && s.charAt(j) == '/') j += 1
-              else if (j < n) {
-                val an = j
-                while (j < n && !Character.isWhitespace(s.charAt(j)) &&
-                    s.charAt(j) != '=' && s.charAt(j) != '>' && s.charAt(j) != '/') j += 1
-                val attr = s.substring(an, j).toLowerCase(java.util.Locale.ROOT)
-                while (j < n && Character.isWhitespace(s.charAt(j))) j += 1
-                var value = ""
-                if (j < n && s.charAt(j) == '=') {
-                  j += 1
-                  while (j < n && Character.isWhitespace(s.charAt(j))) j += 1
-                  if (j < n && (s.charAt(j) == '"' || s.charAt(j) == '\'')) {
-                    val q = s.charAt(j)
-                    j += 1
-                    val vs = j
-                    while (j < n && s.charAt(j) != q) j += 1
-                    value = s.substring(vs, j)
-                    if (j < n) j += 1
-                  } else {
-                    val vs = j
-                    while (j < n && !Character.isWhitespace(s.charAt(j)) &&
-                        s.charAt(j) != '>') j += 1
-                    value = s.substring(vs, j)
-                  }
-                }
+          val packed =
+            if (!closing && name == "a")
+              HtmlScan.attrWalk(s, j, (attr, value) =>
                 if (attr == "href" && href == null)
-                  href = HtmlStrip.decodeEntitiesOnce(value)
-              }
-            }
-          } else {
-            var q: Char = 0
-            while (j < n && !closed) {
-              val ch = s.charAt(j)
-              if (q != 0) { if (ch == q) q = 0 }
-              else if (ch == '"' || ch == '\'') q = ch
-              else if (ch == '>') closed = true
-              j += 1
-            }
-          }
-          i = if (closed) j else n
+                  href = HtmlStrip.decodeEntitiesOnce(value))
+            else HtmlScan.skipTag(s, j)
+          val closed = HtmlScan.closed(packed)
+          i = if (closed) HtmlScan.pos(packed) else n
           if (closed) {
             if (!closing && name == "a") {
               emit() // implicit close of any open anchor (HTML5 rule)
@@ -290,7 +173,7 @@ object HtmlLinks {
             } else {
               if (inAnchor) curText.append(' ') // inner tag = separator
               if (!closing && (name == "script" || name == "style"))
-                i = rawTextEnd(name, i)
+                i = HtmlScan.rawTextEnd(s, name, i)
             }
           }
         } else {

@@ -116,44 +116,6 @@ object HtmlMeta {
     // attributes onto the root element)
     var charset: String = null
 
-    def rawTextEnd(name: String, from: Int): Int = {
-      var k = from
-      while (k < n) {
-        val idx = s.indexOf("</", k)
-        if (idx < 0) return n
-        val after = idx + 2 + name.length
-        if (s.regionMatches(true, idx + 2, name, 0, name.length) &&
-            (after >= n || {
-              val ac = s.charAt(after)
-              ac == '>' || ac == '/' || Character.isWhitespace(ac)
-            })) {
-          val e = s.indexOf('>', idx + 2)
-          return if (e < 0) n else e + 1
-        }
-        k = idx + 2
-      }
-      n
-    }
-
-    /** RCDATA run end: index of the `</name` boundary itself (content
-      * excludes it), or n.
-      */
-    def rcdataContentEnd(name: String, from: Int): Int = {
-      var k = from
-      while (k < n) {
-        val idx = s.indexOf("</", k)
-        if (idx < 0) return n
-        val after = idx + 2 + name.length
-        if (s.regionMatches(true, idx + 2, name, 0, name.length) &&
-            (after >= n || {
-              val ac = s.charAt(after)
-              ac == '>' || ac == '/' || Character.isWhitespace(ac)
-            })) return idx
-        k = idx + 2
-      }
-      n
-    }
-
     var i = 0
     while (i < n) {
       if (s.charAt(i) == '<') {
@@ -178,38 +140,11 @@ object HtmlMeta {
           var aContent: String = null
           var aName: String = null
           var aLang: String = null
-          var closed = false
 
-          if (wantAttrs) {
-            while (j < n && !closed) {
-              while (j < n && Character.isWhitespace(s.charAt(j))) j += 1
-              if (j < n && s.charAt(j) == '>') { closed = true; j += 1 }
-              else if (j < n && s.charAt(j) == '/') j += 1
-              else if (j < n) {
-                val an = j
-                while (j < n && !Character.isWhitespace(s.charAt(j)) &&
-                    s.charAt(j) != '=' && s.charAt(j) != '>' && s.charAt(j) != '/') j += 1
-                val attr = lc(s.substring(an, j))
-                while (j < n && Character.isWhitespace(s.charAt(j))) j += 1
-                var value = ""
-                if (j < n && s.charAt(j) == '=') {
-                  j += 1
-                  while (j < n && Character.isWhitespace(s.charAt(j))) j += 1
-                  if (j < n && (s.charAt(j) == '"' || s.charAt(j) == '\'')) {
-                    val q = s.charAt(j)
-                    j += 1
-                    val vs = j
-                    while (j < n && s.charAt(j) != q) j += 1
-                    value = s.substring(vs, j)
-                    if (j < n) j += 1
-                  } else {
-                    val vs = j
-                    while (j < n && !Character.isWhitespace(s.charAt(j)) &&
-                        s.charAt(j) != '>') j += 1
-                    value = s.substring(vs, j)
-                  }
-                }
-                val dv = HtmlStrip.decodeEntitiesOnce(value)
+          val packed =
+            if (wantAttrs)
+              HtmlScan.attrWalk(s, j, (attr, value) => {
+                lazy val dv = HtmlStrip.decodeEntitiesOnce(value)
                 attr match {
                   case "charset" if aCharset == null => aCharset = dv
                   case "http-equiv" if aHttpEquiv == null => aHttpEquiv = dv
@@ -218,19 +153,10 @@ object HtmlMeta {
                   case "lang" if aLang == null => aLang = dv
                   case _ =>
                 }
-              }
-            }
-          } else {
-            var q: Char = 0
-            while (j < n && !closed) {
-              val ch = s.charAt(j)
-              if (q != 0) { if (ch == q) q = 0 }
-              else if (ch == '"' || ch == '\'') q = ch
-              else if (ch == '>') closed = true
-              j += 1
-            }
-          }
-          i = if (closed) j else n
+              })
+            else HtmlScan.skipTag(s, j)
+          val closed = HtmlScan.closed(packed)
+          i = if (closed) HtmlScan.pos(packed) else n
 
           if (closed && !closing) {
             if (name == "meta") {
@@ -253,15 +179,15 @@ object HtmlMeta {
               }
             } else if (name == "title") {
               if (title == null) {
-                val ce = rcdataContentEnd("title", i)
+                val ce = HtmlScan.rcdataContentEnd(s, "title", i)
                 title = collapseWs(HtmlStrip.decodeEntitiesOnce(s.substring(i, ce)))
                 i = if (ce >= n) n else {
                   val e = s.indexOf('>', ce + 2)
                   if (e < 0) n else e + 1
                 }
-              } else i = rawTextEnd("title", i) // later titles: skip RCDATA
+              } else i = HtmlScan.rawTextEnd(s, "title", i) // later titles
             } else if (name == "script" || name == "style") {
-              i = rawTextEnd(name, i)
+              i = HtmlScan.rawTextEnd(s, name, i)
             }
           }
         } else i += 1
@@ -402,46 +328,19 @@ object MetaCharset {
           var aCharset: String = null
           var aHttpEquiv: String = null
           var aContent: String = null
-          var closed = false
           if (isMeta) {
-            while (j < n && !closed) {
-              while (j < n && Character.isWhitespace(s.charAt(j))) j += 1
-              if (j < n && s.charAt(j) == '>') { closed = true; j += 1 }
-              else if (j < n && s.charAt(j) == '/') j += 1
-              else if (j < n) {
-                val an = j
-                while (j < n && !Character.isWhitespace(s.charAt(j)) &&
-                    s.charAt(j) != '=' && s.charAt(j) != '>' && s.charAt(j) != '/') j += 1
-                val attr = s.substring(an, j).toLowerCase(java.util.Locale.ROOT)
-                while (j < n && Character.isWhitespace(s.charAt(j))) j += 1
-                var value = ""
-                if (j < n && s.charAt(j) == '=') {
-                  j += 1
-                  while (j < n && Character.isWhitespace(s.charAt(j))) j += 1
-                  if (j < n && (s.charAt(j) == '"' || s.charAt(j) == '\'')) {
-                    val q = s.charAt(j)
-                    j += 1
-                    val vs = j
-                    while (j < n && s.charAt(j) != q) j += 1
-                    if (j >= n) return null // quote still open at window end
-                    value = s.substring(vs, j)
-                    j += 1
-                  } else {
-                    val vs = j
-                    while (j < n && !Character.isWhitespace(s.charAt(j)) &&
-                        s.charAt(j) != '>') j += 1
-                    value = s.substring(vs, j)
-                  }
-                }
-                attr match {
-                  case "charset" if aCharset == null => aCharset = value
-                  case "http-equiv" if aHttpEquiv == null => aHttpEquiv = value
-                  case "content" if aContent == null => aContent = value
-                  case _ =>
-                }
-              }
-            }
-            if (!closed) return null // meta still open at window end
+            // prescan stores RAW values — no entity decoding at this
+            // layer (WHATWG prescan reads bytes, not parsed attributes)
+            val packed = HtmlScan.attrWalk(s, j, (attr, value) =>
+              attr match {
+                case "charset" if aCharset == null => aCharset = value
+                case "http-equiv" if aHttpEquiv == null => aHttpEquiv = value
+                case "content" if aContent == null => aContent = value
+                case _ =>
+              })
+            // meta (or a quoted value inside it) still open at window
+            // end: abort the prescan
+            if (!HtmlScan.closed(packed)) return null
             val cand =
               if (aCharset != null) aCharset
               else if (aHttpEquiv != null &&
@@ -452,18 +351,12 @@ object MetaCharset {
               val folded = foldLabel(cand)
               if (folded != null) return folded
             }
-            i = j
+            i = HtmlScan.pos(packed)
           } else {
-            var q: Char = 0
-            while (j < n && !closed) {
-              val ch = s.charAt(j)
-              if (q != 0) { if (ch == q) q = 0 }
-              else if (ch == '"' || ch == '\'') q = ch
-              else if (ch == '>') closed = true
-              j += 1
-            }
+            val packed = HtmlScan.skipTag(s, j)
+            val closed = HtmlScan.closed(packed)
             if (!closed && truncated) return null // tag spans the window edge
-            i = if (closed) j else n
+            i = if (closed) HtmlScan.pos(packed) else n
           }
         } else i += 1
       } else i += 1

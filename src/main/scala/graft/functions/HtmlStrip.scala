@@ -113,28 +113,6 @@ object HtmlStrip {
       }
     }
 
-    // Raw-text end per HTML5: `</name` (case-insensitive) followed by
-    // `>`, `/`, whitespace, or EOF. Returns the index AFTER the closing
-    // `>` (or n when the raw text runs to EOF).
-    def rawTextEnd(name: String, from: Int): Int = {
-      var k = from
-      while (k < n) {
-        val idx = s.indexOf("</", k)
-        if (idx < 0) return n
-        val after = idx + 2 + name.length
-        if (s.regionMatches(true, idx + 2, name, 0, name.length) &&
-            (after >= n || {
-              val ac = s.charAt(after)
-              ac == '>' || ac == '/' || Character.isWhitespace(ac)
-            })) {
-          val e = s.indexOf('>', idx + 2)
-          return if (e < 0) n else e + 1
-        }
-        k = idx + 2
-      }
-      n
-    }
-
     var i = 0
     while (i < n) {
       val c = s.charAt(i)
@@ -155,19 +133,12 @@ object HtmlStrip {
           while (j < n && Character.isLetterOrDigit(s.charAt(j))) j += 1
           val name = s.substring(nameStart, j).toLowerCase(java.util.Locale.ROOT)
           // scan to the tag's real end, honoring quoted attribute values
-          var q: Char = 0
-          var closed = false
-          while (j < n && !closed) {
-            val ch = s.charAt(j)
-            if (q != 0) { if (ch == q) q = 0 }
-            else if (ch == '"' || ch == '\'') q = ch
-            else if (ch == '>') closed = true
-            j += 1
-          }
-          i = if (closed) j else n // EOF-in-tag: drop the fragment
+          val packed = HtmlScan.skipTag(s, j)
+          val closed = HtmlScan.closed(packed)
+          i = if (closed) HtmlScan.pos(packed) else n // EOF-in-tag: drop
           sep()
           if (closed && !closing && (name == "script" || name == "style"))
-            i = rawTextEnd(name, i)
+            i = HtmlScan.rawTextEnd(s, name, i)
         } else {
           emit('<')
           i += 1

@@ -583,6 +583,205 @@ object PdfText {
     out.toByteArray
   }
 
+  // ---------------- fonts: non-latin decode (r10) ----------------
+
+  /** Per-font show-string decode state. `twoByte` = composite
+    * (Type0/Identity-H) 2-byte codes; `toUni` maps a character code to
+    * its Unicode string (from /ToUnicode, overriding /Encoding
+    * /Differences glyph names where both define a code). An empty map
+    * on a 1-byte font means identity latin-1 (the classic envelope).
+    */
+  final case class PdfFont(twoByte: Boolean, toUni: Map[Int, String])
+
+  /** Glyph name → Unicode for /Differences arrays: the AGL `uniXXXX`
+    * (one or more 4-hex groups = UTF-16 code units) and `uXXXX[XX]`
+    * conventions, single-char names (AGL maps /a → "a"), plus the
+    * punctuation names the fixtures and common re-encoded fonts use.
+    * Unknown names return None — that code keeps its latin-1 fallback.
+    */
+  private[graft] def glyphToUnicode(name: String): Option[String] = {
+    def hexVal(h: String): Option[Int] =
+      if (h.nonEmpty && h.forall(c => Character.digit(c, 16) >= 0))
+        Some(Integer.parseInt(h, 16))
+      else None
+    if (name.length == 1) Some(name)
+    else if (name.startsWith("uni") && name.length > 3 &&
+        (name.length - 3) % 4 == 0) {
+      val groups = (3 until name.length by 4).map(o => hexVal(name.substring(o, o + 4)))
+      if (groups.forall(_.isDefined))
+        Some(groups.flatten.map(_.toChar).mkString)
+      else None
+    } else if (name.length >= 5 && name.length <= 7 && name.charAt(0) == 'u' &&
+        !name.startsWith("uni")) {
+      hexVal(name.substring(1)).filter(Character.isValidCodePoint)
+        .map(cp => new String(Character.toChars(cp)))
+    } else Map(
+      "space" -> " ", "period" -> ".", "comma" -> ",", "hyphen" -> "-",
+      "colon" -> ":", "semicolon" -> ";", "quotesingle" -> "'",
+      "quotedbl" -> "\"", "parenleft" -> "(", "parenright" -> ")",
+      "slash" -> "/", "exclam" -> "!", "question" -> "?").get(name)
+  }
+
+  /** /Encoding /Differences array → code map: a number sets the current
+    * code, each following name maps it and increments (ISO 32000
+    * §9.6.6.3). Codes outside 0..255 or non-number/name members reject.
+    */
+  private def buildDifferences(xs: Vector[V]): Map[Int, String] = {
+    val m = scala.collection.mutable.HashMap[Int, String]()
+    var code = -1
+    xs.foreach {
+      case VNum(v) =>
+        code = v.toInt
+        if (code < 0 || code > 255) throw new PdfError("differences code out of range")
+      case VName(g) =>
+        if (code < 0 || code > 255) throw new PdfError("differences name before code")
+        glyphToUnicode(g).foreach(u => m(code) = u)
+        code += 1
+      case _ => throw new PdfError("bad differences member")
+    }
+    m.toMap
+  }
+
+  /** /ToUnicode CMap (ISO 32000 §9.10.3 / Adobe CMap spec subset):
+    * `bfchar` pairs and `bfrange` triples (continuous-destination and
+    * array forms), source codes ≤ 2 bytes, destinations UTF-16BE hex.
+    * Bounded: ≤ 65536 mapped codes, else reject (zip-bomb guard, the
+    * inflate tradition).
+    */
+  private[graft] def parseCMap(bytes: Array[Byte]): Map[Int, String] = {
+    val s = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+    // tokenize: hex strings, array brackets, bare keywords; names,
+    // numbers and delimiters that CMap postscript carries are skipped
+    // or kept as opaque words (only the bf sections are interpreted)
+    val toks = scala.collection.mutable.ArrayBuffer[AnyRef]()
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '%') { while (i < n && s.charAt(i) != '\n') i += 1 }
+      else if (c == '<') {
+        val e = s.indexOf('>', i + 1)
+        if (e < 0) throw new PdfError("EOF in cmap hex")
+        toks += ("#" + s.substring(i + 1, e).filterNot(_.isWhitespace))
+        i = e + 1
+      } else if (c == '[' || c == ']') { toks += c.toString; i += 1 }
+      else if (c == '/' ) {
+        i += 1
+        while (i < n && !isDelim(s.charAt(i)) && !Character.isWhitespace(s.charAt(i))) i += 1
+      } else if (Character.isWhitespace(c)) i += 1
+      else if (isDelim(c)) i += 1
+      else {
+        val st = i
+        while (i < n && !isDelim(s.charAt(i)) && !Character.isWhitespace(s.charAt(i))) i += 1
+        toks += s.substring(st, i)
+      }
+    }
+    def hexCode(t: AnyRef): Int = t match {
+      case h: String if h.startsWith("#") && h.length >= 2 && h.length <= 5 =>
+        Integer.parseInt(h.substring(1), 16)
+      case _ => throw new PdfError("bad cmap source code")
+    }
+    def hexDst(t: AnyRef): String = t match {
+      case h: String if h.startsWith("#") && h.length % 2 == 1 =>
+        val hx = h.substring(1)
+        val b = new Array[Byte](hx.length / 2)
+        var k = 0
+        while (k < b.length) {
+          b(k) = Integer.parseInt(hx.substring(2 * k, 2 * k + 2), 16).toByte
+          k += 1
+        }
+        new String(b, java.nio.charset.StandardCharsets.UTF_16BE)
+      case _ => throw new PdfError("bad cmap destination")
+    }
+    /** dst for the idx-th code of a continuous bfrange: last UTF-16
+      * code unit increments (Adobe CMap spec rule). */
+    def bump(dst: String, idx: Int): String =
+      if (idx == 0 || dst.isEmpty) dst
+      else dst.substring(0, dst.length - 1) +
+        (dst.charAt(dst.length - 1) + idx).toChar
+    val m = scala.collection.mutable.HashMap[Int, String]()
+    def guard(): Unit =
+      if (m.size > 65536) throw new PdfError("cmap too large")
+    var j = 0
+    while (j < toks.length) {
+      toks(j) match {
+        case "beginbfchar" =>
+          j += 1
+          while (j < toks.length && toks(j) != "endbfchar") {
+            if (j + 1 >= toks.length) throw new PdfError("truncated bfchar")
+            m(hexCode(toks(j))) = hexDst(toks(j + 1))
+            guard()
+            j += 2
+          }
+          if (j >= toks.length) throw new PdfError("unterminated bfchar")
+          j += 1
+        case "beginbfrange" =>
+          j += 1
+          while (j < toks.length && toks(j) != "endbfrange") {
+            if (j + 2 >= toks.length) throw new PdfError("truncated bfrange")
+            val lo = hexCode(toks(j))
+            val hi = hexCode(toks(j + 1))
+            if (hi < lo || hi - lo > 65535) throw new PdfError("bad bfrange span")
+            toks(j + 2) match {
+              case "[" =>
+                j += 3
+                var c = lo
+                while (j < toks.length && toks(j) != "]") {
+                  if (c > hi) throw new PdfError("bfrange array too long")
+                  m(c) = hexDst(toks(j)); guard()
+                  c += 1; j += 1
+                }
+                if (j >= toks.length) throw new PdfError("unterminated bfrange array")
+                j += 1
+              case _ =>
+                val dst = hexDst(toks(j + 2))
+                var c = lo
+                while (c <= hi) { m(c) = bump(dst, c - lo); c += 1 }
+                guard()
+                j += 3
+            }
+          }
+          if (j >= toks.length) throw new PdfError("unterminated bfrange")
+          j += 1
+        case _ => j += 1
+      }
+    }
+    m.toMap
+  }
+
+  /** Show-string decode through the current font. No font (or a plain
+    * 1-byte font with no mappings): the UTF-16BE BOM convention applies
+    * — a string starting FE FF decodes as UTF-16BE (ISO 32000 §7.9.2.2
+    * text-string rule) — else raw latin-1 (the classic envelope). A
+    * mapped 1-byte font falls back to latin-1 per unmapped code; a
+    * 2-byte composite font yields U+FFFD per unmapped code (no latin-1
+    * meaning exists for a CID) and tolerates an odd trailing byte.
+    */
+  private[graft] def decodeShown(raw: String, f: PdfFont): String = {
+    def default(t: String): String =
+      if (t.length >= 2 && t.charAt(0) == 0xfe.toChar && t.charAt(1) == 0xff.toChar) {
+        val sb = new java.lang.StringBuilder((t.length - 2) / 2)
+        var i = 2
+        while (i + 1 < t.length) {
+          sb.append(((t.charAt(i) << 8) | t.charAt(i + 1)).toChar)
+          i += 2
+        }
+        sb.toString
+      } else t
+    if (f == null) default(raw)
+    else if (f.twoByte) {
+      val sb = new java.lang.StringBuilder(raw.length / 2)
+      var i = 0
+      while (i + 1 < raw.length) {
+        val code = (raw.charAt(i) << 8) | raw.charAt(i + 1)
+        sb.append(f.toUni.getOrElse(code, "�"))
+        i += 2
+      }
+      sb.toString
+    } else if (f.toUni.isEmpty) default(raw)
+    else raw.map(c => f.toUni.getOrElse(c.toInt, c.toString)).mkString
+  }
+
   // ---------------- page tree + content ----------------
 
   /** Per-page extracted text (lines joined with \n), document order;
@@ -597,9 +796,10 @@ object PdfText {
         case VDict(m) => m.getOrElse("Pages", throw new PdfError("no /Pages"))
         case _ => throw new PdfError("bad catalog")
       }
-      val pages = Vector.newBuilder[Map[String, V]]
+      val pages = Vector.newBuilder[(Map[String, V], Option[V])]
       val seen = scala.collection.mutable.Set[Int]()
-      def walk(v: V): Unit = {
+      // /Resources inherits down the page tree (ISO 32000 §7.7.3.4)
+      def walk(v: V, inheritedRes: Option[V]): Unit = {
         val node = doc.resolve(v) match {
           case VDict(m) => m
           case _ => throw new PdfError("bad page-tree node")
@@ -610,18 +810,67 @@ object PdfText {
             seen += n
           case _ =>
         }
+        val res = node.get("Resources").orElse(inheritedRes)
         node.get("Type").map(doc.resolve) match {
           case Some(VName("Pages")) =>
             doc.resolve(node.getOrElse("Kids", throw new PdfError("no /Kids"))) match {
-              case VArr(kids) => kids.foreach(walk)
+              case VArr(kids) => kids.foreach(walk(_, res))
               case _ => throw new PdfError("bad /Kids")
             }
-          case Some(VName("Page")) => pages += node
+          case Some(VName("Page")) => pages += ((node, res))
           case _ => throw new PdfError("bad node type")
         }
       }
-      walk(pagesRef)
-      Some(pages.result().map { page =>
+      walk(pagesRef, None)
+
+      // Font dicts shared across pages build once (keyed by object num)
+      val fontCache = scala.collection.mutable.HashMap[Int, PdfFont]()
+      def buildFont(fv: V): PdfFont = {
+        val fd = doc.resolve(fv) match {
+          case VDict(m) => m
+          case _ => throw new PdfError("bad font object")
+        }
+        val isType0 = fd.get("Subtype").map(doc.resolve).contains(VName("Type0"))
+        if (isType0) doc.resolve(fd.getOrElse("Encoding", VNull)) match {
+          case VName("Identity-H") | VName("Identity-V") =>
+          case _ => throw new PdfError("unsupported composite-font encoding")
+        }
+        val diffs: Map[Int, String] =
+          if (isType0) Map.empty
+          else doc.resolve(fd.getOrElse("Encoding", VNull)) match {
+            case VDict(em) => em.get("Differences").map(doc.resolve) match {
+              case Some(VArr(xs)) => buildDifferences(xs)
+              case None => Map.empty
+              case _ => throw new PdfError("bad /Differences")
+            }
+            case _ => Map.empty // a base-encoding name: latin-1 envelope
+          }
+        val toUni: Map[Int, String] = fd.get("ToUnicode") match {
+          case Some(VRef(nr, _)) => parseCMap(doc.streamBytes(nr))
+          case None => Map.empty
+          case _ => throw new PdfError("ToUnicode must be a stream ref")
+        }
+        PdfFont(isType0, diffs ++ toUni) // ToUnicode outranks Differences
+      }
+      def fontsOf(resV: Option[V]): Map[String, PdfFont] = resV match {
+        case None => Map.empty
+        case Some(rv) => doc.resolve(rv) match {
+          case VDict(rm) => rm.get("Font").map(doc.resolve) match {
+            case Some(VDict(fm)) => fm.map { case (fname, fv) =>
+              fname -> (fv match {
+                case VRef(nr, _) => fontCache.getOrElseUpdate(nr, buildFont(fv))
+                case _ => buildFont(fv)
+              })
+            }
+            case None => Map.empty
+            case _ => throw new PdfError("bad /Font dict")
+          }
+          case _ => throw new PdfError("bad /Resources")
+        }
+      }
+
+      Some(pages.result().map { case (page, res) =>
+        val fonts = fontsOf(res)
         val content = page.get("Contents") match {
           case None => Array.emptyByteArray
           case Some(c) =>
@@ -638,18 +887,29 @@ object PdfText {
               a ++ Array('\n'.toByte) ++ b).getOrElse(Array.emptyByteArray)
         }
         contentText(new String(content,
-          java.nio.charset.StandardCharsets.ISO_8859_1))
+          java.nio.charset.StandardCharsets.ISO_8859_1), fonts)
       })
     } catch { case _: Exception => None }
   }
 
-  /** Text machine over one page's content stream. */
-  private[operators] def contentText(cs: String): String = {
+  /** Text machine over one page's content stream (fontless form — the
+    * classic latin-1 envelope; kept for the spec surface).
+    */
+  private[operators] def contentText(cs: String): String =
+    contentText(cs, Map.empty)
+
+  /** Text machine over one page's content stream. `fonts` maps resource
+    * names (`F1`) to decode state; `Tf` selects, show operators decode
+    * through the selection ([[decodeShown]]).
+    */
+  private[operators] def contentText(cs: String, fonts: Map[String, PdfFont]): String = {
     val lx = new Lexer(cs)
     val lines = Vector.newBuilder[String]
     val cur = new StringBuilder
     var inText = false
     var lastStr: String = null
+    var lastName: String = null // last /Name operand, for Tf
+    var curFont: PdfFont = null
     var num1, num2 = 0.0 // last two numbers, for Td/TD
     var inArray = false
     val arrStrs = new StringBuilder
@@ -661,16 +921,16 @@ object PdfText {
       lx.ws()
       if (!lx.eof) lx.ch match {
         case '(' =>
-          val t = parseLiteralString(lx)
+          val t = decodeShown(parseLiteralString(lx), curFont)
           if (inArray) arrStrs.append(t) else lastStr = t
         case '<' if lx.i + 1 < lx.n && lx.s.charAt(lx.i + 1) == '<' =>
           parseValue(lx) // dict (e.g. marked-content properties): skip
         case '<' =>
-          val t = parseHexString(lx)
+          val t = decodeShown(parseHexString(lx), curFont)
           if (inArray) arrStrs.append(t) else lastStr = t
         case '[' => lx.i += 1; inArray = true; arrStrs.clear()
         case ']' => lx.i += 1; inArray = false
-        case '/' => parseName(lx)
+        case '/' => lastName = parseName(lx).s
         case c if c.isDigit || c == '+' || c == '-' || c == '.' =>
           val v = parseNumber(lx)
           if (!inArray) { num1 = num2; num2 = v }
@@ -684,6 +944,8 @@ object PdfText {
             case "BI" => // inline image: skip to EI
               val e = lx.s.indexOf("EI", lx.i)
               lx.i = if (e < 0) lx.n else e + 2
+            case "Tf" => // font select: /Name size Tf
+              curFont = if (lastName == null) null else fonts.getOrElse(lastName, null)
             case "Tj" if inText => show(lastStr)
             case "TJ" if inText => show(arrStrs.toString)
             case "'" if inText => newline(); show(lastStr)
@@ -708,7 +970,8 @@ object PdfText {
     * Pages node around the first page (tree walk exercise).
     */
   def makePdf(pageStreams: Seq[Seq[Array[Byte]]], flate: Boolean = false,
-      indirectLength: Boolean = false, nestedPages: Boolean = false): Array[Byte] = {
+      indirectLength: Boolean = false, nestedPages: Boolean = false,
+      fonts: Seq[FontSpec] = Nil): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def w(t: String): Unit =
       out.write(t.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
@@ -723,6 +986,13 @@ object PdfText {
     val pageIds = pageStreams.map(_ => alloc())
     val contentIds = pageStreams.map(ss => ss.map(_ => alloc()))
     val lengthIds = if (indirectLength) contentIds.map(_.map(_ => alloc())) else Nil
+    // extra fixture fonts: one font object each, plus a /ToUnicode CMap
+    // stream object where the spec carries one
+    val extraFontIds = fonts.map(_ => alloc())
+    val cmapIds = fonts.map {
+      case _: DiffFont => -1
+      case _ => alloc()
+    }
 
     def beginObj(id: Int): Unit = { offsets(id) = out.size(); w(s"$id 0 obj\n") }
     def endObj(): Unit = w("endobj\n")
@@ -745,6 +1015,35 @@ object PdfText {
     }
     beginObj(fontId)
     w("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\n"); endObj()
+    fonts.indices.foreach { fi =>
+      fonts(fi) match {
+        case DiffFont(_, differences) =>
+          beginObj(extraFontIds(fi))
+          w("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
+            s"/Encoding << /Type /Encoding /Differences [ $differences ] >> >>\n")
+          endObj()
+        case ToUniFont(_, cmap, cid) =>
+          beginObj(extraFontIds(fi))
+          if (cid)
+            w("<< /Type /Font /Subtype /Type0 /BaseFont /Fixture " +
+              "/Encoding /Identity-H /DescendantFonts [ << /Type /Font " +
+              "/Subtype /CIDFontType2 /BaseFont /Fixture /CIDSystemInfo " +
+              "<< /Registry (Adobe) /Ordering (Identity) /Supplement 0 >> >> ] " +
+              s"/ToUnicode ${cmapIds(fi)} 0 R >>\n")
+          else
+            w("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
+              s"/ToUnicode ${cmapIds(fi)} 0 R >>\n")
+          endObj()
+          val cmapBytes = cmap.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+          beginObj(cmapIds(fi))
+          w(s"<< /Length ${cmapBytes.length} >>\nstream\n")
+          out.write(cmapBytes)
+          w("\nendstream\n")
+          endObj()
+      }
+    }
+    val fontRes = s"/F1 $fontId 0 R " +
+      fonts.indices.map(fi => s"/${fonts(fi).name} ${extraFontIds(fi)} 0 R ").mkString
 
     pageStreams.indices.foreach { p =>
       val parent = if (p == 0 && innerPagesId > 0) innerPagesId else pagesId
@@ -753,7 +1052,7 @@ object PdfText {
         else "[ " + contentIds(p).map(id => s"$id 0 R ").mkString + "]"
       beginObj(pageIds(p))
       w(s"<< /Type /Page /Parent $parent 0 R /MediaBox [0 0 612 792] " +
-        s"/Resources << /Font << /F1 $fontId 0 R >> >> /Contents $contents >>\n")
+        s"/Resources << /Font << $fontRes>> >> /Contents $contents >>\n")
       endObj()
       pageStreams(p).indices.foreach { k =>
         val data0 = pageStreams(p)(k)
@@ -784,6 +1083,16 @@ object PdfText {
     w(s"trailer\n<< /Size $maxId /Root $catalogId 0 R >>\nstartxref\n$xrefOff\n%%EOF\n")
     out.toByteArray
   }
+
+  /** Fixture-writer font resource spec (r10, non-latin envelope):
+    * [[DiffFont]] = a simple font re-encoded via /Encoding
+    * /Differences glyph names; [[ToUniFont]] = a font carrying a
+    * /ToUnicode CMap stream — `cid = true` writes the Identity-H
+    * composite form (2-byte codes), `false` a 1-byte simple font.
+    */
+  sealed trait FontSpec { def name: String }
+  final case class DiffFont(name: String, differences: String) extends FontSpec
+  final case class ToUniFont(name: String, cmap: String, cid: Boolean) extends FontSpec
 
   /** Escape a string for a PDF literal string token. */
   def esc(t: String): String =

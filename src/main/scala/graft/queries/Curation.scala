@@ -2342,6 +2342,115 @@ object Curation extends QueryBlock {
           CAST(page AS INT) AS page, text
         FROM pg ORDER BY fname, page""")),
 
+    // E72c — NON-LATIN PDF text (VERDICT r9 item 4): the three
+    // mechanisms covering most real non-latin PDFs, each planted by the
+    // in-test writer and round-tripped through the real extractor —
+    //  m=0: /Encoding /Differences glyph-name re-encoding (uniXXXX
+    //       names mapping bytes 192.. to Cyrillic А..Я), unmapped codes
+    //       falling back latin-1 in the SAME string ("w " prefix);
+    //  m=1: a 1-byte /ToUnicode CMap (bfrange A0..B7 → Greek α..),
+    //       again with latin-1 fallback codes mixed in;
+    //  m=2: an Identity-H COMPOSITE font — 2-byte codes through a
+    //       /ToUnicode bfrange into the CJK Unified block (the layout
+    //       every CJK PDF producer emits);
+    // and on every page 2 a BOM-prefixed UTF-16BE hex string shown in
+    // the unmapped default font (the ISO 32000 §7.9.2.2 text-string
+    // rule). The oracle re-derives every character from doc_id
+    // arithmetic (chr() codepoint construction), so a mapping that
+    // lands one glyph off fails the hash. Same scan-local per-file
+    // shape as e72; the never-throws envelope holds (PdfTextSpec fuzz).
+    "e72c_pdf_nonlatin" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.PdfText
+        val pdfDir = s"$scratch/pdfnl_${new java.io.File(dir).getName}"
+        val fd = new java.io.File(pdfDir)
+        if (fd.exists()) fd.listFiles().foreach(_.delete())
+        fd.mkdirs()
+        val A = java.nio.charset.StandardCharsets.ISO_8859_1
+        val diffNames = "192 " + (0 until 32)
+          .map(j => f"/uni${0x410 + j}%04X").mkString(" ")
+        val cmapGreek =
+          """/CIDInit /ProcSet findresource begin
+            |12 dict begin
+            |begincmap
+            |1 begincodespacerange
+            |<00> <FF>
+            |endcodespacerange
+            |1 beginbfrange
+            |<A0> <B7> <03B1>
+            |endbfrange
+            |endcmap
+            |CMapName currentdict /CMap defineresource pop
+            |end
+            |end""".stripMargin
+        val cmapCjk =
+          """/CIDInit /ProcSet findresource begin
+            |12 dict begin
+            |begincmap
+            |1 begincodespacerange
+            |<0000> <FFFF>
+            |endcodespacerange
+            |1 beginbfrange
+            |<0001> <0100> <4E00>
+            |endbfrange
+            |endcmap
+            |end
+            |end""".stripMargin
+        t(s, dir, "documents")
+          .filter(col("text").isNotNull &&
+            col("doc_id") >= 120 && col("doc_id") < 160)
+          .select(col("doc_id")).collect().foreach { r =>
+            val id = r.getLong(0)
+            val m = (id % 3).toInt
+            val k = (id % 16).toInt
+            val (font, page1) = m match {
+              case 0 =>
+                val bytes = (0 until 6).map(i => (192 + (k + i) % 32).toChar).mkString
+                (PdfText.DiffFont("G1", diffNames),
+                  s"BT /G1 12 Tf 72 720 Td (w $bytes) Tj ET")
+              case 1 =>
+                val bytes = (0 until 6).map(i => (0xA0 + (k + i) % 24).toChar).mkString
+                (PdfText.ToUniFont("G1", cmapGreek, cid = false),
+                  s"BT /G1 12 Tf 72 720 Td (w $bytes) Tj ET")
+              case _ =>
+                val hex = (0 until 6).map(i => f"${(k + i) % 256 + 1}%04X").mkString
+                (PdfText.ToUniFont("G1", cmapCjk, cid = true),
+                  s"BT /G1 12 Tf 72 720 Td <$hex> Tj ET")
+            }
+            val page2 = "BT /F1 12 Tf 72 720 Td (doc) Tj 0 -14 Td " +
+              f"<FEFF${0x410 + k % 32}%04X${0x430 + k % 32}%04X> Tj ET"
+            val bytes = PdfText.makePdf(
+              Seq(Seq(page1.getBytes(A)), Seq(page2.getBytes(A))),
+              fonts = Seq(font))
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(f"$pdfDir/n$id%04d.pdf"), bytes)
+          }
+        pdfProject(s, s.read.format("binaryFile").load(pdfDir))
+          .orderBy(col("fname"), col("page"))
+      },
+      Some("""WITH d AS (SELECT doc_id, CAST(doc_id % 3 AS INT) AS m,
+            CAST(doc_id % 16 AS INT) AS k
+          FROM documents
+          WHERE text IS NOT NULL AND doc_id >= 120 AND doc_id < 160),
+        p1 AS (SELECT doc_id,
+            CASE m
+              WHEN 0 THEN 'w ' || array_to_string(list_transform(
+                generate_series(0, 5), i -> chr(CAST(1040 + (k + i) % 32 AS INT))), '')
+              WHEN 1 THEN 'w ' || array_to_string(list_transform(
+                generate_series(0, 5), i -> chr(CAST(945 + (k + i) % 24 AS INT))), '')
+              ELSE array_to_string(list_transform(
+                generate_series(0, 5), i -> chr(CAST(19968 + (k + i) % 256 AS INT))), '')
+            END AS text
+          FROM d),
+        p2 AS (SELECT doc_id,
+            'doc' || chr(10) || chr(CAST(1040 + k % 32 AS INT)) || chr(CAST(1072 + k % 32 AS INT)) AS text
+          FROM d),
+        pg AS (SELECT doc_id, 0 AS page, text FROM p1
+          UNION ALL SELECT doc_id, 1, text FROM p2)
+        SELECT 'n' || lpad(CAST(doc_id AS VARCHAR), 4, '0') || '.pdf' AS fname,
+          CAST(page AS INT) AS page, text
+        FROM pg ORDER BY fname, page""")),
+
     // E73 — RSS/Atom FEED ingest: the other discovery input a frontier
     // polls besides sitemaps (e57) — new-content notification. One
     // directory mixes RSS 2.0 files (<item> children with <link>
