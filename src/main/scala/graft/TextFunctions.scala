@@ -176,6 +176,111 @@ object TextFunctions extends Serializable {
     syms
   }
 
+  // ---- WordPiece (the BERT tokenizer family; Schuster & Nakajima 2012,
+  // Devlin et al. 2018) ----
+  //
+  // TRAIN follows the published likelihood-gain rule (the form the
+  // HuggingFace tokenizers library documents): starting from characters
+  // (continuations ##-prefixed), repeatedly merge the adjacent pair
+  // maximizing count(ab) / (count(a) · count(b)) — pair frequency
+  // normalized by part frequencies, which is what distinguishes
+  // WordPiece training from BPE's raw-count rule. ENCODE is BERT's
+  // greedy longest-match-first walk; a word with any unmatchable
+  // position becomes [UNK] wholesale (the BERT rule). Both are
+  // deterministic: score ties break lexicographically by pair, and
+  // scores compare by exact Long cross-multiplication, never floats.
+
+  /** Train from a word→frequency map. Returns the vocabulary: all base
+    * symbols (first-position chars and ##-continuations) plus one piece
+    * per merge, in creation order. Pieces longer than `maxPieceLen` raw
+    * characters are never created (keeps the encoder's bounded
+    * longest-match window exact).
+    */
+  def wordpieceTrain(wordFreq: Map[String, Long], nMerges: Int,
+      maxPieceLen: Int = 12): Vector[String] = {
+    def rawLen(sym: String): Int =
+      if (sym.startsWith("##")) sym.length - 2 else sym.length
+    var words: Map[Vector[String], Long] = wordFreq.filter(_._1.nonEmpty)
+      .map { case (w, f) =>
+        w.toVector.zipWithIndex.map { case (c, i) =>
+          if (i == 0) c.toString else "##" + c
+        } -> f
+      }
+    val base = words.keys.flatten.toVector.distinct.sorted
+    val pieces = Vector.newBuilder[String]
+    pieces ++= base
+    var done = false
+    var i = 0
+    while (i < nMerges && !done) {
+      val pairCount = scala.collection.mutable.Map.empty[(String, String), Long]
+      val symCount = scala.collection.mutable.Map.empty[String, Long]
+      words.foreach { case (syms, f) =>
+        syms.foreach(s => symCount(s) = symCount.getOrElse(s, 0L) + f)
+        var j = 0
+        while (j + 1 < syms.length) {
+          val p = (syms(j), syms(j + 1))
+          pairCount(p) = pairCount.getOrElse(p, 0L) + f
+          j += 1
+        }
+      }
+      val candidates = pairCount.toSeq.filter { case ((a, b), _) =>
+        rawLen(a) + rawLen(b) <= maxPieceLen
+      }
+      if (candidates.isEmpty) done = true
+      else {
+        // maximize c/(fa·fb): compare c1·fa2·fb2 vs c2·fa1·fb1 exactly
+        val best = candidates.reduceLeft { (x, y) =>
+          val ((xa, xb), xc) = x
+          val ((ya, yb), yc) = y
+          val lhs = xc * symCount(ya) * symCount(yb)
+          val rhs = yc * symCount(xa) * symCount(xb)
+          if (lhs > rhs) x
+          else if (lhs < rhs) y
+          else if (xa < ya || (xa == ya && xb <= yb)) x else y
+        }._1
+        val merged = best._1 + (if (best._2.startsWith("##")) best._2.substring(2) else best._2)
+        pieces += merged
+        words = words.map { case (syms, f) =>
+          val out = Vector.newBuilder[String]
+          var j = 0
+          while (j < syms.length) {
+            if (j + 1 < syms.length && syms(j) == best._1 && syms(j + 1) == best._2) {
+              out += merged; j += 2
+            } else { out += syms(j); j += 1 }
+          }
+          (out.result(), f)
+        }
+        i += 1
+      }
+    }
+    pieces.result().distinct
+  }
+
+  /** BERT greedy longest-match encode: at each position take the longest
+    * vocabulary piece (≤ `maxPieceLen` raw chars, ## prefix after the
+    * first position); any unmatchable position makes the whole word
+    * [UNK]. Empty input → no pieces.
+    */
+  def wordpieceEncode(word: String, vocab: Set[String],
+      maxPieceLen: Int = 12): Vector[String] = {
+    if (word.isEmpty) return Vector.empty
+    val out = Vector.newBuilder[String]
+    var pos = 0
+    while (pos < word.length) {
+      var len = math.min(maxPieceLen, word.length - pos)
+      var found: String = null
+      while (len >= 1 && found == null) {
+        val cand = (if (pos == 0) "" else "##") + word.substring(pos, pos + len)
+        if (vocab.contains(cand)) found = cand
+        else len -= 1
+      }
+      if (found == null) return Vector("[UNK]")
+      out += found
+      pos += len
+    }
+    out.result()
+  }
+
   /** Rolling-hash document fingerprint (polynomial, base 257 mod 2^64). */
   def fingerprint64(text: String): Long = {
     var h = 0L

@@ -82,6 +82,45 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(bpeEncode("partition", ranks).length < "partition".length)
   }
 
+  test("GOLDEN: WordPiece training reproduces the hand-derived merge sequence") {
+    // hand-derived round by round with the likelihood-gain score
+    // c(ab)/(c(a)·c(b)): round 1 all four pairs tie at 0.05 → lexico
+    // smallest (##g,##s); round 2 ties again → (##u,##g); round 3
+    // (##u,##gs) wins outright at 0.2; round 4 ties → (h,##ugs)
+    val vocab = wordpieceTrain(Map("hug" -> 10L, "pug" -> 5L, "hugs" -> 5L), 4)
+    assert(vocab === Vector("##g", "##s", "##u", "h", "p",
+      "##gs", "##ug", "##ugs", "hugs"))
+    assert(vocab === wordpieceTrain(Map("hug" -> 10L, "pug" -> 5L, "hugs" -> 5L), 4))
+  }
+
+  test("GOLDEN: WordPiece greedy longest-match encode, [UNK] collapse, edges") {
+    val vocab = wordpieceTrain(Map("hug" -> 10L, "pug" -> 5L, "hugs" -> 5L), 4).toSet
+    assert(wordpieceEncode("hugs", vocab) === Vector("hugs")) // longest wins
+    assert(wordpieceEncode("hug", vocab) === Vector("h", "##ug"))
+    assert(wordpieceEncode("pugs", vocab) === Vector("p", "##ugs"))
+    assert(wordpieceEncode("hux", vocab) === Vector("[UNK]")) // BERT rule: whole word
+    assert(wordpieceEncode("", vocab) === Vector.empty)
+    // continuation prefix is positional: bare 'u' (word-initial) is NOT
+    // in this vocab even though ##u is
+    assert(wordpieceEncode("u", vocab) === Vector("[UNK]"))
+  }
+
+  test("PROP: WordPiece encode concatenation is the identity on non-UNK words; maxPieceLen holds") {
+    val corpus = Map("spark" -> 9L, "sparse" -> 4L, "parser" -> 6L,
+      "partition" -> 8L, "part" -> 7L, "shuffle" -> 5L)
+    val vocab = wordpieceTrain(corpus, 50, maxPieceLen = 4)
+    def rawLen(p: String) = if (p.startsWith("##")) p.length - 2 else p.length
+    assert(vocab.forall(rawLen(_) <= 4))
+    val vset = vocab.toSet
+    corpus.keys.foreach { w =>
+      val toks = wordpieceEncode(w, vset, maxPieceLen = 4)
+      assert(toks != Vector("[UNK]"), s"'$w' went UNK on its own training corpus")
+      assert(toks.head + toks.tail.map(_.substring(2)).mkString === w,
+        s"'$w' lost content: $toks")
+    }
+    assert(wordpieceEncode("zzz", vset, maxPieceLen = 4) === Vector("[UNK]"))
+  }
+
   test("simhash: similar texts have small hamming distance") {
     val a = simhash64("spark distributed dataframe engine for large analytics")
     val b = simhash64("spark distributed dataframe engine for huge analytics")
