@@ -100,6 +100,89 @@ object Streaming extends QueryBlock {
           user_id, count(*) AS n
         FROM sess GROUP BY user_id, sess_id ORDER BY user_id, sess_start""")),
 
+    // D5 — WATERMARK + LATE-DATA DROP as a driver-ORACLE row (VERDICT r9
+    // item 8, closing the last promotable GOLDEN): a SCRIPTED
+    // out-of-order fixture whose drop set is known BY CONSTRUCTION, so
+    // the final append-mode table is batch-derivable without modeling
+    // watermark semantics in SQL. Four parquet files with explicitly
+    // staggered mtimes arrive as four triggers (maxFilesPerTrigger=1);
+    // each batch advances the 30s watermark past earlier windows, and
+    // the planted late events (event_id ≥ 900000, each ≥ 50s inside the
+    // already-passed region — no boundary-tie ambiguity) MUST drop; a
+    // final far-future flush event pushes the closing watermark past
+    // every surviving window so append mode emits them all, while the
+    // flush's own window stays open and never emits. The oracle counts
+    // the same fixture files EXCLUDING the planted late set (and the
+    // flush) — if the engine fails to drop a late row, or over-drops an
+    // on-time one, a count differs and the row goes red. 10 users
+    // replicate the pattern so every (window, type) cell has weight.
+    "d05_late_drop" -> QueryDef(
+      (s, dir) => {
+        val base = s"${Graft.scratchDir}/d05_late_${new java.io.File(dir).getName}"
+        val fd = new java.io.File(base)
+        if (fd.exists()) fd.listFiles().foreach(_.delete())
+        fd.mkdirs()
+        import s.implicits._
+        def ts(min: Int, sec: Int): java.sql.Timestamp =
+          java.sql.Timestamp.valueOf(f"2026-03-01 10:$min%02d:$sec%02d")
+        // (event_id, ts, user_id, event_type, value, props) per user u
+        def rows(u: Long, specs: Seq[(Long, java.sql.Timestamp, String)]) =
+          specs.map { case (id, t, et) =>
+            (u * 100 + id, t, u, et, 1.0, """{"k": 1}""") }
+        val users = 0L until 10L
+        val batches: Seq[Seq[(Long, java.sql.Timestamp, String)]] = Seq(
+          // b0: two 10:00 windows + one 10:05 — sets the watermark clock
+          Seq((1L, ts(0, 10), "a"), (2L, ts(0, 20), "b"), (3L, ts(5, 30), "a")),
+          // b1: on-time only. The first watermark (10:05:00, from b0's
+          // max 10:05:30 − 30 s) takes effect one batch after the stats
+          // commit — measured, not assumed — so the late rows are held
+          // until b2, when it is guaranteed active.
+          Seq((4L, ts(5, 40), "b"), (5L, ts(6, 20), "a")),
+          // b2: LATE 10:00:40 (window end 10:01) and LATE 10:03:30
+          // (window end 10:04) — both ≥ 1 min inside the passed region
+          // whichever of the two candidate watermarks (10:05:00 from b0
+          // or 10:05:50 from b1) is active: MUST drop. Plus on-time
+          // 10:06:40.
+          Seq((900001L, ts(0, 40), "a"), (900002L, ts(3, 30), "b"),
+            (6L, ts(6, 40), "b")),
+          // b3: flush far future — closing WM 10:29:30 emits every
+          // surviving window; the flush window [10:30,10:31) never emits
+          Seq((999999L, ts(30, 0), "flush")))
+        batches.zipWithIndex.foreach { case (specs, i) =>
+          val tmp = s"$base/_tmp$i"
+          users.flatMap(u => rows(u, specs))
+            .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+            .coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          val dst = java.nio.file.Paths.get(s"$base/b$i.parquet")
+          java.nio.file.Files.move(part.toPath, dst,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          new java.io.File(tmp).listFiles().foreach(_.delete())
+          new java.io.File(tmp).delete()
+          // explicit mtimes: the file source orders batches by mtime, and
+          // sequential writes can collide at ms resolution
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 5000L))
+        }
+        val stream = s.readStream
+          .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+          .option("maxFilesPerTrigger", "1")
+          .parquet(base)
+        val agg = stream
+          .withWatermark("ts", "30 seconds")
+          .groupBy(window(col("ts"), "1 minute"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        EventStreams.runToTable(s, agg, "d05_sink", mode = "append")
+          .select(fmt(col("window.start")).as("w"), col("event_type"), col("n"))
+          .orderBy(col("w"), col("event_type"))
+      },
+      Some(s"""SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS w,
+          event_type, count(*) AS n
+        FROM read_parquet('${Graft.scratchDir}/d05_late_${graft.queries.LlmPipeline.SfToken}/*.parquet')
+        WHERE event_id < 900000
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // D6 — streaming dedup on a projected key (event_id is unique, so the
     // demo key is (user_id, event_type)); final counts oracle as DISTINCT.
     "d06_stream_dedup" -> QueryDef(
