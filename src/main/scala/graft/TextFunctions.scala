@@ -281,6 +281,177 @@ object TextFunctions extends Serializable {
     out.result()
   }
 
+  // ---- Unigram LM (the SentencePiece tokenizer family; Kudo 2018,
+  // arXiv:1804.10959) ----
+  //
+  // TRAIN is unigram-LM estimation: a bounded seed vocabulary of frequent
+  // substrings, EM over the full segmentation lattice (forward–backward
+  // expected counts — the published E-step), and iterative pruning of the
+  // lowest-probability multi-character pieces until the target size
+  // (probability-mass pruning — a deterministic simplification of Kudo's
+  // leave-one-out loss pruning; single characters are never pruned, so
+  // coverage stays total). Training floats never cross an engine
+  // boundary: the emitted vocabulary carries INTEGER costs
+  // round(−1000·ln p) (milli-nats), and ENCODE is exact integer-cost
+  // Viterbi — min total cost, ties by fewer pieces then lexicographic
+  // piece sequence — so Spark and the DuckDB oracle compare integers and
+  // ASCII strings only. EM accumulation iterates words and pieces in
+  // sorted order, so the double summation order (hence the trained
+  // vocabulary) is bit-reproducible run to run.
+
+  /** Train from a word→frequency map; returns (piece, cost) sorted by
+    * piece. All corpus characters are always present; at most
+    * `vocabSize − #chars` multi-char pieces survive pruning.
+    */
+  def unigramTrain(wordFreq: Map[String, Long], vocabSize: Int,
+      maxPieceLen: Int = 6, emIters: Int = 2): Vector[(String, Int)] = {
+    val words = wordFreq.filter(_._1.nonEmpty).toVector.sortBy(_._1)
+    val seedCount = scala.collection.mutable.Map.empty[String, Long]
+    words.foreach { case (w, f) =>
+      var i = 0
+      while (i < w.length) {
+        var L = 1
+        while (L <= maxPieceLen && i + L <= w.length) {
+          val p = w.substring(i, i + L)
+          seedCount(p) = seedCount.getOrElse(p, 0L) + f
+          L += 1
+        }
+        i += 1
+      }
+    }
+    val chars = seedCount.keysIterator.filter(_.length == 1).toVector.sorted
+    val multiSeed = seedCount.toVector.filter(_._1.length > 1)
+      .sortBy { case (p, c) => (-c, p) }
+      .take(vocabSize * 4) // bounded seed, the SentencePiece shape
+      .map(_._1)
+    var pieces: Vector[String] = (chars ++ multiSeed).sorted
+    var prob: Map[String, Double] = {
+      val tot = pieces.iterator.map(seedCount(_)).sum.toDouble
+      pieces.map(p => p -> seedCount(p) / tot).toMap
+    }
+    def emRound(): Unit = {
+      val expected = scala.collection.mutable.Map.empty[String, Double]
+      val pset = prob
+      words.foreach { case (w, f) =>
+        val n = w.length
+        val alpha = new Array[Double](n + 1)
+        val beta = new Array[Double](n + 1)
+        alpha(0) = 1.0
+        var j = 1
+        while (j <= n) {
+          var L = 1
+          var a = 0.0
+          while (L <= maxPieceLen && L <= j) {
+            val pc = pset.get(w.substring(j - L, j))
+            if (pc.isDefined) a += alpha(j - L) * pc.get
+            L += 1
+          }
+          alpha(j) = a
+          j += 1
+        }
+        beta(n) = 1.0
+        var k = n - 1
+        while (k >= 0) {
+          var L = 1
+          var b = 0.0
+          while (L <= maxPieceLen && k + L <= n) {
+            val pc = pset.get(w.substring(k, k + L))
+            if (pc.isDefined) b += pc.get * beta(k + L)
+            L += 1
+          }
+          beta(k) = b
+          k -= 1
+        }
+        val z = alpha(n)
+        if (z > 0) {
+          var i = 0
+          while (i < n) {
+            var L = 1
+            while (L <= maxPieceLen && i + L <= n) {
+              val piece = w.substring(i, i + L)
+              val pc = pset.get(piece)
+              if (pc.isDefined && pc.get > 0) {
+                val e = f * alpha(i) * pc.get * beta(i + L) / z
+                if (e > 0)
+                  expected(piece) = expected.getOrElse(piece, 0.0) + e
+              }
+              L += 1
+            }
+            i += 1
+          }
+        }
+      }
+      val tot = pieces.iterator.map(p => expected.getOrElse(p, 0.0)).sum
+      prob = pieces.map { p =>
+        p -> (if (tot > 0) expected.getOrElse(p, 0.0) / tot
+              else 1.0 / pieces.length)
+      }.toMap
+    }
+    var guard = 0
+    while (pieces.length > vocabSize && guard < 64) {
+      guard += 1
+      (0 until emIters).foreach(_ => emRound())
+      val multi = pieces.filter(_.length > 1)
+      // shrink the multi-char set at most 20% per round (gradual, the
+      // SentencePiece schedule), never below the final target
+      val target = math.max(vocabSize - chars.length, multi.length * 4 / 5)
+      val kept = multi.sortBy(p => (-prob(p), p)).take(math.max(0, target))
+      pieces = (chars ++ kept).sorted
+    }
+    (0 until emIters).foreach(_ => emRound())
+    pieces.map { p =>
+      val pr = math.max(prob(p), 1e-12) // floor: a zero-mass survivor stays encodable
+      p -> math.max(0, math.round(-1000.0 * math.log(pr)).toInt)
+    }
+  }
+
+  /** Exact integer-cost Viterbi segmentation: minimize total cost, then
+    * piece count, then the space-joined piece sequence lexicographically
+    * (the separator sorts below every piece character, so prefix-path
+    * order is preserved under any common suffix — which is what makes
+    * per-position DP exact for this tie-break). Returns None when some
+    * position is uncoverable (a character outside the vocabulary): the
+    * word is [UNK] wholesale, the encoder never fails.
+    */
+  def unigramEncode(word: String, cost: Map[String, Int],
+      maxPieceLen: Int = 6): Option[Vector[String]] = {
+    if (word.isEmpty) return Some(Vector.empty)
+    val n = word.length
+    val bestCost = Array.fill(n + 1)(Long.MaxValue)
+    val bestCnt = Array.fill(n + 1)(Int.MaxValue)
+    val bestStr = new Array[String](n + 1)
+    val bestPieces = new Array[List[String]](n + 1)
+    bestCost(0) = 0L; bestCnt(0) = 0; bestStr(0) = ""; bestPieces(0) = Nil
+    var j = 1
+    while (j <= n) {
+      var L = 1
+      while (L <= maxPieceLen && L <= j) {
+        if (bestStr(j - L) != null) {
+          val piece = word.substring(j - L, j)
+          val c = cost.get(piece)
+          if (c.isDefined) {
+            val nc = bestCost(j - L) + c.get
+            val ncnt = bestCnt(j - L) + 1
+            val nstr =
+              if (bestStr(j - L).isEmpty) piece
+              else bestStr(j - L) + " " + piece
+            val better = bestStr(j) == null ||
+              nc < bestCost(j) ||
+              (nc == bestCost(j) && (ncnt < bestCnt(j) ||
+                (ncnt == bestCnt(j) && nstr < bestStr(j))))
+            if (better) {
+              bestCost(j) = nc; bestCnt(j) = ncnt; bestStr(j) = nstr
+              bestPieces(j) = piece :: bestPieces(j - L)
+            }
+          }
+        }
+        L += 1
+      }
+      j += 1
+    }
+    if (bestStr(n) == null) None else Some(bestPieces(n).reverse.toVector)
+  }
+
   /** Rolling-hash document fingerprint (polynomial, base 257 mod 2^64). */
   def fingerprint64(text: String): Long = {
     var h = 0L

@@ -476,38 +476,66 @@ object PdfText {
         throw new PdfError("stream overruns file")
       val raw = s.substring(dataStart, dataStart + len)
         .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
-      val filterV =
-        dict.get("Filter").map(f => if (resolveEarly) f else resolve(f))
-      val inflated = filterV match {
-        case None => return raw
-        case Some(VName("FlateDecode")) => inflate(raw)
-        case Some(VArr(Vector(VName("FlateDecode")))) => inflate(raw)
-        case Some(_) => throw new PdfError("unsupported filter")
+      // Filter may be a single name or an array applied IN ORDER
+      // (ISO 32000-1 §7.3.8.2); DecodeParms is a single dict (one
+      // filter) or an array parallel to the filter array, with null
+      // placeholders allowed for parameterless stages.
+      val filters: Vector[String] =
+        dict.get("Filter").map(f => if (resolveEarly) f else resolve(f)) match {
+          case None => Vector.empty
+          case Some(VName(n)) => Vector(n)
+          case Some(VArr(items)) => items.map {
+            case VName(n) => n
+            case r: VRef if !resolveEarly => resolve(r) match {
+              case VName(n) => n
+              case _ => throw new PdfError("bad /Filter entry")
+            }
+            case _ => throw new PdfError("bad /Filter entry")
+          }
+          case Some(_) => throw new PdfError("bad /Filter")
+        }
+      val parmsV = dict.get("DecodeParms")
+        .map(p => if (resolveEarly) p else resolve(p))
+      def parmsAt(i: Int): Map[String, V] = parmsV match {
+        case Some(VDict(m)) if filters.length == 1 => m
+        case Some(VArr(items)) if i < items.length =>
+          (if (resolveEarly) items(i) else resolve(items(i))) match {
+            case VDict(m) => m
+            case _ => Map.empty
+          }
+        case _ => Map.empty
       }
-      val parms = dict.get("DecodeParms")
-        .map(p => if (resolveEarly) p else resolve(p)) match {
-        case Some(VDict(m)) => m
-        case Some(VArr(Vector(VDict(m)))) => m
-        case _ => return inflated
+      def intParm(m: Map[String, V], k: String, dflt: Int): Int = m.get(k) match {
+        case Some(VNum(v)) => v.toInt
+        case _ => dflt
       }
-      val pred = parms.get("Predictor") match {
-        case Some(VNum(p)) => p.toInt
-        case _ => 1
+      // PNG predictor post-pass (predictors 10–15); 1 = none, 2 = TIFF
+      // (not emitted by the Flate/LZW writers this envelope accepts)
+      def unpredict(data: Array[Byte], m: Map[String, V]): Array[Byte] = {
+        val pred = intParm(m, "Predictor", 1)
+        if (pred < 10) data
+        else {
+          val columns = intParm(m, "Columns", 1)
+          val colors = intParm(m, "Colors", 1)
+          val bpc = intParm(m, "BitsPerComponent", 8)
+          pngUnpredict(data, columns, math.max(1, colors * bpc / 8))
+        }
       }
-      if (pred < 10) return inflated // 1 = none, 2 = TIFF (not emitted by Flate writers we accept)
-      val columns = parms.get("Columns") match {
-        case Some(VNum(c)) => c.toInt
-        case _ => 1
+      var data = raw
+      var fi = 0
+      while (fi < filters.length) {
+        val pm = parmsAt(fi)
+        data = filters(fi) match {
+          case "FlateDecode" => unpredict(inflate(data), pm)
+          case "LZWDecode" =>
+            unpredict(lzwDecode(data, intParm(pm, "EarlyChange", 1) != 0), pm)
+          case "ASCIIHexDecode" => asciiHexDecode(data)
+          case "ASCII85Decode" => ascii85Decode(data)
+          case _ => throw new PdfError("unsupported filter")
+        }
+        fi += 1
       }
-      val colors = parms.get("Colors") match {
-        case Some(VNum(c)) => c.toInt
-        case _ => 1
-      }
-      val bpc = parms.get("BitsPerComponent") match {
-        case Some(VNum(b)) => b.toInt
-        case _ => 8
-      }
-      pngUnpredict(inflated, columns, math.max(1, colors * bpc / 8))
+      data
     }
 
     def streamBytes(num: Int): Array[Byte] = {
@@ -580,6 +608,151 @@ object PdfText {
     // downstream silently truncated page text instead of None
     if (!inf.finished()) { inf.end(); throw new PdfError("flate stream too large") }
     inf.end()
+    out.toByteArray
+  }
+
+  /** LZWDecode (ISO 32000-1 §7.4.4 — the TIFF LZW variant): MSB-first
+    * variable-width codes starting at 9 bits; 256 = ClearTable, 257 =
+    * EOD; the code width grows at 511/1023/2047 table entries under the
+    * default EarlyChange = 1 (one entry before the power of two — the
+    * off-by-one the spec inherited from TIFF) or at 512/1024/2048 with
+    * EarlyChange = 0. Growth beyond 12 bits without a clear, a code
+    * beyond the table frontier, or a first-code that is not a literal
+    * all reject — and the same >512 MiB expansion bound as [[inflate]]
+    * applies (an LZW bomb is ~1000× per KiB).
+    */
+  private[graft] def lzwDecode(in: Array[Byte], earlyChange: Boolean): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(in.length * 4 + 64)
+    // table entries 0–255 are the literals; 256/257 reserved; dynamic
+    // entries stored as (prefix code, appended byte) to stay O(1) per add
+    val prefix = new Array[Int](4096)
+    val append = new Array[Byte](4096)
+    var next = 258
+    var width = 9
+    def entryBytes(code: Int): Array[Byte] = {
+      if (code < 256) return Array(code.toByte)
+      var n = 0
+      var c = code
+      while (c >= 258) { n += 1; c = prefix(c) }
+      val buf = new Array[Byte](n + 1)
+      buf(0) = c.toByte
+      c = code
+      var i = n
+      while (i >= 1) { buf(i) = append(c); c = prefix(c); i -= 1 }
+      buf
+    }
+    var acc = 0L
+    var bits = 0
+    var pos = 0
+    var prev = -1
+    var done = false
+    while (!done) {
+      while (bits < width && pos < in.length) {
+        acc = (acc << 8) | (in(pos) & 0xffL); bits += 8; pos += 1
+      }
+      if (bits < width) throw new PdfError("truncated LZW stream")
+      val code = ((acc >>> (bits - width)) & ((1L << width) - 1)).toInt
+      bits -= width
+      if (code == 257) done = true
+      else if (code == 256) { next = 258; width = 9; prev = -1 }
+      else if (prev < 0) {
+        if (code >= 256) throw new PdfError("LZW first code not a literal")
+        out.write(code); prev = code
+      } else {
+        val emitted: Array[Byte] =
+          if (code < 256) Array(code.toByte)
+          else if (code < next) entryBytes(code)
+          else if (code == next) { // the KwKwK case
+            val p = entryBytes(prev)
+            val b = java.util.Arrays.copyOf(p, p.length + 1)
+            b(p.length) = p(0)
+            b
+          } else throw new PdfError("LZW code beyond table")
+        out.write(emitted, 0, emitted.length)
+        if (next < 4096) {
+          prefix(next) = prev; append(next) = emitted(0); next += 1
+          val limit = (1 << width) - (if (earlyChange) 1 else 0)
+          if (next >= limit && width < 12) width += 1
+          else if (next == 4096) throw new PdfError("LZW table overflow without clear")
+        }
+        prev = code
+        if (out.size() > (1 << 29)) throw new PdfError("LZW stream too large")
+      }
+      if (!done && pos >= in.length && bits < width)
+        throw new PdfError("LZW stream missing EOD")
+    }
+    out.toByteArray
+  }
+
+  /** ASCIIHexDecode (ISO 32000-1 §7.4.2): hex digit pairs, whitespace
+    * ignored, `>` is EOD, an odd trailing digit completes with 0.
+    */
+  private[graft] def asciiHexDecode(in: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(in.length / 2 + 8)
+    var hi = -1
+    var i = 0
+    var done = false
+    while (i < in.length && !done) {
+      val c = in(i) & 0xff
+      val d =
+        if (c >= '0' && c <= '9') c - '0'
+        else if (c >= 'A' && c <= 'F') c - 'A' + 10
+        else if (c >= 'a' && c <= 'f') c - 'a' + 10
+        else if (c == '>') { done = true; -1 }
+        else if (c == ' ' || c == '\t' || c == '\r' || c == '\n' || c == '\f' || c == 0) -1
+        else throw new PdfError("bad ASCIIHex character")
+      if (d >= 0) {
+        if (hi < 0) hi = d
+        else { out.write((hi << 4) | d); hi = -1 }
+      }
+      i += 1
+    }
+    if (!done) throw new PdfError("ASCIIHex missing EOD")
+    if (hi >= 0) out.write(hi << 4)
+    out.toByteArray
+  }
+
+  /** ASCII85Decode (ISO 32000-1 §7.4.3): 5-char groups `!`–`u` encode a
+    * big-endian 32-bit word base 85; `z` alone is a 4-zero-byte group;
+    * whitespace ignored; `~>` is EOD; a trailing partial group of n
+    * chars (n ≥ 2) pads with `u` and keeps n−1 bytes. A group value
+    * above 2^32−1 or a `z` inside a group rejects.
+    */
+  private[graft] def ascii85Decode(in: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(in.length * 4 / 5 + 8)
+    val grp = new Array[Int](5)
+    var n = 0
+    var i = 0
+    var done = false
+    def flush(chars: Int): Unit = {
+      var v = 0L
+      var j = 0
+      while (j < 5) { v = v * 85 + (if (j < chars) grp(j) else 84); j += 1 }
+      if (v > 0xffffffffL) throw new PdfError("ASCII85 group out of range")
+      val keep = chars - 1
+      var k = 0
+      while (k < keep) { out.write(((v >>> (24 - 8 * k)) & 0xff).toInt); k += 1 }
+    }
+    while (i < in.length && !done) {
+      val c = in(i) & 0xff
+      if (c == '~') {
+        if (i + 1 >= in.length || in(i + 1) != '>')
+          throw new PdfError("bad ASCII85 EOD")
+        done = true
+      } else if (c == 'z') {
+        if (n != 0) throw new PdfError("z inside ASCII85 group")
+        out.write(0); out.write(0); out.write(0); out.write(0)
+      } else if (c == ' ' || c == '\t' || c == '\r' || c == '\n' || c == '\f' || c == 0) {
+        () // whitespace
+      } else if (c >= '!' && c <= 'u') {
+        grp(n) = c - '!'; n += 1
+        if (n == 5) { flush(5); n = 0 }
+      } else throw new PdfError("bad ASCII85 character")
+      i += 1
+    }
+    if (!done) throw new PdfError("ASCII85 missing EOD")
+    if (n == 1) throw new PdfError("single trailing ASCII85 character")
+    if (n >= 2) flush(n)
     out.toByteArray
   }
 
@@ -971,7 +1144,8 @@ object PdfText {
     */
   def makePdf(pageStreams: Seq[Seq[Array[Byte]]], flate: Boolean = false,
       indirectLength: Boolean = false, nestedPages: Boolean = false,
-      fonts: Seq[FontSpec] = Nil): Array[Byte] = {
+      fonts: Seq[FontSpec] = Nil,
+      contentFilter: Seq[String] = Nil): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def w(t: String): Unit =
       out.write(t.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
@@ -1056,11 +1230,20 @@ object PdfText {
       endObj()
       pageStreams(p).indices.foreach { k =>
         val data0 = pageStreams(p)(k)
-        val data = if (flate) deflate(data0) else data0
+        // filters listed in DECODE order (the /Filter array form), so the
+        // writer applies their encode sides right-to-left
+        val filters: Seq[String] =
+          if (contentFilter.nonEmpty) contentFilter
+          else if (flate) Seq("FlateDecode") else Nil
+        val data = filters.foldRight(data0)((f, acc) => encodeFilter(f, acc))
         val lenPart =
           if (indirectLength) s"/Length ${lengthIds(p)(k)} 0 R"
           else s"/Length ${data.length}"
-        val filterPart = if (flate) " /Filter /FlateDecode" else ""
+        val filterPart = filters match {
+          case Seq() => ""
+          case Seq(one) => s" /Filter /$one"
+          case many => many.mkString(" /Filter [ /", " /", " ]")
+        }
         beginObj(contentIds(p)(k))
         w(s"<< $lenPart$filterPart >>\nstream\n")
         out.write(data)
@@ -1107,6 +1290,99 @@ object PdfText {
     d.end()
     bo.toByteArray
   }
+
+  /** Fixture-side LZW encoder (TIFF variant, EarlyChange = 1): leading
+    * ClearTable, MSB-first variable-width codes, trailing EOD. The
+    * width grows when the encoder's post-add next-code reaches
+    * 1 << width — the natural rule whose one-entry decoder lag is
+    * exactly what EarlyChange compensates (see [[lzwDecode]]). Bounded
+    * fixture inputs never fill the table; a require guards that
+    * envelope rather than implementing mid-stream re-clears.
+    */
+  private[graft] def lzwEncode(data: Array[Byte],
+      earlyChange: Boolean = true): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length + 64)
+    var acc = 0L
+    var bits = 0
+    var width = 9
+    def emit(code: Int): Unit = {
+      acc = (acc << width) | code.toLong
+      bits += width
+      while (bits >= 8) { out.write(((acc >>> (bits - 8)) & 0xff).toInt); bits -= 8 }
+    }
+    emit(256)
+    if (data.nonEmpty) {
+      val dict = scala.collection.mutable.Map.empty[(Int, Int), Int]
+      var next = 258
+      var w = data(0) & 0xff
+      var i = 1
+      while (i < data.length) {
+        val c = data(i) & 0xff
+        dict.get((w, c)) match {
+          case Some(code) => w = code
+          case None =>
+            emit(w)
+            dict((w, c)) = next; next += 1
+            require(next < 4096, "fixture LZW input too large (table full)")
+            // decoder lags one table entry at read time, so its
+            // EarlyChange=1 growth at (1<<w)-1 pairs with this natural
+            // rule; EarlyChange=0 pairs with growth one entry later
+            if (next >= (1 << width) + (if (earlyChange) 0 else 1)
+                && width < 12) width += 1
+            w = c
+        }
+        i += 1
+      }
+      emit(w)
+    }
+    emit(257)
+    if (bits > 0) out.write(((acc << (8 - bits)) & 0xff).toInt)
+    out.toByteArray
+  }
+
+  /** Fixture-side ASCIIHex encoder. */
+  private[graft] def asciiHexEncode(data: Array[Byte]): Array[Byte] =
+    (data.map(b => f"${b & 0xff}%02X").mkString + ">")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+
+  /** Fixture-side ASCII85 encoder: 4-byte groups base 85, `z` for
+    * all-zero full groups, n+1 chars for a trailing n-byte partial,
+    * `~>` EOD.
+    */
+  private[graft] def ascii85Encode(data: Array[Byte]): Array[Byte] = {
+    val sb = new StringBuilder(data.length * 5 / 4 + 4)
+    var i = 0
+    while (i < data.length) {
+      val n = math.min(4, data.length - i)
+      var v = 0L
+      var j = 0
+      while (j < 4) {
+        v = (v << 8) | (if (j < n) data(i + j) & 0xffL else 0L)
+        j += 1
+      }
+      if (v == 0L && n == 4) sb.append('z')
+      else {
+        val cs = new Array[Char](5)
+        var k = 4
+        while (k >= 0) { cs(k) = ('!' + (v % 85).toInt).toChar; v /= 85; k -= 1 }
+        var m = 0
+        while (m < n + 1) { sb.append(cs(m)); m += 1 }
+      }
+      i += n
+    }
+    sb.append("~>")
+    sb.toString.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+  }
+
+  /** Apply one filter's ENCODE side (fixture writer). */
+  private def encodeFilter(name: String, data: Array[Byte]): Array[Byte] =
+    name match {
+      case "FlateDecode" => deflate(data)
+      case "LZWDecode" => lzwEncode(data)
+      case "ASCIIHexDecode" => asciiHexEncode(data)
+      case "ASCII85Decode" => ascii85Encode(data)
+      case other => throw new IllegalArgumentException(s"no encoder for $other")
+    }
 
   /** PNG Up (predictor 12) row encoding — the standard pre-compression
     * transform real writers apply to xref-stream data.

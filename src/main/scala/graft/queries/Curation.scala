@@ -2451,6 +2451,66 @@ object Curation extends QueryBlock {
           CAST(page AS INT) AS page, text
         FROM pg ORDER BY fname, page""")),
 
+    // E72d — PDF stream-FILTER breadth (r9 missing-list item 5): the
+    // remaining ISO 32000 §7.4 filters real content streams arrive
+    // under beyond FlateDecode — LZWDecode (the TIFF-variant LZW with
+    // the EarlyChange off-by-one, §7.4.4; the m=2 docs carry a 400-char
+    // varied body so the code stream CROSSES the 9→10-bit width
+    // boundary, the bug site in most LZW implementations),
+    // ASCIIHexDecode, ASCII85Decode (z-groups, partial trailing group,
+    // ~> EOD), and a two-stage /Filter ARRAY [ASCII85 Flate] applied in
+    // spec order. Each doc's filter is doc_id%6 by construction; the
+    // page text is pure doc_id arithmetic so the DuckDB oracle
+    // re-derives every character without touching the PDFs — a decoder
+    // that corrupts one byte anywhere breaks that row's hash. In-test
+    // encoders (lzwEncode/ascii85Encode/asciiHexEncode) drive the
+    // decoders, the house fixture discipline. Scan-local per file, zero
+    // shuffle; unsupported filters still reject cleanly (never-throws
+    // envelope pinned in PdfTextSpec).
+    "e72d_pdf_filters" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.PdfText
+        val pdfDir = s"$scratch/pdfflt_${new java.io.File(dir).getName}"
+        val fd = new java.io.File(pdfDir)
+        if (fd.exists()) fd.listFiles().foreach(_.delete())
+        fd.mkdirs()
+        val A = java.nio.charset.StandardCharsets.ISO_8859_1
+        t(s, dir, "documents")
+          .filter(col("text").isNotNull &&
+            col("doc_id") >= 160 && col("doc_id") < 200)
+          .select(col("doc_id")).collect().foreach { r =>
+            val id = r.getLong(0)
+            val m = (id % 6).toInt
+            val len = if (m == 2) 400 else 16
+            val body = (0 until len)
+              .map(i => ('a' + (id * 7 + i.toLong * i) % 26).toChar).mkString
+            val filters = m match {
+              case 0 => Nil
+              case 1 => Seq("FlateDecode")
+              case 2 => Seq("LZWDecode")
+              case 3 => Seq("ASCIIHexDecode")
+              case 4 => Seq("ASCII85Decode")
+              case _ => Seq("ASCII85Decode", "FlateDecode")
+            }
+            val page = s"BT /F1 12 Tf 72 720 Td (${PdfText.esc(body)}) Tj ET"
+            val bytes = PdfText.makePdf(Seq(Seq(page.getBytes(A))),
+              contentFilter = filters)
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(f"$pdfDir/f$id%04d.pdf"), bytes)
+          }
+        pdfProject(s, s.read.format("binaryFile").load(pdfDir))
+          .orderBy(col("fname"), col("page"))
+      },
+      Some("""WITH d AS (SELECT doc_id, CAST(doc_id % 6 AS INT) AS m
+          FROM documents
+          WHERE text IS NOT NULL AND doc_id >= 160 AND doc_id < 200)
+        SELECT 'f' || lpad(CAST(doc_id AS VARCHAR), 4, '0') || '.pdf' AS fname,
+          0 AS page,
+          array_to_string(list_transform(
+            generate_series(0, CASE WHEN m = 2 THEN 399 ELSE 15 END),
+            i -> chr(CAST(97 + (doc_id * 7 + i * i) % 26 AS INT))), '') AS text
+        FROM d ORDER BY fname""")),
+
     // E73 — RSS/Atom FEED ingest: the other discovery input a frontier
     // polls besides sitemaps (e57) — new-content notification. One
     // directory mixes RSS 2.0 files (<item> children with <link>

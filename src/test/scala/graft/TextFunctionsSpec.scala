@@ -142,4 +142,43 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(langId("中文文本") === "zh")
     assert(langId("") === "und")
   }
+
+  test("GOLDEN: unigram Viterbi encode — min cost, then fewer pieces, then lex") {
+    // cost tie between [xy] (one piece) and [x y] (two): fewer pieces wins
+    val v1 = Map("x" -> 100, "y" -> 100, "xy" -> 200)
+    assert(TextFunctions.unigramEncode("xy", v1) === Some(Vector("xy")))
+    // strict cost minimum beats piece count
+    val v2 = Map("x" -> 100, "y" -> 100, "xy" -> 150)
+    assert(TextFunctions.unigramEncode("xy", v2) === Some(Vector("xy")))
+    val v3 = Map("x" -> 50, "y" -> 50, "xy" -> 150)
+    assert(TextFunctions.unigramEncode("xy", v3) === Some(Vector("x", "y")))
+    // full tie on (cost, count): lexicographic piece sequence decides
+    val v4 = Map("a" -> 100, "b" -> 100, "c" -> 100, "ab" -> 200, "bc" -> 200)
+    assert(TextFunctions.unigramEncode("abc", v4) === Some(Vector("a", "bc")))
+    // uncoverable position -> None (caller renders [UNK])
+    assert(TextFunctions.unigramEncode("axb", v4) === None)
+    assert(TextFunctions.unigramEncode("", v4) === Some(Vector.empty))
+  }
+
+  test("PROP: unigram encode concatenation is the identity; train is deterministic and total") {
+    val freq = Map("the" -> 50L, "then" -> 20L, "them" -> 15L, "quick" -> 8L,
+      "quickly" -> 5L, "fox" -> 12L, "foxes" -> 4L, "run" -> 9L, "running" -> 6L)
+    val vocab = TextFunctions.unigramTrain(freq, vocabSize = 24)
+    assert(vocab === TextFunctions.unigramTrain(freq, vocabSize = 24))
+    assert(vocab.length <= 24)
+    // every corpus character survives pruning -> total coverage
+    val chars = freq.keys.flatMap(_.toSeq).map(_.toString).toSet
+    assert(chars.subsetOf(vocab.map(_._1).toSet))
+    assert(vocab.forall(_._2 >= 0))
+    val costs = vocab.toMap
+    freq.keys.foreach { w =>
+      val enc = TextFunctions.unigramEncode(w, costs)
+      assert(enc.isDefined, w)
+      assert(enc.get.mkString === w)
+    }
+    // a high-frequency whole word earns a cheaper cost than a rare one
+    // it shares characters with, when both survive as pieces
+    if (costs.contains("the") && costs.contains("quick"))
+      assert(costs("the") < costs("quick"))
+  }
 }
