@@ -235,6 +235,12 @@ object PdfText {
     // objNum -> (object-stream obj, index within) for ObjStm members
     val compressed = scala.collection.mutable.Map[Int, (Int, Int)]()
     var trailer: Map[String, V] = Map.empty
+    // (file key, aes?) once /Encrypt is validated with the empty user
+    // password; streams decrypt per object number (generation 0 — the
+    // universal case for the files this envelope accepts; an encrypted
+    // doc keying streams off nonzero generations would decrypt to
+    // garbage and reject downstream, never mis-extract)
+    private var cryptKey: Option[(Array[Byte], Boolean)] = None
     private val objCache = scala.collection.mutable.Map[Int, (V, Int)]()
     private val objStmCache = scala.collection.mutable.Map[Int, (String, Vector[(Int, Int)], Int)]()
 
@@ -417,7 +423,8 @@ object PdfText {
             if (!sd.get("Type").contains(VName("ObjStm")))
               throw new PdfError("compressed ref into a non-ObjStm")
             if (ds < 0) throw new PdfError("ObjStm without stream data")
-            val data = new String(decodeStream(sd, ds, resolveEarly = false),
+            val data = new String(
+              decodeStream(sd, ds, resolveEarly = false, encObj = stmNum),
               java.nio.charset.StandardCharsets.ISO_8859_1)
             val n = sd.get("N") match {
               case Some(VNum(v)) => v.toInt
@@ -466,7 +473,7 @@ object PdfText {
       * is being built), /FlateDecode, and /DecodeParms PNG predictors.
       */
     def decodeStream(dict: Map[String, V], dataStart: Int,
-        resolveEarly: Boolean): Array[Byte] = {
+        resolveEarly: Boolean, encObj: Int = -1): Array[Byte] = {
       val lenV = dict.getOrElse("Length", throw new PdfError("no /Length"))
       val len = (if (resolveEarly) lenV else resolve(lenV)) match {
         case VNum(l) => l.toInt
@@ -474,8 +481,17 @@ object PdfText {
       }
       if (len < 0 || dataStart + len > s.length)
         throw new PdfError("stream overruns file")
-      val raw = s.substring(dataStart, dataStart + len)
+      val raw0 = s.substring(dataStart, dataStart + len)
         .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+      // encryption is the OUTERMOST layer: decrypt before filters. The
+      // xref stream itself (encObj = -1, built before arming) is never
+      // encrypted by spec; ObjStm members inherit their container's
+      // decryption and are not re-encrypted individually.
+      val raw = cryptKey match {
+        case Some((key, aes)) if encObj >= 0 =>
+          PdfCrypt.decrypt(key, encObj, 0, aes, raw0)
+        case _ => raw0
+      }
       // Filter may be a single name or an array applied IN ORDER
       // (ISO 32000-1 §7.3.8.2); DecodeParms is a single dict (one
       // filter) or an array parallel to the filter array, with null
@@ -545,7 +561,84 @@ object PdfText {
         case _ => throw new PdfError("stream obj without dict")
       }
       if (dataStart < 0) throw new PdfError("not a stream")
-      decodeStream(dict, dataStart, resolveEarly = false)
+      decodeStream(dict, dataStart, resolveEarly = false, encObj = num)
+    }
+
+    /** Validate /Encrypt (ISO 32000-1 §7.6 standard handler) with the
+      * EMPTY user password and arm stream decryption. Out-of-envelope
+      * forms — non-Standard handlers, /V 5, unknown /CFM, a document
+      * whose user password is genuinely non-empty — all throw PdfError,
+      * which the extract envelope turns into a clean None. The /Encrypt
+      * dict and /ID are never themselves encrypted, so resolving them
+      * before arming is safe by spec.
+      */
+    def setupEncryption(): Unit = trailer.get("Encrypt").foreach { ev =>
+      val ed = resolve(ev) match {
+        case VDict(m) => m
+        case _ => throw new PdfError("bad /Encrypt")
+      }
+      if (!ed.get("Filter").contains(VName("Standard")))
+        throw new PdfError("unsupported security handler")
+      def intOf(k: String, dflt: Int): Int = ed.get(k) match {
+        case Some(VNum(x)) => x.toInt
+        case None => dflt
+        case _ => throw new PdfError(s"bad /$k")
+      }
+      def strOf(k: String): Array[Byte] = ed.get(k) match {
+        case Some(VStr(x)) =>
+          x.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+        case _ => throw new PdfError(s"missing /$k")
+      }
+      val v = intOf("V", 0)
+      val r = intOf("R", 2)
+      val aes = v match {
+        case 1 | 2 => false
+        case 4 =>
+          // /CF /StdCF /CFM names the stream cipher; /V2 = RC4, /AESV2 = AES-128
+          val cfm = for {
+            cf <- ed.get("CF").map(resolve)
+            std <- cf match {
+              case VDict(m) => m.get("StdCF").map(resolve)
+              case _ => None
+            }
+            m <- std match {
+              case VDict(mm) => mm.get("CFM")
+              case _ => None
+            }
+          } yield m
+          cfm match {
+            case Some(VName("AESV2")) => true
+            case Some(VName("V2")) => false
+            case _ => throw new PdfError("unsupported crypt filter")
+          }
+        case _ => throw new PdfError("unsupported /V")
+      }
+      val n = if (v == 1) 5 else {
+        val bits = intOf("Length", 40)
+        if (bits < 40 || bits > 128 || bits % 8 != 0)
+          throw new PdfError("bad /Length")
+        bits / 8
+      }
+      val p = ed.get("P") match {
+        case Some(VNum(x)) => x.toLong.toInt // signed 32-bit permissions
+        case _ => throw new PdfError("missing /P")
+      }
+      val encMeta = ed.get("EncryptMetadata") match {
+        case Some(VBool(b)) => b
+        case _ => true
+      }
+      val id0 = trailer.get("ID") match {
+        case Some(VArr(xs)) if xs.nonEmpty => xs.head match {
+          case VStr(x) =>
+            x.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+          case _ => Array.empty[Byte]
+        }
+        case _ => Array.empty[Byte]
+      }
+      val key = PdfCrypt.fileKey(Array.empty, strOf("O"), p, id0, r, n, encMeta)
+      if (!PdfCrypt.checkUser(key, strOf("U"), id0, r))
+        throw new PdfError("encrypted with a non-empty user password")
+      cryptKey = Some((key, aes))
     }
   }
 
@@ -964,6 +1057,7 @@ object PdfText {
     try {
       val doc = new Doc(raw)
       doc.build()
+      doc.setupEncryption()
       val root = doc.resolve(doc.trailer.getOrElse("Root", throw new PdfError("no /Root")))
       val pagesRef = root match {
         case VDict(m) => m.getOrElse("Pages", throw new PdfError("no /Pages"))
@@ -1134,6 +1228,182 @@ object PdfText {
     lines.result().mkString("\n")
   }
 
+  // ---------------- encryption (r10): standard security handler ----------------
+
+  /** ISO 32000-1 §7.6 standard security handler math, shared by the
+    * reader and the fixture writer (same algorithms, opposite
+    * directions — NOT copies). Covers the common crawl reality: RC4
+    * (/V 2 /R 3) and AES-128-CBC (/V 4 /R 4 /CFM /AESV2) documents
+    * whose USER password is empty (owner-restricted but readable —
+    * the overwhelmingly dominant encrypted form in the wild). Anything
+    * else — a real user password, /V 5 AES-256, a non-Standard
+    * handler — rejects cleanly through the never-throws envelope.
+    */
+  private[graft] object PdfCrypt {
+    /** The spec's 32-byte password padding constant (Algorithm 2). */
+    val Pad: Array[Byte] = Array(
+      0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+      0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+      0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+      0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A).map(_.toByte)
+
+    def md5(parts: Array[Byte]*): Array[Byte] = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      parts.foreach(d.update)
+      d.digest()
+    }
+
+    def padPw(pw: Array[Byte]): Array[Byte] =
+      (pw ++ Pad).take(32)
+
+    /** Plain RC4 (the spec's cipher for /V ≤ 2 and /CFM /V2). */
+    def rc4(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+      val s = Array.tabulate(256)(_.toByte)
+      var j = 0
+      var i = 0
+      while (i < 256) {
+        j = (j + s(i) + key(i % key.length)) & 0xff
+        val t = s(i); s(i) = s(j); s(j) = t
+        i += 1
+      }
+      val out = new Array[Byte](data.length)
+      var x = 0
+      var y = 0
+      var k = 0
+      while (k < data.length) {
+        x = (x + 1) & 0xff
+        y = (y + s(x)) & 0xff
+        val t = s(x); s(x) = s(y); s(y) = t
+        out(k) = (data(k) ^ s((s(x) + s(y)) & 0xff)).toByte
+        k += 1
+      }
+      out
+    }
+
+    private def le32(v: Int): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+    /** Algorithm 2: the file encryption key from the (padded) user
+      * password, /O, /P, the first /ID element, and — R4 with
+      * /EncryptMetadata false — four 0xFF bytes; R3+ re-hashes the
+      * first n bytes 50 times.
+      */
+    def fileKey(userPw: Array[Byte], o: Array[Byte], p: Int,
+        id0: Array[Byte], r: Int, n: Int, encryptMetadata: Boolean): Array[Byte] = {
+      val extra =
+        if (r >= 4 && !encryptMetadata) Array.fill(4)(0xff.toByte)
+        else Array.empty[Byte]
+      var k = md5(padPw(userPw), o, le32(p), id0, extra)
+      if (r >= 3) (0 until 50).foreach(_ => k = md5(k.take(n)))
+      k.take(n)
+    }
+
+    /** Algorithm 3: the /O value (writer side). */
+    def ownerValue(ownerPw: Array[Byte], userPw: Array[Byte],
+        r: Int, n: Int): Array[Byte] = {
+      var k = md5(padPw(ownerPw))
+      if (r >= 3) (0 until 50).foreach(_ => k = md5(k.take(n)))
+      val key = k.take(n)
+      var x = rc4(key, padPw(userPw))
+      if (r >= 3) (1 to 19).foreach { i =>
+        x = rc4(key.map(b => (b ^ i).toByte), x)
+      }
+      x
+    }
+
+    /** Algorithms 4/5: the /U value from the file key (R2: 32 bytes;
+      * R3+: 16 significant bytes + 16 arbitrary — zeros here).
+      */
+    def userValue(key: Array[Byte], id0: Array[Byte], r: Int): Array[Byte] =
+      if (r == 2) rc4(key, Pad)
+      else {
+        var x = md5(Pad, id0)
+        x = rc4(key, x)
+        (1 to 19).foreach { i => x = rc4(key.map(b => (b ^ i).toByte), x) }
+        x ++ new Array[Byte](16)
+      }
+
+    /** Algorithm 6: does the (empty-password) file key open this
+      * document? R3+ compares only the 16 significant bytes.
+      */
+    def checkUser(key: Array[Byte], u: Array[Byte], id0: Array[Byte],
+        r: Int): Boolean = {
+      val expect = userValue(key, id0, r)
+      val cmp = if (r == 2) 32 else 16
+      u.length >= cmp && expect.take(cmp).sameElements(u.take(cmp))
+    }
+
+    /** Algorithm 1's per-object key: MD5(fileKey ∥ obj₃LE ∥ gen₂LE
+      * [∥ "sAlT" for AES]) truncated to min(n+5, 16).
+      */
+    def objKey(fileKey: Array[Byte], num: Int, gen: Int,
+        aes: Boolean): Array[Byte] = {
+      val ext = Array[Byte](
+        (num & 0xff).toByte, ((num >> 8) & 0xff).toByte,
+        ((num >> 16) & 0xff).toByte,
+        (gen & 0xff).toByte, ((gen >> 8) & 0xff).toByte)
+      val salt =
+        if (aes) Array[Byte](0x73, 0x41, 0x6C, 0x54) else Array.empty[Byte]
+      md5(fileKey, ext, salt).take(math.min(fileKey.length + 5, 16))
+    }
+
+    /** Decrypt one object's stream data. AESV2 = AES-128-CBC with the
+      * IV as the first 16 ciphertext bytes and PKCS#7 padding, stripped
+      * manually after a NoPadding decrypt so malformed padding rejects
+      * as a PdfError, not a crypto exception class the envelope would
+      * still catch but less legibly.
+      */
+    def decrypt(fileKey: Array[Byte], num: Int, gen: Int, aes: Boolean,
+        data: Array[Byte]): Array[Byte] = {
+      val k = objKey(fileKey, num, gen, aes)
+      if (!aes) rc4(k, data)
+      else {
+        if (data.length < 32 || data.length % 16 != 0)
+          throw new PdfError("bad AES stream length")
+        val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+        c.init(javax.crypto.Cipher.DECRYPT_MODE,
+          new javax.crypto.spec.SecretKeySpec(k, "AES"),
+          new javax.crypto.spec.IvParameterSpec(data.take(16)))
+        val plain = c.doFinal(data, 16, data.length - 16)
+        val pad = plain.last & 0xff
+        if (pad < 1 || pad > 16 || pad > plain.length)
+          throw new PdfError("bad AES padding")
+        (plain.length - pad until plain.length).foreach { i =>
+          if ((plain(i) & 0xff) != pad) throw new PdfError("bad AES padding")
+        }
+        plain.dropRight(pad)
+      }
+    }
+
+    /** Encrypt one object's stream data (fixture writer). The AES IV
+      * derives deterministically from the object number so fixtures are
+      * byte-stable run to run; an attacker-facing writer would use a
+      * random IV, a FIXTURE must not (the repo-wide no-RNG rule).
+      */
+    def encrypt(fileKey: Array[Byte], num: Int, gen: Int, aes: Boolean,
+        data: Array[Byte]): Array[Byte] = {
+      val k = objKey(fileKey, num, gen, aes)
+      if (!aes) rc4(k, data)
+      else {
+        val iv = md5(s"graft-fixture-iv:$num:$gen"
+          .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+        val c = javax.crypto.Cipher.getInstance("AES/CBC/PKCS5Padding")
+        c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+          new javax.crypto.spec.SecretKeySpec(k, "AES"),
+          new javax.crypto.spec.IvParameterSpec(iv))
+        iv ++ c.doFinal(data)
+      }
+    }
+  }
+
+  /** Fixture-writer encryption spec: V2/R3 RC4-128 (`aes = false`) or
+    * V4/R4 AES-128 AESV2 (`aes = true`); `userPw` non-empty plants a
+    * genuinely password-protected document (the reader must reject it).
+    */
+  final case class EncSpec(ownerPw: String, userPw: String = "",
+      aes: Boolean = false)
+
   // ---------------- writer (fixtures + spec) ----------------
 
   /** A complete classic-xref PDF. `pageStreams`: per page, one or more
@@ -1145,7 +1415,8 @@ object PdfText {
   def makePdf(pageStreams: Seq[Seq[Array[Byte]]], flate: Boolean = false,
       indirectLength: Boolean = false, nestedPages: Boolean = false,
       fonts: Seq[FontSpec] = Nil,
-      contentFilter: Seq[String] = Nil): Array[Byte] = {
+      contentFilter: Seq[String] = Nil,
+      encrypt: Option[EncSpec] = None): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def w(t: String): Unit =
       out.write(t.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
@@ -1166,6 +1437,31 @@ object PdfText {
     val cmapIds = fonts.map {
       case _: DiffFont => -1
       case _ => alloc()
+    }
+    val encryptId = if (encrypt.isDefined) alloc() else -1
+
+    // standard-security-handler materials (reverse direction of the
+    // reader's setupEncryption; same PdfCrypt algorithms)
+    val A85 = java.nio.charset.StandardCharsets.ISO_8859_1
+    val encMat: Option[(EncSpec, Int, Int, Array[Byte], Int, Array[Byte], Array[Byte], Array[Byte])] =
+      encrypt.map { es =>
+        val r = if (es.aes) 4 else 3
+        val v = if (es.aes) 4 else 2
+        val o = PdfCrypt.ownerValue(es.ownerPw.getBytes(A85),
+          es.userPw.getBytes(A85), r, 16)
+        val p = -44
+        val id0 = PdfCrypt.md5(
+          s"graft-fixture-id:${es.ownerPw}:${es.userPw}".getBytes(A85))
+        val key = PdfCrypt.fileKey(es.userPw.getBytes(A85), o, p, id0, r, 16,
+          encryptMetadata = true)
+        val u = PdfCrypt.userValue(key, id0, r)
+        (es, r, v, o, p, id0, key, u)
+      }
+    def hexS(b: Array[Byte]): String = b.map(x => f"${x & 0xff}%02X").mkString
+    def encStream(id: Int, data: Array[Byte]): Array[Byte] = encMat match {
+      case Some((es, _, _, _, _, _, key, _)) =>
+        PdfCrypt.encrypt(key, id, 0, es.aes, data)
+      case None => data
     }
 
     def beginObj(id: Int): Unit = { offsets(id) = out.size(); w(s"$id 0 obj\n") }
@@ -1208,7 +1504,8 @@ object PdfText {
             w("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
               s"/ToUnicode ${cmapIds(fi)} 0 R >>\n")
           endObj()
-          val cmapBytes = cmap.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+          val cmapBytes = encStream(cmapIds(fi),
+            cmap.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
           beginObj(cmapIds(fi))
           w(s"<< /Length ${cmapBytes.length} >>\nstream\n")
           out.write(cmapBytes)
@@ -1235,7 +1532,10 @@ object PdfText {
         val filters: Seq[String] =
           if (contentFilter.nonEmpty) contentFilter
           else if (flate) Seq("FlateDecode") else Nil
-        val data = filters.foldRight(data0)((f, acc) => encodeFilter(f, acc))
+        // encryption is the OUTERMOST layer: filters encode first, then
+        // the whole stream body encrypts; /Length counts encrypted bytes
+        val data = encStream(contentIds(p)(k),
+          filters.foldRight(data0)((f, acc) => encodeFilter(f, acc)))
         val lenPart =
           if (indirectLength) s"/Length ${lengthIds(p)(k)} 0 R"
           else s"/Length ${data.length}"
@@ -1256,6 +1556,20 @@ object PdfText {
       }
     }
 
+    encMat.foreach { case (es, r, v, o, p, _, _, u) =>
+      // the /Encrypt dict itself is never encrypted (and /O /U are hex
+      // strings so no literal-string escaping questions arise)
+      val cf =
+        if (es.aes)
+          " /CF << /StdCF << /CFM /AESV2 /Length 16 >> >> " +
+            "/StmF /StdCF /StrF /StdCF"
+        else ""
+      beginObj(encryptId)
+      w(s"<< /Filter /Standard /V $v /R $r /Length 128 /P $p " +
+        s"/O <${hexS(o)}> /U <${hexS(u)}>$cf >>\n")
+      endObj()
+    }
+
     val xrefOff = out.size()
     val maxId = nextId
     w(s"xref\n0 $maxId\n")
@@ -1263,7 +1577,12 @@ object PdfText {
     (1 until maxId).foreach { id =>
       w(f"${offsets(id)}%010d 00000 n \n")
     }
-    w(s"trailer\n<< /Size $maxId /Root $catalogId 0 R >>\nstartxref\n$xrefOff\n%%EOF\n")
+    val encTrailer = encMat match {
+      case Some((_, _, _, _, _, id0, _, _)) =>
+        s" /Encrypt $encryptId 0 R /ID [ <${hexS(id0)}> <${hexS(id0)}> ]"
+      case None => ""
+    }
+    w(s"trailer\n<< /Size $maxId /Root $catalogId 0 R$encTrailer >>\nstartxref\n$xrefOff\n%%EOF\n")
     out.toByteArray
   }
 

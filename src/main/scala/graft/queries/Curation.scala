@@ -2511,6 +2511,59 @@ object Curation extends QueryBlock {
             i -> chr(CAST(97 + (doc_id * 7 + i * i) % 26 AS INT))), '') AS text
         FROM d ORDER BY fname""")),
 
+    // E72E — ENCRYPTED PDF text (r10): the ISO 32000-1 §7.6 standard
+    // security handler with the EMPTY user password — the dominant
+    // encrypted form in a real crawl (owner-restricted but readable).
+    // doc_id%5 rotates: plain control, RC4 /V 2 /R 3, AES-128
+    // /V 4 /R 4 /AESV2, AES composed UNDER FlateDecode (decrypt happens
+    // before the filter chain — ordering is the thing this class
+    // pins), and a genuinely USER-password-protected file that must
+    // contribute ZERO rows — a reader that "opens" it anyway (or
+    // mis-rejects a readable class) shifts the row set and goes red.
+    // The oracle re-derives every surviving page's text from doc_id
+    // arithmetic and excludes the m=4 class by construction; per-file
+    // parallel, zero shuffle, scan-local decrypt like every decoder.
+    "e72e_pdf_encrypted" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.PdfText
+        val pdfDir = s"$scratch/pdfenc_${new java.io.File(dir).getName}"
+        val fd = new java.io.File(pdfDir)
+        if (fd.exists()) fd.listFiles().foreach(_.delete())
+        fd.mkdirs()
+        val A = java.nio.charset.StandardCharsets.ISO_8859_1
+        t(s, dir, "documents")
+          .filter(col("text").isNotNull &&
+            col("doc_id") >= 200 && col("doc_id") < 245)
+          .select(col("doc_id")).collect().foreach { r =>
+            val id = r.getLong(0)
+            val m = (id % 5).toInt
+            val body = (0 until 20)
+              .map(i => ('a' + (id * 11 + i.toLong * 3) % 26).toChar).mkString
+            val page = s"BT /F1 12 Tf 72 720 Td (${PdfText.esc(body)}) Tj ET"
+            val enc = m match {
+              case 0 => None
+              case 1 => Some(PdfText.EncSpec(s"owner-$id"))
+              case 2 => Some(PdfText.EncSpec(s"owner-$id", aes = true))
+              case 3 => Some(PdfText.EncSpec(s"owner-$id", aes = true))
+              case _ => Some(PdfText.EncSpec(s"owner-$id", userPw = s"user-$id"))
+            }
+            val bytes = PdfText.makePdf(Seq(Seq(page.getBytes(A))),
+              flate = m == 3, encrypt = enc)
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(f"$pdfDir/e$id%04d.pdf"), bytes)
+          }
+        pdfProject(s, s.read.format("binaryFile").load(pdfDir))
+          .orderBy(col("fname"), col("page"))
+      },
+      Some("""WITH d AS (SELECT doc_id FROM documents
+          WHERE text IS NOT NULL AND doc_id >= 200 AND doc_id < 245
+            AND doc_id % 5 <> 4)
+        SELECT 'e' || lpad(CAST(doc_id AS VARCHAR), 4, '0') || '.pdf' AS fname,
+          0 AS page,
+          array_to_string(list_transform(generate_series(0, 19),
+            i -> chr(CAST(97 + (doc_id * 11 + i * 3) % 26 AS INT))), '') AS text
+        FROM d ORDER BY fname""")),
+
     // E73 — RSS/Atom FEED ingest: the other discovery input a frontier
     // polls besides sitemaps (e57) — new-content notification. One
     // directory mixes RSS 2.0 files (<item> children with <link>
