@@ -564,6 +564,52 @@ object PdfText {
       decodeStream(dict, dataStart, resolveEarly = false, encObj = num)
     }
 
+    /** (dict, JPEG bytes) when object `num` is an /Image XObject whose
+      * FINAL filter is DCTDecode. The DCT stage is dropped from the
+      * filter chain and everything BEFORE it (encryption, wrapping
+      * Flate/ASCII stages) decodes normally, so what returns is the
+      * undecoded JPEG file itself. None for non-Image XObjects and for
+      * images stored any other way (raw rasters) — skipped by the
+      * extraction envelope, not errors.
+      */
+    def imageJpeg(num: Int): Option[(Map[String, V], Array[Byte])] = {
+      val (v, dataStart) = obj(num)
+      val dict = v match {
+        case VDict(m) => m
+        case _ => throw new PdfError("xobject without dict")
+      }
+      if (dataStart < 0) throw new PdfError("xobject is not a stream")
+      if (!dict.get("Subtype").map(resolve).contains(VName("Image"))) None
+      else {
+        val fl: Vector[String] = dict.get("Filter").map(resolve) match {
+          case None => Vector.empty
+          case Some(VName(n)) => Vector(n)
+          case Some(VArr(items)) => items.map(resolve).map {
+            case VName(n) => n
+            case _ => throw new PdfError("bad /Filter entry")
+          }
+          case Some(_) => throw new PdfError("bad /Filter")
+        }
+        if (!fl.lastOption.contains("DCTDecode")) None
+        else {
+          val kept = fl.dropRight(1)
+          val parms = dict.get("DecodeParms").map(resolve) match {
+            // array form is filter-parallel: drop the DCT slot with it
+            case Some(VArr(items)) => Some(VArr(items.dropRight(1)))
+            case other => other
+          }
+          val stripped =
+            if (kept.isEmpty) dict - "Filter" - "DecodeParms"
+            else dict ++ Map[String, V]("Filter" ->
+              (if (kept.length == 1) VName(kept.head)
+               else VArr(kept.map(VName(_): V)))) ++
+              parms.map("DecodeParms" -> _)
+          Some((dict,
+            decodeStream(stripped, dataStart, resolveEarly = false, encObj = num)))
+        }
+      }
+    }
+
     /** Validate /Encrypt (ISO 32000-1 §7.6 standard handler) with the
       * EMPTY user password and arm stream decryption. Out-of-envelope
       * forms — non-Standard handlers, /V 5, unknown /CFM, a document
@@ -1053,42 +1099,103 @@ object PdfText {
   /** Per-page extracted text (lines joined with \n), document order;
     * None on anything out of envelope or malformed. Never throws.
     */
+  /** Parse the document and walk the page tree: the built [[Doc]] plus
+    * every page dict with its (inherited) /Resources, in document
+    * order. Throws on malformed structure — callers wrap in the
+    * never-throws envelope. Shared by [[extract]] and
+    * [[extractImages]].
+    */
+  private def openPages(raw: Array[Byte]): (Doc, Vector[(Map[String, V], Option[V])]) = {
+    val doc = new Doc(raw)
+    doc.build()
+    doc.setupEncryption()
+    val root = doc.resolve(doc.trailer.getOrElse("Root", throw new PdfError("no /Root")))
+    val pagesRef = root match {
+      case VDict(m) => m.getOrElse("Pages", throw new PdfError("no /Pages"))
+      case _ => throw new PdfError("bad catalog")
+    }
+    val pages = Vector.newBuilder[(Map[String, V], Option[V])]
+    val seen = scala.collection.mutable.Set[Int]()
+    // /Resources inherits down the page tree (ISO 32000 §7.7.3.4)
+    def walk(v: V, inheritedRes: Option[V]): Unit = {
+      val node = doc.resolve(v) match {
+        case VDict(m) => m
+        case _ => throw new PdfError("bad page-tree node")
+      }
+      v match {
+        case VRef(n, _) =>
+          if (seen.contains(n)) throw new PdfError("cyclic page tree")
+          seen += n
+        case _ =>
+      }
+      val res = node.get("Resources").orElse(inheritedRes)
+      node.get("Type").map(doc.resolve) match {
+        case Some(VName("Pages")) =>
+          doc.resolve(node.getOrElse("Kids", throw new PdfError("no /Kids"))) match {
+            case VArr(kids) => kids.foreach(walk(_, res))
+            case _ => throw new PdfError("bad /Kids")
+          }
+        case Some(VName("Page")) => pages += ((node, res))
+        case _ => throw new PdfError("bad node type")
+      }
+    }
+    walk(pagesRef, None)
+    (doc, pages.result())
+  }
+
+  /** One embedded image: page index, resource name, /Width × /Height
+    * from the XObject dict, and the UNDECODED JPEG bytes — handed to
+    * the image pipeline's own decoders (Multimodal), not re-decoded
+    * here.
+    */
+  final case class PdfImage(page: Int, name: String, width: Int,
+      height: Int, jpeg: Array[Byte])
+
+  /** Extract embedded image XObjects whose FINAL filter is /DCTDecode —
+    * the embedded-JPEG form virtually all real PDF photographs use
+    * (the figure-extraction stage of a multimodal corpus pipeline).
+    * Earlier filters and encryption apply first; the JPEG itself is
+    * returned undecoded. Non-DCT images (raw rasters) are SKIPPED, not
+    * errors: an extraction stage extracts what downstream can consume,
+    * and page-text extraction is independent of either outcome. Images
+    * emit in (page, resource-name) order. Same never-throws envelope
+    * as [[extract]]: None on any malformed structure.
+    */
+  def extractImages(raw: Array[Byte]): Option[Seq[PdfImage]] = {
+    try {
+      val (doc, pagesV) = openPages(raw)
+      val out = Vector.newBuilder[PdfImage]
+      pagesV.zipWithIndex.foreach { case ((_, res), pi) =>
+        res.map(doc.resolve) match {
+          case Some(VDict(rm)) => rm.get("XObject").map(doc.resolve) match {
+            case Some(VDict(xm)) => xm.toVector.sortBy(_._1).foreach {
+              case (nm, xv) =>
+                val nr = xv match {
+                  case VRef(n, _) => n
+                  case _ => throw new PdfError("xobject must be a stream ref")
+                }
+                doc.imageJpeg(nr).foreach { case (xd, jpeg) =>
+                  def dim(k: String): Int = xd.get(k).map(doc.resolve) match {
+                    case Some(VNum(x)) if x >= 0 && x <= Int.MaxValue => x.toInt
+                    case _ => throw new PdfError(s"bad /$k")
+                  }
+                  out += PdfImage(pi, nm, dim("Width"), dim("Height"), jpeg)
+                }
+            }
+            case None =>
+            case _ => throw new PdfError("bad /XObject")
+          }
+          case None =>
+          case _ => throw new PdfError("bad /Resources")
+        }
+      }
+      Some(out.result())
+    } catch { case _: Exception => None }
+  }
+
   def extract(raw: Array[Byte]): Option[Seq[String]] = {
     try {
-      val doc = new Doc(raw)
-      doc.build()
-      doc.setupEncryption()
-      val root = doc.resolve(doc.trailer.getOrElse("Root", throw new PdfError("no /Root")))
-      val pagesRef = root match {
-        case VDict(m) => m.getOrElse("Pages", throw new PdfError("no /Pages"))
-        case _ => throw new PdfError("bad catalog")
-      }
-      val pages = Vector.newBuilder[(Map[String, V], Option[V])]
-      val seen = scala.collection.mutable.Set[Int]()
-      // /Resources inherits down the page tree (ISO 32000 §7.7.3.4)
-      def walk(v: V, inheritedRes: Option[V]): Unit = {
-        val node = doc.resolve(v) match {
-          case VDict(m) => m
-          case _ => throw new PdfError("bad page-tree node")
-        }
-        v match {
-          case VRef(n, _) =>
-            if (seen.contains(n)) throw new PdfError("cyclic page tree")
-            seen += n
-          case _ =>
-        }
-        val res = node.get("Resources").orElse(inheritedRes)
-        node.get("Type").map(doc.resolve) match {
-          case Some(VName("Pages")) =>
-            doc.resolve(node.getOrElse("Kids", throw new PdfError("no /Kids"))) match {
-              case VArr(kids) => kids.foreach(walk(_, res))
-              case _ => throw new PdfError("bad /Kids")
-            }
-          case Some(VName("Page")) => pages += ((node, res))
-          case _ => throw new PdfError("bad node type")
-        }
-      }
-      walk(pagesRef, None)
+      val (doc, pagesV) = openPages(raw)
 
       // Font dicts shared across pages build once (keyed by object num)
       val fontCache = scala.collection.mutable.HashMap[Int, PdfFont]()
@@ -1136,7 +1243,7 @@ object PdfText {
         }
       }
 
-      Some(pages.result().map { case (page, res) =>
+      Some(pagesV.map { case (page, res) =>
         val fonts = fontsOf(res)
         val content = page.get("Contents") match {
           case None => Array.emptyByteArray
@@ -1404,6 +1511,15 @@ object PdfText {
   final case class EncSpec(ownerPw: String, userPw: String = "",
       aes: Boolean = false)
 
+  /** Fixture-writer embedded image: an /Image XObject registered under
+    * the page's /Resources as `/Im<k>`. `dct = true` stores `data` as
+    * the undecoded JPEG under /Filter /DCTDecode (the real-world form);
+    * `dct = false` deflates `data` as a raw /DeviceGray raster under
+    * /FlateDecode — the form [[extractImages]] must SKIP.
+    */
+  final case class ImgSpec(w: Int, h: Int, data: Array[Byte],
+      dct: Boolean = true)
+
   // ---------------- writer (fixtures + spec) ----------------
 
   /** A complete classic-xref PDF. `pageStreams`: per page, one or more
@@ -1416,7 +1532,8 @@ object PdfText {
       indirectLength: Boolean = false, nestedPages: Boolean = false,
       fonts: Seq[FontSpec] = Nil,
       contentFilter: Seq[String] = Nil,
-      encrypt: Option[EncSpec] = None): Array[Byte] = {
+      encrypt: Option[EncSpec] = None,
+      pageImages: Seq[Seq[ImgSpec]] = Nil): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def w(t: String): Unit =
       out.write(t.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
@@ -1439,6 +1556,9 @@ object PdfText {
       case _ => alloc()
     }
     val encryptId = if (encrypt.isDefined) alloc() else -1
+    val imgIds: Seq[Seq[Int]] =
+      pageStreams.indices.map(p =>
+        pageImages.lift(p).getOrElse(Nil).map(_ => alloc()))
 
     // standard-security-handler materials (reverse direction of the
     // reader's setupEncryption; same PdfCrypt algorithms)
@@ -1521,10 +1641,27 @@ object PdfText {
       val contents =
         if (contentIds(p).size == 1) s"${contentIds(p).head} 0 R"
         else "[ " + contentIds(p).map(id => s"$id 0 R ").mkString + "]"
+      val xobjRes =
+        if (imgIds(p).isEmpty) ""
+        else " /XObject << " + imgIds(p).zipWithIndex
+          .map { case (id, k) => s"/Im$k $id 0 R " }.mkString + ">>"
       beginObj(pageIds(p))
       w(s"<< /Type /Page /Parent $parent 0 R /MediaBox [0 0 612 792] " +
-        s"/Resources << /Font << $fontRes>> >> /Contents $contents >>\n")
+        s"/Resources << /Font << $fontRes>>$xobjRes >> /Contents $contents >>\n")
       endObj()
+      pageImages.lift(p).getOrElse(Nil).zip(imgIds(p)).foreach {
+        case (im, id) =>
+          val body = encStream(id,
+            if (im.dct) im.data else deflate(im.data))
+          val filter = if (im.dct) "/DCTDecode" else "/FlateDecode"
+          beginObj(id)
+          w(s"<< /Type /XObject /Subtype /Image /Width ${im.w} " +
+            s"/Height ${im.h} /ColorSpace /DeviceGray /BitsPerComponent 8 " +
+            s"/Filter $filter /Length ${body.length} >>\nstream\n")
+          out.write(body)
+          w("\nendstream\n")
+          endObj()
+      }
       pageStreams(p).indices.foreach { k =>
         val data0 = pageStreams(p)(k)
         // filters listed in DECODE order (the /Filter array form), so the

@@ -577,6 +577,115 @@ object Curation extends QueryBlock {
     // no ORDER BY here: the streaming twin sorts after its sink
   }
 
+  /** e72f's embedded-image PDF fixture: doc_id%3 rotates image-on-page-0,
+    * image-on-PAGE-1 of a two-page doc, and a Flate-raster decoy (Im0)
+    * beside the JPEG (Im1) that extraction must skip. Shared with the
+    * d24 streaming twin.
+    */
+  def writePdfImageFixture(s: SparkSession, dir: String): String = {
+    import graft.operators.{Multimodal, PdfText}
+    val pdfDir = s"$scratch/pdf_img"
+    val fd = new java.io.File(pdfDir)
+    java.nio.file.Files.createDirectories(fd.toPath)
+    fd.listFiles().foreach(_.delete())
+    val A = java.nio.charset.StandardCharsets.ISO_8859_1
+    t(s, dir, "documents")
+      .filter(col("text").isNotNull &&
+        col("doc_id") >= 245 && col("doc_id") < 285)
+      .select(col("doc_id")).collect().foreach { r =>
+        val id = r.getLong(0)
+        val m = (id % 3).toInt
+        val jp = Multimodal.makeJpegPixels(
+          wBlocks = 2 + (id % 3).toInt, hBlocks = 1 + (id % 2).toInt,
+          q0 = 1 + (id % 3).toInt, seed = 14000 + id)
+        val w8 = (2 + (id % 3).toInt) * 8
+        val h8 = (1 + (id % 2).toInt) * 8
+        val body = (0 until 12)
+          .map(i => ('a' + (id * 5 + i.toLong * 7) % 26).toChar).mkString
+        def pg(t: String, im: String) =
+          s"BT /F1 12 Tf 72 720 Td (${PdfText.esc(t)}) Tj ET $im Do".getBytes(A)
+        val (pages, images) = m match {
+          case 0 => (Seq(Seq(pg(body, "/Im0"))),
+            Seq(Seq(PdfText.ImgSpec(w8, h8, jp))))
+          case 1 => (Seq(Seq(pg(body, "/F1")), Seq(pg(body.reverse, "/Im0"))),
+            Seq(Nil, Seq(PdfText.ImgSpec(w8, h8, jp))))
+          case _ =>
+            val raster = Array.tabulate(32)(i => ((id + i) % 128).toByte)
+            (Seq(Seq(pg(body, "/Im1"))),
+              Seq(Seq(PdfText.ImgSpec(8, 4, raster, dct = false),
+                PdfText.ImgSpec(w8, h8, jp))))
+        }
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(f"$pdfDir/i$id%04d.pdf"),
+          PdfText.makePdf(pages, pageImages = images))
+      }
+    pdfDir
+  }
+
+  /** binaryFile rows → one row per embedded JPEG with its decoded
+    * luminance stats (extractImages → the e12 family's jpegGraySums) —
+    * the projection shared by e72f and the d24 streaming twin.
+    */
+  def pdfImageProject(s: SparkSession, raw: DataFrame): DataFrame = {
+    import graft.operators.{Multimodal, PdfText}
+    val ex = udf((b: Array[Byte]) =>
+      PdfText.extractImages(b).getOrElse(Seq.empty).flatMap { i =>
+        Multimodal.jpegGraySums(i.jpeg).map { case (sum, npx, mn, mx) =>
+          (i.page, i.name, i.width, i.height, sum, npx, mn, mx)
+        }
+      })
+    raw.select(regexp_extract(col("path"), "([^/]+)$", 1).as("fname"),
+        explode(ex(col("content"))).as("i"))
+      .select(col("fname"), col("i._1").as("page"), col("i._2").as("name"),
+        col("i._3").as("w"), col("i._4").as("ht"),
+        col("i._6").as("n_px"),
+        round(col("i._5").cast("double") / col("i._6"), 6).as("mean_lum"),
+        col("i._7").as("min_lum"), col("i._8").as("max_lum"))
+    // no ORDER BY here: the streaming twin sorts after its sink
+  }
+
+  /** The e72f/d24 oracle: locate the JPEG inside the PDF bytes by its
+    * SOI+JFIF signature (a false anchor is impossible — every byte
+    * before the image is 7-bit ASCII by construction, and FF-bytes in
+    * JPEG entropy data are always stuffed), then run the e12l DC-chain
+    * walk shifted by the anchor.
+    */
+  def pdfImageOracleSql: String = {
+    // hb(k) = JPEG byte at 1-based offset k from the SOI anchor
+    // (a = 0-based file offset of FFD8FFE0)
+    def hb(k: String) =
+      s"(strpos('123456789ABCDEF', substr(H, 2*(a + ($k)) - 1, 1))*16 + " +
+        s"strpos('123456789ABCDEF', substr(H, 2*(a + ($k)), 1)))"
+    def be16(k: Int) = s"(256*${hb(k.toString)} + ${hb((k + 1).toString)})"
+    s"""WITH b AS (SELECT regexp_extract(filename, '([^/]+)$$', 1) AS fname,
+        hex(content) AS H FROM read_blob('$scratch/pdf_img/*.pdf')),
+      an AS (SELECT fname, H, (strpos(H, 'FFD8FFE0') - 1) // 2 AS a,
+        CAST(substr(fname, 2, 4) AS BIGINT) % 3 AS m FROM b),
+      hdr AS (SELECT fname, H, a, m, ${be16(97)} AS w, ${be16(95)} AS ht,
+        ${hb("26")} AS q0 FROM an),
+      blk AS (SELECT fname, m, w, ht, q0, j,
+        ${hb("157 + 2*j")} AS b0, ${hb("158 + 2*j")} AS b1
+        FROM hdr, UNNEST(generate_series(0, (w // 8) * (ht // 8) - 1)) AS t(j)),
+      dcs AS (SELECT fname, m, w, ht, q0, j,
+        SUM(CASE WHEN (b0 % 128) * 2 + b1 // 128 < 128
+          THEN (b0 % 128) * 2 + b1 // 128 - 255
+          ELSE (b0 % 128) * 2 + b1 // 128 END)
+          OVER (PARTITION BY fname ORDER BY j) AS dc
+        FROM blk),
+      vals AS (SELECT fname, m, w, ht,
+        LEAST(255, GREATEST(0, CAST(round(128 + dc * q0 / 8.0, 0) AS INTEGER))) AS v
+        FROM dcs)
+      SELECT fname,
+        CAST(CASE WHEN m = 1 THEN 1 ELSE 0 END AS INTEGER) AS page,
+        CASE WHEN m = 2 THEN 'Im1' ELSE 'Im0' END AS name,
+        CAST(w AS INTEGER) AS w, CAST(ht AS INTEGER) AS ht,
+        CAST(w * ht AS BIGINT) AS n_px,
+        round(CAST(64 * sum(v) AS DOUBLE) / (w * ht), 6) AS mean_lum,
+        CAST(min(v) AS INTEGER) AS min_lum,
+        CAST(max(v) AS INTEGER) AS max_lum
+      FROM vals GROUP BY fname, m, w, ht ORDER BY fname"""
+  }
+
   /** e76's per-page anchor fixture construction (base URL + planted
     * HTML) over a documents-shaped relation — shared with the d23
     * streaming twin. Works identically on batch and streaming inputs.
@@ -2563,6 +2672,29 @@ object Curation extends QueryBlock {
           array_to_string(list_transform(generate_series(0, 19),
             i -> chr(CAST(97 + (doc_id * 11 + i * 3) % 26 AS INT))), '') AS text
         FROM d ORDER BY fname""")),
+
+    // E72F — PDF EMBEDDED-IMAGE extraction (r10): the figure-extraction
+    // stage of a multimodal corpus pipeline — /Image XObjects whose
+    // final filter is /DCTDecode come out as undecoded JPEGs and feed
+    // the SAME in-repo decoder the e12 family drives (jpegGraySums),
+    // closing the PdfText→Multimodal seam. doc_id%3 rotates placement:
+    // image on page 0 of a 1-page doc, image on PAGE 1 of a 2-page doc
+    // (page indexing pinned), and a page carrying a Flate-raster decoy
+    // XObject (Im0) that extraction must SKIP while still finding the
+    // JPEG beside it (Im1). The oracle hex-walks the PDF bytes
+    // themselves: the JPEG is located by its SOI+JFIF signature in the
+    // hex dump — a false anchor is impossible because every byte before
+    // the image is 7-bit ASCII by construction and FF-bytes inside JPEG
+    // entropy data are always stuffed — then the e12l DC-chain walk
+    // reads the SAME entropy bytes Spark's decoder does, shifted by the
+    // anchor. Per-file parallel, zero shuffle, scan-local decode.
+    "e72f_pdf_images" -> QueryDef(
+      (s, dir) => {
+        val pdfDir = writePdfImageFixture(s, dir)
+        pdfImageProject(s, s.read.format("binaryFile").load(pdfDir))
+          .orderBy(col("fname"))
+      },
+      Some(pdfImageOracleSql)),
 
     // E73 — RSS/Atom FEED ingest: the other discovery input a frontier
     // polls besides sitemaps (e57) — new-content notification. One

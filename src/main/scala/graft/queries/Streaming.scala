@@ -1015,7 +1015,27 @@ object Streaming extends QueryBlock {
         EventStreams.runToTable(s, agg, "d23_sink", mode = "complete")
           .orderBy(col("target"))
       },
-      Some(Curation.anchorOracleSql))
+      Some(Curation.anchorOracleSql)),
+
+    // D24 — PDF embedded-image extraction as a STREAM (e72f's deployment
+    // shape: figures come out of documents as files land in the archive
+    // drop directory). Per-file extraction is stateless, so the stream
+    // is a pure append map — slicing-independent by construction — and
+    // the output after AvailableNow completion must equal the batch
+    // projection bit for bit (shares e72f's fixture and oracle
+    // verbatim, the d22 pattern).
+    "d24_stream_pdf_images" -> QueryDef(
+      (s, dir) => {
+        val pdfDir = Curation.writePdfImageFixture(s, dir)
+        val raw = s.readStream.format("binaryFile")
+          .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+          .option("maxFilesPerTrigger", "8")
+          .load(pdfDir)
+        EventStreams.runToTable(s, Curation.pdfImageProject(s, raw),
+            "d24_sink", mode = "append")
+          .orderBy(col("fname"))
+      },
+      Some(Curation.pdfImageOracleSql))
   )
 }
 
