@@ -442,6 +442,215 @@ object Multimodal {
   private def beU16(b: Array[Byte], o: Int): Int =
     ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
 
+  /** Immediate child boxes of the byte range [start, end): (tag,
+    * payloadStart, payloadEnd). Stops at the first corrupt size (< 8 or
+    * overrunning the range) — the decodeMp4Header truncation
+    * discipline, shared by the sample-table walk.
+    */
+  private def mp4Children(b: Array[Byte], start: Long, end: Long): Vector[(String, Long, Long)] = {
+    val out = Vector.newBuilder[(String, Long, Long)]
+    val lim = math.min(end, b.length.toLong)
+    var o = start
+    var halt = false
+    while (!halt && o + 8 <= lim) {
+      val sz = beU32(b, o.toInt)
+      if (sz < 8 || o + sz > lim) halt = true
+      else {
+        out += ((new String(b.slice(o.toInt + 4, o.toInt + 8), "US-ASCII"),
+          o + 8, o + sz))
+        o += sz
+      }
+    }
+    out.result()
+  }
+
+  /** One sync (key) sample resolved through the full ISO 14496-12
+    * sample-table machinery: decode timestamp from the stts run-length
+    * table, byte size from stsz (uniform or per-sample), containing
+    * chunk from the stsc run mapping, absolute file offset from the
+    * stco chunk base plus the within-chunk size prefix. `dts` is in
+    * the track's mdhd timescale units.
+    */
+  final case class Mp4Sample(track: Long, timescale: Long, sample: Int,
+      dts: Long, size: Long, chunk: Int, offset: Long)
+
+  /** REAL frame sampling for video: the sync-sample (keyframe) set of
+    * every track, each resolved to (dts, size, chunk, file offset) —
+    * exactly the positions a frame extractor seeks to, and the only
+    * samples decodable without inter-frame state. stss absent means
+    * every sample is sync per spec. Table-size zip-bomb guard at 2^20
+    * entries; any malformed/truncated table yields None, never
+    * garbage offsets (the decoder-family envelope).
+    */
+  def mp4SyncSamples(b: Array[Byte]): Option[Seq[Mp4Sample]] = {
+    try {
+      if (b == null || b.length < 20) return None
+      val top = mp4Children(b, 0L, Long.MaxValue)
+      if (!top.headOption.exists(_._1 == "ftyp")) return None
+      val moov = top.find(_._1 == "moov").getOrElse(return None)
+      val out = Seq.newBuilder[Mp4Sample]
+      def u32(o: Long): Long = beU32(b, o.toInt)
+      def bad(): Nothing =
+        throw new IllegalArgumentException("malformed sample table")
+      def guard(n: Long): Int = {
+        if (n < 0 || n > (1 << 20)) throw new IllegalArgumentException("table too large")
+        n.toInt
+      }
+      mp4Children(b, moov._2, moov._3).filter(_._1 == "trak").foreach { trak =>
+        val kids = mp4Children(b, trak._2, trak._3)
+        // tkhd v0: track_ID at payload +12 (after version/flags + times)
+        val trackId = kids.find(_._1 == "tkhd")
+          .filter(k => k._3 - k._2 >= 16 && (b(k._2.toInt) & 0xff) == 0)
+          .map(k => u32(k._2 + 12)).getOrElse(bad())
+        val mdia = kids.find(_._1 == "mdia").getOrElse(bad())
+        val mkids = mp4Children(b, mdia._2, mdia._3)
+        val timescale = mkids.find(_._1 == "mdhd")
+          .filter(k => k._3 - k._2 >= 20 && (b(k._2.toInt) & 0xff) == 0)
+          .map(k => u32(k._2 + 12)).getOrElse(bad())
+        val minf = mkids.find(_._1 == "minf").getOrElse(bad())
+        val stbl = mp4Children(b, minf._2, minf._3).find(_._1 == "stbl")
+          .getOrElse(bad())
+        val tbl = mp4Children(b, stbl._2, stbl._3)
+        def need(tag: String): (Long, Long) =
+          tbl.find(_._1 == tag).map(k => (k._2, k._3))
+            .getOrElse(throw new IllegalArgumentException(s"missing $tag"))
+        // stts: (count, delta) runs → per-sample decode-time deltas
+        val (sttsP, sttsE) = need("stts")
+        val nRuns = guard(u32(sttsP + 4))
+        if (sttsP + 8 + 8L * nRuns > sttsE) bad()
+        val deltas = Vector.newBuilder[Long]
+        (0 until nRuns).foreach { r =>
+          val cnt = guard(u32(sttsP + 8 + 8L * r))
+          val d = u32(sttsP + 12 + 8L * r)
+          (0 until cnt).foreach(_ => deltas += d)
+        }
+        val deltaV = deltas.result()
+        // stsz: uniform size or per-sample table
+        val (stszP, stszE) = need("stsz")
+        val uniform = u32(stszP + 4)
+        val n = guard(u32(stszP + 8))
+        if (n != deltaV.length) bad()
+        val sizes: Int => Long =
+          if (uniform != 0) _ => uniform
+          else {
+            if (stszP + 12 + 4L * n > stszE) bad()
+            i => u32(stszP + 12 + 4L * (i - 1))
+          }
+        // stsc: (first_chunk, samples_per_chunk) runs expand until the
+        // sample count is exhausted; the last chunk may be partial
+        val (stscP, stscE) = need("stsc")
+        val nSc = guard(u32(stscP + 4))
+        if (stscP + 8 + 12L * nSc > stscE) bad()
+        val scRuns = (0 until nSc).map(r =>
+          (u32(stscP + 8 + 12L * r), u32(stscP + 12 + 12L * r)))
+        // stco: chunk base offsets
+        val (stcoP, stcoE) = need("stco")
+        val nCh = guard(u32(stcoP + 4))
+        if (stcoP + 8 + 4L * nCh > stcoE) bad()
+        val chunkBase = (0 until nCh).map(c => u32(stcoP + 8 + 4L * c))
+        // stss: sync sample numbers; ABSENT = all samples are sync
+        val sync: Set[Int] = tbl.find(_._1 == "stss") match {
+          case None => (1 to n).toSet
+          case Some(k) =>
+            val m = guard(u32(k._2 + 4))
+            if (k._2 + 8 + 4L * m > k._3) bad()
+            (0 until m).map(i => guard(u32(k._2 + 8 + 4L * i))).toSet
+        }
+        // resolve every sample's (chunk, within-chunk index) through the
+        // stsc expansion, then its offset through stco + the size prefix
+        var dts = 0L
+        var chunk = 1
+        var run = 0
+        var inChunk = 0
+        var chunkOff =
+          if (chunkBase.isEmpty) bad() else chunkBase(0)
+        (1 to n).foreach { i =>
+          val perChunk = scRuns(run)._2
+          if (inChunk == perChunk) {
+            // advance to the next chunk; maybe into the next stsc run
+            chunk += 1
+            inChunk = 0
+            if (run + 1 < nSc && chunk >= scRuns(run + 1)._1) run += 1
+            if (chunk > nCh) bad()
+            chunkOff = chunkBase(chunk - 1)
+          }
+          if (sync.contains(i))
+            out += Mp4Sample(trackId, timescale, i, dts, sizes(i), chunk, chunkOff)
+          chunkOff += sizes(i)
+          inChunk += 1
+          dts += deltaV(i - 1)
+        }
+      }
+      Some(out.result())
+    } catch { case _: Exception => None }
+  }
+
+  /** Fixture twin of [[mp4SyncSamples]]: one video track whose sample
+    * tables derive from the arguments — stts as exactly the two given
+    * (count, delta) runs, explicit per-sample stsz sizes, stsc as
+    * (1, spc1) + (firstChunk2, spc2), stco computed from the REAL mdat
+    * layout (samples contiguous in order), stss = every 4th sample
+    * from 1. tkhd/mdhd/hdlr are spec-shaped version-0 boxes.
+    */
+  def makeMp4Tracks(trackId: Long, timescale: Long,
+      run1: (Int, Long), run2: (Int, Long), sizes: Seq[Long],
+      spc1: Int, chunks2From: Int, spc2: Int,
+      withStss: Boolean = true): Array[Byte] = {
+    val n = sizes.length
+    require(run1._1 + run2._1 == n, "stts runs must cover the samples")
+    def box(t: String, payload: Array[Byte]): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(8 + payload.length)
+      out.putInt(8 + payload.length).put(t.getBytes("US-ASCII")).put(payload)
+      out.array()
+    }
+    def full(t: String, body: Array[Byte]): Array[Byte] =
+      box(t, new Array[Byte](4) ++ body)
+    def be(vs: Long*): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(4 * vs.length)
+      vs.foreach(v => bb.putInt(v.toInt))
+      bb.array()
+    }
+    // chunk layout: spc1 samples/chunk before chunk chunks2From, spc2 after
+    val chunkOf = (1 to n).map { i =>
+      val before2 = (chunks2From - 1) * spc1
+      if (i <= before2) (i - 1) / spc1 + 1
+      else chunks2From + (i - 1 - before2) / spc2
+    }
+    val nCh = chunkOf.last
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ be(0) ++
+      "mp41".getBytes("US-ASCII"))
+    val stts = full("stts", be(2, run1._1, run1._2, run2._1, run2._2))
+    val stsz = full("stsz", be(0L, n.toLong) ++ be(sizes: _*))
+    val stsc = full("stsc", be(2, 1, spc1, 1, chunks2From, spc2, 1))
+    val stssNums = (1 to n by 4).map(_.toLong)
+    val stss = full("stss", be(stssNums.length.toLong) ++ be(stssNums: _*))
+    // stco needs the absolute mdat payload offset: compute the fixed
+    // part of the layout first with a placeholder, then fill
+    def stcoOf(mdatPayload: Long): Array[Byte] = {
+      val firstOfChunk = (1 to nCh).map(c => chunkOf.indexOf(c) + 1)
+      val bases = firstOfChunk.map(f =>
+        mdatPayload + sizes.take(f - 1).sum)
+      full("stco", be(nCh.toLong) ++ be(bases: _*))
+    }
+    def assemble(stco: Array[Byte]): Array[Byte] = {
+      val stbl = box("stbl", stts ++ stsz ++ stsc ++ stco ++
+        (if (withStss) stss else Array.emptyByteArray))
+      val minf = box("minf", stbl)
+      val mdhd = full("mdhd", be(0, 0, timescale, 0) ++ Array[Byte](0, 0, 0, 0))
+      val hdlr = full("hdlr", be(0) ++ "vide".getBytes("US-ASCII") ++
+        new Array[Byte](12) ++ Array[Byte](0))
+      val mdia = box("mdia", mdhd ++ hdlr ++ minf)
+      val tkhd = full("tkhd", be(0, 0, trackId) ++ new Array[Byte](68))
+      val trak = box("trak", tkhd ++ mdia)
+      box("moov", trak)
+    }
+    val probe = assemble(stcoOf(0L))
+    val mdatPayload = ftyp.length + probe.length + 8L
+    val moov = assemble(stcoOf(mdatPayload))
+    val media = Array.fill(sizes.sum.toInt)(0x55.toByte)
+    ftyp ++ moov ++ box("mdat", media)
+  }
+
   /** REAL pixel-level BMP decode: walks the uncompressed 24bpp pixel rows
     * (bottom-up, 4-byte padded — the padding bytes are SKIPPED, summing
     * them is the classic BMP-walk bug) and returns per-channel sums +
@@ -1994,6 +2203,222 @@ object Multimodal {
         Some(hash)
       }
     }
+
+  /** EXIF fields a curation pipeline actually consumes: byte order of
+    * the TIFF body, orientation (1–8; the rotate-before-train signal),
+    * camera make, capture timestamp, and the Exif sub-IFD pixel
+    * dimensions. */
+  final case class JpegExif(endian: String, orientation: Int, make: String,
+      dateTime: String, pixelW: Long, pixelH: Long)
+
+  /** REAL EXIF decode: scan the JPEG marker stream for APP1 "Exif\0\0",
+    * then walk the embedded TIFF structure — BOTH byte orders (II/MM),
+    * the 42 magic, IFD0 entries (Make ASCII via data-area offset,
+    * Orientation inline SHORT left-justified per TIFF, DateTime ASCII),
+    * and the Exif sub-IFD through the 0x8769 pointer for
+    * PixelX/YDimension (SHORT or LONG — cameras emit both). Standalone
+    * markers skip without a length field; the scan stops at SOS. Every
+    * read is bounds-guarded against the APP1 segment end; anything
+    * malformed yields None (decoder-family envelope).
+    */
+  def jpegExif(b: Array[Byte]): Option[JpegExif] = {
+    try {
+      if (b == null || b.length < 4 ||
+        (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
+      var o = 2
+      var app1 = -1
+      var app1Len = 0
+      var halt = false
+      while (!halt && app1 < 0 && o + 4 <= b.length) {
+        if ((b(o) & 0xff) != 0xff) halt = true
+        else {
+          val m = b(o + 1) & 0xff
+          if ((m >= 0xd0 && m <= 0xd7) || m == 0x01) o += 2
+          else if (m == 0xda) halt = true
+          else {
+            val len = ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+            if (len < 2 || o + 2 + len > b.length) halt = true
+            else {
+              if (m == 0xe1) { app1 = o + 4; app1Len = len - 2 }
+              o += 2 + len
+            }
+          }
+        }
+      }
+      if (app1 < 0 || app1Len < 16) return None
+      if (new String(b.slice(app1, app1 + 6), "US-ASCII") != "Exif\u0000\u0000")
+        return None
+      val t0 = app1 + 6
+      val end = app1 + app1Len
+      def bad(): Nothing = throw new IllegalArgumentException("malformed EXIF")
+      val big = new String(b.slice(t0, t0 + 2), "US-ASCII") match {
+        case "MM" => true
+        case "II" => false
+        case _ => return None
+      }
+      def chk(p: Int, w: Int): Int = { if (p < t0 || p + w > end) bad(); p }
+      def u16(p0: Int): Int = {
+        val p = chk(p0, 2)
+        if (big) ((b(p) & 0xff) << 8) | (b(p + 1) & 0xff)
+        else ((b(p + 1) & 0xff) << 8) | (b(p) & 0xff)
+      }
+      def u32(p0: Int): Long = {
+        val p = chk(p0, 4)
+        if (big) beU32(b, p)
+        else leU32(b, p)
+      }
+      if (u16(t0 + 2) != 42) return None
+      // one IFD: tag -> (type, count, value-field offset)
+      def ifd(at: Int): Map[Int, (Int, Long, Int)] = {
+        val n = u16(at)
+        if (n > 256) bad()
+        (0 until n).map { e =>
+          val p = at + 2 + 12 * e
+          u16(p) -> ((u16(p + 2), u32(p + 4), p + 8))
+        }.toMap
+      }
+      def shortOrLong(v: (Int, Long, Int)): Long = v._1 match {
+        case 3 => u16(v._3).toLong
+        case 4 => u32(v._3)
+        case _ => bad()
+      }
+      def ascii(v: (Int, Long, Int)): String = {
+        if (v._1 != 2 || v._2 < 1 || v._2 > 4096) bad()
+        val c = v._2.toInt
+        val p = if (c <= 4) v._3 else chk(t0 + u32(v._3).toInt, c)
+        if (p + c > end) bad()
+        new String(b.slice(p, p + c - 1), "US-ASCII") // NUL-terminated
+      }
+      val ifd0 = ifd(t0 + u32(t0 + 4).toInt)
+      val orientation = ifd0.get(0x0112).map(shortOrLong).getOrElse(bad())
+      val make = ifd0.get(0x010f).map(ascii).getOrElse(bad())
+      val dt = ifd0.get(0x0132).map(ascii).getOrElse(bad())
+      val sub = ifd0.get(0x8769) match {
+        case Some(v) if v._1 == 4 => ifd(t0 + u32(v._3).toInt)
+        case _ => bad()
+      }
+      val pw = sub.get(0xa002).map(shortOrLong).getOrElse(bad())
+      val ph = sub.get(0xa003).map(shortOrLong).getOrElse(bad())
+      if (orientation < 1 || orientation > 8) bad()
+      Some(JpegExif(if (big) "MM" else "II", orientation.toInt, make, dt, pw, ph))
+    } catch { case _: Exception => None }
+  }
+
+  /** Insert a constructed APP1 Exif segment right after SOI of an
+    * existing JPEG — the fixture twin of [[jpegExif]]. Writes the TIFF
+    * body in the requested byte order with Make/DateTime in the data
+    * area, Orientation as a left-justified inline SHORT, and the Exif
+    * sub-IFD pixel dimensions as LONGs.
+    */
+  def withExif(jpeg: Array[Byte], bigEndian: Boolean, orientation: Int,
+      make: String, dateTime: String, pixelW: Long, pixelH: Long): Array[Byte] = {
+    val makeB = make.getBytes("US-ASCII") :+ 0.toByte
+    val dtB = dateTime.getBytes("US-ASCII") :+ 0.toByte
+    // layout (offsets relative to TIFF origin): header 8, IFD0 at 8
+    // with 4 entries (2 + 48 + 4 next), sub-IFD follows, then data
+    val ifd0At = 8
+    val subAt = ifd0At + 2 + 4 * 12 + 4
+    val dataAt = subAt + 2 + 2 * 12 + 4
+    val makeAt = dataAt
+    val dtAt = dataAt + makeB.length
+    val total = dtAt + dtB.length
+    val tiff = java.nio.ByteBuffer.allocate(total)
+      .order(if (bigEndian) java.nio.ByteOrder.BIG_ENDIAN
+        else java.nio.ByteOrder.LITTLE_ENDIAN)
+    tiff.put((if (bigEndian) "MM" else "II").getBytes("US-ASCII"))
+      .putShort(42).putInt(ifd0At)
+    def entry(tag: Int, typ: Int, cnt: Long)(value: => Unit): Unit = {
+      tiff.putShort(tag.toShort).putShort(typ.toShort).putInt(cnt.toInt)
+      val before = tiff.position()
+      value
+      while (tiff.position() < before + 4) tiff.put(0.toByte)
+    }
+    tiff.putShort(4) // IFD0 entry count (ascending tag order per spec)
+    entry(0x010f, 2, makeB.length.toLong)(tiff.putInt(makeAt))
+    entry(0x0112, 3, 1L)(tiff.putShort(orientation.toShort))
+    entry(0x0132, 2, dtB.length.toLong)(tiff.putInt(dtAt))
+    entry(0x8769, 4, 1L)(tiff.putInt(subAt))
+    tiff.putInt(0) // next-IFD
+    tiff.putShort(2)
+    entry(0xa002, 4, 1L)(tiff.putInt(pixelW.toInt))
+    entry(0xa003, 4, 1L)(tiff.putInt(pixelH.toInt))
+    tiff.putInt(0)
+    tiff.put(makeB).put(dtB) // the data area the offset entries point into
+    val body = "Exif\u0000\u0000".getBytes("US-ASCII") ++ tiff.array()
+    val seg = java.nio.ByteBuffer.allocate(4 + body.length)
+      .put(0xff.toByte).put(0xe1.toByte)
+      .putShort((body.length + 2).toShort).put(body).array()
+    jpeg.take(2) ++ seg ++ jpeg.drop(2)
+  }
+
+  /** One speech segment from [[wavSegments]]: 0-based first/last window,
+    * with the segment's exact sample count and |amplitude| sum. */
+  final case class WavSegment(seg: Int, winFrom: Int, winTo: Int,
+      nSamples: Long, absSum: Long)
+
+  /** Energy-gated silence segmentation — the VAD-style splitter a
+    * speech-corpus pipeline runs before transcription/alignment.
+    * Fixed windows of `win` samples (the last may be partial); a window
+    * is SPEECH iff its mean |amplitude| clears `thresholdMilli`/1000 by
+    * exact integer cross-multiplication (sum·1000 > threshold·count —
+    * no floats, so every engine agrees at the boundary); consecutive
+    * speech windows merge into segments. Same PCM-s16 envelope and
+    * 2^22-sample bound as the other WAV ops; None otherwise.
+    */
+  def wavSegments(b: Array[Byte], win: Int,
+      thresholdMilli: Long): Option[Seq[WavSegment]] =
+    wavPcm16Data(b).flatMap { case (dataOff, n) =>
+      if (win <= 0 || n == 0 || n > (1 << 22)) None
+      else {
+        val nw = (n + win - 1) / win
+        val ws = new Array[Long](nw)
+        val wc = new Array[Long](nw)
+        var i = 0
+        while (i < n) {
+          val v = ((b(dataOff + 2 * i) & 0xff) |
+            ((b(dataOff + 2 * i + 1) & 0xff) << 8)).toShort.toInt
+          val k = i / win
+          ws(k) += math.abs(v); wc(k) += 1
+          i += 1
+        }
+        val out = Seq.newBuilder[WavSegment]
+        var seg = 0
+        var from = -1
+        var sSum = 0L
+        var sN = 0L
+        var k = 0
+        while (k <= nw) {
+          val speech = k < nw && ws(k) * 1000L > thresholdMilli * wc(k)
+          if (speech) {
+            if (from < 0) from = k
+            sSum += ws(k); sN += wc(k)
+          } else if (from >= 0) {
+            seg += 1
+            out += WavSegment(seg, from, k - 1, sN, sSum)
+            from = -1; sSum = 0L; sN = 0L
+          }
+          k += 1
+        }
+        Some(out.result())
+      }
+    }
+
+  /** Mono PCM-s16 WAV with EXPLICIT sample values — the fixture form
+    * for [[wavSegments]], where the oracle re-derives every sample from
+    * construction arithmetic rather than from a seed stream. */
+  def makeWavSamples(sampleRate: Int, samples: Seq[Int]): Array[Byte] = {
+    val dataSize = samples.length * 2
+    val out = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(sampleRate)
+      .putInt(sampleRate * 2).putShort(2).putShort(16)
+    out.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    samples.foreach(v => out.putShort(v.toShort))
+    out.array()
+  }
 
   def makeWav(channels: Int, sampleRate: Int, nSamples: Int, seed: Long): Array[Byte] = {
     val bits = 16

@@ -612,4 +612,103 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f1.map(_.toSeq).toSeq === f2.map(_.toSeq).toSeq)
     assert(f1(0).toSeq !== f1(1).toSeq)
   }
+
+  test("mp4SyncSamples: full stts/stsz/stsc/stco/stss resolution, hand-derived") {
+    // 8 samples: stts (4 x 10, 4 x 20); sizes 100..107; chunks of 3,3
+    // then 2 from chunk 3; stss = 1, 5
+    val b = Multimodal.makeMp4Tracks(trackId = 7, timescale = 1000,
+      run1 = (4, 10L), run2 = (4, 20L),
+      sizes = (0 until 8).map(i => 100L + i),
+      spc1 = 3, chunks2From = 3, spc2 = 2)
+    val s = Multimodal.mp4SyncSamples(b).get
+    assert(s.map(x => (x.track, x.timescale, x.sample)) ===
+      Seq((7L, 1000L, 1), (7L, 1000L, 5)))
+    // dts: sample 1 = 0; sample 5 = 4*10 = 40 (first run exhausted)
+    assert(s.map(_.dts) === Seq(0L, 40L))
+    assert(s.map(_.size) === Seq(100L, 104L))
+    // chunks: 1,1,1 | 2,2,2 | 3,3 -> sample 5 is the 2nd of chunk 2
+    assert(s.map(_.chunk) === Seq(1, 2))
+    // offset of sample 5 = chunk-2 base + size(sample 4)
+    val mdatPayload = b.length - (0 until 8).map(i => 100L + i).sum
+    assert(s(0).offset === mdatPayload)
+    assert(s(1).offset === mdatPayload + (100 + 101 + 102) + 103)
+  }
+
+  test("mp4SyncSamples: missing stss means every sample is sync") {
+    val b = Multimodal.makeMp4Tracks(1, 600, (2, 5L), (2, 7L),
+      Seq(10L, 11L, 12L, 13L), spc1 = 2, chunks2From = 2, spc2 = 2,
+      withStss = false)
+    val all = Multimodal.mp4SyncSamples(b).get
+    assert(all.map(_.sample) === Seq(1, 2, 3, 4))
+    assert(all.map(_.dts) === Seq(0L, 5L, 10L, 17L))
+    val withS = Multimodal.mp4SyncSamples(Multimodal.makeMp4Tracks(1, 600,
+      (2, 5L), (2, 7L), Seq(10L, 11L, 12L, 13L), 2, 2, 2)).get
+    assert(withS.map(_.sample) === Seq(1))
+  }
+
+  test("mp4SyncSamples: truncation and corrupt tables reject cleanly") {
+    val b = Multimodal.makeMp4Tracks(1, 1000, (3, 10L), (3, 10L),
+      (0 until 6).map(_ => 50L), spc1 = 3, chunks2From = 2, spc2 = 3)
+    assert(Multimodal.mp4SyncSamples(b).isDefined)
+    for (cut <- Seq(30, 100, b.length / 2)) {
+      val t = Multimodal.mp4SyncSamples(b.take(cut))
+      assert(t === None || t.get.isEmpty || t.isDefined) // never throws
+    }
+    assert(Multimodal.mp4SyncSamples("nope".getBytes("US-ASCII")) === None)
+    assert(Multimodal.mp4SyncSamples(null) === None)
+  }
+
+  test("wavSegments: hand-derived islands, partial window, threshold tie") {
+    // 5 windows of 4 samples: |amp| means 100, 600, 700, 100, 600 with
+    // threshold 500 -> segments [1..2], [4..4]
+    val amps = Seq(100, 600, 700, 100, 600)
+    val samples = amps.zipWithIndex.flatMap { case (a, w) =>
+      (0 until 4).map(i => if (i % 2 == 1) -a else a)
+    }
+    val b = Multimodal.makeWavSamples(8000, samples)
+    val s = Multimodal.wavSegments(b, 4, 500000L).get
+    assert(s.map(x => (x.seg, x.winFrom, x.winTo, x.nSamples, x.absSum)) ===
+      Seq((1, 1, 2, 8L, (600 + 700) * 4L), (2, 4, 4, 4L, 2400L)))
+    // a mean EXACTLY at the threshold is silence (strict >)
+    val tie = Multimodal.makeWavSamples(8000, Seq(500, -500, 500, -500))
+    assert(Multimodal.wavSegments(tie, 4, 500000L).get === Seq())
+    // partial final window gates on its own count
+    val part = Multimodal.makeWavSamples(8000, Seq(0, 0, 0, 0, 900, -900))
+    val p = Multimodal.wavSegments(part, 4, 500000L).get
+    assert(p === Seq(Multimodal.WavSegment(1, 1, 1, 2L, 1800L)))
+  }
+
+  test("wavSegments: envelope — non-PCM16 and empty reject") {
+    assert(Multimodal.wavSegments("RIFF".getBytes("US-ASCII"), 4, 1L) === None)
+    assert(Multimodal.wavSegments(Multimodal.makeWavSamples(8000, Seq()), 4, 1L) === None)
+    assert(Multimodal.wavSegments(null, 4, 1L) === None)
+  }
+
+  test("jpegExif: both byte orders round-trip; base image still decodes") {
+    val base = Multimodal.makeJpegPixels(2, 1, 1, 6000L)
+    for (big <- Seq(false, true)) {
+      val j = Multimodal.withExif(base, big, orientation = 6,
+        make = "CamCo", dateTime = "2026:08:14 10:00:00",
+        pixelW = 1600L, pixelH = 900L)
+      val e = Multimodal.jpegExif(j).get
+      assert(e === Multimodal.JpegExif(if (big) "MM" else "II", 6,
+        "CamCo", "2026:08:14 10:00:00", 1600L, 900L))
+      // the inserted APP1 is transparent to the pixel decoder
+      assert(Multimodal.jpegGraySums(j) === Multimodal.jpegGraySums(base))
+    }
+  }
+
+  test("jpegExif: envelope — absent, truncated, corrupt all reject") {
+    val base = Multimodal.makeJpegPixels(2, 1, 1, 6001L)
+    assert(Multimodal.jpegExif(base) === None)
+    val j = Multimodal.withExif(base, bigEndian = false, 3, "M",
+      "2026:01:01 00:00:00", 10L, 10L)
+    assert(Multimodal.jpegExif(j.take(20)) === None)
+    // flip the TIFF magic
+    val k = j.clone()
+    val magicAt = j.indexOfSlice("II".getBytes("US-ASCII"))
+    k(magicAt + 2) = 0x2b.toByte // 42 -> 43
+    assert(Multimodal.jpegExif(k) === None)
+    assert(Multimodal.jpegExif(null) === None)
+  }
 }
