@@ -166,16 +166,24 @@ object Bench {
       val script = new java.io.File("scripts/baseline_sf.py")
       if (!script.exists()) return None
       try {
+        // stderr merges into stdout (the ensureSfData discipline): a
+        // child filling a separate stderr pipe past the OS buffer would
+        // deadlock against our readAllBytes-on-stdout. The B-id regex
+        // extraction is line-noise-tolerant, so merged streams are safe.
         val p = new ProcessBuilder(
-          "python3", script.getPath, dir, "1").start()
+          "python3", script.getPath, dir, "1")
+          .redirectErrorStream(true).start()
         val outStr = new String(p.getInputStream.readAllBytes())
-        p.getErrorStream.readAllBytes()
         if (p.waitFor() != 0) None
         else {
           val m = """"(B\d+)": ?([0-9.eE+-]+)""".r
             .findAllMatchIn(outStr)
             .map(g => g.group(1) -> g.group(2).toDouble).toMap
-          if (m.size == headline.size) Some(m) else None
+          // key IDENTITY, not size: a renamed/reordered baseline set of
+          // the same cardinality must omit the live block, not crash the
+          // map lookups downstream
+          if (headline.forall { case (_, bid) => m.contains(bid) }) Some(m)
+          else None
         }
       } catch { case _: Exception => None }
     }

@@ -206,6 +206,15 @@ object TextFunctions extends Serializable {
           if (i == 0) c.toString else "##" + c
         } -> f
       }
+    // the exact Long score comparison below multiplies three counts each
+    // bounded by the total symbol-instance count F; F ≤ 2·10⁶ keeps
+    // F³ < 2⁶³. Training is a bounded-sample operation by contract
+    // (sample the corpus first at scale) — fail loudly rather than let
+    // the cross-multiplication wrap and silently invert merge decisions.
+    val totalSyms = words.iterator.map { case (w, f) => f * w.length }.sum
+    require(totalSyms <= 2000000L,
+      s"wordpieceTrain: $totalSyms symbol instances exceed the exact-Long " +
+        "scoring bound (2e6) — train on a corpus sample")
     val base = words.keys.flatten.toVector.distinct.sorted
     val pieces = Vector.newBuilder[String]
     pieces ++= base

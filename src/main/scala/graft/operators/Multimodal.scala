@@ -543,6 +543,14 @@ object Multimodal {
         if (stscP + 8 + 12L * nSc > stscE) bad()
         val scRuns = (0 until nSc).map(r =>
           (u32(stscP + 8 + 12L * r), u32(stscP + 12 + 12L * r)))
+        // ISO 14496-12: the first entry must cover chunk 1 and
+        // first_chunk must strictly increase — anything else would make
+        // the resolver emit confident garbage, which the envelope
+        // forbids (reject, never mis-resolve)
+        if (scRuns.isEmpty || scRuns.head._1 != 1L ||
+          scRuns.exists(_._2 <= 0L) ||
+          scRuns.sliding(2).exists(p => p.length == 2 && p(1)._1 <= p(0)._1))
+          bad()
         // stco: chunk base offsets
         val (stcoP, stcoE) = need("stco")
         val nCh = guard(u32(stcoP + 4))
@@ -574,8 +582,13 @@ object Multimodal {
             if (chunk > nCh) bad()
             chunkOff = chunkBase(chunk - 1)
           }
-          if (sync.contains(i))
+          if (sync.contains(i)) {
+            // a resolved offset must be backed by bytes — a truncated
+            // download (mdat cut short) rejects instead of emitting a
+            // seek position past EOF
+            if (chunkOff + sizes(i) > b.length) bad()
             out += Mp4Sample(trackId, timescale, i, dts, sizes(i), chunk, chunkOff)
+          }
           chunkOff += sizes(i)
           inChunk += 1
           dts += deltaV(i - 1)
@@ -2232,15 +2245,21 @@ object Multimodal {
       while (!halt && app1 < 0 && o + 4 <= b.length) {
         if ((b(o) & 0xff) != 0xff) halt = true
         else {
-          val m = b(o + 1) & 0xff
-          if ((m >= 0xd0 && m <= 0xd7) || m == 0x01) o += 2
-          else if (m == 0xda) halt = true
+          // JPEG permits any run of 0xFF FILL bytes before the marker
+          // code — skip them, or a spec-legal padded file loses its EXIF
+          while (o + 1 < b.length && (b(o + 1) & 0xff) == 0xff) o += 1
+          if (o + 4 > b.length) halt = true
           else {
-            val len = ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
-            if (len < 2 || o + 2 + len > b.length) halt = true
+            val m = b(o + 1) & 0xff
+            if ((m >= 0xd0 && m <= 0xd7) || m == 0x01) o += 2
+            else if (m == 0xda) halt = true
             else {
-              if (m == 0xe1) { app1 = o + 4; app1Len = len - 2 }
-              o += 2 + len
+              val len = ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+              if (len < 2 || o + 2 + len > b.length) halt = true
+              else {
+                if (m == 0xe1) { app1 = o + 4; app1Len = len - 2 }
+                o += 2 + len
+              }
             }
           }
         }

@@ -584,7 +584,7 @@ object Curation extends QueryBlock {
     */
   def writePdfImageFixture(s: SparkSession, dir: String): String = {
     import graft.operators.{Multimodal, PdfText}
-    val pdfDir = s"$scratch/pdf_img"
+    val pdfDir = s"$scratch/pdf_img_${new java.io.File(dir).getName}"
     val fd = new java.io.File(pdfDir)
     java.nio.file.Files.createDirectories(fd.toPath)
     fd.listFiles().foreach(_.delete())
@@ -658,7 +658,7 @@ object Curation extends QueryBlock {
         s"strpos('123456789ABCDEF', substr(H, 2*(a + ($k)), 1)))"
     def be16(k: Int) = s"(256*${hb(k.toString)} + ${hb((k + 1).toString)})"
     s"""WITH b AS (SELECT regexp_extract(filename, '([^/]+)$$', 1) AS fname,
-        hex(content) AS H FROM read_blob('$scratch/pdf_img/*.pdf')),
+        hex(content) AS H FROM read_blob('$scratch/pdf_img_${graft.queries.LlmPipeline.SfToken}/*.pdf')),
       an AS (SELECT fname, H, (strpos(H, 'FFD8FFE0') - 1) // 2 AS a,
         CAST(substr(fname, 2, 4) AS BIGINT) % 3 AS m FROM b),
       hdr AS (SELECT fname, H, a, m, ${be16(97)} AS w, ${be16(95)} AS ht,

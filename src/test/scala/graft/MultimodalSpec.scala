@@ -650,12 +650,22 @@ class MultimodalSpec extends AnyFunSuite {
     val b = Multimodal.makeMp4Tracks(1, 1000, (3, 10L), (3, 10L),
       (0 until 6).map(_ => 50L), spc1 = 3, chunks2From = 2, spc2 = 3)
     assert(Multimodal.mp4SyncSamples(b).isDefined)
-    for (cut <- Seq(30, 100, b.length / 2)) {
-      val t = Multimodal.mp4SyncSamples(b.take(cut))
-      assert(t === None || t.get.isEmpty || t.isDefined) // never throws
+    // any truncation must REJECT: either the tables are gone, or the
+    // resolved offsets are no longer backed by bytes (mdat cut short)
+    // b.length - 60 cuts into the LAST sync sample's bytes (offset 589,
+    // size 50) — the emitted offset would no longer be byte-backed
+    for (cut <- Seq(30, 100, b.length / 2, b.length - 60)) {
+      assert(Multimodal.mp4SyncSamples(b.take(cut)) === None)
     }
     assert(Multimodal.mp4SyncSamples("nope".getBytes("US-ASCII")) === None)
     assert(Multimodal.mp4SyncSamples(null) === None)
+    // malformed stsc (first entry not covering chunk 1) rejects instead
+    // of resolving confident garbage — flip first_chunk 1 -> 2
+    val hex = b.map(x => f"${x & 0xff}%02X").mkString
+    val stscAt = hex.indexOf("73747363") / 2 // 'stsc' tag byte offset
+    val k = b.clone()
+    k(stscAt + 4 + 4 + 4 + 3) = 2.toByte // first entry first_chunk u32 LSB
+    assert(Multimodal.mp4SyncSamples(k) === None)
   }
 
   test("wavSegments: hand-derived islands, partial window, threshold tie") {
@@ -710,5 +720,9 @@ class MultimodalSpec extends AnyFunSuite {
     k(magicAt + 2) = 0x2b.toByte // 42 -> 43
     assert(Multimodal.jpegExif(k) === None)
     assert(Multimodal.jpegExif(null) === None)
+    // spec-legal 0xFF fill padding before the APP1 marker must not
+    // lose the EXIF (review finding r10)
+    val padded = j.take(2) ++ Array.fill(3)(0xff.toByte) ++ j.drop(2)
+    assert(Multimodal.jpegExif(padded) === Multimodal.jpegExif(j))
   }
 }

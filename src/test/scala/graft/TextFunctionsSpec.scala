@@ -181,4 +181,15 @@ class TextFunctionsSpec extends AnyFunSuite {
     if (costs.contains("the") && costs.contains("quick"))
       assert(costs("the") < costs("quick"))
   }
+
+  test("wordpieceTrain: corpus beyond the exact-Long scoring bound fails loudly") {
+    // 3e6 symbol instances would let the cross-multiplied score wrap —
+    // the API must refuse, not silently invert merge decisions
+    val e = intercept[IllegalArgumentException](
+      graft.TextFunctions.wordpieceTrain(Map("abc" -> 1000000L), nMerges = 1))
+    assert(e.getMessage.contains("scoring bound"))
+    // at the bound it still trains
+    assert(graft.TextFunctions.wordpieceTrain(Map("ab" -> 1000000L), nMerges = 1)
+      .contains("ab"))
+  }
 }
