@@ -2864,6 +2864,63 @@ object Curation extends QueryBlock {
     // The oracle re-derives every record's mime label, title and
     // extracted text from construction. Scan-local per record; zero
     // shuffle at any archive size.
+    // E93 — ZIP ARCHIVE ingest (r10): the container data drops and
+    // scraped bundles actually arrive in, which detect_mime (e74) could
+    // already label but nothing could open. operators.ZipArchive is
+    // central-directory-driven per APPNOTE: EOCD located backward
+    // through the comment region with an exact-EOF self-consistency
+    // check, member data resolved through each entry's LOCAL header
+    // (whose lengths may legally differ from the central copy), stored
+    // + raw-deflate decode, and the CRC-32 of every member VERIFIED —
+    // corruption rejects the archive, never yields wrong bytes. The
+    // fixture packs 8 members per archive with stored/deflated
+    // alternation and nested member paths; the oracle re-derives every
+    // member's name, method, size and full text from doc_id
+    // construction. Per-file scan-local, zero shuffle.
+    "e93_zip_ingest" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.ZipArchive
+        val zDir = s"$scratch/zips_${new java.io.File(dir).getName}"
+        val fd = new java.io.File(zDir)
+        java.nio.file.Files.createDirectories(fd.toPath)
+        fd.listFiles().foreach(_.delete())
+        val ids = t(s, dir, "documents")
+          .filter(col("text").isNotNull &&
+            col("doc_id") >= 360 && col("doc_id") < 400)
+          .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+        ids.grouped(8).zipWithIndex.foreach { case (group, g) =>
+          val entries = group.toSeq.map { id =>
+            val body = (0 until 30)
+              .map(i => ('a' + (id * 3 + i.toLong * 11) % 26).toChar).mkString
+            (s"docs/d$id.txt", body.getBytes("UTF-8"), id % 2 == 1)
+          }
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(f"$zDir/z$g%02d.zip"),
+            ZipArchive.makeZip(entries))
+        }
+        val ex = udf((b: Array[Byte]) =>
+          ZipArchive.members(b).getOrElse(Seq.empty).map(m =>
+            (m.name, m.method, m.size, new String(m.data, "UTF-8"))))
+        s.read.format("binaryFile").load(zDir)
+          .select(regexp_extract(col("path"), "([^/]+)$", 1).as("fname"),
+            explode(ex(col("content"))).as("m"))
+          .select(col("fname"), col("m._1").as("member"),
+            col("m._2").as("method"), col("m._3").as("n_bytes"),
+            col("m._4").as("text"))
+          .orderBy(col("fname"), col("member"))
+      },
+      Some("""WITH d AS (SELECT doc_id,
+            ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS rn
+          FROM documents WHERE text IS NOT NULL
+            AND doc_id >= 360 AND doc_id < 400)
+        SELECT 'z' || lpad(CAST(rn // 8 AS VARCHAR), 2, '0') || '.zip' AS fname,
+          'docs/d' || CAST(doc_id AS VARCHAR) || '.txt' AS member,
+          CAST(CASE WHEN doc_id % 2 = 1 THEN 8 ELSE 0 END AS INTEGER) AS method,
+          CAST(30 AS BIGINT) AS n_bytes,
+          array_to_string(list_transform(generate_series(0, 29),
+            i -> chr(CAST(97 + (doc_id * 3 + i * 11) % 26 AS INT))), '') AS text
+        FROM d ORDER BY fname, member""")),
+
     "e75_mixed_ingest" -> QueryDef(
       (s, dir) => {
         import graft.operators.PdfText

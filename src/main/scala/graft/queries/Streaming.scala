@@ -1035,7 +1035,36 @@ object Streaming extends QueryBlock {
             "d24_sink", mode = "append")
           .orderBy(col("fname"))
       },
-      Some(Curation.pdfImageOracleSql))
+      Some(Curation.pdfImageOracleSql)),
+
+    // D25 — the KNESER-NEY perplexity filter as a STREAM (e92's
+    // deployment shape: the model trains offline on the existing
+    // corpus; arriving documents score against it). The count tables
+    // come from the same batch construction; the stream side left-joins
+    // them per-bigram (stream-static — the model broadcasts at scale),
+    // computes the exact integer num/den per row, and aggregates
+    // per-(doc, bigram) with num/den carried by min() since they are
+    // constants within a group; the per-doc sorted fold happens
+    // post-sink exactly as in d14. Joining BEFORE the streaming
+    // aggregate (where e92 aggregates first) is the required stream
+    // order; the result is identical and shares e92's oracle verbatim.
+    "d25_stream_kn" -> QueryDef(
+      (s, dir) => {
+        val biB = LlmPipeline.knBigrams(Tables(s, dir, "documents"))
+        val (c12, c1, ct, totT) = LlmPipeline.knModel(biB)
+        val st = LlmPipeline.knNumDen(
+          LlmPipeline.knBigrams(EventStreams.documents(s, dir))
+            .filter(col("doc_id") < 350)
+            .join(c12, Seq("w1", "w2"), "left")
+            .join(c1, Seq("w1"), "left")
+            .join(ct, Seq("w2"), "left"), totT)
+          .groupBy(col("doc_id"), col("w1"), col("w2"))
+          .agg(count(lit(1)).as("k"),
+            min(col("num")).as("num"), min(col("den")).as("den"))
+        LlmPipeline.knScoreOf(
+          EventStreams.runToTable(s, st, "d25_sink"))
+      },
+      Some(LlmPipeline.knOracleSql))
   )
 }
 

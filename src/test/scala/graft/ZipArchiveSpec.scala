@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.ZipArchive
+
+class ZipArchiveSpec extends AnyFunSuite {
+
+  private def b(s: String) = s.getBytes("UTF-8")
+
+  test("stored + deflated members round-trip with verified CRCs") {
+    val entries = Seq(
+      ("a.txt", b("hello zip"), false),
+      ("dir/b.txt", b("compressed content " * 20), true),
+      ("c.bin", Array.tabulate(256)(_.toByte), false))
+    val z = ZipArchive.makeZip(entries)
+    val m = ZipArchive.members(z).get
+    assert(m.map(_.name) === Seq("a.txt", "dir/b.txt", "c.bin"))
+    assert(m.map(_.method) === Seq(0, 8, 0))
+    m.zip(entries).foreach { case (got, (_, want, _)) =>
+      assert(got.data.toSeq === want.toSeq)
+      assert(got.size === want.length.toLong)
+    }
+    // deflate actually compressed the repetitive member
+    assert(m(1).compSize < m(1).size)
+  }
+
+  test("non-ASCII UTF-8 member names survive (language flag set)") {
+    val z = ZipArchive.makeZip(Seq(("日本語/файл.txt", b("x"), true)))
+    assert(ZipArchive.members(z).get.head.name === "日本語/файл.txt")
+  }
+
+  test("a flipped payload byte breaks the CRC and rejects the archive") {
+    val z = ZipArchive.makeZip(Seq(("a.txt", b("payload bytes here"), false)))
+    val at = new String(z, "ISO-8859-1").indexOf("payload")
+    val k = z.clone(); k(at) = 'X'.toByte
+    assert(ZipArchive.members(k) === None)
+  }
+
+  test("EOCD is found through a trailing comment; garbage tails reject") {
+    val z = ZipArchive.makeZip(Seq(("a.txt", b("x"), false)))
+    // a zip with a comment: rewrite the comment length and append
+    val withComment = z.dropRight(2) ++ Array[Byte](4, 0) ++ b("tail")
+    assert(ZipArchive.members(withComment).get.head.name === "a.txt")
+    // appended garbage WITHOUT fixing the comment length: the EOCD
+    // self-consistency check (comment runs to EOF) rejects
+    assert(ZipArchive.members(z ++ b("junk")) === None)
+  }
+
+  test("truncation, encryption and exotic methods reject cleanly") {
+    val z = ZipArchive.makeZip(Seq(("a.txt", b("hello hello hello"), true)))
+    for (cut <- Seq(5, z.length / 2, z.length - 3))
+      assert(ZipArchive.members(z.take(cut)) === None)
+    // flip the central-directory method field to 6 (implode)
+    val cd = new String(z, "ISO-8859-1").lastIndexOf("PK")
+    val k = z.clone(); k(cd + 10) = 6.toByte
+    assert(ZipArchive.members(k) === None)
+    // set the encryption bit in the central flags
+    val k2 = z.clone(); k2(cd + 8) = (k2(cd + 8) | 1).toByte
+    assert(ZipArchive.members(k2) === None)
+    assert(ZipArchive.members(null) === None)
+    assert(ZipArchive.members(b("PK")) === None)
+  }
+
+  test("a lying uncompressed size (zip-bomb header) rejects") {
+    val z = ZipArchive.makeZip(Seq(("a.txt", b("small"), true)))
+    val cd = new String(z, "ISO-8859-1").lastIndexOf("PK")
+    // declare a larger uncompressed size than the stream yields
+    val k = z.clone(); k(cd + 24) = (k(cd + 24) + 1).toByte
+    assert(ZipArchive.members(k) === None)
+  }
+}
