@@ -14,6 +14,7 @@ object SparkEntry {
     graft.queries.Relational2,
     graft.queries.LlmPipeline,
     graft.queries.Curation,
+    graft.queries.CodeCorpus,
     graft.queries.Geometry,
     graft.queries.GeoIO,
     graft.queries.Streaming)

@@ -530,6 +530,26 @@ object Stress {
         failed ::= "e84b bucket join planned as a cartesian/BNLJ, not an equi-join"
     }
 
+    // e92 Kneser-Ney scorer (r10): the fold must consume the
+    // per-(doc, w1, w2) PRE-AGGREGATE — one document contributes its
+    // DISTINCT bigrams, never one double per token — and the three
+    // model joins must stay hash joins (the count tables are
+    // type-bounded and broadcast at scale; a BNLJ/cartesian here would
+    // be corpus² at 100 TB). Executional: the query runs end-to-end on
+    // the 10x corpus.
+    {
+      val q = SparkEntry.queries("e92_kn_bigram")(spark, dir)
+      val plan = q.queryExecution.executedPlan.toString
+      if ("""HashAggregate\(keys=\[doc_id#\d+L?, w1#\d+, w2#\d+\]""".r
+          .findFirstIn(plan).isEmpty)
+        failed ::= "e92: no per-(doc,w1,w2) pre-aggregate in the plan"
+      if (plan.contains("CartesianProduct") || plan.contains("BroadcastNestedLoop"))
+        failed ::= "e92: a model join planned as cartesian/BNLJ"
+      val rows = q.count()
+      println(s"[stress] e92 KN at 10x: $rows docs scored; pre-agg keyed, no cartesian/BNLJ")
+      if (rows == 0) failed ::= "e92: zero docs scored at 10x"
+    }
+
     if (spillBytes.get() > 0)
       failed ::= s"spill: ${spillBytes.get()} bytes spilled across the stress runs"
     if (failed.nonEmpty) {

@@ -743,6 +743,101 @@ object Curation extends QueryBlock {
         array_to_string(list(text ORDER BY text), chr(31)) AS texts
       FROM a GROUP BY target ORDER BY target"""
 
+  /** e97/e97b shared: write the 4-file MediaWiki export fixture —
+    * plain XML, or bzip2-compressed via the in-repo encoder when
+    * `bz2` is set (the form Wikipedia actually publishes). */
+  def writeWikiFixture(s: SparkSession, dir: String, bz2: Boolean): String = {
+    val suffix = if (bz2) "bz" else "xml"
+    val wDir = s"$scratch/wiki${suffix}_${new java.io.File(dir).getName}"
+    val fd = new java.io.File(wDir)
+    java.nio.file.Files.createDirectories(fd.toPath)
+    fd.listFiles().foreach(_.delete())
+    val rows = t(s, dir, "documents")
+      .filter(col("text").isNotNull &&
+        col("doc_id") >= 400 && col("doc_id") < 450)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+      .filter(size(col("toks")) >= 6)
+      .select(col("doc_id"), col("toks")).collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1))).sortBy(_._1)
+    def tok(ts: Seq[String], i: Int): String =
+      ts(i - 1).replaceAll("[^a-z]", "")
+    (0 until 4).foreach { g =>
+      val pages = rows.filter(_._1 % 4 == g).map { case (id, ts) =>
+        val wiki = s"The '''${tok(ts, 1)}''' links [[${tok(ts, 2)}|" +
+          s"${tok(ts, 3)}]] and [[${tok(ts, 4)}]].{{Infobox box}} More " +
+          s"''${tok(ts, 5)}''<ref name=\"a\">cite $id</ref> end.\n" +
+          s"== See also ==\nTail ${id % 13}"
+        val escaped = wiki.replace("&", "&amp;")
+          .replace("<", "&lt;").replace(">", "&gt;")
+        val ns = if (id % 7 == 3) 10 else 0
+        val redirect =
+          if (id % 11 == 5) "<redirect title=\"Other\" />" else ""
+        s"<page>\n<title>Page $id</title>\n<ns>$ns</ns>\n<id>$id</id>\n" +
+          redirect +
+          s"<revision><id>${id}00</id><text bytes=\"${escaped.length}\">" +
+          escaped + "</text></revision>\n</page>"
+      }.mkString("\n")
+      val xml = ("<mediawiki>\n" + pages + "\n</mediawiki>").getBytes("UTF-8")
+      val (name, bytes) =
+        if (bz2) (s"dump$g.xml.bz2", graft.operators.Bzip2.compress(xml))
+        else (s"dump$g.xml", xml)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$wDir/$name"), bytes)
+    }
+    wDir
+  }
+
+  /** e97/e97b shared: pages out of an `xml`-columned relation — scoped
+    * block extraction, ns/redirect filters, XML unescape, and the
+    * wikitext cleanup chain. */
+  def wikiProject(raw: DataFrame): DataFrame =
+    raw.select(explode(regexp_extract_all(col("xml"),
+        lit("(?s)<page>(.*?)</page>"), lit(1))).as("page"))
+      .filter(regexp_extract(col("page"), "<ns>([0-9]+)</ns>", 1) === "0")
+      .filter(!col("page").contains("<redirect"))
+      .select(
+        regexp_extract(col("page"), "<id>([0-9]+)</id>", 1)
+          .cast("long").as("page_id"),
+        regexp_extract(col("page"), "<title>([^<]*)</title>", 1).as("title"),
+        regexp_extract(col("page"),
+          "(?s)<text bytes=\"[0-9]*\">(.*?)</text>", 1).as("raw"))
+      .withColumn("unescaped",
+        expr("replace(replace(replace(raw, '&lt;', '<'), '&gt;', '>'), '&amp;', '&')"))
+      .withColumn("clean",
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          regexp_replace(regexp_replace(regexp_replace(
+            col("unescaped"),
+            "\\{\\{.*?\\}\\}", ""),
+            "(?s)<ref[^>]*>.*?</ref>", ""),
+            "\\[\\[([^|\\]]*)\\|([^\\]]*)\\]\\]", "$2"),
+            "\\[\\[([^\\]]*)\\]\\]", "$1"),
+            "'''", ""),
+            "''", ""),
+            "(?m)^==+ *(.*?) *==+$", "$1"))
+      .select(col("page_id"), col("title"), col("clean"))
+
+  /** The e97/e97b oracle: the expected CLEANED text built directly
+    * from token construction — an independent closed form covering
+    * escape round-trip, page scoping, both filters and every cleanup
+    * rule. */
+  val wikiOracleSql: String =
+    """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+        FROM documents WHERE text IS NOT NULL
+          AND doc_id >= 400 AND doc_id < 450),
+      f AS (SELECT doc_id, toks FROM d
+        WHERE len(toks) >= 6 AND doc_id % 7 <> 3 AND doc_id % 11 <> 5),
+      tk AS (SELECT doc_id,
+          regexp_replace(toks[1], '[^a-z]', '', 'g') AS t1,
+          regexp_replace(toks[3], '[^a-z]', '', 'g') AS t3,
+          regexp_replace(toks[4], '[^a-z]', '', 'g') AS t4,
+          regexp_replace(toks[5], '[^a-z]', '', 'g') AS t5
+        FROM f)
+      SELECT doc_id AS page_id, 'Page ' || doc_id AS title,
+        'The ' || t1 || ' links ' || t3 || ' and ' || t4 || '. More '
+          || t5 || ' end.' || chr(10) || 'See also' || chr(10)
+          || 'Tail ' || doc_id % 13 AS clean
+      FROM tk ORDER BY page_id"""
+
   /** Construction oracle for the PDF fixture — shared by e72 and d22. */
   val pdfOracleSql: String =
     """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,
@@ -2920,6 +3015,53 @@ object Curation extends QueryBlock {
           array_to_string(list_transform(generate_series(0, 29),
             i -> chr(CAST(97 + (doc_id * 3 + i * 11) % 26 AS INT))), '') AS text
         FROM d ORDER BY fname, member""")),
+
+    // E97 — WIKIPEDIA-DUMP ingest (r10): the single most-used clean
+    // corpus source. MediaWiki export XML parsed with the e73 scoped-
+    // block discipline (pages extracted non-greedily, fields read
+    // INSIDE their block), the two standard exclusions applied —
+    // non-article namespaces (ns=10 templates planted) and redirects —
+    // and the text node XML-UNESCAPED (dumps escape &<>; decode order
+    // &lt;/&gt; before &amp; so double-encoding cannot smuggle markup).
+    // Wikitext then cleans through the published rule chain: {{...}}
+    // templates out, <ref>...</ref> out, [[target|label]] → label,
+    // [[target]] → target, bold/italic quote runs stripped, == X ==
+    // headings → X. The ORACLE builds the expected CLEANED text
+    // directly from token construction — an independent closed form,
+    // so every stage (escape round-trip, page scoping, filters, each
+    // cleanup rule) must compose correctly or rows diverge. Per-file
+    // parallel parse, scan-local, zero shuffle.
+    "e97_wiki_dump" -> QueryDef(
+      (s, dir) => {
+        val wDir = writeWikiFixture(s, dir, bz2 = false)
+        wikiProject(s.read.format("binaryFile").load(wDir)
+          .select(col("content").cast("string").as("xml")))
+          .orderBy(col("page_id"))
+      },
+      Some(wikiOracleSql)),
+
+    // E97B — the SAME dump pipeline through .xml.bz2 (r10): Wikipedia
+    // publishes dumps bzip2-compressed, and the JDK has no codec —
+    // operators.Bzip2 is a from-scratch decoder (MSB-first bitstream,
+    // multi-group Huffman with selectors, RLE2/MTF, inverse BWT, RLE1,
+    // both bzip2 CRC layers verified) proven BIDIRECTIONALLY
+    // interoperable with real libbz2 (it decodes libbz2's multi-table
+    // streams; libbz2 decodes its fixture output — Bzip2Spec + the
+    // recorded interop check). The fixture here compresses the e97 XML
+    // with the in-repo encoder; extraction shares e97's projection and
+    // oracle VERBATIM, so a single wrong decoded byte anywhere in the
+    // Huffman/BWT/RLE stack shifts a page row and goes red.
+    "e97b_wiki_bz2" -> QueryDef(
+      (s, dir) => {
+        val wDir = writeWikiFixture(s, dir, bz2 = true)
+        val unbz = udf((b: Array[Byte]) =>
+          graft.operators.Bzip2.decompress(b).map(new String(_, "UTF-8")))
+        wikiProject(s.read.format("binaryFile").load(wDir)
+          .select(unbz(col("content")).as("xml")))
+          .orderBy(col("page_id"))
+      },
+      Some(wikiOracleSql)),
+
 
     "e75_mixed_ingest" -> QueryDef(
       (s, dir) => {

@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Bzip2
+
+class Bzip2Spec extends AnyFunSuite {
+
+  private def rt(data: Array[Byte]): Unit = {
+    val z = Bzip2.compress(data)
+    assert(z.take(3).toSeq === "BZh".getBytes("US-ASCII").toSeq)
+    val back = Bzip2.decompress(z)
+    assert(back.isDefined, "decompress returned None")
+    assert(back.get.toSeq === data.toSeq)
+  }
+
+  test("round-trips: text, runs, binary, single byte, all-equal") {
+    rt("hello bzip2 world".getBytes("UTF-8"))
+    rt("banana banana banana banana".getBytes("UTF-8"))
+    rt(("abc" * 300 + "xyzzy" + "\n" * 10).getBytes("UTF-8"))
+    rt(Array.tabulate(1000)(i => ((i * 7 + i * i) % 251).toByte))
+    rt(Array[Byte](42))
+    rt(Array.fill(500)(7.toByte)) // long equal run exercises RLE1 both ways
+    rt(Array.fill(259)(9.toByte)) // exactly the RLE1 run cap
+    val mixed = (0 until 2000).map(i =>
+      if (i % 37 < 5) 'a'.toByte else ('a' + i % 17).toByte).toArray
+    rt(mixed)
+  }
+
+  test("wikipedia-dump-shaped XML round-trips") {
+    val xml = ("<mediawiki><page><title>Page 1</title><ns>0</ns>" +
+      "<text>The '''quick''' [[fox|brown]] jumps {{over}} lazy dogs. " * 30 +
+      "</text></page></mediawiki>").getBytes("UTF-8")
+    rt(xml)
+  }
+
+  test("corruption rejects: flipped payload byte breaks the block CRC") {
+    val z = Bzip2.compress("the corpus payload to protect".getBytes("UTF-8"))
+    // flip one bit somewhere in the symbol stream (past the headers)
+    val k = z.clone()
+    k(k.length / 2) = (k(k.length / 2) ^ 0x10).toByte
+    assert(Bzip2.decompress(k) === None)
+  }
+
+  test("truncation and garbage reject cleanly, never throw") {
+    val z = Bzip2.compress(("abcdef" * 50).getBytes("UTF-8"))
+    for (cut <- Seq(2, 4, 10, z.length / 2, z.length - 2))
+      assert(Bzip2.decompress(z.take(cut)) === None)
+    assert(Bzip2.decompress("BZh9not really".getBytes("UTF-8")) === None)
+    assert(Bzip2.decompress("random bytes".getBytes("UTF-8")) === None)
+    assert(Bzip2.decompress(null) === None)
+    assert(Bzip2.decompress(Array.emptyByteArray) === None)
+  }
+
+  test("wrong stream level digit and bad magics reject") {
+    val z = Bzip2.compress("x".getBytes("UTF-8"))
+    val k = z.clone(); k(3) = '0'.toByte
+    assert(Bzip2.decompress(k) === None)
+    val k2 = z.clone(); k2(4) = (k2(4) ^ 0x80).toByte // first magic bit
+    assert(Bzip2.decompress(k2) === None)
+  }
+}
