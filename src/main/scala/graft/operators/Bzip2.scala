@@ -323,12 +323,34 @@ object Bzip2 {
     } catch { case _: Exception => None }
   }
 
-  /** Fixture compressor: one block (input must fit level 1's 100000
-    * bytes after RLE1), rotation-sort BWT, fixed-length Huffman with
-    * two identical groups and all-zero selectors — legal bzip2 that
-    * any conforming decoder (including real bunzip2) reads.
+  /** Fixture compressor: MULTI-BLOCK level-1 bzip2 — input split into
+    * 80000-byte segments (RLE1's worst case expands 4→5, so a segment
+    * always fits the 100000-byte block bound), each compressed by
+    * [[compressBlock]], with the combined stream CRC chained
+    * rotate-left-1-then-xor per the format. Legal bzip2 that any
+    * conforming decoder (including real bunzip2) reads, and the
+    * fixture path that exercises the decoder's multi-block loop.
     */
   def compress(input: Array[Byte]): Array[Byte] = {
+    // blocks are bit-packed back to back with NO byte alignment between
+    // them, so the whole stream flows through one BitWriter and only
+    // the final partial byte pads
+    val bw = new BitWriter()
+    var combined = 0
+    var off = 0
+    do {
+      val end = math.min(off + 80000, input.length)
+      combined = ((combined << 1) | (combined >>> 31)) ^
+        compressBlock(java.util.Arrays.copyOfRange(input, off, end), bw)
+      off = end
+    } while (off < input.length)
+    bw.bits(EndMagic, 48)
+    bw.bits(combined.toLong & 0xffffffffL, 32)
+    "BZh1".getBytes("US-ASCII") ++ bw.result()
+  }
+
+  /** One block's bits into `bw`; returns the block CRC. */
+  private def compressBlock(input: Array[Byte], bw: BitWriter): Int = {
     // ---- RLE1: runs of 4..255+4 become 4 bytes + count ----
     val rle1 = {
       val o = new java.io.ByteArrayOutputStream()
@@ -349,7 +371,7 @@ object Bzip2 {
       o.toByteArray
     }
     val n = rle1.length
-    require(n > 0 && n <= 100000, s"fixture block must fit level 1: $n")
+    require(n > 0 && n <= 100000, s"segment must fit a level-1 block after RLE1: $n")
     // ---- BWT by rotation sort ----
     val idx = (0 until n).toArray.map(Integer.valueOf)
     java.util.Arrays.sort(idx, new java.util.Comparator[Integer] {
@@ -415,7 +437,6 @@ object Bzip2 {
     if (codeLen < 2) codeLen = 2 // delta coding needs 1..20; keep ≥ 2
     val nSelectors = (syms.length + 49) / 50
     val blockCrc = crcOf(input, 0, input.length)
-    val bw = new BitWriter()
     bw.bits(BlockMagic, 48)
     bw.bits(blockCrc.toLong & 0xffffffffL, 32)
     bw.bit(0) // not randomized
@@ -454,10 +475,6 @@ object Bzip2 {
     }
     // with equal lengths the canonical code of symbol s is s itself
     syms.foreach(s => bw.bits(s.toLong, codeLen))
-    bw.bits(EndMagic, 48)
-    val combined = blockCrc // one block: combined = rotl(0) ^ crc
-    bw.bits(combined.toLong & 0xffffffffL, 32)
-    val body = bw.result()
-    ("BZh1".getBytes("US-ASCII")) ++ body
+    blockCrc
   }
 }

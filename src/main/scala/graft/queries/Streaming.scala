@@ -1064,7 +1064,30 @@ object Streaming extends QueryBlock {
         LlmPipeline.knScoreOf(
           EventStreams.runToTable(s, st, "d25_sink"))
       },
-      Some(LlmPipeline.knOracleSql))
+      Some(LlmPipeline.knOracleSql)),
+
+    // D26 — the WIKIPEDIA .xml.bz2 pipeline as a STREAM (e97b's
+    // deployment shape: dump shards landing in a drop directory,
+    // decompressed and page-extracted per trigger). Per-file work is
+    // stateless — bzip2 decode + scoped page extraction + wikitext
+    // cleanup are all within-file — so the stream is a pure append map,
+    // slicing-independent by construction, sharing e97's fixture and
+    // oracle verbatim (the d22/d24 pattern).
+    "d26_stream_wiki" -> QueryDef(
+      (s, dir) => {
+        val wDir = Curation.writeWikiFixture(s, dir, bz2 = true)
+        val unbz = udf((b: Array[Byte]) =>
+          graft.operators.Bzip2.decompress(b).map(new String(_, "UTF-8")))
+        val raw = s.readStream.format("binaryFile")
+          .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+          .option("maxFilesPerTrigger", "1")
+          .load(wDir)
+          .select(unbz(col("content")).as("xml"))
+        EventStreams.runToTable(s, Curation.wikiProject(raw),
+            "d26_sink", mode = "append")
+          .orderBy(col("page_id"))
+      },
+      Some(Curation.wikiOracleSql))
   )
 }
 
