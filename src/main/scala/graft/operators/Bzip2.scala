@@ -51,11 +51,11 @@ object Bzip2 {
   }
 
   private final class BitReader(b: Array[Byte]) {
-    var pos = 0
+    var pos = 0L // bit cursor in a LONG: a >512 MiB shard overflows Int bits
     def bit(): Int = {
-      val bi = pos >>> 3
+      val bi = (pos >>> 3).toInt
       if (bi >= b.length) throw new IllegalArgumentException("EOF")
-      val v = (b(bi) >> (7 - (pos & 7))) & 1
+      val v = (b(bi) >> (7 - (pos & 7L)).toInt) & 1
       pos += 1
       v
     }
@@ -93,21 +93,37 @@ object Bzip2 {
   def decompress(data: Array[Byte]): Option[Array[Byte]] = {
     try {
       if (data == null || data.length < 14) return None
-      if (data(0) != 'B' || data(1) != 'Z' || data(2) != 'h') return None
-      val level = data(3) - '0'
-      if (level < 1 || level > 9) return None
-      val maxBlock = level * 100000
       val br = new BitReader(data)
-      br.pos = 32
       val out = new java.io.ByteArrayOutputStream()
+      // MULTISTREAM: Wikipedia's standard "multistream" dumps (and
+      // pbzip2/lbzip2 output) are concatenated byte-aligned BZh
+      // streams — after each stream's end magic + CRC the next must
+      // begin immediately, and anything else trailing rejects (the
+      // ZipArchive appended-garbage discipline).
+      var maxBlock = 0
       var combined = 0
       var done = false
+      def streamHeader(): Boolean = {
+        val bi = (br.pos >>> 3).toInt
+        if (bi + 4 > data.length) return false
+        if (data(bi) != 'B' || data(bi + 1) != 'Z' || data(bi + 2) != 'h')
+          return false
+        val level = data(bi + 3) - '0'
+        if (level < 1 || level > 9) return false
+        maxBlock = level * 100000
+        combined = 0
+        br.pos += 32
+        true
+      }
+      if (!streamHeader()) return None
       while (!done) {
         val magic = br.bits(48)
         if (magic == EndMagic) {
           val streamCrc = br.bits(32).toInt
           if (streamCrc != combined) return None
-          done = true
+          br.pos = (br.pos + 7) & ~7L // streams are byte-aligned
+          if ((br.pos >>> 3) == data.length) done = true
+          else if (!streamHeader()) return None // trailing garbage
         } else if (magic != BlockMagic) return None
         else {
           val blockCrc = br.bits(32).toInt
@@ -295,27 +311,33 @@ object Bzip2 {
           i = 0
           while (i < nblock) { pre(i) = bwt(p); p = tt(p); i += 1 }
           // ---- outer RLE1 decode (4 equal bytes + count) ----
-          val blockStart = out.size()
+          // block CRC accumulates INCREMENTALLY as bytes emit — copying
+          // the whole output buffer per block would be quadratic across
+          // a multi-block stream (review finding r10)
+          var crc = 0xffffffff
+          def emit(b: Int): Unit = {
+            crc = (crc << 8) ^ crcTable(((crc >>> 24) ^ b) & 0xff)
+            out.write(b)
+          }
           var run1 = 0
           var last = -1
           i = 0
           while (i < nblock) {
             val b = pre(i) & 0xff
             if (b == last) run1 += 1 else { last = b; run1 = 1 }
-            out.write(b)
+            emit(b)
             i += 1
             if (run1 == 4) {
               if (i >= nblock) return None // count byte missing
               val extra = pre(i) & 0xff
               i += 1
               var e = 0
-              while (e < extra) { out.write(b); e += 1 }
+              while (e < extra) { emit(b); e += 1 }
               run1 = 0
               last = -1
             }
           }
-          val decoded = out.toByteArray
-          if (crcOf(decoded, blockStart, decoded.length) != blockCrc) return None
+          if (~crc != blockCrc) return None
           combined = ((combined << 1) | (combined >>> 31)) ^ blockCrc
         }
       }
@@ -337,6 +359,12 @@ object Bzip2 {
     // the final partial byte pads
     val bw = new BitWriter()
     var combined = 0
+    if (input.isEmpty) {
+      // the legal 14-byte empty stream libbz2 itself emits
+      bw.bits(EndMagic, 48)
+      bw.bits(0L, 32)
+      return "BZh1".getBytes("US-ASCII") ++ bw.result()
+    }
     var off = 0
     do {
       val end = math.min(off + 80000, input.length)

@@ -75,8 +75,15 @@ object ZipArchive {
         if ((flags & 0x1) != 0) return None // encrypted
         if (size > (64L << 20)) return None // zip-bomb declared size
         if (o + 46 + nameLen > eocd) return None
-        val name = new String(b, o + 46, nameLen,
-          if ((flags & 0x800) != 0) "UTF-8" else "IBM437")
+        // IBM437 (the zip default) lives in the OPTIONAL jdk.charsets
+        // module — fall back to ISO-8859-1 on minimal runtimes rather
+        // than rejecting every non-UTF8-flagged archive wholesale
+        val cs =
+          if ((flags & 0x800) != 0) java.nio.charset.StandardCharsets.UTF_8
+          else if (java.nio.charset.Charset.isSupported("IBM437"))
+            java.nio.charset.Charset.forName("IBM437")
+          else java.nio.charset.StandardCharsets.ISO_8859_1
+        val name = new String(b, o + 46, nameLen, cs)
         // member data position resolves through the LOCAL header — its
         // own name/extra lengths, which may differ from the central copy
         if (lho + 30 > b.length || leU32(b, lho.toInt) != 0x04034b50L)

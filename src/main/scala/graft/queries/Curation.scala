@@ -787,6 +787,11 @@ object Curation extends QueryBlock {
     wDir
   }
 
+  /** e97b/d26 shared: bzip2-decompress a binary column to the XML
+    * string (None → null row for an undecodable shard). */
+  val bz2ToXml = udf((b: Array[Byte]) =>
+    graft.operators.Bzip2.decompress(b).map(new String(_, "UTF-8")))
+
   /** e97/e97b shared: pages out of an `xml`-columned relation — scoped
     * block extraction, ns/redirect filters, XML unescape, and the
     * wikitext cleanup chain. */
@@ -3054,10 +3059,8 @@ object Curation extends QueryBlock {
     "e97b_wiki_bz2" -> QueryDef(
       (s, dir) => {
         val wDir = writeWikiFixture(s, dir, bz2 = true)
-        val unbz = udf((b: Array[Byte]) =>
-          graft.operators.Bzip2.decompress(b).map(new String(_, "UTF-8")))
         wikiProject(s.read.format("binaryFile").load(wDir)
-          .select(unbz(col("content")).as("xml")))
+          .select(bz2ToXml(col("content")).as("xml")))
           .orderBy(col("page_id"))
       },
       Some(wikiOracleSql)),

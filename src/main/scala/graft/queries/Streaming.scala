@@ -1076,13 +1076,11 @@ object Streaming extends QueryBlock {
     "d26_stream_wiki" -> QueryDef(
       (s, dir) => {
         val wDir = Curation.writeWikiFixture(s, dir, bz2 = true)
-        val unbz = udf((b: Array[Byte]) =>
-          graft.operators.Bzip2.decompress(b).map(new String(_, "UTF-8")))
         val raw = s.readStream.format("binaryFile")
           .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
           .option("maxFilesPerTrigger", "1")
           .load(wDir)
-          .select(unbz(col("content")).as("xml"))
+          .select(Curation.bz2ToXml(col("content")).as("xml"))
         EventStreams.runToTable(s, Curation.wikiProject(raw),
             "d26_sink", mode = "append")
           .orderBy(col("page_id"))

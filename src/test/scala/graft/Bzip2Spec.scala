@@ -95,4 +95,23 @@ open('$theirs','wb').write(bz2.compress(open('$plain','rb').read()))
     val back = Bzip2.decompress(java.nio.file.Files.readAllBytes(theirs))
     assert(back.isDefined && back.get.toSeq === data.toSeq)
   }
+
+  test("multistream: concatenated BZh streams decode as one corpus; tails reject") {
+    // the Wikipedia 'multistream' dump form: independent streams
+    // back to back, each byte-aligned
+    val a = "first stream part ".getBytes("UTF-8")
+    val b = "second stream part".getBytes("UTF-8")
+    val cat = Bzip2.compress(a) ++ Bzip2.compress(b)
+    assert(Bzip2.decompress(cat).get.toSeq === (a ++ b).toSeq)
+    // appended garbage after a valid stream rejects (the zip discipline)
+    assert(Bzip2.decompress(Bzip2.compress(a) ++ "junk".getBytes("UTF-8")) === None)
+    // a truncated second stream rejects
+    assert(Bzip2.decompress(cat.dropRight(3)) === None)
+  }
+
+  test("empty input round-trips as the legal 14-byte empty stream") {
+    val z = Bzip2.compress(Array.emptyByteArray)
+    assert(z.length === 14)
+    assert(Bzip2.decompress(z).get.isEmpty)
+  }
 }
