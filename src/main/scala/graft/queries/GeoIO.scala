@@ -86,6 +86,56 @@ object GeoIO extends QueryBlock {
         FROM parquet_kv_metadata('$scratch/geo_covering/*.parquet')
         WHERE decode(key) = 'geo'""")),
 
+    // A7 — CRS CARRY-THROUGH as a driver-ORACLE row (r10, the last
+    // geo GOLDEN promotion available): a NON-default CRS declared at
+    // write time must survive the footer encode, land byte-identically
+    // in the parquet key-value metadata (DuckDB reads the same bytes
+    // independently), and decode back out through the engine's own
+    // metadata reader. The a03 oracle shape — the engine under test is
+    // the write+decode path, the oracle is DuckDB's parquet reader.
+    "a08_crs_roundtrip" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val out = s"$scratch/geo_crs"
+        val src = t(s, dir, "nation")
+          .select(col("n_nationkey"),
+            G.st_point(col("n_nationkey").cast("double"),
+              col("n_regionkey").cast("double")).as("geometry"))
+          .coalesce(1)
+        GeoParquet.write(src, out, Seq("geometry"), crs = "EPSG:3857")
+        val meta = GeoParquet.readMetadata(s, out).get
+        Seq(meta.columns("geometry").crs).toDF("crs")
+      },
+      Some(s"""SELECT DISTINCT json_extract_string(decode(value),
+          '$$.columns.geometry.crs') AS crs
+        FROM parquet_kv_metadata('$scratch/geo_crs/*.parquet')
+        WHERE decode(key) = 'geo'""")),
+
+    // B16 — EWKB SRID round-trip as a driver-ORACLE row (r10): per-row
+    // varying SRIDs set through st_setsrid (the EWKB re-encode with the
+    // SRID word) must read back exactly through st_srid, AND the
+    // geometry's coordinates must survive the re-encode (st_x/st_y
+    // decode the EWKB form through the accessor fallback) — a
+    // corrupted flag word or a mis-sized SRID write shifts either the
+    // srid or a coordinate and goes red.
+    "b24_srid_roundtrip" -> QueryDef(
+      (s, dir) => {
+        val pt = G.st_point(col("c_acctbal"), col("c_custkey").cast("double"))
+        t(s, dir, "customer")
+          .filter(col("c_custkey") < 400)
+          .withColumn("e", G.st_setsrid(pt,
+            (lit(3000) + col("c_custkey") % 5).cast("int")))
+          .select(col("c_custkey"),
+            G.st_srid(col("e")).as("srid"),
+            G.st_x(col("e")).as("x"),
+            G.st_y(col("e")).as("y"),
+            G.st_geometrytype(col("e")).as("gtype"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, CAST(3000 + c_custkey % 5 AS INT) AS srid,
+        c_acctbal AS x, CAST(c_custkey AS DOUBLE) AS y, 'Point' AS gtype
+        FROM customer WHERE c_custkey < 400 ORDER BY c_custkey""")),
+
     // A6+ — GeoJSON text interchange (graft.geo.GeoJson): geometry → RFC
     // 7946 text → geometry must be the IDENTICAL WKB (roundtrip_exact,
     // byte equality — constant-true in the oracle), with coordinates and
