@@ -743,6 +743,58 @@ object Curation extends QueryBlock {
         array_to_string(list(text ORDER BY text), chr(31)) AS texts
       FROM a GROUP BY target ORDER BY target"""
 
+  /** e93/d27 shared: 5 archives × 8 members with stored/deflated
+    * alternation and nested member paths. */
+  def writeZipFixture(s: SparkSession, dir: String): String = {
+    import graft.operators.ZipArchive
+    val zDir = s"$scratch/zips_${new java.io.File(dir).getName}"
+    val fd = new java.io.File(zDir)
+    java.nio.file.Files.createDirectories(fd.toPath)
+    fd.listFiles().foreach(_.delete())
+    val ids = t(s, dir, "documents")
+      .filter(col("text").isNotNull &&
+        col("doc_id") >= 360 && col("doc_id") < 400)
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    ids.grouped(8).zipWithIndex.foreach { case (group, g) =>
+      val entries = group.toSeq.map { id =>
+        val body = (0 until 30)
+          .map(i => ('a' + (id * 3 + i.toLong * 11) % 26).toChar).mkString
+        (s"docs/d$id.txt", body.getBytes("UTF-8"), id % 2 == 1)
+      }
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(f"$zDir/z$g%02d.zip"),
+        ZipArchive.makeZip(entries))
+    }
+    zDir
+  }
+
+  /** e93/d27 shared: binaryFile rows → one row per CRC-verified member. */
+  def zipProject(raw: DataFrame): DataFrame = {
+    val ex = udf((b: Array[Byte]) =>
+      graft.operators.ZipArchive.members(b).getOrElse(Seq.empty).map(m =>
+        (m.name, m.method, m.size, new String(m.data, "UTF-8"))))
+    raw.select(regexp_extract(col("path"), "([^/]+)$", 1).as("fname"),
+        explode(ex(col("content"))).as("m"))
+      .select(col("fname"), col("m._1").as("member"),
+        col("m._2").as("method"), col("m._3").as("n_bytes"),
+        col("m._4").as("text"))
+    // no ORDER BY here: the streaming twin sorts after its sink
+  }
+
+  /** The e93/d27 construction oracle. */
+  val zipOracleSql: String =
+    """WITH d AS (SELECT doc_id,
+          ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS rn
+        FROM documents WHERE text IS NOT NULL
+          AND doc_id >= 360 AND doc_id < 400)
+      SELECT 'z' || lpad(CAST(rn // 8 AS VARCHAR), 2, '0') || '.zip' AS fname,
+        'docs/d' || CAST(doc_id AS VARCHAR) || '.txt' AS member,
+        CAST(CASE WHEN doc_id % 2 = 1 THEN 8 ELSE 0 END AS INTEGER) AS method,
+        CAST(30 AS BIGINT) AS n_bytes,
+        array_to_string(list_transform(generate_series(0, 29),
+          i -> chr(CAST(97 + (doc_id * 3 + i * 11) % 26 AS INT))), '') AS text
+      FROM d ORDER BY fname, member"""
+
   /** e97/e97b shared: write the 4-file MediaWiki export fixture —
     * plain XML, or bzip2-compressed via the in-repo encoder when
     * `bz2` is set (the form Wikipedia actually publishes). */
@@ -2979,48 +3031,17 @@ object Curation extends QueryBlock {
     // construction. Per-file scan-local, zero shuffle.
     "e93_zip_ingest" -> QueryDef(
       (s, dir) => {
-        import graft.operators.ZipArchive
-        val zDir = s"$scratch/zips_${new java.io.File(dir).getName}"
-        val fd = new java.io.File(zDir)
-        java.nio.file.Files.createDirectories(fd.toPath)
-        fd.listFiles().foreach(_.delete())
-        val ids = t(s, dir, "documents")
-          .filter(col("text").isNotNull &&
-            col("doc_id") >= 360 && col("doc_id") < 400)
-          .select(col("doc_id")).collect().map(_.getLong(0)).sorted
-        ids.grouped(8).zipWithIndex.foreach { case (group, g) =>
-          val entries = group.toSeq.map { id =>
-            val body = (0 until 30)
-              .map(i => ('a' + (id * 3 + i.toLong * 11) % 26).toChar).mkString
-            (s"docs/d$id.txt", body.getBytes("UTF-8"), id % 2 == 1)
-          }
-          java.nio.file.Files.write(
-            java.nio.file.Paths.get(f"$zDir/z$g%02d.zip"),
-            ZipArchive.makeZip(entries))
-        }
-        val ex = udf((b: Array[Byte]) =>
-          ZipArchive.members(b).getOrElse(Seq.empty).map(m =>
-            (m.name, m.method, m.size, new String(m.data, "UTF-8"))))
-        s.read.format("binaryFile").load(zDir)
-          .select(regexp_extract(col("path"), "([^/]+)$", 1).as("fname"),
-            explode(ex(col("content"))).as("m"))
-          .select(col("fname"), col("m._1").as("member"),
-            col("m._2").as("method"), col("m._3").as("n_bytes"),
-            col("m._4").as("text"))
+        val zDir = writeZipFixture(s, dir)
+        zipProject(s.read.format("binaryFile").load(zDir))
           .orderBy(col("fname"), col("member"))
       },
-      Some("""WITH d AS (SELECT doc_id,
-            ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS rn
-          FROM documents WHERE text IS NOT NULL
-            AND doc_id >= 360 AND doc_id < 400)
-        SELECT 'z' || lpad(CAST(rn // 8 AS VARCHAR), 2, '0') || '.zip' AS fname,
-          'docs/d' || CAST(doc_id AS VARCHAR) || '.txt' AS member,
-          CAST(CASE WHEN doc_id % 2 = 1 THEN 8 ELSE 0 END AS INTEGER) AS method,
-          CAST(30 AS BIGINT) AS n_bytes,
-          array_to_string(list_transform(generate_series(0, 29),
-            i -> chr(CAST(97 + (doc_id * 3 + i * 11) % 26 AS INT))), '') AS text
-        FROM d ORDER BY fname, member""")),
+      Some(zipOracleSql)),
 
+    // D27 — ZIP ingest as a STREAM (e93's deployment shape: archive
+    // drops landing in a directory, members extracted per trigger).
+    // Archive decode is within-file — the stream is a pure append map,
+    // slicing-independent, sharing e93's fixture and oracle verbatim
+    // (the d22/d24/d26 pattern).
     // E97 — WIKIPEDIA-DUMP ingest (r10): the single most-used clean
     // corpus source. MediaWiki export XML parsed with the e73 scoped-
     // block discipline (pages extracted non-greedily, fields read

@@ -1085,7 +1085,25 @@ object Streaming extends QueryBlock {
             "d26_sink", mode = "append")
           .orderBy(col("page_id"))
       },
-      Some(Curation.wikiOracleSql))
+      Some(Curation.wikiOracleSql)),
+
+    // D27 — ZIP ingest as a STREAM (e93's deployment shape: archive
+    // drops landing in a directory, members extracted and CRC-verified
+    // per trigger). Archive decode is within-file — the stream is a
+    // pure append map, slicing-independent, sharing e93's fixture and
+    // oracle verbatim (the d22/d24/d26 pattern).
+    "d27_stream_zip" -> QueryDef(
+      (s, dir) => {
+        val zDir = Curation.writeZipFixture(s, dir)
+        val raw = s.readStream.format("binaryFile")
+          .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+          .option("maxFilesPerTrigger", "2")
+          .load(zDir)
+        EventStreams.runToTable(s, Curation.zipProject(raw),
+            "d27_sink", mode = "append")
+          .orderBy(col("fname"), col("member"))
+      },
+      Some(Curation.zipOracleSql))
   )
 }
 
