@@ -519,8 +519,16 @@ object Multimodal {
         val nRuns = guard(u32(sttsP + 4))
         if (sttsP + 8 + 8L * nRuns > sttsE) bad()
         val deltas = Vector.newBuilder[Long]
+        // The zip-bomb guard must bound the SUM of run counts, not just
+        // each run: many runs x 2^20 would otherwise materialize a
+        // multi-billion-element vector (an OutOfMemoryError escapes the
+        // Exception envelope below). stsz's n must equal the total
+        // anyway, so bail as soon as the running total trips the guard.
+        var totalSamples = 0L
         (0 until nRuns).foreach { r =>
           val cnt = guard(u32(sttsP + 8 + 8L * r))
+          totalSamples += cnt
+          guard(totalSamples)
           val d = u32(sttsP + 12 + 8L * r)
           (0 until cnt).foreach(_ => deltas += d)
         }
@@ -720,10 +728,15 @@ object Multimodal {
       while (!halt && out.isEmpty && o + 4 <= b.length) {
         if ((b(o) & 0xff) != 0xff) halt = true // marker misalignment: corrupt
         else {
+          // JPEG permits any run of 0xFF FILL bytes before the marker
+          // code (T.81 B.1.1.2) — skip them, mirroring jpegExif, so the
+          // same padded camera file doesn't parse EXIF but reject here
+          while (o + 2 < b.length && (b(o + 1) & 0xff) == 0xff) o += 1
           val m = b(o + 1) & 0xff
           val isSof = m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
           if (m == 0xd8 || m == 0x01 || (m >= 0xd0 && m <= 0xd7)) o += 2 // standalone
           else if (m == 0xd9 || m == 0xda) halt = true // EOI / SOS: no SOF seen
+          else if (o + 4 > b.length) halt = true // fill run ran off the buffer
           else {
             val len = beU16(b, o + 2)
             if (len < 2 || o + 2 + len > b.length) halt = true
@@ -1062,9 +1075,13 @@ object Multimodal {
     var o = 2
     while (scanStart < 0 && o + 4 <= b.length) {
       if ((b(o) & 0xff) != 0xff) return None
+      // skip spec-legal 0xFF fill runs before the marker code
+      // (T.81 B.1.1.2) — same envelope as jpegExif/decodeJpegHeader
+      while (o + 2 < b.length && (b(o + 1) & 0xff) == 0xff) o += 1
       val m = b(o + 1) & 0xff
       if (m == 0xd8 || m == 0x01 || (m >= 0xd0 && m <= 0xd7)) { o += 2 }
       else if (m == 0xd9) return None // EOI before any scan
+      else if (o + 4 > b.length) return None // fill run ran off the buffer
       else {
         val len = beU16(b, o + 2)
         if (len < 2 || o + 2 + len > b.length) return None
@@ -1268,9 +1285,13 @@ object Multimodal {
     var o = 2
     while (scanStart < 0 && o + 4 <= b.length) {
       if ((b(o) & 0xff) != 0xff) return None
+      // skip spec-legal 0xFF fill runs before the marker code
+      // (T.81 B.1.1.2) — same envelope as jpegExif/decodeJpegHeader
+      while (o + 2 < b.length && (b(o + 1) & 0xff) == 0xff) o += 1
       val m = b(o + 1) & 0xff
       if (m == 0xd8 || m == 0x01 || (m >= 0xd0 && m <= 0xd7)) { o += 2 }
       else if (m == 0xd9) return None // EOI before any scan
+      else if (o + 4 > b.length) return None // fill run ran off the buffer
       else {
         val len = beU16(b, o + 2)
         if (len < 2 || o + 2 + len > b.length) return None
@@ -1445,6 +1466,9 @@ object Multimodal {
     var sawEoi = false
     while (!sawEoi && o + 2 <= b.length) {
       if ((b(o) & 0xff) != 0xff) return None
+      // skip spec-legal 0xFF fill runs before the marker code
+      // (T.81 B.1.1.2) — same envelope as jpegExif/decodeJpegHeader
+      while (o + 2 < b.length && (b(o + 1) & 0xff) == 0xff) o += 1
       val m = b(o + 1) & 0xff
       if (m == 0xd8 || m == 0x01 || (m >= 0xd0 && m <= 0xd7)) { o += 2 }
       else if (m == 0xd9) { sawEoi = true }

@@ -74,7 +74,10 @@ object ZipArchive {
         val lho = leU32(b, o + 42)
         if ((flags & 0x1) != 0) return None // encrypted
         if (size > (64L << 20)) return None // zip-bomb declared size
-        if (o + 46 + nameLen > eocd) return None
+        // the WHOLE entry (name + extra + comment) must stay inside the
+        // declared central directory — an over-declared final entry is
+        // as malformed as a truncated one
+        if (o + 46 + nameLen + extraLen + cmtLen > cdOff + cdSize) return None
         // IBM437 (the zip default) lives in the OPTIONAL jdk.charsets
         // module — fall back to ISO-8859-1 on minimal runtimes rather
         // than rejecting every non-UTF8-flagged archive wholesale
@@ -122,6 +125,10 @@ object ZipArchive {
         o += 46 + nameLen + extraLen + cmtLen
         e += 1
       }
+      // the walk must consume EXACTLY the declared central directory —
+      // ending short (cdSize over-declared) is the same self-consistency
+      // failure as any other mismatched length field
+      if (o != cdOff + cdSize) return None
       Some(out.result())
     } catch { case _: Exception => None }
   }

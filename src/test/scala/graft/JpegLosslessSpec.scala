@@ -173,6 +173,12 @@ class JpegLosslessSpec extends AnyFunSuite {
       assert((st.sumR, st.minY, st.maxY) === (sum, mn, mx), s"fixture $i")
       assert(mn >= 128 && mx <= 143, "walk escaped the documented band")
     }
+    // spec-legal 0xFF fill padding before markers is skipped in the
+    // lossless walk too (ADVICE r10 — same envelope as jpegExif)
+    val base = Multimodal.makeJpegLossless(16, seed = 4242L)
+    val padded = base.take(2) ++ Array.fill(3)(0xff.toByte) ++ base.drop(2)
+    assert(Multimodal.jpegPixelStats(padded) === Multimodal.jpegPixelStats(base))
+    assert(Multimodal.jpegPixelStats(base).isDefined)
   }
 
   test("envelope: point transform, restart interval, bad predictor, sampling reject") {

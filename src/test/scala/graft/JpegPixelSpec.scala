@@ -176,6 +176,19 @@ class JpegPixelSpec extends AnyFunSuite {
     assert(Multimodal.jpegGraySums(bytes) === Some(refSums(16, 16, q, blocks)))
   }
 
+  test("spec-legal 0xFF fill padding before markers decodes identically") {
+    // T.81 B.1.1.2 permits fill runs before any marker code; the pixel
+    // walk must skip them exactly as jpegExif does (ADVICE r10) — the
+    // same padded camera file must not yield EXIF but no pixels
+    val bytes = Multimodal.makeJpegPixels(2, 1, 1, 4242L)
+    val padded = bytes.take(2) ++ Array.fill(4)(0xff.toByte) ++ bytes.drop(2)
+    assert(Multimodal.jpegGraySums(padded) === Multimodal.jpegGraySums(bytes))
+    assert(Multimodal.jpegGraySums(bytes).isDefined)
+    // a fill run that runs off the buffer end still rejects
+    assert(Multimodal.jpegGraySums(
+      bytes.take(2) ++ Array.fill(4)(0xff.toByte)) === None)
+  }
+
   test("edge crop: non-multiple-of-8 dims count only visible pixels") {
     val q = Array.tabulate(64)(k => 1 + k % 5)
     val blocks = randBlocks(4, 99L, dense = true) // 2x2 blocks for 12x10

@@ -262,6 +262,10 @@ class JpegProgressiveSpec extends AnyFunSuite {
     val blocks = randBlocks(12, 1L) // 24x32
     val bytes = encodeProgressive(24, 32, q1, blocks, Seq((0, 0, 0, 0), (1, 63, 0, 0)))
     assert(Multimodal.jpegGraySums(bytes) === Some(refSums(24, 32, q1, blocks)))
+    // spec-legal 0xFF fill padding before markers is skipped in the
+    // progressive walk too (ADVICE r10 — same envelope as jpegExif)
+    val padded = bytes.take(2) ++ Array.fill(3)(0xff.toByte) ++ bytes.drop(2)
+    assert(Multimodal.jpegGraySums(padded) === Multimodal.jpegGraySums(bytes))
   }
 
   test("split AC bands decode to the same image") {

@@ -530,6 +530,11 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeJpegHeader(Multimodal.makeBmp(8, 8, 1L)) === None)
     assert(Multimodal.decodeBmpHeader(bytes) === None)
     assert(Multimodal.decodePngHeader(bytes) === None)
+    // spec-legal 0xFF fill padding before a marker (T.81 B.1.1.2) is
+    // skipped, matching jpegExif's envelope — a padded camera file must
+    // not parse EXIF yet reject here (ADVICE r10)
+    val padded = bytes.take(2) ++ Array.fill(3)(0xff.toByte) ++ bytes.drop(2)
+    assert(Multimodal.decodeJpegHeader(padded) === Some((1920, 1080, 8, 3)))
     assert(Multimodal.decodeGifHeader(bytes) === None)
   }
 
@@ -666,6 +671,42 @@ class MultimodalSpec extends AnyFunSuite {
     val k = b.clone()
     k(stscAt + 4 + 4 + 4 + 3) = 2.toByte // first entry first_chunk u32 LSB
     assert(Multimodal.mp4SyncSamples(k) === None)
+  }
+
+  test("mp4SyncSamples: stts run-count SUM bomb rejects before materializing") {
+    // 512 runs of 2^20 samples each: every run passes the per-run guard,
+    // but the total (2^29 deltas ≈ 4 GiB of Longs) must trip the guard
+    // DURING expansion — pre-fix this OOM'd past the Exception envelope
+    // (ADVICE r10, medium)
+    def box(t: String, payload: Array[Byte]): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(8 + payload.length)
+      out.putInt(8 + payload.length).put(t.getBytes("US-ASCII")).put(payload)
+      out.array()
+    }
+    def full(t: String, body: Array[Byte]): Array[Byte] =
+      box(t, new Array[Byte](4) ++ body)
+    def be(vs: Long*): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(4 * vs.length)
+      vs.foreach(v => bb.putInt(v.toInt))
+      bb.array()
+    }
+    val nRuns = 512
+    val runs = (0 until nRuns).flatMap(_ => Seq(1L << 20, 1L)) // (count, delta)*
+    val stts = full("stts", be((nRuns.toLong +: runs): _*))
+    val stbl = box("stbl", stts)
+    val minf = box("minf", stbl)
+    val mdhd = full("mdhd", be(0, 0, 600, 0) ++ Array[Byte](0, 0, 0, 0))
+    val mdia = box("mdia", mdhd ++ minf)
+    val tkhd = full("tkhd", be(0, 0, 1) ++ new Array[Byte](68))
+    val moov = box("moov", box("trak", tkhd ++ mdia))
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ be(0) ++
+      "mp41".getBytes("US-ASCII"))
+    val hostile = ftyp ++ moov
+    val t0 = System.nanoTime()
+    assert(Multimodal.mp4SyncSamples(hostile) === None)
+    // the reject must come from the running-total guard, not from an
+    // attempted multi-GiB materialization: well under a second
+    assert((System.nanoTime() - t0) < 5000000000L)
   }
 
   test("wavSegments: hand-derived islands, partial window, threshold tie") {

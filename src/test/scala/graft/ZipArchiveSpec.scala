@@ -68,4 +68,30 @@ class ZipArchiveSpec extends AnyFunSuite {
     val k = z.clone(); k(cd + 24) = (k(cd + 24) + 1).toByte
     assert(ZipArchive.members(k) === None)
   }
+
+  test("central-directory span discipline: over-declared entry and slack cdSize reject") {
+    val z = ZipArchive.makeZip(Seq(("a.txt", b("alpha"), false),
+      ("b.txt", b("beta"), false)))
+    val s = new String(z, "ISO-8859-1")
+    // (1) the FINAL entry declares an extra field that runs past the
+    //     declared central-directory end — must reject (review r10)
+    val lastCd = s.lastIndexOf("PK")
+    val k = z.clone(); k(lastCd + 30) = 4.toByte // extraLen 0 -> 4
+    assert(ZipArchive.members(k) === None)
+    // (2) cdSize over-declared with slack bytes between the last entry
+    //     and the EOCD: the walk must consume EXACTLY cdSize, so ending
+    //     short of it is a reject, not a silent accept
+    val eocdAt = s.lastIndexOf("PK")
+    val slack = z.take(eocdAt) ++ Array[Byte](0, 0, 0, 0) ++ z.drop(eocdAt)
+    val szAt = eocdAt + 4 + 12
+    val cdSize = ((slack(szAt) & 0xffL) | ((slack(szAt + 1) & 0xffL) << 8) |
+      ((slack(szAt + 2) & 0xffL) << 16) | ((slack(szAt + 3) & 0xffL) << 24)) + 4
+    slack(szAt) = (cdSize & 0xff).toByte
+    slack(szAt + 1) = ((cdSize >> 8) & 0xff).toByte
+    slack(szAt + 2) = ((cdSize >> 16) & 0xff).toByte
+    slack(szAt + 3) = ((cdSize >> 24) & 0xff).toByte
+    assert(ZipArchive.members(slack) === None)
+    // the unmodified archive still reads
+    assert(ZipArchive.members(z).get.map(_.name) === Seq("a.txt", "b.txt"))
+  }
 }
