@@ -68,6 +68,31 @@ object Bench {
     */
   private val Sf1Dir = "/tmp/graft_sf1"
   private val Sf3Dir = "/tmp/graft_sf3"
+  private val Sf10Dir = "/tmp/graft_sf10"
+
+  /** Load-gated measurement protocol (VERDICT r10 item 8): the r10 sf1
+    * readings were stamped under 4.6–7.0 self-load (the bench's own
+    * just-finished warm-up work still in the 1-minute load average),
+    * which made ratio_raw vs ratio_live diverge by up to 0.26. Before
+    * each timed gate, wait — bounded — for the 1-minute load average to
+    * decay below the threshold; the JVM stays warm while the machine
+    * quiets. Returns the load at gate time; the caller stamps
+    * `load_gate_ok` so a reading taken on a machine that never quieted
+    * is marked, not silently trusted.
+    */
+  private[graft] val QuietLoad = 2.0
+  private[graft] def awaitQuiet(maxWaitSec: Int): Double = {
+    def loadAvg(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+    val deadline = System.nanoTime() + maxWaitSec * 1000000000L
+    var l = loadAvg()
+    while (l > QuietLoad && System.nanoTime() < deadline) {
+      Thread.sleep(5000)
+      l = loadAvg()
+    }
+    l
+  }
 
   /** Ensure a deterministic SF twin exists; generate it via the
     * committed script on first use (the same generator that produced the
@@ -190,9 +215,15 @@ object Bench {
     val load1Before = loadAvg()
     val sparkRounds = Array.fill(rounds)(Map.empty[String, Double])
     val duckRounds = Array.fill(rounds)(Option.empty[Map[String, Double]])
+    var loadAtGate = load1Before
     withAqe(spark, on = true) {
       headline.foreach { case (name, _) => timeOnce1(name) } // warm
       duckOnce() // DuckDB warms per-invocation; one discard for parity
+      // The warm-up itself saturates the box; let the 1-minute load
+      // average decay below QuietLoad (bounded wait, JVM stays warm)
+      // before any timed round — the r10 item-8 gate.
+      loadAtGate = awaitQuiet(
+        sys.env.getOrElse("SPARK_GRAFT_QUIET_WAIT", "240").toInt)
       var r = 0
       while (r < rounds) {
         // SYMMETRY with the DuckDB side: baseline_sf.py runs 1 warm-up
@@ -236,7 +267,7 @@ object Bench {
         s""","baseline_live":${fmt(liveMin)},"baseline_live_total_sec":${f"$liveTotal%.4f"},"ratio_live":${f"${sfTotal / liveTotal}%.4f"},"ratios_live":${fmt(liveRatios)}"""
       }
     }
-    s"""{"queries":${fmt(sfResults)},"total_sec":${f"$sfTotal%.4f"}$committedField$liveField,"rounds":$rounds,"load1_before":${f"$load1Before%.2f"},"load1_after":${f"$load1After%.2f"}}"""
+    s"""{"queries":${fmt(sfResults)},"total_sec":${f"$sfTotal%.4f"}$committedField$liveField,"rounds":$rounds,"load1_before":${f"$load1Before%.2f"},"load1_gate":${f"$loadAtGate%.2f"},"load_gate_ok":${loadAtGate <= QuietLoad},"load1_after":${f"$load1After%.2f"}}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -363,7 +394,17 @@ object Bench {
           || !ensureSfData("3", Sf3Dir)) ""
       else s""","sf3":${interleavedGate(spark, Sf3Dir, 5, None)}"""
 
-    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":${fmt(results)},"queries_static":${fmt(resultsStatic)},"total_static_sec":$totalStatic%.4f,"floor_sec":$floor%.4f$floorAdjField$sf1Field$sf3Field,"sf":"$sfDir"}""")
+    // sf10 amortization extension (VERDICT r10 item 1c), opt-in via
+    // SPARK_GRAFT_SF10=1: same in-process interleaved gate at the sf10
+    // twin — the scale where the sf1→sf3 slope predicts the remaining
+    // >2× queries (c21/c20/c07) cross below 2×. 3 rounds (each round is
+    // ~10× the sf1 wall-clock); live pairing only, no committed column.
+    val sf10Field: String =
+      if (sf1Field.isEmpty || !sys.env.get("SPARK_GRAFT_SF10").contains("1")
+          || !ensureSfData("10", Sf10Dir)) ""
+      else s""","sf10":${interleavedGate(spark, Sf10Dir, 3, None)}"""
+
+    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":${fmt(results)},"queries_static":${fmt(resultsStatic)},"total_static_sec":$totalStatic%.4f,"floor_sec":$floor%.4f$floorAdjField$sf1Field$sf3Field$sf10Field,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

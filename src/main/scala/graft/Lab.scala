@@ -16,69 +16,10 @@ object Lab {
   final case class V(name: String, base: String,
       fn: (SparkSession, String) => DataFrame)
 
-  /** Fixed-size dense-bitmap verdict state for the c09_bitmap_agg probe:
-    * three bitmaps over the part-key domain; input rows are (key, mask)
-    * with mask bit0 = discounted line, bit1 = taxed line, bit2 = row of
-    * part itself; the finished value is popcount(part & disc & ~taxed).
-    * Keys beyond the declared domain are ignored (cannot be in part).
-    */
-  final case class FlagBits(part: Array[Long], disc: Array[Long],
-      taxed: Array[Long])
-
-  final class DenseFlagAgg(words: Int)
-      extends org.apache.spark.sql.expressions.Aggregator[(Long, Int), FlagBits, Long] {
-    def zero: FlagBits =
-      FlagBits(new Array[Long](words), new Array[Long](words), new Array[Long](words))
-    def reduce(b: FlagBits, in: (Long, Int)): FlagBits = {
-      val (k, m) = in
-      val w = (k >> 6).toInt
-      if (w >= 0 && w < words) {
-        val bit = 1L << (k & 63)
-        if ((m & 4) != 0) b.part(w) |= bit
-        if ((m & 1) != 0) b.disc(w) |= bit
-        if ((m & 2) != 0) b.taxed(w) |= bit
-      }
-      b
-    }
-    def merge(a: FlagBits, b: FlagBits): FlagBits = {
-      var i = 0
-      while (i < words) {
-        a.part(i) |= b.part(i); a.disc(i) |= b.disc(i); a.taxed(i) |= b.taxed(i)
-        i += 1
-      }
-      a
-    }
-    def finish(b: FlagBits): Long = {
-      var i = 0
-      var n = 0L
-      while (i < words) {
-        n += java.lang.Long.bitCount(b.part(i) & b.disc(i) & ~b.taxed(i))
-        i += 1
-      }
-      n
-    }
-    def bufferEncoder: org.apache.spark.sql.Encoder[FlagBits] =
-      org.apache.spark.sql.Encoders.product[FlagBits]
-    def outputEncoder: org.apache.spark.sql.Encoder[Long] =
-      org.apache.spark.sql.Encoders.scalaLong
-  }
-
-  /** [[DenseFlagAgg]] with the input pre-packed as key*8|mask in one long
-    * (primitive encoder path — no tuple conversion per row).
-    */
-  final class DensePackedAgg(words: Int)
-      extends org.apache.spark.sql.expressions.Aggregator[Long, FlagBits, Long] {
-    private val inner = new DenseFlagAgg(words)
-    def zero: FlagBits = inner.zero
-    def reduce(b: FlagBits, km: Long): FlagBits =
-      inner.reduce(b, (km >> 3, (km & 7).toInt))
-    def merge(a: FlagBits, b: FlagBits): FlagBits = inner.merge(a, b)
-    def finish(b: FlagBits): Long = inner.finish(b)
-    def bufferEncoder: org.apache.spark.sql.Encoder[FlagBits] =
-      org.apache.spark.sql.Encoders.product[FlagBits]
-    def outputEncoder: org.apache.spark.sql.Encoder[Long] =
-      org.apache.spark.sql.Encoders.scalaLong
-  }
+  // Dense-bitmap flag aggregate: promoted to
+  // operators.DenseKeyFlags (the c09 shipping hybrid's dense path);
+  // the Lab rows below keep exercising both encoder forms through it.
+  import graft.operators.DenseKeyFlags.{DenseFlagAgg, DensePackedAgg}
 
   import Graft._
 

@@ -193,24 +193,56 @@ object Relational extends QueryBlock {
     // hint comes off and runtime stats pick the join side; the flag
     // aggregate shape (one key-hashed exchange, bounded state) is
     // unchanged.
-    // Perf lineage: eleven Lab variants on record. The only rows that
-    // beat this form at sf1 are the dense-bitmap aggregates
-    // (c09_bitmap_agg/packed, ~0.73× — NOTES_r9 item 6), whose fixed
-    // state scales with the part-key DOMAIN rather than the data: the
-    // wrong trade at 100 TB (2.5 GB buffers at ~20B parts), so the
-    // domain-proportional flag aggregate stays the shipping plan.
+    // Perf lineage: eleven Lab variants on record. The fastest at sf1 are
+    // the dense-bitmap aggregates (c09_bitmap_agg/packed, ~0.73× the
+    // flag-agg — NOTES_r9 item 6), whose fixed aggregation state scales
+    // with the part-key DOMAIN rather than the data: three bitmaps, ONE
+    // buffer per task, so partial volume stops scaling with key count.
+    // That is the wrong unconditional trade at 100 TB (2.5 GB buffers at
+    // ~20B parts), so the shipping plan is DOMAIN-ADAPTIVE (VERDICT r10
+    // item 1b): a dim-side min/max(p_partkey) probe — one column of the
+    // smallest participating table, answerable from parquet footer stats
+    // or catalog statistics on any real lakehouse — selects the dense
+    // bitmap when the key SPAN fits DenseKeyFlags.DomainMax (2^24 → 3 ×
+    // 2 MiB buffers/task), else the domain-proportional flag aggregate.
+    // Soundness of probing the DIM side only: the answer set is ⊆ part,
+    // and any lineitem key outside part's [lo, hi] span lands outside the
+    // bitmap and is ignored — it cannot be a member.
     "c09_semi_anti" -> QueryDef(
       (s, dir) => {
+        import graft.operators.DenseKeyFlags
         val p = t(s, dir, "part").select(col("p_partkey"))
         val l = t(s, dir, "lineitem")
-        val keys = l.select(col("l_partkey"),
-          (col("l_discount") > 0.05).as("disc"), (col("l_tax") > 0.07).as("taxed"))
-          .filter(col("disc") || col("taxed"))
-          .groupBy(col("l_partkey"))
-          .agg(max(col("disc")).as("disc"), max(col("taxed")).as("taxed"))
-          .filter(col("disc") && !col("taxed"))
-        keys.join(broadcast(p), col("l_partkey") === col("p_partkey"), "left_semi")
-          .agg(count(lit(1)).as("n"))
+        val range = DenseKeyFlags.keyRange(p, "p_partkey", s, s"$dir/part")
+        val dense = range.exists { case (lo, hi) =>
+          val span = hi - lo + 1
+          span > 0 && span <= DenseKeyFlags.DomainMax
+        }
+        if (dense) {
+          import s.implicits._
+          val (lo, hi) = range.get
+          val words = ((hi - lo) >> 6).toInt + 1
+          // packed input: (key − lo)*8 | mask — bit2 = part row, bit0 =
+          // discounted line, bit1 = taxed line; out-of-span keys resolve
+          // to out-of-range words and are ignored by the aggregator
+          val pk = p.select(((col("p_partkey").cast("long") - lit(lo)) * 8 + 4).as("km"))
+            .filter(col("km").isNotNull)
+          val lk = l.select(((col("l_partkey").cast("long") - lit(lo)) * 8
+              + (col("l_discount") > 0.05).cast("int")
+              + (col("l_tax") > 0.07).cast("int") * 2).as("km"))
+            .filter(col("km") % 8 =!= 0) // drops flagless rows and NULL keys
+          val agg = new DenseKeyFlags.DensePackedAgg(words)
+          pk.unionByName(lk).as[Long].select(agg.toColumn.name("n")).toDF()
+        } else {
+          val keys = l.select(col("l_partkey"),
+            (col("l_discount") > 0.05).as("disc"), (col("l_tax") > 0.07).as("taxed"))
+            .filter(col("disc") || col("taxed"))
+            .groupBy(col("l_partkey"))
+            .agg(max(col("disc")).as("disc"), max(col("taxed")).as("taxed"))
+            .filter(col("disc") && !col("taxed"))
+          keys.join(broadcast(p), col("l_partkey") === col("p_partkey"), "left_semi")
+            .agg(count(lit(1)).as("n"))
+        }
       },
       Some("""SELECT count(*) AS n FROM part
         WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_discount>0.05)
