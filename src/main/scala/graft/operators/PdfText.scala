@@ -637,34 +637,6 @@ object PdfText {
       }
       val v = intOf("V", 0)
       val r = intOf("R", 2)
-      val aes = v match {
-        case 1 | 2 => false
-        case 4 =>
-          // /CF /StdCF /CFM names the stream cipher; /V2 = RC4, /AESV2 = AES-128
-          val cfm = for {
-            cf <- ed.get("CF").map(resolve)
-            std <- cf match {
-              case VDict(m) => m.get("StdCF").map(resolve)
-              case _ => None
-            }
-            m <- std match {
-              case VDict(mm) => mm.get("CFM")
-              case _ => None
-            }
-          } yield m
-          cfm match {
-            case Some(VName("AESV2")) => true
-            case Some(VName("V2")) => false
-            case _ => throw new PdfError("unsupported crypt filter")
-          }
-        case _ => throw new PdfError("unsupported /V")
-      }
-      val n = if (v == 1) 5 else {
-        val bits = intOf("Length", 40)
-        if (bits < 40 || bits > 128 || bits % 8 != 0)
-          throw new PdfError("bad /Length")
-        bits / 8
-      }
       val p = ed.get("P") match {
         case Some(VNum(x)) => x.toLong.toInt // signed 32-bit permissions
         case _ => throw new PdfError("missing /P")
@@ -673,18 +645,64 @@ object PdfText {
         case Some(VBool(b)) => b
         case _ => true
       }
-      val id0 = trailer.get("ID") match {
-        case Some(VArr(xs)) if xs.nonEmpty => xs.head match {
-          case VStr(x) =>
-            x.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+      // /CF /StdCF /CFM names the stream cipher for V ≥ 4
+      def cfmName: Option[V] = for {
+        cf <- ed.get("CF").map(resolve)
+        std <- cf match {
+          case VDict(m) => m.get("StdCF").map(resolve)
+          case _ => None
+        }
+        m <- std match {
+          case VDict(mm) => mm.get("CFM")
+          case _ => None
+        }
+      } yield m
+      if (v == 5) {
+        // AES-256: R 6 (ISO 32000-2 §7.6.4) or the pre-2.0 R 5 form.
+        // The file key is not password-derived — it is unwrapped from
+        // /UE after the password hash validates against /U, then the
+        // /Perms block must round-trip under it (validate, don't trust).
+        if (r != 5 && r != 6) throw new PdfError("unsupported /R for /V 5")
+        cfmName match {
+          case Some(VName("AESV3")) => ()
+          case _ => throw new PdfError("unsupported crypt filter")
+        }
+        if (intOf("Length", 256) != 256) throw new PdfError("bad /Length")
+        val key = PdfCrypt.fileKeyV5(Array.empty, strOf("U"), strOf("UE"), r)
+          .getOrElse(throw new PdfError("encrypted with a non-empty user password"))
+        if (!PdfCrypt.checkPermsV5(key, strOf("Perms"), p, encMeta))
+          throw new PdfError("bad /Perms")
+        cryptKey = Some((key, true))
+      } else {
+        val aes = v match {
+          case 1 | 2 => false
+          case 4 =>
+            cfmName match {
+              case Some(VName("AESV2")) => true
+              case Some(VName("V2")) => false
+              case _ => throw new PdfError("unsupported crypt filter")
+            }
+          case _ => throw new PdfError("unsupported /V")
+        }
+        val n = if (v == 1) 5 else {
+          val bits = intOf("Length", 40)
+          if (bits < 40 || bits > 128 || bits % 8 != 0)
+            throw new PdfError("bad /Length")
+          bits / 8
+        }
+        val id0 = trailer.get("ID") match {
+          case Some(VArr(xs)) if xs.nonEmpty => xs.head match {
+            case VStr(x) =>
+              x.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+            case _ => Array.empty[Byte]
+          }
           case _ => Array.empty[Byte]
         }
-        case _ => Array.empty[Byte]
+        val key = PdfCrypt.fileKey(Array.empty, strOf("O"), p, id0, r, n, encMeta)
+        if (!PdfCrypt.checkUser(key, strOf("U"), id0, r))
+          throw new PdfError("encrypted with a non-empty user password")
+        cryptKey = Some((key, aes))
       }
-      val key = PdfCrypt.fileKey(Array.empty, strOf("O"), p, id0, r, n, encMeta)
-      if (!PdfCrypt.checkUser(key, strOf("U"), id0, r))
-        throw new PdfError("encrypted with a non-empty user password")
-      cryptKey = Some((key, aes))
     }
   }
 
@@ -1441,6 +1459,136 @@ object PdfText {
       u.length >= cmp && expect.take(cmp).sameElements(u.take(cmp))
     }
 
+    // ---- /V 5 AES-256 (ISO 32000-2 §7.6.4; R 5 = the pre-2.0 Adobe
+    // extension-level-3 form, R 6 = PDF 2.0) --------------------------
+
+    private def digest(alg: String, parts: Array[Byte]*): Array[Byte] = {
+      val d = java.security.MessageDigest.getInstance(alg)
+      parts.foreach(d.update)
+      d.digest()
+    }
+    def sha256(parts: Array[Byte]*): Array[Byte] = digest("SHA-256", parts: _*)
+
+    /** Raw AES-CBC, no padding (the V5 key-wrap and 2.B primitive). */
+    def aesCbcRaw(key: Array[Byte], iv: Array[Byte], data: Array[Byte],
+        enc: Boolean): Array[Byte] = {
+      val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+      c.init(if (enc) javax.crypto.Cipher.ENCRYPT_MODE
+             else javax.crypto.Cipher.DECRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(key, "AES"),
+        new javax.crypto.spec.IvParameterSpec(iv))
+      c.doFinal(data)
+    }
+
+    /** Raw AES-ECB, no padding (the /Perms block cipher). */
+    def aesEcbRaw(key: Array[Byte], data: Array[Byte],
+        enc: Boolean): Array[Byte] = {
+      val c = javax.crypto.Cipher.getInstance("AES/ECB/NoPadding")
+      c.init(if (enc) javax.crypto.Cipher.ENCRYPT_MODE
+             else javax.crypto.Cipher.DECRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(key, "AES"))
+      c.doFinal(data)
+    }
+
+    /** The V5 password hash. R 5: a single SHA-256 over pwd ∥ salt ∥
+      * udata. R 6: Algorithm 2.B — iterate (K1 = 64 repetitions of
+      * pwd ∥ K ∥ udata; E = AES-128-CBC(K[0..15], IV = K[16..31], K1);
+      * K = SHA-{256,384,512}(E) selected by the first 16 bytes of E as
+      * a big-endian integer mod 3, which — since 256 ≡ 1 (mod 3) —
+      * equals their byte sum mod 3) for at least 64 rounds, then until
+      * E's last byte ≤ rounds − 32. `udata` is the 48-byte /U value for
+      * owner-password hashes, empty for user-password hashes.
+      */
+    def hash2b(pwd: Array[Byte], salt: Array[Byte], udata: Array[Byte],
+        r: Int): Array[Byte] = {
+      var k = sha256(pwd, salt, udata)
+      if (r == 5) return k
+      var i = 0
+      var lastE = 256 // forces the ≥64-round minimum
+      while (i < 64 || lastE > i - 32) {
+        val piece = pwd ++ k ++ udata
+        val k1 = new Array[Byte](piece.length * 64)
+        var j = 0
+        while (j < 64) {
+          System.arraycopy(piece, 0, k1, j * piece.length, piece.length)
+          j += 1
+        }
+        val e = aesCbcRaw(k.take(16), k.slice(16, 32), k1, enc = true)
+        lastE = e(e.length - 1) & 0xff
+        var sum = 0
+        var b = 0
+        while (b < 16) { sum += e(b) & 0xff; b += 1 }
+        k = (sum % 3) match {
+          case 0 => sha256(e)
+          case 1 => digest("SHA-384", e)
+          case _ => digest("SHA-512", e)
+        }
+        i += 1
+      }
+      k.take(32)
+    }
+
+    /** Algorithm 2.A, user-password branch: validate `pwd` against the
+      * 48-byte /U (hash ∥ validation salt ∥ key salt) and unwrap the
+      * 32-byte file key from /UE (AES-256-CBC, zero IV, no padding).
+      * None = the password does not open this document.
+      */
+    def fileKeyV5(pwd: Array[Byte], u: Array[Byte], ue: Array[Byte],
+        r: Int): Option[Array[Byte]] = {
+      if (u.length < 48 || ue.length != 32) throw new PdfError("bad /U or /UE")
+      val hash = u.take(32)
+      val vSalt = u.slice(32, 40)
+      val kSalt = u.slice(40, 48)
+      if (!java.util.Arrays.equals(
+          hash2b(pwd, vSalt, Array.empty, r), hash)) None
+      else Some(aesCbcRaw(hash2b(pwd, kSalt, Array.empty, r),
+        new Array[Byte](16), ue, enc = false))
+    }
+
+    /** Validate the /Perms block: AES-256-ECB under the FILE key; bytes
+      * 9–11 must be 'a','d','b', bytes 0–3 the little-endian /P, byte 8
+      * 'T'/'F' matching /EncryptMetadata. A mismatch means the file key
+      * is wrong or the permissions block was tampered — reject either
+      * way (validate, don't trust).
+      */
+    def checkPermsV5(fileKey: Array[Byte], perms: Array[Byte], p: Int,
+        encryptMetadata: Boolean): Boolean =
+      perms.length == 16 && {
+        val d = aesEcbRaw(fileKey, perms, enc = false)
+        d(9) == 'a'.toByte && d(10) == 'd'.toByte && d(11) == 'b'.toByte &&
+        ((d(0) & 0xff) | ((d(1) & 0xff) << 8) | ((d(2) & 0xff) << 16) |
+          ((d(3) & 0xff) << 24)) == p &&
+        d(8) == (if (encryptMetadata) 'T' else 'F').toByte
+      }
+
+    /** Fixture-writer V5 materials (reverse of [[fileKeyV5]] /
+      * [[checkPermsV5]]): deterministic salts and file key derived from
+      * `tag` (the repo-wide no-RNG rule — a production writer would
+      * draw them from a CSPRNG). Returns (u48, ue, o48, oe, perms,
+      * fileKey).
+      */
+    def v5Materials(ownerPw: Array[Byte], userPw: Array[Byte], p: Int,
+        encryptMetadata: Boolean, r: Int, tag: String):
+        (Array[Byte], Array[Byte], Array[Byte], Array[Byte], Array[Byte], Array[Byte]) = {
+      val A = java.nio.charset.StandardCharsets.ISO_8859_1
+      def det(label: String, n: Int): Array[Byte] =
+        sha256(s"graft-fixture-$label:$tag".getBytes(A)).take(n)
+      val fileKey = det("filekey", 32)
+      val uv = det("uvsalt", 8); val uk = det("uksalt", 8)
+      val ov = det("ovsalt", 8); val ok = det("oksalt", 8)
+      val iv0 = new Array[Byte](16)
+      val u48 = hash2b(userPw, uv, Array.empty, r) ++ uv ++ uk
+      val ue = aesCbcRaw(hash2b(userPw, uk, Array.empty, r), iv0, fileKey, enc = true)
+      val o48 = hash2b(ownerPw, ov, u48, r) ++ ov ++ ok
+      val oe = aesCbcRaw(hash2b(ownerPw, ok, u48, r), iv0, fileKey, enc = true)
+      val permsPlain =
+        le32(p) ++ Array.fill(4)(0xff.toByte) ++
+          Array((if (encryptMetadata) 'T' else 'F').toByte,
+            'a'.toByte, 'd'.toByte, 'b'.toByte) ++ det("permtail", 4)
+      val perms = aesEcbRaw(fileKey, permsPlain, enc = true)
+      (u48, ue, o48, oe, perms, fileKey)
+    }
+
     /** Algorithm 1's per-object key: MD5(fileKey ∥ obj₃LE ∥ gen₂LE
       * [∥ "sAlT" for AES]) truncated to min(n+5, 16).
       */
@@ -1459,28 +1607,33 @@ object PdfText {
       * IV as the first 16 ciphertext bytes and PKCS#7 padding, stripped
       * manually after a NoPadding decrypt so malformed padding rejects
       * as a PdfError, not a crypto exception class the envelope would
-      * still catch but less legibly.
+      * still catch but less legibly. A 32-byte `fileKey` is the /V 5
+      * form (Algorithm 1.A): the file key encrypts every object
+      * directly — no per-object MD5 derivation — with the same
+      * IV-prefix CBC body; V ≤ 4 keys are ≤ 16 bytes, so key length
+      * is an unambiguous discriminator.
       */
     def decrypt(fileKey: Array[Byte], num: Int, gen: Int, aes: Boolean,
         data: Array[Byte]): Array[Byte] = {
-      val k = objKey(fileKey, num, gen, aes)
-      if (!aes) rc4(k, data)
+      if (fileKey.length == 32) aesBodyDecrypt(fileKey, data)
       else {
-        if (data.length < 32 || data.length % 16 != 0)
-          throw new PdfError("bad AES stream length")
-        val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
-        c.init(javax.crypto.Cipher.DECRYPT_MODE,
-          new javax.crypto.spec.SecretKeySpec(k, "AES"),
-          new javax.crypto.spec.IvParameterSpec(data.take(16)))
-        val plain = c.doFinal(data, 16, data.length - 16)
-        val pad = plain.last & 0xff
-        if (pad < 1 || pad > 16 || pad > plain.length)
-          throw new PdfError("bad AES padding")
-        (plain.length - pad until plain.length).foreach { i =>
-          if ((plain(i) & 0xff) != pad) throw new PdfError("bad AES padding")
-        }
-        plain.dropRight(pad)
+        val k = objKey(fileKey, num, gen, aes)
+        if (!aes) rc4(k, data) else aesBodyDecrypt(k, data)
       }
+    }
+
+    private def aesBodyDecrypt(k: Array[Byte], data: Array[Byte]): Array[Byte] = {
+      if (data.length < 32 || data.length % 16 != 0)
+        throw new PdfError("bad AES stream length")
+      val plain = aesCbcRaw(k, data.take(16),
+        java.util.Arrays.copyOfRange(data, 16, data.length), enc = false)
+      val pad = plain.last & 0xff
+      if (pad < 1 || pad > 16 || pad > plain.length)
+        throw new PdfError("bad AES padding")
+      (plain.length - pad until plain.length).foreach { i =>
+        if ((plain(i) & 0xff) != pad) throw new PdfError("bad AES padding")
+      }
+      plain.dropRight(pad)
     }
 
     /** Encrypt one object's stream data (fixture writer). The AES IV
@@ -1490,26 +1643,40 @@ object PdfText {
       */
     def encrypt(fileKey: Array[Byte], num: Int, gen: Int, aes: Boolean,
         data: Array[Byte]): Array[Byte] = {
-      val k = objKey(fileKey, num, gen, aes)
-      if (!aes) rc4(k, data)
+      if (fileKey.length == 32) aesBodyEncrypt(fileKey, num, gen, data)
       else {
-        val iv = md5(s"graft-fixture-iv:$num:$gen"
-          .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
-        val c = javax.crypto.Cipher.getInstance("AES/CBC/PKCS5Padding")
-        c.init(javax.crypto.Cipher.ENCRYPT_MODE,
-          new javax.crypto.spec.SecretKeySpec(k, "AES"),
-          new javax.crypto.spec.IvParameterSpec(iv))
-        iv ++ c.doFinal(data)
+        val k = objKey(fileKey, num, gen, aes)
+        if (!aes) rc4(k, data) else aesBodyEncrypt(k, num, gen, data)
       }
+    }
+
+    private def aesBodyEncrypt(k: Array[Byte], num: Int, gen: Int,
+        data: Array[Byte]): Array[Byte] = {
+      val iv = md5(s"graft-fixture-iv:$num:$gen"
+        .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+      val c = javax.crypto.Cipher.getInstance("AES/CBC/PKCS5Padding")
+      c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(k, "AES"),
+        new javax.crypto.spec.IvParameterSpec(iv))
+      iv ++ c.doFinal(data)
     }
   }
 
-  /** Fixture-writer encryption spec: V2/R3 RC4-128 (`aes = false`) or
-    * V4/R4 AES-128 AESV2 (`aes = true`); `userPw` non-empty plants a
-    * genuinely password-protected document (the reader must reject it).
+  /** Fixture-writer encryption spec: V2/R3 RC4-128 (`aes = false`),
+    * V4/R4 AES-128 AESV2 (`aes = true`), or V5 AES-256 AESV3
+    * (`v5 = true`; `r5 = true` selects the pre-PDF-2.0 R 5 hash, else
+    * R 6); `userPw` non-empty plants a genuinely password-protected
+    * document (the reader must reject it).
     */
   final case class EncSpec(ownerPw: String, userPw: String = "",
-      aes: Boolean = false)
+      aes: Boolean = false, v5: Boolean = false, r5: Boolean = false)
+
+  /** Writer-side encryption materials (one per encrypted fixture);
+    * oe/ue/perms are empty for the V ≤ 4 forms.
+    */
+  private final case class EncMat(es: EncSpec, r: Int, v: Int,
+      o: Array[Byte], u: Array[Byte], oe: Array[Byte], ue: Array[Byte],
+      perms: Array[Byte], p: Int, id0: Array[Byte], key: Array[Byte])
 
   /** Fixture-writer embedded image: an /Image XObject registered under
     * the page's /Resources as `/Im<k>`. `dct = true` stores `data` as
@@ -1563,24 +1730,32 @@ object PdfText {
     // standard-security-handler materials (reverse direction of the
     // reader's setupEncryption; same PdfCrypt algorithms)
     val A85 = java.nio.charset.StandardCharsets.ISO_8859_1
-    val encMat: Option[(EncSpec, Int, Int, Array[Byte], Int, Array[Byte], Array[Byte], Array[Byte])] =
+    val encMat: Option[EncMat] =
       encrypt.map { es =>
-        val r = if (es.aes) 4 else 3
-        val v = if (es.aes) 4 else 2
-        val o = PdfCrypt.ownerValue(es.ownerPw.getBytes(A85),
-          es.userPw.getBytes(A85), r, 16)
         val p = -44
         val id0 = PdfCrypt.md5(
           s"graft-fixture-id:${es.ownerPw}:${es.userPw}".getBytes(A85))
-        val key = PdfCrypt.fileKey(es.userPw.getBytes(A85), o, p, id0, r, 16,
-          encryptMetadata = true)
-        val u = PdfCrypt.userValue(key, id0, r)
-        (es, r, v, o, p, id0, key, u)
+        if (es.v5) {
+          val r = if (es.r5) 5 else 6
+          val (u, ue, o, oe, perms, key) = PdfCrypt.v5Materials(
+            es.ownerPw.getBytes(A85), es.userPw.getBytes(A85), p,
+            encryptMetadata = true, r,
+            tag = s"${es.ownerPw}:${es.userPw}:$r")
+          EncMat(es, r, 5, o, u, oe, ue, perms, p, id0, key)
+        } else {
+          val r = if (es.aes) 4 else 3
+          val v = if (es.aes) 4 else 2
+          val o = PdfCrypt.ownerValue(es.ownerPw.getBytes(A85),
+            es.userPw.getBytes(A85), r, 16)
+          val key = PdfCrypt.fileKey(es.userPw.getBytes(A85), o, p, id0, r, 16,
+            encryptMetadata = true)
+          val u = PdfCrypt.userValue(key, id0, r)
+          EncMat(es, r, v, o, u, Array.empty, Array.empty, Array.empty, p, id0, key)
+        }
       }
     def hexS(b: Array[Byte]): String = b.map(x => f"${x & 0xff}%02X").mkString
     def encStream(id: Int, data: Array[Byte]): Array[Byte] = encMat match {
-      case Some((es, _, _, _, _, _, key, _)) =>
-        PdfCrypt.encrypt(key, id, 0, es.aes, data)
+      case Some(m) => PdfCrypt.encrypt(m.key, id, 0, m.es.aes, data)
       case None => data
     }
 
@@ -1693,17 +1868,25 @@ object PdfText {
       }
     }
 
-    encMat.foreach { case (es, r, v, o, p, _, _, u) =>
+    encMat.foreach { m =>
       // the /Encrypt dict itself is never encrypted (and /O /U are hex
       // strings so no literal-string escaping questions arise)
-      val cf =
-        if (es.aes)
-          " /CF << /StdCF << /CFM /AESV2 /Length 16 >> >> " +
-            "/StmF /StdCF /StrF /StdCF"
-        else ""
       beginObj(encryptId)
-      w(s"<< /Filter /Standard /V $v /R $r /Length 128 /P $p " +
-        s"/O <${hexS(o)}> /U <${hexS(u)}>$cf >>\n")
+      if (m.v == 5)
+        w(s"<< /Filter /Standard /V 5 /R ${m.r} /Length 256 /P ${m.p} " +
+          s"/O <${hexS(m.o)}> /U <${hexS(m.u)}> /OE <${hexS(m.oe)}> " +
+          s"/UE <${hexS(m.ue)}> /Perms <${hexS(m.perms)}> " +
+          "/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> " +
+          "/StmF /StdCF /StrF /StdCF >>\n")
+      else {
+        val cf =
+          if (m.es.aes)
+            " /CF << /StdCF << /CFM /AESV2 /Length 16 >> >> " +
+              "/StmF /StdCF /StrF /StdCF"
+          else ""
+        w(s"<< /Filter /Standard /V ${m.v} /R ${m.r} /Length 128 /P ${m.p} " +
+          s"/O <${hexS(m.o)}> /U <${hexS(m.u)}>$cf >>\n")
+      }
       endObj()
     }
 
@@ -1715,8 +1898,8 @@ object PdfText {
       w(f"${offsets(id)}%010d 00000 n \n")
     }
     val encTrailer = encMat match {
-      case Some((_, _, _, _, _, id0, _, _)) =>
-        s" /Encrypt $encryptId 0 R /ID [ <${hexS(id0)}> <${hexS(id0)}> ]"
+      case Some(m) =>
+        s" /Encrypt $encryptId 0 R /ID [ <${hexS(m.id0)}> <${hexS(m.id0)}> ]"
       case None => ""
     }
     w(s"trailer\n<< /Size $maxId /Root $catalogId 0 R$encTrailer >>\nstartxref\n$xrefOff\n%%EOF\n")

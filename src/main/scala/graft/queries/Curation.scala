@@ -2825,6 +2825,59 @@ object Curation extends QueryBlock {
             i -> chr(CAST(97 + (doc_id * 11 + i * 3) % 26 AS INT))), '') AS text
         FROM d ORDER BY fname""")),
 
+    // E72G — AES-256 PDF text (/V 5, VERDICT r10 item 2): the modern
+    // producer default that e72e's V≤4 envelope rejected. doc_id%5
+    // rotates: plain control, /V 5 /R 6 /AESV3 (ISO 32000-2 Algorithm
+    // 2.A/2.B — SHA-2 family password hash, file key unwrapped from
+    // /UE, /Perms validated under it), the pre-2.0 /R 5 form (plain
+    // SHA-256 hash, same key wrap), R 6 composed UNDER FlateDecode
+    // (decrypt before the filter chain), and an R 6 file with a real
+    // USER password that must contribute ZERO rows. The fixture writer
+    // runs the reverse algorithms (deterministic salts/file key); the
+    // oracle re-derives surviving page text from doc_id arithmetic and
+    // excludes the m=4 class by construction. Per-file parallel, zero
+    // shuffle, scan-local decrypt.
+    "e72g_pdf_aes256" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.PdfText
+        val pdfDir = s"$scratch/pdfenc5_${new java.io.File(dir).getName}"
+        val fd = new java.io.File(pdfDir)
+        if (fd.exists()) fd.listFiles().foreach(_.delete())
+        fd.mkdirs()
+        val A = java.nio.charset.StandardCharsets.ISO_8859_1
+        t(s, dir, "documents")
+          .filter(col("text").isNotNull &&
+            col("doc_id") >= 300 && col("doc_id") < 345)
+          .select(col("doc_id")).collect().foreach { r =>
+            val id = r.getLong(0)
+            val m = (id % 5).toInt
+            val body = (0 until 20)
+              .map(i => ('a' + (id * 13 + i.toLong * 7) % 26).toChar).mkString
+            val page = s"BT /F1 12 Tf 72 720 Td (${PdfText.esc(body)}) Tj ET"
+            val enc = m match {
+              case 0 => None
+              case 1 => Some(PdfText.EncSpec(s"owner-$id", v5 = true))
+              case 2 => Some(PdfText.EncSpec(s"owner-$id", v5 = true, r5 = true))
+              case 3 => Some(PdfText.EncSpec(s"owner-$id", v5 = true))
+              case _ => Some(PdfText.EncSpec(s"owner-$id", userPw = s"user-$id", v5 = true))
+            }
+            val bytes = PdfText.makePdf(Seq(Seq(page.getBytes(A))),
+              flate = m == 3, encrypt = enc)
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(f"$pdfDir/v$id%04d.pdf"), bytes)
+          }
+        pdfProject(s, s.read.format("binaryFile").load(pdfDir))
+          .orderBy(col("fname"), col("page"))
+      },
+      Some("""WITH d AS (SELECT doc_id FROM documents
+          WHERE text IS NOT NULL AND doc_id >= 300 AND doc_id < 345
+            AND doc_id % 5 <> 4)
+        SELECT 'v' || lpad(CAST(doc_id AS VARCHAR), 4, '0') || '.pdf' AS fname,
+          0 AS page,
+          array_to_string(list_transform(generate_series(0, 19),
+            i -> chr(CAST(97 + (doc_id * 13 + i * 7) % 26 AS INT))), '') AS text
+        FROM d ORDER BY fname""")),
+
     // E72F — PDF EMBEDDED-IMAGE extraction (r10): the figure-extraction
     // stage of a multimodal corpus pipeline — /Image XObjects whose
     // final filter is /DCTDecode come out as undecoded JPEGs and feed
