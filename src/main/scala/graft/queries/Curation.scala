@@ -1775,6 +1775,64 @@ object Curation extends QueryBlock {
           CAST(strlen(text) AS BIGINT) AS bytes, sha256(text) AS digest
         FROM documents WHERE text IS NOT NULL ORDER BY doc_id""")),
 
+    // E52B — tar LONG-NAME framings (VERDICT r10 item 3): real-world
+    // tarballs with >100-char paths (deep repo trees) use GNU @LongLink
+    // ('L' meta member), PAX extended headers ('x' path record), or the
+    // strict-ustar prefix field — all three previously dropped. One tar
+    // rotates the framing by doc_id%3, with a directory entry at the
+    // head that the walk must consume without emitting. The oracle
+    // reconstructs every member's FULL name from the same arithmetic, so
+    // a name truncated at 100 bytes (the pre-fix behavior), a
+    // mis-assembled prefix, or a leaked directory row all go red.
+    // Per-file parallel, zero shuffle, scan-local walk like e52.
+    "e52b_tar_longnames" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.TarShards
+        val outDir = s"$scratch/tarlong_${new java.io.File(dir).getName}"
+        val fd = new java.io.File(outDir)
+        if (fd.exists()) fd.listFiles().foreach(_.delete())
+        fd.mkdirs()
+        val rows = t(s, dir, "documents")
+          .filter(col("text").isNotNull &&
+            col("doc_id") >= 400 && col("doc_id") < 440)
+          .select(col("doc_id"), col("text"))
+          .orderBy(col("doc_id")).collect()
+        val out = new java.io.ByteArrayOutputStream()
+        out.write(TarShards.nonRegularEntry("gnu/", '5'))
+        rows.foreach { r =>
+          val id = r.getLong(0)
+          val body = r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          (id % 3).toInt match {
+            case 0 => out.write(TarShards.gnuLongEntry(
+              s"gnu/${"x" * 110}/$id.txt", body))
+            case 1 => out.write(TarShards.paxEntry(
+              s"pax/${"p" * 110}/$id.txt", body))
+            case _ => out.write(TarShards.prefixEntry(
+              s"pre/${"r" * 80}", s"$id.txt", body))
+          }
+        }
+        out.write(new Array[Byte](1024))
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$outDir/long.tar"), out.toByteArray)
+        TarShards.parse(s.read.format("binaryFile").load(outDir))
+          .select(
+            regexp_extract(col("name"), "([0-9]+)\\.txt$", 1)
+              .cast("long").as("doc_id"),
+            col("name"),
+            col("size").as("bytes"),
+            sha2(col("content"), 256).as("digest"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+          CASE CAST(doc_id % 3 AS INT)
+            WHEN 0 THEN 'gnu/' || repeat('x', 110) || '/' || doc_id || '.txt'
+            WHEN 1 THEN 'pax/' || repeat('p', 110) || '/' || doc_id || '.txt'
+            ELSE 'pre/' || repeat('r', 80) || '/' || doc_id || '.txt' END AS name,
+          CAST(strlen(text) AS BIGINT) AS bytes, sha256(text) AS digest
+        FROM documents
+        WHERE text IS NOT NULL AND doc_id >= 400 AND doc_id < 440
+        ORDER BY doc_id""")),
+
     // E53 — WET-style conversion export (the WRITE side of the WARC
     // family; public formats: ISO 28500 + the CommonCrawl WET convention
     // of one `conversion` record per page): a filtered corpus re-emitted
