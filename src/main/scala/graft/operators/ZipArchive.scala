@@ -29,6 +29,8 @@ object ZipArchive {
   private def leU32(b: Array[Byte], o: Int): Long =
     (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
       ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+  private def leU64(b: Array[Byte], o: Int): Long =
+    leU32(b, o) | (leU32(b, o + 4) << 32)
 
   /** All members, decoded and CRC-verified; None for anything outside
     * the envelope. Member order is central-directory order (the order
@@ -49,15 +51,45 @@ object ZipArchive {
         else p -= 1
       }
       if (eocd < 0) return None
-      val nEntries = leU16(b, eocd + 10)
-      val cdSize = leU32(b, eocd + 12)
-      val cdOff = leU32(b, eocd + 16)
+      var nEntries = leU16(b, eocd + 10).toLong
+      var cdSize = leU32(b, eocd + 12)
+      var cdOff = leU32(b, eocd + 16)
       if (leU16(b, eocd + 4) != 0 || leU16(b, eocd + 6) != 0)
         return None // multi-disk
-      if (leU16(b, eocd + 8) != nEntries) return None
+      if (leU16(b, eocd + 8).toLong != nEntries) return None
+      // zip64 (APPNOTE 4.3.14/4.3.15): an EOCD64 locator immediately
+      // precedes the EOCD; masked EOCD fields (0xFFFF / 0xFFFFFFFF)
+      // resolve from the EOCD64 record. A masked field with NO locator —
+      // or a locator pointing at anything but a self-consistent EOCD64 —
+      // rejects like every other framing inconsistency.
+      val masked = nEntries == 0xffffL || cdSize == 0xffffffffL ||
+        cdOff == 0xffffffffL
+      val cdEnd: Long =
+        if (eocd >= 20 && leU32(b, eocd - 20) == 0x07064b50L) {
+          val loc = eocd - 20
+          if (leU32(b, loc + 4) != 0 || leU32(b, loc + 16) != 1)
+            return None // multi-disk
+          val e64 = leU64(b, loc + 8)
+          if (e64 < 0 || e64 + 56 > loc) return None
+          if (leU32(b, e64.toInt) != 0x06064b50L) return None
+          if (leU64(b, e64.toInt + 4) < 44L) return None // declared record size
+          if (leU32(b, e64.toInt + 16) != 0 || leU32(b, e64.toInt + 20) != 0)
+            return None // multi-disk
+          val n1 = leU64(b, e64.toInt + 24)
+          val n2 = leU64(b, e64.toInt + 32)
+          if (n1 != n2) return None
+          val cdSize64 = leU64(b, e64.toInt + 40)
+          val cdOff64 = leU64(b, e64.toInt + 48)
+          // unmasked EOCD fields must AGREE with the 64-bit record
+          if (nEntries != 0xffffL && nEntries != n1) return None
+          if (cdSize != 0xffffffffL && cdSize != cdSize64) return None
+          if (cdOff != 0xffffffffL && cdOff != cdOff64) return None
+          nEntries = n1; cdSize = cdSize64; cdOff = cdOff64
+          e64 // the central directory must run exactly up to the EOCD64
+        } else if (masked) return None
+        else eocd.toLong
       if (nEntries > 4096) return None
-      if (cdOff + cdSize > eocd) return None
-      if (cdOff == 0xffffffffL || nEntries == 0xffff) return None // zip64
+      if (cdOff < 0 || cdOff + cdSize > cdEnd) return None
       val out = Seq.newBuilder[ZipMember]
       var o = cdOff.toInt
       var e = 0
@@ -66,12 +98,42 @@ object ZipArchive {
         val flags = leU16(b, o + 8)
         val method = leU16(b, o + 10)
         val crc = leU32(b, o + 16)
-        val comp = leU32(b, o + 20)
-        val size = leU32(b, o + 24)
+        var comp = leU32(b, o + 20)
+        var size = leU32(b, o + 24)
         val nameLen = leU16(b, o + 28)
         val extraLen = leU16(b, o + 30)
         val cmtLen = leU16(b, o + 32)
-        val lho = leU32(b, o + 42)
+        var lho = leU32(b, o + 42)
+        // masked 32-bit fields resolve from the zip64 extra (tag 0x0001):
+        // 8-byte values in fixed order — uncompressed, compressed, local
+        // header offset — present exactly for the fields that are masked
+        if (comp == 0xffffffffL || size == 0xffffffffL || lho == 0xffffffffL) {
+          var p = o + 46 + nameLen
+          val pe = p + extraLen
+          var found = false
+          while (p + 4 <= pe && !found) {
+            val tag = leU16(b, p)
+            val tlen = leU16(b, p + 2)
+            if (p + 4 + tlen > pe) return None
+            if (tag == 1) {
+              var q = p + 4
+              val qe = p + 4 + tlen
+              if (size == 0xffffffffL) {
+                if (q + 8 > qe) return None; size = leU64(b, q); q += 8
+              }
+              if (comp == 0xffffffffL) {
+                if (q + 8 > qe) return None; comp = leU64(b, q); q += 8
+              }
+              if (lho == 0xffffffffL) {
+                if (q + 8 > qe) return None; lho = leU64(b, q); q += 8
+              }
+              found = true
+            }
+            p += 4 + tlen
+          }
+          if (!found) return None // masked field with no zip64 extra
+          if (comp < 0 || size < 0 || lho < 0) return None
+        }
         if ((flags & 0x1) != 0) return None // encrypted
         if (size > (64L << 20)) return None // zip-bomb declared size
         // the WHOLE entry (name + extra + comment) must stay inside the
@@ -180,6 +242,69 @@ object ZipArchive {
     le32(0x06054b50L); le16(0); le16(0)
     le16(entries.length); le16(entries.length)
     le32(cdSize); le32(cdOff); le16(0)
+    out.toByteArray
+  }
+
+  /** Fixture writer: the same archive content in zip64 FRAMING — central
+    * entries mask compressed/uncompressed/offset behind 0xFFFFFFFF with
+    * the real values in a 0x0001 extra field, and the EOCD masks entry
+    * count and directory size/offset behind an EOCD64 record + locator.
+    * Members stay small (the 64 MiB cap is a content bound, zip64 a
+    * FRAMING bound — >4 GiB archives routinely hold small members);
+    * local headers keep real 32-bit sizes, which is legal — the central
+    * directory is authoritative.
+    */
+  def makeZip64(entries: Seq[(String, Array[Byte], Boolean)]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def le32(v: Long): Unit = {
+      out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+      out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+    }
+    def le64(v: Long): Unit = { le32(v & 0xffffffffL); le32((v >>> 32) & 0xffffffffL) }
+    def deflateRaw(data: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+      d.setInput(data); d.finish()
+      val bo = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      while (!d.finished()) bo.write(buf, 0, d.deflate(buf))
+      d.end()
+      bo.toByteArray
+    }
+    val metas = entries.map { case (name, data, defl) =>
+      val nameB = name.getBytes("UTF-8")
+      val comp = if (defl) deflateRaw(data) else data
+      val c = new java.util.zip.CRC32
+      c.update(data)
+      val lho = out.size()
+      le32(0x04034b50L); le16(45); le16(0x800); le16(if (defl) 8 else 0)
+      le16(0x6000); le16(0x5a21)
+      le32(c.getValue); le32(comp.length); le32(data.length)
+      le16(nameB.length); le16(0)
+      out.write(nameB); out.write(comp)
+      (nameB, defl, comp.length, data.length, c.getValue, lho)
+    }
+    val cdOff = out.size()
+    metas.foreach { case (nameB, defl, comp, size, crc, lho) =>
+      le32(0x02014b50L); le16(45); le16(45); le16(0x800)
+      le16(if (defl) 8 else 0); le16(0x6000); le16(0x5a21)
+      le32(crc); le32(0xffffffffL); le32(0xffffffffL) // masked comp/size
+      le16(nameB.length); le16(4 + 24); le16(0); le16(0); le16(0)
+      le32(0); le32(0xffffffffL) // masked local-header offset
+      out.write(nameB)
+      // zip64 extra: uncompressed, compressed, offset (the masked order)
+      le16(1); le16(24); le64(size); le64(comp); le64(lho)
+    }
+    val cdSize = out.size() - cdOff
+    val e64 = out.size()
+    le32(0x06064b50L); le64(44) // EOCD64 record, fixed-part size
+    le16(45); le16(45); le32(0); le32(0)
+    le64(entries.length); le64(entries.length)
+    le64(cdSize); le64(cdOff)
+    le32(0x07064b50L); le32(0); le64(e64); le32(1) // locator
+    le32(0x06054b50L); le16(0); le16(0)
+    le16(0xffff); le16(0xffff) // masked entry counts
+    le32(0xffffffffL); le32(0xffffffffL); le16(0) // masked size/offset
     out.toByteArray
   }
 }

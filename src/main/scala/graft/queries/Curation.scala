@@ -761,9 +761,14 @@ object Curation extends QueryBlock {
           .map(i => ('a' + (id * 3 + i.toLong * 11) % 26).toChar).mkString
         (s"docs/d$id.txt", body.getBytes("UTF-8"), id % 2 == 1)
       }
+      // alternate framing per archive: classic 32-bit and zip64
+      // (EOCD64 + masked central fields — VERDICT r10 item 4); member
+      // content is identical, so the oracle is framing-independent and
+      // a reader that mishandles either framing drops whole archives
       java.nio.file.Files.write(
         java.nio.file.Paths.get(f"$zDir/z$g%02d.zip"),
-        ZipArchive.makeZip(entries))
+        if (g % 2 == 0) ZipArchive.makeZip(entries)
+        else ZipArchive.makeZip64(entries))
     }
     zDir
   }

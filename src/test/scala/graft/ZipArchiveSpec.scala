@@ -69,6 +69,41 @@ class ZipArchiveSpec extends AnyFunSuite {
     assert(ZipArchive.members(k) === None)
   }
 
+  test("zip64 framing: EOCD64 + masked fields round-trip; rejects stay strict") {
+    val entries = Seq(
+      ("a.txt", b("hello zip64"), false),
+      ("dir/b.txt", b("compressed content " * 20), true),
+      ("c.bin", Array.tabulate(256)(_.toByte), false))
+    val z = ZipArchive.makeZip64(entries)
+    val m = ZipArchive.members(z).get
+    assert(m.map(_.name) === Seq("a.txt", "dir/b.txt", "c.bin"))
+    m.zip(entries).foreach { case (got, (_, want, _)) =>
+      assert(got.data.toSeq === want.toSeq)
+    }
+    // truncation anywhere rejects
+    for (cut <- Seq(5, z.length / 2, z.length - 3, z.length - 30))
+      assert(ZipArchive.members(z.take(cut)) === None)
+    // flipping a payload byte still breaks the CRC
+    val at = new String(z, "ISO-8859-1").indexOf("hello")
+    val k = z.clone(); k(at) = 'X'.toByte
+    assert(ZipArchive.members(k) === None)
+    // corrupting the EOCD64 signature orphans the masked EOCD → reject
+    val e64At = {
+      val s = new String(z, "ISO-8859-1")
+      s.indexOf("PK")
+    }
+    val k2 = z.clone(); k2(e64At + 3) = 0x05.toByte
+    assert(ZipArchive.members(k2) === None)
+    // a masked central field with its zip64 extra tag corrupted rejects
+    val cdAt = new String(z, "ISO-8859-1").indexOf("PK")
+    val extraTagAt = cdAt + 46 + "a.txt".length
+    val k3 = z.clone(); k3(extraTagAt) = 9.toByte // tag 0x0001 -> 0x0009
+    assert(ZipArchive.members(k3) === None)
+    // appended garbage after a valid zip64 archive rejects (EOCD comment
+    // self-consistency, the standing discipline)
+    assert(ZipArchive.members(z ++ b("junk")) === None)
+  }
+
   test("central-directory span discipline: over-declared entry and slack cdSize reject") {
     val z = ZipArchive.makeZip(Seq(("a.txt", b("alpha"), false),
       ("b.txt", b("beta"), false)))
