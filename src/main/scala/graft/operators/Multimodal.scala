@@ -616,7 +616,20 @@ object Multimodal {
   def makeMp4Tracks(trackId: Long, timescale: Long,
       run1: (Int, Long), run2: (Int, Long), sizes: Seq[Long],
       spc1: Int, chunks2From: Int, spc2: Int,
+      withStss: Boolean = true): Array[Byte] =
+    makeMp4Media(trackId, timescale, run1, run2,
+      sizes.map(sz => Array.fill(sz.toInt)(0x55.toByte)),
+      spc1, chunks2From, spc2, withStss)
+
+  /** [[makeMp4Tracks]] with REAL sample payloads in the mdat (the MJPEG
+    * fixture form: each sample is a complete JPEG, sync samples
+    * extractable + decodable by composition with the JPEG decoder).
+    */
+  def makeMp4Media(trackId: Long, timescale: Long,
+      run1: (Int, Long), run2: (Int, Long), payloads: Seq[Array[Byte]],
+      spc1: Int, chunks2From: Int, spc2: Int,
       withStss: Boolean = true): Array[Byte] = {
+    val sizes = payloads.map(_.length.toLong)
     val n = sizes.length
     require(run1._1 + run2._1 == n, "stts runs must cover the samples")
     def box(t: String, payload: Array[Byte]): Array[Byte] = {
@@ -668,7 +681,7 @@ object Multimodal {
     val probe = assemble(stcoOf(0L))
     val mdatPayload = ftyp.length + probe.length + 8L
     val moov = assemble(stcoOf(mdatPayload))
-    val media = Array.fill(sizes.sum.toInt)(0x55.toByte)
+    val media = payloads.toArray.flatten
     ftyp ++ moov ++ box("mdat", media)
   }
 

@@ -673,6 +673,36 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.mp4SyncSamples(k) === None)
   }
 
+  test("makeMp4Media: real payloads land at the resolved offsets; JPEG sync frames decode") {
+    val jpegs = (1 to 8).map(j =>
+      Multimodal.makeJpegPixels(2, 1, 1, seed = 9000L + j))
+    val b = Multimodal.makeMp4Media(1, 1000, (4, 100L), (4, 200L),
+      jpegs, spc1 = 3, chunks2From = 3, spc2 = 2)
+    val sync = Multimodal.mp4SyncSamples(b).get
+    assert(sync.map(_.sample) === Seq(1, 5))
+    // the bytes at each resolved offset ARE the sample's JPEG
+    sync.foreach { sm =>
+      val frame = java.util.Arrays.copyOfRange(
+        b, sm.offset.toInt, (sm.offset + sm.size).toInt)
+      assert(frame.toSeq === jpegs(sm.sample - 1).toSeq)
+      assert(Multimodal.jpegGraySums(frame) ===
+        Multimodal.jpegGraySums(jpegs(sm.sample - 1)))
+    }
+    // truncating into the LAST sync sample's bytes rejects the whole
+    // resolution (offsets must be byte-backed — the e12t discipline)
+    val cutAt = sync.last.offset.toInt + 10
+    assert(Multimodal.mp4SyncSamples(b.take(cutAt)) === None)
+    // a corrupted frame payload fails its own JPEG decode but leaves
+    // the sample-table resolution intact (the seam degrades per-frame)
+    val k = b.clone()
+    k(sync.head.offset.toInt) = 0x00 // break SOI of frame 1
+    val sync2 = Multimodal.mp4SyncSamples(k).get
+    assert(sync2 === sync)
+    val broken = java.util.Arrays.copyOfRange(
+      k, sync2.head.offset.toInt, (sync2.head.offset + sync2.head.size).toInt)
+    assert(Multimodal.jpegGraySums(broken) === None)
+  }
+
   test("mp4SyncSamples: stts run-count SUM bomb rejects before materializing") {
     // 512 runs of 2^20 samples each: every run passes the per-run guard,
     // but the total (2^29 deltas ≈ 4 GiB of Longs) must trip the guard
