@@ -267,6 +267,12 @@ object GeoFunctions extends Serializable {
   }
   def st_buffer(g: Column, d: Column): Column =
     native2(graft.functions.StBufferExpr.apply)(g, d)
+  def st_buffer(g: Column, d: Column, quadSegments: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.functions.StBuffer3Expr(
+      GraftColumnBridge.expression(g), GraftColumnBridge.expression(d),
+      GraftColumnBridge.expression(quadSegments)))
+  }
   def st_convexhull_native(g: Column): Column = {
     import org.apache.spark.sql.GraftColumnBridge
     GraftColumnBridge.column(

@@ -3,7 +3,7 @@ package graft.functions
 import graft.GeoFunctions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression,
-  ImplicitCastInputTypes, Literal, UnaryExpression}
+  ImplicitCastInputTypes, Literal, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{BinaryType, DataType, DoubleType, IntegerType}
 import org.locationtech.jts.geom.Geometry
@@ -95,6 +95,35 @@ case class StBufferExpr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
 }
 
+/** B12 st_buffer(geom, dist, quadSegments) — the PostGIS 3-arg form.
+  * quadSegments controls the arc discretization (segments per circle
+  * quadrant); qs = 1 turns a point buffer into its closed-form diamond
+  * (vertices on the axes, area 2d², perimeter 4d√2), the degenerate
+  * case the b25 oracle pins while full discretization stays GOLDEN.
+  */
+case class StBuffer3Expr(first: Expression, second: Expression,
+    third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes {
+  override def prettyName: String = "st_buffer"
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, DoubleType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+
+  def evalBuffer(b: Array[Byte], d: Double, qs: Int): Array[Byte] =
+    GeoFunctions.toWkb(GeoFunctions.fromWkb(b).buffer(d, qs))
+
+  override def nullSafeEval(b: Any, d: Any, q: Any): Any =
+    evalBuffer(b.asInstanceOf[Array[Byte]], d.asInstanceOf[Double],
+      q.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("stBuffer3", this, classOf[StBuffer3Expr].getName)
+    nullSafeCodeGen(ctx, ev, (b, d, q) => s"${ev.value} = $ref.evalBuffer($b, $d, $q);")
+  }
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): StBuffer3Expr = copy(f, s, t)
+}
+
 /** B13 st_convexhull. */
 case class StConvexHullExpr(child: Expression)
     extends UnaryExpression with ImplicitCastInputTypes {
@@ -178,7 +207,12 @@ object WkbOverlay {
     r.createOrReplaceTempFunction("st_intersection",
       arity("st_intersection", 2)(es => StIntersectionExpr(es(0), es(1))), "built-in")
     r.createOrReplaceTempFunction("st_buffer",
-      arity("st_buffer", 2)(es => StBufferExpr(es(0), es(1))), "built-in")
+      es => es.length match {
+        case 2 => StBufferExpr(es(0), es(1))
+        case 3 => StBuffer3Expr(es(0), es(1), es(2))
+        case n => throw new IllegalArgumentException(
+          s"st_buffer expects 2 or 3 arguments, got $n")
+      }, "built-in")
     r.createOrReplaceTempFunction("st_convexhull",
       arity("st_convexhull", 1)(es => StConvexHullExpr(es(0))), "built-in")
     r.createOrReplaceTempFunction("st_srid",

@@ -511,6 +511,42 @@ object Geometry extends QueryBlock {
         CAST(least(p_size, 2) * 3 AS DOUBLE) AS area_int,
         CAST(p_size * (p_size + 10) + 48 - least(p_size, 2) * 3 AS DOUBLE) AS area_un,
         'Polygon' AS gtype_int, 'Polygon' AS gtype_un
-        FROM part WHERE p_partkey < 500 ORDER BY p_partkey"""))
+        FROM part WHERE p_partkey < 500 ORDER BY p_partkey""")),
+
+    // B12 promoted as far as an oracle can go (VERDICT r10 item 6): the
+    // DEGENERATE buffer cases with closed forms. A point buffered at
+    // quadSegments = 1 is the diamond with vertices on the axes — area
+    // 2d², perimeter 4d√2, 5 ring points, centroid at the point — and
+    // buffering THAT polygon by 0 is the identity on every measure. Full
+    // arc discretization (the default 8-segment quadrant) remains
+    // GOLDEN+PROP by SURVEY declaration (JTS-impl-defined vertex
+    // placement); round(6) absorbs the ~1e-15 cos(π/2) residue in the
+    // axis vertices. The non-ORACLE set shrinks to {E14}.
+    "b25_buffer_closed_forms" -> QueryDef(
+      (s, dir) => {
+        val k = col("n_nationkey").cast("double")
+        val d = k + 1
+        val p = G.st_point(k, k * 2)
+        val diamond = G.st_buffer(p, d, lit(1))
+        t(s, dir, "nation")
+          .select(col("n_nationkey"),
+            G.st_geometrytype(diamond).as("gtype"),
+            G.st_npoints(diamond).as("npts"),
+            round(G.st_area(diamond), 6).as("area"),
+            round(G.st_length(diamond), 6).as("perimeter"),
+            round(G.st_x(G.st_centroid(diamond)), 6).as("cx"),
+            round(G.st_y(G.st_centroid(diamond)), 6).as("cy"),
+            round(G.st_area(G.st_buffer(diamond, lit(0.0))), 6).as("area0"),
+            round(G.st_length(G.st_buffer(diamond, lit(0.0))), 6).as("perim0"))
+          .orderBy(col("n_nationkey"))
+      },
+      Some("""SELECT n_nationkey, 'Polygon' AS gtype, 5 AS npts,
+        round(CAST(2 * (n_nationkey + 1) * (n_nationkey + 1) AS DOUBLE), 6) AS area,
+        round(4 * (n_nationkey + 1) * sqrt(2), 6) AS perimeter,
+        round(CAST(n_nationkey AS DOUBLE), 6) AS cx,
+        round(CAST(n_nationkey * 2 AS DOUBLE), 6) AS cy,
+        round(CAST(2 * (n_nationkey + 1) * (n_nationkey + 1) AS DOUBLE), 6) AS area0,
+        round(4 * (n_nationkey + 1) * sqrt(2), 6) AS perim0
+        FROM nation ORDER BY n_nationkey"""))
   )
 }

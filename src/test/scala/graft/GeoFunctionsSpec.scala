@@ -212,5 +212,20 @@ class GeoFunctionsSpec extends AnyFunSuite {
         org.apache.spark.sql.functions.lit(b)).as("c"))
       .head().getAs[Array[Byte]]("c")
     assert(litClip.sameElements(stIntersectionF(a, b)))
+    // 3-arg st_buffer (quadSegments): qs=1 point buffer is the diamond
+    // (5 ring points, area 2d² within fp residue), via BOTH API paths
+    val p0 = stPointF(3, 4)
+    val d3 = Seq((p0, 0)).toDF("g", "z")
+      .select(GeoFunctions.st_buffer(col("g"),
+        org.apache.spark.sql.functions.lit(2.0),
+        org.apache.spark.sql.functions.lit(1)).as("dia"))
+    assert(!d3.queryExecution.executedPlan.toString.contains("ScalaUDF"))
+    val dia = d3.head().getAs[Array[Byte]]("dia")
+    assert(stNPointsF(dia) === 5)
+    assert(math.abs(stAreaF(dia) - 8.0) < 1e-9)
+    Seq((p0, 0)).toDF("g", "z").createOrReplaceTempView("buf3_t")
+    val viaSql3 = spark.sql(
+      "SELECT st_buffer(g, 2.0, 1) AS dia FROM buf3_t").head()
+    assert(viaSql3.getAs[Array[Byte]]("dia").sameElements(dia))
   }
 }
