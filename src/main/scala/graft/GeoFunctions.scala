@@ -286,6 +286,12 @@ object GeoFunctions extends Serializable {
   }
   def st_setsrid(g: Column, srid: Column): Column =
     native2(graft.functions.StSetSridExpr.apply)(g, srid)
+  def st_transform(g: Column, fromSrid: Column, toSrid: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.functions.StTransformExpr(
+      GraftColumnBridge.expression(g), GraftColumnBridge.expression(fromSrid),
+      GraftColumnBridge.expression(toSrid)))
+  }
   val st_collect = udf(stCollectF).withName("st_collect")
   val st_simplify = udf(stSimplifyF).withName("st_simplify")
   val st_makeline = udf(stMakeLineF).withName("st_makeline")

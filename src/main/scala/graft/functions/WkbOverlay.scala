@@ -190,6 +190,63 @@ case class StSetSridExpr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
 }
 
+/** st_transform(geom, srcSrid, dstSrid) — bounded CRS reprojection
+  * (NOTES_r11 decision memo): spherical lon/lat (EPSG:4326, axis order
+  * lon,lat — the GeoJSON/WKB convention this engine stores) ↔ Web
+  * Mercator (EPSG:3857), the pair that covers the overwhelming share of
+  * web/tile workloads. The spherical forward is x = R·λrad,
+  * y = R·ln(tan(π/4 + φrad/2)) with R = 6378137 (the WGS84 semi-major
+  * axis — 3857 is DEFINED on the sphere, so this is exact, not an
+  * approximation); the inverse is its closed-form mirror. Any other CRS
+  * pair throws loudly — a silent null would let a mixed-CRS corpus
+  * "succeed" with wrong coordinates, the confident-garbage the decoder
+  * envelope forbids. The output carries the destination SRID in EWKB so
+  * st_srid composes. Same-SRID calls are the identity plus SRID stamp.
+  */
+case class StTransformExpr(first: Expression, second: Expression,
+    third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes {
+  override def prettyName: String = "st_transform"
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, IntegerType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+
+  private val R = 6378137.0
+
+  def evalTransform(b: Array[Byte], from: Int, to: Int): Array[Byte] = {
+    val g = GeoFunctions.fromWkb(b)
+    if (from != to) {
+      val filter: org.locationtech.jts.geom.CoordinateFilter = (from, to) match {
+        case (4326, 3857) => c => {
+          c.x = R * math.toRadians(c.x)
+          c.y = R * math.log(math.tan(math.Pi / 4 + math.toRadians(c.y) / 2))
+        }
+        case (3857, 4326) => c => {
+          c.x = math.toDegrees(c.x / R)
+          c.y = math.toDegrees(2 * math.atan(math.exp(c.y / R)) - math.Pi / 2)
+        }
+        case _ => throw new IllegalArgumentException(
+          s"st_transform: unsupported CRS pair $from -> $to (supported: 4326 <-> 3857)")
+      }
+      g.apply(filter)
+      g.geometryChanged()
+    }
+    g.setSRID(to)
+    new WKBWriter(2, 2, true).write(g)
+  }
+
+  override def nullSafeEval(b: Any, f: Any, t: Any): Any =
+    evalTransform(b.asInstanceOf[Array[Byte]], f.asInstanceOf[Int],
+      t.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("stTransform", this, classOf[StTransformExpr].getName)
+    nullSafeCodeGen(ctx, ev, (b, f, t) => s"${ev.value} = $ref.evalTransform($b, $f, $t);")
+  }
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): StTransformExpr = copy(f, s, t)
+}
+
 object WkbOverlay {
 
   private def arity(name: String, n: Int)(
@@ -219,5 +276,7 @@ object WkbOverlay {
       arity("st_srid", 1)(es => StSridExpr(es(0))), "built-in")
     r.createOrReplaceTempFunction("st_setsrid",
       arity("st_setsrid", 2)(es => StSetSridExpr(es(0), es(1))), "built-in")
+    r.createOrReplaceTempFunction("st_transform",
+      arity("st_transform", 3)(es => StTransformExpr(es(0), es(1), es(2))), "built-in")
   }
 }

@@ -547,6 +547,42 @@ object Geometry extends QueryBlock {
         round(CAST(n_nationkey * 2 AS DOUBLE), 6) AS cy,
         round(CAST(2 * (n_nationkey + 1) * (n_nationkey + 1) AS DOUBLE), 6) AS area0,
         round(4 * (n_nationkey + 1) * sqrt(2), 6) AS perim0
+        FROM nation ORDER BY n_nationkey""")),
+
+    // ST_TRANSFORM (NOTES_r11 memo; VERDICT r10 item 7): the bounded
+    // lon/lat (4326) ↔ Web-Mercator (3857) reprojection — 3857 is
+    // DEFINED on the sphere, so x = R·radians(lon), y = R·ln(tan(π/4 +
+    // radians(lat)/2)) is the exact projection law, which DuckDB
+    // recomputes independently with its own libm. round(4) on ~1e7
+    // metre values leaves > 4 orders of magnitude of margin over
+    // cross-libm last-ulp drift; the round trip back to integer degrees
+    // is pinned at round(6). The destination SRID must ride the EWKB
+    // so st_srid composes; an unsupported pair throws loudly (spec).
+    "b26_transform" -> QueryDef(
+      (s, dir) => {
+        val k = col("n_nationkey").cast("double")
+        val lon = k * 6 - 72
+        val lat = k * 3 - 36
+        val p = G.st_point(lon, lat)
+        val m = G.st_transform(p, lit(4326), lit(3857))
+        val rt = G.st_transform(m, lit(3857), lit(4326))
+        t(s, dir, "nation")
+          .select(col("n_nationkey"),
+            (round(G.st_x(m), 4) + lit(0.0)).as("mx"),
+            (round(G.st_y(m), 4) + lit(0.0)).as("my"),
+            G.st_srid(m).as("msrid"),
+            (round(G.st_x(rt), 6) + lit(0.0)).as("rx"),
+            (round(G.st_y(rt), 6) + lit(0.0)).as("ry"),
+            G.st_srid(rt).as("rsrid"))
+          .orderBy(col("n_nationkey"))
+      },
+      Some("""SELECT n_nationkey,
+        round(6378137 * radians(n_nationkey * 6 - 72), 4) + 0.0 AS mx,
+        round(6378137 * ln(tan(pi()/4 + radians(n_nationkey * 3 - 36)/2)), 4) + 0.0 AS my,
+        3857 AS msrid,
+        round(CAST(n_nationkey * 6 - 72 AS DOUBLE), 6) + 0.0 AS rx,
+        round(CAST(n_nationkey * 3 - 36 AS DOUBLE), 6) + 0.0 AS ry,
+        4326 AS rsrid
         FROM nation ORDER BY n_nationkey"""))
   )
 }

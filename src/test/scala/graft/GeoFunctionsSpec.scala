@@ -228,4 +228,46 @@ class GeoFunctionsSpec extends AnyFunSuite {
       "SELECT st_buffer(g, 2.0, 1) AS dia FROM buf3_t").head()
     assert(viaSql3.getAs[Array[Byte]]("dia").sameElements(dia))
   }
+
+  test("st_transform: 4326<->3857 closed forms, SRID stamping, loud reject") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    Graft.prepare(spark)
+    val p = stPointF(6.0, 45.0)
+    val df = Seq((p, 0)).toDF("g", "z")
+      .select(GeoFunctions.st_transform(col("g"), lit(4326), lit(3857)).as("m"))
+      .select(col("m"),
+        GeoFunctions.st_transform(col("m"), lit(3857), lit(4326)).as("rt"))
+    val row = df.head()
+    val m = row.getAs[Array[Byte]]("m")
+    val R = 6378137.0
+    assert(math.abs(stXF(m) - R * math.toRadians(6.0)) < 1e-6)
+    assert(math.abs(stYF(m) -
+      R * math.log(math.tan(math.Pi / 4 + math.toRadians(45.0) / 2))) < 1e-6)
+    assert(GeoFunctions.fromWkb(m).getSRID === 3857)
+    val rt = row.getAs[Array[Byte]]("rt")
+    assert(math.abs(stXF(rt) - 6.0) < 1e-9)
+    assert(math.abs(stYF(rt) - 45.0) < 1e-9)
+    assert(GeoFunctions.fromWkb(rt).getSRID === 4326)
+    // SQL path binds the same expression
+    Seq((p, 0)).toDF("g", "z").createOrReplaceTempView("xform_t")
+    val viaSql = spark.sql(
+      "SELECT st_transform(g, 4326, 3857) AS m FROM xform_t").head()
+    assert(viaSql.getAs[Array[Byte]]("m").sameElements(m))
+    // an unsupported CRS pair fails LOUDLY — silent nulls would let a
+    // mixed-CRS corpus "succeed" with wrong coordinates
+    val err = intercept[Exception] {
+      Seq((p, 0)).toDF("g", "z")
+        .select(GeoFunctions.st_transform(col("g"), lit(4326), lit(2154)))
+        .head()
+    }
+    assert(err.getMessage != null)
+    // same-SRID call is the identity plus SRID stamp
+    val same = Seq((p, 0)).toDF("g", "z")
+      .select(GeoFunctions.st_transform(col("g"), lit(4326), lit(4326)).as("s"))
+      .head().getAs[Array[Byte]]("s")
+    assert(stXF(same) === 6.0 && stYF(same) === 45.0)
+    assert(GeoFunctions.fromWkb(same).getSRID === 4326)
+  }
 }
