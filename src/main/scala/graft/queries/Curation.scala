@@ -800,6 +800,57 @@ object Curation extends QueryBlock {
           i -> chr(CAST(97 + (doc_id * 3 + i * 11) % 26 AS INT))), '') AS text
       FROM d ORDER BY fname, member"""
 
+  /** e98/d28 shared: 4 `.jsonl.zst` shards × 10 documents. Framing is
+    * deliberately hostile-shaped: shard g is cut into g+1 zstd frames at
+    * byte offsets that land MID-LINE (frame boundaries are byte-level,
+    * not record-level — RFC 8878 concatenation semantics), with a
+    * skippable frame between each pair. Content derives from doc_id so
+    * the oracle re-creates every line without decompressing anything.
+    */
+  def writeZstdFixture(s: SparkSession, dir: String): String = {
+    import graft.operators.ZstdShards
+    val zDir = s"$scratch/zst_${new java.io.File(dir).getName}"
+    val fd = new java.io.File(zDir)
+    java.nio.file.Files.createDirectories(fd.toPath)
+    fd.listFiles().foreach(_.delete())
+    val ids = t(s, dir, "documents")
+      .filter(col("text").isNotNull &&
+        col("doc_id") >= 450 && col("doc_id") < 490)
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    ids.grouped(10).zipWithIndex.foreach { case (group, g) =>
+      val lines = group.toSeq.map { id =>
+        val body = (0 until 30)
+          .map(i => ('a' + (id * 7 + i.toLong * 13) % 26).toChar).mkString
+        s"""{"doc_id":$id,"body":"$body"}"""
+      }
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(f"$zDir/s$g%02d.jsonl.zst"),
+        ZstdShards.makeShard(lines, g + 1))
+    }
+    zDir
+  }
+
+  /** e98/d28 shared: binaryFile rows → one typed row per JSONL line. */
+  def zstdProject(raw: DataFrame): DataFrame =
+    graft.operators.ZstdShards.parse(raw)
+      .select(col("fname"), col("line_no"),
+        get_json_object(col("line"), "$.doc_id").cast("long").as("doc_id"),
+        get_json_object(col("line"), "$.body").as("body"))
+
+  /** The e98/d28 construction oracle. */
+  val zstdOracleSql: String =
+    """WITH d AS (SELECT doc_id,
+          ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS rn
+        FROM documents WHERE text IS NOT NULL
+          AND doc_id >= 450 AND doc_id < 490)
+      SELECT 's' || lpad(CAST(rn // 10 AS VARCHAR), 2, '0')
+          || '.jsonl.zst' AS fname,
+        CAST(rn % 10 AS INTEGER) AS line_no, doc_id,
+        array_to_string(list_transform(generate_series(0, 29),
+          i -> chr(CAST(97 + (doc_id * 7 + i * 13) % 26 AS INT))), '')
+          AS body
+      FROM d ORDER BY fname, line_no"""
+
   /** e97/e97b shared: write the 4-file MediaWiki export fixture —
     * plain XML, or bzip2-compressed via the in-repo encoder when
     * `bz2` is set (the form Wikipedia actually publishes). */
@@ -3202,6 +3253,25 @@ object Curation extends QueryBlock {
       },
       Some(wikiOracleSql)),
 
+    // E98 — ZSTD-SHARD ingest (r11): the container modern bulk corpora
+    // actually ship (RedPajama / Dolma / OSCAR publish zstd-framed
+    // JSONL shards). operators.ZstdShards walks RFC 8878 concatenated
+    // frames via libzstd's own frame-boundary arithmetic (zstd-jni,
+    // already on every Spark executor's classpath — the JDK-Inflater
+    // precedent), skips skippable frames, enforces exact-consume + a
+    // streaming decompressed-bytes cap (zstd's ~2^17:1 ratio makes a
+    // KB-size bomb declare TBs), and only then splits lines — the
+    // fixture cuts frames MID-LINE so a reader that treats frames as
+    // record boundaries diverges. The oracle re-derives every line
+    // from doc_id construction without decompressing anything.
+    // Per-file scan-local, zero shuffle.
+    "e98_zstd_jsonl" -> QueryDef(
+      (s, dir) => {
+        val zDir = writeZstdFixture(s, dir)
+        zstdProject(s.read.format("binaryFile").load(zDir))
+          .orderBy(col("fname"), col("line_no"))
+      },
+      Some(zstdOracleSql)),
 
     "e75_mixed_ingest" -> QueryDef(
       (s, dir) => {

@@ -1103,7 +1103,25 @@ object Streaming extends QueryBlock {
             "d27_sink", mode = "append")
           .orderBy(col("fname"), col("member"))
       },
-      Some(Curation.zipOracleSql))
+      Some(Curation.zipOracleSql)),
+
+    // D28 — ZSTD-SHARD ingest as a STREAM (e98's deployment shape:
+    // `.jsonl.zst` drops landing in a directory, frames walked and
+    // lines typed per trigger). Frame decode is within-file — the
+    // stream is a pure append map, slicing-independent, sharing e98's
+    // fixture and oracle verbatim (the d22/d24/d26/d27 pattern).
+    "d28_stream_zstd" -> QueryDef(
+      (s, dir) => {
+        val zDir = Curation.writeZstdFixture(s, dir)
+        val raw = s.readStream.format("binaryFile")
+          .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+          .option("maxFilesPerTrigger", "2")
+          .load(zDir)
+        EventStreams.runToTable(s, Curation.zstdProject(raw),
+            "d28_sink", mode = "append")
+          .orderBy(col("fname"), col("line_no"))
+      },
+      Some(Curation.zstdOracleSql))
   )
 }
 
