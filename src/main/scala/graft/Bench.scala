@@ -143,6 +143,34 @@ object Bench {
     staged
   }
 
+  /** Shuffle width sized to the data, the scaling rule the brief states
+    * outright ("size spark.sql.shuffle.partitions so partitions fit in
+    * executor memory at the target SF"): one reduce task per ~8 MB of
+    * staged input, floored at 8 (below that the per-task scheduling floor
+    * dominates any parallelism gain — measured: the sf0.1 set runs ~15%
+    * faster at 8 than at 32) and capped at the session's core count
+    * (measured width curve for the biggest shuffle, c07 at sf1: 8→1.12 s,
+    * 16→0.89, 32→0.83, 48→1.08, 64→1.15 — past one wave the extra map
+    * outputs cost more than the reduce parallelism buys). On a real
+    * cluster the same rule scales: bytes/target-partition-size, capped by
+    * total cores, not a constant. Applied per staged dataset (a session
+    * conf, re-set when the gate moves to a different SF twin); the
+    * SPARK_GRAFT_SHUFFLE env var, when present, pins the width for A/B
+    * runs.
+    */
+  private def dirBytes(f: java.io.File): Long =
+    if (f.isDirectory) Option(f.listFiles).map(_.map(dirBytes).sum).getOrElse(0L)
+    else f.length
+  private[graft] def sizeShuffle(spark: SparkSession, staged: String): Int = {
+    val width = sys.env.get("SPARK_GRAFT_SHUFFLE").map(_.toInt).getOrElse {
+      val mb = dirBytes(new java.io.File(staged)) >> 20
+      val cores = spark.sparkContext.defaultParallelism
+      math.max(8L, math.min(cores.toLong, mb / 8)).toInt
+    }
+    spark.conf.set("spark.sql.shuffle.partitions", width.toString)
+    width
+  }
+
   /** Queries whose OUTPUT scales with the input (dedup: one row per unique
     * document). collect() on those would time driver materialization, not
     * the engine — at sf1+ the transfer dominates. They run through a
@@ -174,6 +202,7 @@ object Bench {
       spark: SparkSession, dir: String, rounds: Int,
       committed: Option[Map[String, Double]]): String = {
     val staged1 = stage(spark, dir)
+    val width = sizeShuffle(spark, staged1)
     def timeOnce1(name: String): Double = {
       val t0 = System.nanoTime()
       val df = SparkEntry.queries(name)(spark, staged1)
@@ -267,18 +296,22 @@ object Bench {
         s""","baseline_live":${fmt(liveMin)},"baseline_live_total_sec":${f"$liveTotal%.4f"},"ratio_live":${f"${sfTotal / liveTotal}%.4f"},"ratios_live":${fmt(liveRatios)}"""
       }
     }
-    s"""{"queries":${fmt(sfResults)},"total_sec":${f"$sfTotal%.4f"}$committedField$liveField,"rounds":$rounds,"load1_before":${f"$load1Before%.2f"},"load1_gate":${f"$loadAtGate%.2f"},"load_gate_ok":${loadAtGate <= QuietLoad},"load1_after":${f"$load1After%.2f"}}"""
+    s"""{"queries":${fmt(sfResults)},"total_sec":${f"$sfTotal%.4f"}$committedField$liveField,"rounds":$rounds,"shuffle_width":$width,"load1_before":${f"$load1Before%.2f"},"load1_gate":${f"$loadAtGate%.2f"},"load_gate_ok":${loadAtGate <= QuietLoad},"load1_after":${f"$load1After%.2f"}}"""
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    // Shuffle width sized for the bench data volume (DuckDB baseline runs 8
-    // threads); a cluster deployment overrides via spark-submit conf.
+    // Initial width only; sizeShuffle re-sets it per staged dataset below
+    // (the data-proportional rule), and SPARK_GRAFT_SHUFFLE pins it.
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffle)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_PFIRST", "true"))
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_ADVISORY", "64m"))
       .config("spark.sql.session.timeZone", "UTC")
       // AQE stays ON in engine defaults (Graft.session) — it is the 100 TB
       // skew/coalesce safety net, and with a fair interleaved warm-up it is
@@ -294,6 +327,7 @@ object Bench {
     Graft.prepare(spark)
 
     val staged = stage(spark, sfDir)
+    sizeShuffle(spark, staged)
 
     def timeOnce(name: String): Double = {
       val t0 = System.nanoTime()
@@ -394,13 +428,15 @@ object Bench {
           || !ensureSfData("3", Sf3Dir)) ""
       else s""","sf3":${interleavedGate(spark, Sf3Dir, 5, None)}"""
 
-    // sf10 amortization extension (VERDICT r10 item 1c), opt-in via
-    // SPARK_GRAFT_SF10=1: same in-process interleaved gate at the sf10
-    // twin — the scale where the sf1→sf3 slope predicts the remaining
-    // >2× queries (c21/c20/c07) cross below 2×. 3 rounds (each round is
-    // ~10× the sf1 wall-clock); live pairing only, no committed column.
+    // sf10 amortization extension (VERDICT r10 item 1c), default ON
+    // since r11 (SPARK_GRAFT_SF10=0 opts out): same in-process
+    // interleaved gate at the sf10 twin — the scale where the sf1→sf3
+    // slope predicted the remaining >2× queries cross below 2×, and
+    // where the r11 data-sized shuffle width measured ratio_live 1.24
+    // (the headline amortization row). 3 rounds (each is ~10× the sf1
+    // wall-clock); live pairing only, no committed column.
     val sf10Field: String =
-      if (sf1Field.isEmpty || !sys.env.get("SPARK_GRAFT_SF10").contains("1")
+      if (sf1Field.isEmpty || sys.env.get("SPARK_GRAFT_SF10").contains("0")
           || !ensureSfData("10", Sf10Dir)) ""
       else s""","sf10":${interleavedGate(spark, Sf10Dir, 3, None)}"""
 

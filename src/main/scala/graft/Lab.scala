@@ -306,6 +306,27 @@ object Lab {
         .groupBy(col("lang"), col("source"))
         .agg(sum(col("len")).as("len_sum"), count(lit(1)).as("n"),
           max(col("pk")).as("pk"))),
+    // c14 scan-granularity A/B inside ONE session (cross-JVM runs have
+    // ±60% noise; within-run interleave is the only trustworthy form).
+    // maxPartitionBytes is a runtime conf read when the scan RDD is
+    // created (collect time), so each variant SETS it and leaves it set —
+    // all three are timing-only rows (base "") compared among themselves;
+    // the scan conf each runs under is the one its own thunk just set.
+    V("c14_mp128", "", (s, dir) => {
+      s.conf.set("spark.sql.files.maxPartitionBytes", "128m")
+      s.conf.set("spark.sql.files.openCostInBytes", "4194304")
+      SparkEntry.queries("c14_pricing_summary")(s, dir)
+    }),
+    V("c14_mp16", "", (s, dir) => {
+      s.conf.set("spark.sql.files.maxPartitionBytes", "16m")
+      s.conf.set("spark.sql.files.openCostInBytes", "1048576")
+      SparkEntry.queries("c14_pricing_summary")(s, dir)
+    }),
+    V("c14_mp4", "", (s, dir) => {
+      s.conf.set("spark.sql.files.maxPartitionBytes", "4m")
+      s.conf.set("spark.sql.files.openCostInBytes", "262144")
+      SparkEntry.queries("c14_pricing_summary")(s, dir)
+    }),
     V("c07_perorder_only", "", (s, dir) =>
       t(s, dir, "lineitem").groupBy(col("l_orderkey"))
         .agg(sum(cents2(col("l_extendedprice")) * (lit(100L) - cents2(col("l_discount")))).as("cts"))
@@ -338,6 +359,33 @@ object Lab {
         .agg(max(col("ck")).as("ck"), sum(col("v")).as("cts"))
         .filter(col("cts").isNotNull)
         .join(broadcast(t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))),
+          col("ck") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          (sum(col("cts")).cast("double") / lit(10000.0)).as("revenue"))
+        .orderBy(col("c_mktsegment")).limit(10000)
+    }),
+    // c07 with the lc column dropped from the union row: the partial-agg
+    // buffer shuffled per key is (max ck, sum v, count) instead of
+    // (max ck, sum v, sum lc, count-free) — count(*) distinguishes
+    // "has lineitems" because every surviving k carries exactly one
+    // orders row, so lc > 0 ⟺ count(*) > 1 (a k with ONLY an orders row
+    // counts 1; a k with only lineitem rows has ck null and drops at the
+    // customer join exactly as inner-join semantics require).
+    V("c07_slim", "c07_join_agg", (s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      val li = l.select(col("l_orderkey").as("k"),
+        lit(null).cast("long").as("ck"),
+        (cents2(col("l_extendedprice")) * (lit(100L) - cents2(col("l_discount")))).as("v"))
+      val os = o.select(col("o_orderkey").as("k"),
+        col("o_custkey").cast("long").as("ck"), lit(null).cast("long").as("v"))
+      li.unionByName(os)
+        .groupBy(col("k"))
+        .agg(max(col("ck")).as("ck"), sum(col("v")).as("cts"), count(lit(1)).as("n"))
+        .filter(col("n") > 1)
+        .join(broadcast(c.select(col("c_custkey"), col("c_mktsegment"))),
           col("ck") === col("c_custkey"))
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_orders"),
@@ -704,6 +752,14 @@ object Lab {
       .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_INIT_PARTS", shuffle))
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_ADVISORY", "64m"))
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAXPART", "128m"))
+      .config("spark.sql.files.openCostInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_OPENCOST", "4194304"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
