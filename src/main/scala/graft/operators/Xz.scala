@@ -1,0 +1,480 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** `.xz` container reader + fixture writer over the from-scratch
+  * [[Lzma]] core — the other compressed container bulk text actually
+  * ships (OPUS parallel corpora, kernel/source tarballs in code
+  * corpora, many academic dumps publish `.txt.xz` / `.tar.xz`). The
+  * format (xz file format spec 1.0.4, tukaani.org — public):
+  *
+  *   stream  = header(magic FD'7zXZ'00, flags, CRC32)
+  *             block*  index  footer(CRC32, backward-size, flags, 'YZ')
+  *   block   = header(size, flags, optional sizes, filter chain, CRC32)
+  *             LZMA2 chunks … 0x00, padding to 4, check-of-output
+  *   LZMA2   = control byte (0 end; 1/2 uncompressed ±dict-reset;
+  *             0x80|mode|size LZMA chunk, mode resets state/props/dict)
+  *
+  * Validation discipline (the zip/tar/zstd exact-consume rule): every
+  * CRC in the container is VERIFIED (header, block headers, index,
+  * footer — CRC32; block content check as declared: none/CRC32/CRC64/
+  * SHA-256, all four supported), declared block sizes must match
+  * walked sizes, the index must reproduce every block's
+  * unpadded/uncompressed pair, the footer's backward-size must point
+  * back at the index, padding bytes must be zero, and concatenated
+  * streams plus 4-aligned zero stream-padding must consume the file
+  * EXACTLY. Only the LZMA2 filter (id 0x21) is supported — delta/BCJ
+  * preprocessors reject loudly by design (they are x86/ARM executable
+  * transforms, out of scope for a text-corpus reader; a silent
+  * pass-through would yield garbage bytes with a valid container
+  * around them). A hostile distance past the declared dictionary size
+  * rejects even when the data happens to be in the block buffer.
+  *
+  * Bomb guard: the running decompressed total is capped (the zstd
+  * lesson: guard the accumulated size during streaming, not each
+  * declared unit).
+  *
+  * Shape at 100 TB: identical to [[ZstdShards]] — per-file
+  * parallelism, scan-local walk, memory bounded by the cap, zero
+  * shuffle.
+  */
+object Xz {
+
+  val MaxInflatedBytes: Long = 1L << 30
+
+  private def bad(): Nothing = throw new Lzma.Corrupt
+
+  // ------------------------------------------------------------- checksums
+  private val crc64Table: Array[Long] = {
+    val poly = 0xc96c5795d7870f42L // ECMA-182, reflected
+    val t = new Array[Long](256)
+    var i = 0
+    while (i < 256) {
+      var c = i.toLong
+      var k = 0
+      while (k < 8) {
+        c = if ((c & 1L) != 0) (c >>> 1) ^ poly else c >>> 1
+        k += 1
+      }
+      t(i) = c
+      i += 1
+    }
+    t
+  }
+  def crc64(b: Array[Byte], from: Int, until: Int): Long = {
+    var c = -1L
+    var i = from
+    while (i < until) {
+      c = crc64Table((c.toInt ^ b(i)) & 0xff) ^ (c >>> 8)
+      i += 1
+    }
+    ~c
+  }
+  private def crc32(b: Array[Byte], from: Int, until: Int): Int = {
+    val c = new java.util.zip.CRC32()
+    c.update(b, from, until - from)
+    c.getValue.toInt
+  }
+  private def sha256(b: Array[Byte], from: Int, until: Int): Array[Byte] = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.update(b, from, until - from)
+    md.digest()
+  }
+
+  private def u16be(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+  private def u32le(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) | ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+  private def u64le(b: Array[Byte], o: Int): Long =
+    (u32le(b, o) & 0xffffffffL) | ((u32le(b, o + 4) & 0xffffffffL) << 32)
+
+  /** Variable-length integer (7 bits per byte, LSB group first, ≤ 9
+    * bytes, no non-minimal trailing zero groups). Returns (value,
+    * nextOffset).
+    */
+  private def vli(b: Array[Byte], o0: Int, end: Int): (Long, Int) = {
+    var v = 0L
+    var o = o0
+    var shift = 0
+    while (true) {
+      if (o >= end || shift > 56) bad()
+      val x = b(o) & 0xff
+      if (x == 0 && shift != 0) bad() // non-minimal encoding
+      v |= (x & 0x7fL) << shift
+      o += 1
+      if ((x & 0x80) == 0) return (v, o)
+      shift += 7
+    }
+    sys.error("unreachable")
+  }
+
+  private val Magic = Array[Byte](0xfd.toByte, '7', 'z', 'X', 'Z', 0)
+  private val CheckSizes = Map(0 -> 0, 1 -> 4, 4 -> 8, 10 -> 32)
+
+  // ---------------------------------------------------------------- decode
+  /** Decompress a complete `.xz` file (one or more concatenated
+    * streams + optional 4-aligned zero stream padding). None on any
+    * malformation or cap breach.
+    */
+  def decompress(data: Array[Byte], cap: Long = MaxInflatedBytes): Option[Array[Byte]] =
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      var o = 0
+      var sawStream = false
+      while (o < data.length) {
+        if (data.length - o >= 4 && data(o) == 0 && data(o + 1) == 0 &&
+            data(o + 2) == 0 && data(o + 3) == 0 && sawStream) {
+          o += 4 // stream padding, 4-aligned zero runs between/after streams
+        } else {
+          o = decodeStream(data, o, out, cap)
+          sawStream = true
+        }
+      }
+      if (!sawStream) bad()
+      Some(out.toByteArray)
+    } catch {
+      case _: Lzma.Corrupt => None
+      case _: ArrayIndexOutOfBoundsException => None
+    }
+
+  /** One stream starting at `o`; returns the offset just past its
+    * footer. Appends decompressed bytes to `out`.
+    */
+  private def decodeStream(data: Array[Byte], o0: Int,
+      out: java.io.ByteArrayOutputStream, cap: Long): Int = {
+    var o = o0
+    if (o + 12 > data.length) bad()
+    var i = 0
+    while (i < 6) { if (data(o + i) != Magic(i)) bad(); i += 1 }
+    if (data(o + 6) != 0) bad()
+    val check = data(o + 7) & 0xff
+    if (!CheckSizes.contains(check)) bad() // reserved check ids reject
+    if (crc32(data, o + 6, o + 8) != u32le(data, o + 8)) bad()
+    val streamFlags = (data(o + 6), data(o + 7))
+    o += 12
+
+    // blocks until the index indicator (0x00 where a block-header size
+    // byte would be)
+    val records = Vector.newBuilder[(Long, Long)]
+    while ({ if (o >= data.length) bad(); data(o) != 0 }) {
+      val (unpadded, uncompressed, oNext) = decodeBlock(data, o, check, out, cap)
+      records += ((unpadded, uncompressed))
+      o = oNext
+    }
+    val recs = records.result()
+
+    // index
+    val idx0 = o
+    o += 1
+    val (cnt, o1) = vli(data, o, data.length)
+    o = o1
+    if (cnt != recs.length) bad()
+    recs.foreach { case (up, uc) =>
+      val (a, oa) = vli(data, o, data.length); o = oa
+      val (b, ob) = vli(data, o, data.length); o = ob
+      if (a != up || b != uc) bad()
+    }
+    while (((o - idx0) & 3) != 0) { if (data(o) != 0) bad(); o += 1 }
+    if (o + 4 > data.length) bad()
+    if (crc32(data, idx0, o) != u32le(data, o)) bad()
+    o += 4
+    val indexSize = o - idx0
+
+    // footer
+    if (o + 12 > data.length) bad()
+    val storedCrc = u32le(data, o)
+    if (crc32(data, o + 4, o + 10) != storedCrc) bad()
+    val backward = u32le(data, o + 4) & 0xffffffffL
+    if (backward != (indexSize / 4 - 1).toLong) bad()
+    if (data(o + 8) != streamFlags._1 || data(o + 9) != streamFlags._2) bad()
+    if (data(o + 10) != 'Y' || data(o + 11) != 'Z') bad()
+    o + 12
+  }
+
+  /** One block at `o`: header + LZMA2 chunks + padding + check.
+    * Returns (unpaddedSize, uncompressedSize, nextOffset).
+    */
+  private def decodeBlock(data: Array[Byte], o0: Int, check: Int,
+      out: java.io.ByteArrayOutputStream, cap: Long): (Long, Long, Int) = {
+    var o = o0
+    val bhSize = ((data(o) & 0xff) + 1) * 4
+    if (o + bhSize > data.length) bad()
+    if (crc32(data, o, o + bhSize - 4) != u32le(data, o + bhSize - 4)) bad()
+    val flags = data(o + 1) & 0xff
+    if ((flags & 0x3c) != 0) bad() // reserved bits
+    val numFilters = (flags & 3) + 1
+    var p = o + 2
+    val compDeclared =
+      if ((flags & 0x40) != 0) { val (v, pn) = vli(data, p, o + bhSize); p = pn; Some(v) }
+      else None
+    val uncompDeclared =
+      if ((flags & 0x80) != 0) { val (v, pn) = vli(data, p, o + bhSize); p = pn; Some(v) }
+      else None
+    if (numFilters != 1) bad() // only a bare LZMA2 chain is in scope
+    val (fid, p1) = vli(data, p, o + bhSize); p = p1
+    if (fid != 0x21) bad() // delta/BCJ reject loudly — see scaladoc
+    val (plen, p2) = vli(data, p, o + bhSize); p = p2
+    if (plen != 1) bad()
+    val ds = data(p) & 0xff; p += 1
+    if (ds > 40) bad()
+    val dictSize: Long =
+      if (ds == 40) 0xffffffffL else ((2L | (ds & 1L)) << (ds / 2 + 11))
+    if (p > o + bhSize - 4) bad() // filter area overran into the CRC
+    while (p < o + bhSize - 4) { if (data(p) != 0) bad(); p += 1 }
+    o += bhSize
+
+    // LZMA2 chunk walk
+    val dataStart = o
+    val blockOut = lzma2Decode(data, o, data.length, dictSize,
+      cap - out.size().toLong) match { case (bytes, oNext) => o = oNext; bytes }
+    val compSize = (o - dataStart).toLong
+    compDeclared.foreach(v => if (v != compSize) bad())
+    uncompDeclared.foreach(v => if (v != blockOut.length.toLong) bad())
+
+    // block padding to 4
+    while (((o - dataStart) & 3) != 0) { if (data(o) != 0) bad(); o += 1 }
+
+    // content check
+    val csz = CheckSizes(check)
+    if (o + csz > data.length) bad()
+    check match {
+      case 0 =>
+      case 1 => if (crc32(blockOut, 0, blockOut.length) != u32le(data, o)) bad()
+      case 4 => if (crc64(blockOut, 0, blockOut.length) != u64le(data, o)) bad()
+      case 10 =>
+        val d = sha256(blockOut, 0, blockOut.length)
+        var i = 0
+        while (i < 32) { if (d(i) != data(o + i)) bad(); i += 1 }
+    }
+    o += csz
+    out.write(blockOut, 0, blockOut.length)
+    (bhSize.toLong + compSize + csz, blockOut.length.toLong, o)
+  }
+
+  /** The LZMA2 chunk layer: control bytes frame uncompressed and LZMA
+    * chunks with explicit reset semantics. Returns (blockOutput,
+    * offsetPastTerminator).
+    */
+  private def lzma2Decode(data: Array[Byte], o0: Int, end: Int,
+      dictSize: Long, capLeft: Long): (Array[Byte], Int) = {
+    var o = o0
+    var buf = new Array[Byte](64 << 10)
+    var outPos = 0
+    var st: Lzma.LzmaState = null
+    var needDictReset = true
+    var needStateReset = false
+    var lastDictReset = 0
+    def ensure(n: Int): Unit = {
+      if (n.toLong > capLeft) bad() // bomb cap, checked on the running total
+      if (n > buf.length) {
+        var cap2 = buf.length.toLong
+        while (cap2 < n) cap2 *= 2
+        buf = java.util.Arrays.copyOf(buf, math.min(cap2, Int.MaxValue.toLong).toInt)
+      }
+    }
+    while (true) {
+      if (o >= end) bad()
+      val ctrl = data(o) & 0xff
+      if (ctrl == 0)
+        return (java.util.Arrays.copyOf(buf, outPos), o + 1)
+      else if (ctrl < 0x80) {
+        if (ctrl > 2) bad()
+        if (o + 3 > end) bad()
+        val size = u16be(data, o + 1) + 1
+        if (o + 3 + size > end) bad()
+        if (ctrl == 1) lastDictReset = outPos // reset precedes the bytes
+        else if (needDictReset) bad() // first chunk must dict-reset
+        ensure(outPos + size)
+        System.arraycopy(data, o + 3, buf, outPos, size)
+        outPos += size
+        needDictReset = false
+        needStateReset = true // LZMA state is undefined across raw chunks
+        o += 3 + size
+      } else {
+        if (o + 5 > end) bad()
+        val unpacked = ((ctrl & 0x1f) << 16) + u16be(data, o + 1) + 1
+        val packed = u16be(data, o + 3) + 1
+        val mode = (ctrl >>> 5) & 3
+        var p = o + 5
+        if (needDictReset && mode != 3) bad()
+        if (st == null && mode < 2) bad() // props never set
+        if (needStateReset && mode < 1) bad()
+        if (mode >= 2) {
+          if (p >= end) bad()
+          val d = data(p) & 0xff; p += 1
+          if (st == null) st = new Lzma.LzmaState(0, 0, 0)
+          st.setProps(d)
+          st.resetState()
+        } else if (mode == 1) st.resetState()
+        if (mode == 3) lastDictReset = outPos
+        st.dictStart = lastDictReset
+        needDictReset = false
+        needStateReset = false
+        if (p + packed > end) bad()
+        ensure(outPos + unpacked)
+        st.dictLimit = math.min(dictSize, Int.MaxValue.toLong).toInt
+        Lzma.decodeChunk(st, data, p, p + packed, buf, outPos, unpacked)
+        outPos += unpacked
+        o = p + packed
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  // ---------------------------------------------------------------- encode
+  /** Fixture writer: payload → one `.xz` stream, single block, LZMA2
+    * chunks of ≤ `chunkLen` bytes (mode 3 first, mode 0 continuations —
+    * cross-chunk matches prove the shared dictionary), with an
+    * UNCOMPRESSED chunk + state-reset continuation spliced in when
+    * `rawSplice` is set. `check`: 0 none, 1 CRC32, 4 CRC64, 10 SHA-256.
+    */
+  def makeXz(payload: Array[Byte], check: Int = 4, chunkLen: Int = 1 << 14,
+      rawSplice: Boolean = false): Array[Byte] = {
+    require(CheckSizes.contains(check), s"check id $check")
+    val out = new java.io.ByteArrayOutputStream()
+    // stream header
+    out.write(Magic, 0, 6)
+    val fl = Array[Byte](0, check.toByte)
+    out.write(fl, 0, 2)
+    writeU32le(out, crc32(fl, 0, 2))
+
+    // block: header
+    val bh = new java.io.ByteArrayOutputStream()
+    bh.write(0) // size byte patched below
+    bh.write(0) // flags: 1 filter, no declared sizes
+    bh.write(0x21) // LZMA2
+    bh.write(1) // props length
+    bh.write(16) // dict size code 16 → 1 MiB
+    while ((bh.size() + 4) % 4 != 0) bh.write(0)
+    val bhBytes = bh.toByteArray
+    bhBytes(0) = (((bhBytes.length + 4) / 4) - 1).toByte
+    out.write(bhBytes, 0, bhBytes.length)
+    writeU32le(out, crc32(bhBytes, 0, bhBytes.length))
+
+    // LZMA2 chunks
+    val lz = new java.io.ByteArrayOutputStream()
+    val st = new Lzma.LzmaState(0, 0, 0)
+    st.setProps(93) // lc=3 lp=0 pb=2, the common default
+    st.resetState()
+    st.dictStart = 0
+    st.dictLimit = 1 << 20
+    var from = 0
+    var first = true
+    var spliced = !rawSplice
+    while (from < payload.length) {
+      val until = math.min(from + chunkLen, payload.length)
+      if (!first && !spliced) {
+        // raw chunk (no dict reset) + the next LZMA chunk must reset state
+        val size = until - from
+        lz.write(2)
+        lz.write((size - 1) >>> 8); lz.write((size - 1) & 0xff)
+        lz.write(payload, from, size)
+        spliced = true
+        st.resetState() // encoder mirrors the reset the control byte will demand
+        from = until
+        // next LZMA chunk: mode 1 (state reset, no props, no dict reset)
+        if (from < payload.length) {
+          val u2 = math.min(from + chunkLen, payload.length)
+          writeLzmaChunk(lz, st, payload, from, u2, mode = 1)
+          from = u2
+        }
+      } else {
+        writeLzmaChunk(lz, st, payload, from, until, mode = if (first) 3 else 0)
+        from = until
+      }
+      first = false
+    }
+    lz.write(0) // terminator
+    val lzBytes = lz.toByteArray
+    out.write(lzBytes, 0, lzBytes.length)
+    var pad = (4 - (lzBytes.length % 4)) % 4
+    while (pad > 0) { out.write(0); pad -= 1 }
+    check match {
+      case 0 =>
+      case 1 => writeU32le(out, crc32(payload, 0, payload.length))
+      case 4 => writeU64le(out, crc64(payload, 0, payload.length))
+      case 10 => out.write(sha256(payload, 0, payload.length))
+    }
+    val unpadded = bhBytes.length + 4 + lzBytes.length + CheckSizes(check)
+
+    // index
+    val ix = new java.io.ByteArrayOutputStream()
+    ix.write(0)
+    writeVli(ix, 1)
+    writeVli(ix, unpadded)
+    writeVli(ix, payload.length)
+    while (ix.size() % 4 != 0) ix.write(0)
+    val ixBytes = ix.toByteArray
+    out.write(ixBytes, 0, ixBytes.length)
+    writeU32le(out, crc32(ixBytes, 0, ixBytes.length))
+    val indexSize = ixBytes.length + 4
+
+    // footer
+    val tail = Array[Byte](0, 0, 0, 0, fl(0), fl(1))
+    writeU32leInto(tail, 0, indexSize / 4 - 1)
+    writeU32le(out, crc32(tail, 0, 6))
+    out.write(tail, 0, 6)
+    out.write('Y'); out.write('Z')
+    out.toByteArray
+  }
+
+  private def writeLzmaChunk(lz: java.io.ByteArrayOutputStream,
+      st: Lzma.LzmaState, payload: Array[Byte], from: Int, until: Int,
+      mode: Int): Unit = {
+    if (mode == 3) st.dictStart = from
+    val body = Lzma.encodeChunk(st, payload, from, until)
+    val unpacked = until - from
+    lz.write(0x80 | (mode << 5) | ((unpacked - 1) >>> 16))
+    lz.write(((unpacked - 1) >>> 8) & 0xff); lz.write((unpacked - 1) & 0xff)
+    lz.write((body.length - 1) >>> 8); lz.write((body.length - 1) & 0xff)
+    if (mode >= 2) lz.write(93)
+    lz.write(body, 0, body.length)
+  }
+
+  private def writeU32le(o: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    o.write(v & 0xff); o.write((v >>> 8) & 0xff)
+    o.write((v >>> 16) & 0xff); o.write((v >>> 24) & 0xff)
+  }
+  private def writeU64le(o: java.io.ByteArrayOutputStream, v: Long): Unit = {
+    writeU32le(o, v.toInt); writeU32le(o, (v >>> 32).toInt)
+  }
+  private def writeU32leInto(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = (v & 0xff).toByte; b(off + 1) = ((v >>> 8) & 0xff).toByte
+    b(off + 2) = ((v >>> 16) & 0xff).toByte; b(off + 3) = ((v >>> 24) & 0xff).toByte
+  }
+  private def writeVli(o: java.io.ByteArrayOutputStream, v0: Long): Unit = {
+    var v = v0
+    while (v >= 0x80) { o.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+    o.write(v.toInt)
+  }
+
+  // ------------------------------------------------------------ dataframe
+  val schema: StructType = StructType(Seq(
+    StructField("fname", StringType),
+    StructField("line_no", IntegerType),
+    StructField("line", StringType)))
+
+  /** binaryFile-shaped relation (`path`, `content`) of `.xz` files →
+    * one row per decompressed UTF-8 line (the [[ZstdShards]] line
+    * convention). A malformed file contributes zero rows.
+    */
+  def parse(raw: DataFrame): DataFrame = {
+    val input = raw.select(
+      regexp_extract(col("path"), "([^/]+)$", 1).as("fname"), col("content"))
+    input.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val fname = r.getString(0)
+        decompress(r.getAs[Array[Byte]](1)) match {
+          case Some(bytes) =>
+            ZstdShards.toLines(bytes).iterator.zipWithIndex.map {
+              case (line, i) => org.apache.spark.sql.Row(fname, i, line)
+            }
+          case None => Iterator.empty
+        }
+      }
+    }(RowEncoder.encoderFor(schema))
+  }
+}

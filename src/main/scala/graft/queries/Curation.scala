@@ -851,6 +851,60 @@ object Curation extends QueryBlock {
           AS body
       FROM d ORDER BY fname, line_no"""
 
+  /** e99/d29 shared: 4 `.jsonl.xz` shards × 10 documents through the
+    * from-scratch LZMA/xz encoder. Each shard carries a DIFFERENT
+    * content-check id (none / CRC32 / CRC64 / SHA-256 — all four live
+    * verification paths), shard chunking forces multi-chunk LZMA2 with
+    * cross-chunk matches, and shard 3 splices an uncompressed chunk +
+    * state-reset continuation. Content derives from doc_id so the
+    * oracle re-creates every line without an LZMA implementation.
+    */
+  def writeXzFixture(s: SparkSession, dir: String): String = {
+    import graft.operators.Xz
+    val xDir = s"$scratch/xz_${new java.io.File(dir).getName}"
+    val fd = new java.io.File(xDir)
+    java.nio.file.Files.createDirectories(fd.toPath)
+    fd.listFiles().foreach(_.delete())
+    val ids = t(s, dir, "documents")
+      .filter(col("text").isNotNull &&
+        col("doc_id") >= 80 && col("doc_id") < 120)
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    val checks = Array(0, 1, 4, 10)
+    ids.grouped(10).zipWithIndex.foreach { case (group, g) =>
+      val payload = group.toSeq.map { id =>
+        val body = (0 until 30)
+          .map(i => ('a' + (id * 11 + i.toLong * 17) % 26).toChar).mkString
+        s"""{"doc_id":$id,"body":"$body"}"""
+      }.mkString("", "\n", "\n").getBytes("UTF-8")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(f"$xDir/x$g%02d.jsonl.xz"),
+        Xz.makeXz(payload, check = checks(g % 4), chunkLen = 128,
+          rawSplice = g == 3))
+    }
+    xDir
+  }
+
+  /** e99/d29 shared: binaryFile rows → one typed row per JSONL line. */
+  def xzProject(raw: DataFrame): DataFrame =
+    graft.operators.Xz.parse(raw)
+      .select(col("fname"), col("line_no"),
+        get_json_object(col("line"), "$.doc_id").cast("long").as("doc_id"),
+        get_json_object(col("line"), "$.body").as("body"))
+
+  /** The e99/d29 construction oracle. */
+  val xzOracleSql: String =
+    """WITH d AS (SELECT doc_id,
+          ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS rn
+        FROM documents WHERE text IS NOT NULL
+          AND doc_id >= 80 AND doc_id < 120)
+      SELECT 'x' || lpad(CAST(rn // 10 AS VARCHAR), 2, '0')
+          || '.jsonl.xz' AS fname,
+        CAST(rn % 10 AS INTEGER) AS line_no, doc_id,
+        array_to_string(list_transform(generate_series(0, 29),
+          i -> chr(CAST(97 + (doc_id * 11 + i * 17) % 26 AS INT))), '')
+          AS body
+      FROM d ORDER BY fname, line_no"""
+
   /** e97/e97b shared: write the 4-file MediaWiki export fixture —
     * plain XML, or bzip2-compressed via the in-repo encoder when
     * `bz2` is set (the form Wikipedia actually publishes). */
@@ -3272,6 +3326,28 @@ object Curation extends QueryBlock {
           .orderBy(col("fname"), col("line_no"))
       },
       Some(zstdOracleSql)),
+
+    // E99 — XZ-SHARD ingest (r11): the OTHER compressed container bulk
+    // text ships (OPUS parallel corpora, source tarballs in code
+    // corpora, academic `.txt.xz` dumps). Unlike zstd the runtime
+    // carries no LZMA codec, so operators.Lzma + operators.Xz are a
+    // from-scratch spec implementation (range coder, 12-state model,
+    // matched literals, rep distances; LZMA2 chunk resets; the full xz
+    // container with every CRC verified and all four content-check ids
+    // live) — proven BIDIRECTIONALLY against the reference
+    // implementation in XzSpec (our decoder reads real xz output at
+    // -0/-6/-9e/multi-block/every check; real xz decodes our fixture
+    // output byte-exactly). The fixture rotates the check id per shard
+    // and forces multi-chunk LZMA2 with cross-chunk matches plus an
+    // uncompressed-chunk splice; the oracle re-derives every line from
+    // doc_id construction. Per-file scan-local, zero shuffle.
+    "e99_xz_jsonl" -> QueryDef(
+      (s, dir) => {
+        val xDir = writeXzFixture(s, dir)
+        xzProject(s.read.format("binaryFile").load(xDir))
+          .orderBy(col("fname"), col("line_no"))
+      },
+      Some(xzOracleSql)),
 
     "e75_mixed_ingest" -> QueryDef(
       (s, dir) => {

@@ -1121,7 +1121,25 @@ object Streaming extends QueryBlock {
             "d28_sink", mode = "append")
           .orderBy(col("fname"), col("line_no"))
       },
-      Some(Curation.zstdOracleSql))
+      Some(Curation.zstdOracleSql)),
+
+    // D29 — XZ-SHARD ingest as a STREAM (e99's deployment shape:
+    // `.jsonl.xz` drops landing in a directory, the from-scratch
+    // LZMA/xz walk run per trigger). Decode is within-file — a pure
+    // append map, slicing-independent, sharing e99's fixture and
+    // oracle verbatim (the d28 pattern).
+    "d29_stream_xz" -> QueryDef(
+      (s, dir) => {
+        val xDir = Curation.writeXzFixture(s, dir)
+        val raw = s.readStream.format("binaryFile")
+          .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+          .option("maxFilesPerTrigger", "2")
+          .load(xDir)
+        EventStreams.runToTable(s, Curation.xzProject(raw),
+            "d29_sink", mode = "append")
+          .orderBy(col("fname"), col("line_no"))
+      },
+      Some(Curation.xzOracleSql))
   )
 }
 

@@ -1,0 +1,180 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Xz
+
+class XzSpec extends AnyFunSuite {
+
+  // deterministic corpus shapes: repetitive text (matches + rep0),
+  // low-entropy structured lines (cross-chunk matches), binary
+  private def textPayload(n: Int): Array[Byte] = {
+    val sb = new StringBuilder
+    var i = 0
+    while (sb.length < n) {
+      sb.append(s"""{"doc_id":$i,"body":"the quick brown fox ${i % 7} jumps over the lazy dog ${i % 13}"}\n""")
+      i += 1
+    }
+    sb.toString.take(n).getBytes("UTF-8")
+  }
+  private def binaryPayload(n: Int): Array[Byte] =
+    Array.tabulate(n)(i => ((i * 131 + (i >> 3) * 7 + (i >> 9)) % 251).toByte)
+
+  test("round-trips: every check type, single and multi chunk, raw splice") {
+    for {
+      payload <- Seq(textPayload(50000), binaryPayload(20000),
+        "short".getBytes("UTF-8"), Array.fill(70000)('a'.toByte))
+      check <- Seq(0, 1, 4, 10)
+    } {
+      val xz = Xz.makeXz(payload, check = check, chunkLen = 1 << 14)
+      assert(Xz.decompress(xz).map(_.toSeq) === Some(payload.toSeq),
+        s"check=$check len=${payload.length}")
+    }
+    val p = textPayload(60000)
+    val spliced = Xz.makeXz(p, check = 4, chunkLen = 1 << 13, rawSplice = true)
+    assert(Xz.decompress(spliced).map(_.toSeq) === Some(p.toSeq))
+  }
+
+  test("cross-chunk matches actually compress (the shared-dictionary proof)") {
+    val p = textPayload(60000) // highly repetitive across 8 KiB chunks
+    val xz = Xz.makeXz(p, check = 4, chunkLen = 1 << 13)
+    assert(xz.length < p.length / 2, s"compressed ${xz.length} of ${p.length}")
+  }
+
+  test("concatenated streams and 4-aligned stream padding decode; garbage rejects") {
+    val a = textPayload(5000)
+    val b = binaryPayload(3000)
+    val xa = Xz.makeXz(a, check = 1)
+    val xb = Xz.makeXz(b, check = 10)
+    val pad = Array.fill[Byte](8)(0)
+    assert(Xz.decompress(xa ++ xb).map(_.toSeq) === Some((a ++ b).toSeq))
+    assert(Xz.decompress(xa ++ pad ++ xb ++ pad).map(_.toSeq) === Some((a ++ b).toSeq))
+    assert(Xz.decompress(xa ++ Array[Byte](1, 2, 3)) === None) // tail garbage
+    assert(Xz.decompress(xa ++ pad.take(3)) === None) // misaligned padding
+  }
+
+  test("truncation rejects at every cut") {
+    val xz = Xz.makeXz(textPayload(20000), check = 4)
+    for (cut <- Seq(3, 11, 12, 40, xz.length / 2, xz.length - 12, xz.length - 1))
+      assert(Xz.decompress(xz.take(cut)) === None, s"cut=$cut")
+  }
+
+  test("every container CRC is live: flipping each region rejects") {
+    val xz = Xz.makeXz(textPayload(9000), check = 1)
+    def flipAt(i: Int): Array[Byte] = {
+      val k = xz.clone(); k(i) = (k(i) ^ 0x20).toByte; k
+    }
+    assert(Xz.decompress(flipAt(6)) === None) // stream flags
+    assert(Xz.decompress(flipAt(14)) === None) // block header body
+    assert(Xz.decompress(flipAt(xz.length / 2)) === None) // compressed data
+    assert(Xz.decompress(flipAt(xz.length - 1)) === None) // footer magic
+    assert(Xz.decompress(flipAt(xz.length - 7)) === None) // footer flags
+    assert(Xz.decompress(flipAt(xz.length - 14)) === None) // index area
+  }
+
+  test("content-check verification catches a payload flip under all four ids") {
+    for (check <- Seq(1, 4, 10)) {
+      val xz = Xz.makeXz(textPayload(6000), check = check)
+      // flip a byte in the compressed body: either the lzma decode or the
+      // content check must refuse — never silent wrong bytes
+      var rejected = 0
+      for (i <- 30 until math.min(xz.length - 40, 130)) {
+        val k = xz.clone(); k(i) = (k(i) ^ 0x01).toByte
+        if (Xz.decompress(k).isEmpty) rejected += 1
+      }
+      assert(rejected == 100, s"check=$check: $rejected/100 flips rejected")
+    }
+  }
+
+  test("unknown filter ids and reserved flag bits reject loudly") {
+    val xz = Xz.makeXz(textPayload(2000), check = 0)
+    // block header starts at 12; layout: size, flags, filterId, propLen, props
+    val badFilter = xz.clone()
+    badFilter(14) = 0x03 // delta filter id — out of scope by design
+    // fix the header CRC so the reject is the FILTER, not the checksum
+    patchBlockHeaderCrc(badFilter)
+    assert(Xz.decompress(badFilter) === None)
+    val badFlags = xz.clone()
+    badFlags(13) = 0x04 // reserved bit in block flags
+    patchBlockHeaderCrc(badFlags)
+    assert(Xz.decompress(badFlags) === None)
+  }
+  private def patchBlockHeaderCrc(b: Array[Byte]): Unit = {
+    val bhSize = ((b(12) & 0xff) + 1) * 4
+    val c = new java.util.zip.CRC32()
+    c.update(b, 12, bhSize - 4)
+    val v = c.getValue.toInt
+    b(12 + bhSize - 4) = (v & 0xff).toByte
+    b(12 + bhSize - 3) = ((v >>> 8) & 0xff).toByte
+    b(12 + bhSize - 2) = ((v >>> 16) & 0xff).toByte
+    b(12 + bhSize - 1) = ((v >>> 24) & 0xff).toByte
+  }
+
+  test("decompressed-bytes cap rejects a bomb-shaped file during the walk") {
+    val big = Array.fill(1 << 20)('z'.toByte)
+    val xz = Xz.makeXz(big, check = 0)
+    assert(xz.length < 5000, "bomb premise: high ratio")
+    assert(Xz.decompress(xz, cap = 1 << 16) === None)
+    assert(Xz.decompress(xz).map(_.length) === Some(1 << 20))
+  }
+
+  test("CRC64 matches the xz polynomial on known-shape input") {
+    // self-consistency + structure: crc64 of empty is 0, and differs per byte
+    assert(Xz.crc64(Array.emptyByteArray, 0, 0) === 0L)
+    val a = Xz.crc64("123456789".getBytes("US-ASCII"), 0, 9)
+    // ECMA-182 reflected check value for "123456789"
+    assert(a === 0x995dc9bbdf1939faL)
+  }
+
+  // ---- bidirectional interop with the system xz (the libbz2 precedent):
+  // gated on the binary being present; these are the tests that prove the
+  // spec implementation against the reference implementation.
+  private def haveXz: Boolean =
+    try {
+      val p = new ProcessBuilder("xz", "--version").start()
+      p.getInputStream.readAllBytes(); p.waitFor() == 0
+    } catch { case _: Exception => false }
+
+  private def runXz(args: Seq[String], stdin: Array[Byte]): Array[Byte] = {
+    // stdin via a temp file: feeding a large payload down the child's
+    // stdin pipe while its stdout pipe fills would deadlock both sides
+    val tmp = java.io.File.createTempFile("xzspec", ".bin")
+    try {
+      java.nio.file.Files.write(tmp.toPath, stdin)
+      val p = new ProcessBuilder(("xz" +: args): _*)
+        .redirectInput(tmp)
+        .start()
+      val out = p.getInputStream.readAllBytes()
+      assert(p.waitFor() == 0, s"xz ${args.mkString(" ")} failed")
+      out
+    } finally tmp.delete()
+  }
+
+  test("INTEROP: our decoder reads real xz output (presets, checks, extreme)") {
+    assume(haveXz, "system xz not present")
+    val payloads = Seq(textPayload(120000), binaryPayload(40000),
+      Array.fill(200000)('x'.toByte), "tiny".getBytes("UTF-8"))
+    val variants = Seq(
+      Seq("-z", "-c", "-0"), Seq("-z", "-c", "-6"), Seq("-z", "-c", "-9e"),
+      Seq("-z", "-c", "-6", "--check=crc32"), Seq("-z", "-c", "-6", "--check=none"),
+      Seq("-z", "-c", "-6", "--check=sha256"),
+      Seq("-z", "-c", "-6", "--block-size=16384")) // multi-block stream
+    for (p <- payloads; v <- variants) {
+      val real = runXz(v, p)
+      assert(Xz.decompress(real).map(_.toSeq) === Some(p.toSeq),
+        s"xz ${v.mkString(" ")} len=${p.length}")
+    }
+  }
+
+  test("INTEROP: real xz decodes our fixture output byte-exactly") {
+    assume(haveXz, "system xz not present")
+    for {
+      p <- Seq(textPayload(80000), binaryPayload(30000))
+      check <- Seq(0, 1, 4, 10)
+      raw <- Seq(false, true)
+    } {
+      val ours = Xz.makeXz(p, check = check, chunkLen = 1 << 13, rawSplice = raw)
+      val back = runXz(Seq("-d", "-c"), ours)
+      assert(back.toSeq === p.toSeq, s"check=$check raw=$raw")
+    }
+  }
+}
