@@ -1943,6 +1943,75 @@ object Curation extends QueryBlock {
         WHERE text IS NOT NULL AND doc_id >= 400 AND doc_id < 440
         ORDER BY doc_id""")),
 
+    // E99B — TAR.XZ composition (r11): the actual delivery format for
+    // source-code corpora (repo tarballs land as `.tar.xz`; The Stack
+    // class of pipelines opens millions of them). Nothing new is
+    // implemented here — that is the point: the from-scratch xz walk
+    // (e99) COMPOSES with the validated tar walk (e52/e52b) including
+    // the long-name framings, so one row proves container-in-container
+    // end to end. Each archive rotates plain-ustar and GNU @LongLink
+    // members, one archive per check id (CRC64 / SHA-256), the second
+    // with a raw-chunk splice; the oracle re-derives member names,
+    // sizes and body digests from construction. Per-file scan-local,
+    // zero shuffle.
+    "e99b_tar_xz" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.{TarShards, Xz}
+        val outDir = s"$scratch/tarxz_${new java.io.File(dir).getName}"
+        val fd = new java.io.File(outDir)
+        if (fd.exists()) fd.listFiles().foreach(_.delete())
+        fd.mkdirs()
+        val rows = t(s, dir, "documents")
+          .filter(col("text").isNotNull &&
+            col("doc_id") >= 490 && col("doc_id") < 500)
+          .select(col("doc_id"), col("text"))
+          .orderBy(col("doc_id")).collect()
+        (0 to 1).foreach { g =>
+          val out = new java.io.ByteArrayOutputStream()
+          rows.filter(_.getLong(0) % 2 == g).foreach { r =>
+            val id = r.getLong(0)
+            val body = r.getString(1)
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            if (id % 4 < 2) {
+              out.write(TarShards.header(s"src/$id.txt", body.length.toLong))
+              out.write(body)
+              out.write(new Array[Byte]((512 - (body.length % 512)) % 512))
+            } else {
+              out.write(TarShards.gnuLongEntry(
+                s"deep/${"q" * 105}/$id.txt", body))
+            }
+          }
+          out.write(new Array[Byte](1024))
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"$outDir/t$g.tar.xz"),
+            Xz.makeXz(out.toByteArray, check = if (g == 0) 4 else 10,
+              chunkLen = 2048, rawSplice = g == 1))
+        }
+        val ex = udf((b: Array[Byte]) =>
+          Xz.decompress(b)
+            .map(graft.operators.TarShards.walkTar)
+            .getOrElse(Vector.empty))
+        s.read.format("binaryFile").load(outDir)
+          .select(regexp_extract(col("path"), "([^/]+)$", 1).as("fname"),
+            explode(ex(col("content"))).as("m"))
+          .select(
+            regexp_extract(col("m._1"), "([0-9]+)\\.txt$", 1)
+              .cast("long").as("doc_id"),
+            col("fname"), col("m._1").as("name"),
+            col("m._2").as("bytes"), sha2(col("m._3"), 256).as("digest"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+          't' || CAST(doc_id % 2 AS VARCHAR) || '.tar.xz' AS fname,
+          CASE WHEN CAST(doc_id % 4 AS INT) < 2
+            THEN 'src/' || doc_id || '.txt'
+            ELSE 'deep/' || repeat('q', 105) || '/' || doc_id || '.txt'
+          END AS name,
+          CAST(strlen(text) AS BIGINT) AS bytes, sha256(text) AS digest
+        FROM documents
+        WHERE text IS NOT NULL AND doc_id >= 490 AND doc_id < 500
+        ORDER BY doc_id""")),
+
     // E53 — WET-style conversion export (the WRITE side of the WARC
     // family; public formats: ISO 28500 + the CommonCrawl WET convention
     // of one `conversion` record per page): a filtered corpus re-emitted
