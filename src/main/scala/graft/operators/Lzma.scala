@@ -251,16 +251,17 @@ object Lzma {
     var dictLimit: Int = Int.MaxValue
     resetState()
 
-    /** LZMA2 props byte: d = (pb·5 + lp)·9 + lc, d ≤ 224 with the
-      * additional LZMA2 constraint lc + lp ≤ 4.
+    /** Props byte: d = (pb·5 + lp)·9 + lc, d ≤ 224. LZMA2 adds the
+      * constraint lc + lp ≤ 4; the legacy `.lzma` framing does not
+      * (lc up to 8 and lp up to 4 are legal there — `lzma2 = false`).
       */
-    def setProps(d: Int): Unit = {
+    def setProps(d: Int, lzma2: Boolean = true): Unit = {
       if (d < 0 || d > 224) bad()
       lc = d % 9
       val r = d / 9
       lp = r % 5
       pb = r / 5
-      if (pb > 4 || lc + lp > 4) bad()
+      if (pb > 4 || (lzma2 && lc + lp > 4)) bad()
     }
 
     def resetState(): Unit = {
@@ -393,6 +394,129 @@ object Lzma {
     outPos
   }
 
+  /** Decode one LZMA-ALONE stream (the legacy `.lzma` framing, which
+    * [[decodeChunk]] cannot serve: its size may be UNKNOWN, terminated
+    * by the in-stream end marker — dist 0xFFFFFFFF — that size-framed
+    * LZMA2 chunks must reject). `expected < 0` means marker-terminated;
+    * `expected ≥ 0` means exactly that many bytes, with an OPTIONAL
+    * trailing marker (the spec allows both). Either way the compressed
+    * bytes must be consumed exactly and the range coder drain clean.
+    * Output grows against `cap` (the bomb guard).
+    */
+  def decodeAlone(st: LzmaState, data: Array[Byte], cPos: Int, cEnd: Int,
+      expected: Long, cap: Int): Array[Byte] = {
+    val rc = new RangeDec(data, cPos, cEnd)
+    val pbMask = (1 << st.pb) - 1
+    val lpMask = (1 << st.lp) - 1
+    if (expected > cap) bad() // before allocation: a declared-TB size must
+    // not reach `new Array` (the bomb guard orders before the buffer)
+    var out = new Array[Byte](if (expected >= 0) expected.toInt else 64 << 10)
+    var outPos = 0
+    def ensure(n: Int): Unit = {
+      if (n > cap) bad()
+      if (n > out.length) {
+        var c2 = out.length.toLong
+        while (c2 < n) c2 *= 2
+        out = java.util.Arrays.copyOf(out, math.min(c2, cap.toLong).toInt)
+      }
+    }
+    var done = false
+    while (!done) {
+      if (expected >= 0 && outPos == expected && rc.pos == cEnd) done = true
+      else {
+        val posState = outPos & pbMask
+        if (rc.decodeBit(st.isMatch, (st.state << 4) + posState) == 0) {
+          if (expected >= 0 && outPos >= expected) bad()
+          val prev = if (outPos > 0) out(outPos - 1) & 0xff else 0
+          val litState = ((outPos & lpMask) << st.lc) + (prev >>> (8 - st.lc))
+          val off = 0x300 * litState
+          var symbol = 1
+          if (st.state >= 7) {
+            if (outPos - st.rep0 - 1 < 0) bad()
+            var matchByte = out(outPos - st.rep0 - 1) & 0xff
+            var steering = true
+            while (steering && symbol < 0x100) {
+              val matchBit = (matchByte >>> 7) & 1
+              matchByte = (matchByte << 1) & 0xff
+              val bit = rc.decodeBit(st.literal, off + ((1 + matchBit) << 8) + symbol)
+              symbol = (symbol << 1) | bit
+              if (matchBit != bit) steering = false
+            }
+          }
+          while (symbol < 0x100)
+            symbol = (symbol << 1) | rc.decodeBit(st.literal, off + symbol)
+          ensure(outPos + 1)
+          out(outPos) = (symbol & 0xff).toByte
+          outPos += 1
+          st.state =
+            if (st.state < 4) 0 else if (st.state < 10) st.state - 3 else st.state - 6
+        } else if (rc.decodeBit(st.isRep, st.state) != 0) {
+          if (outPos == 0) bad()
+          if (expected >= 0 && outPos >= expected) bad()
+          if (rc.decodeBit(st.isRepG0, st.state) == 0) {
+            if (rc.decodeBit(st.isRep0Long, (st.state << 4) + posState) == 0) {
+              st.state = if (st.state < 7) 9 else 11
+              if (outPos - st.rep0 - 1 < 0) bad()
+              ensure(outPos + 1)
+              out(outPos) = out(outPos - st.rep0 - 1)
+              outPos += 1
+            } else {
+              val len = st.repLenC.decode(rc, posState) + 2
+              st.state = if (st.state < 7) 8 else 11
+              ensure(outPos + len)
+              outPos = copyMatch(st, out, outPos, outPos + len, len)
+            }
+          } else {
+            var dist = 0
+            if (rc.decodeBit(st.isRepG1, st.state) == 0) dist = st.rep1
+            else {
+              if (rc.decodeBit(st.isRepG2, st.state) == 0) dist = st.rep2
+              else { dist = st.rep3; st.rep3 = st.rep2 }
+              st.rep2 = st.rep1
+            }
+            st.rep1 = st.rep0
+            st.rep0 = dist
+            val len = st.repLenC.decode(rc, posState) + 2
+            st.state = if (st.state < 7) 8 else 11
+            ensure(outPos + len)
+            outPos = copyMatch(st, out, outPos, outPos + len, len)
+          }
+        } else {
+          st.rep3 = st.rep2; st.rep2 = st.rep1; st.rep1 = st.rep0
+          val lenVal = st.lenC.decode(rc, posState)
+          st.state = if (st.state < 7) 7 else 10
+          val lenState = math.min(lenVal, 3)
+          val slot = treeDecode(rc, st.posSlot, lenState << 6, 6)
+          var dist = slot
+          if (slot >= 4) {
+            val nd = (slot >> 1) - 1
+            dist = (2 | (slot & 1)) << nd
+            if (slot < 14)
+              dist += treeReverseDecode(rc, st.specPos, dist - slot, nd)
+            else {
+              dist += rc.decodeDirectBits(nd - 4) << 4
+              dist += treeReverseDecode(rc, st.align, 0, 4)
+            }
+          }
+          if (dist == -1) {
+            // end marker: with a known size it must land exactly there
+            if (expected >= 0 && outPos != expected) bad()
+            done = true
+          } else {
+            if (expected >= 0 && outPos >= expected) bad()
+            if (java.lang.Integer.compareUnsigned(dist, st.dictLimit) >= 0) bad()
+            st.rep0 = dist
+            val len = lenVal + 2
+            ensure(outPos + len)
+            outPos = copyMatch(st, out, outPos, outPos + len, len)
+          }
+        }
+      }
+    }
+    if (rc.pos != cEnd || !rc.finishedClean) bad()
+    java.util.Arrays.copyOf(out, outPos)
+  }
+
   // --------------------------------------------------------------- encode
   private def posSlotOf(dist: Int): Int =
     if (dist < 4) dist
@@ -408,7 +532,8 @@ object Lzma {
     * while staying obviously correct; matches may reach back into
     * earlier chunks of the same block (cross-chunk dictionary).
     */
-  def encodeChunk(st: LzmaState, in: Array[Byte], from: Int, until: Int): Array[Byte] = {
+  def encodeChunk(st: LzmaState, in: Array[Byte], from: Int, until: Int,
+      endMarker: Boolean = false): Array[Byte] = {
     val bo = new java.io.ByteArrayOutputStream()
     val rc = new RangeEnc(bo)
     val pbMask = (1 << st.pb) - 1
@@ -498,6 +623,17 @@ object Lzma {
         if (pos + 2 < until) hash.put(key(in, pos), Integer.valueOf(pos))
         pos += 1
       }
+    }
+    if (endMarker) {
+      // dist 0xFFFFFFFF: slot 63, 26 one direct bits, align 0xF — the
+      // `.lzma` stream terminator ([[decodeAlone]]'s unknown-size stop)
+      val posState = (until - st.dictStart) & pbMask
+      rc.encodeBit(st.isMatch, (st.state << 4) + posState, 1)
+      rc.encodeBit(st.isRep, st.state, 0)
+      st.lenC.encode(rc, posState, 0)
+      treeEncode(rc, st.posSlot, 0, 6, 63)
+      rc.encodeDirectBits(0x3ffffff, 26)
+      treeReverseEncode(rc, st.align, 0, 4, 0xf)
     }
     rc.flush()
     bo.toByteArray

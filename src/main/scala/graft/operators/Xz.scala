@@ -324,6 +324,59 @@ object Xz {
     sys.error("unreachable")
   }
 
+  // ---------------------------------------------------------- lzma-alone
+  /** The legacy `.lzma` framing (LZMA-alone, the pre-xz format still
+    * found in older dumps): 13-byte header — props byte (lc+lp ≤ 4 NOT
+    * required here, unlike LZMA2), u32le dict size, u64le uncompressed
+    * size with 0xFF…FF meaning unknown/marker-terminated — then one
+    * LZMA stream. This is the path that exercises the in-stream END
+    * MARKER and unknown-size decode that size-framed LZMA2 chunks must
+    * reject. The container carries NO checksum (the format has none);
+    * framing consistency and the bomb cap still apply.
+    */
+  def decompressAlone(data: Array[Byte],
+      cap: Long = MaxInflatedBytes): Option[Array[Byte]] =
+    try {
+      if (data.length < 14) bad() // header + at least the rc init bytes
+      val st = new Lzma.LzmaState(0, 0, 0)
+      st.setProps(data(0) & 0xff, lzma2 = false)
+      st.resetState()
+      val dictSize = u32le(data, 1) & 0xffffffffL
+      // decoders round tiny declared dicts up to 4 KiB (the SDK rule)
+      st.dictLimit =
+        math.min(math.max(dictSize, 4096L), Int.MaxValue.toLong).toInt
+      st.dictStart = 0
+      val size = u64le(data, 5)
+      val expected = if (size == -1L) -1L else size
+      if (expected >= 0 && expected > cap) bad()
+      Some(Lzma.decodeAlone(st, data, 13, data.length, expected,
+        math.min(cap, Int.MaxValue.toLong).toInt))
+    } catch {
+      case _: Lzma.Corrupt => None
+      case _: ArrayIndexOutOfBoundsException => None
+    }
+
+  /** Fixture writer for `.lzma`: known-size (no marker) or
+    * unknown-size (marker-terminated) framing.
+    */
+  def makeLzma(payload: Array[Byte], knownSize: Boolean,
+      props: Int = 93): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(props) // default 93 = lc 3, lp 0, pb 2
+    writeU32le(out, 1 << 20)
+    if (knownSize) { writeU32le(out, payload.length); writeU32le(out, 0) }
+    else { writeU32le(out, -1); writeU32le(out, -1) }
+    val st = new Lzma.LzmaState(0, 0, 0)
+    st.setProps(props, lzma2 = false)
+    st.resetState()
+    st.dictStart = 0
+    st.dictLimit = 1 << 20
+    val body = Lzma.encodeChunk(st, payload, 0, payload.length,
+      endMarker = !knownSize)
+    out.write(body, 0, body.length)
+    out.toByteArray
+  }
+
   // ---------------------------------------------------------------- encode
   /** Fixture writer: payload → one `.xz` stream, single block, LZMA2
     * chunks of ≤ `chunkLen` bytes (mode 3 first, mode 0 continuations —
@@ -457,9 +510,10 @@ object Xz {
     StructField("line_no", IntegerType),
     StructField("line", StringType)))
 
-  /** binaryFile-shaped relation (`path`, `content`) of `.xz` files →
-    * one row per decompressed UTF-8 line (the [[ZstdShards]] line
-    * convention). A malformed file contributes zero rows.
+  /** binaryFile-shaped relation (`path`, `content`) of `.xz` (or
+    * legacy `.lzma`, routed by extension) files → one row per
+    * decompressed UTF-8 line (the [[ZstdShards]] line convention). A
+    * malformed file contributes zero rows.
     */
   def parse(raw: DataFrame): DataFrame = {
     val input = raw.select(
@@ -467,7 +521,9 @@ object Xz {
     input.mapPartitions { rows =>
       rows.flatMap { r =>
         val fname = r.getString(0)
-        decompress(r.getAs[Array[Byte]](1)) match {
+        val body = r.getAs[Array[Byte]](1)
+        (if (fname.endsWith(".lzma")) decompressAlone(body)
+         else decompress(body)) match {
           case Some(bytes) =>
             ZstdShards.toLines(bytes).iterator.zipWithIndex.map {
               case (line, i) => org.apache.spark.sql.Row(fname, i, line)

@@ -905,6 +905,50 @@ object Curation extends QueryBlock {
           AS body
       FROM d ORDER BY fname, line_no"""
 
+  /** e99c: 2 `.jsonl.lzma` shards × 20 documents — the legacy
+    * LZMA-alone framing (no container checksum exists in the format),
+    * one shard size-declared, one marker-terminated: the end-marker /
+    * unknown-size decode path that size-framed LZMA2 chunks never
+    * exercise. Same construction-oracle discipline, distinct body
+    * formula.
+    */
+  def writeLzmaFixture(s: SparkSession, dir: String): String = {
+    import graft.operators.Xz
+    val lDir = s"$scratch/lzma_${new java.io.File(dir).getName}"
+    val fd = new java.io.File(lDir)
+    java.nio.file.Files.createDirectories(fd.toPath)
+    fd.listFiles().foreach(_.delete())
+    val ids = t(s, dir, "documents")
+      .filter(col("text").isNotNull &&
+        col("doc_id") >= 80 && col("doc_id") < 120)
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    ids.grouped(20).zipWithIndex.foreach { case (group, g) =>
+      val payload = group.toSeq.map { id =>
+        val body = (0 until 30)
+          .map(i => ('a' + (id * 13 + i.toLong * 19) % 26).toChar).mkString
+        s"""{"doc_id":$id,"body":"$body"}"""
+      }.mkString("", "\n", "\n").getBytes("UTF-8")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(f"$lDir/l$g%02d.jsonl.lzma"),
+        Xz.makeLzma(payload, knownSize = g == 0))
+    }
+    lDir
+  }
+
+  /** The e99c construction oracle. */
+  val lzmaOracleSql: String =
+    """WITH d AS (SELECT doc_id,
+          ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS rn
+        FROM documents WHERE text IS NOT NULL
+          AND doc_id >= 80 AND doc_id < 120)
+      SELECT 'l' || lpad(CAST(rn // 20 AS VARCHAR), 2, '0')
+          || '.jsonl.lzma' AS fname,
+        CAST(rn % 20 AS INTEGER) AS line_no, doc_id,
+        array_to_string(list_transform(generate_series(0, 29),
+          i -> chr(CAST(97 + (doc_id * 13 + i * 19) % 26 AS INT))), '')
+          AS body
+      FROM d ORDER BY fname, line_no"""
+
   /** e97/e97b shared: write the 4-file MediaWiki export fixture —
     * plain XML, or bzip2-compressed via the in-repo encoder when
     * `bz2` is set (the form Wikipedia actually publishes). */
@@ -3417,6 +3461,23 @@ object Curation extends QueryBlock {
           .orderBy(col("fname"), col("line_no"))
       },
       Some(xzOracleSql)),
+
+    // E99C — legacy `.lzma` (LZMA-alone) ingest (r11): the pre-xz
+    // framing still found in older dumps. One shard size-declared, one
+    // marker-terminated — the in-stream end-marker / unknown-size
+    // decode path that size-framed LZMA2 chunks must reject, plus the
+    // alone-format's wider props envelope (lc+lp ≤ 4 is an LZMA2-only
+    // rule). The format carries NO checksum; framing consistency and
+    // the bomb cap still gate. Interop with the reference
+    // implementation pinned in XzSpec (`xz --format=lzma`, both
+    // directions). Extension-routed through the same Xz.parse.
+    "e99c_lzma_jsonl" -> QueryDef(
+      (s, dir) => {
+        val lDir = writeLzmaFixture(s, dir)
+        xzProject(s.read.format("binaryFile").load(lDir))
+          .orderBy(col("fname"), col("line_no"))
+      },
+      Some(lzmaOracleSql)),
 
     "e75_mixed_ingest" -> QueryDef(
       (s, dir) => {

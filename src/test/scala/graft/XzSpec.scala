@@ -149,6 +149,59 @@ class XzSpec extends AnyFunSuite {
     } finally tmp.delete()
   }
 
+  test(".lzma alone-format round-trips: known size, marker-terminated, wide props") {
+    for {
+      p <- Seq(textPayload(30000), binaryPayload(12000), "t".getBytes("UTF-8"))
+      known <- Seq(true, false)
+    } {
+      val f = Xz.makeLzma(p, knownSize = known)
+      assert(Xz.decompressAlone(f).map(_.toSeq) === Some(p.toSeq),
+        s"known=$known len=${p.length}")
+    }
+    // lc+lp > 4 is legal in .lzma (forbidden only in LZMA2): props 103
+    // = lc 4, lp 1, pb 2
+    val p = textPayload(8000)
+    val wide = Xz.makeLzma(p, knownSize = false, props = 103)
+    assert(Xz.decompressAlone(wide).map(_.toSeq) === Some(p.toSeq))
+  }
+
+  test(".lzma rejects: truncation, bad props, size lies, trailing garbage, bomb") {
+    val p = textPayload(10000)
+    val f = Xz.makeLzma(p, knownSize = true)
+    for (cut <- Seq(0, 5, 13, 20, f.length / 2, f.length - 1))
+      assert(Xz.decompressAlone(f.take(cut)) === None, s"cut=$cut")
+    val badProps = f.clone(); badProps(0) = 225.toByte
+    assert(Xz.decompressAlone(badProps) === None)
+    // header claims one byte more than the stream produces
+    val lie = f.clone(); lie(5) = ((p.length + 1) & 0xff).toByte
+    assert(Xz.decompressAlone(lie) === None)
+    assert(Xz.decompressAlone(f ++ Array[Byte](0)) === None) // trailing byte
+    // marker-terminated bomb: huge run, tiny cap
+    val bomb = Xz.makeLzma(Array.fill(1 << 20)('y'.toByte), knownSize = false)
+    assert(bomb.length < 8192)
+    assert(Xz.decompressAlone(bomb, cap = 1 << 16) === None)
+    // known-size bomb: declared size over cap must reject BEFORE allocating
+    val declared = Xz.makeLzma(p, knownSize = true)
+    // patch declared size to 2^40
+    val big = declared.clone()
+    big(5) = 0; big(6) = 0; big(7) = 0; big(8) = 0
+    big(9) = 1; big(10) = 0; big(11) = 0; big(12) = 0
+    assert(Xz.decompressAlone(big) === None)
+  }
+
+  test("INTEROP: .lzma both directions with the reference implementation") {
+    assume(haveXz, "system xz not present")
+    for (p <- Seq(textPayload(60000), binaryPayload(20000))) {
+      val real = runXz(Seq("-z", "-c", "--format=lzma"), p)
+      assert(Xz.decompressAlone(real).map(_.toSeq) === Some(p.toSeq))
+      for (known <- Seq(true, false)) {
+        val ours = Xz.makeLzma(p, knownSize = known)
+        val back = runXz(Seq("-d", "-c", "--format=lzma"), ours)
+        assert(back.toSeq === p.toSeq, s"known=$known")
+      }
+    }
+  }
+
   test("INTEROP: our decoder reads real xz output (presets, checks, extreme)") {
     assume(haveXz, "system xz not present")
     val payloads = Seq(textPayload(120000), binaryPayload(40000),
