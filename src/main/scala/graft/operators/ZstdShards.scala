@@ -72,13 +72,16 @@ object ZstdShards {
         if (magic == ZstdMagic) {
           val in = new com.github.luben.zstd.ZstdInputStream(
             new java.io.ByteArrayInputStream(data, off, fsz.toInt))
-          // window-descriptor limit stays at libzstd's streaming default
-          // (2^27 = 128 MiB): the descriptor drives libzstd's UP-FRONT
-          // window allocation, so honoring a larger declared window
-          // (`--long=31` producers) would hand a hostile header a 2 GiB
-          // allocation per scan task before the output cap ever sees a
-          // byte. Frames needing a bigger window reject loudly — the
-          // same bound-vs-salvage trade as the 64 MiB zip member cap.
+          // window-descriptor limit ENFORCED at 2^27 = 128 MiB (libzstd's
+          // own streaming default; zstd-jni's wrapper defaults to
+          // UNLIMITED — fuzzed and found, the CLI-interop spec pins it):
+          // the descriptor drives libzstd's window allocation, so
+          // honoring a larger declared window (`--long=31` producers)
+          // would hand a hostile header a 2 GiB allocation per scan task
+          // before the output cap ever sees a byte. Frames needing a
+          // bigger window reject loudly — the same bound-vs-salvage
+          // trade as the 64 MiB zip member cap.
+          in.setLongMax(27)
           try {
             val tmp = new Array[Byte](65536)
             var n = in.read(tmp)

@@ -83,6 +83,80 @@ class ArchiveWalkFuzzSpec extends AnyFunSuite {
     }
   }
 
+  // ---- compressed-container decoders (r11: zstd / xz / lzma) — the same
+  // executor-side contract: arbitrary bytes → Option, NEVER a throw. On
+  // top of that, the checksum-bearing containers carry a stronger
+  // invariant fuzz can check: no single-byte flip may SILENTLY change the
+  // decoded content — every flip must either reject (None) or leave the
+  // output byte-identical (a flip confined to skippable-frame payload).
+  private val fuzzPayload: Array[Byte] =
+    (0 until 40).map(i => s"""{"i":$i,"t":"${"p" * (i % 23)}"}""")
+      .mkString("", "\n", "\n").getBytes("UTF-8")
+  private val inflaters: Seq[(String, Array[Byte], Array[Byte] => Option[Seq[Byte]])] = Seq(
+    ("ZstdShards.inflate",
+      graft.operators.ZstdShards.makeShard(
+        (0 until 40).map(i => s"""{"i":$i,"t":"${"p" * (i % 23)}"}"""), 3),
+      b => graft.operators.ZstdShards.inflate(b).map(_.toSeq)),
+    ("Xz.decompress",
+      graft.operators.Xz.makeXz(fuzzPayload, check = 4, chunkLen = 512,
+        rawSplice = true),
+      b => graft.operators.Xz.decompress(b).map(_.toSeq)),
+    ("Xz.decompressAlone",
+      graft.operators.Xz.makeLzma(fuzzPayload, knownSize = false),
+      b => graft.operators.Xz.decompressAlone(b).map(_.toSeq)))
+
+  test("compressed containers: every truncation prefix and byte soup, no throws") {
+    val rng = new scala.util.Random(0x51C5)
+    inflaters.foreach { case (name, valid, f) =>
+      (0 until valid.length).foreach { n =>
+        try { f(valid.take(n)); () }
+        catch { case e: Exception =>
+          fail(s"$name threw ${e.getClass.getSimpleName} at prefix $n")
+        }
+      }
+      (0 until 300).foreach { _ =>
+        val b = new Array[Byte](rng.nextInt(2048))
+        rng.nextBytes(b)
+        try { f(b); () }
+        catch { case e: Exception =>
+          fail(s"$name threw ${e.getClass.getSimpleName} on soup")
+        }
+      }
+      // soup behind a valid magic penetrates deeper than raw soup
+      (0 until 200).foreach { _ =>
+        val tail = new Array[Byte](rng.nextInt(1024))
+        rng.nextBytes(tail)
+        val b = valid.take(12) ++ tail
+        try { f(b); () }
+        catch { case e: Exception =>
+          fail(s"$name threw ${e.getClass.getSimpleName} on magic+soup")
+        }
+      }
+    }
+  }
+
+  test("compressed containers: every single-bit flip rejects or is content-identical") {
+    inflaters.foreach { case (name, valid, f) =>
+      val base = f(valid).get
+      (0 until valid.length).foreach { i =>
+        Seq(0x01, 0x80).foreach { bit =>
+          val m = valid.clone()
+          m(i) = (m(i) ^ bit).toByte
+          f(m) match {
+            case None => // rejected: fine
+            case Some(got) =>
+              // .lzma has NO checksum — a flip in its range-coded stream
+              // may legally decode to different bytes; the no-silent-
+              // corruption claim is only made where the format backs it
+              if (name != "Xz.decompressAlone")
+                assert(got == base,
+                  s"$name: flip at $i/$bit silently CHANGED content")
+          }
+        }
+      }
+    }
+  }
+
   test("WARC offsets strictly increase by rlen — no overlap, no backtrack") {
     val rng = new scala.util.Random(0x51C4)
     (0 until 200).foreach { _ =>

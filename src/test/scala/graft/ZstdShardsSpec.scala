@@ -97,4 +97,58 @@ class ZstdShardsSpec extends AnyFunSuite {
     val sk = ZstdShards.makeSkippable(Array.fill(40)(2.toByte), 1)
     assert(ZstdShards.inflate(sk.take(sk.length - 10)) === None)
   }
+
+  // ---- interop with the system zstd CLI (gated, the xz-spec pattern):
+  // zstd-jni wraps libzstd, but the FRAME WALK (concatenation, skippable
+  // frames, exact-consume) is ours — the CLI is the independent producer
+  // and consumer of that framing.
+  private def haveZstd: Boolean =
+    try {
+      val p = new ProcessBuilder("zstd", "--version").start()
+      p.getInputStream.readAllBytes(); p.waitFor() == 0
+    } catch { case _: Exception => false }
+
+  private def runZstd(args: Seq[String], stdin: Array[Byte]): Array[Byte] = {
+    val tmp = java.io.File.createTempFile("zstspec", ".bin")
+    try {
+      java.nio.file.Files.write(tmp.toPath, stdin)
+      val p = new ProcessBuilder(("zstd" +: args :+ "-c" :+ tmp.getPath): _*).start()
+      val out = p.getInputStream.readAllBytes()
+      assert(p.waitFor() == 0, s"zstd ${args.mkString(" ")} failed")
+      out
+    } finally tmp.delete()
+  }
+
+  test("INTEROP: CLI frames decode (incl. --long); CLI decodes our shards") {
+    assume(haveZstd, "system zstd not present")
+    val payload = lines.mkString("", "\n", "\n").getBytes("UTF-8")
+    for (level <- Seq("-1", "-9", "-19")) {
+      val real = runZstd(Seq(level), payload)
+      assert(ZstdShards.inflate(real).map(_.toSeq) === Some(payload.toSeq), level)
+    }
+    // CLI-concatenated frames = one logical stream (cat of two compressions)
+    val two = runZstd(Seq("-3"), payload) ++ runZstd(Seq("-3"), payload)
+    assert(ZstdShards.inflate(two).map(_.toSeq) === Some((payload ++ payload).toSeq))
+    // our multi-frame + skippable shard decodes via the reference CLI
+    val ours = ZstdShards.makeShard(lines, 4)
+    val back = runZstd(Seq("-d"), ours)
+    assert(back.toSeq === payload.toSeq)
+    // --long=30 CLI output on small content still DECLARES only the
+    // window the content needs (libzstd clamps the descriptor), so it
+    // must DECODE — long-mode producers with reasonable windows work
+    val big = Array.tabulate(1 << 21)(i => ((i * 31) & 0xff).toByte)
+    val longFrame = runZstd(Seq("--long=30", "-3"), big)
+    assert(ZstdShards.inflate(longFrame).map(_.length) === Some(1 << 21))
+  }
+
+  test("a crafted 1 GiB window descriptor rejects at the 128 MiB bound") {
+    // hostile framing, not CLI-producible: magic + FHD 0x00 (window
+    // descriptor present, no content size) + window byte 0xA0 →
+    // exponent 10 + 20 = 30 → 1 GiB declared window. The descriptor
+    // drives libzstd's allocation, so the reader's enforced 2^27 limit
+    // must reject BEFORE any block parsing is attempted.
+    val crafted = Array[Byte](0x28, 0xb5.toByte, 0x2f, 0xfd.toByte,
+      0x00, 0xa0.toByte, 0x01, 0x00, 0x00) // + a raw empty-ish block tail
+    assert(ZstdShards.inflate(crafted) === None)
+  }
 }
