@@ -96,6 +96,77 @@ object WarcGzip {
     out.result()
   }
 
+  /** STRICT multi-member gunzip for generic `.gz` line shards (e98b —
+    * the `.jsonl.gz` form of the zstd/xz shard readers): unlike
+    * [[gunzipMembers]]'s WARC envelope (salvage the parsed prefix —
+    * each WARC record self-validates via its headers), a generic text
+    * shard has nothing downstream to catch corruption, so here every
+    * member's CRC32 AND ISIZE trailer are VERIFIED, the members must
+    * consume the file EXACTLY, and any failure rejects the whole file
+    * (the zstd/xz/zip discipline). Members concatenate into one
+    * logical byte stream — member boundaries are byte-level, not line
+    * boundaries, exactly like zstd frames. `cap` bounds the running
+    * inflated total (the bomb guard).
+    */
+  def gunzipStrict(data: Array[Byte],
+      cap: Long = 1L << 30): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var off = 0
+    if (data.length == 0) return Some(Array.emptyByteArray)
+    while (off < data.length) {
+      if (off + 18 > data.length) return None
+      if ((data(off) & 0xff) != 0x1f || (data(off + 1) & 0xff) != 0x8b ||
+          data(off + 2) != 8) return None
+      val flg = data(off + 3) & 0xff
+      if ((flg & 0xe0) != 0) return None // reserved bits
+      var p = off + 10
+      if ((flg & 4) != 0) {
+        if (p + 2 > data.length) return None
+        val xlen = (data(p) & 0xff) | ((data(p + 1) & 0xff) << 8)
+        p += 2 + xlen
+      }
+      if ((flg & 8) != 0) { // FNAME
+        while (p < data.length && data(p) != 0) p += 1
+        p += 1
+      }
+      if ((flg & 16) != 0) { // FCOMMENT
+        while (p < data.length && data(p) != 0) p += 1
+        p += 1
+      }
+      if ((flg & 2) != 0) p += 2 // FHCRC (present; value not checked —
+      // the member CRC32 below covers the content, which is what matters)
+      if (p >= data.length) return None
+      val inf = new java.util.zip.Inflater(true)
+      inf.setInput(data, p, data.length - p)
+      val crc = new java.util.zip.CRC32()
+      var memberLen = 0L
+      val tmp = new Array[Byte](65536)
+      try {
+        while (!inf.finished()) {
+          val n = inf.inflate(tmp)
+          if (n > 0) {
+            if (out.size().toLong + n > cap) return None
+            crc.update(tmp, 0, n)
+            out.write(tmp, 0, n)
+            memberLen += n
+          } else if (inf.needsInput() || inf.needsDictionary()) return None
+        }
+        val consumed = inf.getBytesRead.toInt
+        val t = p + consumed
+        if (t + 8 > data.length) return None
+        def u32(o: Int): Long =
+          (data(o) & 0xffL) | ((data(o + 1) & 0xffL) << 8) |
+            ((data(o + 2) & 0xffL) << 16) | ((data(o + 3) & 0xffL) << 24)
+        if (u32(t) != crc.getValue) return None // stored CRC32
+        if (u32(t + 4) != (memberLen & 0xffffffffL)) return None // ISIZE
+        off = t + 8
+      } catch {
+        case _: java.util.zip.DataFormatException => return None
+      } finally inf.end()
+    }
+    Some(out.toByteArray)
+  }
+
   /** One inflated member → (uri, charset, clen, payload), or None when
     * the member is not a WARC/1.0 record. The payload is sliced by
     * Content-Length at the BYTE level, then decoded with the charset the

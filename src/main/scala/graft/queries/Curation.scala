@@ -905,6 +905,58 @@ object Curation extends QueryBlock {
           AS body
       FROM d ORDER BY fname, line_no"""
 
+  /** e98b: 4 `.jsonl.gz` shards × 10 documents — the third leg of the
+    * compressed-line-shard trio (gz/zst/xz; gz is what WET text dumps
+    * and countless legacy corpora ship). Shard g is cut into g+1 RFC
+    * 1952 members at byte offsets that land mid-line (member
+    * boundaries are byte-level, like zstd frames); the strict walk
+    * verifies every member's CRC32 + ISIZE trailer and exact-consume.
+    */
+  def writeGzipFixture(s: SparkSession, dir: String): String = {
+    val gDir = s"$scratch/gzl_${new java.io.File(dir).getName}"
+    val fd = new java.io.File(gDir)
+    java.nio.file.Files.createDirectories(fd.toPath)
+    fd.listFiles().foreach(_.delete())
+    val ids = t(s, dir, "documents")
+      .filter(col("text").isNotNull &&
+        col("doc_id") >= 450 && col("doc_id") < 490)
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    ids.grouped(10).zipWithIndex.foreach { case (group, g) =>
+      val payload = group.toSeq.map { id =>
+        val body = (0 until 30)
+          .map(i => ('a' + (id * 29 + i.toLong * 31) % 26).toChar).mkString
+        s"""{"doc_id":$id,"body":"$body"}"""
+      }.mkString("", "\n", "\n").getBytes("UTF-8")
+      val nMembers = g + 1
+      val cut = payload.length / nMembers
+      val bo = new java.io.ByteArrayOutputStream()
+      (0 until nMembers).foreach { m =>
+        val from = m * cut
+        val until = if (m == nMembers - 1) payload.length else (m + 1) * cut
+        val gz = new java.util.zip.GZIPOutputStream(bo)
+        gz.write(payload, from, until - from)
+        gz.finish()
+      }
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(f"$gDir/g$g%02d.jsonl.gz"), bo.toByteArray)
+    }
+    gDir
+  }
+
+  /** The e98b construction oracle. */
+  val gzipLinesOracleSql: String =
+    """WITH d AS (SELECT doc_id,
+          ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS rn
+        FROM documents WHERE text IS NOT NULL
+          AND doc_id >= 450 AND doc_id < 490)
+      SELECT 'g' || lpad(CAST(rn // 10 AS VARCHAR), 2, '0')
+          || '.jsonl.gz' AS fname,
+        CAST(rn % 10 AS INTEGER) AS line_no, doc_id,
+        array_to_string(list_transform(generate_series(0, 29),
+          i -> chr(CAST(97 + (doc_id * 29 + i * 31) % 26 AS INT))), '')
+          AS body
+      FROM d ORDER BY fname, line_no"""
+
   /** e99c: 2 `.jsonl.lzma` shards × 20 documents — the legacy
     * LZMA-alone framing (no container checksum exists in the format),
     * one shard size-declared, one marker-terminated: the end-marker /
@@ -3439,6 +3491,33 @@ object Curation extends QueryBlock {
           .orderBy(col("fname"), col("line_no"))
       },
       Some(zstdOracleSql)),
+
+    // E98B — GZIP-LINE-SHARD ingest (r11): the third leg of the
+    // compressed-shard trio (gz/zst/xz) — `.jsonl.gz` is what WET text
+    // dumps and countless legacy corpora ship. The walk is STRICT
+    // (WarcGzip.gunzipStrict): unlike the WARC envelope where each
+    // record self-validates, a generic text shard has nothing
+    // downstream to catch corruption, so every member's CRC32 + ISIZE
+    // trailer is verified, reserved flag bits reject, members must
+    // consume the file exactly, and the running inflated total is
+    // bomb-capped. Members are cut MID-LINE so a members-as-records
+    // reader diverges. Per-file scan-local, zero shuffle.
+    "e98b_gzip_jsonl" -> QueryDef(
+      (s, dir) => {
+        val gDir = writeGzipFixture(s, dir)
+        val ex = udf((b: Array[Byte]) =>
+          graft.operators.WarcGzip.gunzipStrict(b)
+            .map(graft.operators.ZstdShards.toLines)
+            .getOrElse(Vector.empty[String]))
+        s.read.format("binaryFile").load(gDir)
+          .select(regexp_extract(col("path"), "([^/]+)$", 1).as("fname"),
+            posexplode(ex(col("content"))).as(Seq("line_no", "line")))
+          .select(col("fname"), col("line_no"),
+            get_json_object(col("line"), "$.doc_id").cast("long").as("doc_id"),
+            get_json_object(col("line"), "$.body").as("body"))
+          .orderBy(col("fname"), col("line_no"))
+      },
+      Some(gzipLinesOracleSql)),
 
     // E99 — XZ-SHARD ingest (r11): the OTHER compressed container bulk
     // text ships (OPUS parallel corpora, source tarballs in code
