@@ -57,8 +57,21 @@ object HttpBody {
           body = gunzip(body).getOrElse(return None)
           if (label.nonEmpty) label.append("+")
           label.append("gzip")
+        case Some("deflate") =>
+          body = inflateBody(body).getOrElse(return None)
+          if (label.nonEmpty) label.append("+")
+          label.append("deflate")
+        case Some("zstd") =>
+          // RFC 8878 §7.2 registers 'zstd' as an HTTP content coding
+          // (modern CDNs serve it); the shard reader's frame walk
+          // applies as-is — exact-consume, window bound, bomb cap
+          body = ZstdShards.inflate(body, cap = MaxBodyBytes).getOrElse(return None)
+          if (label.nonEmpty) label.append("+")
+          label.append("zstd")
         case Some("identity") | None =>
-        case Some(_) => return None // unknown content coding
+        case Some(_) => return None // unknown content coding (incl. br:
+        // brotli needs its 120 KB static dictionary, which no library on
+        // this runtime carries — reject loudly rather than mis-decode)
       }
       if (label.isEmpty) label.append("identity")
       val text = new String(body, java.nio.charset.StandardCharsets.UTF_8)
@@ -100,7 +113,15 @@ object HttpBody {
     Some(out.toByteArray)
   }
 
-  /** RFC 1952 gzip via the JDK stream; None on truncation/corruption. */
+  /** Per-body decompressed cap: deflate's ~1032:1 max ratio means a KB
+    * of hostile body can declare a GB (the running-total rule from the
+    * zstd/xz shard readers, applied to transport decoding too).
+    */
+  val MaxBodyBytes: Long = 256L << 20
+
+  /** RFC 1952 gzip via the JDK stream; None on truncation/corruption
+    * or on breaching the body cap.
+    */
   def gunzip(body: Array[Byte]): Option[Array[Byte]] = {
     try {
       val in = new java.util.zip.GZIPInputStream(
@@ -108,9 +129,41 @@ object HttpBody {
       val out = new java.io.ByteArrayOutputStream(body.length * 4 + 64)
       val buf = new Array[Byte](8192)
       var k = in.read(buf)
-      while (k >= 0) { out.write(buf, 0, k); k = in.read(buf) }
+      while (k >= 0) {
+        if (out.size().toLong + k > MaxBodyBytes) return None
+        out.write(buf, 0, k)
+        k = in.read(buf)
+      }
       Some(out.toByteArray)
     } catch { case _: Exception => None }
+  }
+
+  /** `Content-Encoding: deflate` (RFC 9110): nominally a zlib stream
+    * (RFC 1950), but a well-known population of real servers sends RAW
+    * deflate (the historic misreading) — every robust client tries
+    * zlib first and falls back to raw, and so does this decoder. Both
+    * paths are capped and reject truncation/corruption.
+    */
+  def inflateBody(body: Array[Byte]): Option[Array[Byte]] =
+    inflateWith(body, nowrap = false).orElse(inflateWith(body, nowrap = true))
+
+  private def inflateWith(body: Array[Byte], nowrap: Boolean): Option[Array[Byte]] = {
+    val inf = new java.util.zip.Inflater(nowrap)
+    try {
+      inf.setInput(body)
+      val out = new java.io.ByteArrayOutputStream(body.length * 4 + 64)
+      val buf = new Array[Byte](8192)
+      while (!inf.finished()) {
+        val k = inf.inflate(buf)
+        if (k > 0) {
+          if (out.size().toLong + k > MaxBodyBytes) return None
+          out.write(buf, 0, k)
+        } else if (inf.needsInput() || inf.needsDictionary()) return None
+      }
+      Some(out.toByteArray)
+    } catch {
+      case _: java.util.zip.DataFormatException => None
+    } finally inf.end()
   }
 
   /** Writer-side helpers for fixtures/specs. */
@@ -119,6 +172,23 @@ object HttpBody {
     val g = new java.util.zip.GZIPOutputStream(bo)
     g.write(data); g.close()
     bo.toByteArray
+  }
+
+  /** zlib-wrapped deflate (the RFC 1950 form `Content-Encoding:
+    * deflate` nominally means).
+    */
+  def deflateZlib(data: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    try {
+      d.setInput(data); d.finish()
+      val bo = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) {
+        val k = d.deflate(buf)
+        bo.write(buf, 0, k)
+      }
+      bo.toByteArray
+    } finally d.end()
   }
 
   def chunk(data: Array[Byte], sizes: Seq[Int]): Array[Byte] = {

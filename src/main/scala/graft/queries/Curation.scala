@@ -3944,12 +3944,19 @@ object Curation extends QueryBlock {
 
     // E81 — HTTP transport decoding inside WARC records
     // (operators.HttpBody): real crawled payloads overwhelmingly arrive
-    // chunked and/or gzip-compressed — a reader that slices the raw
-    // body gets framing lines and deflate bytes, not text. The fixture
+    // chunked and/or compressed — a reader that slices the raw body
+    // gets framing lines and deflate bytes, not text. The fixture
     // WARC's records wrap full HTTP responses whose bodies rotate
-    // through identity / gzip / chunked / chunked+gzip (doc_id%4; the
-    // combined case decodes in WIRE ORDER — dechunk, then gunzip), with
-    // a non-ASCII UTF-8 tail proving bytes survive both transforms.
+    // through identity / gzip / chunked / chunked+gzip / deflate /
+    // zstd (doc_id%6; r11 added the last two — RFC 9110's deflate in
+    // its zlib form with the raw-stream server-bug fallback also
+    // handled, and RFC 8878 §7.2's zstd coding modern CDNs serve,
+    // through the shard reader's capped frame walk; the combined case
+    // decodes in WIRE ORDER — dechunk, then gunzip), with a non-ASCII
+    // UTF-8 tail proving bytes survive every transform. Brotli rejects
+    // loudly by design: its 120 KB static dictionary exists in no
+    // library on this runtime, and a mis-decode would be confident
+    // garbage.
     // Payloads walk as BINARY (WarcCdx.parseBinary — gzip bytes corrupt
     // through a string decode) and the oracle states every record's status,
     // mime, encoding label and decoded text from construction.
@@ -3968,15 +3975,19 @@ object Curation extends QueryBlock {
         val bo = new java.io.ByteArrayOutputStream()
         rows.foreach { case (id, src, toks) =>
           val bodyText = (toks.mkString(" ") + " é€").getBytes("UTF-8")
-          val (hdrs, body) = (id % 4) match {
+          val (hdrs, body) = (id % 6) match {
             case 0 => ("Content-Type: text/html\r\n", bodyText)
             case 1 => ("Content-Type: text/html\r\nContent-Encoding: gzip\r\n",
               HttpBody.gzip(bodyText))
             case 2 => ("Content-Type: text/html\r\nTransfer-Encoding: chunked\r\n",
               HttpBody.chunk(bodyText, Seq(3, 11, 200)))
-            case _ => ("Content-Type: text/html\r\nTransfer-Encoding: chunked\r\n" +
+            case 3 => ("Content-Type: text/html\r\nTransfer-Encoding: chunked\r\n" +
               "Content-Encoding: gzip\r\n",
               HttpBody.chunk(HttpBody.gzip(bodyText), Seq(7, 200)))
+            case 4 => ("Content-Type: text/html\r\nContent-Encoding: deflate\r\n",
+              HttpBody.deflateZlib(bodyText))
+            case _ => ("Content-Type: text/html\r\nContent-Encoding: zstd\r\n",
+              graft.operators.ZstdShards.makeFrame(bodyText))
           }
           val payload = (s"HTTP/1.1 200 OK\r\n$hdrs\r\n").getBytes("US-ASCII") ++ body
           val head = (s"WARC/1.0\r\nWARC-Type: response\r\n" +
@@ -3998,7 +4009,7 @@ object Curation extends QueryBlock {
           .orderBy(col("rec"))
       },
       Some("""WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS toks,
-            CAST(doc_id % 4 AS INT) AS m
+            CAST(doc_id % 6 AS INT) AS m
           FROM documents WHERE text IS NOT NULL),
         f AS (SELECT doc_id, source, toks, m FROM d WHERE len(toks) >= 10),
         j AS (SELECT doc_id, source, m,
@@ -4011,7 +4022,8 @@ object Curation extends QueryBlock {
             AS uri,
           200 AS status, 'text/html' AS mime,
           CASE m WHEN 0 THEN 'identity' WHEN 1 THEN 'gzip'
-            WHEN 2 THEN 'chunked' ELSE 'chunked+gzip' END AS encoding,
+            WHEN 2 THEN 'chunked' WHEN 3 THEN 'chunked+gzip'
+            WHEN 4 THEN 'deflate' ELSE 'zstd' END AS encoding,
           body, CAST(length(body) AS INT) AS n_chars
         FROM j ORDER BY rec""")),
 

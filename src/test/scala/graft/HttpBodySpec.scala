@@ -29,6 +29,39 @@ class HttpBodySpec extends AnyFunSuite {
     assert(HttpBody.decode(p2).map(_._4) === Some(new String(text, "UTF-8")))
   }
 
+  test("deflate: zlib form decodes; RAW-stream server bug decodes via fallback") {
+    val p = resp("Content-Type: text/html\r\nContent-Encoding: deflate\r\n",
+      HttpBody.deflateZlib(text))
+    assert(HttpBody.decode(p) ===
+      Some((200, "text/html", "deflate", new String(text, "UTF-8"))))
+    // the historic misreading: servers that send raw deflate (no zlib
+    // header/adler) — every robust client falls back, so do we
+    val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+    d.setInput(text); d.finish()
+    val bo = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) { val k = d.deflate(buf); bo.write(buf, 0, k) }
+    d.end()
+    val pRaw = resp("Content-Encoding: deflate\r\n", bo.toByteArray)
+    assert(HttpBody.decode(pRaw).map(_._4) === Some(new String(text, "UTF-8")))
+  }
+
+  test("zstd content coding decodes through the capped frame walk") {
+    val p = resp("Content-Type: text/html\r\nContent-Encoding: zstd\r\n",
+      graft.operators.ZstdShards.makeFrame(text))
+    assert(HttpBody.decode(p) ===
+      Some((200, "text/html", "zstd", new String(text, "UTF-8"))))
+    // truncated zstd body rejects the record
+    val trunc = resp("Content-Encoding: zstd\r\n",
+      graft.operators.ZstdShards.makeFrame(text).dropRight(3))
+    assert(HttpBody.decode(trunc) === None)
+  }
+
+  test("brotli rejects loudly (no dictionary on this runtime — by design)") {
+    val p = resp("Content-Encoding: br\r\n", Array[Byte](0x1b, 0x00, 0x00))
+    assert(HttpBody.decode(p) === None)
+  }
+
   test("chunked framing reassembles across arbitrary chunk splits") {
     val p = resp("Transfer-Encoding: chunked\r\n",
       HttpBody.chunk(text, Seq(1, 7, 3, 100)))
