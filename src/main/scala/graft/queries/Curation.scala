@@ -943,6 +943,21 @@ object Curation extends QueryBlock {
     gDir
   }
 
+  /** e98b/d30 shared: binaryFile rows → one typed row per line through
+    * the strict member walk.
+    */
+  def gzipLinesProject(raw: DataFrame): DataFrame = {
+    val ex = udf((b: Array[Byte]) =>
+      graft.operators.WarcGzip.gunzipStrict(b)
+        .map(graft.operators.ZstdShards.toLines)
+        .getOrElse(Vector.empty[String]))
+    raw.select(regexp_extract(col("path"), "([^/]+)$", 1).as("fname"),
+        posexplode(ex(col("content"))).as(Seq("line_no", "line")))
+      .select(col("fname"), col("line_no"),
+        get_json_object(col("line"), "$.doc_id").cast("long").as("doc_id"),
+        get_json_object(col("line"), "$.body").as("body"))
+  }
+
   /** The e98b construction oracle. */
   val gzipLinesOracleSql: String =
     """WITH d AS (SELECT doc_id,
@@ -956,6 +971,75 @@ object Curation extends QueryBlock {
           i -> chr(CAST(97 + (doc_id * 29 + i * 31) % 26 AS INT))), '')
           AS body
       FROM d ORDER BY fname, line_no"""
+
+  /** e99b/d31 shared: 2 `.tar.xz` archives over docs 490–500, rotating
+    * plain-ustar and GNU long-name members, CRC64/SHA-256 checks, the
+    * second archive raw-spliced.
+    */
+  def writeTarXzFixture(s: SparkSession, dir: String): String = {
+    import graft.operators.{TarShards, Xz}
+    val outDir = s"$scratch/tarxz_${new java.io.File(dir).getName}"
+    val fd = new java.io.File(outDir)
+    if (fd.exists()) fd.listFiles().foreach(_.delete())
+    fd.mkdirs()
+    val rows = t(s, dir, "documents")
+      .filter(col("text").isNotNull &&
+        col("doc_id") >= 490 && col("doc_id") < 500)
+      .select(col("doc_id"), col("text"))
+      .orderBy(col("doc_id")).collect()
+    (0 to 1).foreach { g =>
+      val out = new java.io.ByteArrayOutputStream()
+      rows.filter(_.getLong(0) % 2 == g).foreach { r =>
+        val id = r.getLong(0)
+        val body = r.getString(1)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        if (id % 4 < 2) {
+          out.write(TarShards.header(s"src/$id.txt", body.length.toLong))
+          out.write(body)
+          out.write(new Array[Byte]((512 - (body.length % 512)) % 512))
+        } else {
+          out.write(TarShards.gnuLongEntry(
+            s"deep/${"q" * 105}/$id.txt", body))
+        }
+      }
+      out.write(new Array[Byte](1024))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$outDir/t$g.tar.xz"),
+        Xz.makeXz(out.toByteArray, check = if (g == 0) 4 else 10,
+          chunkLen = 2048, rawSplice = g == 1))
+    }
+    outDir
+  }
+
+  /** e99b/d31 shared: binaryFile rows → one row per tar member inside
+    * the xz container.
+    */
+  def tarXzProject(raw: DataFrame): DataFrame = {
+    val ex = udf((b: Array[Byte]) =>
+      graft.operators.Xz.decompress(b)
+        .map(graft.operators.TarShards.walkTar)
+        .getOrElse(Vector.empty))
+    raw.select(regexp_extract(col("path"), "([^/]+)$", 1).as("fname"),
+        explode(ex(col("content"))).as("m"))
+      .select(
+        regexp_extract(col("m._1"), "([0-9]+)\\.txt$", 1)
+          .cast("long").as("doc_id"),
+        col("fname"), col("m._1").as("name"),
+        col("m._2").as("bytes"), sha2(col("m._3"), 256).as("digest"))
+  }
+
+  /** The e99b/d31 construction oracle. */
+  val tarXzOracleSql: String =
+    """SELECT doc_id,
+        't' || CAST(doc_id % 2 AS VARCHAR) || '.tar.xz' AS fname,
+        CASE WHEN CAST(doc_id % 4 AS INT) < 2
+          THEN 'src/' || doc_id || '.txt'
+          ELSE 'deep/' || repeat('q', 105) || '/' || doc_id || '.txt'
+        END AS name,
+        CAST(strlen(text) AS BIGINT) AS bytes, sha256(text) AS digest
+      FROM documents
+      WHERE text IS NOT NULL AND doc_id >= 490 AND doc_id < 500
+      ORDER BY doc_id"""
 
   /** e99c: 2 `.jsonl.lzma` shards × 20 documents — the legacy
     * LZMA-alone framing (no container checksum exists in the format),
@@ -2052,61 +2136,11 @@ object Curation extends QueryBlock {
     // zero shuffle.
     "e99b_tar_xz" -> QueryDef(
       (s, dir) => {
-        import graft.operators.{TarShards, Xz}
-        val outDir = s"$scratch/tarxz_${new java.io.File(dir).getName}"
-        val fd = new java.io.File(outDir)
-        if (fd.exists()) fd.listFiles().foreach(_.delete())
-        fd.mkdirs()
-        val rows = t(s, dir, "documents")
-          .filter(col("text").isNotNull &&
-            col("doc_id") >= 490 && col("doc_id") < 500)
-          .select(col("doc_id"), col("text"))
-          .orderBy(col("doc_id")).collect()
-        (0 to 1).foreach { g =>
-          val out = new java.io.ByteArrayOutputStream()
-          rows.filter(_.getLong(0) % 2 == g).foreach { r =>
-            val id = r.getLong(0)
-            val body = r.getString(1)
-              .getBytes(java.nio.charset.StandardCharsets.UTF_8)
-            if (id % 4 < 2) {
-              out.write(TarShards.header(s"src/$id.txt", body.length.toLong))
-              out.write(body)
-              out.write(new Array[Byte]((512 - (body.length % 512)) % 512))
-            } else {
-              out.write(TarShards.gnuLongEntry(
-                s"deep/${"q" * 105}/$id.txt", body))
-            }
-          }
-          out.write(new Array[Byte](1024))
-          java.nio.file.Files.write(
-            java.nio.file.Paths.get(s"$outDir/t$g.tar.xz"),
-            Xz.makeXz(out.toByteArray, check = if (g == 0) 4 else 10,
-              chunkLen = 2048, rawSplice = g == 1))
-        }
-        val ex = udf((b: Array[Byte]) =>
-          Xz.decompress(b)
-            .map(graft.operators.TarShards.walkTar)
-            .getOrElse(Vector.empty))
-        s.read.format("binaryFile").load(outDir)
-          .select(regexp_extract(col("path"), "([^/]+)$", 1).as("fname"),
-            explode(ex(col("content"))).as("m"))
-          .select(
-            regexp_extract(col("m._1"), "([0-9]+)\\.txt$", 1)
-              .cast("long").as("doc_id"),
-            col("fname"), col("m._1").as("name"),
-            col("m._2").as("bytes"), sha2(col("m._3"), 256).as("digest"))
+        val outDir = writeTarXzFixture(s, dir)
+        tarXzProject(s.read.format("binaryFile").load(outDir))
           .orderBy(col("doc_id"))
       },
-      Some("""SELECT doc_id,
-          't' || CAST(doc_id % 2 AS VARCHAR) || '.tar.xz' AS fname,
-          CASE WHEN CAST(doc_id % 4 AS INT) < 2
-            THEN 'src/' || doc_id || '.txt'
-            ELSE 'deep/' || repeat('q', 105) || '/' || doc_id || '.txt'
-          END AS name,
-          CAST(strlen(text) AS BIGINT) AS bytes, sha256(text) AS digest
-        FROM documents
-        WHERE text IS NOT NULL AND doc_id >= 490 AND doc_id < 500
-        ORDER BY doc_id""")),
+      Some(tarXzOracleSql)),
 
     // E53 — WET-style conversion export (the WRITE side of the WARC
     // family; public formats: ISO 28500 + the CommonCrawl WET convention
@@ -3505,16 +3539,7 @@ object Curation extends QueryBlock {
     "e98b_gzip_jsonl" -> QueryDef(
       (s, dir) => {
         val gDir = writeGzipFixture(s, dir)
-        val ex = udf((b: Array[Byte]) =>
-          graft.operators.WarcGzip.gunzipStrict(b)
-            .map(graft.operators.ZstdShards.toLines)
-            .getOrElse(Vector.empty[String]))
-        s.read.format("binaryFile").load(gDir)
-          .select(regexp_extract(col("path"), "([^/]+)$", 1).as("fname"),
-            posexplode(ex(col("content"))).as(Seq("line_no", "line")))
-          .select(col("fname"), col("line_no"),
-            get_json_object(col("line"), "$.doc_id").cast("long").as("doc_id"),
-            get_json_object(col("line"), "$.body").as("body"))
+        gzipLinesProject(s.read.format("binaryFile").load(gDir))
           .orderBy(col("fname"), col("line_no"))
       },
       Some(gzipLinesOracleSql)),

@@ -1139,7 +1139,41 @@ object Streaming extends QueryBlock {
             "d29_sink", mode = "append")
           .orderBy(col("fname"), col("line_no"))
       },
-      Some(Curation.xzOracleSql))
+      Some(Curation.xzOracleSql)),
+
+    // D30 — GZIP-LINE-SHARD ingest as a STREAM (e98b's deployment
+    // shape; strict member walk per trigger). Within-file decode = pure
+    // append map, slicing-independent, sharing e98b's fixture and
+    // oracle verbatim (the d28/d29 pattern).
+    "d30_stream_gzip" -> QueryDef(
+      (s, dir) => {
+        val gDir = Curation.writeGzipFixture(s, dir)
+        val raw = s.readStream.format("binaryFile")
+          .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+          .option("maxFilesPerTrigger", "2")
+          .load(gDir)
+        EventStreams.runToTable(s, Curation.gzipLinesProject(raw),
+            "d30_sink", mode = "append")
+          .orderBy(col("fname"), col("line_no"))
+      },
+      Some(Curation.gzipLinesOracleSql)),
+
+    // D31 — TAR.XZ ingest as a STREAM (e99b's deployment shape: repo
+    // tarballs landing in a drop directory, container-in-container
+    // decode per trigger). Within-file, pure append map, sharing
+    // e99b's fixture and oracle verbatim.
+    "d31_stream_tarxz" -> QueryDef(
+      (s, dir) => {
+        val tDir = Curation.writeTarXzFixture(s, dir)
+        val raw = s.readStream.format("binaryFile")
+          .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+          .option("maxFilesPerTrigger", "1")
+          .load(tDir)
+        EventStreams.runToTable(s, Curation.tarXzProject(raw),
+            "d31_sink", mode = "append")
+          .orderBy(col("doc_id"))
+      },
+      Some(Curation.tarXzOracleSql))
   )
 }
 
