@@ -246,9 +246,18 @@ object Lzma {
     var dictStart: Int = 0
     /** Declared dictionary size (xz filter props): a NEW match distance
       * ≥ this rejects even when the bytes happen to sit in the block
-      * buffer — real decoders bound the window by the declaration.
+      * buffer — real decoders bound the window by the declaration. The
+      * ENCODER bounds its match search by the same field so fixtures
+      * stay self-consistent with the dict size their headers declare.
       */
     var dictLimit: Int = Int.MaxValue
+    /** Encoder-side 3-byte-hash match dictionary, carried ACROSS chunks
+      * (rebuilding from dictStart per chunk made multi-chunk encoding
+      * quadratic). Cleared on dict reset — matches must not cross it.
+      */
+    private[operators] var encHash: java.util.HashMap[Integer, Integer] =
+      new java.util.HashMap[Integer, Integer]()
+    def clearEncHash(): Unit = encHash = new java.util.HashMap[Integer, Integer]()
     resetState()
 
     /** Props byte: d = (pb·5 + lp)·9 + lc, d ≤ 224. LZMA2 adds the
@@ -402,6 +411,16 @@ object Lzma {
     * trailing marker (the spec allows both). Either way the compressed
     * bytes must be consumed exactly and the range coder drain clean.
     * Output grows against `cap` (the bomb guard).
+    *
+    * MAINTENANCE: the symbol loop below is [[decodeChunk]]'s twin —
+    * they differ only in termination (marker vs exact size), buffer
+    * ownership (local growable vs the caller's shared block buffer at
+    * an offset) and the dict fence (always 0 here). A shared core
+    * would force a write-sink indirection into the hot loop; instead
+    * BOTH copies are pinned independently against the reference
+    * implementation (XzSpec's bidirectional xz/--format=lzma interop),
+    * so a fix applied to one and not the other fails a spec rather
+    * than drifting silently. Fix symbol-level bugs in BOTH places.
     */
   def decodeAlone(st: LzmaState, data: Array[Byte], cPos: Int, cEnd: Int,
       expected: Long, cap: Int): Array[Byte] = {
@@ -409,8 +428,12 @@ object Lzma {
     val pbMask = (1 << st.pb) - 1
     val lpMask = (1 << st.lp) - 1
     if (expected > cap) bad() // before allocation: a declared-TB size must
-    // not reach `new Array` (the bomb guard orders before the buffer)
-    var out = new Array[Byte](if (expected >= 0) expected.toInt else 64 << 10)
+    // not reach `new Array` (the bomb guard orders before the buffer).
+    // Known sizes still start SMALL and grow through ensure(): an
+    // 18-byte hostile file declaring exactly `cap` must not buy a
+    // cap-sized allocation before its first compressed byte validates.
+    var out = new Array[Byte](
+      if (expected >= 0) math.min(expected, 64L << 10).toInt else 64 << 10)
     var outPos = 0
     def ensure(n: Int): Unit = {
       if (n > cap) bad()
@@ -538,18 +561,20 @@ object Lzma {
     val rc = new RangeEnc(bo)
     val pbMask = (1 << st.pb) - 1
     val lpMask = (1 << st.lp) - 1
-    val hash = new java.util.HashMap[Integer, Integer]()
-    var s = st.dictStart
-    while (s + 2 < from) { hash.put(key(in, s), Integer.valueOf(s)); s += 1 }
+    val hash = st.encHash // accumulated by prior chunks of this block
     var pos = from
     while (pos < until) {
       val posState = (pos - st.dictStart) & pbMask
-      // greedy probe: last position sharing our next 3 bytes
+      // greedy probe: last position sharing our next 3 bytes; a
+      // candidate past the DECLARED dict size is unusable — the
+      // decoder (and real xz) reject such distances, so the encoder
+      // must never emit them even when the block buffer holds the bytes
       var bestLen = 0
       var bestDist = 0
       if (pos + 2 < until) {
         val cand = hash.get(key(in, pos))
-        if (cand != null && cand.intValue >= st.dictStart) {
+        if (cand != null && cand.intValue >= st.dictStart &&
+            (pos - cand.intValue - 1) < st.dictLimit) {
           val c = cand.intValue
           val maxL = math.min(until - pos, 273)
           var l = 0

@@ -1,9 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.encoders.RowEncoder
-import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 
 /** `.xz` container reader + fixture writer over the from-scratch
   * [[Lzma]] core — the other compressed container bulk text actually
@@ -347,8 +344,14 @@ object Xz {
         math.min(math.max(dictSize, 4096L), Int.MaxValue.toLong).toInt
       st.dictStart = 0
       val size = u64le(data, 5)
-      val expected = if (size == -1L) -1L else size
-      if (expected >= 0 && expected > cap) bad()
+      // ONLY the all-ones sentinel means unknown/marker-terminated; any
+      // other value is the literal size, and a size that is negative-
+      // as-Long (≥ 2^63) or past the cap is a lying header, not an
+      // unknown-size stream — reject, don't reinterpret
+      val expected =
+        if (size == -1L) -1L
+        else if (size < 0 || size > cap) bad()
+        else size
       Some(Lzma.decodeAlone(st, data, 13, data.length, expected,
         math.min(cap, Int.MaxValue.toLong).toInt))
     } catch {
@@ -422,9 +425,20 @@ object Xz {
       if (!first && !spliced) {
         // raw chunk (no dict reset) + the next LZMA chunk must reset state
         val size = until - from
+        require(size >= 1 && size <= (1 << 16),
+          s"raw LZMA2 chunk size $size exceeds the u16 field")
         lz.write(2)
         lz.write((size - 1) >>> 8); lz.write((size - 1) & 0xff)
         lz.write(payload, from, size)
+        // raw bytes join the dictionary: hash them so later chunks can
+        // match back into this range (the decoder allows it — no reset)
+        var h = math.max(st.dictStart, from - 2)
+        while (h + 2 < until) {
+          st.encHash.put(Integer.valueOf(
+            ((payload(h) & 0xff) << 16) | ((payload(h + 1) & 0xff) << 8) | (payload(h + 2) & 0xff)),
+            Integer.valueOf(h))
+          h += 1
+        }
         spliced = true
         st.resetState() // encoder mirrors the reset the control byte will demand
         from = until
@@ -477,9 +491,15 @@ object Xz {
   private def writeLzmaChunk(lz: java.io.ByteArrayOutputStream,
       st: Lzma.LzmaState, payload: Array[Byte], from: Int, until: Int,
       mode: Int): Unit = {
-    if (mode == 3) st.dictStart = from
+    if (mode == 3) { st.dictStart = from; st.clearEncHash() }
     val body = Lzma.encodeChunk(st, payload, from, until)
     val unpacked = until - from
+    // OutputStream.write masks to 8 bits — an oversized field must fail
+    // LOUDLY at construction, never emit silently-corrupt framing
+    require(unpacked >= 1 && unpacked <= (1 << 21),
+      s"LZMA2 chunk unpacked size $unpacked out of range")
+    require(body.length >= 1 && body.length <= (1 << 16),
+      s"LZMA2 chunk packed size ${body.length} exceeds the u16 field")
     lz.write(0x80 | (mode << 5) | ((unpacked - 1) >>> 16))
     lz.write(((unpacked - 1) >>> 8) & 0xff); lz.write((unpacked - 1) & 0xff)
     lz.write((body.length - 1) >>> 8); lz.write((body.length - 1) & 0xff)
@@ -505,32 +525,14 @@ object Xz {
   }
 
   // ------------------------------------------------------------ dataframe
-  val schema: StructType = StructType(Seq(
-    StructField("fname", StringType),
-    StructField("line_no", IntegerType),
-    StructField("line", StringType)))
-
   /** binaryFile-shaped relation (`path`, `content`) of `.xz` (or
     * legacy `.lzma`, routed by extension) files → one row per
-    * decompressed UTF-8 line (the [[ZstdShards]] line convention). A
-    * malformed file contributes zero rows.
+    * decompressed UTF-8 line, through [[ZstdShards.parseWith]] — one
+    * scaffold across the container family, so the row shape and line
+    * convention cannot drift.
     */
-  def parse(raw: DataFrame): DataFrame = {
-    val input = raw.select(
-      regexp_extract(col("path"), "([^/]+)$", 1).as("fname"), col("content"))
-    input.mapPartitions { rows =>
-      rows.flatMap { r =>
-        val fname = r.getString(0)
-        val body = r.getAs[Array[Byte]](1)
-        (if (fname.endsWith(".lzma")) decompressAlone(body)
-         else decompress(body)) match {
-          case Some(bytes) =>
-            ZstdShards.toLines(bytes).iterator.zipWithIndex.map {
-              case (line, i) => org.apache.spark.sql.Row(fname, i, line)
-            }
-          case None => Iterator.empty
-        }
-      }
-    }(RowEncoder.encoderFor(schema))
-  }
+  def parse(raw: DataFrame): DataFrame =
+    ZstdShards.parseWith(raw, (fname, body) =>
+      if (fname.endsWith(".lzma")) decompressAlone(body)
+      else decompress(body))
 }

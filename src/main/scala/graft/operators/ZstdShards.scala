@@ -122,17 +122,21 @@ object ZstdShards {
     StructField("line_no", IntegerType),
     StructField("line", StringType)))
 
-  /** binaryFile-shaped relation (`path`, `content`) of `.zst` shards →
-    * one row per decompressed line. A malformed shard contributes zero
-    * rows (envelope discipline); well-formed shards are unaffected.
+  /** Shared line-shard scaffold for every compressed-container reader
+    * ([[parse]] here, [[Xz.parse]]): binaryFile rows → (fname, line_no,
+    * line) through a per-file decode function that may dispatch on the
+    * file name. One scaffold so the row shape and line convention
+    * cannot drift between container families. A malformed file
+    * contributes zero rows (envelope discipline).
     */
-  def parse(raw: DataFrame): DataFrame = {
+  def parseWith(raw: DataFrame,
+      decode: (String, Array[Byte]) => Option[Array[Byte]]): DataFrame = {
     val input = raw.select(
       regexp_extract(col("path"), "([^/]+)$", 1).as("fname"), col("content"))
     input.mapPartitions { rows =>
       rows.flatMap { r =>
         val fname = r.getString(0)
-        inflate(r.getAs[Array[Byte]](1)) match {
+        decode(fname, r.getAs[Array[Byte]](1)) match {
           case Some(bytes) =>
             toLines(bytes).iterator.zipWithIndex.map {
               case (line, i) => Row(fname, i, line)
@@ -142,6 +146,12 @@ object ZstdShards {
       }
     }(RowEncoder.encoderFor(schema))
   }
+
+  /** binaryFile-shaped relation (`path`, `content`) of `.zst` shards →
+    * one row per decompressed line.
+    */
+  def parse(raw: DataFrame): DataFrame =
+    parseWith(raw, (_, b) => inflate(b))
 
   // ------------------------------------------------------------------
   // Fixture construction (the reverse direction, for driver oracles and

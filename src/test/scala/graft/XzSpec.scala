@@ -189,6 +189,39 @@ class XzSpec extends AnyFunSuite {
     assert(Xz.decompressAlone(big) === None)
   }
 
+  test(".lzma size field: only the all-ones sentinel means unknown; 2^63 rejects") {
+    val f = Xz.makeLzma(textPayload(200), knownSize = false) // marker form
+    // declared size 2^63: negative-as-Long but NOT the unknown sentinel —
+    // a lying header, not a marker-terminated stream
+    val k = f.clone()
+    (5 until 12).foreach(i => k(i) = 0)
+    k(12) = 0x80.toByte
+    assert(Xz.decompressAlone(k) === None)
+  }
+
+  test("encoder bounds match distances by the declared dict size (1 MiB)") {
+    // a 3-gram repeated ~1.4 MiB apart: the hash candidate is further
+    // back than the declared dictionary, so the encoder must emit
+    // literals there — and the file must round-trip through BOTH our
+    // decoder and (when present) the reference one
+    val n = (3 << 19) / 2 * 3 // 1.5 MiB
+    val p = new Array[Byte](n)
+    var i = 0
+    while (i < n) { p(i) = ((i * 131 + (i >> 7)) % 251).toByte; i += 1 }
+    System.arraycopy("UNIQUEMARK".getBytes("US-ASCII"), 0, p, 0, 10)
+    System.arraycopy("UNIQUEMARK".getBytes("US-ASCII"), 0, p, n - 20, 10)
+    val xz = Xz.makeXz(p, check = 4, chunkLen = 1 << 14)
+    assert(Xz.decompress(xz).map(_.toSeq) === Some(p.toSeq))
+    if (haveXz) assert(runXz(Seq("-d", "-c"), xz).toSeq === p.toSeq)
+  }
+
+  test("oversized chunk fields fail loudly at construction, never emit silently") {
+    intercept[IllegalArgumentException] {
+      Xz.makeXz(textPayload(300000), check = 0, chunkLen = 100000,
+        rawSplice = true)
+    }
+  }
+
   test("INTEROP: .lzma both directions with the reference implementation") {
     assume(haveXz, "system xz not present")
     for (p <- Seq(textPayload(60000), binaryPayload(20000))) {
