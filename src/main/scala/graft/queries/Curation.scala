@@ -1085,6 +1085,62 @@ object Curation extends QueryBlock {
           AS body
       FROM d ORDER BY fname, line_no"""
 
+  /** e100: 8 `.epub` books × 5 chapters over docs 40–80. Chapter
+    * XHTML derives from doc_id so the oracle re-creates the STRIPPED
+    * text in closed form; the zip stores chapters in REVERSE spine
+    * order so reading order provably comes from the OPF spine, not
+    * the container.
+    */
+  def writeEpubFixture(s: SparkSession, dir: String): String = {
+    import graft.operators.Epub
+    val eDir = s"$scratch/epub_${new java.io.File(dir).getName}"
+    val fd = new java.io.File(eDir)
+    java.nio.file.Files.createDirectories(fd.toPath)
+    fd.listFiles().foreach(_.delete())
+    val ids = t(s, dir, "documents")
+      .filter(col("text").isNotNull &&
+        col("doc_id") >= 40 && col("doc_id") < 80)
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    def word(id: Long, k: Int): String =
+      (0 until 3).map(c => ('a' + (id * 37 + k * 41 + c * 43) % 26).toChar).mkString
+    ids.grouped(5).zipWithIndex.foreach { case (group, g) =>
+      val chapterSeq = group.toSeq.map { id =>
+        val ws = (0 until 8).map(k => word(id, k))
+        val xhtml =
+          s"""<html><head><title></title></head><body>""" +
+            s"""<h1 class="hdr">Chapter $id</h1>""" +
+            s"""<p>${ws(0)} <em>${ws(1)}</em> ${ws(2)} ${ws(3)} """ +
+            s"""<b>${ws(4)}</b> ${ws(5)} ${ws(6)} ${ws(7)}</p></body></html>"""
+        (s"ch$id.xhtml", xhtml)
+      }
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(f"$eDir/b$g%02d.epub"),
+        Epub.makeEpub(chapterSeq))
+    }
+    eDir
+  }
+
+  /** The e100 construction oracle: the STRIPPED chapter text in
+    * closed form — 'Chapter <id>' plus the eight generated words.
+    */
+  val epubOracleSql: String =
+    """WITH d AS (SELECT doc_id,
+          ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS rn
+        FROM documents WHERE text IS NOT NULL
+          AND doc_id >= 40 AND doc_id < 80),
+      w AS (SELECT doc_id, rn,
+          array_to_string(list_transform(generate_series(0, 7),
+            k -> array_to_string(list_transform(generate_series(0, 2),
+              c -> chr(CAST(97 + (doc_id * 37 + k * 41 + c * 43) % 26 AS INT))), '')),
+            ' ') AS words
+        FROM d)
+      SELECT 'b' || lpad(CAST(rn // 5 AS VARCHAR), 2, '0') || '.epub' AS fname,
+        CAST(rn % 5 AS INTEGER) AS spine_idx,
+        'ch' || CAST(doc_id AS VARCHAR) || '.xhtml' AS href,
+        doc_id,
+        'Chapter ' || CAST(doc_id AS VARCHAR) || ' ' || words AS text
+      FROM w ORDER BY fname, spine_idx"""
+
   /** e97/e97b shared: write the 4-file MediaWiki export fixture —
     * plain XML, or bzip2-compressed via the in-repo encoder when
     * `bz2` is set (the form Wikipedia actually publishes). */
@@ -3582,6 +3638,35 @@ object Curation extends QueryBlock {
           .orderBy(col("fname"), col("line_no"))
       },
       Some(lzmaOracleSql)),
+
+    // E100 — EPUB ingest (r11): the container book corpora actually
+    // arrive in (Gutenberg, Standard Ebooks, library drops). An EPUB
+    // is an OCF zip whose READING ORDER lives in the OPF spine, so
+    // operators.Epub composes the CRC-verifying zip walk with
+    // scoped-regex OPF/container resolution: mimetype must be the
+    // FIRST entry, STORED, with the exact OCF magic content;
+    // container.xml names the OPF; every spine idref must resolve
+    // through the manifest to an archive member or the whole book
+    // rejects (a dangling chapter must not yield silently-shorter
+    // text). The fixture stores chapters in REVERSE spine order so
+    // the emitted order provably follows the package document, not
+    // the container. Text cleanup is the e34 column-algebra strip;
+    // the oracle re-creates the final stripped text in closed form.
+    // Per-file scan-local, zero shuffle.
+    "e100_epub" -> QueryDef(
+      (s, dir) => {
+        val eDir = writeEpubFixture(s, dir)
+        graft.operators.Epub.parse(
+            s.read.format("binaryFile").load(eDir))
+          .select(col("fname"), col("spine_idx"), col("href"),
+            regexp_extract(col("href"), "([0-9]+)", 1)
+              .cast("long").as("doc_id"),
+            expr("""trim(regexp_replace(
+                regexp_replace(xhtml, '<[^>]+>', ' '),
+                ' +', ' '))""").as("text"))
+          .orderBy(col("fname"), col("spine_idx"))
+      },
+      Some(epubOracleSql)),
 
     "e75_mixed_ingest" -> QueryDef(
       (s, dir) => {

@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Epub, ZipArchive}
+
+class EpubSpec extends AnyFunSuite {
+
+  private val chs = (0 until 4).map(i =>
+    (s"ch$i.xhtml", s"<html><body><p>chapter $i body</p></body></html>"))
+  private val book = Epub.makeEpub(chs)
+
+  test("chapters come back in SPINE order even though the zip stores them reversed") {
+    val got = Epub.chapters(book).get
+    assert(got.map(_._1) === Vector(0, 1, 2, 3))
+    assert(got.map(_._2) === chs.map(_._1).toVector)
+    assert(got.map(_._3) === chs.map(_._2).toVector)
+    // premise check: the container really does store chapters reversed
+    val names = ZipArchive.members(book).get.map(_.name)
+    val chapterNames = names.filter(_.endsWith(".xhtml"))
+    assert(chapterNames === chs.reverse.map(c => s"OEBPS/${c._1}"))
+  }
+
+  test("OCF mimetype discipline: wrong name, position, method, or content rejects") {
+    val ms = ZipArchive.members(book).get
+    def rebuilt(entries: Seq[(String, Array[Byte], Boolean)]): Array[Byte] =
+      ZipArchive.makeZip(entries)
+    val asEntries = ms.map(m => (m.name, m.data, m.method != 0))
+    // mimetype not first
+    assert(Epub.chapters(rebuilt(asEntries.tail :+ asEntries.head)) === None)
+    // mimetype DEFLATED (OCF requires stored)
+    val deflated = asEntries.updated(0, (asEntries.head._1, asEntries.head._2, true))
+    assert(Epub.chapters(rebuilt(deflated)) === None)
+    // wrong content
+    val wrong = asEntries.updated(0,
+      ("mimetype", "application/zip".getBytes("US-ASCII"), false))
+    assert(Epub.chapters(rebuilt(wrong)) === None)
+  }
+
+  test("missing container.xml, dangling spine idref, missing chapter member reject") {
+    val ms = ZipArchive.members(book).get.map(m => (m.name, m.data, m.method != 0))
+    val noContainer = ms.filterNot(_._1 == "META-INF/container.xml")
+    assert(Epub.chapters(ZipArchive.makeZip(noContainer)) === None)
+    // drop one chapter member: its spine entry dangles → whole book rejects
+    val noCh2 = ms.filterNot(_._1 == "OEBPS/ch2.xhtml")
+    assert(Epub.chapters(ZipArchive.makeZip(noCh2)) === None)
+    // spine referencing an id absent from the manifest
+    val opfIdx = ms.indexWhere(_._1 == "OEBPS/content.opf")
+    val opf = new String(ms(opfIdx)._2, "UTF-8")
+    val badOpf = opf.replace("idref=\"ch0\"", "idref=\"ghost\"")
+    val swapped = ms.updated(opfIdx,
+      ("OEBPS/content.opf", badOpf.getBytes("UTF-8"), true))
+    assert(Epub.chapters(ZipArchive.makeZip(swapped)) === None)
+  }
+
+  test("underlying zip corruption rejects through the composed walk") {
+    // flip inside the STORED mimetype content — a CRC-covered data byte
+    // (an arbitrary mid-file flip may land in an unauthenticated zip
+    // header field the format itself does not protect)
+    val needle = "epub+zip".getBytes("US-ASCII")
+    val at = book.indexOfSlice(needle)
+    assert(at > 0, "stored mimetype bytes must be findable")
+    val k = book.clone()
+    k(at) = (k(at) ^ 0x40).toByte
+    assert(Epub.chapters(k) === None)
+    for (cut <- Seq(3, 30, book.length / 2, book.length - 5))
+      assert(Epub.chapters(book.take(cut)) === None, s"cut=$cut")
+    assert(Epub.chapters("not an epub at all".getBytes) === None)
+  }
+}
