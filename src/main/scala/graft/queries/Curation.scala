@@ -1120,7 +1120,19 @@ object Curation extends QueryBlock {
     eDir
   }
 
-  /** The e100 construction oracle: the STRIPPED chapter text in
+  /** e100/d32 shared: binaryFile rows → one stripped-text row per
+    * spine chapter.
+    */
+  def epubProject(raw: DataFrame): DataFrame =
+    graft.operators.Epub.parse(raw)
+      .select(col("fname"), col("spine_idx"), col("href"),
+        regexp_extract(col("href"), "([0-9]+)", 1)
+          .cast("long").as("doc_id"),
+        expr("""trim(regexp_replace(
+            regexp_replace(xhtml, '<[^>]+>', ' '),
+            ' +', ' '))""").as("text"))
+
+  /** The e100/d32 construction oracle: the STRIPPED chapter text in
     * closed form — 'Chapter <id>' plus the eight generated words.
     */
   val epubOracleSql: String =
@@ -3656,14 +3668,7 @@ object Curation extends QueryBlock {
     "e100_epub" -> QueryDef(
       (s, dir) => {
         val eDir = writeEpubFixture(s, dir)
-        graft.operators.Epub.parse(
-            s.read.format("binaryFile").load(eDir))
-          .select(col("fname"), col("spine_idx"), col("href"),
-            regexp_extract(col("href"), "([0-9]+)", 1)
-              .cast("long").as("doc_id"),
-            expr("""trim(regexp_replace(
-                regexp_replace(xhtml, '<[^>]+>', ' '),
-                ' +', ' '))""").as("text"))
+        epubProject(s.read.format("binaryFile").load(eDir))
           .orderBy(col("fname"), col("spine_idx"))
       },
       Some(epubOracleSql)),

@@ -1173,7 +1173,24 @@ object Streaming extends QueryBlock {
             "d31_sink", mode = "append")
           .orderBy(col("doc_id"))
       },
-      Some(Curation.tarXzOracleSql))
+      Some(Curation.tarXzOracleSql)),
+
+    // D32 — EPUB ingest as a STREAM (e100's deployment shape: book
+    // drops landing in a directory, the OCF/OPF walk run per trigger).
+    // Within-file decode = pure append map, slicing-independent,
+    // sharing e100's fixture and oracle verbatim.
+    "d32_stream_epub" -> QueryDef(
+      (s, dir) => {
+        val eDir = Curation.writeEpubFixture(s, dir)
+        val raw = s.readStream.format("binaryFile")
+          .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+          .option("maxFilesPerTrigger", "3")
+          .load(eDir)
+        EventStreams.runToTable(s, Curation.epubProject(raw),
+            "d32_sink", mode = "append")
+          .orderBy(col("fname"), col("spine_idx"))
+      },
+      Some(Curation.epubOracleSql))
   )
 }
 
