@@ -35,41 +35,105 @@ object Epub {
 
   private val Mime = "application/epub+zip"
 
+  // compiled once per JVM (per-book hot path)
+  private val CommentR = "(?s)<!--.*?-->".r
+  private val RootfileR = "<rootfile\\b[^>]*>".r
+  private val FullPathR = "\\bfull-path=\"([^\"]+)\"".r
+  private val ItemR = "<item\\b[^>]*>".r
+  private val IdR = "\\bid=\"([^\"]+)\"".r
+  private val HrefR = "\\bhref=\"([^\"]+)\"".r
+  private val ItemrefR = "<itemref\\b[^>]*>".r
+  private val IdrefR = "\\bidref=\"([^\"]+)\"".r
+  /** Manifest hrefs are IRIs: percent-decode (byte-level, so
+    * multi-byte UTF-8 escapes like `%C3%A9` reassemble correctly) and
+    * resolve `../` / `./` segments against the OPF's directory — a
+    * spec-valid `My%20Chapter.xhtml` must find the archive member
+    * `My Chapter.xhtml`, and a nested OPF may reach siblings via
+    * `..`. None when the path escapes the archive root.
+    */
+  private def pctDecode(s: String): String = {
+    if (!s.contains('%')) return s
+    val in = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val bo = new java.io.ByteArrayOutputStream(in.length)
+    var i = 0
+    while (i < in.length) {
+      if (in(i) == '%' && i + 2 < in.length &&
+          Character.digit(in(i + 1), 16) >= 0 &&
+          Character.digit(in(i + 2), 16) >= 0) {
+        bo.write((Character.digit(in(i + 1), 16) << 4) |
+          Character.digit(in(i + 2), 16))
+        i += 3
+      } else { bo.write(in(i)); i += 1 }
+    }
+    new String(bo.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+  }
+  private def resolveHref(base: String, href: String): Option[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    (base + pctDecode(href)).split("/").foreach {
+      case "" | "." => // empty (from //) and self segments drop
+      case ".." =>
+        if (out.isEmpty) return None // escapes the archive root
+        else out.remove(out.length - 1)
+      case s => out += s
+    }
+    if (out.isEmpty) None else Some(out.mkString("/"))
+  }
+
   /** (spineIdx, href, xhtml) per spine item; None on any OCF/OPF
-    * violation or underlying zip inconsistency.
+    * violation or underlying zip inconsistency. XML COMMENTS are
+    * stripped before any scan — a commented-out rootfile or itemref
+    * (publishers do this) must neither enter the spine nor shadow the
+    * real package path.
     */
   def chapters(zipBytes: Array[Byte]): Option[Vector[(Int, String, String)]] = {
+    // OCF mandates mimetype PHYSICALLY first (local entry at offset 0,
+    // stored) — that is the sniffable magic. members() yields central-
+    // directory order, which a permuting tool may legally reorder, so
+    // the physical check reads the first local header directly: name
+    // length 8, name "mimetype", method 0 at the fixed offsets.
+    if (zipBytes.length < 38 ||
+        zipBytes(0) != 'P' || zipBytes(1) != 'K' ||
+        zipBytes(2) != 3 || zipBytes(3) != 4 ||
+        (zipBytes(8) & 0xff) != 0 || (zipBytes(9) & 0xff) != 0 || // stored
+        (zipBytes(26) & 0xff) != 8 || (zipBytes(27) & 0xff) != 0 ||
+        new String(zipBytes, 30, 8,
+          java.nio.charset.StandardCharsets.US_ASCII) != "mimetype")
+      return None
     val ms = ZipArchive.members(zipBytes).getOrElse(return None)
-    val first = ms.headOption.getOrElse(return None)
-    if (first.name != "mimetype" || first.method != 0 ||
-        new String(first.data,
+    val mimeEntry = ms.find(_.name == "mimetype").getOrElse(return None)
+    if (mimeEntry.method != 0 ||
+        new String(mimeEntry.data,
           java.nio.charset.StandardCharsets.US_ASCII) != Mime) return None
     val byName = ms.map(m => m.name -> m).toMap
     val container = byName.getOrElse("META-INF/container.xml", return None)
-    val cx = new String(container.data, java.nio.charset.StandardCharsets.UTF_8)
-    val opfPath = "full-path=\"([^\"]+)\"".r.findFirstMatchIn(cx)
-      .map(_.group(1)).getOrElse(return None)
+    val cx = CommentR.replaceAllIn(
+      new String(container.data, java.nio.charset.StandardCharsets.UTF_8), " ")
+    val opfPath = RootfileR.findFirstIn(cx)
+      .flatMap(tag => FullPathR.findFirstMatchIn(tag).map(_.group(1)))
+      .getOrElse(return None)
     val opf = byName.getOrElse(opfPath, return None)
-    val ox = new String(opf.data, java.nio.charset.StandardCharsets.UTF_8)
+    val ox = CommentR.replaceAllIn(
+      new String(opf.data, java.nio.charset.StandardCharsets.UTF_8), " ")
     val base = opfPath.lastIndexOf('/') match {
       case -1 => ""
       case i => opfPath.substring(0, i + 1)
     }
     // manifest: id → href, read INSIDE each item tag (scoped — the
     // wiki-parser rule: fields only from their own element)
-    val items = "<item\\b[^>]*>".r.findAllIn(ox).toVector.flatMap { tag =>
+    val items = ItemR.findAllIn(ox).toVector.flatMap { tag =>
       for {
-        id <- "\\bid=\"([^\"]+)\"".r.findFirstMatchIn(tag).map(_.group(1))
-        href <- "\\bhref=\"([^\"]+)\"".r.findFirstMatchIn(tag).map(_.group(1))
+        id <- IdR.findFirstMatchIn(tag).map(_.group(1))
+        href <- HrefR.findFirstMatchIn(tag).map(_.group(1))
       } yield id -> href
     }.toMap
-    val spine = "<itemref\\b[^>]*>".r.findAllIn(ox).toVector.flatMap(tag =>
-      "\\bidref=\"([^\"]+)\"".r.findFirstMatchIn(tag).map(_.group(1)))
+    val spine = ItemrefR.findAllIn(ox).toVector.flatMap(tag =>
+      IdrefR.findFirstMatchIn(tag).map(_.group(1)))
     if (spine.isEmpty) return None
     val out = Vector.newBuilder[(Int, String, String)]
     spine.zipWithIndex.foreach { case (idref, i) =>
       val href = items.getOrElse(idref, return None)
-      val m = byName.getOrElse(base + href, return None)
+      val resolved = resolveHref(base, href).getOrElse(return None)
+      val m = byName.getOrElse(resolved, return None)
       out += ((i, href,
         new String(m.data, java.nio.charset.StandardCharsets.UTF_8)))
     }

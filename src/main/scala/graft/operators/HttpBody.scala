@@ -22,6 +22,13 @@ package graft.operators
   */
 object HttpBody {
 
+  // compiled once per JVM — decode runs per record in the scan-local
+  // hot loop (millions of records per crawl segment)
+  private val StatusR = "^HTTP/1\\.[01] ([0-9]{3})".r
+  private val ContentTypeR = "(?im)^Content-Type: *([^\r\n]+)".r
+  private val TransferEncR = "(?im)^Transfer-Encoding: *([^\r\n]+)".r
+  private val ContentEncR = "(?im)^Content-Encoding: *([^\r\n]+)".r
+
   /** (status, mime, encoding-label, decoded text); None = malformed. */
   def decode(payload: Array[Byte]): Option[(Int, String, String, String)] = {
     try {
@@ -35,14 +42,13 @@ object HttpBody {
       if (sep < 0) return None
       val head = new String(payload, 0, sep,
         java.nio.charset.StandardCharsets.US_ASCII)
-      val statusR = "^HTTP/1\\.[01] ([0-9]+)".r
-      val status = statusR.findFirstMatchIn(head).map(_.group(1).toInt)
+      val status = StatusR.findFirstMatchIn(head).map(_.group(1).toInt)
         .getOrElse(return None)
-      def header(name: String): Option[String] =
-        s"(?im)^$name: *([^\r\n]+)".r.findFirstMatchIn(head).map(_.group(1).trim)
-      val mime = header("Content-Type").getOrElse("")
-      val te = header("Transfer-Encoding").map(_.toLowerCase)
-      val ce = header("Content-Encoding").map(_.toLowerCase)
+      def header(r: scala.util.matching.Regex): Option[String] =
+        r.findFirstMatchIn(head).map(_.group(1).trim)
+      val mime = header(ContentTypeR).getOrElse("")
+      val te = header(TransferEncR).map(_.toLowerCase)
+      val ce = header(ContentEncR).map(_.toLowerCase)
       var body = java.util.Arrays.copyOfRange(payload, sep + 4, payload.length)
       val label = new StringBuilder
       te match {
@@ -96,11 +102,17 @@ object HttpBody {
       val line = new String(body, i, j - i,
         java.nio.charset.StandardCharsets.US_ASCII)
       val hexPart = line.takeWhile(_ != ';').trim
-      if (hexPart.isEmpty || !hexPart.forall(c => Character.digit(c, 16) >= 0))
+      // cap the digit run BEFORE parseLong (a 17-hex-digit line would
+      // throw out of parseLong), and bound the size by the REMAINING
+      // body with long arithmetic — `start + size.toInt` could wrap
+      // negative for sizes near Int.MaxValue and sail past the bounds
+      // check into an out-of-bounds write
+      if (hexPart.isEmpty || hexPart.length > 8 ||
+          !hexPart.forall(c => Character.digit(c, 16) >= 0))
         return None
       val size = java.lang.Long.parseLong(hexPart, 16)
-      if (size < 0 || size > Int.MaxValue) return None
       val start = j + 2
+      if (size < 0 || size > body.length.toLong - start) return None
       if (size == 0) { done = true }
       else {
         val end = start + size.toInt

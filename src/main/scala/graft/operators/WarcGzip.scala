@@ -167,10 +167,26 @@ object WarcGzip {
     Some(out.toByteArray)
   }
 
+  // compiled once per JVM, not once per record — these run in the
+  // scan-local hot loop over CommonCrawl-scale member counts. All three
+  // are LINE-anchored ((?m)^): an unanchored scan let a `charset=`
+  // substring inside the Target-URI's query string hijack payload
+  // decoding, and would let an X-Content-Length header match the
+  // length pattern.
+  private val UriR = "(?m)^WARC-Target-URI: ([^\r\n]+)".r
+  private val ClenR = "(?m)^Content-Length: ([0-9]{1,9})\r?$".r
+  private val CTypeR = "(?m)^Content-Type: ([^\r\n]+)".r
+  private val CharsetR = "(?i)charset=([A-Za-z0-9_\\-]+)".r
+
   /** One inflated member → (uri, charset, clen, payload), or None when
-    * the member is not a WARC/1.0 record. The payload is sliced by
-    * Content-Length at the BYTE level, then decoded with the charset the
-    * Content-Type header declares (default UTF-8).
+    * the member is not a WARC/1.0 record or lacks the MANDATORY
+    * Content-Length (ISO 28500 requires it; defaulting to 0 would emit
+    * a silently-empty payload for a malformed record). The length
+    * pattern caps at 9 digits so a lying multi-GB declaration cannot
+    * throw out of `toInt` and kill the task — it simply fails to match
+    * and the record is skipped. The charset is read from the
+    * Content-Type HEADER only, never from arbitrary header text. The
+    * payload is sliced by Content-Length at the BYTE level.
     */
   def parseMember(m: Array[Byte]): Option[(String, String, Int, String)] = {
     // locate the CRLFCRLF header/payload separator at the byte level
@@ -185,12 +201,11 @@ object WarcGzip {
     // WARC named headers are ASCII (ISO 28500)
     val head = new String(m, 0, sep, java.nio.charset.StandardCharsets.US_ASCII)
     if (!head.startsWith("WARC/1.0")) return None
-    val uriR = "WARC-Target-URI: ([^\r]+)".r
-    val clenR = "Content-Length: ([0-9]+)".r
-    val charsetR = "(?i)charset=([A-Za-z0-9_\\-]+)".r
-    val uri = uriR.findFirstMatchIn(head).map(_.group(1)).getOrElse("")
-    val clen = clenR.findFirstMatchIn(head).map(_.group(1).toInt).getOrElse(0)
-    val charsetName = charsetR.findFirstMatchIn(head).map(_.group(1))
+    val uri = UriR.findFirstMatchIn(head).map(_.group(1)).getOrElse("")
+    val clen = ClenR.findFirstMatchIn(head).map(_.group(1).toInt)
+      .getOrElse(return None)
+    val charsetName = CTypeR.findFirstMatchIn(head).map(_.group(1))
+      .flatMap(ct => CharsetR.findFirstMatchIn(ct).map(_.group(1)))
       .getOrElse("UTF-8")
     val cs = try java.nio.charset.Charset.forName(charsetName)
       catch { case _: Exception => java.nio.charset.StandardCharsets.UTF_8 }

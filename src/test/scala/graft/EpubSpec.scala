@@ -52,6 +52,52 @@ class EpubSpec extends AnyFunSuite {
     assert(Epub.chapters(ZipArchive.makeZip(swapped)) === None)
   }
 
+  test("commented-out itemrefs and rootfiles are ignored, not honored") {
+    val ms = ZipArchive.members(book).get.map(m => (m.name, m.data, m.method != 0))
+    val opfIdx = ms.indexWhere(_._1 == "OEBPS/content.opf")
+    val opf = new String(ms(opfIdx)._2, "UTF-8")
+    // a commented-out itemref naming a manifest id that RESOLVES: if the
+    // comment leaks into the spine, ch0 appears twice (wrong output)
+    val ghosted = opf.replace("<spine>",
+      "<spine>\n    <!-- <itemref idref=\"ch0\"/> -->")
+    val withGhost = ms.updated(opfIdx,
+      ("OEBPS/content.opf", ghosted.getBytes("UTF-8"), true))
+    val got = Epub.chapters(ZipArchive.makeZip(withGhost)).get
+    assert(got.map(_._2) === chs.map(_._1).toVector, "comment leaked into spine")
+    // a commented-out rootfile BEFORE the real one must not win
+    val cIdx = ms.indexWhere(_._1 == "META-INF/container.xml")
+    val cx = new String(ms(cIdx)._2, "UTF-8")
+    val decoyed = cx.replace("<rootfiles>",
+      "<rootfiles>\n    <!-- <rootfile full-path=\"OEBPS/ghost.opf\"/> -->")
+    val withDecoy = ms.updated(cIdx,
+      ("META-INF/container.xml", decoyed.getBytes("UTF-8"), true))
+    assert(Epub.chapters(ZipArchive.makeZip(withDecoy)).get.size === chs.size)
+  }
+
+  test("percent-encoded and dot-segment hrefs resolve; root escape rejects") {
+    // member stored with a space; manifest href percent-encodes it, and
+    // one href routes through a ../ that re-enters OEBPS
+    val ms = ZipArchive.members(book).get.map(m => (m.name, m.data, m.method != 0))
+    val opfIdx = ms.indexWhere(_._1 == "OEBPS/content.opf")
+    val opf = new String(ms(opfIdx)._2, "UTF-8")
+    val renamed = ms.map {
+      case ("OEBPS/ch1.xhtml", d, z) => ("OEBPS/ch one.xhtml", d, z)
+      case e => e
+    }
+    val opf2 = opf
+      .replace("href=\"ch1.xhtml\"", "href=\"ch%20one.xhtml\"")
+      .replace("href=\"ch2.xhtml\"", "href=\"../OEBPS/./ch2.xhtml\"")
+    val rebuilt = ZipArchive.makeZip(renamed.updated(opfIdx,
+      ("OEBPS/content.opf", opf2.getBytes("UTF-8"), true)))
+    val got = Epub.chapters(rebuilt).get
+    assert(got.map(_._3) === chs.map(_._2).toVector, "content must be unchanged")
+    // an href escaping the archive root rejects the book
+    val escape = opf.replace("href=\"ch3.xhtml\"", "href=\"../../etc\"")
+    val esc = ZipArchive.makeZip(ms.updated(opfIdx,
+      ("OEBPS/content.opf", escape.getBytes("UTF-8"), true)))
+    assert(Epub.chapters(esc) === None)
+  }
+
   test("underlying zip corruption rejects through the composed walk") {
     // flip inside the STORED mimetype content — a CRC-covered data byte
     // (an arbitrary mid-file flip may land in an unauthenticated zip

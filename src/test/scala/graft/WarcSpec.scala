@@ -114,6 +114,30 @@ class WarcSpec extends AnyFunSuite {
     assert(latin1 !== text)
   }
 
+  test("gz: a charset= substring in the Target-URI cannot hijack payload decoding") {
+    // é in UTF-8 = 0xC3 0xA9; a latin-1 misdecode would yield Ã©
+    val payload = "café"
+    val member = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: https://h/p?charset=ISO-8859-1\r\n" +
+      "Content-Type: text/html; charset=utf-8\r\n" +
+      s"Content-Length: ${payload.getBytes("UTF-8").length}\r\n\r\n" +
+      payload).getBytes("UTF-8")
+    val got = graft.operators.WarcGzip.parseMember(member)
+    assert(got.map(_._2) === Some("utf-8"), "charset must come from Content-Type")
+    assert(got.map(_._4) === Some(payload))
+  }
+
+  test("gz: a lying multi-GB Content-Length skips the record instead of killing the task") {
+    val member = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: https://h/x\r\n" +
+      "Content-Length: 9999999999\r\n\r\nbody").getBytes("UTF-8")
+    assert(graft.operators.WarcGzip.parseMember(member) === None)
+    // and a missing MANDATORY Content-Length is malformed, not empty
+    val noLen = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: https://h/x\r\n\r\nbody").getBytes("UTF-8")
+    assert(graft.operators.WarcGzip.parseMember(noLen) === None)
+  }
+
   test("gz: a truncated trailing member terminates the walk; prior records survive") {
     val whole = gzMember("complete record")
     val truncated = gzMember("lost").dropRight(12) // cuts into the deflate+trailer
