@@ -1028,6 +1028,84 @@ object Curation extends QueryBlock {
         col("m._2").as("bytes"), sha2(col("m._3"), 256).as("digest"))
   }
 
+  /** e99d: the SAME tar content as e99b, framed `.tar.gz` — the most
+    * common source-tarball form of all — through the STRICT gzip walk
+    * (CRC32 + ISIZE verified per member, exact-consume), with the tar
+    * bytes cut across TWO gzip members mid-stream. Same docs, distinct
+    * archive grouping (3 archives by doc_id % 3) so the two rows can't
+    * share accidentally-correct framing.
+    */
+  def writeTarGzFixture(s: SparkSession, dir: String): String = {
+    import graft.operators.TarShards
+    val outDir = s"$scratch/targz_${new java.io.File(dir).getName}"
+    val fd = new java.io.File(outDir)
+    if (fd.exists()) fd.listFiles().foreach(_.delete())
+    fd.mkdirs()
+    val rows = t(s, dir, "documents")
+      .filter(col("text").isNotNull &&
+        col("doc_id") >= 490 && col("doc_id") < 500)
+      .select(col("doc_id"), col("text"))
+      .orderBy(col("doc_id")).collect()
+    (0 to 2).foreach { g =>
+      val tar = new java.io.ByteArrayOutputStream()
+      rows.filter(_.getLong(0) % 3 == g).foreach { r =>
+        val id = r.getLong(0)
+        val body = r.getString(1)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        if (id % 2 == 0) {
+          tar.write(TarShards.header(s"pkg/$id.txt", body.length.toLong))
+          tar.write(body)
+          tar.write(new Array[Byte]((512 - (body.length % 512)) % 512))
+        } else {
+          tar.write(TarShards.gnuLongEntry(
+            s"pkg/${"n" * 104}/$id.txt", body))
+        }
+      }
+      tar.write(new Array[Byte](1024))
+      val bytes = tar.toByteArray
+      val cut = bytes.length / 2
+      val bo = new java.io.ByteArrayOutputStream()
+      Seq((0, cut), (cut, bytes.length)).foreach { case (from, until) =>
+        val gz = new java.util.zip.GZIPOutputStream(bo)
+        gz.write(bytes, from, until - from)
+        gz.finish()
+      }
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$outDir/p$g.tar.gz"), bo.toByteArray)
+    }
+    outDir
+  }
+
+  /** e99d: binaryFile rows → one row per tar member inside the gzip
+    * stream.
+    */
+  def tarGzProject(raw: DataFrame): DataFrame = {
+    val ex = udf((b: Array[Byte]) =>
+      graft.operators.WarcGzip.gunzipStrict(b)
+        .map(graft.operators.TarShards.walkTar)
+        .getOrElse(Vector.empty))
+    raw.select(regexp_extract(col("path"), "([^/]+)$", 1).as("fname"),
+        explode(ex(col("content"))).as("m"))
+      .select(
+        regexp_extract(col("m._1"), "([0-9]+)\\.txt$", 1)
+          .cast("long").as("doc_id"),
+        col("fname"), col("m._1").as("name"),
+        col("m._2").as("bytes"), sha2(col("m._3"), 256).as("digest"))
+  }
+
+  /** The e99d construction oracle. */
+  val tarGzOracleSql: String =
+    """SELECT doc_id,
+        'p' || CAST(doc_id % 3 AS VARCHAR) || '.tar.gz' AS fname,
+        CASE WHEN doc_id % 2 = 0
+          THEN 'pkg/' || doc_id || '.txt'
+          ELSE 'pkg/' || repeat('n', 104) || '/' || doc_id || '.txt'
+        END AS name,
+        CAST(strlen(text) AS BIGINT) AS bytes, sha256(text) AS digest
+      FROM documents
+      WHERE text IS NOT NULL AND doc_id >= 490 AND doc_id < 500
+      ORDER BY doc_id"""
+
   /** The e99b/d31 construction oracle. */
   val tarXzOracleSql: String =
     """SELECT doc_id,
@@ -2209,6 +2287,23 @@ object Curation extends QueryBlock {
           .orderBy(col("doc_id"))
       },
       Some(tarXzOracleSql)),
+
+    // E99D — TAR.GZ composition (r11): the most common source-tarball
+    // form of all (`.tgz`/`.tar.gz` is how the vast majority of repo
+    // and package archives actually ship). Pure composition again: the
+    // STRICT gzip walk (CRC32 + ISIZE verified per member,
+    // exact-consume — the e98b discipline, since a tar stream has no
+    // checksum of its own beyond header sums) under the validated tar
+    // walk with GNU long names; the tar bytes are cut across TWO gzip
+    // members mid-stream so member boundaries are provably transparent
+    // to the tar framing. Per-file scan-local, zero shuffle.
+    "e99d_tar_gz" -> QueryDef(
+      (s, dir) => {
+        val outDir = writeTarGzFixture(s, dir)
+        tarGzProject(s.read.format("binaryFile").load(outDir))
+          .orderBy(col("doc_id"))
+      },
+      Some(tarGzOracleSql)),
 
     // E53 — WET-style conversion export (the WRITE side of the WARC
     // family; public formats: ISO 28500 + the CommonCrawl WET convention
