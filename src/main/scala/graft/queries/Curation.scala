@@ -1231,6 +1231,164 @@ object Curation extends QueryBlock {
         'Chapter ' || CAST(doc_id AS VARCHAR) || ' ' || words AS text
       FROM w ORDER BY fname, spine_idx"""
 
+  /** e101: 8 `.docx` files × 5 paragraphs over docs 120–160.
+    * Paragraph text derives from doc_id so the oracle re-creates it in
+    * closed form; every paragraph carries `&`/`<`/`>` so entity
+    * decoding is load-bearing, every paragraph is split across two
+    * runs with planted tracked-deletion / field-code / commented-out
+    * content that must be EXCLUDED, and the main part's PATH rotates
+    * per file so OPC relationship routing (not a hardcoded
+    * `word/document.xml`) is what the driver row proves.
+    */
+  def writeDocxFixture(s: SparkSession, dir: String): String = {
+    import graft.operators.Docx
+    val dDir = s"$scratch/docx_${new java.io.File(dir).getName}"
+    val fd = new java.io.File(dDir)
+    java.nio.file.Files.createDirectories(fd.toPath)
+    fd.listFiles().foreach(_.delete())
+    val ids = t(s, dir, "documents")
+      .filter(col("text").isNotNull &&
+        col("doc_id") >= 120 && col("doc_id") < 160)
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    def word(id: Long, k: Int): String =
+      (0 until 3).map(c => ('a' + (id * 29 + k * 31 + c * 37) % 26).toChar).mkString
+    ids.grouped(5).zipWithIndex.foreach { case (group, g) =>
+      val paras = group.toSeq.map { id =>
+        val ws = (0 until 6).map(k => word(id, k)).mkString(" ")
+        s"Para $id $ws a&b <q>"
+      }
+      val mainPart = if (g % 2 == 0) "word/document.xml" else "content/main.xml"
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(f"$dDir/w$g%02d.docx"),
+        Docx.makeDocx(paras, mainPart))
+    }
+    dDir
+  }
+
+  /** e101/d33 shared: binaryFile rows → one row per paragraph. */
+  def docxProject(raw: DataFrame): DataFrame =
+    graft.operators.Docx.parse(raw)
+      .select(col("fname"), col("para_idx"),
+        regexp_extract(col("text"), "Para ([0-9]+)", 1)
+          .cast("long").as("doc_id"),
+        col("text"))
+
+  /** The e101/d33 construction oracle: the decoded paragraph text in
+    * closed form — entity-bearing tail included raw.
+    */
+  val docxOracleSql: String =
+    """WITH d AS (SELECT doc_id,
+          ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS rn
+        FROM documents WHERE text IS NOT NULL
+          AND doc_id >= 120 AND doc_id < 160),
+      w AS (SELECT doc_id, rn,
+          array_to_string(list_transform(generate_series(0, 5),
+            k -> array_to_string(list_transform(generate_series(0, 2),
+              c -> chr(CAST(97 + (doc_id * 29 + k * 31 + c * 37) % 26 AS INT))), '')),
+            ' ') AS words
+        FROM d)
+      SELECT 'w' || lpad(CAST(rn // 5 AS VARCHAR), 2, '0') || '.docx' AS fname,
+        CAST(rn % 5 AS INTEGER) AS para_idx,
+        doc_id,
+        'Para ' || CAST(doc_id AS VARCHAR) || ' ' || words || ' a&b <q>' AS text
+      FROM w ORDER BY fname, para_idx"""
+
+  /** e102/d34 shared: TFRecord shard fixture — the writer IS the
+    * operator under test's write side (`TfRecord.writeShards`, a
+    * distributed per-partition streaming append): all non-null
+    * documents as tf.Example records, 8 shards keyed `doc_id % 8`.
+    */
+  def writeTfRecordFixture(s: SparkSession, dir: String): String = {
+    val outDir = s"$scratch/tfrec_${new java.io.File(dir).getName}"
+    graft.operators.TfRecord.writeShards(
+      t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), col("text")),
+      outDir, 8)
+    outDir
+  }
+
+  /** The e102/d34 oracle: the round trip must reproduce the documents
+    * table itself.
+    */
+  val tfRecordOracleSql: String =
+    """SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard, text
+      FROM documents WHERE text IS NOT NULL ORDER BY doc_id"""
+
+  /** e103/d35: one `.flac` per doc over docs 160–200, PCM a closed
+    * form of (doc_id, channel, sample index) so the oracle re-derives
+    * per-channel aggregates with its own list arithmetic. Channel
+    * count, length and sample rate all rotate with doc_id; lengths of
+    * 600–2106 samples at 256-sample blocks run the encoder through
+    * every channel-assignment / subframe / Rice-method rotation, and
+    * the decoder's MD5 gate makes every decoded sample load-bearing.
+    */
+  def writeFlacFixture(s: SparkSession, dir: String): String = {
+    import graft.operators.Flac
+    val fDir = s"$scratch/flac_${new java.io.File(dir).getName}"
+    val fd = new java.io.File(fDir)
+    java.nio.file.Files.createDirectories(fd.toPath)
+    fd.listFiles().foreach(_.delete())
+    val ids = t(s, dir, "documents")
+      .filter(col("text").isNotNull &&
+        col("doc_id") >= 160 && col("doc_id") < 200)
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    ids.foreach { id =>
+      val channels = 1 + (id % 2).toInt
+      val n = 600 + (id % 7).toInt * 251
+      val sr = 8000 + (id % 5).toInt * 1000
+      val pcm = Array.tabulate(channels)(ch => Array.tabulate(n)(i =>
+        ((id * 31 + ch * 17 + i.toLong * 7) % 2001).toInt - 1000))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$fDir/a$id.flac"),
+        Flac.encode(pcm, sr, 16))
+    }
+    fDir
+  }
+
+  /** e103/d35 shared: binaryFile rows → one stats row per recording.
+    * The per-channel aggregates are COLUMN ALGEBRA over the decoded
+    * PCM arrays (codegen'd higher-order functions, no UDF).
+    */
+  def flacProject(raw: DataFrame): DataFrame =
+    graft.operators.Flac.parse(raw)
+      .select(
+        col("fname"),
+        regexp_extract(col("fname"), "([0-9]+)", 1)
+          .cast("long").as("doc_id"),
+        col("sample_rate"), col("channels"), col("bps"), col("n_samples"),
+        expr("aggregate(pcm[0], 0L, (acc, x) -> acc + x)").as("sum_ch0"),
+        expr("array_min(pcm[0])").as("min_ch0"),
+        expr("array_max(pcm[0])").as("max_ch0"),
+        expr("CASE WHEN channels = 2 THEN " +
+          "aggregate(pcm[1], 0L, (acc, x) -> acc + x) END").as("sum_ch1"))
+
+  /** The e103/d35 construction oracle: DuckDB re-derives every decoded
+    * sample from the closed form and aggregates with its own list
+    * arithmetic — one wrong sample anywhere in the predictor/Rice/
+    * decorrelation stack moves a sum and goes red.
+    */
+  val flacOracleSql: String =
+    """WITH d AS (SELECT doc_id FROM documents
+        WHERE text IS NOT NULL AND doc_id >= 160 AND doc_id < 200),
+      p AS (SELECT doc_id,
+          1 + CAST(doc_id % 2 AS INT) AS channels,
+          600 + CAST(doc_id % 7 AS INT) * 251 AS n,
+          CAST(8000 + (doc_id % 5) * 1000 AS INT) AS sample_rate
+        FROM d),
+      v AS (SELECT doc_id, channels, n, sample_rate,
+          list_transform(generate_series(0, n - 1),
+            i -> CAST((doc_id * 31 + i * 7) % 2001 - 1000 AS INT)) AS c0,
+          list_transform(generate_series(0, n - 1),
+            i -> CAST((doc_id * 31 + 17 + i * 7) % 2001 - 1000 AS INT)) AS c1
+        FROM p)
+      SELECT 'a' || CAST(doc_id AS VARCHAR) || '.flac' AS fname,
+        doc_id, sample_rate, channels, CAST(16 AS INT) AS bps,
+        CAST(n AS BIGINT) AS n_samples,
+        CAST(list_sum(c0) AS BIGINT) AS sum_ch0,
+        list_min(c0) AS min_ch0, list_max(c0) AS max_ch0,
+        CASE WHEN channels = 2 THEN CAST(list_sum(c1) AS BIGINT) END AS sum_ch1
+      FROM v ORDER BY doc_id"""
+
   /** e97/e97b shared: write the 4-file MediaWiki export fixture —
     * plain XML, or bzip2-compressed via the in-repo encoder when
     * `bz2` is set (the form Wikipedia actually publishes). */
@@ -3767,6 +3925,78 @@ object Curation extends QueryBlock {
           .orderBy(col("fname"), col("spine_idx"))
       },
       Some(epubOracleSql)),
+
+    // E101 — DOCX ingest (r12): office documents are a first-class
+    // pretraining source (institutional archives, public-records and
+    // document drops ship .docx). A DOCX is an OPC package (ECMA-376
+    // Part 2) — part roles are DECLARED, not path-implied — so
+    // operators.Docx composes the CRC-verifying zip walk with the
+    // OPC indirection honored: [Content_Types].xml must resolve the
+    // main part's type (Override-then-Default), _rels/.rels routes to
+    // the main part (the fixture ROTATES its path per file to prove
+    // nothing is hardcoded), and the WordprocessingML walk emits one
+    // row per paragraph with runs concatenated, entities decoded, and
+    // tracked deletions / field codes / commented-out runs EXCLUDED —
+    // each of those, leaked, silently corrupts a corpus. The oracle
+    // re-creates the decoded paragraph text in closed form.
+    // Per-file scan-local, zero shuffle.
+    "e101_docx" -> QueryDef(
+      (s, dir) => {
+        val dDir = writeDocxFixture(s, dir)
+        docxProject(s.read.format("binaryFile").load(dDir))
+          .orderBy(col("fname"), col("para_idx"))
+      },
+      Some(docxOracleSql)),
+
+    // E102 — TFRecord export + re-ingest (r12): the training-data
+    // interchange format half the ecosystem's pipelines emit and
+    // consume — the tensor-stack counterpart of the e52 WebDataset
+    // export. operators.TfRecord writes every non-null document as a
+    // tf.Example (minimal from-scratch protobuf codec, sorted-key
+    // deterministic encode) under the masked-CRC32C record framing
+    // (JDK CRC32C — the Inflater precedent; the Castagnoli check
+    // value is pinned in TfRecordSpec), then reads the shards back
+    // through the strict walk (both CRCs verified per record,
+    // exact-consume, length-before-allocation bomb guard). The oracle
+    // is the documents table itself: one wrong byte anywhere in
+    // varint/framing/CRC arithmetic shifts a row and goes red.
+    // Write = repartition(8) + per-partition streaming append;
+    // read-back per-file parallel, scan-local, zero shuffle.
+    "e102_tfrecord" -> QueryDef(
+      (s, dir) => {
+        val tDir = writeTfRecordFixture(s, dir)
+        graft.operators.TfRecord.parseDocs(
+            s.read.format("binaryFile").load(tDir))
+          .select(col("doc_id"),
+            regexp_extract(col("fname"), "([0-9]+)", 1)
+              .cast("int").as("shard"),
+            col("text"))
+          .orderBy(col("doc_id"))
+      },
+      Some(tfRecordOracleSql)),
+
+    // E103 — FLAC ingest (r12): the lossless codec audio corpora
+    // actually ship (LibriSpeech, Common Voice exports, archival
+    // speech drops publish FLAC, not WAV). The runtime carries no
+    // FLAC codec, so operators.Flac is a from-scratch implementation
+    // of the public format spec (RFC 9639) in the bzip2/JPEG/LZMA
+    // tradition: MSB-first bitstream, frame CRC-8/CRC-16, FIXED+LPC
+    // predictors, Rice-partitioned residuals, all four stereo
+    // decorrelation modes, wasted bits — and the STREAMINFO MD5 of
+    // the decoded PCM enforced, so every decoded sample is
+    // load-bearing. The fixture encoder rotates channel assignments,
+    // subframe types and Rice methods per frame; the oracle
+    // re-derives every sample from the (doc_id, channel, i) closed
+    // form and aggregates with DuckDB's own list arithmetic.
+    // Per-file scan-local decode, zero shuffle; stats are codegen'd
+    // higher-order functions over the PCM arrays, no UDF.
+    "e103_flac" -> QueryDef(
+      (s, dir) => {
+        val fDir = writeFlacFixture(s, dir)
+        flacProject(s.read.format("binaryFile").load(fDir))
+          .orderBy(col("doc_id"))
+      },
+      Some(flacOracleSql)),
 
     "e75_mixed_ingest" -> QueryDef(
       (s, dir) => {

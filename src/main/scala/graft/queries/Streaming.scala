@@ -1190,7 +1190,64 @@ object Streaming extends QueryBlock {
             "d32_sink", mode = "append")
           .orderBy(col("fname"), col("spine_idx"))
       },
-      Some(Curation.epubOracleSql))
+      Some(Curation.epubOracleSql)),
+
+    // D33 — DOCX ingest as a STREAM (e101's deployment shape: office
+    // documents landing in a drop directory, the OPC walk run per
+    // trigger). Within-file decode = pure append map,
+    // slicing-independent, sharing e101's fixture and oracle verbatim.
+    "d33_stream_docx" -> QueryDef(
+      (s, dir) => {
+        val dDir = Curation.writeDocxFixture(s, dir)
+        val raw = s.readStream.format("binaryFile")
+          .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+          .option("maxFilesPerTrigger", "3")
+          .load(dDir)
+        EventStreams.runToTable(s, Curation.docxProject(raw),
+            "d33_sink", mode = "append")
+          .orderBy(col("fname"), col("para_idx"))
+      },
+      Some(Curation.docxOracleSql)),
+
+    // D34 — TFRecord ingest as a STREAM (e102's deployment shape:
+    // tf.Example shards landing from an upstream tensor-stack
+    // pipeline, the framing walk + proto decode run per trigger).
+    // Within-file decode = pure append map, slicing-independent,
+    // sharing e102's fixture and oracle verbatim.
+    "d34_stream_tfrecord" -> QueryDef(
+      (s, dir) => {
+        val tDir = Curation.writeTfRecordFixture(s, dir)
+        val raw = s.readStream.format("binaryFile")
+          .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+          .option("maxFilesPerTrigger", "2")
+          .load(tDir)
+        EventStreams.runToTable(s,
+            graft.operators.TfRecord.parseDocs(raw)
+              .select(col("doc_id"),
+                regexp_extract(col("fname"), "([0-9]+)", 1)
+                  .cast("int").as("shard"),
+                col("text")),
+            "d34_sink", mode = "append")
+          .orderBy(col("doc_id"))
+      },
+      Some(Curation.tfRecordOracleSql)),
+
+    // D35 — FLAC ingest as a STREAM (e103's deployment shape: audio
+    // recordings landing in a drop directory, the whole-file decode
+    // run per trigger). Within-file decode = pure append map,
+    // slicing-independent, sharing e103's fixture and oracle verbatim.
+    "d35_stream_flac" -> QueryDef(
+      (s, dir) => {
+        val fDir = Curation.writeFlacFixture(s, dir)
+        val raw = s.readStream.format("binaryFile")
+          .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+          .option("maxFilesPerTrigger", "7")
+          .load(fDir)
+        EventStreams.runToTable(s, Curation.flacProject(raw),
+            "d35_sink", mode = "append")
+          .orderBy(col("doc_id"))
+      },
+      Some(Curation.flacOracleSql))
   )
 }
 
