@@ -1389,6 +1389,74 @@ object Curation extends QueryBlock {
         CASE WHEN channels = 2 THEN CAST(list_sum(c1) AS BIGINT) END AS sum_ch1
       FROM v ORDER BY doc_id"""
 
+  /** e104/d36: 8 `.sqlite` databases × 5 docs over docs 200–240, each
+    * a `docs(doc_id INTEGER PRIMARY KEY, body TEXT, nchars INTEGER,
+    * score REAL)` table written by the from-scratch writer (real
+    * sqlite3 validates it in `SqliteSpec`). doc_id rides the
+    * INTEGER-PRIMARY-KEY rowid alias (stored NULL, carried by the
+    * rowid — the wild's most common table shape); one body per file
+    * repeats past maxLocal so a real overflow chain is load-bearing;
+    * rowids are non-contiguous across files.
+    */
+  def writeSqliteFixture(s: SparkSession, dir: String): String = {
+    import graft.operators.Sqlite
+    import graft.operators.Sqlite._
+    val sDir = s"$scratch/sqlite_${new java.io.File(dir).getName}"
+    val fd = new java.io.File(sDir)
+    java.nio.file.Files.createDirectories(fd.toPath)
+    fd.listFiles().foreach(_.delete())
+    val ids = t(s, dir, "documents")
+      .filter(col("text").isNotNull &&
+        col("doc_id") >= 200 && col("doc_id") < 240)
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    def word(id: Long, k: Int): String =
+      (0 until 3).map(c => ('a' + (id * 23 + k * 47 + c * 53) % 26).toChar).mkString
+    ids.grouped(5).zipWithIndex.foreach { case (group, g) =>
+      val rows = group.toSeq.map { id =>
+        val base = s"Doc $id " + (0 until 4).map(k => word(id, k)).mkString(" ")
+        val k = if (id % 5 == 2) 240 else 1
+        val body = ((base + " ") * k).dropRight(1)
+        (id, Seq[SqlValue](SqlInt(id), SqlText(body),
+          SqlInt(body.length.toLong), SqlReal(id * 0.25)))
+      }
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(f"$sDir/s$g%02d.sqlite"),
+        Sqlite.makeDb("docs",
+          "CREATE TABLE docs(doc_id INTEGER PRIMARY KEY, body TEXT, " +
+            "nchars INTEGER, score REAL)", 0, rows))
+    }
+    sDir
+  }
+
+  /** e104/d36 shared: binaryFile rows → one typed row per table row. */
+  def sqliteProject(raw: DataFrame): DataFrame =
+    graft.operators.Sqlite.parseDocs(raw)
+      .select(col("fname"), col("doc_id"), col("body"),
+        col("nchars"), col("score"))
+
+  /** The e104/d36 construction oracle: body text, lengths and scores
+    * re-derived in closed form.
+    */
+  val sqliteOracleSql: String =
+    """WITH d AS (SELECT doc_id,
+          ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS rn
+        FROM documents WHERE text IS NOT NULL
+          AND doc_id >= 200 AND doc_id < 240),
+      w AS (SELECT doc_id, rn,
+          'Doc ' || CAST(doc_id AS VARCHAR) || ' ' ||
+          array_to_string(list_transform(generate_series(0, 3),
+            k -> array_to_string(list_transform(generate_series(0, 2),
+              c -> chr(CAST(97 + (doc_id * 23 + k * 47 + c * 53) % 26 AS INT))), '')),
+            ' ') AS base,
+          CASE WHEN doc_id % 5 = 2 THEN 240 ELSE 1 END AS k
+        FROM d),
+      b AS (SELECT doc_id, rn,
+          rtrim(repeat(base || ' ', k)) AS body FROM w)
+      SELECT 's' || lpad(CAST(rn // 5 AS VARCHAR), 2, '0') || '.sqlite' AS fname,
+        doc_id, body, CAST(length(body) AS BIGINT) AS nchars,
+        CAST(doc_id AS DOUBLE) * 0.25 AS score
+      FROM b ORDER BY doc_id"""
+
   /** e97/e97b shared: write the 4-file MediaWiki export fixture —
     * plain XML, or bzip2-compressed via the in-repo encoder when
     * `bz2` is set (the form Wikipedia actually publishes). */
@@ -3997,6 +4065,27 @@ object Curation extends QueryBlock {
           .orderBy(col("doc_id"))
       },
       Some(flacOracleSql)),
+
+    // E104 — SQLite ingest (r12): the single-file database format
+    // annotation sets, app-data exports and public-records dumps ship.
+    // operators.Sqlite is a from-scratch implementation of the public
+    // file format: table b-tree walk (leaf + interior), big-endian
+    // varints, the record serial-type system, spill-formula overflow
+    // chains, sqlite_master routing by table NAME, the
+    // INTEGER-PRIMARY-KEY rowid alias (stored NULL, value = rowid) and
+    // REAL-affinity read-back (integral reals are stored as INTEGERs
+    // on disk). WAL-mode and WITHOUT-ROWID files reject loudly;
+    // SqliteSpec proves both directions against the reference
+    // implementation (real sqlite3 output read exactly incl. freelist
+    // pages; our output passes PRAGMA integrity_check). Per-file
+    // scan-local walk, zero shuffle.
+    "e104_sqlite" -> QueryDef(
+      (s, dir) => {
+        val sDir = writeSqliteFixture(s, dir)
+        sqliteProject(s.read.format("binaryFile").load(sDir))
+          .orderBy(col("doc_id"))
+      },
+      Some(sqliteOracleSql)),
 
     "e75_mixed_ingest" -> QueryDef(
       (s, dir) => {

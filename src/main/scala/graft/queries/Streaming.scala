@@ -1247,7 +1247,24 @@ object Streaming extends QueryBlock {
             "d35_sink", mode = "append")
           .orderBy(col("doc_id"))
       },
-      Some(Curation.flacOracleSql))
+      Some(Curation.flacOracleSql)),
+
+    // D36 — SQLite ingest as a STREAM (e104's deployment shape:
+    // database drops landing in a directory, the b-tree walk run per
+    // trigger). Within-file decode = pure append map,
+    // slicing-independent, sharing e104's fixture and oracle verbatim.
+    "d36_stream_sqlite" -> QueryDef(
+      (s, dir) => {
+        val sDir = Curation.writeSqliteFixture(s, dir)
+        val raw = s.readStream.format("binaryFile")
+          .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+          .option("maxFilesPerTrigger", "3")
+          .load(sDir)
+        EventStreams.runToTable(s, Curation.sqliteProject(raw),
+            "d36_sink", mode = "append")
+          .orderBy(col("doc_id"))
+      },
+      Some(Curation.sqliteOracleSql))
   )
 }
 
