@@ -1457,6 +1457,86 @@ object Curation extends QueryBlock {
         CAST(doc_id AS DOUBLE) * 0.25 AS score
       FROM b ORDER BY doc_id"""
 
+  /** e105/d37: 8 `.avro` container files × 5 docs over docs 240–280,
+    * written by the REFERENCE implementation (org.apache.avro's
+    * DataFileWriter, bundled with Spark) with the block codec rotating
+    * per file across null/deflate/snappy/zstandard — so the driver row
+    * proves our from-scratch reader against real reference output
+    * under every codec we carry. Record shape exercises the union and
+    * array paths: (long doc_id, string body, union{null,int} stars,
+    * array<double> emb).
+    */
+  def writeAvroFixture(s: SparkSession, dir: String): String = {
+    import org.apache.avro.{Schema => ASchema}
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    import org.apache.avro.file.{CodecFactory, DataFileWriter}
+    val aDir = s"$scratch/avro_${new java.io.File(dir).getName}"
+    val fd = new java.io.File(aDir)
+    java.nio.file.Files.createDirectories(fd.toPath)
+    fd.listFiles().foreach(_.delete())
+    val ids = t(s, dir, "documents")
+      .filter(col("text").isNotNull &&
+        col("doc_id") >= 240 && col("doc_id") < 280)
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    def word(id: Long, k: Int): String =
+      (0 until 3).map(c => ('a' + (id * 19 + k * 59 + c * 61) % 26).toChar).mkString
+    val schemaJson =
+      """{"type":"record","name":"Doc","fields":[
+        |{"name":"doc_id","type":"long"},
+        |{"name":"body","type":"string"},
+        |{"name":"stars","type":["null","int"]},
+        |{"name":"emb","type":{"type":"array","items":"double"}}]}""".stripMargin
+    val codecs = Seq(CodecFactory.nullCodec(), CodecFactory.deflateCodec(6),
+      CodecFactory.snappyCodec(), CodecFactory.zstandardCodec(3))
+    ids.grouped(5).zipWithIndex.foreach { case (group, g) =>
+      val schema = new ASchema.Parser().parse(schemaJson)
+      val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+      w.setCodec(codecs(g % 4))
+      w.create(schema, new java.io.File(f"$aDir/a$g%02d.avro"))
+      group.foreach { id =>
+        val r = new GenericData.Record(schema)
+        r.put("doc_id", id)
+        r.put("body", s"Avro doc $id " + (0 until 4).map(k => word(id, k)).mkString(" "))
+        r.put("stars", if (id % 3 == 0) null else Integer.valueOf((id % 7).toInt))
+        val emb = new java.util.ArrayList[java.lang.Double]()
+        (0 until 4).foreach(j => emb.add(id * 0.5 + j))
+        r.put("emb", emb)
+        w.append(r)
+      }
+      w.close()
+    }
+    aDir
+  }
+
+  /** e105/d37 shared: binaryFile rows → one typed row per record. */
+  def avroProject(raw: DataFrame): DataFrame =
+    graft.operators.AvroOcf.parseDocs(raw)
+      .select(col("fname"), col("rec_idx"), col("doc_id"), col("body"),
+        col("stars"), col("esum"))
+
+  /** The e105/d37 construction oracle: body, stars and the embedding
+    * sum re-derived in closed form (sum of doc_id*0.5 + j over j<4 =
+    * 2*doc_id + 6, exact in binary).
+    */
+  val avroOracleSql: String =
+    """WITH d AS (SELECT doc_id,
+          ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS rn
+        FROM documents WHERE text IS NOT NULL
+          AND doc_id >= 240 AND doc_id < 280),
+      w AS (SELECT doc_id, rn,
+          'Avro doc ' || CAST(doc_id AS VARCHAR) || ' ' ||
+          array_to_string(list_transform(generate_series(0, 3),
+            k -> array_to_string(list_transform(generate_series(0, 2),
+              c -> chr(CAST(97 + (doc_id * 19 + k * 59 + c * 61) % 26 AS INT))), '')),
+            ' ') AS body
+        FROM d)
+      SELECT 'a' || lpad(CAST(rn // 5 AS VARCHAR), 2, '0') || '.avro' AS fname,
+        CAST(rn % 5 AS INTEGER) AS rec_idx, doc_id, body,
+        CASE WHEN doc_id % 3 = 0 THEN NULL
+          ELSE CAST(doc_id % 7 AS INTEGER) END AS stars,
+        CAST(2 * doc_id + 6 AS DOUBLE) AS esum
+      FROM w ORDER BY doc_id"""
+
   /** e97/e97b shared: write the 4-file MediaWiki export fixture —
     * plain XML, or bzip2-compressed via the in-repo encoder when
     * `bz2` is set (the form Wikipedia actually publishes). */
@@ -4086,6 +4166,27 @@ object Curation extends QueryBlock {
           .orderBy(col("doc_id"))
       },
       Some(sqliteOracleSql)),
+
+    // E105 — Avro container ingest (r12): the row-oriented interchange
+    // format data-platform exports ship (Kafka archives, warehouse
+    // unloads, event logs). The optional spark-avro module is not on
+    // this runtime, so operators.AvroOcf implements the public Avro
+    // spec from scratch: OCF framing with per-block sync verification,
+    // zigzag varints, a schema-driven decoder over the FULL type
+    // system (nested/recursive records, unions, enums, fixed, both
+    // array/map block forms), strict schema JSON parsing, and block
+    // codecs null/deflate/snappy (CRC32 suffix verified)/zstandard
+    // (window-bounded) — unknown codecs reject loudly. AvroOcfSpec
+    // proves the decoder against reference DataFileWriter output;
+    // this row does the same through the driver with the codec
+    // rotating per file. Per-file scan-local decode, zero shuffle.
+    "e105_avro" -> QueryDef(
+      (s, dir) => {
+        val aDir = writeAvroFixture(s, dir)
+        avroProject(s.read.format("binaryFile").load(aDir))
+          .orderBy(col("doc_id"))
+      },
+      Some(avroOracleSql)),
 
     "e75_mixed_ingest" -> QueryDef(
       (s, dir) => {

@@ -1264,7 +1264,24 @@ object Streaming extends QueryBlock {
             "d36_sink", mode = "append")
           .orderBy(col("doc_id"))
       },
-      Some(Curation.sqliteOracleSql))
+      Some(Curation.sqliteOracleSql)),
+
+    // D37 — Avro ingest as a STREAM (e105's deployment shape:
+    // container files landing from an upstream export pipeline, the
+    // OCF walk run per trigger). Within-file decode = pure append map,
+    // slicing-independent, sharing e105's fixture and oracle verbatim.
+    "d37_stream_avro" -> QueryDef(
+      (s, dir) => {
+        val aDir = Curation.writeAvroFixture(s, dir)
+        val raw = s.readStream.format("binaryFile")
+          .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+          .option("maxFilesPerTrigger", "3")
+          .load(aDir)
+        EventStreams.runToTable(s, Curation.avroProject(raw),
+            "d37_sink", mode = "append")
+          .orderBy(col("doc_id"))
+      },
+      Some(Curation.avroOracleSql))
   )
 }
 
