@@ -82,7 +82,7 @@ object PdfText {
     }
     def fail(msg: String): Nothing = throw new PdfError(msg)
   }
-  private final class PdfError(msg: String) extends RuntimeException(msg)
+  private[graft] final class PdfError(msg: String) extends RuntimeException(msg)
 
   private def isDelim(c: Char): Boolean =
     c == '(' || c == ')' || c == '<' || c == '>' || c == '[' || c == ']' ||

@@ -1537,6 +1537,73 @@ object Curation extends QueryBlock {
         CAST(2 * doc_id + 6 AS DOUBLE) AS esum
       FROM w ORDER BY doc_id"""
 
+  /** e106/d38: 8 multi-page `.tiff` files × 5 pages over docs 280–320
+    * — one page per doc, page geometry/photometric/compression all
+    * rotating with doc_id (none/LZW/PackBits; gray and RGB;
+    * strip-split at 2 rows), byte order alternating per FILE. Pixels
+    * are a closed form of (doc_id, flat index) so the oracle
+    * re-derives every channel mean with its own list arithmetic.
+    */
+  def writeTiffFixture(s: SparkSession, dir: String): String = {
+    import graft.operators.Tiff
+    val tDir = s"$scratch/tiff_${new java.io.File(dir).getName}"
+    val fd = new java.io.File(tDir)
+    java.nio.file.Files.createDirectories(fd.toPath)
+    fd.listFiles().foreach(_.delete())
+    val ids = t(s, dir, "documents")
+      .filter(col("text").isNotNull &&
+        col("doc_id") >= 280 && col("doc_id") < 320)
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    ids.grouped(5).zipWithIndex.foreach { case (group, g) =>
+      val pages = group.toSeq.map { id =>
+        val w = 6 + (id % 5).toInt
+        val h = 4 + (id % 3).toInt
+        val spp = 1 + 2 * (id % 2).toInt
+        val f: Int => Byte = k => (((id * 31 + k * 7) % 251) & 0xff).toByte
+        (w, h, spp, f)
+      }
+      val comps = group.toSeq.map(id => Seq(1, 5, 32773)((id % 3).toInt))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(f"$tDir/t$g%02d.tiff"),
+        Tiff.makeTiff(pages, comps, littleEndian = g % 2 == 0))
+    }
+    tDir
+  }
+
+  /** e106/d38 shared: binaryFile rows → one stats row per PAGE. */
+  def tiffProject(raw: DataFrame): DataFrame =
+    graft.operators.Tiff.parse(raw)
+      .select(col("fname"), col("page"), col("width"), col("height"),
+        col("spp"), col("mean0"), col("mean1"), col("mean2"))
+
+  /** The e106/d38 construction oracle: channel means re-derived from
+    * the (doc_id, interleaved index) closed form.
+    */
+  val tiffOracleSql: String =
+    """WITH d AS (SELECT doc_id,
+          ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS rn
+        FROM documents WHERE text IS NOT NULL
+          AND doc_id >= 280 AND doc_id < 320),
+      geo AS (SELECT doc_id, rn,
+          6 + CAST(doc_id % 5 AS INT) AS w,
+          4 + CAST(doc_id % 3 AS INT) AS h,
+          1 + 2 * CAST(doc_id % 2 AS INT) AS spp
+        FROM d),
+      m AS (SELECT doc_id, rn, w, h, spp,
+          round(CAST(list_sum(list_transform(generate_series(0, w*h - 1),
+            i -> (doc_id*31 + (i*spp + 0)*7) % 251)) AS DOUBLE) / (w*h), 6) AS mean0,
+          CASE WHEN spp = 3 THEN
+            round(CAST(list_sum(list_transform(generate_series(0, w*h - 1),
+              i -> (doc_id*31 + (i*spp + 1)*7) % 251)) AS DOUBLE) / (w*h), 6) END AS mean1,
+          CASE WHEN spp = 3 THEN
+            round(CAST(list_sum(list_transform(generate_series(0, w*h - 1),
+              i -> (doc_id*31 + (i*spp + 2)*7) % 251)) AS DOUBLE) / (w*h), 6) END AS mean2
+        FROM geo)
+      SELECT 't' || lpad(CAST(rn // 5 AS VARCHAR), 2, '0') || '.tiff' AS fname,
+        CAST(rn % 5 AS INTEGER) AS page, w AS width, h AS height, spp,
+        mean0, mean1, mean2
+      FROM m ORDER BY fname, page"""
+
   /** e97/e97b shared: write the 4-file MediaWiki export fixture —
     * plain XML, or bzip2-compressed via the in-repo encoder when
     * `bz2` is set (the form Wikipedia actually publishes). */
@@ -4187,6 +4254,28 @@ object Curation extends QueryBlock {
           .orderBy(col("doc_id"))
       },
       Some(avroOracleSql)),
+
+    // E106 — TIFF ingest (r12): the format scanned-document corpora
+    // ship (archival book scans, newspaper digitization, records
+    // dumps publish multi-page TIFF — to scan corpora what PDF is to
+    // born-digital documents). operators.Tiff implements TIFF 6.0
+    // from scratch: both byte orders, the IFD walk with ascending-tag
+    // discipline, multi-page next-IFD chains (cycle-guarded), real
+    // strip splitting, and compressions none/PackBits/LZW — the LZW
+    // filter COMPOSES the validated ISO 32000 LZWDecode (the same
+    // algorithm, early-change included). 16-bit samples, palette/
+    // CMYK/WhiteIsZero photometrics, tiles, planar-2 and CCITT all
+    // reject loudly; strips must decompress to EXACTLY their expected
+    // bytes; pixel bomb cap before allocation. One stats row per PAGE
+    // so a 500-page book scan parallelizes downstream. Per-file
+    // scan-local decode, zero shuffle.
+    "e106_tiff" -> QueryDef(
+      (s, dir) => {
+        val tDir = writeTiffFixture(s, dir)
+        tiffProject(s.read.format("binaryFile").load(tDir))
+          .orderBy(col("fname"), col("page"))
+      },
+      Some(tiffOracleSql)),
 
     "e75_mixed_ingest" -> QueryDef(
       (s, dir) => {

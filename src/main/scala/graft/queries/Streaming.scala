@@ -1281,7 +1281,24 @@ object Streaming extends QueryBlock {
             "d37_sink", mode = "append")
           .orderBy(col("doc_id"))
       },
-      Some(Curation.avroOracleSql))
+      Some(Curation.avroOracleSql)),
+
+    // D38 — TIFF ingest as a STREAM (e106's deployment shape: scan
+    // batches landing from a digitization pipeline, the IFD walk run
+    // per trigger). Within-file decode = pure append map,
+    // slicing-independent, sharing e106's fixture and oracle verbatim.
+    "d38_stream_tiff" -> QueryDef(
+      (s, dir) => {
+        val tDir = Curation.writeTiffFixture(s, dir)
+        val raw = s.readStream.format("binaryFile")
+          .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+          .option("maxFilesPerTrigger", "3")
+          .load(tDir)
+        EventStreams.runToTable(s, Curation.tiffProject(raw),
+            "d38_sink", mode = "append")
+          .orderBy(col("fname"), col("page"))
+      },
+      Some(Curation.tiffOracleSql))
   )
 }
 
