@@ -1604,6 +1604,77 @@ object Curation extends QueryBlock {
         mean0, mean1, mean2
       FROM m ORDER BY fname, page"""
 
+  /** e107/d39: one `.mp3` per doc over docs 320–360 — MPEG-1 Layer
+    * III frames with sample rate, channel mode, CBR-vs-VBR shape,
+    * frame count and tag placement (ID3v2 prefix / ID3v1 tail) all
+    * rotating with doc_id, so the oracle re-derives every framing
+    * stat — including the VBR mean over the per-frame bitrate
+    * rotation — from the spec's own tables in closed form.
+    */
+  def writeMp3Fixture(s: SparkSession, dir: String): String = {
+    import graft.operators.Mp3
+    val mDir = s"$scratch/mp3_${new java.io.File(dir).getName}"
+    val fd = new java.io.File(mDir)
+    java.nio.file.Files.createDirectories(fd.toPath)
+    fd.listFiles().foreach(_.delete())
+    val ids = t(s, dir, "documents")
+      .filter(col("text").isNotNull &&
+        col("doc_id") >= 320 && col("doc_id") < 360)
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    ids.foreach { id =>
+      val n = 6 + (id % 9).toInt
+      val vbr = id % 5 < 2
+      val out = new java.io.ByteArrayOutputStream()
+      if (id % 4 == 0) out.write(Mp3.makeId3v2(50 + (id % 30).toInt))
+      (0 until n).foreach { j =>
+        val brIdx = if (vbr) 2 + ((id + j) % 12).toInt else 2 + (id % 12).toInt
+        out.write(Mp3.makeFrame(3, 3, brIdx, (id % 3).toInt,
+          padding = j % 2 == 0, mono = id % 2 == 1, seed = (id + j).toInt))
+      }
+      if (id % 5 == 0) out.write(Mp3.makeId3v1())
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$mDir/m$id.mp3"), out.toByteArray)
+    }
+    mDir
+  }
+
+  /** e107/d39 shared: binaryFile rows → one framing row per file. */
+  def mp3Project(raw: DataFrame): DataFrame =
+    graft.operators.Mp3.parse(raw)
+      .select(col("fname"),
+        regexp_extract(col("fname"), "([0-9]+)", 1)
+          .cast("long").as("doc_id"),
+        col("n_frames"), col("total_samples"), col("sample_rate"),
+        col("channels"), col("vbr"), col("duration_ms"), col("mean_kbps"))
+
+  /** The e107/d39 construction oracle: framing stats from the spec
+    * tables in closed form (MPEG-1 Layer III bitrate table inlined).
+    */
+  val mp3OracleSql: String =
+    """WITH d AS (SELECT doc_id FROM documents
+        WHERE text IS NOT NULL AND doc_id >= 320 AND doc_id < 360),
+      p AS (SELECT doc_id,
+          6 + CAST(doc_id % 9 AS INT) AS n,
+          (doc_id % 5 < 2) AS vbr,
+          list_extract([44100, 48000, 32000],
+            CAST(doc_id % 3 AS INT) + 1) AS sample_rate,
+          CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 2 END AS channels
+        FROM d),
+      br AS (SELECT doc_id, n, vbr, sample_rate, channels,
+          CASE WHEN vbr THEN
+            CAST(list_sum(list_transform(generate_series(0, n - 1),
+              j -> list_extract([40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256],
+                CAST((doc_id + j) % 12 AS INT) + 1))) AS DOUBLE) / n
+          ELSE CAST(list_extract([40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256],
+            CAST(doc_id % 12 AS INT) + 1) AS DOUBLE) END AS mean_kbps
+        FROM p)
+      SELECT 'm' || CAST(doc_id AS VARCHAR) || '.mp3' AS fname, doc_id,
+        n AS n_frames, CAST(n AS BIGINT) * 1152 AS total_samples,
+        CAST(sample_rate AS INT) AS sample_rate, CAST(channels AS INT) AS channels,
+        vbr, round(CAST(n AS BIGINT) * 1152 * 1000.0 / sample_rate, 6) AS duration_ms,
+        round(mean_kbps, 6) AS mean_kbps
+      FROM br ORDER BY doc_id"""
+
   /** e97/e97b shared: write the 4-file MediaWiki export fixture —
     * plain XML, or bzip2-compressed via the in-repo encoder when
     * `bz2` is set (the form Wikipedia actually publishes). */
@@ -4276,6 +4347,28 @@ object Curation extends QueryBlock {
           .orderBy(col("fname"), col("page"))
       },
       Some(tiffOracleSql)),
+
+    // E107 — MP3 framing walk (r12): the compressed format speech
+    // corpora ship (Common Voice publishes MP3; podcast/radio archives
+    // are MP3 end to end). Full audio decode is out of scope BY
+    // DESIGN; what a corpus pipeline needs first is exact FRAMING —
+    // duration, CBR/VBR shape, sample rate, channels — the fields
+    // that drive segmentation budgets and quality gates. The e12t
+    // MP4-sample-table approach applied to MPEG audio: operators.Mp3
+    // walks ISO 11172-3/13818-3 frame headers with the spec's own
+    // bitrate/sample-rate/samples-per-frame tables (all three
+    // versions, all three layers, the Layer-I slot rule), skips
+    // ID3v2/ID3v1 tags exactly, and REJECTS stray bytes, truncated
+    // final frames, free-format bitrate and mid-file rate changes —
+    // a resync-scan reader silently miscounts duration on exactly
+    // those files. Per-file scan-local walk, zero shuffle.
+    "e107_mp3" -> QueryDef(
+      (s, dir) => {
+        val mDir = writeMp3Fixture(s, dir)
+        mp3Project(s.read.format("binaryFile").load(mDir))
+          .orderBy(col("doc_id"))
+      },
+      Some(mp3OracleSql)),
 
     "e75_mixed_ingest" -> QueryDef(
       (s, dir) => {

@@ -1298,7 +1298,24 @@ object Streaming extends QueryBlock {
             "d38_sink", mode = "append")
           .orderBy(col("fname"), col("page"))
       },
-      Some(Curation.tiffOracleSql))
+      Some(Curation.tiffOracleSql)),
+
+    // D39 — MP3 framing walk as a STREAM (e107's deployment shape:
+    // recordings landing from a capture pipeline, the frame walk run
+    // per trigger). Within-file walk = pure append map,
+    // slicing-independent, sharing e107's fixture and oracle verbatim.
+    "d39_stream_mp3" -> QueryDef(
+      (s, dir) => {
+        val mDir = Curation.writeMp3Fixture(s, dir)
+        val raw = s.readStream.format("binaryFile")
+          .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+          .option("maxFilesPerTrigger", "13")
+          .load(mDir)
+        EventStreams.runToTable(s, Curation.mp3Project(raw),
+            "d39_sink", mode = "append")
+          .orderBy(col("doc_id"))
+      },
+      Some(Curation.mp3OracleSql))
   )
 }
 
