@@ -1675,6 +1675,83 @@ object Curation extends QueryBlock {
         round(mean_kbps, 6) AS mean_kbps
       FROM br ORDER BY doc_id"""
 
+  /** e108/d40: one Ogg file per doc over docs 360–400 — codec
+    * (Opus/Vorbis), channels, rates, packet counts and page layout all
+    * rotating with doc_id; every fourth file plants a page-spanning
+    * packet so the continued-packet lacing path is load-bearing in the
+    * driver row, not just the spec.
+    */
+  def writeOggFixture(s: SparkSession, dir: String): String = {
+    import graft.operators.Ogg
+    val oDir = s"$scratch/ogg_${new java.io.File(dir).getName}"
+    val fd = new java.io.File(oDir)
+    java.nio.file.Files.createDirectories(fd.toPath)
+    fd.listFiles().foreach(_.delete())
+    val ids = t(s, dir, "documents")
+      .filter(col("text").isNotNull &&
+        col("doc_id") >= 360 && col("doc_id") < 400)
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    ids.foreach { id =>
+      val n = 5 + (id % 6).toInt
+      val audio = (0 until n).map { j =>
+        val len = if (id % 4 == 0 && j == n / 2) 700 else 40 + ((id + j) % 30).toInt
+        Array.tabulate(len)(k => ((id * 13 + j * 7 + k) % 128).toByte)
+      }
+      val bytes = if (id % 2 == 0) {
+        Ogg.makeFile(
+          Ogg.makeOpusHead(1 + (if (id % 3 == 0) 1 else 0), 312,
+            16000 * (1 + (id % 3).toInt)),
+          "OpusTags".getBytes("ISO-8859-1"), audio, serial = id,
+          granulePerPacket = 960L, preSkip = 312L)
+      } else {
+        Ogg.makeFile(
+          Ogg.makeVorbisIdent(2, Seq(44100, 48000, 32000)((id % 3).toInt)),
+          ("vorbis" + "c" * 8).getBytes("ISO-8859-1"), audio, serial = id,
+          granulePerPacket = 1024L, preSkip = 0L)
+      }
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$oDir/g$id.ogg"), bytes)
+    }
+    oDir
+  }
+
+  /** e108/d40 shared: binaryFile rows → one container row per file. */
+  def oggProject(raw: DataFrame): DataFrame =
+    graft.operators.Ogg.parse(raw)
+      .select(col("fname"),
+        regexp_extract(col("fname"), "([0-9]+)", 1)
+          .cast("long").as("doc_id"),
+        col("codec"), col("channels"), col("sample_rate"),
+        col("n_pages"), col("n_packets"), col("duration_ms"))
+
+  /** The e108/d40 construction oracle: codec fields, page/packet
+    * counts (including the split-packet extra page) and granule-clock
+    * durations re-derived in closed form.
+    */
+  val oggOracleSql: String =
+    """WITH d AS (SELECT doc_id FROM documents
+        WHERE text IS NOT NULL AND doc_id >= 360 AND doc_id < 400),
+      p AS (SELECT doc_id,
+          5 + CAST(doc_id % 6 AS INT) AS n,
+          (doc_id % 2 = 0) AS is_opus,
+          CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS split
+        FROM d)
+      SELECT 'g' || CAST(doc_id AS VARCHAR) || '.ogg' AS fname, doc_id,
+        CASE WHEN is_opus THEN 'opus' ELSE 'vorbis' END AS codec,
+        CASE WHEN is_opus THEN
+          CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END
+        ELSE 2 END AS channels,
+        CAST(CASE WHEN is_opus THEN 16000 * (1 + CAST(doc_id % 3 AS INT))
+          ELSE list_extract([44100, 48000, 32000], CAST(doc_id % 3 AS INT) + 1)
+        END AS INT) AS sample_rate,
+        2 + n + split AS n_pages,
+        2 + n AS n_packets,
+        CASE WHEN is_opus THEN round(n * 960 * 1000.0 / 48000, 6)
+          ELSE round(n * 1024 * 1000.0 /
+            list_extract([44100, 48000, 32000], CAST(doc_id % 3 AS INT) + 1), 6)
+        END AS duration_ms
+      FROM p ORDER BY doc_id"""
+
   /** e97/e97b shared: write the 4-file MediaWiki export fixture —
     * plain XML, or bzip2-compressed via the in-repo encoder when
     * `bz2` is set (the form Wikipedia actually publishes). */
@@ -4369,6 +4446,28 @@ object Curation extends QueryBlock {
           .orderBy(col("doc_id"))
       },
       Some(mp3OracleSql)),
+
+    // E108 — Ogg/Opus container walk (r12): the container modern
+    // voice corpora ship (.opus is the dominant speech-drop format;
+    // Wikimedia and YouTube-derived audio are Ogg). operators.Ogg
+    // implements RFC 3533 + RFC 7845 + Vorbis I identification from
+    // scratch: page framing with the Ogg CRC VERIFIED per page,
+    // packet reassembly through the lacing table including packets
+    // SPANNING pages (continued-packet flag), BOS/EOS discipline,
+    // consecutive page sequence numbers, single-stream enforcement
+    // (multiplexed serials reject), granule monotonicity, and codec
+    // identification that rejects rather than guesses. Duration is
+    // granule arithmetic: the 48 kHz clock minus pre-skip for Opus,
+    // declared-rate samples for Vorbis. Audio DECODE is out of scope
+    // by design (the MP3 precedent). Per-file scan-local walk, zero
+    // shuffle.
+    "e108_ogg" -> QueryDef(
+      (s, dir) => {
+        val oDir = writeOggFixture(s, dir)
+        oggProject(s.read.format("binaryFile").load(oDir))
+          .orderBy(col("doc_id"))
+      },
+      Some(oggOracleSql)),
 
     "e75_mixed_ingest" -> QueryDef(
       (s, dir) => {

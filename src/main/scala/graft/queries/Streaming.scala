@@ -1315,7 +1315,24 @@ object Streaming extends QueryBlock {
             "d39_sink", mode = "append")
           .orderBy(col("doc_id"))
       },
-      Some(Curation.mp3OracleSql))
+      Some(Curation.mp3OracleSql)),
+
+    // D40 — Ogg/Opus container walk as a STREAM (e108's deployment
+    // shape: voice recordings landing from a capture pipeline, the
+    // page walk run per trigger). Within-file walk = pure append map,
+    // slicing-independent, sharing e108's fixture and oracle verbatim.
+    "d40_stream_ogg" -> QueryDef(
+      (s, dir) => {
+        val oDir = Curation.writeOggFixture(s, dir)
+        val raw = s.readStream.format("binaryFile")
+          .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+          .option("maxFilesPerTrigger", "13")
+          .load(oDir)
+        EventStreams.runToTable(s, Curation.oggProject(raw),
+            "d40_sink", mode = "append")
+          .orderBy(col("doc_id"))
+      },
+      Some(Curation.oggOracleSql))
   )
 }
 
