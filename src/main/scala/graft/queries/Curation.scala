@@ -1752,6 +1752,90 @@ object Curation extends QueryBlock {
         END AS duration_ms
       FROM p ORDER BY doc_id"""
 
+  /** e109/d41: one WebM/Matroska file per doc over docs 400–440 —
+    * track layout (A/V, video-only, audio-only), doctype, codecs,
+    * geometry, TimestampScale and cluster/block shape all rotating
+    * with doc_id; Info carries a CRC-32 element so the verified-CRC
+    * path is load-bearing in the driver row.
+    */
+  def writeWebmFixture(s: SparkSession, dir: String): String = {
+    import graft.operators.Webm
+    import graft.operators.Webm.Track
+    val wDir = s"$scratch/webm_${new java.io.File(dir).getName}"
+    val fd = new java.io.File(wDir)
+    java.nio.file.Files.createDirectories(fd.toPath)
+    fd.listFiles().foreach(_.delete())
+    val ids = t(s, dir, "documents")
+      .filter(col("text").isNotNull &&
+        col("doc_id") >= 400 && col("doc_id") < 440)
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    ids.foreach { id =>
+      val video = Track(1, if (id % 2 == 0) "V_VP9" else "V_VP8",
+        640 + (id % 5).toInt * 16, 360 + (id % 3).toInt * 24, -1, -1)
+      val audio = Track(2, if (id % 2 == 0) "A_OPUS" else "A_VORBIS",
+        -1, -1, if (id % 2 == 0) 48000.0 else 44100.0, 1 + (id % 2).toInt)
+      val tracks = (id % 3) match {
+        case 0 => Seq(video, audio)
+        case 1 => Seq(video)
+        case _ => Seq(audio)
+      }
+      val nClusters = 2 + (id % 4).toInt
+      val blocks = (0 until nClusters).map(ci => 1 + ((id + ci) % 3).toInt)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$wDir/v$id.webm"),
+        Webm.makeWebm(if (id % 2 == 0) "webm" else "matroska",
+          durationTicks = 1000.0 + id * 10,
+          tsScale = if (id % 4 == 0) 2000000L else 1000000L,
+          tracks = tracks, blocksPerCluster = blocks))
+    }
+    wDir
+  }
+
+  /** e109/d41 shared: binaryFile rows → one container row per file. */
+  def webmProject(raw: DataFrame): DataFrame =
+    graft.operators.Webm.parse(raw)
+      .select(col("fname"),
+        regexp_extract(col("fname"), "([0-9]+)", 1)
+          .cast("long").as("doc_id"),
+        col("doc_type"), col("duration_ms"), col("n_tracks"),
+        col("video_codec"), col("video_w"), col("video_h"),
+        col("audio_codec"), col("audio_rate"), col("audio_channels"),
+        col("n_clusters"), col("n_blocks"))
+
+  /** The e109/d41 construction oracle: container fields re-derived in
+    * closed form, including the TimestampScale duration arithmetic
+    * and the per-cluster block-count sum.
+    */
+  val webmOracleSql: String =
+    """WITH d AS (SELECT doc_id FROM documents
+        WHERE text IS NOT NULL AND doc_id >= 400 AND doc_id < 440),
+      p AS (SELECT doc_id,
+          CAST(doc_id % 3 AS INT) AS kind,
+          (doc_id % 2 = 0) AS even,
+          2 + CAST(doc_id % 4 AS INT) AS ncl,
+          CASE WHEN doc_id % 4 = 0 THEN 2000000 ELSE 1000000 END AS ts
+        FROM d)
+      SELECT 'v' || CAST(doc_id AS VARCHAR) || '.webm' AS fname, doc_id,
+        CASE WHEN even THEN 'webm' ELSE 'matroska' END AS doc_type,
+        round((1000.0 + doc_id * 10) * ts / 1000000.0, 6) AS duration_ms,
+        CASE WHEN kind = 0 THEN 2 ELSE 1 END AS n_tracks,
+        CASE WHEN kind = 2 THEN NULL
+          WHEN even THEN 'V_VP9' ELSE 'V_VP8' END AS video_codec,
+        CASE WHEN kind = 2 THEN NULL
+          ELSE 640 + CAST(doc_id % 5 AS INT) * 16 END AS video_w,
+        CASE WHEN kind = 2 THEN NULL
+          ELSE 360 + CAST(doc_id % 3 AS INT) * 24 END AS video_h,
+        CASE WHEN kind = 1 THEN NULL
+          WHEN even THEN 'A_OPUS' ELSE 'A_VORBIS' END AS audio_codec,
+        CAST(CASE WHEN kind = 1 THEN NULL
+          WHEN even THEN 48000.0 ELSE 44100.0 END AS DOUBLE) AS audio_rate,
+        CASE WHEN kind = 1 THEN NULL
+          ELSE 1 + CAST(doc_id % 2 AS INT) END AS audio_channels,
+        ncl AS n_clusters,
+        CAST(list_sum(list_transform(generate_series(0, ncl - 1),
+          ci -> 1 + (doc_id + ci) % 3)) AS INT) AS n_blocks
+      FROM p ORDER BY doc_id"""
+
   /** e97/e97b shared: write the 4-file MediaWiki export fixture —
     * plain XML, or bzip2-compressed via the in-repo encoder when
     * `bz2` is set (the form Wikipedia actually publishes). */
@@ -4468,6 +4552,28 @@ object Curation extends QueryBlock {
           .orderBy(col("doc_id"))
       },
       Some(oggOracleSql)),
+
+    // E109 — WebM/Matroska EBML walk (r12): the web's video container
+    // (browser-sourced and YouTube-derived video corpora arrive as
+    // WebM; Matroska is the archive standard). operators.Webm
+    // implements RFC 8794 EBML + the Matroska registry from scratch:
+    // varint IDs/sizes with the reserved unknown-size form REJECTED
+    // (a reader guessing where an unsized cluster ends invents data),
+    // children tiling their master EXACTLY, unknown elements SKIPPED
+    // (the spec's required forward-compatibility, the proto/Avro
+    // rule), Matroska CRC-32 first-child elements VERIFIED over their
+    // master's remainder, and the Info/Tracks/Cluster walk emitting
+    // doctype, TimestampScale-scaled duration, per-track
+    // codec/geometry/audio shape and cluster/block counts. Codec
+    // bitstream decode out of scope by design (MP4/MP3 precedent).
+    // Per-file scan-local walk, zero shuffle.
+    "e109_webm" -> QueryDef(
+      (s, dir) => {
+        val wDir = writeWebmFixture(s, dir)
+        webmProject(s.read.format("binaryFile").load(wDir))
+          .orderBy(col("doc_id"))
+      },
+      Some(webmOracleSql)),
 
     "e75_mixed_ingest" -> QueryDef(
       (s, dir) => {

@@ -1332,7 +1332,24 @@ object Streaming extends QueryBlock {
             "d40_sink", mode = "append")
           .orderBy(col("doc_id"))
       },
-      Some(Curation.oggOracleSql))
+      Some(Curation.oggOracleSql)),
+
+    // D41 — WebM/Matroska walk as a STREAM (e109's deployment shape:
+    // video drops landing from an upload pipeline, the EBML walk run
+    // per trigger). Within-file walk = pure append map,
+    // slicing-independent, sharing e109's fixture and oracle verbatim.
+    "d41_stream_webm" -> QueryDef(
+      (s, dir) => {
+        val wDir = Curation.writeWebmFixture(s, dir)
+        val raw = s.readStream.format("binaryFile")
+          .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+          .option("maxFilesPerTrigger", "13")
+          .load(wDir)
+        EventStreams.runToTable(s, Curation.webmProject(raw),
+            "d41_sink", mode = "append")
+          .orderBy(col("doc_id"))
+      },
+      Some(Curation.webmOracleSql))
   )
 }
 
