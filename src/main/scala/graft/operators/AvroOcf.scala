@@ -382,6 +382,7 @@ object AvroOcf {
         var n = d.varlong()
         var total = 0L
         while (n != 0) {
+          if (n == Long.MinValue) throw Malformed // -n would stay negative
           if (n < 0) { n = -n; d.checkedLen() } // block byte size: validated, unused
           if (n > MaxLen) throw Malformed
           total += n
@@ -396,6 +397,7 @@ object AvroOcf {
         var n = d.varlong()
         var total = 0L
         while (n != 0) {
+          if (n == Long.MinValue) throw Malformed
           if (n < 0) { n = -n; d.checkedLen() }
           if (n > MaxLen) throw Malformed
           total += n
@@ -506,6 +508,7 @@ object AvroOcf {
       var codec = "null"
       var n = d.varlong()
       while (n != 0) {
+        if (n == Long.MinValue) throw Malformed
         if (n < 0) { n = -n; d.checkedLen() }
         if (n > 4096) throw Malformed
         var i = 0L

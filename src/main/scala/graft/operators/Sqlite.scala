@@ -195,8 +195,12 @@ object Sqlite {
   private def walkTable(db: Db, root: Int): Vector[(Long, Vector[SqlValue])] = {
     val out = Vector.newBuilder[(Long, Vector[SqlValue])]
     val visited = new java.util.HashSet[Integer]()
-    def page(pno: Int): Unit = {
+    def page(pno: Int, depth: Int): Unit = {
       if (!visited.add(pno)) throw Malformed // cycle
+      // real sqlite b-trees are ≤ ~10 deep; a crafted linear chain of
+      // interior pages would otherwise drive a StackOverflowError — an
+      // Error, not an Exception, escaping the decoder envelope
+      if (depth > 32) throw Malformed
       val off = db.pageOff(pno)
       val hdr = off + (if (pno == 1) 100 else 0)
       val ptype = db.b(hdr) & 0xff
@@ -220,14 +224,14 @@ object Sqlite {
           while (c < nCells) {
             val cellOff = off + u16(db.b, cellPtrs + 2 * c)
             if (cellOff < hdr + 12 || cellOff + 4 > off + db.usable) throw Malformed
-            page(u32(db.b, cellOff).toInt)
+            page(u32(db.b, cellOff).toInt, depth + 1)
             c += 1
           }
-          page(u32(db.b, hdr + 8).toInt) // right-most pointer
+          page(u32(db.b, hdr + 8).toInt, depth + 1) // right-most pointer
         case _ => throw Malformed // index pages (WITHOUT ROWID) or garbage
       }
     }
-    page(root)
+    page(root, 0)
     out.result()
   }
 

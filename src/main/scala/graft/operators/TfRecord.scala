@@ -81,7 +81,9 @@ object TfRecord {
       val len = leU64(b, p)
       if (len < 0 || len > MaxRecord) return None
       val n = len.toInt
-      if (p + 12 + n + 4 > b.length) return None
+      // long arithmetic: near the 2 GiB array limit p + n could wrap
+      // an int bounds check negative and slip past it
+      if (p + 12L + n + 4 > b.length) return None
       if (leU32(b, p + 8) != mask(crc32c(b, p, 8))) return None
       if (leU32(b, p + 12 + n) != mask(crc32c(b, p + 12, n))) return None
       out += java.util.Arrays.copyOfRange(b, p + 12, p + 12 + n)

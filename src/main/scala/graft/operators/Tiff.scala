@@ -158,11 +158,12 @@ object Tiff {
     // silently-inverted or false-color pixels
     if (!(photometric == 1 && spp == 1) && !(photometric == 2 && spp == 3))
       throw Malformed
-    tags.get(258) match { // BitsPerSample: all samples must be 8
-      case null => if (spp != 1) throw Malformed // default 1 bit: reject unless absent+gray8? no: required for 8-bit
-      case _ => if (vec(258) != Vector.fill(spp)(8L)) throw Malformed
-    }
-    if (tags.containsKey(258) && vec(258).length != spp) throw Malformed
+    // BitsPerSample: REQUIRED here — the spec default is 1 bit
+    // (bilevel), which this reader does not decode; accepting an
+    // absent tag as 8-bit would rely on the exact-consume check to
+    // catch the mismatch instead of saying why
+    if (!tags.containsKey(258) || vec(258) != Vector.fill(spp)(8L))
+      throw Malformed
     if (scalar(284, default = 1) != 1) throw Malformed // planar chunky only
     if (tags.containsKey(322) || tags.containsKey(323)) throw Malformed // tiles
     val rowsPerStrip = scalar(278, default = height.toLong).toInt

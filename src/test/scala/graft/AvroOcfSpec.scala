@@ -190,6 +190,12 @@ class AvroOcfSpec extends AnyFunSuite {
     val i32 = AvroOcf.parseSchema("\"int\"")
     val big = Array[Byte](0xfe.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte, 0x1f) // 2^32-1 zigzag
     assert(AvroOcf.decodeSingle(big, i32) === None)
+    // a block count of Long.MinValue survives negation (-MinValue ==
+    // MinValue) — must reject, not slip past the bounds as a negative
+    val arr = AvroOcf.parseSchema("""{"type":"array","items":"long"}""")
+    val minVal = Array[Byte](0xff.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte,
+      0xff.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte, 0x01, 0)
+    assert(AvroOcf.decodeSingle(minVal, arr) === None)
   }
 
   test("schema rejects: malformed JSON, unknown named reference, missing fields, bad size") {

@@ -117,6 +117,54 @@ class SqliteSpec extends AnyFunSuite {
     assert(Sqlite.rows(cyc, "docs") === None)
   }
 
+  test("a crafted linear interior-page chain rejects at the depth cap, not StackOverflowError") {
+    // 100 pages, each a table-interior with zero cells whose right-most
+    // pointer names the next page; the last points at a valid leaf.
+    // Real b-trees are ~10 deep; this shape only exists to blow stacks.
+    val base = Sqlite.makeDb("docs", createSql, 0, mkRows(2))
+    val ps = 4096
+    val nChain = 100
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(base)
+    val firstChain = base.length / ps + 1 // 1-based page number
+    (0 until nChain).foreach { i =>
+      val pg = new Array[Byte](ps)
+      pg(0) = 5 // interior
+      // nCells = 0; right-most pointer at offset 8
+      val target = if (i == nChain - 1) 2 else firstChain + i + 1
+      pg(8) = ((target >>> 24) & 0xff).toByte
+      pg(9) = ((target >>> 16) & 0xff).toByte
+      pg(10) = ((target >>> 8) & 0xff).toByte
+      pg(11) = (target & 0xff).toByte
+      out.write(pg)
+    }
+    val big = out.toByteArray
+    // fix the header page count and point the docs root at the chain head
+    val declared = big.length / ps
+    big(28) = ((declared >>> 24) & 0xff).toByte
+    big(29) = ((declared >>> 16) & 0xff).toByte
+    big(30) = ((declared >>> 8) & 0xff).toByte
+    big(31) = (declared & 0xff).toByte
+    // sqlite_master's record holds rootpage=2 (serial type 1 int) right
+    // before the CREATE TABLE text — patch the byte to the chain head
+    val sqlIdx = {
+      var i = 100; var at = -1
+      val pat = "CREATE TABLE docs".getBytes("US-ASCII")
+      while (at < 0 && i + pat.length < ps) {
+        if ((0 until pat.length).forall(k => big(i + k) == pat(k))) at = i
+        i += 1
+      }
+      at
+    }
+    assert(sqlIdx > 0)
+    assert((big(sqlIdx - 1) & 0xff) === 2) // premise: rootpage byte found
+    require(firstChain < 128)
+    big(sqlIdx - 1) = firstChain.toByte
+    val t0 = System.nanoTime()
+    assert(Sqlite.rows(big, "docs") === None)
+    assert(System.nanoTime() - t0 < 1e9)
+  }
+
   test("WITHOUT ROWID tables reject loudly") {
     val sql = "CREATE TABLE docs(doc_id INTEGER PRIMARY KEY, body TEXT, " +
       "nchars INTEGER, score REAL) WITHOUT ROWID"
