@@ -1,0 +1,652 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** 7z archive ingest — the other archive format bulk data drops ship
+  * (dataset mirrors, forum/board dumps and Windows-origin corpora
+  * publish `.7z` beside `.zip`/`.tar.*`). A COMPOSITION in the
+  * tar.xz/tar.gz tradition: the 7z container walk is implemented here
+  * from the public format description (7zFormat.txt in the LZMA SDK),
+  * and the compression underneath is the repo's OWN LZMA/LZMA2 core —
+  * the one already proven byte-exact in both directions against real
+  * `xz` (`XzSpec`), so the hard part of 7z arrives reference-grade.
+  *
+  * Container walk (property-ID structure):
+  *  - signature + version, the StartHeader CRC32 AND the NextHeader
+  *    CRC32 both verified;
+  *  - plain (kHeader) and ENCODED (kEncodedHeader) headers — an
+  *    encoded header is itself a packed folder, decoded through the
+  *    same machinery then re-parsed (one level, as the format defines);
+  *  - PackInfo / UnpackInfo (folders) / SubStreamsInfo — including
+  *    SOLID archives: a folder carrying many files, split by the
+  *    substream size list, which is how real 7z archives ship;
+  *  - per-substream CRC32s and folder CRC32s verified when present
+  *    (our writer always writes them);
+  *  - FilesInfo: names (UTF-16LE), the empty-stream bit vector
+  *    (directories and empty files), kEmptyFile; unknown property
+  *    blocks are SKIPPED BY THEIR DECLARED SIZE — the format's
+  *    explicit forward-compatibility rule.
+  *
+  * Coders: kCopy (00), kLzma (03 01 01, raw known-size stream),
+  * kLzma2 (21, the control-byte chunk layer shared with the xz
+  * reader). Multi-coder folders, bind pairs, BCJ filters and
+  * encrypted archives (kAES-256, 06 F1 07 01) all reject loudly —
+  * a password prompt or an executable transform has no place in a
+  * silent bulk pipeline, and half-decoding is confident garbage.
+  *
+  * Reject-don't-guess: numbers are bounds-capped, every declared size
+  * is checked against the file/cap BEFORE allocation, folder output
+  * must land EXACTLY on its declared size, substream sizes must sum
+  * to their folder, names must match the file count, bit vectors must
+  * be exactly their declared width, and both walks carry depth/count
+  * caps.
+  *
+  * Shape at 100 TB: an archive is the natural split unit — per-file
+  * parallelism, scan-local decode, zero shuffle.
+  */
+object SevenZip {
+
+  private val MaxFolderOut = 64 << 20
+  private val MaxTotalOut = 256L << 20
+  private val MaxFiles = 1 << 20
+
+  private object Malformed extends RuntimeException {
+    override def fillInStackTrace(): Throwable = this
+  }
+
+  private def crc32(b: Array[Byte], off: Int, len: Int): Long = {
+    val c = new java.util.zip.CRC32
+    c.update(b, off, len)
+    c.getValue
+  }
+
+  private def u32le(b: Array[Byte], o: Int): Long = {
+    if (o + 4 > b.length) throw Malformed
+    (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+  }
+  private def u64le(b: Array[Byte], o: Int): Long = {
+    if (o + 8 > b.length) throw Malformed
+    u32le(b, o) | (u32le(b, o + 4) << 32)
+  }
+
+  private final class Rd(val b: Array[Byte], var p: Int, val end: Int) {
+    def u8(): Int = { if (p >= end) throw Malformed; val v = b(p) & 0xff; p += 1; v }
+    /** 7z variable-length number: the first byte's high bits select how
+      * many extra little-endian bytes follow.
+      */
+    def num(): Long = {
+      val first = u8()
+      var mask = 0x80
+      var value = 0L
+      var i = 0
+      while (i < 8) {
+        if ((first & mask) == 0) {
+          return value | ((first & (mask - 1)).toLong << (8 * i))
+        }
+        value |= (u8().toLong << (8 * i))
+        mask >>= 1
+        i += 1
+      }
+      value
+    }
+    def checkedNum(cap: Long): Int = {
+      val v = num()
+      if (v < 0 || v > cap) throw Malformed
+      v.toInt
+    }
+    def bytes(n: Int): Array[Byte] = {
+      if (n < 0 || p + n > end) throw Malformed
+      val out = java.util.Arrays.copyOfRange(b, p, p + n); p += n; out
+    }
+    def skip(n: Long): Unit = {
+      if (n < 0 || p + n > end) throw Malformed
+      p += n.toInt
+    }
+    /** MSB-first bit vector of `n` bits. */
+    def bitVector(n: Int): Array[Boolean] = {
+      val out = new Array[Boolean](n)
+      var mask = 0
+      var cur = 0
+      var i = 0
+      while (i < n) {
+        if (mask == 0) { cur = u8(); mask = 0x80 }
+        out(i) = (cur & mask) != 0
+        mask >>= 1
+        i += 1
+      }
+      out
+    }
+    /** AllAreDefined-prefixed bit vector. */
+    def definedVector(n: Int): Array[Boolean] =
+      if (u8() != 0) Array.fill(n)(true) else bitVector(n)
+  }
+
+  private final case class Coder(id: Seq[Int], props: Array[Byte])
+  private final case class Folder(coder: Coder, unpackSize: Long,
+      packIndex: Int, crc: Option[Long])
+  private final case class StreamsInfo(packPos: Long, packSizes: Vector[Long],
+      folders: Vector[Folder],
+      numUnpack: Vector[Int], subSizes: Vector[Vector[Long]],
+      subCrcs: Vector[Vector[Option[Long]]])
+
+  private def parseStreamsInfo(r: Rd): StreamsInfo = {
+    var packPos = 0L
+    var packSizes = Vector.empty[Long]
+    var folders = Vector.empty[Folder]
+    var id = r.num()
+    if (id == 0x06) { // PackInfo
+      packPos = r.num()
+      if (packPos < 0) throw Malformed
+      val numPack = r.checkedNum(1 << 20)
+      var pid = r.num()
+      while (pid != 0) {
+        pid match {
+          case 0x09 =>
+            packSizes = Vector.fill(numPack) {
+              val v = r.num()
+              if (v < 0) throw Malformed
+              v
+            }
+          case 0x0A => // pack CRCs: legal, unused here
+            val defined = r.definedVector(numPack)
+            defined.foreach(d => if (d) r.bytes(4))
+          case _ => throw Malformed
+        }
+        pid = r.num()
+      }
+      if (packSizes.length != numPack) throw Malformed
+      id = r.num()
+    }
+    if (id == 0x07) { // UnpackInfo
+      if (r.num() != 0x0B) throw Malformed // kFolder
+      val numFolders = r.checkedNum(1 << 16)
+      if (r.u8() != 0) throw Malformed // external folders unsupported
+      val coders = (0 until numFolders).map { _ =>
+        val numCoders = r.checkedNum(64)
+        if (numCoders != 1) throw Malformed // multi-coder/bind-pairs reject
+        val flags = r.u8()
+        val idSize = flags & 0x0f
+        if ((flags & 0x10) != 0) throw Malformed // complex coder
+        if ((flags & 0xC0) != 0) throw Malformed // reserved bits
+        val cid = (0 until idSize).map(_ => r.u8())
+        val props =
+          if ((flags & 0x20) != 0) r.bytes(r.checkedNum(64))
+          else Array.empty[Byte]
+        Coder(cid, props)
+      }.toVector
+      if (r.num() != 0x0C) throw Malformed // kCodersUnpackSize
+      val sizes = coders.map { _ =>
+        val v = r.num()
+        if (v < 0 || v > MaxFolderOut) throw Malformed
+        v
+      }
+      var crcs: Vector[Option[Long]] = Vector.fill(numFolders)(None)
+      var uid = r.num()
+      while (uid != 0) {
+        uid match {
+          case 0x0A =>
+            val defined = r.definedVector(numFolders)
+            crcs = defined.toVector.map(d =>
+              if (d) Some(u32le(r.b, { val p0 = r.p; r.skip(4); p0 })) else None)
+          case _ => throw Malformed
+        }
+        uid = r.num()
+      }
+      folders = coders.zip(sizes).zip(crcs).zipWithIndex.map {
+        case (((c, sz), crc), i) => Folder(c, sz, i, crc)
+      }
+      // one pack stream per folder (single-coder): counts must line up
+      if (packSizes.length != folders.length) throw Malformed
+      id = r.num()
+    }
+    if (folders.isEmpty) throw Malformed
+    // SubStreamsInfo
+    var numUnpack = Vector.fill(folders.length)(1)
+    var explicitSizes: Vector[Vector[Long]] = Vector.empty
+    var subCrcs: Vector[Vector[Option[Long]]] = Vector.empty
+    if (id == 0x08) {
+      var sid = r.num()
+      if (sid == 0x0D) {
+        numUnpack = folders.map(_ => r.checkedNum(1 << 16)).toVector
+        sid = r.num()
+      }
+      if (sid == 0x09) { // sizes: num-1 per folder, the last is implied
+        explicitSizes = folders.zip(numUnpack).map { case (f, n) =>
+          if (n == 0) Vector.empty[Long]
+          else {
+            val given = (0 until n - 1).map { _ =>
+              val v = r.num()
+              if (v < 0 || v > f.unpackSize) throw Malformed
+              v
+            }.toVector
+            val rest = f.unpackSize - given.sum
+            if (rest < 0) throw Malformed
+            given :+ rest
+          }
+        }.toVector
+        sid = r.num()
+      }
+      if (sid == 0x0A) { // CRCs for substreams lacking a folder CRC
+        val need = folders.zip(numUnpack).map { case (f, n) =>
+          if (n == 1 && f.crc.isDefined) 0 else n
+        }
+        val total = need.sum
+        val defined = r.definedVector(total)
+        var di = 0
+        subCrcs = folders.zip(numUnpack).zipWithIndex.map { case ((f, n), fi) =>
+          if (need(fi) == 0) Vector(f.crc)
+          else (0 until n).map { _ =>
+            val d = defined(di); di += 1
+            if (d) { val p0 = r.p; r.skip(4); Some(u32le(r.b, p0)) } else None
+          }.toVector
+        }.toVector
+        sid = r.num()
+      }
+      if (sid != 0) throw Malformed
+      id = r.num()
+    }
+    if (id != 0) throw Malformed // StreamsInfo terminator
+    if (explicitSizes.isEmpty)
+      explicitSizes = folders.zip(numUnpack).map { case (f, n) =>
+        if (n == 1) Vector(f.unpackSize)
+        else throw Malformed // >1 substream requires the size list
+      }.toVector
+    if (subCrcs.isEmpty)
+      subCrcs = folders.zip(numUnpack).map { case (f, n) =>
+        if (n == 1) Vector(f.crc) else Vector.fill(n)(Option.empty[Long])
+      }.toVector
+    StreamsInfo(packPos, packSizes, folders, numUnpack, explicitSizes, subCrcs)
+  }
+
+  /** Decode one single-coder folder's packed bytes. */
+  private def decodeFolder(archive: Array[Byte], base: Long, si: StreamsInfo,
+      fi: Int): Array[Byte] = {
+    val f = si.folders(fi)
+    val packOff = base + si.packPos + si.packSizes.take(fi).sum
+    val packLen = si.packSizes(fi)
+    if (packOff < 0 || packLen < 0 || packOff + packLen > archive.length)
+      throw Malformed
+    val start = packOff.toInt
+    val end = (packOff + packLen).toInt
+    val expect = f.unpackSize
+    if (expect > MaxFolderOut) throw Malformed
+    val out: Array[Byte] = f.coder.id match {
+      case Seq(0x00) => // kCopy
+        if (packLen != expect) throw Malformed
+        java.util.Arrays.copyOfRange(archive, start, end)
+      case Seq(0x03, 0x01, 0x01) => // kLzma: 5-byte props, raw known-size stream
+        if (f.coder.props.length != 5) throw Malformed
+        val st = new Lzma.LzmaState(0, 0, 0)
+        st.setProps(f.coder.props(0) & 0xff, lzma2 = false)
+        st.resetState()
+        val dictSize = u32le(f.coder.props, 1)
+        st.dictLimit =
+          math.min(math.max(dictSize, 4096L), Int.MaxValue.toLong).toInt
+        st.dictStart = 0
+        Lzma.decodeAlone(st, archive, start, end, expect, MaxFolderOut)
+      case Seq(0x21) => // kLzma2: the control-byte chunk layer
+        if (f.coder.props.length != 1) throw Malformed
+        val dBits = f.coder.props(0) & 0xff
+        if (dBits > 40) throw Malformed
+        val dictSize =
+          if (dBits == 40) 0xffffffffL
+          else (2L | (dBits & 1)) << (dBits / 2 + 11)
+        val (res, after) = Xz.lzma2Decode(archive, start, end, dictSize,
+          MaxFolderOut.toLong)
+        if (after != end) throw Malformed // coder must consume its stream
+        res
+      case Seq(0x06, 0xF1, 0x07, 0x01) => throw Malformed // AES-256: reject loudly
+      case _ => throw Malformed // BCJ/delta/unknown: reject, don't guess
+    }
+    if (out.length != expect) throw Malformed
+    f.crc.foreach(c => if (crc32(out, 0, out.length) != c) throw Malformed)
+    out
+  }
+
+  /** All (name, bytes) members, archive order; directories excluded;
+    * None on ANY format violation.
+    */
+  def members(bytes: Array[Byte]): Option[Vector[(String, Array[Byte])]] = {
+    try {
+      if (bytes == null || bytes.length < 32) throw Malformed
+      val sig = Array[Int]('7', 'z', 0xBC, 0xAF, 0x27, 0x1C)
+      var i = 0
+      while (i < 6) { if ((bytes(i) & 0xff) != sig(i)) throw Malformed; i += 1 }
+      if (crc32(bytes, 12, 20) != u32le(bytes, 8)) throw Malformed
+      val nextOff = u64le(bytes, 12)
+      val nextSize = u64le(bytes, 20)
+      val nextCrc = u32le(bytes, 28)
+      if (nextOff < 0 || nextSize < 0 || nextSize > (64 << 20) ||
+        32 + nextOff + nextSize > bytes.length) throw Malformed
+      var hdr = java.util.Arrays.copyOfRange(bytes, (32 + nextOff).toInt,
+        (32 + nextOff + nextSize).toInt)
+      if (crc32(hdr, 0, hdr.length) != nextCrc) throw Malformed
+      if (hdr.isEmpty) throw Malformed
+      if ((hdr(0) & 0xff) == 0x17) { // encoded header: unpack then re-parse
+        val r = new Rd(hdr, 1, hdr.length)
+        val si = parseStreamsInfo(r)
+        if (r.p != hdr.length) throw Malformed
+        if (si.folders.length != 1) throw Malformed
+        hdr = decodeFolder(bytes, 32L, si, 0)
+      }
+      val r = new Rd(hdr, 0, hdr.length)
+      if (r.num() != 0x01) throw Malformed // kHeader
+      var id = r.num()
+      var si: StreamsInfo = null
+      if (id == 0x04) { // MainStreamsInfo
+        si = parseStreamsInfo(r)
+        id = r.num()
+      }
+      var names = Vector.empty[String]
+      var emptyStream: Array[Boolean] = null
+      var emptyFile: Array[Boolean] = null
+      var numFiles = -1
+      if (id == 0x05) { // FilesInfo
+        numFiles = r.checkedNum(MaxFiles)
+        var pid = r.num()
+        while (pid != 0) {
+          val size = r.num()
+          if (size < 0 || r.p + size > r.end) throw Malformed
+          val pEnd = r.p + size.toInt
+          pid match {
+            case 0x0E => emptyStream = r.bitVector(numFiles)
+            case 0x0F =>
+              val nEmpty = if (emptyStream == null) 0 else emptyStream.count(x => x)
+              emptyFile = r.bitVector(nEmpty)
+            case 0x11 => // names: external flag + UTF-16LE NUL-terminated
+              if (r.u8() != 0) throw Malformed
+              val sb = new StringBuilder
+              val acc = Vector.newBuilder[String]
+              while (r.p < pEnd) {
+                val lo = r.u8(); val hi = r.u8()
+                val ch = (lo | (hi << 8)).toChar
+                if (ch == ' ') { acc += sb.toString; sb.clear() }
+                else sb.append(ch)
+              }
+              if (sb.nonEmpty) throw Malformed // unterminated name
+              names = acc.result()
+            case _ => // MTime/attrs/unknown: skip by declared size
+          }
+          if (r.p > pEnd) throw Malformed
+          r.p = pEnd
+          pid = r.num()
+        }
+        id = r.num()
+      }
+      if (id != 0) throw Malformed // header terminator
+      if (r.p != hdr.length) throw Malformed // exact consume
+      // assemble: files with streams take substreams in order
+      if (numFiles < 0) throw Malformed
+      if (names.length != numFiles) throw Malformed
+      if (emptyStream == null) emptyStream = Array.fill(numFiles)(false)
+      if (emptyStream.length != numFiles) throw Malformed
+      val nStreamFiles = emptyStream.count(!_)
+      val contents = Vector.newBuilder[Array[Byte]]
+      var total = 0L
+      if (si != null) {
+        var fi = 0
+        while (fi < si.folders.length) {
+          val folderBytes = decodeFolder(bytes, 32L, si, fi)
+          val sizes = si.subSizes(fi)
+          val crcs = si.subCrcs(fi)
+          if (sizes.sum != folderBytes.length) throw Malformed
+          var off = 0
+          sizes.zip(crcs).foreach { case (sz, crc) =>
+            val piece = java.util.Arrays.copyOfRange(folderBytes, off,
+              off + sz.toInt)
+            crc.foreach(c => if (crc32(piece, 0, piece.length) != c)
+              throw Malformed)
+            contents += piece
+            total += sz
+            if (total > MaxTotalOut) throw Malformed
+            off += sz.toInt
+          }
+          fi += 1
+        }
+      }
+      val streamContents = contents.result()
+      if (streamContents.length != nStreamFiles) throw Malformed
+      // empty-stream files: kEmptyFile says which are FILES (vs dirs)
+      val out = Vector.newBuilder[(String, Array[Byte])]
+      var sIdx = 0
+      var eIdx = 0
+      var f = 0
+      while (f < numFiles) {
+        if (!emptyStream(f)) {
+          out += names(f) -> streamContents(sIdx)
+          sIdx += 1
+        } else {
+          val isFile = emptyFile != null && emptyFile(eIdx)
+          if (isFile) out += names(f) -> Array.empty[Byte]
+          eIdx += 1
+        }
+        f += 1
+      }
+      Some(out.result())
+    } catch {
+      case Malformed => None
+      case _: Lzma.Corrupt => None
+      case _: ArrayIndexOutOfBoundsException => None
+    }
+  }
+
+  // ---------------- Spark surface ----------------
+
+  val schema: StructType = StructType(Seq(
+    StructField("fname", StringType),
+    StructField("member", StringType),
+    StructField("text", StringType)))
+
+  /** binaryFile-shaped relation of `.7z` files → one row per member
+    * (UTF-8 text payloads). A malformed archive contributes zero rows.
+    */
+  def parse(raw: DataFrame): DataFrame = {
+    val input = raw.select(
+      regexp_extract(col("path"), "([^/]+)$", 1).as("fname"), col("content"))
+    input.mapPartitions { it =>
+      it.flatMap { r =>
+        val fname = r.getString(0)
+        members(r.getAs[Array[Byte]](1)) match {
+          case Some(ms) => ms.iterator.map { case (name, data) =>
+            Row(fname, name, new String(data,
+              java.nio.charset.StandardCharsets.UTF_8))
+          }
+          case None => Iterator.empty
+        }
+      }
+    }(RowEncoder.encoderFor(schema))
+  }
+
+  // ---------------- writer (fixture reverse direction) ----------------
+
+  private def writeNum(out: java.io.ByteArrayOutputStream, v: Long): Unit = {
+    require(v >= 0)
+    if (v < 0x80) { out.write(v.toInt); return }
+    // canonical form: first byte = n high marker bits, n LE bytes follow
+    var n = 0
+    var x = v
+    while (x != 0) { n += 1; x >>>= 8 }
+    val mask = (0xff << (8 - n)) & 0xff
+    out.write(mask)
+    var i = 0
+    while (i < n) { out.write(((v >>> (8 * i)) & 0xff).toInt); i += 1 }
+  }
+
+  private def writeU32le(out: java.io.ByteArrayOutputStream, v: Long): Unit = {
+    var i = 0
+    while (i < 4) { out.write(((v >>> (8 * i)) & 0xff).toInt); i += 1 }
+  }
+  private def writeU64le(out: java.io.ByteArrayOutputStream, v: Long): Unit = {
+    var i = 0
+    while (i < 8) { out.write(((v >>> (8 * i)) & 0xff).toInt); i += 1 }
+  }
+
+  /** Compress one folder payload with the chosen coder. Returns
+    * (coderId, props, packedBytes).
+    */
+  private def packFolder(payload: Array[Byte],
+      coder: String): (Seq[Int], Array[Byte], Array[Byte]) = coder match {
+    case "copy" => (Seq(0x00), Array.empty[Byte], payload)
+    case "lzma" =>
+      val st = new Lzma.LzmaState(0, 0, 0)
+      st.setProps(93, lzma2 = false) // lc 3, lp 0, pb 2
+      st.resetState()
+      st.dictStart = 0
+      st.dictLimit = 1 << 20
+      val body = Lzma.encodeChunk(st, payload, 0, payload.length,
+        endMarker = false)
+      val props = new java.io.ByteArrayOutputStream()
+      props.write(93)
+      writeU32le(props, 1 << 20)
+      (Seq(0x03, 0x01, 0x01), props.toByteArray, body)
+    case "lzma2" =>
+      // one mode-3 chunk (dict+state+props reset) — the Xz writer's form
+      val st = new Lzma.LzmaState(0, 0, 0)
+      st.setProps(93, lzma2 = false)
+      st.resetState()
+      st.dictStart = 0
+      st.dictLimit = 1 << 20
+      val body = Lzma.encodeChunk(st, payload, 0, payload.length,
+        endMarker = false)
+      require(payload.nonEmpty && payload.length <= (1 << 21))
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(0x80 | (3 << 5) | ((payload.length - 1) >>> 16))
+      out.write(((payload.length - 1) >>> 8) & 0xff)
+      out.write((payload.length - 1) & 0xff)
+      out.write((body.length - 1) >>> 8)
+      out.write((body.length - 1) & 0xff)
+      out.write(93) // props byte
+      out.write(body, 0, body.length)
+      out.write(0) // terminator
+      // LZMA2 dict-size props byte: 2 MiB → (2|0) << (11+11)? encode 1 MiB:
+      // bits: dictSize = (2|(b&1)) << (b/2+11); choose b=18 → 2<<20 = 2 MiB
+      (Seq(0x21), Array[Byte](18), out.toByteArray)
+  }
+
+  /** Write an archive. `folders`: each a (coderName, members) group —
+    * one folder per group; groups with >1 member are SOLID. Folder and
+    * substream CRCs always written. `encodedHeader` packs the header
+    * itself through LZMA (what real 7z does by default).
+    */
+  def makeArchive(folders: Seq[(String, Seq[(String, Array[Byte])])],
+      encodedHeader: Boolean = false): Array[Byte] = {
+    require(folders.nonEmpty && folders.forall(_._2.nonEmpty))
+    val packedParts = folders.map { case (coder, ms) =>
+      val payload = ms.map(_._2).reduce(_ ++ _)
+      val (cid, props, packed) = packFolder(payload, coder)
+      (cid, props, packed, payload, ms)
+    }
+    // StreamsInfo bytes (shared by plain header and encoded-header path)
+    def streamsInfo(packPos: Long, parts: Seq[(Seq[Int], Array[Byte],
+        Array[Byte], Array[Byte], Seq[(String, Array[Byte])])]): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream()
+      o.write(0x06) // PackInfo
+      writeNum(o, packPos)
+      writeNum(o, parts.length.toLong)
+      o.write(0x09)
+      parts.foreach(p => writeNum(o, p._3.length.toLong))
+      o.write(0x00)
+      o.write(0x07) // UnpackInfo
+      o.write(0x0B) // kFolder
+      writeNum(o, parts.length.toLong)
+      o.write(0x00) // not external
+      parts.foreach { case (cid, props, _, _, _) =>
+        writeNum(o, 1) // one coder
+        val flags = cid.length | (if (props.nonEmpty) 0x20 else 0)
+        o.write(flags)
+        cid.foreach(o.write)
+        if (props.nonEmpty) { writeNum(o, props.length.toLong); o.write(props, 0, props.length) }
+      }
+      o.write(0x0C) // kCodersUnpackSize
+      parts.foreach(p => writeNum(o, p._4.length.toLong))
+      o.write(0x0A) // folder CRCs
+      o.write(0x01) // all defined
+      parts.foreach(p => writeU32le(o, crc32(p._4, 0, p._4.length)))
+      o.write(0x00) // end UnpackInfo
+      // SubStreamsInfo whenever any folder is solid
+      if (parts.exists(_._5.length > 1)) {
+        o.write(0x08)
+        o.write(0x0D)
+        parts.foreach(p => writeNum(o, p._5.length.toLong))
+        o.write(0x09)
+        parts.foreach { p =>
+          p._5.dropRight(1).foreach(m => writeNum(o, m._2.length.toLong))
+        }
+        o.write(0x0A) // CRCs for all streams not covered by a folder CRC
+        o.write(0x01) // all defined
+        parts.foreach { p =>
+          if (p._5.length > 1)
+            p._5.foreach(m => writeU32le(o, crc32(m._2, 0, m._2.length)))
+        }
+        o.write(0x00)
+      }
+      o.write(0x00) // end StreamsInfo
+      o.toByteArray
+    }
+    def filesInfo(ms: Seq[String]): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream()
+      o.write(0x05)
+      writeNum(o, ms.length.toLong)
+      // names
+      val nameBytes = new java.io.ByteArrayOutputStream()
+      nameBytes.write(0) // internal
+      ms.foreach { n =>
+        n.foreach { ch =>
+          nameBytes.write(ch & 0xff); nameBytes.write((ch >> 8) & 0xff)
+        }
+        nameBytes.write(0); nameBytes.write(0)
+      }
+      o.write(0x11)
+      writeNum(o, nameBytes.size().toLong)
+      nameBytes.writeTo(o)
+      o.write(0x00) // end FilesInfo
+      o.toByteArray
+    }
+    val allMembers = packedParts.flatMap(_._5.map(_._1))
+    val header = {
+      val o = new java.io.ByteArrayOutputStream()
+      o.write(0x01) // kHeader
+      o.write(0x04) // MainStreamsInfo
+      val siB = streamsInfo(0L, packedParts)
+      o.write(siB, 0, siB.length)
+      val fiB = filesInfo(allMembers)
+      o.write(fiB, 0, fiB.length)
+      o.write(0x00) // end header
+      o.toByteArray
+    }
+    val mainPack = packedParts.map(_._3).reduce(_ ++ _)
+    val (nextHeader, extraPack) =
+      if (!encodedHeader) (header, Array.empty[Byte])
+      else {
+        // pack the header itself as one LZMA folder placed AFTER the
+        // main pack data; the encoded-header StreamsInfo points at it
+        val (cid, props, packed) = packFolder(header, "lzma")
+        val part = Seq((cid, props, packed, header,
+          Seq(("__header__", header))))
+        val o = new java.io.ByteArrayOutputStream()
+        o.write(0x17)
+        val siB = streamsInfo(mainPack.length.toLong, part)
+        o.write(siB, 0, siB.length)
+        (o.toByteArray, packed)
+      }
+    val out = new java.io.ByteArrayOutputStream()
+    out.write('7'); out.write('z'); out.write(0xBC); out.write(0xAF)
+    out.write(0x27); out.write(0x1C)
+    out.write(0); out.write(4) // version 0.4
+    val startHeader = new java.io.ByteArrayOutputStream()
+    writeU64le(startHeader, (mainPack.length + extraPack.length).toLong)
+    writeU64le(startHeader, nextHeader.length.toLong)
+    writeU32le(startHeader, crc32(nextHeader, 0, nextHeader.length))
+    val sh = startHeader.toByteArray
+    writeU32le(out, crc32(sh, 0, sh.length))
+    out.write(sh, 0, sh.length)
+    out.write(mainPack, 0, mainPack.length)
+    out.write(extraPack, 0, extraPack.length)
+    out.write(nextHeader, 0, nextHeader.length)
+    out.toByteArray
+  }
+}

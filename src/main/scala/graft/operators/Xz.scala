@@ -255,7 +255,7 @@ object Xz {
     * chunks with explicit reset semantics. Returns (blockOutput,
     * offsetPastTerminator).
     */
-  private def lzma2Decode(data: Array[Byte], o0: Int, end: Int,
+  private[operators] def lzma2Decode(data: Array[Byte], o0: Int, end: Int,
       dictSize: Long, capLeft: Long): (Array[Byte], Int) = {
     var o = o0
     var buf = new Array[Byte](64 << 10)

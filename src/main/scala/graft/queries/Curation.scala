@@ -1836,6 +1836,71 @@ object Curation extends QueryBlock {
           ci -> 1 + (doc_id + ci) % 3)) AS INT) AS n_blocks
       FROM p ORDER BY doc_id"""
 
+  /** e110/d42: 8 `.7z` archives × 5 docs over docs 440–480 — the
+    * coder (copy/LZMA/LZMA2), the folder layout (SOLID single-stream
+    * vs one folder per file) and the header form (plain vs ENCODED)
+    * all rotating per archive; one member per archive repeats past
+    * 4 KiB so real compression is load-bearing.
+    */
+  def writeSevenZipFixture(s: SparkSession, dir: String): String = {
+    import graft.operators.SevenZip
+    val zDir = s"$scratch/sevenzip_${new java.io.File(dir).getName}"
+    val fd = new java.io.File(zDir)
+    java.nio.file.Files.createDirectories(fd.toPath)
+    fd.listFiles().foreach(_.delete())
+    val ids = t(s, dir, "documents")
+      .filter(col("text").isNotNull &&
+        col("doc_id") >= 440 && col("doc_id") < 480)
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    def word(id: Long, k: Int): String =
+      (0 until 3).map(c => ('a' + (id * 17 + k * 67 + c * 71) % 26).toChar).mkString
+    ids.grouped(5).zipWithIndex.foreach { case (group, g) =>
+      val members = group.toSeq.map { id =>
+        val base = s"7z doc $id " + (0 until 4).map(k => word(id, k)).mkString(" ")
+        val k = if (id % 5 == 1) 160 else 1
+        (s"doc$id.txt",
+          ((base + " ") * k).dropRight(1).getBytes("UTF-8"))
+      }
+      val coder = Seq("copy", "lzma", "lzma2")(g % 3)
+      val folders =
+        if (g % 2 == 0) Seq((coder, members)) // solid
+        else members.map(m => (coder, Seq(m)))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(f"$zDir/a$g%02d.7z"),
+        SevenZip.makeArchive(folders, encodedHeader = g % 4 < 2))
+    }
+    zDir
+  }
+
+  /** e110/d42 shared: binaryFile rows → one text row per member. */
+  def sevenZipProject(raw: DataFrame): DataFrame =
+    graft.operators.SevenZip.parse(raw)
+      .select(col("fname"), col("member"),
+        regexp_extract(col("member"), "([0-9]+)", 1)
+          .cast("long").as("doc_id"),
+        col("text"))
+
+  /** The e110/d42 construction oracle: member names and decompressed
+    * text re-derived in closed form.
+    */
+  val sevenZipOracleSql: String =
+    """WITH d AS (SELECT doc_id,
+          ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS rn
+        FROM documents WHERE text IS NOT NULL
+          AND doc_id >= 440 AND doc_id < 480),
+      w AS (SELECT doc_id, rn,
+          '7z doc ' || CAST(doc_id AS VARCHAR) || ' ' ||
+          array_to_string(list_transform(generate_series(0, 3),
+            k -> array_to_string(list_transform(generate_series(0, 2),
+              c -> chr(CAST(97 + (doc_id * 17 + k * 67 + c * 71) % 26 AS INT))), '')),
+            ' ') AS base,
+          CASE WHEN doc_id % 5 = 1 THEN 160 ELSE 1 END AS k
+        FROM d)
+      SELECT 'a' || lpad(CAST(rn // 5 AS VARCHAR), 2, '0') || '.7z' AS fname,
+        'doc' || CAST(doc_id AS VARCHAR) || '.txt' AS member,
+        doc_id, rtrim(repeat(base || ' ', k)) AS text
+      FROM w ORDER BY doc_id"""
+
   /** e97/e97b shared: write the 4-file MediaWiki export fixture —
     * plain XML, or bzip2-compressed via the in-repo encoder when
     * `bz2` is set (the form Wikipedia actually publishes). */
@@ -4574,6 +4639,26 @@ object Curation extends QueryBlock {
           .orderBy(col("doc_id"))
       },
       Some(webmOracleSql)),
+
+    // E110 — 7z archive ingest (r12): the other archive format bulk
+    // drops ship (dataset mirrors, forum dumps, Windows-origin
+    // corpora). A COMPOSITION in the tar.xz tradition:
+    // operators.SevenZip walks the 7z property-ID container (both
+    // header CRCs verified; plain AND encoded headers — the encoded
+    // form is itself a packed folder re-parsed through the same
+    // machinery; SOLID folders split by the substream size list with
+    // per-substream CRC32s verified) over the repo's OWN LZMA/LZMA2
+    // core — already proven byte-exact both directions against real
+    // xz, so the compression layer arrives reference-grade.
+    // Multi-coder folders, BCJ filters and AES-256 encryption reject
+    // loudly. Per-file scan-local decode, zero shuffle.
+    "e110_7z" -> QueryDef(
+      (s, dir) => {
+        val zDir = writeSevenZipFixture(s, dir)
+        sevenZipProject(s.read.format("binaryFile").load(zDir))
+          .orderBy(col("doc_id"))
+      },
+      Some(sevenZipOracleSql)),
 
     "e75_mixed_ingest" -> QueryDef(
       (s, dir) => {

@@ -1349,7 +1349,24 @@ object Streaming extends QueryBlock {
             "d41_sink", mode = "append")
           .orderBy(col("doc_id"))
       },
-      Some(Curation.webmOracleSql))
+      Some(Curation.webmOracleSql)),
+
+    // D42 — 7z ingest as a STREAM (e110's deployment shape: archive
+    // drops landing in a directory, members extracted per trigger).
+    // Within-file decode = pure append map, slicing-independent,
+    // sharing e110's fixture and oracle verbatim.
+    "d42_stream_7z" -> QueryDef(
+      (s, dir) => {
+        val zDir = Curation.writeSevenZipFixture(s, dir)
+        val raw = s.readStream.format("binaryFile")
+          .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+          .option("maxFilesPerTrigger", "3")
+          .load(zDir)
+        EventStreams.runToTable(s, Curation.sevenZipProject(raw),
+            "d42_sink", mode = "append")
+          .orderBy(col("doc_id"))
+      },
+      Some(Curation.sevenZipOracleSql))
   )
 }
 
