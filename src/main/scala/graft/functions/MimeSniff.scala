@@ -12,9 +12,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * do not). Covers exactly the formats this engine decodes, so the
   * label doubles as a dispatch key: PDF, JPEG, PNG, GIF, BMP, WAV
   * (RIFF+WAVE), MP4 (ftyp at offset 4), gzip, zip, POSIX tar (ustar at
-  * 257), WARC, XML declaration, HTML (case-insensitive `<!doctype
-  * html`/`<html` after optional BOM/whitespace), then the e44c strict
-  * UTF-8 walk for text/plain, else application/octet-stream. Magic
+  * 257), WARC, and (r12, tracking the decoder family) FLAC, Ogg,
+  * SQLite, 7z, Avro OCF, TIFF (both byte orders), EBML (WebM/
+  * Matroska), xz, zstd, bzip2 and MP3 (ID3v2 prefix, or a frame sync
+  * whose version/layer/bitrate/samplerate fields are all non-reserved
+  * -- checked LAST among binaries: a bare sync is the most
+  * false-positive-prone magic); then XML declaration, HTML
+  * (case-insensitive `<!doctype html`/`<html` after optional
+  * BOM/whitespace), the e44c strict UTF-8 walk for text/plain, else
+  * application/octet-stream. DOCX/EPUB deliberately label as zip: a
+  * container-level sniff cannot read [Content_Types].xml without the
+  * zip walk, and routing hands zips to it. Magic
   * match order runs most-specific first — a WAV is RIFF before it is
   * anything else; an HTML page starting with `<?xml` is XHTML and
   * labels as xml (the declared self-description wins). Scan-local
@@ -61,6 +69,36 @@ object MimeSniff {
       return "application/zip"
     if (at(b, 257, "ustar")) return "application/x-tar"
     if (at(b, 0, "WARC/")) return "application/warc"
+    // r12 decoder family
+    if (at(b, 0, "fLaC")) return "audio/flac"
+    if (at(b, 0, "OggS")) return "audio/ogg"
+    if (at(b, 0, "SQLite format 3\u0000")) return "application/vnd.sqlite3"
+    if (b.length >= 6 && at(b, 0, "7z") && (b(2) & 0xff) == 0xbc &&
+        (b(3) & 0xff) == 0xaf && (b(4) & 0xff) == 0x27 && (b(5) & 0xff) == 0x1c)
+      return "application/x-7z-compressed"
+    if (b.length >= 4 && at(b, 0, "Obj") && b(3) == 1) return "application/avro"
+    if (at(b, 0, "II*\u0000") || at(b, 0, "MM\u0000*")) return "image/tiff"
+    if (b.length >= 4 && (b(0) & 0xff) == 0x1a && (b(1) & 0xff) == 0x45 &&
+        (b(2) & 0xff) == 0xdf && (b(3) & 0xff) == 0xa3) return "video/webm"
+    if (b.length >= 6 && (b(0) & 0xff) == 0xfd && at(b, 1, "7zXZ") && b(5) == 0)
+      return "application/x-xz"
+    if (b.length >= 4 && (b(0) & 0xff) == 0x28 && (b(1) & 0xff) == 0xb5 &&
+        (b(2) & 0xff) == 0x2f && (b(3) & 0xff) == 0xfd) return "application/zstd"
+    if (at(b, 0, "BZh") && b.length >= 4 && b(3) >= '1' && b(3) <= '9')
+      return "application/x-bzip2"
+    // MP3 LAST among the binaries (a bare frame sync is the most
+    // false-positive-prone magic): ID3v2 prefix, or a sync whose
+    // version/layer/bitrate/samplerate fields are all non-reserved
+    if (at(b, 0, "ID3")) return "audio/mpeg"
+    if (b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xe0) == 0xe0) {
+      // a bare sync false-positives (a UTF-16LE BOM is FF FE): demand
+      // the full header arithmetic AND a second frame exactly where the
+      // first one's computed length says (or exact EOF)
+      val len = graft.operators.Mp3.frameLengthAt(b, 0)
+      if (len > 0 && (len == b.length ||
+          graft.operators.Mp3.frameLengthAt(b, len) > 0))
+        return "audio/mpeg"
+    }
     // skip an optional UTF-8 BOM + ASCII whitespace for the markup tests
     var i = 0
     if (b.length >= 3 && (b(0) & 0xff) == 0xef && (b(1) & 0xff) == 0xbb &&

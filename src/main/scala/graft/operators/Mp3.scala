@@ -97,6 +97,17 @@ object Mp3 {
       if (mode == 3) 1 else 2, samples, len)
   }
 
+  /** Frame byte length at `o`, or -1 when the 4 bytes there are not a
+    * valid non-reserved frame header — the O(1) probe MIME sniffing
+    * uses (a bare 11-bit sync alone false-positives on e.g. UTF-16LE
+    * BOMs; real sniffers demand header-arithmetic consistency).
+    */
+  def frameLengthAt(b: Array[Byte], o: Int): Int =
+    try frameAt(b, o).bytes catch {
+      case Malformed => -1
+      case _: ArrayIndexOutOfBoundsException => -1
+    }
+
   final case class Mp3Info(nFrames: Int, totalSamples: Long, sampleRate: Int,
       channels: Int, vbr: Boolean, meanBitrateKbps: Double)
 

@@ -4219,13 +4219,14 @@ object Curation extends QueryBlock {
     // octet-stream); the oracle states each branch's label from
     // construction. The label set matches the engine's own decoders, so
     // the output doubles as a routing column. Scan-local codegen, zero
-    // shuffle. MimeSniffSpec covers the formats not in the fixture
+    // shuffle. r12 widens the rotation to %14 with the new decoder
+    // family (FLAC, Ogg, 7z, SQLite); MimeSniffSpec covers the rest
     // (GIF/BMP/MP4/tar/zip/UTF-16) plus the never-throw envelope.
     "e74_mime_route" -> QueryDef(
       (s, dir) => {
         val m = col("m")
         t(s, dir, "documents").filter(col("text").isNotNull)
-          .withColumn("m", (col("doc_id") % 10).cast("int"))
+          .withColumn("m", (col("doc_id") % 14).cast("int"))
           .withColumn("bin", concat(
             when(m === 0, encode(lit("%PDF-1.4 "), "UTF-8"))
               .when(m === 1, unhex(lit("FFD8FFE0")))
@@ -4237,13 +4238,19 @@ object Curation extends QueryBlock {
                 unhex(lit("24000000")), encode(lit("WAVEfmt "), "UTF-8")))
               .when(m === 7, unhex(lit("89504E470D0A1A0A")))
               .when(m === 8, encode(lit(""), "UTF-8"))
-              .otherwise(unhex(lit("009396FE"))),
+              .when(m === 9, unhex(lit("009396FE")))
+              // r12 decoder family joins the rotation
+              .when(m === 10, encode(lit("fLaC"), "UTF-8"))
+              .when(m === 11, encode(lit("OggS"), "UTF-8"))
+              .when(m === 12, unhex(lit("377ABCAF271C")))
+              .otherwise(concat(encode(lit("SQLite format 3"), "UTF-8"),
+                unhex(lit("00")))),
             encode(col("text"), "UTF-8")))
           .select(col("doc_id"), expr("detect_mime(bin)").as("mime"))
           .orderBy(col("doc_id"))
       },
       Some("""SELECT doc_id,
-          CASE CAST(doc_id % 10 AS INT)
+          CASE CAST(doc_id % 14 AS INT)
             WHEN 0 THEN 'application/pdf'
             WHEN 1 THEN 'image/jpeg'
             WHEN 2 THEN 'application/warc'
@@ -4253,7 +4260,11 @@ object Curation extends QueryBlock {
             WHEN 6 THEN 'audio/wav'
             WHEN 7 THEN 'image/png'
             WHEN 8 THEN 'text/plain'
-            ELSE 'application/octet-stream' END AS mime
+            WHEN 9 THEN 'application/octet-stream'
+            WHEN 10 THEN 'audio/flac'
+            WHEN 11 THEN 'audio/ogg'
+            WHEN 12 THEN 'application/x-7z-compressed'
+            ELSE 'application/vnd.sqlite3' END AS mime
         FROM documents WHERE text IS NOT NULL ORDER BY doc_id""")),
 
     // E75 — MIXED-FORMAT ingest pipeline: the composition today's new

@@ -48,6 +48,42 @@ class MimeSniffSpec extends AnyFunSuite {
     assert(m(bytes(0x00, 0x93, 0x96)) === "application/octet-stream")
   }
 
+  test("the r12 decoder family by magic, with REAL writer output where cheap") {
+    assert(m("fLaC".getBytes("ISO-8859-1") ++ bytes(0x80)) === "audio/flac")
+    // a real Ogg page from the fixture writer
+    val ogg = graft.operators.Ogg.makeFile(
+      graft.operators.Ogg.makeOpusHead(1, 0, 16000),
+      "OpusTags".getBytes("ISO-8859-1"),
+      Seq(Array[Byte](1, 2, 3)), serial = 1L, granulePerPacket = 960L,
+      preSkip = 0L)
+    assert(m(ogg) === "audio/ogg")
+    // a real SQLite database from the writer
+    val db = graft.operators.Sqlite.makeDb("t",
+      "CREATE TABLE t(a INTEGER PRIMARY KEY, b TEXT, c INTEGER, d REAL)", 0,
+      Seq((1L, Seq(graft.operators.Sqlite.SqlInt(1), graft.operators.Sqlite.SqlText("x"),
+        graft.operators.Sqlite.SqlInt(1), graft.operators.Sqlite.SqlReal(0.5)))))
+    assert(m(db) === "application/vnd.sqlite3")
+    assert(m(bytes('7', 'z', 0xBC, 0xAF, 0x27, 0x1C)) === "application/x-7z-compressed")
+    assert(m("Obj".getBytes("ISO-8859-1") ++ bytes(1, 2)) === "application/avro")
+    assert(m(bytes('I', 'I', 0x2A, 0x00)) === "image/tiff")
+    assert(m(bytes('M', 'M', 0x00, 0x2A)) === "image/tiff")
+    assert(m(bytes(0x1A, 0x45, 0xDF, 0xA3, 0x01)) === "video/webm")
+    assert(m(bytes(0xFD) ++ "7zXZ".getBytes("ISO-8859-1") ++ bytes(0))
+      === "application/x-xz")
+    assert(m(bytes(0x28, 0xB5, 0x2F, 0xFD, 0x01)) === "application/zstd")
+    assert(m("BZh9".getBytes("ISO-8859-1") ++ bytes(0x31)) === "application/x-bzip2")
+    // MP3: ID3 prefix and a VALID frame sync (from the fixture writer)
+    assert(m(graft.operators.Mp3.makeId3v2(10)) === "audio/mpeg")
+    assert(m(graft.operators.Mp3.makeFrame(3, 3, 9, 0, padding = false,
+      mono = false, seed = 1)) === "audio/mpeg")
+    // a sync with a RESERVED bitrate index must NOT label mp3
+    assert(m(bytes(0xFF, 0xFB, 0xF0, 0x00)) !== "audio/mpeg")
+    // JPEG SOI wins over the mp3 sync rung (FF D8 FF)
+    assert(m(bytes(0xFF, 0xD8, 0xFF, 0xE0)) === "image/jpeg")
+    // 'BZh' without a legal level digit is not bzip2
+    assert(m("BZhX".getBytes("ISO-8859-1")) !== "application/x-bzip2")
+  }
+
   test("never throws on truncations and soup") {
     val rnd = new scala.util.Random(50)
     (0 until 500).foreach { _ =>
