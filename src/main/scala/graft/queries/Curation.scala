@@ -830,6 +830,71 @@ object Curation extends QueryBlock {
     zDir
   }
 
+  /** e111/d43: 4 `.jsonl.lz4` shards × 10 docs over docs 0–40 — the
+    * lz4 leg of the compressed-shard family. Shard g's payload splits
+    * into g+1 frames CUT MID-LINE (frame boundaries must be
+    * transparent to line framing), per-frame flag rotation (block/
+    * content checksums, declared content size, a single-block LINKED
+    * frame), and a skippable frame spliced into shard 2.
+    */
+  def writeLz4Fixture(s: SparkSession, dir: String): String = {
+    import graft.operators.Lz4Shards
+    val lDir = s"$scratch/lz4_${new java.io.File(dir).getName}"
+    val fd = new java.io.File(lDir)
+    java.nio.file.Files.createDirectories(fd.toPath)
+    fd.listFiles().foreach(_.delete())
+    val ids = t(s, dir, "documents")
+      .filter(col("text").isNotNull &&
+        col("doc_id") >= 0 && col("doc_id") < 40)
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    ids.grouped(10).zipWithIndex.foreach { case (group, g) =>
+      val lines = group.toSeq.map { id =>
+        val body = (0 until 30)
+          .map(i => ('a' + (id * 11 + i.toLong * 17) % 26).toChar).mkString
+        s"""{"doc_id":$id,"body":"$body"}"""
+      }
+      val payload = (lines.mkString("\n") + "\n").getBytes("UTF-8")
+      val nFrames = g + 1
+      val cut = payload.length / nFrames
+      val out = new java.io.ByteArrayOutputStream()
+      (0 until nFrames).foreach { f =>
+        val from = f * cut
+        val until = if (f == nFrames - 1) payload.length else (f + 1) * cut
+        val piece = java.util.Arrays.copyOfRange(payload, from, until)
+        if (g == 2 && f == 1) out.write(Lz4Shards.makeSkippable(23))
+        out.write(Lz4Shards.makeFrame(piece,
+          blockChecksum = (g + f) % 2 == 0,
+          contentSize = f % 2 == 1,
+          contentChecksum = f % 3 != 2,
+          linked = g == 3 && f == 1 && piece.length <= 65536))
+      }
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(f"$lDir/s$g%02d.jsonl.lz4"), out.toByteArray)
+    }
+    lDir
+  }
+
+  /** e111/d43 shared: binaryFile rows → one typed row per JSONL line. */
+  def lz4Project(raw: DataFrame): DataFrame =
+    graft.operators.Lz4Shards.parse(raw)
+      .select(col("fname"), col("line_no"),
+        get_json_object(col("line"), "$.doc_id").cast("long").as("doc_id"),
+        get_json_object(col("line"), "$.body").as("body"))
+
+  /** The e111/d43 construction oracle. */
+  val lz4OracleSql: String =
+    """WITH d AS (SELECT doc_id,
+          ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS rn
+        FROM documents WHERE text IS NOT NULL
+          AND doc_id >= 0 AND doc_id < 40)
+      SELECT 's' || lpad(CAST(rn // 10 AS VARCHAR), 2, '0')
+          || '.jsonl.lz4' AS fname,
+        CAST(rn % 10 AS INTEGER) AS line_no, doc_id,
+        array_to_string(list_transform(generate_series(0, 29),
+          i -> chr(CAST(97 + (doc_id * 11 + i * 17) % 26 AS INT))), '')
+          AS body
+      FROM d ORDER BY fname, line_no"""
+
   /** e98/d28 shared: binaryFile rows → one typed row per JSONL line. */
   def zstdProject(raw: DataFrame): DataFrame =
     graft.operators.ZstdShards.parse(raw)
@@ -4362,6 +4427,29 @@ object Curation extends QueryBlock {
     // record boundaries diverges. The oracle re-derives every line
     // from doc_id construction without decompressing anything.
     // Per-file scan-local, zero shuffle.
+    // E111 — LZ4-frame shard ingest (r12): the fourth leg of the
+    // compressed-shard family — .jsonl.lz4 shards appear in dataset
+    // mirrors and fast-path log drops trading zstd's ratio for lz4's
+    // speed. Like the zstd leg, the CODEC is runtime-carried
+    // (lz4-java, Spark's own block codec) while the FRAME DISCIPLINE
+    // is implemented here from the public spec and enforced: header
+    // XXH32 (HC), per-block XXH32, content XXH32 and declared content
+    // size ALL verified; multi-block LINKED frames reject (with one
+    // block the window cannot cross a boundary; with more, a block
+    // decompressor silently corrupts); skippable frames skip; files
+    // are frame concatenations consumed exactly; lines split only
+    // AFTER frames concatenate (fixture cuts frames mid-line).
+    // Lz4ShardsSpec proves the walk against BOTH references: the
+    // system lz4 CLI bidirectionally, and lz4-java's own frame
+    // streams. Per-file scan-local, zero shuffle.
+    "e111_lz4_jsonl" -> QueryDef(
+      (s, dir) => {
+        val lDir = writeLz4Fixture(s, dir)
+        lz4Project(s.read.format("binaryFile").load(lDir))
+          .orderBy(col("fname"), col("line_no"))
+      },
+      Some(lz4OracleSql)),
+
     "e98_zstd_jsonl" -> QueryDef(
       (s, dir) => {
         val zDir = writeZstdFixture(s, dir)

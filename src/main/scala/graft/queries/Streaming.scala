@@ -1366,7 +1366,24 @@ object Streaming extends QueryBlock {
             "d42_sink", mode = "append")
           .orderBy(col("doc_id"))
       },
-      Some(Curation.sevenZipOracleSql))
+      Some(Curation.sevenZipOracleSql)),
+
+    // D43 — LZ4 shard ingest as a STREAM (e111's deployment shape:
+    // fast-path log shards landing per trigger). Within-file decode =
+    // pure append map, slicing-independent, sharing e111's fixture and
+    // oracle verbatim (the d28/d30 pattern).
+    "d43_stream_lz4" -> QueryDef(
+      (s, dir) => {
+        val lDir = Curation.writeLz4Fixture(s, dir)
+        val raw = s.readStream.format("binaryFile")
+          .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+          .option("maxFilesPerTrigger", "2")
+          .load(lDir)
+        EventStreams.runToTable(s, Curation.lz4Project(raw),
+            "d43_sink", mode = "append")
+          .orderBy(col("fname"), col("line_no"))
+      },
+      Some(Curation.lz4OracleSql))
   )
 }
 
