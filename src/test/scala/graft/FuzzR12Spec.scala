@@ -1,0 +1,139 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Cross-cutting fuzz over the r12 decoder family: every decoder must
+  * return (None | Some) on arbitrary input — truncations of VALID
+  * fixtures at every sampled length, single-byte flips at sampled
+  * positions, and random soup — and never let a Throwable escape the
+  * envelope (the classes that have bitten before: StackOverflowError,
+  * NegativeArraySizeException, OutOfMemoryError from lying sizes).
+  */
+class FuzzR12Spec extends AnyFunSuite {
+
+  private val rnd = new scala.util.Random(0x122f)
+
+  private def fuzzOne(name: String, valid: Array[Byte],
+      decode: Array[Byte] => Any): Unit = {
+    // premise: the valid fixture decodes
+    decode(valid)
+    // truncations: every length up to 64, then strided
+    var n = 0
+    while (n < valid.length) {
+      decode(java.util.Arrays.copyOf(valid, n))
+      n += (if (n < 64) 1 else math.max(1, valid.length / 97))
+    }
+    // single-byte flips at 200 sampled positions
+    (0 until 200).foreach { _ =>
+      val c = valid.clone()
+      val i = rnd.nextInt(c.length)
+      c(i) = (c(i) ^ (1 + rnd.nextInt(255))).toByte
+      decode(c)
+    }
+    // random soup, assorted sizes
+    (0 until 200).foreach { _ =>
+      decode(Array.fill(rnd.nextInt(600))(rnd.nextInt(256).toByte))
+    }
+    // valid prefix + garbage tail
+    (0 until 50).foreach { _ =>
+      decode(valid ++ Array.fill(1 + rnd.nextInt(40))(rnd.nextInt(256).toByte))
+    }
+  }
+
+  test("Docx") {
+    fuzzOne("docx", operators.Docx.makeDocx(Seq("one & two", "three")),
+      b => operators.Docx.paragraphs(b))
+  }
+
+  test("TfRecord") {
+    val recs = Seq(operators.TfRecord.encodeExample(Seq(
+      "doc_id" -> operators.TfRecord.Int64Feature(Seq(5L)),
+      "text" -> operators.TfRecord.BytesFeature(Seq("hello".getBytes("UTF-8"))))))
+    val framed = operators.TfRecord.make(recs)
+    fuzzOne("tfrecord", framed, b => {
+      operators.TfRecord.records(b).foreach(_.foreach(operators.TfRecord.decodeExample))
+    })
+  }
+
+  test("Flac") {
+    val pcm = Array.tabulate(2, 700)((ch, i) => ((i * 7 + ch * 13) % 801) - 400)
+    fuzzOne("flac", operators.Flac.encode(pcm, 16000, 16),
+      b => operators.Flac.decode(b))
+  }
+
+  test("Sqlite") {
+    import operators.Sqlite._
+    val db = operators.Sqlite.makeDb("docs",
+      "CREATE TABLE docs(doc_id INTEGER PRIMARY KEY, body TEXT, n INTEGER, s REAL)",
+      0, (1 to 30).map(i => (i.toLong, Seq[SqlValue](SqlInt(i.toLong),
+        SqlText("b" * (10 + i)), SqlInt(i.toLong), SqlReal(i * 0.5)))))
+    fuzzOne("sqlite", db, b => operators.Sqlite.rows(b, "docs"))
+  }
+
+  test("AvroOcf") {
+    import org.apache.avro.{Schema => ASchema}
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    import org.apache.avro.file.DataFileWriter
+    val schema = new ASchema.Parser().parse(
+      """{"type":"record","name":"R","fields":[{"name":"x","type":"long"},{"name":"s","type":"string"}]}""")
+    val out = new java.io.ByteArrayOutputStream()
+    val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, out)
+    (1 to 20).foreach { i =>
+      val r = new GenericData.Record(schema)
+      r.put("x", i.toLong); r.put("s", s"row-$i")
+      w.append(r)
+    }
+    w.close()
+    fuzzOne("avro", out.toByteArray, b => operators.AvroOcf.decode(b))
+  }
+
+  test("Tiff") {
+    val t = operators.Tiff.makeTiff(
+      Seq((9, 6, 3, (k: Int) => ((k * 7) % 251).toByte),
+        (7, 5, 1, (k: Int) => ((k * 11) % 251).toByte)),
+      Seq(5, 32773), littleEndian = true)
+    fuzzOne("tiff", t, b => operators.Tiff.decode(b))
+  }
+
+  test("Mp3") {
+    val f = new java.io.ByteArrayOutputStream()
+    f.write(operators.Mp3.makeId3v2(30))
+    (0 until 6).foreach(j => f.write(operators.Mp3.makeFrame(3, 3, 5 + j % 3,
+      1, padding = j % 2 == 0, mono = false, seed = j)))
+    f.write(operators.Mp3.makeId3v1())
+    fuzzOne("mp3", f.toByteArray, b => operators.Mp3.info(b))
+  }
+
+  test("Ogg") {
+    val f = operators.Ogg.makeFile(operators.Ogg.makeOpusHead(1, 312, 16000),
+      "OpusTags".getBytes("ISO-8859-1"),
+      (0 until 4).map(i => Array.tabulate(350)(k => (k + i).toByte)),
+      serial = 5L, granulePerPacket = 960L, preSkip = 312L)
+    fuzzOne("ogg", f, b => operators.Ogg.info(b))
+  }
+
+  test("Webm") {
+    val f = operators.Webm.makeWebm("webm", 5000.0, 1000000L,
+      Seq(operators.Webm.Track(1, "V_VP9", 640, 360, -1, -1),
+        operators.Webm.Track(2, "A_OPUS", -1, -1, 48000.0, 2)),
+      blocksPerCluster = Seq(2, 3))
+    fuzzOne("webm", f, b => operators.Webm.info(b))
+  }
+
+  test("SevenZip") {
+    val ms = (0 until 4).map(i =>
+      (s"f$i.txt", Array.tabulate(200 + i * 31)(k => (32 + (k * 7 + i) % 90).toByte)))
+    val arch = operators.SevenZip.makeArchive(Seq(("lzma", ms)),
+      encodedHeader = true)
+    fuzzOne("7z", arch, b => operators.SevenZip.members(b))
+  }
+
+  test("Lz4Shards") {
+    val p = ("{\"a\":1}\n" * 400).getBytes("UTF-8")
+    val f = operators.Lz4Shards.makeFrame(p, blockChecksum = true,
+      contentSize = true) ++ operators.Lz4Shards.makeSkippable(9) ++
+      operators.Lz4Shards.makeFrame(p.take(100), linked = true)
+    fuzzOne("lz4", f, b => operators.Lz4Shards.decompress(b))
+  }
+}
