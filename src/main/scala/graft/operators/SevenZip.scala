@@ -140,7 +140,10 @@ object SevenZip {
     var id = r.num()
     if (id == 0x06) { // PackInfo
       packPos = r.num()
-      if (packPos < 0) throw Malformed
+      // packPos and every pack size bound to a sane archive envelope
+      // HERE: they are summed downstream, and unbounded 2^62-scale
+      // values could overflow the sum back past a positive bounds check
+      if (packPos < 0 || packPos > (1L << 40)) throw Malformed
       val numPack = r.checkedNum(1 << 20)
       var pid = r.num()
       while (pid != 0) {
@@ -148,7 +151,7 @@ object SevenZip {
           case 0x09 =>
             packSizes = Vector.fill(numPack) {
               val v = r.num()
-              if (v < 0) throw Malformed
+              if (v < 0 || v > (1L << 40)) throw Malformed
               v
             }
           case 0x0A => // pack CRCs: legal, unused here
