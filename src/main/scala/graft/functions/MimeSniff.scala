@@ -84,6 +84,8 @@ object MimeSniff {
       return "application/x-xz"
     if (b.length >= 4 && (b(0) & 0xff) == 0x28 && (b(1) & 0xff) == 0xb5 &&
         (b(2) & 0xff) == 0x2f && (b(3) & 0xff) == 0xfd) return "application/zstd"
+    if (b.length >= 4 && (b(0) & 0xff) == 0x04 && (b(1) & 0xff) == 0x22 &&
+        (b(2) & 0xff) == 0x4d && (b(3) & 0xff) == 0x18) return "application/x-lz4"
     if (at(b, 0, "BZh") && b.length >= 4 && b(3) >= '1' && b(3) <= '9')
       return "application/x-bzip2"
     // MP3 LAST among the binaries (a bare frame sync is the most

@@ -895,6 +895,92 @@ object Curation extends QueryBlock {
           AS body
       FROM d ORDER BY fname, line_no"""
 
+  /** e112/d44: ONE mixed drop directory holding all nine
+    * content-routable r12 families side by side — the integration the
+    * decoders exist for. Reuses every family's fixture writer
+    * verbatim, so the oracle is the UNION of their construction
+    * formulas.
+    */
+  def writeMixedDropFixture(s: SparkSession, dir: String): String = {
+    val mDir = s"$scratch/mixed_${new java.io.File(dir).getName}"
+    val fd = new java.io.File(mDir)
+    java.nio.file.Files.createDirectories(fd.toPath)
+    fd.listFiles().foreach(_.delete())
+    val sources = Seq(
+      writeFlacFixture(s, dir), writeSqliteFixture(s, dir),
+      writeAvroFixture(s, dir), writeTiffFixture(s, dir),
+      writeMp3Fixture(s, dir), writeOggFixture(s, dir),
+      writeWebmFixture(s, dir), writeSevenZipFixture(s, dir),
+      writeLz4Fixture(s, dir))
+    sources.foreach { src =>
+      new java.io.File(src).listFiles().foreach { f =>
+        java.nio.file.Files.copy(f.toPath,
+          java.nio.file.Paths.get(s"$mDir/${f.getName}"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    mDir
+  }
+
+  /** The e112/d44 oracle: the union of the nine families' unit-count
+    * closed forms, each restated from its own fixture arithmetic.
+    */
+  val mixedDropOracleSql: String =
+    """WITH flac AS (SELECT 'a' || CAST(doc_id AS VARCHAR) || '.flac' AS fname,
+          'audio/flac' AS mime,
+          CAST(600 + (doc_id % 7) * 251 AS BIGINT) AS n_units
+        FROM documents WHERE text IS NOT NULL AND doc_id >= 160 AND doc_id < 200),
+      sqlite AS (SELECT 's' || lpad(CAST(rn // 5 AS VARCHAR), 2, '0')
+            || '.sqlite' AS fname,
+          'application/vnd.sqlite3' AS mime, CAST(5 AS BIGINT) AS n_units
+        FROM (SELECT ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS rn
+          FROM documents WHERE text IS NOT NULL AND doc_id >= 200 AND doc_id < 240)
+        WHERE rn % 5 = 0),
+      avro AS (SELECT 'a' || lpad(CAST(rn // 5 AS VARCHAR), 2, '0')
+            || '.avro' AS fname,
+          'application/avro' AS mime, CAST(5 AS BIGINT) AS n_units
+        FROM (SELECT ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS rn
+          FROM documents WHERE text IS NOT NULL AND doc_id >= 240 AND doc_id < 280)
+        WHERE rn % 5 = 0),
+      tiff AS (SELECT 't' || lpad(CAST(rn // 5 AS VARCHAR), 2, '0')
+            || '.tiff' AS fname,
+          'image/tiff' AS mime, CAST(5 AS BIGINT) AS n_units
+        FROM (SELECT ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS rn
+          FROM documents WHERE text IS NOT NULL AND doc_id >= 280 AND doc_id < 320)
+        WHERE rn % 5 = 0),
+      mp3 AS (SELECT 'm' || CAST(doc_id AS VARCHAR) || '.mp3' AS fname,
+          'audio/mpeg' AS mime,
+          CAST(6 + doc_id % 9 AS BIGINT) AS n_units
+        FROM documents WHERE text IS NOT NULL AND doc_id >= 320 AND doc_id < 360),
+      ogg AS (SELECT 'g' || CAST(doc_id AS VARCHAR) || '.ogg' AS fname,
+          'audio/ogg' AS mime,
+          CAST(7 + doc_id % 6 AS BIGINT) AS n_units
+        FROM documents WHERE text IS NOT NULL AND doc_id >= 360 AND doc_id < 400),
+      webm AS (SELECT 'v' || CAST(doc_id AS VARCHAR) || '.webm' AS fname,
+          'video/webm' AS mime,
+          CAST(list_sum(list_transform(
+            generate_series(0, 2 + CAST(doc_id % 4 AS INT) - 1),
+            ci -> 1 + (doc_id + ci) % 3)) AS BIGINT) AS n_units
+        FROM documents WHERE text IS NOT NULL AND doc_id >= 400 AND doc_id < 440),
+      sz AS (SELECT 'a' || lpad(CAST(rn // 5 AS VARCHAR), 2, '0')
+            || '.7z' AS fname,
+          'application/x-7z-compressed' AS mime, CAST(5 AS BIGINT) AS n_units
+        FROM (SELECT ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS rn
+          FROM documents WHERE text IS NOT NULL AND doc_id >= 440 AND doc_id < 480)
+        WHERE rn % 5 = 0),
+      lz4 AS (SELECT 's' || lpad(CAST(rn // 10 AS VARCHAR), 2, '0')
+            || '.jsonl.lz4' AS fname,
+          'application/x-lz4' AS mime, CAST(10 AS BIGINT) AS n_units
+        FROM (SELECT ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS rn
+          FROM documents WHERE text IS NOT NULL AND doc_id >= 0 AND doc_id < 40)
+        WHERE rn % 10 = 0)
+      SELECT * FROM flac UNION ALL SELECT * FROM sqlite
+      UNION ALL SELECT * FROM avro UNION ALL SELECT * FROM tiff
+      UNION ALL SELECT * FROM mp3 UNION ALL SELECT * FROM ogg
+      UNION ALL SELECT * FROM webm UNION ALL SELECT * FROM sz
+      UNION ALL SELECT * FROM lz4
+      ORDER BY fname"""
+
   /** e98/d28 shared: binaryFile rows → one typed row per JSONL line. */
   def zstdProject(raw: DataFrame): DataFrame =
     graft.operators.ZstdShards.parse(raw)
@@ -4449,6 +4535,28 @@ object Curation extends QueryBlock {
           .orderBy(col("fname"), col("line_no"))
       },
       Some(lz4OracleSql)),
+
+    // E112 — UNIVERSAL mixed-drop ingest (r12): the integration the
+    // format decoders exist for. One directory holds all nine
+    // content-routable r12 families side by side (recordings,
+    // databases, interchange files, scans, archives, shards);
+    // operators.UniversalIngest routes every file by its BYTES
+    // (detect_mime — extensions and headers lie) and hands it to the
+    // matching strict decoder, emitting the per-file unit count each
+    // decoder defines (samples / rows / records / pages / frames /
+    // packets / blocks / members / lines). A mislabeled or corrupt
+    // file contributes zero rows, never a guess. The oracle is the
+    // UNION of the nine families' construction formulas — routing and
+    // every decoder must compose exactly or a row diverges. Per-file
+    // scan-local sniff + decode, zero shuffle.
+    "e112_universal_ingest" -> QueryDef(
+      (s, dir) => {
+        val mDir = writeMixedDropFixture(s, dir)
+        graft.operators.UniversalIngest.parse(
+            s.read.format("binaryFile").load(mDir))
+          .orderBy(col("fname"))
+      },
+      Some(mixedDropOracleSql)),
 
     "e98_zstd_jsonl" -> QueryDef(
       (s, dir) => {

@@ -1383,7 +1383,26 @@ object Streaming extends QueryBlock {
             "d43_sink", mode = "append")
           .orderBy(col("fname"), col("line_no"))
       },
-      Some(Curation.lz4OracleSql))
+      Some(Curation.lz4OracleSql)),
+
+    // D44 — universal mixed-drop ingest as a STREAM (e112's deployment
+    // shape: a heterogeneous drop directory filling from many
+    // producers, every arriving file routed by its bytes and decoded
+    // per trigger). Within-file sniff + decode = pure append map,
+    // slicing-independent, sharing e112's fixture and oracle verbatim.
+    "d44_stream_universal" -> QueryDef(
+      (s, dir) => {
+        val mDir = Curation.writeMixedDropFixture(s, dir)
+        val raw = s.readStream.format("binaryFile")
+          .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+          .option("maxFilesPerTrigger", "37")
+          .load(mDir)
+        EventStreams.runToTable(s,
+            graft.operators.UniversalIngest.parse(raw),
+            "d44_sink", mode = "append")
+          .orderBy(col("fname"))
+      },
+      Some(Curation.mixedDropOracleSql))
   )
 }
 

@@ -71,6 +71,7 @@ class MimeSniffSpec extends AnyFunSuite {
     assert(m(bytes(0xFD) ++ "7zXZ".getBytes("ISO-8859-1") ++ bytes(0))
       === "application/x-xz")
     assert(m(bytes(0x28, 0xB5, 0x2F, 0xFD, 0x01)) === "application/zstd")
+    assert(m(bytes(0x04, 0x22, 0x4D, 0x18, 0x64)) === "application/x-lz4")
     assert(m("BZh9".getBytes("ISO-8859-1") ++ bytes(0x31)) === "application/x-bzip2")
     // MP3: ID3 prefix and a VALID frame sync (from the fixture writer)
     assert(m(graft.operators.Mp3.makeId3v2(10)) === "audio/mpeg")
