@@ -61,6 +61,7 @@ object MimeSniff {
       return "image/png"
     if (at(b, 0, "GIF87a") || at(b, 0, "GIF89a")) return "image/gif"
     if (at(b, 0, "RIFF") && at(b, 8, "WAVE")) return "audio/wav"
+    if (at(b, 0, "RIFF") && at(b, 8, "WEBP")) return "image/webp"
     if (at(b, 0, "BM")) return "image/bmp"
     if (at(b, 4, "ftyp")) return "video/mp4"
     if (b.length >= 2 && (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b)

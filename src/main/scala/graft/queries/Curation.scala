@@ -895,7 +895,7 @@ object Curation extends QueryBlock {
           AS body
       FROM d ORDER BY fname, line_no"""
 
-  /** e112/d44: ONE mixed drop directory holding all nine
+  /** e112/d44: ONE mixed drop directory holding all TEN
     * content-routable r12 families side by side — the integration the
     * decoders exist for. Reuses every family's fixture writer
     * verbatim, so the oracle is the UNION of their construction
@@ -911,7 +911,7 @@ object Curation extends QueryBlock {
       writeAvroFixture(s, dir), writeTiffFixture(s, dir),
       writeMp3Fixture(s, dir), writeOggFixture(s, dir),
       writeWebmFixture(s, dir), writeSevenZipFixture(s, dir),
-      writeLz4Fixture(s, dir))
+      writeLz4Fixture(s, dir), writeWebpFixture(s, dir))
     sources.foreach { src =>
       new java.io.File(src).listFiles().foreach { f =>
         java.nio.file.Files.copy(f.toPath,
@@ -973,13 +973,116 @@ object Curation extends QueryBlock {
           'application/x-lz4' AS mime, CAST(10 AS BIGINT) AS n_units
         FROM (SELECT ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS rn
           FROM documents WHERE text IS NOT NULL AND doc_id >= 0 AND doc_id < 40)
-        WHERE rn % 10 = 0)
+        WHERE rn % 10 = 0),
+      webp AS (SELECT 'p' || CAST(doc_id AS VARCHAR) || '.webp' AS fname,
+          'image/webp' AS mime,
+          CAST((8 + doc_id % 5) * (6 + doc_id % 3) AS BIGINT) AS n_units
+        FROM documents WHERE text IS NOT NULL AND doc_id >= 80 AND doc_id < 120)
       SELECT * FROM flac UNION ALL SELECT * FROM sqlite
       UNION ALL SELECT * FROM avro UNION ALL SELECT * FROM tiff
       UNION ALL SELECT * FROM mp3 UNION ALL SELECT * FROM ogg
       UNION ALL SELECT * FROM webm UNION ALL SELECT * FROM sz
-      UNION ALL SELECT * FROM lz4
+      UNION ALL SELECT * FROM lz4 UNION ALL SELECT * FROM webp
       ORDER BY fname"""
+
+  /** e113/d45: one `.webp` (VP8L lossless) per doc over docs 80–120 —
+    * the transform rotating per doc across none / subtract-green /
+    * predictor (mode = doc_id % 14) / color-transform / palette (2–16
+    * colors, exercising every bundling width), geometry rotating too.
+    * Pixels are a closed form of (doc_id, i) so the oracle re-derives
+    * every channel mean; the decoder's strict round-trip makes every
+    * decoded pixel load-bearing.
+    */
+  def writeWebpFixture(s: SparkSession, dir: String): String = {
+    import graft.operators.WebpL
+    val wDir = s"$scratch/webp_${new java.io.File(dir).getName}"
+    val fd = new java.io.File(wDir)
+    java.nio.file.Files.createDirectories(fd.toPath)
+    fd.listFiles().foreach(_.delete())
+    val ids = t(s, dir, "documents")
+      .filter(col("text").isNotNull &&
+        col("doc_id") >= 80 && col("doc_id") < 120)
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    ids.foreach { id =>
+      val w = 8 + (id % 5).toInt
+      val h = 6 + (id % 3).toInt
+      val kind = (id % 5).toInt
+      val pix =
+        if (kind == 4) {
+          val n = 2 + (id % 15).toInt
+          Array.tabulate(w * h) { i =>
+            val j = (i * 13 + id) % n
+            (255 << 24) | ((((j * 37 + id) % 256) << 16) |
+              (((j * 91) % 256).toInt << 8) | ((j * 53) % 256).toInt).toInt
+          }
+        } else Array.tabulate(w * h)(i =>
+          (255 << 24) | (((id * 31 + i * 7) % 256).toInt << 16) |
+            (((id * 17 + i * 11) % 256).toInt << 8) |
+            ((id * 13 + i * 5) % 256).toInt)
+      val bytes = kind match {
+        case 0 => WebpL.makePixels(w, h, pix)
+        case 1 => WebpL.makePixels(w, h, pix, subtractGreen = true)
+        case 2 => WebpL.makePixels(w, h, pix,
+          predictorMode = Some((id % 14).toInt))
+        case 3 => WebpL.makePixels(w, h, pix,
+          colorCte = Some((((id * 3) % 256).toInt, ((id * 5) % 256).toInt,
+            ((id * 7) % 256).toInt)))
+        case _ => WebpL.makePixels(w, h, pix, palette = true)
+      }
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$wDir/p$id.webp"), bytes)
+    }
+    wDir
+  }
+
+  /** e113/d45 shared: binaryFile rows → one stats row per image. */
+  def webpProject(raw: DataFrame): DataFrame =
+    graft.operators.WebpL.parse(raw)
+      .select(col("fname"),
+        regexp_extract(col("fname"), "([0-9]+)", 1)
+          .cast("long").as("doc_id"),
+        col("width"), col("height"),
+        col("mean_a"), col("mean_r"), col("mean_g"), col("mean_b"))
+
+  /** The e113/d45 construction oracle: channel means re-derived from
+    * the (doc_id, i) pixel closed forms — the palette branch goes
+    * through the same index arithmetic the fixture used.
+    */
+  val webpOracleSql: String =
+    """WITH d AS (SELECT doc_id,
+          8 + CAST(doc_id % 5 AS INT) AS w,
+          6 + CAST(doc_id % 3 AS INT) AS h,
+          CAST(doc_id % 5 AS INT) AS kind,
+          2 + CAST(doc_id % 15 AS INT) AS n
+        FROM documents WHERE text IS NOT NULL
+          AND doc_id >= 80 AND doc_id < 120),
+      m AS (SELECT doc_id, w, h, kind,
+          CASE WHEN kind = 4 THEN
+            round(CAST(list_sum(list_transform(generate_series(0, w*h - 1),
+              i -> (((i*13 + doc_id) % n) * 37 + doc_id) % 256)) AS DOUBLE) / (w*h), 6)
+          ELSE
+            round(CAST(list_sum(list_transform(generate_series(0, w*h - 1),
+              i -> (doc_id*31 + i*7) % 256)) AS DOUBLE) / (w*h), 6)
+          END AS mean_r,
+          CASE WHEN kind = 4 THEN
+            round(CAST(list_sum(list_transform(generate_series(0, w*h - 1),
+              i -> (((i*13 + doc_id) % n) * 91) % 256)) AS DOUBLE) / (w*h), 6)
+          ELSE
+            round(CAST(list_sum(list_transform(generate_series(0, w*h - 1),
+              i -> (doc_id*17 + i*11) % 256)) AS DOUBLE) / (w*h), 6)
+          END AS mean_g,
+          CASE WHEN kind = 4 THEN
+            round(CAST(list_sum(list_transform(generate_series(0, w*h - 1),
+              i -> (((i*13 + doc_id) % n) * 53) % 256)) AS DOUBLE) / (w*h), 6)
+          ELSE
+            round(CAST(list_sum(list_transform(generate_series(0, w*h - 1),
+              i -> (doc_id*13 + i*5) % 256)) AS DOUBLE) / (w*h), 6)
+          END AS mean_b
+        FROM d)
+      SELECT 'p' || CAST(doc_id AS VARCHAR) || '.webp' AS fname, doc_id,
+        w AS width, h AS height, CAST(255.0 AS DOUBLE) AS mean_a,
+        mean_r, mean_g, mean_b
+      FROM m ORDER BY doc_id"""
 
   /** e98/d28 shared: binaryFile rows → one typed row per JSONL line. */
   def zstdProject(raw: DataFrame): DataFrame =
@@ -4537,7 +4640,7 @@ object Curation extends QueryBlock {
       Some(lz4OracleSql)),
 
     // E112 — UNIVERSAL mixed-drop ingest (r12): the integration the
-    // format decoders exist for. One directory holds all nine
+    // format decoders exist for. One directory holds all TEN
     // content-routable r12 families side by side (recordings,
     // databases, interchange files, scans, archives, shards);
     // operators.UniversalIngest routes every file by its BYTES
@@ -4549,6 +4652,27 @@ object Curation extends QueryBlock {
     // UNION of the nine families' construction formulas — routing and
     // every decoder must compose exactly or a row diverges. Per-file
     // scan-local sniff + decode, zero shuffle.
+    // E113 — WebP-lossless (VP8L) decode (r12): the web's modern image
+    // format; crawl corpora are increasingly WebP and the lossless
+    // profile carries screenshots/diagrams/UI assets.
+    // operators.WebpL implements the public VP8L bitstream spec from
+    // scratch: LSB-first bitstream, canonical prefix codes (simple AND
+    // code-length-coded with repeats and Kraft-equality completeness
+    // enforced), color cache, meta prefix groups, LZ77 with both the
+    // 120-entry 2D neighbor map and direct distances, and all four
+    // transforms inverted in reverse stream order (subtract-green, all
+    // 14 predictors with hand-golden-pinned tie-break/truncation
+    // arithmetic, the signed color transform, delta-coded palettes
+    // with sub-byte bundling). Lossy VP8 and animations reject loudly.
+    // Per-file scan-local decode, zero shuffle.
+    "e113_webp" -> QueryDef(
+      (s, dir) => {
+        val wDir = writeWebpFixture(s, dir)
+        webpProject(s.read.format("binaryFile").load(wDir))
+          .orderBy(col("doc_id"))
+      },
+      Some(webpOracleSql)),
+
     "e112_universal_ingest" -> QueryDef(
       (s, dir) => {
         val mDir = writeMixedDropFixture(s, dir)

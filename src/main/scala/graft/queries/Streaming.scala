@@ -1402,7 +1402,24 @@ object Streaming extends QueryBlock {
             "d44_sink", mode = "append")
           .orderBy(col("fname"))
       },
-      Some(Curation.mixedDropOracleSql))
+      Some(Curation.mixedDropOracleSql)),
+
+    // D45 — WebP decode as a STREAM (e113's deployment shape: crawled
+    // images landing from a fetch pipeline, the VP8L decode run per
+    // trigger). Within-file decode = pure append map,
+    // slicing-independent, sharing e113's fixture and oracle verbatim.
+    "d45_stream_webp" -> QueryDef(
+      (s, dir) => {
+        val wDir = Curation.writeWebpFixture(s, dir)
+        val raw = s.readStream.format("binaryFile")
+          .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+          .option("maxFilesPerTrigger", "13")
+          .load(wDir)
+        EventStreams.runToTable(s, Curation.webpProject(raw),
+            "d45_sink", mode = "append")
+          .orderBy(col("doc_id"))
+      },
+      Some(Curation.webpOracleSql))
   )
 }
 

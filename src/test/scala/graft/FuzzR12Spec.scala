@@ -129,6 +129,15 @@ class FuzzR12Spec extends AnyFunSuite {
     fuzzOne("7z", arch, b => operators.SevenZip.members(b))
   }
 
+  test("WebpL") {
+    val pix = Array.tabulate(12 * 9)(i =>
+      (255 << 24) | ((i * 7 % 256) << 16) | ((i * 11 % 256) << 8) | (i * 5 % 256))
+    val f = operators.WebpL.makePixels(12, 9, pix,
+      predictorMode = Some(11), colorCte = Some((33, 66, 99)),
+      subtractGreen = true)
+    fuzzOne("webp", f, b => operators.WebpL.decode(b))
+  }
+
   test("Lz4Shards") {
     val p = ("{\"a\":1}\n" * 400).getBytes("UTF-8")
     val f = operators.Lz4Shards.makeFrame(p, blockChecksum = true,
