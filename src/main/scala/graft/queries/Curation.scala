@@ -1084,6 +1084,113 @@ object Curation extends QueryBlock {
         mean_r, mean_g, mean_b
       FROM m ORDER BY doc_id"""
 
+  /** e114/d46: 4 mbox files × 10 messages over docs 200–240 — the
+    * mail-archive shape: subjects rotating through RFC 2047 B / Q /
+    * plain forms, bodies rotating single-part 7bit vs multipart/mixed
+    * (a quoted-printable text part + a base64 text part + a binary
+    * attachment), From-stuffed body lines planted so unstuffing is
+    * load-bearing.
+    */
+  def writeMboxFixture(s: SparkSession, dir: String): String = {
+    import graft.operators.Mbox
+    val mDir = s"$scratch/mbox_${new java.io.File(dir).getName}"
+    val fd = new java.io.File(mDir)
+    java.nio.file.Files.createDirectories(fd.toPath)
+    fd.listFiles().foreach(_.delete())
+    val ids = t(s, dir, "documents")
+      .filter(col("text").isNotNull &&
+        col("doc_id") >= 200 && col("doc_id") < 240)
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    def word(id: Long, k: Int): String =
+      (0 until 3).map(c => ('a' + (id * 41 + k * 43 + c * 47) % 26).toChar).mkString
+    ids.grouped(10).zipWithIndex.foreach { case (group, g) =>
+      val msgs = group.toSeq.map { id =>
+        val subject = (id % 3) match {
+          case 0 => s"=?UTF-8?B?${java.util.Base64.getEncoder
+            .encodeToString(s"Ré doc $id".getBytes("UTF-8"))}?="
+          case 1 => s"=?ISO-8859-1?Q?caf=E9_doc_$id?="
+          case _ => s"plain doc $id"
+        }
+        val body = if (id % 2 == 0) {
+          val qp = Mbox.qpEncode(s"qp a=b doc $id")
+          val b64 = Mbox.b64Encode(s"b64 doc $id ${word(id, 0)} ${word(id, 1)}")
+          s"""Content-Type: multipart/mixed; boundary="b$id"
+             |
+             |--b$id
+             |Content-Type: text/plain; charset=utf-8
+             |Content-Transfer-Encoding: quoted-printable
+             |
+             |$qp
+             |--b$id
+             |Content-Type: text/plain; charset=utf-8
+             |Content-Transfer-Encoding: base64
+             |
+             |$b64
+             |--b$id
+             |Content-Type: application/octet-stream
+             |Content-Transfer-Encoding: base64
+             |
+             |AAECAwQF
+             |--b$id--""".stripMargin
+        } else {
+          s"""Content-Type: text/plain; charset=us-ascii
+             |
+             |plain body doc $id ${word(id, 2)}
+             |>From stuffing survives""".stripMargin
+        }
+        s"""From user$id@example.com Thu Jan  1 00:00:00 2026
+           |From: user$id@example.com
+           |Subject: $subject
+           |Date: Thu, 1 Jan 2026 00:00:00 +0000
+           |$body""".stripMargin
+      }
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(f"$mDir/m$g%02d.mbox"),
+        msgs.mkString("\n").getBytes("UTF-8"))
+    }
+    mDir
+  }
+
+  /** e114/d46 shared: binaryFile rows → one row per message. */
+  def mboxProject(raw: DataFrame): DataFrame =
+    graft.operators.Mbox.parse(raw)
+      .select(col("fname"), col("msg_idx"),
+        regexp_extract(col("from_addr"), "([0-9]+)", 1)
+          .cast("long").as("doc_id"),
+        col("from_addr"), col("subject"), col("n_parts"), col("text"))
+
+  /** The e114/d46 construction oracle: decoded subjects (through both
+    * RFC 2047 forms), part counts and assembled text in closed form.
+    */
+  val mboxOracleSql: String =
+    """WITH d AS (SELECT doc_id,
+          ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS rn
+        FROM documents WHERE text IS NOT NULL
+          AND doc_id >= 200 AND doc_id < 240),
+      w AS (SELECT doc_id, rn,
+          array_to_string(list_transform(generate_series(0, 2),
+            k -> array_to_string(list_transform(generate_series(0, 2),
+              c -> chr(CAST(97 + (doc_id * 41 + k * 43 + c * 47) % 26 AS INT))), '')),
+            ' ') AS words
+        FROM d)
+      SELECT 'm' || lpad(CAST(rn // 10 AS VARCHAR), 2, '0') || '.mbox' AS fname,
+        CAST(rn % 10 AS INTEGER) AS msg_idx, doc_id,
+        'user' || CAST(doc_id AS VARCHAR) || '@example.com' AS from_addr,
+        CASE CAST(doc_id % 3 AS INT)
+          WHEN 0 THEN 'Ré doc ' || CAST(doc_id AS VARCHAR)
+          WHEN 1 THEN 'café doc ' || CAST(doc_id AS VARCHAR)
+          ELSE 'plain doc ' || CAST(doc_id AS VARCHAR) END AS subject,
+        CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS n_parts,
+        CASE WHEN doc_id % 2 = 0 THEN
+          'qp a=b doc ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+          'b64 doc ' || CAST(doc_id AS VARCHAR) || ' ' ||
+            string_split(words, ' ')[1] || ' ' || string_split(words, ' ')[2]
+        ELSE
+          'plain body doc ' || CAST(doc_id AS VARCHAR) || ' ' ||
+            string_split(words, ' ')[3] || chr(10) ||
+          'From stuffing survives' END AS text
+      FROM w ORDER BY fname, msg_idx"""
+
   /** e98/d28 shared: binaryFile rows → one typed row per JSONL line. */
   def zstdProject(raw: DataFrame): DataFrame =
     graft.operators.ZstdShards.parse(raw)
@@ -4672,6 +4779,27 @@ object Curation extends QueryBlock {
           .orderBy(col("doc_id"))
       },
       Some(webpOracleSql)),
+
+    // E114 — mbox/MIME mail ingest (r12): mailing-list archives are a
+    // classic pretraining source (kernel lists, Apache archives,
+    // Usenet exports, corporate-mail corpora) and ship as mbox files
+    // of MIME messages. operators.Mbox implements RFC 4155 + 5322 +
+    // 2045/2046 + 2047 from scratch: postmark framing with one-level
+    // From-unstuffing, header folding, RFC 2047 encoded words (B and
+    // Q, charsets honored, adjacent-word joining), multipart recursion
+    // with exact boundary-line matching and preamble/epilogue
+    // discard, and STRICT quoted-printable + base64 (the JDK MIME
+    // decoder silently skips garbage — exactly the leniency this
+    // engine rejects). text/plain parts decode per charset and
+    // concatenate; other parts are counted, not guessed at. Per-file
+    // scan-local parse, zero shuffle.
+    "e114_mbox" -> QueryDef(
+      (s, dir) => {
+        val mDir = writeMboxFixture(s, dir)
+        mboxProject(s.read.format("binaryFile").load(mDir))
+          .orderBy(col("fname"), col("msg_idx"))
+      },
+      Some(mboxOracleSql)),
 
     "e112_universal_ingest" -> QueryDef(
       (s, dir) => {

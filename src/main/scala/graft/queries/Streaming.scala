@@ -1419,7 +1419,24 @@ object Streaming extends QueryBlock {
             "d45_sink", mode = "append")
           .orderBy(col("doc_id"))
       },
-      Some(Curation.webpOracleSql))
+      Some(Curation.webpOracleSql)),
+
+    // D46 — mbox/MIME ingest as a STREAM (e114's deployment shape:
+    // archive files landing from a list-server export, messages parsed
+    // per trigger). Within-file parse = pure append map,
+    // slicing-independent, sharing e114's fixture and oracle verbatim.
+    "d46_stream_mbox" -> QueryDef(
+      (s, dir) => {
+        val mDir = Curation.writeMboxFixture(s, dir)
+        val raw = s.readStream.format("binaryFile")
+          .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+          .option("maxFilesPerTrigger", "2")
+          .load(mDir)
+        EventStreams.runToTable(s, Curation.mboxProject(raw),
+            "d46_sink", mode = "append")
+          .orderBy(col("fname"), col("msg_idx"))
+      },
+      Some(Curation.mboxOracleSql))
   )
 }
 

@@ -138,6 +138,16 @@ class FuzzR12Spec extends AnyFunSuite {
     fuzzOne("webp", f, b => operators.WebpL.decode(b))
   }
 
+  test("Mbox") {
+    val m = ("From a@x Thu Jan  1 00:00:00 2026\n" +
+      "From: a@x\nSubject: =?UTF-8?B?aGk=?=\n" +
+      "Content-Type: multipart/mixed; boundary=bb\n\n" +
+      "--bb\nContent-Type: text/plain\nContent-Transfer-Encoding: quoted-printable\n\n" +
+      "a=3Db\n--bb\nContent-Transfer-Encoding: base64\n\naGVsbG8=\n--bb--\n")
+      .getBytes("ISO-8859-1")
+    fuzzOne("mbox", m, b => operators.Mbox.messages(b))
+  }
+
   test("Lz4Shards") {
     val p = ("{\"a\":1}\n" * 400).getBytes("UTF-8")
     val f = operators.Lz4Shards.makeFrame(p, blockChecksum = true,
