@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** OpenDocument Text extraction — the open-standard office format
+  * ([[Docx]]'s ISO 26300 sibling): LibreOffice output, EU and
+  * government document archives, and public-records portals publish
+  * `.odt`. Like EPUB and DOCX, an ODT is a zip package with declared
+  * structure, so this is a COMPOSITION: the CRC-verifying
+  * [[ZipArchive]] walk plus the scoped-regex XML discipline.
+  *
+  * Package validation (ODF 1.2 part 3, reject-don't-guess):
+  *  - the `mimetype` entry must be the FIRST physical entry, STORED,
+  *    with exactly `application/vnd.oasis.opendocument.text` (the
+  *    same magic-sniffing contract EPUB's OCF has);
+  *  - `content.xml` must exist — the document body lives there;
+  *  - any underlying zip inconsistency rejects the whole file.
+  *
+  * Text semantics (ODF part 1 §6 whitespace model — the part naive
+  * extractors corrupt):
+  *  - one row per `<text:p>` paragraph and per `<text:h>` heading, in
+  *    document order, with inline markup (`<text:span>`, links)
+  *    stripped and entities decoded;
+  *  - `<text:s text:c="N"/>` expands to N spaces (ODF collapses
+  *    literal runs — the element IS the whitespace), `<text:tab/>` is
+  *    TAB, `<text:line-break/>` is LF;
+  *  - XML comments strip before any scan (the DOCX/EPUB rule);
+  *  - `<office:annotation>` bodies never emit — they are reviewer
+  *    notes, not document text (the tracked-deletion lesson).
+  *
+  * Shape at 100 TB: per-file parallelism, scan-local walk, zero
+  * shuffle.
+  */
+object Odt {
+
+  private val OdtMime = "application/vnd.oasis.opendocument.text"
+
+  private val CommentR = "(?s)<!--.*?-->".r
+  private val AnnotationR = "(?s)<office:annotation(?:\\s[^>]*)?>.*?</office:annotation>".r
+  private val ParaR =
+    "(?s)<text:(p|h)(?:\\s[^>]*)?/>|<text:(p|h)(?:\\s[^>]*)?>.*?</text:\\2>".r
+  private val LeafR =
+    "(?s)<text:s(?:\\s[^>]*)?/>|<text:tab\\s*/>|<text:line-break\\s*/>|<[^>]+>|([^<]+)".r
+  private val CountR = "text:c=\"([0-9]+)\"".r
+
+  /** (isHeading, text) per paragraph, document order; None on any
+    * package violation.
+    */
+  def paragraphs(zipBytes: Array[Byte]): Option[Vector[(Boolean, String)]] = {
+    // mimetype PHYSICALLY first (stored, the exact ODF media type) —
+    // the Epub check verbatim: read the first local header directly,
+    // since central-directory order may be legally permuted
+    if (zipBytes == null || zipBytes.length < 38 ||
+      zipBytes(0) != 'P' || zipBytes(1) != 'K' ||
+      zipBytes(2) != 3 || zipBytes(3) != 4 ||
+      (zipBytes(8) & 0xff) != 0 || (zipBytes(9) & 0xff) != 0 || // stored
+      (zipBytes(26) & 0xff) != 8 || (zipBytes(27) & 0xff) != 0 ||
+      new String(zipBytes, 30, 8,
+        java.nio.charset.StandardCharsets.US_ASCII) != "mimetype")
+      return None
+    val ms = ZipArchive.members(zipBytes).getOrElse(return None)
+    val mime = ms.find(_.name == "mimetype").getOrElse(return None)
+    if (mime.method != 0 ||
+      new String(mime.data, "ISO-8859-1") != OdtMime) return None
+    val content = ms.find(_.name == "content.xml").getOrElse(return None)
+    val xml0 = new String(content.data, java.nio.charset.StandardCharsets.UTF_8)
+    // comments strip to EMPTY here (not the DOCX " "): in ODT the
+    // replacement can land inside bare paragraph text, where a space
+    // would be fabricated content
+    val xml = AnnotationR.replaceAllIn(CommentR.replaceAllIn(xml0, ""), "")
+    val out = Vector.newBuilder[(Boolean, String)]
+    ParaR.findAllMatchIn(xml).foreach { pm =>
+      val isHeading = (if (pm.group(1) != null) pm.group(1) else pm.group(2)) == "h"
+      val sb = new StringBuilder
+      LeafR.findAllMatchIn(pm.matched).foreach { m =>
+        val tok = m.matched
+        if (m.group(1) != null) sb.append(Docx.unescape(m.group(1)))
+        // "<text:s" alone would also match <text:span> open tags — the
+        // element name must END there (self-close or attributes)
+        else if (tok.startsWith("<text:s/") || tok.startsWith("<text:s ") ||
+          tok.startsWith("<text:s\t")) {
+          val n = CountR.findFirstMatchIn(tok).map(_.group(1).toInt).getOrElse(1)
+          if (n < 0 || n > 65536) return None
+          sb.append(" " * n)
+        }
+        else if (tok.startsWith("<text:tab")) sb.append('\t')
+        else if (tok.startsWith("<text:line-break")) sb.append('\n')
+        // other tags: inline markup, stripped
+      }
+      // drop the element's own name remnants: the paragraph match
+      // includes its open/close tags, which the tag branch strips
+      out += isHeading -> sb.toString
+    }
+    Some(out.result())
+  }
+
+  val schema: StructType = StructType(Seq(
+    StructField("fname", StringType),
+    StructField("para_idx", IntegerType),
+    StructField("heading", BooleanType),
+    StructField("text", StringType)))
+
+  /** binaryFile-shaped relation of `.odt` files → one row per
+    * paragraph/heading. A malformed file contributes zero rows.
+    */
+  def parse(raw: DataFrame): DataFrame = {
+    val input = raw.select(
+      regexp_extract(col("path"), "([^/]+)$", 1).as("fname"), col("content"))
+    input.mapPartitions { it =>
+      it.flatMap { r =>
+        val fname = r.getString(0)
+        paragraphs(r.getAs[Array[Byte]](1)) match {
+          case Some(ps) => ps.iterator.zipWithIndex.map { case ((h, t), i) =>
+            Row(fname, i, h, t)
+          }
+          case None => Iterator.empty
+        }
+      }
+    }(RowEncoder.encoderFor(schema))
+  }
+
+  private def esc(s: String): String = s
+    .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+  /** Fixture writer: headings + paragraphs with spans, expanded
+    * spaces, tabs, line breaks, a planted annotation and a
+    * commented-out paragraph that must never emit.
+    */
+  def makeOdt(paras: Seq[(Boolean, String)]): Array[Byte] = {
+    val body = paras.zipWithIndex.map { case ((isHeading, p), i) =>
+      val tag = if (isHeading) "text:h" else "text:p"
+      val cut = if (p.isEmpty) 0 else (p.length / 2).max(1)
+      val (a, b) = p.splitAt(cut)
+      s"""      <$tag text:style-name="P$i"><text:span text:style-name="T1">${esc(a)}</text:span>""" +
+        s"""<office:annotation><text:p>NOTE-$i</text:p></office:annotation>""" +
+        s"""<!-- <text:p>GHOST-$i</text:p> -->""" +
+        s"""${esc(b)}</$tag>"""
+    }.mkString("\n")
+    val contentXml =
+      s"""<?xml version="1.0" encoding="UTF-8"?>
+         |<office:document-content xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0"
+         |    xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0">
+         |  <office:body>
+         |    <office:text>
+         |$body
+         |    </office:text>
+         |  </office:body>
+         |</office:document-content>""".stripMargin
+    ZipArchive.makeZip(Seq(
+      ("mimetype", OdtMime.getBytes("ISO-8859-1"), false), // STORED, first
+      ("content.xml", contentXml.getBytes("UTF-8"), true),
+      ("meta.xml", "<office:document-meta/>".getBytes("UTF-8"), true)))
+  }
+}

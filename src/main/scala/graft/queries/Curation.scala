@@ -1191,6 +1191,62 @@ object Curation extends QueryBlock {
           'From stuffing survives' END AS text
       FROM w ORDER BY fname, msg_idx"""
 
+  /** e115/d47: 8 `.odt` files × 5 paragraphs over docs 280–320 — the
+    * DOCX fixture pattern on the open-standard sibling: entity-bearing
+    * text split across spans, planted annotations and commented-out
+    * paragraphs that must never emit, the first paragraph per file a
+    * heading.
+    */
+  def writeOdtFixture(s: SparkSession, dir: String): String = {
+    import graft.operators.Odt
+    val oDir = s"$scratch/odt_${new java.io.File(dir).getName}"
+    val fd = new java.io.File(oDir)
+    java.nio.file.Files.createDirectories(fd.toPath)
+    fd.listFiles().foreach(_.delete())
+    val ids = t(s, dir, "documents")
+      .filter(col("text").isNotNull &&
+        col("doc_id") >= 280 && col("doc_id") < 320)
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    def word(id: Long, k: Int): String =
+      (0 until 3).map(c => ('a' + (id * 53 + k * 59 + c * 61) % 26).toChar).mkString
+    ids.grouped(5).zipWithIndex.foreach { case (group, g) =>
+      val paras = group.toSeq.zipWithIndex.map { case (id, j) =>
+        val ws = (0 until 5).map(k => word(id, k)).mkString(" ")
+        (j == 0, s"Para $id $ws a&b <q>")
+      }
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(f"$oDir/o$g%02d.odt"),
+        Odt.makeOdt(paras))
+    }
+    oDir
+  }
+
+  /** e115/d47 shared: binaryFile rows → one row per paragraph. */
+  def odtProject(raw: DataFrame): DataFrame =
+    graft.operators.Odt.parse(raw)
+      .select(col("fname"), col("para_idx"), col("heading"),
+        regexp_extract(col("text"), "Para ([0-9]+)", 1)
+          .cast("long").as("doc_id"),
+        col("text"))
+
+  /** The e115/d47 construction oracle. */
+  val odtOracleSql: String =
+    """WITH d AS (SELECT doc_id,
+          ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS rn
+        FROM documents WHERE text IS NOT NULL
+          AND doc_id >= 280 AND doc_id < 320),
+      w AS (SELECT doc_id, rn,
+          array_to_string(list_transform(generate_series(0, 4),
+            k -> array_to_string(list_transform(generate_series(0, 2),
+              c -> chr(CAST(97 + (doc_id * 53 + k * 59 + c * 61) % 26 AS INT))), '')),
+            ' ') AS words
+        FROM d)
+      SELECT 'o' || lpad(CAST(rn // 5 AS VARCHAR), 2, '0') || '.odt' AS fname,
+        CAST(rn % 5 AS INTEGER) AS para_idx,
+        (rn % 5 = 0) AS heading, doc_id,
+        'Para ' || CAST(doc_id AS VARCHAR) || ' ' || words || ' a&b <q>' AS text
+      FROM w ORDER BY fname, para_idx"""
+
   /** e98/d28 shared: binaryFile rows → one typed row per JSONL line. */
   def zstdProject(raw: DataFrame): DataFrame =
     graft.operators.ZstdShards.parse(raw)
@@ -4800,6 +4856,25 @@ object Curation extends QueryBlock {
           .orderBy(col("fname"), col("msg_idx"))
       },
       Some(mboxOracleSql)),
+
+    // E115 — OpenDocument Text ingest (r12): the open-standard office
+    // sibling of e101's DOCX — LibreOffice output, EU and government
+    // archives, public-records portals publish .odt. operators.Odt
+    // composes the CRC-verifying zip walk (ODF's OCF-style
+    // mimetype-first/stored/exact-content discipline checked against
+    // the PHYSICAL first local header) with the ODF whitespace model:
+    // text:s expands by its count (the element IS the whitespace),
+    // text:tab/line-break render, spans strip, entities decode, and
+    // office:annotation bodies plus commented-out paragraphs never
+    // emit (the tracked-deletion lesson). Per-file scan-local walk,
+    // zero shuffle.
+    "e115_odt" -> QueryDef(
+      (s, dir) => {
+        val oDir = writeOdtFixture(s, dir)
+        odtProject(s.read.format("binaryFile").load(oDir))
+          .orderBy(col("fname"), col("para_idx"))
+      },
+      Some(odtOracleSql)),
 
     "e112_universal_ingest" -> QueryDef(
       (s, dir) => {

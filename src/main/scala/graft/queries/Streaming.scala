@@ -1436,7 +1436,24 @@ object Streaming extends QueryBlock {
             "d46_sink", mode = "append")
           .orderBy(col("fname"), col("msg_idx"))
       },
-      Some(Curation.mboxOracleSql))
+      Some(Curation.mboxOracleSql)),
+
+    // D47 — ODT ingest as a STREAM (e115's deployment shape: document
+    // drops landing in a directory, the package walk run per trigger).
+    // Within-file decode = pure append map, slicing-independent,
+    // sharing e115's fixture and oracle verbatim.
+    "d47_stream_odt" -> QueryDef(
+      (s, dir) => {
+        val oDir = Curation.writeOdtFixture(s, dir)
+        val raw = s.readStream.format("binaryFile")
+          .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+          .option("maxFilesPerTrigger", "3")
+          .load(oDir)
+        EventStreams.runToTable(s, Curation.odtProject(raw),
+            "d47_sink", mode = "append")
+          .orderBy(col("fname"), col("para_idx"))
+      },
+      Some(Curation.odtOracleSql))
   )
 }
 

@@ -148,6 +148,11 @@ class FuzzR12Spec extends AnyFunSuite {
     fuzzOne("mbox", m, b => operators.Mbox.messages(b))
   }
 
+  test("Odt") {
+    fuzzOne("odt", operators.Odt.makeOdt(Seq((true, "Head"), (false, "body & more"))),
+      b => operators.Odt.paragraphs(b))
+  }
+
   test("Lz4Shards") {
     val p = ("{\"a\":1}\n" * 400).getBytes("UTF-8")
     val f = operators.Lz4Shards.makeFrame(p, blockChecksum = true,
