@@ -1247,6 +1247,63 @@ object Curation extends QueryBlock {
         'Para ' || CAST(doc_id AS VARCHAR) || ' ' || words || ' a&b <q>' AS text
       FROM w ORDER BY fname, para_idx"""
 
+  /** e116/d48: 8 `.rtf` files × 5 paragraphs over docs 320–360 — the
+    * fixture writer routes each paragraph's text through a MIX of
+    * plain runs, cp1252 `\'hh` escapes (every 7th char), `\uN`
+    * unicode escapes with planted fallbacks, and brace/backslash
+    * escaping, with a font table, an ignorable destination, an info
+    * block and a `\bin` picture (hostile braces inside) planted per
+    * file. The non-ASCII é exercises the unicode path in every row.
+    */
+  def writeRtfFixture(s: SparkSession, dir: String): String = {
+    import graft.operators.Rtf
+    val rDir = s"$scratch/rtf_${new java.io.File(dir).getName}"
+    val fd = new java.io.File(rDir)
+    java.nio.file.Files.createDirectories(fd.toPath)
+    fd.listFiles().foreach(_.delete())
+    val ids = t(s, dir, "documents")
+      .filter(col("text").isNotNull &&
+        col("doc_id") >= 320 && col("doc_id") < 360)
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    def word(id: Long, k: Int): String =
+      (0 until 3).map(c => ('a' + (id * 71 + k * 73 + c * 79) % 26).toChar).mkString
+    ids.grouped(5).zipWithIndex.foreach { case (group, g) =>
+      val paras = group.toSeq.map { id =>
+        val ws = (0 until 4).map(k => word(id, k)).mkString(" ")
+        s"Para $id $ws café {x}"
+      }
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(f"$rDir/r$g%02d.rtf"),
+        Rtf.makeRtf(paras))
+    }
+    rDir
+  }
+
+  /** e116/d48 shared: binaryFile rows → one row per paragraph. */
+  def rtfProject(raw: DataFrame): DataFrame =
+    graft.operators.Rtf.parse(raw)
+      .select(col("fname"), col("para_idx"),
+        regexp_extract(col("text"), "Para ([0-9]+)", 1)
+          .cast("long").as("doc_id"),
+        col("text"))
+
+  /** The e116/d48 construction oracle. */
+  val rtfOracleSql: String =
+    """WITH d AS (SELECT doc_id,
+          ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS rn
+        FROM documents WHERE text IS NOT NULL
+          AND doc_id >= 320 AND doc_id < 360),
+      w AS (SELECT doc_id, rn,
+          array_to_string(list_transform(generate_series(0, 3),
+            k -> array_to_string(list_transform(generate_series(0, 2),
+              c -> chr(CAST(97 + (doc_id * 71 + k * 73 + c * 79) % 26 AS INT))), '')),
+            ' ') AS words
+        FROM d)
+      SELECT 'r' || lpad(CAST(rn // 5 AS VARCHAR), 2, '0') || '.rtf' AS fname,
+        CAST(rn % 5 AS INTEGER) AS para_idx, doc_id,
+        'Para ' || CAST(doc_id AS VARCHAR) || ' ' || words || ' café {x}' AS text
+      FROM w ORDER BY fname, para_idx"""
+
   /** e98/d28 shared: binaryFile rows → one typed row per JSONL line. */
   def zstdProject(raw: DataFrame): DataFrame =
     graft.operators.ZstdShards.parse(raw)
@@ -4875,6 +4932,27 @@ object Curation extends QueryBlock {
           .orderBy(col("fname"), col("para_idx"))
       },
       Some(odtOracleSql)),
+
+    // E116 — RTF text extraction (r12): the legacy office format
+    // legal archives, court-records dumps and decades of institutional
+    // documents ship. operators.Rtf implements the public spec's token
+    // model from scratch: balanced groups with per-group state
+    // (unbalanced files reject — a truncated RTF silently loses
+    // trailing text otherwise), control words with their delimiter
+    // rules, cp1252 hex escapes, \uN unicode with the \ucN fallback
+    // discipline (group-scoped, restored on close), non-text
+    // destinations (fonttbl/colortbl/info/pict/...) and the {\*\...}
+    // ignorable form skipped entirely, field RESULTS kept while field
+    // instructions drop, and \binN raw bytes skipped BLIND — hostile
+    // braces inside binary data must not desync the parse. Per-file
+    // scan-local parse, zero shuffle.
+    "e116_rtf" -> QueryDef(
+      (s, dir) => {
+        val rDir = writeRtfFixture(s, dir)
+        rtfProject(s.read.format("binaryFile").load(rDir))
+          .orderBy(col("fname"), col("para_idx"))
+      },
+      Some(rtfOracleSql)),
 
     "e112_universal_ingest" -> QueryDef(
       (s, dir) => {

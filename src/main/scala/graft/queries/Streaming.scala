@@ -1453,7 +1453,24 @@ object Streaming extends QueryBlock {
             "d47_sink", mode = "append")
           .orderBy(col("fname"), col("para_idx"))
       },
-      Some(Curation.odtOracleSql))
+      Some(Curation.odtOracleSql)),
+
+    // D48 — RTF extraction as a STREAM (e116's deployment shape:
+    // legacy-document drops landing in a directory, parsed per
+    // trigger). Within-file parse = pure append map,
+    // slicing-independent, sharing e116's fixture and oracle verbatim.
+    "d48_stream_rtf" -> QueryDef(
+      (s, dir) => {
+        val rDir = Curation.writeRtfFixture(s, dir)
+        val raw = s.readStream.format("binaryFile")
+          .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+          .option("maxFilesPerTrigger", "3")
+          .load(rDir)
+        EventStreams.runToTable(s, Curation.rtfProject(raw),
+            "d48_sink", mode = "append")
+          .orderBy(col("fname"), col("para_idx"))
+      },
+      Some(Curation.rtfOracleSql))
   )
 }
 

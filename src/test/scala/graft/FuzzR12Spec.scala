@@ -153,6 +153,11 @@ class FuzzR12Spec extends AnyFunSuite {
       b => operators.Odt.paragraphs(b))
   }
 
+  test("Rtf") {
+    fuzzOne("rtf", operators.Rtf.makeRtf(Seq("one café {x}", "two \\ back")),
+      b => operators.Rtf.paragraphs(b))
+  }
+
   test("Lz4Shards") {
     val p = ("{\"a\":1}\n" * 400).getBytes("UTF-8")
     val f = operators.Lz4Shards.makeFrame(p, blockChecksum = true,
