@@ -72,6 +72,7 @@ object Odt {
     // would be fabricated content
     val xml = AnnotationR.replaceAllIn(CommentR.replaceAllIn(xml0, ""), "")
     val out = Vector.newBuilder[(Boolean, String)]
+    var totalChars = 0L
     ParaR.findAllMatchIn(xml).foreach { pm =>
       val isHeading = (if (pm.group(1) != null) pm.group(1) else pm.group(2)) == "h"
       val sb = new StringBuilder
@@ -85,6 +86,10 @@ object Odt {
           val n = CountR.findFirstMatchIn(tok).map(_.group(1).toInt).getOrElse(1)
           if (n < 0 || n > 65536) return None
           sb.append(" " * n)
+          // bomb cap: a small file declaring thousands of 64k-space
+          // runs must not materialize gigabytes
+          totalChars += n
+          if (totalChars > (64L << 20)) return None
         }
         else if (tok.startsWith("<text:tab")) sb.append('\t')
         else if (tok.startsWith("<text:line-break")) sb.append('\n')
@@ -92,6 +97,8 @@ object Odt {
       }
       // drop the element's own name remnants: the paragraph match
       // includes its open/close tags, which the tag branch strips
+      totalChars += sb.length
+      if (totalChars > (64L << 20)) return None
       out += isHeading -> sb.toString
     }
     Some(out.result())

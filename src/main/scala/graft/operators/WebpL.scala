@@ -91,9 +91,13 @@ object WebpL {
     // build canonical codes: sort by (length, symbol), assign
     // consecutive codes per RFC 1951
     private val maxLen = lengths.max
-    val left = new Array[Int](1024 * 4)
-    val right = new Array[Int](1024 * 4)
-    val symbol = new Array[Int](1024 * 4)
+    // a binary tree over L leaves has at most 2L-1 nodes; the green
+    // alphabet with an 11-bit color cache reaches 2328 symbols, so a
+    // fixed 4096-node pool would wrongly reject legal dense codes
+    private val cap = 2 * lengths.length + 16
+    val left = new Array[Int](cap)
+    val right = new Array[Int](cap)
+    val symbol = new Array[Int](cap)
     java.util.Arrays.fill(symbol, -1)
     java.util.Arrays.fill(left, 0)
     java.util.Arrays.fill(right, 0)
