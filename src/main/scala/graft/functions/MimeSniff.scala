@@ -66,10 +66,19 @@ object MimeSniff {
     if (at(b, 4, "ftyp")) return "video/mp4"
     if (b.length >= 2 && (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b)
       return "application/gzip"
-    if (b.length >= 4 && at(b, 0, "PK") && (b(2) & 0xff) <= 0x07)
+    if (b.length >= 4 && at(b, 0, "PK") && (b(2) & 0xff) <= 0x07) {
+      // OCF/ODF packages are DESIGNED to be sniffable: a stored
+      // "mimetype" first entry puts the media type at fixed offset 38
+      if (at(b, 30, "mimetype")) {
+        if (at(b, 38, "application/epub+zip")) return "application/epub+zip"
+        if (at(b, 38, "application/vnd.oasis.opendocument.text"))
+          return "application/vnd.oasis.opendocument.text"
+      }
       return "application/zip"
+    }
     if (at(b, 257, "ustar")) return "application/x-tar"
     if (at(b, 0, "WARC/")) return "application/warc"
+    if (at(b, 0, "{\\rtf")) return "application/rtf"
     // r12 decoder family
     if (at(b, 0, "fLaC")) return "audio/flac"
     if (at(b, 0, "OggS")) return "audio/ogg"

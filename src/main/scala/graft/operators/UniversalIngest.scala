@@ -52,6 +52,10 @@ object UniversalIngest {
         Lz4Shards.decompress(bytes)
           .map(b => b.count(_ == '\n'.toByte).toLong)
       case "application/zip" => ZipArchive.members(bytes).map(_.length.toLong)
+      case "application/rtf" => Rtf.paragraphs(bytes).map(_.length.toLong)
+      case "application/vnd.oasis.opendocument.text" =>
+        Odt.paragraphs(bytes).map(_.length.toLong)
+      case "application/epub+zip" => Epub.chapters(bytes).map(_.length.toLong)
       case _ => None
     }
     n.map(mime -> _)

@@ -895,7 +895,7 @@ object Curation extends QueryBlock {
           AS body
       FROM d ORDER BY fname, line_no"""
 
-  /** e112/d44: ONE mixed drop directory holding all TEN
+  /** e112/d44: ONE mixed drop directory holding all TWELVE
     * content-routable r12 families side by side — the integration the
     * decoders exist for. Reuses every family's fixture writer
     * verbatim, so the oracle is the UNION of their construction
@@ -911,7 +911,8 @@ object Curation extends QueryBlock {
       writeAvroFixture(s, dir), writeTiffFixture(s, dir),
       writeMp3Fixture(s, dir), writeOggFixture(s, dir),
       writeWebmFixture(s, dir), writeSevenZipFixture(s, dir),
-      writeLz4Fixture(s, dir), writeWebpFixture(s, dir))
+      writeLz4Fixture(s, dir), writeWebpFixture(s, dir),
+      writeRtfFixture(s, dir), writeOdtFixture(s, dir))
     sources.foreach { src =>
       new java.io.File(src).listFiles().foreach { f =>
         java.nio.file.Files.copy(f.toPath,
@@ -977,12 +978,26 @@ object Curation extends QueryBlock {
       webp AS (SELECT 'p' || CAST(doc_id AS VARCHAR) || '.webp' AS fname,
           'image/webp' AS mime,
           CAST((8 + doc_id % 5) * (6 + doc_id % 3) AS BIGINT) AS n_units
-        FROM documents WHERE text IS NOT NULL AND doc_id >= 80 AND doc_id < 120)
+        FROM documents WHERE text IS NOT NULL AND doc_id >= 80 AND doc_id < 120),
+      rtf AS (SELECT 'r' || lpad(CAST(rn // 5 AS VARCHAR), 2, '0')
+            || '.rtf' AS fname,
+          'application/rtf' AS mime, CAST(5 AS BIGINT) AS n_units
+        FROM (SELECT ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS rn
+          FROM documents WHERE text IS NOT NULL AND doc_id >= 320 AND doc_id < 360)
+        WHERE rn % 5 = 0),
+      odt AS (SELECT 'o' || lpad(CAST(rn // 5 AS VARCHAR), 2, '0')
+            || '.odt' AS fname,
+          'application/vnd.oasis.opendocument.text' AS mime,
+          CAST(5 AS BIGINT) AS n_units
+        FROM (SELECT ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS rn
+          FROM documents WHERE text IS NOT NULL AND doc_id >= 280 AND doc_id < 320)
+        WHERE rn % 5 = 0)
       SELECT * FROM flac UNION ALL SELECT * FROM sqlite
       UNION ALL SELECT * FROM avro UNION ALL SELECT * FROM tiff
       UNION ALL SELECT * FROM mp3 UNION ALL SELECT * FROM ogg
       UNION ALL SELECT * FROM webm UNION ALL SELECT * FROM sz
       UNION ALL SELECT * FROM lz4 UNION ALL SELECT * FROM webp
+      UNION ALL SELECT * FROM rtf UNION ALL SELECT * FROM odt
       ORDER BY fname"""
 
   /** e113/d45: one `.webp` (VP8L lossless) per doc over docs 80–120 —
@@ -4860,7 +4875,7 @@ object Curation extends QueryBlock {
       Some(lz4OracleSql)),
 
     // E112 — UNIVERSAL mixed-drop ingest (r12): the integration the
-    // format decoders exist for. One directory holds all TEN
+    // format decoders exist for. One directory holds all TWELVE
     // content-routable r12 families side by side (recordings,
     // databases, interchange files, scans, archives, shards);
     // operators.UniversalIngest routes every file by its BYTES

@@ -83,6 +83,16 @@ class MimeSniffSpec extends AnyFunSuite {
     assert(m(bytes(0xFF, 0xD8, 0xFF, 0xE0)) === "image/jpeg")
     // 'BZh' without a legal level digit is not bzip2
     assert(m("BZhX".getBytes("ISO-8859-1")) !== "application/x-bzip2")
+    // RTF prefix
+    assert(m("{\\rtf1 x}".getBytes("ISO-8859-1")) === "application/rtf")
+    // the DESIGNED package sniff: mimetype content at fixed offset 38
+    val odt = graft.operators.Odt.makeOdt(Seq((false, "x")))
+    assert(m(odt) === "application/vnd.oasis.opendocument.text")
+    val epub = graft.operators.Epub.makeEpub(Seq(("c1.xhtml", "<html><body><p>x</p></body></html>")))
+    assert(m(epub) === "application/epub+zip")
+    // a plain zip (no mimetype-first entry) stays zip
+    assert(m(graft.operators.ZipArchive.makeZip(Seq(
+      ("a.txt", "hi".getBytes("UTF-8"), true)))) === "application/zip")
   }
 
   test("never throws on truncations and soup") {
