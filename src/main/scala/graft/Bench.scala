@@ -440,7 +440,16 @@ object Bench {
           || !ensureSfData("10", Sf10Dir)) ""
       else s""","sf10":${interleavedGate(spark, Sf10Dir, 3, None)}"""
 
-    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":${fmt(results)},"queries_static":${fmt(resultsStatic)},"total_static_sec":$totalStatic%.4f,"floor_sec":$floor%.4f$floorAdjField$sf1Field$sf3Field$sf10Field,"sf":"$sfDir"}""")
+    val jsonLine = f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":${fmt(results)},"queries_static":${fmt(resultsStatic)},"total_static_sec":$totalStatic%.4f,"floor_sec":$floor%.4f$floorAdjField$sf1Field$sf3Field$sf10Field,"sf":"$sfDir"}"""
+    println(jsonLine)
+    // Also persist to target/bench.json: a truncated stdout capture
+    // (sbt log interleaving) must not lose the round's bench artifact.
+    try {
+      val out = java.nio.file.Paths.get("target", "bench.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out,
+        (jsonLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Exception => () } // best-effort; stdout stays canonical
     spark.stop()
   }
 }

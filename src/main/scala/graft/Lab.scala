@@ -208,6 +208,70 @@ object Lab {
           (sum(col("__sp")).cast("double") / lit(10000.0)).as("sum_price"))
         .sortWithinPartitions(col("n_name").asc_nulls_first, col("o_orderstatus").asc_nulls_first)
     }),
+    // r13 A/B candidates (VERDICT r12 item 1) for the sf10 c20 residual:
+    // (a) pre-aggregate orders by (o_custkey, o_orderstatus) BEFORE the
+    // customer join — 15 M → ≤4.5 M rows at sf10 cuts the BHJ probe and
+    // partial-agg volume, at the price of one extra exchange on
+    // (custkey, status); counts/cents-sums stay additive so correctness
+    // is unchanged.
+    V("c20_opre", "c20_rollup", (s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = broadcast(t(s, dir, "nation"))
+      val opre = o.groupBy(col("o_custkey"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("__cnt"), sum(cents4(col("o_totalprice"))).as("__sp"))
+      val pre = opre.join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey"), col("o_orderstatus"))
+        .agg(sum(col("__cnt")).as("__cnt"), sum(col("__sp")).as("__sp"))
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+      pre.rollup(col("n_name"), col("o_orderstatus"))
+        .agg(sum(col("__cnt")).as("n"),
+          (sum(col("__sp")).cast("double") / lit(10000.0)).as("sum_price"))
+        .transform(sortSmallTopK(_, col("n_name").asc_nulls_first, col("o_orderstatus").asc_nulls_first))
+    }),
+    // (b) shuffled-hash o⋈c instead of the 50 MB broadcast build: both
+    // sides exchange on custkey (orders pre-projected to 3 columns), no
+    // per-executor hashed-relation build/ship.
+    V("c20_shj", "c20_rollup", (s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderstatus"), cents4(col("o_totalprice")).as("__tp"))
+      val c = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val n = broadcast(t(s, dir, "nation"))
+      val pre = o.join(c.hint("shuffle_hash"), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("__cnt"), sum(col("__tp")).as("__sp"))
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+      pre.rollup(col("n_name"), col("o_orderstatus"))
+        .agg(sum(col("__cnt")).as("n"),
+          (sum(col("__sp")).cast("double") / lit(10000.0)).as("sum_price"))
+        .transform(sortSmallTopK(_, col("n_name").asc_nulls_first, col("o_orderstatus").asc_nulls_first))
+    }),
+    // (c, exploratory) dense dimension lookup: custkeys are dense
+    // 1..|customer|, nationkey fits a byte — a plan-literal int array
+    // indexed by custkey replaces the hashed relation (array index vs
+    // hash probe per order). Driver collect is dimension-bounded (the
+    // IvfAnn/BroadcastSpatialJoin precedent); at a scale where the
+    // dimension itself stops being broadcastable no BHJ exists either.
+    V("c20_dense", "c20_rollup", (s, dir) => {
+      val pairs = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey")).collect()
+      val maxKey = pairs.iterator.map(_.getLong(0)).max.toInt
+      val arr = Array.fill[Int](maxKey)(-1)
+      pairs.foreach(r => arr(r.getLong(0).toInt - 1) = r.getInt(1))
+      val nmap = typedlit(arr)
+      val o = t(s, dir, "orders")
+      val n = broadcast(t(s, dir, "nation"))
+      val pre = o
+        .withColumn("c_nationkey", element_at(nmap, col("o_custkey").cast("int")))
+        .filter(col("c_nationkey") >= 0)
+        .groupBy(col("c_nationkey"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("__cnt"), sum(cents4(col("o_totalprice"))).as("__sp"))
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+      pre.rollup(col("n_name"), col("o_orderstatus"))
+        .agg(sum(col("__cnt")).as("n"),
+          (sum(col("__sp")).cast("double") / lit(10000.0)).as("sum_price"))
+        .transform(sortSmallTopK(_, col("n_name").asc_nulls_first, col("o_orderstatus").asc_nulls_first))
+    }),
     // floor probe (r6): the shipping c20 shape over a predicate parquet
     // stats reject entirely — measures pure stage-scheduling cost of the
     // pre-agg exchange + rollup exchange + TOAP + 2 broadcasts. base=""

@@ -138,7 +138,11 @@ object AvroOcf {
             case 't' => sb.append('\t')
             case 'u' =>
               if (i + 4 >= s.length) err()
-              sb.append(Integer.parseInt(s.substring(i + 1, i + 5), 16).toChar)
+              val hex = s.substring(i + 1, i + 5)
+              // non-hex digits must reject through err() (decoder
+              // envelope only catches Malformed), not NumberFormatException
+              if (!hex.forall(h => (h >= '0' && h <= '9') || (h >= 'a' && h <= 'f') || (h >= 'A' && h <= 'F'))) err()
+              sb.append(Integer.parseInt(hex, 16).toChar)
               i += 4
             case _ => err()
           }

@@ -83,8 +83,13 @@ object Odt {
         // element name must END there (self-close or attributes)
         else if (tok.startsWith("<text:s/") || tok.startsWith("<text:s ") ||
           tok.startsWith("<text:s\t")) {
-          val n = CountR.findFirstMatchIn(tok).map(_.group(1).toInt).getOrElse(1)
-          if (n < 0 || n > 65536) return None
+          // toLongOption + Long-range check: a digit run past
+          // Int.MaxValue must reject here, not crash with
+          // NumberFormatException (and never truncate through toInt)
+          val nL = CountR.findFirstMatchIn(tok)
+            .map(_.group(1).toLongOption.getOrElse(return None)).getOrElse(1L)
+          if (nL < 0 || nL > 65536) return None
+          val n = nL.toInt
           sb.append(" " * n)
           // bomb cap: a small file declaring thousands of 64k-space
           // runs must not materialize gigabytes

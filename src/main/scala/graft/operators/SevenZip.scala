@@ -367,7 +367,7 @@ object SevenZip {
               while (r.p < pEnd) {
                 val lo = r.u8(); val hi = r.u8()
                 val ch = (lo | (hi << 8)).toChar
-                if (ch == ' ') { acc += sb.toString; sb.clear() }
+                if (ch == '\u0000') { acc += sb.toString; sb.clear() }
                 else sb.append(ch)
               }
               if (sb.nonEmpty) throw Malformed // unterminated name

@@ -159,10 +159,15 @@ object Sqlite {
         case 9 => (SqlInt(1L), 0)
         case 10 | 11 => throw Malformed // reserved for internal use
         case n if n >= 12 && (n & 1) == 0 =>
+          // Long-domain length check BEFORE toInt: a declared type near
+          // 2^33 would otherwise truncate to a small Int and decode as a
+          // short blob with a consistent exact-consume
+          if ((n - 12) / 2 > payload.length) throw Malformed
           val len = ((n - 12) / 2).toInt
           chk(body, len, payload)
           (SqlBlob(java.util.Arrays.copyOfRange(payload, body, body + len)), len)
         case n =>
+          if ((n - 13) / 2 > payload.length) throw Malformed // same rule
           val len = ((n - 13) / 2).toInt
           chk(body, len, payload)
           (SqlText(new String(payload, body, len,
@@ -215,7 +220,8 @@ object Sqlite {
             val (payloadLen, n1) = varint(db.b, cellOff)
             val (rowid, n2) = varint(db.b, cellOff + n1)
             out += rowid -> decodeRecord(
-              cellPayload(db, cellOff + n1 + n2, payloadLen, visited))
+              cellPayload(db, cellOff + n1 + n2, payloadLen, visited,
+                off + db.usable))
             c += 1
           }
         case 5 => // table interior
@@ -239,18 +245,23 @@ object Sqlite {
     * the spec's spill arithmetic when it does not fit locally.
     */
   private def cellPayload(db: Db, start: Int, payloadLen: Long,
-      visited: java.util.HashSet[Integer]): Array[Byte] = {
+      visited: java.util.HashSet[Integer], pageEnd: Int): Array[Byte] = {
     if (payloadLen < 0 || payloadLen > (64 << 20)) throw Malformed // bomb cap
     val total = payloadLen.toInt
     val maxLocal = db.usable - 35
     if (total <= maxLocal) {
       chk(start, total, db.b)
+      // local portion must stay inside the OWNING page's usable area —
+      // a whole-file bound would let a cell near a page end silently
+      // read the next page's bytes as row data
+      if (start + total > pageEnd) throw Malformed
       return java.util.Arrays.copyOfRange(db.b, start, start + total)
     }
     val minLocal = (db.usable - 12) * 32 / 255 - 23
     val k = minLocal + (total - minLocal) % (db.usable - 4)
     val local = if (k <= maxLocal) k else minLocal
     chk(start, local + 4, db.b)
+    if (start + local + 4 > pageEnd) throw Malformed // same page-bound rule
     val out = new Array[Byte](total)
     System.arraycopy(db.b, start, out, 0, local)
     var got = local
@@ -338,8 +349,14 @@ object Sqlite {
       else constraints.map(_.toUpperCase(java.util.Locale.ROOT))
         .collectFirst {
           case c if c.startsWith("PRIMARY KEY") =>
-            val inner = c.substring(c.indexOf('(') + 1,
-              c.lastIndexOf(')')).trim.stripPrefix("\"").stripSuffix("\"")
+            // sqlite_master SQL text is attacker-controlled: a bare
+            // "PRIMARY KEY" without parens would make substring(0,-1)
+            // throw StringIndexOutOfBoundsException past the envelope
+            val lp = c.indexOf('(')
+            val rp = c.lastIndexOf(')')
+            if (lp < 0 || rp < lp) throw Malformed
+            val inner = c.substring(lp + 1, rp)
+              .trim.stripPrefix("\"").stripSuffix("\"")
             colDefs.indexWhere { d =>
               firstWord(d).equalsIgnoreCase(inner) &&
                 d.toUpperCase(java.util.Locale.ROOT).split("\\s+")

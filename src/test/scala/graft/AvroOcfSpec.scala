@@ -176,6 +176,34 @@ class AvroOcfSpec extends AnyFunSuite {
     assert(AvroOcf.decode(hand.toByteArray) === None)
   }
 
+  test("malformed \\u escape in embedded schema JSON rejects (None), never NumberFormatException") {
+    def zz(v: Long): Array[Byte] = {
+      var u = (v << 1) ^ (v >> 63)
+      val o = Vector.newBuilder[Byte]
+      while ((u & ~0x7fL) != 0) { o += ((u & 0x7f) | 0x80).toByte; u >>>= 7 }
+      (o += u.toByte).result().toArray
+    }
+    def s(x: String): Array[Byte] = {
+      val b = x.getBytes("UTF-8"); zz(b.length.toLong) ++ b
+    }
+    // name carries a \uZZZZ escape: 4 chars present but not hex digits
+    val schemaJson = "{\"type\":\"record\",\"name\":\"R\\uZZZZ\"," +
+      "\"fields\":[{\"name\":\"x\",\"type\":\"long\"}]}"
+    val hand = new java.io.ByteArrayOutputStream()
+    hand.write(Array[Byte]('O', 'b', 'j', 1))
+    hand.write(zz(1))
+    hand.write(s("avro.schema")); hand.write(s(schemaJson))
+    hand.write(zz(0))
+    val sync16 = Array.tabulate[Byte](16)(_.toByte)
+    hand.write(sync16)
+    hand.write(zz(1)); hand.write(zz(2)); hand.write(zz(5))
+    hand.write(sync16)
+    assert(AvroOcf.decode(hand.toByteArray) === None)
+    // a VALID \u escape still decodes through the same path
+    assert(AvroOcf.parseSchema("{\"type\":\"record\",\"name\":\"R\\u0041\"," +
+      "\"fields\":[]}") != null)
+  }
+
   test("datum-level rejects: union index out of range, enum overflow, block over-consume") {
     val u = AvroOcf.parseSchema("""["null","int"]""")
     assert(AvroOcf.decodeSingle(Array[Byte](4), u) === None)    // index 2 of 2

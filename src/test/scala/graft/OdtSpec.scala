@@ -33,6 +33,22 @@ class OdtSpec extends AnyFunSuite {
     assert(got === Some(Vector((false, "a   b\tc\nd e"))))
   }
 
+  test("text:c beyond Int range rejects (None), never NumberFormatException") {
+    val ms = ZipArchive.members(doc).get.map(m => (m.name, m.data, m.method != 0))
+    val cIdx = ms.indexWhere(_._1 == "content.xml")
+    val xml = new String(ms(cIdx)._2, "UTF-8")
+    // 9999999999 > Int.MaxValue: .toInt would throw; 25-digit run breaks
+    // even Long parsing — both must reject via the range path
+    for (count <- Seq("9999999999", "9" * 25)) {
+      val para = s"""<text:p>a<text:s text:c="$count"/>b</text:p>"""
+      val swapped = xml.substring(0, xml.indexOf("<text:")) + para +
+        "</office:text></office:body></office:document-content>"
+      val got = Odt.paragraphs(ZipArchive.makeZip(ms.updated(cIdx,
+        ("content.xml", swapped.getBytes("UTF-8"), true))))
+      assert(got === None)
+    }
+  }
+
   test("package rejects: wrong mimetype content, deflated mimetype, not-first, missing content.xml") {
     val ms = ZipArchive.members(doc).get.map(m => (m.name, m.data, m.method != 0))
     // wrong media type

@@ -117,6 +117,81 @@ class SqliteSpec extends AnyFunSuite {
     assert(Sqlite.rows(cyc, "docs") === None)
   }
 
+  // SQLite big-endian base-128 varint (test-local; the engine's is private)
+  private def sv(v: Long): Array[Byte] = {
+    val groups = Vector.newBuilder[Byte]
+    var x = v
+    groups += (x & 0x7f).toByte
+    x >>>= 7
+    while (x != 0) { groups += ((x & 0x7f) | 0x80).toByte; x >>>= 7 }
+    groups.result().reverse.toArray
+  }
+
+  /** Replace page 2 of `db` with a single-leaf page holding one
+    * hand-built cell at `cellOff` (file-absolute) with `payload`.
+    */
+  private def spliceLeaf(db: Array[Byte], cellOff: Int,
+      payload: Array[Byte]): Array[Byte] = {
+    val out = db.clone()
+    val off = 4096
+    java.util.Arrays.fill(out, off, off + 4096, 0.toByte)
+    val cell = sv(payload.length.toLong) ++ sv(1L) ++ payload
+    out(off) = 13 // table leaf
+    out(off + 3) = 0; out(off + 4) = 1 // one cell
+    val ptr = cellOff - off
+    out(off + 5) = ((ptr >>> 8) & 0xff).toByte; out(off + 6) = (ptr & 0xff).toByte
+    out(off + 8) = ((ptr >>> 8) & 0xff).toByte; out(off + 9) = (ptr & 0xff).toByte
+    System.arraycopy(cell, 0, out, cellOff, cell.length)
+    out
+  }
+
+  test("table-constraint PRIMARY KEY without parens rejects (None), not StringIndexOutOfBounds") {
+    val sql = "CREATE TABLE docs(doc_id INTEGER, body TEXT, nchars INTEGER, " +
+      "score REAL, PRIMARY KEY(doc_id))"
+    val rows = Seq((1L, Seq[SqlValue](SqlInt(1L), SqlText("t"), SqlInt(1L), SqlReal(0.5))))
+    val db = Sqlite.makeDb("docs", sql, 0, rows)
+    // same-length byte patch of the embedded schema text: the constraint
+    // keeps its PRIMARY KEY prefix but loses both parentheses
+    val needle = "PRIMARY KEY(doc_id)".getBytes("UTF-8")
+    val swap = "PRIMARY KEY doc_idx".getBytes("UTF-8")
+    val s = new String(db, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val at = s.indexOf(new String(needle, java.nio.charset.StandardCharsets.ISO_8859_1))
+    assert(at > 0, "schema text not found to patch")
+    val evil = db.clone()
+    System.arraycopy(swap, 0, evil, at, swap.length)
+    assert(Sqlite.rows(evil, "docs") === None)
+  }
+
+  test("serial type near 2^33 rejects in Long domain, never truncates to a short blob") {
+    val db = Sqlite.makeDb("docs", createSql, 0, mkRows(3))
+    // record: col0 NULL (ipk slot), col1 blob with serial type
+    // 12 + 2*(2^32+3) — Int truncation would read it as a 3-byte blob
+    // with a consistent exact-consume
+    val n = 12L + 2L * ((1L << 32) + 3L)
+    val hdr = sv(7L) ++ sv(0L) ++ sv(n)
+    assert(hdr.length === 7)
+    val payload = hdr ++ Array[Byte](1, 2, 3)
+    val evil = spliceLeaf(db, 4096 + 4096 - 30, payload)
+    assert(Sqlite.rows(evil, "docs") === None)
+  }
+
+  test("local payload crossing its page boundary rejects, never reads the next page's bytes") {
+    // three pages: master, docs leaf (replaced), overflow page (the
+    // bytes a page-overrunning cell would silently read as row data)
+    val db = Sqlite.makeDb("docs", createSql, 0, mkRows(5, longEvery = 5))
+    assert(db.length >= 3 * 4096, "fixture needs a page after the leaf")
+    // payload 204 bytes placed 50 bytes before the page end: local by
+    // size (204 < maxLocal), but start+total lands in page 3
+    val hdr = sv(4L) ++ sv(0L) ++ sv(13L + 2L * 200L)
+    assert(hdr.length === 4)
+    val payload = hdr ++ Array.fill[Byte](200)('x')
+    // spliceLeaf writes the cell at 50 bytes before the page edge; the
+    // arraycopy runs past it into page 3 — legal as raw file bytes,
+    // illegal as page content, exactly what a crafted file arranges
+    val evil = spliceLeaf(db, 4096 + 4096 - 50, payload)
+    assert(Sqlite.rows(evil, "docs") === None)
+  }
+
   test("a crafted linear interior-page chain rejects at the depth cap, not StackOverflowError") {
     // 100 pages, each a table-interior with zero cells whose right-most
     // pointer names the next page; the last points at a valid leaf.
