@@ -256,13 +256,14 @@ object Lab {
       val pairs = t(s, dir, "customer")
         .select(col("c_custkey"), col("c_nationkey")).collect()
       val maxKey = pairs.iterator.map(_.getLong(0)).max.toInt
-      val arr = Array.fill[Int](maxKey)(-1)
-      pairs.foreach(r => arr(r.getLong(0).toInt - 1) = r.getInt(1))
+      val arr = Array.fill[Int](maxKey + 1)(-1) // custkeys are 0-based here
+      pairs.foreach(r => arr(r.getLong(0).toInt) = r.getInt(1))
       val nmap = typedlit(arr)
       val o = t(s, dir, "orders")
       val n = broadcast(t(s, dir, "nation"))
       val pre = o
-        .withColumn("c_nationkey", element_at(nmap, col("o_custkey").cast("int")))
+        .withColumn("c_nationkey",
+          element_at(nmap, (col("o_custkey") + lit(1L)).cast("int"))) // 1-based element_at
         .filter(col("c_nationkey") >= 0)
         .groupBy(col("c_nationkey"), col("o_orderstatus"))
         .agg(count(lit(1)).as("__cnt"), sum(cents4(col("o_totalprice"))).as("__sp"))

@@ -13,18 +13,28 @@ import org.apache.spark.sql.types._
   * walk with SHORT/LONG value coercion and inline-vs-offset value
   * placement resolved by size, multi-page files via the next-IFD
   * chain (cycle-guarded), strip assembly (RowsPerStrip < height →
-  * real multi-strip layout), 8-bit grayscale and RGB, and the three
-  * compressions baseline readers meet: none, PackBits (spec §9), and
-  * LZW — the LZW filter is a COMPOSITION: ISO 32000's LZWDecode
-  * (`PdfText.lzwDecode`, already validated against reference PDFs) IS
-  * the TIFF algorithm, early-change variant included.
+  * real multi-strip layout), TILED organization (§15, edge tiles
+  * coded full-size and clipped), 8-bit grayscale and RGB, BILEVEL
+  * (1-bit — the default when BitsPerSample is absent, per spec; both
+  * WhiteIsZero and BlackIsZero, normalized on output to black=0 /
+  * white=255 grayscale bytes), and the compressions scanned corpora
+  * meet: none, PackBits (spec §9), LZW — a COMPOSITION: ISO 32000's
+  * LZWDecode (`PdfText.lzwDecode`, already validated against
+  * reference PDFs) IS the TIFF algorithm, early-change included —
+  * and CCITT Group 4 (§11, Compression 4, bilevel + WhiteIsZero
+  * only), composed from `CcittG4`, this repo's from-scratch T.6
+  * codec. G4 is how archival book scans, patents and newspaper
+  * digitization actually ship.
   *
   * Reject-don't-guess: magic and the 42 must verify, IFD entry counts
   * and value offsets bounds-check, required tags must be present,
-  * strip offsets/byte-counts must lie inside the file, every strip
-  * must decompress to EXACTLY its expected byte length (PackBits
-  * over/under-run and LZW truncation reject), bits-per-sample other
-  * than 8, palette/CMYK photometrics, tiled layout, and planar
+  * segment offsets/byte-counts must lie inside the file, every strip
+  * or tile must decompress to EXACTLY its expected byte length
+  * (PackBits over/under-run and LZW truncation reject), bits-per-
+  * sample other than 1 or 8, palette/CMYK photometrics, 8-bit
+  * WhiteIsZero, G3 fax (Compression 2/3 — EOL-framed, a different
+  * coder), G4 uncompressed mode (T6Options ≠ 0), FillOrder 2, mixed
+  * strip+tile directories, non-multiple-of-16 tile dims, and planar
   * configuration 2 all reject loudly rather than half-decode, and the
   * page walk carries a cycle guard plus a pixel bomb cap checked
   * BEFORE allocation.
@@ -153,45 +163,146 @@ object Tiff {
     if (width <= 0 || height <= 0) throw Malformed
     if (width.toLong * height > MaxPixels) throw Malformed // bomb cap
     if (spp != 1 && spp != 3) throw Malformed
-    // grayscale (1 = BlackIsZero) or RGB (2); palette (3), CMYK (5),
-    // WhiteIsZero (0) reject loudly — a mis-mapped photometric is
-    // silently-inverted or false-color pixels
-    if (!(photometric == 1 && spp == 1) && !(photometric == 2 && spp == 3))
-      throw Malformed
-    // BitsPerSample: REQUIRED here — the spec default is 1 bit
-    // (bilevel), which this reader does not decode; accepting an
-    // absent tag as 8-bit would rely on the exact-consume check to
-    // catch the mismatch instead of saying why
-    if (!tags.containsKey(258) || vec(258) != Vector.fill(spp)(8L))
-      throw Malformed
+    // BitsPerSample: absent means the spec default of 1 (bilevel); any
+    // explicit value other than all-1 or all-8 rejects (16-bit, mixed)
+    val depth =
+      if (!tags.containsKey(258)) 1
+      else vec(258) match {
+        case v if v == Vector.fill(spp)(8L) => 8
+        case v if v == Vector.fill(spp)(1L) => 1
+        case _ => throw Malformed
+      }
+    // accepted combinations, everything else loud:
+    //  - 8-bit gray (photometric 1 = BlackIsZero) / 8-bit RGB (2)
+    //  - bilevel (depth 1, spp 1): photometric 0 (WhiteIsZero — the
+    //    fax/scan default) or 1; output normalized to black=0/white=255
+    //    grayscale bytes either way
+    // palette (3), CMYK (5), 8-bit WhiteIsZero all reject — a
+    // mis-mapped photometric is silently-inverted or false-color pixels
+    val ok =
+      (depth == 8 && photometric == 1 && spp == 1) ||
+      (depth == 8 && photometric == 2 && spp == 3) ||
+      (depth == 1 && spp == 1 && (photometric == 0 || photometric == 1))
+    if (!ok) throw Malformed
     if (scalar(284, default = 1) != 1) throw Malformed // planar chunky only
-    if (tags.containsKey(322) || tags.containsKey(323)) throw Malformed // tiles
-    val rowsPerStrip = scalar(278, default = height.toLong).toInt
-    if (rowsPerStrip <= 0) throw Malformed
-    val offsets = vec(273)
-    val counts = vec(279)
-    val nStrips = (height + rowsPerStrip - 1) / rowsPerStrip
-    if (offsets.length != nStrips || counts.length != nStrips) throw Malformed
-    val rowBytes = width * spp
-    val pixels = new Array[Byte](rowBytes * height)
-    var strip = 0
-    while (strip < nStrips) {
-      val off = offsets(strip)
-      val len = counts(strip)
+    if (scalar(266, default = 1) != 1) throw Malformed // FillOrder MSB-first only
+    // compression legality per depth; G3 (2 = MH-RLE, 3 = T.4) stays a
+    // documented rejection — G4 is what scanned corpora ship
+    compression match {
+      case 1 | 5 | 32773 => ()
+      case 4 =>
+        if (depth != 1) throw Malformed
+        // CCITT data is coded white/black directly; accept only the
+        // unambiguous fax photometric (0 = WhiteIsZero)
+        if (photometric != 0) throw Malformed
+        if (scalar(293, default = 0) != 0) throw Malformed // T6Options: no uncompressed mode
+      case _ => throw Malformed // reject, don't guess (incl. G3, JPEG-in-TIFF)
+    }
+
+    /** Decompress one segment (strip or tile) of `segW`×`segRows`
+      * pixels to UNPACKED bytes: depth-8 interleaved samples, or for
+      * depth 1 one byte per pixel normalized to black=0 / white=255.
+      */
+    def decodeSegment(off: Long, len: Long, segW: Int, segRows: Int): Array[Byte] = {
       if (off < 0 || len < 0 || len > (64 << 20) || off + len > b.length)
         throw Malformed
       val raw = java.util.Arrays.copyOfRange(b, off.toInt, (off + len).toInt)
-      val rows = math.min(rowsPerStrip, height - strip * rowsPerStrip)
-      val expect = rows * rowBytes
-      val data = compression match {
-        case 1 => raw
-        case 5 => PdfText.lzwDecode(raw, earlyChange = true) // TIFF §13 = ISO 32000 §7.4.4
-        case 32773 => unpackBits(raw, expect)
-        case _ => throw Malformed // reject, don't guess (incl. CCITT, JPEG-in-TIFF)
+      if (compression == 4) {
+        val bits = CcittG4.decode(raw, segW, segRows).getOrElse(throw Malformed)
+        // G4 runs are white/black by definition; photometric 0 verified
+        val px = new Array[Byte](bits.length)
+        var i = 0
+        while (i < bits.length) {
+          px(i) = if (bits(i) == 0) 255.toByte else 0.toByte
+          i += 1
+        }
+        px
+      } else {
+        // packed layout: depth-8 → segW*spp bytes/row; depth-1 → rows
+        // pad to a byte boundary per row (TIFF 6.0 §「Image Data」)
+        val packedRow = if (depth == 8) segW * spp else (segW + 7) / 8
+        val expect = packedRow * segRows
+        val data = compression match {
+          case 1 => raw
+          case 5 => PdfText.lzwDecode(raw, earlyChange = true) // TIFF §13 = ISO 32000 §7.4.4
+          case 32773 => unpackBits(raw, expect)
+        }
+        if (data.length != expect) throw Malformed // exact segment consume
+        if (depth == 8) data
+        else {
+          // expand bits → bytes, normalizing photometric: WhiteIsZero
+          // (0): bit 0 = white; BlackIsZero (1): bit 0 = black
+          val whiteBit = if (photometric == 0) 0 else 1
+          val px = new Array[Byte](segW * segRows)
+          var r0 = 0
+          while (r0 < segRows) {
+            var x = 0
+            while (x < segW) {
+              val bit = (data(r0 * packedRow + (x >> 3)) >> (7 - (x & 7))) & 1
+              px(r0 * segW + x) = if (bit == whiteBit) 255.toByte else 0.toByte
+              x += 1
+            }
+            r0 += 1
+          }
+          px
+        }
       }
-      if (data.length != expect) throw Malformed // exact strip consume
-      System.arraycopy(data, 0, pixels, strip * rowsPerStrip * rowBytes, expect)
-      strip += 1
+    }
+
+    val rowBytes = width * spp // output is always unpacked bytes
+    val pixels = new Array[Byte](rowBytes * height)
+    val tiled = tags.containsKey(322) || tags.containsKey(323) ||
+      tags.containsKey(324) || tags.containsKey(325)
+    if (tiled) {
+      // tiled organization (TIFF 6.0 §15): tile dims are multiples of
+      // 16; edge tiles are coded at FULL tile size and clipped here.
+      // Strip and tile tags are mutually exclusive — both present is a
+      // malformed directory.
+      if (tags.containsKey(273) || tags.containsKey(279) ||
+        tags.containsKey(278)) throw Malformed
+      val tw = scalar(322).toInt
+      val tl = scalar(323).toInt
+      if (tw <= 0 || tl <= 0 || tw % 16 != 0 || tl % 16 != 0) throw Malformed
+      if (tw.toLong * tl > MaxPixels) throw Malformed
+      val across = (width + tw - 1) / tw
+      val down = (height + tl - 1) / tl
+      val offsets = vec(324)
+      val counts = vec(325)
+      if (offsets.length != across * down || counts.length != across * down)
+        throw Malformed
+      var ty = 0
+      while (ty < down) {
+        var tx = 0
+        while (tx < across) {
+          val idx = ty * across + tx
+          val seg = decodeSegment(offsets(idx), counts(idx), tw, tl)
+          val copyW = math.min(tw, width - tx * tw) * spp
+          val copyRows = math.min(tl, height - ty * tl)
+          var r0 = 0
+          while (r0 < copyRows) {
+            System.arraycopy(seg, r0 * tw * spp, pixels,
+              (ty * tl + r0) * rowBytes + tx * tw * spp, copyW)
+            r0 += 1
+          }
+          tx += 1
+        }
+        ty += 1
+      }
+    } else {
+      val rowsPerStrip = scalar(278, default = height.toLong).toInt
+      if (rowsPerStrip <= 0) throw Malformed
+      val offsets = vec(273)
+      val counts = vec(279)
+      val nStrips = (height + rowsPerStrip - 1) / rowsPerStrip
+      if (offsets.length != nStrips || counts.length != nStrips) throw Malformed
+      var strip = 0
+      while (strip < nStrips) {
+        val rows = math.min(rowsPerStrip, height - strip * rowsPerStrip)
+        val data = decodeSegment(offsets(strip), counts(strip), width, rows)
+        System.arraycopy(data, 0, pixels, strip * rowsPerStrip * rowBytes,
+          rows * rowBytes)
+        strip += 1
+      }
     }
     Page(width, height, spp, compression, pixels)
   }
@@ -280,16 +391,21 @@ object Tiff {
       if (run >= 3) {
         out.write(1 - run); out.write(in(i)); i += run
       } else {
+        // literal run: extend until a ≥3 repeat starts or 128 bytes.
+        // (r13 fix: the old sentinel jumped `end` to the array end when
+        // a repeat followed the literals, emitting a >128 literal count
+        // that wraps negative — surfaced by zero-padded edge tiles,
+        // where literals are always followed by a long zero run)
         var lit = i + run
-        var litRun = 1
-        while (lit < in.length && litRun < 128) {
-          // stop literals when a ≥3 run starts
+        var litRun = run
+        var stop = false
+        while (!stop && lit < in.length && litRun < 128) {
           var r2 = 1
           while (lit + r2 < in.length && in(lit + r2) == in(lit) && r2 < 3) r2 += 1
-          if (r2 >= 3) lit = in.length + 1 // sentinel: break
+          if (r2 >= 3) stop = true
           else { lit += 1; litRun += 1 }
         }
-        val end = math.min(if (lit > in.length) lit - 1 else lit, in.length)
+        val end = math.min(lit, in.length)
         val cnt = end - i
         out.write(cnt - 1)
         out.write(in, i, cnt)
@@ -354,34 +470,104 @@ object Tiff {
     out.toByteArray
   }
 
+  /** Writer-side page descriptor. `px(k)` yields the DECODED pixel
+    * byte at flat interleaved index k — gray/RGB samples for depth 8;
+    * for depth 1 a 0 (black) / nonzero (white) value that the writer
+    * packs to bits under `photometric` (0 = WhiteIsZero, the fax
+    * default; 1 = BlackIsZero). `tile` switches the page from strips
+    * to tiled organization (dims must be multiples of 16).
+    */
+  final case class PageSpec(width: Int, height: Int, spp: Int,
+      depth: Int, photometric: Int, comp: Int, px: Int => Byte,
+      tile: Option[(Int, Int)] = None, rowsPerStrip: Int = 2,
+      t6opts: Int = 0, fillOrder: Int = 1) // reject-pin knobs
+
   /** Multi-page TIFF writer: one IFD per page, strip-split at
     * `rowsPerStrip`, per-page compression from `comps` (1/5/32773),
-    * either byte order.
+    * either byte order. 8-bit pages only (the r12 surface); the
+    * general form is `makeTiffExt`.
     */
   def makeTiff(pages: Seq[(Int, Int, Int, Int => Byte)], comps: Seq[Int],
       littleEndian: Boolean, rowsPerStrip: Int = 2): Array[Byte] = {
     require(pages.nonEmpty && comps.length == pages.length)
-    // layout: header(8) then, per page, [strips | external arrays | IFD];
-    // IFD offsets are known once each page's local block is rendered, so
-    // the header and next-IFD chain are patched at assembly
+    makeTiffExt(pages.zip(comps).map { case ((w, h, spp, f), comp) =>
+      PageSpec(w, h, spp, 8, if (spp == 3) 2 else 1, comp, f,
+        tile = None, rowsPerStrip = rowsPerStrip)
+    }, littleEndian)
+  }
+
+  /** General multi-page writer: 8-bit gray/RGB and bilevel pages,
+    * strips or tiles, compressions none/LZW/PackBits/CCITT-G4, either
+    * byte order. Layout: header(8) then, per page,
+    * [segments | external arrays | IFD]; the next-IFD chain is patched
+    * at assembly.
+    */
+  def makeTiffExt(pages: Seq[PageSpec], littleEndian: Boolean): Array[Byte] = {
+    require(pages.nonEmpty)
+    pages.foreach { p =>
+      require(p.depth == 8 || (p.depth == 1 && p.spp == 1))
+      require(p.comp != 4 || (p.depth == 1 && p.photometric == 0))
+      p.tile.foreach { case (tw, tl) =>
+        require(tw > 0 && tl > 0 && tw % 16 == 0 && tl % 16 == 0)
+      }
+    }
     var cursor = 8
-    val pageBlobs = pages.zip(comps).map { case ((width, height, spp, px), comp) =>
-      val rowBytes = width * spp
-      val nStrips = (height + rowsPerStrip - 1) / rowsPerStrip
-      val strips = (0 until nStrips).map { s =>
-        val rows = math.min(rowsPerStrip, height - s * rowsPerStrip)
-        val rawStrip = Array.tabulate(rows * rowBytes)(k =>
-          px(s * rowsPerStrip * rowBytes + k))
-        comp match {
-          case 1 => rawStrip
-          case 5 => lzwEncode(rawStrip)
-          case 32773 => packBits(rawStrip)
+
+    /** Encode one segment (strip rows [y0, y0+rows) at full width, or a
+      * tile at (x0, y0) of tw×tl) to its compressed bytes. Out-of-image
+      * pixels (tile padding) are white for bilevel, 0 for 8-bit.
+      */
+    def segment(p: PageSpec, x0: Int, y0: Int, segW: Int, segRows: Int): Array[Byte] = {
+      def sample(x: Int, y: Int, c: Int): Byte =
+        if (x >= p.width || y >= p.height) {
+          if (p.depth == 1) 1 else 0 // pad: white / zero
+        } else p.px((y * p.width + x) * p.spp + c)
+      if (p.comp == 4) {
+        // CcittG4.encode takes 1 = black bytes
+        val black = new Array[Byte](segW * segRows)
+        var i = 0
+        while (i < black.length) {
+          val x = x0 + i % segW
+          val y = y0 + i / segW
+          black(i) = if (sample(x, y, 0) == 0) 1 else 0
+          i += 1
+        }
+        CcittG4.encode(black, segW, segRows)
+      } else {
+        val raw: Array[Byte] =
+          if (p.depth == 8)
+            Array.tabulate(segW * segRows * p.spp) { k =>
+              val px = k / p.spp
+              sample(x0 + px % segW, y0 + px / segW, k % p.spp)
+            }
+          else {
+            val packedRow = (segW + 7) / 8
+            val out = new Array[Byte](packedRow * segRows)
+            val whiteBit = if (p.photometric == 0) 0 else 1
+            var y = 0
+            while (y < segRows) {
+              var x = 0
+              while (x < segW) {
+                val white = sample(x0 + x, y0 + y, 0) != 0
+                val bit = if (white) whiteBit else 1 - whiteBit
+                if (bit == 1)
+                  out(y * packedRow + (x >> 3)) =
+                    (out(y * packedRow + (x >> 3)) | (1 << (7 - (x & 7)))).toByte
+                x += 1
+              }
+              y += 1
+            }
+            out
+          }
+        p.comp match {
+          case 1 => raw
+          case 5 => lzwEncode(raw)
+          case 32773 => packBits(raw)
         }
       }
-      (width, height, spp, comp, strips)
     }
-    // layout: [strips + bps arrays + offset arrays][IFD] per page
-    val rendered = pageBlobs.map { case (width, height, spp, comp, strips) =>
+
+    val rendered = pages.map { p =>
       val local = new java.io.ByteArrayOutputStream()
       def l16(v: Int): Unit = {
         if (littleEndian) { local.write(v & 0xff); local.write((v >>> 8) & 0xff) }
@@ -396,46 +582,72 @@ object Tiff {
           local.write(((v >>> 8) & 0xff).toInt); local.write((v & 0xff).toInt)
         }
       }
-      val stripOffs = Vector.newBuilder[Long]
-      strips.foreach { s =>
-        stripOffs += (cursor + local.size()).toLong
+      // render segments in file order, collecting their offsets
+      val segs: Seq[Array[Byte]] = p.tile match {
+        case Some((tw, tl)) =>
+          val across = (p.width + tw - 1) / tw
+          val down = (p.height + tl - 1) / tl
+          for (ty <- 0 until down; tx <- 0 until across)
+            yield segment(p, tx * tw, ty * tl, tw, tl)
+        case None =>
+          val nStrips = (p.height + p.rowsPerStrip - 1) / p.rowsPerStrip
+          (0 until nStrips).map { s =>
+            val rows = math.min(p.rowsPerStrip, p.height - s * p.rowsPerStrip)
+            segment(p, 0, s * p.rowsPerStrip, p.width, rows)
+          }
+      }
+      val segOffs = Vector.newBuilder[Long]
+      segs.foreach { s =>
+        segOffs += (cursor + local.size()).toLong
         local.write(s)
       }
-      val offs = stripOffs.result()
-      // external arrays (strip offsets/counts; bps when spp=3)
+      val offs = segOffs.result()
+      // external arrays (offsets/counts when >1 segment; bps when spp=3)
       val offArrayPos =
-        if (strips.length > 1) { val p = cursor + local.size(); offs.foreach(l32); p }
+        if (segs.length > 1) { val q = cursor + local.size(); offs.foreach(l32); q }
         else -1
       val cntArrayPos =
-        if (strips.length > 1) { val p = cursor + local.size(); strips.foreach(s => l32(s.length.toLong)); p }
+        if (segs.length > 1) { val q = cursor + local.size(); segs.foreach(s => l32(s.length.toLong)); q }
         else -1
       val bpsArrayPos =
-        if (spp == 3) { val p = cursor + local.size(); (0 until 3).foreach(_ => l16(8)); l16(0); p }
+        if (p.spp == 3) { val q = cursor + local.size(); (0 until 3).foreach(_ => l16(p.depth)); l16(0); q }
         else -1
       if (local.size() % 2 == 1) local.write(0) // IFDs are word-aligned
       val ifdPos = cursor + local.size()
-      // IFD: entries ASCENDING by tag
       final case class Ent(tag: Int, ty: Int, count: Long, value: Long)
-      val entries = Vector(
-        Ent(256, 4, 1, width.toLong),
-        Ent(257, 4, 1, height.toLong),
-        if (spp == 3) Ent(258, 3, 3, bpsArrayPos.toLong)
-        else Ent(258, 3, 1, 8L),
-        Ent(259, 3, 1, comp.toLong),
-        Ent(262, 3, 1, if (spp == 3) 2L else 1L),
-        if (strips.length > 1) Ent(273, 4, strips.length.toLong, offArrayPos.toLong)
-        else Ent(273, 4, 1, offs.head),
-        Ent(277, 3, 1, spp.toLong),
-        Ent(278, 4, 1, rowsPerStrip.toLong),
-        if (strips.length > 1) Ent(279, 4, strips.length.toLong, cntArrayPos.toLong)
-        else Ent(279, 4, 1, strips.head.length.toLong))
+      val segTags: Vector[Ent] = p.tile match {
+        case Some((tw, tl)) => Vector(
+          Ent(322, 3, 1, tw.toLong),
+          Ent(323, 3, 1, tl.toLong),
+          if (segs.length > 1) Ent(324, 4, segs.length.toLong, offArrayPos.toLong)
+          else Ent(324, 4, 1, offs.head),
+          if (segs.length > 1) Ent(325, 4, segs.length.toLong, cntArrayPos.toLong)
+          else Ent(325, 4, 1, segs.head.length.toLong))
+        case None => Vector(
+          if (segs.length > 1) Ent(273, 4, segs.length.toLong, offArrayPos.toLong)
+          else Ent(273, 4, 1, offs.head),
+          Ent(278, 4, 1, p.rowsPerStrip.toLong),
+          if (segs.length > 1) Ent(279, 4, segs.length.toLong, cntArrayPos.toLong)
+          else Ent(279, 4, 1, segs.head.length.toLong))
+      }
+      val entries = (Vector(
+        Ent(256, 4, 1, p.width.toLong),
+        Ent(257, 4, 1, p.height.toLong),
+        if (p.spp == 3) Ent(258, 3, 3, bpsArrayPos.toLong)
+        else Ent(258, 3, 1, p.depth.toLong),
+        Ent(259, 3, 1, p.comp.toLong),
+        Ent(262, 3, 1, p.photometric.toLong),
+        Ent(277, 3, 1, p.spp.toLong)) ++
+        (if (p.fillOrder != 1) Vector(Ent(266, 3, 1, p.fillOrder.toLong)) else Vector()) ++
+        (if (p.comp == 4) Vector(Ent(293, 4, 1, p.t6opts.toLong)) else Vector()) ++
+        segTags).sortBy(_.tag)
       l16(entries.length)
       entries.foreach { en =>
         l16(en.tag); l16(en.ty); l32(en.count)
         if (en.ty == 3 && en.count == 1) { l16(en.value.toInt); l16(0) }
         else l32(en.value)
       }
-      val nextIfdField = local.size() // patched by caller ordering below
+      val nextIfdField = local.size()
       l32(0L) // placeholder next-IFD
       val bytes = local.toByteArray
       cursor += bytes.length
@@ -446,8 +658,7 @@ object Tiff {
     var i = 0
     while (i < blobs.length - 1) {
       val (bytes, _, nextField) = blobs(i)
-      val nextIfd = blobs(i + 1)._2
-      val v = nextIfd.toLong
+      val v = blobs(i + 1)._2.toLong
       if (littleEndian) {
         bytes(nextField) = (v & 0xff).toByte
         bytes(nextField + 1) = ((v >>> 8) & 0xff).toByte
@@ -461,7 +672,6 @@ object Tiff {
       }
       i += 1
     }
-    // final assembly: header points at the FIRST page's IFD
     val fin = new java.io.ByteArrayOutputStream()
     fin.write(if (littleEndian) 'I' else 'M')
     fin.write(if (littleEndian) 'I' else 'M')

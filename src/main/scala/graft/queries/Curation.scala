@@ -2028,10 +2028,16 @@ object Curation extends QueryBlock {
 
   /** e106/d38: 8 multi-page `.tiff` files × 5 pages over docs 280–320
     * — one page per doc, page geometry/photometric/compression all
-    * rotating with doc_id (none/LZW/PackBits; gray and RGB;
-    * strip-split at 2 rows), byte order alternating per FILE. Pixels
-    * are a closed form of (doc_id, flat index) so the oracle
-    * re-derives every channel mean with its own list arithmetic.
+    * rotating with doc_id, byte order alternating per FILE. Three page
+    * classes rotate (r13): doc_id%5==2 → BILEVEL (larger geometry so
+    * the CCITT runs are real; G4 when doc_id is even, PackBits-packed
+    * bits when odd); doc_id%5==4 → TILED 8-bit (16×16 tiles, edge
+    * clipping live on every page); everything else the r12 strip
+    * layout (none/LZW/PackBits; gray and RGB; strips of 2 rows).
+    * Pixels are a closed form of (doc_id, flat index) so the oracle
+    * re-derives every channel mean with its own list arithmetic —
+    * bilevel pixels are 255·(((id·31+k·7)%251)%2), matching the
+    * decoder's black=0/white=255 normalization.
     */
   def writeTiffFixture(s: SparkSession, dir: String): String = {
     import graft.operators.Tiff
@@ -2045,16 +2051,32 @@ object Curation extends QueryBlock {
       .select(col("doc_id")).collect().map(_.getLong(0)).sorted
     ids.grouped(5).zipWithIndex.foreach { case (group, g) =>
       val pages = group.toSeq.map { id =>
-        val w = 6 + (id % 5).toInt
-        val h = 4 + (id % 3).toInt
-        val spp = 1 + 2 * (id % 2).toInt
-        val f: Int => Byte = k => (((id * 31 + k * 7) % 251) & 0xff).toByte
-        (w, h, spp, f)
+        if (id % 5 == 2) { // bilevel
+          val w = 150 + (id % 4).toInt * 37
+          val h = 18 + (id % 3).toInt * 7
+          val comp = if (id % 2 == 0) 4 else 32773
+          val f: Int => Byte =
+            k => if (((id * 31 + k * 7) % 251) % 2 == 0) 0 else 255.toByte
+          Tiff.PageSpec(w, h, 1, 1, 0, comp, f)
+        } else if (id % 5 == 4) { // tiled 8-bit
+          val w = 20 + (id % 7).toInt * 3
+          val h = 17 + (id % 2).toInt * 16
+          val spp = 1 + 2 * (id % 2).toInt
+          val f: Int => Byte = k => (((id * 31 + k * 7) % 251) & 0xff).toByte
+          Tiff.PageSpec(w, h, spp, 8, if (spp == 3) 2 else 1,
+            Seq(1, 5, 32773)((id % 3).toInt), f, tile = Some((16, 16)))
+        } else { // r12 strip layout
+          val w = 6 + (id % 5).toInt
+          val h = 4 + (id % 3).toInt
+          val spp = 1 + 2 * (id % 2).toInt
+          val f: Int => Byte = k => (((id * 31 + k * 7) % 251) & 0xff).toByte
+          Tiff.PageSpec(w, h, spp, 8, if (spp == 3) 2 else 1,
+            Seq(1, 5, 32773)((id % 3).toInt), f)
+        }
       }
-      val comps = group.toSeq.map(id => Seq(1, 5, 32773)((id % 3).toInt))
       java.nio.file.Files.write(
         java.nio.file.Paths.get(f"$tDir/t$g%02d.tiff"),
-        Tiff.makeTiff(pages, comps, littleEndian = g % 2 == 0))
+        Tiff.makeTiffExt(pages, littleEndian = g % 2 == 0))
     }
     tDir
   }
@@ -2074,13 +2096,24 @@ object Curation extends QueryBlock {
         FROM documents WHERE text IS NOT NULL
           AND doc_id >= 280 AND doc_id < 320),
       geo AS (SELECT doc_id, rn,
-          6 + CAST(doc_id % 5 AS INT) AS w,
-          4 + CAST(doc_id % 3 AS INT) AS h,
-          1 + 2 * CAST(doc_id % 2 AS INT) AS spp
+          (doc_id % 5 = 2) AS bil,
+          CASE WHEN doc_id % 5 = 2 THEN 150 + CAST(doc_id % 4 AS INT) * 37
+               WHEN doc_id % 5 = 4 THEN 20 + CAST(doc_id % 7 AS INT) * 3
+               ELSE 6 + CAST(doc_id % 5 AS INT) END AS w,
+          CASE WHEN doc_id % 5 = 2 THEN 18 + CAST(doc_id % 3 AS INT) * 7
+               WHEN doc_id % 5 = 4 THEN 17 + CAST(doc_id % 2 AS INT) * 16
+               ELSE 4 + CAST(doc_id % 3 AS INT) END AS h,
+          CASE WHEN doc_id % 5 = 2 THEN 1
+               ELSE 1 + 2 * CAST(doc_id % 2 AS INT) END AS spp
         FROM d),
       m AS (SELECT doc_id, rn, w, h, spp,
-          round(CAST(list_sum(list_transform(generate_series(0, w*h - 1),
-            i -> (doc_id*31 + (i*spp + 0)*7) % 251)) AS DOUBLE) / (w*h), 6) AS mean0,
+          CASE WHEN bil THEN
+            round(CAST(list_sum(list_transform(generate_series(0, w*h - 1),
+              i -> 255 * (((doc_id*31 + i*7) % 251) % 2))) AS DOUBLE) / (w*h), 6)
+          ELSE
+            round(CAST(list_sum(list_transform(generate_series(0, w*h - 1),
+              i -> (doc_id*31 + (i*spp + 0)*7) % 251)) AS DOUBLE) / (w*h), 6)
+          END AS mean0,
           CASE WHEN spp = 3 THEN
             round(CAST(list_sum(list_transform(generate_series(0, w*h - 1),
               i -> (doc_id*31 + (i*spp + 1)*7) % 251)) AS DOUBLE) / (w*h), 6) END AS mean1,
@@ -5185,14 +5218,21 @@ object Curation extends QueryBlock {
     // born-digital documents). operators.Tiff implements TIFF 6.0
     // from scratch: both byte orders, the IFD walk with ascending-tag
     // discipline, multi-page next-IFD chains (cycle-guarded), real
-    // strip splitting, and compressions none/PackBits/LZW — the LZW
-    // filter COMPOSES the validated ISO 32000 LZWDecode (the same
-    // algorithm, early-change included). 16-bit samples, palette/
-    // CMYK/WhiteIsZero photometrics, tiles, planar-2 and CCITT all
-    // reject loudly; strips must decompress to EXACTLY their expected
-    // bytes; pixel bomb cap before allocation. One stats row per PAGE
-    // so a 500-page book scan parallelizes downstream. Per-file
-    // scan-local decode, zero shuffle.
+    // strip splitting, TILED organization with edge clipping (r13),
+    // BILEVEL pages (1-bit, the BitsPerSample default, normalized to
+    // black=0/white=255), and compressions none/PackBits/LZW/CCITT
+    // G4 — the LZW filter COMPOSES the validated ISO 32000 LZWDecode
+    // (the same algorithm, early-change included) and G4 COMPOSES
+    // operators.CcittG4, the from-scratch T.6 codec with hand-pinned
+    // bitstreams (scanned-document corpora — books, patents,
+    // newspapers — ship G4-compressed bilevel, often tiled; that is
+    // what this row was built for). 16-bit samples, palette/CMYK
+    // photometrics, 8-bit WhiteIsZero, G3 fax, G4 uncompressed mode,
+    // FillOrder 2, planar-2 and mixed strip+tile directories all
+    // reject loudly; every segment must decompress to EXACTLY its
+    // expected bytes; pixel bomb cap before allocation. One stats row
+    // per PAGE so a 500-page book scan parallelizes downstream.
+    // Per-file scan-local decode, zero shuffle.
     "e106_tiff" -> QueryDef(
       (s, dir) => {
         val tDir = writeTiffFixture(s, dir)

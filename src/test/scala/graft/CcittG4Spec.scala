@@ -1,0 +1,152 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.CcittG4
+
+/** T.6 codec pins. The hand-pinned bitstreams below were derived ON
+  * PAPER from the published ITU-T T.4 code tables and the T.6 coding
+  * procedure — they validate the table transcription and the mode
+  * logic independently of BOTH the encoder and the decoder (a
+  * transcription error shared by the two sides would round-trip
+  * cleanly but fail these pins).
+  */
+class CcittG4Spec extends AnyFunSuite {
+
+  private val EOFB = "000000000001" * 2
+
+  private def toBytes(bits: String): Array[Byte] = {
+    val padded = bits + "0" * ((8 - bits.length % 8) % 8)
+    padded.grouped(8).map(s => java.lang.Integer.parseInt(s, 2).toByte).toArray
+  }
+
+  private def toBits(bytes: Array[Byte]): String =
+    bytes.map(b => String.format("%8s",
+      Integer.toBinaryString(b & 0xff)).replace(' ', '0')).mkString
+
+  /** black-run description → pixel row (1 = black). */
+  private def row(width: Int, blackRanges: (Int, Int)*): Array[Byte] = {
+    val r = new Array[Byte](width)
+    blackRanges.foreach { case (from, until) =>
+      (from until until).foreach(i => r(i) = 1)
+    }
+    r
+  }
+
+  test("hand pin: all-white line codes as a single V0") {
+    val px = row(8)
+    assert(toBits(CcittG4.encode(px, 8, 1)) === toBytes("1" + EOFB).pipe(toBits))
+    // decode side, WITHOUT EOFB (TIFF writers may omit it)
+    assert(CcittG4.decode(toBytes("1"), 8, 1).get.toSeq === px.toSeq)
+    assert(CcittG4.decode(toBytes("1" + EOFB), 8, 1).get.toSeq === px.toSeq)
+  }
+
+  test("hand pin: 4w 5b 7w = horizontal(white4=1011, black5=0011) + V0") {
+    val px = row(16, (4, 9))
+    val bits = "001" + "1011" + "0011" + "1"
+    assert(toBits(CcittG4.encode(px, 16, 1)) === toBits(toBytes(bits + EOFB)))
+    assert(CcittG4.decode(toBytes(bits), 16, 1).get.toSeq === px.toSeq)
+  }
+
+  test("hand pin: second row via VR1 then V0 V0 against the first") {
+    val r1 = row(16, (4, 9))
+    val r2 = row(16, (5, 9))
+    val px = r1 ++ r2
+    val bits = "001" + "1011" + "0011" + "1" + // row 1 as above
+      "011" + "1" + "1" // row 2: VR1 (b1=4→a1=5), V0, V0
+    assert(toBits(CcittG4.encode(px, 16, 2)) === toBits(toBytes(bits + EOFB)))
+    assert(CcittG4.decode(toBytes(bits), 16, 2).get.toSeq === px.toSeq)
+  }
+
+  test("hand pin: line starting black uses white run 0 (00110101) and a black make-up (64=0000001111)") {
+    val px = row(200, (0, 70)) // 70 black then 130 white
+    val bits = "001" + "00110101" + "0000001111" + "0010" + "1"
+    // white 0, black make-up 64, black terminating 6, then V0 to end
+    assert(toBits(CcittG4.encode(px, 200, 1)) === toBits(toBytes(bits + EOFB)))
+    assert(CcittG4.decode(toBytes(bits), 200, 1).get.toSeq === px.toSeq)
+  }
+
+  test("hand pin: white make-up 128 (10010) + white 0, black make-up 64 + black 8 (000101)") {
+    val px = row(200, (128, 200)) // 128 white then 72 black
+    val bits = "001" + "10010" + "00110101" + "0000001111" + "000101"
+    assert(toBits(CcittG4.encode(px, 200, 1)) === toBits(toBytes(bits + EOFB)))
+    assert(CcittG4.decode(toBytes(bits), 200, 1).get.toSeq === px.toSeq)
+  }
+
+  test("hand pin: pass mode when the reference run ends left of the coding run") {
+    val r1 = row(200, (10, 20))
+    val r2 = row(200, (30, 40))
+    val px = r1 ++ r2
+    val row1 = "001" + "00111" + "0000100" + "1" // 10w,10b then V0
+    val row2 = "0001" + // pass over the reference's [10,20) run
+      "001" + "00111" + "0000100" + // horizontal 10 white, 10 black
+      "1" // V0 to line end
+    val bits = row1 + row2
+    assert(toBits(CcittG4.encode(px, 200, 2)) === toBits(toBytes(bits + EOFB)))
+    assert(CcittG4.decode(toBytes(bits), 200, 2).get.toSeq === px.toSeq)
+  }
+
+  test("hand pin: VL2 codes 000010") {
+    val r1 = row(200, (10, 20))
+    val r2 = row(200, (8, 20))
+    val px = r1 ++ r2
+    val row1 = "001" + "00111" + "0000100" + "1"
+    val row2 = "000010" + "1" + "1" // VL2, V0, V0
+    assert(toBits(CcittG4.encode(px, 200, 2)) === toBits(toBytes(row1 + row2 + EOFB)))
+    assert(CcittG4.decode(toBytes(row1 + row2), 200, 2).get.toSeq === px.toSeq)
+  }
+
+  test("extended make-up codes round-trip (runs past 2560)") {
+    val px = row(3000, (2700, 3000)) // white 2700 = 2560 + 128 + 12
+    val got = CcittG4.decode(CcittG4.encode(px, 3000, 1), 3000, 1).get
+    assert(got.toSeq === px.toSeq)
+  }
+
+  test("random and structured images round-trip exactly") {
+    for (width <- Seq(1, 2, 17, 64, 333); height <- Seq(1, 2, 9); seed <- Seq(3, 11)) {
+      var s = seed * 2654435761L
+      val px = Array.tabulate[Byte](width * height) { _ =>
+        s = s * 6364136223846793005L + 1442695040888963407L
+        (((s >>> 33) & 1)).toByte
+      }
+      val got = CcittG4.decode(CcittG4.encode(px, width, height), width, height)
+      assert(got.isDefined, s"w=$width h=$height seed=$seed rejected")
+      assert(got.get.toSeq === px.toSeq, s"w=$width h=$height seed=$seed")
+    }
+    // long alternating runs (every vertical offset ±1..3 exercised)
+    for (width <- Seq(65, 130)) {
+      val px = Array.tabulate[Byte](width * 8) { k =>
+        val y = k / width; val x = k % width
+        if ((x + y) % 7 < 3) 1 else 0
+      }
+      assert(CcittG4.decode(CcittG4.encode(px, width, 8), width, 8).get.toSeq === px.toSeq)
+    }
+  }
+
+  test("rejects: extension code, EOL in data, truncation, nonzero pad, run past width, vertical overshoot") {
+    assert(CcittG4.decode(toBytes("0000001000"), 8, 1) === None) // 2-D extension
+    assert(CcittG4.decode(toBytes("000000000001" + "1"), 8, 1) === None) // EOL first
+    assert(CcittG4.decode(toBytes("0011011"), 16, 1) === None) // truncated horizontal
+    assert(CcittG4.decode(toBytes("1" + "1000000"), 8, 1) === None) // nonzero pad
+    assert(CcittG4.decode(toBytes("001" + "001000" + "11"), 8, 1) === None) // white 12 > width 8
+    assert(CcittG4.decode(toBytes("011"), 8, 1) === None) // VR1 past line end (a1=9)
+    assert(CcittG4.decode(null, 8, 1) === None)
+    assert(CcittG4.decode(toBytes("1"), 0, 1) === None)
+    // EOFB then MORE data = trailing garbage
+    assert(CcittG4.decode(toBytes("1" + EOFB + "00000000"), 8, 1) === None)
+  }
+
+  test("decoder never crashes on random bytes (fuzz)") {
+    var s = 0x9e3779b97f4a7c15L
+    (0 until 2000).foreach { i =>
+      val len = 1 + (i % 40)
+      val b = Array.tabulate[Byte](len) { _ =>
+        s ^= s << 13; s ^= s >>> 7; s ^= s << 17; (s & 0xff).toByte
+      }
+      CcittG4.decode(b, 1 + (i % 100), 1 + (i % 7)) // Option either way
+    }
+  }
+
+  private implicit class Pipe[A](a: A) {
+    def pipe[B](f: A => B): B = f(a)
+  }
+}

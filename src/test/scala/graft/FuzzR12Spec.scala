@@ -94,6 +94,16 @@ class FuzzR12Spec extends AnyFunSuite {
         (7, 5, 1, (k: Int) => ((k * 11) % 251).toByte)),
       Seq(5, 32773), littleEndian = true)
     fuzzOne("tiff", t, b => operators.Tiff.decode(b))
+    // r13 families: G4-bilevel strips and a tiled page
+    val g4 = operators.Tiff.makeTiffExt(Seq(operators.Tiff.PageSpec(
+      60, 8, 1, 1, 0, 4,
+      (k: Int) => if ((k * 11 % 251) % 2 == 0) 0 else 255.toByte,
+      rowsPerStrip = 4)), littleEndian = false)
+    fuzzOne("tiff-g4", g4, b => operators.Tiff.decode(b))
+    val tiled = operators.Tiff.makeTiffExt(Seq(operators.Tiff.PageSpec(
+      20, 18, 1, 8, 1, 5, (k: Int) => ((k * 13) % 251).toByte,
+      tile = Some((16, 16)))), littleEndian = true)
+    fuzzOne("tiff-tiled", tiled, b => operators.Tiff.decode(b))
   }
 
   test("Mp3") {
