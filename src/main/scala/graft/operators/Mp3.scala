@@ -26,7 +26,18 @@ import org.apache.spark.sql.types._
   *    between frames, a truncated final frame, free-format bitrate
   *    (index 0) and the reserved bitrate/samplerate/version/layer
   *    indexes all reject the file (reject-don't-guess: a "robust"
-  *    resync scan silently miscounts duration on corrupt files).
+  *    resync scan silently miscounts duration on corrupt files);
+  *  - Xing/Info VBR headers (r13): a Layer-III first frame carrying
+  *    the "Xing" (VBR) or "Info" (CBR) magic at the canonical
+  *    post-side-info offset is a METADATA frame, not audio — the
+  *    emitted frame count / samples / duration / mean bitrate cover
+  *    the audio frames only. Strict convention, enforced not guessed:
+  *    the declared frame count MUST equal the walked audio frames
+  *    (the Xing frame itself excluded), the optional bytes field MUST
+  *    equal the frames-region length (Xing frame through stream end),
+  *    undefined flag bits reject, an "Info" magic over audio frames
+  *    whose bitrates vary is a contradiction and rejects, and the
+  *    header must fit inside its frame.
   *
   * Per-file emission: frame count, exact total samples, duration,
   * sample rate, channel count, CBR/VBR verdict and mean bitrate.
@@ -135,25 +146,68 @@ object Mp3 {
       var end = b.length
       if (end - p >= 128 && b(end - 128) == 'T' && b(end - 127) == 'A' &&
         b(end - 126) == 'G') end = end - 128
+      val framesStart = p
       var nFrames = 0
       var totalSamples = 0L
       var sampleRate = -1
       var channels = -1
       var bitrateSumKbps = 0L
       var firstBitrate = -1
+      var firstSamples = 0
       var vbr = false
+      // Xing/Info header on the first frame: (isVbrMagic, declaredFrames,
+      // declaredBytes or -1)
+      var xing: Option[(Boolean, Int, Long)] = None
+      // observed-bitrate variation among AUDIO frames only (frames ≥ 1
+      // when a Xing frame leads)
+      var audioFirstBitrate = -1
+      var audioVbr = false
       while (p < end) {
         val f = frameAt(b, p)
         if (p + f.bytes > end) throw Malformed // truncated final frame
         if (nFrames == 0) {
           sampleRate = f.sampleRate; channels = f.channels
           firstBitrate = f.bitrateKbps
+          firstSamples = f.samples
+          if (f.layer == 3) {
+            // canonical offset: header(4) + CRC(2 when protection bit
+            // is 0) + Layer-III side info (MPEG1: 17 mono / 32 stereo;
+            // MPEG2/2.5: 9 / 17)
+            val crc = if ((b(p + 1) & 1) == 0) 2 else 0
+            val side =
+              if (f.version == 3) { if (f.channels == 1) 17 else 32 }
+              else { if (f.channels == 1) 9 else 17 }
+            val off = p + 4 + crc + side
+            if (off + 8 <= p + f.bytes) {
+              val magic = new String(b, off, 4,
+                java.nio.charset.StandardCharsets.ISO_8859_1)
+              if (magic == "Xing" || magic == "Info") {
+                def be32(o: Int): Long =
+                  ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+                    ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+                val flags = be32(off + 4)
+                if ((flags & ~0xfL) != 0) throw Malformed // undefined bits
+                if ((flags & 1) == 0) throw Malformed // frames field required
+                var q = off + 8
+                val declared = be32(q); q += 4
+                if (declared < 1 || declared > (1 << 22)) throw Malformed
+                var declaredBytes = -1L
+                if ((flags & 2) != 0) { declaredBytes = be32(q); q += 4 }
+                if ((flags & 4) != 0) q += 100 // TOC
+                if ((flags & 8) != 0) q += 4 // quality
+                if (q > p + f.bytes) throw Malformed // header past its frame
+                xing = Some((magic == "Xing", declared.toInt, declaredBytes))
+              }
+            }
+          }
         } else {
           // a sample-rate or channel change mid-file is a splice, not
           // a VBR stream — reject
           if (f.sampleRate != sampleRate || f.channels != channels)
             throw Malformed
           if (f.bitrateKbps != firstBitrate) vbr = true
+          if (audioFirstBitrate < 0) audioFirstBitrate = f.bitrateKbps
+          else if (f.bitrateKbps != audioFirstBitrate) audioVbr = true
         }
         nFrames += 1
         if (nFrames > (1 << 22)) throw Malformed // bomb cap
@@ -163,8 +217,21 @@ object Mp3 {
       }
       if (p != end) throw Malformed // exact consume
       if (nFrames == 0) throw Malformed
-      Some(Mp3Info(nFrames, totalSamples, sampleRate, channels, vbr,
-        bitrateSumKbps.toDouble / nFrames))
+      xing match {
+        case Some((isVbrMagic, declared, declaredBytes)) =>
+          val audio = nFrames - 1
+          if (audio < 1) throw Malformed // a header with no audio
+          if (declared != audio) throw Malformed // lying frame count
+          if (declaredBytes >= 0 && declaredBytes != (end - framesStart))
+            throw Malformed // lying stream size
+          if (!isVbrMagic && audioVbr) throw Malformed // "Info" over VBR audio
+          Some(Mp3Info(audio, totalSamples - firstSamples, sampleRate,
+            channels, isVbrMagic,
+            (bitrateSumKbps - firstBitrate).toDouble / audio))
+        case None =>
+          Some(Mp3Info(nFrames, totalSamples, sampleRate, channels, vbr,
+            bitrateSumKbps.toDouble / nFrames))
+      }
     } catch {
       case Malformed => None
       case _: ArrayIndexOutOfBoundsException => None
@@ -236,6 +303,44 @@ object Mp3 {
       i += 1
     }
     out
+  }
+
+  /** A Xing/Info metadata frame (the fixture reverse direction for the
+    * r13 VBR-header handling): an ordinary spec-exact frame whose
+    * payload carries `magic` + flags + the declared audio-frame count
+    * at the canonical post-side-info offset, optionally the stream
+    * byte size (this frame + `audioBytes`), a 100-byte TOC and a
+    * quality field.
+    */
+  def makeXingFrame(version: Int, layer: Int, brIdx: Int, srIdx: Int,
+      mono: Boolean, magic: String, declaredFrames: Int, audioBytes: Long,
+      withBytes: Boolean, withToc: Boolean, withQuality: Boolean = false,
+      seed: Int = 0): Array[Byte] = {
+    require(magic == "Xing" || magic == "Info")
+    val frame = makeFrame(version, layer, brIdx, srIdx,
+      padding = false, mono = mono, seed = seed)
+    val side =
+      if (version == 3) { if (mono) 17 else 32 }
+      else { if (mono) 9 else 17 }
+    var q = 4 + side
+    def be32(v: Long): Unit = {
+      frame(q) = ((v >>> 24) & 0xff).toByte
+      frame(q + 1) = ((v >>> 16) & 0xff).toByte
+      frame(q + 2) = ((v >>> 8) & 0xff).toByte
+      frame(q + 3) = (v & 0xff).toByte
+      q += 4
+    }
+    val fieldsLen = 8 + 4 + (if (withBytes) 4 else 0) +
+      (if (withToc) 100 else 0) + (if (withQuality) 4 else 0)
+    require(q + fieldsLen <= frame.length, "frame too short for the header")
+    magic.getBytes("US-ASCII").copyToArray(frame, q); q += 4
+    be32((1L | (if (withBytes) 2L else 0L) | (if (withToc) 4L else 0L) |
+      (if (withQuality) 8L else 0L)))
+    be32(declaredFrames.toLong)
+    if (withBytes) be32(frame.length + audioBytes)
+    if (withToc) { (0 until 100).foreach(i => frame(q + i) = (i * 255 / 99).toByte); q += 100 }
+    if (withQuality) be32(50L)
+    frame
   }
 
   def makeId3v2(size: Int): Array[Byte] = {

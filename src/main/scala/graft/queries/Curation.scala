@@ -2131,7 +2131,12 @@ object Curation extends QueryBlock {
     * frame count and tag placement (ID3v2 prefix / ID3v1 tail) all
     * rotating with doc_id, so the oracle re-derives every framing
     * stat — including the VBR mean over the per-frame bitrate
-    * rotation — from the spec's own tables in closed form.
+    * rotation — from the spec's own tables in closed form. r13 adds
+    * Xing-headed VBR (doc_id%5==3) and Info-headed CBR (doc_id%5==4)
+    * files whose leading metadata frame must be EXCLUDED from every
+    * stat: the physical file holds n+1 frames but the oracle's n —
+    * exactly the closed-form-vs-byte-estimate divergence the header
+    * exists to resolve.
     */
   def writeMp3Fixture(s: SparkSession, dir: String): String = {
     import graft.operators.Mp3
@@ -2146,13 +2151,28 @@ object Curation extends QueryBlock {
     ids.foreach { id =>
       val n = 6 + (id % 9).toInt
       val vbr = id % 5 < 2
+      // r13: Xing-headed VBR (doc_id%5==3) and Info-headed CBR
+      // (doc_id%5==4) — a leading metadata frame the walk must exclude
+      // from every emitted stat; its declared count/bytes are enforced
+      val xing = id % 5 == 3
+      val cbrInfo = id % 5 == 4
       val out = new java.io.ByteArrayOutputStream()
       if (id % 4 == 0) out.write(Mp3.makeId3v2(50 + (id % 30).toInt))
+      val audio = new java.io.ByteArrayOutputStream()
       (0 until n).foreach { j =>
-        val brIdx = if (vbr) 2 + ((id + j) % 12).toInt else 2 + (id % 12).toInt
-        out.write(Mp3.makeFrame(3, 3, brIdx, (id % 3).toInt,
+        val brIdx = if (vbr || xing) 2 + ((id + j) % 12).toInt else 2 + (id % 12).toInt
+        audio.write(Mp3.makeFrame(3, 3, brIdx, (id % 3).toInt,
           padding = j % 2 == 0, mono = id % 2 == 1, seed = (id + j).toInt))
       }
+      if (xing || cbrInfo)
+        // the metadata frame rides a fixed 160 kbps so the TOC always
+        // fits; its own bitrate is excluded from every stat by contract
+        out.write(Mp3.makeXingFrame(3, 3, 9, (id % 3).toInt,
+          mono = id % 2 == 1, magic = if (xing) "Xing" else "Info",
+          declaredFrames = n, audioBytes = audio.size().toLong,
+          withBytes = id % 2 == 0, withToc = id % 3 == 0,
+          withQuality = id % 7 == 0, seed = id.toInt))
+      out.write(audio.toByteArray)
       if (id % 5 == 0) out.write(Mp3.makeId3v1())
       java.nio.file.Files.write(
         java.nio.file.Paths.get(s"$mDir/m$id.mp3"), out.toByteArray)
@@ -2177,7 +2197,7 @@ object Curation extends QueryBlock {
         WHERE text IS NOT NULL AND doc_id >= 320 AND doc_id < 360),
       p AS (SELECT doc_id,
           6 + CAST(doc_id % 9 AS INT) AS n,
-          (doc_id % 5 < 2) AS vbr,
+          (doc_id % 5 < 2 OR doc_id % 5 = 3) AS vbr,
           list_extract([44100, 48000, 32000],
             CAST(doc_id % 3 AS INT) + 1) AS sample_rate,
           CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 2 END AS channels

@@ -92,4 +92,83 @@ class Mp3Spec extends AnyFunSuite {
     badTag(7) = 0x80.toByte
     assert(Mp3.info(cat(badTag, f)) === None)
   }
+
+  // ---------------- r13: Xing/Info VBR headers ----------------
+
+  test("Xing header: stats cover the audio frames only; declared count and bytes enforced") {
+    val audio = (0 until 8).map(i =>
+      Mp3.makeFrame(3, 3, brIdx = 2 + i % 5, srIdx = 0, padding = false,
+        mono = false, seed = i))
+    val audioBytes = audio.map(_.length.toLong).sum
+    val x = Mp3.makeXingFrame(3, 3, 9, 0, mono = false, magic = "Xing",
+      declaredFrames = 8, audioBytes = audioBytes, withBytes = true,
+      withToc = true, withQuality = true)
+    val m = Mp3.info(cat((x +: audio): _*)).get
+    assert(m.nFrames === 8) // NOT 9: the metadata frame is excluded
+    assert(m.totalSamples === 8L * 1152)
+    assert(m.vbr === true)
+    // mean over the audio frames alone (brIdx 2..6 -> 40,48,56,64,80 kbps)
+    val kbps = (0 until 8).map(i => Seq(40, 48, 56, 64, 80)(i % 5))
+    assert(math.abs(m.meanBitrateKbps - kbps.sum.toDouble / 8) < 1e-9)
+    // the byte arithmetic WOULD have counted 9 frames; pin the divergence
+    assert(cat((x +: audio): _*).length === (x.length + audioBytes).toInt)
+  }
+
+  test("Xing magic forces vbr=true even when the audio bitrates are constant; Info forces false") {
+    val audio = (0 until 5).map(i =>
+      Mp3.makeFrame(3, 3, brIdx = 9, srIdx = 1, padding = false, mono = true, seed = i))
+    val ab = audio.map(_.length.toLong).sum
+    val x = Mp3.makeXingFrame(3, 3, 9, 1, mono = true, magic = "Xing",
+      declaredFrames = 5, audioBytes = ab, withBytes = false, withToc = false)
+    assert(Mp3.info(cat((x +: audio): _*)).get.vbr === true)
+    val inf = Mp3.makeXingFrame(3, 3, 9, 1, mono = true, magic = "Info",
+      declaredFrames = 5, audioBytes = ab, withBytes = true, withToc = false)
+    val mi = Mp3.info(cat((inf +: audio): _*)).get
+    assert(mi.vbr === false)
+    assert(mi.nFrames === 5)
+  }
+
+  test("Xing header works behind an ID3v2 prefix and before an ID3v1 tail") {
+    val audio = (0 until 6).map(i =>
+      Mp3.makeFrame(3, 3, brIdx = 3 + i % 4, srIdx = 2, padding = i % 2 == 0,
+        mono = false, seed = i))
+    val ab = audio.map(_.length.toLong).sum
+    val x = Mp3.makeXingFrame(3, 3, 9, 2, mono = false, magic = "Xing",
+      declaredFrames = 6, audioBytes = ab, withBytes = true, withToc = true)
+    val file = cat((Mp3.makeId3v2(64) +: x +: audio) :+ Mp3.makeId3v1(): _*)
+    val m = Mp3.info(file).get
+    assert(m.nFrames === 6)
+    assert(m.totalSamples === 6L * 1152)
+  }
+
+  test("Xing rejects: lying frame count, lying byte size, Info over VBR audio, undefined flags, header with no audio") {
+    val audio = (0 until 4).map(i =>
+      Mp3.makeFrame(3, 3, brIdx = 2 + i, srIdx = 0, padding = false,
+        mono = false, seed = i))
+    val ab = audio.map(_.length.toLong).sum
+    // declared 5, actual 4
+    val lie = Mp3.makeXingFrame(3, 3, 9, 0, mono = false, magic = "Xing",
+      declaredFrames = 5, audioBytes = ab, withBytes = false, withToc = false)
+    assert(Mp3.info(cat((lie +: audio): _*)) === None)
+    // declared bytes off by one
+    val lieB = Mp3.makeXingFrame(3, 3, 9, 0, mono = false, magic = "Xing",
+      declaredFrames = 4, audioBytes = ab + 1, withBytes = true, withToc = false)
+    assert(Mp3.info(cat((lieB +: audio): _*)) === None)
+    // Info magic over genuinely varying audio bitrates
+    val infoVbr = Mp3.makeXingFrame(3, 3, 9, 0, mono = false, magic = "Info",
+      declaredFrames = 4, audioBytes = ab, withBytes = false, withToc = false)
+    assert(Mp3.info(cat((infoVbr +: audio): _*)) === None)
+    // undefined flag bits: patch flags byte (offset 4+32+4+3 from frame start)
+    val ok = Mp3.makeXingFrame(3, 3, 9, 0, mono = false, magic = "Xing",
+      declaredFrames = 4, audioBytes = ab, withBytes = false, withToc = false)
+    assert(Mp3.info(cat((ok +: audio): _*)).isDefined) // premise
+    val badFlags = ok.clone()
+    badFlags(4 + 32 + 4 + 2) = 1 // sets bit 16 of the flags word
+    assert(Mp3.info(cat((badFlags.asInstanceOf[Array[Byte]] +: audio): _*)) === None)
+    // a Xing frame with zero audio frames after it
+    val alone = Mp3.makeXingFrame(3, 3, 9, 0, mono = false, magic = "Xing",
+      declaredFrames = 1, audioBytes = 0, withBytes = false, withToc = false)
+    assert(Mp3.info(alone) === None)
+  }
+
 }
