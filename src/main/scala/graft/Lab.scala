@@ -273,6 +273,46 @@ object Lab {
           (sum(col("__sp")).cast("double") / lit(10000.0)).as("sum_price"))
         .transform(sortSmallTopK(_, col("n_name").asc_nulls_first, col("o_orderstatus").asc_nulls_first))
     }),
+    // (d) the codegen dense-dimension lookup: customer→nation as a
+    // broadcast byte array probed from inside whole-stage codegen — no
+    // hashed-relation build, no join node on the fact side.
+    V("c20_ddim", "c20_rollup", (s, dir) => {
+      val look = graft.operators.DenseDimJoin.lookup(
+        s, t(s, dir, "customer"), "c_custkey", "c_nationkey")
+      val o = t(s, dir, "orders")
+      val n = broadcast(t(s, dir, "nation"))
+      val pre = o
+        .withColumn("c_nationkey", look(col("o_custkey")))
+        .filter(col("c_nationkey").isNotNull)
+        .groupBy(col("c_nationkey"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("__cnt"), sum(cents4(col("o_totalprice"))).as("__sp"))
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+      pre.rollup(col("n_name"), col("o_orderstatus"))
+        .agg(sum(col("__cnt")).as("n"),
+          (sum(col("__sp")).cast("double") / lit(10000.0)).as("sum_price"))
+        .transform(sortSmallTopK(_, col("n_name").asc_nulls_first, col("o_orderstatus").asc_nulls_first))
+    }),
+    // (e) ddim + the whole tail fused after the one exchange: rollup by
+    // nationkey (bijective with name), map the 25 names via a literal
+    // map AFTER the margins exist, sort the ~101 rows in the same task.
+    V("c20_ddim2", "c20_rollup", (s, dir) => {
+      val look = graft.operators.DenseDimJoin.lookup(
+        s, t(s, dir, "customer"), "c_custkey", "c_nationkey")
+      val nmap = typedlit(t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+        .collect().map(r => r.getInt(0) -> r.getString(1)).toMap)
+      val o = t(s, dir, "orders")
+      o.withColumn("c_nationkey", look(col("o_custkey")))
+        .filter(col("c_nationkey").isNotNull)
+        .groupBy(col("c_nationkey"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("__cnt"), sum(cents4(col("o_totalprice"))).as("__sp"))
+        .coalesce(1)
+        .rollup(col("c_nationkey"), col("o_orderstatus"))
+        .agg(sum(col("__cnt")).as("n"),
+          (sum(col("__sp")).cast("double") / lit(10000.0)).as("sum_price"))
+        .withColumn("n_name", element_at(nmap, col("c_nationkey")))
+        .select(col("n_name"), col("o_orderstatus"), col("n"), col("sum_price"))
+        .sortWithinPartitions(col("n_name").asc_nulls_first, col("o_orderstatus").asc_nulls_first)
+    }),
     // floor probe (r6): the shipping c20 shape over a predicate parquet
     // stats reject entirely — measures pure stage-scheduling cost of the
     // pre-agg exchange + rollup exchange + TOAP + 2 broadcasts. base=""

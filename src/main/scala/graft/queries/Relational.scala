@@ -293,20 +293,36 @@ object Relational extends QueryBlock {
     // the Expand trivial — margins are exact sums of the longs (cents sums
     // and counts are associative), and the 25-row nation dim joins AFTER
     // the heavy aggregation, against 75 rows instead of every order.
+    // r13: the orders⋈customer BroadcastHashJoin is replaced by
+    // operators.DenseDimJoin — custkey is a dense integer domain and
+    // nationkey fits a byte, so the 1.5M-entry (at sf10) hashed
+    // relation (driver-built single-threaded, ~50 MB shipped) becomes
+    // a 1.5 MB broadcast byte array probed by a bounds-checked index
+    // from INSIDE the scan's whole-stage codegen; lookup + notNull
+    // filter reproduces the inner join exactly (unique keys). Measured
+    // at sf10 (Lab, AQE on, width 32): 1094 ms → 725 ms, results
+    // canon-equal; the r12 candidates — orders-side pre-aggregation
+    // (2277 ms) and shuffled-hash o⋈c (1158 ms) — both lose, and the
+    // c20_floor probe (identical stage shape, zero rows) reads 765 ms,
+    // so the BHJ build WAS most of the non-floor cost. The same
+    // broadcastability precondition as the BHJ it replaces, at ~1/30
+    // the memory; at a scale where the dim stops fitting, neither plan
+    // exists and the join degrades to shuffle on both engines.
     // Stage count is a floor, not a defect: the rollup aggregate ALWAYS
     // plans its own exchange because ExpandExec reports
     // UnknownPartitioning (the expanded null keys invalidate any child
     // partitioning), so no coalesce placement below the rollup can elide
-    // it — measured: the coalesce(1)-fused attempt costs MORE (extra
-    // narrow stage, exchange still present; Lab c20_fusedpre). The
-    // Lab c20_floor probe (identical shape, zero rows) pins how much of
-    // the runtime is pure stage scheduling.
+    // it — measured: the coalesce(1)-fused attempt costs MORE even on
+    // the ddim shape (Lab c20_ddim2 777 ms vs c20_ddim 725 ms).
     "c20_rollup" -> QueryDef(
       (s, dir) => {
         val o = t(s, dir, "orders")
-        val c = t(s, dir, "customer")
         val n = broadcast(t(s, dir, "nation"))
-        val pre = o.join(c, col("o_custkey") === col("c_custkey"))
+        val look = graft.operators.DenseDimJoin.lookup(
+          s, t(s, dir, "customer"), "c_custkey", "c_nationkey")
+        val pre = o
+          .withColumn("c_nationkey", look(col("o_custkey")))
+          .filter(col("c_nationkey").isNotNull)
           .groupBy(col("c_nationkey"), col("o_orderstatus"))
           .agg(count(lit(1)).as("__cnt"), sum(cents4(col("o_totalprice"))).as("__sp"))
           .join(n, col("c_nationkey") === col("n_nationkey"))
