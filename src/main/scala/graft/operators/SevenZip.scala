@@ -32,10 +32,14 @@ import org.apache.spark.sql.types._
   *
   * Coders: kCopy (00), kLzma (03 01 01, raw known-size stream),
   * kLzma2 (21, the control-byte chunk layer shared with the xz
-  * reader). Multi-coder folders, bind pairs, BCJ filters and
-  * encrypted archives (kAES-256, 06 F1 07 01) all reject loudly —
-  * a password prompt or an executable transform has no place in a
-  * silent bulk pipeline, and half-decoding is confident garbage.
+  * reader), and (r13) the two-coder bind-pair folder chaining the x86
+  * BCJ branch filter (03 03 01 03, [[Bcj]]) after the compressor —
+  * the chain archives of compiled code actually use (decision memo:
+  * NOTES_r13; the filter is a reversible byte transform, nothing is
+  * executed). Other multi-coder folders, non-x86 filters and
+  * encrypted archives (kAES-256, 06 F1 07 01) all reject loudly — a
+  * password prompt has no place in a silent bulk pipeline, and
+  * half-decoding is confident garbage.
   *
   * Reject-don't-guess: numbers are bounds-capped, every declared size
   * is checked against the file/cap BEFORE allocation, folder output
@@ -126,8 +130,9 @@ object SevenZip {
   }
 
   private final case class Coder(id: Seq[Int], props: Array[Byte])
+  // `bcjX86`: the folder chains the x86 branch filter after `coder`
   private final case class Folder(coder: Coder, unpackSize: Long,
-      packIndex: Int, crc: Option[Long])
+      packIndex: Int, crc: Option[Long], bcjX86: Boolean = false)
   private final case class StreamsInfo(packPos: Long, packSizes: Vector[Long],
       folders: Vector[Folder],
       numUnpack: Vector[Int], subSizes: Vector[Vector[Long]],
@@ -168,25 +173,60 @@ object SevenZip {
       if (r.num() != 0x0B) throw Malformed // kFolder
       val numFolders = r.checkedNum(1 << 16)
       if (r.u8() != 0) throw Malformed // external folders unsupported
-      val coders = (0 until numFolders).map { _ =>
+      // per folder: 1 simple coder, or (r13) 2 simple coders where the
+      // x86 BCJ branch filter consumes the compressor's output through
+      // one bind pair — the chain compiled-code archives actually use.
+      // Anything else (other filters, complex coders, >2 coders, >1
+      // pack stream) still rejects loudly.
+      val folderMeta = (0 until numFolders).map { _ =>
         val numCoders = r.checkedNum(64)
-        if (numCoders != 1) throw Malformed // multi-coder/bind-pairs reject
-        val flags = r.u8()
-        val idSize = flags & 0x0f
-        if ((flags & 0x10) != 0) throw Malformed // complex coder
-        if ((flags & 0xC0) != 0) throw Malformed // reserved bits
-        val cid = (0 until idSize).map(_ => r.u8())
-        val props =
-          if ((flags & 0x20) != 0) r.bytes(r.checkedNum(64))
-          else Array.empty[Byte]
-        Coder(cid, props)
+        if (numCoders < 1 || numCoders > 2) throw Malformed
+        val cs = (0 until numCoders).map { _ =>
+          val flags = r.u8()
+          val idSize = flags & 0x0f
+          if ((flags & 0x10) != 0) throw Malformed // complex coder
+          if ((flags & 0xC0) != 0) throw Malformed // reserved bits
+          val cid = (0 until idSize).map(_ => r.u8())
+          val props =
+            if ((flags & 0x20) != 0) r.bytes(r.checkedNum(64))
+            else Array.empty[Byte]
+          Coder(cid, props)
+        }.toVector
+        if (numCoders == 1) (cs, -1, -1)
+        else {
+          // totalOut(2) - 1 = one bind pair: (inIndex, outIndex)
+          val inIdx = r.checkedNum(1)
+          val outIdx = r.checkedNum(1)
+          (cs, inIdx, outIdx)
+        }
       }.toVector
       if (r.num() != 0x0C) throw Malformed // kCodersUnpackSize
-      val sizes = coders.map { _ =>
-        val v = r.num()
-        if (v < 0 || v > MaxFolderOut) throw Malformed
-        v
+      // one size per OUT stream (= per simple coder), folder-ordered
+      val folderSizes = folderMeta.map { case (cs, _, _) =>
+        cs.map { _ =>
+          val v = r.num()
+          if (v < 0 || v > MaxFolderOut) throw Malformed
+          v
+        }
       }
+      // reduce each folder to (compression coder, final size, bcj?)
+      val BcjX86Id = Seq(0x03, 0x03, 0x01, 0x03)
+      val reduced = folderMeta.zip(folderSizes).map {
+        case ((Vector(c), _, _), sz) => (c, sz(0), false)
+        case ((cs, inIdx, outIdx), sz) =>
+          val bcjIdx = cs.indexWhere(c => c.id == BcjX86Id)
+          if (bcjIdx < 0) throw Malformed // only the x86 filter is in scope
+          val mainIdx = 1 - bcjIdx
+          if (cs(bcjIdx).props.nonEmpty) throw Malformed // start offset: reject
+          // the bind pair must feed the filter from the compressor
+          if (inIdx != bcjIdx || outIdx != mainIdx) throw Malformed
+          // x86 conversion is size-preserving; a mismatch is a lie
+          if (sz(bcjIdx) != sz(mainIdx)) throw Malformed
+          (cs(mainIdx), sz(bcjIdx), true)
+      }
+      val coders = reduced.map(_._1)
+      val sizes = reduced.map(_._2)
+      val bcjs = reduced.map(_._3)
       var crcs: Vector[Option[Long]] = Vector.fill(numFolders)(None)
       var uid = r.num()
       while (uid != 0) {
@@ -199,8 +239,8 @@ object SevenZip {
         }
         uid = r.num()
       }
-      folders = coders.zip(sizes).zip(crcs).zipWithIndex.map {
-        case (((c, sz), crc), i) => Folder(c, sz, i, crc)
+      folders = coders.zip(sizes).zip(crcs.zip(bcjs)).zipWithIndex.map {
+        case (((c, sz), (crc, bcj)), i) => Folder(c, sz, i, crc, bcj)
       }
       // one pack stream per folder (single-coder): counts must line up
       if (packSizes.length != folders.length) throw Malformed
@@ -303,11 +343,14 @@ object SevenZip {
         if (after != end) throw Malformed // coder must consume its stream
         res
       case Seq(0x06, 0xF1, 0x07, 0x01) => throw Malformed // AES-256: reject loudly
-      case _ => throw Malformed // BCJ/delta/unknown: reject, don't guess
+      case _ => throw Malformed // delta/non-x86 BCJ/unknown: reject, don't guess
     }
     if (out.length != expect) throw Malformed
-    f.crc.foreach(c => if (crc32(out, 0, out.length) != c) throw Malformed)
-    out
+    // r13: undo the x86 branch filter after the compressor (bind-pair
+    // order: packed → LZMA/LZMA2 → BCJ → folder output)
+    val unfiltered = if (f.bcjX86) Bcj.x86(out, encode = false) else out
+    f.crc.foreach(c => if (crc32(unfiltered, 0, unfiltered.length) != c) throw Malformed)
+    unfiltered
   }
 
   /** All (name, bytes) members, archive order; directories excluded;
@@ -528,6 +571,11 @@ object SevenZip {
       // LZMA2 dict-size props byte: 2 MiB → (2|0) << (11+11)? encode 1 MiB:
       // bits: dictSize = (2|(b&1)) << (b/2+11); choose b=18 → 2<<20 = 2 MiB
       (Seq(0x21), Array[Byte](18), out.toByteArray)
+    case "bcj-lzma2" =>
+      // r13: x86-filter the payload (encode direction), then LZMA2-pack;
+      // the folder writer emits the two-coder bind-pair structure
+      val (cid, props, packed) = packFolder(Bcj.x86(payload, encode = true), "lzma2")
+      (cid, props, packed)
   }
 
   /** Write an archive. `folders`: each a (coderName, members) group —
@@ -541,11 +589,11 @@ object SevenZip {
     val packedParts = folders.map { case (coder, ms) =>
       val payload = ms.map(_._2).reduce(_ ++ _)
       val (cid, props, packed) = packFolder(payload, coder)
-      (cid, props, packed, payload, ms)
+      (cid, props, packed, payload, ms, coder == "bcj-lzma2")
     }
     // StreamsInfo bytes (shared by plain header and encoded-header path)
     def streamsInfo(packPos: Long, parts: Seq[(Seq[Int], Array[Byte],
-        Array[Byte], Array[Byte], Seq[(String, Array[Byte])])]): Array[Byte] = {
+        Array[Byte], Array[Byte], Seq[(String, Array[Byte])], Boolean)]): Array[Byte] = {
       val o = new java.io.ByteArrayOutputStream()
       o.write(0x06) // PackInfo
       writeNum(o, packPos)
@@ -557,15 +605,26 @@ object SevenZip {
       o.write(0x0B) // kFolder
       writeNum(o, parts.length.toLong)
       o.write(0x00) // not external
-      parts.foreach { case (cid, props, _, _, _) =>
-        writeNum(o, 1) // one coder
+      parts.foreach { case (cid, props, _, _, _, bcj) =>
+        writeNum(o, if (bcj) 2 else 1) // coders
         val flags = cid.length | (if (props.nonEmpty) 0x20 else 0)
         o.write(flags)
         cid.foreach(o.write)
         if (props.nonEmpty) { writeNum(o, props.length.toLong); o.write(props, 0, props.length) }
+        if (bcj) {
+          o.write(4) // idSize 4, simple, no props
+          Seq(0x03, 0x03, 0x01, 0x03).foreach(o.write) // BCJ x86
+          // one bind pair: filter input (in-stream 1) ← compressor
+          // output (out-stream 0)
+          writeNum(o, 1)
+          writeNum(o, 0)
+        }
       }
       o.write(0x0C) // kCodersUnpackSize
-      parts.foreach(p => writeNum(o, p._4.length.toLong))
+      parts.foreach { p =>
+        writeNum(o, p._4.length.toLong) // compressor out
+        if (p._6) writeNum(o, p._4.length.toLong) // filter out (same size)
+      }
       o.write(0x0A) // folder CRCs
       o.write(0x01) // all defined
       parts.foreach(p => writeU32le(o, crc32(p._4, 0, p._4.length)))
@@ -629,7 +688,7 @@ object SevenZip {
         // main pack data; the encoded-header StreamsInfo points at it
         val (cid, props, packed) = packFolder(header, "lzma")
         val part = Seq((cid, props, packed, header,
-          Seq(("__header__", header))))
+          Seq(("__header__", header)), false))
         val o = new java.io.ByteArrayOutputStream()
         o.write(0x17)
         val siB = streamsInfo(mainPack.length.toLong, part)

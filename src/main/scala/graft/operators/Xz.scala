@@ -23,12 +23,15 @@ import org.apache.spark.sql.DataFrame
   * unpadded/uncompressed pair, the footer's backward-size must point
   * back at the index, padding bytes must be zero, and concatenated
   * streams plus 4-aligned zero stream-padding must consume the file
-  * EXACTLY. Only the LZMA2 filter (id 0x21) is supported — delta/BCJ
-  * preprocessors reject loudly by design (they are x86/ARM executable
-  * transforms, out of scope for a text-corpus reader; a silent
-  * pass-through would yield garbage bytes with a valid container
-  * around them). A hostile distance past the declared dictionary size
-  * rejects even when the data happens to be in the block buffer.
+  * EXACTLY. Supported filter chains: bare LZMA2 (id 0x21), and (r13)
+  * the x86 BCJ preprocessor (id 0x04, empty properties — a declared
+  * start offset rejects) ahead of LZMA2, composed from [[Bcj]] and
+  * proven by bidirectional interop with the system `xz --x86`
+  * (decision memo: NOTES_r13). Delta and the non-x86 branch filters
+  * still reject loudly — a silent pass-through would yield garbage
+  * bytes with a valid container around them. A hostile distance past
+  * the declared dictionary size rejects even when the data happens to
+  * be in the block buffer.
   *
   * Bomb guard: the running decompressed total is capped (the zstd
   * lesson: guard the accumulated size during streaming, not each
@@ -210,9 +213,20 @@ object Xz {
     val uncompDeclared =
       if ((flags & 0x80) != 0) { val (v, pn) = vli(data, p, o + bhSize); p = pn; Some(v) }
       else None
-    if (numFilters != 1) bad() // only a bare LZMA2 chain is in scope
+    if (numFilters > 2) bad()
+    // optional x86 BCJ ahead of LZMA2 (r13); all other chains reject
+    var bcjX86 = false
+    if (numFilters == 2) {
+      val (fid0, pa) = vli(data, p, o + bhSize); p = pa
+      if (fid0 != 0x04) bad() // only the x86 branch filter is in scope
+      val (plen0, pb) = vli(data, p, o + bhSize); p = pb
+      // a 4-byte start-offset property changes the conversion origin —
+      // out of scope, reject rather than mis-convert
+      if (plen0 != 0) bad()
+      bcjX86 = true
+    }
     val (fid, p1) = vli(data, p, o + bhSize); p = p1
-    if (fid != 0x21) bad() // delta/BCJ reject loudly — see scaladoc
+    if (fid != 0x21) bad() // the last filter must be LZMA2
     val (plen, p2) = vli(data, p, o + bhSize); p = p2
     if (plen != 1) bad()
     val ds = data(p) & 0xff; p += 1
@@ -225,8 +239,9 @@ object Xz {
 
     // LZMA2 chunk walk
     val dataStart = o
-    val blockOut = lzma2Decode(data, o, data.length, dictSize,
+    val blockOut0 = lzma2Decode(data, o, data.length, dictSize,
       cap - out.size().toLong) match { case (bytes, oNext) => o = oNext; bytes }
+    val blockOut = if (bcjX86) Bcj.x86(blockOut0, encode = false) else blockOut0
     val compSize = (o - dataStart).toLong
     compDeclared.foreach(v => if (v != compSize) bad())
     uncompDeclared.foreach(v => if (v != blockOut.length.toLong) bad())
@@ -387,9 +402,12 @@ object Xz {
     * UNCOMPRESSED chunk + state-reset continuation spliced in when
     * `rawSplice` is set. `check`: 0 none, 1 CRC32, 4 CRC64, 10 SHA-256.
     */
-  def makeXz(payload: Array[Byte], check: Int = 4, chunkLen: Int = 1 << 14,
-      rawSplice: Boolean = false): Array[Byte] = {
+  def makeXz(payload0: Array[Byte], check: Int = 4, chunkLen: Int = 1 << 14,
+      rawSplice: Boolean = false, bcjX86: Boolean = false): Array[Byte] = {
     require(CheckSizes.contains(check), s"check id $check")
+    // the x86 chain pre-filters the payload (encode direction); the
+    // content check below stays over the UNFILTERED bytes per spec
+    val payload = if (bcjX86) Bcj.x86(payload0, encode = true) else payload0
     val out = new java.io.ByteArrayOutputStream()
     // stream header
     out.write(Magic, 0, 6)
@@ -400,7 +418,8 @@ object Xz {
     // block: header
     val bh = new java.io.ByteArrayOutputStream()
     bh.write(0) // size byte patched below
-    bh.write(0) // flags: 1 filter, no declared sizes
+    bh.write(if (bcjX86) 1 else 0) // filter count - 1; no declared sizes
+    if (bcjX86) { bh.write(0x04); bh.write(0) } // x86 BCJ, empty props
     bh.write(0x21) // LZMA2
     bh.write(1) // props length
     bh.write(16) // dict size code 16 → 1 MiB
@@ -459,11 +478,13 @@ object Xz {
     out.write(lzBytes, 0, lzBytes.length)
     var pad = (4 - (lzBytes.length % 4)) % 4
     while (pad > 0) { out.write(0); pad -= 1 }
+    // the content check covers the ORIGINAL uncompressed data — the
+    // bytes AFTER all filters are undone, not the BCJ-filtered form
     check match {
       case 0 =>
-      case 1 => writeU32le(out, crc32(payload, 0, payload.length))
-      case 4 => writeU64le(out, crc64(payload, 0, payload.length))
-      case 10 => out.write(sha256(payload, 0, payload.length))
+      case 1 => writeU32le(out, crc32(payload0, 0, payload0.length))
+      case 4 => writeU64le(out, crc64(payload0, 0, payload0.length))
+      case 10 => out.write(sha256(payload0, 0, payload0.length))
     }
     val unpadded = bhBytes.length + 4 + lzBytes.length + CheckSizes(check)
 

@@ -2403,7 +2403,12 @@ object Curation extends QueryBlock {
         (s"doc$id.txt",
           ((base + " ") * k).dropRight(1).getBytes("UTF-8"))
       }
-      val coder = Seq("copy", "lzma", "lzma2")(g % 3)
+      // r13: the fourth class is the BCJ x86 + LZMA2 bind-pair folder —
+      // the driver row exercises the two-coder STRUCTURE end to end
+      // (bind-pair parse, chain decode, per-out-stream sizes); the
+      // conversion arithmetic itself is pinned by the xz --x86 interop
+      // and binary-payload unit tests (ASCII members contain no opcodes)
+      val coder = Seq("copy", "lzma", "lzma2", "bcj-lzma2")(g % 4)
       val folders =
         if (g % 2 == 0) Seq((coder, members)) // solid
         else members.map(m => (coder, Seq(m)))

@@ -103,7 +103,13 @@ class ArchiveWalkFuzzSpec extends AnyFunSuite {
       b => graft.operators.Xz.decompress(b).map(_.toSeq)),
     ("Xz.decompressAlone",
       graft.operators.Xz.makeLzma(fuzzPayload, knownSize = false),
-      b => graft.operators.Xz.decompressAlone(b).map(_.toSeq)))
+      b => graft.operators.Xz.decompressAlone(b).map(_.toSeq)),
+    ("Xz.decompress(bcj)", // r13: the two-filter x86 chain
+      graft.operators.Xz.makeXz(
+        fuzzPayload ++ Array.tabulate(256)(i =>
+          (if (i % 6 == 0) 0xe8 else i).toByte),
+        check = 4, chunkLen = 512, bcjX86 = true),
+      b => graft.operators.Xz.decompress(b).map(_.toSeq)))
 
   test("compressed containers: every truncation prefix and byte soup, no throws") {
     val rng = new scala.util.Random(0x51C5)

@@ -126,4 +126,97 @@ class SevenZipSpec extends AnyFunSuite {
     evil(sizeAt + 1) = 0xff.toByte // low LE byte of the first size
     assert(SevenZip.members(evil) === None)
   }
+
+  // ---------------- r13: BCJ x86 + LZMA2 bind-pair folders ----------------
+
+  /** x86-ish member: dense E8/E9 opcodes so the filter genuinely
+    * converts (a payload with no opcodes would pass vacuously).
+    */
+  private def x86doc(name: String, seed: Int, len: Int): (String, Array[Byte]) = {
+    val r = new java.util.Random(seed)
+    val b = new Array[Byte](len)
+    r.nextBytes(b)
+    var i = 0
+    while (i < len - 6) {
+      b(i) = (if (r.nextBoolean()) 0xe8 else 0xe9).toByte
+      if (r.nextBoolean()) b(i + 4) = (if (r.nextBoolean()) 0 else 0xff).toByte
+      i += r.nextInt(7) + 2
+    }
+    name -> b
+  }
+
+  test("bcj-lzma2 folders round-trip: single, SOLID, encoded header, mixed archive") {
+    val ms = Seq(x86doc("bin/a.so", 1, 3000), x86doc("bin/b.so", 2, 1700))
+    for (enc <- Seq(false, true)) {
+      val arch = SevenZip.makeArchive(Seq(("bcj-lzma2", ms)), encodedHeader = enc)
+      val got = SevenZip.members(arch).getOrElse(fail(s"enc=$enc rejected"))
+      assert(got.map(_._1) === ms.map(_._1))
+      got.zip(ms).foreach { case ((_, g), (_, e)) => assert(g.toSeq === e.toSeq) }
+    }
+    // mixed: a bcj folder beside plain folders in one archive
+    val mixed = SevenZip.makeArchive(Seq(
+      ("lzma", Seq(doc("t.txt", 3, 400))),
+      ("bcj-lzma2", Seq(x86doc("x.bin", 4, 2200))),
+      ("copy", Seq(doc("c.txt", 5, 120)))))
+    val got = SevenZip.members(mixed).get
+    assert(got.length === 3)
+    assert(got(1)._2.toSeq === x86doc("x.bin", 4, 2200)._2.toSeq)
+    // the filter must be LIVE: the packed stream differs from plain lzma2
+    val plain = SevenZip.makeArchive(Seq(("lzma2", Seq(x86doc("x.bin", 4, 2200)))))
+    assert(!java.util.Arrays.equals(mixed, plain)) // trivially true; the real pin:
+    // byte streams of the two coders differ because the filter rewrote operands
+    val p = x86doc("x.bin", 4, 2200)._2
+    assert(!java.util.Arrays.equals(graft.operators.Bcj.x86(p, encode = true), p))
+  }
+
+  /** Re-seal both start-header CRCs after patching plain-header bytes
+    * (offset 32+): nextHeaderCRC at 28-31 over the header, then
+    * startHeaderCRC at 8-11 over bytes 12-31.
+    */
+  private def reseal(a: Array[Byte]): Array[Byte] = {
+    def crc(b: Array[Byte], off: Int, len: Int): Long = {
+      val c = new java.util.zip.CRC32(); c.update(b, off, len); c.getValue
+    }
+    def putU32(b: Array[Byte], o: Int, v: Long): Unit = {
+      b(o) = (v & 0xff).toByte; b(o + 1) = ((v >> 8) & 0xff).toByte
+      b(o + 2) = ((v >> 16) & 0xff).toByte; b(o + 3) = ((v >> 24) & 0xff).toByte
+    }
+    val hdrOff = 32 + java.nio.ByteBuffer.wrap(a, 12, 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong.toInt
+    val hdrLen = java.nio.ByteBuffer.wrap(a, 20, 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong.toInt
+    putU32(a, 28, crc(a, hdrOff, hdrLen))
+    putU32(a, 8, crc(a, 12, 20))
+    a
+  }
+
+  test("bcj folder rejects: non-x86 filter id, reversed bind pair, lying filter size") {
+    val ms = Seq(x86doc("a.bin", 7, 90)) // small → 1-byte size numbers
+    val arch = SevenZip.makeArchive(Seq(("bcj-lzma2", ms)))
+    assert(SevenZip.members(arch).isDefined) // premise
+    // locate the BCJ coder id 03 03 01 03 in the plain header
+    var at = -1
+    var i = 32
+    while (at < 0 && i + 4 <= arch.length) {
+      if (arch(i) == 3 && arch(i + 1) == 3 && arch(i + 2) == 1 && arch(i + 3) == 3)
+        at = i
+      i += 1
+    }
+    assert(at > 0, "BCJ id not found")
+    // 03 03 01 04: a BCJ-family id we do not implement → reject
+    val wrongId = arch.clone(); wrongId(at + 3) = 4
+    assert(SevenZip.members(reseal(wrongId)) === None)
+    // bind pair bytes follow the id: (in=1, out=0) → reversed is nonsense
+    val revBind = arch.clone(); revBind(at + 4) = 0; revBind(at + 5) = 1
+    assert(SevenZip.members(reseal(revBind)) === None)
+    // kCodersUnpackSize: two equal 1-byte numbers follow "0x0C"; lying
+    // filter-out size (x86 is size-preserving) must reject
+    var c = at + 6
+    while (c + 3 <= arch.length &&
+      !(arch(c) == 0x0C && arch(c + 1) == arch(c + 2))) c += 1
+    assert(c + 3 <= arch.length, "unpack sizes not found")
+    val lieSize = arch.clone(); lieSize(c + 2) = (lieSize(c + 2) + 1).toByte
+    assert(SevenZip.members(reseal(lieSize)) === None)
+  }
+
 }

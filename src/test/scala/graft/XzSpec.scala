@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.Xz
+import graft.operators.{Bcj, Xz}
 
 class XzSpec extends AnyFunSuite {
 
@@ -263,4 +263,98 @@ class XzSpec extends AnyFunSuite {
       assert(back.toSeq === p.toSeq, s"check=$check raw=$raw")
     }
   }
+
+  // ---------------- r13: x86 BCJ filter chain ----------------
+
+  /** Pseudo-x86: random bytes with frequent E8/E9 opcodes whose
+    * operand MSBs rotate through 00/FF/random — the operand overlap
+    * and mask-correction paths all fire.
+    */
+  private def x86ish(seed: Int, len: Int): Array[Byte] = {
+    val r = new java.util.Random(seed)
+    val b = new Array[Byte](len)
+    r.nextBytes(b)
+    var i = 0
+    while (i < len - 6) {
+      if (r.nextInt(10) < 4) {
+        b(i) = (if (r.nextBoolean()) 0xe8 else 0xe9).toByte
+        b(i + 4) = (r.nextInt(4) match {
+          case 0 => 0x00
+          case 1 => 0xff
+          case _ => r.nextInt(256)
+        }).toByte
+        i += r.nextInt(8) + 1
+      } else i += r.nextInt(6) + 1
+    }
+    b
+  }
+
+  private def bcjPayloads: Seq[Array[Byte]] =
+    (0 until 8).map(s => x86ish(s, 2000 + s * 371)) ++ Seq(
+      Array.fill(500)(0xe8.toByte), // overlapping-run fixed point
+      (0 until 400).map(i => if (i % 5 == 0) 0xe8.toByte else 0x00.toByte).toArray,
+      Array.tabulate(300)(i => (if (i % 7 == 0) 0xe9 else 0xff).toByte),
+      Array[Byte](0xe8.toByte), Array[Byte]()) // under the 5-byte floor
+
+  test("BCJ x86 raw filter: hand-pinned conversion and self-inverse on adversarial runs") {
+    // E8 at pos 4, operand 0x10 LE: encode adds ip+pos+5 = 9 -> 0x19
+    val in = "AAAA".getBytes("US-ASCII") ++
+      Array[Byte](0xe8.toByte, 0x10, 0, 0, 0) ++ "BBBB".getBytes("US-ASCII")
+    val enc = Bcj.x86(in, encode = true)
+    assert(enc.toSeq === ("AAAA".getBytes("US-ASCII") ++
+      Array[Byte](0xe8.toByte, 0x19, 0, 0, 0) ++ "BBBB".getBytes("US-ASCII")).toSeq)
+    assert(Bcj.x86(enc, encode = false).toSeq === in.toSeq)
+    for ((p, i) <- bcjPayloads.zipWithIndex)
+      assert(Bcj.x86(Bcj.x86(p, encode = true), encode = false).toSeq === p.toSeq,
+        s"payload $i")
+  }
+
+  test("INTEROP: xz --x86 output decodes exactly through the BCJ+LZMA2 chain") {
+    assume(haveXz, "system xz not present")
+    for ((p, i) <- bcjPayloads.zipWithIndex if p.length > 0) {
+      val real = runXz(Seq("-z", "-c", "--x86", "--lzma2=preset=1"), p)
+      assert(Xz.decompress(real).map(_.toSeq) === Some(p.toSeq), s"payload $i")
+      // and with a different check + preset
+      val real2 = runXz(Seq("-z", "-c", "--check=crc32", "--x86", "--lzma2=preset=6"), p)
+      assert(Xz.decompress(real2).map(_.toSeq) === Some(p.toSeq), s"payload $i crc32")
+    }
+  }
+
+  test("INTEROP: real xz decodes our BCJ-chained fixture output byte-exactly") {
+    assume(haveXz, "system xz not present")
+    for ((p, i) <- bcjPayloads.zipWithIndex if p.length > 4) {
+      val ours = Xz.makeXz(p, check = 4, bcjX86 = true)
+      assert(Xz.decompress(ours).map(_.toSeq) === Some(p.toSeq), s"self $i")
+      val back = runXz(Seq("-d", "-c"), ours)
+      assert(back.toSeq === p.toSeq, s"payload $i")
+    }
+  }
+
+  test("filter-chain rejects: delta id, x86 with declared start offset, 3-filter chains") {
+    val p = x86ish(3, 4000)
+    val ours = Xz.makeXz(p, check = 1, bcjX86 = true)
+    assert(Xz.decompress(ours).isDefined) // premise
+    // block header starts at byte 12: [size][flags][0x04][0][0x21][1][dict]
+    def patched(f: Array[Byte] => Unit): Array[Byte] = {
+      val c = ours.clone()
+      f(c)
+      // re-seal the block-header CRC32 (bytes 12 .. 12+bhSize-4)
+      val bhSize = ((c(12) & 0xff) + 1) * 4
+      val crc = new java.util.zip.CRC32()
+      crc.update(c, 12, bhSize - 4)
+      val v = crc.getValue
+      c(12 + bhSize - 4) = (v & 0xff).toByte
+      c(12 + bhSize - 3) = ((v >> 8) & 0xff).toByte
+      c(12 + bhSize - 2) = ((v >> 16) & 0xff).toByte
+      c(12 + bhSize - 1) = ((v >> 24) & 0xff).toByte
+      c
+    }
+    assert(c14(patched(c => c(14) = 0x03)) === None) // delta filter id
+    assert(c14(patched(c => c(15) = 4)) === None) // x86 props: start offset
+    assert(c14(patched(c => c(13) = 2)) === None) // 3 filters declared
+  }
+
+  private def c14(bytes: Array[Byte]): Option[Seq[Byte]] =
+    Xz.decompress(bytes).map(_.toSeq)
+
 }
