@@ -5,7 +5,9 @@ package graft.operators
   * (RFC 9112): `Transfer-Encoding: chunked` framing (hex-length chunk
   * lines, terminated by a zero chunk) and `Content-Encoding: gzip`
   * compression (RFC 1952, via the JDK's GZIPInputStream — the same
-  * public-codec rule as the PNG/PDF Flate paths). Order per spec:
+  * public-codec rule as the PNG/PDF Flate paths), plus the deflate,
+  * zstd (r11) and brotli (r13, `operators.Brotli` — RFC 7932 with the
+  * static dictionary) content codings. Order per spec:
   * Transfer-Encoding frames the WIRE, so dechunking runs first,
   * then content decoding; the combined chunked(gzip(body)) case is
   * exercised explicitly.
@@ -74,10 +76,16 @@ object HttpBody {
           body = ZstdShards.inflate(body, cap = MaxBodyBytes).getOrElse(return None)
           if (label.nonEmpty) label.append("+")
           label.append("zstd")
+        case Some("br") =>
+          // RFC 7932 §10 registers 'br'; modern CDNs serve it by
+          // default — decoded by the repo's own RFC 7932 implementation
+          // (operators.Brotli, r13), static dictionary included
+          body = Brotli.decompress(body, cap = MaxBodyBytes).getOrElse(return None)
+          if (label.nonEmpty) label.append("+")
+          label.append("br")
         case Some("identity") | None =>
-        case Some(_) => return None // unknown content coding (incl. br:
-        // brotli needs its 120 KB static dictionary, which no library on
-        // this runtime carries — reject loudly rather than mis-decode)
+        case Some(_) => return None // unknown content coding — reject
+        // loudly rather than pass bytes through as confident garbage
       }
       if (label.isEmpty) label.append("identity")
       val text = new String(body, java.nio.charset.StandardCharsets.UTF_8)

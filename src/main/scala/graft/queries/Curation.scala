@@ -5742,15 +5742,14 @@ object Curation extends QueryBlock {
     // gets framing lines and deflate bytes, not text. The fixture
     // WARC's records wrap full HTTP responses whose bodies rotate
     // through identity / gzip / chunked / chunked+gzip / deflate /
-    // zstd (doc_id%6; r11 added the last two — RFC 9110's deflate in
+    // zstd / br (doc_id%7; r11 added deflate+zstd, r13 brotli — RFC 9110's deflate in
     // its zlib form with the raw-stream server-bug fallback also
     // handled, and RFC 8878 §7.2's zstd coding modern CDNs serve,
-    // through the shard reader's capped frame walk; the combined case
-    // decodes in WIRE ORDER — dechunk, then gunzip), with a non-ASCII
-    // UTF-8 tail proving bytes survive every transform. Brotli rejects
-    // loudly by design: its 120 KB static dictionary exists in no
-    // library on this runtime, and a mis-decode would be confident
-    // garbage.
+    // through the shard reader's capped frame walk, and RFC 7932's
+    // br through operators.Brotli — the repo's own decoder, static
+    // dictionary included; the combined case decodes in WIRE ORDER —
+    // dechunk, then gunzip), with a non-ASCII UTF-8 tail proving bytes
+    // survive every transform.
     // Payloads walk as BINARY (WarcCdx.parseBinary — gzip bytes corrupt
     // through a string decode) and the oracle states every record's status,
     // mime, encoding label and decoded text from construction.
@@ -5769,7 +5768,7 @@ object Curation extends QueryBlock {
         val bo = new java.io.ByteArrayOutputStream()
         rows.foreach { case (id, src, toks) =>
           val bodyText = (toks.mkString(" ") + " é€").getBytes("UTF-8")
-          val (hdrs, body) = (id % 6) match {
+          val (hdrs, body) = (id % 7) match {
             case 0 => ("Content-Type: text/html\r\n", bodyText)
             case 1 => ("Content-Type: text/html\r\nContent-Encoding: gzip\r\n",
               HttpBody.gzip(bodyText))
@@ -5780,8 +5779,14 @@ object Curation extends QueryBlock {
               HttpBody.chunk(HttpBody.gzip(bodyText), Seq(7, 200)))
             case 4 => ("Content-Type: text/html\r\nContent-Encoding: deflate\r\n",
               HttpBody.deflateZlib(bodyText))
-            case _ => ("Content-Type: text/html\r\nContent-Encoding: zstd\r\n",
+            case 5 => ("Content-Type: text/html\r\nContent-Encoding: zstd\r\n",
               graft.operators.ZstdShards.makeFrame(bodyText))
+            // r13: RFC 7932 'br' — decoded by operators.Brotli; the
+            // fixture rides its store-mode writer (the codec itself is
+            // reference-pinned in BrotliSpec), split so multi-metablock
+            // transport decode is live in the driver row
+            case _ => ("Content-Type: text/html\r\nContent-Encoding: br\r\n",
+              graft.operators.Brotli.storeEncode(bodyText))
           }
           val payload = (s"HTTP/1.1 200 OK\r\n$hdrs\r\n").getBytes("US-ASCII") ++ body
           val head = (s"WARC/1.0\r\nWARC-Type: response\r\n" +
@@ -5803,7 +5808,7 @@ object Curation extends QueryBlock {
           .orderBy(col("rec"))
       },
       Some("""WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS toks,
-            CAST(doc_id % 6 AS INT) AS m
+            CAST(doc_id % 7 AS INT) AS m
           FROM documents WHERE text IS NOT NULL),
         f AS (SELECT doc_id, source, toks, m FROM d WHERE len(toks) >= 10),
         j AS (SELECT doc_id, source, m,
@@ -5817,7 +5822,7 @@ object Curation extends QueryBlock {
           200 AS status, 'text/html' AS mime,
           CASE m WHEN 0 THEN 'identity' WHEN 1 THEN 'gzip'
             WHEN 2 THEN 'chunked' WHEN 3 THEN 'chunked+gzip'
-            WHEN 4 THEN 'deflate' ELSE 'zstd' END AS encoding,
+            WHEN 4 THEN 'deflate' WHEN 5 THEN 'zstd' ELSE 'br' END AS encoding,
           body, CAST(length(body) AS INT) AS n_chars
         FROM j ORDER BY rec""")),
 

@@ -57,9 +57,17 @@ class HttpBodySpec extends AnyFunSuite {
     assert(HttpBody.decode(trunc) === None)
   }
 
-  test("brotli rejects loudly (no dictionary on this runtime — by design)") {
-    val p = resp("Content-Encoding: br\r\n", Array[Byte](0x1b, 0x00, 0x00))
-    assert(HttpBody.decode(p) === None)
+  test("br content coding decodes (r13: operators.Brotli); malformed br rejects") {
+    val p = resp("Content-Encoding: br\r\n",
+      graft.operators.Brotli.storeEncode(text))
+    assert(HttpBody.decode(p) ===
+      Some((200, "", "br", new String(text, "UTF-8"))))
+    // chunked + br compose in wire order like gzip does
+    val cb = resp("Transfer-Encoding: chunked\r\nContent-Encoding: br\r\n",
+      HttpBody.chunk(graft.operators.Brotli.storeEncode(text), Seq(4, 9)))
+    assert(HttpBody.decode(cb).map(_._3) === Some("chunked+br"))
+    val bad = resp("Content-Encoding: br\r\n", Array[Byte](0x1b, 0x00, 0x00))
+    assert(HttpBody.decode(bad) === None)
   }
 
   test("chunked framing reassembles across arbitrary chunk splits") {
@@ -82,7 +90,8 @@ class HttpBodySpec extends AnyFunSuite {
   }
 
   test("envelope: unknown codings, bad framing, truncations reject to None") {
-    assert(HttpBody.decode(resp("Content-Encoding: br\r\n", text)) === None)
+    assert(HttpBody.decode(resp("Content-Encoding: br\r\n", text)) === None) // raw text is not a br stream
+    assert(HttpBody.decode(resp("Content-Encoding: compress\r\n", text)) === None)
     assert(HttpBody.decode(resp("Transfer-Encoding: deflate\r\n", text)) === None)
     // bad chunk size line
     val bad = ("HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" +
