@@ -10,7 +10,9 @@ package graft.operators
   * extended make-up codes 1792–2560 of T.4 §2 Tables 1–3), and the
   * 2-D vertical/horizontal/pass mode coding of T.4 §2.2.4 with the
   * T.6 rule that EVERY line codes against the previous line (an
-  * imaginary all-white line above the first).
+  * imaginary all-white line above the first). The same tables also
+  * serve the 1-D "Modified Huffman" coding of TIFF Compression 2
+  * (`decodeMh`/`encodeMh`, rows byte-aligned, no EOLs).
   *
   * Reject-don't-guess: unknown mode or run codes, runs crossing the
   * line end, non-monotone coding transitions, the 2-D extension code
@@ -165,8 +167,10 @@ object CcittG4 {
         i += 1
       }
     }
-    def finish(): Array[Byte] = {
+    def alignByte(): Unit =
       if (n > 0) { buf.write(cur << (8 - n)); cur = 0; n = 0 }
+    def finish(): Array[Byte] = {
+      alignByte()
       buf.toByteArray
     }
   }
@@ -325,6 +329,70 @@ object CcittG4 {
       i += 1
     }
     out.result().toArray
+  }
+
+  // ------------- Modified Huffman 1-D (TIFF Compression 2) -------------
+
+  /** TIFF 6.0 §10 "Modified Huffman" decode: each row is 1-D coded as
+    * alternating white/black runs (a zero-length white run leads a row
+    * starting black), EVERY ROW begins on a byte boundary, no EOL
+    * codes. Returns 1 byte per pixel (1 = black); None on any
+    * violation including trailing garbage after the final row.
+    */
+  def decodeMh(data: Array[Byte], width: Int, rows: Int): Option[Array[Byte]] = {
+    try {
+      if (data == null || width <= 0 || rows <= 0) throw Malformed
+      if (width.toLong * rows > (1L << 26)) throw Malformed // bomb cap
+      val in = new BitIn(data)
+      val out = new Array[Byte](width * rows)
+      var row = 0
+      while (row < rows) {
+        var x = 0
+        var white = true
+        while (x < width) {
+          val run = readRun(in, white, width - x)
+          // only the leading white run of a row may be zero-length
+          // (a row starting black); any other zero run cannot advance
+          if (run == 0 && !(white && x == 0)) throw Malformed
+          if (!white) java.util.Arrays.fill(out, row * width + x,
+            row * width + x + run, 1.toByte)
+          x += run
+          white = !white
+        }
+        // row padding to the byte boundary must be zero bits
+        while ((in.pos & 7) != 0) { if (in.bit() != 0) throw Malformed }
+        row += 1
+      }
+      if (in.pos != in.end) throw Malformed // exact segment consume
+      Some(out)
+    } catch {
+      case Malformed => None
+      case _: ArrayIndexOutOfBoundsException => None
+    }
+  }
+
+  /** MH 1-D encode (fixture reverse path): alternating runs per row,
+    * zero-padded to each row's byte boundary.
+    */
+  def encodeMh(pixels: Array[Byte], width: Int, rows: Int): Array[Byte] = {
+    require(pixels.length == width * rows && width > 0 && rows > 0)
+    val out = new BitOut
+    var row = 0
+    while (row < rows) {
+      var x = 0
+      var white = true
+      while (x < width) {
+        var run = 0
+        while (x + run < width &&
+          ((pixels(row * width + x + run) == 0) == white)) run += 1
+        emitRun(out, white, run)
+        x += run
+        white = !white
+      }
+      out.alignByte()
+      row += 1
+    }
+    out.finish()
   }
 
   // ---------------- encoder (fixture reverse path) ----------------

@@ -21,10 +21,11 @@ import org.apache.spark.sql.types._
   * meet: none, PackBits (spec §9), LZW — a COMPOSITION: ISO 32000's
   * LZWDecode (`PdfText.lzwDecode`, already validated against
   * reference PDFs) IS the TIFF algorithm, early-change included —
-  * and CCITT Group 4 (§11, Compression 4, bilevel + WhiteIsZero
-  * only), composed from `CcittG4`, this repo's from-scratch T.6
-  * codec. G4 is how archival book scans, patents and newspaper
-  * digitization actually ship.
+  * and the CCITT codings (composed from `CcittG4`, this repo's
+  * from-scratch T.4/T.6 codec; bilevel + WhiteIsZero only):
+  * Compression 4 = Group 4 two-dimensional — how archival book scans,
+  * patents and newspaper digitization actually ship — and
+  * Compression 2 = the byte-aligned Modified Huffman 1-D rows (r13).
   *
   * Reject-don't-guess: magic and the 42 must verify, IFD entry counts
   * and value offsets bounds-check, required tags must be present,
@@ -32,8 +33,8 @@ import org.apache.spark.sql.types._
   * or tile must decompress to EXACTLY its expected byte length
   * (PackBits over/under-run and LZW truncation reject), bits-per-
   * sample other than 1 or 8, palette/CMYK photometrics, 8-bit
-  * WhiteIsZero, G3 fax (Compression 2/3 — EOL-framed, a different
-  * coder), G4 uncompressed mode (T6Options ≠ 0), FillOrder 2, mixed
+  * WhiteIsZero, T.4 Group 3 fax (Compression 3 — EOL-framed, a
+  * different coder), G4 uncompressed mode (T6Options ≠ 0), FillOrder 2, mixed
   * strip+tile directories, non-multiple-of-16 tile dims, and planar
   * configuration 2 all reject loudly rather than half-decode, and the
   * page walk carries a cycle guard plus a pixel bomb cap checked
@@ -190,13 +191,15 @@ object Tiff {
     // documented rejection — G4 is what scanned corpora ship
     compression match {
       case 1 | 5 | 32773 => ()
-      case 4 =>
+      case 2 | 4 =>
+        // CCITT MH 1-D (2) and G4 (4); data is coded white/black
+        // directly, so accept only the unambiguous fax photometric
+        // (0 = WhiteIsZero). T.4 Group 3 with EOLs (3) stays rejected.
         if (depth != 1) throw Malformed
-        // CCITT data is coded white/black directly; accept only the
-        // unambiguous fax photometric (0 = WhiteIsZero)
         if (photometric != 0) throw Malformed
-        if (scalar(293, default = 0) != 0) throw Malformed // T6Options: no uncompressed mode
-      case _ => throw Malformed // reject, don't guess (incl. G3, JPEG-in-TIFF)
+        if (compression == 4 && scalar(293, default = 0) != 0)
+          throw Malformed // T6Options: no uncompressed mode
+      case _ => throw Malformed // reject, don't guess (incl. G3 T.4, JPEG-in-TIFF)
     }
 
     /** Decompress one segment (strip or tile) of `segW`×`segRows`
@@ -207,8 +210,9 @@ object Tiff {
       if (off < 0 || len < 0 || len > (64 << 20) || off + len > b.length)
         throw Malformed
       val raw = java.util.Arrays.copyOfRange(b, off.toInt, (off + len).toInt)
-      if (compression == 4) {
-        val bits = CcittG4.decode(raw, segW, segRows).getOrElse(throw Malformed)
+      if (compression == 4 || compression == 2) {
+        val bits = (if (compression == 4) CcittG4.decode(raw, segW, segRows)
+          else CcittG4.decodeMh(raw, segW, segRows)).getOrElse(throw Malformed)
         // G4 runs are white/black by definition; photometric 0 verified
         val px = new Array[Byte](bits.length)
         var i = 0
@@ -506,7 +510,8 @@ object Tiff {
     require(pages.nonEmpty)
     pages.foreach { p =>
       require(p.depth == 8 || (p.depth == 1 && p.spp == 1))
-      require(p.comp != 4 || (p.depth == 1 && p.photometric == 0))
+      require((p.comp != 4 && p.comp != 2) ||
+        (p.depth == 1 && p.photometric == 0))
       p.tile.foreach { case (tw, tl) =>
         require(tw > 0 && tl > 0 && tw % 16 == 0 && tl % 16 == 0)
       }
@@ -522,8 +527,8 @@ object Tiff {
         if (x >= p.width || y >= p.height) {
           if (p.depth == 1) 1 else 0 // pad: white / zero
         } else p.px((y * p.width + x) * p.spp + c)
-      if (p.comp == 4) {
-        // CcittG4.encode takes 1 = black bytes
+      if (p.comp == 4 || p.comp == 2) {
+        // CcittG4.encode/encodeMh take 1 = black bytes
         val black = new Array[Byte](segW * segRows)
         var i = 0
         while (i < black.length) {
@@ -532,7 +537,8 @@ object Tiff {
           black(i) = if (sample(x, y, 0) == 0) 1 else 0
           i += 1
         }
-        CcittG4.encode(black, segW, segRows)
+        if (p.comp == 4) CcittG4.encode(black, segW, segRows)
+        else CcittG4.encodeMh(black, segW, segRows)
       } else {
         val raw: Array[Byte] =
           if (p.depth == 8)

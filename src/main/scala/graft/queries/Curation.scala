@@ -2051,10 +2051,10 @@ object Curation extends QueryBlock {
       .select(col("doc_id")).collect().map(_.getLong(0)).sorted
     ids.grouped(5).zipWithIndex.foreach { case (group, g) =>
       val pages = group.toSeq.map { id =>
-        if (id % 5 == 2) { // bilevel
+        if (id % 5 == 2) { // bilevel: G4 / PackBits-packed / MH 1-D
           val w = 150 + (id % 4).toInt * 37
           val h = 18 + (id % 3).toInt * 7
-          val comp = if (id % 2 == 0) 4 else 32773
+          val comp = Seq(4, 2, 32773)((id % 3).toInt)
           val f: Int => Byte =
             k => if (((id * 31 + k * 7) % 251) % 2 == 0) 0 else 255.toByte
           Tiff.PageSpec(w, h, 1, 1, 0, comp, f)

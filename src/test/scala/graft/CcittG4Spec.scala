@@ -146,6 +146,54 @@ class CcittG4Spec extends AnyFunSuite {
     }
   }
 
+
+  // ---------------- r13b: TIFF Compression 2 (MH 1-D) ----------------
+
+  test("MH 1-D hand pins: byte-aligned rows from the published tables") {
+    // 4w 3b 9w: white4=1011, black3=10, white9=10100 -> 11 bits + pad
+    val r1 = row(16, (4, 7))
+    val bits1 = "1011" + "10" + "10100"
+    assert(toBits(CcittG4.encodeMh(r1, 16, 1)) === toBits(toBytes(bits1)))
+    assert(CcittG4.decodeMh(toBytes(bits1), 16, 1).get.toSeq === r1.toSeq)
+    // row starting black: leading zero-length white run (00110101)
+    val r2 = row(8, (0, 3))
+    val bits2 = "00110101" + "10" + "1100" // white0, black3, white5
+    assert(toBits(CcittG4.encodeMh(r2, 8, 1)) === toBits(toBytes(bits2)))
+    assert(CcittG4.decodeMh(toBytes(bits2), 8, 1).get.toSeq === r2.toSeq)
+    // two rows: EACH begins on a byte boundary (the TIFF §10 rule) —
+    // the encoder's row-1 bytes must be EXACTLY the single-row encoding
+    val px = r1 ++ row(16, (5, 9))
+    val enc = CcittG4.encodeMh(px, 16, 2)
+    assert(enc.take(2).toSeq === CcittG4.encodeMh(r1, 16, 1).toSeq)
+    assert(CcittG4.decodeMh(enc, 16, 2).get.toSeq === px.toSeq)
+  }
+
+  test("MH 1-D round-trips: random rows, make-up runs, byte-alignment per row") {
+    for (width <- Seq(1, 7, 64, 200, 3000); height <- Seq(1, 3, 8)) {
+      var s = width * 31 + height
+      val px = Array.tabulate[Byte](width * height) { _ =>
+        s = s * 1103515245 + 12345; ((s >>> 16) & 1).toByte
+      }
+      val enc = CcittG4.encodeMh(px, width, height)
+      assert(CcittG4.decodeMh(enc, width, height).get.toSeq === px.toSeq,
+        s"w=$width h=$height")
+    }
+    val long = row(3000, (0, 2700)) // black makeup chain past 2560
+    assert(CcittG4.decodeMh(CcittG4.encodeMh(long, 3000, 1), 3000, 1).get.toSeq === long.toSeq)
+  }
+
+  test("MH 1-D rejects: zero run mid-row, nonzero row padding, trailing garbage, truncation") {
+    // white4, black0 (0000110111) — a zero black run mid-row cannot advance
+    assert(CcittG4.decodeMh(toBytes("1011" + "0000110111" + "00"), 16, 1) === None)
+    // nonzero pad bits after a complete row
+    assert(CcittG4.decodeMh(toBytes("1011" + "10" + "10100" + "00001"), 16, 1) === None)
+    // trailing byte after the final row
+    val ok = CcittG4.encodeMh(row(16, (4, 7)), 16, 1)
+    assert(CcittG4.decodeMh(ok ++ Array[Byte](0x55), 16, 1) === None)
+    assert(CcittG4.decodeMh(ok.dropRight(1), 16, 2) === None) // truncated
+    assert(CcittG4.decodeMh(null, 16, 1) === None)
+  }
+
   private implicit class Pipe[A](a: A) {
     def pipe[B](f: A => B): B = f(a)
   }
