@@ -114,9 +114,12 @@ object Brotli {
     def ensure(extra: Int): Unit = {
       if (len.toLong + extra > cap) throw Malformed // bomb cap
       if (len + extra > buf.length) {
-        var n = buf.length
-        while (n < len + extra) n <<= 1
-        buf = java.util.Arrays.copyOf(buf, n)
+        // Long doubling: an Int shift could wrap negative near 2^31
+        // for large caller caps and spin this loop forever
+        var n = buf.length.toLong
+        while (n < len.toLong + extra) n <<= 1
+        buf = java.util.Arrays.copyOf(buf,
+          math.min(n, Int.MaxValue - 8L).toInt)
       }
     }
     def write(b: Int): Unit = { ensure(1); buf(len) = b.toByte; len += 1 }

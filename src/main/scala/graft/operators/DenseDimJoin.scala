@@ -42,6 +42,10 @@ object DenseDimJoin {
       .collect()
     var maxKey = -1L
     rows.foreach { r =>
+      // reject, don't guess: a NULL row or a duplicate key would make
+      // lookup semantics silently diverge from the inner join it
+      // replaces (duplicates MULTIPLY join output; a lookup cannot)
+      require(!r.isNullAt(0) && !r.isNullAt(1), "null dimension row")
       val k = r.getLong(0)
       require(k >= 0 && k < maxSlots, s"key $k outside dense domain")
       if (k > maxKey) maxKey = k
@@ -51,7 +55,9 @@ object DenseDimJoin {
     rows.foreach { r =>
       val v = r.getInt(1)
       require(v >= 0 && v <= 127, s"value $v outside byte range")
-      arr(r.getLong(0).toInt) = v.toByte
+      val k = r.getLong(0).toInt
+      require(arr(k) == -1, s"duplicate dimension key $k")
+      arr(k) = v.toByte
     }
     val bc = s.sparkContext.broadcast(arr)
     (key: Column) => GraftColumnBridge.column(

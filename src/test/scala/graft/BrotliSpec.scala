@@ -102,6 +102,31 @@ class BrotliSpec extends AnyFunSuite {
     assert(System.nanoTime() - t0 < 1e9)
   }
 
+  test("mutation fuzz: every single-bit flip of a reference stream decodes or rejects, never throws") {
+    val fx = json("/golden/brotli_streams.json")
+    val i = fx.indexOf("html120_q9_w16")
+    val obj = fx.substring(i, fx.indexOf('}', i))
+    val stream = hex(jfield(obj, "stream"))
+    assert(Brotli.decompress(stream).isDefined) // premise
+    (0 until stream.length).foreach { k =>
+      Seq(0x01, 0x10, 0x80).foreach { bit =>
+        val m = stream.clone()
+        m(k) = (m(k) ^ bit).toByte
+        Brotli.decompress(m, cap = 1 << 22) // Option either way — brotli
+        // carries no internal checksum, so a flip may legally decode to
+        // DIFFERENT bytes; the no-throw envelope is the claim here
+      }
+    }
+    // byte soup
+    var s = 0x243f6a8885a308d3L
+    (0 until 3000).foreach { j =>
+      val b = Array.tabulate[Byte](1 + (j % 60)) { _ =>
+        s ^= s << 13; s ^= s >>> 7; s ^= s << 17; (s & 0xff).toByte
+      }
+      Brotli.decompress(b, cap = 1 << 22)
+    }
+  }
+
   // ---------------- tier 2: transform pins via crafted streams ----------
 
   private val SizeBits = Array(0, 0, 0, 0, 10, 10, 11, 11, 10, 10, 10, 10,

@@ -62,5 +62,16 @@ class DenseDimJoinSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       DenseDimJoin.lookup(spark, negKey, "k", "v")
     }
+    // duplicate keys would MULTIPLY inner-join output; a lookup cannot
+    // reproduce that — reject rather than silently last-win
+    val dup = Seq((3L, 1), (3L, 2)).toDF("k", "v")
+    intercept[IllegalArgumentException] {
+      DenseDimJoin.lookup(spark, dup, "k", "v")
+    }
+    // a NULL dimension row must reject, not NPE or drop silently
+    val withNull = Seq((Some(1L), Some(5)), (None, Some(6))).toDF("k", "v")
+    intercept[IllegalArgumentException] {
+      DenseDimJoin.lookup(spark, withNull, "k", "v")
+    }
   }
 }
