@@ -158,6 +158,14 @@ object CcittG4 {
     private val buf = new java.io.ByteArrayOutputStream()
     private var cur = 0
     private var n = 0
+    /** Emit zero bits so that `next` more bits would end on a byte
+      * boundary (the aligned-EOL fill rule).
+      */
+    def fillToAlign(next: Int): Unit = {
+      val target = (8 - ((n + next) & 7)) & 7
+      var i = 0
+      while (i < target) { put("0"); i += 1 }
+    }
     def put(bits: String): Unit = {
       var i = 0
       while (i < bits.length) {
@@ -390,6 +398,84 @@ object CcittG4 {
         white = !white
       }
       out.alignByte()
+      row += 1
+    }
+    out.finish()
+  }
+
+  // ------------- T.4 Group 3 1-D (TIFF Compression 3) -------------
+
+  /** TIFF Compression 3, 1-D only (T4Options bit 0 clear): every row —
+    * including the first — is preceded by an EOL code (000000000001),
+    * optionally front-padded with zero fill bits; with `alignedEol`
+    * (T4Options bit 2) each EOL must END on a byte boundary. Row data
+    * is the same MH run coding as Compression 2 but rows are NOT
+    * byte-aligned. After the last row only zero padding to the byte
+    * boundary may remain (TIFF writers do not emit RTC). None on any
+    * violation.
+    */
+  def decodeG3(data: Array[Byte], width: Int, rows: Int,
+      alignedEol: Boolean): Option[Array[Byte]] = {
+    try {
+      if (data == null || width <= 0 || rows <= 0) throw Malformed
+      if (width.toLong * rows > (1L << 26)) throw Malformed // bomb cap
+      val in = new BitIn(data)
+      val out = new Array[Byte](width * rows)
+      var row = 0
+      while (row < rows) {
+        // fill bits then EOL: up to 64 zero bits of fill tolerated
+        var zeros = 0
+        var one = false
+        while (!one) {
+          if (in.bit() == 1) one = true
+          else {
+            zeros += 1
+            if (zeros > 64 + 11) throw Malformed // runaway fill
+          }
+        }
+        if (zeros < 11) throw Malformed // not an EOL
+        if (alignedEol && (in.pos & 7) != 0) throw Malformed
+        var x = 0
+        var white = true
+        while (x < width) {
+          val run = readRun(in, white, width - x)
+          if (run == 0 && !(white && x == 0)) throw Malformed
+          if (!white) java.util.Arrays.fill(out, row * width + x,
+            row * width + x + run, 1.toByte)
+          x += run
+          white = !white
+        }
+        row += 1
+      }
+      if (in.remaining >= 8 || !in.restZero) throw Malformed
+      Some(out)
+    } catch {
+      case Malformed => None
+      case _: ArrayIndexOutOfBoundsException => None
+    }
+  }
+
+  /** G3 1-D encode: EOL (byte-aligned via zero fill when `alignedEol`)
+    * before every row, contiguous MH row data, zero-padded tail.
+    */
+  def encodeG3(pixels: Array[Byte], width: Int, rows: Int,
+      alignedEol: Boolean): Array[Byte] = {
+    require(pixels.length == width * rows && width > 0 && rows > 0)
+    val out = new BitOut
+    var row = 0
+    while (row < rows) {
+      if (alignedEol) out.fillToAlign(12) // zeros so the EOL ends aligned
+      out.put("000000000001")
+      var x = 0
+      var white = true
+      while (x < width) {
+        var run = 0
+        while (x + run < width &&
+          ((pixels(row * width + x + run) == 0) == white)) run += 1
+        emitRun(out, white, run)
+        x += run
+        white = !white
+      }
       row += 1
     }
     out.finish()

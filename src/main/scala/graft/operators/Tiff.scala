@@ -24,8 +24,11 @@ import org.apache.spark.sql.types._
   * and the CCITT codings (composed from `CcittG4`, this repo's
   * from-scratch T.4/T.6 codec; bilevel + WhiteIsZero only):
   * Compression 4 = Group 4 two-dimensional — how archival book scans,
-  * patents and newspaper digitization actually ship — and
-  * Compression 2 = the byte-aligned Modified Huffman 1-D rows (r13).
+  * patents and newspaper digitization actually ship —
+  * Compression 2 = the byte-aligned Modified Huffman 1-D rows, and
+  * Compression 3 = T.4 Group 3 1-D with EOL framing, plain and
+  * byte-aligned (T4Options bit 2); 2-D G3 and uncompressed mode
+  * reject by T4Options (all r13).
   *
   * Reject-don't-guess: magic and the 42 must verify, IFD entry counts
   * and value offsets bounds-check, required tags must be present,
@@ -33,8 +36,8 @@ import org.apache.spark.sql.types._
   * or tile must decompress to EXACTLY its expected byte length
   * (PackBits over/under-run and LZW truncation reject), bits-per-
   * sample other than 1 or 8, palette/CMYK photometrics, 8-bit
-  * WhiteIsZero, T.4 Group 3 fax (Compression 3 — EOL-framed, a
-  * different coder), G4 uncompressed mode (T6Options ≠ 0), FillOrder 2, mixed
+  * WhiteIsZero, 2-D G3 and uncompressed mode (T4Options bits 0/1),
+  * G4 uncompressed mode (T6Options ≠ 0), FillOrder 2, mixed
   * strip+tile directories, non-multiple-of-16 tile dims, and planar
   * configuration 2 all reject loudly rather than half-decode, and the
   * page walk carries a cycle guard plus a pixel bomb cap checked
@@ -191,16 +194,21 @@ object Tiff {
     // documented rejection — G4 is what scanned corpora ship
     compression match {
       case 1 | 5 | 32773 => ()
-      case 2 | 4 =>
-        // CCITT MH 1-D (2) and G4 (4); data is coded white/black
-        // directly, so accept only the unambiguous fax photometric
-        // (0 = WhiteIsZero). T.4 Group 3 with EOLs (3) stays rejected.
+      case 2 | 3 | 4 =>
+        // the CCITT codings — MH 1-D (2), T.4 G3 1-D with EOLs (3),
+        // G4 (4); data is coded white/black directly, so accept only
+        // the unambiguous fax photometric (0 = WhiteIsZero)
         if (depth != 1) throw Malformed
         if (photometric != 0) throw Malformed
         if (compression == 4 && scalar(293, default = 0) != 0)
           throw Malformed // T6Options: no uncompressed mode
-      case _ => throw Malformed // reject, don't guess (incl. G3 T.4, JPEG-in-TIFF)
+        // T4Options: bit 0 = 2-D coding (a different coder — reject),
+        // bit 1 = uncompressed mode (reject), bit 2 = byte-aligned EOLs
+        if (compression == 3 && (scalar(292, default = 0) & ~4L) != 0)
+          throw Malformed
+      case _ => throw Malformed // reject, don't guess (incl. JPEG-in-TIFF)
     }
+    val g3Aligned = compression == 3 && (scalar(292, default = 0) & 4L) != 0
 
     /** Decompress one segment (strip or tile) of `segW`×`segRows`
       * pixels to UNPACKED bytes: depth-8 interleaved samples, or for
@@ -210,9 +218,12 @@ object Tiff {
       if (off < 0 || len < 0 || len > (64 << 20) || off + len > b.length)
         throw Malformed
       val raw = java.util.Arrays.copyOfRange(b, off.toInt, (off + len).toInt)
-      if (compression == 4 || compression == 2) {
-        val bits = (if (compression == 4) CcittG4.decode(raw, segW, segRows)
-          else CcittG4.decodeMh(raw, segW, segRows)).getOrElse(throw Malformed)
+      if (compression == 4 || compression == 3 || compression == 2) {
+        val bits = (compression match {
+          case 4 => CcittG4.decode(raw, segW, segRows)
+          case 3 => CcittG4.decodeG3(raw, segW, segRows, g3Aligned)
+          case _ => CcittG4.decodeMh(raw, segW, segRows)
+        }).getOrElse(throw Malformed)
         // G4 runs are white/black by definition; photometric 0 verified
         val px = new Array[Byte](bits.length)
         var i = 0
@@ -484,7 +495,7 @@ object Tiff {
   final case class PageSpec(width: Int, height: Int, spp: Int,
       depth: Int, photometric: Int, comp: Int, px: Int => Byte,
       tile: Option[(Int, Int)] = None, rowsPerStrip: Int = 2,
-      t6opts: Int = 0, fillOrder: Int = 1) // reject-pin knobs
+      t6opts: Int = 0, fillOrder: Int = 1, t4opts: Int = 0) // option knobs
 
   /** Multi-page TIFF writer: one IFD per page, strip-split at
     * `rowsPerStrip`, per-page compression from `comps` (1/5/32773),
@@ -510,7 +521,7 @@ object Tiff {
     require(pages.nonEmpty)
     pages.foreach { p =>
       require(p.depth == 8 || (p.depth == 1 && p.spp == 1))
-      require((p.comp != 4 && p.comp != 2) ||
+      require((p.comp != 4 && p.comp != 3 && p.comp != 2) ||
         (p.depth == 1 && p.photometric == 0))
       p.tile.foreach { case (tw, tl) =>
         require(tw > 0 && tl > 0 && tw % 16 == 0 && tl % 16 == 0)
@@ -527,8 +538,8 @@ object Tiff {
         if (x >= p.width || y >= p.height) {
           if (p.depth == 1) 1 else 0 // pad: white / zero
         } else p.px((y * p.width + x) * p.spp + c)
-      if (p.comp == 4 || p.comp == 2) {
-        // CcittG4.encode/encodeMh take 1 = black bytes
+      if (p.comp == 4 || p.comp == 3 || p.comp == 2) {
+        // the CcittG4 encoders take 1 = black bytes
         val black = new Array[Byte](segW * segRows)
         var i = 0
         while (i < black.length) {
@@ -537,8 +548,11 @@ object Tiff {
           black(i) = if (sample(x, y, 0) == 0) 1 else 0
           i += 1
         }
-        if (p.comp == 4) CcittG4.encode(black, segW, segRows)
-        else CcittG4.encodeMh(black, segW, segRows)
+        p.comp match {
+          case 4 => CcittG4.encode(black, segW, segRows)
+          case 3 => CcittG4.encodeG3(black, segW, segRows, (p.t4opts & 4) != 0)
+          case _ => CcittG4.encodeMh(black, segW, segRows)
+        }
       } else {
         val raw: Array[Byte] =
           if (p.depth == 8)
@@ -645,6 +659,7 @@ object Tiff {
         Ent(262, 3, 1, p.photometric.toLong),
         Ent(277, 3, 1, p.spp.toLong)) ++
         (if (p.fillOrder != 1) Vector(Ent(266, 3, 1, p.fillOrder.toLong)) else Vector()) ++
+        (if (p.comp == 3) Vector(Ent(292, 4, 1, p.t4opts.toLong)) else Vector()) ++
         (if (p.comp == 4) Vector(Ent(293, 4, 1, p.t6opts.toLong)) else Vector()) ++
         segTags).sortBy(_.tag)
       l16(entries.length)

@@ -2051,13 +2051,14 @@ object Curation extends QueryBlock {
       .select(col("doc_id")).collect().map(_.getLong(0)).sorted
     ids.grouped(5).zipWithIndex.foreach { case (group, g) =>
       val pages = group.toSeq.map { id =>
-        if (id % 5 == 2) { // bilevel: G4 / PackBits-packed / MH 1-D
+        if (id % 5 == 2) { // bilevel: G4 / MH 1-D / PackBits / G3-EOL
           val w = 150 + (id % 4).toInt * 37
           val h = 18 + (id % 3).toInt * 7
-          val comp = Seq(4, 2, 32773)((id % 3).toInt)
+          val comp = Seq(4, 2, 32773, 3)((id % 4).toInt)
           val f: Int => Byte =
             k => if (((id * 31 + k * 7) % 251) % 2 == 0) 0 else 255.toByte
-          Tiff.PageSpec(w, h, 1, 1, 0, comp, f)
+          Tiff.PageSpec(w, h, 1, 1, 0, comp, f,
+            t4opts = if (comp == 3 && id % 2 == 1) 4 else 0)
         } else if (id % 5 == 4) { // tiled 8-bit
           val w = 20 + (id % 7).toInt * 3
           val h = 17 + (id % 2).toInt * 16

@@ -194,6 +194,55 @@ class CcittG4Spec extends AnyFunSuite {
     assert(CcittG4.decodeMh(null, 16, 1) === None)
   }
 
+
+  // ---------------- r13b: TIFF Compression 3 (G3 1-D, EOL-framed) -------
+
+  test("G3 1-D hand pins: EOL before every row, aligned and unaligned forms") {
+    val EOL = "000000000001"
+    val r1 = row(16, (4, 7)) // 4w 3b 9w = 1011 10 10100
+    val bits = EOL + "1011" + "10" + "10100" + EOL + "1011" + "10" + "10100"
+    val px = r1 ++ r1
+    assert(toBits(CcittG4.encodeG3(px, 16, 2, alignedEol = false)) ===
+      toBits(toBytes(bits)))
+    assert(CcittG4.decodeG3(toBytes(bits), 16, 2, alignedEol = false).get.toSeq === px.toSeq)
+    // aligned form: zero fill so every EOL ends on a byte boundary
+    val enc = CcittG4.encodeG3(px, 16, 2, alignedEol = true)
+    assert(CcittG4.decodeG3(enc, 16, 2, alignedEol = true).get.toSeq === px.toSeq)
+    // first EOL of the aligned form occupies bits 0..11 with 4 fill? no:
+    // 12 EOL bits from position 0 must END at bit 16 → 4 leading zeros
+    assert(toBits(enc).take(16) === "0000" + EOL)
+  }
+
+  test("G3 1-D round-trips: random rows, both alignment forms, make-up runs") {
+    for (width <- Seq(1, 17, 200, 1728); height <- Seq(1, 4); al <- Seq(false, true)) {
+      var s = width * 7 + height + (if (al) 1 else 0)
+      val px = Array.tabulate[Byte](width * height) { _ =>
+        s = s * 1103515245 + 12345; ((s >>> 16) & 1).toByte
+      }
+      val enc = CcittG4.encodeG3(px, width, height, al)
+      assert(CcittG4.decodeG3(enc, width, height, al).get.toSeq === px.toSeq,
+        s"w=$width h=$height aligned=$al")
+    }
+  }
+
+  test("G3 1-D rejects: missing EOL, short EOL, runaway fill, misaligned EOL, trailing garbage") {
+    val EOL = "000000000001"
+    val good = EOL + "1011" + "10" + "10100"
+    assert(CcittG4.decodeG3(toBytes(good), 16, 1, alignedEol = false).isDefined)
+    // row data with no EOL at all
+    assert(CcittG4.decodeG3(toBytes("1011" + "10" + "10100"), 16, 1, false) === None)
+    // only 10 zeros before the 1: not an EOL
+    assert(CcittG4.decodeG3(toBytes("0000000000" + "1" + "1011" + "10" + "10100"), 16, 1, false) === None)
+    // 80 zeros of "fill": runaway
+    assert(CcittG4.decodeG3(toBytes("0" * 80 + "1" + "1011" + "10" + "10100"), 16, 1, false) === None)
+    // aligned mode but the EOL ends mid-byte
+    assert(CcittG4.decodeG3(toBytes(good), 16, 1, alignedEol = true) === None)
+    // a whole extra byte after the final row
+    val enc = CcittG4.encodeG3(row(16, (4, 7)), 16, 1, alignedEol = false)
+    assert(CcittG4.decodeG3(enc ++ Array[Byte](0x70), 16, 1, false) === None)
+    assert(CcittG4.decodeG3(null, 16, 1, false) === None)
+  }
+
   private implicit class Pipe[A](a: A) {
     def pipe[B](f: A => B): B = f(a)
   }

@@ -69,7 +69,7 @@ class TiffSpec extends AnyFunSuite {
     assert(Tiff.decode(evil) === None)
   }
 
-  test("unsupported shapes reject loudly: 16-bit samples, palette photometric, 8-bit WhiteIsZero, G3") {
+  test("unsupported shapes reject loudly: 16-bit samples, palette photometric, 8-bit WhiteIsZero, CCITT-on-8-bit") {
     // hand-tweak a valid file's IFD entries (II layout: tag at fixed offsets)
     val t = Tiff.makeTiff(Seq((8, 4, 1, px(5, 1))), Seq(1), littleEndian = true)
     def patchShortValue(tag: Int, v: Int): Array[Byte] = {
@@ -89,7 +89,7 @@ class TiffSpec extends AnyFunSuite {
     assert(Tiff.decode(patchShortValue(258, 16)) === None)   // 16-bit samples
     assert(Tiff.decode(patchShortValue(262, 3)) === None)    // palette
     assert(Tiff.decode(patchShortValue(262, 0)) === None)    // WhiteIsZero
-    assert(Tiff.decode(patchShortValue(259, 2)) === None)    // CCITT G3
+    assert(Tiff.decode(patchShortValue(259, 2)) === None)    // CCITT on 8-bit
     assert(Tiff.decode(patchShortValue(259, 7)) === None)    // JPEG-in-TIFF
   }
 
@@ -169,6 +169,22 @@ class TiffSpec extends AnyFunSuite {
       val p = Tiff.decode(t).getOrElse(fail("G4 rejected")).head
       assert(p.compression === 4)
       assert(flat(p) === (0 until 900).map(k => f(k) & 0xff))
+    }
+  }
+
+  test("MH 1-D and G3-EOL bilevel strips decode exactly; 2-D G3 T4Options rejects") {
+    for ((comp, t4) <- Seq((2, 0), (3, 0), (3, 4)); le <- Seq(true, false)) {
+      val f = bw(comp * 10 + t4)
+      val t = Tiff.makeTiffExt(Seq(Tiff.PageSpec(90, 7, 1, 1, 0, comp, f,
+        rowsPerStrip = 3, t4opts = t4)), littleEndian = le)
+      val p = Tiff.decode(t).getOrElse(fail(s"comp=$comp t4=$t4 rejected")).head
+      assert(flat(p) === (0 until 630).map(k => f(k) & 0xff))
+    }
+    // 2-D G3 (T4Options bit 0) and uncompressed mode (bit 1) reject
+    for (bad <- Seq(1, 2)) {
+      val t = Tiff.makeTiffExt(Seq(Tiff.PageSpec(90, 4, 1, 1, 0, 3, bw(9),
+        t4opts = bad)), littleEndian = true)
+      assert(Tiff.decode(t) === None, s"t4opts=$bad")
     }
   }
 
