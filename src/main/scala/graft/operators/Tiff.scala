@@ -37,7 +37,9 @@ import org.apache.spark.sql.types._
   * (PackBits over/under-run and LZW truncation reject), bits-per-
   * sample other than 1 or 8, palette/CMYK photometrics, 8-bit
   * WhiteIsZero, 2-D G3 and uncompressed mode (T4Options bits 0/1),
-  * G4 uncompressed mode (T6Options ≠ 0), FillOrder 2, mixed
+  * G4 uncompressed mode (T6Options ≠ 0), FillOrder 2 outside the
+  * bit-oriented bilevel codings (where real fax hardware writes it —
+  * undone by per-byte bit reversal), mixed
   * strip+tile directories, non-multiple-of-16 tile dims, and planar
   * configuration 2 all reject loudly rather than half-decode, and the
   * page walk carries a cycle guard plus a pixel bomb cap checked
@@ -189,7 +191,16 @@ object Tiff {
       (depth == 1 && spp == 1 && (photometric == 0 || photometric == 1))
     if (!ok) throw Malformed
     if (scalar(284, default = 1) != 1) throw Malformed // planar chunky only
-    if (scalar(266, default = 1) != 1) throw Malformed // FillOrder MSB-first only
+    // FillOrder 2 (LSB-first bit fill) is how real fax hardware writes
+    // CCITT data (r13b): legal for the bit-oriented codings, undone by
+    // a per-byte bit reversal before decode. For byte-oriented or
+    // 8-bit data it is meaningless and stays rejected rather than
+    // silently ignored.
+    val fillOrder = scalar(266, default = 1).toInt
+    if (fillOrder != 1 && fillOrder != 2) throw Malformed
+    if (fillOrder == 2 && !(depth == 1 && (compression == 1 ||
+      compression == 2 || compression == 3 || compression == 4)))
+      throw Malformed
     // compression legality per depth; G3 (2 = MH-RLE, 3 = T.4) stays a
     // documented rejection — G4 is what scanned corpora ship
     compression match {
@@ -218,6 +229,13 @@ object Tiff {
       if (off < 0 || len < 0 || len > (64 << 20) || off + len > b.length)
         throw Malformed
       val raw = java.util.Arrays.copyOfRange(b, off.toInt, (off + len).toInt)
+      if (fillOrder == 2) { // undo LSB-first fill: reverse bits per byte
+        var i = 0
+        while (i < raw.length) {
+          raw(i) = (java.lang.Integer.reverse(raw(i) & 0xff) >>> 24).toByte
+          i += 1
+        }
+      }
       if (compression == 4 || compression == 3 || compression == 2) {
         val bits = (compression match {
           case 4 => CcittG4.decode(raw, segW, segRows)
@@ -548,11 +566,14 @@ object Tiff {
           black(i) = if (sample(x, y, 0) == 0) 1 else 0
           i += 1
         }
-        p.comp match {
+        val enc = p.comp match {
           case 4 => CcittG4.encode(black, segW, segRows)
           case 3 => CcittG4.encodeG3(black, segW, segRows, (p.t4opts & 4) != 0)
           case _ => CcittG4.encodeMh(black, segW, segRows)
         }
+        if (p.fillOrder == 2) enc.map(b =>
+          (java.lang.Integer.reverse(b & 0xff) >>> 24).toByte)
+        else enc
       } else {
         val raw: Array[Byte] =
           if (p.depth == 8)
@@ -579,11 +600,14 @@ object Tiff {
             }
             out
           }
-        p.comp match {
+        val body = p.comp match {
           case 1 => raw
           case 5 => lzwEncode(raw)
           case 32773 => packBits(raw)
         }
+        if (p.fillOrder == 2 && p.depth == 1 && p.comp == 1)
+          body.map(b => (java.lang.Integer.reverse(b & 0xff) >>> 24).toByte)
+        else body
       }
     }
 

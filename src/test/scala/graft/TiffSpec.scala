@@ -222,15 +222,24 @@ class TiffSpec extends AnyFunSuite {
     assert(flat(got(2)) === (0 until 90).map(k => fs(2)(k) & 0xff))
   }
 
-  test("G4/bilevel rejects: G3, 8-bit G4, BlackIsZero G4, T6Options uncompressed mode, FillOrder 2, bad tile dims, strip tags in a tiled directory") {
+  test("G4/bilevel: T6Options uncompressed mode rejects, FillOrder 2 round-trips for CCITT only, 8-bit G4 and BlackIsZero G4 reject, bad tile dims, strip tags in a tiled directory") {
     // G4 with T6Options declaring uncompressed mode must reject
     val t6 = Tiff.makeTiffExt(Seq(Tiff.PageSpec(100, 4, 1, 1, 0, 4, bw(1),
       t6opts = 4)), littleEndian = true)
     assert(Tiff.decode(t6) === None)
-    // FillOrder 2 (LSB-first bit packing) is unimplemented → loud
-    val fo = Tiff.makeTiffExt(Seq(Tiff.PageSpec(100, 4, 1, 1, 0, 4, bw(2),
+    // FillOrder 2 (LSB-first fill, how fax hardware writes CCITT):
+    // round-trips for the bit-oriented codings via per-byte reversal…
+    for (comp <- Seq(1, 2, 3, 4)) {
+      val f = bw(40 + comp)
+      val fo = Tiff.makeTiffExt(Seq(Tiff.PageSpec(90, 4, 1, 1, 0, comp, f,
+        fillOrder = 2)), littleEndian = true)
+      val p = Tiff.decode(fo).getOrElse(fail(s"FillOrder2 comp=$comp rejected")).head
+      assert(flat(p) === (0 until 360).map(k => f(k) & 0xff), s"comp=$comp")
+    }
+    // …and stays rejected where it is meaningless (8-bit, byte-oriented)
+    val fo8 = Tiff.makeTiffExt(Seq(Tiff.PageSpec(8, 4, 1, 8, 1, 1, px(2, 1),
       fillOrder = 2)), littleEndian = true)
-    assert(Tiff.decode(fo) === None)
+    assert(Tiff.decode(fo8) === None)
     // patch helpers over a valid G4 file
     val ok = Tiff.makeTiffExt(Seq(Tiff.PageSpec(100, 4, 1, 1, 0, 4, bw(3))),
       littleEndian = true)
@@ -247,8 +256,9 @@ class TiffSpec extends AnyFunSuite {
       }
       c
     }
-    assert(Tiff.decode(patchShort(ok, 259, 2)) === None) // G3 MH
-    assert(Tiff.decode(patchShort(ok, 259, 3)) === None) // G3 T.4
+    // relabeling G4 data as MH/G3 must fail THEIR strict decoders
+    assert(Tiff.decode(patchShort(ok, 259, 2)) === None)
+    assert(Tiff.decode(patchShort(ok, 259, 3)) === None)
     assert(Tiff.decode(patchShort(ok, 262, 1)) === None) // BlackIsZero G4
     // 8-bit G4: take a valid gray file and flip compression to 4
     val gray = Tiff.makeTiff(Seq((8, 4, 1, px(5, 1))), Seq(1), littleEndian = true)
