@@ -255,6 +255,26 @@ class BrotliSpec extends AnyFunSuite {
     assert(checked === 484)
   }
 
+  test("NPOSTFIX/NDIRECT distance scheme: crafted streams match the reference decoder (golden)") {
+    // reference encoders never emit NPOSTFIX>0, so this corner rides
+    // hand-crafted streams validated against the reference decoder at
+    // generation time (scripts-side): direct-range codes, postfix codes
+    // with varying extra bits, and a mix — resolving through both
+    // backward copies and dictionary addressing, where a wrong distance
+    // yields a visibly wrong word
+    val fx = json("/golden/brotli_npostfix.json")
+    var n = 0
+    for (m <- """"(\w+)":\s*\{""".r.findAllMatchIn(fx)) {
+      val obj = fx.substring(m.end, fx.indexOf('}', m.end))
+      val stream = hex(jfield(obj, "stream"))
+      val got = Brotli.decompress(stream)
+      assert(got.isDefined, m.group(1))
+      assert(sha256(got.get) === jfield(obj, "payload_sha256"), m.group(1))
+      n += 1
+    }
+    assert(n === 4)
+  }
+
   // ---------------- tier 3: live reference interop (gated) -------------
 
   private def havePyBrotli: Boolean =
