@@ -71,3 +71,6 @@ for name, (np_, nd, ds, k) in cases.items():
                  'payload': ref.decode('latin1')}
     print(name, 'OK', ref[:24])
 json.dump(out, open('/tmp/brotli_npostfix.json','w'), indent=0)
+
+# (metadata-metablock golden cases were generated with the same
+# discipline — see the merged brotli_npostfix.json keys meta0/5/300.)

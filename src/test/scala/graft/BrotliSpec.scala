@@ -255,13 +255,14 @@ class BrotliSpec extends AnyFunSuite {
     assert(checked === 484)
   }
 
-  test("NPOSTFIX/NDIRECT distance scheme: crafted streams match the reference decoder (golden)") {
+  test("NPOSTFIX/NDIRECT distances and METADATA metablocks: crafted streams match the reference decoder (golden)") {
     // reference encoders never emit NPOSTFIX>0, so this corner rides
     // hand-crafted streams validated against the reference decoder at
     // generation time (scripts-side): direct-range codes, postfix codes
     // with varying extra bits, and a mix — resolving through both
     // backward copies and dictionary addressing, where a wrong distance
-    // yields a visibly wrong word
+    // yields a visibly wrong word. Plus metadata metablocks (0 / 5 /
+    // 300 skip bytes), which no encoder emits either
     val fx = json("/golden/brotli_npostfix.json")
     var n = 0
     for (m <- """"(\w+)":\s*\{""".r.findAllMatchIn(fx)) {
@@ -272,7 +273,7 @@ class BrotliSpec extends AnyFunSuite {
       assert(sha256(got.get) === jfield(obj, "payload_sha256"), m.group(1))
       n += 1
     }
-    assert(n === 4)
+    assert(n === 7)
   }
 
   // ---------------- tier 3: live reference interop (gated) -------------
