@@ -127,6 +127,11 @@ object Stress {
       // queries that rely on a dim broadcast must KEEP it at 10x volume
       if (Set("c20_rollup", "c07_join_agg", "c21_rank_window")(name))
         must(plan.contains("BroadcastHashJoin"), "dim broadcast demoted at 10x")
+      // r13: c20's customer side is the codegen dense-dimension lookup —
+      // it must stay in the plan (inside the scan's codegen span), not
+      // silently fall back to a join
+      if (name == "c20_rollup")
+        must(plan.contains("dense_dim_lookup"), "dense dim lookup vanished at 10x")
 
       def timeOnce(): Double = {
         val t0 = System.nanoTime()
