@@ -79,12 +79,14 @@ class BrotliSpec extends AnyFunSuite {
     assert(Brotli.decompress(Array.empty[Byte]) === None)
     assert(Brotli.decompress(null) === None)
     assert(Brotli.decompress(stream ++ Array[Byte](1)) === None) // trailing
-    // truncation sweep: every prefix rejects or (never) matches
+    // truncation sweep: a PREFIX of a valid stream must never decode to
+    // the full payload (and must never throw) — brotli carries no
+    // checksum, so a short prefix CAN be a complete valid stream of
+    // different (shorter) content; full-payload equality is the claim
+    val full = Brotli.decompress(stream).get.toSeq
     (1 until stream.length).foreach { n =>
-      assert(Brotli.decompress(stream.take(n)).forall(_ => false) ||
-        Brotli.decompress(stream.take(n)).isEmpty || true)
-      // just must not throw; strictness asserted by the full-stream case
-      Brotli.decompress(stream.take(n))
+      Brotli.decompress(stream.take(n)).foreach(got =>
+        assert(got.toSeq != full, s"prefix $n decoded the full payload"))
     }
   }
 
