@@ -226,63 +226,7 @@ object CcittG4 {
       val line = new Array[Byte](width)
       var row = 0
       while (row < rows) {
-        java.util.Arrays.fill(line, 0.toByte)
-        var a0 = -1
-        var white = true
-        var ri = 0 // monotone cursor into ref
-        while (a0 < width) {
-          // b1: first reference change > a0 whose parity matches the
-          // colour we are looking for (even index = change to black)
-          while (ri < ref.length && ref(ri) <= a0) ri += 1
-          var bi = ri
-          val wantEven = white
-          if (bi < ref.length && ((bi & 1) == 0) != wantEven) bi += 1
-          val b1 = if (bi < ref.length) ref(bi) else width
-          val b2 = if (bi + 1 < ref.length) ref(bi + 1) else width
-          // mode code
-          if (in.bit() == 1) { // V0
-            vertical(line, width, a0, b1, white)
-            a0 = b1; white = !white
-          } else if (in.bit() == 1) { // 01x
-            if (in.bit() == 1) { // 011 VR1
-              vertical(line, width, a0, b1 + 1, white); a0 = b1 + 1; white = !white
-            } else { // 010 VL1
-              vertical(line, width, a0, b1 - 1, white); a0 = b1 - 1; white = !white
-            }
-          } else if (in.bit() == 1) { // 001 horizontal
-            val s = if (a0 < 0) 0 else a0
-            val r1 = readRun(in, white, width)
-            val r2 = readRun(in, !white, width)
-            val a1 = s + r1
-            val a2 = a1 + r2
-            if (a2 > width) throw Malformed
-            paint(line, s, a1, white)
-            paint(line, a1, a2, !white)
-            a0 = a2 // colour unchanged
-            // a0 may equal its previous value only through zero runs;
-            // r1 = r2 = 0 would loop forever
-            if (r1 == 0 && r2 == 0) throw Malformed
-          } else if (in.bit() == 1) { // 0001 pass
-            val s = if (a0 < 0) 0 else a0
-            if (b2 > width || b2 < s) throw Malformed
-            paint(line, s, b2, white)
-            a0 = b2 // colour unchanged; b2 > a0 always holds (changes
-            // are strictly ascending past b1 > a0), so progress is sure
-          } else if (in.bit() == 1) { // 00001x VR2/VL2
-            if (in.bit() == 1) { vertical(line, width, a0, b1 + 2, white); a0 = b1 + 2 }
-            else { vertical(line, width, a0, b1 - 2, white); a0 = b1 - 2 }
-            white = !white
-          } else if (in.bit() == 1) { // 000001x VR3/VL3
-            if (in.bit() == 1) { vertical(line, width, a0, b1 + 3, white); a0 = b1 + 3 }
-            else { vertical(line, width, a0, b1 - 3, white); a0 = b1 - 3 }
-            white = !white
-          } else {
-            // 0000001 = 2-D extension (uncompressed mode) — rejected;
-            // 0000000... = EOL territory, which T.6 data cannot contain
-            throw Malformed
-          }
-        }
-        if (a0 != width) throw Malformed // vertical overshoot past line end
+        decode2dLine(in, width, ref, line)
         System.arraycopy(line, 0, out, row * width, width)
         ref = changes(line, width)
         row += 1
@@ -306,6 +250,70 @@ object CcittG4 {
       case Malformed => None
       case _: ArrayIndexOutOfBoundsException => None
     }
+  }
+
+  /** One 2-D coded line against reference transitions `ref`, painted
+    * into `line` (shared by T.6 and the 2-D rows of T.4 Group 3).
+    */
+  private def decode2dLine(in: BitIn, width: Int, ref: Array[Int],
+      line: Array[Byte]): Unit = {
+    java.util.Arrays.fill(line, 0.toByte)
+    var a0 = -1
+    var white = true
+    var ri = 0 // monotone cursor into ref
+    while (a0 < width) {
+      // b1: first reference change > a0 whose parity matches the
+      // colour we are looking for (even index = change to black)
+      while (ri < ref.length && ref(ri) <= a0) ri += 1
+      var bi = ri
+      val wantEven = white
+      if (bi < ref.length && ((bi & 1) == 0) != wantEven) bi += 1
+      val b1 = if (bi < ref.length) ref(bi) else width
+      val b2 = if (bi + 1 < ref.length) ref(bi + 1) else width
+      // mode code
+      if (in.bit() == 1) { // V0
+        vertical(line, width, a0, b1, white)
+        a0 = b1; white = !white
+      } else if (in.bit() == 1) { // 01x
+        if (in.bit() == 1) { // 011 VR1
+          vertical(line, width, a0, b1 + 1, white); a0 = b1 + 1; white = !white
+        } else { // 010 VL1
+          vertical(line, width, a0, b1 - 1, white); a0 = b1 - 1; white = !white
+        }
+      } else if (in.bit() == 1) { // 001 horizontal
+        val s = if (a0 < 0) 0 else a0
+        val r1 = readRun(in, white, width)
+        val r2 = readRun(in, !white, width)
+        val a1 = s + r1
+        val a2 = a1 + r2
+        if (a2 > width) throw Malformed
+        paint(line, s, a1, white)
+        paint(line, a1, a2, !white)
+        a0 = a2 // colour unchanged
+        // a0 may equal its previous value only through zero runs;
+        // r1 = r2 = 0 would loop forever
+        if (r1 == 0 && r2 == 0) throw Malformed
+      } else if (in.bit() == 1) { // 0001 pass
+        val s = if (a0 < 0) 0 else a0
+        if (b2 > width || b2 < s) throw Malformed
+        paint(line, s, b2, white)
+        a0 = b2 // colour unchanged; b2 > a0 always holds (changes
+        // are strictly ascending past b1 > a0), so progress is sure
+      } else if (in.bit() == 1) { // 00001x VR2/VL2
+        if (in.bit() == 1) { vertical(line, width, a0, b1 + 2, white); a0 = b1 + 2 }
+        else { vertical(line, width, a0, b1 - 2, white); a0 = b1 - 2 }
+        white = !white
+      } else if (in.bit() == 1) { // 000001x VR3/VL3
+        if (in.bit() == 1) { vertical(line, width, a0, b1 + 3, white); a0 = b1 + 3 }
+        else { vertical(line, width, a0, b1 - 3, white); a0 = b1 - 3 }
+        white = !white
+      } else {
+        // 0000001 = 2-D extension (uncompressed mode) — rejected;
+        // 0000000... = EOL territory, which 2-D line data cannot contain
+        throw Malformed
+      }
+    }
+    if (a0 != width) throw Malformed // vertical overshoot past line end
   }
 
   /** Vertical-mode fill: run of `white` colour from max(a0,0) to a1;
@@ -405,22 +413,28 @@ object CcittG4 {
 
   // ------------- T.4 Group 3 1-D (TIFF Compression 3) -------------
 
-  /** TIFF Compression 3, 1-D only (T4Options bit 0 clear): every row —
-    * including the first — is preceded by an EOL code (000000000001),
-    * optionally front-padded with zero fill bits; with `alignedEol`
-    * (T4Options bit 2) each EOL must END on a byte boundary. Row data
-    * is the same MH run coding as Compression 2 but rows are NOT
-    * byte-aligned. After the last row only zero padding to the byte
-    * boundary may remain (TIFF writers do not emit RTC). None on any
-    * violation.
+  /** TIFF Compression 3: every row — including the first — is
+    * preceded by an EOL code (000000000001), optionally front-padded
+    * with zero fill bits; with `alignedEol` (T4Options bit 2) each EOL
+    * must END on a byte boundary. In the 1-D form (T4Options bit 0
+    * clear) row data is the same MH run coding as Compression 2 but
+    * rows are NOT byte-aligned; in the 2-D form (`twoDim`, bit 0 set)
+    * a tag bit follows each EOL — 1 = the row is 1-D coded, 0 = 2-D
+    * coded against the previous row with the same vertical/horizontal/
+    * pass machinery as G4. The FIRST row must be 1-D (T.4 has no
+    * reference line yet). After the last row only zero padding to the
+    * byte boundary may remain (TIFF writers do not emit RTC). None on
+    * any violation.
     */
   def decodeG3(data: Array[Byte], width: Int, rows: Int,
-      alignedEol: Boolean): Option[Array[Byte]] = {
+      alignedEol: Boolean, twoDim: Boolean = false): Option[Array[Byte]] = {
     try {
       if (data == null || width <= 0 || rows <= 0) throw Malformed
       if (width.toLong * rows > (1L << 26)) throw Malformed // bomb cap
       val in = new BitIn(data)
       val out = new Array[Byte](width * rows)
+      val line = new Array[Byte](width)
+      var ref = new Array[Int](0)
       var row = 0
       while (row < rows) {
         // fill bits then EOL: up to 64 zero bits of fill tolerated
@@ -435,16 +449,22 @@ object CcittG4 {
         }
         if (zeros < 11) throw Malformed // not an EOL
         if (alignedEol && (in.pos & 7) != 0) throw Malformed
-        var x = 0
-        var white = true
-        while (x < width) {
-          val run = readRun(in, white, width - x)
-          if (run == 0 && !(white && x == 0)) throw Malformed
-          if (!white) java.util.Arrays.fill(out, row * width + x,
-            row * width + x + run, 1.toByte)
-          x += run
-          white = !white
-        }
+        val oneD = if (!twoDim) true else in.bit() == 1
+        if (twoDim && row == 0 && !oneD) throw Malformed // no ref line yet
+        if (oneD) {
+          java.util.Arrays.fill(line, 0.toByte)
+          var x = 0
+          var white = true
+          while (x < width) {
+            val run = readRun(in, white, width - x)
+            if (run == 0 && !(white && x == 0)) throw Malformed
+            if (!white) java.util.Arrays.fill(line, x, x + run, 1.toByte)
+            x += run
+            white = !white
+          }
+        } else decode2dLine(in, width, ref, line)
+        System.arraycopy(line, 0, out, row * width, width)
+        ref = changes(line, width)
         row += 1
       }
       if (in.remaining >= 8 || !in.restZero) throw Malformed
@@ -455,27 +475,40 @@ object CcittG4 {
     }
   }
 
-  /** G3 1-D encode: EOL (byte-aligned via zero fill when `alignedEol`)
-    * before every row, contiguous MH row data, zero-padded tail.
+  /** G3 encode: EOL (byte-aligned via zero fill when `alignedEol`)
+    * before every row; in the 2-D form a tag bit after each EOL with a
+    * 1-D row every `k`th line (the T.4 K-parameter discipline, K = 4)
+    * and 2-D rows against the previous line; zero-padded tail.
     */
   def encodeG3(pixels: Array[Byte], width: Int, rows: Int,
-      alignedEol: Boolean): Array[Byte] = {
-    require(pixels.length == width * rows && width > 0 && rows > 0)
+      alignedEol: Boolean, twoDim: Boolean = false, k: Int = 4): Array[Byte] = {
+    require(pixels.length == width * rows && width > 0 && rows > 0 && k >= 1)
     val out = new BitOut
+    val line = new Array[Byte](width)
+    var ref = new Array[Int](0)
     var row = 0
     while (row < rows) {
       if (alignedEol) out.fillToAlign(12) // zeros so the EOL ends aligned
       out.put("000000000001")
-      var x = 0
-      var white = true
-      while (x < width) {
-        var run = 0
-        while (x + run < width &&
-          ((pixels(row * width + x + run) == 0) == white)) run += 1
-        emitRun(out, white, run)
-        x += run
-        white = !white
+      var i = 0
+      while (i < width) {
+        line(i) = if (pixels(row * width + i) != 0) 1 else 0
+        i += 1
       }
+      val oneD = !twoDim || row % k == 0
+      if (twoDim) out.put(if (oneD) "1" else "0")
+      if (oneD) {
+        var x = 0
+        var white = true
+        while (x < width) {
+          var run = 0
+          while (x + run < width && ((line(x + run) == 0) == white)) run += 1
+          emitRun(out, white, run)
+          x += run
+          white = !white
+        }
+      } else encode2dLine(out, width, changes(line, width), ref)
+      ref = changes(line, width)
       row += 1
     }
     out.finish()
@@ -511,45 +544,53 @@ object CcittG4 {
         i += 1
       }
       val cur = changes(line, width)
-      var a0 = -1
-      var white = true
-      var ci = 0 // cursor into cur: next coding change > a0
-      var ri = 0
-      while (a0 < width) {
-        while (ci < cur.length && cur(ci) <= a0) ci += 1
-        val a1 = if (ci < cur.length) cur(ci) else width
-        while (ri < ref.length && ref(ri) <= a0) ri += 1
-        var bi = ri
-        if (bi < ref.length && ((bi & 1) == 0) != white) bi += 1
-        val b1 = if (bi < ref.length) ref(bi) else width
-        val b2 = if (bi + 1 < ref.length) ref(bi + 1) else width
-        if (b2 < a1) {
-          out.put("0001") // pass
-          a0 = b2
-        } else if (math.abs(a1 - b1) <= 3) {
-          (a1 - b1) match {
-            case 0 => out.put("1")
-            case 1 => out.put("011")
-            case 2 => out.put("000011")
-            case 3 => out.put("0000011")
-            case -1 => out.put("010")
-            case -2 => out.put("000010")
-            case -3 => out.put("0000010")
-          }
-          a0 = a1; white = !white
-        } else {
-          val a2 = if (ci + 1 < cur.length) cur(ci + 1) else width
-          val s = if (a0 < 0) 0 else a0
-          out.put("001")
-          emitRun(out, white, a1 - s)
-          emitRun(out, !white, a2 - a1)
-          a0 = a2
-        }
-      }
+      encode2dLine(out, width, cur, ref)
       ref = cur
       row += 1
     }
     out.put("000000000001"); out.put("000000000001") // EOFB
     out.finish()
+  }
+
+  /** One 2-D coded line from coding transitions `cur` against
+    * reference transitions `ref` (shared by T.6 and 2-D T.4 rows).
+    */
+  private def encode2dLine(out: BitOut, width: Int, cur: Array[Int],
+      ref: Array[Int]): Unit = {
+    var a0 = -1
+    var white = true
+    var ci = 0 // cursor into cur: next coding change > a0
+    var ri = 0
+    while (a0 < width) {
+      while (ci < cur.length && cur(ci) <= a0) ci += 1
+      val a1 = if (ci < cur.length) cur(ci) else width
+      while (ri < ref.length && ref(ri) <= a0) ri += 1
+      var bi = ri
+      if (bi < ref.length && ((bi & 1) == 0) != white) bi += 1
+      val b1 = if (bi < ref.length) ref(bi) else width
+      val b2 = if (bi + 1 < ref.length) ref(bi + 1) else width
+      if (b2 < a1) {
+        out.put("0001") // pass
+        a0 = b2
+      } else if (math.abs(a1 - b1) <= 3) {
+        (a1 - b1) match {
+          case 0 => out.put("1")
+          case 1 => out.put("011")
+          case 2 => out.put("000011")
+          case 3 => out.put("0000011")
+          case -1 => out.put("010")
+          case -2 => out.put("000010")
+          case -3 => out.put("0000010")
+        }
+        a0 = a1; white = !white
+      } else {
+        val a2 = if (ci + 1 < cur.length) cur(ci + 1) else width
+        val s = if (a0 < 0) 0 else a0
+        out.put("001")
+        emitRun(out, white, a1 - s)
+        emitRun(out, !white, a2 - a1)
+        a0 = a2
+      }
+    }
   }
 }

@@ -26,9 +26,10 @@ import org.apache.spark.sql.types._
   * Compression 4 = Group 4 two-dimensional — how archival book scans,
   * patents and newspaper digitization actually ship —
   * Compression 2 = the byte-aligned Modified Huffman 1-D rows, and
-  * Compression 3 = T.4 Group 3 1-D with EOL framing, plain and
-  * byte-aligned (T4Options bit 2); 2-D G3 and uncompressed mode
-  * reject by T4Options (all r13).
+  * Compression 3 = T.4 Group 3 with EOL framing — 1-D and 2-D
+  * (T4Options bit 0: a tag bit per row, 2-D rows decoded by the same
+  * vertical/horizontal/pass machinery as G4), plain and byte-aligned
+  * EOLs (bit 2); T.4 uncompressed mode rejects (all r13).
   *
   * Reject-don't-guess: magic and the 42 must verify, IFD entry counts
   * and value offsets bounds-check, required tags must be present,
@@ -36,7 +37,7 @@ import org.apache.spark.sql.types._
   * or tile must decompress to EXACTLY its expected byte length
   * (PackBits over/under-run and LZW truncation reject), bits-per-
   * sample other than 1 or 8, palette/CMYK photometrics, 8-bit
-  * WhiteIsZero, 2-D G3 and uncompressed mode (T4Options bits 0/1),
+  * WhiteIsZero, T.4 uncompressed mode (T4Options bit 1),
   * G4 uncompressed mode (T6Options ≠ 0), FillOrder 2 outside the
   * bit-oriented bilevel codings (where real fax hardware writes it —
   * undone by per-byte bit reversal), mixed
@@ -213,13 +214,15 @@ object Tiff {
         if (photometric != 0) throw Malformed
         if (compression == 4 && scalar(293, default = 0) != 0)
           throw Malformed // T6Options: no uncompressed mode
-        // T4Options: bit 0 = 2-D coding (a different coder — reject),
-        // bit 1 = uncompressed mode (reject), bit 2 = byte-aligned EOLs
-        if (compression == 3 && (scalar(292, default = 0) & ~4L) != 0)
+        // T4Options: bit 0 = 2-D coding (r13b: supported — tag bit per
+        // row, 2-D rows share the G4 line machinery), bit 1 =
+        // uncompressed mode (reject), bit 2 = byte-aligned EOLs
+        if (compression == 3 && (scalar(292, default = 0) & ~5L) != 0)
           throw Malformed
       case _ => throw Malformed // reject, don't guess (incl. JPEG-in-TIFF)
     }
     val g3Aligned = compression == 3 && (scalar(292, default = 0) & 4L) != 0
+    val g3TwoDim = compression == 3 && (scalar(292, default = 0) & 1L) != 0
 
     /** Decompress one segment (strip or tile) of `segW`×`segRows`
       * pixels to UNPACKED bytes: depth-8 interleaved samples, or for
@@ -239,7 +242,7 @@ object Tiff {
       if (compression == 4 || compression == 3 || compression == 2) {
         val bits = (compression match {
           case 4 => CcittG4.decode(raw, segW, segRows)
-          case 3 => CcittG4.decodeG3(raw, segW, segRows, g3Aligned)
+          case 3 => CcittG4.decodeG3(raw, segW, segRows, g3Aligned, g3TwoDim)
           case _ => CcittG4.decodeMh(raw, segW, segRows)
         }).getOrElse(throw Malformed)
         // G4 runs are white/black by definition; photometric 0 verified
@@ -568,7 +571,8 @@ object Tiff {
         }
         val enc = p.comp match {
           case 4 => CcittG4.encode(black, segW, segRows)
-          case 3 => CcittG4.encodeG3(black, segW, segRows, (p.t4opts & 4) != 0)
+          case 3 => CcittG4.encodeG3(black, segW, segRows,
+            (p.t4opts & 4) != 0, (p.t4opts & 1) != 0)
           case _ => CcittG4.encodeMh(black, segW, segRows)
         }
         if (p.fillOrder == 2) enc.map(b =>

@@ -2058,7 +2058,9 @@ object Curation extends QueryBlock {
           val f: Int => Byte =
             k => if (((id * 31 + k * 7) % 251) % 2 == 0) 0 else 255.toByte
           Tiff.PageSpec(w, h, 1, 1, 0, comp, f,
-            t4opts = if (comp == 3 && id % 2 == 1) 4 else 0)
+            // G3 pages rotate the T4Options forms: 1-D/2-D × plain/
+            // aligned EOLs
+            t4opts = if (comp == 3) Seq(0, 4, 1, 5)(((id / 4) % 4).toInt) else 0)
         } else if (id % 5 == 4) { // tiled 8-bit
           val w = 20 + (id % 7).toInt * 3
           val h = 17 + (id % 2).toInt * 16

@@ -243,6 +243,35 @@ class CcittG4Spec extends AnyFunSuite {
     assert(CcittG4.decodeG3(null, 16, 1, false) === None)
   }
 
+  test("G3 2-D: tag bits select 1-D/2-D rows; 2-D rows reuse the G4 line coder (hand pin + round-trips)") {
+    val EOL = "000000000001"
+    // rows: r1 = 4w 3b 9w (1-D, tag 1), r2 = 5w 2b 9w (2-D, tag 0)
+    val r1 = row(16, (4, 7))
+    val r2 = row(16, (5, 7))
+    val px = r1 ++ r2
+    // r2 vs r1: changes cur=[5,7], ref=[4,7]: a1=5,b1=4 -> VR1 (011);
+    // then a1=7,b1=7 -> V0 (1); then a1=16,b1=16 -> V0 (1)
+    val bits = EOL + "1" + "1011" + "10" + "10100" + // tag1 + MH row
+      EOL + "0" + "011" + "1" + "1" // tag0 + VR1 V0 V0
+    assert(toBits(CcittG4.encodeG3(px, 16, 2, alignedEol = false, twoDim = true)) ===
+      toBits(toBytes(bits)))
+    assert(CcittG4.decodeG3(toBytes(bits), 16, 2, alignedEol = false,
+      twoDim = true).get.toSeq === px.toSeq)
+    // round-trips: both alignment forms, K-discipline, larger images
+    for (width <- Seq(1, 17, 200, 1728); height <- Seq(1, 5, 9); al <- Seq(false, true)) {
+      var seed = width + height * 31 + (if (al) 7 else 0)
+      val p2 = Array.tabulate[Byte](width * height) { _ =>
+        seed = seed * 1103515245 + 12345; ((seed >>> 16) & 1).toByte
+      }
+      val enc = CcittG4.encodeG3(p2, width, height, al, twoDim = true)
+      assert(CcittG4.decodeG3(enc, width, height, al, twoDim = true).get.toSeq === p2.toSeq,
+        s"w=$width h=$height aligned=$al")
+    }
+    // a 2-D tag on the FIRST row rejects (no reference line exists)
+    assert(CcittG4.decodeG3(toBytes(EOL + "0" + "011" + "1" + "1"), 16, 1,
+      alignedEol = false, twoDim = true) === None)
+  }
+
   private implicit class Pipe[A](a: A) {
     def pipe[B](f: A => B): B = f(a)
   }

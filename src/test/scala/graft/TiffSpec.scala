@@ -172,20 +172,18 @@ class TiffSpec extends AnyFunSuite {
     }
   }
 
-  test("MH 1-D and G3-EOL bilevel strips decode exactly; 2-D G3 T4Options rejects") {
-    for ((comp, t4) <- Seq((2, 0), (3, 0), (3, 4)); le <- Seq(true, false)) {
+  test("MH 1-D and G3-EOL bilevel strips decode exactly (1-D and 2-D forms); T.4 uncompressed mode rejects") {
+    for ((comp, t4) <- Seq((2, 0), (3, 0), (3, 4), (3, 1), (3, 5)); le <- Seq(true, false)) {
       val f = bw(comp * 10 + t4)
       val t = Tiff.makeTiffExt(Seq(Tiff.PageSpec(90, 7, 1, 1, 0, comp, f,
         rowsPerStrip = 3, t4opts = t4)), littleEndian = le)
       val p = Tiff.decode(t).getOrElse(fail(s"comp=$comp t4=$t4 rejected")).head
       assert(flat(p) === (0 until 630).map(k => f(k) & 0xff))
     }
-    // 2-D G3 (T4Options bit 0) and uncompressed mode (bit 1) reject
-    for (bad <- Seq(1, 2)) {
-      val t = Tiff.makeTiffExt(Seq(Tiff.PageSpec(90, 4, 1, 1, 0, 3, bw(9),
-        t4opts = bad)), littleEndian = true)
-      assert(Tiff.decode(t) === None, s"t4opts=$bad")
-    }
+    // T.4 uncompressed mode (T4Options bit 1) rejects
+    val tun = Tiff.makeTiffExt(Seq(Tiff.PageSpec(90, 4, 1, 1, 0, 3, bw(9),
+      t4opts = 2)), littleEndian = true)
+    assert(Tiff.decode(tun) === None)
   }
 
   test("tiled pages decode with edge-tile clipping: gray LZW, RGB uncompressed, bilevel G4") {
