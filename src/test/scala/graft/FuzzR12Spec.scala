@@ -104,6 +104,12 @@ class FuzzR12Spec extends AnyFunSuite {
       20, 18, 1, 8, 1, 5, (k: Int) => ((k * 13) % 251).toByte,
       tile = Some((16, 16)))), littleEndian = true)
     fuzzOne("tiff-tiled", tiled, b => operators.Tiff.decode(b))
+    // r13b: G3 2-D with aligned EOLs and FillOrder 2
+    val g3 = operators.Tiff.makeTiffExt(Seq(operators.Tiff.PageSpec(
+      50, 9, 1, 1, 0, 3,
+      (k: Int) => if ((k * 13 % 251) % 2 == 0) 0 else 255.toByte,
+      rowsPerStrip = 9, t4opts = 5, fillOrder = 2)), littleEndian = true)
+    fuzzOne("tiff-g3-2d", g3, b => operators.Tiff.decode(b))
   }
 
   test("Mp3") {
