@@ -30,10 +30,19 @@ import org.apache.spark.sql.types.{DataType, IntegerType, LongType}
   */
 object DenseDimJoin {
 
+  /** Occupancy bound: the packed array may be at most this many slots
+    * per observed dimension row (≥ 25% occupancy), so a sparse key near
+    * `maxSlots` rejects as "too sparse to pack" BEFORE any allocation —
+    * a 3-row dimension can never trigger a 256 MB byte array.
+    */
+  val DensityFactor: Long = 4L
+
   /** Collect `dim` (keyCol → valueCol, key dense in [0, maxKey],
     * value in [0, 127]) and return a lookup usable as a Column
     * factory. Throws on a domain too sparse to pack (maxKey beyond
-    * `maxSlots`) or values outside a byte — reject, don't guess.
+    * `maxSlots`, or occupancy under 1/[[DensityFactor]]) or values
+    * outside a byte — reject, don't guess. Callers that want
+    * degrade-to-join instead of a throw use [[tryLookup]]/[[withValue]].
     */
   def lookup(s: SparkSession, dim: DataFrame, keyCol: String,
       valueCol: String, maxSlots: Int = 1 << 28): Column => Column = {
@@ -50,6 +59,10 @@ object DenseDimJoin {
       require(k >= 0 && k < maxSlots, s"key $k outside dense domain")
       if (k > maxKey) maxKey = k
     }
+    // the ADVICE r13 bound: allocation is limited by what the observed
+    // row count justifies, not by maxSlots alone
+    require(maxKey + 1 <= DensityFactor * rows.length.toLong.max(1L),
+      s"domain too sparse to pack: span ${maxKey + 1} for ${rows.length} rows")
     val arr = new Array[Byte]((maxKey + 1).toInt.max(1))
     java.util.Arrays.fill(arr, (-1).toByte)
     rows.foreach { r =>
@@ -62,6 +75,86 @@ object DenseDimJoin {
     val bc = s.sparkContext.broadcast(arr)
     (key: Column) => GraftColumnBridge.column(
       DenseDimLookup(GraftColumnBridge.expression(key), bc))
+  }
+
+  /** One-aggregate dimension-stats probe (the c09 `keyRange` pattern),
+    * memoized per (session, cacheKey, columns): row count, key span,
+    * value range, and null presence — everything the routing decision
+    * needs, answerable from catalog/footer statistics on a real
+    * lakehouse. Duplicate keys are NOT visible here; they are caught at
+    * pack time (the dimension has already been collected by then, so
+    * the extra cost of the failed pack is bounded by the dim itself).
+    */
+  final case class DimStats(rows: Long, minKey: Long, maxKey: Long,
+      minVal: Long, maxVal: Long, nulls: Long)
+
+  private val statsCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, String, String), DimStats]()
+
+  def dimStats(s: SparkSession, dim: DataFrame, keyCol: String,
+      valueCol: String, cacheKey: String): DimStats =
+    statsCache.computeIfAbsent(
+      (System.identityHashCode(s), cacheKey, keyCol, valueCol), _ => {
+        import org.apache.spark.sql.functions._
+        val r = dim.agg(
+          count(lit(1)),
+          min(col(keyCol)).cast("long"), max(col(keyCol)).cast("long"),
+          min(col(valueCol)).cast("long"), max(col(valueCol)).cast("long"),
+          sum(when(col(keyCol).isNull || col(valueCol).isNull, 1L)
+            .otherwise(0L))).head()
+        if (r.getLong(0) == 0L) DimStats(0L, 0L, -1L, 0L, -1L, 0L)
+        else DimStats(r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4),
+          if (r.isNullAt(5)) r.getLong(0) else r.getLong(5))
+      })
+
+  /** Does the probed domain pack into the dense byte-array form? */
+  def packs(st: DimStats, maxSlots: Int): Boolean =
+    st.rows > 0 && st.nulls == 0 &&
+      st.minKey >= 0 && st.maxKey < maxSlots.toLong &&
+      st.maxKey + 1 <= DensityFactor * st.rows &&
+      st.minVal >= 0 && st.maxVal <= 127
+
+  /** Adaptive route (VERDICT r13 item 2): probe first, collect-and-pack
+    * only when the stats say the domain packs, and return None — never
+    * throw — when it doesn't (sparse, oversized, nulls, wide values, or
+    * a pack-time duplicate key), so the caller degrades to the plain
+    * BroadcastHashJoin the lookup replaces.
+    */
+  def tryLookup(s: SparkSession, dim: DataFrame, keyCol: String,
+      valueCol: String, cacheKey: String,
+      maxSlots: Int = 1 << 28): Option[Column => Column] = {
+    val st = dimStats(s, dim, keyCol, valueCol, cacheKey)
+    if (!packs(st, maxSlots)) None
+    else
+      try Some(lookup(s, dim, keyCol, valueCol, maxSlots))
+      catch { case _: IllegalArgumentException => None } // pack-time dupes
+  }
+
+  /** Inner-join `fact ⋈ dim` appending `valueCol`, routed: the dense
+    * codegen lookup when the dimension packs, the plain
+    * BroadcastHashJoin (same precondition, ~30× the memory) when it
+    * doesn't. Both routes produce the same columns (`fact.*`,
+    * `valueCol`) and the same rows for a unique-keyed dimension; the
+    * join route additionally handles duplicate keys with genuine join
+    * semantics, which the lookup form cannot express — that is exactly
+    * why it is the fallback.
+    */
+  def withValue(fact: DataFrame, factKeyCol: String, s: SparkSession,
+      dim: DataFrame, keyCol: String, valueCol: String, cacheKey: String,
+      maxSlots: Int = 1 << 28): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    tryLookup(s, dim, keyCol, valueCol, cacheKey, maxSlots) match {
+      case Some(look) =>
+        fact.withColumn(valueCol, look(col(factKeyCol)))
+          .filter(col(valueCol).isNotNull)
+      case None =>
+        fact.join(broadcast(dim.select(col(keyCol), col(valueCol))),
+          col(factKeyCol) === col(keyCol)).drop(keyCol)
+    }
   }
 }
 
