@@ -96,4 +96,79 @@ object Bcj {
     }
     buf
   }
+
+  @inline private def u32le(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+      ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+  @inline private def putU32le(b: Array[Byte], o: Int, v: Int): Unit = {
+    b(o) = (v & 0xff).toByte; b(o + 1) = ((v >>> 8) & 0xff).toByte
+    b(o + 2) = ((v >>> 16) & 0xff).toByte; b(o + 3) = ((v >>> 24) & 0xff).toByte
+  }
+
+  /** ARM64 branch-conversion filter (xz filter id 0x0A) — the AArch64
+    * sibling of [[x86]], and far simpler: fixed-width 4-byte opcodes,
+    * no overlap state machine. Two instruction forms convert (r14,
+    * differentially validated against the runtime `xz 5.8.2 --arm64`
+    * before the pins were committed — the BCJ-x86 evidence route):
+    *
+    *  - BL (bits 31..26 = 100101): the full 26-bit word-offset
+    *    immediate is rebased between relative and absolute by the
+    *    instruction address `pc >> 2`.
+    *  - ADRP (bit 31 = 1, bits 28..24 = 10000): the 21-bit page
+    *    immediate (immlo bits 30..29, immhi bits 23..5) is rebased by
+    *    `pc >> 12`, but ONLY when the immediate fits ±512 MiB (18-bit
+    *    signed) — the published filter's false-positive guard; the
+    *    rebased value is sign-extended from 18 bits back into the
+    *    21-bit field, so the guard window survives the round trip.
+    *
+    * Trailing 1–3 bytes (a byte count not divisible by 4) pass through
+    * untouched, exactly as the reference leaves its unfiltered tail.
+    */
+  def arm64(data: Array[Byte], encode: Boolean): Array[Byte] = {
+    val buf = data.clone()
+    val n = buf.length
+    var i = 0
+    while (i + 4 <= n) {
+      val instr = u32le(buf, i)
+      if ((instr >>> 26) == 0x25) { // BL
+        val pc = i >>> 2 // (now_pos + i) >> 2, stream offset 0
+        val add = if (encode) pc else -pc
+        putU32le(buf, i, 0x94000000 | ((instr + add) & 0x03ffffff))
+      } else if ((instr & 0x9f000000) == 0x90000000) { // ADRP
+        val src = ((instr >>> 29) & 3) | ((instr >>> 3) & 0x001ffffc)
+        if (((src + 0x00020000) & 0x001c0000) == 0) { // ±512 MiB window
+          val pc = i >>> 12
+          val dest = src + (if (encode) pc else -pc)
+          var out = instr & 0x9000001f
+          out |= (dest & 3) << 29
+          out |= (dest & 0x0003fffc) << 3
+          out |= (-(dest & 0x00020000)) & 0x00e00000 // sign-extend bit 17
+          putU32le(buf, i, out)
+        }
+      }
+      i += 4
+    }
+    buf
+  }
+
+  /** The xz delta filter (filter id 0x03): byte-distance subtraction,
+    * `out[i] = in[i] − in[i−dist]` with zero-initialized history when
+    * encoding, the running-sum inverse when decoding. dist ∈ [1, 256]
+    * (the property byte stores dist−1). Not a branch filter at all —
+    * it lives here with the other xz pre-filters so the whole family
+    * shares one differential-evidence home. Validated bidirectionally
+    * against `xz --delta=dist=N` (r14).
+    */
+  def delta(data: Array[Byte], dist: Int, encode: Boolean): Array[Byte] = {
+    require(dist >= 1 && dist <= 256, s"delta distance $dist")
+    val buf = data.clone()
+    if (encode) {
+      var i = buf.length - 1
+      while (i >= dist) { buf(i) = (buf(i) - buf(i - dist)).toByte; i -= 1 }
+    } else {
+      var i = dist
+      while (i < buf.length) { buf(i) = (buf(i) + buf(i - dist)).toByte; i += 1 }
+    }
+    buf
+  }
 }

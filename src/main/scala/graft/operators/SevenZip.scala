@@ -32,14 +32,17 @@ import org.apache.spark.sql.types._
   *
   * Coders: kCopy (00), kLzma (03 01 01, raw known-size stream),
   * kLzma2 (21, the control-byte chunk layer shared with the xz
-  * reader), and (r13) the two-coder bind-pair folder chaining the x86
-  * BCJ branch filter (03 03 01 03, [[Bcj]]) after the compressor —
-  * the chain archives of compiled code actually use (decision memo:
-  * NOTES_r13; the filter is a reversible byte transform, nothing is
-  * executed). Other multi-coder folders, non-x86 filters and
-  * encrypted archives (kAES-256, 06 F1 07 01) all reject loudly — a
-  * password prompt has no place in a silent bulk pipeline, and
-  * half-decoding is confident garbage.
+  * reader), and two-coder bind-pair folders chaining a
+  * size-preserving filter after the compressor — x86 BCJ (old-style
+  * 03 03 01 03 or xz-aligned 04, r13), ARM64 BCJ (0A, r14) and delta
+  * (03 + distance prop, r14), all from [[Bcj]] with the transforms
+  * differentially pinned against the reference `xz` (decision memos:
+  * NOTES_r13/r14; each is a reversible byte transform, nothing is
+  * executed). Other multi-coder folders, the remaining branch
+  * variants, BCJ2 (03 03 01 1B — four-stream, no evidence source on
+  * this runtime) and encrypted archives (kAES-256, 06 F1 07 01) all
+  * reject loudly — a password prompt has no place in a silent bulk
+  * pipeline, and half-decoding is confident garbage.
   *
   * Reject-don't-guess: numbers are bounds-capped, every declared size
   * is checked against the file/cap BEFORE allocation, folder output
@@ -130,9 +133,39 @@ object SevenZip {
   }
 
   private final case class Coder(id: Seq[Int], props: Array[Byte])
-  // `bcjX86`: the folder chains the x86 branch filter after `coder`
+  // `filter`: the folder chains this branch/delta filter after `coder`
   private final case class Folder(coder: Coder, unpackSize: Long,
-      packIndex: Int, crc: Option[Long], bcjX86: Boolean = false)
+      packIndex: Int, crc: Option[Long], filter: Option[Xz.PreFilter] = None)
+
+  /** Recognize a supported size-preserving filter coder (r13 x86; r14
+    * delta + ARM64 — the same evidence-bounded set as [[Xz]], the
+    * transforms themselves differentially pinned against the reference
+    * `xz` in XzSpec). 7z carries both the old-style x86 id
+    * (03 03 01 03) and, since 21.07, the xz-aligned one-byte ids.
+    * Malformed props on a recognized id throw; unknown ids return None
+    * (the caller rejects folders with no recognizable filter). BCJ2
+    * (03 03 01 1B) stays rejected — four-stream, not size-preserving,
+    * no evidence source on this runtime (memo: NOTES_r14).
+    */
+  private def filterOf(c: Coder): Option[Xz.PreFilter] = c.id match {
+    case Seq(0x03, 0x03, 0x01, 0x03) | Seq(0x04) =>
+      if (c.props.nonEmpty) throw Malformed // start offset: reject
+      Some(Xz.X86Filter)
+    case Seq(0x0a) =>
+      if (c.props.nonEmpty) throw Malformed
+      Some(Xz.Arm64Filter)
+    case Seq(0x03) =>
+      if (c.props.length != 1) throw Malformed // delta REQUIRES a distance
+      Some(Xz.DeltaFilter((c.props(0) & 0xff) + 1))
+    case _ => None
+  }
+
+  private def undoFilter(f: Xz.PreFilter, data: Array[Byte]): Array[Byte] =
+    f match {
+      case Xz.X86Filter => Bcj.x86(data, encode = false)
+      case Xz.Arm64Filter => Bcj.arm64(data, encode = false)
+      case Xz.DeltaFilter(d) => Bcj.delta(data, d, encode = false)
+    }
   private final case class StreamsInfo(packPos: Long, packSizes: Vector[Long],
       folders: Vector[Folder],
       numUnpack: Vector[Int], subSizes: Vector[Vector[Long]],
@@ -209,24 +242,22 @@ object SevenZip {
           v
         }
       }
-      // reduce each folder to (compression coder, final size, bcj?)
-      val BcjX86Id = Seq(0x03, 0x03, 0x01, 0x03)
+      // reduce each folder to (compression coder, final size, filter?)
       val reduced = folderMeta.zip(folderSizes).map {
-        case ((Vector(c), _, _), sz) => (c, sz(0), false)
+        case ((Vector(c), _, _), sz) => (c, sz(0), None: Option[Xz.PreFilter])
         case ((cs, inIdx, outIdx), sz) =>
-          val bcjIdx = cs.indexWhere(c => c.id == BcjX86Id)
-          if (bcjIdx < 0) throw Malformed // only the x86 filter is in scope
-          val mainIdx = 1 - bcjIdx
-          if (cs(bcjIdx).props.nonEmpty) throw Malformed // start offset: reject
+          val fIdx = cs.indexWhere(c => filterOf(c).isDefined)
+          if (fIdx < 0) throw Malformed // only the evidence-bounded filters
+          val mainIdx = 1 - fIdx
           // the bind pair must feed the filter from the compressor
-          if (inIdx != bcjIdx || outIdx != mainIdx) throw Malformed
-          // x86 conversion is size-preserving; a mismatch is a lie
-          if (sz(bcjIdx) != sz(mainIdx)) throw Malformed
-          (cs(mainIdx), sz(bcjIdx), true)
+          if (inIdx != fIdx || outIdx != mainIdx) throw Malformed
+          // all supported filters are size-preserving; a mismatch is a lie
+          if (sz(fIdx) != sz(mainIdx)) throw Malformed
+          (cs(mainIdx), sz(fIdx), filterOf(cs(fIdx)))
       }
       val coders = reduced.map(_._1)
       val sizes = reduced.map(_._2)
-      val bcjs = reduced.map(_._3)
+      val filts = reduced.map(_._3)
       var crcs: Vector[Option[Long]] = Vector.fill(numFolders)(None)
       var uid = r.num()
       while (uid != 0) {
@@ -239,8 +270,8 @@ object SevenZip {
         }
         uid = r.num()
       }
-      folders = coders.zip(sizes).zip(crcs.zip(bcjs)).zipWithIndex.map {
-        case (((c, sz), (crc, bcj)), i) => Folder(c, sz, i, crc, bcj)
+      folders = coders.zip(sizes).zip(crcs.zip(filts)).zipWithIndex.map {
+        case (((c, sz), (crc, filt)), i) => Folder(c, sz, i, crc, filt)
       }
       // one pack stream per folder (single-coder): counts must line up
       if (packSizes.length != folders.length) throw Malformed
@@ -346,9 +377,9 @@ object SevenZip {
       case _ => throw Malformed // delta/non-x86 BCJ/unknown: reject, don't guess
     }
     if (out.length != expect) throw Malformed
-    // r13: undo the x86 branch filter after the compressor (bind-pair
-    // order: packed → LZMA/LZMA2 → BCJ → folder output)
-    val unfiltered = if (f.bcjX86) Bcj.x86(out, encode = false) else out
+    // r13/r14: undo the branch/delta filter after the compressor
+    // (bind-pair order: packed → LZMA/LZMA2 → filter → folder output)
+    val unfiltered = f.filter.map(undoFilter(_, out)).getOrElse(out)
     f.crc.foreach(c => if (crc32(unfiltered, 0, unfiltered.length) != c) throw Malformed)
     unfiltered
   }
@@ -576,7 +607,22 @@ object SevenZip {
       // the folder writer emits the two-coder bind-pair structure
       val (cid, props, packed) = packFolder(Bcj.x86(payload, encode = true), "lzma2")
       (cid, props, packed)
+    case "arm64-lzma2" => // r14: same structure, ARM64 branch filter
+      packFolder(Bcj.arm64(payload, encode = true), "lzma2")
+    case "delta4-lzma2" => // r14: delta filter, distance 4
+      packFolder(Bcj.delta(payload, 4, encode = true), "lzma2")
   }
+
+  /** Filter-coder metadata the folder writer emits for a chained kind:
+    * (coder id bytes, coder props). None for single-coder kinds.
+    */
+  private def filterMetaOf(coder: String): Option[(Seq[Int], Array[Byte])] =
+    coder match {
+      case "bcj-lzma2" => Some((Seq(0x03, 0x03, 0x01, 0x03), Array.empty[Byte]))
+      case "arm64-lzma2" => Some((Seq(0x0a), Array.empty[Byte]))
+      case "delta4-lzma2" => Some((Seq(0x03), Array[Byte](3))) // dist−1
+      case _ => None
+    }
 
   /** Write an archive. `folders`: each a (coderName, members) group —
     * one folder per group; groups with >1 member are SOLID. Folder and
@@ -589,11 +635,12 @@ object SevenZip {
     val packedParts = folders.map { case (coder, ms) =>
       val payload = ms.map(_._2).reduce(_ ++ _)
       val (cid, props, packed) = packFolder(payload, coder)
-      (cid, props, packed, payload, ms, coder == "bcj-lzma2")
+      (cid, props, packed, payload, ms, filterMetaOf(coder))
     }
     // StreamsInfo bytes (shared by plain header and encoded-header path)
     def streamsInfo(packPos: Long, parts: Seq[(Seq[Int], Array[Byte],
-        Array[Byte], Array[Byte], Seq[(String, Array[Byte])], Boolean)]): Array[Byte] = {
+        Array[Byte], Array[Byte], Seq[(String, Array[Byte])],
+        Option[(Seq[Int], Array[Byte])])]): Array[Byte] = {
       val o = new java.io.ByteArrayOutputStream()
       o.write(0x06) // PackInfo
       writeNum(o, packPos)
@@ -605,15 +652,18 @@ object SevenZip {
       o.write(0x0B) // kFolder
       writeNum(o, parts.length.toLong)
       o.write(0x00) // not external
-      parts.foreach { case (cid, props, _, _, _, bcj) =>
-        writeNum(o, if (bcj) 2 else 1) // coders
+      parts.foreach { case (cid, props, _, _, _, filt) =>
+        writeNum(o, if (filt.isDefined) 2 else 1) // coders
         val flags = cid.length | (if (props.nonEmpty) 0x20 else 0)
         o.write(flags)
         cid.foreach(o.write)
         if (props.nonEmpty) { writeNum(o, props.length.toLong); o.write(props, 0, props.length) }
-        if (bcj) {
-          o.write(4) // idSize 4, simple, no props
-          Seq(0x03, 0x03, 0x01, 0x03).foreach(o.write) // BCJ x86
+        filt.foreach { case (fid, fprops) =>
+          o.write(fid.length | (if (fprops.nonEmpty) 0x20 else 0))
+          fid.foreach(o.write)
+          if (fprops.nonEmpty) {
+            writeNum(o, fprops.length.toLong); o.write(fprops, 0, fprops.length)
+          }
           // one bind pair: filter input (in-stream 1) ← compressor
           // output (out-stream 0)
           writeNum(o, 1)
@@ -623,7 +673,7 @@ object SevenZip {
       o.write(0x0C) // kCodersUnpackSize
       parts.foreach { p =>
         writeNum(o, p._4.length.toLong) // compressor out
-        if (p._6) writeNum(o, p._4.length.toLong) // filter out (same size)
+        if (p._6.isDefined) writeNum(o, p._4.length.toLong) // filter out (same size)
       }
       o.write(0x0A) // folder CRCs
       o.write(0x01) // all defined
@@ -688,7 +738,7 @@ object SevenZip {
         // main pack data; the encoded-header StreamsInfo points at it
         val (cid, props, packed) = packFolder(header, "lzma")
         val part = Seq((cid, props, packed, header,
-          Seq(("__header__", header)), false))
+          Seq(("__header__", header)), None: Option[(Seq[Int], Array[Byte])]))
         val o = new java.io.ByteArrayOutputStream()
         o.write(0x17)
         val siB = streamsInfo(mainPack.length.toLong, part)

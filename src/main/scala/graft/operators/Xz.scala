@@ -23,15 +23,17 @@ import org.apache.spark.sql.DataFrame
   * unpadded/uncompressed pair, the footer's backward-size must point
   * back at the index, padding bytes must be zero, and concatenated
   * streams plus 4-aligned zero stream-padding must consume the file
-  * EXACTLY. Supported filter chains: bare LZMA2 (id 0x21), and (r13)
-  * the x86 BCJ preprocessor (id 0x04, empty properties — a declared
-  * start offset rejects) ahead of LZMA2, composed from [[Bcj]] and
-  * proven by bidirectional interop with the system `xz --x86`
-  * (decision memo: NOTES_r13). Delta and the non-x86 branch filters
-  * still reject loudly — a silent pass-through would yield garbage
-  * bytes with a valid container around them. A hostile distance past
-  * the declared dictionary size rejects even when the data happens to
-  * be in the block buffer.
+  * EXACTLY. Supported filter chains: bare LZMA2 (id 0x21), plus up to
+  * three pre-filters ahead of it from the evidence-bounded set — x86
+  * BCJ (id 0x04, r13), ARM64 BCJ (id 0x0A, r14) and delta (id 0x03,
+  * one property byte = dist−1, r14) — each composed from [[Bcj]] and
+  * proven by bidirectional interop with the system `xz --x86` /
+  * `--arm64` / `--delta=dist=N` (decision memos: NOTES_r13/r14). A
+  * declared BCJ start offset and the remaining branch variants
+  * (ARM32/ARMT/PPC/SPARC/IA64/RISC-V) still reject loudly — a silent
+  * pass-through would yield garbage bytes with a valid container
+  * around them. A hostile distance past the declared dictionary size
+  * rejects even when the data happens to be in the block buffer.
   *
   * Bomb guard: the running decompressed total is capped (the zstd
   * lesson: guard the accumulated size during streaming, not each
@@ -44,6 +46,27 @@ import org.apache.spark.sql.DataFrame
 object Xz {
 
   val MaxInflatedBytes: Long = 1L << 30
+
+  /** A supported non-last ("pre") filter in a block's chain, applied
+    * ahead of LZMA2 by the encoder and undone after it by the decoder.
+    * Scope is evidence-bounded (NOTES_r13/r14 memos): exactly the
+    * filters the runtime's reference `xz` can differentially validate —
+    * x86 BCJ (r13), ARM64 BCJ and delta (r14). ARM32/ARMT/PPC/SPARC/
+    * IA64/RISC-V and declared start offsets keep loud rejects.
+    */
+  sealed trait PreFilter
+  case object X86Filter extends PreFilter
+  case object Arm64Filter extends PreFilter
+  final case class DeltaFilter(dist: Int) extends PreFilter {
+    require(dist >= 1 && dist <= 256, s"delta distance $dist")
+  }
+
+  private def applyPre(f: PreFilter, data: Array[Byte], encode: Boolean): Array[Byte] =
+    f match {
+      case X86Filter => Bcj.x86(data, encode)
+      case Arm64Filter => Bcj.arm64(data, encode)
+      case DeltaFilter(d) => Bcj.delta(data, d, encode)
+    }
 
   private def bad(): Nothing = throw new Lzma.Corrupt
 
@@ -213,18 +236,32 @@ object Xz {
     val uncompDeclared =
       if ((flags & 0x80) != 0) { val (v, pn) = vli(data, p, o + bhSize); p = pn; Some(v) }
       else None
-    if (numFilters > 2) bad()
-    // optional x86 BCJ ahead of LZMA2 (r13); all other chains reject
-    var bcjX86 = false
-    if (numFilters == 2) {
+    // pre-filters ahead of LZMA2 (r13 x86; r14 delta + ARM64): parse in
+    // header (= encoding) order; anything outside the evidence-bounded
+    // set — other branch variants, declared start offsets — rejects
+    var pre = List.empty[PreFilter]
+    var fi = 0
+    while (fi < numFilters - 1) {
       val (fid0, pa) = vli(data, p, o + bhSize); p = pa
-      if (fid0 != 0x04) bad() // only the x86 branch filter is in scope
       val (plen0, pb) = vli(data, p, o + bhSize); p = pb
-      // a 4-byte start-offset property changes the conversion origin —
-      // out of scope, reject rather than mis-convert
-      if (plen0 != 0) bad()
-      bcjX86 = true
+      fid0 match {
+        case 0x03 => // delta: one property byte, dist − 1
+          if (plen0 != 1) bad()
+          pre ::= DeltaFilter((data(p) & 0xff) + 1); p += 1
+        case 0x04 =>
+          // a 4-byte start-offset property changes the conversion
+          // origin — out of scope, reject rather than mis-convert
+          if (plen0 != 0) bad()
+          pre ::= X86Filter
+        case 0x0a =>
+          if (plen0 != 0) bad() // same start-offset rule as x86
+          pre ::= Arm64Filter
+        case _ => bad() // ARM32/ARMT/PPC/SPARC/IA64/RISC-V etc: no evidence
+      }
+      fi += 1
     }
+    // `pre` is now in REVERSE header order — exactly decode order (the
+    // decoder undoes the last-applied pre-filter first)
     val (fid, p1) = vli(data, p, o + bhSize); p = p1
     if (fid != 0x21) bad() // the last filter must be LZMA2
     val (plen, p2) = vli(data, p, o + bhSize); p = p2
@@ -241,7 +278,7 @@ object Xz {
     val dataStart = o
     val blockOut0 = lzma2Decode(data, o, data.length, dictSize,
       cap - out.size().toLong) match { case (bytes, oNext) => o = oNext; bytes }
-    val blockOut = if (bcjX86) Bcj.x86(blockOut0, encode = false) else blockOut0
+    val blockOut = pre.foldLeft(blockOut0)((b, f) => applyPre(f, b, encode = false))
     val compSize = (o - dataStart).toLong
     compDeclared.foreach(v => if (v != compSize) bad())
     uncompDeclared.foreach(v => if (v != blockOut.length.toLong) bad())
@@ -270,7 +307,7 @@ object Xz {
     * chunks with explicit reset semantics. Returns (blockOutput,
     * offsetPastTerminator).
     */
-  private[operators] def lzma2Decode(data: Array[Byte], o0: Int, end: Int,
+  private[graft] def lzma2Decode(data: Array[Byte], o0: Int, end: Int,
       dictSize: Long, capLeft: Long): (Array[Byte], Int) = {
     var o = o0
     var buf = new Array[Byte](64 << 10)
@@ -403,11 +440,17 @@ object Xz {
     * `rawSplice` is set. `check`: 0 none, 1 CRC32, 4 CRC64, 10 SHA-256.
     */
   def makeXz(payload0: Array[Byte], check: Int = 4, chunkLen: Int = 1 << 14,
-      rawSplice: Boolean = false, bcjX86: Boolean = false): Array[Byte] = {
+      rawSplice: Boolean = false, bcjX86: Boolean = false,
+      filters: Seq[PreFilter] = Nil): Array[Byte] = {
     require(CheckSizes.contains(check), s"check id $check")
-    // the x86 chain pre-filters the payload (encode direction); the
-    // content check below stays over the UNFILTERED bytes per spec
-    val payload = if (bcjX86) Bcj.x86(payload0, encode = true) else payload0
+    require(!(bcjX86 && filters.nonEmpty),
+      "pass the chain via `filters`; bcjX86 is the legacy single-filter form")
+    val pre: Seq[PreFilter] = if (bcjX86) Seq(X86Filter) else filters
+    require(pre.length <= 3, s"at most 3 pre-filters, got ${pre.length}")
+    // pre-filters transform the payload in header order (encode
+    // direction); the content check below stays over the UNFILTERED
+    // bytes per spec
+    val payload = pre.foldLeft(payload0)((b, f) => applyPre(f, b, encode = true))
     val out = new java.io.ByteArrayOutputStream()
     // stream header
     out.write(Magic, 0, 6)
@@ -418,8 +461,12 @@ object Xz {
     // block: header
     val bh = new java.io.ByteArrayOutputStream()
     bh.write(0) // size byte patched below
-    bh.write(if (bcjX86) 1 else 0) // filter count - 1; no declared sizes
-    if (bcjX86) { bh.write(0x04); bh.write(0) } // x86 BCJ, empty props
+    bh.write(pre.length) // filter count - 1; no declared sizes
+    pre.foreach {
+      case X86Filter => bh.write(0x04); bh.write(0)
+      case Arm64Filter => bh.write(0x0a); bh.write(0)
+      case DeltaFilter(d) => bh.write(0x03); bh.write(1); bh.write(d - 1)
+    }
     bh.write(0x21) // LZMA2
     bh.write(1) // props length
     bh.write(16) // dict size code 16 → 1 MiB

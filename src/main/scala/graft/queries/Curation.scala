@@ -1347,6 +1347,12 @@ object Curation extends QueryBlock {
     * cross-chunk matches, and shard 3 splices an uncompressed chunk +
     * state-reset continuation. Content derives from doc_id so the
     * oracle re-creates every line without an LZMA implementation.
+    * r14: shards also rotate PRE-FILTER chains — none / delta(1) /
+    * ARM64 BCJ / delta(2)+x86 — so the block-header filter parse, the
+    * multi-filter undo order and the delta arithmetic all ride the
+    * driver row (the branch filters are near-vacuous on ASCII, but the
+    * chain STRUCTURE and delta's every-byte transform are live; the
+    * conversion arithmetic is reference-pinned in XzSpec).
     */
   def writeXzFixture(s: SparkSession, dir: String): String = {
     import graft.operators.Xz
@@ -1365,10 +1371,16 @@ object Curation extends QueryBlock {
           .map(i => ('a' + (id * 11 + i.toLong * 17) % 26).toChar).mkString
         s"""{"doc_id":$id,"body":"$body"}"""
       }.mkString("", "\n", "\n").getBytes("UTF-8")
+      val filters: Seq[Xz.PreFilter] = (g % 4) match {
+        case 0 => Nil
+        case 1 => Seq(Xz.DeltaFilter(1))
+        case 2 => Seq(Xz.Arm64Filter)
+        case _ => Seq(Xz.DeltaFilter(2), Xz.X86Filter)
+      }
       java.nio.file.Files.write(
         java.nio.file.Paths.get(f"$xDir/x$g%02d.jsonl.xz"),
         Xz.makeXz(payload, check = checks(g % 4), chunkLen = 128,
-          rawSplice = g == 3))
+          rawSplice = g == 3, filters = filters))
     }
     xDir
   }
@@ -2406,12 +2418,15 @@ object Curation extends QueryBlock {
         (s"doc$id.txt",
           ((base + " ") * k).dropRight(1).getBytes("UTF-8"))
       }
-      // r13: the fourth class is the BCJ x86 + LZMA2 bind-pair folder —
-      // the driver row exercises the two-coder STRUCTURE end to end
-      // (bind-pair parse, chain decode, per-out-stream sizes); the
-      // conversion arithmetic itself is pinned by the xz --x86 interop
-      // and binary-payload unit tests (ASCII members contain no opcodes)
-      val coder = Seq("copy", "lzma", "lzma2", "bcj-lzma2")(g % 4)
+      // r13/r14: classes 4–6 are the two-coder bind-pair folders (x86
+      // BCJ, ARM64 BCJ, delta dist-4) — the driver row exercises the
+      // two-coder STRUCTURE end to end (bind-pair parse, chain decode,
+      // per-out-stream sizes); the conversion arithmetic itself is
+      // pinned by the xz --x86/--arm64/--delta differential interop and
+      // binary-payload unit tests (ASCII members contain no branch
+      // opcodes, but delta transforms every byte for real)
+      val coder = Seq("copy", "lzma", "lzma2", "bcj-lzma2",
+        "arm64-lzma2", "delta4-lzma2")(g % 6)
       val folders =
         if (g % 2 == 0) Seq((coder, members)) // solid
         else members.map(m => (coder, Seq(m)))

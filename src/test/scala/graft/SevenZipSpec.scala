@@ -219,4 +219,123 @@ class SevenZipSpec extends AnyFunSuite {
     assert(SevenZip.members(reseal(lieSize)) === None)
   }
 
+  // ---------------- r14: delta + ARM64 filter folders ----------------
+
+  /** ARM64-ish member: dense BL/ADRP words so the filter genuinely
+    * converts (see XzSpec for the differential pins of the transform
+    * itself against the reference xz).
+    */
+  private def arm64doc(name: String, seed: Int, len: Int): (String, Array[Byte]) = {
+    val r = new java.util.Random(seed)
+    val b = new Array[Byte](len)
+    var i = 0
+    while (i + 4 <= len) {
+      val w =
+        if (r.nextBoolean()) (0x25 << 26) | (r.nextInt() & 0x03ffffff)
+        else if (r.nextInt(3) == 0) {
+          val imm = r.nextInt(0x20000)
+          0x90000000 | ((imm & 3) << 29) | (((imm >>> 2) & 0x7ffff) << 5) | r.nextInt(32)
+        } else r.nextInt()
+      b(i) = (w & 0xff).toByte; b(i + 1) = ((w >>> 8) & 0xff).toByte
+      b(i + 2) = ((w >>> 16) & 0xff).toByte; b(i + 3) = ((w >>> 24) & 0xff).toByte
+      i += 4
+    }
+    name -> b
+  }
+
+  test("arm64-lzma2 and delta4-lzma2 folders round-trip (single, SOLID, encoded header, mixed)") {
+    for {
+      kind <- Seq("arm64-lzma2", "delta4-lzma2")
+      enc <- Seq(false, true)
+    } {
+      val ms = Seq(arm64doc("lib/a.so", 11, 2800), arm64doc("lib/b.so", 12, 1604))
+      val arch = SevenZip.makeArchive(Seq((kind, ms)), encodedHeader = enc)
+      val got = SevenZip.members(arch).getOrElse(fail(s"$kind enc=$enc rejected"))
+      assert(got.map(_._1) === ms.map(_._1))
+      got.zip(ms).foreach { case ((_, g), (_, e)) => assert(g.toSeq === e.toSeq) }
+    }
+    val mixed = SevenZip.makeArchive(Seq(
+      ("delta4-lzma2", Seq(doc("w.raw", 13, 900))),
+      ("arm64-lzma2", Seq(arm64doc("x.bin", 14, 2200))),
+      ("bcj-lzma2", Seq(x86doc("y.bin", 15, 1800)))))
+    val got = SevenZip.members(mixed).get
+    assert(got.length === 3)
+    assert(got(0)._2.toSeq === doc("w.raw", 13, 900)._2.toSeq)
+    assert(got(1)._2.toSeq === arm64doc("x.bin", 14, 2200)._2.toSeq)
+    // both filters are LIVE transforms on these payloads
+    val pa = arm64doc("x.bin", 14, 2200)._2
+    assert(!java.util.Arrays.equals(graft.operators.Bcj.arm64(pa, encode = true), pa))
+    val pd = doc("w.raw", 13, 900)._2
+    assert(!java.util.Arrays.equals(graft.operators.Bcj.delta(pd, 4, encode = true), pd))
+  }
+
+  /** Replace `remove` bytes at `at` with `insert`, fix the start
+    * header's nextHeaderSize, and re-seal both CRCs — for structural
+    * variants a fixed-width patch cannot express.
+    */
+  private def resize(a: Array[Byte], at: Int, remove: Int,
+      insert: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](a.length - remove + insert.length)
+    System.arraycopy(a, 0, out, 0, at)
+    System.arraycopy(insert, 0, out, at, insert.length)
+    System.arraycopy(a, at + remove, out, at + insert.length,
+      a.length - at - remove)
+    val oldSize = java.nio.ByteBuffer.wrap(out, 20, 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
+    val bb = java.nio.ByteBuffer.wrap(out, 20, 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putLong(oldSize - remove + insert.length)
+    reseal(out)
+  }
+
+  test("new-style one-byte x86 id (04) decodes identically to old-style 03 03 01 03") {
+    val ms = Seq(x86doc("a.bin", 21, 1400))
+    val arch = SevenZip.makeArchive(Seq(("bcj-lzma2", ms)))
+    // coder entry in the plain header: flags 04, id 03 03 01 03
+    var at = -1
+    var i = 32
+    while (at < 0 && i + 5 <= arch.length) {
+      if (arch(i) == 4 && arch(i + 1) == 3 && arch(i + 2) == 3 &&
+        arch(i + 3) == 1 && arch(i + 4) == 3) at = i
+      i += 1
+    }
+    assert(at > 0, "BCJ coder entry not found")
+    val newStyle = resize(arch, at, 5, Array[Byte](0x01, 0x04))
+    val got = SevenZip.members(newStyle).getOrElse(fail("new-style id rejected"))
+    assert(got.head._2.toSeq === ms.head._2.toSeq)
+  }
+
+  test("filter folder rejects: arm64 with props, delta without distance, BCJ2 id") {
+    val msA = Seq(arm64doc("a.bin", 31, 96))
+    val archA = SevenZip.makeArchive(Seq(("arm64-lzma2", msA)))
+    assert(SevenZip.members(archA).isDefined) // premise
+    // arm64 coder entry: flags 01, id 0A → give it a 1-byte start-offset
+    // property (flags 0x21, propsLen 1, prop 0): must reject
+    var at = -1
+    var i = 32
+    while (at < 0 && i + 2 <= archA.length) {
+      if (archA(i) == 0x01 && (archA(i + 1) & 0xff) == 0x0a) at = i
+      i += 1
+    }
+    assert(at > 0, "arm64 coder entry not found")
+    assert(SevenZip.members(resize(archA, at, 2,
+      Array[Byte](0x21, 0x0a, 0x01, 0x00))) === None)
+    // BCJ2's old-style id in place of arm64: rejects (no evidence source)
+    assert(SevenZip.members(resize(archA, at, 2,
+      Array[Byte](0x04, 0x03, 0x03, 0x01, 0x1b))) === None)
+    val msD = Seq(doc("d.raw", 32, 80))
+    val archD = SevenZip.makeArchive(Seq(("delta4-lzma2", msD)))
+    assert(SevenZip.members(archD).isDefined) // premise
+    // delta coder entry: flags 21, id 03, propsLen 01, prop 03 → strip
+    // the distance property: must reject, never default
+    var dt = -1
+    i = 32
+    while (dt < 0 && i + 4 <= archD.length) {
+      if (archD(i) == 0x21 && archD(i + 1) == 0x03 &&
+        archD(i + 2) == 0x01 && archD(i + 3) == 0x03) dt = i
+      i += 1
+    }
+    assert(dt > 0, "delta coder entry not found")
+    assert(SevenZip.members(resize(archD, dt, 4, Array[Byte](0x01, 0x03))) === None)
+  }
 }

@@ -357,4 +357,181 @@ class XzSpec extends AnyFunSuite {
   private def c14(bytes: Array[Byte]): Option[Seq[Byte]] =
     Xz.decompress(bytes).map(_.toSeq)
 
+  // ---------------- r14: delta + ARM64 BCJ filter chains ----------------
+
+  /** Reference-filtered bytes: walk a single-stream single-block xz
+    * file the reference encoder wrote and decode ONLY its LZMA2 layer —
+    * what remains is the reference implementation's raw pre-filter
+    * output, the strongest possible differential pin for our filter
+    * transforms (byte-exact equality, not just round-trip agreement).
+    */
+  private def refFilteredBytes(xzFile: Array[Byte]): Array[Byte] = {
+    val bhSize = ((xzFile(12) & 0xff) + 1) * 4
+    Xz.lzma2Decode(xzFile, 12 + bhSize, xzFile.length, 1L << 26, 1L << 26)._1
+  }
+
+  /** Pseudo-AArch64: 4-byte words biased toward BL opcodes, ADRP words
+    * with page immediates clustered around the ±512 MiB guard-window
+    * edges, and plain noise; some lengths leave an unfiltered tail.
+    */
+  private def arm64ish(seed: Int, len: Int): Array[Byte] = {
+    val r = new java.util.Random(seed)
+    val b = new Array[Byte](len)
+    var i = 0
+    while (i + 4 <= len) {
+      val w = r.nextInt(10) match {
+        case 0 | 1 | 2 => (0x25 << 26) | (r.nextInt() & 0x03ffffff) // BL
+        case 3 | 4 =>
+          // ADRP with immediates at/near the guard edges and inside
+          val imm = r.nextInt(6) match {
+            case 0 => r.nextInt(0x20000) // well inside, positive
+            case 1 => 0x1ffff + r.nextInt(3) - 1 // positive edge
+            case 2 => 0x1e0000 + r.nextInt(0x20000) // negative half
+            case 3 => 0x1e0000 + r.nextInt(3) - 1 // negative edge
+            case _ => r.nextInt() & 0x1fffff // anywhere in 21 bits
+          }
+          0x90000000 | ((imm & 3) << 29) | (((imm >>> 2) & 0x7ffff) << 5) | r.nextInt(32)
+        case _ => r.nextInt()
+      }
+      b(i) = (w & 0xff).toByte; b(i + 1) = ((w >>> 8) & 0xff).toByte
+      b(i + 2) = ((w >>> 16) & 0xff).toByte; b(i + 3) = ((w >>> 24) & 0xff).toByte
+      i += 4
+    }
+    while (i < len) { b(i) = r.nextInt(256).toByte; i += 1 }
+    b
+  }
+
+  private def sweepN: Int =
+    sys.env.get("GRAFT_XZ_SWEEP").map(_.toInt).getOrElse(24)
+
+  private def arm64Payloads: Seq[Array[Byte]] =
+    (0 until sweepN).map(s => arm64ish(s, 512 + s * 137 + (s % 4))) ++ Seq(
+      Array.fill(64)(0x94.toByte), // BL soup (LE top bytes land anywhere)
+      arm64ish(99, 4), arm64ish(98, 7), // one word; word + 3-byte tail
+      Array[Byte](1, 2, 3), Array[Byte]()) // under the 4-byte floor
+
+  test("ARM64 BCJ raw filter: hand-pinned BL/ADRP conversions and self-inverse") {
+    // BL at byte offset 8, imm 0x10: encode adds pc>>2 = 2 → imm 0x12
+    def le(w: Long): Array[Byte] = Array((w & 0xff).toByte,
+      ((w >> 8) & 0xff).toByte, ((w >> 16) & 0xff).toByte, ((w >> 24) & 0xff).toByte)
+    val in = le(0x11111111L) ++ le(0x22222222L) ++ le(0x94000010L)
+    val enc = Bcj.arm64(in, encode = true)
+    assert(enc.toSeq === (le(0x11111111L) ++ le(0x22222222L) ++ le(0x94000012L)).toSeq)
+    assert(Bcj.arm64(enc, encode = false).toSeq === in.toSeq)
+    // ADRP imm 5 (immlo 1, immhi 1, rd 1) at page offset 1: encode adds
+    // pc>>12 = 1 → imm 6 (immlo 2, immhi 1)
+    val page = new Array[Byte](4096 + 4)
+    System.arraycopy(le(0xb0000021L), 0, page, 4096, 4)
+    val pe = Bcj.arm64(page, encode = true)
+    assert(pe.slice(4096, 4100).toSeq === le(0xd0000021L).toSeq)
+    assert(Bcj.arm64(pe, encode = false).toSeq === page.toSeq)
+    // ADRP with imm outside the ±512 MiB window is untouched: imm
+    // 0x20000 (first value past the positive edge)
+    val out = le(0x90000000L | ((0x20000L & 3) << 29) | (((0x20000L >> 2) & 0x7ffff) << 5))
+    assert(Bcj.arm64(out, encode = true).toSeq === out.toSeq)
+    for ((p, i) <- arm64Payloads.zipWithIndex)
+      assert(Bcj.arm64(Bcj.arm64(p, encode = true), encode = false).toSeq === p.toSeq,
+        s"payload $i")
+  }
+
+  test("delta raw filter: hand-pinned subtraction and self-inverse across distances") {
+    val in = Array[Byte](10, 20, 35, 51, 70)
+    assert(Bcj.delta(in, 1, encode = true).toSeq ===
+      Seq[Byte](10, 10, 15, 16, 19))
+    assert(Bcj.delta(in, 2, encode = true).toSeq ===
+      Seq[Byte](10, 20, 25, 31, 35))
+    for {
+      dist <- Seq(1, 2, 3, 4, 8, 16, 255, 256)
+      len <- Seq(0, 1, dist - 1, dist, dist + 1, 1000)
+      if len >= 0
+    } {
+      val p = binaryPayload(len)
+      assert(Bcj.delta(Bcj.delta(p, dist, encode = true), dist, encode = false)
+        .toSeq === p.toSeq, s"dist=$dist len=$len")
+    }
+  }
+
+  test("INTEROP: reference-filtered bytes are byte-exact (arm64, delta, x86)") {
+    assume(haveXz, "system xz not present")
+    for ((p, i) <- arm64Payloads.zipWithIndex if p.length > 0) {
+      val real = runXz(Seq("-z", "-c", "--arm64", "--lzma2=preset=0"), p)
+      assert(refFilteredBytes(real).toSeq === Bcj.arm64(p, encode = true).toSeq,
+        s"arm64 payload $i: our filter output diverges from the reference's")
+    }
+    for {
+      dist <- Seq(1, 2, 4, 16, 256)
+      p <- Seq(binaryPayload(777), textPayload(1500), arm64ish(7, 333))
+    } {
+      val real = runXz(Seq("-z", "-c", s"--delta=dist=$dist", "--lzma2=preset=0"), p)
+      assert(refFilteredBytes(real).toSeq === Bcj.delta(p, dist, encode = true).toSeq,
+        s"delta dist=$dist")
+    }
+    // retro-pin the r13 x86 filter through the same strongest lens
+    for ((p, i) <- bcjPayloads.zipWithIndex if p.length > 0) {
+      val real = runXz(Seq("-z", "-c", "--x86", "--lzma2=preset=0"), p)
+      assert(refFilteredBytes(real).toSeq === Bcj.x86(p, encode = true).toSeq,
+        s"x86 payload $i")
+    }
+  }
+
+  test("INTEROP: xz --arm64 / --delta output decodes through the full chain") {
+    assume(haveXz, "system xz not present")
+    for ((p, i) <- arm64Payloads.zipWithIndex if p.length > 0) {
+      val real = runXz(Seq("-z", "-c", "--arm64", "--lzma2=preset=1"), p)
+      assert(Xz.decompress(real).map(_.toSeq) === Some(p.toSeq), s"arm64 $i")
+    }
+    for (dist <- Seq(1, 4, 256)) {
+      val p = binaryPayload(4000)
+      val real = runXz(Seq("-z", "-c", "--check=crc32", s"--delta=dist=$dist",
+        "--lzma2=preset=6"), p)
+      assert(Xz.decompress(real).map(_.toSeq) === Some(p.toSeq), s"delta $dist")
+    }
+    // a 3-filter chain: delta then x86 then LZMA2 (header-order proof)
+    val p3 = x86ish(11, 3000)
+    val real3 = runXz(Seq("-z", "-c", "--delta=dist=2", "--x86",
+      "--lzma2=preset=1"), p3)
+    assert(Xz.decompress(real3).map(_.toSeq) === Some(p3.toSeq))
+    val p4 = arm64ish(12, 2800)
+    val real4 = runXz(Seq("-z", "-c", "--delta=dist=4", "--arm64",
+      "--lzma2=preset=1"), p4)
+    assert(Xz.decompress(real4).map(_.toSeq) === Some(p4.toSeq))
+  }
+
+  test("INTEROP: real xz decodes our delta/arm64/multi-filter fixtures byte-exactly") {
+    assume(haveXz, "system xz not present")
+    import Xz.{Arm64Filter, DeltaFilter, X86Filter}
+    val cases: Seq[(Array[Byte], Seq[Xz.PreFilter])] = Seq(
+      (arm64ish(21, 5000), Seq(Arm64Filter)),
+      (binaryPayload(6000), Seq(DeltaFilter(1))),
+      (binaryPayload(2300), Seq(DeltaFilter(256))),
+      (x86ish(22, 4000), Seq(DeltaFilter(2), X86Filter)),
+      (arm64ish(23, 3600), Seq(DeltaFilter(4), Arm64Filter)))
+    for (((p, fs), i) <- cases.zipWithIndex) {
+      val ours = Xz.makeXz(p, check = 4, filters = fs)
+      assert(Xz.decompress(ours).map(_.toSeq) === Some(p.toSeq), s"self $i")
+      val back = runXz(Seq("-d", "-c"), ours)
+      assert(back.toSeq === p.toSeq, s"case $i")
+    }
+  }
+
+  test("filter rejects hold: ARM32 id, arm64 with start offset, delta with bad props") {
+    val p = arm64ish(31, 2000)
+    val ours = Xz.makeXz(p, check = 1, filters = Seq(Xz.Arm64Filter))
+    assert(Xz.decompress(ours).isDefined) // premise
+    // block header at 12: [size][flags][0x0a][0][0x21][1][dict]
+    def patched(f: Array[Byte] => Unit): Array[Byte] = {
+      val c = ours.clone(); f(c); patchBlockHeaderCrc(c); c
+    }
+    assert(c14(patched(c => c(14) = 0x07)) === None) // ARM32: no evidence
+    assert(c14(patched(c => c(14) = 0x08)) === None) // ARMT
+    assert(c14(patched(c => c(14) = 0x0b)) === None) // RISC-V
+    assert(c14(patched(c => c(15) = 4)) === None) // arm64 start offset
+    val od = Xz.makeXz(p, check = 1, filters = Seq(Xz.DeltaFilter(3)))
+    assert(Xz.decompress(od).isDefined)
+    def patchedD(f: Array[Byte] => Unit): Array[Byte] = {
+      val c = od.clone(); f(c); patchBlockHeaderCrc(c); c
+    }
+    assert(c14(patchedD(c => c(15) = 0)) === None) // delta props absent
+    assert(c14(patchedD(c => c(15) = 2)) === None) // delta props oversized
+  }
 }
