@@ -437,14 +437,20 @@ object CcittG4 {
       var ref = new Array[Int](0)
       var row = 0
       while (row < rows) {
-        // fill bits then EOL: up to 64 zero bits of fill tolerated
+        // fill bits then EOL. T.4 §4.1.2 permits ARBITRARILY long zero
+        // fill (inserted to satisfy minimum scan-line transmission
+        // time), so the bound is a generous per-row sanity cap (8 KiB
+        // of fill), not the old 64-bit one that rejected spec-legal
+        // fax-derived TIFFs (ADVICE r13). Total work stays linear in
+        // the input either way: every fill bit is consumed exactly
+        // once, and exhaustion rejects via the bit reader.
         var zeros = 0
         var one = false
         while (!one) {
           if (in.bit() == 1) one = true
           else {
             zeros += 1
-            if (zeros > 64 + 11) throw Malformed // runaway fill
+            if (zeros > (1 << 16)) throw Malformed // runaway fill
           }
         }
         if (zeros < 11) throw Malformed // not an EOL

@@ -155,9 +155,10 @@ object Mp3 {
       var firstBitrate = -1
       var firstSamples = 0
       var vbr = false
-      // Xing/Info header on the first frame: (isVbrMagic, declaredFrames,
-      // declaredBytes or -1)
-      var xing: Option[(Boolean, Int, Long)] = None
+      // Xing/Info header on the first frame: (isVbrMagic,
+      // declaredFrames — None when flags bit 0 is clear, which the
+      // Xing spec permits (ADVICE r13) — and declaredBytes or -1)
+      var xing: Option[(Boolean, Option[Int], Long)] = None
       // observed-bitrate variation among AUDIO frames only (frames ≥ 1
       // when a Xing frame leads)
       var audioFirstBitrate = -1
@@ -185,18 +186,26 @@ object Mp3 {
                 def be32(o: Int): Long =
                   ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
                     ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+                // ADVICE r13: a magic string at the canonical offset can
+                // (rarely) be real audio payload, and the spec permits a
+                // header WITHOUT the frames field (flags bit 0 clear) —
+                // a structurally invalid "header" therefore means "this
+                // is an audio frame", never "reject the file"
                 val flags = be32(off + 4)
-                if ((flags & ~0xfL) != 0) throw Malformed // undefined bits
-                if ((flags & 1) == 0) throw Malformed // frames field required
+                var valid = (flags & ~0xfL) == 0 // undefined bits: collision
                 var q = off + 8
-                val declared = be32(q); q += 4
-                if (declared < 1 || declared > (1 << 22)) throw Malformed
+                var declaredOpt: Option[Int] = None
+                if (valid && (flags & 1) != 0) {
+                  val declared = be32(q); q += 4
+                  if (declared < 1 || declared > (1 << 22)) valid = false
+                  else declaredOpt = Some(declared.toInt)
+                }
                 var declaredBytes = -1L
-                if ((flags & 2) != 0) { declaredBytes = be32(q); q += 4 }
+                if (valid && (flags & 2) != 0) { declaredBytes = be32(q); q += 4 }
                 if ((flags & 4) != 0) q += 100 // TOC
                 if ((flags & 8) != 0) q += 4 // quality
-                if (q > p + f.bytes) throw Malformed // header past its frame
-                xing = Some((magic == "Xing", declared.toInt, declaredBytes))
+                if (q > p + f.bytes) valid = false // header past its frame
+                if (valid) xing = Some((magic == "Xing", declaredOpt, declaredBytes))
               }
             }
           }
@@ -218,17 +227,22 @@ object Mp3 {
       if (p != end) throw Malformed // exact consume
       if (nFrames == 0) throw Malformed
       xing match {
-        case Some((isVbrMagic, declared, declaredBytes)) =>
+        case Some((isVbrMagic, declaredOpt, declaredBytes))
+            if nFrames - 1 >= 1 && declaredOpt.forall(_ == nFrames - 1) =>
+          // the header agrees with the walked ground truth (or omits
+          // the count, which the spec allows — the walk supplies it)
           val audio = nFrames - 1
-          if (audio < 1) throw Malformed // a header with no audio
-          if (declared != audio) throw Malformed // lying frame count
           if (declaredBytes >= 0 && declaredBytes != (end - framesStart))
             throw Malformed // lying stream size
           if (!isVbrMagic && audioVbr) throw Malformed // "Info" over VBR audio
           Some(Mp3Info(audio, totalSamples - firstSamples, sampleRate,
             channels, isVbrMagic,
             (bitrateSumKbps - firstBitrate).toDouble / audio))
-        case None =>
+        case _ =>
+          // no header, OR the declared count disagrees with the walk /
+          // no audio follows the magic — the walk is ground truth and
+          // the "header" is adjudicated a payload collision (ADVICE
+          // r13): count every frame as audio rather than reject
           Some(Mp3Info(nFrames, totalSamples, sampleRate, channels, vbr,
             bitrateSumKbps.toDouble / nFrames))
       }
@@ -315,7 +329,7 @@ object Mp3 {
   def makeXingFrame(version: Int, layer: Int, brIdx: Int, srIdx: Int,
       mono: Boolean, magic: String, declaredFrames: Int, audioBytes: Long,
       withBytes: Boolean, withToc: Boolean, withQuality: Boolean = false,
-      seed: Int = 0): Array[Byte] = {
+      seed: Int = 0, withFrames: Boolean = true): Array[Byte] = {
     require(magic == "Xing" || magic == "Info")
     val frame = makeFrame(version, layer, brIdx, srIdx,
       padding = false, mono = mono, seed = seed)
@@ -330,13 +344,13 @@ object Mp3 {
       frame(q + 3) = (v & 0xff).toByte
       q += 4
     }
-    val fieldsLen = 8 + 4 + (if (withBytes) 4 else 0) +
+    val fieldsLen = 8 + (if (withFrames) 4 else 0) + (if (withBytes) 4 else 0) +
       (if (withToc) 100 else 0) + (if (withQuality) 4 else 0)
     require(q + fieldsLen <= frame.length, "frame too short for the header")
     magic.getBytes("US-ASCII").copyToArray(frame, q); q += 4
-    be32((1L | (if (withBytes) 2L else 0L) | (if (withToc) 4L else 0L) |
-      (if (withQuality) 8L else 0L)))
-    be32(declaredFrames.toLong)
+    be32((if (withFrames) 1L else 0L) | (if (withBytes) 2L else 0L) |
+      (if (withToc) 4L else 0L) | (if (withQuality) 8L else 0L))
+    if (withFrames) be32(declaredFrames.toLong)
     if (withBytes) be32(frame.length + audioBytes)
     if (withToc) { (0 until 100).foreach(i => frame(q + i) = (i * 255 / 99).toByte); q += 100 }
     if (withQuality) be32(50L)

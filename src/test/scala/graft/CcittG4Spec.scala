@@ -233,8 +233,17 @@ class CcittG4Spec extends AnyFunSuite {
     assert(CcittG4.decodeG3(toBytes("1011" + "10" + "10100"), 16, 1, false) === None)
     // only 10 zeros before the 1: not an EOL
     assert(CcittG4.decodeG3(toBytes("0000000000" + "1" + "1011" + "10" + "10100"), 16, 1, false) === None)
-    // 80 zeros of "fill": runaway
-    assert(CcittG4.decodeG3(toBytes("0" * 80 + "1" + "1011" + "10" + "10100"), 16, 1, false) === None)
+    // 69 bits of fill before the EOL: SPEC-LEGAL (T.4 permits arbitrary
+    // fill for minimum scan-line time — ADVICE r13 raised the old
+    // 64-bit cap that rejected real fax-derived TIFFs)
+    assert(CcittG4.decodeG3(toBytes("0" * 80 + "1" + "1011" + "10" + "10100"),
+      16, 1, false).get.toSeq === row(16, (4, 7)).toSeq)
+    // ~8 KiB of fill on ONE row still decodes...
+    assert(CcittG4.decodeG3(toBytes("0" * 65500 + "1" + "1011" + "10" + "10100"),
+      16, 1, false).isDefined)
+    // ...but past the sanity cap is runaway garbage, not fill
+    assert(CcittG4.decodeG3(toBytes("0" * 66000 + "1" + "1011" + "10" + "10100"),
+      16, 1, false) === None)
     // aligned mode but the EOL ends mid-byte
     assert(CcittG4.decodeG3(toBytes(good), 16, 1, alignedEol = true) === None)
     // a whole extra byte after the final row

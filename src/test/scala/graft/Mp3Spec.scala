@@ -141,16 +141,13 @@ class Mp3Spec extends AnyFunSuite {
     assert(m.totalSamples === 6L * 1152)
   }
 
-  test("Xing rejects: lying frame count, lying byte size, Info over VBR audio, undefined flags, header with no audio") {
+  test("Xing rejects: lying byte size, Info over VBR audio (validated headers only)") {
     val audio = (0 until 4).map(i =>
       Mp3.makeFrame(3, 3, brIdx = 2 + i, srIdx = 0, padding = false,
         mono = false, seed = i))
     val ab = audio.map(_.length.toLong).sum
-    // declared 5, actual 4
-    val lie = Mp3.makeXingFrame(3, 3, 9, 0, mono = false, magic = "Xing",
-      declaredFrames = 5, audioBytes = ab, withBytes = false, withToc = false)
-    assert(Mp3.info(cat((lie +: audio): _*)) === None)
-    // declared bytes off by one
+    // declared bytes off by one: the header validated (count matches the
+    // walk) and then lies about the stream size — corrupt, reject
     val lieB = Mp3.makeXingFrame(3, 3, 9, 0, mono = false, magic = "Xing",
       declaredFrames = 4, audioBytes = ab + 1, withBytes = true, withToc = false)
     assert(Mp3.info(cat((lieB +: audio): _*)) === None)
@@ -158,17 +155,49 @@ class Mp3Spec extends AnyFunSuite {
     val infoVbr = Mp3.makeXingFrame(3, 3, 9, 0, mono = false, magic = "Info",
       declaredFrames = 4, audioBytes = ab, withBytes = false, withToc = false)
     assert(Mp3.info(cat((infoVbr +: audio): _*)) === None)
-    // undefined flag bits: patch flags byte (offset 4+32+4+3 from frame start)
-    val ok = Mp3.makeXingFrame(3, 3, 9, 0, mono = false, magic = "Xing",
-      declaredFrames = 4, audioBytes = ab, withBytes = false, withToc = false)
-    assert(Mp3.info(cat((ok +: audio): _*)).isDefined) // premise
-    val badFlags = ok.clone()
-    badFlags(4 + 32 + 4 + 2) = 1 // sets bit 16 of the flags word
-    assert(Mp3.info(cat((badFlags.asInstanceOf[Array[Byte]] +: audio): _*)) === None)
-    // a Xing frame with zero audio frames after it
-    val alone = Mp3.makeXingFrame(3, 3, 9, 0, mono = false, magic = "Xing",
-      declaredFrames = 1, audioBytes = 0, withBytes = false, withToc = false)
-    assert(Mp3.info(alone) === None)
   }
 
+  test("ADVICE r13: collision-shaped magic falls back to audio, never rejects the file") {
+    val audio = (0 until 4).map(i =>
+      Mp3.makeFrame(3, 3, brIdx = 2 + i, srIdx = 0, padding = false,
+        mono = false, seed = i))
+    val ab = audio.map(_.length.toLong).sum
+    // declared 5, actual 4: the walk is ground truth — the "header" is
+    // adjudicated payload collision; ALL 5 frames count as audio
+    val lie = Mp3.makeXingFrame(3, 3, 9, 0, mono = false, magic = "Xing",
+      declaredFrames = 5, audioBytes = ab, withBytes = false, withToc = false)
+    val m = Mp3.info(cat((lie +: audio): _*)).get
+    assert(m.nFrames === 5 && m.totalSamples === 5L * 1152)
+    // undefined flag bits: not a Xing header — audio fallback, same rows
+    val ok = Mp3.makeXingFrame(3, 3, 9, 0, mono = false, magic = "Xing",
+      declaredFrames = 4, audioBytes = ab, withBytes = false, withToc = false)
+    assert(Mp3.info(cat((ok +: audio): _*)).get.nFrames === 4) // premise
+    val badFlags = ok.clone()
+    badFlags(4 + 32 + 4 + 2) = 1 // sets bit 16 of the flags word
+    val mf = Mp3.info(cat((badFlags.asInstanceOf[Array[Byte]] +: audio): _*)).get
+    assert(mf.nFrames === 5)
+    // a magic frame with zero audio frames after it: one audio frame
+    val alone = Mp3.makeXingFrame(3, 3, 9, 0, mono = false, magic = "Xing",
+      declaredFrames = 1, audioBytes = 0, withBytes = false, withToc = false)
+    assert(Mp3.info(alone).get.nFrames === 1)
+  }
+
+  test("ADVICE r13: a spec-legal header WITHOUT the frames field is honored (count from the walk)") {
+    val audio = (0 until 6).map(i =>
+      Mp3.makeFrame(3, 3, brIdx = 2 + i % 3, srIdx = 0, padding = false,
+        mono = false, seed = i))
+    val ab = audio.map(_.length.toLong).sum
+    val x = Mp3.makeXingFrame(3, 3, 9, 0, mono = false, magic = "Xing",
+      declaredFrames = 0, audioBytes = ab, withBytes = true, withToc = true,
+      withFrames = false)
+    val m = Mp3.info(cat((x +: audio): _*)).get
+    // the metadata frame is still excluded: the walk supplies the count
+    assert(m.nFrames === 6 && m.totalSamples === 6L * 1152)
+    assert(m.vbr === true) // Xing magic forces vbr
+    // and the lying-bytes check stays live on the frameless form
+    val lieB = Mp3.makeXingFrame(3, 3, 9, 0, mono = false, magic = "Xing",
+      declaredFrames = 0, audioBytes = ab + 1, withBytes = true,
+      withToc = false, withFrames = false)
+    assert(Mp3.info(cat((lieB +: audio): _*)) === None)
+  }
 }
