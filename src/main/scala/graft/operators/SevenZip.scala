@@ -133,9 +133,20 @@ object SevenZip {
   }
 
   private final case class Coder(id: Seq[Int], props: Array[Byte])
-  // `filter`: the folder chains this branch/delta filter after `coder`
+  private val Bcj2Id = Seq(0x03, 0x03, 0x01, 0x1b)
+  /** BCJ2 folder reduction (r14): the three sub coders with their
+    * decoded sizes (roles 0 main, 1 call, 2 jump — fixed by the BCJ2
+    * in-stream each bind pair feeds) and the role of each of the
+    * folder's four pack slots in archive order (3 = the raw rc stream).
+    */
+  private final case class Bcj2Meta(subs: Vector[(Coder, Long)],
+      packRoles: Vector[Int])
+  // `filter`: the folder chains this branch/delta filter after `coder`;
+  // `packBase`/`numPack`: this folder's pack-stream slice (BCJ2 folders
+  // consume four pack streams, everything else one)
   private final case class Folder(coder: Coder, unpackSize: Long,
-      packIndex: Int, crc: Option[Long], filter: Option[Xz.PreFilter] = None)
+      packBase: Int, crc: Option[Long], filter: Option[Xz.PreFilter] = None,
+      numPack: Int = 1, bcj2: Option[Bcj2Meta] = None)
 
   /** Recognize a supported size-preserving filter coder (r13 x86; r14
     * delta + ARM64 — the same evidence-bounded set as [[Xz]], the
@@ -206,54 +217,127 @@ object SevenZip {
       if (r.num() != 0x0B) throw Malformed // kFolder
       val numFolders = r.checkedNum(1 << 16)
       if (r.u8() != 0) throw Malformed // external folders unsupported
-      // per folder: 1 simple coder, or (r13) 2 simple coders where the
-      // x86 BCJ branch filter consumes the compressor's output through
-      // one bind pair — the chain compiled-code archives actually use.
-      // Anything else (other filters, complex coders, >2 coders, >1
-      // pack stream) still rejects loudly.
+      // per folder: 1 simple coder; or (r13/r14) 2 simple coders where
+      // a size-preserving filter consumes the compressor's output
+      // through one bind pair; or (r14) the BCJ2 four-coder graph — a
+      // 4-in/1-out complex BCJ2 coder fed by three simple decompressors
+      // (main/call/jump) plus a raw rc pack stream. Anything else
+      // (other complex coders, other graphs) still rejects loudly.
       val folderMeta = (0 until numFolders).map { _ =>
-        val numCoders = r.checkedNum(64)
-        if (numCoders < 1 || numCoders > 2) throw Malformed
+        val numCoders = r.checkedNum(4)
+        if (numCoders < 1) throw Malformed
+        var totalIn = 0
+        var totalOut = 0
+        // (coder, nIn, nOut, inBase, outBase)
         val cs = (0 until numCoders).map { _ =>
           val flags = r.u8()
           val idSize = flags & 0x0f
-          if ((flags & 0x10) != 0) throw Malformed // complex coder
           if ((flags & 0xC0) != 0) throw Malformed // reserved bits
           val cid = (0 until idSize).map(_ => r.u8())
+          val (nIn, nOut) =
+            if ((flags & 0x10) == 0) (1, 1)
+            else {
+              // the ONLY complex coder in scope is BCJ2's 4-in/1-out
+              val i0 = r.checkedNum(4)
+              val o0 = r.checkedNum(1)
+              if (cid != Bcj2Id || i0 != 4 || o0 != 1) throw Malformed
+              (4, 1)
+            }
           val props =
             if ((flags & 0x20) != 0) r.bytes(r.checkedNum(64))
             else Array.empty[Byte]
-          Coder(cid, props)
+          val entry = (Coder(cid, props), nIn, nOut, totalIn, totalOut)
+          totalIn += nIn; totalOut += nOut
+          entry
         }.toVector
-        if (numCoders == 1) (cs, -1, -1)
-        else {
-          // totalOut(2) - 1 = one bind pair: (inIndex, outIndex)
-          val inIdx = r.checkedNum(1)
-          val outIdx = r.checkedNum(1)
-          (cs, inIdx, outIdx)
-        }
+        val numBind = totalOut - 1
+        val binds = (0 until numBind).map { _ =>
+          val inIdx = r.checkedNum(totalIn - 1)
+          val outIdx = r.checkedNum(totalOut - 1)
+          (inIdx, outIdx)
+        }.toVector
+        val numPack = totalIn - numBind
+        if (numPack < 1) throw Malformed
+        val packIdxs =
+          if (numPack == 1) {
+            val bound = binds.map(_._1).toSet
+            Vector((0 until totalIn).find(i => !bound(i))
+              .getOrElse(throw Malformed))
+          } else {
+            val idxs = (0 until numPack)
+              .map(_ => r.checkedNum(totalIn - 1)).toVector
+            val bound = binds.map(_._1).toSet
+            // every pack index must name a distinct UNBOUND in-stream
+            if (idxs.distinct.length != numPack ||
+              idxs.exists(bound)) throw Malformed
+            idxs
+          }
+        (cs, binds, packIdxs, totalOut)
       }.toVector
       if (r.num() != 0x0C) throw Malformed // kCodersUnpackSize
-      // one size per OUT stream (= per simple coder), folder-ordered
-      val folderSizes = folderMeta.map { case (cs, _, _) =>
-        cs.map { _ =>
+      // one size per OUT stream, folder-ordered, coder-out order
+      val folderSizes = folderMeta.map { case (_, _, _, totalOut) =>
+        (0 until totalOut).map { _ =>
           val v = r.num()
           if (v < 0 || v > MaxFolderOut) throw Malformed
           v
-        }
+        }.toVector
       }
-      // reduce each folder to (compression coder, final size, filter?)
+      // reduce each folder to one of the three supported shapes
       val reduced = folderMeta.zip(folderSizes).map {
-        case ((Vector(c), _, _), sz) => (c, sz(0), None: Option[Xz.PreFilter])
-        case ((cs, inIdx, outIdx), sz) =>
-          val fIdx = cs.indexWhere(c => filterOf(c).isDefined)
+        case ((Vector((c, _, _, _, _)), _, _, _), sz) =>
+          (c, sz(0), None: Option[Xz.PreFilter], 1,
+            None: Option[Bcj2Meta])
+        case ((cs, binds, packIdxs, _), sz) if cs.length == 2 =>
+          val fIdx = cs.indexWhere(e => filterOf(e._1).isDefined)
           if (fIdx < 0) throw Malformed // only the evidence-bounded filters
           val mainIdx = 1 - fIdx
-          // the bind pair must feed the filter from the compressor
-          if (inIdx != fIdx || outIdx != mainIdx) throw Malformed
+          // the bind pair must feed the filter from the compressor, and
+          // the single pack stream must feed the compressor
+          if (binds != Vector((fIdx, mainIdx))) throw Malformed
+          if (packIdxs != Vector(mainIdx)) throw Malformed
           // all supported filters are size-preserving; a mismatch is a lie
           if (sz(fIdx) != sz(mainIdx)) throw Malformed
-          (cs(mainIdx), sz(fIdx), filterOf(cs(fIdx)))
+          (cs(mainIdx)._1, sz(fIdx), filterOf(cs(fIdx)._1), 1,
+            None: Option[Bcj2Meta])
+        case ((cs, binds, packIdxs, _), sz) if cs.length == 4 =>
+          // the BCJ2 graph: locate the one complex coder
+          val bIdx = cs.indexWhere(_._1.id == Bcj2Id)
+          if (bIdx < 0 || cs(bIdx)._1.props.nonEmpty) throw Malformed
+          val (_, _, _, bInBase, bOutBase) = cs(bIdx)
+          if (cs.count(_._2 == 4) != 1) throw Malformed // exactly one complex
+          // the three bind pairs must feed BCJ2 ins 0..2 (main/call/
+          // jump) each from a DISTINCT simple coder's out stream
+          if (binds.length != 3) throw Malformed
+          val roleCoder = new Array[Int](3)
+          java.util.Arrays.fill(roleCoder, -1)
+          binds.foreach { case (inIdx, outIdx) =>
+            val role = inIdx - bInBase
+            if (role < 0 || role > 2) throw Malformed
+            val src = cs.indexWhere(e => e._3 == 1 && e._5 == outIdx && e._1.id != Bcj2Id)
+            if (src < 0 || roleCoder(role) >= 0) throw Malformed
+            roleCoder(role) = src
+          }
+          // pack slots: three simple-coder inputs + BCJ2's rc (in 3)
+          if (packIdxs.length != 4) throw Malformed
+          val packRoles = packIdxs.map { gi =>
+            if (gi == bInBase + 3) 3
+            else {
+              val ci = cs.indexWhere(e => e._2 == 1 && e._4 == gi)
+              if (ci < 0) throw Malformed
+              val role = roleCoder.indexOf(ci)
+              if (role < 0) throw Malformed
+              role
+            }
+          }
+          if (packRoles.sorted != Vector(0, 1, 2, 3)) throw Malformed
+          val subs = (0 until 3).map { role =>
+            val e = cs(roleCoder(role))
+            (e._1, sz(e._5))
+          }.toVector
+          (cs(bIdx)._1, sz(bOutBase), None: Option[Xz.PreFilter], 4,
+            Some(Bcj2Meta(subs, packRoles)))
+        case _ => throw Malformed
       }
       val coders = reduced.map(_._1)
       val sizes = reduced.map(_._2)
@@ -270,11 +354,13 @@ object SevenZip {
         }
         uid = r.num()
       }
+      val packBases = reduced.map(_._4).scanLeft(0)(_ + _)
       folders = coders.zip(sizes).zip(crcs.zip(filts)).zipWithIndex.map {
-        case (((c, sz), (crc, filt)), i) => Folder(c, sz, i, crc, filt)
+        case (((c, sz), (crc, filt)), i) =>
+          Folder(c, sz, packBases(i), crc, filt, reduced(i)._4, reduced(i)._5)
       }
-      // one pack stream per folder (single-coder): counts must line up
-      if (packSizes.length != folders.length) throw Malformed
+      // pack-stream count must match the folders' declared consumption
+      if (packSizes.length != packBases.last) throw Malformed
       id = r.num()
     }
     if (folders.isEmpty) throw Malformed
@@ -337,34 +423,26 @@ object SevenZip {
   }
 
   /** Decode one single-coder folder's packed bytes. */
-  private def decodeFolder(archive: Array[Byte], base: Long, si: StreamsInfo,
-      fi: Int): Array[Byte] = {
-    val f = si.folders(fi)
-    val packOff = base + si.packPos + si.packSizes.take(fi).sum
-    val packLen = si.packSizes(fi)
-    if (packOff < 0 || packLen < 0 || packOff + packLen > archive.length)
-      throw Malformed
-    val start = packOff.toInt
-    val end = (packOff + packLen).toInt
-    val expect = f.unpackSize
-    if (expect > MaxFolderOut) throw Malformed
-    val out: Array[Byte] = f.coder.id match {
+  /** Decode one SIMPLE coder's packed slice. */
+  private def decodeSimple(coder: Coder, archive: Array[Byte], start: Int,
+      end: Int, expect: Long): Array[Byte] = {
+    val out: Array[Byte] = coder.id match {
       case Seq(0x00) => // kCopy
-        if (packLen != expect) throw Malformed
+        if ((end - start).toLong != expect) throw Malformed
         java.util.Arrays.copyOfRange(archive, start, end)
       case Seq(0x03, 0x01, 0x01) => // kLzma: 5-byte props, raw known-size stream
-        if (f.coder.props.length != 5) throw Malformed
+        if (coder.props.length != 5) throw Malformed
         val st = new Lzma.LzmaState(0, 0, 0)
-        st.setProps(f.coder.props(0) & 0xff, lzma2 = false)
+        st.setProps(coder.props(0) & 0xff, lzma2 = false)
         st.resetState()
-        val dictSize = u32le(f.coder.props, 1)
+        val dictSize = u32le(coder.props, 1)
         st.dictLimit =
           math.min(math.max(dictSize, 4096L), Int.MaxValue.toLong).toInt
         st.dictStart = 0
         Lzma.decodeAlone(st, archive, start, end, expect, MaxFolderOut)
       case Seq(0x21) => // kLzma2: the control-byte chunk layer
-        if (f.coder.props.length != 1) throw Malformed
-        val dBits = f.coder.props(0) & 0xff
+        if (coder.props.length != 1) throw Malformed
+        val dBits = coder.props(0) & 0xff
         if (dBits > 40) throw Malformed
         val dictSize =
           if (dBits == 40) 0xffffffffL
@@ -374,9 +452,48 @@ object SevenZip {
         if (after != end) throw Malformed // coder must consume its stream
         res
       case Seq(0x06, 0xF1, 0x07, 0x01) => throw Malformed // AES-256: reject loudly
-      case _ => throw Malformed // delta/non-x86 BCJ/unknown: reject, don't guess
+      case _ => throw Malformed // non-filter/unknown: reject, don't guess
     }
-    if (out.length != expect) throw Malformed
+    if (out.length.toLong != expect) throw Malformed
+    out
+  }
+
+  private def decodeFolder(archive: Array[Byte], base: Long, si: StreamsInfo,
+      fi: Int): Array[Byte] = {
+    val f = si.folders(fi)
+    val packOff0 = base + si.packPos +
+      si.packSizes.take(f.packBase).sum
+    val expect = f.unpackSize
+    if (expect > MaxFolderOut) throw Malformed
+    // this folder's pack slots, archive order
+    val slotOffs = (0 until f.numPack).scanLeft(packOff0) {
+      (acc, k) => acc + si.packSizes(f.packBase + k)
+    }
+    if (slotOffs.head < 0 || slotOffs.last > archive.length ||
+      (0 until f.numPack).exists(k => si.packSizes(f.packBase + k) < 0))
+      throw Malformed
+    val out: Array[Byte] = f.bcj2 match {
+      case None =>
+        decodeSimple(f.coder, archive, slotOffs(0).toInt, slotOffs(1).toInt,
+          expect)
+      case Some(meta) =>
+        // r14: the four-stream BCJ2 graph — decode main/call/jump
+        // through their sub coders, read rc raw, then run the branch
+        // reconstruction (reference-validated against libarchive)
+        def slot(role: Int): (Int, Int) = {
+          val k = meta.packRoles.indexOf(role)
+          (slotOffs(k).toInt, slotOffs(k + 1).toInt)
+        }
+        val streams = (0 until 3).map { role =>
+          val (s, e) = slot(role)
+          decodeSimple(meta.subs(role)._1, archive, s, e, meta.subs(role)._2)
+        }
+        val (rs, re) = slot(3)
+        val rc = java.util.Arrays.copyOfRange(archive, rs, re)
+        Bcj2.decode(streams(0), streams(1), streams(2), rc,
+          expect.toInt).getOrElse(throw Malformed)
+    }
+    if (out.length.toLong != expect) throw Malformed
     // r13/r14: undo the branch/delta filter after the compressor
     // (bind-pair order: packed → LZMA/LZMA2 → filter → folder output)
     val unfiltered = f.filter.map(undoFilter(_, out)).getOrElse(out)
@@ -629,73 +746,143 @@ object SevenZip {
     * substream CRCs always written. `encodedHeader` packs the header
     * itself through LZMA (what real 7z does by default).
     */
+  /** One folder the writer will emit: the (single) compressor coder id
+    * + props, the pack streams in archive order, the folder payload and
+    * members, the optional chained filter coder, and — for the BCJ2
+    * graph — the decoded sizes of the main/call/jump sub streams.
+    */
+  private final case class WPart(cid: Seq[Int], props: Array[Byte],
+      packs: Vector[Array[Byte]], payload: Array[Byte],
+      members: Seq[(String, Array[Byte])],
+      filt: Option[(Seq[Int], Array[Byte])],
+      bcj2Sub: Option[(Long, Long, Long)])
+
   def makeArchive(folders: Seq[(String, Seq[(String, Array[Byte])])],
       encodedHeader: Boolean = false): Array[Byte] = {
     require(folders.nonEmpty && folders.forall(_._2.nonEmpty))
     val packedParts = folders.map { case (coder, ms) =>
       val payload = ms.map(_._2).reduce(_ ++ _)
-      val (cid, props, packed) = packFolder(payload, coder)
-      (cid, props, packed, payload, ms, filterMetaOf(coder))
+      if (coder.startsWith("bcj2-lzma2")) {
+        // r14: the four-stream BCJ2 graph; the suffix picks the site
+        // policy so the differential corpus varies the rc stream shape
+        val policy: (Int, Int) => Boolean = coder match {
+          case "bcj2-lzma2" => (_, _) => true
+          case "bcj2-lzma2-none" => (_, _) => false
+          case "bcj2-lzma2-mixed" => (pos, b) => ((pos * 2654435761L + b) & 3) != 0
+          case _ => throw new IllegalArgumentException(coder)
+        }
+        val (m, c, j, rc) = Bcj2.encode(payload, policy)
+        // the canonical "made by 7z" arrangement the reference reader
+        // (libarchive, binary-audited in NOTES_r14) accepts: the MAIN
+        // stream LZMA1-compressed, call/jump as raw Copy coders, rc as
+        // the bare fourth pack stream; packs ordered [main, call,
+        // jump, rc]
+        val (_, props, mPacked) = packFolder(m, "lzma")
+        WPart(Seq(0x03, 0x01, 0x01), props,
+          Vector(mPacked, c, j, rc), payload, ms, None,
+          Some((m.length.toLong, c.length.toLong, j.length.toLong)))
+      } else {
+        val (cid, props, packed) = packFolder(payload, coder)
+        WPart(cid, props, Vector(packed), payload, ms, filterMetaOf(coder), None)
+      }
     }
     // StreamsInfo bytes (shared by plain header and encoded-header path)
-    def streamsInfo(packPos: Long, parts: Seq[(Seq[Int], Array[Byte],
-        Array[Byte], Array[Byte], Seq[(String, Array[Byte])],
-        Option[(Seq[Int], Array[Byte])])]): Array[Byte] = {
+    def streamsInfo(packPos: Long, parts: Seq[WPart]): Array[Byte] = {
       val o = new java.io.ByteArrayOutputStream()
       o.write(0x06) // PackInfo
       writeNum(o, packPos)
-      writeNum(o, parts.length.toLong)
+      writeNum(o, parts.map(_.packs.length).sum.toLong)
       o.write(0x09)
-      parts.foreach(p => writeNum(o, p._3.length.toLong))
+      parts.foreach(_.packs.foreach(pk => writeNum(o, pk.length.toLong)))
       o.write(0x00)
       o.write(0x07) // UnpackInfo
       o.write(0x0B) // kFolder
       writeNum(o, parts.length.toLong)
       o.write(0x00) // not external
-      parts.foreach { case (cid, props, _, _, _, filt) =>
-        writeNum(o, if (filt.isDefined) 2 else 1) // coders
-        val flags = cid.length | (if (props.nonEmpty) 0x20 else 0)
-        o.write(flags)
-        cid.foreach(o.write)
-        if (props.nonEmpty) { writeNum(o, props.length.toLong); o.write(props, 0, props.length) }
-        filt.foreach { case (fid, fprops) =>
-          o.write(fid.length | (if (fprops.nonEmpty) 0x20 else 0))
-          fid.foreach(o.write)
-          if (fprops.nonEmpty) {
-            writeNum(o, fprops.length.toLong); o.write(fprops, 0, fprops.length)
-          }
-          // one bind pair: filter input (in-stream 1) ← compressor
-          // output (out-stream 0)
-          writeNum(o, 1)
-          writeNum(o, 0)
+      parts.foreach { p =>
+        p.bcj2Sub match {
+          case Some(_) =>
+            // the canonical arrangement (see packedParts): coder 0/1 =
+            // Copy (call/jump), coder 2 = the main compressor, coder 3
+            // = BCJ2 (complex, 4-in/1-out). Global ins: 0,1,2 then
+            // BCJ2's 3..6; outs: call 0, jump 1, main 2, folder 3.
+            writeNum(o, 4)
+            o.write(0x01); o.write(0x00) // Copy (call)
+            o.write(0x01); o.write(0x00) // Copy (jump)
+            o.write(p.cid.length | 0x20) // the main compressor
+            p.cid.foreach(o.write)
+            writeNum(o, p.props.length.toLong)
+            o.write(p.props, 0, p.props.length)
+            o.write(Bcj2Id.length | 0x10) // complex, no props
+            Bcj2Id.foreach(o.write)
+            writeNum(o, 4); writeNum(o, 1) // 4 in, 1 out
+            // bind pairs: BCJ2.main(3)←out2, BCJ2.call(4)←out0,
+            // BCJ2.jump(5)←out1
+            Seq((3, 2), (4, 0), (5, 1)).foreach { case (i, u) =>
+              writeNum(o, i.toLong); writeNum(o, u.toLong)
+            }
+            // pack slots [main, call, jump, rc] → ins [2, 0, 1, 6]
+            Seq(2, 0, 1, 6).foreach(i => writeNum(o, i.toLong))
+          case None =>
+            writeNum(o, if (p.filt.isDefined) 2 else 1) // coders
+            val flags = p.cid.length | (if (p.props.nonEmpty) 0x20 else 0)
+            o.write(flags)
+            p.cid.foreach(o.write)
+            if (p.props.nonEmpty) {
+              writeNum(o, p.props.length.toLong); o.write(p.props, 0, p.props.length)
+            }
+            p.filt.foreach { case (fid, fprops) =>
+              o.write(fid.length | (if (fprops.nonEmpty) 0x20 else 0))
+              fid.foreach(o.write)
+              if (fprops.nonEmpty) {
+                writeNum(o, fprops.length.toLong); o.write(fprops, 0, fprops.length)
+              }
+              // one bind pair: filter input (in-stream 1) ← compressor
+              // output (out-stream 0)
+              writeNum(o, 1)
+              writeNum(o, 0)
+            }
         }
       }
       o.write(0x0C) // kCodersUnpackSize
       parts.foreach { p =>
-        writeNum(o, p._4.length.toLong) // compressor out
-        if (p._6.isDefined) writeNum(o, p._4.length.toLong) // filter out (same size)
+        p.bcj2Sub match {
+          case Some((ml, cl, jl)) =>
+            // out-stream order: call(0), jump(1), main(2), BCJ2(3)
+            writeNum(o, cl); writeNum(o, jl); writeNum(o, ml)
+            writeNum(o, p.payload.length.toLong) // the BCJ2 out
+          case None =>
+            writeNum(o, p.payload.length.toLong) // compressor out
+            if (p.filt.isDefined) writeNum(o, p.payload.length.toLong) // filter out
+        }
       }
       o.write(0x0A) // folder CRCs
       o.write(0x01) // all defined
-      parts.foreach(p => writeU32le(o, crc32(p._4, 0, p._4.length)))
+      parts.foreach(p => writeU32le(o, crc32(p.payload, 0, p.payload.length)))
       o.write(0x00) // end UnpackInfo
-      // SubStreamsInfo whenever any folder is solid
-      if (parts.exists(_._5.length > 1)) {
-        o.write(0x08)
-        o.write(0x0D)
-        parts.foreach(p => writeNum(o, p._5.length.toLong))
-        o.write(0x09)
-        parts.foreach { p =>
-          p._5.dropRight(1).foreach(m => writeNum(o, m._2.length.toLong))
-        }
+      // SubStreamsInfo: always emitted (bsdtar differential, r14 —
+      // libarchive's main-header path refuses an archive whose
+      // per-entry accounting it cannot take from here, even though the
+      // folder-level fallback is spec-derivable), but the kCRC section
+      // only when it will carry at least one digest: libarchive rejects
+      // a digest block with zero entries, and folders whose single
+      // substream is covered by the folder CRC contribute none
+      o.write(0x08)
+      o.write(0x0D)
+      parts.foreach(p => writeNum(o, p.members.length.toLong))
+      o.write(0x09)
+      parts.foreach { p =>
+        p.members.dropRight(1).foreach(m => writeNum(o, m._2.length.toLong))
+      }
+      if (parts.exists(_.members.length > 1)) {
         o.write(0x0A) // CRCs for all streams not covered by a folder CRC
         o.write(0x01) // all defined
         parts.foreach { p =>
-          if (p._5.length > 1)
-            p._5.foreach(m => writeU32le(o, crc32(m._2, 0, m._2.length)))
+          if (p.members.length > 1)
+            p.members.foreach(m => writeU32le(o, crc32(m._2, 0, m._2.length)))
         }
-        o.write(0x00)
       }
+      o.write(0x00)
       o.write(0x00) // end StreamsInfo
       o.toByteArray
     }
@@ -718,7 +905,7 @@ object SevenZip {
       o.write(0x00) // end FilesInfo
       o.toByteArray
     }
-    val allMembers = packedParts.flatMap(_._5.map(_._1))
+    val allMembers = packedParts.flatMap(_.members.map(_._1))
     val header = {
       val o = new java.io.ByteArrayOutputStream()
       o.write(0x01) // kHeader
@@ -730,15 +917,15 @@ object SevenZip {
       o.write(0x00) // end header
       o.toByteArray
     }
-    val mainPack = packedParts.map(_._3).reduce(_ ++ _)
+    val mainPack = packedParts.flatMap(_.packs).reduce(_ ++ _)
     val (nextHeader, extraPack) =
       if (!encodedHeader) (header, Array.empty[Byte])
       else {
         // pack the header itself as one LZMA folder placed AFTER the
         // main pack data; the encoded-header StreamsInfo points at it
         val (cid, props, packed) = packFolder(header, "lzma")
-        val part = Seq((cid, props, packed, header,
-          Seq(("__header__", header)), None: Option[(Seq[Int], Array[Byte])]))
+        val part = Seq(WPart(cid, props, Vector(packed), header,
+          Seq(("__header__", header)), None, None))
         val o = new java.io.ByteArrayOutputStream()
         o.write(0x17)
         val siB = streamsInfo(mainPack.length.toLong, part)

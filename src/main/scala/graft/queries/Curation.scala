@@ -2419,14 +2419,16 @@ object Curation extends QueryBlock {
           ((base + " ") * k).dropRight(1).getBytes("UTF-8"))
       }
       // r13/r14: classes 4–6 are the two-coder bind-pair folders (x86
-      // BCJ, ARM64 BCJ, delta dist-4) — the driver row exercises the
-      // two-coder STRUCTURE end to end (bind-pair parse, chain decode,
-      // per-out-stream sizes); the conversion arithmetic itself is
-      // pinned by the xz --x86/--arm64/--delta differential interop and
-      // binary-payload unit tests (ASCII members contain no branch
-      // opcodes, but delta transforms every byte for real)
+      // BCJ, ARM64 BCJ, delta dist-4) and class 7 is the four-stream
+      // BCJ2 graph — the driver row exercises the folder STRUCTURES
+      // end to end (bind-pair parse, multi-pack-stream slots, chain
+      // decode, per-out-stream sizes); the conversion arithmetic is
+      // pinned by the xz --x86/--arm64/--delta differential interop
+      // and the libarchive (bsdtar) BCJ2 extraction interop (ASCII
+      // members contain no branch opcodes, but delta transforms every
+      // byte and BCJ2's range-coded rc stream is live regardless)
       val coder = Seq("copy", "lzma", "lzma2", "bcj-lzma2",
-        "arm64-lzma2", "delta4-lzma2")(g % 6)
+        "arm64-lzma2", "delta4-lzma2", "bcj2-lzma2")(g % 7)
       val folders =
         if (g % 2 == 0) Seq((coder, members)) // solid
         else members.map(m => (coder, Seq(m)))

@@ -338,4 +338,161 @@ class SevenZipSpec extends AnyFunSuite {
     assert(dt > 0, "delta coder entry not found")
     assert(SevenZip.members(resize(archD, dt, 4, Array[Byte](0x01, 0x03))) === None)
   }
+
+  // ---------------- r14: BCJ2 four-stream folders ----------------
+
+  /** Branch-dense member covering calls, jumps, Jcc, operand-MSB-0x0F
+    * chains, and tail candidates — the shapes the rc model and stream
+    * routing must get exactly right.
+    */
+  private def branchy(name: String, seed: Int, len: Int): (String, Array[Byte]) = {
+    val r = new java.util.Random(seed)
+    val b = new Array[Byte](len)
+    r.nextBytes(b)
+    var i = 0
+    while (i < len) {
+      r.nextInt(8) match {
+        case 0 => b(i) = 0xe8.toByte
+        case 1 => b(i) = 0xe9.toByte
+        case 2 =>
+          b(i) = 0x0f.toByte
+          if (i + 1 < len) b(i + 1) = (0x80 | r.nextInt(16)).toByte
+        case 3 => if (i + 4 < len) b(i + 4) = 0x0f.toByte
+        case _ =>
+      }
+      i += r.nextInt(6) + 1
+    }
+    if (len > 0) b(len - 1) = 0xe8.toByte // tail candidate, no operand room
+    name -> b
+  }
+
+  test("bcj2-lzma2 folders round-trip: policies, SOLID, encoded header, empty call/jump") {
+    for {
+      kind <- Seq("bcj2-lzma2", "bcj2-lzma2-none", "bcj2-lzma2-mixed")
+      enc <- Seq(false, true)
+    } {
+      val ms = Seq(branchy("bin/a.exe", 41, 2600), branchy("bin/b.dll", 42, 1444))
+      val arch = SevenZip.makeArchive(Seq((kind, ms)), encodedHeader = enc)
+      val got = SevenZip.members(arch).getOrElse(fail(s"$kind enc=$enc rejected"))
+      assert(got.map(_._1) === ms.map(_._1))
+      got.zip(ms).foreach { case ((_, g), (_, e)) => assert(g.toSeq === e.toSeq) }
+    }
+    // a payload with NO candidates: call/jump streams are EMPTY (bare
+    // LZMA2 terminators) and the rc stream is the 5-byte flush alone
+    val plain = Seq(doc("t.txt", 43, 700))
+    val arch = SevenZip.makeArchive(Seq(("bcj2-lzma2", plain)))
+    assert(SevenZip.members(arch).get.head._2.toSeq === plain.head._2.toSeq)
+    // mixed archive: BCJ2 beside the r13/r14 folder kinds
+    val mixed = SevenZip.makeArchive(Seq(
+      ("bcj2-lzma2", Seq(branchy("x.exe", 44, 3000))),
+      ("bcj-lzma2", Seq(x86doc("y.bin", 45, 1200))),
+      ("lzma", Seq(doc("z.txt", 46, 300)))))
+    assert(SevenZip.members(mixed).get.length === 3)
+    assert(SevenZip.members(mixed).get.head._2.toSeq ===
+      branchy("x.exe", 44, 3000)._2.toSeq)
+  }
+
+  private def haveBsdtar: Boolean =
+    try {
+      val p = new ProcessBuilder("bsdtar", "--version").start()
+      p.getInputStream.readAllBytes(); p.waitFor() == 0
+    } catch { case _: Exception => false }
+
+  /** Extract one member with the reference decoder (libarchive). */
+  private def bsdtarExtract(archive: Array[Byte], member: String): Array[Byte] = {
+    val tmp = java.io.File.createTempFile("bcj2spec", ".7z")
+    try {
+      java.nio.file.Files.write(tmp.toPath, archive)
+      val p = new ProcessBuilder("bsdtar", "-xOf", tmp.getAbsolutePath, member).start()
+      val out = p.getInputStream.readAllBytes()
+      val err = new String(p.getErrorStream.readAllBytes(), "UTF-8")
+      assert(p.waitFor() == 0, s"bsdtar failed on $member: $err")
+      out
+    } finally tmp.delete()
+  }
+
+  test("INTEROP: libarchive (bsdtar) extracts our BCJ2 archives byte-exactly — all policies") {
+    assume(haveBsdtar, "bsdtar not present")
+    // the differential corpus: every rc-model path (context selection,
+    // adaptation, renormalization), operand routing, Jcc vs call vs
+    // jump, tail candidates, empty call/jump, multi-thousand-site runs
+    val corpus: Seq[(String, Array[Byte])] =
+      (0 until 16).map(s => branchy(s"c$s.bin", 100 + s, 400 + s * 513)) ++ Seq(
+        "no opcodes here at all, plain prose".getBytes("US-ASCII"),
+        Array.fill(600)(0xe8.toByte), // call soup: every byte a site
+        Array.tabulate(512)(i => (if (i % 2 == 0) 0x0f else 0x84).toByte),
+        Array.tabulate(800)(i => (if (i % 3 == 0) 0xe9 else (i * 37 & 0xff)).toByte),
+        branchy("big.bin", 999, 60000)._2 // thousands of adaptive steps
+      ).zipWithIndex.map { case (b, i) => (s"s$i.bin", b) }
+    for {
+      kind <- Seq("bcj2-lzma2", "bcj2-lzma2-none", "bcj2-lzma2-mixed")
+      (name, payload) <- corpus
+    } {
+      val arch = SevenZip.makeArchive(Seq((kind, Seq((name, payload)))))
+      assert(SevenZip.members(arch).get.head._2.toSeq === payload.toSeq,
+        s"self $kind $name")
+      val ref = bsdtarExtract(arch, name)
+      assert(ref.toSeq === payload.toSeq, s"reference mismatch: $kind $name")
+    }
+    // and a SOLID encoded-header archive through the reference end to end
+    val ms = Seq(branchy("a.exe", 7, 4000), branchy("b.exe", 8, 2500))
+    val solid = SevenZip.makeArchive(Seq(("bcj2-lzma2", ms)), encodedHeader = true)
+    ms.foreach { case (n, p) =>
+      assert(bsdtarExtract(solid, n).toSeq === p.toSeq, s"solid $n")
+    }
+  }
+
+  test("INTEROP: our reader decodes reference-authored archives (bsdtar --format 7zip)") {
+    assume(haveBsdtar, "bsdtar not present")
+    val dir = java.nio.file.Files.createTempDirectory("c7z").toFile
+    try {
+      val files = Seq(
+        ("alpha.txt", Array.tabulate(900)(i => (i * 31 & 0x7f).toByte)),
+        ("beta.bin", branchy("", 61, 2200)._2),
+        ("gamma.dat", Array.fill(4000)('q'.toByte)))
+      files.foreach { case (n, b) =>
+        java.nio.file.Files.write(new java.io.File(dir, n).toPath, b)
+      }
+      val out = new java.io.File(dir, "ref.7z")
+      val p = new ProcessBuilder(("bsdtar" +: "-cf" +: out.getAbsolutePath +:
+        "--format" +: "7zip" +: "-C" +: dir.getAbsolutePath +:
+        files.map(_._1)): _*).start()
+      p.getInputStream.readAllBytes()
+      assert(p.waitFor() == 0)
+      val arch = java.nio.file.Files.readAllBytes(out.toPath)
+      val got = SevenZip.members(arch).getOrElse(fail("reference archive rejected"))
+      assert(got.map(_._1) === files.map(_._1))
+      got.zip(files).foreach { case ((_, g), (_, e)) => assert(g.toSeq === e.toSeq) }
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
+
+  test("BCJ2 rejects: truncated call stream, lying sub size, bad bind graph") {
+    val ms = Seq(branchy("a.exe", 51, 900))
+    val arch = SevenZip.makeArchive(Seq(("bcj2-lzma2", ms)))
+    assert(SevenZip.members(arch).isDefined) // premise
+    // find the BCJ2 coder id in the plain header and break the graph:
+    // rewire bind pair (3,0) to the nonsensical (0,3) — in-stream 0 is
+    // a pack stream and out-stream 3 is the folder output
+    var at = -1
+    var i = 32
+    while (at < 0 && i + 4 <= arch.length) {
+      if (arch(i) == 3 && arch(i + 1) == 3 && arch(i + 2) == 1 &&
+        (arch(i + 3) & 0xff) == 0x1b) at = i
+      i += 1
+    }
+    assert(at > 0, "BCJ2 id not found")
+    // layout after id: numIn(4) numOut(1) then bind pairs 3,0 4,1 5,2
+    val rewired = arch.clone()
+    rewired(at + 6) = 0; rewired(at + 7) = 3
+    assert(SevenZip.members(reseal(rewired)) === None)
+    // declared rc pack index pointing at a bound stream (replace the
+    // final pack index 6 with 3, which bind pair (3,0) already consumes)
+    val badPack = arch.clone()
+    // pack indices follow the three bind pairs: bytes at+12..at+15
+    assert((badPack(at + 15) & 0xff) === 6, "pack index layout shifted")
+    badPack(at + 15) = 3
+    assert(SevenZip.members(reseal(badPack)) === None)
+  }
 }
