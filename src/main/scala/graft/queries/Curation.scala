@@ -5815,6 +5815,27 @@ object Curation extends QueryBlock {
             s"Content-Length: ${payload.length}\r\n\r\n").getBytes("US-ASCII")
           bo.write(head); bo.write(payload); bo.write("\r\n\r\n".getBytes("US-ASCII"))
         }
+        // r14 (VERDICT r13 item 7): one REFERENCE-ENCODED br response —
+        // a committed stream produced by the reference encoder
+        // (quality 9, window 22, sha256 3eabcff4…, round-tripped
+        // through the reference decoder at generation time) rides the
+        // full HTTP transport path, closing the seam between the
+        // spec-level BrotliSpec fixtures and the pipeline-level row.
+        // Decoded body = repeat(sentence, 40) + 'é€', re-derived in
+        // closed form by the oracle.
+        locally {
+          val refBr = {
+            val in = getClass.getResourceAsStream("/graft/e81_ref.br")
+            val b = in.readAllBytes(); in.close(); b
+          }
+          val hdrs = "Content-Type: text/html\r\nContent-Encoding: br\r\n"
+          val payload = (s"HTTP/1.1 200 OK\r\n$hdrs\r\n").getBytes("US-ASCII") ++ refBr
+          val head = (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+            s"WARC-Target-URI: https://ref.example.com/br\r\n" +
+            s"WARC-Date: 2026-01-01T00:00:00Z\r\n" +
+            s"Content-Length: ${payload.length}\r\n\r\n").getBytes("US-ASCII")
+          bo.write(head); bo.write(payload); bo.write("\r\n\r\n".getBytes("US-ASCII"))
+        }
         java.nio.file.Files.write(
           java.nio.file.Paths.get(s"$warcDir/http.warc"), bo.toByteArray)
         val dec = udf((b: Array[Byte]) => graft.operators.HttpBody.decode(b))
@@ -5844,7 +5865,16 @@ object Curation extends QueryBlock {
             WHEN 2 THEN 'chunked' WHEN 3 THEN 'chunked+gzip'
             WHEN 4 THEN 'deflate' WHEN 5 THEN 'zstd' ELSE 'br' END AS encoding,
           body, CAST(length(body) AS INT) AS n_chars
-        FROM j ORDER BY rec""")),
+        FROM j
+        UNION ALL
+        SELECT CAST((SELECT count(*) FROM j) AS INT) AS rec,
+          'https://ref.example.com/br' AS uri, 200 AS status,
+          'text/html' AS mime, 'br' AS encoding,
+          repeat('the quick brown fox jumps over the lazy dog 0123456789 ', 40)
+            || chr(233) || chr(8364) AS body,
+          CAST(length(repeat('the quick brown fox jumps over the lazy dog 0123456789 ', 40)
+            || chr(233) || chr(8364)) AS INT) AS n_chars
+        ORDER BY rec""")),
 
     // E82 — Crawl-delay directive → politeness scheduling: the missing
     // seam between e49's robots parsing and e56's fetch scheduler —
