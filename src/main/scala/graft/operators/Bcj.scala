@@ -151,6 +151,107 @@ object Bcj {
     buf
   }
 
+  /** ARM32 branch filter (xz id 0x07): BL instructions — LE words whose
+    * top byte is 0xEB — carry a 24-bit word offset rebased by the ARM
+    * pipeline PC (instruction address + 8). r14, differentially
+    * validated against `xz --arm` (reference-filtered bytes byte-exact
+    * both directions).
+    */
+  def arm(data: Array[Byte], encode: Boolean): Array[Byte] = {
+    val buf = data.clone()
+    var i = 0
+    while (i + 4 <= buf.length) {
+      if ((buf(i + 3) & 0xff) == 0xeb) {
+        val src = (((buf(i + 2) & 0xff) << 16) | ((buf(i + 1) & 0xff) << 8) |
+          (buf(i) & 0xff)) << 2
+        val pc = i + 8
+        val dest = (if (encode) src + pc else src - pc) >>> 2
+        buf(i + 2) = ((dest >>> 16) & 0xff).toByte
+        buf(i + 1) = ((dest >>> 8) & 0xff).toByte
+        buf(i) = (dest & 0xff).toByte
+      }
+      i += 4
+    }
+    buf
+  }
+
+  /** ARM Thumb branch filter (xz id 0x08): 2-byte stepping; a BL pair
+    * (F0xx F8xx halfword pair) carries a 22-bit halfword offset rebased
+    * by the Thumb pipeline PC (+4); a converted pair advances 4 bytes.
+    * r14, differentially validated against `xz --armthumb`.
+    */
+  def armThumb(data: Array[Byte], encode: Boolean): Array[Byte] = {
+    val buf = data.clone()
+    var i = 0
+    while (i + 4 <= buf.length) {
+      if ((buf(i + 1) & 0xf8) == 0xf0 && (buf(i + 3) & 0xf8) == 0xf8) {
+        val src = (((buf(i + 1) & 7) << 19) | ((buf(i) & 0xff) << 11) |
+          ((buf(i + 3) & 7) << 8) | (buf(i + 2) & 0xff)) << 1
+        val pc = i + 4
+        val dest = (if (encode) src + pc else src - pc) >>> 1
+        buf(i + 1) = (0xf0 | ((dest >>> 19) & 7)).toByte
+        buf(i) = ((dest >>> 11) & 0xff).toByte
+        buf(i + 3) = (0xf8 | ((dest >>> 8) & 7)).toByte
+        buf(i + 2) = (dest & 0xff).toByte
+        i += 2
+      }
+      i += 2
+    }
+    buf
+  }
+
+  /** PowerPC branch filter (xz id 0x05): big-endian words; `bl`/`bla`
+    * (primary opcode 18, LK=1, AA preserved) carry a 24-bit byte offset
+    * (low 2 bits of the displacement are the AA/LK flags and stay put).
+    * r14, differentially validated against `xz --powerpc`.
+    */
+  def ppc(data: Array[Byte], encode: Boolean): Array[Byte] = {
+    val buf = data.clone()
+    var i = 0
+    while (i + 4 <= buf.length) {
+      if (((buf(i) & 0xfc) == 0x48) && ((buf(i + 3) & 3) == 1)) {
+        val src = ((buf(i) & 3) << 24) | ((buf(i + 1) & 0xff) << 16) |
+          ((buf(i + 2) & 0xff) << 8) | (buf(i + 3) & 0xfc)
+        val dest = if (encode) src + i else src - i
+        buf(i) = (0x48 | ((dest >>> 24) & 3)).toByte
+        buf(i + 1) = ((dest >>> 16) & 0xff).toByte
+        buf(i + 2) = ((dest >>> 8) & 0xff).toByte
+        buf(i + 3) = ((buf(i + 3) & 3) | (dest & 0xfc)).toByte
+      }
+      i += 4
+    }
+    buf
+  }
+
+  /** SPARC branch filter (xz id 0x09): big-endian CALL words (0x40 with
+    * clear top displacement bits, or the 0x7F sign-extension form); the
+    * 30-bit word displacement is rebased and re-folded into the
+    * sign-extended encoding the reference emits. r14, differentially
+    * validated against `xz --sparc`.
+    */
+  def sparc(data: Array[Byte], encode: Boolean): Array[Byte] = {
+    val buf = data.clone()
+    var i = 0
+    while (i + 4 <= buf.length) {
+      val b0 = buf(i) & 0xff
+      val b1 = buf(i + 1) & 0xff
+      if ((b0 == 0x40 && (b1 & 0xc0) == 0x00) ||
+        (b0 == 0x7f && (b1 & 0xc0) == 0xc0)) {
+        var src = ((b0 << 24) | (b1 << 16) | ((buf(i + 2) & 0xff) << 8) |
+          (buf(i + 3) & 0xff)) << 2
+        var dest = if (encode) src + i else src - i
+        dest = dest >>> 2
+        dest = ((0x40000000 - (dest & 0x400000)) | 0x40000000 | (dest & 0x3fffff))
+        buf(i) = ((dest >>> 24) & 0xff).toByte
+        buf(i + 1) = ((dest >>> 16) & 0xff).toByte
+        buf(i + 2) = ((dest >>> 8) & 0xff).toByte
+        buf(i + 3) = (dest & 0xff).toByte
+      }
+      i += 4
+    }
+    buf
+  }
+
   /** The xz delta filter (filter id 0x03): byte-distance subtraction,
     * `out[i] = in[i] − in[i−dist]` with zero-initialized history when
     * encoding, the running-sum inverse when decoding. dist ∈ [1, 256]

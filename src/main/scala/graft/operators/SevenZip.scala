@@ -158,25 +158,27 @@ object SevenZip {
     * (03 03 01 1B) stays rejected — four-stream, not size-preserving,
     * no evidence source on this runtime (memo: NOTES_r14).
     */
-  private def filterOf(c: Coder): Option[Xz.PreFilter] = c.id match {
-    case Seq(0x03, 0x03, 0x01, 0x03) | Seq(0x04) =>
-      if (c.props.nonEmpty) throw Malformed // start offset: reject
-      Some(Xz.X86Filter)
-    case Seq(0x0a) =>
-      if (c.props.nonEmpty) throw Malformed
-      Some(Xz.Arm64Filter)
-    case Seq(0x03) =>
-      if (c.props.length != 1) throw Malformed // delta REQUIRES a distance
-      Some(Xz.DeltaFilter((c.props(0) & 0xff) + 1))
-    case _ => None
+  private def filterOf(c: Coder): Option[Xz.PreFilter] = {
+    val f: Option[Xz.PreFilter] = c.id match {
+      case Seq(0x03, 0x03, 0x01, 0x03) | Seq(0x04) => Some(Xz.X86Filter)
+      case Seq(0x03, 0x03, 0x02, 0x05) | Seq(0x05) => Some(Xz.PpcFilter)
+      case Seq(0x03, 0x03, 0x05, 0x01) | Seq(0x07) => Some(Xz.ArmFilter)
+      case Seq(0x03, 0x03, 0x07, 0x01) | Seq(0x08) => Some(Xz.ArmThumbFilter)
+      case Seq(0x03, 0x03, 0x08, 0x05) | Seq(0x09) => Some(Xz.SparcFilter)
+      case Seq(0x0a) => Some(Xz.Arm64Filter)
+      case Seq(0x03) =>
+        if (c.props.length != 1) throw Malformed // delta REQUIRES a distance
+        return Some(Xz.DeltaFilter((c.props(0) & 0xff) + 1))
+      case _ => None
+    }
+    // branch filters: a start-offset property changes the conversion
+    // origin — out of scope, reject rather than mis-convert
+    if (f.isDefined && c.props.nonEmpty) throw Malformed
+    f
   }
 
   private def undoFilter(f: Xz.PreFilter, data: Array[Byte]): Array[Byte] =
-    f match {
-      case Xz.X86Filter => Bcj.x86(data, encode = false)
-      case Xz.Arm64Filter => Bcj.arm64(data, encode = false)
-      case Xz.DeltaFilter(d) => Bcj.delta(data, d, encode = false)
-    }
+    Xz.applyPre(f, data, encode = false)
   private final case class StreamsInfo(packPos: Long, packSizes: Vector[Long],
       folders: Vector[Folder],
       numUnpack: Vector[Int], subSizes: Vector[Vector[Long]],
@@ -726,6 +728,14 @@ object SevenZip {
       (cid, props, packed)
     case "arm64-lzma2" => // r14: same structure, ARM64 branch filter
       packFolder(Bcj.arm64(payload, encode = true), "lzma2")
+    case "arm-lzma2" =>
+      packFolder(Bcj.arm(payload, encode = true), "lzma2")
+    case "armt-lzma2" =>
+      packFolder(Bcj.armThumb(payload, encode = true), "lzma2")
+    case "ppc-lzma2" =>
+      packFolder(Bcj.ppc(payload, encode = true), "lzma2")
+    case "sparc-lzma2" =>
+      packFolder(Bcj.sparc(payload, encode = true), "lzma2")
     case "delta4-lzma2" => // r14: delta filter, distance 4
       packFolder(Bcj.delta(payload, 4, encode = true), "lzma2")
   }
@@ -737,6 +747,10 @@ object SevenZip {
     coder match {
       case "bcj-lzma2" => Some((Seq(0x03, 0x03, 0x01, 0x03), Array.empty[Byte]))
       case "arm64-lzma2" => Some((Seq(0x0a), Array.empty[Byte]))
+      case "arm-lzma2" => Some((Seq(0x03, 0x03, 0x05, 0x01), Array.empty[Byte]))
+      case "armt-lzma2" => Some((Seq(0x03, 0x03, 0x07, 0x01), Array.empty[Byte]))
+      case "ppc-lzma2" => Some((Seq(0x03, 0x03, 0x02, 0x05), Array.empty[Byte]))
+      case "sparc-lzma2" => Some((Seq(0x03, 0x03, 0x08, 0x05), Array.empty[Byte]))
       case "delta4-lzma2" => Some((Seq(0x03), Array[Byte](3))) // dist−1
       case _ => None
     }

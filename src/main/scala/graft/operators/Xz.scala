@@ -25,15 +25,17 @@ import org.apache.spark.sql.DataFrame
   * streams plus 4-aligned zero stream-padding must consume the file
   * EXACTLY. Supported filter chains: bare LZMA2 (id 0x21), plus up to
   * three pre-filters ahead of it from the evidence-bounded set — x86
-  * BCJ (id 0x04, r13), ARM64 BCJ (id 0x0A, r14) and delta (id 0x03,
-  * one property byte = dist−1, r14) — each composed from [[Bcj]] and
-  * proven by bidirectional interop with the system `xz --x86` /
-  * `--arm64` / `--delta=dist=N` (decision memos: NOTES_r13/r14). A
-  * declared BCJ start offset and the remaining branch variants
-  * (ARM32/ARMT/PPC/SPARC/IA64/RISC-V) still reject loudly — a silent
-  * pass-through would yield garbage bytes with a valid container
-  * around them. A hostile distance past the declared dictionary size
-  * rejects even when the data happens to be in the block buffer.
+  * BCJ (id 0x04, r13), the ARM64/ARM32/ARM-Thumb/PowerPC/SPARC branch
+  * family (ids 0x0A/0x07/0x08/0x05/0x09, r14) and delta (id 0x03, one
+  * property byte = dist−1, r14) — each composed from [[Bcj]] and
+  * proven by bidirectional interop with the system `xz` (decision
+  * memos: NOTES_r13/r14; reference-filtered bytes byte-exact both
+  * directions). A declared BCJ start offset and the two remaining
+  * branch variants (IA64, RISC-V — NOTES_r14 memo) still reject
+  * loudly — a silent pass-through would yield garbage bytes with a
+  * valid container around them. A hostile distance past the declared
+  * dictionary size rejects even when the data happens to be in the
+  * block buffer.
   *
   * Bomb guard: the running decompressed total is capped (the zstd
   * lesson: guard the accumulated size during streaming, not each
@@ -50,23 +52,40 @@ object Xz {
   /** A supported non-last ("pre") filter in a block's chain, applied
     * ahead of LZMA2 by the encoder and undone after it by the decoder.
     * Scope is evidence-bounded (NOTES_r13/r14 memos): exactly the
-    * filters the runtime's reference `xz` can differentially validate —
-    * x86 BCJ (r13), ARM64 BCJ and delta (r14). ARM32/ARMT/PPC/SPARC/
-    * IA64/RISC-V and declared start offsets keep loud rejects.
+    * filters the runtime's reference `xz` differentially validates —
+    * x86 BCJ (r13); delta, ARM64, ARM32, ARM Thumb, PowerPC and SPARC
+    * (r14, reference-filtered bytes byte-exact both directions). IA64
+    * and RISC-V keep loud rejects (memo: NOTES_r14), as do declared
+    * start offsets on any branch filter.
     */
   sealed trait PreFilter
   case object X86Filter extends PreFilter
   case object Arm64Filter extends PreFilter
+  case object ArmFilter extends PreFilter
+  case object ArmThumbFilter extends PreFilter
+  case object PpcFilter extends PreFilter
+  case object SparcFilter extends PreFilter
   final case class DeltaFilter(dist: Int) extends PreFilter {
     require(dist >= 1 && dist <= 256, s"delta distance $dist")
   }
 
-  private def applyPre(f: PreFilter, data: Array[Byte], encode: Boolean): Array[Byte] =
+  private[operators] def applyPre(f: PreFilter, data: Array[Byte], encode: Boolean): Array[Byte] =
     f match {
       case X86Filter => Bcj.x86(data, encode)
       case Arm64Filter => Bcj.arm64(data, encode)
+      case ArmFilter => Bcj.arm(data, encode)
+      case ArmThumbFilter => Bcj.armThumb(data, encode)
+      case PpcFilter => Bcj.ppc(data, encode)
+      case SparcFilter => Bcj.sparc(data, encode)
       case DeltaFilter(d) => Bcj.delta(data, d, encode)
     }
+
+  /** (xz filter id, PreFilter) for the empty-props branch family. */
+  private val BranchIds: Map[Long, PreFilter] = Map(
+    0x04L -> X86Filter, 0x05L -> PpcFilter, 0x07L -> ArmFilter,
+    0x08L -> ArmThumbFilter, 0x09L -> SparcFilter, 0x0aL -> Arm64Filter)
+  private val BranchIdOf: Map[PreFilter, Int] =
+    BranchIds.map { case (k, v) => (v, k.toInt) }
 
   private def bad(): Nothing = throw new Lzma.Corrupt
 
@@ -248,15 +267,12 @@ object Xz {
         case 0x03 => // delta: one property byte, dist − 1
           if (plen0 != 1) bad()
           pre ::= DeltaFilter((data(p) & 0xff) + 1); p += 1
-        case 0x04 =>
+        case id if BranchIds.contains(id) =>
           // a 4-byte start-offset property changes the conversion
           // origin — out of scope, reject rather than mis-convert
           if (plen0 != 0) bad()
-          pre ::= X86Filter
-        case 0x0a =>
-          if (plen0 != 0) bad() // same start-offset rule as x86
-          pre ::= Arm64Filter
-        case _ => bad() // ARM32/ARMT/PPC/SPARC/IA64/RISC-V etc: no evidence
+          pre ::= BranchIds(id)
+        case _ => bad() // IA64/RISC-V etc: memo'd rejects (NOTES_r14)
       }
       fi += 1
     }
@@ -463,9 +479,8 @@ object Xz {
     bh.write(0) // size byte patched below
     bh.write(pre.length) // filter count - 1; no declared sizes
     pre.foreach {
-      case X86Filter => bh.write(0x04); bh.write(0)
-      case Arm64Filter => bh.write(0x0a); bh.write(0)
       case DeltaFilter(d) => bh.write(0x03); bh.write(1); bh.write(d - 1)
+      case f => bh.write(BranchIdOf(f)); bh.write(0)
     }
     bh.write(0x21) // LZMA2
     bh.write(1) // props length

@@ -514,7 +514,7 @@ class XzSpec extends AnyFunSuite {
     }
   }
 
-  test("filter rejects hold: ARM32 id, arm64 with start offset, delta with bad props") {
+  test("filter rejects hold: IA64/RISC-V ids, arm64 with start offset, delta with bad props") {
     val p = arm64ish(31, 2000)
     val ours = Xz.makeXz(p, check = 1, filters = Seq(Xz.Arm64Filter))
     assert(Xz.decompress(ours).isDefined) // premise
@@ -522,10 +522,13 @@ class XzSpec extends AnyFunSuite {
     def patched(f: Array[Byte] => Unit): Array[Byte] = {
       val c = ours.clone(); f(c); patchBlockHeaderCrc(c); c
     }
-    assert(c14(patched(c => c(14) = 0x07)) === None) // ARM32: no evidence
-    assert(c14(patched(c => c(14) = 0x08)) === None) // ARMT
-    assert(c14(patched(c => c(14) = 0x0b)) === None) // RISC-V
+    assert(c14(patched(c => c(14) = 0x06)) === None) // IA64: memo'd reject
+    assert(c14(patched(c => c(14) = 0x0b)) === None) // RISC-V: memo'd reject
     assert(c14(patched(c => c(15) = 4)) === None) // arm64 start offset
+    // a WRONG branch id from the supported family (declares ARM over
+    // arm64-filtered data): the filter gate passes but the content
+    // check MUST catch the mis-conversion — never silent wrong bytes
+    assert(c14(patched(c => c(14) = 0x07)) === None)
     val od = Xz.makeXz(p, check = 1, filters = Seq(Xz.DeltaFilter(3)))
     assert(Xz.decompress(od).isDefined)
     def patchedD(f: Array[Byte] => Unit): Array[Byte] = {
@@ -533,5 +536,85 @@ class XzSpec extends AnyFunSuite {
     }
     assert(c14(patchedD(c => c(15) = 0)) === None) // delta props absent
     assert(c14(patchedD(c => c(15) = 2)) === None) // delta props oversized
+  }
+
+  // ------- r14b: the rest of the simple branch family (arm/armt/ppc/sparc)
+
+  /** Per-architecture pseudo-code generators biased toward the
+    * convertible instruction forms (plus noise and odd tails).
+    */
+  private def armish(seed: Int, len: Int): Array[Byte] = {
+    val r = new java.util.Random(seed)
+    val b = new Array[Byte](len); r.nextBytes(b)
+    var i = 0
+    while (i + 4 <= len) {
+      if (r.nextInt(3) == 0) b(i + 3) = 0xeb.toByte // BL
+      i += 4
+    }
+    b
+  }
+  private def thumbish(seed: Int, len: Int): Array[Byte] = {
+    val r = new java.util.Random(seed)
+    val b = new Array[Byte](len); r.nextBytes(b)
+    var i = 0
+    while (i + 4 <= len) {
+      if (r.nextInt(3) == 0) {
+        b(i + 1) = (0xf0 | r.nextInt(8)).toByte
+        b(i + 3) = (0xf8 | r.nextInt(8)).toByte
+      }
+      i += 2 + 2 * r.nextInt(2)
+    }
+    b
+  }
+  private def ppcish(seed: Int, len: Int): Array[Byte] = {
+    val r = new java.util.Random(seed)
+    val b = new Array[Byte](len); r.nextBytes(b)
+    var i = 0
+    while (i + 4 <= len) {
+      if (r.nextInt(3) == 0) {
+        b(i) = (0x48 | r.nextInt(4)).toByte
+        b(i + 3) = ((b(i + 3) & 0xfc) | 1).toByte // LK=1, AA random
+      }
+      i += 4
+    }
+    b
+  }
+  private def sparcish(seed: Int, len: Int): Array[Byte] = {
+    val r = new java.util.Random(seed)
+    val b = new Array[Byte](len); r.nextBytes(b)
+    var i = 0
+    while (i + 4 <= len) {
+      if (r.nextInt(3) == 0) {
+        if (r.nextBoolean()) { b(i) = 0x40; b(i + 1) = (b(i + 1) & 0x3f).toByte }
+        else { b(i) = 0x7f; b(i + 1) = (b(i + 1) | 0xc0).toByte }
+      }
+      i += 4
+    }
+    b
+  }
+
+  test("INTEROP: arm/armthumb/powerpc/sparc reference-filtered bytes are byte-exact") {
+    assume(haveXz, "system xz not present")
+    val fams: Seq[(String, Int => Array[Byte], (Array[Byte], Boolean) => Array[Byte], Xz.PreFilter)] = Seq(
+      ("arm", (s: Int) => armish(s, 600 + s * 97), Bcj.arm _, Xz.ArmFilter),
+      ("armthumb", (s: Int) => thumbish(s, 600 + s * 97), Bcj.armThumb _, Xz.ArmThumbFilter),
+      ("powerpc", (s: Int) => ppcish(s, 600 + s * 97), Bcj.ppc _, Xz.PpcFilter),
+      ("sparc", (s: Int) => sparcish(s, 600 + s * 97), Bcj.sparc _, Xz.SparcFilter))
+    for ((flag, gen, filt, pf) <- fams) {
+      for (s <- 0 until sweepN) {
+        val p = gen(s)
+        // self-inverse first
+        assert(filt(filt(p, true), false).toSeq === p.toSeq, s"$flag rt $s")
+        val real = runXz(Seq("-z", "-c", s"--$flag", "--lzma2=preset=0"), p)
+        assert(refFilteredBytes(real).toSeq === filt(p, true).toSeq,
+          s"$flag payload $s: our filter output diverges from the reference's")
+        assert(Xz.decompress(real).map(_.toSeq) === Some(p.toSeq), s"$flag chain $s")
+      }
+      // reverse: real xz decodes our fixture with this filter declared
+      val p = gen(17)
+      val ours = Xz.makeXz(p, check = 4, filters = Seq(pf))
+      assert(Xz.decompress(ours).map(_.toSeq) === Some(p.toSeq))
+      assert(runXz(Seq("-d", "-c"), ours).toSeq === p.toSeq, s"$flag reverse")
+    }
   }
 }
