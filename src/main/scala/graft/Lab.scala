@@ -331,6 +331,21 @@ object Lab {
           (sum(col("__sp")).cast("double") / lit(10000.0)).as("sum_price"))
         .transform(sortSmallTopK(_, col("n_name").asc_nulls_first, col("o_orderstatus").asc_nulls_first))
     }),
+    // floor probe (r14, the c20_floor pattern): the shipping c21 shape
+    // over a stats-rejected scan — pure scheduling/codegen cost of the
+    // scan → WindowGroupLimit partial/final exchange → sort → window →
+    // broadcast join → TOAP chain, zero rows everywhere.
+    V("c21_floor", "", (s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_custkey") < 0)
+      val n = broadcast(t(s, dir, "nation"))
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      c.join(n, col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), col("c_name"), col("c_acctbal"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") <= 3)
+        .transform(sortSmall(_, col("n_name"), col("rn")))
+    }),
     V("c20_stock", "c20_rollup", (s, dir) => {
       // pre-r4 shape: rollup Expand over every joined row (×3)
       val o = t(s, dir, "orders")
