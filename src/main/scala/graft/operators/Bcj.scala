@@ -252,6 +252,126 @@ object Bcj {
     buf
   }
 
+  /** RISC-V branch filter (xz id 0x0B, r14b) — the most intricate of
+    * the simple filters, characterized by ORACLE PROBES against the
+    * runtime `xz --riscv` (the brotli transform-table method; every
+    * rule below was recovered from crafted-input observations and then
+    * validated by byte-exact random sweeps, both directions):
+    *
+    *  - JAL with rd ∈ {x1, x5} (byte0 == 0xEF, (byte1 & 0x0D) == 0):
+    *    the 21-bit J-immediate is unscrambled, rebased by pc, and the
+    *    20-bit halfword target stored big-endian-ish in bytes 1–3
+    *    (v[19:16]→b1 high nibble, v[15:8]→b2, v[7:0]→b3), rd nibble
+    *    preserved. Converted only when a full 8 bytes remain.
+    *  - AUIPC pairs: an `auipc rd, hi20` whose NEXT 32-bit word has
+    *    bits[19:15] == rd and bits[1:0] == 3, with rd ∉ {x0, x2},
+    *    becomes [0x17 | 1<<8 | (w2 & 0xFFFFF) << 12] + the full 32-bit
+    *    absolute address ((hi20<<12) + sext12(w2>>>20) + pc) stored
+    *    BIG-endian — the first word masquerades as `auipc x2`.
+    *  - Disambiguation (bijective by construction): a NATURAL
+    *    `auipc x2` whose hi20 parses as a valid descriptor
+    *    (bits[1:0] == 3, bits[19:15] ∉ {0,2}) is SHUFFLED to
+    *    [w2 & 0xFFFFF000 | desc[19:15]<<7 | 0x17] +
+    *    [(w2 & 0xFFF) << 20 | desc] so it cannot be mistaken for a
+    *    converted pair; every natural sequence that could be mistaken
+    *    for the SHUFFLED form is exactly a convertible pair, which the
+    *    encoder always converts — no third case exists.
+    *
+    * Scan advances (all oracle-pinned with embedded-candidate probes):
+    * 2 bytes default (RVC-compatible), 4 past a converted JAL, 8 past
+    * a converted/shuffled pair, 4 past an auipc with rd ∈ {x0, x2}
+    * that matched nothing, and 6 past an auipc whose pair check failed
+    * (the partner word is skipped); loop bound i + 8 ≤ size.
+    */
+  def riscv(data: Array[Byte], encode: Boolean): Array[Byte] = {
+    val buf = data.clone()
+    val n = buf.length
+    @inline def r32(o: Int): Int = u32le(buf, o)
+    @inline def w32(o: Int, v: Int): Unit = putU32le(buf, o, v)
+    var i = 0
+    while (i + 8 <= n) {
+      val b0 = buf(i) & 0xff
+      if (b0 == 0xef && (buf(i + 1) & 0x0d) == 0) {
+        // JAL rd ∈ {x1, x5}
+        val w = r32(i)
+        if (encode) {
+          val imm = (((w >>> 31) & 1) << 20) | (((w >>> 21) & 0x3ff) << 1) |
+            (((w >>> 20) & 1) << 11) | (((w >>> 12) & 0xff) << 12)
+          val v = ((imm + i) >>> 1) & 0xfffff
+          buf(i + 1) = (((v >>> 12) & 0xf0) | (buf(i + 1) & 0x0f)).toByte
+          buf(i + 2) = ((v >>> 8) & 0xff).toByte
+          buf(i + 3) = (v & 0xff).toByte
+        } else {
+          val v = (((buf(i + 1) & 0xf0) << 12) | ((buf(i + 2) & 0xff) << 8) |
+            (buf(i + 3) & 0xff)) & 0xfffff
+          val imm = ((v << 1) - i) & 0x1fffff
+          val w2 = (w & 0xfff) | (((imm >>> 20) & 1) << 31) |
+            (((imm >>> 1) & 0x3ff) << 21) | (((imm >>> 11) & 1) << 20) |
+            (((imm >>> 12) & 0xff) << 12)
+          w32(i, w2)
+        }
+        i += 4
+      } else if ((b0 & 0x7f) == 0x17) {
+        // AUIPC family
+        val w1 = r32(i)
+        val rd = (w1 >>> 7) & 0x1f
+        if (encode) {
+          val w2 = r32(i + 4)
+          if (rd != 0 && rd != 2 && ((w2 >>> 15) & 0x1f) == rd && (w2 & 3) == 3) {
+            // pair-convert
+            val imm = (w2 >> 20) // arithmetic: sign-extended 12-bit
+            val addr = (w1 & 0xfffff000) + imm + i
+            w32(i, 0x117 | ((w2 & 0xfffff) << 12))
+            // big-endian address word
+            buf(i + 4) = ((addr >>> 24) & 0xff).toByte
+            buf(i + 5) = ((addr >>> 16) & 0xff).toByte
+            buf(i + 6) = ((addr >>> 8) & 0xff).toByte
+            buf(i + 7) = (addr & 0xff).toByte
+            i += 8
+          } else if (rd == 2 && {
+            val desc = w1 >>> 12
+            (desc & 3) == 3 && ((desc >>> 15) & 0x1f) != 0 && ((desc >>> 15) & 0x1f) != 2
+          }) {
+            // protect the masquerading natural form
+            val desc = w1 >>> 12
+            w32(i, (w2 & 0xfffff000) | (((desc >>> 15) & 0x1f) << 7) | 0x17)
+            w32(i + 4, ((w2 & 0xfff) << 20) | desc)
+            i += 8
+          } else if (rd == 0 || rd == 2) i += 4 // oracle-pinned advances
+          else i += 6 // failed pair check skips the partner word
+        } else {
+          if (rd == 2 && {
+            val desc = w1 >>> 12
+            (desc & 3) == 3 && ((desc >>> 15) & 0x1f) != 0 && ((desc >>> 15) & 0x1f) != 2
+          }) {
+            // un-convert a pair
+            val desc = w1 >>> 12
+            val addr = ((buf(i + 4) & 0xff) << 24) | ((buf(i + 5) & 0xff) << 16) |
+              ((buf(i + 6) & 0xff) << 8) | (buf(i + 7) & 0xff)
+            val t = addr - i
+            val imm12 = t & 0xfff
+            val hi20 = ((t - ((imm12 << 20) >> 20)) >>> 12) & 0xfffff
+            w32(i, 0x17 | (((desc >>> 15) & 0x1f) << 7) | (hi20 << 12))
+            w32(i + 4, desc | (imm12 << 20))
+            i += 8
+          } else if (rd != 0 && rd != 2 && {
+            val desc = r32(i + 4) & 0xfffff
+            (desc & 3) == 3 && ((desc >>> 15) & 0x1f) == rd
+          }) {
+            // un-shuffle a protected form
+            val w2p = r32(i + 4)
+            val desc = w2p & 0xfffff
+            w32(i, (desc << 12) | 0x117)
+            w32(i + 4, (w1 & 0xfffff000) | ((w2p >>> 20) & 0xfff))
+            i += 8
+          } else if (rd == 0 || rd == 2) i += 4 // mirror the encode walk
+          else i += 6
+        }
+      } else i += 2
+    }
+    buf
+  }
+
   /** The xz delta filter (filter id 0x03): byte-distance subtraction,
     * `out[i] = in[i] − in[i−dist]` with zero-initialized history when
     * encoding, the running-sum inverse when decoding. dist ∈ [1, 256]

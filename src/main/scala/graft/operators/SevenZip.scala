@@ -32,17 +32,19 @@ import org.apache.spark.sql.types._
   *
   * Coders: kCopy (00), kLzma (03 01 01, raw known-size stream),
   * kLzma2 (21, the control-byte chunk layer shared with the xz
-  * reader), and two-coder bind-pair folders chaining a
-  * size-preserving filter after the compressor — x86 BCJ (old-style
-  * 03 03 01 03 or xz-aligned 04, r13), ARM64 BCJ (0A, r14) and delta
-  * (03 + distance prop, r14), all from [[Bcj]] with the transforms
-  * differentially pinned against the reference `xz` (decision memos:
-  * NOTES_r13/r14; each is a reversible byte transform, nothing is
-  * executed). Other multi-coder folders, the remaining branch
-  * variants, BCJ2 (03 03 01 1B — four-stream, no evidence source on
-  * this runtime) and encrypted archives (kAES-256, 06 F1 07 01) all
-  * reject loudly — a password prompt has no place in a silent bulk
-  * pipeline, and half-decoding is confident garbage.
+  * reader), two-coder bind-pair folders chaining a size-preserving
+  * filter after the compressor — x86 BCJ (old-style 03 03 01 03 or
+  * xz-aligned 04, r13), the ARM64/ARM32/ARM-Thumb/PowerPC/SPARC/
+  * RISC-V family and delta (r14), all from [[Bcj]] with the
+  * transforms differentially pinned against the reference `xz`
+  * (NOTES_r13/r14; each is a reversible byte transform, nothing is
+  * executed) — and (r14) the four-stream BCJ2 graph ([[Bcj2]]):
+  * complex 4-in/1-out coder, multi-pack-stream folders with explicit
+  * pack indices, validated by byte-exact libarchive (bsdtar)
+  * extraction. Other multi-coder folder graphs, IA64, and encrypted
+  * archives (kAES-256, 06 F1 07 01) all reject loudly — a password
+  * prompt has no place in a silent bulk pipeline, and half-decoding
+  * is confident garbage.
   *
   * Reject-don't-guess: numbers are bounds-capped, every declared size
   * is checked against the file/cap BEFORE allocation, folder output
@@ -149,14 +151,14 @@ object SevenZip {
       numPack: Int = 1, bcj2: Option[Bcj2Meta] = None)
 
   /** Recognize a supported size-preserving filter coder (r13 x86; r14
-    * delta + ARM64 — the same evidence-bounded set as [[Xz]], the
-    * transforms themselves differentially pinned against the reference
-    * `xz` in XzSpec). 7z carries both the old-style x86 id
-    * (03 03 01 03) and, since 21.07, the xz-aligned one-byte ids.
+    * delta + the full branch family — the same evidence-bounded set as
+    * [[Xz]], the transforms themselves differentially pinned against
+    * the reference `xz` in XzSpec). 7z carries both the old-style
+    * 0303xxxx ids and, since 21.07, the xz-aligned one-byte ids.
     * Malformed props on a recognized id throw; unknown ids return None
-    * (the caller rejects folders with no recognizable filter). BCJ2
-    * (03 03 01 1B) stays rejected — four-stream, not size-preserving,
-    * no evidence source on this runtime (memo: NOTES_r14).
+    * (the caller rejects folders with no recognizable filter). BCJ2 is
+    * NOT in this set — it is a four-stream graph, handled by the
+    * dedicated folder shape ([[Bcj2Meta]]), not a bind-pair filter.
     */
   private def filterOf(c: Coder): Option[Xz.PreFilter] = {
     val f: Option[Xz.PreFilter] = c.id match {
@@ -166,6 +168,7 @@ object SevenZip {
       case Seq(0x03, 0x03, 0x07, 0x01) | Seq(0x08) => Some(Xz.ArmThumbFilter)
       case Seq(0x03, 0x03, 0x08, 0x05) | Seq(0x09) => Some(Xz.SparcFilter)
       case Seq(0x0a) => Some(Xz.Arm64Filter)
+      case Seq(0x0b) => Some(Xz.RiscvFilter)
       case Seq(0x03) =>
         if (c.props.length != 1) throw Malformed // delta REQUIRES a distance
         return Some(Xz.DeltaFilter((c.props(0) & 0xff) + 1))
@@ -736,6 +739,8 @@ object SevenZip {
       packFolder(Bcj.ppc(payload, encode = true), "lzma2")
     case "sparc-lzma2" =>
       packFolder(Bcj.sparc(payload, encode = true), "lzma2")
+    case "riscv-lzma2" =>
+      packFolder(Bcj.riscv(payload, encode = true), "lzma2")
     case "delta4-lzma2" => // r14: delta filter, distance 4
       packFolder(Bcj.delta(payload, 4, encode = true), "lzma2")
   }
@@ -751,6 +756,7 @@ object SevenZip {
       case "armt-lzma2" => Some((Seq(0x03, 0x03, 0x07, 0x01), Array.empty[Byte]))
       case "ppc-lzma2" => Some((Seq(0x03, 0x03, 0x02, 0x05), Array.empty[Byte]))
       case "sparc-lzma2" => Some((Seq(0x03, 0x03, 0x08, 0x05), Array.empty[Byte]))
+      case "riscv-lzma2" => Some((Seq(0x0b), Array.empty[Byte]))
       case "delta4-lzma2" => Some((Seq(0x03), Array[Byte](3))) // dist−1
       case _ => None
     }

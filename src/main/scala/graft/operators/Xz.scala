@@ -30,9 +30,10 @@ import org.apache.spark.sql.DataFrame
   * property byte = dist−1, r14) — each composed from [[Bcj]] and
   * proven by bidirectional interop with the system `xz` (decision
   * memos: NOTES_r13/r14; reference-filtered bytes byte-exact both
-  * directions). A declared BCJ start offset and the two remaining
-  * branch variants (IA64, RISC-V — NOTES_r14 memo) still reject
-  * loudly — a silent pass-through would yield garbage bytes with a
+  * directions), and RISC-V (id 0x0B, r14b — semantics recovered by
+  * ORACLE PROBES against the reference, see [[Bcj.riscv]]). A declared
+  * BCJ start offset and the one remaining branch variant (IA64 —
+  * NOTES_r14 memo, dead architecture) still reject loudly — a silent pass-through would yield garbage bytes with a
   * valid container around them. A hostile distance past the declared
   * dictionary size rejects even when the data happens to be in the
   * block buffer.
@@ -53,10 +54,10 @@ object Xz {
     * ahead of LZMA2 by the encoder and undone after it by the decoder.
     * Scope is evidence-bounded (NOTES_r13/r14 memos): exactly the
     * filters the runtime's reference `xz` differentially validates —
-    * x86 BCJ (r13); delta, ARM64, ARM32, ARM Thumb, PowerPC and SPARC
-    * (r14, reference-filtered bytes byte-exact both directions). IA64
-    * and RISC-V keep loud rejects (memo: NOTES_r14), as do declared
-    * start offsets on any branch filter.
+    * x86 BCJ (r13); delta, ARM64, ARM32, ARM Thumb, PowerPC, SPARC
+    * and RISC-V (r14, reference-filtered bytes byte-exact both
+    * directions). IA64 keeps its loud reject (memo: NOTES_r14), as do
+    * declared start offsets on any branch filter.
     */
   sealed trait PreFilter
   case object X86Filter extends PreFilter
@@ -65,6 +66,7 @@ object Xz {
   case object ArmThumbFilter extends PreFilter
   case object PpcFilter extends PreFilter
   case object SparcFilter extends PreFilter
+  case object RiscvFilter extends PreFilter
   final case class DeltaFilter(dist: Int) extends PreFilter {
     require(dist >= 1 && dist <= 256, s"delta distance $dist")
   }
@@ -77,13 +79,15 @@ object Xz {
       case ArmThumbFilter => Bcj.armThumb(data, encode)
       case PpcFilter => Bcj.ppc(data, encode)
       case SparcFilter => Bcj.sparc(data, encode)
+      case RiscvFilter => Bcj.riscv(data, encode)
       case DeltaFilter(d) => Bcj.delta(data, d, encode)
     }
 
   /** (xz filter id, PreFilter) for the empty-props branch family. */
   private val BranchIds: Map[Long, PreFilter] = Map(
     0x04L -> X86Filter, 0x05L -> PpcFilter, 0x07L -> ArmFilter,
-    0x08L -> ArmThumbFilter, 0x09L -> SparcFilter, 0x0aL -> Arm64Filter)
+    0x08L -> ArmThumbFilter, 0x09L -> SparcFilter, 0x0aL -> Arm64Filter,
+    0x0bL -> RiscvFilter)
   private val BranchIdOf: Map[PreFilter, Int] =
     BranchIds.map { case (k, v) => (v, k.toInt) }
 
@@ -272,7 +276,7 @@ object Xz {
           // origin — out of scope, reject rather than mis-convert
           if (plen0 != 0) bad()
           pre ::= BranchIds(id)
-        case _ => bad() // IA64/RISC-V etc: memo'd rejects (NOTES_r14)
+        case _ => bad() // IA64 etc: memo'd rejects (NOTES_r14)
       }
       fi += 1
     }

@@ -514,7 +514,7 @@ class XzSpec extends AnyFunSuite {
     }
   }
 
-  test("filter rejects hold: IA64/RISC-V ids, arm64 with start offset, delta with bad props") {
+  test("filter rejects hold: IA64 id, arm64 with start offset, delta with bad props") {
     val p = arm64ish(31, 2000)
     val ours = Xz.makeXz(p, check = 1, filters = Seq(Xz.Arm64Filter))
     assert(Xz.decompress(ours).isDefined) // premise
@@ -523,7 +523,9 @@ class XzSpec extends AnyFunSuite {
       val c = ours.clone(); f(c); patchBlockHeaderCrc(c); c
     }
     assert(c14(patched(c => c(14) = 0x06)) === None) // IA64: memo'd reject
-    assert(c14(patched(c => c(14) = 0x0b)) === None) // RISC-V: memo'd reject
+    // 0x0b is now the SUPPORTED riscv filter — declaring it over
+    // arm64-filtered data mis-converts and the content check rejects
+    assert(c14(patched(c => c(14) = 0x0b)) === None)
     assert(c14(patched(c => c(15) = 4)) === None) // arm64 start offset
     // a WRONG branch id from the supported family (declares ARM over
     // arm64-filtered data): the filter gate passes but the content
@@ -591,6 +593,63 @@ class XzSpec extends AnyFunSuite {
       i += 4
     }
     b
+  }
+
+  /** Pseudo-RISC-V: JAL (rd rotating through link and non-link regs),
+    * AUIPC pairs (matching and mismatching rs1, every excluded rd,
+    * descriptors with low2 ∈ {0,3}), natural auipc-x2 masquerade
+    * shapes, compressed-width phase shifts, and noise — every branch
+    * of the convert/protect/skip machinery fires.
+    */
+  private def riscvish(seed: Int, len: Int): Array[Byte] = {
+    val r = new java.util.Random(seed)
+    val b = new Array[Byte](len)
+    r.nextBytes(b)
+    var i = 0
+    def put32(o: Int, w: Int): Unit = {
+      b(o) = (w & 0xff).toByte; b(o + 1) = ((w >>> 8) & 0xff).toByte
+      b(o + 2) = ((w >>> 16) & 0xff).toByte; b(o + 3) = ((w >>> 24) & 0xff).toByte
+    }
+    while (i + 8 <= len) {
+      r.nextInt(8) match {
+        case 0 | 1 => // JAL, rd biased to x1/x5 but also others
+          val rd = Seq(1, 5, 1, 5, 2, 7, 0)(r.nextInt(7))
+          put32(i, 0x6f | (rd << 7) | (r.nextInt() & 0xfffff000))
+          i += 4
+        case 2 | 3 | 4 => // AUIPC + second word
+          val rd = r.nextInt(32)
+          put32(i, 0x17 | (rd << 7) | (r.nextInt() & 0xfffff000))
+          val rs1 = if (r.nextBoolean()) rd else r.nextInt(32)
+          val low2 = if (r.nextInt(4) == 0) r.nextInt(3) else 3
+          put32(i + 4, (r.nextInt() & ~(0x1f << 15) & ~3) | (rs1 << 15) | low2)
+          i += 8
+        case 5 => // natural auipc x2 with a descriptor-shaped hi20
+          val rs1 = r.nextInt(32)
+          val low2 = if (r.nextInt(3) == 0) 0 else 3
+          val desc = (r.nextInt() & 0xffffc & ~(0x1f << 15)) | (rs1 << 15) | low2
+          put32(i, 0x117 | (desc << 12))
+          i += 4
+        case 6 => i += 2 // compressed-width phase shift
+        case _ => i += 4 // leave noise
+      }
+    }
+    b
+  }
+
+  test("INTEROP: riscv reference-filtered bytes are byte-exact (oracle-probed machinery)") {
+    assume(haveXz, "system xz not present")
+    for (s <- 0 until sweepN) {
+      val p = riscvish(s, 700 + s * 131)
+      assert(Bcj.riscv(Bcj.riscv(p, true), false).toSeq === p.toSeq, s"rt $s")
+      val real = runXz(Seq("-z", "-c", "--riscv", "--lzma2=preset=0"), p)
+      assert(refFilteredBytes(real).toSeq === Bcj.riscv(p, true).toSeq,
+        s"riscv payload $s: our filter output diverges from the reference's")
+      assert(Xz.decompress(real).map(_.toSeq) === Some(p.toSeq), s"chain $s")
+    }
+    val p = riscvish(1717, 4000)
+    val ours = Xz.makeXz(p, check = 4, filters = Seq(Xz.RiscvFilter))
+    assert(Xz.decompress(ours).map(_.toSeq) === Some(p.toSeq))
+    assert(runXz(Seq("-d", "-c"), ours).toSeq === p.toSeq, "riscv reverse")
   }
 
   test("INTEROP: arm/armthumb/powerpc/sparc reference-filtered bytes are byte-exact") {
