@@ -109,7 +109,32 @@ class ArchiveWalkFuzzSpec extends AnyFunSuite {
         fuzzPayload ++ Array.tabulate(256)(i =>
           (if (i % 6 == 0) 0xe8 else i).toByte),
         check = 4, chunkLen = 512, bcjX86 = true),
-      b => graft.operators.Xz.decompress(b).map(_.toSeq)))
+      b => graft.operators.Xz.decompress(b).map(_.toSeq)),
+    ("Xz.decompress(riscv)", // r14: oracle-probed pair/protect machinery
+      graft.operators.Xz.makeXz(
+        fuzzPayload ++ Array.tabulate(300)(i => (i % 4 match {
+          case 0 => if (i % 12 == 0) 0xef else 0x17
+          case 1 => 0x31
+          case _ => i * 37
+        }).toByte),
+        check = 4, chunkLen = 512, filters = Seq(graft.operators.Xz.RiscvFilter)),
+      b => graft.operators.Xz.decompress(b).map(_.toSeq)),
+    ("Xz.decompress(delta+arm64)", // r14: 3-entry chain in header order
+      graft.operators.Xz.makeXz(
+        fuzzPayload ++ Array.tabulate(256)(i =>
+          (if (i % 4 == 3) 0x94 else i * 31).toByte),
+        check = 4, chunkLen = 512,
+        filters = Seq(graft.operators.Xz.DeltaFilter(2),
+          graft.operators.Xz.Arm64Filter)),
+      b => graft.operators.Xz.decompress(b).map(_.toSeq)),
+    ("SevenZip.members(bcj2)", { // r14: the four-stream folder graph
+        val branchy = Array.tabulate(900)(i =>
+          (if (i % 5 == 0) 0xe8 else if (i % 7 == 0) 0xe9 else i * 37).toByte)
+        graft.operators.SevenZip.makeArchive(
+          Seq(("bcj2-lzma2", Seq(("a.bin", branchy)))))
+      },
+      b => graft.operators.SevenZip.members(b)
+        .map(_.flatMap { case (n, d) => n.getBytes("UTF-8").toSeq ++ d.toSeq })))
 
   test("compressed containers: every truncation prefix and byte soup, no throws") {
     val rng = new scala.util.Random(0x51C5)
