@@ -490,6 +490,28 @@ class SevenZipSpec extends AnyFunSuite {
     }
   }
 
+  test("GOLDEN: committed reference-authored archive decodes byte-exactly (binary-independent)") {
+    // bsdtar-written at generation time (Test/runMain graft.GoldenGen),
+    // committed so the reference-container evidence survives sandboxes
+    // without the binary
+    val in = getClass.getResourceAsStream("/golden/sevenzip_reference.json")
+    assert(in != null, "missing golden resource")
+    val txt = new String(in.readAllBytes(), "UTF-8"); in.close()
+    val b64 = java.util.Base64.getDecoder
+    def field(k: String): Array[Byte] = {
+      val m = ("\"" + java.util.regex.Pattern.quote(k) + "\":\\s*\"([^\"]*)\"").r
+        .findFirstMatchIn(txt).getOrElse(fail(s"missing $k"))
+      b64.decode(m.group(1))
+    }
+    val arch = field("archive")
+    val got = SevenZip.members(arch).getOrElse(fail("reference archive rejected"))
+    val want = Seq("alpha.txt", "beta.bin", "gamma.dat")
+    assert(got.map(_._1) === want)
+    want.zip(got).foreach { case (n, (_, g)) =>
+      assert(g.toSeq === field(s"member:$n").toSeq, n)
+    }
+  }
+
   test("BCJ2 rejects: truncated call stream, lying sub size, bad bind graph") {
     val ms = Seq(branchy("a.exe", 51, 900))
     val arch = SevenZip.makeArchive(Seq(("bcj2-lzma2", ms)))

@@ -540,6 +540,26 @@ class XzSpec extends AnyFunSuite {
     assert(c14(patchedD(c => c(15) = 2)) === None) // delta props oversized
   }
 
+  test("GOLDEN: 36 committed reference-encoded filter-chain streams decode byte-exactly") {
+    // every branch/delta chain x 3 presets/checks, produced by the
+    // reference xz at generation time (Test/runMain graft.GoldenGen) and
+    // COMMITTED — the interop evidence survives sandboxes without the
+    // binary (the brotli 72-stream precedent)
+    val in = getClass.getResourceAsStream("/golden/xz_branch_streams.json")
+    assert(in != null, "missing golden resource")
+    val txt = new String(in.readAllBytes(), "UTF-8"); in.close()
+    val entry = """"([a-z0-9+\-]+)":\s*\{"payload":\s*"([^"]*)",\s*"stream":\s*"([^"]*)"\}""".r
+    val b64 = java.util.Base64.getDecoder
+    val hits = entry.findAllMatchIn(txt).toSeq
+    assert(hits.length === 36)
+    hits.foreach { m =>
+      val payload = b64.decode(m.group(2))
+      val stream = b64.decode(m.group(3))
+      assert(Xz.decompress(stream).map(_.toSeq) === Some(payload.toSeq),
+        s"golden ${m.group(1)}")
+    }
+  }
+
   // ------- r14b: the rest of the simple branch family (arm/armt/ppc/sparc)
 
   /** Per-architecture pseudo-code generators biased toward the
