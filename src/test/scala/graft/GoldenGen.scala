@@ -138,5 +138,37 @@ object GoldenGen {
       sb2.toString.getBytes("UTF-8"))
     println("wrote 7z reference archive (" + arch.length + " bytes)")
     dir.listFiles().foreach(_.delete()); dir.delete()
+
+    // BCJ2 archives: our writer's output, extraction VERIFIED against the
+    // reference decoder (bsdtar) at generation time, then committed —
+    // pins the four-stream folder bytes against regressions without the
+    // binary (the brotli crafted-golden pattern)
+    def bsdtarExtract(archive: Array[Byte], member: String): Array[Byte] = {
+      val f = java.io.File.createTempFile("golden2", ".7z")
+      java.nio.file.Files.write(f.toPath, archive)
+      val p2 = new ProcessBuilder("bsdtar", "-xOf", f.getAbsolutePath, member).start()
+      val out2 = p2.getInputStream.readAllBytes()
+      require(p2.waitFor() == 0, "bsdtar failed")
+      f.delete(); out2
+    }
+    val sb3 = new StringBuilder("{\n")
+    val bcj2Entries = Seq(
+      ("bcj2-lzma2", 8101, 2600), ("bcj2-lzma2", 8102, 1100),
+      ("bcj2-lzma2-none", 8103, 1700), ("bcj2-lzma2-mixed", 8104, 2100),
+      ("bcj2-lzma2-mixed", 8105, 900), ("bcj2-lzma2", 8106, 4000)
+    ).zipWithIndex.map { case ((kind, seed, len), k) =>
+      val payload = gen(seed, len, "x86")
+      val arch2 = graft.operators.SevenZip.makeArchive(
+        Seq((kind, Seq((s"g$k.bin", payload)))), encodedHeader = k % 2 == 1)
+      require(java.util.Arrays.equals(bsdtarExtract(arch2, s"g$k.bin"), payload),
+        s"reference validation failed for $kind/$seed")
+      s""""$kind-$k": {"payload": "${b64.encodeToString(payload)}", "archive": "${b64.encodeToString(arch2)}"}"""
+    }
+    sb3.append(bcj2Entries.mkString(",\n"))
+    sb3.append("\n}\n")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("src/test/resources/golden/bcj2_archives.json"),
+      sb3.toString.getBytes("UTF-8"))
+    println("wrote " + bcj2Entries.length + " reference-validated BCJ2 archives")
   }
 }

@@ -512,6 +512,22 @@ class SevenZipSpec extends AnyFunSuite {
     }
   }
 
+  test("GOLDEN: 6 committed BCJ2 archives (reference-validated at generation) decode byte-exactly") {
+    val in = getClass.getResourceAsStream("/golden/bcj2_archives.json")
+    assert(in != null, "missing golden resource")
+    val txt = new String(in.readAllBytes(), "UTF-8"); in.close()
+    val entry = """"([a-z0-9\-]+)":\s*\{"payload":\s*"([^"]*)",\s*"archive":\s*"([^"]*)"\}""".r
+    val b64 = java.util.Base64.getDecoder
+    val hits = entry.findAllMatchIn(txt).toSeq
+    assert(hits.length === 6)
+    hits.foreach { m =>
+      val payload = b64.decode(m.group(2))
+      val arch = b64.decode(m.group(3))
+      val got = SevenZip.members(arch).getOrElse(fail(s"golden ${m.group(1)} rejected"))
+      assert(got.head._2.toSeq === payload.toSeq, s"golden ${m.group(1)}")
+    }
+  }
+
   test("BCJ2 rejects: truncated call stream, lying sub size, bad bind graph") {
     val ms = Seq(branchy("a.exe", 51, 900))
     val arch = SevenZip.makeArchive(Seq(("bcj2-lzma2", ms)))
