@@ -372,6 +372,67 @@ object Bcj {
     buf
   }
 
+  /** IA64 branch filter (xz id 0x06, r14c) — the last member of the
+    * family, ORACLE-PROBED against the runtime `xz --ia64` like RISC-V:
+    * 16-byte instruction bundles whose template byte (bits 4:0) selects
+    * which of the three 41-bit slots hold branches (the probe-recovered
+    * mask table below — templates 16/17/24/25/28/29 mark slot 2,
+    * 18/19 slots 1–2, 22/23 all three). A masked slot converts iff its
+    * top 4 bits equal 5 and bits 11:9 are zero; the 21-bit target
+    * (imm20 at bits 32:13 + sign at bit 36) is rebased by the bundle
+    * address in 16-byte units (src<<4 ± pc, result truncated back to
+    * 21 bits — wrap probe-pinned), all other slot bits preserved.
+    */
+  private val Ia64Mask: Array[Int] = {
+    val t = new Array[Int](32)
+    t(16) = 4; t(17) = 4; t(18) = 6; t(19) = 6
+    t(22) = 7; t(23) = 7; t(24) = 4; t(25) = 4
+    t(28) = 4; t(29) = 4
+    t
+  }
+
+  def ia64(data: Array[Byte], encode: Boolean): Array[Byte] = {
+    val buf = data.clone()
+    var i = 0
+    while (i + 16 <= buf.length) {
+      val mask = Ia64Mask(buf(i) & 0x1f)
+      var slot = 0
+      var bitPos = 5
+      while (slot < 3) {
+        if (((mask >> slot) & 1) != 0) {
+          val bytePos = bitPos >> 3
+          val bitRes = bitPos & 7
+          var instr = 0L
+          var j = 0
+          while (j < 6) {
+            instr |= (buf(i + bytePos + j) & 0xffL) << (8 * j)
+            j += 1
+          }
+          val norm = instr >>> bitRes
+          if (((norm >>> 37) & 0xf) == 5 && ((norm >>> 9) & 0x7) == 0) {
+            var src = ((norm >>> 13) & 0xfffff) | (((norm >>> 36) & 1) << 20)
+            src <<= 4
+            val dest0 = if (encode) src + i else src - i
+            val dest = (dest0 >>> 4) & 0x1fffff
+            var norm2 = norm & ~((0xfffffL << 13) | (1L << 36))
+            norm2 |= (dest & 0xfffff) << 13
+            norm2 |= ((dest >>> 20) & 1) << 36
+            val instr2 = (instr & ((1L << bitRes) - 1)) | (norm2 << bitRes)
+            j = 0
+            while (j < 6) {
+              buf(i + bytePos + j) = ((instr2 >>> (8 * j)) & 0xff).toByte
+              j += 1
+            }
+          }
+        }
+        slot += 1
+        bitPos += 41
+      }
+      i += 16
+    }
+    buf
+  }
+
   /** The xz delta filter (filter id 0x03): byte-distance subtraction,
     * `out[i] = in[i] − in[i−dist]` with zero-initialized history when
     * encoding, the running-sum inverse when decoding. dist ∈ [1, 256]

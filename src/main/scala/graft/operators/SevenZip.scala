@@ -41,7 +41,7 @@ import org.apache.spark.sql.types._
   * executed) — and (r14) the four-stream BCJ2 graph ([[Bcj2]]):
   * complex 4-in/1-out coder, multi-pack-stream folders with explicit
   * pack indices, validated by byte-exact libarchive (bsdtar)
-  * extraction. Other multi-coder folder graphs, IA64, and encrypted
+  * extraction. Other multi-coder folder graphs and encrypted
   * archives (kAES-256, 06 F1 07 01) all reject loudly — a password
   * prompt has no place in a silent bulk pipeline, and half-decoding
   * is confident garbage.
@@ -169,6 +169,7 @@ object SevenZip {
       case Seq(0x03, 0x03, 0x08, 0x05) | Seq(0x09) => Some(Xz.SparcFilter)
       case Seq(0x0a) => Some(Xz.Arm64Filter)
       case Seq(0x0b) => Some(Xz.RiscvFilter)
+      case Seq(0x03, 0x03, 0x04, 0x01) | Seq(0x06) => Some(Xz.Ia64Filter)
       case Seq(0x03) =>
         if (c.props.length != 1) throw Malformed // delta REQUIRES a distance
         return Some(Xz.DeltaFilter((c.props(0) & 0xff) + 1))
@@ -741,6 +742,8 @@ object SevenZip {
       packFolder(Bcj.sparc(payload, encode = true), "lzma2")
     case "riscv-lzma2" =>
       packFolder(Bcj.riscv(payload, encode = true), "lzma2")
+    case "ia64-lzma2" =>
+      packFolder(Bcj.ia64(payload, encode = true), "lzma2")
     case "delta4-lzma2" => // r14: delta filter, distance 4
       packFolder(Bcj.delta(payload, 4, encode = true), "lzma2")
   }
@@ -757,6 +760,7 @@ object SevenZip {
       case "ppc-lzma2" => Some((Seq(0x03, 0x03, 0x02, 0x05), Array.empty[Byte]))
       case "sparc-lzma2" => Some((Seq(0x03, 0x03, 0x08, 0x05), Array.empty[Byte]))
       case "riscv-lzma2" => Some((Seq(0x0b), Array.empty[Byte]))
+      case "ia64-lzma2" => Some((Seq(0x03, 0x03, 0x04, 0x01), Array.empty[Byte]))
       case "delta4-lzma2" => Some((Seq(0x03), Array[Byte](3))) // dist−1
       case _ => None
     }

@@ -30,10 +30,11 @@ import org.apache.spark.sql.DataFrame
   * property byte = dist−1, r14) — each composed from [[Bcj]] and
   * proven by bidirectional interop with the system `xz` (decision
   * memos: NOTES_r13/r14; reference-filtered bytes byte-exact both
-  * directions), and RISC-V (id 0x0B, r14b — semantics recovered by
-  * ORACLE PROBES against the reference, see [[Bcj.riscv]]). A declared
-  * BCJ start offset and the one remaining branch variant (IA64 —
-  * NOTES_r14 memo, dead architecture) still reject loudly — a silent pass-through would yield garbage bytes with a
+  * directions), plus RISC-V (0x0B) and IA64 (0x06) whose semantics
+  * were recovered by ORACLE PROBES against the reference (r14b/c, see
+  * [[Bcj.riscv]]/[[Bcj.ia64]]) — the branch family is COMPLETE. A
+  * declared BCJ start offset and undefined filter ids still reject
+  * loudly — a silent pass-through would yield garbage bytes with a
   * valid container around them. A hostile distance past the declared
   * dictionary size rejects even when the data happens to be in the
   * block buffer.
@@ -54,10 +55,10 @@ object Xz {
     * ahead of LZMA2 by the encoder and undone after it by the decoder.
     * Scope is evidence-bounded (NOTES_r13/r14 memos): exactly the
     * filters the runtime's reference `xz` differentially validates —
-    * x86 BCJ (r13); delta, ARM64, ARM32, ARM Thumb, PowerPC, SPARC
-    * and RISC-V (r14, reference-filtered bytes byte-exact both
-    * directions). IA64 keeps its loud reject (memo: NOTES_r14), as do
-    * declared start offsets on any branch filter.
+    * the complete branch family — x86 (r13); ARM64, ARM32, ARM Thumb,
+    * PowerPC, SPARC, RISC-V, IA64 and delta (r14) — reference-filtered
+    * bytes byte-exact both directions. Declared start offsets on any
+    * branch filter reject.
     */
   sealed trait PreFilter
   case object X86Filter extends PreFilter
@@ -67,6 +68,7 @@ object Xz {
   case object PpcFilter extends PreFilter
   case object SparcFilter extends PreFilter
   case object RiscvFilter extends PreFilter
+  case object Ia64Filter extends PreFilter
   final case class DeltaFilter(dist: Int) extends PreFilter {
     require(dist >= 1 && dist <= 256, s"delta distance $dist")
   }
@@ -80,14 +82,15 @@ object Xz {
       case PpcFilter => Bcj.ppc(data, encode)
       case SparcFilter => Bcj.sparc(data, encode)
       case RiscvFilter => Bcj.riscv(data, encode)
+      case Ia64Filter => Bcj.ia64(data, encode)
       case DeltaFilter(d) => Bcj.delta(data, d, encode)
     }
 
   /** (xz filter id, PreFilter) for the empty-props branch family. */
   private val BranchIds: Map[Long, PreFilter] = Map(
     0x04L -> X86Filter, 0x05L -> PpcFilter, 0x07L -> ArmFilter,
-    0x08L -> ArmThumbFilter, 0x09L -> SparcFilter, 0x0aL -> Arm64Filter,
-    0x0bL -> RiscvFilter)
+    0x06L -> Ia64Filter, 0x08L -> ArmThumbFilter, 0x09L -> SparcFilter,
+    0x0aL -> Arm64Filter, 0x0bL -> RiscvFilter)
   private val BranchIdOf: Map[PreFilter, Int] =
     BranchIds.map { case (k, v) => (v, k.toInt) }
 
@@ -276,7 +279,7 @@ object Xz {
           // origin — out of scope, reject rather than mis-convert
           if (plen0 != 0) bad()
           pre ::= BranchIds(id)
-        case _ => bad() // IA64 etc: memo'd rejects (NOTES_r14)
+        case _ => bad() // undefined/reserved filter ids
       }
       fi += 1
     }

@@ -86,6 +86,22 @@ object GoldenGen {
               case _ => i += 4
             }
           }
+        case "ia64" =>
+          while (i + 16 <= len) {
+            if (r.nextInt(3) != 0) {
+              val template = Seq(16, 18, 22, 24, 28, 0)(r.nextInt(6))
+              var v = BigInt(template)
+              for (s2 <- 0 until 3) {
+                val top4 = if (r.nextInt(2) == 0) 5L else r.nextInt(16).toLong
+                val slot = (top4 << 37) | ((r.nextInt() & 1L) << 36) |
+                  ((r.nextInt() & 0xfffffL) << 13) | r.nextInt(512).toLong
+                v |= BigInt(slot & ((1L << 41) - 1)) << (5 + 41 * s2)
+              }
+              val bytes = v.toByteArray.reverse.padTo(16, 0.toByte)
+              System.arraycopy(bytes, 0, b, i, 16)
+            }
+            i += 16
+          }
         case _ => // plain
       }
       b
@@ -95,6 +111,7 @@ object GoldenGen {
       ("armthumb", Seq("--armthumb"), "armt"), ("arm64", Seq("--arm64"), "arm64"),
       ("powerpc", Seq("--powerpc"), "ppc"), ("sparc", Seq("--sparc"), "sparc"),
       ("riscv", Seq("--riscv"), "riscv"),
+      ("ia64", Seq("--ia64"), "ia64"),
       ("delta1", Seq("--delta=dist=1"), "plain"),
       ("delta4", Seq("--delta=dist=4"), "plain"),
       ("delta256", Seq("--delta=dist=256"), "plain"),

@@ -246,7 +246,7 @@ class SevenZipSpec extends AnyFunSuite {
   test("arm64-lzma2 and delta4-lzma2 folders round-trip (single, SOLID, encoded header, mixed)") {
     for {
       kind <- Seq("arm64-lzma2", "delta4-lzma2", "arm-lzma2", "armt-lzma2",
-        "ppc-lzma2", "sparc-lzma2", "riscv-lzma2")
+        "ppc-lzma2", "sparc-lzma2", "riscv-lzma2", "ia64-lzma2")
       enc <- Seq(false, true)
     } {
       val ms = Seq(arm64doc("lib/a.so", 11, 2800), arm64doc("lib/b.so", 12, 1604))

@@ -514,7 +514,7 @@ class XzSpec extends AnyFunSuite {
     }
   }
 
-  test("filter rejects hold: IA64 id, arm64 with start offset, delta with bad props") {
+  test("filter rejects hold: undefined id, arm64 with start offset, delta with bad props") {
     val p = arm64ish(31, 2000)
     val ours = Xz.makeXz(p, check = 1, filters = Seq(Xz.Arm64Filter))
     assert(Xz.decompress(ours).isDefined) // premise
@@ -522,10 +522,12 @@ class XzSpec extends AnyFunSuite {
     def patched(f: Array[Byte] => Unit): Array[Byte] = {
       val c = ours.clone(); f(c); patchBlockHeaderCrc(c); c
     }
-    assert(c14(patched(c => c(14) = 0x06)) === None) // IA64: memo'd reject
-    // 0x0b is now the SUPPORTED riscv filter — declaring it over
-    // arm64-filtered data mis-converts and the content check rejects
+    assert(c14(patched(c => c(14) = 0x0c)) === None) // undefined id
+    // 0x06/0x0b are now the SUPPORTED ia64/riscv filters — declaring
+    // one over arm64-filtered data mis-converts and the content check
+    // rejects: never silent wrong bytes
     assert(c14(patched(c => c(14) = 0x0b)) === None)
+    assert(c14(patched(c => c(14) = 0x06)) === None)
     assert(c14(patched(c => c(15) = 4)) === None) // arm64 start offset
     // a WRONG branch id from the supported family (declares ARM over
     // arm64-filtered data): the filter gate passes but the content
@@ -540,7 +542,51 @@ class XzSpec extends AnyFunSuite {
     assert(c14(patchedD(c => c(15) = 2)) === None) // delta props oversized
   }
 
-  test("GOLDEN: 36 committed reference-encoded filter-chain streams decode byte-exactly") {
+  /** Pseudo-IA64: 16-byte bundles rotating branch/non-branch templates
+    * with slots at/around the convert condition (top4=5, bits 11:9 = 0)
+    * and immediates spanning the 21-bit wrap, plus partial-bundle tails.
+    */
+  private def ia64ish(seed: Int, len: Int): Array[Byte] = {
+    val r = new java.util.Random(seed)
+    val b = new Array[Byte](len)
+    r.nextBytes(b)
+    var i = 0
+    while (i + 16 <= len) {
+      if (r.nextInt(3) != 0) {
+        val template = Seq(16, 17, 18, 19, 22, 23, 24, 25, 28, 29, 0, 5, 13)(r.nextInt(13))
+        var v = BigInt(template)
+        for (s <- 0 until 3) {
+          val top4 = if (r.nextInt(2) == 0) 5L else r.nextInt(16).toLong
+          val mid = if (r.nextInt(3) == 0) r.nextInt(8).toLong else 0L
+          val slot = (top4 << 37) | ((r.nextInt() & 1L) << 36) |
+            ((r.nextInt() & 0xfffffL) << 13) | (mid << 9) | (r.nextInt(512).toLong)
+          v |= BigInt(slot & ((1L << 41) - 1)) << (5 + 41 * s)
+        }
+        val bytes = v.toByteArray.reverse.padTo(16, 0.toByte)
+        System.arraycopy(bytes, 0, b, i, 16)
+      }
+      i += 16
+    }
+    b
+  }
+
+  test("INTEROP: ia64 reference-filtered bytes are byte-exact (oracle-probed template/slot machinery)") {
+    assume(haveXz, "system xz not present")
+    for (s <- 0 until sweepN) {
+      val p = ia64ish(s, 640 + s * 97 + (s % 16))
+      assert(Bcj.ia64(Bcj.ia64(p, true), false).toSeq === p.toSeq, s"rt $s")
+      val real = runXz(Seq("-z", "-c", "--ia64", "--lzma2=preset=0"), p)
+      assert(refFilteredBytes(real).toSeq === Bcj.ia64(p, true).toSeq,
+        s"ia64 payload $s: our filter output diverges from the reference's")
+      assert(Xz.decompress(real).map(_.toSeq) === Some(p.toSeq), s"chain $s")
+    }
+    val p = ia64ish(4242, 4800)
+    val ours = Xz.makeXz(p, check = 4, filters = Seq(Xz.Ia64Filter))
+    assert(Xz.decompress(ours).map(_.toSeq) === Some(p.toSeq))
+    assert(runXz(Seq("-d", "-c"), ours).toSeq === p.toSeq, "ia64 reverse")
+  }
+
+  test("GOLDEN: 39 committed reference-encoded filter-chain streams decode byte-exactly") {
     // every branch/delta chain x 3 presets/checks, produced by the
     // reference xz at generation time (Test/runMain graft.GoldenGen) and
     // COMMITTED — the interop evidence survives sandboxes without the
@@ -551,7 +597,7 @@ class XzSpec extends AnyFunSuite {
     val entry = """"([a-z0-9+\-]+)":\s*\{"payload":\s*"([^"]*)",\s*"stream":\s*"([^"]*)"\}""".r
     val b64 = java.util.Base64.getDecoder
     val hits = entry.findAllMatchIn(txt).toSeq
-    assert(hits.length === 36)
+    assert(hits.length === 39)
     hits.foreach { m =>
       val payload = b64.decode(m.group(2))
       val stream = b64.decode(m.group(3))
