@@ -1,0 +1,249 @@
+#!/usr/bin/env python3
+"""Reference oracle for the VP8 (lossy WebP) key-frame decoder.
+
+Drives the runtime's reference codec (libwebp.so.7 via ctypes — the
+PUBLIC libwebp C API) to:
+  golden <out.json>      write the committed golden set: deterministic
+                         closed-form images, encoded at a spread of
+                         qualities/configs, with the reference-decoded
+                         Y/U/V plane and RGBA SHA-256s recorded;
+  sweep <n> <seed>       emit n JSONL cases for the live differential
+                         sweep (Vp8Spec's 400-seed standard);
+  decode <file.webp>     dump full reference planes as JSON (debug aid).
+
+Encode coverage: the one-shot WebPEncodeRGB API plus (when the ABI
+handshake succeeds) the advanced WebPEncode API, which lets the sweep
+exercise simple-vs-normal loop filter, 1..8 token partitions, 1..4
+segments, filter strength/sharpness spreads and method 0..6.
+All image content is closed-form (xorshift/trig over (x, y)) — no
+external inputs.
+"""
+import ctypes, hashlib, json, math, random, struct, sys
+
+lib = ctypes.CDLL('libwebp.so.7')
+lib.WebPEncodeRGB.restype = ctypes.c_size_t
+lib.WebPDecodeYUV.restype = ctypes.POINTER(ctypes.c_ubyte)
+lib.WebPDecodeRGBA.restype = ctypes.POINTER(ctypes.c_ubyte)
+
+def encode_simple(rgb, w, h, quality):
+    out = ctypes.POINTER(ctypes.c_ubyte)()
+    n = lib.WebPEncodeRGB(bytes(rgb), w, h, 3 * w,
+                          ctypes.c_float(quality), ctypes.byref(out))
+    if n == 0:
+        raise RuntimeError('WebPEncodeRGB failed')
+    data = bytes(out[:n])
+    lib.WebPFree(out)
+    return data
+
+# ---------------- advanced API (struct-by-offset; sanity-checked) ------
+
+_ABI = None
+for cand in (0x020f, 0x0210, 0x020e, 0x020d):
+    cfg = ctypes.create_string_buffer(512)
+    if lib.WebPConfigInitInternal(cfg, 0, ctypes.c_float(75.0), cand) == 1:
+        _ABI = cand
+        break
+
+def _put_i32(buf, off, v): struct.pack_into('<i', buf, off, v)
+def _put_f32(buf, off, v): struct.pack_into('<f', buf, off, v)
+
+CFG = dict(method=8, segments=24, sns_strength=28, filter_strength=32,
+           filter_sharpness=36, filter_type=40, autofilter=44,
+           passes=60, preprocessing=68, partitions=72)
+
+def encode_advanced(rgb, w, h, quality, **kw):
+    """Returns stream bytes, or None if the advanced ABI is unavailable
+    or any struct sanity check fails (caller falls back to simple)."""
+    if _ABI is None:
+        return None
+    cfg = ctypes.create_string_buffer(512)
+    if lib.WebPConfigInitInternal(cfg, 0, ctypes.c_float(quality), _ABI) != 1:
+        return None
+    for k, v in kw.items():
+        _put_i32(cfg, CFG[k], v)
+    if lib.WebPValidateConfig(cfg) != 1:
+        return None
+    pic = ctypes.create_string_buffer(512)
+    if lib.WebPPictureInitInternal(pic, _ABI) != 1:
+        return None
+    _put_i32(pic, 8, w)
+    _put_i32(pic, 12, h)
+    if lib.WebPPictureImportRGB(pic, bytes(rgb), 3 * w) != 1:
+        return None
+    # sanity: y pointer at 16 non-null, y_stride at 40 == w
+    y_ptr = struct.unpack_from('<Q', pic, 16)[0]
+    y_stride = struct.unpack_from('<i', pic, 40)[0]
+    if y_ptr == 0 or y_stride != w:
+        lib.WebPPictureFree(pic)
+        return None
+    writer = ctypes.create_string_buffer(64)
+    lib.WebPMemoryWriterInit(writer)
+    struct.pack_into('<Q', pic, 96,
+                     ctypes.cast(lib.WebPMemoryWrite, ctypes.c_void_p).value)
+    struct.pack_into('<Q', pic, 104, ctypes.addressof(writer))
+    ok = lib.WebPEncode(cfg, pic)
+    lib.WebPPictureFree(pic)
+    if ok != 1:
+        return None
+    mem, size = struct.unpack_from('<QQ', writer, 0)
+    data = ctypes.string_at(mem, size)
+    lib.WebPFree(ctypes.c_void_p(mem))
+    if data[:4] != b'RIFF' or data[8:16] != b'WEBPVP8 ':
+        return None
+    return data
+
+def decode_ref(data):
+    W = ctypes.c_int(); H = ctypes.c_int()
+    u = ctypes.POINTER(ctypes.c_ubyte)(); v = ctypes.POINTER(ctypes.c_ubyte)()
+    st = ctypes.c_int(); uvst = ctypes.c_int()
+    y = lib.WebPDecodeYUV(data, ctypes.c_size_t(len(data)),
+                          ctypes.byref(W), ctypes.byref(H), ctypes.byref(u),
+                          ctypes.byref(v), ctypes.byref(st), ctypes.byref(uvst))
+    if not y:
+        raise RuntimeError('WebPDecodeYUV failed')
+    w, h = W.value, H.value
+    cw, ch = (w + 1) // 2, (h + 1) // 2
+    yb = b''.join(bytes(y[r * st.value:r * st.value + w]) for r in range(h))
+    ub = b''.join(bytes(u[r * uvst.value:r * uvst.value + cw]) for r in range(ch))
+    vb = b''.join(bytes(v[r * uvst.value:r * uvst.value + cw]) for r in range(ch))
+    lib.WebPFree(y)
+    W2 = ctypes.c_int(); H2 = ctypes.c_int()
+    rgba = lib.WebPDecodeRGBA(data, ctypes.c_size_t(len(data)),
+                              ctypes.byref(W2), ctypes.byref(H2))
+    if not rgba:
+        raise RuntimeError('WebPDecodeRGBA failed')
+    rb = bytes(rgba[:w * h * 4])
+    lib.WebPFree(rgba)
+    return w, h, yb, ub, vb, rb
+
+# ---------------- closed-form images ----------------
+
+def xs(state):
+    state ^= (state << 13) & 0xffffffffffffffff
+    state ^= state >> 7
+    state ^= (state << 17) & 0xffffffffffffffff
+    return state
+
+def gen_image(kind, w, h, seed):
+    px = bytearray(w * h * 3)
+    s = seed | 1
+    for yy in range(h):
+        for xx in range(w):
+            i = (yy * w + xx) * 3
+            if kind == 'flat':
+                r, g, b = (seed >> 16) & 255, (seed >> 8) & 255, seed & 255
+            elif kind == 'hgrad':
+                r = (xx * 255) // max(1, w - 1); g = 255 - r; b = 128
+            elif kind == 'vgrad':
+                g = (yy * 255) // max(1, h - 1); r = 40; b = 255 - g
+            elif kind == 'diag':
+                r = ((xx + yy) * 255) // max(1, w + h - 2); g = r // 2; b = 255 - r
+            elif kind == 'plasma':
+                r = int(127.5 + 127.5 * math.sin(xx * 0.31 + seed % 7))
+                g = int(127.5 + 127.5 * math.sin(yy * 0.23 + seed % 5))
+                b = int(127.5 + 127.5 * math.sin((xx + yy) * 0.17))
+            elif kind == 'checker':
+                k = 1 + (seed % 6)
+                on = ((xx // k) + (yy // k)) % 2 == 0
+                r, g, b = (230, 40, 20) if on else (20, 60, 220)
+            elif kind == 'blocks':
+                s2 = (xx // 8) * 2654435761 + (yy // 8) * 40503 + seed
+                s2 &= 0xffffffff
+                r, g, b = (s2 >> 16) & 255, (s2 >> 8) & 255, s2 & 255
+            else:  # noise
+                s = xs(s)
+                r, g, b = (s >> 16) & 255, (s >> 8) & 255, s & 255
+            px[i] = r; px[i + 1] = g; px[i + 2] = b
+    return px
+
+KINDS = ['flat', 'hgrad', 'vgrad', 'diag', 'plasma', 'checker', 'blocks', 'noise']
+SIZES = [(1, 1), (3, 2), (7, 5), (8, 8), (16, 16), (17, 13), (32, 32),
+         (33, 29), (48, 80), (64, 64), (128, 96), (176, 144)]
+
+def sha(b): return hashlib.sha256(b).hexdigest()
+
+def case_json(name, data):
+    w, h, yb, ub, vb, rb = decode_ref(data)
+    return {'name': name, 'w': w, 'h': h, 'webp': data.hex(),
+            'y_sha': sha(yb), 'u_sha': sha(ub), 'v_sha': sha(vb),
+            'rgba_sha': sha(rb)}
+
+def cmd_golden(path):
+    out = {}
+    idx = 0
+    for kind in KINDS:
+        for (w, h) in [(7, 5), (16, 16), (33, 29), (64, 64)]:
+            for q in (10, 50, 90):
+                img = gen_image(kind, w, h, 0xC0FFEE + idx)
+                data = encode_simple(img, w, h, q)
+                c = case_json(f'{kind}_{w}x{h}_q{q}', data)
+                out[c.pop('name')] = c
+                idx += 1
+    # advanced-config members (simple filter, multi-partition, segments)
+    adv_cases = [
+        dict(filter_type=0, filter_strength=50, autofilter=0),
+        dict(partitions=3, segments=4, sns_strength=80),
+        dict(filter_strength=0),
+        dict(segments=1, method=0),
+        dict(method=6, filter_sharpness=5, filter_strength=90),
+    ]
+    for i, kw in enumerate(adv_cases):
+        img = gen_image('blocks', 80, 56, 0xBEEF00 + i)
+        data = encode_advanced(img, 80, 56, 40 + 12 * i, **kw)
+        if data is not None:
+            c = case_json(f'adv{i}_' + '_'.join(f'{k}{v}' for k, v in kw.items()),
+                          data)
+            out[c.pop('name')] = c
+    # one large case for the scale shape
+    img = gen_image('plasma', 176, 144, 7)
+    c = case_json('plasma_176x144_q75', encode_simple(img, 176, 144, 75))
+    out[c.pop('name')] = c
+    with open(path, 'w') as f:
+        json.dump(out, f, indent=0)
+    print(f'wrote {path}: {len(out)} cases, advanced API '
+          + ('LIVE' if _ABI is not None else 'unavailable'), file=sys.stderr)
+
+def cmd_sweep(n, seed):
+    rng = random.Random(seed)
+    emitted = 0
+    while emitted < n:
+        kind = rng.choice(KINDS)
+        w, h = rng.choice(SIZES)
+        q = rng.choice([0, 5, 10, 20, 30, 40, 50, 60, 70, 80, 90, 95, 100])
+        img = gen_image(kind, w, h, rng.getrandbits(30))
+        if rng.random() < 0.5 and _ABI is not None:
+            kw = dict(filter_type=rng.randint(0, 1),
+                      filter_strength=rng.choice([0, 20, 50, 80, 100]),
+                      filter_sharpness=rng.randint(0, 7),
+                      partitions=rng.randint(0, 3),
+                      segments=rng.randint(1, 4),
+                      sns_strength=rng.choice([0, 50, 100]),
+                      method=rng.randint(0, 6),
+                      autofilter=rng.randint(0, 1))
+            data = encode_advanced(img, w, h, q, **kw)
+            name = f'adv_{kind}_{w}x{h}_q{q}_' + \
+                '_'.join(f'{k[:4]}{v}' for k, v in kw.items())
+        else:
+            data = encode_simple(img, w, h, q)
+            name = f'simple_{kind}_{w}x{h}_q{q}'
+        if data is None:
+            data = encode_simple(img, w, h, q)
+            name = f'fallback_{kind}_{w}x{h}_q{q}'
+        print(json.dumps(case_json(f'{emitted}_{name}', data)))
+        emitted += 1
+
+def cmd_decode(path):
+    data = open(path, 'rb').read()
+    w, h, yb, ub, vb, rb = decode_ref(data)
+    print(json.dumps({'w': w, 'h': h, 'y': yb.hex(), 'u': ub.hex(),
+                      'v': vb.hex(), 'rgba': rb.hex()}))
+
+if __name__ == '__main__':
+    if sys.argv[1] == 'golden':
+        cmd_golden(sys.argv[2])
+    elif sys.argv[1] == 'sweep':
+        cmd_sweep(int(sys.argv[2]), int(sys.argv[3]))
+    elif sys.argv[1] == 'decode':
+        cmd_decode(sys.argv[2])
+    else:
+        raise SystemExit('usage: golden <out.json> | sweep <n> <seed> | decode <f>')
