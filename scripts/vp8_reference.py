@@ -232,6 +232,115 @@ def cmd_sweep(n, seed):
         print(json.dumps(case_json(f'{emitted}_{name}', data)))
         emitted += 1
 
+def cmd_fixture():
+    """Dev-time, run-once: the lossy-WebP pipeline fixtures.
+
+    Writes (a) src/main/resources/graft/vp8_lossy.json — reference-
+    encoded lossy streams the e113b/e29b query fixtures materialize at
+    run time — and (b) fixtures/<sf>/{e113b_webp_lossy,
+    e29b_webp_neardup}.parquet, the expected engine outputs computed
+    INDEPENDENTLY here: stats and average-hashes are derived from the
+    REFERENCE decoder's RGBA (libwebp), with the aHash + banded-pair
+    logic reimplemented in Python (the e02 independent-fixture
+    precedent). Rounding matches WebpL.parse (HALF_EVEN at 6 dp over
+    the IEEE quotient).
+    """
+    import decimal
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    streams = {}
+    stats_rows = []
+    hashes = {}
+
+    def r6(total, n):
+        return float(decimal.Decimal(total / n).quantize(
+            decimal.Decimal('0.000001'), decimal.ROUND_HALF_EVEN))
+
+    def ahash64(w, h, rb):
+        cs = [0] * 64; cn = [0] * 64; tot = 0
+        for y in range(h):
+            rk = (y * 8 // h) * 8
+            for x in range(w):
+                k = rk + x * 8 // w
+                i = (y * w + x) * 4
+                p = rb[i] + rb[i + 1] + rb[i + 2]
+                cs[k] += p; cn[k] += 1; tot += p
+        n = w * h
+        hv = 0
+        for k in range(64):
+            if cs[k] * n > tot * cn[k]:
+                hv |= 1 << (63 - k)
+        return hv
+
+    # e113b: 24 stats members — kinds × sizes × qualities, plus
+    # advanced-config members (simple filter, 8 partitions, 4 segments)
+    idx = 0
+    for kind in ['flat', 'hgrad', 'plasma', 'checker', 'blocks', 'noise']:
+        for (w, h, q) in [(16, 16, 25), (33, 29, 60), (48, 80, 85)]:
+            img = gen_image(kind, w, h, 0x113B00 + idx)
+            data = encode_simple(img, w, h, q)
+            streams[f'st{idx:02d}_{kind}_{w}x{h}_q{q}.webp'] = data
+            idx += 1
+    for i, kw in enumerate([
+            dict(filter_type=0, filter_strength=60),
+            dict(partitions=3, segments=4, sns_strength=80),
+            dict(filter_strength=0, method=0),
+            dict(method=6, filter_sharpness=4),
+            dict(segments=2, sns_strength=100, autofilter=1),
+            dict(partitions=2, filter_type=0, filter_strength=30)]):
+        img = gen_image('blocks', 40 + 8 * i, 32, 0x113BF0 + i)
+        data = encode_advanced(img, 40 + 8 * i, 32, 35 + 10 * i, **kw)
+        assert data is not None, 'advanced API unavailable at generation time'
+        streams[f'st{idx + i:02d}_adv{i}.webp'] = data
+    for name in sorted(streams):
+        w, h, yb, ub, vb, rb = decode_ref(streams[name])
+        n = w * h
+        stats_rows.append(dict(
+            fname=name, width=w, height=h,
+            mean_a=r6(sum(rb[3::4]), n), mean_r=r6(sum(rb[0::4]), n),
+            mean_g=r6(sum(rb[1::4]), n), mean_b=r6(sum(rb[2::4]), n)))
+
+    # e29b: near-dup corpus — the canonical lossy near-dup is a
+    # re-encode of the same content at a new rate. Four re-encode pairs
+    # on hash-stable content (strong-contrast plasma/checker/blocks;
+    # gradients sit ON the cell-mean boundary and flip dozens of bits),
+    # one byte-identical copy, three unpaired distractors.
+    nd = {}
+    for i, (kind, seed, w, q2) in enumerate([
+            ('plasma', 0x29B000, 32, 68), ('plasma', 0x29B007, 40, 68),
+            ('blocks', 0x29B004, 48, 55), ('checker', 0x29B00B, 48, 68)]):
+        img = gen_image(kind, w, 32, seed)
+        nd[f'nd{i:02d}a_{kind}.webp'] = encode_simple(img, w, 32, 80)
+        nd[f'nd{i:02d}b_{kind}.webp'] = encode_simple(img, w, 32, q2)
+    for i, kind in enumerate(['hgrad', 'vgrad', 'diag']):
+        img = gen_image(kind, 32, 32, 0x29B100 + i)
+        nd[f'nd{i + 4:02d}a_{kind}.webp'] = encode_simple(img, 32, 32, 80)
+    nd['nd00c_copy.webp'] = nd['nd00a_plasma.webp']
+    for name, data in nd.items():
+        w, h, yb, ub, vb, rb = decode_ref(data)
+        hashes[name] = ahash64(w, h, rb)
+    pair_rows = []
+    names = sorted(nd)
+    for a in range(len(names)):
+        for b in range(a + 1, len(names)):
+            hm = bin(hashes[names[a]] ^ hashes[names[b]]).count('1')
+            if hm <= 3:
+                pair_rows.append(dict(f1=names[a], f2=names[b], hamming=hm))
+    assert len(pair_rows) >= 4, f'only {len(pair_rows)} near-dup pairs'
+    assert any(r['hamming'] == 0 for r in pair_rows), 'no hamming-0 pair'
+    streams.update(nd)
+
+    with open('src/main/resources/graft/vp8_lossy.json', 'w') as f:
+        json.dump({k: v.hex() for k, v in streams.items()}, f, indent=0)
+    for sf in ('sf0.001', 'sf0.01', 'sf0.1'):
+        pq.write_table(pa.Table.from_pylist(stats_rows),
+                       f'fixtures/{sf}/e113b_webp_lossy.parquet')
+        pq.write_table(pa.Table.from_pylist(pair_rows),
+                       f'fixtures/{sf}/e29b_webp_neardup.parquet')
+    print(f'{len(streams)} streams ({len(stats_rows)} stats members, '
+          f'{len(nd)} near-dup members, {len(pair_rows)} expected pairs)',
+          file=sys.stderr)
+
 def cmd_decode(path):
     data = open(path, 'rb').read()
     w, h, yb, ub, vb, rb = decode_ref(data)
@@ -245,5 +354,8 @@ if __name__ == '__main__':
         cmd_sweep(int(sys.argv[2]), int(sys.argv[3]))
     elif sys.argv[1] == 'decode':
         cmd_decode(sys.argv[2])
+    elif sys.argv[1] == 'fixture':
+        cmd_fixture()
     else:
-        raise SystemExit('usage: golden <out.json> | sweep <n> <seed> | decode <f>')
+        raise SystemExit(
+            'usage: golden <out.json> | sweep <n> <seed> | decode <f> | fixture')

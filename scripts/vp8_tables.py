@@ -40,8 +40,16 @@ dc = grab(369152, 395520, 128, 'dcTable')
 bands = data[369280:369296]
 assert list(bands) == [0,1,2,3,6,4,5,6,6,6,6,6,6,6,6,7], 'kBands'
 upd = grab(369312, 395840, 1056, 'updateProbs')
-bmode = grab(370368, 396896, 900, 'kBModesProba')
+bmode_lw = grab(370368, 396896, 900, 'kBModesProba')
+# libwebp's B-mode enum orders {RD, VR, LD} = {4, 5, 6}; RFC 6386 orders
+# {LD, RD, VR} = {4, 5, 6}. The repo decoder uses RFC numbering, so the
+# [above][left] context axes are permuted here (the 9 in-row
+# probabilities are tree-positional and identical in both).
+to_lw = [0, 1, 2, 3, 6, 4, 5, 7, 8, 9]
+bmode = bytes(bmode_lw[(to_lw[a] * 10 + to_lw[l]) * 9 + p]
+              for a in range(10) for l in range(10) for p in range(9))
 coef = grab(371296, 397824, 1056, 'coeffProbs')
+assert bmode[:9] == bytes([231,120,48,89,115,113,120,152,112]), 'kfB[0][0]'
 assert coef[:33] == bytes([128]*33), 'type0/band0 filler'
 assert list(coef[33:44]) == [253,136,254,255,228,219,128,128,128,128,128]
 

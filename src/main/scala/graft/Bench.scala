@@ -441,9 +441,24 @@ object Bench {
       else s""","sf10":${interleavedGate(spark, Sf10Dir, 3, None)}"""
 
     val jsonLine = f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":${fmt(results)},"queries_static":${fmt(resultsStatic)},"total_static_sec":$totalStatic%.4f,"floor_sec":$floor%.4f$floorAdjField$sf1Field$sf3Field$sf10Field,"sf":"$sfDir"}"""
-    println(jsonLine)
-    // Also persist to target/bench.json: a truncated stdout capture
-    // (sbt log interleaving) must not lose the round's bench artifact.
+    // The driver captures only the LAST 2000 stdout chars (BENCH_r12–r14
+    // all came back `parsed: null` because the full line, with four
+    // per-query maps per gate, overflows that window). stdout therefore
+    // carries a COMPACT line — the driver contract fields plus each
+    // gate's headline numbers, maps stripped — and the full artifact
+    // persists in target/bench.json.
+    def stripMaps(json: String, keys: Seq[String]): String = {
+      var s = json
+      keys.foreach { k =>
+        s = s.replaceAll("\"" + k + "\":\\{[^{}]*\\},?", "")
+      }
+      s.replaceAll(",\\}", "}")
+    }
+    val compactGates = Seq(sf1Field, sf3Field, sf10Field)
+      .map(stripMaps(_, Seq("queries", "ratios", "ratios_live", "baseline_live")))
+      .mkString
+    val compactLine = f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":${fmt(results)},"total_static_sec":$totalStatic%.4f,"floor_sec":$floor%.4f$floorAdjField$compactGates,"sf":"$sfDir"}"""
+    println(compactLine)
     try {
       val out = java.nio.file.Paths.get("target", "bench.json")
       java.nio.file.Files.createDirectories(out.getParent)

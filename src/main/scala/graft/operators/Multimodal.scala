@@ -2004,6 +2004,20 @@ object Multimodal {
         }
     }
     else if (m0 == 0xff && m1 == 0xd8) jpegBrightness(b)
+    else if (m0 == 'R' && m1 == 'I') WebpL.decode(b) match {
+      // WebP, both profiles (VP8L lossless; lossy VP8 via the r15
+      // decoder) — the strict decoders carry their own pixel caps
+      case Some(img) if capped(img.width, img.height) =>
+        val v = new Array[Int](img.width * img.height)
+        var i = 0
+        while (i < v.length) {
+          val px = img.pixels(i)
+          v(i) = ((px >>> 16) & 0xff) + ((px >>> 8) & 0xff) + (px & 0xff)
+          i += 1
+        }
+        Some((img.width, img.height, v))
+      case _ => None
+    }
     else None
   }
 

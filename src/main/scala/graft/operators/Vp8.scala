@@ -1,0 +1,1278 @@
+package graft.operators
+
+/** VP8 key-frame (lossy WebP) decoder — RFC 6386, intra-frame profile.
+  *
+  * The dominant lossy image format on the modern web after JPEG; every
+  * crawl meets `VP8 ` chunks. From-scratch implementation of the PUBLIC
+  * spec (RFC 6386), in the PNG/GIF/JPEG/VP8L tradition of this repo:
+  *
+  *  - the boolean arithmetic decoder (§7) and all header layers: frame
+  *    tag + start code, segmentation (map + quant/filter features, abs
+  *    and delta modes), loop-filter header with ref/mode deltas, 1/2/4/8
+  *    token partitions, quantizer indices with all five plane deltas,
+  *    and the per-frame coefficient-probability updates (§13.4);
+  *  - per-macroblock mode parsing: segment id, skip flag, keyframe
+  *    16x16 mode tree, the context-conditioned 4x4 B-mode trees (above/
+  *    left submode contexts, keyframe B_DC fallback outside the frame),
+  *    chroma mode tree;
+  *  - residual detokenization (§13): the 12-symbol coefficient tree
+  *    with band/context-conditioned probabilities, the "previous token
+  *    was zero → skip the EOB branch" rule, cat1–cat6 extra-bit
+  *    ladders, zigzag placement, per-segment dequantization with the
+  *    Y2 ×2 / ×155/100 (min 8) and chroma-DC (index cap 117 = value
+  *    132) rules of §14.1;
+  *  - reconstruction: 16x16/8x8 DC-V-H-TM prediction with the 127/129
+  *    virtual borders, all ten 4x4 B modes (including the truncated
+  *    above-right rule: column-3 subblocks reuse the macroblock-level
+  *    top-right, replicated from the last above pixel on the rightmost
+  *    column), the exact 4x4 IDCT (20091/35468 fixed-point) and the
+  *    Walsh–Hadamard Y2 transform;
+  *  - the normal AND simple in-loop deblocking filters (§15) with
+  *    per-segment/per-mode filter levels, sharpness-derived interior
+  *    limits and high-edge-variance thresholds, applied macroblock-
+  *    raster after full reconstruction (intra prediction reads
+  *    UNFILTERED neighbors, matching the spec's ordering);
+  *  - libwebp-exact YUV→RGBA output: the "fancy" 4:2:0 bilinear
+  *    chroma upsampler and the 6-bit fixed-point YUV→RGB kernel, so
+  *    the RGBA surface is pixel-identical to WebPDecodeRGBA.
+  *
+  * Probability/quantizer tables live in [[Vp8Tables]] (public RFC 6386
+  * data, extracted from the runtime's reference libwebp with decoder/
+  * encoder copies cross-checked — provenance in scripts/vp8_tables.py;
+  * the keyframe B-mode table's context axes are permuted there from the
+  * reference's internal enum into RFC numbering, recovered by the
+  * differential drill documented in NOTES_r15). Two semantics the spec
+  * text buries, both recovered by oracle probes: a non-B neighbor
+  * contributes its 16x16 mode's B-equivalent (DC→B_DC, V→B_VE, H→B_HE,
+  * TM→B_TM) to the submode context, and the top-row virtual top-left
+  * for TM is 127 even when the left edge is real.
+  * Validation is oracle-differential: committed reference-encoded
+  * goldens (golden/vp8_streams.json) decode to the reference's exact
+  * Y/U/V/RGBA planes ungated, and Vp8Spec's live sweep (when python3 +
+  * libwebp are present) runs the 400-case randomized standard across
+  * qualities 0–100, sizes 1x1–176x144, both loop filters, 1–8 token
+  * partitions and 1–4 segments.
+  *
+  * Shape at 100 TB: per-file scan-local decode, zero shuffle; bomb cap
+  * before allocation.
+  */
+object Vp8 {
+
+  private val MaxPixels = 1 << 24
+
+  private object Malformed extends RuntimeException {
+    override def fillInStackTrace(): Throwable = this
+  }
+
+  // ---------------- boolean decoder (§7) ----------------
+
+  /** Arithmetic bool decoder over [off, off+len). Reads past the end
+    * yield zero bits (the spec's own streams rely on decoder lookahead
+    * past the final byte); every decode loop is structurally bounded,
+    * so zero-fill cannot diverge.
+    */
+  private final class Bool(b: Array[Byte], off: Int, len: Int) {
+    private var pos = off
+    private val end = off + len
+    private var range = 255
+    private var value = (nextByte() << 8) | nextByte()
+    private var bitCount = 0
+
+    private def nextByte(): Int =
+      if (pos < end) { val v = b(pos) & 0xff; pos += 1; v } else 0
+
+    def bool(prob: Int): Int = {
+      val split = 1 + (((range - 1) * prob) >> 8)
+      val bigSplit = split << 8
+      val ret =
+        if (value >= bigSplit) { range -= split; value -= bigSplit; 1 }
+        else { range = split; 0 }
+      while (range < 128) {
+        value <<= 1
+        range <<= 1
+        bitCount += 1
+        if (bitCount == 8) { bitCount = 0; value |= nextByte() }
+      }
+      ret
+    }
+
+    /** n-bit unsigned literal, MSB first. */
+    def literal(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) { v = (v << 1) | bool(128); i += 1 }
+      v
+    }
+
+    /** Flagged signed update: flag ? (magnitude, sign) : 0. */
+    def flaggedSigned(n: Int): Int =
+      if (bool(128) == 0) 0
+      else {
+        val m = literal(n)
+        if (bool(128) == 1) -m else m
+      }
+
+    /** Tree decode over the RFC pair representation: entry <= 0 is the
+      * leaf -value (index 0 is only ever the root, so leaf 0 is
+      * unambiguous); probability index is node/2.
+      */
+    def tree(t: Array[Int], probs: Array[Byte], pOff: Int): Int = {
+      var i = 0
+      while (true) {
+        i = t(i + bool(probs(pOff + (i >> 1)) & 0xff))
+        if (i <= 0) return -i
+        ()
+      }
+      0 // unreachable
+    }
+  }
+
+  // tree tables (RFC 6386 §8.2/§11.2/§13.2); leaves encoded as -value
+  private val KfYModeTree = Array(-4, 2, 4, 6, -0, -1, -2, -3) // B_PRED=4
+  private val KfYModeProbs: Array[Byte] =
+    Array(145, 156, 163, 128).map(_.toByte)
+  private val UvModeTree = Array(-0, 2, -1, 4, -2, -3)
+  private val KfUvModeProbs: Array[Byte] = Array(142, 114, 183).map(_.toByte)
+  private val BModeTree = Array(
+    -0, 2, -1, 4, -2, 6, 8, 12, -3, 10, -5, -6, -4, 14, -7, 16, -8, -9)
+  // coefficient token tree; leaves: 0..10 are token ids, 11 = EOB
+  private val CoeffTree = Array(
+    -11, 2, -0, 4, -1, 6, 8, 12, -2, 10, -3, -4, 14, 16, -5, -6, 18, 20,
+    -7, -8, -9, -10)
+  private val CatProbs: Array[Array[Int]] = Array(
+    Array(159), Array(165, 145), Array(173, 148, 140),
+    Array(176, 155, 140, 135), Array(180, 157, 141, 134, 130),
+    Array(254, 254, 243, 230, 196, 177, 153, 140, 133, 130, 129))
+  private val CatBases = Array(5, 7, 11, 19, 35, 67)
+  private val Bands = Array(0, 1, 2, 3, 6, 4, 5, 6, 6, 6, 6, 6, 6, 6, 6, 7)
+  private val Zigzag = Array(0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15)
+
+  private def clamp127(v: Int): Int = if (v < 0) 0 else if (v > 127) 127 else v
+  private def clamp255(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+  private def clamp63(v: Int): Int = if (v < 0) 0 else if (v > 63) 63 else v
+
+  // ---------------- decoded frame ----------------
+
+  /** Cropped planes: y is width*height; u/v are ceil(w/2)*ceil(h/2). */
+  final case class Yuv(width: Int, height: Int,
+      y: Array[Byte], u: Array[Byte], v: Array[Byte])
+
+  /** Decode the raw `VP8 ` chunk payload to cropped YUV planes. */
+  def decodeYuv(data: Array[Byte]): Option[Yuv] = {
+    try Some(decodeFrame(data))
+    catch {
+      case Malformed => None
+      case _: ArrayIndexOutOfBoundsException => None
+      case _: NegativeArraySizeException => None
+    }
+  }
+
+  private def decodeFrame(data: Array[Byte]): Yuv = {
+    if (data == null || data.length < 10) throw Malformed
+    val tag = (data(0) & 0xff) | ((data(1) & 0xff) << 8) | ((data(2) & 0xff) << 16)
+    if ((tag & 1) != 0) throw Malformed // inter frame: not a still
+    val firstPartSize = tag >>> 5
+    if (!(data(3) == 0x9d.toByte && data(4) == 0x01.toByte &&
+      data(5) == 0x2a.toByte)) throw Malformed
+    val w = ((data(6) & 0xff) | ((data(7) & 0xff) << 8)) & 0x3fff
+    val h = ((data(8) & 0xff) | ((data(9) & 0xff) << 8)) & 0x3fff
+    if (w == 0 || h == 0 || w.toLong * h > MaxPixels) throw Malformed
+    if (10 + firstPartSize > data.length) throw Malformed
+    val br = new Bool(data, 10, firstPartSize)
+
+    // ---- frame header (§9) ----
+    br.bool(128) // color_space (0 per spec; tolerated like the reference)
+    br.bool(128) // clamping_type
+    // segmentation
+    var segEnabled = false
+    var segUpdateMap = false
+    var segAbsValues = false
+    val segQuant = new Array[Int](4)
+    val segLf = new Array[Int](4)
+    val segTreeProbs = Array[Byte](255.toByte, 255.toByte, 255.toByte)
+    if (br.bool(128) == 1) {
+      segEnabled = true
+      segUpdateMap = br.bool(128) == 1
+      val updateData = br.bool(128) == 1
+      if (updateData) {
+        segAbsValues = br.bool(128) == 1
+        var i = 0
+        while (i < 4) { segQuant(i) = br.flaggedSigned(7); i += 1 }
+        i = 0
+        while (i < 4) { segLf(i) = br.flaggedSigned(6); i += 1 }
+      }
+      if (segUpdateMap) {
+        var i = 0
+        while (i < 3) {
+          if (br.bool(128) == 1) segTreeProbs(i) = br.literal(8).toByte
+          i += 1
+        }
+      }
+    }
+    // loop filter header
+    val filterSimple = br.bool(128) == 1
+    val filterLevel = br.literal(6)
+    val sharpness = br.literal(3)
+    var lfDeltaEnabled = false
+    val refLfDelta = new Array[Int](4)
+    val modeLfDelta = new Array[Int](4)
+    if (br.bool(128) == 1) {
+      lfDeltaEnabled = true
+      if (br.bool(128) == 1) {
+        var i = 0
+        while (i < 4) {
+          if (br.bool(128) == 1) {
+            refLfDelta(i) = br.literal(6)
+            if (br.bool(128) == 1) refLfDelta(i) = -refLfDelta(i)
+          }
+          i += 1
+        }
+        i = 0
+        while (i < 4) {
+          if (br.bool(128) == 1) {
+            modeLfDelta(i) = br.literal(6)
+            if (br.bool(128) == 1) modeLfDelta(i) = -modeLfDelta(i)
+          }
+          i += 1
+        }
+      }
+    }
+    // token partitions
+    val numParts = 1 << br.literal(2)
+    val partTableOff = 10 + firstPartSize
+    if (partTableOff + 3 * (numParts - 1) > data.length) throw Malformed
+    val partOff = new Array[Int](numParts)
+    val partLen = new Array[Int](numParts)
+    var po = partTableOff + 3 * (numParts - 1)
+    var pi = 0
+    while (pi < numParts - 1) {
+      val sz = (data(partTableOff + 3 * pi) & 0xff) |
+        ((data(partTableOff + 3 * pi + 1) & 0xff) << 8) |
+        ((data(partTableOff + 3 * pi + 2) & 0xff) << 16)
+      partOff(pi) = po
+      partLen(pi) = sz
+      po += sz
+      if (po > data.length) throw Malformed
+      pi += 1
+    }
+    partOff(numParts - 1) = po
+    partLen(numParts - 1) = data.length - po
+    if (partLen(numParts - 1) < 0) throw Malformed
+    val parts = Array.tabulate(numParts)(i => new Bool(data, partOff(i), partLen(i)))
+
+    // quantizers (per segment, §9.6/§14.1)
+    val yAcQi = br.literal(7)
+    val yDcDelta = br.flaggedSigned(4)
+    val y2DcDelta = br.flaggedSigned(4)
+    val y2AcDelta = br.flaggedSigned(4)
+    val uvDcDelta = br.flaggedSigned(4)
+    val uvAcDelta = br.flaggedSigned(4)
+    val dcQ = Vp8Tables.DcTable
+    val acQ = Vp8Tables.AcTable
+    // per segment: y1dc, y1ac, y2dc, y2ac, uvdc, uvac — deltas add to
+    // the RAW segment-adjusted index; each use clamps independently
+    // (the reference's clip(q + delta, max) shape)
+    val q = Array.ofDim[Int](4, 6)
+    var s = 0
+    while (s < 4) {
+      val base =
+        if (!segEnabled) yAcQi
+        else if (segAbsValues) segQuant(s)
+        else yAcQi + segQuant(s)
+      q(s)(0) = dcQ(clamp127(base + yDcDelta))
+      q(s)(1) = acQ(clamp127(base))
+      q(s)(2) = dcQ(clamp127(base + y2DcDelta)) * 2
+      q(s)(3) = { val v = acQ(clamp127(base + y2AcDelta)) * 155 / 100; if (v < 8) 8 else v }
+      q(s)(4) = dcQ { val i = base + uvDcDelta; if (i < 0) 0 else if (i > 117) 117 else i }
+      q(s)(5) = acQ(clamp127(base + uvAcDelta))
+      s += 1
+    }
+
+    br.bool(128) // refresh_entropy_probs (stateless for a still)
+
+    // coefficient probability updates
+    val probs = Vp8Tables.CoeffProbs.clone()
+    val upd = Vp8Tables.UpdateProbs
+    var ti = 0
+    while (ti < 1056) {
+      if (br.bool(upd(ti) & 0xff) == 1) probs(ti) = br.literal(8).toByte
+      ti += 1
+    }
+
+    val useSkip = br.bool(128) == 1
+    val skipProb = if (useSkip) br.literal(8) else 0
+
+    // ---- per-MB mode parse (rest of partition 1) ----
+    val mbW = (w + 15) >> 4
+    val mbH = (h + 15) >> 4
+    val nMb = mbW * mbH
+    val segment = new Array[Byte](nMb)
+    val ymode = new Array[Byte](nMb)
+    val uvmode = new Array[Byte](nMb)
+    val skip = new Array[Boolean](nMb)
+    val bmodes = new Array[Byte](nMb * 16)
+    // submode context rows (keyframe: non-B MBs read as B_DC = 0)
+    val aboveSub = new Array[Byte](mbW * 4)
+    val leftSub = new Array[Byte](4)
+    val kfB = Vp8Tables.KfBModeProbs
+    var mbY = 0
+    var mb = 0
+    while (mbY < mbH) {
+      java.util.Arrays.fill(leftSub, 0.toByte)
+      var mbX = 0
+      while (mbX < mbW) {
+        if (segEnabled && segUpdateMap) {
+          val id =
+            if (br.bool(segTreeProbs(0) & 0xff) == 0)
+              br.bool(segTreeProbs(1) & 0xff)
+            else 2 + br.bool(segTreeProbs(2) & 0xff)
+          segment(mb) = id.toByte
+        }
+        if (useSkip) skip(mb) = br.bool(skipProb) == 1
+        val ym = br.tree(KfYModeTree, KfYModeProbs, 0)
+        ymode(mb) = ym.toByte
+        if (ym == 4) { // B_PRED: 16 context-coded submodes
+          var sby = 0
+          while (sby < 4) {
+            var sbx = 0
+            while (sbx < 4) {
+              val above =
+                if (sby == 0) aboveSub(mbX * 4 + sbx) else bmodes(mb * 16 + (sby - 1) * 4 + sbx)
+              val left =
+                if (sbx == 0) leftSub(sby) else bmodes(mb * 16 + sby * 4 + sbx - 1)
+              val m = br.tree(BModeTree, kfB, ((above * 10) + left) * 9)
+              bmodes(mb * 16 + sby * 4 + sbx) = m.toByte
+              sbx += 1
+            }
+            sby += 1
+          }
+          var i = 0
+          while (i < 4) {
+            aboveSub(mbX * 4 + i) = bmodes(mb * 16 + 12 + i)
+            leftSub(i) = bmodes(mb * 16 + i * 4 + 3)
+            i += 1
+          }
+        } else {
+          // keyframe rule: a non-B neighbor contributes the B-mode
+          // equivalent of its 16x16 mode (DC→B_DC, V→B_VE, H→B_HE,
+          // TM→B_TM) to the submode context
+          val eq = ym match {
+            case 0 => 0; case 1 => 2; case 2 => 3; case _ => 1
+          }
+          var i = 0
+          while (i < 4) {
+            aboveSub(mbX * 4 + i) = eq.toByte; leftSub(i) = eq.toByte; i += 1
+          }
+        }
+        uvmode(mb) = br.tree(UvModeTree, KfUvModeProbs, 0).toByte
+        mbX += 1
+        mb += 1
+      }
+      mbY += 1
+    }
+
+    // ---- residuals + reconstruction ----
+    val yStride = mbW * 16
+    val cStride = mbW * 8
+    val yPlane = new Array[Byte](yStride * mbH * 16)
+    val uPlane = new Array[Byte](cStride * mbH * 8)
+    val vPlane = new Array[Byte](cStride * mbH * 8)
+    val hasCoeff = new Array[Boolean](nMb)
+
+    val aboveNzY = new Array[Boolean](mbW * 4)
+    val aboveNzU = new Array[Boolean](mbW * 2)
+    val aboveNzV = new Array[Boolean](mbW * 2)
+    val aboveNzY2 = new Array[Boolean](mbW)
+    val leftNzY = new Array[Boolean](4)
+    val leftNzU = new Array[Boolean](2)
+    val leftNzV = new Array[Boolean](2)
+    var leftNzY2 = false
+
+    val coeffs = new Array[Int](25 * 16) // blocks 0..15 Y, 16..19 U, 20..23 V, 24 Y2
+    val blockNz = new Array[Boolean](25)
+
+    /** One block's tokens (§13). Returns true if any nonzero coeff. */
+    def decodeBlock(bd: Bool, typ: Int, first: Int, ctx0: Int,
+        out: Array[Int], outOff: Int, dcq: Int, acq: Int): Boolean = {
+      var n = first
+      var ctx = ctx0
+      var prevZero = false
+      var any = false
+      while (n < 16) {
+        val pBase = ((typ * 8) + Bands(n)) * 3 * 11 + ctx * 11
+        var i = if (prevZero) 2 else 0
+        var token = -1
+        while (token < 0) {
+          i = CoeffTree(i + bd.bool(probs(pBase + (i >> 1)) & 0xff))
+          if (i <= 0) token = -i
+        }
+        if (token == 11) return any // EOB
+        if (token == 0) {
+          prevZero = true
+          ctx = 0
+          n += 1
+        } else {
+          prevZero = false
+          var v = 0
+          if (token <= 4) v = token
+          else {
+            val cat = token - 5
+            val cp = CatProbs(cat)
+            var e = 0
+            var k = 0
+            while (k < cp.length) { e = (e << 1) | bd.bool(cp(k)); k += 1 }
+            v = CatBases(cat) + e
+          }
+          val neg = bd.bool(128) == 1
+          val sv = if (neg) -v else v
+          out(outOff + Zigzag(n)) = sv * (if (n == 0) dcq else acq)
+          any = true
+          ctx = if (v == 1) 1 else 2
+          n += 1
+        }
+      }
+      any
+    }
+
+    // exact 4x4 inverse DCT (§14.3), adding into the plane
+    def idctAdd(block: Array[Int], off: Int, plane: Array[Byte],
+        dst: Int, stride: Int): Unit = {
+      val tmp = new Array[Int](16)
+      var i = 0
+      while (i < 4) {
+        val i0 = block(off + i)
+        val i1 = block(off + 4 + i)
+        val i2 = block(off + 8 + i)
+        val i3 = block(off + 12 + i)
+        val a1 = i0 + i2
+        val b1 = i0 - i2
+        val c1 = ((i1 * 35468) >> 16) - (i3 + ((i3 * 20091) >> 16))
+        val d1 = (i1 + ((i1 * 20091) >> 16)) + ((i3 * 35468) >> 16)
+        tmp(i) = a1 + d1
+        tmp(12 + i) = a1 - d1
+        tmp(4 + i) = b1 + c1
+        tmp(8 + i) = b1 - c1
+        i += 1
+      }
+      i = 0
+      while (i < 4) {
+        val i0 = tmp(4 * i)
+        val i1 = tmp(4 * i + 1)
+        val i2 = tmp(4 * i + 2)
+        val i3 = tmp(4 * i + 3)
+        val a1 = i0 + i2
+        val b1 = i0 - i2
+        val c1 = ((i1 * 35468) >> 16) - (i3 + ((i3 * 20091) >> 16))
+        val d1 = (i1 + ((i1 * 20091) >> 16)) + ((i3 * 35468) >> 16)
+        val r = dst + i * stride
+        plane(r) = clamp255((plane(r) & 0xff) + ((a1 + d1 + 4) >> 3)).toByte
+        plane(r + 1) = clamp255((plane(r + 1) & 0xff) + ((b1 + c1 + 4) >> 3)).toByte
+        plane(r + 2) = clamp255((plane(r + 2) & 0xff) + ((b1 - c1 + 4) >> 3)).toByte
+        plane(r + 3) = clamp255((plane(r + 3) & 0xff) + ((a1 - d1 + 4) >> 3)).toByte
+        i += 1
+      }
+    }
+
+    // inverse Walsh–Hadamard for Y2 (§14.3); writes the 16 luma DCs
+    def iwht(block: Array[Int], off: Int, outDc: Array[Int]): Unit = {
+      val tmp = new Array[Int](16)
+      var i = 0
+      while (i < 4) {
+        val a1 = block(off + i) + block(off + 12 + i)
+        val b1 = block(off + 4 + i) + block(off + 8 + i)
+        val c1 = block(off + 4 + i) - block(off + 8 + i)
+        val d1 = block(off + i) - block(off + 12 + i)
+        tmp(i) = a1 + b1
+        tmp(4 + i) = c1 + d1
+        tmp(8 + i) = a1 - b1
+        tmp(12 + i) = d1 - c1
+        i += 1
+      }
+      i = 0
+      while (i < 4) {
+        val a1 = tmp(4 * i) + tmp(4 * i + 3)
+        val b1 = tmp(4 * i + 1) + tmp(4 * i + 2)
+        val c1 = tmp(4 * i + 1) - tmp(4 * i + 2)
+        val d1 = tmp(4 * i) - tmp(4 * i + 3)
+        val a2 = a1 + b1 + 3
+        outDc(4 * i) = a2 >> 3
+        outDc(4 * i + 1) = (c1 + d1 + 3) >> 3
+        outDc(4 * i + 2) = (a1 - b1 + 3) >> 3
+        outDc(4 * i + 3) = (d1 - c1 + 3) >> 3
+        i += 1
+      }
+    }
+
+    def avg2(a: Int, b: Int): Int = (a + b + 1) >> 1
+    def avg3(a: Int, b: Int, c: Int): Int = (a + 2 * b + c + 2) >> 2
+
+    /** Whole-plane intra prediction for 16x16 (size=16) or chroma 8x8
+      * (size=8) blocks. mode: 0 DC, 1 V, 2 H, 3 TM.
+      */
+    def predictBig(plane: Array[Byte], stride: Int, px: Int, py: Int,
+        size: Int, mode: Int): Unit = {
+      val base = py * stride + px
+      val hasA = py > 0
+      val hasL = px > 0
+      def A(c: Int): Int = if (hasA) plane(base - stride + c) & 0xff else 127
+      def L(r: Int): Int = if (hasL) plane(base + r * stride - 1) & 0xff else 129
+      mode match {
+        case 0 =>
+          var dc = 0
+          if (hasA || hasL) {
+            var sum = 0
+            var cnt = 0
+            if (hasA) { var c = 0; while (c < size) { sum += A(c); c += 1 }; cnt += size }
+            if (hasL) { var r = 0; while (r < size) { sum += L(r); r += 1 }; cnt += size }
+            dc = (sum + cnt / 2) / cnt
+          } else dc = 128
+          var r = 0
+          while (r < size) {
+            java.util.Arrays.fill(plane, base + r * stride, base + r * stride + size, dc.toByte)
+            r += 1
+          }
+        case 1 =>
+          var r = 0
+          while (r < size) {
+            var c = 0
+            while (c < size) { plane(base + r * stride + c) = A(c).toByte; c += 1 }
+            r += 1
+          }
+        case 2 =>
+          var r = 0
+          while (r < size) {
+            val lv = L(r).toByte
+            java.util.Arrays.fill(plane, base + r * stride, base + r * stride + size, lv)
+            r += 1
+          }
+        case _ =>
+          // top row: the whole virtual above row INCLUDING top-left is
+          // 127; left column below the top: 129
+          val tl =
+            if (!hasA) 127
+            else if (!hasL) 129
+            else plane(base - stride - 1) & 0xff
+          var r = 0
+          while (r < size) {
+            val lv = L(r)
+            var c = 0
+            while (c < size) {
+              plane(base + r * stride + c) = clamp255(lv + A(c) - tl).toByte
+              c += 1
+            }
+            r += 1
+          }
+      }
+    }
+
+    /** One 4x4 B-mode prediction into the luma plane. a: 8 above pixels
+      * (above + above-right), l: 4 left, tl: top-left.
+      */
+    def predictB(plane: Array[Byte], stride: Int, dst: Int, mode: Int,
+        a: Array[Int], l: Array[Int], tl: Int): Unit = {
+      val p = new Array[Int](16)
+      mode match {
+        case 0 => // B_DC
+          var sum = 4
+          var i = 0
+          while (i < 4) { sum += a(i) + l(i); i += 1 }
+          java.util.Arrays.fill(p, sum >> 3)
+        case 1 => // B_TM
+          var r = 0
+          while (r < 4) {
+            var c = 0
+            while (c < 4) { p(r * 4 + c) = clamp255(l(r) + a(c) - tl); c += 1 }
+            r += 1
+          }
+        case 2 => // B_VE
+          val v0 = avg3(tl, a(0), a(1))
+          val v1 = avg3(a(0), a(1), a(2))
+          val v2 = avg3(a(1), a(2), a(3))
+          val v3 = avg3(a(2), a(3), a(4))
+          var r = 0
+          while (r < 4) { p(r * 4) = v0; p(r * 4 + 1) = v1; p(r * 4 + 2) = v2; p(r * 4 + 3) = v3; r += 1 }
+        case 3 => // B_HE
+          val h0 = avg3(tl, l(0), l(1))
+          val h1 = avg3(l(0), l(1), l(2))
+          val h2 = avg3(l(1), l(2), l(3))
+          val h3 = avg3(l(2), l(3), l(3))
+          var r = 0
+          while (r < 4) {
+            val v = Array(h0, h1, h2, h3)(r)
+            p(r * 4) = v; p(r * 4 + 1) = v; p(r * 4 + 2) = v; p(r * 4 + 3) = v
+            r += 1
+          }
+        case 4 => // B_LD (down-left)
+          var r = 0
+          while (r < 4) {
+            var c = 0
+            while (c < 4) {
+              p(r * 4 + c) =
+                if (r + c == 6) avg3(a(6), a(7), a(7))
+                else avg3(a(r + c), a(r + c + 1), a(r + c + 2))
+              c += 1
+            }
+            r += 1
+          }
+        case 5 => // B_RD (down-right); edge = L3 L2 L1 L0 TL A0 A1 A2 A3
+          val e = Array(l(3), l(2), l(1), l(0), tl, a(0), a(1), a(2), a(3))
+          var r = 0
+          while (r < 4) {
+            var c = 0
+            while (c < 4) {
+              val d = c - r + 3
+              p(r * 4 + c) = avg3(e(d), e(d + 1), e(d + 2))
+              c += 1
+            }
+            r += 1
+          }
+        case 6 => // B_VR
+          val e = Array(l(3), l(2), l(1), l(0), tl, a(0), a(1), a(2), a(3))
+          p(12) = avg3(e(1), e(2), e(3))
+          p(8) = avg3(e(2), e(3), e(4))
+          p(13) = avg3(e(3), e(4), e(5)); p(4) = p(13)
+          p(9) = avg2(e(4), e(5)); p(0) = p(9)
+          p(14) = avg3(e(4), e(5), e(6)); p(5) = p(14)
+          p(10) = avg2(e(5), e(6)); p(1) = p(10)
+          p(15) = avg3(e(5), e(6), e(7)); p(6) = p(15)
+          p(11) = avg2(e(6), e(7)); p(2) = p(11)
+          p(7) = avg3(e(6), e(7), e(8))
+          p(3) = avg2(e(7), e(8))
+        case 7 => // B_VL
+          p(0) = avg2(a(0), a(1))
+          p(4) = avg3(a(0), a(1), a(2))
+          p(8) = avg2(a(1), a(2)); p(1) = p(8)
+          p(5) = avg3(a(1), a(2), a(3)); p(12) = p(5)
+          p(9) = avg2(a(2), a(3)); p(2) = p(9)
+          p(13) = avg3(a(2), a(3), a(4)); p(6) = p(13)
+          p(10) = avg2(a(3), a(4)); p(3) = p(10)
+          p(14) = avg3(a(3), a(4), a(5)); p(7) = p(14)
+          p(11) = avg3(a(4), a(5), a(6))
+          p(15) = avg3(a(5), a(6), a(7))
+        case 8 => // B_HD
+          val e = Array(l(3), l(2), l(1), l(0), tl, a(0), a(1), a(2), a(3))
+          p(12) = avg2(e(0), e(1))
+          p(13) = avg3(e(0), e(1), e(2))
+          p(8) = avg2(e(1), e(2)); p(14) = p(8)
+          p(9) = avg3(e(1), e(2), e(3)); p(15) = p(9)
+          p(10) = avg2(e(2), e(3)); p(4) = p(10)
+          p(11) = avg3(e(2), e(3), e(4)); p(5) = p(11)
+          p(6) = avg2(e(3), e(4)); p(0) = p(6)
+          p(7) = avg3(e(3), e(4), e(5)); p(1) = p(7)
+          p(2) = avg3(e(4), e(5), e(6))
+          p(3) = avg3(e(5), e(6), e(7))
+        case 9 => // B_HU
+          p(0) = avg2(l(0), l(1))
+          p(1) = avg3(l(0), l(1), l(2))
+          p(2) = avg2(l(1), l(2)); p(4) = p(2)
+          p(3) = avg3(l(1), l(2), l(3)); p(5) = p(3)
+          p(6) = avg2(l(2), l(3)); p(8) = p(6)
+          p(7) = avg3(l(2), l(3), l(3)); p(9) = p(7)
+          p(10) = l(3); p(11) = l(3); p(12) = l(3); p(13) = l(3)
+          p(14) = l(3); p(15) = l(3)
+        case _ => throw Malformed
+      }
+      var r = 0
+      while (r < 4) {
+        var c = 0
+        while (c < 4) { plane(dst + r * stride + c) = p(r * 4 + c).toByte; c += 1 }
+        r += 1
+      }
+    }
+
+    val y2dc = new Array[Int](16)
+    mbY = 0
+    mb = 0
+    while (mbY < mbH) {
+      java.util.Arrays.fill(leftNzY, false)
+      java.util.Arrays.fill(leftNzU, false)
+      java.util.Arrays.fill(leftNzV, false)
+      leftNzY2 = false
+      val bd = parts(mbY % numParts)
+      var mbX = 0
+      while (mbX < mbW) {
+        val seg = segment(mb) & 0xff
+        val qs = q(seg)
+        val isB = ymode(mb) == 4
+        java.util.Arrays.fill(coeffs, 0)
+        java.util.Arrays.fill(blockNz, false)
+        var anyCoeff = false
+        if (!skip(mb)) {
+          var haveY2 = false
+          if (!isB) {
+            val ctx = (if (aboveNzY2(mbX)) 1 else 0) + (if (leftNzY2) 1 else 0)
+            val nz = decodeBlock(bd, 1, 0, ctx, coeffs, 24 * 16, qs(2), qs(3))
+            blockNz(24) = nz
+            aboveNzY2(mbX) = nz
+            leftNzY2 = nz
+            haveY2 = true
+          }
+          val yType = if (haveY2) 0 else 3
+          val yFirst = if (haveY2) 1 else 0
+          var sb = 0
+          while (sb < 16) {
+            val sbx = sb & 3
+            val sby = sb >> 2
+            val an = if (sby == 0) aboveNzY(mbX * 4 + sbx) else blockNz((sby - 1) * 4 + sbx)
+            val ln = if (sbx == 0) leftNzY(sby) else blockNz(sby * 4 + sbx - 1)
+            val ctx = (if (an) 1 else 0) + (if (ln) 1 else 0)
+            val nz = decodeBlock(bd, yType, yFirst, ctx, coeffs, sb * 16, qs(0), qs(1))
+            blockNz(sb) = nz
+            if (nz) anyCoeff = true
+            sb += 1
+          }
+          var i = 0
+          while (i < 4) {
+            aboveNzY(mbX * 4 + i) = blockNz(12 + i)
+            leftNzY(i) = blockNz(i * 4 + 3)
+            i += 1
+          }
+          // chroma: u blocks 16..19, v blocks 20..23 (2x2 each)
+          var pl = 0
+          while (pl < 2) {
+            val aboveNzC = if (pl == 0) aboveNzU else aboveNzV
+            val leftNzC = if (pl == 0) leftNzU else leftNzV
+            val b0 = 16 + pl * 4
+            var cb = 0
+            while (cb < 4) {
+              val cx = cb & 1
+              val cy = cb >> 1
+              val an = if (cy == 0) aboveNzC(mbX * 2 + cx) else blockNz(b0 + cx)
+              val ln = if (cx == 0) leftNzC(cy) else blockNz(b0 + cy * 2)
+              val ctx = (if (an) 1 else 0) + (if (ln) 1 else 0)
+              val nz = decodeBlock(bd, 2, 0, ctx, coeffs, (b0 + cb) * 16, qs(4), qs(5))
+              blockNz(b0 + cb) = nz
+              if (nz) anyCoeff = true
+              cb += 1
+            }
+            var k = 0
+            while (k < 2) {
+              aboveNzC(mbX * 2 + k) = blockNz(b0 + 2 + k)
+              leftNzC(k) = blockNz(b0 + k * 2 + 1)
+              k += 1
+            }
+            pl += 1
+          }
+          if (haveY2) {
+            if (blockNz(24)) anyCoeff = true
+            iwht(coeffs, 24 * 16, y2dc)
+            var k = 0
+            while (k < 16) { coeffs(k * 16) = y2dc(k); k += 1 }
+          }
+        } else {
+          // skipped MB: zero the nz contexts; for MBs WITH Y2 also the
+          // Y2 context — i4x4 skipped MBs leave the Y2 context untouched
+          var i = 0
+          while (i < 4) { aboveNzY(mbX * 4 + i) = false; leftNzY(i) = false; i += 1 }
+          i = 0
+          while (i < 2) {
+            aboveNzU(mbX * 2 + i) = false; leftNzU(i) = false
+            aboveNzV(mbX * 2 + i) = false; leftNzV(i) = false
+            i += 1
+          }
+          if (!isB) { aboveNzY2(mbX) = false; leftNzY2 = false }
+        }
+        hasCoeff(mb) = anyCoeff
+
+        // ---- reconstruct ----
+        val yx = mbX * 16
+        val yy0 = mbY * 16
+        if (!isB) {
+          predictBig(yPlane, yStride, yx, yy0, 16, ymode(mb))
+          if (!skip(mb)) {
+            var sb = 0
+            while (sb < 16) {
+              var nzb = blockNz(sb)
+              if (!nzb) {
+                // Y2 may have injected a DC
+                nzb = coeffs(sb * 16) != 0
+              }
+              if (nzb)
+                idctAdd(coeffs, sb * 16, yPlane,
+                  (yy0 + (sb >> 2) * 4) * yStride + yx + (sb & 3) * 4, yStride)
+              sb += 1
+            }
+          }
+        } else {
+          // B_PRED: per-subblock predict + add
+          val aArr = new Array[Int](8)
+          val lArr = new Array[Int](4)
+          var sby = 0
+          while (sby < 4) {
+            var sbx = 0
+            while (sbx < 4) {
+              val px = yx + sbx * 4
+              val py = yy0 + sby * 4
+              val base = py * yStride + px
+              // above 4
+              var i = 0
+              if (py == 0) { while (i < 4) { aArr(i) = 127; i += 1 } }
+              else { while (i < 4) { aArr(i) = yPlane(base - yStride + i) & 0xff; i += 1 } }
+              // above-right 4: the truncated MB-level rule for column 3
+              if (sbx < 3) {
+                if (py == 0) { i = 4; while (i < 8) { aArr(i) = 127; i += 1 } }
+                else { i = 4; while (i < 8) { aArr(i) = yPlane(base - yStride + i) & 0xff; i += 1 } }
+              } else {
+                if (mbY == 0) { i = 4; while (i < 8) { aArr(i) = 127; i += 1 } }
+                else if (mbX == mbW - 1) {
+                  val rep = yPlane(yy0 * yStride - yStride + yx + 15) & 0xff
+                  i = 4; while (i < 8) { aArr(i) = rep; i += 1 }
+                } else {
+                  val src = (yy0 - 1) * yStride + yx + 16
+                  i = 4; while (i < 8) { aArr(i) = yPlane(src + i - 4) & 0xff; i += 1 }
+                }
+              }
+              // left 4 + top-left
+              if (px == 0) {
+                i = 0; while (i < 4) { lArr(i) = 129; i += 1 }
+              } else {
+                i = 0; while (i < 4) { lArr(i) = yPlane(base + i * yStride - 1) & 0xff; i += 1 }
+              }
+              val tl =
+                if (py == 0) 127
+                else if (px == 0) 129
+                else yPlane(base - yStride - 1) & 0xff
+              val sb = sby * 4 + sbx
+              predictB(yPlane, yStride, base, bmodes(mb * 16 + sb) & 0xff, aArr, lArr, tl)
+              if (!skip(mb) && blockNz(sb))
+                idctAdd(coeffs, sb * 16, yPlane, base, yStride)
+              sbx += 1
+            }
+            sby += 1
+          }
+        }
+        // chroma
+        val cx0 = mbX * 8
+        val cy0 = mbY * 8
+        predictBig(uPlane, cStride, cx0, cy0, 8, uvmode(mb))
+        predictBig(vPlane, cStride, cx0, cy0, 8, uvmode(mb))
+        if (!skip(mb)) {
+          var cb = 0
+          while (cb < 4) {
+            if (blockNz(16 + cb))
+              idctAdd(coeffs, (16 + cb) * 16, uPlane,
+                (cy0 + (cb >> 1) * 4) * cStride + cx0 + (cb & 1) * 4, cStride)
+            if (blockNz(20 + cb))
+              idctAdd(coeffs, (20 + cb) * 16, vPlane,
+                (cy0 + (cb >> 1) * 4) * cStride + cx0 + (cb & 1) * 4, cStride)
+            cb += 1
+          }
+        }
+        mbX += 1
+        mb += 1
+      }
+      mbY += 1
+    }
+
+    // ---- loop filter (§15) ----
+    if (filterLevel > 0) {
+      // per-segment base levels, UNclamped — the single clamp happens
+      // after the ref/mode deltas, matching the reference
+      val segLevel = new Array[Int](4)
+      var i = 0
+      while (i < 4) {
+        segLevel(i) =
+          if (!segEnabled) filterLevel
+          else if (segAbsValues) segLf(i)
+          else filterLevel + segLf(i)
+        i += 1
+      }
+      def filterCommonMask(pl: Array[Byte], idx: Int, step: Int,
+          limit: Int, blimit: Int): Boolean = {
+        val p3 = pl(idx - 4 * step) & 0xff
+        val p2 = pl(idx - 3 * step) & 0xff
+        val p1 = pl(idx - 2 * step) & 0xff
+        val p0 = pl(idx - step) & 0xff
+        val q0 = pl(idx) & 0xff
+        val q1 = pl(idx + step) & 0xff
+        val q2 = pl(idx + 2 * step) & 0xff
+        val q3 = pl(idx + 3 * step) & 0xff
+        math.abs(p3 - p2) <= limit && math.abs(p2 - p1) <= limit &&
+          math.abs(p1 - p0) <= limit && math.abs(q1 - q0) <= limit &&
+          math.abs(q2 - q1) <= limit && math.abs(q3 - q2) <= limit &&
+          math.abs(p0 - q0) * 2 + math.abs(p1 - q1) / 2 <= blimit
+      }
+      def hev(pl: Array[Byte], idx: Int, step: Int, t: Int): Boolean = {
+        val p1 = pl(idx - 2 * step) & 0xff
+        val p0 = pl(idx - step) & 0xff
+        val q0 = pl(idx) & 0xff
+        val q1 = pl(idx + step) & 0xff
+        math.abs(p1 - p0) > t || math.abs(q1 - q0) > t
+      }
+      def cl(v: Int): Int = if (v < -128) -128 else if (v > 127) 127 else v
+      def u2s(v: Int): Int = v - 128
+      def s2u(v: Int): Byte = (v + 128).toByte
+      // inner (4-tap) filter
+      def filter4(pl: Array[Byte], idx: Int, step: Int, hevF: Boolean): Unit = {
+        val ps1 = u2s(pl(idx - 2 * step) & 0xff)
+        val ps0 = u2s(pl(idx - step) & 0xff)
+        val qs0 = u2s(pl(idx) & 0xff)
+        val qs1 = u2s(pl(idx + step) & 0xff)
+        var f = if (hevF) cl(ps1 - qs1) else 0
+        f = cl(f + 3 * (qs0 - ps0))
+        val f1 = cl(f + 4) >> 3
+        val f2 = cl(f + 3) >> 3
+        pl(idx) = s2u(cl(qs0 - f1))
+        pl(idx - step) = s2u(cl(ps0 + f2))
+        if (!hevF) {
+          val f3 = (f1 + 1) >> 1
+          pl(idx + step) = s2u(cl(qs1 - f3))
+          pl(idx - 2 * step) = s2u(cl(ps1 + f3))
+        }
+      }
+      // MB-edge (6-tap) filter
+      def filter6(pl: Array[Byte], idx: Int, step: Int, hevF: Boolean): Unit = {
+        if (hevF) { filter4(pl, idx, step, hevF = true); return }
+        val ps2 = u2s(pl(idx - 3 * step) & 0xff)
+        val ps1 = u2s(pl(idx - 2 * step) & 0xff)
+        val ps0 = u2s(pl(idx - step) & 0xff)
+        val qs0 = u2s(pl(idx) & 0xff)
+        val qs1 = u2s(pl(idx + step) & 0xff)
+        val qs2 = u2s(pl(idx + 2 * step) & 0xff)
+        val w = cl(cl(ps1 - qs1) + 3 * (qs0 - ps0))
+        val a0 = (27 * w + 63) >> 7
+        pl(idx) = s2u(cl(qs0 - a0))
+        pl(idx - step) = s2u(cl(ps0 + a0))
+        val a1 = (18 * w + 63) >> 7
+        pl(idx + step) = s2u(cl(qs1 - a1))
+        pl(idx - 2 * step) = s2u(cl(ps1 + a1))
+        val a2 = (9 * w + 63) >> 7
+        pl(idx + 2 * step) = s2u(cl(qs2 - a2))
+        pl(idx - 3 * step) = s2u(cl(ps2 + a2))
+      }
+      def simpleMask(pl: Array[Byte], idx: Int, step: Int, blimit: Int): Boolean = {
+        val p1 = pl(idx - 2 * step) & 0xff
+        val p0 = pl(idx - step) & 0xff
+        val q0 = pl(idx) & 0xff
+        val q1 = pl(idx + step) & 0xff
+        math.abs(p0 - q0) * 2 + math.abs(p1 - q1) / 2 <= blimit
+      }
+      def simpleFilter(pl: Array[Byte], idx: Int, step: Int): Unit = {
+        val ps1 = u2s(pl(idx - 2 * step) & 0xff)
+        val ps0 = u2s(pl(idx - step) & 0xff)
+        val qs0 = u2s(pl(idx) & 0xff)
+        val qs1 = u2s(pl(idx + step) & 0xff)
+        var f = cl(ps1 - qs1)
+        f = cl(f + 3 * (qs0 - ps0))
+        val f1 = cl(f + 4) >> 3
+        val f2 = cl(f + 3) >> 3
+        pl(idx) = s2u(cl(qs0 - f1))
+        pl(idx - step) = s2u(cl(ps0 + f2))
+      }
+
+      mbY = 0
+      mb = 0
+      while (mbY < mbH) {
+        var mbX = 0
+        while (mbX < mbW) {
+          var lvl = segLevel(segment(mb) & 0xff)
+          if (lfDeltaEnabled) {
+            lvl += refLfDelta(0) // keyframe: all-intra
+            if (ymode(mb) == 4) lvl += modeLfDelta(0)
+          }
+          lvl = clamp63(lvl)
+          if (lvl > 0) {
+            var interior = lvl
+            if (sharpness > 0) {
+              interior >>= (if (sharpness > 4) 2 else 1)
+              if (interior > 9 - sharpness) interior = 9 - sharpness
+            }
+            if (interior == 0) interior = 1
+            val hevT = if (lvl >= 40) 2 else if (lvl >= 15) 1 else 0
+            val mbLim = (lvl + 2) * 2 + interior
+            val subLim = lvl * 2 + interior
+            val filterInner = hasCoeff(mb) || ymode(mb) == 4
+            val yx = mbX * 16
+            val yy0 = mbY * 16
+            if (filterSimple) {
+              if (mbX > 0) {
+                var r = 0
+                while (r < 16) {
+                  val idx = (yy0 + r) * yStride + yx
+                  if (simpleMask(yPlane, idx, 1, mbLim)) simpleFilter(yPlane, idx, 1)
+                  r += 1
+                }
+              }
+              if (filterInner) {
+                var e = 4
+                while (e < 16) {
+                  var r = 0
+                  while (r < 16) {
+                    val idx = (yy0 + r) * yStride + yx + e
+                    if (simpleMask(yPlane, idx, 1, subLim)) simpleFilter(yPlane, idx, 1)
+                    r += 1
+                  }
+                  e += 4
+                }
+              }
+              if (mbY > 0) {
+                var c = 0
+                while (c < 16) {
+                  val idx = yy0 * yStride + yx + c
+                  if (simpleMask(yPlane, idx, yStride, mbLim)) simpleFilter(yPlane, idx, yStride)
+                  c += 1
+                }
+              }
+              if (filterInner) {
+                var e = 4
+                while (e < 16) {
+                  var c = 0
+                  while (c < 16) {
+                    val idx = (yy0 + e) * yStride + yx + c
+                    if (simpleMask(yPlane, idx, yStride, subLim)) simpleFilter(yPlane, idx, yStride)
+                    c += 1
+                  }
+                  e += 4
+                }
+              }
+            } else {
+              val cx0 = mbX * 8
+              val cy0 = mbY * 8
+              // left MB edge (vertical edge, horizontal neighborhood)
+              if (mbX > 0) {
+                var r = 0
+                while (r < 16) {
+                  val idx = (yy0 + r) * yStride + yx
+                  if (filterCommonMask(yPlane, idx, 1, interior, mbLim))
+                    filter6(yPlane, idx, 1, hev(yPlane, idx, 1, hevT))
+                  r += 1
+                }
+                r = 0
+                while (r < 8) {
+                  val iu = (cy0 + r) * cStride + cx0
+                  if (filterCommonMask(uPlane, iu, 1, interior, mbLim))
+                    filter6(uPlane, iu, 1, hev(uPlane, iu, 1, hevT))
+                  if (filterCommonMask(vPlane, iu, 1, interior, mbLim))
+                    filter6(vPlane, iu, 1, hev(vPlane, iu, 1, hevT))
+                  r += 1
+                }
+              }
+              if (filterInner) {
+                var e = 4
+                while (e < 16) {
+                  var r = 0
+                  while (r < 16) {
+                    val idx = (yy0 + r) * yStride + yx + e
+                    if (filterCommonMask(yPlane, idx, 1, interior, subLim))
+                      filter4(yPlane, idx, 1, hev(yPlane, idx, 1, hevT))
+                    r += 1
+                  }
+                  e += 4
+                }
+                var r = 0
+                while (r < 8) {
+                  val iu = (cy0 + r) * cStride + cx0 + 4
+                  if (filterCommonMask(uPlane, iu, 1, interior, subLim))
+                    filter4(uPlane, iu, 1, hev(uPlane, iu, 1, hevT))
+                  if (filterCommonMask(vPlane, iu, 1, interior, subLim))
+                    filter4(vPlane, iu, 1, hev(vPlane, iu, 1, hevT))
+                  r += 1
+                }
+              }
+              // top MB edge
+              if (mbY > 0) {
+                var c = 0
+                while (c < 16) {
+                  val idx = yy0 * yStride + yx + c
+                  if (filterCommonMask(yPlane, idx, yStride, interior, mbLim))
+                    filter6(yPlane, idx, yStride, hev(yPlane, idx, yStride, hevT))
+                  c += 1
+                }
+                c = 0
+                while (c < 8) {
+                  val iu = cy0 * cStride + cx0 + c
+                  if (filterCommonMask(uPlane, iu, cStride, interior, mbLim))
+                    filter6(uPlane, iu, cStride, hev(uPlane, iu, cStride, hevT))
+                  if (filterCommonMask(vPlane, iu, cStride, interior, mbLim))
+                    filter6(vPlane, iu, cStride, hev(vPlane, iu, cStride, hevT))
+                  c += 1
+                }
+              }
+              if (filterInner) {
+                var e = 4
+                while (e < 16) {
+                  var c = 0
+                  while (c < 16) {
+                    val idx = (yy0 + e) * yStride + yx + c
+                    if (filterCommonMask(yPlane, idx, yStride, interior, subLim))
+                      filter4(yPlane, idx, yStride, hev(yPlane, idx, yStride, hevT))
+                    c += 1
+                  }
+                  e += 4
+                }
+                var c = 0
+                while (c < 8) {
+                  val iu = (cy0 + 4) * cStride + cx0 + c
+                  if (filterCommonMask(uPlane, iu, cStride, interior, subLim))
+                    filter4(uPlane, iu, cStride, hev(uPlane, iu, cStride, hevT))
+                  if (filterCommonMask(vPlane, iu, cStride, interior, subLim))
+                    filter4(vPlane, iu, cStride, hev(vPlane, iu, cStride, hevT))
+                  c += 1
+                }
+              }
+            }
+          }
+          mbX += 1
+          mb += 1
+        }
+        mbY += 1
+      }
+    }
+
+    // ---- crop ----
+    val cw = (w + 1) / 2
+    val ch = (h + 1) / 2
+    val yOut = new Array[Byte](w * h)
+    var r = 0
+    while (r < h) { System.arraycopy(yPlane, r * yStride, yOut, r * w, w); r += 1 }
+    val uOut = new Array[Byte](cw * ch)
+    val vOut = new Array[Byte](cw * ch)
+    r = 0
+    while (r < ch) {
+      System.arraycopy(uPlane, r * cStride, uOut, r * cw, cw)
+      System.arraycopy(vPlane, r * cStride, vOut, r * cw, cw)
+      r += 1
+    }
+    Yuv(w, h, yOut, uOut, vOut)
+  }
+
+  // ---------------- YUV → RGBA (libwebp-exact fancy upsampling) -------
+
+  // 6-bit fixed-point YUV→RGB kernel (libwebp's public dsp/yuv.h form)
+  private def mulHi(v: Int, coeff: Int): Int = (v * coeff) >> 8
+  private def clip8(v: Int): Int =
+    if ((v & ~16383) == 0) v >> 6 else if (v < 0) 0 else 255
+  private def yuvR(y: Int, v: Int): Int =
+    clip8(mulHi(y, 19077) + mulHi(v, 26149) - 14234)
+  private def yuvG(y: Int, u: Int, v: Int): Int =
+    clip8(mulHi(y, 19077) - mulHi(u, 6419) - mulHi(v, 13320) + 8708)
+  private def yuvB(y: Int, u: Int): Int =
+    clip8(mulHi(y, 19077) + mulHi(u, 33050) - 17685)
+
+  /** RGBA surface identical to the reference's WebPDecodeRGBA: fancy
+    * (bilinear) 4:2:0 chroma upsampling, two output rows per chroma
+    * row pair, duplicated edge handling for the first/last rows.
+    */
+  def yuvToRgba(img: Yuv): Array[Byte] = {
+    val w = img.width
+    val h = img.height
+    val cw = (w + 1) / 2
+    val out = new Array[Byte](w * h * 4)
+    def store(dst: Int, y: Int, u: Int, v: Int): Unit = {
+      out(dst) = yuvR(y, v).toByte
+      out(dst + 1) = yuvG(y, u, v).toByte
+      out(dst + 2) = yuvB(y, u).toByte
+      out(dst + 3) = -1
+    }
+    // one pair of output rows (topY/botY) from chroma rows (topC, botC);
+    // botY < 0 → single row (frame first/last line)
+    def pair(topY: Int, botY: Int, topC: Int, botC: Int): Unit = {
+      // leftmost column: uv0 = (3*tl + l + 2) >> 2 per component
+      def cu(row: Int, i: Int): Int = img.u(row * cw + i) & 0xff
+      def cv(row: Int, i: Int): Int = img.v(row * cw + i) & 0xff
+      def yy(row: Int, i: Int): Int = img.y(row * w + i) & 0xff
+      var tluU = cu(topC, 0); var tluV = cv(topC, 0)
+      var luU = cu(botC, 0); var luV = cv(botC, 0)
+      store(topY * w * 4,
+        yy(topY, 0), (3 * tluU + luU + 2) >> 2, (3 * tluV + luV + 2) >> 2)
+      if (botY >= 0)
+        store(botY * w * 4,
+          yy(botY, 0), (3 * luU + tluU + 2) >> 2, (3 * luV + tluV + 2) >> 2)
+      var x = 1
+      while (x <= (w - 1) / 2) {
+        val tU = cu(topC, x); val tV = cv(topC, x)
+        val bU = cu(botC, x); val bV = cv(botC, x)
+        val avgU = tluU + tU + luU + bU + 8
+        val avgV = tluV + tV + luV + bV + 8
+        val d12U = (avgU + 2 * (tU + luU)) >> 3
+        val d12V = (avgV + 2 * (tV + luV)) >> 3
+        val d03U = (avgU + 2 * (tluU + bU)) >> 3
+        val d03V = (avgV + 2 * (tluV + bV)) >> 3
+        store((topY * w + 2 * x - 1) * 4, yy(topY, 2 * x - 1),
+          (d12U + tluU) >> 1, (d12V + tluV) >> 1)
+        if (2 * x < w)
+          store((topY * w + 2 * x) * 4, yy(topY, 2 * x),
+            (d03U + tU) >> 1, (d03V + tV) >> 1)
+        if (botY >= 0) {
+          store((botY * w + 2 * x - 1) * 4, yy(botY, 2 * x - 1),
+            (d03U + luU) >> 1, (d03V + luV) >> 1)
+          if (2 * x < w)
+            store((botY * w + 2 * x) * 4, yy(botY, 2 * x),
+              (d12U + bU) >> 1, (d12V + bV) >> 1)
+        }
+        tluU = tU; tluV = tV; luU = bU; luV = bV
+        x += 1
+      }
+      if ((w & 1) == 0) {
+        // last column (even width): uv = (3*t + tl + 2) >> 2
+        store((topY * w + w - 1) * 4, yy(topY, w - 1),
+          (3 * tluU + luU + 2) >> 2, (3 * tluV + luV + 2) >> 2)
+        if (botY >= 0)
+          store((botY * w + w - 1) * 4, yy(botY, w - 1),
+            (3 * luU + tluU + 2) >> 2, (3 * luV + tluV + 2) >> 2)
+      }
+    }
+    // first line: chroma row 0 with itself; then row pairs (2k-1, 2k)
+    // between chroma rows (k-1, k); even height: last line with the
+    // final chroma row duplicated — the reference's EmitFancyRGB shape
+    pair(0, -1, 0, 0)
+    var k = 1
+    while (2 * k < h) { pair(2 * k - 1, 2 * k, k - 1, k); k += 1 }
+    if (h > 1 && (h & 1) == 0) pair(h - 1, -1, h / 2 - 1, h / 2 - 1)
+    out
+  }
+
+  /** Raw `VP8 ` chunk payload → ARGB pixels for the perceptual stack,
+    * via the spec pipeline + the reference-exact RGBA conversion.
+    * [[WebpL.decode]] routes lossy containers here, so every webp
+    * consumer (stats rows, aHash near-dup, thumbnail embeddings,
+    * universal ingest) covers both profiles.
+    */
+  def decodePayload(payload: Array[Byte]): Option[WebpL.WebpImage] =
+    decodeYuv(payload).map { yuv =>
+      val rgba = yuvToRgba(yuv)
+      val px = new Array[Int](yuv.width * yuv.height)
+      var i = 0
+      while (i < px.length) {
+        px(i) = (0xff << 24) | ((rgba(4 * i) & 0xff) << 16) |
+          ((rgba(4 * i + 1) & 0xff) << 8) | (rgba(4 * i + 2) & 0xff)
+        i += 1
+      }
+      WebpL.WebpImage(yuv.width, yuv.height, px)
+    }
+
+  /** RIFF-level entry: a whole WebP file holding a lossy `VP8 ` chunk
+    * (directly or behind VP8X).
+    */
+  def decode(bytes: Array[Byte]): Option[WebpL.WebpImage] =
+    vp8Chunk(bytes).flatMap(decodePayload)
+
+  /** Extract the `VP8 ` chunk from a RIFF/WEBP container (None if the
+    * container is malformed or holds no lossy bitstream).
+    */
+  def vp8Chunk(bytes: Array[Byte]): Option[Array[Byte]] = {
+    if (bytes == null || bytes.length < 20) return None
+    if (!(bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F'))
+      return None
+    val riffSize = (bytes(4) & 0xffL) | ((bytes(5) & 0xffL) << 8) |
+      ((bytes(6) & 0xffL) << 16) | ((bytes(7) & 0xffL) << 24)
+    if (riffSize + 8 != bytes.length) return None
+    if (!(bytes(8) == 'W' && bytes(9) == 'E' && bytes(10) == 'B' && bytes(11) == 'P'))
+      return None
+    var p = 12
+    while (p + 8 <= bytes.length) {
+      val fourcc = new String(bytes, p, 4, "ISO-8859-1")
+      val size = (bytes(p + 4) & 0xffL) | ((bytes(p + 5) & 0xffL) << 8) |
+        ((bytes(p + 6) & 0xffL) << 16) | ((bytes(p + 7) & 0xffL) << 24)
+      if (size < 0 || p + 8 + size > bytes.length) return None
+      fourcc match {
+        case "VP8 " =>
+          return Some(java.util.Arrays.copyOfRange(bytes, p + 8, (p + 8 + size).toInt))
+        case "ANIM" | "ANMF" => return None
+        case _ => // VP8X / metadata: walk over
+      }
+      p += 8 + size.toInt + (size.toInt & 1)
+    }
+    None
+  }
+}

@@ -12,9 +12,9 @@ import org.apache.spark.sql.types._
   * Specification" in the PNG/GIF/JPEG tradition:
   *
   *  - RIFF/WEBP container walk (VP8L chunk, directly or behind a
-  *    VP8X extended header; LOSSY `VP8 ` and animations reject loudly
-  *    — a lossy bitstream needs a DCT codec this engine does not
-  *    carry, and pretending otherwise is confident garbage);
+  *    VP8X extended header; LOSSY `VP8 ` key frames route to the
+  *    from-scratch [[Vp8]] decoder since r15 — reference-pinned
+  *    pixel-exact against libwebp; animations still reject loudly);
   *  - the LSB-first bitstream: 14-bit dimensions, version 0 enforced;
   *  - canonical prefix codes, BOTH forms: simple (1–2 symbols) and
   *    code-length-coded (the RFC-1951-style machinery with the
@@ -524,21 +524,24 @@ object WebpL {
         bytes(11) == 'P')) throw Malformed
       var p = 12
       var vp8l: Array[Byte] = null
-      while (p + 8 <= bytes.length && vp8l == null) {
+      var vp8: Array[Byte] = null
+      while (p + 8 <= bytes.length && vp8l == null && vp8 == null) {
         val fourcc = new String(bytes, p, 4, "ISO-8859-1")
         val size = u32le(bytes, p + 4)
         if (size < 0 || p + 8 + size > bytes.length) throw Malformed
         fourcc match {
           case "VP8L" =>
             vp8l = java.util.Arrays.copyOfRange(bytes, p + 8, (p + 8 + size).toInt)
-          case "VP8 " => throw Malformed // lossy: no DCT codec here
+          case "VP8 " => // lossy key frame: the Vp8 decoder (r15)
+            vp8 = java.util.Arrays.copyOfRange(bytes, p + 8, (p + 8 + size).toInt)
           case "ANIM" | "ANMF" => throw Malformed // animation
           case _ => // VP8X and metadata chunks walk over
         }
         p += 8 + size.toInt + (size.toInt & 1) // chunks pad to even
       }
-      if (vp8l == null) throw Malformed
-      Some(decodeVp8lOrdered(vp8l))
+      if (vp8l != null) Some(decodeVp8lOrdered(vp8l))
+      else if (vp8 != null) Vp8.decodePayload(vp8)
+      else throw Malformed
     } catch {
       case Malformed => None
       case _: ArrayIndexOutOfBoundsException => None

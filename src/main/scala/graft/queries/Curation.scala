@@ -1050,6 +1050,37 @@ object Curation extends QueryBlock {
     wDir
   }
 
+  /** e113b/e29b shared: materialize the committed REFERENCE-ENCODED
+    * lossy-WebP streams (src/main/resources/graft/vp8_lossy.json —
+    * produced by the reference encoder at a spread of qualities and
+    * configs, incl. the simple loop filter, 8 token partitions and 4
+    * segments; provenance in scripts/vp8_reference.py `fixture`) whose
+    * names start with `prefix` into a scratch dir. Expected outputs
+    * were derived from the REFERENCE decoder's RGBA at generation time
+    * and committed as parquet fixtures — the e02 independent-fixture
+    * pattern, so the engine's from-scratch VP8 decode is load-bearing
+    * for every row.
+    */
+  def writeVp8LossyFixture(prefix: String, sub: String): String = {
+    val wDir = s"$scratch/$sub"
+    val fd = new java.io.File(wDir)
+    java.nio.file.Files.createDirectories(fd.toPath)
+    fd.listFiles().foreach(_.delete())
+    val in = getClass.getResourceAsStream("/graft/vp8_lossy.json")
+    val json = new String(in.readAllBytes(), "UTF-8")
+    in.close()
+    val entry = """"([A-Za-z0-9_.]+)":\s*"([0-9a-f]+)"""".r
+    entry.findAllMatchIn(json).foreach { m =>
+      if (m.group(1).startsWith(prefix)) {
+        val bytes = m.group(2).grouped(2)
+          .map(h => Integer.parseInt(h, 16).toByte).toArray
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$wDir/${m.group(1)}"), bytes)
+      }
+    }
+    wDir
+  }
+
   /** e113/d45 shared: binaryFile rows → one stats row per image. */
   def webpProject(raw: DataFrame): DataFrame =
     graft.operators.WebpL.parse(raw)
@@ -4985,6 +5016,57 @@ object Curation extends QueryBlock {
           .orderBy(col("doc_id"))
       },
       Some(webpOracleSql)),
+
+    // E113B — LOSSY WebP (VP8 key-frame) decode (r15): the dominant
+    // lossy web format after JPEG; operators.Vp8 implements RFC 6386's
+    // intra-frame profile from scratch (bool decoder, segmentation,
+    // 1–8 token partitions, coefficient detokenization + dequant,
+    // all intra predictors, IDCT/WHT, both loop filters, and the
+    // reference-exact fancy upsampler + YUV→RGB kernel). Streams are
+    // committed REFERENCE-ENCODER output; expected channel stats were
+    // derived from the REFERENCE decoder's RGBA at generation time —
+    // Vp8Spec additionally pins the decoder pixel-exact against
+    // libwebp on 102 goldens + a 400-case live sweep. Per-file
+    // scan-local decode, zero shuffle.
+    "e113b_webp_lossy" -> QueryDef(
+      (s, dir) => {
+        val wDir = writeVp8LossyFixture("st", "webp_lossy")
+        val eng = graft.operators.WebpL.parse(
+          s.read.format("binaryFile").load(wDir))
+        graft.queries.LlmPipeline.fixtureCheck(
+          s, dir, "e113b_webp_lossy", eng, Seq("fname"))
+      },
+      Some(graft.queries.LlmPipeline.fixtureSql("e113b_webp_lossy",
+        Seq("fname", "width", "height", "mean_a", "mean_r", "mean_g",
+          "mean_b")))),
+
+    // E29B — image near-dup ACROSS LOSSY RE-ENCODES (r15): the
+    // canonical lossy near-dup is the same content re-encoded at a new
+    // rate. The committed corpus holds four reference-encoded quality
+    // pairs (hamming 0/1/2 over the decoded-pixel aHash), one
+    // byte-identical copy and three unpaired distractors; pairs go
+    // through the same banded hamming join as e29 (pigeonhole-lossless,
+    // never all-pairs). Expected pairs were computed INDEPENDENTLY at
+    // generation time: reference-decoded RGBA + a Python aHash + brute
+    // force. Decoded lossy pixels are load-bearing for every row.
+    "e29b_webp_neardup" -> QueryDef(
+      (s, dir) => {
+        val wDir = writeVp8LossyFixture("nd", "webp_nd")
+        val ah = udf((bytes: Array[Byte]) =>
+          graft.operators.Multimodal.imageAHash64(bytes))
+        val hashes = s.read.format("binaryFile").load(wDir)
+          .select(regexp_extract(col("path"), "([^/]+)$", 1).as("fname"),
+            ah(col("content")).as("h"))
+          .filter(col("h").isNotNull)
+        val eng = graft.operators.ImageNearDup
+          .pairs(hashes, "fname", "h", maxDist = 3)
+          .select(col("id1").as("f1"), col("id2").as("f2"),
+            col("hamming").cast("long").as("hamming"))
+        graft.queries.LlmPipeline.fixtureCheck(
+          s, dir, "e29b_webp_neardup", eng, Seq("f1", "f2"))
+      },
+      Some(graft.queries.LlmPipeline.fixtureSql("e29b_webp_neardup",
+        Seq("f1", "f2", "hamming")))),
 
     // E114 — mbox/MIME mail ingest (r12): mailing-list archives are a
     // classic pretraining source (kernel lists, Apache archives,

@@ -1,0 +1,172 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Vp8
+
+/** VP8 (lossy WebP) decoder pins.
+  *
+  * Evidence tiers, per the xz/brotli/BCJ2 precedent:
+  *  1. 102 committed REFERENCE-ENCODED streams (libwebp, qualities
+  *     10–90 via the one-shot API plus advanced-config members covering
+  *     the simple loop filter, 8 token partitions, 4 segments and
+  *     filter strengths 0–90) must decode to the reference's exact
+  *     Y/U/V planes AND the reference's exact fancy-upsampled RGBA —
+  *     recorded as SHA-256 at generation time (scripts/
+  *     vp8_reference.py), so the pin runs UNGATED in binary-less
+  *     sandboxes.
+  *  2. A LIVE randomized differential sweep (the 400-seed standard)
+  *     against WebPDecodeYUV/WebPDecodeRGBA when python3 + libwebp are
+  *     present on the runtime.
+  *  3. Reject family + mutation fuzz (never throws).
+  */
+class Vp8Spec extends AnyFunSuite {
+
+  private def json(name: String): String = {
+    val in = getClass.getResourceAsStream(name)
+    assert(in != null, s"missing $name")
+    val s = new String(in.readAllBytes(), "UTF-8")
+    in.close()
+    s
+  }
+
+  private def hex(s: String): Array[Byte] =
+    s.grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray
+
+  private def sha256(b: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("SHA-256").digest(b)
+      .map(x => f"${x & 0xff}%02x").mkString
+
+  // fields appear in insertion order: w, h, webp, y_sha, u_sha, v_sha, rgba_sha
+  private case class Case(name: String, w: Int, h: Int, webp: Array[Byte],
+      ySha: String, uSha: String, vSha: String, rgbaSha: String)
+
+  private def jstr(obj: String, key: String): String = {
+    val i = obj.indexOf("\"" + key + "\"")
+    assert(i >= 0, key)
+    val j = obj.indexOf('"', obj.indexOf(':', i) + 1)
+    obj.substring(j + 1, obj.indexOf('"', j + 1))
+  }
+
+  private def jint(obj: String, key: String): Int = {
+    val i = obj.indexOf("\"" + key + "\"")
+    assert(i >= 0, key)
+    var j = obj.indexOf(':', i) + 1
+    while (obj(j) == ' ') j += 1
+    var e = j
+    while (e < obj.length && obj(e).isDigit) e += 1
+    obj.substring(j, e).toInt
+  }
+
+  private lazy val goldens: Seq[Case] = {
+    val fx = json("/golden/vp8_streams.json")
+    val entry = """"([A-Za-z0-9_]+)":\s*\{""".r
+    entry.findAllMatchIn(fx).map { m =>
+      val obj = fx.substring(m.end, fx.indexOf('}', m.end))
+      Case(m.group(1), jint(obj, "w"), jint(obj, "h"), hex(jstr(obj, "webp")),
+        jstr(obj, "y_sha"), jstr(obj, "u_sha"), jstr(obj, "v_sha"),
+        jstr(obj, "rgba_sha"))
+    }.toSeq
+  }
+
+  test("102 reference-encoded streams decode to the reference's exact YUV planes") {
+    assert(goldens.size === 102)
+    goldens.foreach { c =>
+      val payload = Vp8.vp8Chunk(c.webp)
+      assert(payload.isDefined, c.name)
+      val got = Vp8.decodeYuv(payload.get)
+      assert(got.isDefined, c.name)
+      val yuv = got.get
+      assert(yuv.width === c.w, c.name)
+      assert(yuv.height === c.h, c.name)
+      assert(sha256(yuv.y) === c.ySha, s"${c.name}: Y plane")
+      assert(sha256(yuv.u) === c.uSha, s"${c.name}: U plane")
+      assert(sha256(yuv.v) === c.vSha, s"${c.name}: V plane")
+    }
+  }
+
+  test("fancy-upsampled RGBA matches the reference's WebPDecodeRGBA byte-exactly") {
+    goldens.foreach { c =>
+      val yuv = Vp8.decodeYuv(Vp8.vp8Chunk(c.webp).get).get
+      assert(sha256(Vp8.yuvToRgba(yuv)) === c.rgbaSha, s"${c.name}: RGBA")
+    }
+  }
+
+  test("rejects: empty, inter-frame, bad start code, truncation, animation, bomb dims") {
+    val good = goldens.head.webp
+    assert(Vp8.decode(null) === None)
+    assert(Vp8.decode(Array.empty[Byte]) === None)
+    assert(Vp8.decodeYuv(Array.empty[Byte]) === None)
+    val payload = Vp8.vp8Chunk(good).get
+    // inter-frame bit
+    val inter = payload.clone(); inter(0) = (inter(0) | 1).toByte
+    assert(Vp8.decodeYuv(inter) === None)
+    // bad start code
+    val badSc = payload.clone(); badSc(3) = 0x9c.toByte
+    assert(Vp8.decodeYuv(badSc) === None)
+    // header truncation
+    (1 until 10).foreach(n => assert(Vp8.decodeYuv(payload.take(n)) === None, s"len $n"))
+    // first-partition size beyond buffer
+    val shortP = payload.take(11)
+    assert(Vp8.decodeYuv(shortP) === None || Vp8.decodeYuv(shortP).isDefined == false)
+    // dimension bomb: 16383x16383 > pixel cap
+    val bomb = payload.clone()
+    bomb(6) = 0xff.toByte; bomb(7) = 0x3f.toByte
+    bomb(8) = 0xff.toByte; bomb(9) = 0x3f.toByte
+    assert(Vp8.decodeYuv(bomb) === None)
+    // animation container
+    val anim = good.clone()
+    anim(12) = 'A'; anim(13) = 'N'; anim(14) = 'I'; anim(15) = 'M'
+    assert(Vp8.decode(anim) === None)
+  }
+
+  test("mutation fuzz: single-byte corruptions decode or reject, never throw") {
+    val c = goldens.find(_.name.startsWith("checker_33x29_q50")).getOrElse(goldens(20))
+    val payload = Vp8.vp8Chunk(c.webp).get
+    assert(Vp8.decodeYuv(payload).isDefined) // premise
+    var k = 0
+    while (k < payload.length) {
+      Seq(0x01, 0x10, 0x80).foreach { bit =>
+        val m = payload.clone()
+        m(k) = (m(k) ^ bit).toByte
+        Vp8.decodeYuv(m) // Option either way; VP8 carries no checksum
+      }
+      k += math.max(1, payload.length / 256)
+    }
+    // byte soup
+    var s = 0x9e3779b97f4a7c15L
+    (0 until 2000).foreach { j =>
+      val b = Array.tabulate[Byte](10 + (j % 80)) { _ =>
+        s ^= s << 13; s ^= s >>> 7; s ^= s << 17; (s & 0xff).toByte
+      }
+      Vp8.decodeYuv(b)
+    }
+  }
+
+  test("LIVE 400-case differential sweep vs libwebp (gated on python3 + libwebp)") {
+    val probe = try {
+      val p = new ProcessBuilder("python3", "-c",
+        "import ctypes; ctypes.CDLL('libwebp.so.7').WebPDecodeYUV; print('ok')")
+        .redirectErrorStream(true).start()
+      val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+      p.waitFor() == 0 && out.contains("ok")
+    } catch { case _: Exception => false }
+    assume(probe, "python3 + libwebp not on this runtime")
+    val p = new ProcessBuilder("python3", "scripts/vp8_reference.py",
+      "sweep", "400", "20150815").start()
+    val lines = scala.io.Source.fromInputStream(p.getInputStream).getLines().toList
+    val err = new String(p.getErrorStream.readAllBytes(), "UTF-8")
+    assert(p.waitFor() == 0, err.take(2000))
+    assert(lines.size === 400)
+    lines.foreach { ln =>
+      val name = jstr(ln, "name")
+      val webp = hex(jstr(ln, "webp"))
+      val yuv = Vp8.decodeYuv(Vp8.vp8Chunk(webp).getOrElse(fail(s"$name: container")))
+        .getOrElse(fail(s"$name: decode"))
+      assert(yuv.width === jint(ln, "w") && yuv.height === jint(ln, "h"), name)
+      assert(sha256(yuv.y) === jstr(ln, "y_sha"), s"$name: Y")
+      assert(sha256(yuv.u) === jstr(ln, "u_sha"), s"$name: U")
+      assert(sha256(yuv.v) === jstr(ln, "v_sha"), s"$name: V")
+      assert(sha256(Vp8.yuvToRgba(yuv)) === jstr(ln, "rgba_sha"), s"$name: RGBA")
+    }
+  }
+}
