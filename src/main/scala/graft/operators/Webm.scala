@@ -332,6 +332,120 @@ object Webm {
   def elStr(id: Long, s: String): Array[Byte] =
     el(id, s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
+  /** Video-track KEYFRAME payloads in stream order (r15, the
+    * e12w-MJPEG precedent carried to WebM): walks Segment → Cluster →
+    * SimpleBlock, resolves the V_VP8 track's TrackNumber from the
+    * Tracks element, and keeps only that track's blocks with the
+    * keyframe flag (0x80) set — interleaved audio blocks and non-key
+    * video blocks are skipped by CONTAINER rules, so a mis-filtered
+    * block lands undecodable bytes downstream and the row goes red
+    * rather than silently wrong. Returns (frameIdx, absoluteTsTicks,
+    * payload); None on any container violation.
+    */
+  def videoKeyframes(bytes: Array[Byte]): Option[Vector[(Int, Long, Array[Byte])]] = {
+    try {
+      if (bytes == null || bytes.length < 8) throw Malformed
+      val top = new Rd(bytes, 0, bytes.length)
+      if (top.ebmlId() != 0x1A45DFA3L) throw Malformed
+      top.skip(top.ebmlSize())
+      if (top.ebmlId() != 0x18538067L) throw Malformed
+      val seg = top.sub(top.ebmlSize())
+      var videoTrack = -1L
+      val out = Vector.newBuilder[(Int, Long, Array[Byte])]
+      var n = 0
+      children(seg, 0) { (id, size, r) =>
+        id match {
+          case 0x1654AE6BL => // Tracks
+            val tr = r.sub(size)
+            children(tr, 1) { (tid, tsz, trr) =>
+              if (tid == 0xAE) {
+                val te = trr.sub(tsz)
+                var num = -1L
+                var ttype = -1
+                children(te, 2) { (eid, esz, er) =>
+                  eid match {
+                    case 0xD7 => num = er.uint(esz.toInt); true
+                    case 0x83 => ttype = er.uint(esz.toInt).toInt; true
+                    case _ => false
+                  }
+                }
+                if (ttype == 1) {
+                  if (videoTrack >= 0) throw Malformed // one video track
+                  videoTrack = num
+                }
+                true
+              } else false
+            }
+            true
+          case 0x1F43B675L => // Cluster
+            var clusterTs = 0L
+            val cl = r.sub(size)
+            children(cl, 1) { (cid, csz, cr) =>
+              cid match {
+                case 0xE7 => clusterTs = cr.uint(csz.toInt); true
+                case 0xA3 => // SimpleBlock
+                  val blk = cr.sub(csz)
+                  val track = blk.ebmlSize() // track number is a vint
+                  val rel = (blk.uint(1) << 8 | blk.uint(1)).toShort.toLong
+                  val flags = blk.uint(1)
+                  if (track == videoTrack && (flags & 0x80) != 0) {
+                    n += 1
+                    if (n > (1 << 16)) throw Malformed
+                    out += ((n - 1, clusterTs + rel,
+                      java.util.Arrays.copyOfRange(blk.b, blk.p, blk.end)))
+                  }
+                  true
+                case _ => false
+              }
+            }
+            true
+          case _ => false
+        }
+      }
+      if (videoTrack < 0) throw Malformed
+      Some(out.result())
+    } catch {
+      case Malformed => None
+      case _: ArrayIndexOutOfBoundsException => None
+    }
+  }
+
+  /** Fixture reverse direction for [[videoKeyframes]]: a two-track WebM
+    * (V_VP8 video + A_VORBIS junk audio) whose video track carries the
+    * given key-frame payloads (flag 0x80) plus one deterministic
+    * NON-key junk block per cluster (flag 0) — both distractor classes
+    * the extractor must skip by container rules alone.
+    */
+  def makeWebmVp8(width: Int, height: Int, frames: Seq[Array[Byte]],
+      seed: Long): Array[Byte] = {
+    val hdr = el(0x1A45DFA3L,
+      elUint(0x4286, 1) ++ elStr(0x4282, "webm") ++
+        elUint(0x4287, 4) ++ elUint(0x4285, 2))
+    val info = el(0x1549A966L, withCrc(
+      elUint(0x2AD7B1, 1000000L) ++ elFloat64(0x4489, frames.size * 40.0)))
+    val trackBytes = el(0x1654AE6BL,
+      el(0xAE, elUint(0xD7, 1L) ++ elUint(0x83, 1L) ++
+        elStr(0x86, "V_VP8") ++
+        el(0xE0, elUint(0xB0, width.toLong) ++ elUint(0xBA, height.toLong))) ++
+      el(0xAE, elUint(0xD7, 2L) ++ elUint(0x83, 2L) ++
+        elStr(0x86, "A_VORBIS") ++
+        el(0xE1, elFloat64(0xB5, 48000.0) ++ elUint(0x9F, 2L))))
+    def block(track: Int, rel: Int, flags: Int, data: Array[Byte]): Array[Byte] =
+      el(0xA3, Array[Byte]((0x80 | track).toByte, ((rel >> 8) & 0xff).toByte,
+        (rel & 0xff).toByte, flags.toByte) ++ data)
+    val clusters = frames.zipWithIndex.map { case (f, i) =>
+      val junk = Array.tabulate(6 + (i % 5))(k =>
+        ((seed + i * 31 + k * 7) & 0xff).toByte)
+      el(0x1F43B675L, elUint(0xE7, i * 40L) ++
+        block(2, 1, 0x00, junk) ++             // audio distractor
+        block(1, 0, 0x80, f) ++                // the key frame
+        block(1, 20, 0x00, junk.map(b => (b ^ 0x5a).toByte))) // non-key junk
+    }
+    hdr ++ el(0x18538067L,
+      info ++ trackBytes ++
+        (if (clusters.isEmpty) Array[Byte]() else clusters.reduce(_ ++ _)))
+  }
+
   /** CRC-32 first-child element covering `rest` (the spec's rule). */
   def withCrc(rest: Array[Byte]): Array[Byte] = {
     val crc = new java.util.zip.CRC32

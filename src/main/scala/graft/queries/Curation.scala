@@ -1061,22 +1061,30 @@ object Curation extends QueryBlock {
     * pattern, so the engine's from-scratch VP8 decode is load-bearing
     * for every row.
     */
+  /** Committed reference-encoded lossy members with names starting
+    * `prefix`, sorted by name (the order the oracles' row_number join
+    * mirrors).
+    */
+  def vp8LossyMembers(prefix: String): Seq[(String, Array[Byte])] = {
+    val in = getClass.getResourceAsStream("/graft/vp8_lossy.json")
+    val json = new String(in.readAllBytes(), "UTF-8")
+    in.close()
+    val entry = """"([A-Za-z0-9_.]+)":\s*"([0-9a-f]+)"""".r
+    entry.findAllMatchIn(json).collect {
+      case m if m.group(1).startsWith(prefix) =>
+        m.group(1) -> m.group(2).grouped(2)
+          .map(h => Integer.parseInt(h, 16).toByte).toArray
+    }.toSeq.sortBy(_._1)
+  }
+
   def writeVp8LossyFixture(prefix: String, sub: String): String = {
     val wDir = s"$scratch/$sub"
     val fd = new java.io.File(wDir)
     java.nio.file.Files.createDirectories(fd.toPath)
     fd.listFiles().foreach(_.delete())
-    val in = getClass.getResourceAsStream("/graft/vp8_lossy.json")
-    val json = new String(in.readAllBytes(), "UTF-8")
-    in.close()
-    val entry = """"([A-Za-z0-9_.]+)":\s*"([0-9a-f]+)"""".r
-    entry.findAllMatchIn(json).foreach { m =>
-      if (m.group(1).startsWith(prefix)) {
-        val bytes = m.group(2).grouped(2)
-          .map(h => Integer.parseInt(h, 16).toByte).toArray
-        java.nio.file.Files.write(
-          java.nio.file.Paths.get(s"$wDir/${m.group(1)}"), bytes)
-      }
+    vp8LossyMembers(prefix).foreach { case (name, bytes) =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$wDir/$name"), bytes)
     }
     wDir
   }

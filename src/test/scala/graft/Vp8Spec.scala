@@ -142,6 +142,37 @@ class Vp8Spec extends AnyFunSuite {
     }
   }
 
+  test("VP8-in-WebM keyframe extraction: container filtering + payload decode seam") {
+    import graft.operators.Webm
+    val gs = goldens.take(3)
+    val payloads = gs.map(c => Vp8.vp8Chunk(c.webp).get)
+    val webm = Webm.makeWebmVp8(gs.head.w, gs.head.h, payloads, seed = 42)
+    // the walker itself must still accept the two-track file
+    assert(Webm.info(webm).isDefined)
+    val frames = Webm.videoKeyframes(webm).get
+    // exactly the key frames — audio blocks and non-key junk skipped
+    assert(frames.size === 3)
+    frames.zip(gs).zipWithIndex.foreach { case (((idx, ts, payload), c), i) =>
+      assert(idx === i)
+      assert(ts === 40L * i)
+      val yuv = Vp8.decodeYuv(payload).get
+      assert(sha256(yuv.y) === c.ySha, c.name)
+      assert(sha256(yuv.u) === c.uSha, c.name)
+      assert(sha256(yuv.v) === c.vSha, c.name)
+    }
+    // mutation fuzz over the container: decode-or-reject, never throw
+    var s = 0x1234567890abcdefL
+    (0 until 400).foreach { _ =>
+      val m = webm.clone()
+      s ^= s << 13; s ^= s >>> 7; s ^= s << 17
+      m((s & 0x7fffffff).toInt % m.length) =
+        ((s >>> 32) & 0xff).toByte
+      Webm.videoKeyframes(m).foreach(_.foreach { case (_, _, p) =>
+        Vp8.decodeYuv(p)
+      })
+    }
+  }
+
   test("LIVE 400-case differential sweep vs libwebp (gated on python3 + libwebp)") {
     val probe = try {
       val p = new ProcessBuilder("python3", "-c",
