@@ -35,6 +35,17 @@ def encode_simple(rgb, w, h, quality):
     lib.WebPFree(out)
     return data
 
+def encode_rgba(rgba, w, h, quality):
+    lib.WebPEncodeRGBA.restype = ctypes.c_size_t
+    out = ctypes.POINTER(ctypes.c_ubyte)()
+    n = lib.WebPEncodeRGBA(bytes(rgba), w, h, 4 * w,
+                           ctypes.c_float(quality), ctypes.byref(out))
+    if n == 0:
+        raise RuntimeError('WebPEncodeRGBA failed')
+    data = bytes(out[:n])
+    lib.WebPFree(out)
+    return data
+
 # ---------------- advanced API (struct-by-offset; sanity-checked) ------
 
 _ABI = None
@@ -49,9 +60,10 @@ def _put_f32(buf, off, v): struct.pack_into('<f', buf, off, v)
 
 CFG = dict(method=8, segments=24, sns_strength=28, filter_strength=32,
            filter_sharpness=36, filter_type=40, autofilter=44,
+           alpha_compression=48, alpha_filtering=52, alpha_quality=56,
            passes=60, preprocessing=68, partitions=72)
 
-def encode_advanced(rgb, w, h, quality, **kw):
+def encode_advanced(rgb, w, h, quality, rgba=False, **kw):
     """Returns stream bytes, or None if the advanced ABI is unavailable
     or any struct sanity check fails (caller falls back to simple)."""
     if _ABI is None:
@@ -68,7 +80,9 @@ def encode_advanced(rgb, w, h, quality, **kw):
         return None
     _put_i32(pic, 8, w)
     _put_i32(pic, 12, h)
-    if lib.WebPPictureImportRGB(pic, bytes(rgb), 3 * w) != 1:
+    imported = (lib.WebPPictureImportRGBA(pic, bytes(rgb), 4 * w) if rgba
+                else lib.WebPPictureImportRGB(pic, bytes(rgb), 3 * w))
+    if imported != 1:
         return None
     # sanity: y pointer at 16 non-null, y_stride at 40 == w
     y_ptr = struct.unpack_from('<Q', pic, 16)[0]
@@ -88,7 +102,8 @@ def encode_advanced(rgb, w, h, quality, **kw):
     mem, size = struct.unpack_from('<QQ', writer, 0)
     data = ctypes.string_at(mem, size)
     lib.WebPFree(ctypes.c_void_p(mem))
-    if data[:4] != b'RIFF' or data[8:16] != b'WEBPVP8 ':
+    if data[:4] != b'RIFF' or (data[8:16] != b'WEBPVP8 '
+                               and data[8:16] != b'WEBPVP8X'):
         return None
     return data
 
@@ -156,6 +171,27 @@ def gen_image(kind, w, h, seed):
             px[i] = r; px[i + 1] = g; px[i + 2] = b
     return px
 
+def gen_alpha(kind, w, h, seed):
+    """RGBA image: RGB from gen_image, alpha a separate closed form."""
+    rgb = gen_image(kind, w, h, seed)
+    px = bytearray(w * h * 4)
+    s = seed | 1
+    for yy in range(h):
+        for xx in range(w):
+            i = yy * w + xx
+            m = seed % 4
+            if m == 0:
+                a = 255 if ((xx // 4) + (yy // 4)) % 2 == 0 else 0
+            elif m == 1:
+                a = (xx * 255) // max(1, w - 1)
+            elif m == 2:
+                s = xs(s); a = (s >> 24) & 255
+            else:
+                a = 200
+            px[4 * i:4 * i + 3] = rgb[3 * i:3 * i + 3]
+            px[4 * i + 3] = a
+    return px
+
 KINDS = ['flat', 'hgrad', 'vgrad', 'diag', 'plasma', 'checker', 'blocks', 'noise']
 SIZES = [(1, 1), (3, 2), (7, 5), (8, 8), (16, 16), (17, 13), (32, 32),
          (33, 29), (48, 80), (64, 64), (128, 96), (176, 144)]
@@ -198,6 +234,27 @@ def cmd_golden(path):
     img = gen_image('plasma', 176, 144, 7)
     c = case_json('plasma_176x144_q75', encode_simple(img, 176, 144, 75))
     out[c.pop('name')] = c
+    # ALPH-chunk members: the simple RGBA API (lossless alpha, encoder-
+    # chosen filter) plus advanced members pinning alpha_compression=0
+    # (raw plane) and each explicit filtering mode
+    a_idx = 0
+    for kind in ['checker', 'hgrad', 'noise', 'plasma']:
+        for q in (30, 75):
+            rgba = gen_alpha(kind, 24, 20, 0xA11CE + a_idx)
+            c = case_json(f'alpha_{kind}_q{q}', encode_rgba(rgba, 24, 20, q))
+            out[c.pop('name')] = c
+            a_idx += 1
+    for i, kw in enumerate([dict(alpha_compression=0),
+                            dict(alpha_filtering=0),
+                            dict(alpha_filtering=2),
+                            dict(alpha_compression=0, alpha_filtering=2)]):
+        rgba = gen_alpha('vgrad', 33, 29, 0xA11CF0 + i)
+        data = encode_advanced(rgba, 33, 29, 60, rgba=True, **kw)
+        if data is not None:
+            c = case_json(
+                f'alphaadv{i}_' + '_'.join(f'{k[6:]}{v}' for k, v in kw.items()),
+                data)
+            out[c.pop('name')] = c
     with open(path, 'w') as f:
         json.dump(out, f, indent=0)
     print(f'wrote {path}: {len(out)} cases, advanced API '
@@ -210,8 +267,24 @@ def cmd_sweep(n, seed):
         kind = rng.choice(KINDS)
         w, h = rng.choice(SIZES)
         q = rng.choice([0, 5, 10, 20, 30, 40, 50, 60, 70, 80, 90, 95, 100])
+        roll = rng.random()
+        if roll < 0.25:  # ALPH member
+            rgba = gen_alpha(kind, w, h, rng.getrandbits(30))
+            if rng.random() < 0.5 and _ABI is not None:
+                data = encode_advanced(rgba, w, h, q, rgba=True,
+                                       alpha_compression=rng.randint(0, 1),
+                                       alpha_filtering=rng.randint(0, 2))
+                name = f'alphaadv_{kind}_{w}x{h}_q{q}'
+            else:
+                data = None
+            if data is None:
+                data = encode_rgba(rgba, w, h, q)
+                name = f'alpha_{kind}_{w}x{h}_q{q}'
+            print(json.dumps(case_json(f'{emitted}_{name}', data)))
+            emitted += 1
+            continue
         img = gen_image(kind, w, h, rng.getrandbits(30))
-        if rng.random() < 0.5 and _ABI is not None:
+        if roll < 0.75 and _ABI is not None:
             kw = dict(filter_type=rng.randint(0, 1),
                       filter_strength=rng.choice([0, 20, 50, 80, 100]),
                       filter_sharpness=rng.randint(0, 7),
@@ -292,13 +365,29 @@ def cmd_fixture():
         data = encode_advanced(img, 40 + 8 * i, 32, 35 + 10 * i, **kw)
         assert data is not None, 'advanced API unavailable at generation time'
         streams[f'st{idx + i:02d}_adv{i}.webp'] = data
+    idx += 6
+    # ALPH members: mean_a becomes load-bearing (checker/gradient/noise/
+    # flat alpha forms; one raw-plane, one explicit-filter config)
+    for i, kind in enumerate(['checker', 'hgrad', 'noise', 'plasma']):
+        rgba = gen_alpha(kind, 24, 20, 0xA11C00 + i)
+        streams[f'st{idx + i:02d}_alpha_{kind}.webp'] = \
+            encode_rgba(rgba, 24, 20, 50 + 10 * i)
+    idx += 4
+    for i, kw in enumerate([dict(alpha_compression=0),
+                            dict(alpha_filtering=2)]):
+        rgba = gen_alpha('vgrad', 33, 29, 0xA11D00 + i)
+        data = encode_advanced(rgba, 33, 29, 55, rgba=True, **kw)
+        assert data is not None
+        streams[f'st{idx + i:02d}_alphaadv{i}.webp'] = data
     for name in sorted(streams):
         w, h, yb, ub, vb, rb = decode_ref(streams[name])
         n = w * h
         stats_rows.append(dict(
             fname=name, width=w, height=h,
-            mean_a=r6(sum(rb[3::4]), n), mean_r=r6(sum(rb[0::4]), n),
-            mean_g=r6(sum(rb[1::4]), n), mean_b=r6(sum(rb[2::4]), n)))
+            mean_a=r6(float(sum(rb[3::4])), n),
+            mean_r=r6(float(sum(rb[0::4])), n),
+            mean_g=r6(float(sum(rb[1::4])), n),
+            mean_b=r6(float(sum(rb[2::4])), n)))
 
     # e29b: near-dup corpus — the canonical lossy near-dup is a
     # re-encode of the same content at a new rate. Four re-encode pairs

@@ -525,6 +525,7 @@ object WebpL {
       var p = 12
       var vp8l: Array[Byte] = null
       var vp8: Array[Byte] = null
+      var alph: Array[Byte] = null
       while (p + 8 <= bytes.length && vp8l == null && vp8 == null) {
         val fourcc = new String(bytes, p, 4, "ISO-8859-1")
         val size = u32le(bytes, p + 4)
@@ -534,19 +535,91 @@ object WebpL {
             vp8l = java.util.Arrays.copyOfRange(bytes, p + 8, (p + 8 + size).toInt)
           case "VP8 " => // lossy key frame: the Vp8 decoder (r15)
             vp8 = java.util.Arrays.copyOfRange(bytes, p + 8, (p + 8 + size).toInt)
+          case "ALPH" => // lossy-with-alpha: the plane precedes VP8
+            alph = java.util.Arrays.copyOfRange(bytes, p + 8, (p + 8 + size).toInt)
           case "ANIM" | "ANMF" => throw Malformed // animation
           case _ => // VP8X and metadata chunks walk over
         }
         p += 8 + size.toInt + (size.toInt & 1) // chunks pad to even
       }
       if (vp8l != null) Some(decodeVp8lOrdered(vp8l))
-      else if (vp8 != null) Vp8.decodePayload(vp8)
+      else if (vp8 != null)
+        Vp8.decodePayload(vp8).map(img =>
+          if (alph == null) img
+          else WebpImage(img.width, img.height,
+            applyAlpha(img.pixels, img.width, img.height, alph)))
       else throw Malformed
     } catch {
       case Malformed => None
       case _: ArrayIndexOutOfBoundsException => None
       case _: NegativeArraySizeException => None
     }
+  }
+
+  /** ALPH chunk → the pixels with their real alpha (container spec
+    * §alpha): header byte = compression (0 raw / 1 lossless), filter
+    * (none / horizontal / vertical / gradient — the PNG-style
+    * per-row inverse with the above-pixel seed on each row's first
+    * column), pre-processing (informational; the reference's default
+    * decode applies no dithering), reserved bits 0. Lossless payloads
+    * are a HEADERLESS VP8L stream with alpha in the green channel.
+    * Malformed alpha REJECTS the whole image — silently returning
+    * opaque pixels would be confident garbage.
+    */
+  private def applyAlpha(pixels: Array[Int], w: Int, h: Int,
+      alph: Array[Byte]): Array[Int] = {
+    if (alph.length < 1) throw Malformed
+    val hdr = alph(0) & 0xff
+    val method = hdr & 3
+    val filter = (hdr >> 2) & 3
+    if ((hdr >> 6) != 0) throw Malformed // reserved
+    if (method > 1) throw Malformed
+    val raw: Array[Int] =
+      if (method == 0) {
+        if (alph.length - 1 != w * h) throw Malformed
+        Array.tabulate(w * h)(i => alph(1 + i) & 0xff)
+      } else {
+        val argb = decodeAlphaStream(
+          java.util.Arrays.copyOfRange(alph, 1, alph.length), w, h)
+        argb.map(px => (px >>> 8) & 0xff)
+      }
+    // inverse filters (the reference's row seed: each row's first pixel
+    // predicts from the pixel ABOVE it; row 0 from 0)
+    if (filter != 0) {
+      var y = 0
+      while (y < h) {
+        if (y == 0 || filter == 1) {
+          var pred = if (y == 0) 0 else raw((y - 1) * w)
+          var x = 0
+          while (x < w) {
+            raw(y * w + x) = (raw(y * w + x) + pred) & 0xff
+            pred = raw(y * w + x)
+            x += 1
+          }
+        } else if (filter == 2) {
+          var x = 0
+          while (x < w) {
+            raw(y * w + x) = (raw(y * w + x) + raw((y - 1) * w + x)) & 0xff
+            x += 1
+          }
+        } else {
+          var left = raw((y - 1) * w)
+          var topLeft = left
+          var x = 0
+          while (x < w) {
+            val top = raw((y - 1) * w + x)
+            val g = left + top - topLeft
+            val pred = if ((g & ~0xff) == 0) g else if (g < 0) 0 else 255
+            raw(y * w + x) = (raw(y * w + x) + pred) & 0xff
+            topLeft = top
+            left = raw(y * w + x)
+            x += 1
+          }
+        }
+        y += 1
+      }
+    }
+    Array.tabulate(w * h)(i => (pixels(i) & 0x00ffffff) | (raw(i) << 24))
   }
 
   private def u32le(b: Array[Byte], o: Int): Long =
@@ -565,6 +638,23 @@ object WebpL {
     val h = br.bits(14) + 1
     br.readBit()
     if (br.bits(3) != 0) throw Malformed
+    decodeStreamBody(br, w, h)
+  }
+
+  /** ALPH-chunk alpha plane (r15): a HEADERLESS VP8L image stream of
+    * known dimensions — the container spec's lossless alpha form. The
+    * alpha values ride the green channel.
+    */
+  private[operators] def decodeAlphaStream(b: Array[Byte], w: Int,
+      h: Int): Array[Int] = {
+    val br = new Br(b, 0, b.length)
+    decodeStreamBody(br, w, h).pixels
+  }
+
+  /** The post-header image stream: transforms in read order, the
+    * entropy-coded image, inverses applied in exact reverse.
+    */
+  private def decodeStreamBody(br: Br, w: Int, h: Int): WebpImage = {
     if (w.toLong * h > MaxPixels) throw Malformed
     var effW = w
     final case class Tr(kind: Int, bits: Int, data: Array[Int])

@@ -68,8 +68,24 @@ class Vp8Spec extends AnyFunSuite {
     }.toSeq
   }
 
-  test("102 reference-encoded streams decode to the reference's exact YUV planes") {
-    assert(goldens.size === 102)
+  /** Full-container decode (both profiles + ALPH alpha) → RGBA bytes. */
+  private def rgbaOf(webp: Array[Byte]): Array[Byte] = {
+    val img = graft.operators.WebpL.decode(webp).get
+    val out = new Array[Byte](img.pixels.length * 4)
+    var i = 0
+    while (i < img.pixels.length) {
+      val px = img.pixels(i)
+      out(4 * i) = ((px >>> 16) & 0xff).toByte
+      out(4 * i + 1) = ((px >>> 8) & 0xff).toByte
+      out(4 * i + 2) = (px & 0xff).toByte
+      out(4 * i + 3) = ((px >>> 24) & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+
+  test("114 reference-encoded streams decode to the reference's exact YUV planes") {
+    assert(goldens.size === 114)
     goldens.foreach { c =>
       val payload = Vp8.vp8Chunk(c.webp)
       assert(payload.isDefined, c.name)
@@ -84,11 +100,11 @@ class Vp8Spec extends AnyFunSuite {
     }
   }
 
-  test("fancy-upsampled RGBA matches the reference's WebPDecodeRGBA byte-exactly") {
+  test("fancy-upsampled RGBA (incl. ALPH alpha planes) matches WebPDecodeRGBA byte-exactly") {
     goldens.foreach { c =>
-      val yuv = Vp8.decodeYuv(Vp8.vp8Chunk(c.webp).get).get
-      assert(sha256(Vp8.yuvToRgba(yuv)) === c.rgbaSha, s"${c.name}: RGBA")
+      assert(sha256(rgbaOf(c.webp)) === c.rgbaSha, s"${c.name}: RGBA")
     }
+    assert(goldens.count(_.name.startsWith("alpha")) === 12)
   }
 
   test("rejects: empty, inter-frame, bad start code, truncation, animation, bomb dims") {
@@ -197,7 +213,7 @@ class Vp8Spec extends AnyFunSuite {
       assert(sha256(yuv.y) === jstr(ln, "y_sha"), s"$name: Y")
       assert(sha256(yuv.u) === jstr(ln, "u_sha"), s"$name: U")
       assert(sha256(yuv.v) === jstr(ln, "v_sha"), s"$name: V")
-      assert(sha256(Vp8.yuvToRgba(yuv)) === jstr(ln, "rgba_sha"), s"$name: RGBA")
+      assert(sha256(rgbaOf(webp)) === jstr(ln, "rgba_sha"), s"$name: RGBA")
     }
   }
 }
