@@ -1421,6 +1421,28 @@ object Streaming extends QueryBlock {
       },
       Some(Curation.webpOracleSql)),
 
+    // D49 — LOSSY WebP (VP8) decode as a STREAM (e113b's deployment
+    // shape: crawled lossy images landing from a fetch pipeline, the
+    // full RFC 6386 decode incl. ALPH alpha planes run per trigger).
+    // Within-file decode = pure append map, slicing-independent; the
+    // streamed result then full-outer-joins the committed
+    // reference-derived stats fixture exactly like the batch row.
+    "d49_stream_webp_lossy" -> QueryDef(
+      (s, dir) => {
+        val wDir = Curation.writeVp8LossyFixture("st", "webp_lossy_d49")
+        val raw = s.readStream.format("binaryFile")
+          .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+          .option("maxFilesPerTrigger", "7")
+          .load(wDir)
+        val streamed = EventStreams.runToTable(s,
+          graft.operators.WebpL.parse(raw), "d49_sink", mode = "append")
+        LlmPipeline.fixtureCheck(
+          s, dir, "e113b_webp_lossy", streamed, Seq("fname"))
+      },
+      Some(LlmPipeline.fixtureSql("e113b_webp_lossy",
+        Seq("fname", "width", "height", "mean_a", "mean_r", "mean_g",
+          "mean_b")))),
+
     // D46 — mbox/MIME ingest as a STREAM (e114's deployment shape:
     // archive files landing from a list-server export, messages parsed
     // per trigger). Within-file parse = pure append map,
