@@ -912,6 +912,7 @@ object Curation extends QueryBlock {
       writeMp3Fixture(s, dir), writeOggFixture(s, dir),
       writeWebmFixture(s, dir), writeSevenZipFixture(s, dir),
       writeLz4Fixture(s, dir), writeWebpFixture(s, dir),
+      writeVp8LossyFixture("st", "webp_lossy_mix"),
       writeRtfFixture(s, dir), writeOdtFixture(s, dir))
     sources.foreach { src =>
       new java.io.File(src).listFiles().foreach { f =>
@@ -979,6 +980,9 @@ object Curation extends QueryBlock {
           'image/webp' AS mime,
           CAST((8 + doc_id % 5) * (6 + doc_id % 3) AS BIGINT) AS n_units
         FROM documents WHERE text IS NOT NULL AND doc_id >= 80 AND doc_id < 120),
+      webp_lossy AS (SELECT fname, 'image/webp' AS mime,
+          CAST(width * height AS BIGINT) AS n_units
+        FROM read_parquet('/root/repo/fixtures/""" + graft.queries.LlmPipeline.SfToken + """/e113b_webp_lossy.parquet')),
       rtf AS (SELECT 'r' || lpad(CAST(rn // 5 AS VARCHAR), 2, '0')
             || '.rtf' AS fname,
           'application/rtf' AS mime, CAST(5 AS BIGINT) AS n_units
@@ -997,6 +1001,7 @@ object Curation extends QueryBlock {
       UNION ALL SELECT * FROM mp3 UNION ALL SELECT * FROM ogg
       UNION ALL SELECT * FROM webm UNION ALL SELECT * FROM sz
       UNION ALL SELECT * FROM lz4 UNION ALL SELECT * FROM webp
+      UNION ALL SELECT * FROM webp_lossy
       UNION ALL SELECT * FROM rtf UNION ALL SELECT * FROM odt
       ORDER BY fname"""
 
