@@ -28,7 +28,23 @@ class DecoderFuzzSpec extends AnyFunSuite {
     "jpegPixelStats" -> Multimodal.jpegPixelStats _,
     "jpegGraySums" -> Multimodal.jpegGraySums _,
     "imageAHash64" -> Multimodal.imageAHash64 _,
-    "audioEnvelopeHash64" -> Multimodal.audioEnvelopeHash64 _)
+    "audioEnvelopeHash64" -> Multimodal.audioEnvelopeHash64 _,
+    // r15: the lossy-WebP pipeline (container routing + VP8 + ALPH)
+    "webpDecode" -> graft.operators.WebpL.decode _,
+    "vp8DecodeYuv" -> graft.operators.Vp8.decodeYuv _)
+
+  /** Committed reference-encoded members for the valid set (r15). */
+  private def lossyWebp(name: String): Array[Byte] = {
+    val in = getClass.getResourceAsStream("/golden/vp8_streams.json")
+    val fx = new String(in.readAllBytes(), "UTF-8")
+    in.close()
+    val i = fx.indexOf("\"" + name + "\"")
+    require(i >= 0, name)
+    val j = fx.indexOf("\"webp\"", i)
+    val k = fx.indexOf('"', fx.indexOf(':', j) + 1)
+    fx.substring(k + 1, fx.indexOf('"', k + 1))
+      .grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray
+  }
 
   private val valids: Seq[(String, Array[Byte])] = Seq(
     "bmp" -> Multimodal.makeBmp(9, 7, seed = 1L),
@@ -48,7 +64,9 @@ class DecoderFuzzSpec extends AnyFunSuite {
     "jpg411" -> Multimodal.makeJpeg411Pixels(2, 2, q0 = 2, seed = 12L),
     "jpgrst" -> Multimodal.makeJpegRestartPixels(4, 2, q0 = 2, dri = 3, seed = 10L),
     "jpgprog" -> Multimodal.makeJpegProgressivePixels(4, 2, q0 = 2, seed = 11L),
-    "jpgll" -> Multimodal.makeJpegLossless(20, seed = 13L))
+    "jpgll" -> Multimodal.makeJpegLossless(20, seed = 13L),
+    "webpvp8" -> lossyWebp("checker_16x16_q50"),
+    "webpalpha" -> lossyWebp("alpha_checker_q30"))
 
   private def mustNotThrow(what: String, bytes: Array[Byte],
       name: String, f: Array[Byte] => Any): Unit =
