@@ -391,6 +391,12 @@ object Vp8 {
     val coeffs = new Array[Int](25 * 16) // blocks 0..15 Y, 16..19 U, 20..23 V, 24 Y2
     val blockNz = new Array[Boolean](25)
 
+    // per-frame scratch (these inner loops run per 4x4 block; per-call
+    // allocation was ~25% of decode time)
+    val idctTmp = new Array[Int](16)
+    val predTmp = new Array[Int](16)
+    val edgeTmp = new Array[Int](9)
+
     /** One block's tokens (§13). Returns true if any nonzero coeff. */
     def decodeBlock(bd: Bool, typ: Int, first: Int, ctx0: Int,
         out: Array[Int], outOff: Int, dcq: Int, acq: Int): Boolean = {
@@ -437,7 +443,7 @@ object Vp8 {
     // exact 4x4 inverse DCT (§14.3), adding into the plane
     def idctAdd(block: Array[Int], off: Int, plane: Array[Byte],
         dst: Int, stride: Int): Unit = {
-      val tmp = new Array[Int](16)
+      val tmp = idctTmp
       var i = 0
       while (i < 4) {
         val i0 = block(off + i)
@@ -475,7 +481,7 @@ object Vp8 {
 
     // inverse Walsh–Hadamard for Y2 (§14.3); writes the 16 luma DCs
     def iwht(block: Array[Int], off: Int, outDc: Array[Int]): Unit = {
-      val tmp = new Array[Int](16)
+      val tmp = idctTmp
       var i = 0
       while (i < 4) {
         val a1 = block(off + i) + block(off + 12 + i)
@@ -570,7 +576,7 @@ object Vp8 {
       */
     def predictB(plane: Array[Byte], stride: Int, dst: Int, mode: Int,
         a: Array[Int], l: Array[Int], tl: Int): Unit = {
-      val p = new Array[Int](16)
+      val p = predTmp
       mode match {
         case 0 => // B_DC
           var sum = 4
@@ -592,13 +598,12 @@ object Vp8 {
           var r = 0
           while (r < 4) { p(r * 4) = v0; p(r * 4 + 1) = v1; p(r * 4 + 2) = v2; p(r * 4 + 3) = v3; r += 1 }
         case 3 => // B_HE
-          val h0 = avg3(tl, l(0), l(1))
-          val h1 = avg3(l(0), l(1), l(2))
-          val h2 = avg3(l(1), l(2), l(3))
-          val h3 = avg3(l(2), l(3), l(3))
           var r = 0
           while (r < 4) {
-            val v = Array(h0, h1, h2, h3)(r)
+            val v =
+              if (r == 0) avg3(tl, l(0), l(1))
+              else if (r == 3) avg3(l(2), l(3), l(3))
+              else avg3(l(r - 1), l(r), l(r + 1))
             p(r * 4) = v; p(r * 4 + 1) = v; p(r * 4 + 2) = v; p(r * 4 + 3) = v
             r += 1
           }
@@ -615,7 +620,9 @@ object Vp8 {
             r += 1
           }
         case 5 => // B_RD (down-right); edge = L3 L2 L1 L0 TL A0 A1 A2 A3
-          val e = Array(l(3), l(2), l(1), l(0), tl, a(0), a(1), a(2), a(3))
+          val e = edgeTmp
+          e(0) = l(3); e(1) = l(2); e(2) = l(1); e(3) = l(0); e(4) = tl
+          e(5) = a(0); e(6) = a(1); e(7) = a(2); e(8) = a(3)
           var r = 0
           while (r < 4) {
             var c = 0
@@ -627,7 +634,9 @@ object Vp8 {
             r += 1
           }
         case 6 => // B_VR
-          val e = Array(l(3), l(2), l(1), l(0), tl, a(0), a(1), a(2), a(3))
+          val e = edgeTmp
+          e(0) = l(3); e(1) = l(2); e(2) = l(1); e(3) = l(0); e(4) = tl
+          e(5) = a(0); e(6) = a(1); e(7) = a(2); e(8) = a(3)
           p(12) = avg3(e(1), e(2), e(3))
           p(8) = avg3(e(2), e(3), e(4))
           p(13) = avg3(e(3), e(4), e(5)); p(4) = p(13)
@@ -650,7 +659,9 @@ object Vp8 {
           p(11) = avg3(a(4), a(5), a(6))
           p(15) = avg3(a(5), a(6), a(7))
         case 8 => // B_HD
-          val e = Array(l(3), l(2), l(1), l(0), tl, a(0), a(1), a(2), a(3))
+          val e = edgeTmp
+          e(0) = l(3); e(1) = l(2); e(2) = l(1); e(3) = l(0); e(4) = tl
+          e(5) = a(0); e(6) = a(1); e(7) = a(2); e(8) = a(3)
           p(12) = avg2(e(0), e(1))
           p(13) = avg3(e(0), e(1), e(2))
           p(8) = avg2(e(1), e(2)); p(14) = p(8)
