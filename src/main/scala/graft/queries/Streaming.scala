@@ -1421,6 +1421,24 @@ object Streaming extends QueryBlock {
       },
       Some(Curation.webpOracleSql)),
 
+    // D50 — VP8-in-WebM keyframe extraction as a STREAM (e12x's
+    // deployment shape: video drops landing from a crawl, thumbnails
+    // decoded per trigger). Within-file walk + decode = pure append
+    // map, slicing-independent, sharing e12x's fixture and oracle
+    // verbatim.
+    "d50_stream_webm_vp8" -> QueryDef(
+      (s, dir) => {
+        val mDir = LlmPipeline.writeWebmVp8Fixture(s, dir, "webm_vp8_d50")
+        val raw = s.readStream.format("binaryFile")
+          .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+          .option("maxFilesPerTrigger", "6")
+          .load(mDir)
+        EventStreams.runToTable(s, LlmPipeline.webmVp8Project(raw),
+            "d50_sink", mode = "append")
+          .orderBy(col("fname"), col("frame"))
+      },
+      Some(LlmPipeline.webmVp8OracleSql)),
+
     // D49 — LOSSY WebP (VP8) decode as a STREAM (e113b's deployment
     // shape: crawled lossy images landing from a fetch pipeline, the
     // full RFC 6386 decode incl. ALPH alpha planes run per trigger).
