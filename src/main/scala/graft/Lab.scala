@@ -346,6 +346,15 @@ object Lab {
         .filter(col("rn") <= 3)
         .transform(sortSmall(_, col("n_name"), col("rn")))
     }),
+    V("c25_floor", "", (s, dir) =>
+      // the shipping TakeOrdered chain over a scan whose pushed
+      // predicate prunes every row group: measures the pure
+      // schedule+scan+TakeOrdered floor of the 100-row top-k shape
+      // (r15 c25 sf10 settlement, the c21_floor pattern)
+      t(s, dir, "orders").filter(col("o_orderkey") < 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)),
     V("c20_stock", "c20_rollup", (s, dir) => {
       // pre-r4 shape: rollup Expand over every joined row (×3)
       val o = t(s, dir, "orders")
