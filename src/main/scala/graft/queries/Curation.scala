@@ -1094,6 +1094,103 @@ object Curation extends QueryBlock {
     wDir
   }
 
+  /** e117/d51 shared: animations over docs 430–450, each built from the
+    * committed lossy members ((doc_id*11 + j) mod member-count over the
+    * sorted st* set — ALPH members included, so per-frame mean_a is
+    * load-bearing), with closed-form geometry/timing/flags.
+    */
+  def writeWebpAnimFixture(s: SparkSession, dir: String, sub: String): String = {
+    val members = vp8LossyMembers("st")
+    val aDir = s"$scratch/$sub"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(aDir))
+    new java.io.File(aDir).listFiles().foreach(_.delete())
+    t(s, dir, "documents")
+      .filter(col("text").isNotNull &&
+        col("doc_id") >= 430 && col("doc_id") < 450)
+      .select(col("doc_id")).collect().foreach { r =>
+        val id = r.getLong(0)
+        val nf = 2 + (id % 4).toInt
+        val frames = (0 until nf).map { j =>
+          val still = members(((id * 11 + j) % members.size).toInt)._2
+          val x = 2 * ((id + j) % 4).toInt
+          val y = 2 * ((id * 3 + j) % 3).toInt
+          val dur = 30 + 10 * ((id + j) % 5).toInt
+          (x, y, dur, (id + j) % 2 == 0, (id + j) % 3 != 0, still)
+        }
+        val dims = frames.map { case (x, y, _, _, _, still) =>
+          val img = graft.operators.WebpL.decode(still).get
+          (x + img.width, y + img.height)
+        }
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(f"$aDir/a$id%04d.webp"),
+          graft.operators.WebpAnim.make(
+            dims.map(_._1).max, dims.map(_._2).max,
+            background = 0, loopCount = (id % 7).toInt, frames))
+      }
+    aDir
+  }
+
+  /** e117/d51 shared: binaryFile rows → one row per animation frame. */
+  def webpAnimProject(raw: DataFrame): DataFrame = {
+    val ex = udf { (b: Array[Byte]) =>
+      graft.operators.WebpAnim.parse(b).map { anim =>
+        anim.frames.flatMap { fr =>
+          graft.operators.WebpL.decode(fr.still).map { img =>
+            val n = img.width * img.height
+            var sa = 0L; var sr = 0L; var sg = 0L; var sb = 0L
+            img.pixels.foreach { px =>
+              sa += (px >>> 24) & 0xff
+              sr += (px >>> 16) & 0xff
+              sg += (px >>> 8) & 0xff
+              sb += px & 0xff
+            }
+            def r6(v: Long): Double = BigDecimal(v.toDouble / n)
+              .setScale(6, BigDecimal.RoundingMode.HALF_EVEN).toDouble
+            (fr.idx, fr.x, fr.y, img.width, img.height, fr.durationMs,
+              anim.loopCount, fr.disposeToBackground, fr.blend,
+              r6(sa), r6(sr), r6(sg), r6(sb))
+          }
+        }
+      }.getOrElse(Vector.empty)
+    }
+    raw
+      .select(regexp_extract(col("path"), "([^/]+)$", 1).as("fname"),
+        explode(ex(col("content"))).as("x"))
+      .select(col("fname"), col("x._1").as("frame"),
+        col("x._2").as("x"), col("x._3").as("y"),
+        col("x._4").as("width"), col("x._5").as("height"),
+        col("x._6").as("duration_ms"), col("x._7").as("loop_count"),
+        col("x._8").as("dispose_bg"), col("x._9").as("blend"),
+        col("x._10").as("mean_a"), col("x._11").as("mean_r"),
+        col("x._12").as("mean_g"), col("x._13").as("mean_b"))
+  }
+
+  val webpAnimOracleSql: String =
+    s"""WITH d AS (SELECT doc_id, 2 + CAST(doc_id % 4 AS INT) AS nf
+        FROM documents WHERE text IS NOT NULL
+          AND doc_id >= 430 AND doc_id < 450),
+      members AS (SELECT width, height, mean_a, mean_r, mean_g, mean_b,
+          row_number() OVER (ORDER BY fname) - 1 AS k,
+          count(*) OVER () AS nm
+        FROM read_parquet('/root/repo/fixtures/${graft.queries.LlmPipeline.SfToken}/e113b_webp_lossy.parquet')),
+      fr AS (SELECT doc_id, j,
+          (doc_id * 11 + j) % (SELECT max(nm) FROM members) AS k,
+          CAST(2 * ((doc_id + j) % 4) AS INTEGER) AS x,
+          CAST(2 * ((doc_id * 3 + j) % 3) AS INTEGER) AS y,
+          CAST(30 + 10 * ((doc_id + j) % 5) AS INTEGER) AS duration_ms,
+          CAST(doc_id % 7 AS INTEGER) AS loop_count,
+          (doc_id + j) % 2 = 0 AS dispose_bg,
+          (doc_id + j) % 3 != 0 AS blend
+        FROM d, UNNEST(generate_series(0, nf - 1)) AS t(j))
+      SELECT 'a' || lpad(CAST(doc_id AS VARCHAR), 4, '0') || '.webp' AS fname,
+        CAST(j AS INTEGER) AS frame, x, y,
+        CAST(m.width AS INTEGER) AS width,
+        CAST(m.height AS INTEGER) AS height,
+        duration_ms, loop_count, dispose_bg, blend,
+        m.mean_a, m.mean_r, m.mean_g, m.mean_b
+      FROM fr JOIN members m USING (k)
+      ORDER BY fname, frame"""
+
   /** e113/d45 shared: binaryFile rows → one stats row per image. */
   def webpProject(raw: DataFrame): DataFrame =
     graft.operators.WebpL.parse(raw)
@@ -5052,6 +5149,26 @@ object Curation extends QueryBlock {
       Some(graft.queries.LlmPipeline.fixtureSql("e113b_webp_lossy",
         Seq("fname", "width", "height", "mean_a", "mean_r", "mean_g",
           "mean_b")))),
+
+    // E117 — ANIMATED WebP frame extraction (r15): animated stickers/
+    // memes are a real crawl slice; operators.WebpAnim walks the
+    // VP8X/ANIM/ANMF container (public container spec: 24-bit LE
+    // geometry with the even-offset /2 rule, durations, dispose/blend
+    // flags, reserved-bit enforcement, canvas-bounds checks) and hands
+    // each frame's embedded chunks — ALPH+VP8, bare VP8, VP8L — to the
+    // reference-PINNED still decoders via a canonical re-wrap. Canvas
+    // COMPOSITING is memo'd out of scope (no reference on this runtime;
+    // see the operator header). Oracle: geometry/timing/flags re-derived
+    // from construction, pixels joined to the committed reference-
+    // derived stats parquet by sorted-name rank. Scan-local, zero
+    // shuffle.
+    "e117_webp_anim" -> QueryDef(
+      (s, dir) => {
+        val aDir = writeWebpAnimFixture(s, dir, "webp_anim")
+        webpAnimProject(s.read.format("binaryFile").load(aDir))
+          .orderBy(col("fname"), col("frame"))
+      },
+      Some(webpAnimOracleSql)),
 
     // E29B — image near-dup ACROSS LOSSY RE-ENCODES (r15): the
     // canonical lossy near-dup is the same content re-encoded at a new

@@ -1439,6 +1439,22 @@ object Streaming extends QueryBlock {
       },
       Some(LlmPipeline.webmVp8OracleSql)),
 
+    // D51 — animated-WebP frame extraction as a STREAM (e117's
+    // deployment shape). Within-file walk + decode = pure append map,
+    // slicing-independent, sharing e117's fixture and oracle verbatim.
+    "d51_stream_webp_anim" -> QueryDef(
+      (s, dir) => {
+        val aDir = Curation.writeWebpAnimFixture(s, dir, "webp_anim_d51")
+        val raw = s.readStream.format("binaryFile")
+          .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+          .option("maxFilesPerTrigger", "6")
+          .load(aDir)
+        EventStreams.runToTable(s, Curation.webpAnimProject(raw),
+            "d51_sink", mode = "append")
+          .orderBy(col("fname"), col("frame"))
+      },
+      Some(Curation.webpAnimOracleSql)),
+
     // D49 — LOSSY WebP (VP8) decode as a STREAM (e113b's deployment
     // shape: crawled lossy images landing from a fetch pipeline, the
     // full RFC 6386 decode incl. ALPH alpha planes run per trigger).
