@@ -29,7 +29,9 @@ class WebpAnimSpec extends AnyFunSuite {
   private val members = Seq(
     golden("checker_16x16_q50"),   // bare VP8
     golden("alpha_checker_q30"),   // ALPH + VP8 behind VP8X
-    golden("plasma_33x29_q50"))
+    golden("plasma_33x29_q50"),
+    WebpL.makePixels(12, 10,       // VP8L lossless frame
+      Array.tabulate(120)(i => 0xff000000 | (i * 2113929217))))
 
   private def anim: Array[Byte] = WebpAnim.make(
     canvasW = 64, canvasH = 48, background = 0x11223344, loopCount = 3,
@@ -41,7 +43,7 @@ class WebpAnimSpec extends AnyFunSuite {
     val a = WebpAnim.parse(anim).get
     assert(a.canvasW === 64 && a.canvasH === 48)
     assert(a.loopCount === 3 && a.background === 0x11223344)
-    assert(a.frames.size === 3)
+    assert(a.frames.size === 4)
     a.frames.zipWithIndex.foreach { case (fr, i) =>
       assert(fr.x === 2 * i && fr.y === 4 * i)
       assert(fr.durationMs === 40 + 10 * i)
