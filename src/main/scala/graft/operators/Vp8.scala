@@ -291,11 +291,15 @@ object Vp8 {
     br.bool(128) // refresh_entropy_probs (stateless for a still)
 
     // coefficient probability updates
-    val probs = Vp8Tables.CoeffProbs.clone()
+    // int-expanded once per frame: the token loop reads these on every
+    // bool and the byte->int mask was measurable there
+    val probs = new Array[Int](1056)
     val upd = Vp8Tables.UpdateProbs
     var ti = 0
     while (ti < 1056) {
-      if (br.bool(upd(ti) & 0xff) == 1) probs(ti) = br.literal(8).toByte
+      probs(ti) =
+        if (br.bool(upd(ti) & 0xff) == 1) br.literal(8)
+        else Vp8Tables.CoeffProbs(ti) & 0xff
       ti += 1
     }
 
@@ -409,7 +413,7 @@ object Vp8 {
         var i = if (prevZero) 2 else 0
         var token = -1
         while (token < 0) {
-          i = CoeffTree(i + bd.bool(probs(pBase + (i >> 1)) & 0xff))
+          i = CoeffTree(i + bd.bool(probs(pBase + (i >> 1))))
           if (i <= 0) token = -i
         }
         if (token == 11) return any // EOB

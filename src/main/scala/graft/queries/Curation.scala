@@ -5117,7 +5117,9 @@ object Curation extends QueryBlock {
     // transforms inverted in reverse stream order (subtract-green, all
     // 14 predictors with hand-golden-pinned tie-break/truncation
     // arithmetic, the signed color transform, delta-coded palettes
-    // with sub-byte bundling). Lossy VP8 and animations reject loudly.
+    // with sub-byte bundling). Lossy VP8 routes to operators.Vp8 (r15,
+    // e113b); animations route to WebpAnim (e117) in the stills path
+    // rejecting loudly.
     // Per-file scan-local decode, zero shuffle.
     "e113_webp" -> QueryDef(
       (s, dir) => {
