@@ -299,6 +299,22 @@ object Bench {
     s"""{"queries":${fmt(sfResults)},"total_sec":${f"$sfTotal%.4f"}$committedField$liveField,"rounds":$rounds,"shuffle_width":$width,"load1_before":${f"$load1Before%.2f"},"load1_gate":${f"$loadAtGate%.2f"},"load_gate_ok":${loadAtGate <= QuietLoad},"load1_after":${f"$load1After%.2f"}}"""
   }
 
+  /** Per-query maps stripped from gate JSON for the stdout compact line
+    * (the full artifact keeps them in target/bench.json). Tested by
+    * BenchCompactLineSpec against the driver's 2000-char stdout window
+    * (VERDICT r15 item 8 — the r12–r14 artifact-null bug class).
+    */
+  private[graft] val StrippedMapKeys =
+    Seq("queries", "ratios", "ratios_live", "baseline_live")
+
+  private[graft] def stripMaps(json: String, keys: Seq[String]): String = {
+    var s = json
+    keys.foreach { k =>
+      s = s.replaceAll("\"" + k + "\":\\{[^{}]*\\},?", "")
+    }
+    s.replaceAll(",\\}", "}")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -447,15 +463,8 @@ object Bench {
     // carries a COMPACT line — the driver contract fields plus each
     // gate's headline numbers, maps stripped — and the full artifact
     // persists in target/bench.json.
-    def stripMaps(json: String, keys: Seq[String]): String = {
-      var s = json
-      keys.foreach { k =>
-        s = s.replaceAll("\"" + k + "\":\\{[^{}]*\\},?", "")
-      }
-      s.replaceAll(",\\}", "}")
-    }
     val compactGates = Seq(sf1Field, sf3Field, sf10Field)
-      .map(stripMaps(_, Seq("queries", "ratios", "ratios_live", "baseline_live")))
+      .map(stripMaps(_, StrippedMapKeys))
       .mkString
     val compactLine = f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":${fmt(results)},"total_static_sec":$totalStatic%.4f,"floor_sec":$floor%.4f$floorAdjField$compactGates,"sf":"$sfDir"}"""
     println(compactLine)

@@ -60,6 +60,10 @@ object Vp8 {
 
   private val MaxPixels = 1 << 24
 
+  // Tolerance-derivation instrumentation for the ran-dry check (see the
+  // decodeFrame comment); hoisted so the hot path pays one boolean.
+  private val VirtDebug = sys.env.contains("GRAFT_VP8_VIRT_DEBUG")
+
   private object Malformed extends RuntimeException {
     override def fillInStackTrace(): Throwable = this
   }
@@ -69,17 +73,31 @@ object Vp8 {
   /** Arithmetic bool decoder over [off, off+len). Reads past the end
     * yield zero bits (the spec's own streams rely on decoder lookahead
     * past the final byte); every decode loop is structurally bounded,
-    * so zero-fill cannot diverge.
+    * so zero-fill cannot diverge. `virtualBytes` counts the zero-fill
+    * pulls so the frame decoder can distinguish the bounded legitimate
+    * lookahead from a partition that genuinely ran dry (truncated
+    * input) — libwebp tracks the same condition as `eof_` and errors
+    * (r16, ADVICE): without it a truncated token partition decodes to
+    * Some(garbage) instead of None.
     */
   private final class Bool(b: Array[Byte], off: Int, len: Int) {
     private var pos = off
     private val end = off + len
+    private var virtual = 0
     private var range = 255
     private var value = (nextByte() << 8) | nextByte()
     private var bitCount = 0
+    // The 2-byte value priming above is unconditional (a zero-length
+    // token partition is legal when its MB rows are all-skip); only
+    // bool()-driven refills past the end indicate a dry partition.
+    virtual = 0
 
     private def nextByte(): Int =
-      if (pos < end) { val v = b(pos) & 0xff; pos += 1; v } else 0
+      if (pos < end) { val v = b(pos) & 0xff; pos += 1; v }
+      else { virtual += 1; 0 }
+
+    /** Zero-fill bytes pulled past the partition end so far. */
+    def virtualBytes: Int = virtual
 
     def bool(prob: Int): Int = {
       val split = 1 + (((range - 1) * prob) >> 8)
@@ -171,6 +189,11 @@ object Vp8 {
     if (data == null || data.length < 10) throw Malformed
     val tag = (data(0) & 0xff) | ((data(1) & 0xff) << 8) | ((data(2) & 0xff) << 16)
     if ((tag & 1) != 0) throw Malformed // inter frame: not a still
+    // Profile/version bits (tag >> 1 & 7): libwebp rejects > 3; for
+    // versions 1–3 the filter selection follows the HEADER bits, matching
+    // libwebp's observed behavior (the committed pin target), not RFC
+    // 6386 §9.2's version-implied override (r16, ADVICE).
+    if (((tag >>> 1) & 7) > 3) throw Malformed
     val firstPartSize = tag >>> 5
     if (!(data(3) == 0x9d.toByte && data(4) == 0x01.toByte &&
       data(5) == 0x2a.toByte)) throw Malformed
@@ -1133,6 +1156,23 @@ object Vp8 {
         mbY += 1
       }
     }
+
+    // ---- ran-dry check (r16, ADVICE): a conforming encoder flushes the
+    // full low register, so bool()-driven refills past a partition's end
+    // stay within a small fixed lookahead; more means the input was
+    // truncated and the pixels above are zero-fill garbage. Tolerance
+    // derived empirically: max observed on the 114 committed goldens +
+    // the 400-case live differential sweep is 2 bytes (the value
+    // register's trailing refill); libwebp errors on the same condition
+    // via its eof_ flag.
+    var dryP = br.virtualBytes
+    var dpi = 0
+    while (dpi < numParts) {
+      if (parts(dpi).virtualBytes > dryP) dryP = parts(dpi).virtualBytes
+      dpi += 1
+    }
+    if (VirtDebug) System.err.println(s"VP8VIRT $dryP")
+    if (dryP > 2) throw Malformed
 
     // ---- crop ----
     val cw = (w + 1) / 2

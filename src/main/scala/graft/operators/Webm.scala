@@ -333,14 +333,18 @@ object Webm {
     el(id, s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
   /** Video-track KEYFRAME payloads in stream order (r15, the
-    * e12w-MJPEG precedent carried to WebM): walks Segment → Cluster →
-    * SimpleBlock, resolves the V_VP8 track's TrackNumber from the
-    * Tracks element, and keeps only that track's blocks with the
-    * keyframe flag (0x80) set — interleaved audio blocks and non-key
-    * video blocks are skipped by CONTAINER rules, so a mis-filtered
-    * block lands undecodable bytes downstream and the row goes red
-    * rather than silently wrong. Returns (frameIdx, absoluteTsTicks,
-    * payload); None on any container violation.
+    * e12w-MJPEG precedent carried to WebM): resolves the video track's
+    * TrackNumber in a FIRST pass over the Segment (Matroska permits
+    * Tracks after Clusters), then walks Cluster → SimpleBlock and
+    * Cluster → BlockGroup → Block, keeping only that track's keyframes
+    * (SimpleBlock flag 0x80; for BlockGroup, absence of ReferenceBlock)
+    * — interleaved audio blocks and non-key video blocks are skipped by
+    * CONTAINER rules, so a mis-filtered block lands undecodable bytes
+    * downstream and the row goes red rather than silently wrong. Laced
+    * video blocks (flags & 0x06) reject the file: the payload would
+    * carry lace headers inline and decode to garbage. Returns
+    * (frameIdx, absoluteTsTicks, payload); None on any container
+    * violation.
     */
   def videoKeyframes(bytes: Array[Byte]): Option[Vector[(Int, Long, Array[Byte])]] = {
     try {
@@ -349,60 +353,98 @@ object Webm {
       if (top.ebmlId() != 0x1A45DFA3L) throw Malformed
       top.skip(top.ebmlSize())
       if (top.ebmlId() != 0x18538067L) throw Malformed
-      val seg = top.sub(top.ebmlSize())
+      val segSize = top.ebmlSize()
+      if (segSize > top.end - top.p) throw Malformed
+      val segStart = top.p
+      val segEnd = segStart + segSize.toInt
+      // Pass 1: resolve the video track number (Tracks may follow Clusters).
       var videoTrack = -1L
+      children(new Rd(bytes, segStart, segEnd), 0) { (id, size, r) =>
+        if (id == 0x1654AE6BL) { // Tracks
+          val tr = r.sub(size)
+          children(tr, 1) { (tid, tsz, trr) =>
+            if (tid == 0xAE) {
+              val te = trr.sub(tsz)
+              var num = -1L
+              var ttype = -1
+              children(te, 2) { (eid, esz, er) =>
+                eid match {
+                  case 0xD7 => num = er.uint(esz.toInt); true
+                  case 0x83 => ttype = er.uint(esz.toInt).toInt; true
+                  case _ => false
+                }
+              }
+              if (ttype == 1) {
+                if (videoTrack >= 0) throw Malformed // one video track
+                videoTrack = num
+              }
+              true
+            } else false
+          }
+          true
+        } else false
+      }
+      if (videoTrack < 0) throw Malformed
       val out = Vector.newBuilder[(Int, Long, Array[Byte])]
       var n = 0
-      children(seg, 0) { (id, size, r) =>
-        id match {
-          case 0x1654AE6BL => // Tracks
-            val tr = r.sub(size)
-            children(tr, 1) { (tid, tsz, trr) =>
-              if (tid == 0xAE) {
-                val te = trr.sub(tsz)
-                var num = -1L
-                var ttype = -1
-                children(te, 2) { (eid, esz, er) =>
-                  eid match {
-                    case 0xD7 => num = er.uint(esz.toInt); true
-                    case 0x83 => ttype = er.uint(esz.toInt).toInt; true
+      // Shared SimpleBlock/Block header parse: (track, relTs, flags, payload
+      // reader positioned past the header). Caller decides keyframe-ness.
+      def blockHeader(blk: Rd): (Long, Long, Long) = {
+        val track = blk.ebmlSize() // track number is a vint
+        val rel = (blk.uint(1) << 8 | blk.uint(1)).toShort.toLong
+        val flags = blk.uint(1)
+        (track, rel, flags)
+      }
+      def emit(blk: Rd, clusterTs: Long, rel: Long): Unit = {
+        n += 1
+        if (n > (1 << 16)) throw Malformed
+        out += ((n - 1, clusterTs + rel,
+          java.util.Arrays.copyOfRange(blk.b, blk.p, blk.end)))
+      }
+      // Pass 2: Clusters only.
+      children(new Rd(bytes, segStart, segEnd), 0) { (id, size, r) =>
+        if (id == 0x1F43B675L) { // Cluster
+          var clusterTs = 0L
+          val cl = r.sub(size)
+          children(cl, 1) { (cid, csz, cr) =>
+            cid match {
+              case 0xE7 => clusterTs = cr.uint(csz.toInt); true
+              case 0xA3 => // SimpleBlock
+                val blk = cr.sub(csz)
+                val (track, rel, flags) = blockHeader(blk)
+                if (track == videoTrack) {
+                  if ((flags & 0x06) != 0) throw Malformed // laced video
+                  if ((flags & 0x80) != 0) emit(blk, clusterTs, rel)
+                }
+                true
+              case 0xA0 => // BlockGroup: keyframe iff no ReferenceBlock
+                val grp = cr.sub(csz)
+                var pend: Rd = null
+                var pendRel = 0L
+                var refd = false
+                children(grp, 2) { (gid, gsz, gr) =>
+                  gid match {
+                    case 0xA1 => // Block
+                      val blk = gr.sub(gsz)
+                      val (track, rel, flags) = blockHeader(blk)
+                      if (track == videoTrack) {
+                        if ((flags & 0x06) != 0) throw Malformed // laced
+                        if (pend != null) throw Malformed // one Block/group
+                        pend = blk; pendRel = rel
+                      }
+                      true
+                    case 0xFB => refd = true; false // ReferenceBlock
                     case _ => false
                   }
                 }
-                if (ttype == 1) {
-                  if (videoTrack >= 0) throw Malformed // one video track
-                  videoTrack = num
-                }
+                if (pend != null && !refd) emit(pend, clusterTs, pendRel)
                 true
-              } else false
+              case _ => false
             }
-            true
-          case 0x1F43B675L => // Cluster
-            var clusterTs = 0L
-            val cl = r.sub(size)
-            children(cl, 1) { (cid, csz, cr) =>
-              cid match {
-                case 0xE7 => clusterTs = cr.uint(csz.toInt); true
-                case 0xA3 => // SimpleBlock
-                  val blk = cr.sub(csz)
-                  val track = blk.ebmlSize() // track number is a vint
-                  val rel = (blk.uint(1) << 8 | blk.uint(1)).toShort.toLong
-                  val flags = blk.uint(1)
-                  if (track == videoTrack && (flags & 0x80) != 0) {
-                    n += 1
-                    if (n > (1 << 16)) throw Malformed
-                    out += ((n - 1, clusterTs + rel,
-                      java.util.Arrays.copyOfRange(blk.b, blk.p, blk.end)))
-                  }
-                  true
-                case _ => false
-              }
-            }
-            true
-          case _ => false
-        }
+          }
+          true
+        } else false
       }
-      if (videoTrack < 0) throw Malformed
       Some(out.result())
     } catch {
       case Malformed => None

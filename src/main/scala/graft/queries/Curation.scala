@@ -5138,8 +5138,8 @@ object Curation extends QueryBlock {
     // committed REFERENCE-ENCODER output; expected channel stats were
     // derived from the REFERENCE decoder's RGBA at generation time —
     // Vp8Spec additionally pins the decoder pixel-exact against
-    // libwebp on 102 goldens + a 400-case live sweep. Per-file
-    // scan-local decode, zero shuffle.
+    // libwebp on 114 goldens (incl. 12 ALPH alpha members) + a 400-case
+    // live sweep. Per-file scan-local decode, zero shuffle.
     "e113b_webp_lossy" -> QueryDef(
       (s, dir) => {
         val wDir = writeVp8LossyFixture("st", "webp_lossy")

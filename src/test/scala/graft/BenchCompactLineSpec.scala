@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the Bench stdout compact-line contract (VERDICT r15 item 8).
+  *
+  * The driver keeps only the LAST 2000 stdout chars; BENCH_r12–r14 all
+  * parsed null because the full JSON line (four per-query maps per
+  * gate) overflowed that window. This spec rebuilds the compact line
+  * from the SAME format strings main() uses, at the worst-case shape —
+  * all three gates present (sf1 + opt-in sf3 + sf10), every headline
+  * query in every map, committed-baseline fields present — and asserts
+  * it stays inside the window with headroom, so a future per-gate
+  * field addition can't silently null BENCH_r{N} again.
+  */
+class BenchCompactLineSpec extends AnyFunSuite {
+
+  private def fmt(m: Seq[(String, Double)]): String =
+    m.map { case (k, v) => f""""$k":$v%.4f""" }.mkString("{", ",", "}")
+
+  /** A gate JSON string in interleavedGate's exact field order, with
+    * every headline query present in all four per-query maps.
+    */
+  private def gateJson(): String = {
+    val qs = Bench.headline.map { case (n, _) => n -> 123.4567 }
+    val committedField =
+      s""","baseline_total_sec":123.4567,"ratio_raw":12.3456,"ratios":${fmt(qs)}"""
+    val liveField =
+      s""","baseline_live":${fmt(qs)},"baseline_live_total_sec":123.4567,"ratio_live":12.3456,"ratios_live":${fmt(qs)}"""
+    s"""{"queries":${fmt(qs)},"total_sec":123.4567$committedField$liveField,"rounds":5,"shuffle_width":512,"load1_before":10.00,"load1_gate":10.00,"load_gate_ok":false,"load1_after":10.00}"""
+  }
+
+  test("stripMaps removes exactly the per-query maps, keeping scalars") {
+    val stripped = Bench.stripMaps(gateJson(), Bench.StrippedMapKeys)
+    Bench.StrippedMapKeys.foreach { k =>
+      assert(!stripped.contains("\"" + k + "\":{"), s"map $k survived")
+    }
+    for (f <- Seq("total_sec", "ratio_raw", "ratio_live", "rounds",
+        "shuffle_width", "load_gate_ok", "baseline_live_total_sec"))
+      assert(stripped.contains("\"" + f + "\""), s"scalar $f lost")
+    // still balanced JSON-ish braces (no dangling ",}" artifacts)
+    assert(!stripped.contains(",}"))
+    assert(stripped.count(_ == '{') == stripped.count(_ == '}'))
+  }
+
+  test("worst-case compact line fits the driver's 2000-char window") {
+    val results = Bench.headline.map { case (n, _) => n -> 123.4567 }
+    val floorAdjField =
+      s""","queries_floor_adj":${fmt(results)}"""
+    val gates = Seq("sf1", "sf3", "sf10").map { g =>
+      s""","$g":${Bench.stripMaps(gateJson(), Bench.StrippedMapKeys)}"""
+    }.mkString
+    val compactLine =
+      s"""{"metric":"total","value":123.4567,"unit":"sec","queries":${fmt(results)},"total_static_sec":123.4567,"floor_sec":123.4567$floorAdjField$gates,"sf":"/root/testdata/sf0.1"}"""
+    // 2000 is the driver window; demand ≥200 chars of headroom so a
+    // couple of added scalar fields still fit before this trips.
+    assert(compactLine.length <= 1800,
+      s"compact line ${compactLine.length} chars — too close to the 2000-char driver window")
+  }
+}

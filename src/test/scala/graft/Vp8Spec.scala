@@ -189,6 +189,86 @@ class Vp8Spec extends AnyFunSuite {
     }
   }
 
+  test("WebM extraction edge rules (r16 ADVICE): Tracks-after-Clusters, BlockGroup, lacing") {
+    import graft.operators.Webm
+    val g = goldens.head
+    val payload = Vp8.vp8Chunk(g.webp).get
+    val hdr = Webm.el(0x1A45DFA3L,
+      Webm.elUint(0x4286, 1) ++ Webm.elStr(0x4282, "webm") ++
+        Webm.elUint(0x4287, 4) ++ Webm.elUint(0x4285, 2))
+    val tracks = Webm.el(0x1654AE6BL,
+      Webm.el(0xAE, Webm.elUint(0xD7, 1L) ++ Webm.elUint(0x83, 1L) ++
+        Webm.elStr(0x86, "V_VP8") ++
+        Webm.el(0xE0, Webm.elUint(0xB0, g.w.toLong) ++ Webm.elUint(0xBA, g.h.toLong))))
+    def simpleBlock(track: Int, flags: Int, data: Array[Byte]): Array[Byte] =
+      Webm.el(0xA3, Array[Byte]((0x80 | track).toByte, 0, 0, flags.toByte) ++ data)
+    def seg(body: Array[Byte]): Array[Byte] = hdr ++ Webm.el(0x18538067L, body)
+
+    // 1) Matroska permits Tracks AFTER Clusters: two-pass resolve must
+    //    still find the video track (the one-pass walk returned Some(empty)).
+    val cluster = Webm.el(0x1F43B675L,
+      Webm.elUint(0xE7, 0L) ++ simpleBlock(1, 0x80, payload))
+    val outOfOrder = Webm.videoKeyframes(seg(cluster ++ tracks)).get
+    assert(outOfOrder.size === 1)
+    assert(Vp8.decodeYuv(outOfOrder.head._3).isDefined)
+
+    // 2) BlockGroup-stored frames: Block with no ReferenceBlock = keyframe
+    //    (kept); with ReferenceBlock = dependent frame (skipped).
+    def blockGroup(refd: Boolean, data: Array[Byte]): Array[Byte] =
+      Webm.el(0xA0,
+        Webm.el(0xA1, Array[Byte](0x81.toByte, 0, 0, 0) ++ data) ++
+          (if (refd) Webm.elUint(0xFB, 0L) else Array[Byte]()))
+    val bgCluster = Webm.el(0x1F43B675L,
+      Webm.elUint(0xE7, 0L) ++ blockGroup(refd = false, payload) ++
+        blockGroup(refd = true, payload))
+    val bg = Webm.videoKeyframes(seg(tracks ++ bgCluster)).get
+    assert(bg.size === 1) // the ReferenceBlock'd group is skipped
+    assert(java.util.Arrays.equals(bg.head._3, payload))
+
+    // 3) Laced VIDEO blocks reject the file (payload would carry lace
+    //    headers inline); laced AUDIO blocks on another track are skipped
+    //    by track filter and stay harmless.
+    val laced = Webm.el(0x1F43B675L,
+      Webm.elUint(0xE7, 0L) ++ simpleBlock(1, 0x80 | 0x06, payload))
+    assert(Webm.videoKeyframes(seg(tracks ++ laced)).isEmpty)
+    val twoTracks = Webm.el(0x1654AE6BL,
+      Webm.el(0xAE, Webm.elUint(0xD7, 1L) ++ Webm.elUint(0x83, 1L) ++
+        Webm.elStr(0x86, "V_VP8") ++
+        Webm.el(0xE0, Webm.elUint(0xB0, g.w.toLong) ++ Webm.elUint(0xBA, g.h.toLong))) ++
+      Webm.el(0xAE, Webm.elUint(0xD7, 2L) ++ Webm.elUint(0x83, 2L) ++
+        Webm.elStr(0x86, "A_VORBIS") ++
+        Webm.el(0xE1, Webm.elFloat64(0xB5, 48000.0) ++ Webm.elUint(0x9F, 2L))))
+    val audioLaced = Webm.el(0x1F43B675L,
+      Webm.elUint(0xE7, 0L) ++ simpleBlock(2, 0x06, Array[Byte](1, 2, 3)) ++
+        simpleBlock(1, 0x80, payload))
+    assert(Webm.videoKeyframes(seg(twoTracks ++ audioLaced)).get.size === 1)
+  }
+
+  test("truncated token partition rejects (ran-dry check, r16 ADVICE)") {
+    // Chop real golden streams short: the bool decoder's zero-fill must
+    // not hand back Some(garbage). Detectability bound: a cut that stays
+    // inside the legitimate ≤2-byte decoder lookahead is indistinguishable
+    // from a valid end-of-stream by ANY decoder (libwebp's eof_ grants the
+    // same one-virtual-byte grace and would accept such cuts too), and
+    // tiny low-entropy streams can sit entirely inside that window — so
+    // the must-reject assertion targets DENSE streams with substantial
+    // cuts, where the partition genuinely runs dry.
+    var checked = 0
+    goldens.foreach { c =>
+      val payload = Vp8.vp8Chunk(c.webp).get
+      if (payload.length >= 300) {
+        assert(Vp8.decodeYuv(payload).isDefined, c.name) // premise
+        Seq(payload.length / 4, payload.length / 2).foreach { cut =>
+          val t = java.util.Arrays.copyOf(payload, payload.length - cut)
+          assert(Vp8.decodeYuv(t).isEmpty,
+            s"${c.name} cut=$cut: Some(garbage) from a dry partition")
+          checked += 1
+        }
+      }
+    }
+    assert(checked >= 20, s"only $checked truncation cases ran — golden set shrank?")
+  }
+
   test("LIVE 400-case differential sweep vs libwebp (gated on python3 + libwebp)") {
     val probe = try {
       val p = new ProcessBuilder("python3", "-c",
