@@ -555,6 +555,44 @@ object Stress {
       if (rows == 0) failed ::= "e92: zero docs scored at 10x"
     }
 
+    // GeoParquet 1.1 covering READ-side proof at 10x (r16, VERDICT item
+    // 5): a07 pins the footer WRITE; this pins that a spatial filter
+    // over a covering-column dataset actually skips row groups at
+    // volume. 2M range-sorted points → 32 files with disjoint __bbox
+    // stats; a 3%-slice st_intersects must (a) push __bbox_* range
+    // predicates into the scan and (b) leave scan numOutputRows ≪ total
+    // (FileSourceScan emits rows of SURVIVING row groups only — stats
+    // skip evidence, the exact Filter node above re-checks row-level).
+    {
+      val covDir = s"$dir/geo_covering_10x.parquet"
+      if (!new java.io.File(s"$covDir/_SUCCESS").exists()) {
+        val pts = spark.range(2000000L).select(col("id"),
+          GeoFunctions.st_point(col("id").cast("double"), lit(0.0)).as("geometry"))
+          .repartitionByRange(32, col("id"))
+        geo.GeoParquet.write(pts, covDir, Seq("geometry"), addBboxColumn = true)
+      }
+      val box = GeoFunctions.stMakeBoxF(0.0, -1.0, 60000.0, 1.0) // 3% slice
+      val q = geo.GeoParquet.read(spark, covDir)
+        .filter(call_udf("st_intersects", col("geometry"), lit(box)))
+        .select(col("id"))
+      val plan = q.queryExecution.executedPlan.toString
+      if (!(plan.contains("PushedFilters") && plan.contains("__bbox_geometry.xmin")))
+        failed ::= "covering 10x: __bbox range predicates not pushed to the scan"
+      // collect() executes q ITSELF, so the metrics read below come from
+      // the very plan that ran (count() would build a different plan and
+      // leave q's scan metrics at zero)
+      val got = q.collect().length
+      if (got != 60001)
+        failed ::= s"covering 10x: expected 60001 rows, got $got"
+      val scanned = q.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numOutputRows").value
+      }.sum
+      println(f"[stress] covering prune at 10x: scan emitted $scanned%d of 2000000 rows (${2000000.0 / scanned}%.0fx row-group skip)")
+      if (scanned > 500000L)
+        failed ::= s"covering 10x: scan emitted $scanned of 2000000 rows — row groups not skipped"
+    }
+
     if (spillBytes.get() > 0)
       failed ::= s"spill: ${spillBytes.get()} bytes spilled across the stress runs"
     if (failed.nonEmpty) {

@@ -98,6 +98,14 @@ object MimeSniff {
         (b(2) & 0xff) == 0x4d && (b(3) & 0xff) == 0x18) return "application/x-lz4"
     if (at(b, 0, "BZh") && b.length >= 4 && b(3) >= '1' && b(3) <= '9')
       return "application/x-bzip2"
+    // r16: ICO/CUR — the all-zero-prefixed ICONDIR magic is weak, so
+    // demand a plausible directory too (count ≥ 1 and the entry table
+    // inside the file), the WHATWG-sniffer discipline
+    if (b.length >= 6 && b(0) == 0 && b(1) == 0 &&
+        (b(2) == 1 || b(2) == 2) && b(3) == 0) {
+      val count = (b(4) & 0xff) | ((b(5) & 0xff) << 8)
+      if (count >= 1 && 6 + 16 * count <= b.length) return "image/x-icon"
+    }
     // MP3 LAST among the binaries (a bare frame sync is the most
     // false-positive-prone magic): ID3v2 prefix, or a sync whose
     // version/layer/bitrate/samplerate fields are all non-reserved

@@ -913,7 +913,8 @@ object Curation extends QueryBlock {
       writeWebmFixture(s, dir), writeSevenZipFixture(s, dir),
       writeLz4Fixture(s, dir), writeWebpFixture(s, dir),
       writeVp8LossyFixture("st", "webp_lossy_mix"),
-      writeRtfFixture(s, dir), writeOdtFixture(s, dir))
+      writeRtfFixture(s, dir), writeOdtFixture(s, dir),
+      writeIcoFixture("ico_mix"))
     sources.foreach { src =>
       new java.io.File(src).listFiles().foreach { f =>
         java.nio.file.Files.copy(f.toPath,
@@ -995,7 +996,17 @@ object Curation extends QueryBlock {
           CAST(5 AS BIGINT) AS n_units
         FROM (SELECT ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS rn
           FROM documents WHERE text IS NOT NULL AND doc_id >= 280 AND doc_id < 320)
-        WHERE rn % 5 = 0)
+        WHERE rn % 5 = 0),
+      ico AS (SELECT regexp_extract(filename, '([^/]+)$', 1) AS fname,
+          'image/x-icon' AS mime,
+          CAST(strpos('123456789ABCDEF', substr(H, 9, 1))*16
+             + strpos('123456789ABCDEF', substr(H, 10, 1))
+             + 256*(strpos('123456789ABCDEF', substr(H, 11, 1))*16
+             + strpos('123456789ABCDEF', substr(H, 12, 1))) AS BIGINT) AS n_units
+        FROM (SELECT filename, hex(content) AS H
+          FROM read_blob('""" + scratch + """/mixed___GRAFT_SF__/ic*.ico')
+          UNION ALL SELECT filename, hex(content) AS H
+          FROM read_blob('""" + scratch + """/mixed___GRAFT_SF__/cu*.cur')))
       SELECT * FROM flac UNION ALL SELECT * FROM sqlite
       UNION ALL SELECT * FROM avro UNION ALL SELECT * FROM tiff
       UNION ALL SELECT * FROM mp3 UNION ALL SELECT * FROM ogg
@@ -1003,6 +1014,7 @@ object Curation extends QueryBlock {
       UNION ALL SELECT * FROM lz4 UNION ALL SELECT * FROM webp
       UNION ALL SELECT * FROM webp_lossy
       UNION ALL SELECT * FROM rtf UNION ALL SELECT * FROM odt
+      UNION ALL SELECT * FROM ico
       ORDER BY fname"""
 
   /** e113/d45: one `.webp` (VP8L lossless) per doc over docs 80–120 —
@@ -1093,6 +1105,95 @@ object Curation extends QueryBlock {
     }
     wDir
   }
+
+  /** e118 shared: deterministic ICO/CUR fixture set — PNG and 32bpp DIB
+    * payloads, multi-entry files, the u8 0⇒256 width rule (a 256×84 PNG
+    * member — 84 keeps the stored-deflate oracle layout under one
+    * block), and cursor hotspots (r16, VERDICT item 4).
+    */
+  def writeIcoFixture(sub: String): String = {
+    import graft.operators.Ico
+    val iDir = s"$scratch/$sub"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(iDir))
+    new java.io.File(iDir).listFiles().foreach(_.delete())
+    def w(name: String, bytes: Array[Byte]): Unit = {
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$iDir/$name"), bytes)
+      ()
+    }
+    w("ic00.ico", Ico.makeIco(Seq(
+      Ico.PayloadSpec("png", 16, 16), Ico.PayloadSpec("dib", 16, 16)), 9100))
+    w("ic01.ico", Ico.makeIco(Seq(Ico.PayloadSpec("dib", 32, 32)), 9200))
+    w("ic02.ico", Ico.makeIco(Seq(Ico.PayloadSpec("png", 256, 84)), 9300))
+    w("ic03.ico", Ico.makeIco(Seq(
+      Ico.PayloadSpec("png", 20, 12), Ico.PayloadSpec("dib", 8, 8),
+      Ico.PayloadSpec("png", 33, 9)), 9400))
+    w("cu00.cur", Ico.makeIco(Seq(Ico.PayloadSpec("dib", 16, 16)), 9500,
+      cursor = true))
+    w("cu01.cur", Ico.makeIco(Seq(
+      Ico.PayloadSpec("png", 24, 24), Ico.PayloadSpec("dib", 12, 12)), 9600,
+      cursor = true))
+    iDir
+  }
+
+  // DuckDB hex-walk helpers with a DYNAMIC 0-based byte offset (the
+  // LlmPipeline duck* twins take a fixed 1-based literal): `o` is any
+  // SQL expression over in-scope columns.
+  private def hbD(o: String): String =
+    s"(strpos('123456789ABCDEF', substr(H, 2*($o) + 1, 1))*16 + strpos('123456789ABCDEF', substr(H, 2*($o) + 2, 1)))"
+  private def le32D(o: String): String =
+    s"(${hbD(o)} + 256*${hbD(s"($o)+1")} + 65536*${hbD(s"($o)+2")} + 16777216*${hbD(s"($o)+3")})"
+  private def be32D(o: String): String =
+    s"(16777216*${hbD(o)} + 65536*${hbD(s"($o)+1")} + 256*${hbD(s"($o)+2")} + ${hbD(s"($o)+3")})"
+
+  /** e118 oracle: an independent DuckDB hex walk of the SAME directory
+    * and payload headers (dims from the payload, 0⇒256 from the u8
+    * fields, hotspots for cursors only) plus a full byte-sum over each
+    * 32bpp DIB's XOR image — the engine's mean_xor must match to 6dp.
+    */
+  private def icoOracleSql: String =
+    s"""WITH b AS (SELECT filename, hex(content) AS H
+          FROM read_blob('$scratch/ico/*')),
+      hdr AS (SELECT filename, H,
+          CASE WHEN ${hbD("2")} + 256*${hbD("3")} = 2 THEN 'cursor' ELSE 'icon' END AS kind,
+          (${hbD("2")} + 256*${hbD("3")}) AS ftype,
+          (${hbD("4")} + 256*${hbD("5")}) AS cnt FROM b),
+      ent AS (SELECT filename, H, kind, ftype, CAST(i AS INT) AS idx, 6 + 16*i AS e
+          FROM hdr, UNNEST(generate_series(0, cnt - 1)) AS u(i)),
+      fld AS (SELECT filename, H, kind, ftype, idx,
+          CASE WHEN ${hbD("e")} = 0 THEN 256 ELSE ${hbD("e")} END AS dir_w,
+          CASE WHEN ${hbD("e+1")} = 0 THEN 256 ELSE ${hbD("e+1")} END AS dir_h,
+          (${hbD("e+4")} + 256*${hbD("e+5")}) AS f4,
+          (${hbD("e+6")} + 256*${hbD("e+7")}) AS f6,
+          ${le32D("e+8")} AS n_payload,
+          ${le32D("e+12")} AS poff FROM ent),
+      fmtd AS (SELECT *, CASE WHEN substr(H, 2*poff + 1, 16) = '89504E470D0A1A0A'
+            THEN 'png' ELSE 'dib' END AS fmt FROM fld),
+      dims AS (SELECT filename, H, kind, ftype, idx, dir_w, dir_h, f4, f6,
+          n_payload, poff, fmt,
+          CASE WHEN fmt = 'png' THEN ${be32D("poff+16")}
+               ELSE ${le32D("poff+4")} END AS width,
+          CASE WHEN fmt = 'png' THEN ${be32D("poff+20")}
+               ELSE ${le32D("poff+8")} // 2 END AS height,
+          CASE WHEN fmt = 'png' THEN ${hbD("poff+24")} *
+              (CASE ${hbD("poff+25")} WHEN 0 THEN 1 WHEN 2 THEN 3 WHEN 3 THEN 1
+                WHEN 4 THEN 2 WHEN 6 THEN 4 END)
+            ELSE ${hbD("poff+14")} + 256*${hbD("poff+15")} END AS bit_count
+          FROM fmtd),
+      xr AS (SELECT filename, idx, sum(${hbD("poff+40+j")}) AS xs, count(*) AS xn
+          FROM dims, UNNEST(generate_series(0,
+            CASE WHEN fmt = 'dib' THEN width*height*4 - 1 ELSE -1 END)) AS v(j)
+          GROUP BY filename, idx)
+      SELECT regexp_extract(d.filename, '([^/]+)$$', 1) AS fname,
+        d.idx AS idx, d.kind AS kind,
+        CAST(d.dir_w AS INT) AS dir_w, CAST(d.dir_h AS INT) AS dir_h,
+        CAST(d.width AS INT) AS width, CAST(d.height AS INT) AS height,
+        CASE WHEN d.ftype = 2 THEN CAST(d.f4 AS INT) END AS hx,
+        CASE WHEN d.ftype = 2 THEN CAST(d.f6 AS INT) END AS hy,
+        d.fmt AS fmt, CAST(d.bit_count AS INT) AS bit_count,
+        CAST(d.n_payload AS BIGINT) AS n_payload,
+        round(CAST(x.xs AS DOUBLE) / x.xn, 6) AS mean_xor
+      FROM dims d LEFT JOIN xr x ON d.filename = x.filename AND d.idx = x.idx
+      ORDER BY fname, idx"""
 
   /** e117/d51 shared: animations over docs 430–450, each built from the
     * committed lossy members ((doc_id*11 + j) mod member-count over the
@@ -5164,6 +5265,45 @@ object Curation extends QueryBlock {
     // from construction, pixels joined to the committed reference-
     // derived stats parquet by sorted-name rank. Scan-local, zero
     // shuffle.
+    // E118 — ICO/CUR ingest (r16, VERDICT item 4): favicons are
+    // ubiquitous in crawl drops; the container is a 16-byte-entry
+    // directory over payloads the repo already decodes (PNG streams /
+    // BMP-family DIBs with the doubled-height AND-mask rule). Per-entry
+    // rows: kind, directory dims (u8 0⇒256), payload-authoritative
+    // dims, cursor hotspots, payload format + bit depth, and a full
+    // channel-byte mean over each 32bpp DIB's XOR image (real pixel
+    // bytes, not header echo). DuckDB re-derives EVERYTHING from its
+    // own hex walk of the same files — directory arithmetic, payload
+    // sniffing, PNG IHDR / DIB header dims, and the XOR byte sum.
+    // Per-file scan-local walk, zero shuffle.
+    "e118_ico" -> QueryDef(
+      (s, dir) => {
+        val icoDir = writeIcoFixture("ico")
+        val ent = udf((b: Array[Byte]) =>
+          graft.operators.Ico.entries(b).map(_.map { e =>
+            val mx = graft.operators.Ico.dib32ChannelSums(b, e).map {
+              case (sb, sg, sr, sa, n) => (sb + sg + sr + sa).toDouble / (4.0 * n)
+            }
+            (e.idx, e.kind, e.dirW, e.dirH, e.width, e.height,
+              if (e.kind == "cursor") Some(e.hotspotX) else None,
+              if (e.kind == "cursor") Some(e.hotspotY) else None,
+              e.format, e.bitCount, e.payloadLen.toLong, mx)
+          }))
+        s.read.format("binaryFile").load(icoDir)
+          .select(regexp_extract(col("path"), "([^/]+)$", 1).as("fname"),
+            explode(ent(col("content"))).as("e"))
+          .select(col("fname"),
+            col("e._1").as("idx"), col("e._2").as("kind"),
+            col("e._3").as("dir_w"), col("e._4").as("dir_h"),
+            col("e._5").as("width"), col("e._6").as("height"),
+            col("e._7").as("hx"), col("e._8").as("hy"),
+            col("e._9").as("fmt"), col("e._10").as("bit_count"),
+            col("e._11").as("n_payload"),
+            round(col("e._12"), 6).as("mean_xor"))
+          .orderBy(col("fname"), col("idx"))
+      },
+      Some(icoOracleSql)),
+
     "e117_webp_anim" -> QueryDef(
       (s, dir) => {
         val aDir = writeWebpAnimFixture(s, dir, "webp_anim")

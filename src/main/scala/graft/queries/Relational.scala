@@ -18,6 +18,53 @@ object Relational extends QueryBlock {
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
 
+  /** C9/C9b body: count part keys with a discounted line and no taxed
+    * line. Domain-adaptive: a key span ≤ DenseKeyFlags.DomainMax takes
+    * the join-free dense-bitmap ObjectHashAggregate (fixed-size state,
+    * one scan each side, no shuffle of raw keys); a wider span falls
+    * back to bounded-key groupBy + broadcast left-semi. `keyScale`
+    * stretches the key domain bijectively (result unchanged) so BOTH
+    * routes run under the driver gate — c09 dense, c09b (×2^22)
+    * fallback.
+    */
+  private def semiAntiCount(s: SparkSession, dir: String, keyScale: Long): DataFrame = {
+    import graft.operators.DenseKeyFlags
+    val p = t(s, dir, "part")
+      .select((col("p_partkey").cast("long") * keyScale).as("p_partkey"))
+    val l = t(s, dir, "lineitem")
+      .withColumn("l_partkey", col("l_partkey").cast("long") * keyScale)
+    val range = DenseKeyFlags.keyRange(p, "p_partkey", s, s"$dir/part#x$keyScale")
+    val dense = range.exists { case (lo, hi) =>
+      val span = hi - lo + 1
+      span > 0 && span <= DenseKeyFlags.DomainMax
+    }
+    if (dense) {
+      import s.implicits._
+      val (lo, hi) = range.get
+      val words = ((hi - lo) >> 6).toInt + 1
+      // packed input: (key − lo)*8 | mask — bit2 = part row, bit0 =
+      // discounted line, bit1 = taxed line; out-of-span keys resolve
+      // to out-of-range words and are ignored by the aggregator
+      val pk = p.select(((col("p_partkey") - lit(lo)) * 8 + 4).as("km"))
+        .filter(col("km").isNotNull)
+      val lk = l.select(((col("l_partkey") - lit(lo)) * 8
+          + (col("l_discount") > 0.05).cast("int")
+          + (col("l_tax") > 0.07).cast("int") * 2).as("km"))
+        .filter(col("km") % 8 =!= 0) // drops flagless rows and NULL keys
+      val agg = new DenseKeyFlags.DensePackedAgg(words)
+      pk.unionByName(lk).as[Long].select(agg.toColumn.name("n")).toDF()
+    } else {
+      val keys = l.select(col("l_partkey"),
+        (col("l_discount") > 0.05).as("disc"), (col("l_tax") > 0.07).as("taxed"))
+        .filter(col("disc") || col("taxed"))
+        .groupBy(col("l_partkey"))
+        .agg(max(col("disc")).as("disc"), max(col("taxed")).as("taxed"))
+        .filter(col("disc") && !col("taxed"))
+      keys.join(broadcast(p), col("l_partkey") === col("p_partkey"), "left_semi")
+        .agg(count(lit(1)).as("n"))
+    }
+  }
+
   val queries: Map[String, QueryDef] = Map(
     // C14/C5 — flagship: TPC-H Q1-style pricing summary (BASELINE B1).
     // Each money column converts to exact cents ONCE in a projection below
@@ -209,44 +256,22 @@ object Relational extends QueryBlock {
     // and any lineitem key outside part's [lo, hi] span lands outside the
     // bitmap and is ignored — it cannot be a member.
     "c09_semi_anti" -> QueryDef(
-      (s, dir) => {
-        import graft.operators.DenseKeyFlags
-        val p = t(s, dir, "part").select(col("p_partkey"))
-        val l = t(s, dir, "lineitem")
-        val range = DenseKeyFlags.keyRange(p, "p_partkey", s, s"$dir/part")
-        val dense = range.exists { case (lo, hi) =>
-          val span = hi - lo + 1
-          span > 0 && span <= DenseKeyFlags.DomainMax
-        }
-        if (dense) {
-          import s.implicits._
-          val (lo, hi) = range.get
-          val words = ((hi - lo) >> 6).toInt + 1
-          // packed input: (key − lo)*8 | mask — bit2 = part row, bit0 =
-          // discounted line, bit1 = taxed line; out-of-span keys resolve
-          // to out-of-range words and are ignored by the aggregator
-          val pk = p.select(((col("p_partkey").cast("long") - lit(lo)) * 8 + 4).as("km"))
-            .filter(col("km").isNotNull)
-          val lk = l.select(((col("l_partkey").cast("long") - lit(lo)) * 8
-              + (col("l_discount") > 0.05).cast("int")
-              + (col("l_tax") > 0.07).cast("int") * 2).as("km"))
-            .filter(col("km") % 8 =!= 0) // drops flagless rows and NULL keys
-          val agg = new DenseKeyFlags.DensePackedAgg(words)
-          pk.unionByName(lk).as[Long].select(agg.toColumn.name("n")).toDF()
-        } else {
-          val keys = l.select(col("l_partkey"),
-            (col("l_discount") > 0.05).as("disc"), (col("l_tax") > 0.07).as("taxed"))
-            .filter(col("disc") || col("taxed"))
-            .groupBy(col("l_partkey"))
-            .agg(max(col("disc")).as("disc"), max(col("taxed")).as("taxed"))
-            .filter(col("disc") && !col("taxed"))
-          keys.join(broadcast(p), col("l_partkey") === col("p_partkey"), "left_semi")
-            .agg(count(lit(1)).as("n"))
-        }
-      },
+      (s, dir) => semiAntiCount(s, dir, keyScale = 1L),
       Some("""SELECT count(*) AS n FROM part
         WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_discount>0.05)
           AND p_partkey NOT IN (SELECT l_partkey FROM lineitem WHERE l_tax>0.07 AND l_partkey IS NOT NULL)""")),
+
+    // C9b — the SAME semi/anti operator with the key domain widened past
+    // DenseKeyFlags.DomainMax (keys × 2^22 — bijective, so the count is
+    // identical), forcing the >2^24-span FALLBACK route (bounded-key
+    // groupBy + broadcast left-semi) under the driver gate; the dense
+    // path alone was plan-pinned before, the routing only spec-level
+    // (r16, VERDICT item 6). PlanSpec pins the fallback plan shape.
+    "c09b_semi_anti_wide" -> QueryDef(
+      (s, dir) => semiAntiCount(s, dir, keyScale = 1L << 22),
+      Some("""SELECT count(*) AS n FROM part
+        WHERE p_partkey*4194304 IN (SELECT l_partkey*4194304 FROM lineitem WHERE l_discount>0.05)
+          AND p_partkey*4194304 NOT IN (SELECT l_partkey*4194304 FROM lineitem WHERE l_tax>0.07 AND l_partkey IS NOT NULL)""")),
 
     // C10 — cross join (small fixture).
     "c10_cross_join" -> QueryDef(
@@ -392,7 +417,12 @@ object Relational extends QueryBlock {
           .select(col("n_name"), col("c_name"), col("c_acctbal"),
             row_number().over(w).as("rn"))
           .filter(col("rn") <= 3)
-          .transform(sortSmall(_, col("n_name"), col("rn"))) // ≤ 3·|nation| rows
+          // ≤ 3·|nation| rows — STRUCTURALLY bounded, so the top-K form
+          // applies: TakeOrderedAndProject merges a few sorted rows per
+          // window-stage partition on the driver, where sortSmall paid a
+          // whole extra stage (Exchange SinglePartition + Sort) for the
+          // same ≤75 rows (r16, VERDICT item 1: one stage fewer at sf1).
+          .transform(sortSmallTopK(_, col("n_name"), col("rn")))
       },
       Some("""SELECT * FROM (SELECT n_name, c_name, c_acctbal,
         row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) rn

@@ -31,7 +31,9 @@ class DecoderFuzzSpec extends AnyFunSuite {
     "audioEnvelopeHash64" -> Multimodal.audioEnvelopeHash64 _,
     // r15: the lossy-WebP pipeline (container routing + VP8 + ALPH)
     "webpDecode" -> graft.operators.WebpL.decode _,
-    "vp8DecodeYuv" -> graft.operators.Vp8.decodeYuv _)
+    "vp8DecodeYuv" -> graft.operators.Vp8.decodeYuv _,
+    // r16: ICO/CUR directory walk
+    "icoEntries" -> graft.operators.Ico.entries _)
 
   /** Committed reference-encoded members for the valid set (r15). */
   private def lossyWebp(name: String): Array[Byte] = {
@@ -66,7 +68,13 @@ class DecoderFuzzSpec extends AnyFunSuite {
     "jpgprog" -> Multimodal.makeJpegProgressivePixels(4, 2, q0 = 2, seed = 11L),
     "jpgll" -> Multimodal.makeJpegLossless(20, seed = 13L),
     "webpvp8" -> lossyWebp("checker_16x16_q50"),
-    "webpalpha" -> lossyWebp("alpha_checker_q30"))
+    "webpalpha" -> lossyWebp("alpha_checker_q30"),
+    // r16: ICO with mixed PNG+DIB payloads, CUR with hotspots
+    "ico" -> graft.operators.Ico.makeIco(Seq(
+      graft.operators.Ico.PayloadSpec("png", 6, 5),
+      graft.operators.Ico.PayloadSpec("dib", 8, 8)), seed = 14L),
+    "cur" -> graft.operators.Ico.makeIco(Seq(
+      graft.operators.Ico.PayloadSpec("dib", 4, 4)), seed = 15L, cursor = true))
 
   private def mustNotThrow(what: String, bytes: Array[Byte],
       name: String, f: Array[Byte] => Any): Unit =

@@ -85,6 +85,27 @@ class PlanSpec extends AnyFunSuite {
       s"lineitem must be scanned once:\n$plan")
   }
 
+  test("C9b wide-domain fallback routes to broadcast left-semi (no dense bitmap, no shuffle join)") {
+    // keys × 2^22 push the span past DenseKeyFlags.DomainMax, so the
+    // routing must take the groupBy + broadcast left-semi fallback (r16,
+    // VERDICT item 6: both routes driver-green, both plan-pinned)
+    val plan = planOf("c09b_semi_anti_wide")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("LeftSemi"), plan)
+    assert(!plan.contains("DensePackedAgg"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("C21 bounded rank output delivers via TakeOrderedAndProject (no SinglePartition exchange)") {
+    // r16 VERDICT item 1: the ≤3·|nation|-row result merges on the
+    // driver; the old sortSmall form paid Exchange SinglePartition +
+    // Sort — one whole extra stage at sf1
+    val plan = planOf("c21_rank_window")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Exchange SinglePartition"), plan)
+    assert(plan.contains("WindowGroupLimit"), plan) // top-3 still pushed below the shuffle
+  }
+
   test("C7 join-agg: one union shuffle on the order key + customer-only broadcast, no range sort") {
     val plan = planOf("c07_join_agg")
     // lineitem and orders union into a single per-orderkey aggregate (one
