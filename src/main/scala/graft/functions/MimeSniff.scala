@@ -63,7 +63,13 @@ object MimeSniff {
     if (at(b, 0, "RIFF") && at(b, 8, "WAVE")) return "audio/wav"
     if (at(b, 0, "RIFF") && at(b, 8, "WEBP")) return "image/webp"
     if (at(b, 0, "BM")) return "image/bmp"
-    if (at(b, 4, "ftyp")) return "video/mp4"
+    if (at(b, 4, "ftyp")) {
+      // r16: HEIF-family brands route ahead of the generic ISOBMFF label
+      if (at(b, 8, "avif") || at(b, 8, "avis")) return "image/avif"
+      if (at(b, 8, "heic") || at(b, 8, "heix") || at(b, 8, "mif1"))
+        return "image/heif"
+      return "video/mp4"
+    }
     if (b.length >= 2 && (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b)
       return "application/gzip"
     if (b.length >= 4 && at(b, 0, "PK") && (b(2) & 0xff) <= 0x07) {

@@ -44,6 +44,8 @@ object UniversalIngest {
       case "application/avro" => AvroOcf.decode(bytes).map(_.records.length.toLong)
       case "image/tiff" => Tiff.decode(bytes).map(_.length.toLong)
       case "image/x-icon" => Ico.entries(bytes).map(_.length.toLong)
+      case "image/avif" | "image/heif" =>
+        Heif.info(bytes).map(_.nItems.toLong)
       case "image/webp" =>
         WebpL.decode(bytes).map(img => img.width.toLong * img.height)
       case "video/webm" => Webm.info(bytes).map(_.nBlocks.toLong)

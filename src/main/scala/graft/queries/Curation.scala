@@ -914,7 +914,7 @@ object Curation extends QueryBlock {
       writeLz4Fixture(s, dir), writeWebpFixture(s, dir),
       writeVp8LossyFixture("st", "webp_lossy_mix"),
       writeRtfFixture(s, dir), writeOdtFixture(s, dir),
-      writeIcoFixture("ico_mix"))
+      writeIcoFixture("ico_mix"), writeAvifHeifFixture("avif_heif_mix"))
     sources.foreach { src =>
       new java.io.File(src).listFiles().foreach { f =>
         java.nio.file.Files.copy(f.toPath,
@@ -1006,7 +1006,12 @@ object Curation extends QueryBlock {
         FROM (SELECT filename, hex(content) AS H
           FROM read_blob('""" + scratch + """/mixed___GRAFT_SF__/ic*.ico')
           UNION ALL SELECT filename, hex(content) AS H
-          FROM read_blob('""" + scratch + """/mixed___GRAFT_SF__/cu*.cur')))
+          FROM read_blob('""" + scratch + """/mixed___GRAFT_SF__/cu*.cur'))),
+      heif AS (SELECT fname,
+          CASE WHEN fname LIKE '%.avif' THEN 'image/avif'
+               ELSE 'image/heif' END AS mime,
+          CAST(n_items AS BIGINT) AS n_units
+        FROM read_parquet('/root/repo/fixtures/__GRAFT_SF__/e119_avif.parquet'))
       SELECT * FROM flac UNION ALL SELECT * FROM sqlite
       UNION ALL SELECT * FROM avro UNION ALL SELECT * FROM tiff
       UNION ALL SELECT * FROM mp3 UNION ALL SELECT * FROM ogg
@@ -1014,7 +1019,7 @@ object Curation extends QueryBlock {
       UNION ALL SELECT * FROM lz4 UNION ALL SELECT * FROM webp
       UNION ALL SELECT * FROM webp_lossy
       UNION ALL SELECT * FROM rtf UNION ALL SELECT * FROM odt
-      UNION ALL SELECT * FROM ico
+      UNION ALL SELECT * FROM ico UNION ALL SELECT * FROM heif
       ORDER BY fname"""
 
   /** e113/d45: one `.webp` (VP8L lossless) per doc over docs 80–120 —
@@ -1133,6 +1138,33 @@ object Curation extends QueryBlock {
       Ico.PayloadSpec("png", 24, 24), Ico.PayloadSpec("dib", 12, 12)), 9600,
       cursor = true))
     iDir
+  }
+
+  /** e119 shared: REFERENCE-ENCODED AVIF/HEIC members (libavif/aom,
+    * libheif/x265 — scripts/avif_heif_reference.py, r16 trigger) from
+    * the committed resource, materialized to scratch.
+    */
+  def avifHeifMembers(): Seq[(String, Array[Byte])] = {
+    val in = getClass.getResourceAsStream("/graft/avif_heif_members.json")
+    val json = new String(in.readAllBytes(), "UTF-8")
+    in.close()
+    val entry = """"([A-Za-z0-9_.]+)":\s*"([0-9a-f]+)"""".r
+    entry.findAllMatchIn(json).map { m =>
+      m.group(1) -> m.group(2).grouped(2)
+        .map(h => Integer.parseInt(h, 16).toByte).toArray
+    }.toSeq.sortBy(_._1)
+  }
+
+  def writeAvifHeifFixture(sub: String): String = {
+    val wDir = s"$scratch/$sub"
+    val fd = new java.io.File(wDir)
+    java.nio.file.Files.createDirectories(fd.toPath)
+    fd.listFiles().foreach(_.delete())
+    avifHeifMembers().foreach { case (name, bytes) =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$wDir/$name"), bytes)
+    }
+    wDir
   }
 
   // DuckDB hex-walk helpers with a DYNAMIC 0-based byte offset (the
@@ -5265,6 +5297,44 @@ object Curation extends QueryBlock {
     // from construction, pixels joined to the committed reference-
     // derived stats parquet by sorted-name rank. Scan-local, zero
     // shuffle.
+    // E119 — AVIF/HEIC container ingest (r16, the fired codec trigger:
+    // libavif + libheif appeared on this runtime, making goldens
+    // generatable for the two formats crawls now serve to modern
+    // browsers). operators.Heif walks the ISOBMFF meta tree from
+    // scratch — pitm/iinf/iloc (both construction methods)/idat/ipco/
+    // ipma/iref — and resolves the HEIF-level semantics: primary-item
+    // ispe dims (incl. libheif's `grid` primaries), pixi depth with the
+    // grid→dimg-child fallback, auxC+auxl alpha linkage, irot, and the
+    // AV1 sequence-header bits via a from-scratch OBU walk. Every row
+    // is pinned by the INDEPENDENT fixture: dims/depth/alpha from the
+    // reference decoders, container fields from a from-scratch Python
+    // ISOBMFF walk (the e02/e113b pattern). Pixel decode is the scoped
+    // r17 step (NOTES_r16). Per-file scan-local walk, zero shuffle.
+    "e119_avif" -> QueryDef(
+      (s, dir) => {
+        val aDir = writeAvifHeifFixture("avif_heif")
+        val infoU = udf((b: Array[Byte]) => graft.operators.Heif.info(b))
+        val eng = s.read.format("binaryFile").load(aDir)
+          .select(regexp_extract(col("path"), "([^/]+)$", 1).as("fname"),
+            infoU(col("content")).as("i"))
+          .filter(col("i").isNotNull)
+          .select(col("fname"),
+            col("i.itemType").as("item_type"),
+            col("i.width").as("width"), col("i.height").as("height"),
+            col("i.depth").as("depth"),
+            col("i.hasAlpha").as("has_alpha"),
+            col("i.nItems").as("n_items"), col("i.irot").as("irot"),
+            col("i.primaryBytes").as("primary_bytes"),
+            col("i.seqProfile").as("seq_profile"),
+            col("i.stillPicture").as("still_picture"))
+        graft.queries.LlmPipeline.fixtureCheck(
+          s, dir, "e119_avif", eng, Seq("fname"))
+      },
+      Some(graft.queries.LlmPipeline.fixtureSql("e119_avif",
+        Seq("fname", "item_type", "width", "height", "depth", "has_alpha",
+          "n_items", "irot", "primary_bytes", "seq_profile",
+          "still_picture")))),
+
     // E118 — ICO/CUR ingest (r16, VERDICT item 4): favicons are
     // ubiquitous in crawl drops; the container is a 16-byte-entry
     // directory over payloads the repo already decodes (PNG streams /

@@ -32,8 +32,9 @@ class DecoderFuzzSpec extends AnyFunSuite {
     // r15: the lossy-WebP pipeline (container routing + VP8 + ALPH)
     "webpDecode" -> graft.operators.WebpL.decode _,
     "vp8DecodeYuv" -> graft.operators.Vp8.decodeYuv _,
-    // r16: ICO/CUR directory walk
-    "icoEntries" -> graft.operators.Ico.entries _)
+    // r16: ICO/CUR directory walk + HEIF-family container walk
+    "icoEntries" -> graft.operators.Ico.entries _,
+    "heifInfo" -> graft.operators.Heif.info _)
 
   /** Committed reference-encoded members for the valid set (r15). */
   private def lossyWebp(name: String): Array[Byte] = {
@@ -74,7 +75,12 @@ class DecoderFuzzSpec extends AnyFunSuite {
       graft.operators.Ico.PayloadSpec("png", 6, 5),
       graft.operators.Ico.PayloadSpec("dib", 8, 8)), seed = 14L),
     "cur" -> graft.operators.Ico.makeIco(Seq(
-      graft.operators.Ico.PayloadSpec("dib", 4, 4)), seed = 15L, cursor = true))
+      graft.operators.Ico.PayloadSpec("dib", 4, 4)), seed = 15L, cursor = true),
+    // r16: reference-encoded HEIF-family members (smallest of each codec)
+    "avif" -> graft.queries.Curation.avifHeifMembers()
+      .find(_._1 == "a420_7x5.avif").get._2,
+    "heic" -> graft.queries.Curation.avifHeifMembers()
+      .find(_._1 == "h420_31x17.heic").get._2)
 
   private def mustNotThrow(what: String, bytes: Array[Byte],
       name: String, f: Array[Byte] => Any): Unit =
