@@ -125,8 +125,12 @@ object Stress {
       if (!udfByDesign(name))
         must(!plan.contains("ScalaUDF"), "ScalaUDF appeared in hot path at 10x")
       // queries that rely on a dim broadcast must KEEP it at 10x volume
-      if (Set("c20_rollup", "c07_join_agg", "c21_rank_window")(name))
+      if (Set("c20_rollup", "c07_join_agg")(name))
         must(plan.contains("BroadcastHashJoin"), "dim broadcast demoted at 10x")
+      // r16: c21's nation lookup is a literal-map probe (no join node at
+      // all); it must stay join-free at volume
+      if (name == "c21_rank_window")
+        must(!plan.contains("Join"), "c21 literal-map lookup regressed to a join at 10x")
       // r13: c20's customer side is the codegen dense-dimension lookup —
       // it must stay in the plan (inside the scan's codegen span), not
       // silently fall back to a join

@@ -1177,12 +1177,57 @@ object Curation extends QueryBlock {
   private def be32D(o: String): String =
     s"(16777216*${hbD(o)} + 65536*${hbD(s"($o)+1")} + 256*${hbD(s"($o)+2")} + ${hbD(s"($o)+3")})"
 
+  /** e118/d52 shared: binaryFile rows → one typed row per ICO/CUR
+    * directory entry.
+    */
+  def icoProject(raw: DataFrame): DataFrame = {
+    val ent = udf((b: Array[Byte]) =>
+      graft.operators.Ico.entries(b).map(_.map { e =>
+        val mx = graft.operators.Ico.dib32ChannelSums(b, e).map {
+          case (sb, sg, sr, sa, n) => (sb + sg + sr + sa).toDouble / (4.0 * n)
+        }
+        (e.idx, e.kind, e.dirW, e.dirH, e.width, e.height,
+          if (e.kind == "cursor") Some(e.hotspotX) else None,
+          if (e.kind == "cursor") Some(e.hotspotY) else None,
+          e.format, e.bitCount, e.payloadLen.toLong, mx)
+      }))
+    raw.select(regexp_extract(col("path"), "([^/]+)$", 1).as("fname"),
+        explode(ent(col("content"))).as("e"))
+      .select(col("fname"),
+        col("e._1").as("idx"), col("e._2").as("kind"),
+        col("e._3").as("dir_w"), col("e._4").as("dir_h"),
+        col("e._5").as("width"), col("e._6").as("height"),
+        col("e._7").as("hx"), col("e._8").as("hy"),
+        col("e._9").as("fmt"), col("e._10").as("bit_count"),
+        col("e._11").as("n_payload"),
+        round(col("e._12"), 6).as("mean_xor"))
+  }
+
+  /** e119/d53 shared: binaryFile rows → one container-facts row per
+    * HEIF-family file.
+    */
+  def heifProject(raw: DataFrame): DataFrame = {
+    val infoU = udf((b: Array[Byte]) => graft.operators.Heif.info(b))
+    raw.select(regexp_extract(col("path"), "([^/]+)$", 1).as("fname"),
+        infoU(col("content")).as("i"))
+      .filter(col("i").isNotNull)
+      .select(col("fname"),
+        col("i.itemType").as("item_type"),
+        col("i.width").as("width"), col("i.height").as("height"),
+        col("i.depth").as("depth"),
+        col("i.hasAlpha").as("has_alpha"),
+        col("i.nItems").as("n_items"), col("i.irot").as("irot"),
+        col("i.primaryBytes").as("primary_bytes"),
+        col("i.seqProfile").as("seq_profile"),
+        col("i.stillPicture").as("still_picture"))
+  }
+
   /** e118 oracle: an independent DuckDB hex walk of the SAME directory
     * and payload headers (dims from the payload, 0⇒256 from the u8
     * fields, hotspots for cursors only) plus a full byte-sum over each
     * 32bpp DIB's XOR image — the engine's mean_xor must match to 6dp.
     */
-  private def icoOracleSql: String =
+  private[queries] def icoOracleSql: String =
     s"""WITH b AS (SELECT filename, hex(content) AS H
           FROM read_blob('$scratch/ico/*')),
       hdr AS (SELECT filename, H,
@@ -5313,22 +5358,8 @@ object Curation extends QueryBlock {
     "e119_avif" -> QueryDef(
       (s, dir) => {
         val aDir = writeAvifHeifFixture("avif_heif")
-        val infoU = udf((b: Array[Byte]) => graft.operators.Heif.info(b))
-        val eng = s.read.format("binaryFile").load(aDir)
-          .select(regexp_extract(col("path"), "([^/]+)$", 1).as("fname"),
-            infoU(col("content")).as("i"))
-          .filter(col("i").isNotNull)
-          .select(col("fname"),
-            col("i.itemType").as("item_type"),
-            col("i.width").as("width"), col("i.height").as("height"),
-            col("i.depth").as("depth"),
-            col("i.hasAlpha").as("has_alpha"),
-            col("i.nItems").as("n_items"), col("i.irot").as("irot"),
-            col("i.primaryBytes").as("primary_bytes"),
-            col("i.seqProfile").as("seq_profile"),
-            col("i.stillPicture").as("still_picture"))
-        graft.queries.LlmPipeline.fixtureCheck(
-          s, dir, "e119_avif", eng, Seq("fname"))
+        graft.queries.LlmPipeline.fixtureCheck(s, dir, "e119_avif",
+          heifProject(s.read.format("binaryFile").load(aDir)), Seq("fname"))
       },
       Some(graft.queries.LlmPipeline.fixtureSql("e119_avif",
         Seq("fname", "item_type", "width", "height", "depth", "has_alpha",
@@ -5349,27 +5380,7 @@ object Curation extends QueryBlock {
     "e118_ico" -> QueryDef(
       (s, dir) => {
         val icoDir = writeIcoFixture("ico")
-        val ent = udf((b: Array[Byte]) =>
-          graft.operators.Ico.entries(b).map(_.map { e =>
-            val mx = graft.operators.Ico.dib32ChannelSums(b, e).map {
-              case (sb, sg, sr, sa, n) => (sb + sg + sr + sa).toDouble / (4.0 * n)
-            }
-            (e.idx, e.kind, e.dirW, e.dirH, e.width, e.height,
-              if (e.kind == "cursor") Some(e.hotspotX) else None,
-              if (e.kind == "cursor") Some(e.hotspotY) else None,
-              e.format, e.bitCount, e.payloadLen.toLong, mx)
-          }))
-        s.read.format("binaryFile").load(icoDir)
-          .select(regexp_extract(col("path"), "([^/]+)$", 1).as("fname"),
-            explode(ent(col("content"))).as("e"))
-          .select(col("fname"),
-            col("e._1").as("idx"), col("e._2").as("kind"),
-            col("e._3").as("dir_w"), col("e._4").as("dir_h"),
-            col("e._5").as("width"), col("e._6").as("height"),
-            col("e._7").as("hx"), col("e._8").as("hy"),
-            col("e._9").as("fmt"), col("e._10").as("bit_count"),
-            col("e._11").as("n_payload"),
-            round(col("e._12"), 6).as("mean_xor"))
+        icoProject(s.read.format("binaryFile").load(icoDir))
           .orderBy(col("fname"), col("idx"))
       },
       Some(icoOracleSql)),

@@ -72,8 +72,8 @@ object Relational extends QueryBlock {
     // Catalyst's codegen subexpression elimination does not share the
     // floor(x*100+.5) chains across distinct aggregate update expressions,
     // so without the pre-projection each chain re-evaluates per aggregate —
-    // measured 2.4x slower at sf0.1. Final sort is fused (6 groups: domain-
-    // bounded, sortSmallFused preconditions hold).
+    // measured 2.4x slower at sf0.1. Final ORDER BY is the top-K form
+    // (6 groups: domain-bounded, provably under the 10k cap).
     "c14_pricing_summary" -> QueryDef(
       (s, dir) => {
         val li = t(s, dir, "lineitem")
@@ -410,10 +410,22 @@ object Relational extends QueryBlock {
     "c21_rank_window" -> QueryDef(
       (s, dir) => {
         val c = t(s, dir, "customer")
-        val n = broadcast(t(s, dir, "nation"))
+        // Nation is TYPE-BOUNDED (25 rows by schema): one bounded
+        // driver-side collect into a literal map beats a broadcast join
+        // here — no BroadcastExchange build job, no join node, just a
+        // codegen'd map probe inside the scan stage (the c20
+        // dense_dim_lookup argument; string values rule that operator
+        // out). The isNotNull filter below reproduces the INNER join
+        // exactly and evaluates BEFORE the window, like the SQL's
+        // join-then-window order.
+        val names = typedLit(t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name")).collect()
+          .map(r => r.getInt(0) -> r.getString(1)).toMap)
         val w = Window.partitionBy(col("c_nationkey"))
           .orderBy(col("c_acctbal").desc, col("c_custkey"))
-        c.join(n, col("c_nationkey") === col("n_nationkey"))
+        c.select(col("c_nationkey"), col("c_name"), col("c_acctbal"),
+            col("c_custkey"), element_at(names, col("c_nationkey")).as("n_name"))
+          .filter(col("n_name").isNotNull)
           .select(col("n_name"), col("c_name"), col("c_acctbal"),
             row_number().over(w).as("rn"))
           .filter(col("rn") <= 3)

@@ -1477,6 +1477,44 @@ object Streaming extends QueryBlock {
         Seq("fname", "width", "height", "mean_a", "mean_r", "mean_g",
           "mean_b")))),
 
+    // D52 — ICO/CUR ingest as a STREAM (e118's deployment shape:
+    // favicons landing from a crawl fetch pipeline, entries parsed per
+    // trigger). Within-file walk = pure append map, slicing-
+    // independent, sharing e118's fixture and oracle verbatim.
+    "d52_stream_ico" -> QueryDef(
+      (s, dir) => {
+        val iDir = Curation.writeIcoFixture("ico")
+        val raw = s.readStream.format("binaryFile")
+          .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+          .option("maxFilesPerTrigger", "2")
+          .load(iDir)
+        EventStreams.runToTable(s, Curation.icoProject(raw),
+            "d52_sink", mode = "append")
+          .orderBy(col("fname"), col("idx"))
+      },
+      Some(Curation.icoOracleSql)),
+
+    // D53 — AVIF/HEIC container ingest as a STREAM (e119's deployment
+    // shape: modern-format images landing from a fetch pipeline, the
+    // meta walk run per trigger). Within-file walk = pure append map,
+    // slicing-independent, sharing e119's fixture and reference-pinned
+    // expected rows verbatim.
+    "d53_stream_avif" -> QueryDef(
+      (s, dir) => {
+        val aDir = Curation.writeAvifHeifFixture("avif_heif")
+        val raw = s.readStream.format("binaryFile")
+          .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+          .option("maxFilesPerTrigger", "5")
+          .load(aDir)
+        val streamed = EventStreams.runToTable(s, Curation.heifProject(raw),
+          "d53_sink", mode = "append")
+        LlmPipeline.fixtureCheck(s, dir, "e119_avif", streamed, Seq("fname"))
+      },
+      Some(LlmPipeline.fixtureSql("e119_avif",
+        Seq("fname", "item_type", "width", "height", "depth", "has_alpha",
+          "n_items", "irot", "primary_bytes", "seq_profile",
+          "still_picture")))),
+
     // D46 — mbox/MIME ingest as a STREAM (e114's deployment shape:
     // archive files landing from a list-server export, messages parsed
     // per trigger). Within-file parse = pure append map,
