@@ -1183,8 +1183,19 @@ object Curation extends QueryBlock {
   def icoProject(raw: DataFrame): DataFrame = {
     val ent = udf((b: Array[Byte]) =>
       graft.operators.Ico.entries(b).map(_.map { e =>
-        val mx = graft.operators.Ico.dib32ChannelSums(b, e).map {
-          case (sb, sg, sr, sa, n) => (sb + sg + sr + sa).toDouble / (4.0 * n)
+        // mean over DECODED pixel bytes, both payload families: 32bpp
+        // DIB XOR image (BGRA), or the PNG payload through the general
+        // inflate + unfilter path (RGB) — r16b, pixel coverage for the
+        // png branch too (the oracle walks the fixture's stored-deflate
+        // layout, the e12i pattern; the DECODER is general)
+        val mx = e.format match {
+          case "dib" => graft.operators.Ico.dib32ChannelSums(b, e).map {
+            case (sb, sg, sr, sa, n) => (sb + sg + sr + sa).toDouble / (4.0 * n)
+          }
+          case _ => graft.operators.Multimodal
+            .pngChannelSums(graft.operators.Ico.payload(b, e)).map {
+              case (r, g, bl, n) => (r + g + bl).toDouble / (3.0 * n)
+            }
         }
         (e.idx, e.kind, e.dirW, e.dirH, e.width, e.height,
           if (e.kind == "cursor") Some(e.hotspotX) else None,
@@ -1200,7 +1211,7 @@ object Curation extends QueryBlock {
         col("e._7").as("hx"), col("e._8").as("hy"),
         col("e._9").as("fmt"), col("e._10").as("bit_count"),
         col("e._11").as("n_payload"),
-        round(col("e._12"), 6).as("mean_xor"))
+        round(col("e._12"), 6).as("mean_px"))
   }
 
   /** e119/d53 shared: binaryFile rows → one container-facts row per
@@ -1225,7 +1236,12 @@ object Curation extends QueryBlock {
   /** e118 oracle: an independent DuckDB hex walk of the SAME directory
     * and payload headers (dims from the payload, 0⇒256 from the u8
     * fields, hotspots for cursors only) plus a full byte-sum over each
-    * 32bpp DIB's XOR image — the engine's mean_xor must match to 6dp.
+    * entry's DECODED pixel region — the 32bpp DIB XOR image, or the
+    * PNG payload's scanline bytes at the fixture's stored-deflate
+    * offsets (sig 8 + IHDR 25 + IDAT hdr 8 + zlib 2 + stored hdr 5 =
+    * pixels from payload byte 48, one filter byte per row — the e12i
+    * layout pin; the ENGINE decodes via general inflate). The engine's
+    * mean_px must match to 6dp on every entry.
     */
   private[queries] def icoOracleSql: String =
     s"""WITH b AS (SELECT filename, hex(content) AS H
@@ -1256,9 +1272,14 @@ object Curation extends QueryBlock {
                 WHEN 4 THEN 2 WHEN 6 THEN 4 END)
             ELSE ${hbD("poff+14")} + 256*${hbD("poff+15")} END AS bit_count
           FROM fmtd),
-      xr AS (SELECT filename, idx, sum(${hbD("poff+40+j")}) AS xs, count(*) AS xn
-          FROM dims, UNNEST(generate_series(0,
-            CASE WHEN fmt = 'dib' THEN width*height*4 - 1 ELSE -1 END)) AS v(j)
+      xr AS (SELECT filename, idx, sum(${hbD("o")}) AS xs, count(*) AS xn
+          FROM (SELECT filename, idx, H,
+              CASE WHEN fmt = 'dib' THEN poff + 40 + k
+                ELSE poff + 48 + (k // (width*3)) * (1 + width*3) + 1 + (k % (width*3))
+              END AS o
+            FROM dims, UNNEST(generate_series(0,
+              CASE WHEN fmt = 'dib' THEN width*height*4 - 1
+                ELSE width*height*3 - 1 END)) AS v(k))
           GROUP BY filename, idx)
       SELECT regexp_extract(d.filename, '([^/]+)$$', 1) AS fname,
         d.idx AS idx, d.kind AS kind,
@@ -1268,8 +1289,8 @@ object Curation extends QueryBlock {
         CASE WHEN d.ftype = 2 THEN CAST(d.f6 AS INT) END AS hy,
         d.fmt AS fmt, CAST(d.bit_count AS INT) AS bit_count,
         CAST(d.n_payload AS BIGINT) AS n_payload,
-        round(CAST(x.xs AS DOUBLE) / x.xn, 6) AS mean_xor
-      FROM dims d LEFT JOIN xr x ON d.filename = x.filename AND d.idx = x.idx
+        round(CAST(x.xs AS DOUBLE) / x.xn, 6) AS mean_px
+      FROM dims d JOIN xr x ON d.filename = x.filename AND d.idx = x.idx
       ORDER BY fname, idx"""
 
   /** e117/d51 shared: animations over docs 430–450, each built from the
