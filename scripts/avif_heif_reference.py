@@ -408,10 +408,17 @@ def make_members():
         assert payload is not None, f"{name}: multi-extent primary"
         prof, still = parse_av1_seq(payload)
         members.append((name + ".avif", data))
+        # obu_* expected values are CROSS-DOMAIN: max dims / bit depth from
+        # the REFERENCE DECODE of the same member, mono/subsampling from the
+        # construction format — the engine derives them from the BITSTREAM
+        sub = {3: (1, 1), 1: (0, 0), 4: (1, 1)}[fmt]
         rows.append(dict(fname=name + ".avif", item_type=ptype, width=rw,
                          height=rh, depth=rd, has_alpha=ra, n_items=n_items,
                          irot=irot, primary_bytes=pbytes, seq_profile=prof,
-                         still_picture=bool(still)))
+                         still_picture=bool(still), obu_max_w=rw,
+                         obu_max_h=rh, obu_bitdepth=rd,
+                         obu_mono=(fmt == 4), obu_sub_x=sub[0],
+                         obu_sub_y=sub[1]))
 
     heic_specs = [
         ("h420_48x32", 48, 32, False, 1111),
@@ -432,7 +439,9 @@ def make_members():
         rows.append(dict(fname=name + ".heic", item_type=ptype, width=rw,
                          height=rh, depth=rd, has_alpha=ra, n_items=n_items,
                          irot=irot, primary_bytes=pbytes, seq_profile=None,
-                         still_picture=None))
+                         still_picture=None, obu_max_w=None, obu_max_h=None,
+                         obu_bitdepth=None, obu_mono=None, obu_sub_x=None,
+                         obu_sub_y=None))
     return members, rows
 
 
@@ -447,7 +456,8 @@ def cmd_fixture():
           f"{sum(len(d) for _, d in members)} bytes")
     cols = ["fname", "item_type", "width", "height", "depth", "has_alpha",
             "n_items", "irot", "primary_bytes", "seq_profile",
-            "still_picture"]
+            "still_picture", "obu_max_w", "obu_max_h", "obu_bitdepth",
+            "obu_mono", "obu_sub_x", "obu_sub_y"]
     arrays = {
         "fname": pa.array([r["fname"] for r in rows], pa.string()),
         "item_type": pa.array([r["item_type"] for r in rows], pa.string()),
@@ -461,7 +471,14 @@ def cmd_fixture():
                                   pa.int64()),
         "seq_profile": pa.array([r["seq_profile"] for r in rows], pa.int32()),
         "still_picture": pa.array([r["still_picture"] for r in rows],
-                                  pa.bool_())}
+                                  pa.bool_()),
+        "obu_max_w": pa.array([r["obu_max_w"] for r in rows], pa.int32()),
+        "obu_max_h": pa.array([r["obu_max_h"] for r in rows], pa.int32()),
+        "obu_bitdepth": pa.array([r["obu_bitdepth"] for r in rows],
+                                 pa.int32()),
+        "obu_mono": pa.array([r["obu_mono"] for r in rows], pa.bool_()),
+        "obu_sub_x": pa.array([r["obu_sub_x"] for r in rows], pa.int32()),
+        "obu_sub_y": pa.array([r["obu_sub_y"] for r in rows], pa.int32())}
     table = pa.table({c: arrays[c] for c in cols})
     for sf in ("sf0.001", "sf0.01", "sf0.1"):
         out = os.path.join(ROOT, "fixtures", sf, "e119_avif.parquet")
@@ -469,6 +486,38 @@ def cmd_fixture():
         print(f"wrote {out}")
     for r in rows:
         print(r)
+
+
+def cmd_sweep(n, seed):
+    """Live differential members: n random-config REFERENCE-ENCODED avif
+    streams as JSON lines {name, hex, width, height, depth, has_alpha,
+    mono, sub_x, sub_y} — dims/depth/alpha from the reference DECODE,
+    mono/subsampling from the construction format. The Scala side pins
+    Heif.info + the full Av1 sequence-header parse against each.
+    """
+    av = load_avif()
+    rng_state = seed
+
+    def rnd(bound):
+        nonlocal rng_state
+        rng_state = (rng_state * 6364136223846793005
+                     + 1442695040888963407) % (1 << 64)
+        return (rng_state >> 33) % bound
+
+    for i in range(n):
+        w = 1 + rnd(120)
+        h = 1 + rnd(90)
+        depth = [8, 8, 10][rnd(3)]
+        fmt = [3, 1, 4][rnd(3)]
+        alpha = rnd(4) == 0
+        data = avif_encode(av, w, h, depth, fmt, alpha, seed + i * 977)
+        rw, rh, rd, ra = avif_decode_info(av, data)
+        assert (rw, rh, rd, ra) == (w, h, depth, alpha)
+        sub = {3: (1, 1), 1: (0, 0), 4: (1, 1)}[fmt]
+        print(json.dumps(dict(name=f"s{i:04d}", hex=data.hex(), width=w,
+                              height=h, depth=depth,
+                              has_alpha=alpha, mono=(fmt == 4),
+                              sub_x=sub[0], sub_y=sub[1])))
 
 
 def cmd_probe():
@@ -490,7 +539,9 @@ def cmd_probe():
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "fixture":
         cmd_fixture()
+    elif len(sys.argv) > 1 and sys.argv[1] == "sweep":
+        cmd_sweep(int(sys.argv[2]), int(sys.argv[3]))
     elif len(sys.argv) > 1 and sys.argv[1] == "probe":
         cmd_probe()
     else:
-        raise SystemExit("usage: fixture | probe")
+        raise SystemExit("usage: fixture | sweep <n> <seed> | probe")

@@ -47,11 +47,18 @@ object Heif {
   val MaxDim = 1 << 15
   private val MaxBoxDepth = 16
 
-  /** One file's container facts (fields mirror the e119 fixture). */
+  /** One file's container facts (fields mirror the e119 fixture). The
+    * obu* fields come from the FULL sequence-header parse
+    * ([[Av1.sequenceHeader]]) of av01 primaries — cross-domain pinned
+    * against the reference decoder's report of the same members — and
+    * are None for non-AV1 primaries.
+    */
   final case class Info(brand: String, itemType: String, width: Int,
       height: Int, depth: Int, hasAlpha: Boolean, nItems: Int, irot: Int,
       primaryBytes: Long, seqProfile: Option[Int],
-      stillPicture: Option[Boolean])
+      stillPicture: Option[Boolean], obuMaxW: Option[Int],
+      obuMaxH: Option[Int], obuBitDepth: Option[Int],
+      obuMono: Option[Boolean], obuSubX: Option[Int], obuSubY: Option[Int])
 
   private def u16(b: Array[Byte], o: Int): Int = {
     if (o < 0 || o + 2 > b.length) throw Malformed
@@ -316,49 +323,17 @@ object Heif {
         out
       }
 
-      // av01: first sequence-header OBU → (seq_profile, still_picture)
-      val (seqProfile, stillPicture) =
-        if (pType == "av01") {
-          val pl = payloadOf(primary)
-          var p = 0
-          var found: Option[(Int, Boolean)] = None
-          while (found.isEmpty && p < pl.length) {
-            val hdr = pl(p) & 0xff
-            if ((hdr & 0x80) != 0) throw Malformed // forbidden bit
-            val oType = (hdr >> 3) & 15
-            val hasExt = (hdr >> 2) & 1
-            val hasSize = (hdr >> 1) & 1
-            var q = p + 1 + hasExt
-            var size = -1L
-            if (hasSize == 1) {
-              size = 0L
-              var shift = 0
-              var more = true
-              while (more) {
-                if (q >= pl.length || shift > 56) throw Malformed
-                val byte = pl(q) & 0xff
-                q += 1
-                size |= (byte & 0x7fL) << shift
-                more = (byte & 0x80) != 0
-                shift += 7
-              }
-            }
-            if (oType == 1) { // OBU_SEQUENCE_HEADER
-              if (q >= pl.length) throw Malformed
-              val bits = pl(q) & 0xff
-              found = Some(((bits >> 5) & 7, ((bits >> 4) & 1) == 1))
-            } else {
-              if (size < 0) throw Malformed // unsized non-seq OBU
-              p = q + size.toInt
-              if (p <= 0) throw Malformed
-            }
-          }
-          val (sp, st) = found.getOrElse(throw Malformed)
-          (Some(sp), Some(st))
-        } else (None, None)
+      // av01: the FULL sequence-header parse (Av1.sequenceHeader)
+      val seq: Option[Av1.SeqHeader] =
+        if (pType == "av01")
+          Some(Av1.sequenceHeader(payloadOf(primary)).getOrElse(throw Malformed))
+        else None
 
       Some(Info(brand, pType, w.toInt, h.toInt, depth, hasAlpha, nItems,
-        irot, primaryBytes, seqProfile, stillPicture))
+        irot, primaryBytes, seq.map(_.profile), seq.map(_.stillPicture),
+        seq.map(_.maxWidth), seq.map(_.maxHeight), seq.map(_.bitDepth),
+        seq.map(_.monochrome), seq.map(_.subsamplingX),
+        seq.map(_.subsamplingY)))
     } catch {
       case Malformed => None
       case _: ArrayIndexOutOfBoundsException => None

@@ -1230,7 +1230,16 @@ object Curation extends QueryBlock {
         col("i.nItems").as("n_items"), col("i.irot").as("irot"),
         col("i.primaryBytes").as("primary_bytes"),
         col("i.seqProfile").as("seq_profile"),
-        col("i.stillPicture").as("still_picture"))
+        col("i.stillPicture").as("still_picture"),
+        // full sequence-header bit parse, cross-domain pinned: the
+        // fixture's expected values come from the REFERENCE decoder /
+        // construction params, the engine's from the BITSTREAM (r16b)
+        col("i.obuMaxW").as("obu_max_w"),
+        col("i.obuMaxH").as("obu_max_h"),
+        col("i.obuBitDepth").as("obu_bitdepth"),
+        col("i.obuMono").as("obu_mono"),
+        col("i.obuSubX").as("obu_sub_x"),
+        col("i.obuSubY").as("obu_sub_y"))
   }
 
   /** e118 oracle: an independent DuckDB hex walk of the SAME directory
@@ -5385,7 +5394,8 @@ object Curation extends QueryBlock {
       Some(graft.queries.LlmPipeline.fixtureSql("e119_avif",
         Seq("fname", "item_type", "width", "height", "depth", "has_alpha",
           "n_items", "irot", "primary_bytes", "seq_profile",
-          "still_picture")))),
+          "still_picture", "obu_max_w", "obu_max_h", "obu_bitdepth",
+          "obu_mono", "obu_sub_x", "obu_sub_y")))),
 
     // E118 — ICO/CUR ingest (r16, VERDICT item 4): favicons are
     // ubiquitous in crawl drops; the container is a 16-byte-entry

@@ -1513,7 +1513,8 @@ object Streaming extends QueryBlock {
       Some(LlmPipeline.fixtureSql("e119_avif",
         Seq("fname", "item_type", "width", "height", "depth", "has_alpha",
           "n_items", "irot", "primary_bytes", "seq_profile",
-          "still_picture")))),
+          "still_picture", "obu_max_w", "obu_max_h", "obu_bitdepth",
+          "obu_mono", "obu_sub_x", "obu_sub_y")))),
 
     // D46 — mbox/MIME ingest as a STREAM (e114's deployment shape:
     // archive files landing from a list-server export, messages parsed

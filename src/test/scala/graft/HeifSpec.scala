@@ -27,6 +27,62 @@ class HeifSpec extends AnyFunSuite {
 
     val tb = Heif.info(members("a420_10bit_16x12.avif")).get
     assert(tb.depth === 10)
+
+    // full sequence-header parse agrees with the container + reference
+    // across the member family (cross-domain: bitstream vs ispe/pixi)
+    members.keys.filter(_.endsWith(".avif")).foreach { name =>
+      val i = Heif.info(members(name)).get
+      assert(i.obuMaxW === Some(i.width), name)
+      assert(i.obuMaxH === Some(i.height), name)
+      assert(i.obuBitDepth === Some(i.depth), name)
+      assert(i.stillPicture === Some(true), name)
+    }
+    val mono = Heif.info(members("a400_24x16.avif")).get
+    assert(mono.obuMono === Some(true))
+    assert((mono.obuSubX, mono.obuSubY) === ((Some(1), Some(1))))
+    val s444 = Heif.info(members("a444_17x9.avif")).get
+    assert(s444.obuMono === Some(false))
+    assert((s444.obuSubX, s444.obuSubY) === ((Some(0), Some(0))))
+  }
+
+  test("LIVE sequence-header sweep vs libavif (gated on python3 + libavif)") {
+    val probe = try {
+      val p = new ProcessBuilder("python3", "-c",
+        "import ctypes; ctypes.CDLL('libavif.so.15').avifEncoderWrite; print('ok')")
+        .redirectErrorStream(true).start()
+      val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+      p.waitFor() == 0 && out.contains("ok")
+    } catch { case _: Exception => false }
+    assume(probe, "python3 + libavif not on this runtime")
+    val p = new ProcessBuilder("python3", "scripts/avif_heif_reference.py",
+      "sweep", "60", "20260815").start()
+    val lines = scala.io.Source.fromInputStream(p.getInputStream).getLines().toList
+    val err = new String(p.getErrorStream.readAllBytes(), "UTF-8")
+    assert(p.waitFor() == 0, err.take(2000))
+    assert(lines.size === 60)
+    def jint(s: String, k: String): Int =
+      ("\"" + k + "\":\\s*(-?\\d+)").r.findFirstMatchIn(s).get.group(1).toInt
+    def jbool(s: String, k: String): Boolean =
+      ("\"" + k + "\":\\s*(true|false)").r.findFirstMatchIn(s).get.group(1).toBoolean
+    def jhex(s: String): Array[Byte] = {
+      val h = ("\"hex\":\\s*\"([0-9a-f]+)\"").r.findFirstMatchIn(s).get.group(1)
+      h.grouped(2).map(x => Integer.parseInt(x, 16).toByte).toArray
+    }
+    lines.foreach { ln =>
+      val i = Heif.info(jhex(ln)).getOrElse(fail(s"rejected: ${ln.take(80)}"))
+      assert(i.itemType === "av01")
+      assert(i.width === jint(ln, "width"), ln.take(60))
+      assert(i.height === jint(ln, "height"), ln.take(60))
+      assert(i.obuMaxW === Some(jint(ln, "width")), ln.take(60))
+      assert(i.obuMaxH === Some(jint(ln, "height")), ln.take(60))
+      assert(i.obuBitDepth === Some(jint(ln, "depth")), ln.take(60))
+      assert(i.depth === jint(ln, "depth"), ln.take(60))
+      assert(i.hasAlpha === jbool(ln, "has_alpha"), ln.take(60))
+      assert(i.obuMono === Some(jbool(ln, "mono")), ln.take(60))
+      assert(i.obuSubX === Some(jint(ln, "sub_x")), ln.take(60))
+      assert(i.obuSubY === Some(jint(ln, "sub_y")), ln.take(60))
+      assert(i.stillPicture === Some(true), ln.take(60))
+    }
   }
 
   test("reference-encoded HEIC members: grid primary resolution") {
@@ -53,8 +109,44 @@ class HeifSpec extends AnyFunSuite {
   private def be32(v: Int) = Array[Byte](((v >> 24) & 0xff).toByte,
     ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
 
-  /** One-item av01 container; mdat holds a sized sequence-header OBU
-    * with (profile 2, still_picture 1).
+  /** Pack (value, bitWidth) fields MSB-first, zero-padded to bytes. */
+  private def packBits(spec: (Int, Int)*): Array[Byte] = {
+    val sb = new StringBuilder
+    spec.foreach { case (v, w) =>
+      val s = Integer.toBinaryString(v)
+      require(s.length <= w, s"$v does not fit $w bits")
+      sb.append("0" * (w - s.length)).append(s)
+    }
+    while (sb.length % 8 != 0) sb.append('0')
+    sb.toString.grouped(8).map(s => Integer.parseInt(s, 2).toByte).toArray
+  }
+
+  /** A complete, minimal reduced-still sequence header: profile 2,
+    * still 1, 9×7, 8-bit, 4:2:2 (profile 2's forced subsampling at
+    * depth ≤ 10), all features off.
+    */
+  private val miniSeqPayload: Array[Byte] = packBits(
+    (2, 3), // seq_profile
+    (1, 1), // still_picture
+    (1, 1), // reduced_still_picture_header
+    (0, 5), // seq_level_idx[0]
+    (3, 4), // frame_width_bits_minus_1 → 4-bit widths
+    (2, 4), // frame_height_bits_minus_1 → 3-bit heights
+    (8, 4), // max_frame_width_minus_1 = 8 → 9
+    (6, 3), // max_frame_height_minus_1 = 6 → 7
+    (0, 1), (0, 1), (0, 1), // sb128 / filter_intra / intra_edge
+    (0, 1), (0, 1), (0, 1), // superres / cdef / restoration
+    (0, 1), // high_bitdepth → 8-bit
+    (0, 1), // mono_chrome = 0
+    (0, 1), // color_description_present = 0
+    (0, 1), // color_range
+    (0, 1), // separate_uv_delta_q
+    (0, 1)) // film_grain_params_present
+  private val miniObu: Array[Byte] =
+    Array[Byte](0x0a, miniSeqPayload.length.toByte) ++ miniSeqPayload
+
+  /** One-item av01 container; mdat holds the sized sequence-header OBU
+    * above (profile 2, still_picture 1, max dims 9×7).
     */
   private def makeMini(irotAngle: Int): Array[Byte] = {
     val ftyp = box("ftyp", "avif".getBytes ++ be32(0) ++ "avifmif1".getBytes)
@@ -73,9 +165,7 @@ class HeifSpec extends AnyFunSuite {
     val ipma = full("ipma", be32(1) ++ be16(1) ++
       (Array[Byte](nProps.toByte) ++ (1 to nProps).map(_.toByte)))
     val iprp = box("iprp", ipco ++ ipma)
-    // OBU: header 0x0A (type 1, has_size), size 1, payload 0x50
-    // (profile 2, still 1); extent offset patched to mdat body below
-    val obu = Array[Byte](0x0a, 1, 0x50)
+    val obu = miniObu
     val metaNoIloc = hdlr ++ pitm ++ iinf ++ iprp
     // iloc v0: sizes (4,4), base 0, 1 item: id 1, dri 0, 1 extent
     def meta(mdatBodyOff: Int) = full("meta", metaNoIloc ++
@@ -86,11 +176,15 @@ class HeifSpec extends AnyFunSuite {
     ftyp ++ meta(mdatBody) ++ box("mdat", obu)
   }
 
-  test("hand-built container: irot parses; OBU fields surface") {
+  test("hand-built container: irot parses; full seq-header fields surface") {
     val i = Heif.info(makeMini(irotAngle = 2)).get
     assert(i.irot === 2)
     assert((i.width, i.height, i.depth) === ((9, 7, 8)))
     assert(i.seqProfile === Some(2) && i.stillPicture === Some(true))
+    assert((i.obuMaxW, i.obuMaxH) === ((Some(9), Some(7))))
+    assert(i.obuBitDepth === Some(8) && i.obuMono === Some(false))
+    // profile 2 at depth ≤ 10 forces 4:2:2
+    assert((i.obuSubX, i.obuSubY) === ((Some(1), Some(0))))
     assert(Heif.info(makeMini(irotAngle = 0)).get.irot === 0)
   }
 
@@ -109,9 +203,9 @@ class HeifSpec extends AnyFunSuite {
     val is = indexOfSlice(bomb, "ispe")
     bomb(is + 8) = 0x40
     assert(Heif.info(bomb).isEmpty)
-    // OBU payload becomes a non-seq unsized OBU → reject, not garbage
+    // OBU header becomes a non-seq unsized OBU → reject, not garbage
     val noSeq = good.clone()
-    noSeq(noSeq.length - 3) = 0x30 // type 6 (frame), has_size=0
+    noSeq(noSeq.length - miniObu.length) = 0x30 // type 6 (frame), has_size=0
     assert(Heif.info(noSeq).isEmpty)
   }
 
