@@ -312,6 +312,64 @@ def extract():
         rows.append((v,))
     out.append((name, [22], 2, rows))
 
+    # --- auxiliary normative tables (prediction / transform) ---
+    # sm_weights (spec 7.11.2.6 smooth prediction weights), u8, groups
+    # of 4/8/16/32/64 — byte-identical in all three libraries.
+    smpat = bytes([255, 149, 85, 64, 255, 197, 146, 105, 73, 50, 37, 32])
+    si = aom.find(smpat)
+    assert si >= 0
+    sm = aom[si:si + 124]
+    assert gav.find(sm) >= 0 and dav.find(sm) >= 0, 'sm_weights'
+    out.append(('sm_weights', [124], 0, [tuple(sm)]))
+
+    # Dr_Intra_Derivative (spec 7.11.2.4), 44 u16 indexed angle>>1;
+    # gav1/dav1d carry identical plain copies; nonzero slots land
+    # exactly on the 27 legal intra angles (session analysis).
+    drpat = struct.pack('<6H', 1023, 0, 547, 372, 0, 0)
+    gi = gav.find(drpat)
+    assert gi >= 0 and gi % 2 == 0
+    dr = gav[gi - 2:gi - 2 + 88]  # one zero slot precedes 1023 (idx 0)
+    assert dav.find(dr) >= 0, 'dr_intra_derivative'
+    drv = u16s(dr)
+    nz = [i for i, v in enumerate(drv) if v]
+    legal = sorted({a >> 1 for a in
+                    (3, 6, 9, 14, 17, 20, 23, 26, 29, 32, 36, 39, 42, 45,
+                     48, 51, 54, 58, 61, 64, 67, 70, 73, 76, 81, 84, 87)})
+    assert nz == legal, (nz, legal)
+    out.append(('dr_intra_derivative', [44], 0, [tuple(drv)]))
+
+    # cos128 (spec 7.13.3 butterfly constants): computable as
+    # round(4096*cos(pi*i/128)); REQUIRE the computed table verbatim in
+    # aom (int32 cospi_arr, bit 12) and gav1 (uint16) before emitting.
+    import math
+    cos = [round(4096 * math.cos(math.pi * i / 128)) for i in range(64)]
+    assert aom.find(struct.pack('<64i', *cos)) >= 0, 'aom cospi12'
+    assert gav.find(struct.pack('<64H', *cos)) >= 0, 'gav cospi12'
+    out.append(('cos128', [64], 0, [tuple(cos)]))
+    # adst4 sinpi constants (bit 12)
+    sinpi = (1321, 2482, 3344, 3803)
+    assert aom.find(struct.pack('<5i', 0, *sinpi)) >= 0, 'sinpi12'
+    out.append(('sinpi', [4], 0, [sinpi]))
+
+    # scan-order goldens: the generator rule (square: alternating
+    # zigzag; wide: bottom-up diagonals; tall: top-down diagonals) was
+    # validated against BOTH libs for all 14 coded sizes; commit three
+    # representative tables so the Scala generator is spec-test-pinned.
+    def scan_ref(w, h):
+        o = []
+        for d in range(w + h - 1):
+            cells = [(r, d - r)
+                     for r in range(max(0, d - w + 1), min(h - 1, d) + 1)]
+            if (w == h and d % 2 == 0) or w > h:
+                cells.reverse()
+            o += [r * w + c for r, c in cells]
+        return o
+    for w, h in ((4, 4), (4, 8), (8, 4)):
+        s = scan_ref(w, h)
+        pat = struct.pack('<%dH' % len(s), *s)
+        assert aom.find(pat) >= 0 and gav.find(pat) >= 0, ('scan', w, h)
+        out.append(('scan_%dx%d' % (w, h), [w * h], 0, [tuple(s)]))
+
     # quantizer lookups (spec 7.12.2 Dequantization functions; the
     # 8/10/12-bit dc/ac tables): locate by known prefixes, verify
     # monotonic non-decreasing, length 256, present in gav1 as well.
