@@ -1,0 +1,749 @@
+package graft.operators.av1
+
+/** AV1 intra-frame pixel decoder (spec 5.11/7.11-7.13): OBU walk,
+  * tile decode (partition tree, intra mode info, coefficients),
+  * prediction and reconstruction. Post filters (deblock, CDEF) are
+  * applied by [[Av1LoopFilter]] / [[Av1Cdef]] from `decode()`.
+  *
+  * Scope: KEY / INTRA_ONLY still frames (the AVIF payload shape);
+  * screen-content tools (intrabc/palette), superres, restoration,
+  * qmatrix, film grain and segmentation reject loudly until their
+  * staged reference fixtures land (NOTES_r17 plan).
+  */
+object Av1Decoder {
+  import Av1Consts._
+  import Av1Headers.{Bits, Frame, Malformed, Seq => SeqH, Unsupported}
+
+  final case class Planes(width: Int, height: Int, bitDepth: Int,
+      subX: Int, subY: Int, monochrome: Boolean, planes: Array[Array[Int]])
+
+  /** decode the first frame from a raw OBU stream (AVIF item payload).
+    * Returns None on malformed/unsupported input.
+    */
+  def decode(payload: Array[Byte]): Option[Planes] =
+    try Some(decodeOrThrow(payload))
+    catch {
+      case Malformed => None
+      case _: Unsupported => None
+      case _: ArrayIndexOutOfBoundsException => None
+    }
+
+  def decodeOrThrow(payload: Array[Byte]): Planes = {
+    // ---- OBU walk: find sequence header, then frame / frame header +
+    // tile group OBUs ----
+    var seq: SeqH = null
+    var fh: Frame = null
+    var fhBits: Bits = null
+    val tileChunks = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+    var p = 0
+    while (p < payload.length) {
+      val hdr = payload(p) & 0xff
+      if ((hdr & 0x81) != 0) throw Malformed
+      val oType = (hdr >> 3) & 15
+      val hasExt = (hdr >> 2) & 1
+      val hasSize = (hdr >> 1) & 1
+      var q = p + 1 + hasExt
+      var size = -1L
+      if (hasSize == 1) {
+        size = 0L
+        var shift = 0
+        var more = true
+        while (more) {
+          if (q >= payload.length || shift > 56) throw Malformed
+          val b = payload(q) & 0xff
+          q += 1
+          size |= (b & 0x7fL) << shift
+          more = (b & 0x80) != 0
+          shift += 7
+        }
+        if (q + size > payload.length) throw Malformed
+      } else size = (payload.length - q).toLong
+      val end = q + size.toInt
+      oType match {
+        case 1 => // sequence header
+          seq = Av1Headers.parseSeq(new Bits(payload, q.toLong * 8, end))
+        case 3 => // frame header
+          if (seq == null) throw Malformed
+          fhBits = new Bits(payload, q.toLong * 8, end)
+          fh = Av1Headers.parseFrame(seq, fhBits)
+        case 4 => // tile group
+          if (fh == null) throw Malformed
+          tileChunks += ((q, end))
+        case 6 => // frame = frame header + tile group
+          if (seq == null) throw Malformed
+          fhBits = new Bits(payload, q.toLong * 8, end)
+          fh = Av1Headers.parseFrame(seq, fhBits)
+          fhBits.byteAlign()
+          tileChunks += (((fhBits.pos >> 3).toInt, end))
+        case _ => () // temporal delimiter, metadata, padding: skip
+      }
+      p = end
+    }
+    if (seq == null || fh == null || tileChunks.isEmpty) throw Malformed
+    if (fh.segmentationEnabled) throw Unsupported("segmentation")
+    if (seq.subsamplingX == 1 && seq.subsamplingY == 0)
+      throw Unsupported("4:2:2")
+
+    val dec = new Av1FrameDecode(seq, fh)
+    // ---- tile group slicing ----
+    val numTiles = fh.tileCols * fh.tileRows
+    var tileNum = 0
+    for ((start, end) <- tileChunks) {
+      val r = new Bits(dec.payload0(payload), start.toLong * 8, end)
+      var tgStart = 0
+      var tgEnd = numTiles - 1
+      if (numTiles > 1) {
+        val present = r.f(1) == 1
+        if (present) {
+          val tileBits = fh.tileColsLog2 + fh.tileRowsLog2
+          tgStart = r.f(tileBits)
+          tgEnd = r.f(tileBits)
+        }
+      }
+      r.byteAlign()
+      var pos = (r.pos >> 3).toInt
+      tileNum = tgStart
+      while (tileNum <= tgEnd) {
+        var tileSize = end - pos
+        if (tileNum < tgEnd) {
+          // little-endian le(TileSizeBytes)
+          var ts = 0L
+          var i = 0
+          while (i < fh.tileSizeBytes) {
+            ts |= (payload(pos + i) & 0xffL) << (8 * i)
+            i += 1
+          }
+          pos += fh.tileSizeBytes
+          tileSize = ts.toInt + 1
+        }
+        if (pos + tileSize > end) throw Malformed
+        dec.decodeTile(payload, pos, pos + tileSize, tileNum)
+        pos += tileSize
+        tileNum += 1
+      }
+    }
+    if (tileNum < numTiles) throw Malformed
+    // ---- post filters ----
+    Av1LoopFilter.apply(dec)
+    Av1Cdef.apply(dec)
+    Planes(fh.width, fh.height, seq.bitDepth, seq.subsamplingX,
+      seq.subsamplingY, seq.monochrome, dec.croppedPlanes())
+  }
+}
+
+/** Mutable whole-frame decode state shared by the tile loop and the
+  * post filters.
+  */
+final class Av1FrameDecode(val seq: Av1Headers.Seq, val fh: Av1Headers.Frame) {
+  import Av1Consts._
+  import Av1Headers.{Bits, Malformed, Unsupported}
+
+  def payload0(p: Array[Byte]): Array[Byte] = p // identity helper
+
+  val bd: Int = seq.bitDepth
+  val pixMax: Int = (1 << bd) - 1
+  val numPlanes: Int = if (seq.monochrome) 1 else 3
+  val subX: Int = seq.subsamplingX
+  val subY: Int = seq.subsamplingY
+  val miCols: Int = fh.miCols
+  val miRows: Int = fh.miRows
+  val sb4: Int = fh.sbSize >> 2 // superblock size in 4x4 units
+  val sbLog2: Int = if (seq.use128x128Superblock) 5 else 4
+
+  // plane buffers are MI-PADDED (coding covers whole 4x4 units beyond
+  // the visible frame; spec CurrFrame replication uses MiCols*4 bounds)
+  // and cropped to the visible dims on output.
+  val planeW: Array[Int] = Array.tabulate(numPlanes) { pl =>
+    if (pl == 0) miCols * 4 else (miCols * 4) >> subX
+  }
+  val planeH: Array[Int] = Array.tabulate(numPlanes) { pl =>
+    if (pl == 0) miRows * 4 else (miRows * 4) >> subY
+  }
+  /** visible (cropped) dims per plane */
+  val cropW: Array[Int] = Array.tabulate(numPlanes) { pl =>
+    if (pl == 0) fh.width else (fh.width + subX) >> subX
+  }
+  val cropH: Array[Int] = Array.tabulate(numPlanes) { pl =>
+    if (pl == 0) fh.height else (fh.height + subY) >> subY
+  }
+  def croppedPlanes(): Array[Array[Int]] =
+    Array.tabulate(numPlanes) { pl =>
+      val out = new Array[Int](cropW(pl) * cropH(pl))
+      var r = 0
+      while (r < cropH(pl)) {
+        System.arraycopy(planes(pl), r * planeW(pl), out, r * cropW(pl),
+          cropW(pl))
+        r += 1
+      }
+      out
+    }
+  val planes: Array[Array[Int]] =
+    Array.tabulate(numPlanes)(pl => new Array[Int](planeW(pl) * planeH(pl)))
+
+  // per-4x4 mode info (frame-wide)
+  val yModes = new Array[Byte](miRows * miCols)
+  val uvModes = new Array[Byte](miRows * miCols)
+  val skips = new Array[Boolean](miRows * miCols)
+  val txSzY = new Array[Byte](miRows * miCols)
+  val txSzUV = new Array[Byte](miRows * miCols) // in chroma units at (r>>subY, c>>subX) granularity, stored per luma mi for simplicity
+  // decoded bitmap per plane at 4x4 granularity (plane coords)
+  val decoded: Array[Array[Boolean]] = Array.tabulate(numPlanes) { pl =>
+    new Array[Boolean](((planeH(pl) + 3) >> 2) * ((planeW(pl) + 3) >> 2))
+  }
+  val dec4W: Array[Int] = Array.tabulate(numPlanes)(pl => (planeW(pl) + 3) >> 2)
+
+  // partition context masks
+  val abovePartition = new Array[Int](miCols)
+  val leftPartition = new Array[Int](miRows)
+  // entropy level contexts per plane (in plane-4x4 units)
+  val aboveLevel: Array[Array[Int]] = Array.tabulate(numPlanes)(pl =>
+    new Array[Int](dec4W(pl) + 16))
+  val aboveDc: Array[Array[Int]] = Array.tabulate(numPlanes)(pl =>
+    new Array[Int](dec4W(pl) + 16))
+  val leftLevel: Array[Array[Int]] = Array.tabulate(numPlanes)(pl =>
+    new Array[Int](((planeH(pl) + 3) >> 2) + 16))
+  val leftDc: Array[Array[Int]] = Array.tabulate(numPlanes)(pl =>
+    new Array[Int](((planeH(pl) + 3) >> 2) + 16))
+
+  // tile bounds (mi units), set per tile
+  var miRowStart = 0
+  var miRowEnd = 0
+  var miColStart = 0
+  var miColEnd = 0
+
+  var msac: Av1Msac = null
+  var cdf: Av1CdfCtx = null
+  var readDeltas = false
+  var currentQIndex = fh.baseQIdx
+  // cdef strength index per 64x64 unit
+  val cdefStride: Int = (miCols + 15) >> 4
+  val cdefRows: Int = (miRows + 15) >> 4
+  val cdefIdx: Array[Int] = Array.fill(cdefStride * cdefRows)(-1)
+
+  private val dcQTab =
+    if (bd == 8) Av1Tables.flat("dc_q_8") else Av1Tables.flat("dc_q_10")
+  private val acQTab =
+    if (bd == 8) Av1Tables.flat("ac_q_8") else Av1Tables.flat("ac_q_10")
+  if (bd == 12) throw Unsupported("12-bit")
+
+  @inline private def dcQ(q: Int): Int = dcQTab(math.max(0, math.min(255, q)))
+  @inline private def acQ(q: Int): Int = acQTab(math.max(0, math.min(255, q)))
+
+  val trace: Boolean = System.getenv("GRAFT_AV1_TRACE") != null
+  @inline def tr(msg: => String): Unit = if (trace) println("TR " + msg)
+
+  // ---------------- tile decode ----------------
+  def decodeTile(buf: Array[Byte], start: Int, end: Int,
+      tileNum: Int): Unit = {
+    val tileRow = tileNum / fh.tileCols
+    val tileCol = tileNum % fh.tileCols
+    miRowStart = fh.tileRowStartSb(tileRow) << sbLog2
+    miRowEnd = math.min(fh.tileRowStartSb(tileRow + 1) << sbLog2, miRows)
+    miColStart = fh.tileColStartSb(tileCol) << sbLog2
+    miColEnd = math.min(fh.tileColStartSb(tileCol + 1) << sbLog2, miCols)
+    tr(s"tile $tileNum bytes=${end - start} mi=[$miRowStart..$miRowEnd)x[$miColStart..$miColEnd) q=${fh.baseQIdx} lossless=${fh.codedLossless} txSel=${fh.txModeSelect} cdefBits=${fh.cdefBits} lf=${fh.lfLevel.mkString(",")} scc=${fh.allowScreenContentTools} reducedTx=${fh.reducedTxSet} disableCdfUpd=${fh.disableCdfUpdate}")
+    msac = new Av1Msac(buf, start, end, !fh.disableCdfUpdate)
+    cdf = new Av1CdfCtx(qContext(fh.baseQIdx))
+    currentQIndex = fh.baseQIdx
+    // reset contexts over the tile extent
+    var i = miColStart
+    while (i < miColEnd) { abovePartition(i) = 0; i += 1 }
+    i = miRowStart
+    while (i < miRowEnd) { leftPartition(i) = 0; i += 1 }
+    var pl = 0
+    while (pl < numPlanes) {
+      val shX = if (pl == 0) 0 else subX
+      val shY = if (pl == 0) 0 else subY
+      var c = miColStart >> shX
+      while (c <= math.min((miColEnd >> shX), dec4W(pl) - 1)) {
+        aboveLevel(pl)(c) = 0; aboveDc(pl)(c) = 0; c += 1
+      }
+      var r = miRowStart >> shY
+      while (r <= math.min((miRowEnd >> shY), leftLevel(pl).length - 1)) {
+        leftLevel(pl)(r) = 0; leftDc(pl)(r) = 0; r += 1
+      }
+      pl += 1
+    }
+    // superblock loop
+    val sbSizeBlock = if (seq.use128x128Superblock) BLOCK_128X128 else BLOCK_64X64
+    var r = miRowStart
+    while (r < miRowEnd) {
+      var c = miColStart
+      while (c < miColEnd) {
+        readDeltas = fh.deltaQPresent
+        decodePartition(r, c, sbSizeBlock)
+        c += sb4
+      }
+      r += sb4
+    }
+  }
+
+  // ---------------- partition tree ----------------
+  private def decodePartition(r: Int, c: Int, bSize: Int): Unit = {
+    if (r >= miRowEnd || c >= miColEnd) return
+    val bw4 = BlockW4(bSize)
+    val bh4 = BlockH4(bSize)
+    val half = bw4 >> 1
+    val quarter = bw4 >> 2
+    val hasRows = r + (bh4 >> 1) < miRowEnd
+    val hasCols = c + (bw4 >> 1) < miColEnd
+    val sq = bSize // always square here
+    val rank = sq match {
+      case BLOCK_8X8 => 0
+      case BLOCK_16X16 => 1
+      case BLOCK_32X32 => 2
+      case BLOCK_64X64 => 3
+      case BLOCK_128X128 => 4
+      case _ => -1
+    }
+    var partition = PARTITION_NONE
+    if (bSize < BLOCK_8X8) partition = PARTITION_NONE
+    else if (hasRows && hasCols) {
+      val bsl = Integer.numberOfTrailingZeros(bw4) // 1..5
+      val above = if (availU(r, c)) (abovePartition(c) >> bsl) & 1 else 0
+      val left = if (availL(r, c)) (leftPartition(r) >> bsl) & 1 else 0
+      val ctx = left * 2 + above
+      val row = cdf.partition(rank * 4 + ctx)
+      val nSyms = row.length
+      partition = msac.symbol(row, nSyms)
+      tr(s"part r=$r c=$c sq=$bSize ctx=$ctx -> $partition")
+    } else if (hasCols) {
+      // split_or_horz: bool with gathered "vert alike" probability
+      val psplit = gatherVertAlike(rank, r, c, bSize)
+      partition = if (msac.boolProb(psplit)) PARTITION_SPLIT
+      else PARTITION_HORZ
+      tr(s"part r=$r c=$c sq=$bSize split_or_horz psplit=$psplit -> $partition")
+    } else if (hasRows) {
+      val psplit = gatherHorzAlike(rank, r, c, bSize)
+      partition = if (msac.boolProb(psplit)) PARTITION_SPLIT
+      else PARTITION_VERT
+      tr(s"part r=$r c=$c sq=$bSize split_or_vert psplit=$psplit -> $partition")
+    } else partition = PARTITION_SPLIT
+
+    val subSize = partitionSubsize(partition, bSize)
+    lazy val splitSize = partitionSubsize(PARTITION_SPLIT, bSize)
+    partition match {
+      case PARTITION_NONE =>
+        decodeBlock(r, c, subSize)
+      case PARTITION_HORZ =>
+        decodeBlock(r, c, subSize)
+        if (r + (bh4 >> 1) < miRowEnd) decodeBlock(r + (bh4 >> 1), c, subSize)
+      case PARTITION_VERT =>
+        decodeBlock(r, c, subSize)
+        if (c + (bw4 >> 1) < miColEnd) decodeBlock(r, c + (bw4 >> 1), subSize)
+      case PARTITION_SPLIT =>
+        decodePartition(r, c, subSize)
+        decodePartition(r, c + (bw4 >> 1), subSize)
+        decodePartition(r + (bh4 >> 1), c, subSize)
+        decodePartition(r + (bh4 >> 1), c + (bw4 >> 1), subSize)
+      case PARTITION_HORZ_A =>
+        decodeBlock(r, c, splitSize)
+        decodeBlock(r, c + half, splitSize)
+        decodeBlock(r + (bh4 >> 1), c, partitionSubsize(PARTITION_HORZ, bSize))
+      case PARTITION_HORZ_B =>
+        decodeBlock(r, c, partitionSubsize(PARTITION_HORZ, bSize))
+        decodeBlock(r + (bh4 >> 1), c, splitSize)
+        decodeBlock(r + (bh4 >> 1), c + half, splitSize)
+      case PARTITION_VERT_A =>
+        decodeBlock(r, c, splitSize)
+        decodeBlock(r + (bh4 >> 1), c, splitSize)
+        decodeBlock(r, c + (bw4 >> 1), partitionSubsize(PARTITION_VERT, bSize))
+      case PARTITION_VERT_B =>
+        decodeBlock(r, c, partitionSubsize(PARTITION_VERT, bSize))
+        decodeBlock(r, c + (bw4 >> 1), splitSize)
+        decodeBlock(r + (bh4 >> 1), c + (bw4 >> 1), splitSize)
+      case PARTITION_HORZ_4 =>
+        val qh = BlockH4(bSize) >> 2
+        var k = 0
+        while (k < 4) {
+          val rr = r + k * qh
+          if (rr < miRowEnd) decodeBlock(rr, c, subSize)
+          k += 1
+        }
+      case PARTITION_VERT_4 =>
+        val qw = BlockW4(bSize) >> 2
+        var k = 0
+        while (k < 4) {
+          val cc = c + k * qw
+          if (cc < miColEnd) decodeBlock(r, cc, subSize)
+          k += 1
+        }
+    }
+  }
+
+  @inline private def availU(r: Int, c: Int): Boolean = r > miRowStart
+  @inline private def availL(r: Int, c: Int): Boolean = c > miColStart
+
+  /** probability mass of partitions with a full vertical middle edge */
+  private def gatherVertAlike(rank: Int, r: Int, c: Int,
+      bSize: Int): Int = {
+    val bsl = Integer.numberOfTrailingZeros(BlockW4(bSize))
+    val above = if (availU(r, c)) (abovePartition(c) >> bsl) & 1 else 0
+    val left = if (availL(r, c)) (leftPartition(r) >> bsl) & 1 else 0
+    val row = cdf.partition(rank * 4 + left * 2 + above)
+    val n = row.length
+    @inline def prob(sym: Int): Int = {
+      val hi = if (sym == 0) 32768 else row(sym - 1)
+      val lo = if (sym == n - 1) 0 else row(sym)
+      hi - lo
+    }
+    var p = prob(PARTITION_VERT) + prob(PARTITION_SPLIT)
+    if (n > 4) {
+      p += prob(PARTITION_HORZ_A) + prob(PARTITION_VERT_A) +
+        prob(PARTITION_VERT_B)
+      if (n == 10) p += prob(PARTITION_VERT_4)
+    }
+    math.min(32767, p)
+  }
+
+  private def gatherHorzAlike(rank: Int, r: Int, c: Int,
+      bSize: Int): Int = {
+    val bsl = Integer.numberOfTrailingZeros(BlockW4(bSize))
+    val above = if (availU(r, c)) (abovePartition(c) >> bsl) & 1 else 0
+    val left = if (availL(r, c)) (leftPartition(r) >> bsl) & 1 else 0
+    val row = cdf.partition(rank * 4 + left * 2 + above)
+    val n = row.length
+    @inline def prob(sym: Int): Int = {
+      val hi = if (sym == 0) 32768 else row(sym - 1)
+      val lo = if (sym == n - 1) 0 else row(sym)
+      hi - lo
+    }
+    var p = prob(PARTITION_HORZ) + prob(PARTITION_SPLIT)
+    if (n > 4) {
+      p += prob(PARTITION_HORZ_A) + prob(PARTITION_HORZ_B) +
+        prob(PARTITION_VERT_A)
+      if (n == 10) p += prob(PARTITION_HORZ_4)
+    }
+    math.min(32767, p)
+  }
+
+  // ---------------- block decode ----------------
+  private def decodeBlock(r: Int, c: Int, bSize: Int): Unit = {
+    val bw4 = math.min(BlockW4(bSize), miColEnd - c)
+    val bh4 = math.min(BlockH4(bSize), miRowEnd - r)
+    val fullW4 = BlockW4(bSize)
+    val fullH4 = BlockH4(bSize)
+    val hasChroma = numPlanes > 1 &&
+      (fullH4 > 1 || subY == 0 || (r & 1) == 1) &&
+      (fullW4 > 1 || subX == 0 || (c & 1) == 1)
+
+    // --- skip ---
+    val skipCtx = (if (availU(r, c) && skips((r - 1) * miCols + c)) 1 else 0) +
+      (if (availL(r, c) && skips(r * miCols + c - 1)) 1 else 0)
+    val skip = msac.bool(cdf.skip(skipCtx))
+    tr(s"block r=$r c=$c bs=$bSize skipCtx=$skipCtx skip=$skip")
+
+    // --- cdef index (spec 5.11.56; per 64x64 unit) ---
+    if (!skip && !fh.codedLossless && seq.enableCdef && !fh.allowIntrabc
+      && fh.cdefBits > 0) {
+      val mask = ~15
+      val r1 = r & mask
+      val c1 = c & mask
+      if (cdefIdx(((r1 >> 4) * cdefStride) + (c1 >> 4)) == -1) {
+        val v = msac.literal(fh.cdefBits)
+        var i = 0
+        while (i < math.max(1, BlockH4(bSize) >> 4)) {
+          var j = 0
+          while (j < math.max(1, BlockW4(bSize) >> 4)) {
+            val rr3 = (r1 >> 4) + i
+            val cc3 = (c1 >> 4) + j
+            if (rr3 < cdefRows && cc3 < cdefStride)
+              cdefIdx(rr3 * cdefStride + cc3) = v
+            j += 1
+          }
+          i += 1
+        }
+      }
+    }
+
+    // --- deltas ---
+    if (readDeltas) {
+      readDeltaQIndex(bSize, skip)
+      readDeltaLf(bSize, skip)
+      readDeltas = false
+    }
+
+    // --- y mode ---
+    val aboveMode =
+      if (availU(r, c)) IntraModeContext(yModes((r - 1) * miCols + c)) else 0
+    val leftMode =
+      if (availL(r, c)) IntraModeContext(yModes(r * miCols + c - 1)) else 0
+    val yMode = msac.symbol(cdf.kfYMode(aboveMode * 5 + leftMode), 13)
+    tr(s"  ymode=$yMode ctx=($aboveMode,$leftMode)")
+    var angleDeltaY = 0
+    if (bSize >= BLOCK_8X8 && isDirectionalMode(yMode))
+      angleDeltaY = msac.symbol(cdf.angleDelta(yMode - V_PRED), 7) - 3
+
+    // --- uv mode ---
+    var uvMode = DC_PRED
+    var angleDeltaUV = 0
+    var cflAlphaU = 0
+    var cflAlphaV = 0
+    if (hasChroma) {
+      // spec is_cfl_allowed: lossless restricts CfL to 4x4 chroma
+      // blocks; otherwise luma dims <= 32.
+      val cflAllowed =
+        if (fh.losslessSeg(0))
+          math.max(1, BlockW4(bSize) >> subX) == 1 &&
+            math.max(1, BlockH4(bSize) >> subY) == 1
+        else BlockW4(bSize) * 4 <= 32 && BlockH4(bSize) * 4 <= 32
+      uvMode =
+        if (cflAllowed) msac.symbol(cdf.uvModeCfl(yMode), 14)
+        else msac.symbol(cdf.uvModeNoCfl(yMode), 13)
+      tr(s"  uvmode=$uvMode cflAllowed=${BlockW4(bSize) * 4 <= 32 && BlockH4(bSize) * 4 <= 32}")
+      if (uvMode == UV_CFL_PRED) {
+        val signs = msac.symbol(cdf.cflSign(0), 8)
+        val signU = (signs + 1) / 3
+        val signV = (signs + 1) % 3
+        if (signU != 0) {
+          val ctx = signs - 2
+          val v = msac.symbol(cdf.cflAlpha(ctx), 16) + 1
+          cflAlphaU = if (signU == 1) -v else v
+        }
+        if (signV != 0) {
+          val ctx = (signV - 1) * 3 + signU
+          val v = msac.symbol(cdf.cflAlpha(ctx), 16) + 1
+          cflAlphaV = if (signV == 1) -v else v
+        }
+        tr(s"  cfl signs=$signs aU=$cflAlphaU aV=$cflAlphaV")
+      } else if (isDirectionalMode(uvMode) && bSize >= BLOCK_8X8) {
+        angleDeltaUV = msac.symbol(cdf.angleDelta(uvMode - V_PRED), 7) - 3
+      }
+    }
+
+    // --- palette (only the gate symbols; noise content never uses it) ---
+    if (fh.allowScreenContentTools && bSize >= BLOCK_8X8 &&
+      BlockW4(bSize) * 4 <= 64 && BlockH4(bSize) * 4 <= 64) {
+      if (yMode == DC_PRED) {
+        val bsizeCtx = Integer.numberOfTrailingZeros(BlockW4(bSize)) +
+          Integer.numberOfTrailingZeros(BlockH4(bSize)) - 2
+        // neighbor palette ctx would require palette size tracking;
+        // with palette unsupported the stored sizes are all zero
+        val ctx = 0
+        if (msac.bool(cdf.hasPaletteY(bsizeCtx * 3 + ctx)))
+          throw Unsupported("palette")
+      }
+      if (hasChroma && uvMode == DC_PRED) throw Unsupported("palette uv gate")
+    }
+
+    // --- filter intra ---
+    var useFilterIntra = false
+    var filterIntraMode = 0
+    if (seq.enableFilterIntra && yMode == DC_PRED &&
+      BlockW4(bSize) * 4 <= 32 && BlockH4(bSize) * 4 <= 32) {
+      useFilterIntra = msac.bool(cdf.useFilterIntra(bSize))
+      if (useFilterIntra)
+        filterIntraMode = msac.symbol(cdf.filterIntraMode, 5)
+      tr(s"  filterIntra=$useFilterIntra mode=$filterIntraMode")
+    }
+
+    // --- tx size ---
+    val lossless = fh.losslessSeg(0)
+    var txSz = MaxTxSizeRect(bSize)
+    if (lossless) txSz = TX_4X4
+    else if (fh.txModeSelect && bSize > BLOCK_4X4 && !skip) {
+      val cat = txSizeCat(bSize)
+      val maxDepth = maxTxDepth(bSize)
+      if (maxDepth > 0 && cat >= 0) {
+        val maxRect = MaxTxSizeRect(bSize)
+        val maxTxWide = TxW(maxRect)
+        val maxTxHigh = TxH(maxRect)
+        val aboveW =
+          if (availU(r, c)) TxW(txSzY((r - 1) * miCols + c)) else maxTxWide
+        val leftH =
+          if (availL(r, c)) TxH(txSzY(r * miCols + c - 1)) else maxTxHigh
+        val ctx = (if (aboveW >= maxTxWide) 1 else 0) +
+          (if (leftH >= maxTxHigh) 1 else 0)
+        val depth =
+          if (cat == 0) msac.symbol(cdf.txDepthCat0(ctx), 2)
+          else msac.symbol(cdf.txDepth((cat - 1) * 3 + ctx), 3)
+        var d = 0
+        while (d < depth) { txSz = SplitTxSize(txSz); d += 1 }
+      }
+    } else if (!fh.txModeSelect) {
+      txSz = MaxTxSizeRect(bSize) // TX_MODE_LARGEST
+    }
+
+    // --- store mode info ---
+    var rr = r
+    while (rr < r + bh4) {
+      var cc = c
+      while (cc < c + bw4) {
+        val idx = rr * miCols + cc
+        yModes(idx) = yMode.toByte
+        uvModes(idx) = uvMode.toByte
+        skips(idx) = skip
+        txSzY(idx) = txSz.toByte
+        cc += 1
+      }
+      rr += 1
+    }
+    // partition context masks (bits above the block's log2 size)
+    val wMask = (0xff << (Integer.numberOfTrailingZeros(fullW4) + 1)) & 0xff
+    val hMask = (0xff << (Integer.numberOfTrailingZeros(fullH4) + 1)) & 0xff
+    var cc = c
+    while (cc < c + bw4) { abovePartition(cc) = wMask; cc += 1 }
+    rr = r
+    while (rr < r + bh4) { leftPartition(rr) = hMask; rr += 1 }
+
+    // --- residual + prediction per plane ---
+    residual(r, c, bSize, bw4, bh4, yMode, angleDeltaY, uvMode,
+      angleDeltaUV, cflAlphaU, cflAlphaV, skip, txSz, hasChroma, lossless,
+      if (useFilterIntra) filterIntraMode else -1)
+  }
+
+  private def readDeltaQIndex(bSize: Int, skip: Boolean): Unit = {
+    val sbBlock = if (seq.use128x128Superblock) BLOCK_128X128 else BLOCK_64X64
+    if (bSize == sbBlock && skip) return
+    var abs = msac.symbol(cdf.deltaQ, 4)
+    if (abs == 3) {
+      val remBits = msac.literal(3) + 1
+      abs = msac.literal(remBits) + (1 << remBits) + 1
+    }
+    if (abs > 0) {
+      val neg = msac.literal(1) == 1
+      val reduced = if (neg) -abs else abs
+      currentQIndex = math.max(1, math.min(255,
+        currentQIndex + (reduced << fh.deltaQRes)))
+    }
+  }
+
+  private def readDeltaLf(bSize: Int, skip: Boolean): Unit = {
+    if (!fh.deltaLfPresent) return
+    val sbBlock = if (seq.use128x128Superblock) BLOCK_128X128 else BLOCK_64X64
+    if (bSize == sbBlock && skip) return
+    val n = if (fh.deltaLfMulti) (if (numPlanes > 1) 4 else 2) else 1
+    var i = 0
+    while (i < n) {
+      var abs = msac.symbol(cdf.deltaLf(i), 4)
+      if (abs == 3) {
+        val remBits = msac.literal(3) + 1
+        abs = msac.literal(remBits) + (1 << remBits) + 1
+      }
+      if (abs > 0) msac.literal(1)
+      // delta LF values only affect loop filtering; per-block LF
+      // deltas are folded in by the loop filter via stored levels —
+      // not yet wired (aom stills do not emit delta_lf).
+      i += 1
+    }
+  }
+
+  // ---------------- residual ----------------
+  private def residual(r: Int, c: Int, bSize: Int, bw4: Int, bh4: Int,
+      yMode: Int, angleDeltaY: Int, uvMode: Int, angleDeltaUV: Int,
+      cflAlphaU: Int, cflAlphaV: Int, skip: Boolean, txSz: Int,
+      hasChroma: Boolean, lossless: Boolean, fiMode: Int): Unit = {
+    // luma
+    val wPx = bw4 * 4
+    val hPx = bh4 * 4
+    val tw = TxW(txSz)
+    val th = TxH(txSz)
+    val baseX = c * 4
+    val baseY = r * 4
+    var y = 0
+    while (y < hPx) {
+      var x = 0
+      while (x < wPx) {
+        predictAndReconstruct(0, baseX + x, baseY + y, txSz, yMode,
+          angleDeltaY, skip, lossless, bSize, 0, 0, r, c, fiMode)
+        x += tw
+      }
+      y += th
+    }
+    // chroma
+    if (hasChroma) {
+      val crBase = (r >> subY) << subY // luma-mi row of the chroma block
+      val ccBase = (c >> subX) << subX
+      val cW4 = math.max(1, BlockW4(bSize) >> subX)
+      val cH4 = math.max(1, BlockH4(bSize) >> subY)
+      val uvTx = if (lossless) TX_4X4 else chromaTxSize(bSize)
+      val ctw = TxW(uvTx)
+      val cth = TxH(uvTx)
+      val cx0 = (ccBase >> subX) * 4
+      val cy0 = (crBase >> subY) * 4
+      val cwPx = math.min(cW4 * 4, planeW(1) - cx0)
+      val chPx = math.min(cH4 * 4, planeH(1) - cy0)
+      var pl = 1
+      while (pl < numPlanes) {
+        val alpha = if (pl == 1) cflAlphaU else cflAlphaV
+        var yy = 0
+        while (yy < chPx) {
+          var xx = 0
+          while (xx < cwPx) {
+            predictAndReconstruct(pl, cx0 + xx, cy0 + yy, uvTx, uvMode,
+              angleDeltaUV, skip, lossless, bSize, alpha,
+              if (uvMode == UV_CFL_PRED) 1 else 0, r, c, -1)
+            xx += ctw
+          }
+          yy += cth
+        }
+        pl += 1
+      }
+      // mark chroma tx sizes for the loop filter
+      var rr2 = crBase
+      while (rr2 < math.min(crBase + (cH4 << subY), miRows)) {
+        var cc2 = ccBase
+        while (cc2 < math.min(ccBase + (cW4 << subX), miCols)) {
+          txSzUV(rr2 * miCols + cc2) = uvTx.toByte
+          cc2 += 1
+        }
+        rr2 += 1
+      }
+    }
+  }
+
+  private def chromaTxSize(bSize: Int): Int = {
+    val w4 = math.max(1, BlockW4(bSize) >> subX)
+    val h4 = math.max(1, BlockH4(bSize) >> subY)
+    // find block enum with these dims
+    var b = 0
+    var found = -1
+    while (b < BlockW4.length) {
+      if (BlockW4(b) == w4 && BlockH4(b) == h4) found = b
+      b += 1
+    }
+    if (found < 0) throw Malformed
+    var tx = MaxTxSizeRect(found)
+    // chroma caps at 32x32
+    while (TxW(tx) > 32 || TxH(tx) > 32) {
+      tx = tx match {
+        case TX_64X64 => TX_32X32
+        case 11 => TX_32X32 // 32x64
+        case 12 => TX_32X32 // 64x32
+        case 17 => 9 // 16x64 -> 16x32
+        case 18 => 10 // 64x16 -> 32x16
+        case _ => TX_32X32
+      }
+    }
+    tx
+  }
+
+  // placeholder bodies — filled in Av1Residual.scala via trait mixin is
+  // avoided; implemented below.
+  def predictAndReconstruct(plane: Int, x: Int, y: Int, txSz: Int,
+      mode: Int, angleDelta: Int, skip: Boolean, lossless: Boolean,
+      bSize: Int, cflAlpha: Int, isCfl: Int, miR: Int, miC: Int,
+      fiMode: Int): Unit =
+    Av1Residual.predictAndReconstruct(this, plane, x, y, txSz, mode,
+      angleDelta, skip, lossless, bSize, cflAlpha, isCfl, miR, miC, fiMode)
+
+  // quantizer accessors for the residual module
+  def dcQuant(plane: Int): Int = {
+    val q = currentQIndex
+    val d = plane match {
+      case 0 => fh.deltaQYDc
+      case 1 => fh.deltaQUDc
+      case _ => fh.deltaQVDc
+    }
+    dcQ(q + d)
+  }
+  def acQuant(plane: Int): Int = {
+    val q = currentQIndex
+    val d = plane match {
+      case 0 => 0
+      case 1 => fh.deltaQUAc
+      case _ => fh.deltaQVAc
+    }
+    acQ(q + d)
+  }
+}
