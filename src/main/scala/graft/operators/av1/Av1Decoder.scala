@@ -185,6 +185,8 @@ final class Av1FrameDecode(val seq: Av1Headers.Seq, val fh: Av1Headers.Frame) {
   val uvModes = new Array[Byte](miRows * miCols)
   val skips = new Array[Boolean](miRows * miCols)
   val txSzY = new Array[Byte](miRows * miCols)
+  val blockOriginR = new Array[Int](miRows * miCols)
+  val blockOriginC = new Array[Int](miRows * miCols)
   val txSzUV = new Array[Byte](miRows * miCols) // in chroma units at (r>>subY, c>>subX) granularity, stored per luma mi for simplicity
   // decoded bitmap per plane at 4x4 granularity (plane coords)
   val decoded: Array[Array[Boolean]] = Array.tabulate(numPlanes) { pl =>
@@ -549,14 +551,15 @@ final class Av1FrameDecode(val seq: Av1Headers.Seq, val fh: Av1Headers.Frame) {
         val maxTxWide = TxW(maxRect)
         val maxTxHigh = TxH(maxRect)
         val aboveW =
-          if (availU(r, c)) TxW(txSzY((r - 1) * miCols + c)) else maxTxWide
+          if (availU(r, c)) TxW(txSzY((r - 1) * miCols + c)) else 0
         val leftH =
-          if (availL(r, c)) TxH(txSzY(r * miCols + c - 1)) else maxTxHigh
+          if (availL(r, c)) TxH(txSzY(r * miCols + c - 1)) else 0
         val ctx = (if (aboveW >= maxTxWide) 1 else 0) +
           (if (leftH >= maxTxHigh) 1 else 0)
         val depth =
           if (cat == 0) msac.symbol(cdf.txDepthCat0(ctx), 2)
           else msac.symbol(cdf.txDepth((cat - 1) * 3 + ctx), 3)
+        tr(s"  txdepth cat=$cat ctx=$ctx depth=$depth")
         var d = 0
         while (d < depth) { txSz = SplitTxSize(txSz); d += 1 }
       }
@@ -574,6 +577,8 @@ final class Av1FrameDecode(val seq: Av1Headers.Seq, val fh: Av1Headers.Frame) {
         uvModes(idx) = uvMode.toByte
         skips(idx) = skip
         txSzY(idx) = txSz.toByte
+        blockOriginR(idx) = r
+        blockOriginC(idx) = c
         cc += 1
       }
       rr += 1

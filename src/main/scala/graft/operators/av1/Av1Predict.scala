@@ -279,12 +279,14 @@ object Av1Predict {
     * entries (spec positions 0..sz-1) into positions -2..2*sz-2.
     */
   def upsampleEdge(edge: Array[Int], sz: Int, bd: Int): Unit = {
+    // dup = [e[-1], e[-1], e[0..sz-1], e[sz-1]]; even outputs keep the
+    // original samples, odd outputs are the (-1,9,9,-1)/16 half-pels.
     val dup = new Array[Int](sz + 3)
     dup(0) = edge(Off - 1)
+    dup(1) = edge(Off - 1)
     var i = 0
-    while (i < sz) { dup(i + 1) = edge(Off + i); i += 1 }
-    dup(sz + 1) = dup(sz)
-    dup(sz + 2) = dup(sz)
+    while (i < sz) { dup(i + 2) = edge(Off + i); i += 1 }
+    dup(sz + 2) = edge(Off + sz - 1)
     val hi = (1 << bd) - 1
     edge(Off - 2) = dup(0)
     i = 0

@@ -27,6 +27,9 @@ object Av1Residual {
     Array(2, 4, 4, 4, 5),
     Array(3, 5, 5, 5, 6))
 
+  @inline private def txpl(txSzCtx: Int, ptype: Int, ntx: Int): Int =
+    txSzCtx * 2 + ptype
+
   private val scanCache =
     scala.collection.mutable.HashMap[(Int, Int, Int), Array[Int]]()
 
@@ -444,11 +447,11 @@ object Av1Residual {
       if (c == eob - 1) {
         val ctx = baseEobCtx(c, bwl, ch)
         level = msac.symbol(
-          cdf.coeffBaseEob((txSzCtx * 2 + ptype) * 4 + ctx), 3) + 1
+          cdf.coeffBaseEob(txpl(txSzCtx, ptype, 5) * 4 + ctx), 3) + 1
       } else {
         val ctx = baseCtx(levels, stride, row, col, pos, cls, cw, ch)
         level = msac.symbol(
-          cdf.coeffBase((txSzCtx * 2 + ptype) * 42 + ctx), 4)
+          cdf.coeffBase(txpl(txSzCtx, ptype, 5) * 42 + ctx), 4)
       }
       if (level > 2) {
         levels(lpos) = level
@@ -457,7 +460,7 @@ object Av1Residual {
         while (idx < 4 && !done) {
           val ctx = brCtx(levels, stride, row, col, pos, cls)
           val k = msac.symbol(
-            cdf.coeffBr((brTxCtx * 2 + ptype) * 21 + ctx), 4)
+            cdf.coeffBr(txpl(brTxCtx, ptype, 5) * 21 + ctx), 4)
           level += k
           levels(lpos) = math.min(level, 63)
           if (k < 3) done = true
@@ -526,17 +529,14 @@ object Av1Residual {
       col: Int, pos: Int, cls: Int, cw: Int, ch: Int): Int = {
     @inline def lv(r: Int, c: Int): Int =
       math.min(levels(r * stride + c), 3)
-    var mag = 0
+    var mag = lv(row, col + 1) + lv(row + 1, col)
     cls match {
       case TX_CLASS_2D =>
-        mag = lv(row, col + 1) + lv(row + 1, col) + lv(row + 1, col + 1) +
-          lv(row, col + 2) + lv(row + 2, col)
+        mag += lv(row + 1, col + 1) + lv(row, col + 2) + lv(row + 2, col)
       case TX_CLASS_HORIZ =>
-        mag = lv(row, col + 1) + lv(row, col + 2) + lv(row, col + 3) +
-          lv(row, col + 4) + lv(row, col + 5)
+        mag += lv(row, col + 2) + lv(row, col + 3) + lv(row, col + 4)
       case TX_CLASS_VERT =>
-        mag = lv(row + 1, col) + lv(row + 2, col) + lv(row + 3, col) +
-          lv(row + 4, col) + lv(row + 5, col)
+        mag += lv(row + 2, col) + lv(row + 3, col) + lv(row + 4, col)
     }
     val ctx = math.min((mag + 1) >> 1, 4)
     cls match {
@@ -560,14 +560,11 @@ object Av1Residual {
   private def brCtx(levels: Array[Int], stride: Int, row: Int,
       col: Int, pos: Int, cls: Int): Int = {
     @inline def lv(r: Int, c: Int): Int = levels(r * stride + c)
-    var mag = 0
+    var mag = lv(row, col + 1) + lv(row + 1, col)
     cls match {
-      case TX_CLASS_2D =>
-        mag = lv(row, col + 1) + lv(row + 1, col) + lv(row + 1, col + 1)
-      case TX_CLASS_HORIZ =>
-        mag = lv(row, col + 1) + lv(row, col + 2)
-      case TX_CLASS_VERT =>
-        mag = lv(row + 1, col) + lv(row + 2, col)
+      case TX_CLASS_2D => mag += lv(row + 1, col + 1)
+      case TX_CLASS_HORIZ => mag += lv(row, col + 2)
+      case TX_CLASS_VERT => mag += lv(row + 2, col)
     }
     mag = math.min((mag + 1) >> 1, 6)
     if (pos == 0) mag

@@ -74,11 +74,17 @@ object Av1CalMain {
           val ref = refPlanes(pl)
           var i = 0
           var bad = -1
-          while (i < pw * phh && bad < 0) {
+          var nbad = 0
+          var maxd = 0
+          while (i < pw * phh) {
             val rv =
               if (depth == 8) ref(i) & 0xff
               else (ref(2 * i) & 0xff) | ((ref(2 * i + 1) & 0xff) << 8)
-            if (mine(i) != rv) bad = i
+            if (mine(i) != rv) {
+              if (bad < 0) bad = i
+              nbad += 1
+              maxd = math.max(maxd, math.abs(mine(i) - rv))
+            }
             i += 1
           }
           if (bad >= 0) {
@@ -87,7 +93,25 @@ object Av1CalMain {
               if (depth == 8) ref(bad) & 0xff
               else (ref(2 * bad) & 0xff) | ((ref(2 * bad + 1) & 0xff) << 8)
             msg = s"plane $pl first-diff at (${bad % pw},${bad / pw}) " +
-              s"mine=${mine(bad)} ref=$rv [${pw}x$phh]"
+              s"mine=${mine(bad)} ref=$rv [${pw}x$phh] ndiff=$nbad maxd=$maxd"
+            if (System.getenv("GRAFT_AV1_DIFFMAP") != null) {
+              val sb = new StringBuilder("\n")
+              var yy = 0
+              while (yy < phh) {
+                var xx = 0
+                while (xx < pw) {
+                  val i2 = yy * pw + xx
+                  val rv2 =
+                    if (depth == 8) ref(i2) & 0xff
+                    else (ref(2 * i2) & 0xff) | ((ref(2 * i2 + 1) & 0xff) << 8)
+                  sb.append(if (mine(i2) == rv2) '.' else 'X')
+                  xx += 1
+                }
+                sb.append('\n')
+                yy += 1
+              }
+              println(name + msg + sb.toString)
+            }
           }
         }
         if (ok) pass += 1
