@@ -127,6 +127,63 @@ def avif_decode_info(av, data):
     return u32[0], u32[1], u32[2], u64[8] != 0
 
 
+def avif_decode_plane_means(av, data):
+    """Reference decode → per-plane sample means over the visible area
+    (y, u, v, alpha — None where the plane is absent), 6dp. The r17
+    pixel oracle: the engine's from-scratch AV1 decoder must reproduce
+    these from the bitstream.
+    """
+    dec = av.avifDecoderCreate()
+    img = av.avifImageCreate(0, 0, 8, 0)
+    r = av.avifDecoderReadMemory(dec, img, data, len(data))
+    assert r == 0, f"reference avif decode failed: {r}"
+    u32 = (ctypes.c_uint32 * 32).from_address(img)
+    u64 = (ctypes.c_uint64 * 16).from_address(img)
+    w, h, depth, fmt = u32[0], u32[1], u32[2], u32[3]
+    if fmt == 3:
+        dims = [(w, h), ((w + 1) // 2, (h + 1) // 2),
+                ((w + 1) // 2, (h + 1) // 2)]
+    elif fmt == 1:
+        dims = [(w, h)] * 3
+    else:
+        dims = [(w, h)]
+    out = []
+    for p, (pw, ph) in enumerate(dims):
+        ptr = u64[3 + p]
+        if not ptr:
+            out.append(None)
+            continue
+        rb = u32[12 + p]
+        total = 0
+        if depth == 8:
+            buf = (ctypes.c_uint8 * (rb * ph)).from_address(ptr)
+            for y in range(ph):
+                total += sum(buf[y * rb:y * rb + pw])
+        else:
+            buf = (ctypes.c_uint16 * (rb * ph // 2)).from_address(ptr)
+            for y in range(ph):
+                total += sum(buf[y * (rb // 2):y * (rb // 2) + pw])
+        out.append(round(total / (pw * ph), 6))
+    while len(out) < 3:
+        out.append(None)
+    aptr = u64[8]
+    if aptr:
+        rb = u32[18]
+        total = 0
+        if depth == 8:
+            buf = (ctypes.c_uint8 * (rb * h)).from_address(aptr)
+            for y in range(h):
+                total += sum(buf[y * rb:y * rb + w])
+        else:
+            buf = (ctypes.c_uint16 * (rb * h // 2)).from_address(aptr)
+            for y in range(h):
+                total += sum(buf[y * (rb // 2):y * (rb // 2) + w])
+        out.append(round(total / (w * h), 6))
+    else:
+        out.append(None)
+    return out
+
+
 # ---------------------------------------------------------------- libheif
 class HErr(ctypes.Structure):
     _fields_ = [("code", ctypes.c_int), ("subcode", ctypes.c_int),
@@ -412,13 +469,15 @@ def make_members():
         # the REFERENCE DECODE of the same member, mono/subsampling from the
         # construction format — the engine derives them from the BITSTREAM
         sub = {3: (1, 1), 1: (0, 0), 4: (1, 1)}[fmt]
+        pm = avif_decode_plane_means(av, data)
         rows.append(dict(fname=name + ".avif", item_type=ptype, width=rw,
                          height=rh, depth=rd, has_alpha=ra, n_items=n_items,
                          irot=irot, primary_bytes=pbytes, seq_profile=prof,
                          still_picture=bool(still), obu_max_w=rw,
                          obu_max_h=rh, obu_bitdepth=rd,
                          obu_mono=(fmt == 4), obu_sub_x=sub[0],
-                         obu_sub_y=sub[1]))
+                         obu_sub_y=sub[1], px_y_mean=pm[0], px_u_mean=pm[1],
+                         px_v_mean=pm[2], px_a_mean=pm[3]))
 
     heic_specs = [
         ("h420_48x32", 48, 32, False, 1111),
@@ -441,8 +500,81 @@ def make_members():
                          irot=irot, primary_bytes=pbytes, seq_profile=None,
                          still_picture=None, obu_max_w=None, obu_max_h=None,
                          obu_bitdepth=None, obu_mono=None, obu_sub_x=None,
-                         obu_sub_y=None))
+                         obu_sub_y=None, px_y_mean=None, px_u_mean=None,
+                         px_v_mean=None, px_a_mean=None))
     return members, rows
+
+
+def cmd_refresh():
+    """Recompute the e119 fixture rows from the COMMITTED members
+    (src/main/resources/graft/avif_heif_members.json), without
+    re-encoding — used when the row schema gains columns (r17: the
+    px_*_mean pixel-oracle columns)."""
+    av = load_avif()
+    h = load_heif()
+    members = json.load(open(os.path.join(
+        ROOT, 'src/main/resources/graft/avif_heif_members.json')))
+    rows = []
+    for name in sorted(members):
+        data = bytes.fromhex(members[name])
+        n_items, ptype, pbytes, irot, payload = walk_meta(data)
+        if name.endswith('.avif'):
+            rw, rh, rd, ra = avif_decode_info(av, data)
+            prof, still = parse_av1_seq(payload)
+            pm = avif_decode_plane_means(av, data)
+            mono = pm[1] is None
+            sub = (0, 0) if (pm[1] is not None and name.startswith('a444'))                 else (1, 1)
+            rows.append(dict(fname=name, item_type=ptype, width=rw,
+                             height=rh, depth=rd, has_alpha=ra,
+                             n_items=n_items, irot=irot,
+                             primary_bytes=pbytes, seq_profile=prof,
+                             still_picture=bool(still), obu_max_w=rw,
+                             obu_max_h=rh, obu_bitdepth=rd, obu_mono=mono,
+                             obu_sub_x=sub[0], obu_sub_y=sub[1],
+                             px_y_mean=pm[0], px_u_mean=pm[1],
+                             px_v_mean=pm[2], px_a_mean=pm[3]))
+        else:
+            rw, rh, rd, ra = heif_decode_info(h, data)
+            rows.append(dict(fname=name, item_type=ptype, width=rw,
+                             height=rh, depth=rd, has_alpha=ra,
+                             n_items=n_items, irot=irot,
+                             primary_bytes=pbytes, seq_profile=None,
+                             still_picture=None, obu_max_w=None,
+                             obu_max_h=None, obu_bitdepth=None,
+                             obu_mono=None, obu_sub_x=None, obu_sub_y=None,
+                             px_y_mean=None, px_u_mean=None,
+                             px_v_mean=None, px_a_mean=None))
+    write_fixture_rows(rows)
+
+
+def write_fixture_rows(rows):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    cols = ["fname", "item_type", "width", "height", "depth", "has_alpha",
+            "n_items", "irot", "primary_bytes", "seq_profile",
+            "still_picture", "obu_max_w", "obu_max_h", "obu_bitdepth",
+            "obu_mono", "obu_sub_x", "obu_sub_y", "px_y_mean", "px_u_mean",
+            "px_v_mean", "px_a_mean"]
+    typed = {
+        "fname": pa.string(), "item_type": pa.string(),
+        "width": pa.int32(), "height": pa.int32(), "depth": pa.int32(),
+        "has_alpha": pa.bool_(), "n_items": pa.int32(), "irot": pa.int32(),
+        "primary_bytes": pa.int64(), "seq_profile": pa.int32(),
+        "still_picture": pa.bool_(), "obu_max_w": pa.int32(),
+        "obu_max_h": pa.int32(), "obu_bitdepth": pa.int32(),
+        "obu_mono": pa.bool_(), "obu_sub_x": pa.int32(),
+        "obu_sub_y": pa.int32(), "px_y_mean": pa.float64(),
+        "px_u_mean": pa.float64(), "px_v_mean": pa.float64(),
+        "px_a_mean": pa.float64()}
+    table = pa.table({c: pa.array([r[c] for r in rows], typed[c])
+                      for c in cols})
+    import pyarrow.parquet as _pq
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        out = os.path.join(ROOT, "fixtures", sf, "e119_avif.parquet")
+        _pq.write_table(table, out)
+        print(f"wrote {out}")
+    for r in rows:
+        print(r)
 
 
 def cmd_fixture():
@@ -457,7 +589,8 @@ def cmd_fixture():
     cols = ["fname", "item_type", "width", "height", "depth", "has_alpha",
             "n_items", "irot", "primary_bytes", "seq_profile",
             "still_picture", "obu_max_w", "obu_max_h", "obu_bitdepth",
-            "obu_mono", "obu_sub_x", "obu_sub_y"]
+            "obu_mono", "obu_sub_x", "obu_sub_y", "px_y_mean", "px_u_mean",
+            "px_v_mean", "px_a_mean"]
     arrays = {
         "fname": pa.array([r["fname"] for r in rows], pa.string()),
         "item_type": pa.array([r["item_type"] for r in rows], pa.string()),
@@ -478,7 +611,11 @@ def cmd_fixture():
                                  pa.int32()),
         "obu_mono": pa.array([r["obu_mono"] for r in rows], pa.bool_()),
         "obu_sub_x": pa.array([r["obu_sub_x"] for r in rows], pa.int32()),
-        "obu_sub_y": pa.array([r["obu_sub_y"] for r in rows], pa.int32())}
+        "obu_sub_y": pa.array([r["obu_sub_y"] for r in rows], pa.int32()),
+        "px_y_mean": pa.array([r["px_y_mean"] for r in rows], pa.float64()),
+        "px_u_mean": pa.array([r["px_u_mean"] for r in rows], pa.float64()),
+        "px_v_mean": pa.array([r["px_v_mean"] for r in rows], pa.float64()),
+        "px_a_mean": pa.array([r["px_a_mean"] for r in rows], pa.float64())}
     table = pa.table({c: arrays[c] for c in cols})
     for sf in ("sf0.001", "sf0.01", "sf0.1"):
         out = os.path.join(ROOT, "fixtures", sf, "e119_avif.parquet")
@@ -514,10 +651,12 @@ def cmd_sweep(n, seed):
         rw, rh, rd, ra = avif_decode_info(av, data)
         assert (rw, rh, rd, ra) == (w, h, depth, alpha)
         sub = {3: (1, 1), 1: (0, 0), 4: (1, 1)}[fmt]
+        pm = avif_decode_plane_means(av, data)
         print(json.dumps(dict(name=f"s{i:04d}", hex=data.hex(), width=w,
                               height=h, depth=depth,
                               has_alpha=alpha, mono=(fmt == 4),
-                              sub_x=sub[0], sub_y=sub[1])))
+                              sub_x=sub[0], sub_y=sub[1],
+                              px_means=pm)))
 
 
 def cmd_probe():
@@ -539,6 +678,8 @@ def cmd_probe():
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "fixture":
         cmd_fixture()
+    elif len(sys.argv) > 1 and sys.argv[1] == "refresh":
+        cmd_refresh()
     elif len(sys.argv) > 1 and sys.argv[1] == "sweep":
         cmd_sweep(int(sys.argv[2]), int(sys.argv[3]))
     elif len(sys.argv) > 1 and sys.argv[1] == "probe":

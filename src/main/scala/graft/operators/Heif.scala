@@ -101,7 +101,28 @@ object Heif {
 
   private final case class Extent(method: Int, off: Long, len: Long)
 
-  def info(b: Array[Byte]): Option[Info] = {
+  /** decoded primary pixels (+ alpha plane stream when present):
+    * AV1 payloads through [[graft.operators.av1.Av1Decoder]] — the
+    * from-scratch intra decoder, reference-pinned by Av1Spec's
+    * differential sweep. None for non-AV1 primaries or unsupported
+    * tool combinations (reject-don't-guess).
+    */
+  final case class Decoded(info: Info,
+      primary: graft.operators.av1.Av1Decoder.Planes,
+      alpha: Option[graft.operators.av1.Av1Decoder.Planes])
+
+  def decode(b: Array[Byte]): Option[Decoded] =
+    parse(b).flatMap { case (info, payload, alphaPayload) =>
+      payload.flatMap(graft.operators.av1.Av1Decoder.decode).map { pl =>
+        Decoded(info, pl,
+          alphaPayload.flatMap(graft.operators.av1.Av1Decoder.decode))
+      }
+    }
+
+  def info(b: Array[Byte]): Option[Info] = parse(b).map(_._1)
+
+  private def parse(b: Array[Byte])
+      : Option[(Info, Option[Array[Byte]], Option[Array[Byte]])] = {
     try {
       if (b == null || b.length < 16) throw Malformed
       // ftyp must be the first box
@@ -279,7 +300,7 @@ object Heif {
       // alpha: an item with an alpha auxC urn that auxl-references the
       // primary or one of its dimg children
       val alphaTargets = (primary +: dimgChildren).toSet
-      val hasAlpha = itemType.keys.exists { id =>
+      val alphaItem: Option[Long] = itemType.keys.find { id =>
         firstProp(id, "auxC").exists { case (s, e) =>
           val urnEnd0 = {
             var q = s + 4
@@ -294,6 +315,7 @@ object Heif {
             }
         }
       }
+      val hasAlpha = alphaItem.isDefined
 
       val irot = firstProp(primary, "irot").map { case (s, _) => b(s) & 3 }
         .getOrElse(0)
@@ -329,11 +351,16 @@ object Heif {
           Some(Av1.sequenceHeader(payloadOf(primary)).getOrElse(throw Malformed))
         else None
 
-      Some(Info(brand, pType, w.toInt, h.toInt, depth, hasAlpha, nItems,
-        irot, primaryBytes, seq.map(_.profile), seq.map(_.stillPicture),
-        seq.map(_.maxWidth), seq.map(_.maxHeight), seq.map(_.bitDepth),
-        seq.map(_.monochrome), seq.map(_.subsamplingX),
-        seq.map(_.subsamplingY)))
+      val info = Info(brand, pType, w.toInt, h.toInt, depth, hasAlpha,
+        nItems, irot, primaryBytes, seq.map(_.profile),
+        seq.map(_.stillPicture), seq.map(_.maxWidth), seq.map(_.maxHeight),
+        seq.map(_.bitDepth), seq.map(_.monochrome),
+        seq.map(_.subsamplingX), seq.map(_.subsamplingY))
+      val primaryPayload =
+        if (pType == "av01") Some(payloadOf(primary)) else None
+      val alphaPayload =
+        if (pType == "av01") alphaItem.map(payloadOf) else None
+      Some((info, primaryPayload, alphaPayload))
     } catch {
       case Malformed => None
       case _: ArrayIndexOutOfBoundsException => None

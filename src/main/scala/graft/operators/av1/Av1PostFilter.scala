@@ -244,14 +244,35 @@ object Av1LoopFilter {
   }
 }
 
-/** CDEF (spec 7.15). Staged: zero-strength frames pass through;
-  * nonzero strengths reject until the CDEF fixture stage lands.
+/** CDEF (spec 7.15): per 64x64 unit (strength index coded in the tile)
+  * and 8x8 luma sub-unit, direction search on the deblocked frame,
+  * primary taps along the detected direction and secondary taps at
+  * +-2 directions, constrained by strength/damping, clamped to the
+  * used neighborhood. Reads come from a snapshot of the deblocked
+  * frame (the spec's CdefFrame double-buffer), with CDEF_VERY_LARGE
+  * outside the visible area.
   */
 object Av1Cdef {
   import Av1Headers.Unsupported
 
+  private val Large = 30000
+  private val DivTable = Array(0, 840, 420, 280, 210, 168, 140, 120, 105)
+  private val PriTaps = Array(Array(4, 2), Array(3, 3))
+  private val SecTaps = Array(2, 1)
+  // direction offsets in (dy, dx) pairs, two taps each
+  private val Dirs: Array[Array[Int]] = Array(
+    Array(-1, 1, -2, 2),
+    Array(0, 1, -1, 2),
+    Array(0, 1, 0, 2),
+    Array(0, 1, 1, 2),
+    Array(1, 1, 2, 2),
+    Array(1, 0, 2, -1),
+    Array(1, 0, 2, 0),
+    Array(1, 0, 2, 1))
+
   def apply(d: Av1FrameDecode): Unit = {
     val fh = d.fh
+    if (!d.seq.enableCdef || fh.codedLossless || fh.allowIntrabc) return
     var any = false
     var i = 0
     while (i < (1 << fh.cdefBits)) {
@@ -259,7 +280,234 @@ object Av1Cdef {
         fh.cdefUVPri(i) != 0 || fh.cdefUVSec(i) != 0) any = true
       i += 1
     }
-    if (!d.seq.enableCdef || fh.codedLossless) return
-    if (any) throw Unsupported("cdef")
+    if (!any) return
+
+    val bd = d.bd
+    val shift = bd - 8
+    // snapshot of the deblocked planes (reads never see cdef writes)
+    val src: Array[Array[Int]] = d.planes.map(_.clone())
+
+    val miCols = d.miCols
+    val miRows = d.miRows
+    var r64 = 0
+    while (r64 * 16 < miRows) {
+      var c64 = 0
+      while (c64 * 16 < miCols) {
+        val idx = d.cdefIdx(r64 * d.cdefStride + c64)
+        if (idx >= 0) {
+          val yPri = fh.cdefYPri(idx) << shift
+          val ySec = fh.cdefYSec(idx) << shift
+          val uvPri = fh.cdefUVPri(idx) << shift
+          val uvSec = fh.cdefUVSec(idx) << shift
+          // 8x8 luma sub-units
+          var ru = r64 * 8
+          while (ru < math.min((r64 + 1) * 8, (miRows + 1) / 2)) {
+            var cu = c64 * 8
+            while (cu < math.min((c64 + 1) * 8, (miCols + 1) / 2)) {
+              val mi0 = (ru * 2) * miCols + cu * 2
+              var anyCoded = !d.skips(mi0)
+              if (cu * 2 + 1 < miCols) anyCoded ||= !d.skips(mi0 + 1)
+              if (ru * 2 + 1 < miRows) anyCoded ||= !d.skips(mi0 + miCols)
+              if (cu * 2 + 1 < miCols && ru * 2 + 1 < miRows)
+                anyCoded ||= !d.skips(mi0 + miCols + 1)
+              if (anyCoded) {
+                val x0 = cu * 8
+                val y0 = ru * 8
+                val (dir, variance) = findDir(d, src(0), x0, y0, shift)
+                // luma
+                if (yPri != 0 || ySec != 0) {
+                  val pri = adjustStrength(yPri, variance)
+                  filterBlock(d, 0, src(0), x0, y0, 8, 8, dir, pri, ySec,
+                    fh.cdefDamping + shift)
+                }
+                if (d.numPlanes > 1 && (uvPri != 0 || uvSec != 0)) {
+                  val cw = 8 >> d.subX
+                  val ch = 8 >> d.subY
+                  val cx = x0 >> d.subX
+                  val cy = y0 >> d.subY
+                  var pl = 1
+                  while (pl < d.numPlanes) {
+                    filterBlock(d, pl, src(pl), cx, cy, cw, ch, dir,
+                      uvPri, uvSec, fh.cdefDamping + shift - 1)
+                    pl += 1
+                  }
+                }
+              }
+              cu += 1
+            }
+            ru += 1
+          }
+        }
+        c64 += 1
+      }
+      r64 += 1
+    }
+  }
+
+  private def adjustStrength(strength: Int, variance: Int): Int = {
+    if (variance == 0) 0
+    else {
+      val v6 = variance >> 6
+      val i = if (v6 != 0)
+        math.min(31 - Integer.numberOfLeadingZeros(v6), 12)
+      else 0
+      (strength * (4 + i) + 8) >> 4
+    }
+  }
+
+  private def findDir(d: Av1FrameDecode, src: Array[Int], x0: Int,
+      y0: Int, shift: Int): (Int, Int) = {
+    val pw = d.planeW(0)
+    val partial = Array.ofDim[Int](8, 15)
+    var i = 0
+    while (i < 8) {
+      var j = 0
+      while (j < 8) {
+        val x = (src((y0 + i) * pw + x0 + j) >> shift) - 128
+        partial(0)(i + j) += x
+        partial(1)(i + j / 2) += x
+        partial(2)(i) += x
+        partial(3)(3 + i - j / 2) += x
+        partial(4)(7 + i - j) += x
+        partial(5)(3 - i / 2 + j) += x
+        partial(6)(j) += x
+        partial(7)(i / 2 + j) += x
+        j += 1
+      }
+      i += 1
+    }
+    val cost = new Array[Long](8)
+    i = 0
+    while (i < 8) {
+      cost(2) += partial(2)(i).toLong * partial(2)(i)
+      cost(6) += partial(6)(i).toLong * partial(6)(i)
+      i += 1
+    }
+    cost(2) *= 105
+    cost(6) *= 105
+    i = 0
+    while (i < 7) {
+      cost(0) += (partial(0)(i).toLong * partial(0)(i) +
+        partial(0)(14 - i).toLong * partial(0)(14 - i)) * DivTable(i + 1)
+      cost(4) += (partial(4)(i).toLong * partial(4)(i) +
+        partial(4)(14 - i).toLong * partial(4)(14 - i)) * DivTable(i + 1)
+      i += 1
+    }
+    cost(0) += partial(0)(7).toLong * partial(0)(7) * 105
+    cost(4) += partial(4)(7).toLong * partial(4)(7) * 105
+    i = 1
+    while (i < 8) {
+      var j = 0
+      while (j < 5) {
+        cost(i) += partial(i)(3 + j).toLong * partial(i)(3 + j)
+        j += 1
+      }
+      cost(i) *= 105
+      j = 0
+      while (j < 3) {
+        cost(i) += (partial(i)(j).toLong * partial(i)(j) +
+          partial(i)(10 - j).toLong * partial(i)(10 - j)) *
+          DivTable(2 * j + 2)
+        j += 1
+      }
+      i += 2
+    }
+    var best = 0
+    var bestCost = 0L
+    i = 0
+    while (i < 8) {
+      if (cost(i) > bestCost) { bestCost = cost(i); best = i }
+      i += 1
+    }
+    val variance = ((bestCost - cost((best + 4) & 7)) >> 10).toInt
+    (best, variance)
+  }
+
+  @inline private def constrain(diff: Int, strength: Int,
+      damping: Int): Int = {
+    if (strength == 0) 0
+    else {
+      val shift = math.max(0,
+        damping - (31 - Integer.numberOfLeadingZeros(strength)))
+      val a = math.abs(diff)
+      val v = math.min(a, math.max(0, strength - (a >> shift)))
+      if (diff < 0) -v else v
+    }
+  }
+
+  private def filterBlock(d: Av1FrameDecode, plane: Int,
+      src: Array[Int], x0: Int, y0: Int, w: Int, h: Int, dir: Int,
+      priStr: Int, secStr: Int, damping: Int): Unit = {
+    if (priStr == 0 && secStr == 0) return
+    val pw = d.planeW(plane)
+    val vw = d.cropW(plane)
+    val vh = d.cropH(plane)
+    val dst = d.planes(plane)
+    val priTap = PriTaps((priStr >> (d.bd - 8)) & 1)
+    val dirsP = Dirs(dir)
+    val dirsS1 = Dirs((dir + 2) & 7)
+    val dirsS2 = Dirs((dir + 6) & 7)
+    val bw = if (System.getenv("GRAFT_AV1_CDEFPAD") != null)
+      d.planeW(plane) else vw
+    val bh = if (System.getenv("GRAFT_AV1_CDEFPAD") != null)
+      d.planeH(plane) else vh
+    @inline def px(x: Int, y: Int): Int =
+      if (x < 0 || y < 0 || x >= bw || y >= bh) Large
+      else src(y * pw + x)
+    var i = 0
+    while (i < h) {
+      var j = 0
+      while (j < w) {
+        val yy = y0 + i
+        val xx = x0 + j
+        if (xx < vw && yy < vh) {
+          val x = src(yy * pw + xx)
+          var sum = 0
+          var mn = x
+          var mx = x
+          var k = 0
+          while (k < 2) {
+            val dy = dirsP(2 * k)
+            val dx = dirsP(2 * k + 1)
+            var s = 0
+            while (s < 2) {
+              val sg = if (s == 0) 1 else -1
+              val p = px(xx + sg * dx, yy + sg * dy)
+              if (p != Large) {
+                sum += priTap(k) * constrain(p - x, priStr, damping)
+                mn = math.min(mn, p)
+                mx = math.max(mx, p)
+              }
+              s += 1
+            }
+            // secondary taps
+            var t = 0
+            while (t < 2) {
+              val dd = if (t == 0) dirsS1 else dirsS2
+              val sy = dd(2 * k)
+              val sx = dd(2 * k + 1)
+              var s2 = 0
+              while (s2 < 2) {
+                val sg = if (s2 == 0) 1 else -1
+                val p = px(xx + sg * sx, yy + sg * sy)
+                if (p != Large) {
+                  sum += SecTaps(k) * constrain(p - x, secStr, damping)
+                  mn = math.min(mn, p)
+                  mx = math.max(mx, p)
+                }
+                s2 += 1
+              }
+              t += 1
+            }
+            k += 1
+          }
+          var y2 = x + ((8 + sum - (if (sum < 0) 1 else 0)) >> 4)
+          y2 = math.max(mn, math.min(mx, y2))
+          dst(yy * pw + xx) = y2
+        }
+        j += 1
+      }
+      i += 1
+    }
   }
 }

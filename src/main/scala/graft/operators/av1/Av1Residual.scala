@@ -63,7 +63,8 @@ object Av1Residual {
     val pred = new Array[Int](w * h)
     if (plane == 0 && fiMode >= 0)
       filterIntraPredictTx(d, plane, x, y, w, h, fiMode, pred)
-    else predictIntra(d, plane, x, y, w, h, mode, angleDelta, bSize, pred)
+    else predictIntra(d, plane, x, y, w, h, mode, angleDelta, bSize, pred,
+      miR, miC)
     if (plane > 0 && isCfl == 1) {
       val ac = cflAc(d, x, y, w, h)
       if (cflAlpha != 0) Av1Predict.cflPredict(pred, w, h, ac, cflAlpha, d.bd)
@@ -165,7 +166,7 @@ object Av1Residual {
   // ---------------- intra prediction with edge prep ----------------
   private def predictIntra(d: Av1FrameDecode, plane: Int, x: Int,
       y: Int, w: Int, h: Int, mode: Int, angleDelta: Int, bSize: Int,
-      out: Array[Int]): Unit = {
+      out: Array[Int], blkMiR: Int, blkMiC: Int): Unit = {
     val pw = d.planeW(plane)
     val ph = d.planeH(plane)
     val buf = d.planes(plane)
@@ -214,7 +215,8 @@ object Av1Residual {
       while (i < maxX) { above(Off + i) = buf((y - 1) * pw + (x + i)); i += 1 }
       val haveAboveRight = isDecoded(x + w, y - 1)
       if (haveAboveRight && maxX == w) {
-        val ext = math.min(h, pw - x - w)
+        // real top-right samples cap at the tx WIDTH (then replicate)
+        val ext = math.min(w, pw - x - w)
         while (i < w + ext) {
           above(Off + i) = buf((y - 1) * pw + (x + i)); i += 1
         }
@@ -240,8 +242,9 @@ object Av1Residual {
       var upA = false
       var upL = false
       if (pAngle != 90 && pAngle != 180) {
-        val filterType = getFilterType(d, plane, miRowOf(d, plane, y),
-          miColOf(d, plane, x))
+        // neighbor-smoothness check at the BLOCK position (spec
+        // get_filter_type), not the tx-block position
+        val filterType = getFilterType(d, plane, blkMiR, blkMiC)
         if (d.seq.enableIntraEdgeFilter) {
           if (pAngle > 90 && pAngle < 180 && (w + h) >= 24 &&
             haveAbove && haveLeft) {

@@ -1219,8 +1219,29 @@ object Curation extends QueryBlock {
     */
   def heifProject(raw: DataFrame): DataFrame = {
     val infoU = udf((b: Array[Byte]) => graft.operators.Heif.info(b))
+    // full AV1 intra pixel decode (graft.operators.av1) -> per-plane
+    // means over the visible area; None for non-AV1 primaries. The
+    // fixture's expected values come from the REFERENCE decoder
+    // (avifDecoderReadMemory) at generation time — a cross-decoder
+    // pixel oracle over every committed member.
+    val pxU = udf((b: Array[Byte]) =>
+      graft.operators.Heif.decode(b).map { d =>
+        def mean(pl: graft.operators.av1.Av1Decoder.Planes, i: Int)
+            : Option[Double] =
+          if (i < pl.planes.length) {
+            val a = pl.planes(i)
+            var ssum = 0.0
+            var k = 0
+            while (k < a.length) { ssum += a(k); k += 1 }
+            Some(BigDecimal(ssum / a.length)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          } else None
+        (mean(d.primary, 0), mean(d.primary, 1), mean(d.primary, 2),
+          d.alpha.flatMap(mean(_, 0)))
+      })
     raw.select(regexp_extract(col("path"), "([^/]+)$", 1).as("fname"),
-        infoU(col("content")).as("i"))
+        infoU(col("content")).as("i"),
+        pxU(col("content")).as("px"))
       .filter(col("i").isNotNull)
       .select(col("fname"),
         col("i.itemType").as("item_type"),
@@ -1239,7 +1260,11 @@ object Curation extends QueryBlock {
         col("i.obuBitDepth").as("obu_bitdepth"),
         col("i.obuMono").as("obu_mono"),
         col("i.obuSubX").as("obu_sub_x"),
-        col("i.obuSubY").as("obu_sub_y"))
+        col("i.obuSubY").as("obu_sub_y"),
+        col("px._1").as("px_y_mean"),
+        col("px._2").as("px_u_mean"),
+        col("px._3").as("px_v_mean"),
+        col("px._4").as("px_a_mean"))
   }
 
   /** e118 oracle: an independent DuckDB hex walk of the SAME directory

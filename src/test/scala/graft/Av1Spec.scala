@@ -1,0 +1,154 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Heif
+import graft.operators.av1._
+
+/** AV1 intra pixel decoder pins (r17): the committed reference-encoded
+  * AVIF members decode pixel-exact (expected per-plane means recorded
+  * from the REFERENCE decoder, avifDecoderReadMemory, at fixture
+  * time), a LIVE differential sweep against freshly reference-encoded
+  * random configs, and structural pins for the extracted normative
+  * tables and generated scans.
+  */
+class Av1Spec extends AnyFunSuite {
+
+  private lazy val members: Map[String, Array[Byte]] =
+    graft.queries.Curation.avifHeifMembers().toMap
+
+  private def planeMean(p: Av1Decoder.Planes, i: Int): Double = {
+    val a = p.planes(i)
+    var s = 0.0
+    var k = 0
+    while (k < a.length) { s += a(k); k += 1 }
+    BigDecimal(s / a.length)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  // reference plane means of the committed members (from
+  // scripts/avif_heif_reference.py refresh — the reference decoder's
+  // output over the same bytes)
+  private val Expected: Map[String, (Double, Option[Double], Option[Double], Option[Double])] = Map(
+    "a400_24x16.avif" -> ((129.356771, None, None, None)),
+    "a420_10bit_16x12.avif" -> ((504.46875, Some(497.666667), Some(594.354167), None)),
+    "a420_33x21.avif" -> ((127.277056, Some(122.390374), Some(123.561497), None)),
+    "a420_64x40.avif" -> ((128.16875, Some(128.95), Some(128.15625), None)),
+    "a420_7x5.avif" -> ((112.8, Some(141.583333), Some(119.583333), None)),
+    "a420_alpha_20x14.avif" -> ((122.585714, Some(132.828571), Some(130.485714), Some(126.478571))),
+    "a444_17x9.avif" -> ((121.594771, Some(128.392157), Some(130.882353), None)),
+    "a444_alpha_11x7.avif" -> ((128.168831, Some(136.74026), Some(130.74026), Some(111.506494))))
+
+  test("committed AVIF members: full pixel decode matches the reference decoder") {
+    Expected.foreach { case (name, (y, u, v, a)) =>
+      val d = Heif.decode(members(name))
+        .getOrElse(fail(s"$name: decode rejected"))
+      assert(planeMean(d.primary, 0) === y, name)
+      u.foreach(e => assert(planeMean(d.primary, 1) === e, name))
+      v.foreach(e => assert(planeMean(d.primary, 2) === e, name))
+      a match {
+        case Some(e) =>
+          val al = d.alpha.getOrElse(fail(s"$name: alpha missing"))
+          assert(planeMean(al, 0) === e, name)
+        case None => assert(d.alpha.isEmpty, name)
+      }
+      // dims sanity
+      assert(d.primary.width === d.info.width, name)
+      assert(d.primary.height === d.info.height, name)
+    }
+  }
+
+  test("LIVE pixel sweep: 40 fresh reference encodes decode to the reference means") {
+    assume(new java.io.File("/usr/bin/python3").exists())
+    assume(new java.io.File("/lib/x86_64-linux-gnu/libavif.so.15").exists())
+    val p = new ProcessBuilder("python3",
+      "scripts/avif_heif_reference.py", "sweep", "40", "20260816").start()
+    val lines = scala.io.Source.fromInputStream(p.getInputStream).getLines().toList
+    val err = new String(p.getErrorStream.readAllBytes(), "UTF-8")
+    assert(p.waitFor() == 0, err.take(2000))
+    assert(lines.size === 40)
+    def jhex(s: String): Array[Byte] = {
+      val h = ("\"hex\":\\s*\"([0-9a-f]+)\"").r.findFirstMatchIn(s).get.group(1)
+      h.grouped(2).map(x => Integer.parseInt(x, 16).toByte).toArray
+    }
+    def jmeans(s: String): Array[Option[Double]] = {
+      val body = ("\"px_means\":\\s*\\[([^\\]]*)\\]").r
+        .findFirstMatchIn(s).get.group(1)
+      body.split(",").map(_.trim).map {
+        case "null" => None
+        case x => Some(x.toDouble)
+      }
+    }
+    lines.foreach { ln =>
+      val d = Heif.decode(jhex(ln)).getOrElse(fail(s"rejected: ${ln.take(80)}"))
+      val exp = jmeans(ln)
+      assert(Some(planeMean(d.primary, 0)) === exp(0), ln.take(60))
+      if (exp(1).isDefined)
+        assert(Some(planeMean(d.primary, 1)) === exp(1), ln.take(60))
+      if (exp(2).isDefined)
+        assert(Some(planeMean(d.primary, 2)) === exp(2), ln.take(60))
+      if (exp(3).isDefined) {
+        val al = d.alpha.getOrElse(fail("alpha missing: " + ln.take(60)))
+        assert(Some(planeMean(al, 0)) === exp(3), ln.take(60))
+      }
+    }
+  }
+
+  test("scan generator matches the committed library goldens") {
+    assert(Av1Tables.diagScan(4, 4).toSeq === Av1Tables.flat("scan_4x4").toSeq)
+    assert(Av1Tables.diagScan(4, 8).toSeq === Av1Tables.flat("scan_4x8").toSeq)
+    assert(Av1Tables.diagScan(8, 4).toSeq === Av1Tables.flat("scan_8x4").toSeq)
+  }
+
+  test("cdf resource: row shapes and monotonicity") {
+    val t = Av1Tables.tables
+    assert(t("kf_y_mode").rows === 25)
+    assert(t("coeff_base").rows === 1680)
+    assert(t("partition").rows === 20)
+    // every cdf row's probs are non-increasing and < 32768
+    for ((name, tab) <- t if !Set("cos128", "sinpi", "sm_weights",
+      "dr_intra_derivative", "dc_q_8", "ac_q_8", "dc_q_10", "ac_q_10",
+      "scan_4x4", "scan_4x8", "scan_8x4").contains(name)) {
+      var off = 0
+      var r = 0
+      while (r < tab.rows) {
+        val n = tab.syms(r) - 1
+        var prev = 32768
+        var i = 0
+        while (i < n) {
+          val v = tab.data(off + i)
+          assert(v <= prev && v >= 0, s"$name row $r")
+          prev = v
+          i += 1
+        }
+        off += n
+        r += 1
+      }
+    }
+  }
+
+  test("cos128 table equals the closed form") {
+    val cos = Av1Tables.flat("cos128")
+    var i = 0
+    while (i < 64) {
+      assert(cos(i) === math.round(4096 * math.cos(math.Pi * i / 128)).toInt)
+      i += 1
+    }
+  }
+
+  test("malformed/truncated payloads reject, never throw") {
+    val good = members("a420_33x21.avif")
+    assert(Heif.decode(good).isDefined)
+    // truncations of the whole container
+    Seq(8, 64, good.length / 2, good.length - 3).foreach { n =>
+      Heif.decode(java.util.Arrays.copyOf(good, n)) // must not throw
+    }
+    // bit flips in the payload region
+    val rnd = new scala.util.Random(7)
+    (0 until 20).foreach { _ =>
+      val mut = good.clone()
+      val i = rnd.nextInt(mut.length)
+      mut(i) = (mut(i) ^ (1 << rnd.nextInt(8))).toByte
+      Heif.decode(mut) // decode or reject; no exception may escape
+    }
+  }
+}

@@ -114,6 +114,13 @@ object Av1CalMain {
             }
           }
         }
+        if (System.getenv("GRAFT_AV1_DUMPP") != null) {
+          val fos = new java.io.FileOutputStream(
+            System.getenv("GRAFT_AV1_DUMPP") + "/" + name + ".bin")
+          for (pl <- res.planes.indices; v <- res.planes(pl))
+            fos.write(Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte))
+          fos.close()
+        }
         if (ok) pass += 1
         else { fail += 1; failures += s"$name: $msg" }
       } catch {
