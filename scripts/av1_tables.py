@@ -101,6 +101,7 @@ TABLES = [
     ('palette_y_size', 47552, [7],           7,  8),
     ('palette_uv_size', 47608, [7],          7,  8),
     ('has_palette_y',  47784, [7, 3],        2, 'scan'),
+
     ('skip',           48576, [3],           2, 'scan'),
     ('seg_tree',       48592, [3],           8,  8),
     ('tx_depth_cat0',  48616, [3],           2,  4),
@@ -136,8 +137,11 @@ FILTER_INTRA = ('use_filter_intra', [
     12539, 14667, 16384, 16384])
 
 # palette color-index CDFs: [7 sizes][5 ctx], palette size n -> n syms
-PAL_Y_COLOR = ('palette_y_color', 42592, 9)
-PAL_UV_COLOR = ('palette_uv_color', 42912, 9)
+# NOTE: in the scanned blob the Y table sits at the HIGHER offset —
+# verified against the published aom defaults (y size-2 ctx rows invert
+# to 28710/16384/10553/27036/31603, uv to 29089/16384/8713/29257/31610)
+PAL_Y_COLOR = ('palette_y_color', 42912, 9)
+PAL_UV_COLOR = ('palette_uv_color', 42592, 9)
 
 
 def u16s(b):

@@ -659,6 +659,97 @@ def cmd_sweep(n, seed):
                               px_means=pm)))
 
 
+def avif_encode_paletted(av, w, h, depth, fmt, seed, speed=6):
+    """Encode a deterministic few-color screen-content-style image —
+    sharp block-grid patterns with uncorrelated chroma geometry — the
+    shapes the aom encoder answers with palette / screen-content coding
+    paths. Returns bytes."""
+    img = av.avifImageCreate(w, h, depth, fmt)
+    assert av.avifImageAllocatePlanes(img, 1) == 0
+    u64 = (ctypes.c_uint64 * 16).from_address(img)
+    u32 = (ctypes.c_uint32 * 32).from_address(img)
+    s = seed
+
+    def rnd(bound):
+        nonlocal s
+        s = (s * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        return (s >> 33) % bound
+
+    mx = (1 << depth) - 1
+    ncol = 2 + rnd(7)
+    cols = sorted(set(rnd(mx + 1) for _ in range(ncol))) or [mx // 2]
+    ucols = sorted(set(rnd(mx + 1) for _ in range(2 + rnd(3)))) or [mx // 2]
+    grid = [4, 8, 8, 16][rnd(4)]
+    ugrid = [8, 16, 16][rnd(3)]
+    mode = rnd(3)       # 0 checker, 1 v-stripes, 2 random grid cells
+    flat_luma = rnd(4) == 0
+    cellmap = {}
+
+    def lcol(x, y):
+        if flat_luma:
+            return mx // 2
+        gx, gy = x // grid, y // grid
+        if mode == 0:
+            return cols[(gx + gy) % len(cols)]
+        if mode == 1:
+            return cols[gx % len(cols)]
+        if (gx, gy) not in cellmap:
+            cellmap[(gx, gy)] = cols[rnd(len(cols))]
+        return cellmap[(gx, gy)]
+
+    def ccol(x, y, pl):
+        g = (x // ugrid + 2 * (y // ugrid)) % len(ucols)
+        return ucols[g] if pl == 1 else ucols[len(ucols) - 1 - g]
+
+    sub = 1 if fmt == 3 else 0
+    nplanes = 1 if fmt == 4 else 3
+    for pl in range(nplanes):
+        rb = u32[12 + pl]
+        pw = w if pl == 0 else ((w + sub) >> sub)
+        ph = h if pl == 0 else ((h + sub) >> sub)
+        stride = rb if depth == 8 else rb // 2
+        ctor = ctypes.c_uint8 if depth == 8 else ctypes.c_uint16
+        plane = (ctor * (stride * ph)).from_address(u64[3 + pl])
+        for yy in range(ph):
+            for xx in range(pw):
+                plane[yy * stride + xx] = (lcol(xx, yy) if pl == 0
+                                           else ccol(xx, yy, pl))
+    enc = av.avifEncoderCreate()
+    (ctypes.c_int32 * 3).from_address(enc)[2] = speed
+    out = RW()
+    assert av.avifEncoderWrite(enc, img, ctypes.byref(out)) == 0
+    return ctypes.string_at(out.data, out.size)
+
+
+def cmd_palsweep(n, seed):
+    """Live palette/screen-content differential members (same JSON shape
+    as cmd_sweep)."""
+    av = load_avif()
+    rng_state = seed
+
+    def rnd(bound):
+        nonlocal rng_state
+        rng_state = (rng_state * 6364136223846793005
+                     + 1442695040888963407) % (1 << 64)
+        return (rng_state >> 33) % bound
+
+    for i in range(n):
+        w = 8 + rnd(88)
+        h = 8 + rnd(72)
+        depth = [8, 8, 8, 10][rnd(4)]
+        fmt = [3, 1, 4][rnd(3)]
+        data = avif_encode_paletted(av, w, h, depth, fmt, seed + i * 977)
+        rw, rh, rd, ra = avif_decode_info(av, data)
+        assert (rw, rh, rd, ra) == (w, h, depth, False)
+        sub = {3: (1, 1), 1: (0, 0), 4: (1, 1)}[fmt]
+        pm = avif_decode_plane_means(av, data)
+        print(json.dumps(dict(name=f"p{i:04d}", hex=data.hex(), width=w,
+                              height=h, depth=depth,
+                              has_alpha=False, mono=(fmt == 4),
+                              sub_x=sub[0], sub_y=sub[1],
+                              px_means=pm)))
+
+
 def cmd_probe():
     try:
         av = load_avif()
@@ -682,7 +773,10 @@ if __name__ == "__main__":
         cmd_refresh()
     elif len(sys.argv) > 1 and sys.argv[1] == "sweep":
         cmd_sweep(int(sys.argv[2]), int(sys.argv[3]))
+    elif len(sys.argv) > 1 and sys.argv[1] == "palsweep":
+        cmd_palsweep(int(sys.argv[2]), int(sys.argv[3]))
     elif len(sys.argv) > 1 and sys.argv[1] == "probe":
         cmd_probe()
     else:
-        raise SystemExit("usage: fixture | sweep <n> <seed> | probe")
+        raise SystemExit(
+            "usage: fixture | sweep <n> <seed> | palsweep <n> <seed> | probe")

@@ -39,6 +39,17 @@ final class Av1CdfCtx(qctx: Int) {
   val paletteYSize: Array[Array[Int]] = rows("palette_y_size")
   val paletteUVSize: Array[Array[Int]] = rows("palette_uv_size")
   val hasPaletteY: Array[Array[Int]] = rows("has_palette_y") // [7][3]
+  // has_palette_uv [2 ctx]: not byte-locatable in the stripped runtime
+  // libraries; ctx0 recovered FUNCTIONALLY by brute-force pixel-exact
+  // sweeps (Av1UvGateBrute over np444/np420: icdf bucket 256..319,
+  // matching AOM_CDF2(32461) -> 307); ctx1 likewise via uv-palette
+  // cases (AOM_CDF2(21488) -> 11280 candidate).
+  val hasPaletteUV: Array[Array[Int]] =
+    Array(
+      Array(if (Av1CdfCtx.uvGateOverride >= 0) Av1CdfCtx.uvGateOverride
+      else 307, 0),
+      Array(if (Av1CdfCtx.uvGate1Override >= 0) Av1CdfCtx.uvGate1Override
+      else 11280, 0))
   val paletteYColor: Array[Array[Int]] = rows("palette_y_color") // [7][5]
   val paletteUVColor: Array[Array[Int]] = rows("palette_uv_color")
   val useFilterIntra: Array[Array[Int]] = rows("use_filter_intra") // [22]
@@ -77,4 +88,10 @@ final class Av1CdfCtx(qctx: Int) {
   val coeffBaseEob: Array[Array[Int]] = qrows("coeff_base_eob") // [5][2][4]
   val coeffBase: Array[Array[Int]] = qrows("coeff_base") // [5][2][42]
   val coeffBr: Array[Array[Int]] = qrows("coeff_br") // [5][2][21]
+}
+
+object Av1CdfCtx {
+  // dev-time brute-force hooks (see Av1UvGateBrute); -1 = use defaults
+  @volatile var uvGateOverride: Int = -1
+  @volatile var uvGate1Override: Int = -1
 }

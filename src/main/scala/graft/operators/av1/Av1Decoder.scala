@@ -187,6 +187,16 @@ final class Av1FrameDecode(val seq: Av1Headers.Seq, val fh: Av1Headers.Frame) {
   val txSzY = new Array[Byte](miRows * miCols)
   val blockOriginR = new Array[Int](miRows * miCols)
   val blockOriginC = new Array[Int](miRows * miCols)
+  val paletteSizeY = new Array[Int](miRows * miCols)
+  val paletteSizeUV = new Array[Int](miRows * miCols)
+  val paletteColorsY = new Array[Array[Int]](miRows * miCols)
+  val paletteColorsUV = new Array[Array[Int]](miRows * miCols)
+  // current block's palette prediction (set when palette in use)
+  var palettePred: Array[Array[Int]] = Array(null, null, null)
+  var palettePredX = 0
+  var palettePredY = 0
+  var palettePredW = 0
+  var palettePredWc = 0
   val txSzUV = new Array[Byte](miRows * miCols) // in chroma units at (r>>subY, c>>subX) granularity, stored per luma mi for simplicity
   // decoded bitmap per plane at 4x4 granularity (plane coords)
   val decoded: Array[Array[Boolean]] = Array.tabulate(numPlanes) { pl =>
@@ -513,30 +523,106 @@ final class Av1FrameDecode(val seq: Av1Headers.Seq, val fh: Av1Headers.Frame) {
       }
     }
 
-    // --- palette (only the gate symbols; noise content never uses it) ---
+    // --- palette mode info (spec 5.11.46) ---
+    var palSizeY = 0
+    var palSizeUV = 0
+    var palY: Array[Int] = null
+    var palU: Array[Int] = null
+    var palV: Array[Int] = null
     if (fh.allowScreenContentTools && bSize >= BLOCK_8X8 &&
       BlockW4(bSize) * 4 <= 64 && BlockH4(bSize) * 4 <= 64) {
+      val bsizeCtx = Integer.numberOfTrailingZeros(BlockW4(bSize)) +
+        Integer.numberOfTrailingZeros(BlockH4(bSize)) - 2
       if (yMode == DC_PRED) {
-        val bsizeCtx = Integer.numberOfTrailingZeros(BlockW4(bSize)) +
-          Integer.numberOfTrailingZeros(BlockH4(bSize)) - 2
-        // neighbor palette ctx would require palette size tracking;
-        // with palette unsupported the stored sizes are all zero
-        val ctx = 0
-        if (msac.bool(cdf.hasPaletteY(bsizeCtx * 3 + ctx)))
-          throw Unsupported("palette")
+        val ctx =
+          (if (availU(r, c) && paletteSizeY((r - 1) * miCols + c) > 0) 1 else 0) +
+            (if (availL(r, c) && paletteSizeY(r * miCols + c - 1) > 0) 1 else 0)
+        if (msac.bool(cdf.hasPaletteY(bsizeCtx * 3 + ctx))) {
+          palSizeY = msac.symbol(cdf.paletteYSize(bsizeCtx), 7) + 2
+          val cache = Av1Palette.paletteCache(this, 0, r, c)
+          palY = Av1Palette.readPalette(this, cache, palSizeY, 1)
+          tr(s"  paletteY size=$palSizeY colors=${palY.mkString(",")}")
+        }
       }
-      if (hasChroma && uvMode == DC_PRED) throw Unsupported("palette uv gate")
+      if (hasChroma && uvMode == DC_PRED) {
+        val ctx = if (palSizeY > 0) 1 else 0
+        if (msac.bool(cdf.hasPaletteUV(ctx))) {
+          palSizeUV = msac.symbol(cdf.paletteUVSize(bsizeCtx), 7) + 2
+          val cacheU = Av1Palette.paletteCache(this, 1, r, c)
+          palU = Av1Palette.readPalette(this, cacheU, palSizeUV, 0)
+          palV = Av1Palette.readPaletteV(this, palSizeUV)
+          tr(s"  paletteUV size=$palSizeUV u=${palU.mkString(",")} " +
+            s"v=${palV.mkString(",")}")
+        }
+      }
     }
 
     // --- filter intra ---
     var useFilterIntra = false
     var filterIntraMode = 0
-    if (seq.enableFilterIntra && yMode == DC_PRED &&
+    if (seq.enableFilterIntra && yMode == DC_PRED && palSizeY == 0 &&
       BlockW4(bSize) * 4 <= 32 && BlockH4(bSize) * 4 <= 32) {
       useFilterIntra = msac.bool(cdf.useFilterIntra(bSize))
       if (useFilterIntra)
         filterIntraMode = msac.symbol(cdf.filterIntraMode, 5)
       tr(s"  filterIntra=$useFilterIntra mode=$filterIntraMode")
+    }
+
+    // --- palette tokens (index maps; spec 5.11.49) ---
+    palettePred = Array(null, null, null)
+    palettePredX = c * 4
+    palettePredY = r * 4
+    if (palSizeY > 0) {
+      val wOn = bw4 * 4
+      val hOn = bh4 * 4
+      val rows = cdf.paletteYColor
+      val slice = Array.tabulate(5)(k => rows((palSizeY - 2) * 5 + k))
+      val map = Av1Palette.readIndexMap(this, wOn, hOn, palSizeY, slice)
+      val fullW = BlockW4(bSize) * 4
+      val fullH = BlockH4(bSize) * 4
+      val pp = new Array[Int](fullW * fullH)
+      var yy = 0
+      while (yy < fullH) {
+        var xx = 0
+        while (xx < fullW) {
+          val my = math.min(yy, hOn - 1)
+          val mx = math.min(xx, wOn - 1)
+          pp(yy * fullW + xx) = palY(map(my * wOn + mx))
+          xx += 1
+        }
+        yy += 1
+      }
+      palettePred(0) = pp
+      palettePredW = fullW
+    }
+    if (palSizeUV > 0) {
+      val cW4 = math.max(1, BlockW4(bSize) >> subX)
+      val cH4 = math.max(1, BlockH4(bSize) >> subY)
+      val cwOn = math.min(cW4 * 4, planeW(1) - (((c >> subX) << subX) >> subX) * 4)
+      val chOn = math.min(cH4 * 4, planeH(1) - (((r >> subY) << subY) >> subY) * 4)
+      val rows = cdf.paletteUVColor
+      val slice = Array.tabulate(5)(k => rows((palSizeUV - 2) * 5 + k))
+      val map = Av1Palette.readIndexMap(this, cwOn, chOn, palSizeUV, slice)
+      val fullW = cW4 * 4
+      val fullH = cH4 * 4
+      val ppU = new Array[Int](fullW * fullH)
+      val ppV = new Array[Int](fullW * fullH)
+      var yy = 0
+      while (yy < fullH) {
+        var xx = 0
+        while (xx < fullW) {
+          val my = math.min(yy, chOn - 1)
+          val mx = math.min(xx, cwOn - 1)
+          val idx = map(my * cwOn + mx)
+          ppU(yy * fullW + xx) = palU(idx)
+          ppV(yy * fullW + xx) = palV(idx)
+          xx += 1
+        }
+        yy += 1
+      }
+      palettePred(1) = ppU
+      palettePred(2) = ppV
+      palettePredWc = fullW
     }
 
     // --- tx size ---
@@ -579,6 +665,10 @@ final class Av1FrameDecode(val seq: Av1Headers.Seq, val fh: Av1Headers.Frame) {
         txSzY(idx) = txSz.toByte
         blockOriginR(idx) = r
         blockOriginC(idx) = c
+        paletteSizeY(idx) = palSizeY
+        paletteSizeUV(idx) = palSizeUV
+        paletteColorsY(idx) = palY
+        paletteColorsUV(idx) = palU
         cc += 1
       }
       rr += 1
@@ -594,7 +684,8 @@ final class Av1FrameDecode(val seq: Av1Headers.Seq, val fh: Av1Headers.Frame) {
     // --- residual + prediction per plane ---
     residual(r, c, bSize, bw4, bh4, yMode, angleDeltaY, uvMode,
       angleDeltaUV, cflAlphaU, cflAlphaV, skip, txSz, hasChroma, lossless,
-      if (useFilterIntra) filterIntraMode else -1)
+      if (useFilterIntra) filterIntraMode else -1, palSizeY > 0,
+      palSizeUV > 0)
   }
 
   private def readDeltaQIndex(bSize: Int, skip: Boolean): Unit = {
@@ -637,7 +728,8 @@ final class Av1FrameDecode(val seq: Av1Headers.Seq, val fh: Av1Headers.Frame) {
   private def residual(r: Int, c: Int, bSize: Int, bw4: Int, bh4: Int,
       yMode: Int, angleDeltaY: Int, uvMode: Int, angleDeltaUV: Int,
       cflAlphaU: Int, cflAlphaV: Int, skip: Boolean, txSz: Int,
-      hasChroma: Boolean, lossless: Boolean, fiMode: Int): Unit = {
+      hasChroma: Boolean, lossless: Boolean, fiMode: Int,
+      palY: Boolean, palUV: Boolean): Unit = {
     // luma
     val wPx = bw4 * 4
     val hPx = bh4 * 4
@@ -650,7 +742,7 @@ final class Av1FrameDecode(val seq: Av1Headers.Seq, val fh: Av1Headers.Frame) {
       var x = 0
       while (x < wPx) {
         predictAndReconstruct(0, baseX + x, baseY + y, txSz, yMode,
-          angleDeltaY, skip, lossless, bSize, 0, 0, r, c, fiMode)
+          angleDeltaY, skip, lossless, bSize, 0, 0, r, c, fiMode, palY)
         x += tw
       }
       y += th
@@ -677,7 +769,7 @@ final class Av1FrameDecode(val seq: Av1Headers.Seq, val fh: Av1Headers.Frame) {
           while (xx < cwPx) {
             predictAndReconstruct(pl, cx0 + xx, cy0 + yy, uvTx, uvMode,
               angleDeltaUV, skip, lossless, bSize, alpha,
-              if (uvMode == UV_CFL_PRED) 1 else 0, r, c, -1)
+              if (uvMode == UV_CFL_PRED) 1 else 0, r, c, -1, palUV)
             xx += ctw
           }
           yy += cth
@@ -728,9 +820,10 @@ final class Av1FrameDecode(val seq: Av1Headers.Seq, val fh: Av1Headers.Frame) {
   def predictAndReconstruct(plane: Int, x: Int, y: Int, txSz: Int,
       mode: Int, angleDelta: Int, skip: Boolean, lossless: Boolean,
       bSize: Int, cflAlpha: Int, isCfl: Int, miR: Int, miC: Int,
-      fiMode: Int): Unit =
+      fiMode: Int, pal: Boolean): Unit =
     Av1Residual.predictAndReconstruct(this, plane, x, y, txSz, mode,
-      angleDelta, skip, lossless, bSize, cflAlpha, isCfl, miR, miC, fiMode)
+      angleDelta, skip, lossless, bSize, cflAlpha, isCfl, miR, miC,
+      fiMode, pal)
 
   // quantizer accessors for the residual module
   def dcQuant(plane: Int): Int = {

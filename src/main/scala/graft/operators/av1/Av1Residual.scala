@@ -51,7 +51,7 @@ object Av1Residual {
   def predictAndReconstruct(d: Av1FrameDecode, plane: Int, x: Int,
       y: Int, txSz: Int, modeIn: Int, angleDelta: Int, skip: Boolean,
       lossless: Boolean, bSize: Int, cflAlpha: Int, isCfl: Int,
-      miR: Int, miC: Int, fiMode: Int): Unit = {
+      miR: Int, miC: Int, fiMode: Int, pal: Boolean): Unit = {
     val pw = d.planeW(plane)
     val ph = d.planeH(plane)
     if (x >= pw || y >= ph) return
@@ -61,7 +61,24 @@ object Av1Residual {
 
     // ---------- prediction ----------
     val pred = new Array[Int](w * h)
-    if (plane == 0 && fiMode >= 0)
+    if (pal) {
+      // palette: the block's color-mapped samples (read in decode_block)
+      val pp = d.palettePred(plane)
+      val ppw = if (plane == 0) d.palettePredW else d.palettePredWc
+      val ox = x - (if (plane == 0) d.palettePredX
+        else d.palettePredX >> d.subX)
+      val oy = y - (if (plane == 0) d.palettePredY
+        else d.palettePredY >> d.subY)
+      var r = 0
+      while (r < h) {
+        var c2 = 0
+        while (c2 < w) {
+          pred(r * w + c2) = pp((oy + r) * ppw + ox + c2)
+          c2 += 1
+        }
+        r += 1
+      }
+    } else if (plane == 0 && fiMode >= 0)
       filterIntraPredictTx(d, plane, x, y, w, h, fiMode, pred)
     else predictIntra(d, plane, x, y, w, h, mode, angleDelta, bSize, pred,
       miR, miC)
@@ -74,7 +91,7 @@ object Av1Residual {
     val resid: Array[Int] =
       if (skip) null
       else decodeCoeffs(d, plane, x, y, txSz, lossless, bSize,
-        if (plane == 0 && fiMode >= 0) FiToDir(fiMode) else modeIn)
+        if (plane == 0 && fiMode >= 0) FiToDir(fiMode) else modeIn, pal)
 
     // ---------- write back ----------
     val buf = d.planes(plane)
@@ -299,17 +316,25 @@ object Av1Residual {
     @inline def isSmooth(m: Int): Boolean =
       m == SMOOTH_PRED || m == SMOOTH_V_PRED || m == SMOOTH_H_PRED
     var smooth = false
-    if (miR > d.miRowStart) {
-      val m =
-        if (plane == 0) d.yModes((miR - 1) * d.miCols + miC)
-        else d.uvModes((miR - 1) * d.miCols + miC)
-      if (isSmooth(m)) smooth = true
-    }
-    if (miC > d.miColStart) {
-      val m =
-        if (plane == 0) d.yModes(miR * d.miCols + miC - 1)
-        else d.uvModes(miR * d.miCols + miC - 1)
-      if (isSmooth(m)) smooth = true
+    if (plane == 0) {
+      if (miR > d.miRowStart && isSmooth(d.yModes((miR - 1) * d.miCols + miC)))
+        smooth = true
+      if (miC > d.miColStart && isSmooth(d.yModes(miR * d.miCols + miC - 1)))
+        smooth = true
+    } else {
+      // chroma: neighbors of the CHROMA-ALIGNED block, attributed to
+      // the bottom-right mi of each subsampled group (the mi whose
+      // block coded that chroma)
+      val r0 = miR & ~d.subY
+      val c0 = miC & ~d.subX
+      if (r0 > d.miRowStart) {
+        val cAtt = math.min(c0 | d.subX, d.miCols - 1)
+        if (isSmooth(d.uvModes((r0 - 1) * d.miCols + cAtt))) smooth = true
+      }
+      if (c0 > d.miColStart) {
+        val rAtt = math.min(r0 | d.subY, d.miRows - 1)
+        if (isSmooth(d.uvModes(rAtt * d.miCols + c0 - 1))) smooth = true
+      }
     }
     if (smooth) 1 else 0
   }
@@ -353,7 +378,7 @@ object Av1Residual {
   // ---------------- coefficients ----------------
   private def decodeCoeffs(d: Av1FrameDecode, plane: Int, x: Int,
       y: Int, txSz: Int, lossless: Boolean, bSize: Int,
-      yMode: Int): Array[Int] = {
+      yMode: Int, pal: Boolean): Array[Int] = {
     val msac = d.msac
     val cdf = d.cdf
     val w = TxW(txSz)
@@ -376,7 +401,7 @@ object Av1Residual {
 
     // ---- tx type ----
     var txType = DCT_DCT
-    if (!lossless) {
+    if (!lossless && !pal) {
       if (plane == 0) {
         val set = intraTxSet(txSz, d.fh.reducedTxSet)
         if (set > 0 && d.currentQIndex > 0) {

@@ -1234,7 +1234,7 @@ object Curation extends QueryBlock {
             var k = 0
             while (k < a.length) { ssum += a(k); k += 1 }
             Some(BigDecimal(ssum / a.length)
-              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+              .setScale(6, BigDecimal.RoundingMode.HALF_EVEN).toDouble)
           } else None
         (mean(d.primary, 0), mean(d.primary, 1), mean(d.primary, 2),
           d.alpha.flatMap(mean(_, 0)))
@@ -5420,7 +5420,8 @@ object Curation extends QueryBlock {
         Seq("fname", "item_type", "width", "height", "depth", "has_alpha",
           "n_items", "irot", "primary_bytes", "seq_profile",
           "still_picture", "obu_max_w", "obu_max_h", "obu_bitdepth",
-          "obu_mono", "obu_sub_x", "obu_sub_y")))),
+          "obu_mono", "obu_sub_x", "obu_sub_y", "px_y_mean", "px_u_mean",
+          "px_v_mean", "px_a_mean")))),
 
     // E118 — ICO/CUR ingest (r16, VERDICT item 4): favicons are
     // ubiquitous in crawl drops; the container is a 16-byte-entry

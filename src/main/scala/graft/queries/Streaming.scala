@@ -1514,7 +1514,8 @@ object Streaming extends QueryBlock {
         Seq("fname", "item_type", "width", "height", "depth", "has_alpha",
           "n_items", "irot", "primary_bytes", "seq_profile",
           "still_picture", "obu_max_w", "obu_max_h", "obu_bitdepth",
-          "obu_mono", "obu_sub_x", "obu_sub_y")))),
+          "obu_mono", "obu_sub_x", "obu_sub_y", "px_y_mean", "px_u_mean",
+          "px_v_mean", "px_a_mean")))),
 
     // D46 — mbox/MIME ingest as a STREAM (e114's deployment shape:
     // archive files landing from a list-server export, messages parsed

@@ -22,7 +22,7 @@ class Av1Spec extends AnyFunSuite {
     var k = 0
     while (k < a.length) { s += a(k); k += 1 }
     BigDecimal(s / a.length)
-      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      .setScale(6, BigDecimal.RoundingMode.HALF_EVEN).toDouble
   }
 
   // reference plane means of the committed members (from
@@ -57,15 +57,15 @@ class Av1Spec extends AnyFunSuite {
     }
   }
 
-  test("LIVE pixel sweep: 40 fresh reference encodes decode to the reference means") {
+  private def runSweep(cmd: String, n: Int, seed: Long): Unit = {
     assume(new java.io.File("/usr/bin/python3").exists())
     assume(new java.io.File("/lib/x86_64-linux-gnu/libavif.so.15").exists())
     val p = new ProcessBuilder("python3",
-      "scripts/avif_heif_reference.py", "sweep", "40", "20260816").start()
+      "scripts/avif_heif_reference.py", cmd, n.toString, seed.toString).start()
     val lines = scala.io.Source.fromInputStream(p.getInputStream).getLines().toList
     val err = new String(p.getErrorStream.readAllBytes(), "UTF-8")
     assert(p.waitFor() == 0, err.take(2000))
-    assert(lines.size === 40)
+    assert(lines.size === n)
     def jhex(s: String): Array[Byte] = {
       val h = ("\"hex\":\\s*\"([0-9a-f]+)\"").r.findFirstMatchIn(s).get.group(1)
       h.grouped(2).map(x => Integer.parseInt(x, 16).toByte).toArray
@@ -91,6 +91,14 @@ class Av1Spec extends AnyFunSuite {
         assert(Some(planeMean(al, 0)) === exp(3), ln.take(60))
       }
     }
+  }
+
+  test("LIVE pixel sweep: 40 fresh reference encodes decode to the reference means") {
+    runSweep("sweep", 40, 20260816L)
+  }
+
+  test("LIVE palette sweep: 30 screen-content encodes (palette/scc paths) decode exactly") {
+    runSweep("palsweep", 30, 20260816L)
   }
 
   test("scan generator matches the committed library goldens") {
