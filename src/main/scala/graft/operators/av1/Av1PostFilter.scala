@@ -19,7 +19,6 @@ object Av1LoopFilter {
 
     var plane = 0
     while (plane < d.numPlanes) {
-      {
       var pass = 0
       while (pass < 2) {
         val lvl = levelFor(d, plane, pass)
@@ -27,7 +26,6 @@ object Av1LoopFilter {
         pass += 1
       }
       plane += 1
-      }
     }
   }
 
@@ -91,6 +89,8 @@ object Av1LoopFilter {
       while (col < miCols) {
         val xP = (col >> subX) * 4
         val yP = (row >> subY) * 4
+        // edge positions are bounded by the visible crop (settled by
+        // A/B against the reference: padded-position edges unfiltered)
         val skipEdge =
           if (pass == 0) xP == 0 || xP >= vw
           else yP == 0 || yP >= vh
@@ -119,16 +119,21 @@ object Av1LoopFilter {
                 if (plane == 0) { if (minDim >= 16) 14 else if (minDim >= 8) 8 else 4 }
                 else { if (minDim >= 8) 6 else 4 }
               // filter 4 sample lines (one 4x4 unit)
+              // but the 4 sample lines of an in-crop edge run into the
+              // mi padding (the reference filters them there; a padded
+              // q1 read by a later crop-row edge depends on it — the
+              // lossy_420_014 single-pixel find)
+              val lineLim = if (pass == 0) ph else pw
               var k = 0
               while (k < 4) {
                 if (pass == 0) {
                   val y = yP + k
-                  if (y < vh)
+                  if (y < lineLim)
                     filterLine(buf, y * pw + xP, 1, taps, limit, blimit,
                       thresh, flatT, hiv)
                 } else {
                   val x = xP + k
-                  if (x < vw)
+                  if (x < lineLim)
                     filterLine(buf, yP * pw + x, pw, taps, limit, blimit,
                       thresh, flatT, hiv)
                 }
