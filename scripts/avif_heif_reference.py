@@ -70,7 +70,8 @@ def load_avif():
     return av
 
 
-def avif_encode(av, w, h, depth, fmt, alpha, seed):
+def avif_encode(av, w, h, depth, fmt, alpha, seed, opts=(), smooth=False,
+                minq=None, maxq=None, speed=10):
     """Encode a deterministic image; returns bytes."""
     img = av.avifImageCreate(w, h, depth, fmt)
     assert av.avifImageAllocatePlanes(img, 1) == 0  # AVIF_PLANES_YUV
@@ -80,22 +81,23 @@ def avif_encode(av, w, h, depth, fmt, alpha, seed):
     dims = [(w, h)]
     if fmt == 3:
         dims += [(cw, chh), (cw, chh)]
+    elif fmt == 2:
+        dims += [(cw, h), (cw, h)]
     elif fmt == 1:
         dims += [(w, h), (w, h)]
     # fmt 4 (YUV400): luma only
     s = seed
     for p, (pw, ph) in enumerate(dims):
         rb = u32[12 + p]
-        if depth == 8:
-            plane = (ctypes.c_uint8 * (rb * ph)).from_address(u64[3 + p])
-            for i in range(rb * ph):
+        stride = rb if depth == 8 else rb // 2
+        ctor = ctypes.c_uint8 if depth == 8 else ctypes.c_uint16
+        plane = (ctor * (stride * ph)).from_address(u64[3 + p])
+        for yy in range(ph):
+            for xx in range(stride):
                 s = (s * 6364136223846793005 + 1442695040888963407) % (1 << 64)
-                plane[i] = (s >> 33) & 0xff
-        else:
-            plane = (ctypes.c_uint16 * (rb * ph // 2)).from_address(u64[3 + p])
-            for i in range(rb * ph // 2):
-                s = (s * 6364136223846793005 + 1442695040888963407) % (1 << 64)
-                plane[i] = (s >> 33) % (1 << depth)
+                r = (s >> 33) % (1 << depth)
+                plane[yy * stride + xx] = ((xx * 7 + yy * 13 +
+                    (r & 31)) % (1 << depth)) if smooth else r
     if alpha:
         assert av.avifImageAllocatePlanes(img, 2) == 0  # AVIF_PLANES_A
         rb = u32[18]  # alphaRowBytes
@@ -110,7 +112,14 @@ def avif_encode(av, w, h, depth, fmt, alpha, seed):
                 s = (s * 6364136223846793005 + 1442695040888963407) % (1 << 64)
                 plane[i] = (s >> 33) % (1 << depth)
     enc = av.avifEncoderCreate()
-    (ctypes.c_int32 * 3).from_address(enc)[2] = 10  # speed
+    e32 = (ctypes.c_int32 * 16).from_address(enc)
+    e32[2] = speed
+    if minq is not None:
+        e32[6] = minq
+    if maxq is not None:
+        e32[7] = maxq
+    for k, v in opts:
+        av.avifEncoderSetCodecSpecificOption(enc, k.encode(), v.encode())
     out = RW()
     assert av.avifEncoderWrite(enc, img, ctypes.byref(out)) == 0
     return ctypes.string_at(out.data, out.size)
@@ -143,6 +152,8 @@ def avif_decode_plane_means(av, data):
     if fmt == 3:
         dims = [(w, h), ((w + 1) // 2, (h + 1) // 2),
                 ((w + 1) // 2, (h + 1) // 2)]
+    elif fmt == 2:
+        dims = [(w, h), ((w + 1) // 2, h), ((w + 1) // 2, h)]
     elif fmt == 1:
         dims = [(w, h)] * 3
     else:
@@ -645,12 +656,12 @@ def cmd_sweep(n, seed):
         w = 1 + rnd(120)
         h = 1 + rnd(90)
         depth = [8, 8, 10][rnd(3)]
-        fmt = [3, 1, 4][rnd(3)]
+        fmt = [3, 1, 4, 2][rnd(4)]
         alpha = rnd(4) == 0
         data = avif_encode(av, w, h, depth, fmt, alpha, seed + i * 977)
         rw, rh, rd, ra = avif_decode_info(av, data)
         assert (rw, rh, rd, ra) == (w, h, depth, alpha)
-        sub = {3: (1, 1), 1: (0, 0), 4: (1, 1)}[fmt]
+        sub = {3: (1, 1), 2: (1, 0), 1: (0, 0), 4: (1, 1)}[fmt]
         pm = avif_decode_plane_means(av, data)
         print(json.dumps(dict(name=f"s{i:04d}", hex=data.hex(), width=w,
                               height=h, depth=depth,
@@ -750,6 +761,46 @@ def cmd_palsweep(n, seed):
                               px_means=pm)))
 
 
+def cmd_cdefsweep(n, seed):
+    """Live CDEF-exercising differential members: smooth-gradient
+    content at heavy quantization with the encoder's CDEF search
+    enabled (the default still-image config leaves CDEF off at the
+    SEQUENCE level, so no other sweep reaches the CDEF filters). Same
+    JSON shape as cmd_sweep.
+    """
+    av = load_avif()
+    av.avifEncoderSetCodecSpecificOption.restype = ctypes.c_int
+    av.avifEncoderSetCodecSpecificOption.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_char_p]
+    rng_state = seed
+
+    def rnd(bound):
+        nonlocal rng_state
+        rng_state = (rng_state * 6364136223846793005
+                     + 1442695040888963407) % (1 << 64)
+        return (rng_state >> 33) % bound
+
+    for i in range(n):
+        w = 10 + rnd(110)
+        h = 10 + rnd(80)
+        depth = [8, 8, 8, 10][rnd(4)]
+        fmt = [3, 2, 1, 4][rnd(4)]
+        data = avif_encode(av, w, h, depth, fmt, False, seed + i * 977,
+                           opts=[("enable-cdef", "1"),
+                                 ("enable-restoration", "0")],
+                           smooth=True, minq=30 + rnd(15), maxq=55 + rnd(9),
+                           speed=6)
+        rw, rh, rd, ra = avif_decode_info(av, data)
+        assert (rw, rh, rd, ra) == (w, h, depth, False)
+        sub = {3: (1, 1), 2: (1, 0), 1: (0, 0), 4: (1, 1)}[fmt]
+        pm = avif_decode_plane_means(av, data)
+        print(json.dumps(dict(name=f"c{i:04d}", hex=data.hex(), width=w,
+                              height=h, depth=depth,
+                              has_alpha=False, mono=(fmt == 4),
+                              sub_x=sub[0], sub_y=sub[1],
+                              px_means=pm)))
+
+
 def cmd_probe():
     try:
         av = load_avif()
@@ -775,8 +826,10 @@ if __name__ == "__main__":
         cmd_sweep(int(sys.argv[2]), int(sys.argv[3]))
     elif len(sys.argv) > 1 and sys.argv[1] == "palsweep":
         cmd_palsweep(int(sys.argv[2]), int(sys.argv[3]))
+    elif len(sys.argv) > 1 and sys.argv[1] == "cdefsweep":
+        cmd_cdefsweep(int(sys.argv[2]), int(sys.argv[3]))
     elif len(sys.argv) > 1 and sys.argv[1] == "probe":
         cmd_probe()
     else:
         raise SystemExit(
-            "usage: fixture | sweep <n> <seed> | palsweep <n> <seed> | probe")
+            "usage: fixture | sweep | palsweep | cdefsweep <n> <seed> | probe")

@@ -81,8 +81,6 @@ object Av1Decoder {
     }
     if (seq == null || fh == null || tileChunks.isEmpty) throw Malformed
     if (fh.segmentationEnabled) throw Unsupported("segmentation")
-    if (seq.subsamplingX == 1 && seq.subsamplingY == 0)
-      throw Unsupported("4:2:2")
 
     val dec = new Av1FrameDecode(seq, fh)
     // ---- tile group slicing ----
@@ -253,7 +251,7 @@ final class Av1FrameDecode(val seq: Av1Headers.Seq, val fh: Av1Headers.Frame) {
     miRowEnd = math.min(fh.tileRowStartSb(tileRow + 1) << sbLog2, miRows)
     miColStart = fh.tileColStartSb(tileCol) << sbLog2
     miColEnd = math.min(fh.tileColStartSb(tileCol + 1) << sbLog2, miCols)
-    tr(s"tile $tileNum bytes=${end - start} mi=[$miRowStart..$miRowEnd)x[$miColStart..$miColEnd) q=${fh.baseQIdx} lossless=${fh.codedLossless} txSel=${fh.txModeSelect} cdefBits=${fh.cdefBits} lf=${fh.lfLevel.mkString(",")} scc=${fh.allowScreenContentTools} reducedTx=${fh.reducedTxSet} disableCdfUpd=${fh.disableCdfUpdate}")
+    tr(s"tile $tileNum bytes=${end - start} mi=[$miRowStart..$miRowEnd)x[$miColStart..$miColEnd) q=${fh.baseQIdx} lossless=${fh.codedLossless} txSel=${fh.txModeSelect} seqCdef=${seq.enableCdef} cdefBits=${fh.cdefBits} cdefStr=${(0 until (1 << fh.cdefBits)).map(i => s"${fh.cdefYPri(i)}/${fh.cdefYSec(i)}/${fh.cdefUVPri(i)}/${fh.cdefUVSec(i)}").mkString(";")} lf=${fh.lfLevel.mkString(",")} scc=${fh.allowScreenContentTools} reducedTx=${fh.reducedTxSet} disableCdfUpd=${fh.disableCdfUpdate} dq=${fh.deltaQPresent} dlf=${fh.deltaLfPresent} txbase=${fh.baseQIdx}")
     msac = new Av1Msac(buf, start, end, !fh.disableCdfUpdate)
     cdf = new Av1CdfCtx(qContext(fh.baseQIdx))
     currentQIndex = fh.baseQIdx
@@ -445,14 +443,15 @@ final class Av1FrameDecode(val seq: Av1Headers.Seq, val fh: Av1Headers.Frame) {
     val skip = msac.bool(cdf.skip(skipCtx))
     tr(s"block r=$r c=$c bs=$bSize skipCtx=$skipCtx skip=$skip")
 
-    // --- cdef index (spec 5.11.56; per 64x64 unit) ---
-    if (!skip && !fh.codedLossless && seq.enableCdef && !fh.allowIntrabc
-      && fh.cdefBits > 0) {
+    // --- cdef index (spec 5.11.56; per 64x64 unit). cdef_bits == 0
+    // still MARKS the unit (index 0, zero bits read) — leaving it -1
+    // would skip cdef for the whole unit
+    if (!skip && !fh.codedLossless && seq.enableCdef && !fh.allowIntrabc) {
       val mask = ~15
       val r1 = r & mask
       val c1 = c & mask
       if (cdefIdx(((r1 >> 4) * cdefStride) + (c1 >> 4)) == -1) {
-        val v = msac.literal(fh.cdefBits)
+        val v = if (fh.cdefBits > 0) msac.literal(fh.cdefBits) else 0
         var i = 0
         while (i < math.max(1, BlockH4(bSize) >> 4)) {
           var j = 0

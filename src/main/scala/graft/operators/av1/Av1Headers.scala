@@ -220,6 +220,7 @@ object Av1Headers {
     // cdef
     var cdefDamping = 3
     var cdefBits = 0
+    var cdefStrengthBitPos = -1L // dev: bit offset of the strength list
     var cdefYPri: Array[Int] = Array.fill(8)(0)
     var cdefYSec: Array[Int] = Array.fill(8)(0)
     var cdefUVPri: Array[Int] = Array.fill(8)(0)
@@ -547,6 +548,7 @@ object Av1Headers {
       fh.cdefDamping = 3
       return
     }
+    fh.cdefStrengthBitPos = r.pos + 2 + 2 // dev: for stream patching
     fh.cdefDamping = r.f(2) + 3
     fh.cdefBits = r.f(2)
     var i = 0

@@ -13,6 +13,12 @@ object Av1LoopFilter {
 
   def apply(d: Av1FrameDecode): Unit = {
     val fh = d.fh
+    val pre = System.getenv("GRAFT_AV1_PDUMP_PRE")
+    if (pre != null) {
+      val pw = new java.io.PrintWriter(pre)
+      for (pl <- 0 until d.numPlanes) pw.println(d.planes(pl).mkString(","))
+      pw.close()
+    }
     if (fh.deltaLfPresent) throw Unsupported("delta_lf")
     if (fh.lfLevel(0) == 0 && fh.lfLevel(1) == 0 &&
       fh.lfLevel(2) == 0 && fh.lfLevel(3) == 0) return
@@ -119,11 +125,15 @@ object Av1LoopFilter {
                 if (plane == 0) { if (minDim >= 16) 14 else if (minDim >= 8) 8 else 4 }
                 else { if (minDim >= 8) 6 else 4 }
               // filter 4 sample lines (one 4x4 unit)
-              // but the 4 sample lines of an in-crop edge run into the
-              // mi padding (the reference filters them there; a padded
-              // q1 read by a later crop-row edge depends on it — the
-              // lossy_420_014 single-pixel find)
-              val lineLim = if (pass == 0) ph else pw
+              // but the 4 sample lines of an in-crop edge run to the
+              // 4-ALIGNED crop dimension — one partial 4x4 line unit
+              // into the mi padding, not the whole padded plane
+              // (settled against the reference decoder's unfiltered
+              // padded columns; the lossy_420_014 padded chroma row
+              // falls inside the aligned unit and IS filtered)
+              val lineLim =
+                if (pass == 0) math.min(ph, (vh + 3) & ~3)
+                else math.min(pw, (vw + 3) & ~3)
               var k = 0
               while (k < 4) {
                 if (pass == 0) {
@@ -265,18 +275,41 @@ object Av1Cdef {
   private val PriTaps = Array(Array(4, 2), Array(3, 3))
   private val SecTaps = Array(2, 1)
   // direction offsets in (dy, dx) pairs, two taps each
+  // spec Cdef_Uv_Dir rows for (subX,subY)=(1,0) and (0,1)
+  private val Uv422Dir: Array[Int] = Array(7, 0, 2, 4, 5, 6, 6, 6)
+  private val Uv440Dir: Array[Int] = Array(1, 2, 2, 2, 3, 4, 6, 0)
+
+  // byte-verified against dav1d's rodata copy (stride-16 offsets at
+  // .rodata+0x28a): dir 5 steps down-RIGHT (2,1) and dir 7 down-LEFT
+  // (2,-1) — consistent with the find-dir partial lines
   private val Dirs: Array[Array[Int]] = Array(
     Array(-1, 1, -2, 2),
     Array(0, 1, -1, 2),
     Array(0, 1, 0, 2),
     Array(0, 1, 1, 2),
     Array(1, 1, 2, 2),
-    Array(1, 0, 2, -1),
+    Array(1, 0, 2, 1),
     Array(1, 0, 2, 0),
-    Array(1, 0, 2, 1))
+    Array(1, 0, 2, -1))
 
   def apply(d: Av1FrameDecode): Unit = {
     val fh = d.fh
+    val pdump = System.getenv("GRAFT_AV1_PDUMP")
+    if (pdump != null) {
+      // dev: dump the padded pre-cdef state for the python cdef mirror
+      val pw = new java.io.PrintWriter(pdump)
+      pw.println(s"${d.miRows} ${d.miCols} ${d.numPlanes} ${d.subX} " +
+        s"${d.subY} ${d.bd} ${fh.cdefDamping} ${fh.cdefBits}")
+      pw.println((0 until (1 << fh.cdefBits)).map(i =>
+        s"${fh.cdefYPri(i)},${fh.cdefYSec(i)},${fh.cdefUVPri(i)}," +
+          s"${fh.cdefUVSec(i)}").mkString(";"))
+      pw.println(d.skips.map(s => if (s) 1 else 0).mkString(","))
+      pw.println(d.cdefIdx.mkString(","))
+      for (pl <- 0 until d.numPlanes)
+        pw.println(d.planes(pl).mkString(","))
+      pw.close()
+    }
+    if (System.getenv("GRAFT_AV1_NOCDEF") != null) return
     if (!d.seq.enableCdef || fh.codedLossless || fh.allowIntrabc) return
     var any = false
     var i = 0
@@ -320,19 +353,32 @@ object Av1Cdef {
                 val y0 = ru * 8
                 val (dir, variance) = findDir(d, src(0), x0, y0, shift)
                 // luma
-                if (yPri != 0 || ySec != 0) {
+                // reference quirk (dav1d cdef_brow): a zero PRIMARY
+                // strength (unadjusted) filters with direction 0 —
+                // the search result applies only alongside a primary
+                if (yPri != 0) {
                   val pri = adjustStrength(yPri, variance)
-                  filterBlock(d, 0, src(0), x0, y0, 8, 8, dir, pri, ySec,
+                  if (pri != 0 || ySec != 0)
+                    filterBlock(d, 0, src(0), x0, y0, 8, 8, dir, pri, ySec,
+                      fh.cdefDamping + shift)
+                } else if (ySec != 0)
+                  filterBlock(d, 0, src(0), x0, y0, 8, 8, 0, 0, ySec,
                     fh.cdefDamping + shift)
-                }
                 if (d.numPlanes > 1 && (uvPri != 0 || uvSec != 0)) {
                   val cw = 8 >> d.subX
                   val ch = 8 >> d.subY
                   val cx = x0 >> d.subX
                   val cy = y0 >> d.subY
+                  // spec Cdef_Uv_Dir: remap the luma direction when the
+                  // chroma aspect changes (4:2:2 / 4:4:0)
+                  val cdir =
+                    if (uvPri == 0) 0
+                    else if (d.subX == 1 && d.subY == 0) Uv422Dir(dir)
+                    else if (d.subX == 0 && d.subY == 1) Uv440Dir(dir)
+                    else dir
                   var pl = 1
                   while (pl < d.numPlanes) {
-                    filterBlock(d, pl, src(pl), cx, cy, cw, ch, dir,
+                    filterBlock(d, pl, src(pl), cx, cy, cw, ch, cdir,
                       uvPri, uvSec, fh.cdefDamping + shift - 1)
                     pl += 1
                   }
@@ -452,10 +498,10 @@ object Av1Cdef {
     val dirsP = Dirs(dir)
     val dirsS1 = Dirs((dir + 2) & 7)
     val dirsS2 = Dirs((dir + 6) & 7)
-    val bw = if (System.getenv("GRAFT_AV1_CDEFPAD") != null)
-      d.planeW(plane) else vw
-    val bh = if (System.getenv("GRAFT_AV1_CDEFPAD") != null)
-      d.planeH(plane) else vh
+    // availability spans the full mi-padded plane (the spec's
+    // CdefAvailable bounds are MiCols/MiRows-based, not crop-based)
+    val bw = d.planeW(plane)
+    val bh = d.planeH(plane)
     @inline def px(x: Int, y: Int): Int =
       if (x < 0 || y < 0 || x >= bw || y >= bh) Large
       else src(y * pw + x)
@@ -470,39 +516,49 @@ object Av1Cdef {
           var sum = 0
           var mn = x
           var mx = x
+          // a zero strength skips its taps ENTIRELY (no min/max
+          // contribution). An UNAVAILABLE tap of an active strength
+          // reads the CDEF-very-large sentinel: zero sum contribution
+          // (constrain of a huge diff is 0) but it POISONS the max
+          // clamp — the upper bound is effectively lifted (reference
+          // padding semantics; min is unaffected)
           var k = 0
           while (k < 2) {
-            val dy = dirsP(2 * k)
-            val dx = dirsP(2 * k + 1)
-            var s = 0
-            while (s < 2) {
-              val sg = if (s == 0) 1 else -1
-              val p = px(xx + sg * dx, yy + sg * dy)
-              if (p != Large) {
-                sum += priTap(k) * constrain(p - x, priStr, damping)
-                mn = math.min(mn, p)
-                mx = math.max(mx, p)
-              }
-              s += 1
-            }
-            // secondary taps
-            var t = 0
-            while (t < 2) {
-              val dd = if (t == 0) dirsS1 else dirsS2
-              val sy = dd(2 * k)
-              val sx = dd(2 * k + 1)
-              var s2 = 0
-              while (s2 < 2) {
-                val sg = if (s2 == 0) 1 else -1
-                val p = px(xx + sg * sx, yy + sg * sy)
+            if (priStr != 0) {
+              val dy = dirsP(2 * k)
+              val dx = dirsP(2 * k + 1)
+              var s = 0
+              while (s < 2) {
+                val sg = if (s == 0) 1 else -1
+                val p = px(xx + sg * dx, yy + sg * dy)
                 if (p != Large) {
-                  sum += SecTaps(k) * constrain(p - x, secStr, damping)
+                  sum += priTap(k) * constrain(p - x, priStr, damping)
                   mn = math.min(mn, p)
                   mx = math.max(mx, p)
-                }
-                s2 += 1
+                } else mx = Large
+                s += 1
               }
-              t += 1
+            }
+            // secondary taps
+            if (secStr != 0) {
+              var t = 0
+              while (t < 2) {
+                val dd = if (t == 0) dirsS1 else dirsS2
+                val sy = dd(2 * k)
+                val sx = dd(2 * k + 1)
+                var s2 = 0
+                while (s2 < 2) {
+                  val sg = if (s2 == 0) 1 else -1
+                  val p = px(xx + sg * sx, yy + sg * sy)
+                  if (p != Large) {
+                    sum += SecTaps(k) * constrain(p - x, secStr, damping)
+                    mn = math.min(mn, p)
+                    mx = math.max(mx, p)
+                  } else mx = Large
+                  s2 += 1
+                }
+                t += 1
+              }
             }
             k += 1
           }

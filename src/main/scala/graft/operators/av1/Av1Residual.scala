@@ -359,8 +359,9 @@ object Av1Residual {
           if (sx == 1 && sy == 1)
             (luma(ly * lw + lx) + luma(ly * lw + lx + 1) +
               luma((ly + 1) * lw + lx) + luma((ly + 1) * lw + lx + 1)) << 1
-          else if (sx == 0 && sy == 0) luma(ly * lw + lx) << 3
-          else throw Unsupported("4:2:2 cfl")
+          else if (sx == 1 && sy == 0)
+            (luma(ly * lw + lx) + luma(ly * lw + lx + 1)) << 2
+          else luma(ly * lw + lx) << 3
         ac(i * w + j) = v
         total += v
         i * w + j
@@ -537,6 +538,8 @@ object Av1Residual {
     culLevel = math.min(63, culLevel)
 
     d.tr(s"    eob=$eob dq=[${out.take(16).mkString(",")}]")
+    if (d.trace && System.getenv("GRAFT_AV1_DUMPDQ") != null)
+      println("DQFULL " + out.mkString(","))
     // ---- inverse transform ----
     if (lossless) Av1Transform.iwht4x4(out)
     else Av1Transform.inverse2d(out, txSz, txType, d.bd)

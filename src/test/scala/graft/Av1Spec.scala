@@ -101,6 +101,10 @@ class Av1Spec extends AnyFunSuite {
     runSweep("palsweep", 30, 20260816L)
   }
 
+  test("LIVE cdef sweep: 30 heavy-q encodes with the CDEF search enabled decode exactly") {
+    runSweep("cdefsweep", 30, 20260816L)
+  }
+
   test("scan generator matches the committed library goldens") {
     assert(Av1Tables.diagScan(4, 4).toSeq === Av1Tables.flat("scan_4x4").toSeq)
     assert(Av1Tables.diagScan(4, 8).toSeq === Av1Tables.flat("scan_4x8").toSeq)
