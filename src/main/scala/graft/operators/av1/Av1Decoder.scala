@@ -5,10 +5,11 @@ package graft.operators.av1
   * prediction and reconstruction. Post filters (deblock, CDEF) are
   * applied by [[Av1LoopFilter]] / [[Av1Cdef]] from `decode()`.
   *
-  * Scope: KEY / INTRA_ONLY still frames (the AVIF payload shape);
-  * screen-content tools (intrabc/palette), superres, restoration,
-  * qmatrix, film grain and segmentation reject loudly until their
-  * staged reference fixtures land (NOTES_r17 plan).
+  * Scope: KEY / INTRA_ONLY still frames (the AVIF payload shape),
+  * including palette / screen-content coding ([[Av1Palette]]).
+  * Still deferred (reject loudly, each with a revisit trigger in
+  * SURVEY §8): loop restoration, intrabc, segmentation features
+  * beyond alt-Q, qmatrix, film grain, superres, 4:2:2 and 12-bit.
   */
 object Av1Decoder {
   import Av1Consts._
@@ -148,15 +149,32 @@ final class Av1FrameDecode(val seq: Av1Headers.Seq, val fh: Av1Headers.Frame) {
   val sb4: Int = fh.sbSize >> 2 // superblock size in 4x4 units
   val sbLog2: Int = if (seq.use128x128Superblock) 5 else 4
 
-  // plane buffers are MI-PADDED (coding covers whole 4x4 units beyond
-  // the visible frame; spec CurrFrame replication uses MiCols*4 bounds)
-  // and cropped to the visible dims on output.
-  val planeW: Array[Int] = Array.tabulate(numPlanes) { pl =>
+  // MI-AREA dims (spec MiCols*4 / MiRows*4): the bound for coverage,
+  // neighbor-sample clamping, availability and CDEF borders.
+  val miW: Array[Int] = Array.tabulate(numPlanes) { pl =>
     if (pl == 0) miCols * 4 else (miCols * 4) >> subX
   }
-  val planeH: Array[Int] = Array.tabulate(numPlanes) { pl =>
+  val miH: Array[Int] = Array.tabulate(numPlanes) { pl =>
     if (pl == 0) miRows * 4 else (miRows * 4) >> subY
   }
+  // plane BUFFERS are superblock-aligned: a transform block that STARTS
+  // inside the mi area reconstructs to its full extent past it (spec
+  // 5.11.35 sets MaxLumaW/H = startX/Y + step*4 with no mi clamp, and
+  // CfL subsampling reads those samples), so the buffers must hold the
+  // overhang. Output is cropped to the visible dims.
+  val planeW: Array[Int] = Array.tabulate(numPlanes) { pl =>
+    val al = ((miCols * 4 + fh.sbSize - 1) / fh.sbSize) * fh.sbSize
+    if (pl == 0) al else al >> subX
+  }
+  val planeH: Array[Int] = Array.tabulate(numPlanes) { pl =>
+    val al = ((miRows * 4 + fh.sbSize - 1) / fh.sbSize) * fh.sbSize
+    if (pl == 0) al else al >> subY
+  }
+  /** spec MaxLumaW/MaxLumaH: extent of the most recent luma transform
+    * block; the CfL luma-subsample clamp (may exceed the mi area).
+    */
+  var maxLumaW = 0
+  var maxLumaH = 0
   /** visible (cropped) dims per plane */
   val cropW: Array[Int] = Array.tabulate(numPlanes) { pl =>
     if (pl == 0) fh.width else (fh.width + subX) >> subX
@@ -597,8 +615,8 @@ final class Av1FrameDecode(val seq: Av1Headers.Seq, val fh: Av1Headers.Frame) {
     if (palSizeUV > 0) {
       val cW4 = math.max(1, BlockW4(bSize) >> subX)
       val cH4 = math.max(1, BlockH4(bSize) >> subY)
-      val cwOn = math.min(cW4 * 4, planeW(1) - (((c >> subX) << subX) >> subX) * 4)
-      val chOn = math.min(cH4 * 4, planeH(1) - (((r >> subY) << subY) >> subY) * 4)
+      val cwOn = math.min(cW4 * 4, miW(1) - (((c >> subX) << subX) >> subX) * 4)
+      val chOn = math.min(cH4 * 4, miH(1) - (((r >> subY) << subY) >> subY) * 4)
       val rows = cdf.paletteUVColor
       val slice = Array.tabulate(5)(k => rows((palSizeUV - 2) * 5 + k))
       val map = Av1Palette.readIndexMap(this, cwOn, chOn, palSizeUV, slice)
@@ -757,8 +775,8 @@ final class Av1FrameDecode(val seq: Av1Headers.Seq, val fh: Av1Headers.Frame) {
       val cth = TxH(uvTx)
       val cx0 = (ccBase >> subX) * 4
       val cy0 = (crBase >> subY) * 4
-      val cwPx = math.min(cW4 * 4, planeW(1) - cx0)
-      val chPx = math.min(cH4 * 4, planeH(1) - cy0)
+      val cwPx = math.min(cW4 * 4, miW(1) - cx0)
+      val chPx = math.min(cH4 * 4, miH(1) - cy0)
       var pl = 1
       while (pl < numPlanes) {
         val alpha = if (pl == 1) cflAlphaU else cflAlphaV

@@ -499,9 +499,11 @@ object Av1Cdef {
     val dirsS1 = Dirs((dir + 2) & 7)
     val dirsS2 = Dirs((dir + 6) & 7)
     // availability spans the full mi-padded plane (the spec's
-    // CdefAvailable bounds are MiCols/MiRows-based, not crop-based)
-    val bw = d.planeW(plane)
-    val bh = d.planeH(plane)
+    // CdefAvailable bounds are MiCols/MiRows-based, not crop-based --
+    // and NOT buffer-based: sb-aligned overhang columns hold real
+    // reconstructions that the reference's CDEF treats as unavailable)
+    val bw = d.miW(plane)
+    val bh = d.miH(plane)
     @inline def px(x: Int, y: Int): Int =
       if (x < 0 || y < 0 || x >= bw || y >= bh) Large
       else src(y * pw + x)

@@ -54,9 +54,13 @@ object Av1Residual {
       miR: Int, miC: Int, fiMode: Int, pal: Boolean): Unit = {
     val pw = d.planeW(plane)
     val ph = d.planeH(plane)
-    if (x >= pw || y >= ph) return
+    // spec 5.11.35: skip tx blocks starting past the MI area; executed
+    // blocks reconstruct their full extent (may overhang into the
+    // sb-aligned buffer padding) and update MaxLumaW/H
+    if (x >= d.miW(plane) || y >= d.miH(plane)) return
     val w = TxW(txSz)
     val h = TxH(txSz)
+    if (plane == 0) { d.maxLumaW = x + w; d.maxLumaH = y + h }
     val mode = if (plane > 0 && modeIn == UV_CFL_PRED) DC_PRED else modeIn
 
     // ---------- prediction ----------
@@ -120,9 +124,9 @@ object Av1Residual {
     // mark decoded
     val d4w = d.dec4W(plane)
     var ry = y >> 2
-    while (ry < math.min((y + h) >> 2, (ph + 3) >> 2)) {
+    while (ry < math.min((y + h) >> 2, (d.miH(plane) + 3) >> 2)) {
       var rx = x >> 2
-      while (rx < math.min((x + w) >> 2, d4w)) {
+      while (rx < math.min((x + w) >> 2, (d.miW(plane) + 3) >> 2)) {
         d.decoded(plane)(ry * d4w + rx) = true
         rx += 1
       }
@@ -137,7 +141,8 @@ object Av1Residual {
       x: Int, y: Int, w: Int, h: Int, fiMode: Int,
       out: Array[Int]): Unit = {
     val pw = d.planeW(plane)
-    val ph = d.planeH(plane)
+    val mw = d.miW(plane)
+    val mh = d.miH(plane)
     val buf = d.planes(plane)
     val tileLeftPx = d.miColStart * 4
     val tileTopPx = d.miRowStart * 4
@@ -149,7 +154,7 @@ object Av1Residual {
     val above = new Array[Int](len)
     val left = new Array[Int](len)
     if (haveLeft) {
-      val maxY = math.min(h, ph - y)
+      val maxY = math.min(h, mh - y)
       var i = 0
       while (i < maxY) { left(Off + i) = buf((y + i) * pw + (x - 1)); i += 1 }
       val v = left(Off + i - 1)
@@ -160,7 +165,7 @@ object Av1Residual {
       while (i < h) { left(Off + i) = v; i += 1 }
     }
     if (haveAbove) {
-      val maxX = math.min(w, pw - x)
+      val maxX = math.min(w, mw - x)
       var i = 0
       while (i < maxX) { above(Off + i) = buf((y - 1) * pw + (x + i)); i += 1 }
       val v = above(Off + i - 1)
@@ -185,7 +190,8 @@ object Av1Residual {
       y: Int, w: Int, h: Int, mode: Int, angleDelta: Int, bSize: Int,
       out: Array[Int], blkMiR: Int, blkMiC: Int): Unit = {
     val pw = d.planeW(plane)
-    val ph = d.planeH(plane)
+    val mw = d.miW(plane)
+    val mh = d.miH(plane)
     val buf = d.planes(plane)
     val shX = if (plane == 0) 0 else d.subX
     val shY = if (plane == 0) 0 else d.subY
@@ -195,7 +201,7 @@ object Av1Residual {
     val haveLeft = x > tileLeftPx
     val d4w = d.dec4W(plane)
     @inline def isDecoded(px: Int, py: Int): Boolean =
-      px >= 0 && py >= 0 && px < pw && py < ph &&
+      px >= 0 && py >= 0 && px < mw && py < mh &&
         d.decoded(plane)((py >> 2) * d4w + (px >> 2))
 
     val len = 2 + 2 * (w + h) + 4
@@ -206,14 +212,14 @@ object Av1Residual {
 
     // LeftCol
     if (haveLeft) {
-      val maxY = math.min(h, ph - y)
+      val maxY = math.min(h, mh - y)
       var i = 0
       while (i < maxY) { left(Off + i) = buf((y + i) * pw + (x - 1)); i += 1 }
       // bottom-left extension
       val haveBelowLeft = isDecoded(x - 1, y + h)
       var v = left(Off + maxY - 1)
       if (haveBelowLeft && maxY == h) {
-        val ext = math.min(h, ph - y - h)
+        val ext = math.min(h, mh - y - h)
         while (i < h + ext) {
           left(Off + i) = buf((y + i) * pw + (x - 1)); i += 1
         }
@@ -227,13 +233,13 @@ object Av1Residual {
     }
     // AboveRow
     if (haveAbove) {
-      val maxX = math.min(w, pw - x)
+      val maxX = math.min(w, mw - x)
       var i = 0
       while (i < maxX) { above(Off + i) = buf((y - 1) * pw + (x + i)); i += 1 }
       val haveAboveRight = isDecoded(x + w, y - 1)
       if (haveAboveRight && maxX == w) {
         // real top-right samples cap at the tx WIDTH (then replicate)
-        val ext = math.min(w, pw - x - w)
+        val ext = math.min(w, mw - x - w)
         while (i < w + ext) {
           above(Off + i) = buf((y - 1) * pw + (x + i)); i += 1
         }
@@ -344,17 +350,21 @@ object Av1Residual {
       h: Int): Array[Int] = {
     val luma = d.planes(0)
     val lw = d.planeW(0)
-    val lh = d.planeH(0)
     val sx = d.subX
     val sy = d.subY
+    // spec 7.11.5.2: luma reads clamp at MaxLumaW/H (the most recent
+    // luma tx block's extent -- past the mi area at the right/bottom
+    // edges, where the overhang samples are real reconstructions)
+    val clampX = d.maxLumaW - (1 << sx)
+    val clampY = d.maxLumaH - (1 << sy)
     val ac = new Array[Int](w * h)
     var total = 0
     var i = 0
     while (i < h) {
       var j = 0
       while (j < w) {
-        val ly = math.min((y + i) << sy, lh - 1 - sy)
-        val lx = math.min((x + j) << sx, lw - 1 - sx)
+        val ly = math.min((y + i) << sy, clampY)
+        val lx = math.min((x + j) << sx, clampX)
         val v =
           if (sx == 1 && sy == 1)
             (luma(ly * lw + lx) + luma(ly * lw + lx + 1) +

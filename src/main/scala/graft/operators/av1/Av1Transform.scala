@@ -174,17 +174,22 @@ object Av1Transform {
     n(10) = c.hb(cos128(24), s(5), cos128(40), s(10))
     n(6) = c.hb(-cos128(24), s(6), -cos128(40), s(9))
     n(9) = c.hb(-cos128(40), s(6), cos128(24), s(9))
-    // stage 5: groups of 4 add/sub
+    // stage 5: groups of 4, pairs (g*4+k, g*4+3-k); sign alternates per group
     val p = new Array[Int](16)
-    i = 0
-    while (i < 16) {
-      if ((i & 4) == 0) {
-        p(i) = c.clamp(n(i) + n(i + 2)); p(i + 2) = c.clamp(n(i) - n(i + 2))
-      } else {
-        p(i) = c.clamp(-n(i) + n(i + 2)); p(i + 2) = c.clamp(n(i) + n(i + 2))
+    var g = 0
+    while (g < 4) {
+      val b0 = 4 * g
+      var k5 = 0
+      while (k5 < 2) {
+        val a = n(b0 + k5); val b = n(b0 + 3 - k5)
+        if ((g & 1) == 0) {
+          p(b0 + k5) = c.clamp(a + b); p(b0 + 3 - k5) = c.clamp(a - b)
+        } else {
+          p(b0 + k5) = c.clamp(-a + b); p(b0 + 3 - k5) = c.clamp(a + b)
+        }
+        k5 += 1
       }
-      i += 1
-      if ((i & 1) == 0) i += 2
+      g += 1
     }
     // stage 6: rotations 16/48 on middle pairs
     val q = p.clone()
@@ -196,15 +201,16 @@ object Av1Transform {
     q(11) = c.hb(-cos128(16), p(4), cos128(48), p(11))
     q(5) = c.hb(-cos128(48), p(5), -cos128(16), p(10))
     q(10) = c.hb(-cos128(16), p(5), cos128(48), p(10))
-    // stage 7 (explicit; mirrors the 16-point stage-5 shape at width 8)
-    val r0 = c.clamp(q(0) + q(3)); val r3 = c.clamp(q(0) - q(3))
-    val r1 = c.clamp(q(1) + q(2)); val r2 = c.clamp(q(1) - q(2))
-    val r4 = c.clamp(-q(4) + q(7)); val r7 = c.clamp(q(4) + q(7))
-    val r5 = c.clamp(-q(5) + q(6)); val r6 = c.clamp(q(5) + q(6))
-    val r8 = c.clamp(q(8) + q(11)); val r11 = c.clamp(q(8) - q(11))
-    val r9 = c.clamp(q(9) + q(10)); val r10 = c.clamp(q(9) - q(10))
-    val r12 = c.clamp(-q(12) + q(15)); val r15 = c.clamp(q(12) + q(15))
-    val r13 = c.clamp(-q(13) + q(14)); val r14 = c.clamp(q(13) + q(14))
+    // stage 7: groups of 8, pairs (g*8+k, g*8+7-k); first group (+,-),
+    // second group (-,+)
+    val r0 = c.clamp(q(0) + q(7)); val r7 = c.clamp(q(0) - q(7))
+    val r1 = c.clamp(q(1) + q(6)); val r6 = c.clamp(q(1) - q(6))
+    val r2 = c.clamp(q(2) + q(5)); val r5 = c.clamp(q(2) - q(5))
+    val r3 = c.clamp(q(3) + q(4)); val r4 = c.clamp(q(3) - q(4))
+    val r8 = c.clamp(-q(8) + q(15)); val r15 = c.clamp(q(8) + q(15))
+    val r9 = c.clamp(-q(9) + q(14)); val r14 = c.clamp(q(9) + q(14))
+    val r10 = c.clamp(-q(10) + q(13)); val r13 = c.clamp(q(10) + q(13))
+    val r11 = c.clamp(-q(11) + q(12)); val r12 = c.clamp(q(11) + q(12))
     // stage 8: cospi32 rotations on the middle 8
     val f4 = c.hb(-cos128(32), r4, cos128(32), r11)
     val f11 = c.hb(cos128(32), r4, cos128(32), r11)
@@ -280,18 +286,22 @@ object Av1Transform {
     rot4(10, 21, 20, neg = true)
     rot4(13, 18, 52, neg = false)
     rot4(14, 17, 52, neg = true)
-    // stage 5: groups of 4
+    // stage 5: groups of 4, pairs (g*4+k, g*4+3-k); sign alternates per group
     val p = n.clone()
-    i = 0
-    while (i < 32) {
-      val g = i & 4
-      if (g == 0) {
-        p(i) = c.clamp(n(i) + n(i + 2)); p(i + 2) = c.clamp(n(i) - n(i + 2))
-      } else {
-        p(i) = c.clamp(-n(i) + n(i + 2)); p(i + 2) = c.clamp(n(i) + n(i + 2))
+    var g5 = 0
+    while (g5 < 8) {
+      val b0 = 4 * g5
+      var k5 = 0
+      while (k5 < 2) {
+        val a = n(b0 + k5); val b = n(b0 + 3 - k5)
+        if ((g5 & 1) == 0) {
+          p(b0 + k5) = c.clamp(a + b); p(b0 + 3 - k5) = c.clamp(a - b)
+        } else {
+          p(b0 + k5) = c.clamp(-a + b); p(b0 + 3 - k5) = c.clamp(a + b)
+        }
+        k5 += 1
       }
-      i += 1
-      if ((i & 1) == 0) i += 2
+      g5 += 1
     }
     // stage 6: rotations angle 8/56 family
     val q = p.clone()
@@ -313,18 +323,22 @@ object Av1Transform {
     rot6(11, 20, 40, neg = false)
     rot6(12, 19, 40, neg = true)
     rot6(13, 18, 40, neg = true)
-    // stage 7: groups of 8
+    // stage 7: groups of 8, pairs (g*8+k, g*8+7-k); sign alternates per group
     val r = new Array[Int](32)
-    i = 0
-    while (i < 32) {
-      val g = i & 8
-      if (g == 0) {
-        r(i) = c.clamp(q(i) + q(i + 4)); r(i + 4) = c.clamp(q(i) - q(i + 4))
-      } else {
-        r(i) = c.clamp(-q(i) + q(i + 4)); r(i + 4) = c.clamp(q(i) + q(i + 4))
+    var g7 = 0
+    while (g7 < 4) {
+      val b0 = 8 * g7
+      var k7 = 0
+      while (k7 < 4) {
+        val a = q(b0 + k7); val b = q(b0 + 7 - k7)
+        if ((g7 & 1) == 0) {
+          r(b0 + k7) = c.clamp(a + b); r(b0 + 7 - k7) = c.clamp(a - b)
+        } else {
+          r(b0 + k7) = c.clamp(-a + b); r(b0 + 7 - k7) = c.clamp(a + b)
+        }
+        k7 += 1
       }
-      i += 1
-      if ((i & 3) == 0) i += 4
+      g7 += 1
     }
     // stage 8: rotations 16/48
     val u = r.clone()
@@ -346,22 +360,14 @@ object Av1Transform {
     rot8(9, 22, neg = true)
     rot8(10, 21, neg = true)
     rot8(11, 20, neg = true)
-    // stage 9: groups of 16
+    // stage 9: groups of 16, pairs (g*16+k, g*16+15-k); first group (+,-),
+    // second (-,+)
     val w = new Array[Int](32)
     i = 0
-    while (i < 16) {
-      if (i < 8) {
-        w(i) = c.clamp(u(i) + u(i + 8)); w(i + 8) = c.clamp(u(i) - u(i + 8))
-      } else {
-        w(i + 8) = c.clamp(-u(i + 8) + u(i + 16))
-        // handled below
-      }
-      i += 1
-    }
-    // second half of stage 9
-    i = 16
-    while (i < 24) {
-      w(i) = c.clamp(-u(i) + u(i + 8)); w(i + 8) = c.clamp(u(i) + u(i + 8))
+    while (i < 8) {
+      w(i) = c.clamp(u(i) + u(15 - i)); w(15 - i) = c.clamp(u(i) - u(15 - i))
+      w(16 + i) = c.clamp(-u(16 + i) + u(31 - i))
+      w(31 - i) = c.clamp(u(16 + i) + u(31 - i))
       i += 1
     }
     // stage 10: cospi32 on middle 16

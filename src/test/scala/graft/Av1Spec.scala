@@ -138,6 +138,46 @@ class Av1Spec extends AnyFunSuite {
     }
   }
 
+  test("inverse DCT: every basis vector of every tx size matches the float transform") {
+    // structural pin for the r17 idct32/idct64 butterfly-pairing fix:
+    // an impulse at each coded coefficient position must inverse-
+    // transform to (a scaled copy of) the float DCT basis function.
+    // Catches any wrong pairing/angle/sign in the networks outright.
+    def idctBasis(n: Int, k: Int): Array[Double] = {
+      val s = if (k == 0) math.sqrt(1.0 / n) else math.sqrt(2.0 / n)
+      Array.tabulate(n)(i => s * math.cos(math.Pi * (2 * i + 1) * k / (2.0 * n)))
+    }
+    for (txSz <- 0 until 19) {
+      val w = Av1Consts.TxW(txSz)
+      val h = Av1Consts.TxH(txSz)
+      val cw = math.min(32, w) // >32 region is never coded
+      val ch = math.min(32, h)
+      def intOut(k: Int): Array[Int] = {
+        val co = new Array[Int](w * h)
+        co((k / cw) * w + (k % cw)) = 1024
+        Av1Transform.inverse2d(co, txSz, Av1Consts.DCT_DCT, 10)
+        co
+      }
+      def floatOut(k: Int): Array[Double] = {
+        val bw = idctBasis(w, k % cw)
+        val bh = idctBasis(h, k / cw)
+        Array.tabulate(w * h)(i => 1024.0 * bh(i / w) * bw(i % w))
+      }
+      val i0 = intOut(0)
+      val f0 = floatOut(0)
+      var num = 0.0; var den = 0.0
+      for (i <- 0 until w * h) { num += i0(i).toDouble * f0(i); den += f0(i) * f0(i) }
+      val scale = num / den
+      for (k <- 0 until cw * ch) {
+        val io = intOut(k)
+        val fo = floatOut(k)
+        var maxd = 0.0
+        for (i <- 0 until w * h) maxd = math.max(maxd, math.abs(io(i) - scale * fo(i)))
+        assert(maxd <= 3.0, s"txSz=$txSz ${w}x$h basis k=$k diverges (maxd=$maxd)")
+      }
+    }
+  }
+
   test("cos128 table equals the closed form") {
     val cos = Av1Tables.flat("cos128")
     var i = 0

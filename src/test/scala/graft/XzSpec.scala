@@ -134,6 +134,14 @@ class XzSpec extends AnyFunSuite {
       p.getInputStream.readAllBytes(); p.waitFor() == 0
     } catch { case _: Exception => false }
 
+  /** xz gained --riscv in 5.6; probe the long help for the flag */
+  private def haveXzRiscv: Boolean =
+    try {
+      val p = new ProcessBuilder("xz", "--long-help").start()
+      val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+      p.waitFor() == 0 && out.contains("--riscv")
+    } catch { case _: Exception => false }
+
   private def runXz(args: Seq[String], stdin: Array[Byte]): Array[Byte] = {
     // stdin via a temp file: feeding a large payload down the child's
     // stdin pipe while its stdout pipe fills would deadlock both sides
@@ -704,6 +712,10 @@ class XzSpec extends AnyFunSuite {
 
   test("INTEROP: riscv reference-filtered bytes are byte-exact (oracle-probed machinery)") {
     assume(haveXz, "system xz not present")
+    // the riscv filter landed in xz 5.6; the runtime's xz has drifted
+    // across rounds (5.4 <-> 5.8) -- capability-probe, don't assert.
+    // The 39 committed binary-independent goldens stay as the pin.
+    assume(haveXzRiscv, "system xz lacks --riscv (pre-5.6)")
     for (s <- 0 until sweepN) {
       val p = riscvish(s, 700 + s * 131)
       assert(Bcj.riscv(Bcj.riscv(p, true), false).toSeq === p.toSeq, s"rt $s")

@@ -132,6 +132,6 @@ object Av1CalMain {
     }
     src.close()
     println(s"pass=$pass fail=$fail err=$err")
-    failures.take(12).foreach(f => println("  " + f))
+    failures.take(64).foreach(f => println("  " + f))
   }
 }

@@ -1,36 +1,95 @@
 package graft.operators.av1
 
-/** Dev: compare inverse2d against a float IDCT at 10-bit coefficient
-  * scale (smoke for intermediate clipping).
+/** Dev probe: checks every coefficient basis vector of inverse2d
+  * against a float orthonormal IDCT (scale fitted on the DC basis).
+  * A structural butterfly bug shows up as specific coefficient indices
+  * whose basis output diverges beyond rounding. Run:
+  *   Test/runMain graft.operators.av1.Av1TxProbe <txSz> [txType]
   */
 object Av1TxProbe {
+  import Av1Consts._
+
   def main(args: Array[String]): Unit = {
-    val w = 32; val h = 32
-    for (bd <- Seq(8, 10)) {
-      val coefs = new Array[Int](w * h)
-      coefs(0) = -23757; coefs(1) = -8050; coefs(3) = -700; coefs(5) = -350
-      val out = coefs.clone()
-      Av1Transform.inverse2d(out, 3 /*TX_32X32*/, 0 /*DCT_DCT*/, bd)
-      // float reference: 2D IDCT-II with AV1 scaling:
-      // out = idct_col(idct_row(in) >> rowShift) >> 4, basis cos
-      def idct1d(v: Array[Double]): Array[Double] = {
-        val n = v.length
-        Array.tabulate(n) { x =>
-          var s = 0.0
-          for (k <- 0 until n) {
-            val c = if (k == 0) math.sqrt(0.5) else 1.0
-            s += c * v(k) * math.cos(math.Pi * (2 * x + 1) * k / (2.0 * n))
-          }
-          s * math.sqrt(2.0 / n) * 2 // AV1 1D gain sqrt(n)*... unit-ish
-        }
+    val txSz = args(0).toInt
+    val txType = if (args.length > 1) args(1).toInt else 0
+    val w = TxW(txSz)
+    val h = TxH(txSz)
+    val cw = math.min(32, w)
+    val ch = math.min(32, h)
+
+    def idctBasis(n: Int, k: Int): Array[Double] = {
+      val out = new Array[Double](n)
+      val s = if (k == 0) math.sqrt(1.0 / n) else math.sqrt(2.0 / n)
+      var i = 0
+      while (i < n) {
+        out(i) = s * math.cos(math.Pi * (2 * i + 1) * k / (2.0 * n))
+        i += 1
       }
-      // AV1 32x32: row pass gain sqrt(32)*? with RowShift 2 and final >>4:
-      // net 2D scaling = 4 (per spec design: output = resid * 1)
-      val rows = Array.tabulate(h)(r => idct1d(Array.tabulate(w)(c2 => coefs(r * w + c2).toDouble)))
-      val colsIn = Array.tabulate(w)(c2 => Array.tabulate(h)(r => rows(r)(c2) / 4.0))
-      val cols = colsIn.map(idct1d)
-      val ref00 = cols(0)(0) / 16.0 * 2 // fudge: compare magnitudes
-      println(s"bd=$bd int resid00=${out(0)} float-approx=${ref00}")
+      out
     }
+    def adstBasis(n: Int, k: Int): Array[Double] = {
+      // AV1 iadst basis: x_i = sum_k c_k sin(pi (2i+1)(2k+1) / 4n)
+      val out = new Array[Double](n)
+      val s = math.sqrt(2.0 / n)
+      var i = 0
+      while (i < n) {
+        out(i) = s * math.sin(math.Pi * (2 * i + 1) * (2 * k + 1) / (4.0 * n))
+        i += 1
+      }
+      out
+    }
+    def basis1d(kind: Int, n: Int, k: Int): Array[Double] = kind match {
+      case 0 => idctBasis(n, k)
+      case 1 => adstBasis(n, k)
+      case 2 => { val o = new Array[Double](n); o(k) = 1.0; o }
+    }
+    // row kind applies over width, col kind over height (match kinds())
+    val (rowKind, colKind) = txType match {
+      case 0 => (0, 0)
+      case _ => (0, 0) // probe only DCT_DCT for now
+    }
+
+    // calibrate scale on DC
+    def intOut(k: Int): Array[Int] = {
+      val co = new Array[Int](w * h)
+      val row = k / cw
+      val col = k % cw
+      co(row * w + col) = 1024
+      Av1Transform.inverse2d(co, txSz, txType, 10)
+      co
+    }
+    def floatOut(k: Int): Array[Double] = {
+      val row = k / cw
+      val col = k % cw
+      val bw = basis1d(rowKind, w, col)
+      val bh = basis1d(colKind, h, row)
+      val out = new Array[Double](w * h)
+      var r = 0
+      while (r < h) {
+        var c2 = 0
+        while (c2 < w) { out(r * w + c2) = 1024.0 * bh(r) * bw(c2); c2 += 1 }
+        r += 1
+      }
+      out
+    }
+    val i0 = intOut(0)
+    val f0 = floatOut(0)
+    var num = 0.0; var den = 0.0
+    for (i <- 0 until w * h) { num += i0(i).toDouble * f0(i); den += f0(i) * f0(i) }
+    val scale = num / den
+    println(s"tx=$txSz ${w}x$h scale=$scale")
+    var bad = 0
+    for (k <- 0 until cw * ch) {
+      val io = intOut(k)
+      val fo = floatOut(k)
+      var maxd = 0.0
+      for (i <- 0 until w * h) maxd = math.max(maxd, math.abs(io(i) - scale * fo(i)))
+      if (maxd > 3.0) {
+        bad += 1
+        if (bad <= 24)
+          println(f"  k=$k%4d (r=${k / cw},c=${k % cw}) maxd=$maxd%.1f")
+      }
+    }
+    println(s"bad=$bad of ${cw * ch}")
   }
 }
