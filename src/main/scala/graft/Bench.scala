@@ -81,6 +81,49 @@ object Bench {
     * is marked, not silently trusted.
     */
   private[graft] val QuietLoad = 2.0
+
+  /** Per-round contamination probe (VERDICT r16 item 5: BENCH_r16's sf10
+    * artifact was dirtied by load ARRIVING MID-RUN, which the one-shot
+    * pre-gate cannot see). System-wide busy jiffies minus this process's
+    * own jiffies (children included once reaped — the DuckDB passes are
+    * waitFor'd) over a round's wall time = CPU cores consumed by OTHER
+    * processes during the round. A round whose external share exceeds
+    * the gate is discarded and re-run (bounded); the kept rounds' values
+    * are stamped into the JSON so a contaminated artifact is visible.
+    */
+  private[graft] object LoadProbe {
+    /** (system busy jiffies, self+reaped-children jiffies), or null when
+      * /proc is unavailable (non-Linux) — callers then skip the gate.
+      */
+    def snapshot(): Array[Long] =
+      try {
+        val stat = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("/proc/stat")))
+        val cpu = stat.linesIterator.next().trim.split("\\s+")
+        // cpu user nice system idle iowait irq softirq steal ...
+        val vals = cpu.drop(1).map(_.toLong)
+        val busy = vals.zipWithIndex
+          .collect { case (v, i) if i != 3 && i != 4 => v }.sum
+        val self = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("/proc/self/stat")))
+        val after = self.substring(self.lastIndexOf(')') + 2).split(" ")
+        // man proc: utime=14 stime=15 cutime=16 cstime=17 (1-based,
+        // counting from pid) -> indices 11..14 after the comm field
+        val mine = after(11).toLong + after(12).toLong +
+          after(13).toLong + after(14).toLong
+        Array(busy, mine)
+      } catch { case _: Exception => null }
+
+    /** external CPU cores consumed during the window; -1 = unknown */
+    def externalCores(before: Array[Long], after: Array[Long],
+        wallSec: Double): Double =
+      if (before == null || after == null || wallSec <= 0) -1.0
+      else {
+        val extJiffies = (after(0) - before(0)) - (after(1) - before(1))
+        math.max(0.0, extJiffies / 100.0 / wallSec) // USER_HZ = 100
+      }
+  }
+
   private[graft] def awaitQuiet(maxWaitSec: Int): Double = {
     def loadAvg(): Double =
       java.lang.management.ManagementFactory.getOperatingSystemMXBean
@@ -244,6 +287,11 @@ object Bench {
     val load1Before = loadAvg()
     val sparkRounds = Array.fill(rounds)(Map.empty[String, Double])
     val duckRounds = Array.fill(rounds)(Option.empty[Map[String, Double]])
+    val extCores = Array.fill(rounds)(-1.0)
+    var dirtyRounds = 0
+    // external-CPU gate per round (cores); contaminated rounds re-run
+    val extGate =
+      sys.env.getOrElse("SPARK_GRAFT_EXT_GATE", "1.0").toDouble
     var loadAtGate = load1Before
     withAqe(spark, on = true) {
       headline.foreach { case (name, _) => timeOnce1(name) } // warm
@@ -254,6 +302,7 @@ object Bench {
       loadAtGate = awaitQuiet(
         sys.env.getOrElse("SPARK_GRAFT_QUIET_WAIT", "240").toInt)
       var r = 0
+      val maxDiscards = rounds * 2 // bounded: a never-quiet box still ends
       while (r < rounds) {
         // SYMMETRY with the DuckDB side: baseline_sf.py runs 1 warm-up
         // then the timed execution back-to-back PER QUERY inside each
@@ -263,13 +312,24 @@ object Bench {
         // the sf1 set vs the back-to-back form. So each round times the
         // second of two consecutive executions per query, exactly the
         // per-invocation discipline of the other engine.
+        val w0 = System.nanoTime()
+        val s0 = LoadProbe.snapshot()
         sparkRounds(r) =
           headline.map { case (name, _) =>
             timeOnce1(name)
             name -> timeOnce1(name)
           }.toMap
         duckRounds(r) = duckOnce()
-        r += 1
+        val ext = LoadProbe.externalCores(
+          s0, LoadProbe.snapshot(), (System.nanoTime() - w0) / 1e9)
+        if (ext > extGate && dirtyRounds < maxDiscards) {
+          // mid-run contamination (the BENCH_r16 artifact class):
+          // discard this round and re-run it in a cleaner window
+          dirtyRounds += 1
+        } else {
+          extCores(r) = ext
+          r += 1
+        }
       }
     }
     val load1After = loadAvg()
@@ -296,7 +356,8 @@ object Bench {
         s""","baseline_live":${fmt(liveMin)},"baseline_live_total_sec":${f"$liveTotal%.4f"},"ratio_live":${f"${sfTotal / liveTotal}%.4f"},"ratios_live":${fmt(liveRatios)}"""
       }
     }
-    s"""{"queries":${fmt(sfResults)},"total_sec":${f"$sfTotal%.4f"}$committedField$liveField,"rounds":$rounds,"shuffle_width":$width,"load1_before":${f"$load1Before%.2f"},"load1_gate":${f"$loadAtGate%.2f"},"load_gate_ok":${loadAtGate <= QuietLoad},"load1_after":${f"$load1After%.2f"}}"""
+    val extField = extCores.map(v => f"$v%.2f").mkString("[", ",", "]")
+    s"""{"queries":${fmt(sfResults)},"total_sec":${f"$sfTotal%.4f"}$committedField$liveField,"rounds":$rounds,"shuffle_width":$width,"load1_before":${f"$load1Before%.2f"},"load1_gate":${f"$loadAtGate%.2f"},"load_gate_ok":${loadAtGate <= QuietLoad},"load1_after":${f"$load1After%.2f"},"ext_cores":$extField,"dirty_rounds":$dirtyRounds,"ext_gate":${f"$extGate%.2f"}}"""
   }
 
   /** Per-query maps stripped from gate JSON for the stdout compact line

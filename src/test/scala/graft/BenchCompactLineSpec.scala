@@ -27,7 +27,7 @@ class BenchCompactLineSpec extends AnyFunSuite {
       s""","baseline_total_sec":123.4567,"ratio_raw":12.3456,"ratios":${fmt(qs)}"""
     val liveField =
       s""","baseline_live":${fmt(qs)},"baseline_live_total_sec":123.4567,"ratio_live":12.3456,"ratios_live":${fmt(qs)}"""
-    s"""{"queries":${fmt(qs)},"total_sec":123.4567$committedField$liveField,"rounds":5,"shuffle_width":512,"load1_before":10.00,"load1_gate":10.00,"load_gate_ok":false,"load1_after":10.00}"""
+    s"""{"queries":${fmt(qs)},"total_sec":123.4567$committedField$liveField,"rounds":5,"shuffle_width":512,"load1_before":10.00,"load1_gate":10.00,"load_gate_ok":false,"load1_after":10.00,"ext_cores":[12.34,12.34,12.34,12.34,12.34],"dirty_rounds":10,"ext_gate":1.00}"""
   }
 
   test("stripMaps removes exactly the per-query maps, keeping scalars") {
@@ -41,6 +41,44 @@ class BenchCompactLineSpec extends AnyFunSuite {
     // still balanced JSON-ish braces (no dangling ",}" artifacts)
     assert(!stripped.contains(",}"))
     assert(stripped.count(_ == '{') == stripped.count(_ == '}'))
+  }
+
+  test("LoadProbe: own CPU is self, an unreaped busy child reads as external") {
+    assume(Bench.LoadProbe.snapshot() != null, "/proc not available")
+    def window(burnSelf: Boolean): Double = {
+      val s = Bench.LoadProbe.snapshot()
+      val w = System.nanoTime()
+      if (burnSelf) {
+        val stopAt = w + 1200000000L
+        var x = 0L
+        while (System.nanoTime() < stopAt) { x += 1 } // in-process burn
+      } else Thread.sleep(1200)
+      Bench.LoadProbe.externalCores(
+        s, Bench.LoadProbe.snapshot(), (System.nanoTime() - w) / 1e9)
+    }
+    // deltas against an adjacent ambient window, so a busy host (the
+    // round driver, the sbt server JVM's own log streaming) shifts both
+    // sides instead of failing; retried — ambient noise between windows
+    // can swamp one attempt
+    var ok = false
+    var detail = ""
+    var attempt = 0
+    while (!ok && attempt < 3) {
+      attempt += 1
+      val ambient = window(burnSelf = false)
+      // 1. burning a core IN-PROCESS must not raise the external reading
+      val selfBurn = window(burnSelf = true)
+      // 2. a spawned, UNREAPED child burning a core IS external (the
+      // contaminated-window simulation — BENCH_r16's artifact class)
+      val child = new ProcessBuilder("sh", "-c",
+        "while :; do :; done").start()
+      val withChild =
+        try { Thread.sleep(200); window(burnSelf = false) }
+        finally child.destroyForcibly()
+      ok = selfBurn < ambient + 0.6 && withChild > ambient + 0.5
+      detail = s"ambient=$ambient selfBurn=$selfBurn withChild=$withChild"
+    }
+    assert(ok, s"LoadProbe failed to discriminate in 3 attempts: $detail")
   }
 
   test("worst-case compact line fits the driver's 2000-char window") {
