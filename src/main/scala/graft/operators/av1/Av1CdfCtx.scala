@@ -69,6 +69,16 @@ final class Av1CdfCtx(qctx: Int) {
     Array(32768 - 8949, 32768 - 12776, 32768 - 17211, 32768 - 29092, 0)
   val cflAlpha: Array[Array[Int]] = rows("cfl_alpha") // [6]
 
+  // loop-restoration cdfs (read_lr): defaults recovered from the
+  // runtime libraries' compiled cdf-reset code (immediate operands of
+  // the struct-init stores; the identical byte sequences appear in
+  // libaom, libgav1 AND libdav1d — NOTES_r17): switchable_restore =
+  // AOM_CDF3(9413, 22581), use_wiener = AOM_CDF2(11570), use_sgrproj =
+  // AOM_CDF2(16855).
+  val restoreSwitchable: Array[Int] = Array(23355, 10187, 0)
+  val useWiener: Array[Int] = Array(21198, 0)
+  val useSgrproj: Array[Int] = Array(15913, 0)
+
   // delta q/lf cdfs: uniform 4-symbol defaults (spec)
   private def uniform4(): Array[Int] = Array(24576, 16384, 8192, 0)
   val deltaQ: Array[Int] = uniform4()

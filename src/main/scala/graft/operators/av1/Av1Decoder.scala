@@ -122,9 +122,14 @@ object Av1Decoder {
       }
     }
     if (tileNum < numTiles) throw Malformed
-    // ---- post filters ----
+    // ---- post filters: deblock -> CDEF -> loop restoration (no
+    // superres on this profile). LR's stripe boundaries read the
+    // DEBLOCKED pre-CDEF rows, so snapshot between the passes.
     Av1LoopFilter.apply(dec)
+    val deblocked =
+      if (dec.usesLr) dec.planes.map(_.clone()) else null
     Av1Cdef.apply(dec)
+    Av1Restoration.apply(dec, deblocked)
     Planes(fh.width, fh.height, seq.bitDepth, seq.subsamplingX,
       seq.subsamplingY, seq.monochrome, dec.croppedPlanes())
   }
@@ -248,6 +253,36 @@ final class Av1FrameDecode(val seq: Av1Headers.Seq, val fh: Av1Headers.Frame) {
   val cdefRows: Int = (miRows + 15) >> 4
   val cdefIdx: Array[Int] = Array.fill(cdefStride * cdefRows)(-1)
 
+  // ---- loop restoration state (spec 5.11.57 read_lr / 7.17) ----
+  /** restoration unit size per plane (plane pixels); 0 = RESTORE_NONE */
+  val lrSize: Array[Int] = Array.tabulate(numPlanes) { pl =>
+    if (fh.lrType(pl) == 0) 0
+    else {
+      val y = 256 >> (2 - fh.lrUnitShift) // RESTORATION_TILESIZE_MAX
+      if (pl == 0) y else y >> fh.lrUvShift
+    }
+  }
+  private def lrCount(unitSize: Int, frameSize: Int): Int =
+    math.max((frameSize + (unitSize >> 1)) / unitSize, 1)
+  val lrUnitRows: Array[Int] = Array.tabulate(numPlanes)(pl =>
+    if (fh.lrType(pl) == 0) 0 else lrCount(lrSize(pl), cropH(pl)))
+  val lrUnitCols: Array[Int] = Array.tabulate(numPlanes)(pl =>
+    if (fh.lrType(pl) == 0) 0 else lrCount(lrSize(pl), cropW(pl)))
+  /** per-unit restoration type (0 none / 1 wiener / 2 sgrproj) */
+  val lrUnitType: Array[Array[Byte]] = Array.tabulate(numPlanes)(pl =>
+    new Array[Byte](lrUnitRows(pl) * lrUnitCols(pl)))
+  /** per-unit wiener taps: 2 passes x 3 coded taps (vert then horiz) */
+  val lrWiener: Array[Array[Int]] = Array.tabulate(numPlanes)(pl =>
+    new Array[Int](lrUnitRows(pl) * lrUnitCols(pl) * 6))
+  val lrSgrSet: Array[Array[Byte]] = Array.tabulate(numPlanes)(pl =>
+    new Array[Byte](lrUnitRows(pl) * lrUnitCols(pl)))
+  val lrSgrXqd: Array[Array[Int]] = Array.tabulate(numPlanes)(pl =>
+    new Array[Int](lrUnitRows(pl) * lrUnitCols(pl) * 2))
+  // per-tile prediction refs
+  private val refWiener = Array.ofDim[Int](numPlanes, 2, 3)
+  private val refSgrXqd = Array.ofDim[Int](numPlanes, 2)
+  val usesLr: Boolean = fh.lrType.take(numPlanes).exists(_ != 0)
+
   private val dcQTab =
     if (bd == 8) Av1Tables.flat("dc_q_8") else Av1Tables.flat("dc_q_10")
   private val acQTab =
@@ -292,6 +327,21 @@ final class Av1FrameDecode(val seq: Av1Headers.Seq, val fh: Av1Headers.Frame) {
       }
       pl += 1
     }
+    // loop-restoration prediction refs reset per tile (spec Wiener_Taps_Mid
+    // / Sgrproj_Xqd_Mid)
+    pl = 0
+    while (pl < numPlanes) {
+      var pass = 0
+      while (pass < 2) {
+        refWiener(pl)(pass)(0) = 3
+        refWiener(pl)(pass)(1) = -7
+        refWiener(pl)(pass)(2) = 15
+        pass += 1
+      }
+      refSgrXqd(pl)(0) = -32
+      refSgrXqd(pl)(1) = 31
+      pl += 1
+    }
     // superblock loop
     val sbSizeBlock = if (seq.use128x128Superblock) BLOCK_128X128 else BLOCK_64X64
     var r = miRowStart
@@ -299,12 +349,131 @@ final class Av1FrameDecode(val seq: Av1Headers.Seq, val fh: Av1Headers.Frame) {
       var c = miColStart
       while (c < miColEnd) {
         readDeltas = fh.deltaQPresent
+        if (usesLr) readLr(r, c)
         decodePartition(r, c, sbSizeBlock)
         c += sb4
       }
       r += sb4
     }
   }
+
+  // ---------------- loop restoration syntax (spec 5.11.57) ----------------
+  private val WienerTapsMin = Array(-5, -23, -17)
+  private val WienerTapsMax = Array(10, 8, 46)
+  private val WienerTapsK = Array(1, 2, 3)
+
+  private def readLr(r: Int, c: Int): Unit = {
+    if (fh.allowIntrabc) return
+    var pl = 0
+    while (pl < numPlanes) {
+      if (fh.lrType(pl) != 0) {
+        val shX = if (pl == 0) 0 else subX
+        val shY = if (pl == 0) 0 else subY
+        val unitSize = lrSize(pl)
+        val rowStart = (r * (4 >> shY) + unitSize - 1) / unitSize
+        val rowEnd = math.min(lrUnitRows(pl),
+          ((r + sb4) * (4 >> shY) + unitSize - 1) / unitSize)
+        // no superres: numerator = MI_SIZE >> subX, denominator = unitSize
+        val num = 4 >> shX
+        val colStart = (c * num + unitSize - 1) / unitSize
+        val colEnd = math.min(lrUnitCols(pl),
+          ((c + sb4) * num + unitSize - 1) / unitSize)
+        var ur = rowStart
+        while (ur < rowEnd) {
+          var uc = colStart
+          while (uc < colEnd) {
+            readLrUnit(pl, ur, uc)
+            uc += 1
+          }
+          ur += 1
+        }
+      }
+      pl += 1
+    }
+  }
+
+  private def readLrUnit(pl: Int, ur: Int, uc: Int): Unit = {
+    val idx = ur * lrUnitCols(pl) + uc
+    var rtype = 0
+    fh.lrType(pl) match {
+      case 1 => rtype = if (msac.bool(cdf.useWiener)) 1 else 0
+      case 2 => rtype = if (msac.bool(cdf.useSgrproj)) 2 else 0
+      case _ => rtype = msac.symbol(cdf.restoreSwitchable, 3)
+    }
+    lrUnitType(pl)(idx) = rtype.toByte
+    tr(s"lr unit pl=$pl ($ur,$uc) type=$rtype")
+    if (rtype == 1) {
+      var pass = 0
+      while (pass < 2) {
+        var j = 0
+        if (pl != 0) { lrWiener(pl)(idx * 6 + pass * 3) = 0; j = 1 }
+        while (j < 3) {
+          val v = decodeSignedSubexpRef(WienerTapsMin(j),
+            WienerTapsMax(j) + 1, WienerTapsK(j), refWiener(pl)(pass)(j))
+          lrWiener(pl)(idx * 6 + pass * 3 + j) = v
+          refWiener(pl)(pass)(j) = v
+          j += 1
+        }
+        pass += 1
+      }
+      tr(s"  wiener=${(0 until 6).map(k => lrWiener(pl)(idx * 6 + k)).mkString(",")}")
+    } else if (rtype == 2) {
+      val set = msac.literal(4) // SGRPROJ_PARAMS_BITS
+      lrSgrSet(pl)(idx) = set.toByte
+      var i = 0
+      while (i < 2) {
+        val radius = Av1Restoration.SgrRadius(set)(i)
+        val mn = if (i == 0) -96 else -32 // Sgrproj_Xqd_Min
+        val mx = if (i == 0) 31 else 95 // Sgrproj_Xqd_Max
+        var v = 0
+        if (radius != 0)
+          v = decodeSignedSubexpRef(mn, mx + 1, 4, refSgrXqd(pl)(i))
+        else if (i == 1)
+          v = math.max(mn,
+            math.min(mx, (1 << 7) - refSgrXqd(pl)(0))) // SGRPROJ_PRJ_BITS
+        lrSgrXqd(pl)(idx * 2 + i) = v
+        refSgrXqd(pl)(i) = v
+        i += 1
+      }
+      tr(s"  sgr set=$set xqd=${lrSgrXqd(pl)(idx * 2)},${lrSgrXqd(pl)(idx * 2 + 1)}")
+    }
+  }
+
+  /** spec decode_signed_subexp_with_ref_bool */
+  private def decodeSignedSubexpRef(low: Int, high: Int, k: Int,
+      ref: Int): Int = {
+    val mx = high - low
+    val r0 = ref - low
+    val v = decodeSubexpBool(mx, k)
+    val x =
+      if ((r0 << 1) <= mx) inverseRecenter(r0, v)
+      else mx - 1 - inverseRecenter(mx - 1 - r0, v)
+    x + low
+  }
+
+  private def decodeSubexpBool(numSyms: Int, k: Int): Int = {
+    var i = 0
+    var mk = 0
+    while (true) {
+      val b2 = if (i > 0) k + i - 1 else k
+      val a = 1 << b2
+      if (numSyms <= mk + 3 * a) {
+        return msac.ns(numSyms - mk) + mk
+      } else {
+        if (msac.literal(1) == 1) { i += 1; mk += a }
+        else return msac.literal(b2) + mk
+      }
+    }
+    0
+  }
+
+  // spec 4.9 inverse_recenter: EVEN offsets recenter upward, odd
+  // downward (the r17 sgr drill pinned the parity: swapping it decodes
+  // the same bit count but mirrored values)
+  private def inverseRecenter(r: Int, v: Int): Int =
+    if (v > 2 * r) v
+    else if ((v & 1) != 0) r - ((v + 1) >> 1)
+    else r + (v >> 1)
 
   // ---------------- partition tree ----------------
   private def decodePartition(r: Int, c: Int, bSize: Int): Unit = {

@@ -586,7 +586,6 @@ object Av1Headers {
       }
       if (seq.subsamplingX == 1 && seq.subsamplingY == 1 && usesChroma)
         fh.lrUvShift = r.f(1)
-      throw Unsupported("loop restoration")
     }
   }
 }

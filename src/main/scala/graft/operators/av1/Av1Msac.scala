@@ -96,6 +96,15 @@ final class Av1Msac(buf: Array[Byte], start: Int, end: Int,
   def boolEqui(): Boolean = boolProb(16384)
 
   /** n-bit literal, MSB first (spec L(n)) */
+  /** spec NS(n) — truncated binary code over equiprobable bools */
+  def ns(n: Int): Int = {
+    val w = 31 - Integer.numberOfLeadingZeros(n) + 1 // FloorLog2(n)+1
+    val m = (1 << w) - n
+    val v = literal(w - 1)
+    if (v < m) v
+    else (v << 1) - m + literal(1)
+  }
+
   def literal(n: Int): Int = {
     var v = 0
     var i = 0

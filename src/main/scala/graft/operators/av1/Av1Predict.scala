@@ -128,6 +128,8 @@ object Av1Predict {
   }
 
   // ---------------- directional (spec 7.11.2.4) ----------------
+  @volatile var dbgXY: (Int, Int, Int) = null // dev: (plane,x,y) of current tx
+
   def directionalPredict(out: Array[Int], w: Int, h: Int, pAngle: Int,
       above: Array[Int], left: Array[Int], upsampleAbove: Boolean,
       upsampleLeft: Boolean): Unit = {
@@ -180,6 +182,7 @@ object Av1Predict {
     } else if (pAngle > 180) {
       val dy = drDeriv((270 - pAngle) >> 1)
       val maxBaseY = (w + h - 1) << upL
+      val dbg = System.getenv("GRAFT_AV1_DIRDBG") != null && w == 16 && h == 8
       var i = 0
       while (i < h) {
         var j = 0
@@ -192,6 +195,10 @@ object Av1Predict {
               r2(left(Off + base) * (32 - shift) +
                 left(Off + base + 1) * shift, 5)
             else left(Off + maxBaseY)
+          if (dbg && j >= 13 && i >= 4)
+            println(s"DIRDBG at=$dbgXY pA=$pAngle i=$i j=$j dy=$dy base=$base shift=$shift " +
+              s"l0=${left(Off + math.min(base, maxBaseY))} " +
+              s"l1=${left(Off + math.min(base + 1, maxBaseY))} out=${out(i * w + j)}")
           j += 1
         }
         i += 1
@@ -305,8 +312,8 @@ object Av1Predict {
     Array(
       Array(-6, 10, 0, 0, 0, 12, 0), Array(-5, 2, 10, 0, 0, 9, 0),
       Array(-3, 1, 1, 10, 0, 7, 0), Array(-3, 1, 1, 2, 10, 5, 0),
-      Array(-4, 6, 0, 0, 0, 2, 12), Array(-3, 2, 6, 0, 0, 4, 9),
-      Array(-3, 2, 2, 6, 0, 4, 7), Array(-3, 1, 2, 2, 6, 3, 5)),
+      Array(-4, 6, 0, 0, 0, 2, 12), Array(-3, 2, 6, 0, 0, 2, 9),
+      Array(-3, 2, 2, 6, 0, 2, 7), Array(-3, 1, 2, 2, 6, 3, 5)),
     Array(
       Array(-10, 16, 0, 0, 0, 10, 0), Array(-6, 0, 16, 0, 0, 6, 0),
       Array(-4, 0, 0, 16, 0, 4, 0), Array(-2, 0, 0, 0, 16, 2, 0),

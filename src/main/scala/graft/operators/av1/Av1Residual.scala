@@ -211,6 +211,7 @@ object Av1Residual {
     val Off = Av1Predict.Off
 
     // LeftCol
+    var realLeftPx = h // real samples on the left edge (for filter extent)
     if (haveLeft) {
       val maxY = math.min(h, mh - y)
       var i = 0
@@ -224,6 +225,7 @@ object Av1Residual {
           left(Off + i) = buf((y + i) * pw + (x - 1)); i += 1
         }
       }
+      realLeftPx = i
       v = left(Off + i - 1)
       while (i < w + h) { left(Off + i) = v; i += 1 }
     } else {
@@ -232,6 +234,7 @@ object Av1Residual {
       while (i < w + h) { left(Off + i) = v; i += 1 }
     }
     // AboveRow
+    var realAbovePx = w
     if (haveAbove) {
       val maxX = math.min(w, mw - x)
       var i = 0
@@ -244,6 +247,7 @@ object Av1Residual {
           above(Off + i) = buf((y - 1) * pw + (x + i)); i += 1
         }
       }
+      realAbovePx = i
       val v = above(Off + i - 1)
       while (i < w + h) { above(Off + i) = v; i += 1 }
     } else {
@@ -261,6 +265,7 @@ object Av1Residual {
     left(Off - 1) = corner
 
     if (isDirectionalMode(mode)) {
+      Av1Predict.dbgXY = (plane, x, y)
       val pAngle = ModeToAngle(mode) + angleDelta * 3
       var upA = false
       var upL = false

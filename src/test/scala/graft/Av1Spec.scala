@@ -138,6 +138,38 @@ class Av1Spec extends AnyFunSuite {
     }
   }
 
+  test("GOLDEN: loop-restoration (sgrproj) streams decode to the reference planes") {
+    // 4 committed reference-encoded streams with restoration units
+    // (speed-2 aom encodes; expected per-plane SHA-256 recorded from
+    // the reference decoder at fixture time) — the binary-independent
+    // pin for the r17 loop-restoration implementation.
+    val in = getClass.getResourceAsStream("/graft/av1_lr_goldens.jsonl")
+    assert(in != null, "av1_lr_goldens.jsonl missing")
+    val lines = scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().filter(_.nonEmpty).toList
+    assert(lines.size === 4)
+    def sfield(s: String, k: String): String =
+      ("\"" + k + "\":\\s*\"([^\"]*)\"").r.findFirstMatchIn(s).get.group(1)
+    def hashes(s: String): Seq[String] =
+      ("\"plane_sha256\":\\s*\\[([^\\]]*)\\]").r.findFirstMatchIn(s).get
+        .group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq
+    for (ln <- lines) {
+      val name = sfield(ln, "name")
+      val payload = sfield(ln, "payload")
+        .grouped(2).map(x => Integer.parseInt(x, 16).toByte).toArray
+      val res = Av1Decoder.decode(payload)
+        .getOrElse(fail(s"$name rejected"))
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val exp = hashes(ln)
+      for (pl <- res.planes.indices) {
+        md.reset()
+        val bytes = res.planes(pl).map(v => (v & 0xff).toByte)
+        val got = md.digest(bytes).map("%02x".format(_)).mkString
+        assert(got === exp(pl), s"$name plane $pl")
+      }
+    }
+  }
+
   test("inverse DCT: every basis vector of every tx size matches the float transform") {
     // structural pin for the r17 idct32/idct64 butterfly-pairing fix:
     // an impulse at each coded coefficient position must inverse-
