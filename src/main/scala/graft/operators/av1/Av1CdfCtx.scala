@@ -60,13 +60,14 @@ final class Av1CdfCtx(qctx: Int) {
   val txtpSet1: Array[Array[Int]] = rows("intra_txtp_set1") // [4][13]
   val txtpSet2: Array[Array[Int]] = rows("intra_txtp_set2") // [4][13]
   val cflSign: Array[Array[Int]] = rows("cfl_sign") // [1]
-  // filter_intra_mode default: CANDIDATE value set (AOM_CDF5 form),
-  // not byte-extracted (absent as plain data from all three runtime
-  // libraries) — pinned functionally by the reference sweep: every
-  // filter-intra stream decodes pixel-exact only if these four values
-  // are right to full precision (adaptation propagates all 15 bits).
+  // filter_intra_mode default: byte-extracted in r17 — the icdf row
+  // (23819, 19992, 15557, 3210) appears IDENTICALLY in libaom (as
+  // cdf-reset code immediates), libgav1 and libdav1d. The previous
+  // r16 candidate had 3676 for the last entry; the wrong boundary
+  // occasionally decoded a different mode and desynced the tile
+  // (the r17 speed-4 drill's z64x64 case).
   val filterIntraMode: Array[Int] =
-    Array(32768 - 8949, 32768 - 12776, 32768 - 17211, 32768 - 29092, 0)
+    Array(23819, 19992, 15557, 3210, 0)
   val cflAlpha: Array[Array[Int]] = rows("cfl_alpha") // [6]
 
   // loop-restoration cdfs (read_lr): defaults recovered from the

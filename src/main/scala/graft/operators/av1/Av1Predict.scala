@@ -128,8 +128,6 @@ object Av1Predict {
   }
 
   // ---------------- directional (spec 7.11.2.4) ----------------
-  @volatile var dbgXY: (Int, Int, Int) = null // dev: (plane,x,y) of current tx
-
   def directionalPredict(out: Array[Int], w: Int, h: Int, pAngle: Int,
       above: Array[Int], left: Array[Int], upsampleAbove: Boolean,
       upsampleLeft: Boolean): Unit = {
@@ -182,7 +180,6 @@ object Av1Predict {
     } else if (pAngle > 180) {
       val dy = drDeriv((270 - pAngle) >> 1)
       val maxBaseY = (w + h - 1) << upL
-      val dbg = System.getenv("GRAFT_AV1_DIRDBG") != null && w == 16 && h == 8
       var i = 0
       while (i < h) {
         var j = 0
@@ -195,10 +192,6 @@ object Av1Predict {
               r2(left(Off + base) * (32 - shift) +
                 left(Off + base + 1) * shift, 5)
             else left(Off + maxBaseY)
-          if (dbg && j >= 13 && i >= 4)
-            println(s"DIRDBG at=$dbgXY pA=$pAngle i=$i j=$j dy=$dy base=$base shift=$shift " +
-              s"l0=${left(Off + math.min(base, maxBaseY))} " +
-              s"l1=${left(Off + math.min(base + 1, maxBaseY))} out=${out(i * w + j)}")
           j += 1
         }
         i += 1

@@ -265,7 +265,6 @@ object Av1Residual {
     left(Off - 1) = corner
 
     if (isDirectionalMode(mode)) {
-      Av1Predict.dbgXY = (plane, x, y)
       val pAngle = ModeToAngle(mode) + angleDelta * 3
       var upA = false
       var upL = false
