@@ -211,7 +211,6 @@ object Av1Residual {
     val Off = Av1Predict.Off
 
     // LeftCol
-    var realLeftPx = h // real samples on the left edge (for filter extent)
     if (haveLeft) {
       val maxY = math.min(h, mh - y)
       var i = 0
@@ -225,7 +224,6 @@ object Av1Residual {
           left(Off + i) = buf((y + i) * pw + (x - 1)); i += 1
         }
       }
-      realLeftPx = i
       v = left(Off + i - 1)
       while (i < w + h) { left(Off + i) = v; i += 1 }
     } else {
@@ -234,7 +232,6 @@ object Av1Residual {
       while (i < w + h) { left(Off + i) = v; i += 1 }
     }
     // AboveRow
-    var realAbovePx = w
     if (haveAbove) {
       val maxX = math.min(w, mw - x)
       var i = 0
@@ -247,7 +244,6 @@ object Av1Residual {
           above(Off + i) = buf((y - 1) * pw + (x + i)); i += 1
         }
       }
-      realAbovePx = i
       val v = above(Off + i - 1)
       while (i < w + h) { above(Off + i) = v; i += 1 }
     } else {
