@@ -120,6 +120,25 @@ def gen_lrsweep(av, n, seed):
         yield f"r{i:04d}", data
 
 
+def gen_s4sweep(av, n, seed):
+    av.avifEncoderSetCodecSpecificOption.restype = ctypes.c_int
+    av.avifEncoderSetCodecSpecificOption.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_char_p]
+    rnd = lcg(seed)
+    for i in range(n):
+        w = 8 + rnd(49)
+        h = 8 + rnd(49)
+        depth = [8, 8, 10][rnd(3)]
+        fmt = [3, 1, 4][rnd(3)]
+        minq = 2 + rnd(38)
+        data = ahr.avif_encode(av, w, h, depth, fmt, False, seed + i * 977,
+                               opts=[("enable-cdef", "0"),
+                                     ("enable-restoration", "0")],
+                               smooth=(rnd(2) == 1), minq=minq,
+                               maxq=min(63, minq + 6 + rnd(14)), speed=4)
+        yield f"f{i:04d}", data
+
+
 def gen_sweep(av, n, seed):
     rnd = lcg(seed)
     for i in range(n):
@@ -138,7 +157,7 @@ def main():
     mode, n, seed = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
     av = ahr.load_avif()
     gen = {"cdefsweep": gen_cdefsweep, "lrsweep": gen_lrsweep,
-           "sweep": gen_sweep}[mode]
+           "sweep": gen_sweep, "s4sweep": gen_s4sweep}[mode]
     only = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
     for name, data in gen(av, n, seed):
         if only and name not in only:

@@ -801,6 +801,49 @@ def cmd_cdefsweep(n, seed):
                               px_means=pm)))
 
 
+def cmd_s4sweep(n, seed):
+    """Live speed-4 differential members: small frames across the q
+    range, encoder speed 4 — the features aom only picks below speed 6
+    (filter-intra everywhere, deep tx splits, rare directional modes;
+    the r17 drill class). Same JSON shape as cmd_sweep. Sizes stay
+    <= 64x64: the known-open r17 classes (NOTES_r17) only reproduce on
+    larger frames, so this pins the FIXED surface without flaking on
+    the open one.
+    """
+    av = load_avif()
+    av.avifEncoderSetCodecSpecificOption.restype = ctypes.c_int
+    av.avifEncoderSetCodecSpecificOption.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_char_p]
+    rng_state = seed
+
+    def rnd(bound):
+        nonlocal rng_state
+        rng_state = (rng_state * 6364136223846793005
+                     + 1442695040888963407) % (1 << 64)
+        return (rng_state >> 33) % bound
+
+    for i in range(n):
+        w = 8 + rnd(49)
+        h = 8 + rnd(49)
+        depth = [8, 8, 10][rnd(3)]
+        fmt = [3, 1, 4][rnd(3)]
+        minq = 2 + rnd(38)
+        data = avif_encode(av, w, h, depth, fmt, False, seed + i * 977,
+                           opts=[("enable-cdef", "0"),
+                                 ("enable-restoration", "0")],
+                           smooth=(rnd(2) == 1), minq=minq,
+                           maxq=min(63, minq + 6 + rnd(14)), speed=4)
+        rw, rh, rd, ra = avif_decode_info(av, data)
+        assert (rw, rh, rd, ra) == (w, h, depth, False)
+        sub = {3: (1, 1), 1: (0, 0), 4: (1, 1)}[fmt]
+        pm = avif_decode_plane_means(av, data)
+        print(json.dumps(dict(name=f"f{i:04d}", hex=data.hex(), width=w,
+                              height=h, depth=depth,
+                              has_alpha=False, mono=(fmt == 4),
+                              sub_x=sub[0], sub_y=sub[1],
+                              px_means=pm)))
+
+
 def cmd_probe():
     try:
         av = load_avif()
@@ -828,6 +871,8 @@ if __name__ == "__main__":
         cmd_palsweep(int(sys.argv[2]), int(sys.argv[3]))
     elif len(sys.argv) > 1 and sys.argv[1] == "cdefsweep":
         cmd_cdefsweep(int(sys.argv[2]), int(sys.argv[3]))
+    elif len(sys.argv) > 1 and sys.argv[1] == "s4sweep":
+        cmd_s4sweep(int(sys.argv[2]), int(sys.argv[3]))
     elif len(sys.argv) > 1 and sys.argv[1] == "probe":
         cmd_probe()
     else:

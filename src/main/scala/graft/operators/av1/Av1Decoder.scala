@@ -6,10 +6,14 @@ package graft.operators.av1
   * applied by [[Av1LoopFilter]] / [[Av1Cdef]] from `decode()`.
   *
   * Scope: KEY / INTRA_ONLY still frames (the AVIF payload shape),
-  * including palette / screen-content coding ([[Av1Palette]]).
-  * Still deferred (reject loudly, each with a revisit trigger in
-  * SURVEY §8): loop restoration, intrabc, segmentation features
-  * beyond alt-Q, qmatrix, film grain, superres, 4:2:2 and 12-bit.
+  * including palette / screen-content coding ([[Av1Palette]]) and
+  * loop restoration ([[Av1Restoration]], r17). Still deferred
+  * (reject loudly, each with a revisit trigger in SURVEY §8):
+  * intrabc, segmentation features beyond alt-Q, qmatrix, film grain,
+  * superres, 4:2:2 and 12-bit. Known-open low-speed divergence
+  * classes (encoder speed <= 4 only; unreachable from libavif-wild
+  * streams) are catalogued in NOTES_r17 with regenerable repros
+  * (scripts/av1cal.py s4sweep).
   */
 object Av1Decoder {
   import Av1Consts._
