@@ -844,10 +844,17 @@ final class Av1FrameDecode(val seq: Av1Headers.Seq, val fh: Av1Headers.Frame) {
     }
 
     // --- store mode info ---
+    // CLAMP at the mi grid: a block may legally extend past MiCols /
+    // MiRows (spec stores only in-grid units). Unclamped, rr*miCols+cc
+    // with cc >= miCols WRAPS into the next row's entries and corrupts
+    // neighbor mode/skip/tx metadata — the r17 speed-4 quadrant-boundary
+    // desync class (f0023 et al).
+    val rEnd = math.min(r + bh4, miRows)
+    val cEnd = math.min(c + bw4, miCols)
     var rr = r
-    while (rr < r + bh4) {
+    while (rr < rEnd) {
       var cc = c
-      while (cc < c + bw4) {
+      while (cc < cEnd) {
         val idx = rr * miCols + cc
         yModes(idx) = yMode.toByte
         uvModes(idx) = uvMode.toByte
@@ -867,9 +874,9 @@ final class Av1FrameDecode(val seq: Av1Headers.Seq, val fh: Av1Headers.Frame) {
     val wMask = (0xff << (Integer.numberOfTrailingZeros(fullW4) + 1)) & 0xff
     val hMask = (0xff << (Integer.numberOfTrailingZeros(fullH4) + 1)) & 0xff
     var cc = c
-    while (cc < c + bw4) { abovePartition(cc) = wMask; cc += 1 }
+    while (cc < cEnd) { abovePartition(cc) = wMask; cc += 1 }
     rr = r
-    while (rr < r + bh4) { leftPartition(rr) = hMask; rr += 1 }
+    while (rr < rEnd) { leftPartition(rr) = hMask; rr += 1 }
 
     // --- residual + prediction per plane ---
     residual(r, c, bSize, bw4, bh4, yMode, angleDeltaY, uvMode,
