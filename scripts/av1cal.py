@@ -121,22 +121,11 @@ def gen_lrsweep(av, n, seed):
 
 
 def gen_s4sweep(av, n, seed):
-    av.avifEncoderSetCodecSpecificOption.restype = ctypes.c_int
-    av.avifEncoderSetCodecSpecificOption.argtypes = [
-        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_char_p]
-    rnd = lcg(seed)
-    for i in range(n):
-        w = 8 + rnd(49)
-        h = 8 + rnd(49)
-        depth = [8, 8, 10][rnd(3)]
-        fmt = [3, 1, 4][rnd(3)]
-        minq = 2 + rnd(38)
-        data = ahr.avif_encode(av, w, h, depth, fmt, False, seed + i * 977,
-                               opts=[("enable-cdef", "0"),
-                                     ("enable-restoration", "0")],
-                               smooth=(rnd(2) == 1), minq=minq,
-                               maxq=min(63, minq + 6 + rnd(14)), speed=4)
-        yield f"f{i:04d}", data
+    # Shared draw sequence — ahr.s4sweep_members is the only definition
+    # (ADVICE r17: a PRNG-identical local copy kept the banked repro
+    # names f0012/f0023 regenerable only by accident).
+    for name, data, _w, _h, _d, _f in ahr.s4sweep_members(av, n, seed):
+        yield name, data
 
 
 def gen_sweep(av, n, seed):

@@ -801,16 +801,16 @@ def cmd_cdefsweep(n, seed):
                               px_means=pm)))
 
 
-def cmd_s4sweep(n, seed):
-    """Live speed-4 differential members: small frames across the q
-    range, encoder speed 4 — the features aom only picks below speed 6
-    (filter-intra everywhere, deep tx splits, rare directional modes;
-    the r17 drill class). Same JSON shape as cmd_sweep. Sizes stay
-    <= 64x64: the known-open r17 classes (NOTES_r17) only reproduce on
-    larger frames, so this pins the FIXED surface without flaking on
-    the open one.
+def s4sweep_members(av, n, seed):
+    """THE definition of the speed-4 sweep draw sequence, shared by
+    cmd_s4sweep here and av1cal.py's full-plane calibration harness
+    (ADVICE r17: av1cal previously carried a PRNG-identical copy that
+    nothing enforced — banked repro names like f0012/f0023 are only
+    regenerable while the draw sequence is unique). Yields
+    (name, encoded_bytes, width, height, depth, fmt). Keyword-arg
+    evaluation order inside the avif_encode call is part of the
+    sequence — smooth draws before maxq.
     """
-    av = load_avif()
     av.avifEncoderSetCodecSpecificOption.restype = ctypes.c_int
     av.avifEncoderSetCodecSpecificOption.argtypes = [
         ctypes.c_void_p, ctypes.c_char_p, ctypes.c_char_p]
@@ -833,11 +833,25 @@ def cmd_s4sweep(n, seed):
                                  ("enable-restoration", "0")],
                            smooth=(rnd(2) == 1), minq=minq,
                            maxq=min(63, minq + 6 + rnd(14)), speed=4)
+        yield f"f{i:04d}", data, w, h, depth, fmt
+
+
+def cmd_s4sweep(n, seed):
+    """Live speed-4 differential members: small frames across the q
+    range, encoder speed 4 — the features aom only picks below speed 6
+    (filter-intra everywhere, deep tx splits, rare directional modes;
+    the r17 drill class). Same JSON shape as cmd_sweep. Sizes stay
+    <= 64x64: the known-open r17 classes (NOTES_r17) only reproduce on
+    larger frames, so this pins the FIXED surface without flaking on
+    the open one.
+    """
+    av = load_avif()
+    for name, data, w, h, depth, fmt in s4sweep_members(av, n, seed):
         rw, rh, rd, ra = avif_decode_info(av, data)
         assert (rw, rh, rd, ra) == (w, h, depth, False)
         sub = {3: (1, 1), 1: (0, 0), 4: (1, 1)}[fmt]
         pm = avif_decode_plane_means(av, data)
-        print(json.dumps(dict(name=f"f{i:04d}", hex=data.hex(), width=w,
+        print(json.dumps(dict(name=name, hex=data.hex(), width=w,
                               height=h, depth=depth,
                               has_alpha=False, mono=(fmt == 4),
                               sub_x=sub[0], sub_y=sub[1],

@@ -102,8 +102,12 @@ object Bench {
         val cpu = stat.linesIterator.next().trim.split("\\s+")
         // cpu user nice system idle iowait irq softirq steal ...
         val vals = cpu.drop(1).map(_.toLong)
+        // busy = user..steal (indices 0-7). guest/guest_nice (8/9) are
+        // already folded into user/nice by the kernel — summing them
+        // would double-count guest CPU on a virtualization host and
+        // spuriously trip the contamination gate.
         val busy = vals.zipWithIndex
-          .collect { case (v, i) if i != 3 && i != 4 => v }.sum
+          .collect { case (v, i) if i != 3 && i != 4 && i < 8 => v }.sum
         val self = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get("/proc/self/stat")))
         val after = self.substring(self.lastIndexOf(')') + 2).split(" ")

@@ -43,11 +43,14 @@ object Av1TxProbe {
       case 1 => adstBasis(n, k)
       case 2 => { val o = new Array[Double](n); o(k) = 1.0; o }
     }
-    // row kind applies over width, col kind over height (match kinds())
-    val (rowKind, colKind) = txType match {
-      case 0 => (0, 0)
-      case _ => (0, 0) // probe only DCT_DCT for now
-    }
+    // The float twin below only models the DCT basis; probing another
+    // txType against it would report false divergences (ADVICE r17).
+    // The basis coverage for ALL 16 types lives in Av1Spec's per-basis
+    // pin; this dev main stays DCT-only and says so loudly.
+    require(txType == 0,
+      s"Av1TxProbe models DCT_DCT only (got txType=$txType); " +
+        "use Av1Spec's all-tx-size basis test for other types")
+    val (rowKind, colKind) = (0, 0)
 
     // calibrate scale on DC
     def intOut(k: Int): Array[Int] = {
