@@ -175,6 +175,8 @@ object HevcDecoder {
     private var qgY = 0
     private val log2QgSize = log2Ctb - pps.diffCuQpDeltaDepth
 
+    private val traceQp = sys.env.contains("GRAFT_HEVCCAL_QP")
+
     // current CU state
     private var cuQp = sh.sliceQp
     private var cuQpComputed = false
@@ -483,6 +485,9 @@ object HevcDecoder {
       ensureCuQp()
       fillGrid(qpGrid, x0, y0, size, cuQp.toByte)
       lastCuQp = cuQp
+      if (traceQp)
+        println(s"[hevccal] QP cu($x0,$y0)x$size qp=$cuQp " +
+          s"delta=$cuQpDeltaVal pred=$cuPredPrepared prev=$qpPrev")
     }
 
     private def sameCtb(x1: Int, y1: Int, x2: Int, y2: Int): Boolean =
@@ -594,8 +599,10 @@ object HevcDecoder {
         log2Size: Int, depth: Int, blkIdx: Int, chromaMode: Int,
         cbfLuma: Boolean, cbfCb: Boolean, cbfCr: Boolean): Unit = {
       val chromaHere = !mono && (log2Size > 2 || blkIdx == 3)
-      val anyCbf = cbfLuma ||
-        (chromaHere && (cbfCb || cbfCr))
+      // the cu_qp_delta condition sees the (inherited) chroma cbfs on
+      // EVERY 4x4 leaf, not only the blkIdx==3 one (7.3.8.10's
+      // cbfChroma uses xBase/cbfDepthC when log2TrafoSize==2)
+      val anyCbf = cbfLuma || (!mono && (cbfCb || cbfCr))
       if (anyCbf && pps.cuQpDeltaEnabled && !isCuQpDeltaCoded) {
         // cu_qp_delta_abs: first bin ctx 0, next (up to 4) ctx 1, then
         // EG0 bypass; sign bypass
@@ -643,16 +650,20 @@ object HevcDecoder {
         val cSize = 1 << cLog2
         val cx = (if (log2Size > 2) x0 else xBase) >> 1
         val cy = (if (log2Size > 2) y0 else yBase) >> 1
-        ensureCuQp()
         HevcPredict.predict(cb, cW, cx, cy, cSize, chromaMode, 1, bd,
           sps.strongIntraSmoothing, sampleAvailC)
         if (cbfCb) {
+          // qp must only be resolved at an actual dequant site — an
+          // earlier cbf-less TU caching it would freeze the value
+          // before this CU's cu_qp_delta is parsed
+          ensureCuQp()
           val res = residualCoding(cx, cy, cLog2, 1, chromaMode)
           addResidual(cb, cW, cx, cy, cSize, res)
         }
         HevcPredict.predict(cr, cW, cx, cy, cSize, chromaMode, 2, bd,
           sps.strongIntraSmoothing, sampleAvailC)
         if (cbfCr) {
+          ensureCuQp()
           val res = residualCoding(cx, cy, cLog2, 2, chromaMode)
           addResidual(cr, cW, cx, cy, cSize, res)
         }
@@ -820,6 +831,14 @@ object HevcDecoder {
         cg -= 1
       }
 
+      if (traceQp && sys.env.get("GRAFT_HEVCCAL_COEF").exists(c =>
+          c == s"$x0,$y0,$cIdx")) {
+        println(s"[hevccal] COEF tb($x0,$y0)c$cIdx size=$size " +
+          s"scan=$scanIdx levels=" +
+          coefs.zipWithIndex.filter(_._1 != 0)
+            .map(t => s"(${t._2 % size},${t._2 / size})=${t._1}")
+            .mkString(" "))
+      }
       // dequant + inverse transform
       val qp =
         if (cIdx == 0) cuQp

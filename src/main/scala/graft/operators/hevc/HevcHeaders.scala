@@ -178,7 +178,12 @@ object HevcHeaders {
         entries = Array.tabulate(n)(_ => r.u(len) + 1)
       }
     }
-    r.byteAlign()
+    // byte_alignment() (7.3.2.10): an UNCONDITIONAL 1 bit, then zeros —
+    // it consumes a full byte when the header already ends aligned
+    if (r.u1() != 1) throw Malformed
+    while ((r.pos & 7) != 0) {
+      if (r.u1() != 0) throw Malformed
+    }
     if (qp < 0 || qp > 51) throw Malformed
     SliceHeader(qp, saoLuma, saoChroma, cbOff, crOff, entries, r.pos)
   }

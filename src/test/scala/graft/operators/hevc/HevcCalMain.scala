@@ -98,6 +98,34 @@ object HevcCalMain {
             }
           }
       }
+      if (sys.env.contains("GRAFT_HEVCCAL_HDR")) {
+        try {
+          val nals = graft.operators.hevc.HevcBits.annexBNals(data)
+          for (nal <- nals) {
+            val t = (nal(0) >> 1) & 0x3f
+            if (t <= 21) {
+              val rb = graft.operators.hevc.HevcBits.rbsp(nal, 2)
+              val sps2 = nals.collectFirst {
+                case n2 if ((n2(0) >> 1) & 0x3f) == 33 =>
+                  HevcHeaders.parseSps(
+                    graft.operators.hevc.HevcBits.rbsp(n2, 2))
+              }.get
+              val pps2 = nals.collectFirst {
+                case n2 if ((n2(0) >> 1) & 0x3f) == 34 =>
+                  HevcHeaders.parsePps(
+                    graft.operators.hevc.HevcBits.rbsp(n2, 2))
+              }.get
+              val r = new graft.operators.hevc.HevcBits.Reader(rb)
+              val sh2 = HevcHeaders.parseSliceHeader(r, t, sps2, pps2)
+              println(s"[hevccal] HDR $name qp=${sh2.sliceQp} " +
+                s"saoL=${sh2.saoLuma} saoC=${sh2.saoChroma} " +
+                s"entries=${sh2.entryPoints.mkString(",")} " +
+                s"dataBitPos=${sh2.dataBitPos} initQp=${pps2.initQp}")
+            }
+          }
+        } catch { case e: Throwable =>
+          println(s"[hevccal] HDR $name EX ${e.getMessage}") }
+      }
       try {
         (Some(HevcDecoder.decodeOrThrow(data)):
             Option[HevcDecoder.Planes]) match {
@@ -164,6 +192,9 @@ object HevcCalMain {
         case e: Throwable =>
           err += 1
           failures += s"$name: ${e.getClass.getSimpleName} ${e.getMessage}"
+          if (sys.env.contains("GRAFT_HEVCCAL_STACK"))
+            e.getStackTrace.take(6).foreach(f =>
+              println(s"[hevccal]   at $f"))
       } finally HevcDecoder.onTu = null
     }
     src.close()
