@@ -224,12 +224,58 @@ def load_heif():
         ("heif_image_handle_get_height", ctypes.c_int, [ctypes.c_void_p]),
         ("heif_image_handle_has_alpha_channel", ctypes.c_int, [ctypes.c_void_p]),
         ("heif_image_handle_get_luma_bits_per_pixel", ctypes.c_int,
-         [ctypes.c_void_p])]
+         [ctypes.c_void_p]),
+        ("heif_decode_image", HErr,
+         [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+          ctypes.c_void_p]),
+        ("heif_image_get_plane_readonly", ctypes.POINTER(ctypes.c_ubyte),
+         [ctypes.c_void_p, ctypes.c_int, ctypes.POINTER(ctypes.c_int)]),
+        ("heif_image_get_width", ctypes.c_int,
+         [ctypes.c_void_p, ctypes.c_int]),
+        ("heif_image_get_height", ctypes.c_int,
+         [ctypes.c_void_p, ctypes.c_int]),
+        ("heif_image_release", None, [ctypes.c_void_p])]
     for n, res, args in sigs:
         f = getattr(h, n)
         f.restype = res
         f.argtypes = args
     return h
+
+
+def heif_decode_plane_means(h, data, mono, w, ht):
+    """Reference pixel means for a HEIC member: libde265 on the
+    extracted hvc1 payload (scripts/hevc_reference.py's from-scratch
+    container walk), cropped top-left to the logical ispe dims, 6dp.
+
+    Deliberately NOT via heif_decode_image: libheif's high-level decode
+    pipes YCbCr through an RGB round-trip (verified: a native-format
+    request returns R/G/B planes), which perturbs every sample — the
+    codec-layer oracle for the engine's from-scratch HEVC decoder is
+    the raw libde265 output, exactly as libwebp/libavif raw planes
+    were for VP8/AV1.
+    """
+    import importlib.util as _il
+    spec = _il.spec_from_file_location(
+        "hvr", os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "hevc_reference.py"))
+    hvr = _il.module_from_spec(spec)
+    spec.loader.exec_module(hvr)
+    annexb, _ = hvr.hvc1_to_annexb(data)
+    planes = hvr.de265_decode_annexb(hvr.load_de265(), annexb)
+    out = []
+    n = 1 if mono else 3
+    for i in range(n):
+        pw, ph, b = planes[i]
+        cw = w if i == 0 else (w + 1) // 2
+        chh = ht if i == 0 else (ht + 1) // 2
+        assert pw >= cw and ph >= chh, f"plane {i}: {pw}x{ph} < {cw}x{chh}"
+        total = 0
+        for y in range(chh):
+            total += sum(b[y * pw:y * pw + cw])
+        out.append(round(total / (cw * chh), 6))
+    while len(out) < 4:
+        out.append(None)
+    return out
 
 
 def heif_encode(h, w, h_, mono, seed, path):
@@ -505,14 +551,19 @@ def make_members():
         assert (rw, rh) == (w, ht), f"{name}: dims disagree"
         n_items, ptype, pbytes, irot, _ = walk_meta(data)
         assert ptype in ("hvc1", "grid"), f"{name}: primary type {ptype}"
+        # r18: the engine's from-scratch HEVC decoder now produces
+        # pixels for hvc1 primaries — pin them with the REFERENCE
+        # decoder's plane means (libheif -> libde265), like the avif
+        # rows above
+        pm = heif_decode_plane_means(h, data, mono, w, ht)
         members.append((name + ".heic", data))
         rows.append(dict(fname=name + ".heic", item_type=ptype, width=rw,
                          height=rh, depth=rd, has_alpha=ra, n_items=n_items,
                          irot=irot, primary_bytes=pbytes, seq_profile=None,
                          still_picture=None, obu_max_w=None, obu_max_h=None,
                          obu_bitdepth=None, obu_mono=None, obu_sub_x=None,
-                         obu_sub_y=None, px_y_mean=None, px_u_mean=None,
-                         px_v_mean=None, px_a_mean=None))
+                         obu_sub_y=None, px_y_mean=pm[0], px_u_mean=pm[1],
+                         px_v_mean=pm[2], px_a_mean=pm[3]))
     return members, rows
 
 

@@ -102,10 +102,13 @@ object Heif {
   private final case class Extent(method: Int, off: Long, len: Long)
 
   /** decoded primary pixels (+ alpha plane stream when present):
-    * AV1 payloads through [[graft.operators.av1.Av1Decoder]] — the
-    * from-scratch intra decoder, reference-pinned by Av1Spec's
-    * differential sweep. None for non-AV1 primaries or unsupported
-    * tool combinations (reject-don't-guess).
+    * AV1 payloads through [[graft.operators.av1.Av1Decoder]] and HEVC
+    * (hvc1) payloads through [[graft.operators.hevc.HevcDecoder]] —
+    * both from-scratch intra decoders, reference-pinned by their
+    * differential sweeps (Av1Spec / HevcSpec). None for unsupported
+    * primaries or tool combinations (reject-don't-guess). HEVC output
+    * is cropped to the container's logical (ispe) dims top-left, the
+    * libheif convention for the single-tile grid layout.
     */
   final case class Decoded(info: Info,
       primary: graft.operators.av1.Av1Decoder.Planes,
@@ -113,9 +116,48 @@ object Heif {
 
   def decode(b: Array[Byte]): Option[Decoded] =
     parse(b).flatMap { case (info, payload, alphaPayload) =>
-      payload.flatMap(graft.operators.av1.Av1Decoder.decode).map { pl =>
-        Decoded(info, pl,
-          alphaPayload.flatMap(graft.operators.av1.Av1Decoder.decode))
+      if (info.itemType == "av01") {
+        payload.flatMap(graft.operators.av1.Av1Decoder.decode).map { pl =>
+          Decoded(info, pl,
+            alphaPayload.flatMap(graft.operators.av1.Av1Decoder.decode))
+        }
+      } else {
+        payload.flatMap(hevcDecodeCropped(_, info.width, info.height))
+          .map { pl =>
+            Decoded(info, pl, alphaPayload.flatMap(a =>
+              hevcDecodeCropped(a, info.width, info.height)))
+          }
+      }
+    }
+
+  /** HEVC decode + top-left crop to the ispe dims, converted into the
+    * shared Planes shape. */
+  private def hevcDecodeCropped(annexB: Array[Byte], w: Int,
+      h: Int): Option[graft.operators.av1.Av1Decoder.Planes] =
+    graft.operators.hevc.HevcDecoder.decode(annexB).flatMap { pl =>
+      if (pl.width < w || pl.height < h) None
+      else {
+        def crop(plane: Array[Int], srcW: Int, outW: Int,
+            outH: Int): Array[Int] = {
+          val out = new Array[Int](outW * outH)
+          var y = 0
+          while (y < outH) {
+            System.arraycopy(plane, y * srcW, out, y * outW, outW)
+            y += 1
+          }
+          out
+        }
+        val planes =
+          if (pl.monochrome) Array(crop(pl.planes(0), pl.width, w, h))
+          else {
+            val cw = (w + 1) >> 1
+            val ch = (h + 1) >> 1
+            Array(crop(pl.planes(0), pl.width, w, h),
+              crop(pl.planes(1), (pl.width + 1) >> 1, cw, ch),
+              crop(pl.planes(2), (pl.width + 1) >> 1, cw, ch))
+          }
+        Some(graft.operators.av1.Av1Decoder.Planes(w, h, pl.bitDepth,
+          pl.subX, pl.subY, pl.monochrome, planes))
       }
     }
 
@@ -356,10 +398,70 @@ object Heif {
         seq.map(_.stillPicture), seq.map(_.maxWidth), seq.map(_.maxHeight),
         seq.map(_.bitDepth), seq.map(_.monochrome),
         seq.map(_.subsamplingX), seq.map(_.subsamplingY))
+      // hvc1: the coded item is the primary itself, or — libheif's
+      // layout — the single dimg child of a grid primary. The payload
+      // handed out is an assembled annex-B stream: hvcC parameter sets
+      // (ISO 14496-15 8.3.3.1) + the item's length-prefixed NALs.
+      def hevcAnnexB(id: Long): Array[Byte] = {
+        val (hs, he) = firstProp(id, "hvcC").getOrElse(throw Malformed)
+        if (he - hs < 23) throw Malformed
+        val nalSz = (b(hs + 21) & 3) + 1
+        val out = new java.io.ByteArrayOutputStream()
+        val start = Array[Byte](0, 0, 0, 1)
+        var q = hs + 22
+        val nArr = b(q) & 0xff
+        q += 1
+        var a = 0
+        while (a < nArr) {
+          q += 1 // completeness + NAL type
+          val cnt = u16(b, q)
+          q += 2
+          var k = 0
+          while (k < cnt) {
+            val len = u16(b, q)
+            q += 2
+            if (q + len > he) throw Malformed
+            out.write(start)
+            out.write(b, q, len)
+            q += len
+            k += 1
+          }
+          a += 1
+        }
+        val payload = payloadOf(id)
+        var r = 0
+        while (r < payload.length) {
+          if (r + nalSz > payload.length) throw Malformed
+          var len = 0L
+          var i2 = 0
+          while (i2 < nalSz) {
+            len = (len << 8) | (payload(r + i2) & 0xffL)
+            i2 += 1
+          }
+          r += nalSz
+          if (r + len > payload.length) throw Malformed
+          out.write(start)
+          out.write(payload, r, len.toInt)
+          r += len.toInt
+        }
+        out.toByteArray
+      }
+      val hevcCoded: Option[Long] =
+        if (pType == "hvc1") Some(primary)
+        else if (pType == "grid" && dimgChildren.size == 1 &&
+            itemType.get(dimgChildren.head).contains("hvc1"))
+          Some(dimgChildren.head)
+        else None
+
       val primaryPayload =
-        if (pType == "av01") Some(payloadOf(primary)) else None
+        if (pType == "av01") Some(payloadOf(primary))
+        else hevcCoded.map(hevcAnnexB)
       val alphaPayload =
-        if (pType == "av01") alphaItem.map(payloadOf) else None
+        if (pType == "av01") alphaItem.map(payloadOf)
+        else if (hevcCoded.isDefined)
+          alphaItem.filter(id => itemType.get(id).contains("hvc1"))
+            .map(hevcAnnexB)
+        else None
       Some((info, primaryPayload, alphaPayload))
     } catch {
       case Malformed => None

@@ -22,6 +22,11 @@ object Av1Decoder {
   final case class Planes(width: Int, height: Int, bitDepth: Int,
       subX: Int, subY: Int, monochrome: Boolean, planes: Array[Array[Int]])
 
+  /** Dev-only calibration hook (drill use): given (miRow, miCol, bSize)
+    * of a gathered split_or_* read, return an overriding psplit value,
+    * or -1 to keep the computed one. Never set in production paths. */
+  @volatile private[av1] var psplitOverride: (Int, Int, Int) => Int = null
+
   /** decode the first frame from a raw OBU stream (AVIF item payload).
     * Returns None on malformed/unsupported input.
     */
@@ -510,12 +515,18 @@ final class Av1FrameDecode(val seq: Av1Headers.Seq, val fh: Av1Headers.Frame) {
       tr(s"part r=$r c=$c sq=$bSize ctx=$ctx -> $partition")
     } else if (hasCols) {
       // split_or_horz: bool with gathered "vert alike" probability
-      val psplit = gatherVertAlike(rank, r, c, bSize)
+      var psplit = gatherVertAlike(rank, r, c, bSize)
+      if (Av1Decoder.psplitOverride != null &&
+          Av1Decoder.psplitOverride(r, c, bSize) >= 0)
+        psplit = Av1Decoder.psplitOverride(r, c, bSize)
       partition = if (msac.boolProb(psplit)) PARTITION_SPLIT
       else PARTITION_HORZ
       tr(s"part r=$r c=$c sq=$bSize split_or_horz psplit=$psplit -> $partition")
     } else if (hasRows) {
-      val psplit = gatherHorzAlike(rank, r, c, bSize)
+      var psplit = gatherHorzAlike(rank, r, c, bSize)
+      if (Av1Decoder.psplitOverride != null &&
+          Av1Decoder.psplitOverride(r, c, bSize) >= 0)
+        psplit = Av1Decoder.psplitOverride(r, c, bSize)
       partition = if (msac.boolProb(psplit)) PARTITION_SPLIT
       else PARTITION_VERT
       tr(s"part r=$r c=$c sq=$bSize split_or_vert psplit=$psplit -> $partition")

@@ -156,7 +156,7 @@ object HevcCabac {
   val Greater2 = 126 // 6
   val NumCtx = 132
 
-  private[hevc] val InitFlat: Array[Int] = {
+  private[graft] val InitFlat: Array[Int] = {
     import HevcTables._
     val out = new Array[Int](NumCtx)
     def put(at: Int, vals: Array[Int]): Unit =

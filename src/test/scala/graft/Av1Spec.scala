@@ -57,15 +57,21 @@ class Av1Spec extends AnyFunSuite {
     }
   }
 
-  private def runSweep(cmd: String, n: Int, seed: Long): Unit = {
+  private def runSweep(cmd: String, n: Int, seed: Long,
+      exclude: Set[String] = Set.empty): Unit = {
     assume(new java.io.File("/usr/bin/python3").exists())
     assume(new java.io.File("/lib/x86_64-linux-gnu/libavif.so.15").exists())
     val p = new ProcessBuilder("python3",
       "scripts/avif_heif_reference.py", cmd, n.toString, seed.toString).start()
-    val lines = scala.io.Source.fromInputStream(p.getInputStream).getLines().toList
+    val allLines = scala.io.Source.fromInputStream(p.getInputStream)
+      .getLines().toList
     val err = new String(p.getErrorStream.readAllBytes(), "UTF-8")
     assert(p.waitFor() == 0, err.take(2000))
-    assert(lines.size === n)
+    assert(allLines.size === n)
+    val lines = allLines.filterNot(ln => exclude.exists(e =>
+      ln.contains("\"name\": \"" + e + "\"") ||
+        ln.contains("\"name\":\"" + e + "\"")))
+    assert(lines.size === n - exclude.size)
     def jhex(s: String): Array[Byte] = {
       val h = ("\"hex\":\\s*\"([0-9a-f]+)\"").r.findFirstMatchIn(s).get.group(1)
       h.grouped(2).map(x => Integer.parseInt(x, 16).toByte).toArray
@@ -103,6 +109,49 @@ class Av1Spec extends AnyFunSuite {
 
   test("LIVE cdef sweep: 30 heavy-q encodes with the CDEF search enabled decode exactly") {
     runSweep("cdefsweep", 30, 20260816L)
+  }
+
+  test("LIVE speed-4 sweep: 38/40 members decode exactly (the two OPEN " +
+      "divergence-class members are excluded BY NAME — NOTES_r18)") {
+    // f0012 (47x43) and f0023 (51x51) are the catalogued open speed-4
+    // divergence class (desync at a 32-aligned quadrant transition;
+    // drilled r17+r18, psplit-scan r18 excluded the gathered-read
+    // hypothesis). Excluding them BY NAME keeps the other 38 members'
+    // fixed surface pinned live; if either starts passing, remove it
+    // here so the pin tightens.
+    runSweep("s4sweep", 40, 20260816L, exclude = Set("f0012", "f0023"))
+  }
+
+  test("GOLDEN: loop-restoration (wiener) streams decode to the reference planes") {
+    // r18: 4 committed speed-4 aom encodes whose restoration units are
+    // WIENER (live-hunted: 16/60 speed-4 restoration members carried
+    // wiener units and decoded pixel-exact; these four pin the filter
+    // path binary-independently — closes the r17 wiener-validation gap)
+    val in = getClass.getResourceAsStream("/graft/av1_wiener_goldens.jsonl")
+    assert(in != null, "av1_wiener_goldens.jsonl missing")
+    val lines = scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().filter(_.nonEmpty).toList
+    assert(lines.size === 4)
+    def sfield(s: String, k: String): String =
+      ("\"" + k + "\":\\s*\"([^\"]*)\"").r.findFirstMatchIn(s).get.group(1)
+    def hashes(s: String): Seq[String] =
+      ("\"plane_sha256\":\\s*\\[([^\\]]*)\\]").r.findFirstMatchIn(s).get
+        .group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq
+    for (ln <- lines) {
+      val name = sfield(ln, "name")
+      val payload = sfield(ln, "payload")
+        .grouped(2).map(x => Integer.parseInt(x, 16).toByte).toArray
+      val res = Av1Decoder.decode(payload)
+        .getOrElse(fail(s"$name rejected"))
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val exp = hashes(ln)
+      for (pl <- res.planes.indices) {
+        md.reset()
+        val bytes = res.planes(pl).map(v => (v & 0xff).toByte)
+        val got = md.digest(bytes).map("%02x".format(_)).mkString
+        assert(got === exp(pl), s"$name plane $pl")
+      }
+    }
   }
 
   test("scan generator matches the committed library goldens") {
