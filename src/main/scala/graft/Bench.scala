@@ -245,6 +245,56 @@ object Bench {
     * when None (e.g. the sf3 settlement) only the live pairing reports.
     * Returns the gate as one JSON object.
     */
+  /** Environment attribution probes (VERDICT r17 item 4: BENCH_r17's
+    * sf10 artifact read 1.93 while every quiet-box run read 1.19-1.28,
+    * and the external-CPU gate was blind to the cause — the candidates
+    * are a page-cache-cold staged twin and memory-bandwidth
+    * contention). Stamped per gate so a future >bar artifact carries
+    * its own machine-checked attribution:
+    *  - rereadMbps: sequential re-read throughput of the staged dir —
+    *    a page-cache residency proxy (warm cache reads at memory
+    *    speed, a cold twin at disk speed). Running it BEFORE the
+    *    timed rounds doubles as the re-warm (the sf10 analogue of the
+    *    sf1 discard rule).
+    *  - membwGbps: single-thread copy bandwidth over 256 MiB — a
+    *    memory-bandwidth-contention covariate.
+    */
+  private[graft] object EnvProbe {
+    def rereadMbps(dir: String): Double =
+      try {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isFile) Seq(f)
+          else Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        val files = walk(new java.io.File(dir))
+        val buf = new Array[Byte](1 << 20)
+        var bytes = 0L
+        val t0 = System.nanoTime()
+        files.foreach { f =>
+          val in = new java.io.FileInputStream(f)
+          try {
+            var n = 0
+            while ({ n = in.read(buf); n > 0 }) bytes += n
+          } finally in.close()
+        }
+        val sec = (System.nanoTime() - t0) / 1e9
+        if (sec <= 0 || bytes == 0) -1.0 else bytes / 1e6 / sec
+      } catch { case _: Exception => -1.0 }
+
+    def membwGbps(): Double =
+      try {
+        val n = 64 << 20 // 256 MiB as ints
+        val a = new Array[Int](n / 4)
+        val b = new Array[Int](n / 4)
+        System.arraycopy(a, 0, b, 0, a.length) // page-in
+        val t0 = System.nanoTime()
+        var i = 0
+        while (i < 4) { System.arraycopy(a, 0, b, 0, a.length); i += 1 }
+        val sec = (System.nanoTime() - t0) / 1e9
+        // 4 copies x read+write of 256 MiB
+        (4.0 * 2 * n) / 1e9 / sec
+      } catch { case _: Exception => -1.0 }
+  }
+
   private[graft] def interleavedGate(
       spark: SparkSession, dir: String, rounds: Int,
       committed: Option[Map[String, Double]]): String = {
@@ -292,6 +342,9 @@ object Bench {
     val sparkRounds = Array.fill(rounds)(Map.empty[String, Double])
     val duckRounds = Array.fill(rounds)(Option.empty[Map[String, Double]])
     val extCores = Array.fill(rounds)(-1.0)
+    val roundWall = Array.fill(rounds)(-1.0)
+    var rereadBefore = -1.0
+    var membwBefore = -1.0
     var dirtyRounds = 0
     // external-CPU gate per round (cores); contaminated rounds re-run
     val extGate =
@@ -305,6 +358,9 @@ object Bench {
       // before any timed round — the r10 item-8 gate.
       loadAtGate = awaitQuiet(
         sys.env.getOrElse("SPARK_GRAFT_QUIET_WAIT", "240").toInt)
+      // attribution stamps + cache re-warm (see EnvProbe)
+      rereadBefore = EnvProbe.rereadMbps(staged1)
+      membwBefore = EnvProbe.membwGbps()
       var r = 0
       val maxDiscards = rounds * 2 // bounded: a never-quiet box still ends
       while (r < rounds) {
@@ -332,6 +388,7 @@ object Bench {
           dirtyRounds += 1
         } else {
           extCores(r) = ext
+          roundWall(r) = (System.nanoTime() - w0) / 1e9
           r += 1
         }
       }
@@ -361,7 +418,9 @@ object Bench {
       }
     }
     val extField = extCores.map(v => f"$v%.2f").mkString("[", ",", "]")
-    s"""{"queries":${fmt(sfResults)},"total_sec":${f"$sfTotal%.4f"}$committedField$liveField,"rounds":$rounds,"shuffle_width":$width,"load1_before":${f"$load1Before%.2f"},"load1_gate":${f"$loadAtGate%.2f"},"load_gate_ok":${loadAtGate <= QuietLoad},"load1_after":${f"$load1After%.2f"},"ext_cores":$extField,"dirty_rounds":$dirtyRounds,"ext_gate":${f"$extGate%.2f"}}"""
+    val wallField = roundWall.map(v => f"$v%.1f").mkString("[", ",", "]")
+    val membwAfter = EnvProbe.membwGbps()
+    s"""{"queries":${fmt(sfResults)},"total_sec":${f"$sfTotal%.4f"}$committedField$liveField,"rounds":$rounds,"shuffle_width":$width,"load1_before":${f"$load1Before%.2f"},"load1_gate":${f"$loadAtGate%.2f"},"load_gate_ok":${loadAtGate <= QuietLoad},"load1_after":${f"$load1After%.2f"},"ext_cores":$extField,"dirty_rounds":$dirtyRounds,"ext_gate":${f"$extGate%.2f"},"round_wall_sec":$wallField,"reread_mbps":${f"$rereadBefore%.0f"},"membw_gbps":[${f"$membwBefore%.1f"},${f"$membwAfter%.1f"}]}"""
   }
 
   /** Per-query maps stripped from gate JSON for the stdout compact line

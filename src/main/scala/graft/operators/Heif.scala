@@ -6,9 +6,10 @@ package graft.operators
   * reference-pinned ingest of the two formats crawls now serve to
   * Chrome/Safari. This operator is the CONTAINER layer (the part a
   * 100 TB ingest needs for routing, stats, dedup keys and decode
-  * budgeting); AV1/HEVC sample decode is the scoped next step — see
-  * NOTES_r16 (goldens are generatable on this runtime, so the decode
-  * work is oracle-able the way VP8 was in r15).
+  * budgeting). Sample decode now covers BOTH payload codecs: av01
+  * via [[graft.operators.av1.Av1Decoder]] (r16-r17) and hvc1 via
+  * [[graft.operators.hevc.HevcDecoder]] (r18) — each a from-scratch
+  * intra decoder reference-pinned by its differential sweep.
   *
   * Layout (public ISOBMFF / HEIF / AVIF specs — ISO 14496-12, 23008-12,
   * AOM AVIF): ftyp brand, then a `meta` FULL box holding hdlr('pict'),

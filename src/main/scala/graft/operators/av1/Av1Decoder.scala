@@ -7,7 +7,8 @@ package graft.operators.av1
   *
   * Scope: KEY / INTRA_ONLY still frames (the AVIF payload shape),
   * including palette / screen-content coding ([[Av1Palette]]) and
-  * loop restoration ([[Av1Restoration]], r17). Still deferred
+  * loop restoration ([[Av1Restoration]], r17; wiener pixel-validated
+  * live + 4 committed goldens in r18). Still deferred
   * (reject loudly, each with a revisit trigger in SURVEY §8):
   * intrabc, segmentation features beyond alt-Q, qmatrix, film grain,
   * superres, 4:2:2 and 12-bit. Known-open low-speed divergence
