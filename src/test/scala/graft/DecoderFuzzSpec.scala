@@ -34,7 +34,10 @@ class DecoderFuzzSpec extends AnyFunSuite {
     "vp8DecodeYuv" -> graft.operators.Vp8.decodeYuv _,
     // r16: ICO/CUR directory walk + HEIF-family container walk
     "icoEntries" -> graft.operators.Ico.entries _,
-    "heifInfo" -> graft.operators.Heif.info _)
+    "heifInfo" -> graft.operators.Heif.info _,
+    // r18: full pixel decode of both HEIF payload codecs + raw HEVC
+    "heifDecode" -> graft.operators.Heif.decode _,
+    "hevcDecode" -> graft.operators.hevc.HevcDecoder.decode _)
 
   /** Committed reference-encoded members for the valid set (r15). */
   private def lossyWebp(name: String): Array[Byte] = {
@@ -80,7 +83,17 @@ class DecoderFuzzSpec extends AnyFunSuite {
     "avif" -> graft.queries.Curation.avifHeifMembers()
       .find(_._1 == "a420_7x5.avif").get._2,
     "heic" -> graft.queries.Curation.avifHeifMembers()
-      .find(_._1 == "h420_31x17.heic").get._2)
+      .find(_._1 == "h420_31x17.heic").get._2,
+    // r18: a raw annex-B HEVC elementary stream (from the committed
+    // goldens — WPP member, exercises the substream plumbing)
+    "hevcraw" -> {
+      val in = getClass.getResourceAsStream("/graft/hevc_goldens.jsonl")
+      val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      in.close()
+      val ln = lines.find(_.contains("\"name\": \"wpp\"")).get
+      val h = "\"hex\":\\s*\"([0-9a-f]+)\"".r.findFirstMatchIn(ln).get.group(1)
+      h.grouped(2).map(x => Integer.parseInt(x, 16).toByte).toArray
+    })
 
   private def mustNotThrow(what: String, bytes: Array[Byte],
       name: String, f: Array[Byte] => Any): Unit =
