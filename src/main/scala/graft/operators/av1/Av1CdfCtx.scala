@@ -87,6 +87,8 @@ final class Av1CdfCtx(qctx: Int) {
 
   // coef cdfs for this q context
   val txbSkip: Array[Array[Int]] = qrows("txb_skip") // [5 txSzCtx][13]
+  if (Av1CdfCtx.txbSkipOverrideRow >= 0)
+    txbSkip(Av1CdfCtx.txbSkipOverrideRow)(0) = Av1CdfCtx.txbSkipOverrideVal
   val eobExtra: Array[Array[Int]] = qrows("eob_extra") // [5][2][9]
   val dcSign: Array[Array[Int]] = qrows("dc_sign") // [2][3]
   val eobPt16: Array[Array[Int]] = qrows("eob_pt_16") // [2 pl][2 ctx]
@@ -105,4 +107,7 @@ object Av1CdfCtx {
   // dev-time brute-force hooks (see Av1UvGateBrute); -1 = use defaults
   @volatile var uvGateOverride: Int = -1
   @volatile var uvGate1Override: Int = -1
+  // dev-time row-value scan hook (r18 64-class drill, Av1RowScan)
+  @volatile var txbSkipOverrideRow: Int = -1
+  @volatile var txbSkipOverrideVal: Int = 0
 }

@@ -11,10 +11,11 @@ package graft.operators.av1
   * live + 4 committed goldens in r18). Still deferred
   * (reject loudly, each with a revisit trigger in SURVEY §8):
   * intrabc, segmentation features beyond alt-Q, qmatrix, film grain,
-  * superres, 4:2:2 and 12-bit. Known-open low-speed divergence
-  * classes (encoder speed <= 4 only; unreachable from libavif-wild
-  * streams) are catalogued in NOTES_r17 with regenerable repros
-  * (scripts/av1cal.py s4sweep).
+  * superres, 4:2:2 and 12-bit. The r17 low-speed divergence classes
+  * all CLOSED in r18 (filter-intra tx-type direction, pixel-count
+  * dequant tx-scale, real-dims coeff-base shape rule — NOTES_r18);
+  * the nine class members are committed goldens
+  * (av1_s4class_goldens.jsonl, regenerable via scripts/av1one.py).
   */
 object Av1Decoder {
   import Av1Consts._
@@ -27,6 +28,14 @@ object Av1Decoder {
     * of a gathered split_or_* read, return an overriding psplit value,
     * or -1 to keep the computed one. Never set in production paths. */
   @volatile private[av1] var psplitOverride: (Int, Int, Int) => Int = null
+
+  /** Dev-only drill hook: called after each block's reconstruction with
+    * (state, miRow, miCol, bSize, filterIntraMode [-1 if unused]). A
+    * harness can overwrite the block's reconstructed pixels with
+    * reference values to test whether the entropy stream is still in
+    * sync downstream (pixel-bug vs desync discriminator). Never set in
+    * production paths. */
+  @volatile private[av1] var blockPatch: (Av1FrameDecode, Int, Int, Int, Int) => Unit = null
 
   /** decode the first frame from a raw OBU stream (AVIF item payload).
     * Returns None on malformed/unsupported input.
@@ -895,6 +904,9 @@ final class Av1FrameDecode(val seq: Av1Headers.Seq, val fh: Av1Headers.Frame) {
       angleDeltaUV, cflAlphaU, cflAlphaV, skip, txSz, hasChroma, lossless,
       if (useFilterIntra) filterIntraMode else -1, palSizeY > 0,
       palSizeUV > 0)
+    if (Av1Decoder.blockPatch != null)
+      Av1Decoder.blockPatch(this, r, c, bSize,
+        if (useFilterIntra) filterIntraMode else -1)
   }
 
   private def readDeltaQIndex(bSize: Int, skip: Boolean): Unit = {

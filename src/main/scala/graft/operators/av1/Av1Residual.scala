@@ -43,10 +43,13 @@ object Av1Residual {
     }
 
   /** filter-intra mode -> implied intra direction (spec
-    * Filter_Intra_Mode_To_Intra_Dir) for the tx-type cdf index
+    * Filter_Intra_Mode_To_Intra_Dir) for the tx-type cdf index.
+    * FILTER_PAETH maps to DC_PRED (not PAETH_PRED) — the r18 speed-4
+    * drill found the PAETH mapping desyncs the explicit tx_type read
+    * of filter-intra blocks (wrong intra-direction cdf row).
     */
   private val FiToDir: Array[Int] =
-    Array(DC_PRED, V_PRED, H_PRED, D157_PRED, PAETH_PRED)
+    Array(DC_PRED, V_PRED, H_PRED, D157_PRED, DC_PRED)
 
   def predictAndReconstruct(d: Av1FrameDecode, plane: Int, x: Int,
       y: Int, txSz: Int, modeIn: Int, angleDelta: Int, skip: Boolean,
@@ -488,7 +491,12 @@ object Av1Residual {
         level = msac.symbol(
           cdf.coeffBaseEob(txpl(txSzCtx, ptype, 5) * 4 + ctx), 3) + 1
       } else {
-        val ctx = baseCtx(levels, stride, row, col, pos, cls, cw, ch)
+        // the 2D shape rule (tall +11 / wide +16) compares the REAL tx
+        // dims, not the 32-clipped coded area: TX_32X64/TX_64X32 clip
+        // to a 32x32 coded square but keep their tall/wide base-ctx
+        // offsets (the r18 10-bit drill: a 32x64 whole-tx block decoded
+        // its (0,3) coefficient with the square table and desynced).
+        val ctx = baseCtx(levels, stride, row, col, pos, cls, w, h)
         level = msac.symbol(
           cdf.coeffBase(txpl(txSzCtx, ptype, 5) * 42 + ctx), 4)
       }
@@ -514,9 +522,13 @@ object Av1Residual {
     val out = new Array[Int](w * h)
     val dcq = d.dcQuant(plane)
     val acq = d.acQuant(plane)
-    val shift = if (TxSizeSqrUp(txSz) == TX_64X64) 2
-    else if (TxSizeSqrUp(txSz) == TX_32X32) 1
-    else 0
+    // dequant down-shift is PIXEL-COUNT based (spec get_tx_scale:
+    // (pels > 256) + (pels > 1024)), NOT square-up-size based: TX_8X32
+    // and TX_32X8 (256 pels, square-up 32x32) take shift 0, and
+    // TX_16X64 / TX_64X16 (1024 pels, square-up 64x64) take shift 1.
+    // The r18 q45 drill found the square-up rule halving every TX_8X32
+    // residual (block-exact repro: q45_no2 mi(8,26), NOTES_r18).
+    val shift = (if (w * h > 256) 1 else 0) + (if (w * h > 1024) 1 else 0)
     val clampHi = (1 << (d.bd + 7)) - 1
     var culLevel = 0
     var dcCat = 0

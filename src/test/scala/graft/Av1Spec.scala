@@ -111,15 +111,14 @@ class Av1Spec extends AnyFunSuite {
     runSweep("cdefsweep", 30, 20260816L)
   }
 
-  test("LIVE speed-4 sweep: 38/40 members decode exactly (the two OPEN " +
-      "divergence-class members are excluded BY NAME — NOTES_r18)") {
-    // f0012 (47x43) and f0023 (51x51) are the catalogued open speed-4
-    // divergence class (desync at a 32-aligned quadrant transition;
-    // drilled r17+r18, psplit-scan r18 excluded the gathered-read
-    // hypothesis). Excluding them BY NAME keeps the other 38 members'
-    // fixed surface pinned live; if either starts passing, remove it
-    // here so the pin tightens.
-    runSweep("s4sweep", 40, 20260816L, exclude = Set("f0012", "f0023"))
+  test("LIVE speed-4 sweep: all 40 members decode exactly") {
+    // The r17 "open speed-4 divergence class" (f0012/f0023, desync at a
+    // 32-aligned quadrant transition) closed in r18: the first misread
+    // was the explicit tx_type of FILTER_PAETH filter-intra blocks
+    // (Filter_Intra_Mode_To_Intra_Dir maps mode 4 to DC_PRED, not
+    // PAETH_PRED), surfaced by the exact-neighbor block-patch audit
+    // (Av1BlockPatch). No exclusions remain.
+    runSweep("s4sweep", 40, 20260816L)
   }
 
   test("GOLDEN: loop-restoration (wiener) streams decode to the reference planes") {
@@ -148,6 +147,51 @@ class Av1Spec extends AnyFunSuite {
       for (pl <- res.planes.indices) {
         md.reset()
         val bytes = res.planes(pl).map(v => (v & 0xff).toByte)
+        val got = md.digest(bytes).map("%02x".format(_)).mkString
+        assert(got === exp(pl), s"$name plane $pl")
+      }
+    }
+  }
+
+  test("GOLDEN: the r17/r18 speed-4 divergence-class members decode to the reference planes") {
+    // The banked open-class repros, committed the round their classes
+    // closed (r18; regenerable with scripts/av1one.py):
+    //  - lowq seeds 1234/9999 + q35_sm seed 4242 (120x90): closed by
+    //    FiToDir[FILTER_PAETH] = DC_PRED (tx_type cdf row desync),
+    //  - q45 seeds 1234/9999 (120x90): closed by the pixel-count
+    //    get_tx_scale dequant rule (TX_8X32 residuals were halved),
+    //  - m10hi/m10mono/y10hi/f0000 (25x49 10-bit, whole-TX_32X64
+    //    blocks): closed by the tall/wide coeff-base ctx shape rule
+    //    using the REAL tx dims rather than the 32-clipped coded area.
+    // Binary-independent: payload + reference plane SHAs (8-bit: 1
+    // byte/sample; 10-bit: u16 LE), no encoder needed at test time.
+    val in = getClass.getResourceAsStream("/graft/av1_s4class_goldens.jsonl")
+    assert(in != null, "av1_s4class_goldens.jsonl missing")
+    val lines = scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().filter(_.nonEmpty).toList
+    assert(lines.size === 9)
+    def sfield(s: String, k: String): String =
+      ("\"" + k + "\":\\s*\"([^\"]*)\"").r.findFirstMatchIn(s).get.group(1)
+    def nfield(s: String, k: String): Int =
+      ("\"" + k + "\":\\s*(\\d+)").r.findFirstMatchIn(s).get.group(1).toInt
+    def hashes(s: String): Seq[String] =
+      ("\"plane_sha256\":\\s*\\[([^\\]]*)\\]").r.findFirstMatchIn(s).get
+        .group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq
+    for (ln <- lines) {
+      val name = sfield(ln, "name")
+      val depth = nfield(ln, "depth")
+      val payload = sfield(ln, "payload")
+        .grouped(2).map(x => Integer.parseInt(x, 16).toByte).toArray
+      val res = Av1Decoder.decode(payload)
+        .getOrElse(fail(s"$name rejected"))
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val exp = hashes(ln)
+      for (pl <- res.planes.indices) {
+        md.reset()
+        val bytes =
+          if (depth == 8) res.planes(pl).map(v => (v & 0xff).toByte)
+          else res.planes(pl).flatMap(v =>
+            Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte))
         val got = md.digest(bytes).map("%02x".format(_)).mkString
         assert(got === exp(pl), s"$name plane $pl")
       }
