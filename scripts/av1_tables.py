@@ -391,6 +391,29 @@ def extract():
             assert b >= a, (qname, 'not monotonic')
         assert gav.find(aom[i:i + 512]) >= 0, (qname, 'gav1 missing')
         qtabs.append((qname, [256], 0, [tuple(vals)]))
+    # 12-bit dc/ac tables (r18: the 12-bit trigger fired — libavif
+    # encodes profile-2 12-bit streams on this runtime). gav1 does not
+    # carry a u16/u32 copy; the independent confirmation is dav1d's
+    # INTERLEAVED per-qindex (dc, ac) pair table, matched pairwise over
+    # all 256 entries.
+    i12dc = aom.find(struct.pack('<8H', 4, 12, 18, 25, 33, 41, 50, 60))
+    i12ac = aom.find(struct.pack('<8H', 4, 13, 19, 27, 35, 44, 54, 64))
+    assert i12dc >= 0 and i12ac >= 0, '12-bit q tables missing'
+    dc12 = u16s(aom[i12dc:i12dc + 512])
+    ac12 = u16s(aom[i12ac:i12ac + 512])
+    for tab in (dc12, ac12):
+        for a, b in zip(tab, tab[1:]):
+            assert b >= a, '12-bit q not monotonic'
+    inter = []
+    for dd, aa in zip(dc12, ac12):
+        inter += [dd, aa]
+    k = dav.find(struct.pack('<24H', *inter[:24]))
+    assert k >= 0, 'dav1d interleaved 12-bit q missing'
+    dgot = u16s(dav[k:k + 1024])
+    assert all(dgot[2 * j] == dc12[j] and dgot[2 * j + 1] == ac12[j]
+               for j in range(256)), 'dav1d 12-bit q mismatch'
+    qtabs.append(('dc_q_12', [256], 0, [tuple(dc12)]))
+    qtabs.append(('ac_q_12', [256], 0, [tuple(ac12)]))
     out.extend(qtabs)
 
     return out, stats

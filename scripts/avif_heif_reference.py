@@ -721,6 +721,44 @@ def cmd_sweep(n, seed):
                               px_means=pm)))
 
 
+def cmd_sweep12(n, seed):
+    """Live 12-bit differential members (same JSON shape as cmd_sweep):
+    profile-2 streams across 420/444/422/mono at mixed speeds — the
+    r18-fired 12-bit trigger's permanent live surface."""
+    av = load_avif()
+    av.avifEncoderSetCodecSpecificOption.restype = ctypes.c_int
+    av.avifEncoderSetCodecSpecificOption.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_char_p]
+    rng_state = seed
+
+    def rnd(bound):
+        nonlocal rng_state
+        rng_state = (rng_state * 6364136223846793005
+                     + 1442695040888963407) % (1 << 64)
+        return (rng_state >> 33) % bound
+
+    for i in range(n):
+        w = 8 + rnd(120)
+        h = 8 + rnd(96)
+        fmt = [3, 1, 4, 2][rnd(4)]
+        minq = 2 + rnd(48)
+        data = avif_encode(av, w, h, 12, fmt, False, seed + i * 977,
+                           opts=[("enable-cdef", str(rnd(2))),
+                                 ("enable-restoration", str(rnd(2)))],
+                           smooth=(rnd(2) == 1), minq=minq,
+                           maxq=min(63, minq + 6 + rnd(10)),
+                           speed=[4, 6][rnd(2)])
+        rw, rh, rd, ra = avif_decode_info(av, data)
+        assert (rw, rh, rd, ra) == (w, h, 12, False)
+        sub = {3: (1, 1), 2: (1, 0), 1: (0, 0), 4: (1, 1)}[fmt]
+        pm = avif_decode_plane_means(av, data)
+        print(json.dumps(dict(name=f"d{i:04d}", hex=data.hex(), width=w,
+                              height=h, depth=12,
+                              has_alpha=False, mono=(fmt == 4),
+                              sub_x=sub[0], sub_y=sub[1],
+                              px_means=pm)))
+
+
 def avif_encode_paletted(av, w, h, depth, fmt, seed, speed=6):
     """Encode a deterministic few-color screen-content-style image —
     sharp block-grid patterns with uncorrelated chroma geometry — the
@@ -938,6 +976,8 @@ if __name__ == "__main__":
         cmd_cdefsweep(int(sys.argv[2]), int(sys.argv[3]))
     elif len(sys.argv) > 1 and sys.argv[1] == "s4sweep":
         cmd_s4sweep(int(sys.argv[2]), int(sys.argv[3]))
+    elif len(sys.argv) > 1 and sys.argv[1] == "sweep12":
+        cmd_sweep12(int(sys.argv[2]), int(sys.argv[3]))
     elif len(sys.argv) > 1 and sys.argv[1] == "probe":
         cmd_probe()
     else:

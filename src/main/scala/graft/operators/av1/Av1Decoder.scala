@@ -6,16 +6,21 @@ package graft.operators.av1
   * applied by [[Av1LoopFilter]] / [[Av1Cdef]] from `decode()`.
   *
   * Scope: KEY / INTRA_ONLY still frames (the AVIF payload shape),
+  * all profiles — 8/10/12-bit, 4:2:0 / 4:2:2 / 4:4:4 / monochrome —
   * including palette / screen-content coding ([[Av1Palette]]) and
   * loop restoration ([[Av1Restoration]], r17; wiener pixel-validated
-  * live + 4 committed goldens in r18). Still deferred
+  * live + 4 committed goldens in r18). 12-bit shipped r18 when the
+  * encoder trigger fired (profile-2 streams became producible on the
+  * runtime): dav1d-pair-confirmed dc/ac_q_12 tables plus the F14
+  * deblock weight fix its validation sweep exposed. Still deferred
   * (reject loudly, each with a revisit trigger in SURVEY §8):
-  * intrabc, segmentation features beyond alt-Q, qmatrix, film grain,
-  * superres, 4:2:2 and 12-bit. The r17 low-speed divergence classes
-  * all CLOSED in r18 (filter-intra tx-type direction, pixel-count
-  * dequant tx-scale, real-dims coeff-base shape rule — NOTES_r18);
-  * the nine class members are committed goldens
-  * (av1_s4class_goldens.jsonl, regenerable via scripts/av1one.py).
+  * intrabc, segmentation features beyond alt-Q, qmatrix, film grain
+  * (apply_grain streams are not encoder-reachable here), superres.
+  * The r17 low-speed divergence classes all CLOSED in r18
+  * (filter-intra tx-type direction, pixel-count dequant tx-scale,
+  * real-dims coeff-base shape rule — NOTES_r18); the twelve class
+  * members are committed goldens (av1_s4class_goldens.jsonl,
+  * regenerable via scripts/av1one.py).
   */
 object Av1Decoder {
   import Av1Consts._
@@ -302,11 +307,18 @@ final class Av1FrameDecode(val seq: Av1Headers.Seq, val fh: Av1Headers.Frame) {
   private val refSgrXqd = Array.ofDim[Int](numPlanes, 2)
   val usesLr: Boolean = fh.lrType.take(numPlanes).exists(_ != 0)
 
-  private val dcQTab =
-    if (bd == 8) Av1Tables.flat("dc_q_8") else Av1Tables.flat("dc_q_10")
-  private val acQTab =
-    if (bd == 8) Av1Tables.flat("ac_q_8") else Av1Tables.flat("ac_q_10")
-  if (bd == 12) throw Unsupported("12-bit")
+  // 12-bit supported since r18 (profile-2 streams became encoder-
+  // reachable on this runtime; quant tables dav1d-pair-confirmed)
+  private val dcQTab = bd match {
+    case 8 => Av1Tables.flat("dc_q_8")
+    case 10 => Av1Tables.flat("dc_q_10")
+    case _ => Av1Tables.flat("dc_q_12")
+  }
+  private val acQTab = bd match {
+    case 8 => Av1Tables.flat("ac_q_8")
+    case 10 => Av1Tables.flat("ac_q_10")
+    case _ => Av1Tables.flat("ac_q_12")
+  }
 
   @inline private def dcQ(q: Int): Int = dcQTab(math.max(0, math.min(255, q)))
   @inline private def acQ(q: Int): Int = acQTab(math.max(0, math.min(255, q)))

@@ -20,6 +20,7 @@ object Av1LoopFilter {
       pw.close()
     }
     if (fh.deltaLfPresent) throw Unsupported("delta_lf")
+    if (System.getenv("GRAFT_AV1_NODEBLOCK") != null) return
     if (fh.lfLevel(0) == 0 && fh.lfLevel(1) == 0 &&
       fh.lfLevel(2) == 0 && fh.lfLevel(3) == 0) return
 
@@ -232,18 +233,22 @@ object Av1LoopFilter {
             ab(p5 - p0) <= flatT && ab(q5 - q0) <= flatT &&
             ab(p6 - p0) <= flatT && ab(q6 - q0) <= flatT
           if (flat && flat2) {
-            sp(5, r4(p6 * 7 + p5 * 2 + p4 + p3 + p2 + p1 + p0 + q0))
-            sp(4, r4(p6 * 5 + p5 * 2 + p4 * 2 + p3 + p2 + p1 + p0 + q0 + q1))
-            sp(3, r4(p6 * 4 + p5 + p4 * 2 + p3 * 2 + p2 + p1 + p0 + q0 + q1 + q2))
-            sp(2, r4(p6 * 3 + p5 + p4 + p3 * 2 + p2 * 2 + p1 + p0 + q0 + q1 + q2 + q3))
-            sp(1, r4(p6 * 2 + p5 + p4 + p3 + p2 * 2 + p1 * 2 + p0 + q0 + q1 + q2 + q3 + q4))
-            sp(0, r4(p6 + p5 + p4 + p3 + p2 + p1 * 2 + p0 * 2 + q0 + q1 + q2 + q3 + q4 + q5))
-            sq(0, r4(q6 + q5 + q4 + q3 + q2 + q1 * 2 + q0 * 2 + p0 + p1 + p2 + p3 + p4 + p5))
-            sq(1, r4(q6 * 2 + q5 + q4 + q3 + q2 * 2 + q1 * 2 + q0 + p0 + p1 + p2 + p3 + p4))
-            sq(2, r4(q6 * 3 + q5 + q4 + q3 * 2 + q2 * 2 + q1 + q0 + p0 + p1 + p2 + p3))
-            sq(3, r4(q6 * 4 + q5 + q4 * 2 + q3 * 2 + q2 + q1 + q0 + p0 + p1 + p2))
-            sq(4, r4(q6 * 5 + q5 * 2 + q4 * 2 + q3 + q2 + q1 + q0 + p0 + p1))
-            sq(5, r4(q6 * 7 + q5 * 2 + q4 + q3 + q2 + q1 + q0 + p0))
+            // each line's weights sum to 16 (unity gain) — the r18
+            // 12-bit drill caught a transcription that dropped one x2
+            // per line (sum 15), silent until flat2 could actually
+            // pass (flatT = 1 << (bd-8) is 16 at 12-bit, 1 at 8-bit)
+            sp(5, r4(p6 * 7 + p5 * 2 + p4 * 2 + p3 + p2 + p1 + p0 + q0))
+            sp(4, r4(p6 * 5 + p5 * 2 + p4 * 2 + p3 * 2 + p2 + p1 + p0 + q0 + q1))
+            sp(3, r4(p6 * 4 + p5 + p4 * 2 + p3 * 2 + p2 * 2 + p1 + p0 + q0 + q1 + q2))
+            sp(2, r4(p6 * 3 + p5 + p4 + p3 * 2 + p2 * 2 + p1 * 2 + p0 + q0 + q1 + q2 + q3))
+            sp(1, r4(p6 * 2 + p5 + p4 + p3 + p2 * 2 + p1 * 2 + p0 * 2 + q0 + q1 + q2 + q3 + q4))
+            sp(0, r4(p6 + p5 + p4 + p3 + p2 + p1 * 2 + p0 * 2 + q0 * 2 + q1 + q2 + q3 + q4 + q5))
+            sq(0, r4(q6 + q5 + q4 + q3 + q2 + q1 * 2 + q0 * 2 + p0 * 2 + p1 + p2 + p3 + p4 + p5))
+            sq(1, r4(q6 * 2 + q5 + q4 + q3 + q2 * 2 + q1 * 2 + q0 * 2 + p0 + p1 + p2 + p3 + p4))
+            sq(2, r4(q6 * 3 + q5 + q4 + q3 * 2 + q2 * 2 + q1 * 2 + q0 + p0 + p1 + p2 + p3))
+            sq(3, r4(q6 * 4 + q5 + q4 * 2 + q3 * 2 + q2 * 2 + q1 + q0 + p0 + p1 + p2))
+            sq(4, r4(q6 * 5 + q5 * 2 + q4 * 2 + q3 * 2 + q2 + q1 + q0 + p0 + p1))
+            sq(5, r4(q6 * 7 + q5 * 2 + q4 * 2 + q3 + q2 + q1 + q0 + p0))
             return
           }
         }

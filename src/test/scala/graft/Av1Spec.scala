@@ -111,6 +111,13 @@ class Av1Spec extends AnyFunSuite {
     runSweep("cdefsweep", 30, 20260816L)
   }
 
+  test("LIVE 12-bit sweep: 25 profile-2 encodes decode to the reference means") {
+    // r18: the 12-bit trigger FIRED (libavif encodes profile-2 12-bit
+    // on this runtime). Support = the dav1d-pair-confirmed dc/ac_q_12
+    // tables + the F14 deblock weight fix this sweep's class exposed.
+    runSweep("sweep12", 25, 20260816L)
+  }
+
   test("LIVE speed-4 sweep: all 40 members decode exactly") {
     // The r17 "open speed-4 divergence class" (f0012/f0023, desync at a
     // 32-aligned quadrant transition) closed in r18: the first misread
@@ -169,7 +176,7 @@ class Av1Spec extends AnyFunSuite {
     assert(in != null, "av1_s4class_goldens.jsonl missing")
     val lines = scala.io.Source.fromInputStream(in, "UTF-8")
       .getLines().filter(_.nonEmpty).toList
-    assert(lines.size === 9)
+    assert(lines.size === 12)
     def sfield(s: String, k: String): String =
       ("\"" + k + "\":\\s*\"([^\"]*)\"").r.findFirstMatchIn(s).get.group(1)
     def nfield(s: String, k: String): Int =
