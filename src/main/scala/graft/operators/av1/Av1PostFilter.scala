@@ -20,6 +20,24 @@ object Av1LoopFilter {
       pw.close()
     }
     if (fh.deltaLfPresent) throw Unsupported("delta_lf")
+    val lfdump = System.getenv("GRAFT_AV1_LFDUMP")
+    if (lfdump != null) {
+      // dev: dump the full pre-deblock state for the python deblock
+      // mirror (scripts/av1_lf_mirror.py)
+      val pw = new java.io.PrintWriter(lfdump)
+      pw.println(s"${d.miRows} ${d.miCols} ${d.numPlanes} ${d.subX} " +
+        s"${d.subY} ${d.bd} ${fh.lfSharpness} " +
+        s"${if (fh.lfDeltaEnabled) 1 else 0} ${fh.lfRefDeltas(0)}")
+      pw.println(fh.lfLevel.mkString(","))
+      pw.println(d.skips.map(s => if (s) 1 else 0).mkString(","))
+      pw.println(d.txSzY.mkString(","))
+      pw.println(d.txSzUV.mkString(","))
+      pw.println(d.blockOriginR.mkString(","))
+      pw.println(d.blockOriginC.mkString(","))
+      for (pl <- 0 until d.numPlanes)
+        pw.println(d.planes(pl).mkString(","))
+      pw.close()
+    }
     if (System.getenv("GRAFT_AV1_NODEBLOCK") != null) return
     if (fh.lfLevel(0) == 0 && fh.lfLevel(1) == 0 &&
       fh.lfLevel(2) == 0 && fh.lfLevel(3) == 0) return
