@@ -386,6 +386,7 @@ final class Av1FrameDecode(val seq: Av1Headers.Seq, val fh: Av1Headers.Frame) {
       }
       r += sb4
     }
+    tr(s"tile done msacPos=${msac.consumedPos}")
   }
 
   // ---------------- loop restoration syntax (spec 5.11.57) ----------------

@@ -20,6 +20,9 @@ final class Av1Msac(buf: Array[Byte], start: Int, end: Int,
   private var cnt: Int = -15
   refill()
 
+  /** dev/trace: bytes taken from the buffer so far (refill high-water) */
+  def consumedPos: Int = pos
+
   private def refill(): Unit = {
     var c = 64 - cnt - 24
     var continue = true
