@@ -23,6 +23,9 @@ final class Av1Msac(buf: Array[Byte], start: Int, end: Int,
   /** dev/trace: bytes taken from the buffer so far (refill high-water) */
   def consumedPos: Int = pos
 
+  /** dev/trace: full decoder state for the python msac twin */
+  def stateDump: String = s"$dif $rng $cnt $pos"
+
   private def refill(): Unit = {
     var c = 64 - cnt - 24
     var continue = true

@@ -404,6 +404,29 @@ object Av1Residual {
     val w4 = w >> 2
     val h4 = h >> 2
 
+    // dev drill hook: dump the exact msac + adapted-cdf state at a
+    // chosen tx entry so the python twin can continue from here
+    val sd = System.getenv("GRAFT_AV1_STATEDUMP")
+    if (sd != null) {
+      val parts = sd.split(",").map(_.toInt)
+      if (plane == parts(0) && x == parts(1) && y == parts(2)) {
+        println("STATEDUMP msac " + msac.stateDump)
+        def dump(nm: String, rows: Array[Array[Int]]): Unit =
+          println(s"STATEDUMP $nm " +
+            rows.map(_.mkString(":")).mkString(";"))
+        dump("txbSkip", cdf.txbSkip)
+        dump("txtpSet2", cdf.txtpSet2)
+        dump("txtpSet1", cdf.txtpSet1)
+        dump("eobPt256", cdf.eobPt256)
+        dump("eobPt128", cdf.eobPt128)
+        dump("eobExtra", cdf.eobExtra)
+        dump("coeffBaseEob", cdf.coeffBaseEob)
+        dump("coeffBase", cdf.coeffBase)
+        dump("coeffBr", cdf.coeffBr)
+        dump("dcSign", cdf.dcSign)
+      }
+    }
+
     // ---- all_zero (txb_skip) ----
     val skipCtx = txbSkipCtx(d, plane, x4, y4, w4, h4, txSz, bSize)
     val allZero = msac.bool(cdf.txbSkip(txSzCtx * 13 + skipCtx))
