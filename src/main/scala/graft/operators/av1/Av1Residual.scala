@@ -9,6 +9,13 @@ object Av1Residual {
   import Av1Consts._
   import Av1Headers.{Malformed, Unsupported}
 
+  /** dev drill env (GRAFT_AV1_STATEDUMP="plane,x,y"), cached once so
+    * the per-tx check is a null test */
+  private val StateDumpAt: Array[Int] = {
+    val sd = System.getenv("GRAFT_AV1_STATEDUMP")
+    if (sd == null) null else sd.split(",").map(_.toInt)
+  }
+
   /** coeff_base 2D context position offsets (spec Coeff_Base_Ctx_Offset,
     * indexed [min(row,4)][min(col,4)])
     */
@@ -406,9 +413,8 @@ object Av1Residual {
 
     // dev drill hook: dump the exact msac + adapted-cdf state at a
     // chosen tx entry so the python twin can continue from here
-    val sd = System.getenv("GRAFT_AV1_STATEDUMP")
-    if (sd != null) {
-      val parts = sd.split(",").map(_.toInt)
+    if (StateDumpAt != null) {
+      val parts = StateDumpAt
       if (plane == parts(0) && x == parts(1) && y == parts(2)) {
         println("STATEDUMP msac " + msac.stateDump)
         def dump(nm: String, rows: Array[Array[Int]]): Unit =
