@@ -947,6 +947,56 @@ def cmd_s4sweep(n, seed):
                               px_means=pm)))
 
 
+def cmd_edgesweep(n, seed):
+    """Live coded-edge-overhang members (the r18 t1101/big_03 class):
+    tiny frames at high q whose right/bottom-edge transforms overhang
+    the coded mi area. The entropy-context store must stay clamped to
+    the coded area or the neighbor dc-sign sums flip, which on these
+    near-pure-flush streams (tails of 20-50 bytes) desyncs the final
+    reads. Same JSON shape as cmd_sweep; mixed 8/10/12-bit."""
+    av = load_avif()
+    av.avifEncoderSetCodecSpecificOption.restype = ctypes.c_int
+    av.avifEncoderSetCodecSpecificOption.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_char_p]
+    rng_state = seed
+
+    def rnd(bound):
+        nonlocal rng_state
+        rng_state = (rng_state * 6364136223846793005
+                     + 1442695040888963407) % (1 << 64)
+        return (rng_state >> 33) % bound
+
+    emitted = 0
+    i = 0
+    while emitted < n:
+        w = 16 + rnd(56)
+        h = 16 + rnd(48)
+        depth = [8, 10, 12][rnd(3)]
+        minq = 40 + rnd(20)
+        fmt = [3, 1, 4, 2][rnd(4)]
+        try:
+            data = avif_encode(av, w, h, depth, fmt, False,
+                               seed * 1000 + i * 37,
+                               opts=[("enable-cdef", str(rnd(2))),
+                                     ("enable-restoration", str(rnd(2)))],
+                               smooth=(rnd(2) == 1), minq=minq,
+                               maxq=min(63, minq + 8), speed=[4, 6][rnd(2)])
+        except Exception:
+            i += 1
+            continue
+        rw, rh, rd, ra = avif_decode_info(av, data)
+        assert (rw, rh, rd, ra) == (w, h, depth, False)
+        sub = {3: (1, 1), 2: (1, 0), 1: (0, 0), 4: (1, 1)}[fmt]
+        pm = avif_decode_plane_means(av, data)
+        print(json.dumps(dict(name=f"e{i:04d}", hex=data.hex(), width=w,
+                              height=h, depth=depth,
+                              has_alpha=False, mono=(fmt == 4),
+                              sub_x=sub[0], sub_y=sub[1],
+                              px_means=pm)))
+        emitted += 1
+        i += 1
+
+
 def cmd_probe():
     try:
         av = load_avif()
@@ -978,6 +1028,8 @@ if __name__ == "__main__":
         cmd_s4sweep(int(sys.argv[2]), int(sys.argv[3]))
     elif len(sys.argv) > 1 and sys.argv[1] == "sweep12":
         cmd_sweep12(int(sys.argv[2]), int(sys.argv[3]))
+    elif len(sys.argv) > 1 and sys.argv[1] == "edgesweep":
+        cmd_edgesweep(int(sys.argv[2]), int(sys.argv[3]))
     elif len(sys.argv) > 1 and sys.argv[1] == "probe":
         cmd_probe()
     else:

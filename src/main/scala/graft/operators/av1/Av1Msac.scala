@@ -79,7 +79,7 @@ final class Av1Msac(buf: Array[Byte], start: Int, end: Int,
         if (m < marg) marg = m
         k += 1
       }
-      println(s"MARGIN sym n=$n ret=$ret c=$c rng=$rng margin=$marg pos=$pos cnt=$cnt lbl=$traceLabel")
+      println(s"MARGIN sym n=$n ret=$ret c=$c rng=$rng margin=$marg pos=$pos cnt=$cnt row=${cdf.mkString(":")} dif=$dif id=${System.identityHashCode(cdf)} lbl=$traceLabel")
     }
     norm(dif - (v.toLong << 48), u - v)
     if (allowUpdate) update(cdf, ret, n)
@@ -114,7 +114,7 @@ final class Av1Msac(buf: Array[Byte], start: Int, end: Int,
     val v = (((rng >> 8) * (f >> 6)) >> 1) + 4
     if (MarginTrace)
       println(s"MARGIN boolp f=$f ret=${c < v} c=$c rng=$rng " +
-        s"margin=${math.abs(c - v)} pos=$pos cnt=$cnt")
+        s"margin=${math.abs(c - v)} pos=$pos cnt=$cnt dif=$dif")
     if (c < v) { norm(dif, v); true }
     else { norm(dif - (v.toLong << 48), rng - v); false }
   }

@@ -44,6 +44,24 @@ object Av1Residual {
     if (sd == null) null else sd.split(",").map(_.toInt)
   }
 
+  /** dev drill env (GRAFT_AV1_DSMAP="neg,pos"): per-unit dc-sign
+    * score contributions (default the spec-symmetric -1/+1) */
+  private val DsMapNeg: Int = {
+    val sd = System.getenv("GRAFT_AV1_DSMAP")
+    if (sd == null) -1 else sd.split(",")(0).toInt
+  }
+  private val DsMapPos: Int = {
+    val sd = System.getenv("GRAFT_AV1_DSMAP")
+    if (sd == null) 1 else sd.split(",")(1).toInt
+  }
+
+  /** dev drill env (GRAFT_AV1_DSCTX="plane,x,y,ctx"): force the
+    * dc-sign context of one tx's read */
+  private val DsCtx: Array[Int] = {
+    val sd = System.getenv("GRAFT_AV1_DSCTX")
+    if (sd == null) null else sd.split(",").map(_.toInt)
+  }
+
   /** dev drill env (GRAFT_AV1_DSPATCH="plane,x,y,delta"): nudge the
     * dc_sign cdf row entry 0 before one tx's dc-sign read */
   private val DsPatch: Array[Int] = {
@@ -650,7 +668,10 @@ object Av1Residual {
       if (level != 0) {
         var neg = false
         if (c == 0) {
-          val ctx = dcSignCtx(d, plane, x4, y4, w4, h4)
+          var ctx = dcSignCtx(d, plane, x4, y4, w4, h4)
+          // dev drill: force one tx's dc-sign ctx
+          if (DsCtx != null && plane == DsCtx(0) && x == DsCtx(1) &&
+            y == DsCtx(2)) ctx = DsCtx(3)
           // dev drill: nudge the dc_sign row before one tx's read
           if (DsPatch != null && plane == DsPatch(0) && x == DsPatch(1) &&
             y == DsPatch(2)) cdf.dcSign(ptype * 3 + ctx)(0) += DsPatch(3)
@@ -804,14 +825,23 @@ object Av1Residual {
       w: Int, h: Int, culLevel: Int, dcCat: Int): Unit = {
     val x4 = x >> 2
     val y4 = y >> 2
+    // clamp to the coded mi area: a tx may legally overhang the coded
+    // plane (e.g. a 32x32 at the right edge of a 56px-wide frame);
+    // the reference decoders never write entropy context for the
+    // overhang units, so a later neighbor scan sees ZEROS there. An
+    // unclamped store flips sum-based contexts (dc_sign) for
+    // neighbors at the frame edge (r18 t1101 drill: above 8x neg vs
+    // ref 6x neg + 2 clear turned ctx 2 into ctx 0).
+    val wUnits = math.min(w >> 2, (d.miW(plane) - x + 3) >> 2)
+    val hUnits = math.min(h >> 2, (d.miH(plane) - y + 3) >> 2)
     var i = 0
-    while (i < (w >> 2)) {
+    while (i < wUnits) {
       d.aboveLevel(plane)(x4 + i) = culLevel
       d.aboveDc(plane)(x4 + i) = dcCat
       i += 1
     }
     i = 0
-    while (i < (h >> 2)) {
+    while (i < hUnits) {
       d.leftLevel(plane)(y4 + i) = culLevel
       d.leftDc(plane)(y4 + i) = dcCat
       i += 1

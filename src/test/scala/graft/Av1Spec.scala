@@ -160,6 +160,54 @@ class Av1Spec extends AnyFunSuite {
     }
   }
 
+  test("LIVE edge-overhang sweep: 40 tiny high-q encodes decode to the reference means") {
+    // The r18 coded-edge class (t1101/big_03): transforms overhanging
+    // the coded mi area must not write entropy context for the
+    // overhang units, or neighbor dc-sign sums flip and the nearly
+    // pure-flush tails of these 20-50 byte tiles desync.
+    runSweep("edgesweep", 40, 20260816L)
+  }
+
+  test("GOLDEN: the r18 coded-edge-overhang class members decode to the reference planes") {
+    // t1101/t0470/t0096 (12-bit), t0654 (10-bit), big_03 (the r18
+    // NOTES ledger member, 235x211 12-bit 4:4:4): all closed by
+    // clamping the entropy-context store to the coded mi area
+    // (setCoefCtx). Regenerable: scripts/avif_heif_reference.py
+    // edgesweep / scripts/av1_bigfuzz.py. Binary-independent:
+    // payload + reference plane SHAs (u16 LE).
+    val in = getClass.getResourceAsStream("/graft/av1_edge_goldens.jsonl")
+    assert(in != null, "av1_edge_goldens.jsonl missing")
+    val lines = scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().filter(_.nonEmpty).toList
+    assert(lines.size === 5)
+    def sfield(s: String, k: String): String =
+      ("\"" + k + "\":\\s*\"([^\"]*)\"").r.findFirstMatchIn(s).get.group(1)
+    def nfield(s: String, k: String): Int =
+      ("\"" + k + "\":\\s*(\\d+)").r.findFirstMatchIn(s).get.group(1).toInt
+    def hashes(s: String): Seq[String] =
+      ("\"plane_sha256\":\\s*\\[([^\\]]*)\\]").r.findFirstMatchIn(s).get
+        .group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq
+    for (ln <- lines) {
+      val name = sfield(ln, "name")
+      val depth = nfield(ln, "depth")
+      val payload = sfield(ln, "payload")
+        .grouped(2).map(x => Integer.parseInt(x, 16).toByte).toArray
+      val res = Av1Decoder.decode(payload)
+        .getOrElse(fail(s"$name rejected"))
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val exp = hashes(ln)
+      for (pl <- res.planes.indices) {
+        md.reset()
+        val bytes =
+          if (depth == 8) res.planes(pl).map(v => (v & 0xff).toByte)
+          else res.planes(pl).flatMap(v =>
+            Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte))
+        val got = md.digest(bytes).map("%02x".format(_)).mkString
+        assert(got === exp(pl), s"$name plane $pl")
+      }
+    }
+  }
+
   test("GOLDEN: the r17/r18 speed-4 divergence-class members decode to the reference planes") {
     // The banked open-class repros, committed the round their classes
     // closed (r18; regenerable with scripts/av1one.py):
