@@ -768,6 +768,336 @@ object Lab {
       keys.join(broadcast(p), col("l_partkey") === col("p_partkey"), "left_semi")
         .agg(count(lit(1)).as("n"))
     }),
+    // ---- r18 OPTIMIZATION-ROUND variants (guide §2.3/§3.1) -------------
+    // c14: the sf1 gate reads Spark 0.43 s vs DuckDB 0.12 — attribution
+    // probes + a packed-group-key rewrite. The group keys are two 1-char
+    // strings; hashing/compare on two UTF8Strings per row is the suspected
+    // non-scan cost, so pack them into ONE int (ascii*256+ascii) and
+    // unpack on the 6 output rows.
+    V("r18_c14_packkey", "c14_pricing_summary", (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("2024-09-01").cast("timestamp"))
+        .select((ascii(col("l_returnflag")) * 256 + ascii(col("l_linestatus"))).as("k"),
+          cents2(col("l_quantity")).as("qc"),
+          cents2(col("l_extendedprice")).as("ec"),
+          cents2(col("l_discount")).as("dc"))
+      li.groupBy(col("k"))
+        .agg(
+          (sum(col("qc")).cast("double") / lit(100.0)).as("sum_qty"),
+          (sum(col("ec")).cast("double") / lit(100.0)).as("sum_base_price"),
+          (sum(col("ec") * (lit(100L) - col("dc"))).cast("double") / lit(10000.0)).as("sum_disc_price"),
+          ((sum(col("qc")).cast("double") / lit(100.0)) / count(col("qc"))).as("avg_qty"),
+          ((sum(col("dc")).cast("double") / lit(100.0)) / count(col("dc"))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .select(expr("char(k div 256)").as("l_returnflag"),
+          expr("char(k % 256)").as("l_linestatus"),
+          col("sum_qty"), col("sum_base_price"), col("sum_disc_price"),
+          col("avg_qty"), col("avg_disc"), col("count_order"))
+        .transform(sortSmallTopK(_, col("l_returnflag"), col("l_linestatus")))
+    }),
+    // scan-cost attribution: same filter + the three cents projections,
+    // one global sum — no group keys at all. The delta to c14 is the
+    // group-key cost; the delta to p_li_count is the decode cost.
+    V("r18_c14_scanagg", "", (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("2024-09-01").cast("timestamp"))
+        .agg(sum(cents2(col("l_quantity"))).as("a"),
+          sum(cents2(col("l_extendedprice"))).as("b"),
+          sum(cents2(col("l_discount"))).as("c"))),
+    // c07: narrow the aggregation buffer 4 longs -> 3 (guide §2.3
+    // "narrower types"): custkey and the has-lineitem flag share one long
+    // via bit_or — orders rows contribute (ck+1)<<1, lineitem rows 1, so
+    // ce = ((ck+1)<<1)|1 for an order with lines, odd ce = has lines,
+    // ce>>1-1 = ck (orphan lineitem keys decode to ck -1 and drop at the
+    // customer join, exactly the inner-join semantics of the base form).
+    V("r18_c07_bitor", "c07_join_agg", (s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      val li = l.select(col("l_orderkey").as("k"), lit(1L).as("ce"),
+        (cents2(col("l_extendedprice")) * (lit(100L) - cents2(col("l_discount")))).as("v"))
+      val os = o.select(col("o_orderkey").as("k"),
+        ((col("o_custkey").cast("long") + 1L) * 2L).as("ce"),
+        lit(null).cast("long").as("v"))
+      li.unionByName(os)
+        .groupBy(col("k"))
+        .agg(expr("bit_or(ce)").as("ce"), sum(col("v")).as("cts"))
+        .filter(col("ce").bitwiseAND(1) === 1)
+        .select((expr("ce div 2") - 1L).as("ck"), col("cts"))
+        .join(broadcast(c.select(col("c_custkey"), col("c_mktsegment"))),
+          col("ck") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          (sum(col("cts")).cast("double") / lit(10000.0)).as("revenue"))
+        .transform(sortSmallTopK(_, col("c_mktsegment")))
+    }),
+    // c07: replace the customer BroadcastHashJoin (1.5M-entry hashed
+    // relation at sf10, driver-built) with the c20 DenseDimJoin byte
+    // lookup — c_custkey is dense, the segment is 5 categorical values.
+    V("r18_c07_ddim", "c07_join_agg", (s, dir) => {
+      val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+      val sidxOf = segs.zipWithIndex.foldLeft(lit(null).cast("int")) {
+        case (acc, (sname, i)) => when(col("c_mktsegment") === sname, lit(i)).otherwise(acc)
+      }
+      val c = t(s, dir, "customer").select(col("c_custkey"), sidxOf.as("sidx"))
+      val names = typedLit(segs.zipWithIndex.map(_.swap).toMap)
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      val li = l.select(col("l_orderkey").as("k"),
+        lit(null).cast("long").as("ck"),
+        (cents2(col("l_extendedprice")) * (lit(100L) - cents2(col("l_discount")))).as("v"),
+        lit(1L).as("lc"))
+      val os = o.select(col("o_orderkey").as("k"),
+        col("o_custkey").cast("long").as("ck"), lit(null).cast("long").as("v"),
+        lit(0L).as("lc"))
+      val agged = li.unionByName(os)
+        .groupBy(col("k"))
+        .agg(max(col("ck")).as("ck"), sum(col("v")).as("cts"), sum(col("lc")).as("lc"))
+        .filter(col("lc") > 0)
+      graft.operators.DenseDimJoin.withValue(agged, "ck", s, c,
+          "c_custkey", "sidx", s"$dir/customer#seg")
+        .groupBy(col("sidx"))
+        .agg(count(lit(1)).as("n_orders"),
+          (sum(col("cts")).cast("double") / lit(10000.0)).as("revenue"))
+        .select(element_at(names, col("sidx")).as("c_mktsegment"),
+          col("n_orders"), col("revenue"))
+        .transform(sortSmallTopK(_, col("c_mktsegment")))
+    }),
+    // c07: both rewrites combined.
+    V("r18_c07_both", "c07_join_agg", (s, dir) => {
+      val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+      val sidxOf = segs.zipWithIndex.foldLeft(lit(null).cast("int")) {
+        case (acc, (sname, i)) => when(col("c_mktsegment") === sname, lit(i)).otherwise(acc)
+      }
+      val c = t(s, dir, "customer").select(col("c_custkey"), sidxOf.as("sidx"))
+      val names = typedLit(segs.zipWithIndex.map(_.swap).toMap)
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      val li = l.select(col("l_orderkey").as("k"), lit(1L).as("ce"),
+        (cents2(col("l_extendedprice")) * (lit(100L) - cents2(col("l_discount")))).as("v"))
+      val os = o.select(col("o_orderkey").as("k"),
+        ((col("o_custkey").cast("long") + 1L) * 2L).as("ce"),
+        lit(null).cast("long").as("v"))
+      val agged = li.unionByName(os)
+        .groupBy(col("k"))
+        .agg(expr("bit_or(ce)").as("ce"), sum(col("v")).as("cts"))
+        .filter(col("ce").bitwiseAND(1) === 1)
+        .select((expr("ce div 2") - 1L).as("ck"), col("cts"))
+      graft.operators.DenseDimJoin.withValue(agged, "ck", s, c,
+          "c_custkey", "sidx", s"$dir/customer#seg")
+        .groupBy(col("sidx"))
+        .agg(count(lit(1)).as("n_orders"),
+          (sum(col("cts")).cast("double") / lit(10000.0)).as("revenue"))
+        .select(element_at(names, col("sidx")).as("c_mktsegment"),
+          col("n_orders"), col("revenue"))
+        .transform(sortSmallTopK(_, col("c_mktsegment")))
+    }),
+    // c07: raw-row shuffle instead of a uselessly-partial aggregate — the
+    // union keys are ~unique per map task (random orderkeys), so the
+    // map-side HashAggregate builds a large hash table for near-zero
+    // collapse; repartition(k) moves the same bytes but skips that build.
+    V("r18_c07_repart", "c07_join_agg", (s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      val li = l.select(col("l_orderkey").as("k"),
+        lit(null).cast("long").as("ck"),
+        (cents2(col("l_extendedprice")) * (lit(100L) - cents2(col("l_discount")))).as("v"),
+        lit(1L).as("lc"))
+      val os = o.select(col("o_orderkey").as("k"),
+        col("o_custkey").cast("long").as("ck"), lit(null).cast("long").as("v"),
+        lit(0L).as("lc"))
+      li.unionByName(os)
+        .repartition(col("k"))
+        .groupBy(col("k"))
+        .agg(max(col("ck")).as("ck"), sum(col("v")).as("cts"), sum(col("lc")).as("lc"))
+        .filter(col("lc") > 0)
+        .join(broadcast(c.select(col("c_custkey"), col("c_mktsegment"))),
+          col("ck") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          (sum(col("cts")).cast("double") / lit(10000.0)).as("revenue"))
+        .transform(sortSmallTopK(_, col("c_mktsegment")))
+    }),
+    // c07: repartition + bit_or combined — raw 3-col rows through the one
+    // exchange, no map-side hash build, single reducer-side aggregate.
+    V("r18_c07_repart_bitor", "c07_join_agg", (s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      val li = l.select(col("l_orderkey").as("k"), lit(1L).as("ce"),
+        (cents2(col("l_extendedprice")) * (lit(100L) - cents2(col("l_discount")))).as("v"))
+      val os = o.select(col("o_orderkey").as("k"),
+        ((col("o_custkey").cast("long") + 1L) * 2L).as("ce"),
+        lit(null).cast("long").as("v"))
+      li.unionByName(os)
+        .repartition(col("k"))
+        .groupBy(col("k"))
+        .agg(expr("bit_or(ce)").as("ce"), sum(col("v")).as("cts"))
+        .filter(col("ce").bitwiseAND(1) === 1)
+        .select((expr("ce div 2") - 1L).as("ck"), col("cts"))
+        .join(broadcast(c.select(col("c_custkey"), col("c_mktsegment"))),
+          col("ck") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          (sum(col("cts")).cast("double") / lit(10000.0)).as("revenue"))
+        .transform(sortSmallTopK(_, col("c_mktsegment")))
+    }),
+    // e02: materialize the minhash signature table ONCE (localCheckpoint)
+    // instead of recomputing the 128-perm minhash in all three consumer
+    // subtrees (bands + the two signature re-attaches) — the form the
+    // shipping comment itself names as the 100 TB shape ("materialize the
+    // signature table once and all three passes become column reads").
+    V("r18_e02_ckpt", "e02_minhash_pairs", (s, dir) =>
+      graft.queries.LlmPipeline.fixtureCheck(s, dir, "e02_minhash_pairs", {
+        val sigs = t(s, dir, "documents")
+          .select(col("doc_id"), TextFunctions.minhash128(col("text")).as("sig"))
+          .localCheckpoint()
+        val bands = sigs.select(col("doc_id"),
+          posexplode(expr("transform(sequence(0, 31), b -> sha2(cast(slice(sig, b * 4 + 1, 4) AS STRING), 256))")))
+          .select(col("doc_id"), col("pos").as("band"), col("col").as("bkey"))
+        val pairs = bands.alias("a")
+          .join(bands.alias("b"),
+            col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+          .distinct()
+        pairs
+          .join(sigs.select(col("doc_id").as("d1"), col("sig").as("s1")), "d1")
+          .join(sigs.select(col("doc_id").as("d2"), col("sig").as("s2")), "d2")
+          .select(col("d1"), col("d2"),
+            expr("CAST(size(filter(zip_with(s1, s2, (x, y) -> x = y), v -> v)) AS DOUBLE) / 128").as("est_jaccard"))
+          .filter(col("est_jaccard") >= 0.5)
+      }, Seq("d1", "d2"))),
+    // e78: checkpoint each normalized half-step — the tot crossJoin makes
+    // every score subtree appear TWICE in its consumer, so the unrolled
+    // 4-level plan re-executes a1 up to 8x (exponential recompute).
+    V("r18_e78_ckpt", "e78_hits", (s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+      val edges = docs.select(col("source").as("src"),
+          concat(lit("src"), col("doc_id") % 7).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct().localCheckpoint()
+      val nodes = edges.select(col("src").as("node"))
+        .union(edges.select(col("dst"))).distinct().localCheckpoint()
+      def normalized(scores: DataFrame, c: String): DataFrame = {
+        val tot = scores.agg(sum(col(c)).as("tot"))
+        scores.crossJoin(broadcast(tot))
+          .select(col("node"), (col(c) / col("tot")).as(c))
+          .localCheckpoint()
+      }
+      val a1 = normalized(nodes.join(
+          edges.groupBy(col("dst").as("node"))
+            .agg(count(lit(1)).cast("double").as("a")),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("a"), lit(0.0)).as("a")), "a")
+      val h1 = normalized(nodes.join(
+          edges.join(a1.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(col("src").as("node")).agg(sum(col("a")).as("h")),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("h"), lit(0.0)).as("h")), "h")
+      val a2 = normalized(nodes.join(
+          edges.join(h1.withColumnRenamed("node", "src"), "src")
+            .groupBy(col("dst").as("node")).agg(sum(col("h")).as("a")),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("a"), lit(0.0)).as("a")), "a")
+      val h2 = normalized(nodes.join(
+          edges.join(a2.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(col("src").as("node")).agg(sum(col("a")).as("h")),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("h"), lit(0.0)).as("h")), "h")
+      a2.join(h2, "node")
+        .select(col("node"), round(col("a"), 6).as("authority"),
+          round(col("h"), 6).as("hub"))
+        .orderBy(col("node"))
+    }),
+    // e45: checkpoint edges/outdeg/per-iteration ranks — linear (not
+    // exponential) recompute in the unrolled PageRank, but the edges
+    // subtree still re-executes ~7x across the 3 iterations.
+    V("r18_e45_ckpt", "e45_domain_rank", (s, dir) => {
+      val d = 0.85
+      val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+      val edges = docs.select(col("source").as("src"),
+          concat(lit("src"), col("doc_id") % 7).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct().localCheckpoint()
+      val nodes = edges.select(col("src").as("node"))
+        .union(edges.select(col("dst"))).distinct().localCheckpoint()
+      val n = nodes.count().toDouble
+      val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+        .localCheckpoint()
+      var ranks = nodes.withColumn("rank", lit(1.0 / n))
+      (1 to 3).foreach { _ =>
+        val contrib = edges.join(outdeg, "src")
+          .join(ranks.withColumnRenamed("node", "src"), "src")
+          .groupBy(col("dst").as("node"))
+          .agg(sum(col("rank") / col("outdeg")).as("c"))
+        ranks = nodes.join(contrib, Seq("node"), "left")
+          .select(col("node"),
+            (lit(0.15 / n) + lit(d) * coalesce(col("c"), lit(0.0))).as("rank"))
+          .localCheckpoint()
+      }
+      ranks.select(col("node"), round(col("rank"), 6).as("rank"))
+        .orderBy(col("node"))
+    }),
+    // e28d: the 40-branch union re-derives the IVF assignment + PQ encode
+    // of the fixture corpus inside EVERY branch; checkpoint `encoded` once
+    // (guide §3.3: very wide unions — materialize an intermediate to
+    // truncate the plan).
+    V("r18_e28d_ckpt", "e28d_ann_recall", (s, dir) => {
+      val corpus = s.read.parquet(graft.ClusteredFixture.path)
+      val k = 16
+      val nprobe = 2
+      val qids = (0 until 10).map(c => c * 5L * 40L)
+      val cs: Array[Array[Float]] = corpus
+        .select(col("vec_id").cast("string").as("id"), col("embedding"))
+        .orderBy(md5(col("id").cast("binary")), col("id"))
+        .limit(k).collect().map(_.getSeq[Float](1).toArray)
+      val cb = graft.operators.ProductQuantizer
+        .codebook(corpus, "vec_id", "embedding", m = 8, k = 16)
+      val qvs: Map[Long, Array[Float]] = corpus
+        .filter(col("vec_id").isin(qids: _*))
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+      val indexed = graft.operators.IvfAnn.assign(corpus, "embedding", cs)
+      val encoded = graft.operators.ProductQuantizer
+        .encode(indexed, "embedding", cb).localCheckpoint()
+      val rows = qids.flatMap { qid =>
+        val q = qvs(qid)
+        val probes = graft.operators.IvfAnn.probeOrder(q, cs)
+          .take(nprobe).map(_.toLong)
+        val rest = encoded.filter(col("vec_id") =!= qid)
+        val cand = rest.filter(col("__ivf_bucket").isin(probes: _*))
+        val truth = rest
+          .select(col("vec_id"),
+            call_function("cosine_sim", col("embedding"), typedlit(q.toSeq)).as("sim"))
+          .orderBy(col("sim").desc, col("vec_id")).limit(10)
+          .select(col("vec_id"))
+        val ivf10 = graft.operators.IvfAnn
+          .search(rest, "vec_id", "embedding", cs, q, topK = 10, nprobe = nprobe)
+          .select(col("vec_id"))
+        val pq10 = graft.operators.ProductQuantizer
+          .adcSearchRerank(cand, "vec_id", "embedding", q, cb,
+            shortlist = 100, topK = 10)
+          .select(col("vec_id"))
+        val nCand = cand.agg(count(lit(1)).as("n_cand"))
+        Seq(("ivf", ivf10), ("ivf_pq_rerank", pq10)).map { case (config, ann) =>
+          ann.join(truth, "vec_id").agg(count(lit(1)).as("n_hits"))
+            .crossJoin(broadcast(nCand))
+            .select(lit(config).as("config"), lit(qid).as("qid"),
+              col("n_hits"), col("n_cand"))
+        }
+      }
+      rows.reduce(_ unionAll _)
+        .groupBy(col("config"))
+        .agg(count(lit(1)).as("n_queries"),
+          sum(col("n_hits")).as("total_hits"),
+          min(col("n_hits")).as("min_hits"),
+          max(col("n_cand")).as("max_cand"))
+        .withColumn("recall_ok", col("total_hits") >= lit(90L))
+        .withColumn("cand_ok", col("max_cand") * 4 <= lit(1999L))
+        .orderBy(col("config"))
+    }),
     // ---- e18: the r5 RAW shared-token pair generator, kept as the A/B
     // twin for the prefix-filtered rewrite (equality-checked against the
     // shipping PrefixFilterJoin form on the same staged data). ----------

@@ -3317,14 +3317,21 @@ object Curation extends QueryBlock {
       (s, dir) => {
         val d = 0.85
         val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+        // r18 optimization: checkpoint the graph tables and each
+        // iteration's ranks — the unrolled 3-iteration plan re-executed
+        // the edges subtree ~7x (linear, not exponential, recompute; the
+        // e78 fix's smaller sibling). Measured 1.18 -> 0.75 s at sf0.1
+        // (Lab, equality-checked); all checkpointed tables are
+        // dimension-scale (one row per host).
         val edges = docs.select(col("source").as("src"),
             concat(lit("src"), col("doc_id") % 7).as("dst"))
           .filter(col("src") =!= col("dst"))
-          .distinct()
+          .distinct().localCheckpoint()
         val nodes = edges.select(col("src").as("node"))
-          .union(edges.select(col("dst"))).distinct()
+          .union(edges.select(col("dst"))).distinct().localCheckpoint()
         val n = nodes.count().toDouble
         val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+          .localCheckpoint()
         var ranks = nodes.withColumn("rank", lit(1.0 / n))
         (1 to 3).foreach { _ =>
           val contrib = edges.join(outdeg, "src")
@@ -3337,6 +3344,7 @@ object Curation extends QueryBlock {
               // (1 - d) would seed 1-ulp drift (1 - 0.85 = 0.15000…02)
               // into an iterated computation
               (lit(0.15 / n) + lit(d) * coalesce(col("c"), lit(0.0))).as("rank"))
+            .localCheckpoint()
         }
         ranks.select(col("node"), round(col("rank"), 6).as("rank"))
           .orderBy(col("node"))
@@ -6075,16 +6083,26 @@ object Curation extends QueryBlock {
     "e78_hits" -> QueryDef(
       (s, dir) => {
         val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+        // r18 optimization: checkpoint the graph and every normalized
+        // half-step. The `tot` crossJoin makes each score subtree appear
+        // TWICE in its consumer, so the unrolled 4-half-step plan was
+        // re-executing a1 up to 8x (exponential recompute; 199 jobs).
+        // localCheckpoint per half-step makes each compute once — the
+        // same per-round materialization ConnectedComponents already
+        // does. Measured 5.86 -> 1.04 s at sf0.1 (Lab, equality-checked);
+        // scores are dimension-scale (one row per host), so the
+        // checkpointed blocks are tiny at any corpus size.
         val edges = docs.select(col("source").as("src"),
             concat(lit("src"), col("doc_id") % 7).as("dst"))
           .filter(col("src") =!= col("dst"))
-          .distinct().cache()
+          .distinct().localCheckpoint()
         val nodes = edges.select(col("src").as("node"))
-          .union(edges.select(col("dst"))).distinct()
+          .union(edges.select(col("dst"))).distinct().localCheckpoint()
         def normalized(scores: DataFrame, c: String): DataFrame = {
           val tot = scores.agg(sum(col(c)).as("tot"))
           scores.crossJoin(broadcast(tot))
             .select(col("node"), (col(c) / col("tot")).as(c))
+            .localCheckpoint()
         }
         // h0 = 1: authority pass 1 is plain in-degree, then normalize
         val a1 = normalized(nodes.join(

@@ -107,15 +107,51 @@ object EventStreams {
       .parquet(streamDir.toString)
   }
 
+  /** Data-proportional shuffle/state width for a streaming query — the
+    * SAME rule as Bench.sizeShuffle (one reduce/state partition per ~8 MB
+    * of source input, floored at 8, capped at the session's cores),
+    * derived from the streaming relations' source directories. r18
+    * optimization (guide §2.2): every stateful trigger pays one task +
+    * one state-store commit file PER state partition, so a
+    * kilobyte-state query at the session default width (cores) spends
+    * most of its trigger on empty-partition bookkeeping; the width must
+    * track the data, not the box. Returns None when a source path can't
+    * be resolved (the caller then leaves the session width alone).
+    */
+  private def streamWidth(s: SparkSession, df: DataFrame): Option[Int] =
+    try {
+      val paths = df.queryExecution.logical.collect {
+        case r: org.apache.spark.sql.execution.streaming.runtime.StreamingRelation =>
+          r.dataSource.options.get("path")
+      }.flatten
+      if (paths.isEmpty) None
+      else {
+        def bytes(f: java.io.File): Long =
+          if (f.isDirectory)
+            Option(f.listFiles).map(_.map(bytes).sum).getOrElse(0L)
+          else f.length
+        val mb = paths.map(p => bytes(new java.io.File(
+          p.stripPrefix("file:")))).sum >> 20
+        val cores = s.sparkContext.defaultParallelism
+        Some(math.max(8L, math.min(cores.toLong, mb / 8)).toInt)
+      }
+    } catch { case _: Exception => None }
+
   /** Run a streaming aggregation to completion; return the final table.
     * The per-run checkpoint is deleted afterwards (memory-sink results
     * don't outlive the session; leaving RocksDB state trees in /tmp
-    * accumulates across bench iterations).
+    * accumulates across bench iterations). Shuffle/state width is sized
+    * to the source volume (see [[streamWidth]]); the session width is
+    * restored after the run — state partitioning is internal to the
+    * query (a fresh checkpoint per run), so results are unchanged.
     */
   def runToTable(s: SparkSession, df: DataFrame, name: String,
       mode: String = "complete"): DataFrame = {
     val ckpt = java.nio.file.Files.createTempDirectory(s"graft_ckpt_$name")
+    val prevWidth = s.conf.get("spark.sql.shuffle.partitions")
     try {
+      streamWidth(s, df).foreach(w =>
+        s.conf.set("spark.sql.shuffle.partitions", w.toString))
       val q = df.writeStream
         .format("memory")
         .queryName(name)
@@ -126,6 +162,7 @@ object EventStreams {
       q.awaitTermination()
       s.table(name)
     } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevWidth)
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq.reverse
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
