@@ -79,7 +79,12 @@ object IncrementalDedup {
   def verdicts(docs: DataFrame, idCol: String, textCol: String,
       threshold: Long): DataFrame = {
     val base = normalize(docs, idCol, textCol)
-    def sigs = sigsOf(base)
+    // r18 optimization: materialize the signature table once — the plan
+    // consumed it four times (two band derivations + both bestNear
+    // re-attaches), each re-running the 128-perm minhash over the corpus
+    // (the e02 fix applied to this operator). At 100 TB this is the
+    // "signature table materialized once" shape the header describes.
+    val sigs = sigsOf(base).localCheckpoint()
     val cand = bandsOf(sigs).alias("a")
       .join(bandsOf(sigs.filter(col("doc_id") >= threshold)).alias("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
@@ -109,8 +114,12 @@ object IncrementalDedup {
       textCol: String): DataFrame = {
     val b = normalize(batch, idCol, textCol)
     val ix = normalize(index, idCol, textCol)
-    val ixSigs = sigsOf(ix)
-    val bSigs = sigsOf(b)
+    // r18 optimization: both signature tables are consumed twice (band
+    // derivation + bestNear re-attach) — materialize each once per call.
+    // (At scale the index side is a precomputed bucketed artifact, per the
+    // scaladoc; within one micro-batch this checkpoint is its stand-in.)
+    val ixSigs = sigsOf(ix).localCheckpoint()
+    val bSigs = sigsOf(b).localCheckpoint()
     val cand = bandsOf(ixSigs).alias("a")
       .join(bandsOf(bSigs).alias("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey"))

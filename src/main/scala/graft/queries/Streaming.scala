@@ -363,7 +363,11 @@ object Streaming extends QueryBlock {
         // char_trigrams: the native linear-time Generator (see e33 — the
         // substring-chain form is O(d²) on a long document)
         val trisBatch = dBatch.select(col("doc_id"), expr("char_trigrams(t)"))
+        // r18 optimization: checkpoint the (dimension-scale) model — the
+        // `total` collect and the stream-static join each re-derived it
+        // from a full char_trigrams explode (the e33 fix's streaming twin).
         val model = trisBatch.groupBy(col("tri")).agg(count(lit(1)).as("cnt"))
+          .localCheckpoint()
         val total: Double = model.agg(sum(col("cnt")))
           .collect()(0).getLong(0).toDouble
         val stream = EventStreams.documents(s, dir)
@@ -515,10 +519,14 @@ object Streaming extends QueryBlock {
     "d17_stream_crawl" -> QueryDef(
       (s, dir) => {
         val warcDir = Curation.writeCrawlWarcFixture(s, dir)
-        // static artifacts, batch-computed over the corpus at rest
+        // static artifacts, batch-computed over the corpus at rest.
+        // r18 optimization: checkpoint the stripped corpus once — its two
+        // persisted consumers (dfTable, index) each re-ran the WARC parse
+        // + HTML strip when they first materialized (the e47 fix's
+        // streaming twin).
         val batchStripped = Curation.crawlStrip(Curation.crawlRobotsAllowed(s,
           Curation.crawlRecs(Curation.parseWarc(
-            s.read.format("binaryFile").load(warcDir)))))
+            s.read.format("binaryFile").load(warcDir))))).localCheckpoint()
         val dfTable = graft.operators.LineDedup.lineDf(
           batchStripped.select(col("rec_id").as("doc_id"),
             col("cleaned").as("content"))).persist()
