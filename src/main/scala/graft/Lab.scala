@@ -1040,6 +1040,11 @@ object Lab {
       ranks.select(col("node"), round(col("rank"), 6).as("rank"))
         .orderBy(col("node"))
     }),
+    // minhash kernel cost in isolation (one pass over documents)
+    V("r18_p_minhash", "", (s, dir) =>
+      t(s, dir, "documents")
+        .select(TextFunctions.minhash128(col("text")).as("sig"))
+        .select(max(expr("sig[0]")).as("x"))),
     // e28d: the 40-branch union re-derives the IVF assignment + PQ encode
     // of the fixture corpus inside EVERY branch; checkpoint `encoded` once
     // (guide §3.3: very wide unions — materialize an intermediate to

@@ -53,30 +53,89 @@ object TextFunctions extends Serializable {
   }
 
   // the standard 128-perm family, computed once per JVM (hashParams per
-  // call would allocate 128 tuples per ROW in the minhash UDF)
+  // call would allocate 128 tuples per ROW in the minhash UDF); flat a/b
+  // copies for the hot loop (a Tuple2 deref per perm per shingle is real
+  // cost at 128 perms x hundreds of shingles per document)
   @transient private lazy val params128: Array[(Long, Long)] = hashParams(128)
+  @transient private lazy val paramsA128: Array[Long] = params128.map(_._1)
+  @transient private lazy val paramsB128: Array[Long] = params128.map(_._2)
 
-  /** MinHash signature over char-shingles. */
+  /** MinHash signature over char-shingles.
+    *
+    * r18 optimization (hot path of e02/e38/d10/d15 — guide §1.2 per-task
+    * work), three changes with BIT-IDENTICAL output (MinHashSpec goldens +
+    * the independent-Python fixture oracles pin it):
+    *  - shingle hashes are computed by a direct char walk over the
+    *    normalized string (same FNV-1a stream) instead of allocating one
+    *    String per shingle via `sliding`;
+    *  - the whitespace collapse is a single pass instead of a per-document
+    *    `replaceAll` (Java \s is exactly [ \t\n\x0B\f\r]; the final .trim
+    *    keeps the original's handling of non-\s control chars at the ends);
+    *  - shingle hashes are sorted + deduplicated before the perm loop —
+    *    minhash is a SET sketch, so duplicate shingles can never change
+    *    any minimum, and the 128-perm inner loop runs once per DISTINCT
+    *    shingle (repetitive text is exactly where the old form burned the
+    *    most CPU).
+    */
   def minhash(text: String, numPerm: Int, shingleK: Int): Array[Long] = {
-    val params = if (numPerm == 128) params128 else hashParams(numPerm)
+    val (pa, pb) =
+      if (numPerm == 128) (paramsA128, paramsB128)
+      else { val p = hashParams(numPerm); (p.map(_._1), p.map(_._2)) }
+    // whitespace-collapse, same value as toLowerCase.replaceAll("\\s+", " ").trim
+    val lower = text.toLowerCase
+    val ln = lower.length
+    val sb = new java.lang.StringBuilder(ln)
+    var ci = 0
+    var inWs = false
+    while (ci < ln) {
+      val c = lower.charAt(ci)
+      val ws = c == ' ' || c == '\t' || c == '\n' || c == '\u000B' ||
+        c == '\f' || c == '\r'
+      if (ws) { if (!inWs) sb.append(' '); inWs = true }
+      else { sb.append(c); inWs = false }
+      ci += 1
+    }
+    val norm = sb.toString.trim
+    val n = norm.length
+    val m = if (n < shingleK) 1 else n - shingleK + 1
+    val xs = new Array[Long](m)
+    if (n < shingleK) xs(0) = fnv1a64(norm) & Long.MaxValue
+    else {
+      var s = 0
+      while (s < m) {
+        var h = FnvOffset
+        var j = s
+        val e = s + shingleK
+        while (j < e) { h ^= norm.charAt(j).toLong; h *= FnvPrime; j += 1 }
+        xs(s) = h & Long.MaxValue // non-negative
+        s += 1
+      }
+    }
+    java.util.Arrays.sort(xs)
+    var u = 0
+    var t = 0
+    while (t < m) {
+      if (t == 0 || xs(t) != xs(t - 1)) { xs(u) = xs(t); u += 1 }
+      t += 1
+    }
     val sig = Array.fill(numPerm)(Long.MaxValue)
-    shingles(text, shingleK).foreach { sh =>
-      val x = fnv1a64(sh) & Long.MaxValue // non-negative
+    var s = 0
+    while (s < u) {
+      val x = xs(s)
       var i = 0
       while (i < numPerm) {
-        val (a, b) = params(i)
-        // (a*x+b) mod p via unsigned 128-free reduction: values < 2^63, use
-        // BigInt-free Math.multiplyHigh trick is overkill at this k; use
-        // modular arithmetic on longs via Math.floorMod of 128-bit product.
+        val a = pa(i)
+        // (a*x+b) mod p, p = 2^61-1: 128-bit product via multiplyHigh,
+        // then the standard Mersenne fold
         val hi = Math.multiplyHigh(a, x)
         val lo = a * x
-        // reduce (hi,lo) mod 2^61-1: standard Mersenne fold
         val prod = ((lo & MersennePrime) + ((lo >>> 61) | (hi << 3))) // < ~2^62
         val folded = (prod & MersennePrime) + (prod >>> 61)
-        val hx = (folded + b) % MersennePrime
+        val hx = (folded + pb(i)) % MersennePrime
         if (hx < sig(i)) sig(i) = hx
         i += 1
       }
+      s += 1
     }
     sig
   }

@@ -31,8 +31,11 @@ object IncrementalDedup {
   private def sigsOf(base: DataFrame) = base.select(col("doc_id"),
     graft.TextFunctions.minhash128(col("text")).as("sig"))
 
+  // r18 optimization: band key = the raw 4-slot slice (band matching is
+  // slice equality; the sha2-of-string form paid 32 SHA-256 hashes per doc
+  // for a bigger key — see the e02 note). Candidate set unchanged.
   private def bandsOf(df: DataFrame) = df.select(col("doc_id"),
-    posexplode(expr("transform(sequence(0, 31), b -> sha2(cast(slice(sig, b * 4 + 1, 4) AS STRING), 256))")))
+    posexplode(expr("transform(sequence(0, 31), b -> slice(sig, b * 4 + 1, 4))")))
     .select(col("doc_id"), col("pos").as("band"), col("col").as("bkey"))
 
   /** Diagnostic view of the band triples a side contributes to the

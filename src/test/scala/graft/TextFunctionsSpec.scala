@@ -31,6 +31,45 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(s.toSeq === s2.toSeq)
   }
 
+  test("r18: optimized minhash ≡ the naive shingles().fold reference form") {
+    // The optimized kernel (direct char-walk shingle hashing, single-pass
+    // whitespace collapse, sorted-dedup before the perm loop) must be
+    // BIT-IDENTICAL to the definitional form it replaced: min over every
+    // shingle of h_i(fnv1a64(shingle)). Exercises repetition (the dedup
+    // path), control chars at the ends (the \s-vs-trim distinction),
+    // shorter-than-k inputs, and the empty string.
+    def reference(text: String, numPerm: Int, k: Int): Array[Long] = {
+      val params = hashParams(numPerm)
+      val sig = Array.fill(numPerm)(Long.MaxValue)
+      shingles(text, k).foreach { sh =>
+        val x = fnv1a64(sh) & Long.MaxValue
+        var i = 0
+        while (i < numPerm) {
+          val (a, b) = params(i)
+          val hi = Math.multiplyHigh(a, x)
+          val lo = a * x
+          val prod = ((lo & MersennePrime) + ((lo >>> 61) | (hi << 3)))
+          val folded = (prod & MersennePrime) + (prod >>> 61)
+          val hx = (folded + b) % MersennePrime
+          if (hx < sig(i)) sig(i) = hx
+          i += 1
+        }
+      }
+      sig
+    }
+    val cases = Seq(
+      "the the the the the the the", // heavy shingle repetition
+      "A  b\tC\nd\u000Be\ff\rg",     // every \s char, runs collapsed
+      "\u0001 leading control\u0002", // non-\s control chars trimmed at ends
+      "ab",                           // shorter than k
+      "",                             // empty
+      "spark makes distributed dataframes fast and reliable for analytics")
+    cases.foreach { t =>
+      assert(minhash(t, 128, 5).toSeq === reference(t, 128, 5).toSeq, s"input: ${t.take(30)}")
+      assert(minhash(t, 16, 3).toSeq === reference(t, 16, 3).toSeq, s"input: ${t.take(30)}")
+    }
+  }
+
   test("PROP: minhash similarity tracks Jaccard of shingle sets") {
     val a = "spark makes distributed dataframes fast and reliable for analytics"
     val b = "spark makes distributed dataframes fast and reliable for analysis"
