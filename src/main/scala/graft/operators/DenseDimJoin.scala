@@ -37,6 +37,11 @@ object DenseDimJoin {
     */
   val DensityFactor: Long = 4L
 
+  /** Row bound under which [[withValueLocal]]'s driver-local parquet read
+    * beats a Spark collect job (see the measurement note there).
+    */
+  val LocalReadMaxRows: Long = 1L << 16
+
   /** Collect `dim` (keyCol → valueCol, key dense in [0, maxKey],
     * value in [0, 127]) and return a lookup usable as a Column
     * factory. Throws on a domain too sparse to pack (maxKey beyond
@@ -155,6 +160,65 @@ object DenseDimJoin {
         fact.join(broadcast(dim.select(col(keyCol), col(valueCol))),
           col(factKeyCol) === col(keyCol)).drop(keyCol)
     }
+  }
+
+  /** [[withValue]] for a dimension that IS a flat parquet table on disk:
+    * the packed array is built from a DRIVER-LOCAL read of the file
+    * (operators.LocalParquet) instead of a Spark collect job — the
+    * collect's schedule+fetch round-trip was paid on every query
+    * execution (r18 optimization, guide §1.2). Same routing probe
+    * (memoized dimStats over the Spark relation), same pack-time reject
+    * rules, same degrade-to-broadcast-join fallback; the file is re-read
+    * on every call (no caching). `dim` must be the same relation the
+    * path holds — it is still what the fallback join and the stats probe
+    * read.
+    */
+  def withValueLocal(fact: DataFrame, factKeyCol: String, s: SparkSession,
+      dimPath: String, dim: DataFrame, keyCol: String, valueCol: String,
+      cacheKey: String, maxSlots: Int = 1 << 28): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    def joinRoute: DataFrame =
+      fact.join(broadcast(dim.select(col(keyCol), col(valueCol))),
+        col(factKeyCol) === col(keyCol)).drop(keyCol)
+    val st = dimStats(s, dim, keyCol, valueCol, cacheKey)
+    if (!packs(st, maxSlots)) joinRoute
+    else if (st.rows > LocalReadMaxRows)
+      // the single-threaded example-API record walk loses to a parallel
+      // Spark collect past ~65k rows (measured at sf1: 150k customer rows
+      // read locally cost ~+190 ms vs the collect job's ~-80 ms saving)
+      withValue(fact, factKeyCol, s, dim, keyCol, valueCol, cacheKey, maxSlots)
+    else
+      try {
+        val rows = LocalParquet.readAll(dimPath, Seq(keyCol, valueCol))
+        def asLong(v: Any): Long = v match {
+          case l: Long => l
+          case i: Int => i.toLong
+          case null => throw new IllegalArgumentException("null dimension row")
+          case other => throw new IllegalArgumentException(
+            s"non-integral dimension value: $other")
+        }
+        var maxKey = -1L
+        rows.foreach { r =>
+          val k = asLong(r(0))
+          require(k >= 0 && k < maxSlots, s"key $k outside dense domain")
+          if (k > maxKey) maxKey = k
+        }
+        require(maxKey + 1 <= DensityFactor * rows.length.toLong.max(1L),
+          s"domain too sparse to pack: span ${maxKey + 1} for ${rows.length} rows")
+        val arr = new Array[Byte]((maxKey + 1).toInt.max(1))
+        java.util.Arrays.fill(arr, (-1).toByte)
+        rows.foreach { r =>
+          val v = asLong(r(1))
+          require(v >= 0 && v <= 127, s"value $v outside byte range")
+          val k = asLong(r(0)).toInt
+          require(arr(k) == -1, s"duplicate dimension key $k")
+          arr(k) = v.toByte
+        }
+        val bc = s.sparkContext.broadcast(arr)
+        fact.withColumn(valueCol, GraftColumnBridge.column(
+            DenseDimLookup(GraftColumnBridge.expression(col(factKeyCol)), bc)))
+          .filter(col(valueCol).isNotNull)
+      } catch { case _: IllegalArgumentException => joinRoute }
   }
 }
 

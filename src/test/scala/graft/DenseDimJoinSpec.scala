@@ -48,6 +48,33 @@ class DenseDimJoinSpec extends AnyFunSuite {
     assert(agg === want)
   }
 
+  test("r18: withValueLocal (driver-local parquet pack) ≡ withValue on every route") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("ddim_local").toString
+    // dense packable dim — the local-read route
+    val dim = (0 until 300).map(i => (i.toLong, i % 25)).toDF("k", "v")
+    dim.coalesce(1).write.mode("overwrite").parquet(s"$tmp/dim.parquet")
+    val dimOnDisk = spark.read.parquet(s"$tmp/dim.parquet")
+    val fact = (-5L until 320L).toDF("fk")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("fk").collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    val viaLocal = rows(DenseDimJoin.withValueLocal(fact, "fk", spark,
+      s"$tmp/dim.parquet", dimOnDisk, "k", "v", s"$tmp/dense"))
+    val viaCollect = rows(DenseDimJoin.withValue(fact, "fk", spark,
+      dimOnDisk, "k", "v", s"$tmp/dense2"))
+    assert(viaLocal === viaCollect)
+    // sparse dim — both must take the broadcast-join fallback and agree
+    val sparse = Seq((5000000L, 1), (9000000L, 2)).toDF("k", "v")
+    sparse.coalesce(1).write.mode("overwrite").parquet(s"$tmp/sparse.parquet")
+    val sparseOnDisk = spark.read.parquet(s"$tmp/sparse.parquet")
+    val sfact = Seq(5000000L, 9000000L, 7L).toDF("fk")
+    val a = rows(DenseDimJoin.withValueLocal(sfact, "fk", spark,
+      s"$tmp/sparse.parquet", sparseOnDisk, "k", "v", s"$tmp/sparse"))
+    val b = rows(DenseDimJoin.withValue(sfact, "fk", spark,
+      sparseOnDisk, "k", "v", s"$tmp/sparse2"))
+    assert(a === b && a.map(_._1).toSet === Set(5000000L, 9000000L))
+  }
+
   test("reject, don't guess: values past a byte and domains too sparse to pack") {
     import spark.implicits._
     val bigVal = Seq((0L, 300)).toDF("k", "v")
