@@ -434,7 +434,7 @@ object Streaming extends QueryBlock {
         val stream = EventStreams.documents(s, dir)
           .filter(col("doc_id") >= thr).select(col("doc_id"), col("text"))
         val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_d15")
-        try {
+        try EventStreams.withSourceSizedWidth(s, stream) {
           val q = stream.writeStream
             .foreachBatch { (batch: DataFrame, _: Long) =>
               graft.operators.IncrementalDedup
@@ -547,7 +547,7 @@ object Streaming extends QueryBlock {
           .option("maxFilesPerTrigger", "1")
           .load(warcDir)
         val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_d17")
-        try {
+        try EventStreams.withSourceSizedWidth(s, raw) {
           val q = raw.writeStream
             .foreachBatch { (batch: DataFrame, _: Long) =>
               val stripped = Curation.crawlStrip(Curation.crawlRobotsAllowed(s,

@@ -137,6 +137,21 @@ object EventStreams {
       }
     } catch { case _: Exception => None }
 
+  /** Run `body` (a foreachBatch-style stream start/await block) with the
+    * session shuffle width sized to the streaming source's volume — the
+    * [[runToTable]] rule for streams whose per-trigger work is batch jobs
+    * inside foreachBatch (those plan against the session width at stream
+    * start). Width restored afterwards; results are partitioning-internal.
+    */
+  def withSourceSizedWidth[A](s: SparkSession, df: DataFrame)(body: => A): A = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      streamWidth(s, df).foreach(w =>
+        s.conf.set("spark.sql.shuffle.partitions", w.toString))
+      body
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Run a streaming aggregation to completion; return the final table.
     * The per-run checkpoint is deleted afterwards (memory-sink results
     * don't outlive the session; leaving RocksDB state trees in /tmp
