@@ -1040,6 +1040,14 @@ object Lab {
       ranks.select(col("node"), round(col("rank"), 6).as("rank"))
         .orderBy(col("node"))
     }),
+    // LocalParquet driver-read cost in isolation (prints size + ms)
+    V("r18_p_lpq", "", (s, dir) => {
+      val t0 = System.nanoTime
+      val rows = graft.operators.LocalParquet.readAll(
+        s"$dir/customer.parquet", Seq("c_custkey", "c_nationkey"))
+      println(f"[lpq] ${rows.size} rows ${(System.nanoTime - t0) / 1e6}%.1f ms")
+      t(s, dir, "nation").groupBy().count()
+    }),
     // minhash kernel cost in isolation (one pass over documents)
     V("r18_p_minhash", "", (s, dir) =>
       t(s, dir, "documents")

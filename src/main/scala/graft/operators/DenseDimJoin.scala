@@ -38,9 +38,13 @@ object DenseDimJoin {
   val DensityFactor: Long = 4L
 
   /** Row bound under which [[withValueLocal]]'s driver-local parquet read
-    * beats a Spark collect job (see the measurement note there).
+    * beats a Spark collect job. Measured: the example-API record walk
+    * costs ~10 µs/row warm (15k customer rows = ~160 ms — MORE than the
+    * ~40-80 ms collect job it replaces), so the local route is only for
+    * genuinely tiny dims (nation/region scale) where the whole read is
+    * ~1 ms and the job round-trip dominates.
     */
-  val LocalReadMaxRows: Long = 1L << 16
+  val LocalReadMaxRows: Long = 1L << 12
 
   /** Collect `dim` (keyCol → valueCol, key dense in [0, maxKey],
     * value in [0, 127]) and return a lookup usable as a Column
@@ -183,9 +187,8 @@ object DenseDimJoin {
     val st = dimStats(s, dim, keyCol, valueCol, cacheKey)
     if (!packs(st, maxSlots)) joinRoute
     else if (st.rows > LocalReadMaxRows)
-      // the single-threaded example-API record walk loses to a parallel
-      // Spark collect past ~65k rows (measured at sf1: 150k customer rows
-      // read locally cost ~+190 ms vs the collect job's ~-80 ms saving)
+      // past the tiny-dim bound the local record walk loses to the
+      // parallel collect — see LocalReadMaxRows for the measurement
       withValue(fact, factKeyCol, s, dim, keyCol, valueCol, cacheKey, maxSlots)
     else
       try {
