@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver invokes `sbt "runMain graft.Bench"` and parses the tail of
+// stdout for the bench's one-line JSON. sbt's default forked-output logger
+// prefixes every forked stdout line with "[info] " and appends its own
+// "[success] Total time ..." line — BENCH_r01..r18 all came back
+// `parsed: null` behind that prefix. StdoutOutput passes the forked JVM's
+// stdout through verbatim (column 0, no logger), and showSuccess=false
+// drops the trailing [success] line, so the JSON Bench prints after
+// spark.stop() is the last stdout line of the whole sbt invocation.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // The test suite gets its OWN fixture scratch: a `sbt test` running
 // concurrently with a Verify at a different scale factor must not
 // overwrite the fixtures that Verify's oracle SQL points at.

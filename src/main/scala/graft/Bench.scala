@@ -601,13 +601,21 @@ object Bench {
       .map(stripMaps(_, StrippedMapKeys))
       .mkString
     val compactLine = f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":${fmt(results)},"total_static_sec":$totalStatic%.4f,"floor_sec":$floor%.4f$floorAdjField$compactGates,"sf":"$sfDir"}"""
-    println(compactLine)
     try {
       val out = java.nio.file.Paths.get("target", "bench.json")
       java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.write(out,
         (jsonLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: Exception => () } // best-effort; stdout stays canonical
+    // r19 (VERDICT r18 item 2): print the compact line AFTER spark.stop()
+    // so it is the forked JVM's LAST stdout line — nothing Spark emits at
+    // shutdown can follow it. Paired with build.sbt's StdoutOutput
+    // strategy (verbatim pass-through, column 0) this makes the driver's
+    // tail window contain the bare JSON line. The timed protocol above is
+    // untouched — this moves only where the already-computed string is
+    // printed.
     spark.stop()
+    println(compactLine)
+    System.out.flush()
   }
 }

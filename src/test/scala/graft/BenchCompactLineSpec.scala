@@ -95,4 +95,29 @@ class BenchCompactLineSpec extends AnyFunSuite {
     assert(compactLine.length <= 1800,
       s"compact line ${compactLine.length} chars — too close to the 2000-char driver window")
   }
+
+  test("compact line is single-line STRICT JSON (r19 driver parse contract)") {
+    // r19 (VERDICT r18 item 2): beyond fitting the window, the line must
+    // actually PARSE — build.sbt's StdoutOutput + the post-spark.stop()
+    // println put it bare at column 0 as the last stdout line; this test
+    // pins that what is printed there is strict JSON with the contract
+    // fields, so a future formatting slip can't null BENCH_r{N} again.
+    val results = Bench.headline.map { case (n, _) => n -> 123.4567 }
+    val floorAdjField = s""","queries_floor_adj":${fmt(results)}"""
+    val gates = Seq("sf1", "sf3", "sf10").map { g =>
+      s""","$g":${Bench.stripMaps(gateJson(), Bench.StrippedMapKeys)}"""
+    }.mkString
+    val compactLine =
+      s"""{"metric":"total","value":123.4567,"unit":"sec","queries":${fmt(results)},"total_static_sec":123.4567,"floor_sec":123.4567$floorAdjField$gates,"sf":"/root/testdata/sf0.1"}"""
+    assert(!compactLine.contains("\n") && !compactLine.contains("\r"))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    mapper.enable(com.fasterxml.jackson.databind.DeserializationFeature.FAIL_ON_TRAILING_TOKENS)
+    val node = mapper.readTree(compactLine)
+    assert(node.get("metric").asText() === "total")
+    assert(node.get("value").isNumber && node.get("unit").asText() === "sec")
+    assert(node.get("queries").isObject
+      && node.get("queries").size() === Bench.headline.size)
+    assert(node.get("sf1").get("ratio_live").isNumber)
+    assert(node.get("sf10").get("total_sec").isNumber)
+  }
 }
