@@ -87,7 +87,11 @@ object IncrementalDedup {
     // re-attaches), each re-running the 128-perm minhash over the corpus
     // (the e02 fix applied to this operator). At 100 TB this is the
     // "signature table materialized once" shape the header describes.
-    val sigs = sigsOf(base).localCheckpoint()
+    // r19: lineage-preserving persist instead of localCheckpoint — the
+    // signature table is CORPUS-scale (one row per document), so truncated
+    // lineage would make an executor loss fatal at 100 TB (VERDICT r18
+    // item 3; see MaterializeOnce).
+    val sigs = MaterializeOnce(sigsOf(base))
     val cand = bandsOf(sigs).alias("a")
       .join(bandsOf(sigs.filter(col("doc_id") >= threshold)).alias("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
@@ -120,9 +124,11 @@ object IncrementalDedup {
     // r18 optimization: both signature tables are consumed twice (band
     // derivation + bestNear re-attach) — materialize each once per call.
     // (At scale the index side is a precomputed bucketed artifact, per the
-    // scaladoc; within one micro-batch this checkpoint is its stand-in.)
-    val ixSigs = sigsOf(ix).localCheckpoint()
-    val bSigs = sigsOf(b).localCheckpoint()
+    // scaladoc; within one micro-batch this materialization is its
+    // stand-in.) r19: lineage-preserving persist, not localCheckpoint —
+    // corpus-scale rows (VERDICT r18 item 3; see MaterializeOnce).
+    val ixSigs = MaterializeOnce(sigsOf(ix))
+    val bSigs = MaterializeOnce(sigsOf(b))
     val cand = bandsOf(ixSigs).alias("a")
       .join(bandsOf(bSigs).alias("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey"))
