@@ -24,14 +24,14 @@ object OptPlan {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     Graft.prepare(spark)
-    Files.createDirectories(Paths.get("plans", "r18"))
+    Files.createDirectories(Paths.get("plans", "r19"))
     names.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       val txt = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode).trim
         .replaceAll("@[0-9a-f]{6,12}", "@id")
-      Files.writeString(Paths.get("plans", "r18", s"${name}_$tag.txt"), txt + "\n")
-      println(s"[optplan] wrote plans/r18/${name}_$tag.txt")
+      Files.writeString(Paths.get("plans", "r19", s"${name}_$tag.txt"), txt + "\n")
+      println(s"[optplan] wrote plans/r19/${name}_$tag.txt")
     }
     spark.stop()
   }

@@ -31,9 +31,14 @@ object LineDedup {
     * as CCNet's hash tables do.
     */
   def lineDf(docs: DataFrame): DataFrame = withLinesOf(docs)
-    .select(col("doc_id"), posexplode(col("lines")).as(Seq("pos", "line")))
+    // r19 (guide §2.3): the per-document dedup happens SCAN-LOCALLY — a
+    // line's repeats within one document live in one array row, so
+    // array_distinct + count(*) computes exactly countDistinct(doc_id)
+    // with ONE exchange (partial+final count on hash(line)) instead of
+    // countDistinct's two-phase (line, doc_id) expand + re-shuffle.
+    .select(explode(array_distinct(col("lines"))).as("line"))
     .groupBy("line")
-    .agg(countDistinct(col("doc_id")).as("df"))
+    .agg(count(lit(1)).as("df"))
 
   /** @param docs (doc_id, content) where content is '\n'-separated text;
     *             a NULL content row yields (n_lines 0, n_kept 0, "") rather

@@ -148,22 +148,34 @@ object Streaming extends QueryBlock {
           // b3: flush far future — closing WM 10:29:30 emits every
           // surviving window; the flush window [10:30,10:31) never emits
           Seq((999999L, ts(30, 0), "flush")))
-        batches.zipWithIndex.foreach { case (specs, i) =>
-          val tmp = s"$base/_tmp$i"
-          users.flatMap(u => rows(u, specs))
-            .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-            .coalesce(1).write.mode("overwrite").parquet(tmp)
-          val part = new java.io.File(tmp).listFiles()
+        // r19 (VERDICT r18 item 5): ONE partitioned write job instead of
+        // four single-batch write jobs — coalesce(1) + partitionBy splits
+        // the same rows into one file per batch in a single pass (the
+        // partition column is excluded from the data files, so each
+        // b<i>.parquet carries exactly the columns and rows it did before,
+        // in the same order). The mtime staggering below is unchanged.
+        val tmp = s"$base/_tmp"
+        batches.zipWithIndex.flatMap { case (specs, i) =>
+          users.flatMap(u => rows(u, specs)).map { case (id, t, u2, et, v, p) =>
+            (i, id, t, u2, et, v, p) }
+        }.toDF("b", "event_id", "ts", "user_id", "event_type", "value", "props")
+          .coalesce(1).write.partitionBy("b").mode("overwrite").parquet(tmp)
+        batches.indices.foreach { i =>
+          val part = new java.io.File(s"$tmp/b=$i").listFiles()
             .filter(_.getName.endsWith(".parquet")).head
           val dst = java.nio.file.Paths.get(s"$base/b$i.parquet")
           java.nio.file.Files.move(part.toPath, dst,
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-          new java.io.File(tmp).listFiles().foreach(_.delete())
-          new java.io.File(tmp).delete()
           // explicit mtimes: the file source orders batches by mtime, and
           // sequential writes can collide at ms resolution
           java.nio.file.Files.setLastModifiedTime(dst,
             java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 5000L))
+        }
+        locally {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(java.nio.file.Paths.get(tmp)).iterator()
+            .asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
         }
         val stream = s.readStream
           .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING")
@@ -375,12 +387,59 @@ object Streaming extends QueryBlock {
           .select(col("doc_id"), lower(col("text")).as("t"))
           .filter(length(col("t")) >= 3)
           .select(col("doc_id"), expr("char_trigrams(t)"))
-          .join(model, "tri") // stream-static; model broadcasts at scale
-          .select(col("doc_id"), col("tri"),
-            log(col("cnt").cast("double") / lit(total)).as("l"))
+          // r19: explicit broadcast — the model is alphabet³-bounded (the
+          // comment below has always said "model broadcasts at scale") but
+          // the checkpointed LogicalRDD carries no size estimate, so the
+          // streaming planner was free to pick a shuffled join; pin it.
+          .join(broadcast(model), "tri") // stream-static broadcast
           .groupBy(col("doc_id"), col("tri"))
-          .agg(count(lit(1)).as("k"), min(col("l")).as("l")) // l constant per tri
-        EventStreams.runToTable(s, stream, "d14_sink")
+          .agg(count(lit(1)).as("k"),
+            min(log(col("cnt").cast("double") / lit(total))).as("l")) // l constant per tri
+        // r19 (VERDICT r18 item 4, guide §5): the stateful streaming
+        // aggregation above is UNCHANGED — same keys, same two-scalar
+        // state, same declared operator — but the sink moves from a
+        // complete-mode memory sink (which re-collects EVERY (doc, trigram)
+        // state row to the driver per trigger — corpus-scale driver
+        // materialization) to an update-mode foreachBatch parquet append:
+        // each trigger appends, executor-side, only the keys it updated,
+        // carrying their CUMULATIVE aggregate values.
+        //
+        // Equivalence of the merge: a key's appended rows are its
+        // cumulative (k, l) after each trigger that touched it; k strictly
+        // increases across those rows (an update means >= 1 new occurrence
+        // arrived) and l is constant per trigram, so
+        // groupBy(doc_id, tri).agg(max(k), min(l)) over the appended rows
+        // is exactly the final streaming state — the same table
+        // complete-mode handed the driver, without shipping corpus-scale
+        // rows through the driver. With one file per doc set (the staged
+        // twin) there is one trigger and the merge is the identity; the
+        // argument above covers any micro-batch slicing.
+        val outDir = java.nio.file.Paths.get(
+          s"${Graft.scratchDir}/d14_out_${new java.io.File(dir).getName}")
+        if (java.nio.file.Files.exists(outDir)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(outDir).iterator().asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        }
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_d14")
+        try EventStreams.withSourceSizedWidth(s, stream) {
+          val q = stream.writeStream
+            .outputMode("update")
+            .foreachBatch { (batch: DataFrame, _: Long) =>
+              batch.write.mode("append").parquet(outDir.toString)
+            }
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .option("checkpointLocation", ckpt.toString)
+            .start()
+          q.awaitTermination()
+        } finally {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        }
+        s.read.parquet(outDir.toString)
+          .groupBy(col("doc_id"), col("tri"))
+          .agg(max(col("k")).as("k"), min(col("l")).as("l"))
           .select(col("doc_id"), col("k"),
             (col("k").cast("double") * col("l")).as("kl"))
           .groupBy(col("doc_id"))
@@ -524,17 +583,25 @@ object Streaming extends QueryBlock {
         // persisted consumers (dfTable, index) each re-ran the WARC parse
         // + HTML strip when they first materialized (the e47 fix's
         // streaming twin).
+        // r19 (VERDICT r18 item 3): lineage-preserving persist was A/B'd
+        // here per the verdict's instruction and REJECTED for these
+        // corpus-TEXT artifacts — interleaved same-window pairs read d17
+        // at 8.1-9.5 s under persist vs 6.7-8.6 s under localCheckpoint
+        // (columnar string encode; the signature tables in
+        // IncrementalDedup DID move to persist, see MaterializeOnce).
+        // dfTable/index switch from the old lazy persist() to eager
+        // localCheckpoint as part of the same measured configuration.
         val batchStripped = Curation.crawlStrip(Curation.crawlRobotsAllowed(s,
           Curation.crawlRecs(Curation.parseWarc(
             s.read.format("binaryFile").load(warcDir))))).localCheckpoint()
         val dfTable = graft.operators.LineDedup.lineDf(
           batchStripped.select(col("rec_id").as("doc_id"),
-            col("cleaned").as("content"))).persist()
+            col("cleaned").as("content"))).localCheckpoint()
         val index = graft.operators.LineDedup.cleanAgainst(
             batchStripped.select(col("rec_id").as("doc_id"),
               col("cleaned").as("content")), dfTable, tau = 10)
           .select(col("doc_id").as("p_id"),
-            sha2(col("cleaned"), 256).as("p_h")).persist()
+            sha2(col("cleaned"), 256).as("p_h")).localCheckpoint()
         val outDir = java.nio.file.Paths.get(
           s"${Graft.scratchDir}/d17_out_${new java.io.File(dir).getName}")
         if (java.nio.file.Files.exists(outDir)) {
@@ -935,16 +1002,24 @@ object Streaming extends QueryBlock {
             .foreach(p => java.nio.file.Files.deleteIfExists(p))
         }
         fd.mkdirs()
+        // r19 (VERDICT r18 item 5): ONE partitioned write job instead of
+        // four range-filtered scan+write jobs — the same doc_id ranges
+        // land as one file per range via partitionBy (the range column is
+        // excluded from the data files, so each f<i>.parquet carries
+        // exactly the (doc_id, source, text) rows of its range, in scan
+        // order as before). The mtime staggering is unchanged.
+        val tmp = s"$fixDir/_tmp"
+        docs.withColumn("b", expr(s"CAST(doc_id DIV $w AS INT)"))
+          .coalesce(1).write.partitionBy("b").mode("overwrite").parquet(tmp)
         (0 until 4).foreach { i =>
-          val tmp = s"$fixDir/_tmp$i"
-          docs.filter(col("doc_id") >= i * w && col("doc_id") < (i + 1) * w)
-            .coalesce(1).write.mode("overwrite").parquet(tmp)
-          val part = new java.io.File(tmp).listFiles()
+          val part = new java.io.File(s"$tmp/b=$i").listFiles()
             .find(_.getName.endsWith(".parquet")).get
           val dst = new java.io.File(s"$fixDir/f$i.parquet")
           java.nio.file.Files.move(part.toPath, dst.toPath,
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)
           dst.setLastModified(1700000000000L + i * 60000L)
+        }
+        locally {
           import scala.jdk.CollectionConverters._
           java.nio.file.Files.walk(java.nio.file.Paths.get(tmp)).iterator()
             .asScala.toSeq.reverse
