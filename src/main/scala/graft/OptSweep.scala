@@ -41,6 +41,10 @@ object OptSweep {
       }
       (System.nanoTime() - t0) / 1e9
     }
+    if (names.isEmpty) {
+      System.err.println(s"[sweep] no queries match prefix '$prefix'")
+      spark.stop(); sys.exit(1)
+    }
     timeOne(names.head) // warm the session once
     val times = names.map(n => n -> timeOne(n))
     times.foreach { case (n, s) => println(f"[sweep] $n $s%.3f") }

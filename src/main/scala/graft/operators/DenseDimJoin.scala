@@ -193,6 +193,12 @@ object DenseDimJoin {
     else
       try {
         val rows = LocalParquet.readAll(dimPath, Seq(keyCol, valueCol))
+        // r19 (ADVICE): the documented precondition that `dim` holds the
+        // same data as `dimPath` is now CHECKED — a drifted/re-staged
+        // relation degrades to the join route instead of silently packing
+        // stale file contents.
+        require(rows.length == st.rows,
+          s"dim/dimPath drift: file has ${rows.length} rows, relation ${st.rows}")
         def asLong(v: Any): Long = v match {
           case l: Long => l
           case i: Int => i.toLong

@@ -439,9 +439,17 @@ object Relational extends QueryBlock {
         // schedule+collect round-trip (~30-40 ms) per query execution for
         // 25 rows. Same bytes read from the same file on every execution
         // (no caching); the job disappears from the query's critical path.
-        val names = typedLit(graft.operators.LocalParquet
-          .readAll(s"$dir/nation.parquet", Seq("n_nationkey", "n_name"))
-          .map(r => r(0).asInstanceOf[Int] -> r(1).asInstanceOf[String]).toMap)
+        // r19 (ADVICE): degrade to the original Spark collect when the
+        // driver-local read is impossible (non-local filesystem,
+        // unexpected layout) — mirroring DenseDimJoin's fallback path.
+        val names = typedLit(
+          (try graft.operators.LocalParquet
+            .readAll(s"$dir/nation.parquet", Seq("n_nationkey", "n_name"))
+            .map(r => r(0).asInstanceOf[Int] -> r(1).asInstanceOf[String])
+          catch { case scala.util.control.NonFatal(_) =>
+            t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+              .collect().toSeq.map(r => r.getInt(0) -> r.getString(1))
+          }).toMap)
         val w = Window.partitionBy(col("c_nationkey"))
           .orderBy(col("c_acctbal").desc, col("c_custkey"))
         c.select(col("c_nationkey"), col("c_name"), col("c_acctbal"),
