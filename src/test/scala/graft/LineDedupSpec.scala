@@ -48,6 +48,23 @@ class LineDedupSpec extends AnyFunSuite {
     assert(out(7L) === ((2, 1, "keep me")))
   }
 
+  test("lineDf matches the countDistinct reference (r19 scan-local dedup kernel)") {
+    // r19 moved the per-document dedup scan-local (array_distinct before
+    // the explode + plain count); this pins it against the old two-phase
+    // countDistinct form on within-doc repeats, shared lines and the
+    // empty-content row.
+    val docs = Seq(10L -> "x\nx\ny", 11L -> "x\nz\nz", 12L -> "", 13L -> "y")
+      .toDF("doc_id", "content")
+    val got = graft.operators.LineDedup.lineDf(docs)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ref = docs
+      .select(col("doc_id"), explode(split(col("content"), "\n")).as("line"))
+      .groupBy("line").agg(countDistinct(col("doc_id")).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === ref)
+    assert(got === Map("x" -> 2L, "y" -> 2L, "z" -> 1L, "" -> 1L))
+  }
+
   test("tau above every frequency is the identity") {
     val docs = Seq(8L -> "a\nb\nc", 9L -> "a\nb")
     val out = run(docs, tau = 100)
