@@ -32,15 +32,16 @@ import org.apache.spark.storage.StorageLevel
   * tables, the PQ index) stay on `localCheckpoint` — tiny blocks, and the
   * truncation is what keeps their iterative plans from growing.
   *
-  * WHERE THIS IS USED (r19 A/B, interleaved same-window pairs, 2 rounds,
-  * /tmp committed into OPTIMIZATION_r19.md): the signature tables
-  * (IncrementalDedup, e02 — fixed-width long-array payloads) measured
-  * ≈equal under persist vs localCheckpoint (±5%, mixed sign), so they use
-  * this and gain the recoverable lineage. The corpus-TEXT materializations
-  * (e47 stripped/ld/survivors, d17 batchStripped/dfTable/index) measured
-  * 20-40% SLOWER under persist — the InMemoryRelation columnar encode of
-  * long string columns is the cost — and stay on localCheckpoint per the
-  * verdict's own decision rule ("keep whichever is not slower").
+  * WHERE THIS IS USED (r19 A/Bs, interleaved same-window pairs, tables in
+  * OPTIMIZATION_r19.md): the IncrementalDedup signature tables
+  * (fixed-width long-array payloads) measured equal-or-better under
+  * persist and use this, gaining the recoverable lineage. The corpus-TEXT
+  * materializations (e47 stripped/ld/survivors, d17
+  * batchStripped/dfTable/index) measured 20-40% SLOWER under persist —
+  * the InMemoryRelation columnar encode of long string columns is the
+  * cost — and e02's signature table re-measured slower in full-session
+  * context; those stay on localCheckpoint per the verdict's own decision
+  * rule ("keep whichever is not slower").
   */
 object MaterializeOnce {
   def apply(df: DataFrame): DataFrame = {
